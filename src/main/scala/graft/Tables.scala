@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Centralized table loaders for the driver-provided parquet test tables
+  * (TESTDATA.md). All timestamp handling is normalized to microsecond
+  * precision so Spark results compare bit-exactly against the DuckDB
+  * oracle (DuckDB truncates parquet TIMESTAMP(NANOS) to micros; Spark
+  * refuses to read NANOS unless `nanosAsLong` is set, after which we
+  * floor-divide to micros — same truncation).
+  *
+  * At 100 TB these loaders are the single place to attach bucketing /
+  * partition-pruning options; query code never hard-codes paths.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      // parquet stores ts as INT64 TIMESTAMP(NANOS); with
+      // spark.sql.legacy.parquet.nanosAsLong=true it arrives as Long.
+      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    else df
+  }
+
+  /** Register all tables as temp views named exactly like the parquet
+    * files, so `spark.sql` text matches the DuckDB oracle text. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Session defaults shared by Verify / Bench / tests. local[*] here is a
+    * stand-in for a real cluster: shuffle partitions are sized to cores,
+    * AQE handles skew/coalescing, and broadcast joins stay enabled so the
+    * plans mirror what a 1000-executor deployment would choose. */
+  def session(master: String, shufflePartitions: Int): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

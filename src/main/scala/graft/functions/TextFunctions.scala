@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text/timestamp functions re-expressing the reference's bolt-local
+  * helpers as pure Catalyst column expressions (whole-stage-codegen
+  * friendly; no UDFs on the hot path).
+  *
+  * Reference points (see SURVEY.md §2.3):
+  *  - T1 Twitter timestamp parse: DiscussionTreeBolt.java:103-105
+  *  - T2 tokenise + stopwords:    TweetIndexBolt.java:172-186
+  *  - T4 short-token removal:     LocationTopicModelTrainer.java:193-207
+  *  - T5 "lon,lat" formatting:    TopicModelBolt.java:180-182
+  *  - T6 WKT point (lat first):   LocationCrawlerBolt.java:309-311
+  *  - T10 username cleanup:       jar:StormCommunityFactory.cleanUserName
+  */
+object TextFunctions {
+
+  /** T1 — parse `"EEE MMM dd HH:mm:ss Z yyyy"` (US locale). Spark's
+    * formatter cannot *parse* day-of-week tokens, so we strip the first
+    * 4 chars ("EEE ") — day-of-week is redundant with the date. */
+  def parseTwitterTime(c: Column): Column =
+    to_timestamp(substring(c, 5, 26), "MMM dd HH:mm:ss Z yyyy")
+
+  /** Inverse of [[parseTwitterTime]] (used by tests and by the events →
+    * tweet-stream adapter). */
+  def formatTwitterTime(c: Column): Column =
+    date_format(c, "EEE MMM dd HH:mm:ss Z yyyy")
+
+  /** Whitespace tokenizer (the reference lower-cases then splits; see
+    * jar:ckling.text.Text.getTerms). */
+  def tokenize(text: Column): Column = split(lower(text), "\\s+")
+
+  /** T4 — drop 1-char tokens. */
+  def dropShortTokens(tokens: Column): Column =
+    filter(tokens, t => length(t) > 1)
+
+  /** Small English stopword set used by the language heuristic and the
+    * quality score; chosen to be expressible identically in ANSI SQL. */
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def removeStopwords(tokens: Column): Column =
+    array_except(tokens, lit(englishStopwords.toArray))
+
+  /** M1-analog — deterministic language-ID heuristic: ratio of tokens that
+    * are English stopwords. The reference's cybozu langdetect is
+    * seed-nondeterministic (SURVEY.md §2.6 M1); we replace it with a
+    * deterministic profile heuristic, mirrored 1:1 in the DuckDB oracle. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokenize(text)
+    val hits = size(filter(toks, t => array_contains(lit(englishStopwords.toArray), t)))
+    when(size(toks) > 0, hits.cast("double") / size(toks).cast("double")).otherwise(lit(0.0))
+  }
+
+  def detectEnglish(text: Column, threshold: Double = 0.05): Column =
+    stopwordRatio(text) >= lit(threshold)
+
+  /** T5 — `"lon,lat"` string (reference flips the model's `lat lon`). */
+  def lonLat(lon: Column, lat: Column): Column =
+    concat_ws(",", lon.cast("float"), lat.cast("float"))
+
+  /** T6 — WKT point; the reference puts LAT first (preserved verbatim,
+    * LocationCrawlerBolt.java:309-311). */
+  def wktPointLatFirst(lat: Column, lon: Column): Column =
+    format_string("POINT(%s %s)", lat, lon)
+
+  /** T10 — strip all whitespace from screen names. */
+  def cleanUserName(c: Column): Column = regexp_replace(c, "\\s", "")
+
+  /** Word n-gram shingles over a token array (dedup pipeline primitive).
+    * `transform(sequence(...))` keeps this inside codegen. */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", tokens)))
+
+  /** One MinHash signature component: min over shingles of md5(salt:sh).
+    * md5 as the hash family keeps Spark and any ANSI oracle bit-identical;
+    * the per-salt md5 acts as an independent random permutation. */
+  def minhashSig(shingleSet: Column, salt: Int): Column =
+    array_min(transform(shingleSet, s => md5(concat(lit(salt.toString), lit(":"), s))))
+
+  /** 16-bit SimHash over the distinct tokens of a document. Bit b of the
+    * fingerprint is set when the sum over tokens of ±1 (sign = parity of
+    * md5 nibble b) is positive. Integer arithmetic → engine-exact. */
+  def simhash16(tokens: Column): Column = {
+    val distinctToks = array_distinct(tokens)
+    val packed = (0 until 16).map { b =>
+      val perTokenSign = transform(distinctToks, t =>
+        when((call_function("locate",
+          substring(md5(t), b + 1, 1), lit("0123456789abcdef")) - 1) % 2 === 1, lit(1))
+          .otherwise(lit(-1)))
+      val s = aggregate(perTokenSign, lit(0), (acc, x) => acc + x)
+      when(s > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    packed.reduce(_ + _)
+  }
+
+  /** Deterministic 64-bit-ish document fingerprint: first 15 hex chars of
+    * md5 as a big-int-safe long (driver-exact in any engine with md5+conv). */
+  def fingerprint(text: Column): Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+}

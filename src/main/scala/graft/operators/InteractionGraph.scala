@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interaction-graph construction (A2): re-expression of
+  * roleAnalysisTopology/.../bolts/InteractionGraphBolt.java:96-196.
+  *
+  * The bolt's nested `HashMap<author, HashMap<action, List<Interaction>>>`
+  * becomes a long-format relation `(author_id, action, target_user_id, ts)`
+  * produced by three select/explode branches union'ed together — each
+  * branch prunes to exactly the columns it reads, so the scan stays
+  * column-pruned and the union is shuffle-free. The verbose and flat
+  * graphs are groupBy aggregations keyed by (author, action): parallel-safe
+  * where the Storm bolt required parallelism 1 (SURVEY.md §2.7 W8).
+  */
+object InteractionGraph {
+
+  val ACTION_REPLIED = "replied_to"
+  val ACTION_MENTIONED = "mentioned"
+  val ACTION_RETWEETED = "retweeted"
+
+  /** Long-format interactions from normalized tweets
+    * ([[graft.sources.TweetSource.normalized]]):
+    *  - replied_to: in_reply_to_user_id_str (InteractionGraphBolt.java:133-141)
+    *  - mentioned: each entities.user_mentions[].id_str (:145-155, keeps
+    *    duplicates — one interaction per mention occurrence)
+    *  - retweeted: retweeted_status.user.id_str (:158-166)
+    */
+  def interactions(normalized: DataFrame): DataFrame = {
+    val replied = normalized
+      .filter(col("in_reply_to_user_id_str").isNotNull)
+      .select(col("author_id"), lit(ACTION_REPLIED).as("action"),
+        col("in_reply_to_user_id_str").as("target_user_id"), col("ts"))
+    val mentioned = normalized
+      .filter(col("mentioned_user_ids").isNotNull)
+      .select(col("author_id"), lit(ACTION_MENTIONED).as("action"),
+        explode(col("mentioned_user_ids")).as("target_user_id"), col("ts"))
+      .filter(col("target_user_id").isNotNull)
+    val retweeted = normalized
+      .filter(col("retweeted_user_id").isNotNull)
+      .select(col("author_id"), lit(ACTION_RETWEETED).as("action"),
+        col("retweeted_user_id").as("target_user_id"), col("ts"))
+    replied.unionByName(mentioned).unionByName(retweeted)
+  }
+
+  /** Verbose graph: per (author, action) the full interaction list with
+    * timestamps, ordered by (ts, target) — SURVEY's determinism rule in
+    * place of the bolt's arrival order. */
+  def verboseGraph(inter: DataFrame): DataFrame =
+    inter
+      .withColumn("item", struct(col("ts"), col("target_user_id").as("user_id")))
+      .groupBy("author_id", "action")
+      .agg(array_sort(collect_list(col("item"))).as("interactions"))
+
+  /** Flat graph: per (author, action) the distinct target set
+    * (InteractionGraphBolt.java:179-196 HashSet dedup), sorted. */
+  def flatGraph(inter: DataFrame): DataFrame =
+    inter.groupBy("author_id", "action")
+      .agg(array_sort(collect_set(col("target_user_id"))).as("targets"))
+
+  /** Scalar summary used by the hash-checked oracle path (arrays hash
+    * differently across engines; counts do not). */
+  def flatCounts(inter: DataFrame): DataFrame =
+    inter.groupBy("author_id", "action")
+      .agg(
+        count(lit(1)).as("n_interactions"),
+        countDistinct(col("target_user_id")).as("n_targets"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Linked-Open-Data enrichment (lodExplorerTopology): the reference's
+  * per-tweet Jena/SPARQL lookups become broadcast joins over snapshot
+  * triple tables (SURVEY.md §2.4 J1-J3, §2.3 T9).
+  *
+  * Live HTTP inside a streaming operator (LocationCrawlerBolt.java:131-209)
+  * is replaced by side-input DataFrames — at 100 TB the sameAs/property
+  * tables are dimension tables that broadcast to every executor exactly
+  * like the bolt's `prepare()`-time downloads did per worker.
+  */
+object Lod {
+
+  /** J1 — owl:sameAs lookup: LinkedGeoData URI → DBpedia URI, first match
+    * (LocationCrawlerBolt.java:125-129). `sameAs(subject, object)` holds
+    * `<subject> owl:sameAs <object>` rows; lookup key is the object.
+    * First-match ≈ min(subject) for determinism (Jena model iteration
+    * order is nondeterministic; documented deviation). */
+  def sameAsLookup(locs: DataFrame, lgdUriCol: String, sameAs: DataFrame): DataFrame = {
+    val firstMatch = sameAs.groupBy(col("object"))
+      .agg(min(col("subject")).as("dbpedia_uri"))
+    locs.join(broadcast(firstMatch), locs(lgdUriCol) === firstMatch("object"), "left")
+      .drop("object")
+  }
+
+  /** J2 — property scan: all (predicate, object) pairs of an entity URI,
+    * grouped per object place with the predicate list
+    * (LocationCrawlerBolt.java:131-153). F9: only URI-valued objects
+    * qualify as candidate places. */
+  def placeCandidates(entities: DataFrame, uriCol: String, triples: DataFrame): DataFrame =
+    entities.join(broadcast(triples.filter(col("object_is_uri"))),
+      entities(uriCol) === triples("subject"))
+      .groupBy(entities.columns.map(col).toIndexedSeq :+ col("object").as("place"): _*)
+      .agg(collect_set(col("predicate")).as("properties"))
+
+  /** J3 — coordinate + label dereference: geo:lat / geo:long / optional
+    * English rdfs:label per place URI (LocationCrawlerBolt.java:183-209).
+    * OPTIONAL → left join; LANGMATCHES(...,"en") → lang_tag = 'en'. */
+  def dereferencePlaces(places: DataFrame, placeCol: String, triples: DataFrame): DataFrame = {
+    def prop(p: String, alias: String, langEn: Boolean = false) = {
+      val t = triples.filter(col("predicate") === p &&
+        (if (langEn) col("lang_tag") === "en" else lit(true)))
+      t.groupBy(col("subject").as(s"${alias}_s")).agg(min(col("object")).as(alias))
+    }
+    places
+      .join(broadcast(prop("geo:lat", "lat")), col(placeCol) === col("lat_s"), "left")
+      .join(broadcast(prop("geo:long", "lon")), col(placeCol) === col("lon_s"), "left")
+      .join(broadcast(prop("rdfs:label", "label", langEn = true)),
+        col(placeCol) === col("label_s"), "left")
+      .drop("lat_s", "lon_s", "label_s")
+  }
+
+  /** T9 — naive-Bayes relevance score over a candidate's property list
+    * (LocationCrawlerBolt.java:155-181). `counts(property, rel, irrel)`
+    * mirrors nb_count.csv incl. its `total` row. Scores are computed in
+    * log space (sum of logs ≡ the reference's product ordering-wise);
+    * the reference's quirk of multiplying the prior once per *known*
+    * property (not once total) is preserved.
+    *
+    * Input: long format `(candidate keys..., property)`; output adds
+    * log_pos / log_neg / accepted. */
+  def nbRelevance(candidateProps: DataFrame, keyCols: Seq[String],
+      counts: DataFrame): DataFrame = {
+    val totals = counts.filter(col("property") === "total")
+      .select(col("rel").as("totRel"), col("irrel").as("totIrrel"))
+    val known = counts.filter(col("property") =!= "total")
+    val scored = candidateProps
+      .join(broadcast(known), Seq("property"), "inner") // only known properties score
+      .crossJoin(broadcast(totals))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_known_props"),
+        sum(log((col("rel") + 1.0) / (col("totRel") + 2.0)) +
+          log(col("totRel") / (col("totRel") + col("totIrrel")))).as("log_pos"),
+        sum(log((col("irrel") + 1.0) / (col("totIrrel") + 2.0)) +
+          log(col("totIrrel") / (col("totRel") + col("totIrrel")))).as("log_neg"))
+      .withColumn("accepted", col("n_known_props") > 0 && col("log_pos") > col("log_neg"))
+    scored
+  }
+}

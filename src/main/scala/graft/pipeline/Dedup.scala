@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Training-data deduplication operators (north-star extensions,
+  * BASELINE.json): exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is one hash-groupBy — the md5 key shuffles instead of
+  *    the full text payload.
+  *  - MinHash/LSH shuffles only (doc_id, band_key) pairs; candidate
+  *    verification joins back on the (much smaller) candidate set.
+  *  - all hashing uses md5, so signatures are engine-portable and the
+  *    pipeline needs no UDF (whole-stage codegen throughout).
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts by md5; keep the smallest id as
+    * the canonical representative. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-gram shingle set per document. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      array_distinct(TextFunctions.shingles(TextFunctions.tokenize(col(textCol)), n))
+        .as("shingles"))
+
+  /** MinHash signature: `numHashes` independent permutations simulated by
+    * salted md5; signature component i = min md5("<i>:"+shingle). */
+  def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame =
+    (0 until numHashes).foldLeft(shingled) { (d, i) =>
+      d.withColumn(s"sig_$i", TextFunctions.minhashSig(col("shingles"), i))
+    }
+
+  /** LSH banding: group `rowsPerBand` signature components per band; docs
+    * sharing any band key are candidate pairs. Returns (doc_id, band,
+    * band_key). */
+  def lshBands(signatures: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
+      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("band_key"))
+    }
+    signatures.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs from LSH buckets (a < b, distinct across bands). */
+  def lshCandidates(banded: DataFrame): DataFrame = {
+    val l = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band").as("band_r"), col("band_key").as("band_key_r"),
+      col("doc_id").as("doc_b"))
+    l.join(r, col("band") === col("band_r") && col("band_key") === col("band_key_r") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets for a pair relation —
+    * shared / (|A| + |B| - shared), via an explode + join (no arrays cross
+    * the shuffle; scales linearly in total shingle count). */
+  def jaccard(pairs: DataFrame, shingled: DataFrame): DataFrame = {
+    val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("set_size"))
+    val toks = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val shared = pairs
+      .join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(shared, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("size_a") + col("size_b") - col("shared")).cast("double"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
+    * join → exact-Jaccard verification at `threshold`. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleN)
+    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
+    jaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs n-gram Jaccard near-dup (quadratic verification baseline —
+    * the correctness oracle for the LSH path; don't run at scale). */
+  def ngramJaccardAllPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleN)
+    val toks = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val pairs = toks.as("a").join(toks.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    jaccard(pairs, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash dedup: 16-bit fingerprint per doc; identical fingerprints are
+    * near-dup buckets. */
+  def simhashBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextFunctions.simhash16(TextFunctions.tokenize(col(textCol))).as("simhash"))
+}

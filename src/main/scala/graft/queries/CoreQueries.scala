@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Relational-core queries over the driver test tables: scans, filters with
+  * parquet pushdown, shuffle/broadcast joins, aggregation, set ops, window
+  * functions, tumbling windows and sessionization. Each query has a
+  * DuckDB-oracle twin in [[CoreQueries.oracles]] with identical column
+  * names and a deterministic total ORDER BY.
+  *
+  * Float discipline: any aggregate that sums doubles is rounded (4-6 dp)
+  * on both sides; ratios/products of exact ints are left raw (bit-exact by
+  * construction).
+  */
+object CoreQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** TPC-H Q1-style pricing summary: filter → groupBy → 8 aggregates.
+    * The filter and the 7-column projection both reach the parquet scan. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Selective filter + narrow projection: PushedFilters + 4-column
+    * ReadSchema at the scan (F1/F2-style null-safe predicates). */
+  def q02FilterPushdown(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R" &&
+        col("l_shipdate").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(200)
+
+  /** Shuffle join + aggregation + top-k: revenue of BUILDING-segment
+    * orders (TPC-H Q3 shape). Customer side broadcasts (small dim). */
+  def q03TopRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Multi-way join through two broadcast dims (TPC-H Q5 shape): revenue
+    * per nation where supplier and customer share the nation. */
+  def q05RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Anti join: customers that never ordered, counted per nation. */
+  def q06OrphanCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val n = t(spark, dir, "nation")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orphans"),
+        round(sum(col("c_acctbal")), 4).as("orphan_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Set operations: nation keys present in customer vs supplier. */
+  def q07SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    val both = c.intersect(s).withColumn("which", lit("both"))
+    val custOnly = c.distinct().except(s).withColumn("which", lit("cust_only"))
+    both.unionByName(custOnly).orderBy(col("which"), col("nationkey"))
+  }
+
+  /** Analytic window function: top-3 orders per customer by price (A9's
+    * relational shape — row_number, NOT a sort-limit per group). */
+  def q08WindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Epoch-aligned tumbling windows (idiomatic mode of W1, SURVEY §2.7):
+    * daily event counts/sums per type via window(). */
+  def q09TumblingWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 day").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Gap-based sessionization (30-min inactivity) via lag + running sum —
+    * one shuffle on (user_id), then pure window math. */
+  def q10Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** T1 — Twitter-format timestamp roundtrip on real data: format each
+    * event ts as `EEE MMM dd HH:mm:ss Z yyyy`, then parse it back with the
+    * engine's parser (Spark cannot parse EEE; see
+    * [[graft.functions.TextFunctions.parseTwitterTime]]). */
+  def q11TwitterTsParse(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    t(spark, dir, "events")
+      .filter(col("event_id") < 1000)
+      .select(col("event_id"),
+        formatTwitterTime(col("ts")).as("twitter_ts"),
+        parseTwitterTime(formatTwitterTime(col("ts"))).as("parsed_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_filter_pushdown" -> q02FilterPushdown,
+    "q03_top_revenue_orders" -> q03TopRevenueOrders,
+    "q05_region_revenue" -> q05RegionRevenue,
+    "q06_orphan_customers" -> q06OrphanCustomers,
+    "q07_setops" -> q07SetOps,
+    "q08_window_topk" -> q08WindowTopK,
+    "q09_tumbling_windows" -> q09TumblingWindows,
+    "q10_sessionize" -> q10Sessionize,
+    "q11_twitter_ts_parse" -> q11TwitterTsParse)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'R' AND l_shipdate IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 200""".stripMargin,
+    "q03_top_revenue_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q05_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_orphan_customers" ->
+      """SELECT n_name, count(*) AS n_orphans,
+        |  round(sum(c_acctbal), 4) AS orphan_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q07_setops" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+        |     s AS (SELECT s_nationkey AS nationkey FROM supplier)
+        |SELECT nationkey, which FROM (
+        |  SELECT nationkey, 'both' AS which FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        |  UNION ALL
+        |  SELECT nationkey, 'cust_only' AS which FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        |)
+        |ORDER BY which, nationkey""".stripMargin,
+    "q08_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q09_tumbling_windows" ->
+      """SELECT date_trunc('day', ts::TIMESTAMP) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q10_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  round(sum(value), 4) AS sum_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q11_twitter_ts_parse" ->
+      """SELECT event_id,
+        |  strftime(ts::TIMESTAMP, '%a %b %d %H:%M:%S +0000 %Y') AS twitter_ts,
+        |  strptime(strftime(ts::TIMESTAMP, '%a %b %d %H:%M:%S +0000 %Y'),
+        |           '%a %b %d %H:%M:%S %z %Y')::TIMESTAMP AS parsed_ts
+        |FROM events
+        |WHERE event_id < 1000
+        |ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** W1/W2/W3 — the reference's hand-rolled event-time windows
+  * (DiscussionTreeBolt.java:45-49,107-110,150-174;
+  * InteractionGraphBolt.java:41-44,91-94,107-130), reproduced exactly:
+  *
+  *  - *first-event-aligned*: the window starts at the timestamp of the
+  *    first event after a reset — NOT epoch-aligned like `window()`;
+  *  - *punctuation-flushed* (W2): a window closes only when an event with
+  *    ts >= start + length arrives; an idle stream never flushes;
+  *  - the closing event is INCLUDED in the flushed window (the bolt
+  *    inserts before the deadline check) and its ts becomes the emitted
+  *    `end`; the next window starts at the *next* event;
+  *  - no lateness handling (W3): events older than `start` still join the
+  *    current buffer; nothing is ever dropped.
+  *
+  * Streaming: `flatMapGroupsWithState` with per-key state — the upgrade
+  * over the reference is that state is keyed (parallel-safe, checkpointed)
+  * where the bolt required parallelism 1 and lost state on restart (W6).
+  * Batch: the same fold via `flatMapGroups` for backfill/oracle runs.
+  *
+  * Determinism note: the bolt processes in arrival order; under
+  * parallelism and retries arrival order is undefined, so this engine
+  * fixes processing order = (ts, payload) within a batch (documented
+  * deviation, SURVEY.md §7.4).
+  */
+object PunctuationWindow {
+
+  case class Event(key: String, tsMicros: Long, payload: String)
+  case class WindowState(startMicros: Long, events: List[Event])
+  case class Flush(key: String, startMicros: Long, endMicros: Long,
+    n_events: Long, payloads: Seq[String])
+
+  /** The exact per-event fold of DiscussionTreeBolt.execute. Returns
+    * (flushes, finalState). */
+  private[streaming] def fold(sorted: Iterator[Event], lengthMicros: Long,
+      init: Option[WindowState]): (List[Flush], Option[WindowState]) = {
+    var state = init
+    var flushes = List.empty[Flush]
+    sorted.foreach { e =>
+      state match {
+        case None =>
+          state = Some(WindowState(e.tsMicros, List(e)))
+        case Some(ws) =>
+          if (e.tsMicros >= ws.startMicros + lengthMicros) {
+            // closing event joins the flushed window; buffer resets to empty
+            val evs = (e :: ws.events).reverse
+            flushes ::= Flush(e.key, ws.startMicros, e.tsMicros,
+              evs.size.toLong, evs.map(_.payload))
+            state = None
+          } else {
+            state = Some(ws.copy(events = e :: ws.events))
+          }
+      }
+    }
+    (flushes.reverse, state)
+  }
+
+  /** Batch variant: complete (flushed) windows only — parity with the
+    * reference, which never emits a trailing partial buffer. */
+  def batch(events: Dataset[Event], lengthMicros: Long): Dataset[Flush] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key).flatMapGroups { (_, it) =>
+      val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.payload)).iterator
+      fold(sorted, lengthMicros, None)._1.iterator
+    }
+  }
+
+  /** Streaming variant: event-driven emission via flatMapGroupsWithState
+    * (NoTimeout — flush only on punctuation, exactly W2). */
+  def streaming(events: Dataset[Event], lengthMicros: Long): Dataset[Flush] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[WindowState, Flush](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[Event], state: GroupState[WindowState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.payload)).iterator
+          val (flushes, next) = fold(sorted, lengthMicros, state.getOption)
+          next match {
+            case Some(s) => state.update(s)
+            case None => state.remove()
+          }
+          flushes.iterator
+      }
+  }
+
+  /** Adapter: a DataFrame with (key, ts, payload) columns → typed events. */
+  def fromColumns(df: DataFrame, keyCol: String, tsCol: String,
+      payloadCol: String): Dataset[Event] = {
+    import df.sparkSession.implicits._
+    df.select(col(keyCol).cast("string").as("key"),
+      unix_micros(col(tsCol)).as("tsMicros"),
+      col(payloadCol).cast("string").as("payload")).as[Event]
+  }
+
+  /** Flush rows back to a DataFrame with timestamp columns. */
+  def toDataFrame(flushes: Dataset[Flush]): DataFrame =
+    flushes.toDF()
+      .select(col("key"),
+        timestamp_micros(col("startMicros")).as("window_start"),
+        timestamp_micros(col("endMicros")).as("window_end"),
+        col("n_events"), col("payloads"))
+}
