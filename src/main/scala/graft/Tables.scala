@@ -23,7 +23,10 @@ object Tables {
     if (name == "events")
       // parquet stores ts as INT64 TIMESTAMP(NANOS); with
       // spark.sql.legacy.parquet.nanosAsLong=true it arrives as Long.
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // Integral `div` (not floor of a double division): ns-epoch longs
+      // exceed double's 53-bit mantissa, so float division can be off by
+      // 1us — `div` matches DuckDB's nanos→micros truncation bit-exactly.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -60,7 +60,7 @@ object DiscussionTree {
       coalesce(col("parent_id"), col("node_id")).as("anc"),
       when(col("parent_id").isNull, 0L).otherwise(1L).as("dist"))
       .cache()
-    var total = cur.agg(sum("dist")).first().getLong(0)
+    var total = cur.agg(coalesce(sum("dist"), lit(0L))).first().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -70,7 +70,7 @@ object DiscussionTree {
         .select(col("node_id"), col("b_anc").as("anc"),
           (col("dist") + col("b_dist")).as("dist"))
         .cache()
-      val t = nxt.agg(sum("dist")).first().getLong(0)
+      val t = nxt.agg(coalesce(sum("dist"), lit(0L))).first().getLong(0)
       converged = t == total
       total = t
       cur.unpersist()
@@ -111,7 +111,13 @@ object DiscussionTree {
     while (d >= 0) {
       val level = flat.filter(col("depth") === d)
       val completed =
-        if (below == null) level.withColumn("json", col("self_json"))
+        if (below == null)
+          // deepest level still carries an (empty) replies array — the
+          // reference's Jackson serialization always emits the key
+          // (DiscussionTreeBolt.java:189-200 Tweet.replies is never null)
+          level.withColumn("json", concat(
+            expr("substring(self_json, 1, length(self_json) - 1)"),
+            lit(",\"replies\":[]}")))
         else {
           val kids = below
             .withColumn("item", struct(col("ts").as("o1"), col("node_id").as("o2"), col("json")))
@@ -130,4 +136,10 @@ object DiscussionTree {
     // depth-0 rows are the roots
     below.select(col("node_id").as("root_id"), col("ts"), col("json").as("tree_json"))
   }
+
+  /** Nodes deeper than `maxDepth` are excluded from [[assembleTrees]]'s
+    * rollup; callers should check this count and raise maxDepth (or log)
+    * when nonzero rather than silently truncating trees. */
+  def droppedBeyondDepth(rootedNodes: DataFrame, maxDepth: Int = 12): Long =
+    rootedNodes.filter(col("depth") > maxDepth).count()
 }

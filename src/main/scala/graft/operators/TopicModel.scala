@@ -24,12 +24,23 @@ object TopicModel {
   /** T3 — build the vocabulary: distinct tokens, ids assigned by
     * alphabetical dense rank (the reference loads a pretrained
     * wordmap.txt — TweetIndexBolt.java:86-89; here the vocab is derived
-    * deterministically from the corpus). */
-  def buildVocab(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextFunctions.tokenize(col(textCol))).as("word"))
+    * deterministically from the corpus).
+    *
+    * Ids come from a distributed range-partitioned sort + zipWithIndex
+    * (NOT a global Window.orderBy, which would funnel the corpus through
+    * one partition): zipWithIndex numbers rows by (partition, offset), and
+    * a sorted RDD's partitions are globally ordered, so the ids equal the
+    * alphabetical dense rank at any scale. */
+  def buildVocab(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(TextFunctions.tokenize(col(textCol))).as("word"))
       .filter(length(col("word")) > 1) // T4 short-token removal
       .distinct()
-      .withColumn("word_id", row_number().over(Window.orderBy("word")) - 1)
+      .as[String]
+    words.orderBy("word").rdd.zipWithIndex()
+      .toDF("word", "word_id")
+  }
 
   /** T3 — per-doc word-id sequence (order-preserving) + the reference's
     * space-joined index string (TweetIndexBolt.java:176-186). Tokens
@@ -87,8 +98,19 @@ object TopicModel {
   /** A8 — count-based micro-batching (5 msgs per prediction,
     * TopicModelBolt.java:87). Per-message results are independent, so the
     * batch boundary only affects amortization (SURVEY A8); the batch id is
-    * reproduced for parity: floor(row_number/batchSize) in id order. */
-  def withCountBatches(docs: DataFrame, idCol: String, batchSize: Int = 5): DataFrame =
-    docs.withColumn("batch_id",
-      floor((row_number().over(Window.orderBy(col(idCol))) - 1) / batchSize))
+    * reproduced for parity: floor(global_rank / batchSize) in id order.
+    * Global rank via range-partitioned sort + zipWithIndex — no
+    * single-partition Window (see [[buildVocab]]). */
+  def withCountBatches(docs: DataFrame, idCol: String, batchSize: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val sorted = docs.orderBy(col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i / batchSize)
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

@@ -21,6 +21,15 @@ object CoreQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Timestamp output discipline: every emitted timestamp column is
+    * formatted to a fixed-width string on BOTH sides (Spark date_format /
+    * DuckDB strftime) — naive-vs-UTC parquet annotations and engine
+    *-specific fraction trimming would otherwise break value hashing. */
+  private[queries] def tsStr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+  private[queries] def tsStrMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
   /** TPC-H Q1-style pricing summary: filter → groupBy → 8 aggregates.
     * The filter and the 7-column projection both reach the parquet scan. */
   def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
@@ -46,7 +55,8 @@ object CoreQueries {
     t(spark, dir, "lineitem")
       .filter(col("l_quantity") > 45 && col("l_returnflag") === "R" &&
         col("l_shipdate").isNotNull)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        tsStr(col("l_shipdate")).as("l_shipdate"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
       .limit(200)
 
@@ -58,7 +68,7 @@ object CoreQueries {
     val l = t(spark, dir, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .groupBy(col("o_orderkey"), tsStr(col("o_orderdate")).as("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -113,7 +123,7 @@ object CoreQueries {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     t(spark, dir, "orders")
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_custkey"), col("rk"))
@@ -123,7 +133,7 @@ object CoreQueries {
     * daily event counts/sums per type via window(). */
   def q09TumblingWindows(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .groupBy(window(col("ts"), "1 day").getField("start").as("window_start"),
+      .groupBy(tsStr(window(col("ts"), "1 day").getField("start")).as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
@@ -142,8 +152,8 @@ object CoreQueries {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"),
+        tsStrMicros(min(col("ts"))).as("session_start"),
+        tsStrMicros(max(col("ts"))).as("session_end"),
         round(sum(col("value")), 4).as("sum_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
@@ -158,7 +168,7 @@ object CoreQueries {
       .filter(col("event_id") < 1000)
       .select(col("event_id"),
         formatTwitterTime(col("ts")).as("twitter_ts"),
-        parseTwitterTime(formatTwitterTime(col("ts"))).as("parsed_ts"))
+        tsStr(parseTwitterTime(formatTwitterTime(col("ts")))).as("parsed_ts"))
       .orderBy(col("event_id"))
   }
 
@@ -190,19 +200,20 @@ object CoreQueries {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_pushdown" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate
         |FROM lineitem
         |WHERE l_quantity > 45 AND l_returnflag = 'R' AND l_shipdate IS NOT NULL
         |ORDER BY l_orderkey, l_linenumber
         |LIMIT 200""".stripMargin,
     "q03_top_revenue_orders" ->
-      """SELECT o_orderkey, o_orderdate,
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY o_orderkey, o_orderdate
+        |GROUP BY 1, 2
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
     "q05_region_revenue" ->
@@ -242,7 +253,8 @@ object CoreQueries {
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
     "q09_tumbling_windows" ->
-      """SELECT date_trunc('day', ts::TIMESTAMP) AS window_start, event_type,
+      """SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        |    AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events
         |GROUP BY 1, 2
@@ -261,7 +273,8 @@ object CoreQueries {
         |      ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
-        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
         |  round(sum(value), 4) AS sum_value
         |FROM sessions
         |GROUP BY user_id, session_id
@@ -269,8 +282,9 @@ object CoreQueries {
     "q11_twitter_ts_parse" ->
       """SELECT event_id,
         |  strftime(ts::TIMESTAMP, '%a %b %d %H:%M:%S +0000 %Y') AS twitter_ts,
-        |  strptime(strftime(ts::TIMESTAMP, '%a %b %d %H:%M:%S +0000 %Y'),
-        |           '%a %b %d %H:%M:%S %z %Y')::TIMESTAMP AS parsed_ts
+        |  strftime(strptime(strftime(ts::TIMESTAMP, '%a %b %d %H:%M:%S +0000 %Y'),
+        |           '%a %b %d %H:%M:%S %z %Y')::TIMESTAMP,
+        |           '%Y-%m-%d %H:%M:%S') AS parsed_ts
         |FROM events
         |WHERE event_id < 1000
         |ORDER BY event_id""".stripMargin)

@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextMetrics}
+
+/** Training-data pipeline queries (north-star extensions, BASELINE.json):
+  * deduplication, similarity search, text analysis, multimodal plumbing —
+  * each over the driver's `documents`/`embeddings` tables with a DuckDB
+  * oracle twin where SQL-expressible.
+  *
+  * Hash-portability discipline: all signatures/fingerprints use md5 (both
+  * engines emit identical lowercase hex), vector scores use the exact
+  * int64-quantized dot product, and row_number ranks are cast to long so
+  * both sides agree on integer width.
+  */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** Exact dedup (hash-groupBy): canonical representative per identical
+    * text. One shuffle on the md5 key — the text payload never shuffles. */
+  def q19DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("text_hash"))
+
+  /** MinHash + LSH near-dup pipeline: shingle → 8 salted-md5 minhashes →
+    * 4 bands → bucket join → exact-Jaccard verify at 0.5. */
+  def q20MinhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(docs(spark, dir), "doc_id", "text",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("size_a"),
+        col("size_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** All-pairs n-gram Jaccard (the quadratic oracle baseline of q20). */
+  def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardAllPairs(docs(spark, dir), "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("size_a"),
+        col("size_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SimHash: 16-bit fingerprint per document (near-dup bucketing). */
+  def q22Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashBuckets(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Brute-force cosine/dot top-10 ANN: queries = vec_id < 16 broadcast
+    * against the full corpus; exact int64-quantized dot product. */
+  def q23SimilarityBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 16), "vec_id",
+      "embedding", k = 10)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), col("dot_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN (sign-bit coarse quantizer, multi-probe Hamming-1):
+    * the scale path — bucket join instead of cross join. */
+  def q24SimilarityLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 16), "vec_id",
+      "embedding", k = 10, nBits = 8)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), col("dot_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Token statistics (whitespace + BPE-ish subword split estimate). */
+  def q25TokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.tokenStats(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length / punctuation / stopword-ratio heuristics. */
+  def q26Quality(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.qualityScore(docs(spark, dir), "doc_id", "text")
+      .withColumn("punct_ratio", round(col("punct_ratio"), 6))
+      .withColumn("stopword_ratio", round(col("stopword_ratio"), 6))
+      .withColumn("mean_token_len", round(col("mean_token_len"), 6))
+      .orderBy(col("doc_id"))
+
+  /** Language ID over stopword profiles (deterministic M1 replacement). */
+  def q27LangId(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.detectLanguage(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprinting: md5 + numeric 60-bit fingerprint. */
+  def q28Fingerprints(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.fingerprints(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Multimodal plumbing: binary payload column → partition-local batched
+    * feature extraction (decode stubbed; schema/batch shape real). The
+    * oracle checks the SQL-expressible projection. */
+  def q29Multimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.featuresOf(docs(spark, dir), "doc_id", "text")
+      .select(col("media_id"), col("media_type"), col("byte_len").cast("long").as("byte_len"),
+        col("first_byte").cast("long").as("first_byte"))
+      .orderBy(col("media_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_dedup_exact" -> q19DedupExact,
+    "q20_minhash_neardups" -> q20MinhashNearDups,
+    "q21_ngram_jaccard" -> q21NgramJaccard,
+    "q22_simhash" -> q22Simhash,
+    "q23_similarity_brute" -> q23SimilarityBrute,
+    "q24_similarity_lsh" -> q24SimilarityLsh,
+    "q25_token_stats" -> q25TokenStats,
+    "q26_quality" -> q26Quality,
+    "q27_langid" -> q27LangId,
+    "q28_fingerprints" -> q28Fingerprints,
+    "q29_multimodal" -> q29Multimodal)
+
+  // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
+  // TextFunctions.tokenize/shingles exactly (split keeps empty tokens;
+  // shingles over the full token array; whole-text shingle when < n).
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(generate_series(1, len(t)-2),
+      |                        i -> array_to_string(t[i:i+2], ' '))
+      |    ELSE [array_to_string(t, ' ')] END) AS shingles
+      |  FROM toks),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh)""".stripMargin
+
+  private def jaccardTail(candSql: String): String =
+    s"""$shingleCte,
+       |cands AS ($candSql),
+       |shared AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+       |  FROM cands c
+       |  JOIN ex ea ON ea.doc_id = c.doc_a
+       |  JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, coalesce(s.shared, 0) AS shared,
+       |  sa.sz AS size_a, sb.sz AS size_b,
+       |  coalesce(s.shared, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(s.shared, 0))::DOUBLE AS jaccard
+       |FROM cands c
+       |LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+       |JOIN sizes sa ON sa.doc_id = c.doc_a
+       |JOIN sizes sb ON sb.doc_id = c.doc_b
+       |WHERE coalesce(s.shared, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(s.shared, 0))::DOUBLE >= 0.5
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q19_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "q20_minhash_neardups" -> jaccardTail(
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM (SELECT doc_id, i // 2 AS band,
+        |          string_agg(sig, '|' ORDER BY i) AS band_key
+        |        FROM (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS sig
+        |              FROM ex CROSS JOIN generate_series(0, 7) g(i)
+        |              GROUP BY doc_id, i)
+        |        GROUP BY doc_id, i // 2) a
+        |  JOIN (SELECT doc_id, i // 2 AS band,
+        |          string_agg(sig, '|' ORDER BY i) AS band_key
+        |        FROM (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS sig
+        |              FROM ex CROSS JOIN generate_series(0, 7) g(i)
+        |              GROUP BY doc_id, i)
+        |        GROUP BY doc_id, i // 2) b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |       AND a.doc_id < b.doc_id""".stripMargin),
+    "q21_ngram_jaccard" -> jaccardTail(
+      """SELECT DISTINCT ea.doc_id AS doc_a, eb.doc_id AS doc_b
+        |  FROM ex ea JOIN ex eb
+        |    ON ea.s = eb.s AND ea.doc_id < eb.doc_id""".stripMargin),
+    "q22_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |bits AS (
+        |  SELECT doc_id, g.b AS b,
+        |    sum(CASE WHEN (strpos('0123456789abcdef',
+        |          substr(md5(tok), g.b + 1, 1)) - 1) % 2 = 1
+        |        THEN 1 ELSE -1 END) AS s
+        |  FROM ex CROSS JOIN generate_series(0, 15) g(b)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q23_similarity_brute" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+        |  FROM embeddings),
+        |exp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
+        |  FROM v q CROSS JOIN v c
+        |  WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id),
+        |dots AS (
+        |  SELECT query_id, corpus_id, sum(qx * cx)::BIGINT AS dot_q
+        |  FROM exp GROUP BY 1, 2)
+        |SELECT query_id, rank, corpus_id, dot_q FROM (
+        |  SELECT query_id, corpus_id, dot_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot_q DESC, corpus_id) AS rank
+        |  FROM dots)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q24_similarity_lsh" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+        |     + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+        |     + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+        |     + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+        |     + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings),
+        |probes AS (
+        |  SELECT vec_id AS query_id, qv,
+        |    unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
+        |      xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT),
+        |      xor(bucket, 16::BIGINT), xor(bucket, 32::BIGINT),
+        |      xor(bucket, 64::BIGINT), xor(bucket, 128::BIGINT)]) AS bucket
+        |  FROM v WHERE vec_id < 16),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, c.vec_id AS corpus_id
+        |  FROM probes p JOIN v c ON c.bucket = p.bucket
+        |  WHERE c.vec_id <> p.query_id),
+        |exp AS (
+        |  SELECT cand.query_id, cand.corpus_id,
+        |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
+        |  FROM cand
+        |  JOIN v q ON q.vec_id = cand.query_id
+        |  JOIN v c ON c.vec_id = cand.corpus_id),
+        |dots AS (
+        |  SELECT query_id, corpus_id, sum(qx * cx)::BIGINT AS dot_q
+        |  FROM exp GROUP BY 1, 2)
+        |SELECT query_id, rank, corpus_id, dot_q FROM (
+        |  SELECT query_id, corpus_id, dot_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot_q DESC, corpus_id) AS rank
+        |  FROM dots)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q25_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens,
+        |  len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS n_distinct_tokens,
+        |  len(string_split_regex(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subword_splits,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(lower(text), '\s+') AS t,
+        |    length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS punct
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_chars,
+        |    round(punct::DOUBLE / n_chars::DOUBLE, 6) AS punct_ratio,
+        |    round(CASE WHEN len(t) > 0 THEN
+        |      len(list_filter(t, x -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','it'], x)))::DOUBLE
+        |        / len(t)::DOUBLE ELSE 0.0 END, 6) AS stopword_ratio,
+        |    round((n_chars - len(t) + 1)::DOUBLE / len(t)::DOUBLE, 6) AS mean_token_len
+        |  FROM base)
+        |SELECT doc_id, n_chars, punct_ratio, stopword_ratio, mean_token_len,
+        |  CASE WHEN n_chars >= 50 AND punct_ratio < 0.2
+        |    AND mean_token_len >= 3 AND mean_token_len <= 12
+        |    THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q27_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS h_en,
+        |    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+        |    len(list_filter(t, x -> list_contains(['le','la','les','et','est','un','une'], x))) AS h_fr,
+        |    len(list_filter(t, x -> list_contains(['el','los','las','es','un','una','y'], x))) AS h_es
+        |  FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |    WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+        |    WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+        |    WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+        |    ELSE 'es' END AS detected_lang
+        |FROM hits ORDER BY doc_id""".stripMargin,
+    "q28_fingerprints" ->
+      """SELECT doc_id, md5(text) AS md5,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_multimodal" ->
+      """SELECT doc_id AS media_id, 'image/fake' AS media_type,
+        |  octet_length(encode(text))::BIGINT AS byte_len,
+        |  CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1))::BIGINT
+        |    ELSE -1 END AS first_byte
+        |FROM documents ORDER BY media_id""".stripMargin)
+}

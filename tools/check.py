@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracles (dev tool, mirrors the
+driver's correctness gate): reads each Verify output parquet and the
+dumped oracle_sql.json, runs the oracle in DuckDB over the same sf dir,
+and compares row count, column-name set, and a value hash computed over
+column-name-sorted, row-sorted string representations.
+
+Usage: python3 tools/check.py [outDir] [sfDir]
+(run `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"` first)
+"""
+import sys, json, hashlib, glob, os
+import duckdb
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.6f}"
+        return repr(v)
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+results = {}
+for name in sorted(oracle):
+    spark_glob = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not spark_glob:
+        results[name] = {"ok": False, "why": "no spark output"}
+        continue
+    try:
+        sq = con.execute(
+            f"SELECT * FROM read_parquet({spark_glob!r})")
+        s_cols = [d[0] for d in sq.description]
+        s_rows = sq.fetchall()
+    except Exception as e:
+        results[name] = {"ok": False, "why": f"spark read: {e}"}
+        continue
+    try:
+        oq = con.execute(oracle[name])
+        o_cols = [d[0] for d in oq.description]
+        o_rows = oq.fetchall()
+    except Exception as e:
+        results[name] = {"ok": False, "why": f"oracle: {e}"}
+        continue
+    ok_rows = len(s_rows) == len(o_rows)
+    ok_cols = sorted(s_cols) == sorted(o_cols)
+    sh, oh = table_hash(s_cols, s_rows), table_hash(o_cols, o_rows)
+    results[name] = {
+        "ok": ok_rows and ok_cols and sh == oh,
+        "rows": [len(s_rows), len(o_rows)],
+        "cols_match": ok_cols, "hash_match": sh == oh,
+    }
+    if not ok_cols:
+        results[name]["cols"] = [sorted(s_cols), sorted(o_cols)]
+
+npass = sum(1 for r in results.values() if r["ok"])
+for name, r in results.items():
+    flag = "PASS" if r["ok"] else "FAIL"
+    print(f"{flag} {name} {json.dumps({k: v for k, v in r.items() if k != 'ok'})}")
+print(f"== {npass}/{len(results)} pass")
+sys.exit(0 if npass == len(results) else 1)
