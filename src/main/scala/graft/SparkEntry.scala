@@ -21,6 +21,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ OperatorQueries.queries ++ PipelineQueries.queries
 
+  /** Headline bench set: everything except the queries that exist purely
+    * as quadratic correctness baselines for their scalable twins (q21
+    * all-pairs Jaccard vs q20 MinHash+LSH) — declared never-run-at-scale,
+    * so they don't belong in the scale-facing headline number. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries - "q21_ngram_jaccard"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -48,6 +48,12 @@ object Tables {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Iterative plans (pointer-doubling joins) produce plan TREES whose
+      // rendered string is exponential in iteration count; Spark eagerly
+      // renders physicalPlanDescription per execution start, which
+      // unbounded (the default) costs minutes of CPU and OOMs the driver
+      // on the role-analysis query. Cap it — execution is unaffected.
+      .config("spark.sql.maxPlanStringLength", "8192")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")

@@ -53,13 +53,29 @@ object DiscussionTree {
     * each iteration replaces a node's ancestor pointer with its ancestor's
     * ancestor, so convergence takes ceil(log2(maxDepth)) shuffle joins
     * rather than maxDepth — the standard scalable formulation of
-    * transitive parent lookup. */
+    * transitive parent lookup.
+    *
+    * Callers should pass a *cached* `nodeDf` (it seeds the loop AND joins
+    * the resolved pointers back at the end).
+    *
+    * Each frontier is `localCheckpoint`-ed (materialized + lineage
+    * truncated), NOT merely cached: every doubling step references the
+    * previous frontier twice, so the *logical plan tree* grows as 2^i —
+    * with plain caching, Catalyst analysis and the eager plan-string
+    * rendering on every downstream query go exponential (measured: >100 s
+    * of pure planning on the role query at sf0.1; caching doesn't help
+    * because cache substitution happens only after the full tree is
+    * analyzed). Truncating lineage at each materialized step is the
+    * standard discipline for iterative Spark computations (GraphX
+    * checkpoints for the same reason). A parent-pointer cycle (malformed
+    * data) can never converge: `dist` keeps growing, so the loop exits at
+    * `maxIters` and THROWS rather than silently emitting wrong roots. */
   def withRoots(nodeDf: DataFrame, maxIters: Int = 20): DataFrame = {
     var cur = nodeDf.select(
       col("node_id"),
       coalesce(col("parent_id"), col("node_id")).as("anc"),
       when(col("parent_id").isNull, 0L).otherwise(1L).as("dist"))
-      .cache()
+      .localCheckpoint() // eager: materializes and truncates lineage
     var total = cur.agg(coalesce(sum("dist"), lit(0L))).first().getLong(0)
     var converged = false
     var i = 0
@@ -69,14 +85,17 @@ object DiscussionTree {
       val nxt = cur.join(b, cur("anc") === b("b_id"))
         .select(col("node_id"), col("b_anc").as("anc"),
           (col("dist") + col("b_dist")).as("dist"))
-        .cache()
+        .localCheckpoint()
       val t = nxt.agg(coalesce(sum("dist"), lit(0L))).first().getLong(0)
       converged = t == total
       total = t
-      cur.unpersist()
       cur = nxt
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"withRoots did not converge after $maxIters pointer-doubling rounds — " +
+          "parent pointers contain a cycle (malformed input)")
     val resolved = cur.select(col("node_id").as("r_id"),
       col("anc").as("root_id"), col("dist").as("depth"))
     nodeDf.join(resolved, col("node_id") === col("r_id")).drop("r_id")

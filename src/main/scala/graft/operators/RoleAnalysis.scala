@@ -42,20 +42,30 @@ object RoleAnalysis {
   def userFeatures(nodes: DataFrame, minContributions: Int = 1): DataFrame = {
     val base = nodes.select("node_id", "user_id", "parent_id", "root_id")
 
-    // parent author per node
+    // parent author per node. Cached: n1 self-joins into the edge view and
+    // would otherwise recompute the base join once per side.
     val authors = base.select(col("node_id").as("a_nid"), col("user_id").as("a_uid"))
     val n1 = base.join(authors, col("parent_id") === col("a_nid"), "left")
       .select(col("node_id"), col("user_id"), col("parent_id"), col("root_id"),
         col("a_uid").as("parent_author"))
+      .cache()
 
-    // child edge view: child c under parent node n (with n's parent author)
+    // child edge view: child c under parent node n (with n's parent author).
+    // Cached: four aggregation branches below (replied, bidir, both halves
+    // of neighbours) scan it — uncached, each branch would replay the
+    // two-join pipeline, the single biggest cost in the role query.
     val parents = n1.select(col("node_id").as("p_nid"), col("user_id").as("p_uid"),
       col("parent_author").as("p_grandp"), col("parent_id").as("p_parent"))
     val e = n1.join(parents, col("parent_id") === col("p_nid"))
       .select(col("user_id").as("child_author"),
         col("p_nid"), col("p_uid"), col("p_grandp"), col("p_parent"))
+      .cache()
 
-    val totalUsers = base.select(countDistinct("user_id")).first().getLong(0)
+    // |U| as a broadcast 1-row aggregate cross-joined in at the end — NOT a
+    // driver-side .first() action, which would execute the whole upstream
+    // once per plan construction and block pipelining at scale.
+    val totalUsers = base.agg(
+      countDistinct("user_id").cast("double").as("total_users"))
 
     val posts = base.groupBy("user_id").agg(count(lit(1)).as("postCount"))
     val replied = e.groupBy(col("p_uid")).agg(
@@ -86,6 +96,7 @@ object RoleAnalysis {
       .join(bidir.withColumnRenamed("p_uid", "user_id"), Seq("user_id"), "left")
       .join(neighbours.withColumnRenamed("u", "user_id"), Seq("user_id"), "left")
       .join(userTrees, Seq("user_id"), "left")
+      .crossJoin(broadcast(totalUsers))
       .na.fill(0L, Seq("repliedPosts", "replyingUserCount", "bidirThreadCount",
         "bidirUserCount", "neighbourCount", "discussionCount", "sumSize", "sumSize2"))
       .filter(col("postCount") >= lit(minContributions))
@@ -94,7 +105,7 @@ object RoleAnalysis {
         col("postCount"), col("repliedPosts"), col("replyingUserCount"),
         col("neighbourCount"), col("bidirThreadCount"), col("bidirUserCount"),
         col("discussionCount"),
-        (col("replyingUserCount").cast("double") / lit(totalUsers.toDouble))
+        (col("replyingUserCount").cast("double") / col("total_users"))
           .as("inDegreeRatio"),
         when(col("postCount") > 0,
           col("repliedPosts").cast("double") / col("postCount").cast("double"))
@@ -145,8 +156,12 @@ object RoleAnalysis {
       s"stack(${tertileFeatures.size}, $stackExpr) as (feature, value)")
   }
 
-  /** A5 levels: join each (user, feature, value) against its boundaries. */
-  def withLevels(features: DataFrame): DataFrame = {
+  /** A5 levels: join each (user, feature, value) against its boundaries.
+    * The feature frame is one row per user (tiny even at 100 TB of posts)
+    * but expensive to produce — cache it so the melt→boundaries→levels
+    * path and the final join don't replay the whole feature DAG. */
+  def withLevels(featuresIn: DataFrame): DataFrame = {
+    val features = featuresIn.cache()
     val melted = meltFeatures(features)
     val bounds = tertileBoundaries(melted)
     val lvl = melted.join(bounds, "feature")

@@ -12,9 +12,10 @@ import graft.Tables
   * DuckDB-oracle twin in [[CoreQueries.oracles]] with identical column
   * names and a deterministic total ORDER BY.
   *
-  * Float discipline: any aggregate that sums doubles is rounded (4-6 dp)
-  * on both sides; ratios/products of exact ints are left raw (bit-exact by
-  * construction).
+  * Float discipline: any aggregate over doubles sums in exact DECIMAL on
+  * both sides (see [[CoreQueries.dsum]]) so partial-aggregation order
+  * cannot move the hashed value; ratios/products of exact ints are left
+  * raw (bit-exact by construction).
   */
 object CoreQueries {
 
@@ -30,6 +31,24 @@ object CoreQueries {
   private[queries] def tsStrMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
+  /** Order-independent double aggregation: cast each addend to exact
+    * DECIMAL before summing, so partial-aggregation order (which varies
+    * with partitioning/scheduling) cannot move the result — `round(sum(
+    * double))` sat on rounding boundaries and flaked run-to-run (the
+    * driver caught q10 doing exactly that). The double→decimal cast is
+    * tie-free (no binary double lands exactly on a .5 ulp of a 10-dp
+    * decimal), so Spark and DuckDB round identically; the final
+    * decimal→double cast and round are then deterministic on both sides.
+    * Oracle mirror: `round(sum((expr)::DECIMAL(28,10))::DOUBLE, s)`. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
+    round(sum(c.cast("decimal(28,10)")).cast("double"), scale)
+
+  /** avg with the same discipline: exact decimal sum, one double division
+    * by the non-null count. Oracle mirror:
+    * `round(sum((c)::DECIMAL(28,10))::DOUBLE / count(c), s)`. */
+  private def davg(c: org.apache.spark.sql.Column, scale: Int) =
+    round(sum(c.cast("decimal(28,10)")).cast("double") / count(c), scale)
+
   /** TPC-H Q1-style pricing summary: filter → groupBy → 8 aggregates.
     * The filter and the 7-column projection both reach the parquet scan. */
   def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
@@ -37,15 +56,15 @@ object CoreQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        dsum(col("l_quantity"), 4).as("sum_qty"),
+        dsum(col("l_extendedprice"), 4).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 6).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")), 4).as("sum_charge"),
+        davg(col("l_quantity"), 6).as("avg_qty"),
+        davg(col("l_extendedprice"), 6).as("avg_price"),
+        davg(col("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -69,7 +88,7 @@ object CoreQueries {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("o_orderkey"), tsStr(col("o_orderdate")).as("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -90,7 +109,7 @@ object CoreQueries {
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -104,7 +123,7 @@ object CoreQueries {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_orphans"),
-        round(sum(col("c_acctbal")), 4).as("orphan_acctbal"))
+        dsum(col("c_acctbal"), 4).as("orphan_acctbal"))
       .orderBy(col("n_name"))
   }
 
@@ -135,7 +154,7 @@ object CoreQueries {
     t(spark, dir, "events")
       .groupBy(tsStr(window(col("ts"), "1 day").getField("start")).as("window_start"),
         col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
   /** Gap-based sessionization (30-min inactivity) via lag + running sum —
@@ -154,7 +173,7 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_events"),
         tsStrMicros(min(col("ts"))).as("session_start"),
         tsStrMicros(max(col("ts"))).as("session_end"),
-        round(sum(col("value")), 4).as("sum_value"))
+        dsum(col("value"), 4).as("sum_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -187,13 +206,16 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 6) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  round(sum((l_quantity)::DECIMAL(28,10))::DOUBLE, 4) AS sum_qty,
+        |  round(sum((l_extendedprice)::DECIMAL(28,10))::DOUBLE, 4) AS sum_base_price,
+        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10))::DOUBLE, 4)
+        |    AS sum_disc_price,
+        |  round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(28,10))::DOUBLE, 4)
+        |    AS sum_charge,
+        |  round(sum((l_quantity)::DECIMAL(28,10))::DOUBLE / count(l_quantity), 6) AS avg_qty,
+        |  round(sum((l_extendedprice)::DECIMAL(28,10))::DOUBLE / count(l_extendedprice), 6)
+        |    AS avg_price,
+        |  round(sum((l_discount)::DECIMAL(28,10))::DOUBLE / count(l_discount), 6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -208,7 +230,7 @@ object CoreQueries {
         |LIMIT 200""".stripMargin,
     "q03_top_revenue_orders" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10))::DOUBLE, 4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -218,7 +240,7 @@ object CoreQueries {
         |LIMIT 10""".stripMargin,
     "q05_region_revenue" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10))::DOUBLE, 4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -229,7 +251,7 @@ object CoreQueries {
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q06_orphan_customers" ->
       """SELECT n_name, count(*) AS n_orphans,
-        |  round(sum(c_acctbal), 4) AS orphan_acctbal
+        |  round(sum((c_acctbal)::DECIMAL(28,10))::DOUBLE, 4) AS orphan_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -255,7 +277,8 @@ object CoreQueries {
     "q09_tumbling_windows" ->
       """SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S')
         |    AS window_start, event_type,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |  count(*) AS n_events,
+        |  round(sum((value)::DECIMAL(28,10))::DOUBLE, 4) AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
@@ -275,7 +298,7 @@ object CoreQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-        |  round(sum(value), 4) AS sum_value
+        |  round(sum((value)::DECIMAL(28,10))::DOUBLE, 4) AS sum_value
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
