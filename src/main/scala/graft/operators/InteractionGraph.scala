@@ -30,16 +30,19 @@ object InteractionGraph {
   def interactions(normalized: DataFrame): DataFrame = {
     val replied = normalized
       .filter(col("in_reply_to_user_id_str").isNotNull)
-      .select(col("author_id"), lit(ACTION_REPLIED).as("action"),
+      .select(col("author_id"), col("author_screen_name"),
+        lit(ACTION_REPLIED).as("action"),
         col("in_reply_to_user_id_str").as("target_user_id"), col("ts"))
     val mentioned = normalized
       .filter(col("mentioned_user_ids").isNotNull)
-      .select(col("author_id"), lit(ACTION_MENTIONED).as("action"),
+      .select(col("author_id"), col("author_screen_name"),
+        lit(ACTION_MENTIONED).as("action"),
         explode(col("mentioned_user_ids")).as("target_user_id"), col("ts"))
       .filter(col("target_user_id").isNotNull)
     val retweeted = normalized
       .filter(col("retweeted_user_id").isNotNull)
-      .select(col("author_id"), lit(ACTION_RETWEETED).as("action"),
+      .select(col("author_id"), col("author_screen_name"),
+        lit(ACTION_RETWEETED).as("action"),
         col("retweeted_user_id").as("target_user_id"), col("ts"))
     replied.unionByName(mentioned).unionByName(retweeted)
   }
@@ -60,10 +63,12 @@ object InteractionGraph {
       .agg(array_sort(collect_set(col("target_user_id"))).as("targets"))
 
   /** Scalar summary used by the hash-checked oracle path (arrays hash
-    * differently across engines; counts do not). */
+    * differently across engines; counts do not). screen_name is the
+    * T10-cleaned author screen name (constant per author). */
   def flatCounts(inter: DataFrame): DataFrame =
     inter.groupBy("author_id", "action")
       .agg(
+        max(col("author_screen_name")).as("screen_name"),
         count(lit(1)).as("n_interactions"),
         countDistinct(col("target_user_id")).as("n_targets"),
         min(col("ts")).as("first_ts"),

@@ -60,8 +60,9 @@ object OperatorQueries {
   def q12InteractionCounts(spark: SparkSession, dir: String): DataFrame = {
     val inter = InteractionGraph.interactions(normalizedEvents(spark, dir))
     InteractionGraph.flatCounts(inter)
-      .select(col("author_id"), col("action"), col("n_interactions"),
-        col("n_targets"), tsStr(col("first_ts")).as("first_ts"),
+      .select(col("author_id"), col("action"), col("screen_name"),
+        col("n_interactions"), col("n_targets"),
+        tsStr(col("first_ts")).as("first_ts"),
         tsStr(col("last_ts")).as("last_ts"))
       .orderBy(col("author_id"), col("action"))
   }
@@ -184,22 +185,53 @@ object OperatorQueries {
 
   /** Oracle mirror of [[TweetSource.eventsAsTweetJson]]: the events table
     * reinterpreted as tweets (second-truncated timestamps — the Twitter
-    * format carries no sub-second precision). */
+    * format carries no sub-second precision). `live` drops the adapter's
+    * synthetic Twitter DELETE messages exactly like the F1 filter. */
   private val eventsCte =
     """WITH e AS (
       |  SELECT event_id, user_id::VARCHAR AS author_id,
       |    date_trunc('second', ts::TIMESTAMP) AS ts, event_type,
       |    nullif(regexp_extract(props, '"k"\s*:\s*(\d+)', 1), '')::BIGINT AS k
-      |  FROM events)""".stripMargin
+      |  FROM events),
+      |live AS (
+      |  SELECT * FROM e
+      |  WHERE NOT (event_type = 'view' AND k IS NOT NULL AND k % 13 = 9))"""
+      .stripMargin
 
+  /** Node relation incl. J4 dummy-root synthesis: parents absent from the
+    * observed set (deleted tweets, or the adapter's explicit orphan
+    * targets) become unobserved roots authored by min(reply-to user) —
+    * string min, matching [[DiscussionTree.nodes]]. Dummies created only
+    * by retweets carry a NULL author (the reference reads the reply-to
+    * fields, which retweets don't set). */
   private val nodesCte =
     s"""$eventsCte,
-       |nodes AS (
+       |obs AS (
        |  SELECT event_id::VARCHAR AS node_id, author_id AS user_id,
-       |    CASE WHEN event_type IN ('signup','error','purchase')
-       |           AND k IS NOT NULL AND k < event_id
-       |         THEN k::VARCHAR END AS parent_id
-       |  FROM e),
+       |    CASE WHEN event_type IN ('signup','error') AND k IS NOT NULL
+       |             AND k < event_id
+       |           THEN (CASE WHEN k % 10 = 7 THEN k + 2000000000
+       |                 ELSE k END)::VARCHAR
+       |         WHEN event_type = 'purchase' AND k IS NOT NULL
+       |             AND k < event_id
+       |           THEN k::VARCHAR END AS parent_id,
+       |    CASE WHEN event_type IN ('signup','error') AND k IS NOT NULL
+       |             AND k < event_id
+       |         THEN (CASE WHEN k % 10 = 7 THEN 100 + k % 25
+       |               ELSE k % 25 END)::VARCHAR END AS reply_user,
+       |    TRUE AS observed
+       |  FROM live),
+       |dummies AS (
+       |  SELECT o.parent_id AS node_id, min(o.reply_user) AS user_id,
+       |    NULL::VARCHAR AS parent_id, FALSE AS observed
+       |  FROM obs o
+       |  WHERE o.parent_id IS NOT NULL
+       |    AND NOT EXISTS (SELECT 1 FROM obs i WHERE i.node_id = o.parent_id)
+       |  GROUP BY o.parent_id),
+       |nodes AS (
+       |  SELECT node_id, user_id, parent_id, observed FROM obs
+       |  UNION ALL
+       |  SELECT node_id, user_id, parent_id, observed FROM dummies),
        |walk AS (
        |  SELECT node_id, node_id AS cur, parent_id AS nxt, 0::BIGINT AS depth
        |  FROM nodes
@@ -207,7 +239,8 @@ object OperatorQueries {
        |  SELECT w.node_id, n.node_id, n.parent_id, w.depth + 1
        |  FROM walk w JOIN nodes n ON w.nxt = n.node_id),
        |rooted AS (
-       |  SELECT n.node_id, n.user_id, n.parent_id, w.cur AS root_id, w.depth
+       |  SELECT n.node_id, n.user_id, n.parent_id, n.observed,
+       |    w.cur AS root_id, w.depth
        |  FROM nodes n JOIN walk w ON w.node_id = n.node_id AND w.nxt IS NULL)"""
       .stripMargin
 
@@ -322,18 +355,21 @@ object OperatorQueries {
     "q12_interaction_counts" ->
       s"""$eventsCte,
          |inter AS (
-         |  SELECT author_id, 'replied_to' AS action, (k % 25)::VARCHAR AS target, ts
-         |  FROM e WHERE event_type IN ('signup','error') AND k IS NOT NULL AND k < event_id
+         |  SELECT author_id, 'replied_to' AS action,
+         |    (CASE WHEN k % 10 = 7 THEN 100 + k % 25
+         |     ELSE k % 25 END)::VARCHAR AS target, ts
+         |  FROM live WHERE event_type IN ('signup','error') AND k IS NOT NULL AND k < event_id
          |  UNION ALL
          |  SELECT author_id, 'mentioned', (k % 25)::VARCHAR, ts
-         |  FROM e WHERE event_type IN ('click','view') AND k IS NOT NULL
+         |  FROM live WHERE event_type IN ('click','view') AND k IS NOT NULL
          |  UNION ALL
          |  SELECT author_id, 'mentioned', ((k * 3 + 1) % 25)::VARCHAR, ts
-         |  FROM e WHERE event_type IN ('click','view') AND k IS NOT NULL
+         |  FROM live WHERE event_type IN ('click','view') AND k IS NOT NULL
          |  UNION ALL
          |  SELECT author_id, 'retweeted', (k % 25)::VARCHAR, ts
-         |  FROM e WHERE event_type = 'purchase' AND k IS NOT NULL AND k < event_id)
-         |SELECT author_id, action, count(*) AS n_interactions,
+         |  FROM live WHERE event_type = 'purchase' AND k IS NOT NULL AND k < event_id)
+         |SELECT author_id, action, 'u' || author_id AS screen_name,
+         |  count(*) AS n_interactions,
          |  count(DISTINCT target) AS n_targets,
          |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
@@ -342,7 +378,7 @@ object OperatorQueries {
     "q13_tree_stats" ->
       s"""WITH RECURSIVE ${nodesCte.stripPrefix("WITH ")}
          |SELECT root_id, count(*) AS tree_size, max(depth) AS max_depth,
-         |  count(CASE WHEN FALSE THEN 1 END) AS dummy_roots
+         |  count(CASE WHEN NOT observed THEN 1 END) AS dummy_roots
          |FROM rooted GROUP BY root_id ORDER BY root_id""".stripMargin,
     "q14_roles" ->
       s"""$rolesFeatureCte

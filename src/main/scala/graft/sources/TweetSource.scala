@@ -97,27 +97,38 @@ object TweetSource {
     * topology pipeline run against driver-provided data without
     * synthesizing fixtures. Mapping (mirrored 1:1 in the DuckDB oracles):
     *  - user_id → author; ts → Twitter-format created_at;
+    *  - view events with k % 13 == 9 → Twitter DELETE messages (no
+    *    created_at), so the F1 delete filter drops real rows — and any
+    *    reply/retweet targeting a deleted tweet organically exercises J4
+    *    dummy-root synthesis;
     *  - signup/error events with props.k < event_id → replies to tweet k
-    *    (k < event_id keeps the reply graph acyclic);
+    *    (k < event_id keeps the reply graph acyclic); the k % 10 == 7
+    *    subset replies to a NON-EXISTENT tweet k + 2·10^9 authored by
+    *    unobserved user 100 + k%25 — the explicit J4 dummy-root path,
+    *    with dummy users entering |U| (SURVEY §7.4 risk 3);
     *  - purchase events with props.k < event_id → retweets of tweet k;
     *  - click/view events → mentions of users k%25 and (k*3+1)%25;
     *  - screen_name carries a space ("u <id>") so T10 cleanup is real.
     */
   def eventsAsTweetJson(events: DataFrame): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("long")
+    val isDelete = col("event_type") === "view" && k.isNotNull && k % 13 === 9
     val isReply = col("event_type").isin("signup", "error") && k < col("event_id")
+    val isOrphan = isReply && k % 10 === 7
+    val replyTarget = when(isOrphan, k + 2000000000L).otherwise(k)
+    val replyUser = when(isOrphan, k % 25 + 100).otherwise(k % 25)
     val isRetweet = col("event_type") === "purchase" && k < col("event_id")
     val isMention = col("event_type").isin("click", "view")
     events.select(to_json(struct(
-      TextFunctions.formatTwitterTime(col("ts")).as("created_at"),
+      when(!isDelete, TextFunctions.formatTwitterTime(col("ts"))).as("created_at"),
       col("event_id").cast("string").as("id_str"),
       concat(lit("event "), col("event_type")).as("text"),
       struct(
         col("user_id").cast("string").as("id_str"),
         concat(lit("u "), col("user_id")).as("screen_name")).as("user"),
-      when(isReply, k.cast("string")).as("in_reply_to_status_id_str"),
-      when(isReply, (k % 25).cast("string")).as("in_reply_to_user_id_str"),
-      when(isReply, concat(lit("u "), (k % 25))).as("in_reply_to_screen_name"),
+      when(isReply, replyTarget.cast("string")).as("in_reply_to_status_id_str"),
+      when(isReply, replyUser.cast("string")).as("in_reply_to_user_id_str"),
+      when(isReply, concat(lit("u "), replyUser)).as("in_reply_to_screen_name"),
       when(isRetweet, struct(
         k.cast("string").as("id_str"),
         struct((k % 25).cast("string").as("id_str")).as("user"))).as("retweeted_status"),
