@@ -41,8 +41,25 @@ object TextFunctions {
   val englishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** Element-wise stopword filter. NOT array_except, which deduplicates —
+    * the index path must keep repeated tokens (each occurrence scores). */
   def removeStopwords(tokens: Column): Column =
-    array_except(tokens, lit(englishStopwords.toArray))
+    filter(tokens, t => !array_contains(lit(englishStopwords.toArray), t))
+
+  /** T2 — Porter-stem each token ([[PorterStemmer]], vendored classic
+    * algorithm). A UDF: the suffix-stripping loop is genuinely imperative
+    * per-token work; it runs once per token post-filtering, off the
+    * codegen'd hot path of scans/joins. */
+  private val stemTokensUdf = udf((tokens: Seq[String]) =>
+    if (tokens == null) null else tokens.map(PorterStemmer.stem))
+
+  def stemTokens(tokens: Column): Column = stemTokensUdf(tokens)
+
+  /** T2 — the reference's full index-path term pipeline
+    * (TweetIndexBolt.java:172-186: tokenize, drop 1-char tokens, drop
+    * stopwords, Porter-stem). */
+  def indexTerms(text: Column): Column =
+    stemTokens(removeStopwords(dropShortTokens(tokenize(text))))
 
   /** M1-analog — deterministic language-ID heuristic: ratio of tokens that
     * are English stopwords. The reference's cybozu langdetect is

@@ -31,11 +31,18 @@ object TopicModel {
     * one partition): zipWithIndex numbers rows by (partition, offset), and
     * a sorted RDD's partitions are globally ordered, so the ids equal the
     * alphabetical dense rank at any scale. */
-  def buildVocab(docs: DataFrame, textCol: String): DataFrame = {
+  /** Term pipeline selector: `stem = true` runs the reference's full T2
+    * path (tokenize → T4 short-token removal → stopword removal → Porter
+    * stem); `stem = false` keeps the tokenize+T4-only variant. */
+  private def terms(textCol: String, stem: Boolean) =
+    if (stem) TextFunctions.indexTerms(col(textCol))
+    else TextFunctions.dropShortTokens(TextFunctions.tokenize(col(textCol)))
+
+  def buildVocab(docs: DataFrame, textCol: String,
+      stem: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs.select(explode(TextFunctions.tokenize(col(textCol))).as("word"))
-      .filter(length(col("word")) > 1) // T4 short-token removal
+    val words = docs.select(explode(terms(textCol, stem)).as("word"))
       .distinct()
       .as[String]
     words.orderBy("word").rdd.zipWithIndex()
@@ -46,9 +53,9 @@ object TopicModel {
     * space-joined index string (TweetIndexBolt.java:176-186). Tokens
     * missing from the vocab are dropped, as the reference does. */
   def indexDocs(docs: DataFrame, idCol: String, textCol: String,
-      vocab: DataFrame): DataFrame = {
+      vocab: DataFrame, stem: Boolean = false): DataFrame = {
     val tokens = docs.select(col(idCol),
-      posexplode(TextFunctions.tokenize(col(textCol))).as(Seq("pos", "word")))
+      posexplode(terms(textCol, stem)).as(Seq("pos", "word")))
     tokens.join(broadcast(vocab), Seq("word"))
       .withColumn("item", struct(col("pos"), col("word_id")))
       .groupBy(idCol)
@@ -100,7 +107,10 @@ object TopicModel {
     * batch boundary only affects amortization (SURVEY A8); the batch id is
     * reproduced for parity: floor(global_rank / batchSize) in id order.
     * Global rank via range-partitioned sort + zipWithIndex — no
-    * single-partition Window (see [[buildVocab]]). */
+    * single-partition Window (see [[buildVocab]]). `idCol` MUST be unique
+    * (true of every caller: doc_id / tweet id); duplicate ids would make
+    * the post-sort tie order — and thus batch assignment —
+    * nondeterministic. */
   def withCountBatches(docs: DataFrame, idCol: String, batchSize: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     val sorted = docs.orderBy(col(idCol))

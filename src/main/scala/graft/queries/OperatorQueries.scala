@@ -92,16 +92,21 @@ object OperatorQueries {
       .orderBy(col("user_id"))
   }
 
-  /** T2/T3 + M2 + A9 — topic-model pipeline: corpus vocab → word-id
-    * indexing → deterministic location scoring → per-doc top-5. */
+  /** T2/T3 + A8 + M2 + A9 + T5 — topic-model pipeline: stemmed corpus
+    * vocab → word-id indexing → count-5 micro-batches → deterministic
+    * location scoring → per-doc top-5 with the "lon,lat" string. */
   def q15TopicModel(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val vocab = TopicModel.buildVocab(d, "text")
-    val indexed = TopicModel.indexDocs(d, "doc_id", "text", vocab)
+    val vocab = TopicModel.buildVocab(d, "text", stem = true)
+    val indexed = TopicModel.indexDocs(d, "doc_id", "text", vocab, stem = true)
+    val batches = TopicModel.withCountBatches(
+      indexed.select(col("doc_id")), "doc_id")
     val scored = TopicModel.scoreLocations(indexed, "doc_id", numLocations = 25)
     TopicModel.topLocations(scored, "doc_id", k = 5)
-      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("loc"),
-        col("score"), col("probability"))
+      .join(batches, "doc_id")
+      .select(col("doc_id"), col("batch_id"),
+        col("rank").cast("long").as("rank"), col("loc"),
+        col("location"), col("score"), col("probability"))
       .orderBy(col("doc_id"), col("rank"))
   }
 
@@ -417,27 +422,48 @@ object OperatorQueries {
          |    ELSE '<None>' END AS role
          |FROM feats f JOIN piv p USING (user_id)
          |ORDER BY f.user_id""".stripMargin,
+    // stem_map: the Porter stems of every corpus token whose stem differs
+    // from the token, precomputed with graft.functions.PorterStemmer (the
+    // documents tables draw from a fixed 30-word pool at every SF; DuckDB
+    // ships no offline-available stemmer, so the map IS the oracle's
+    // stemmer — identity words fall through the coalesce).
     "q15_topic_model" ->
-      """WITH toks AS (
+      """WITH stem_map(word, stem) AS (VALUES
+        |  ('customer','custom'), ('key','kei'), ('merge','merg'),
+        |  ('query','queri'), ('table','tabl'), ('value','valu')),
+        |toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
         |  FROM documents),
-        |flt AS (SELECT doc_id, word FROM toks WHERE length(word) > 1),
+        |flt AS (
+        |  SELECT doc_id, word FROM toks WHERE length(word) > 1
+        |    AND word NOT IN ('the','a','an','and','or','of','to','in','is','it')),
+        |st AS (
+        |  SELECT f.doc_id, coalesce(s.stem, f.word) AS word
+        |  FROM flt f LEFT JOIN stem_map s USING (word)),
         |vocab AS (
         |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS word_id
-        |  FROM (SELECT DISTINCT word FROM flt)),
-        |words AS (SELECT doc_id, word_id FROM flt JOIN vocab USING (word)),
+        |  FROM (SELECT DISTINCT word FROM st)),
+        |words AS (SELECT doc_id, word_id FROM st JOIN vocab USING (word)),
+        |batches AS (
+        |  SELECT doc_id, (row_number() OVER (ORDER BY doc_id) - 1) // 5 AS batch_id
+        |  FROM (SELECT DISTINCT doc_id FROM words)),
         |scores AS (
         |  SELECT doc_id, g.loc::BIGINT AS loc,
         |    sum((word_id * 7 + g.loc * 13) % 97)::BIGINT AS score
         |  FROM words CROSS JOIN generate_series(0, 24) g(loc)
         |  GROUP BY 1, 2),
         |tot AS (SELECT doc_id, sum(score)::BIGINT AS total FROM scores GROUP BY 1)
-        |SELECT doc_id, rank, loc, score, probability FROM (
+        |SELECT doc_id, batch_id, rank, loc,
+        |  ((loc*37)%360-180 + (loc%100)/100.0)::FLOAT::VARCHAR || ',' ||
+        |  ((loc*17)%180-90 + (loc%50)/100.0)::FLOAT::VARCHAR AS location,
+        |  score, probability
+        |FROM (
         |  SELECT s.doc_id, s.loc, s.score,
         |    s.score::DOUBLE / t.total::DOUBLE AS probability,
         |    row_number() OVER (PARTITION BY s.doc_id
         |      ORDER BY s.score::DOUBLE / t.total::DOUBLE DESC, s.loc) AS rank
         |  FROM scores s JOIN tot t USING (doc_id))
+        |JOIN batches USING (doc_id)
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "q16_lod_enrich" ->
       """WITH locs AS (SELECT DISTINCT c_nationkey FROM customer),
