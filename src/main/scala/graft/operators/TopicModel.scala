@@ -102,6 +102,71 @@ object TopicModel {
       .withColumn("location", TextFunctions.lonLat(col("lon"), col("lat")))
   }
 
+  /** The geographic topic model's broadcast parameter matrices — the
+    * reference downloads these four files at operator init
+    * (TopicModelBolt.java:79-84: `pi_0Alpha`, `pisetasum`, `qm`,
+    * `topic_word`) and ships them to every worker; here they broadcast
+    * once per job. `qm` rows are Cartesian (x, y, z) vectors converted to
+    * spherical lat/long on output (jar:jgibblda.PredictLocation /
+    * Coordinates.toSpherical). */
+  case class GeoModel(
+      topicWord: Array[Array[Double]], // K x V
+      pi0Alpha: Array[Double],         // L priors
+      pisetasum: Array[Array[Double]], // L x K location-topic weights
+      qm: Array[Array[Double]])        // L x 3 Cartesian coordinates
+
+  /** M2 (model-matrix variant) — score L locations per doc against
+    * broadcast matrices: score(d, l) = pi0Alpha[l] · Σ_{w∈d} Σ_k
+    * topic_word[k][w] · pisetasum[l][k], normalized per doc across all L
+    * (the reference's per-doc normalization, PredictLocation bytecode).
+    * This is the deterministic marginalized form of the reference's
+    * unseeded Gibbs scoring (SURVEY §2.6 M2: bit-parity with the jar is
+    * impossible by construction); a seeded sampler can slot behind the
+    * same interface. Scoring is one UDF over the broadcast model —
+    * embarrassingly parallel, no shuffle beyond the final top-k. */
+  def scoreLocationsModel(indexed: DataFrame, idCol: String,
+      model: GeoModel): DataFrame = {
+    val bc = indexed.sparkSession.sparkContext.broadcast(model)
+    val scoreUdf = udf((wordIds: Seq[Long]) => {
+      val m = bc.value
+      val kTopics = m.topicWord.length
+      (0 until m.pisetasum.length).map { l =>
+        var s = 0.0
+        wordIds.foreach { w =>
+          var k = 0
+          while (k < kTopics) {
+            s += m.topicWord(k)(w.toInt) * m.pisetasum(l)(k)
+            k += 1
+          }
+        }
+        m.pi0Alpha(l) * s
+      }
+    })
+    val scored = indexed
+      .filter(size(col("word_ids")) > 0) // F8
+      .withColumn("scores", scoreUdf(col("word_ids")))
+      .select(col(idCol), posexplode(col("scores")).as(Seq("loc", "score")))
+      .withColumn("loc", col("loc").cast("long"))
+    val total = Window.partitionBy(idCol)
+    scored.withColumn("probability",
+      col("score") / sum(col("score")).over(total))
+  }
+
+  /** The model's location dimension with toSpherical coordinates:
+    * lat = atan2(z, √(x²+y²)), lon = atan2(y, x), in degrees (rounded —
+    * libm last-ulp differences across engines otherwise leak into hashed
+    * output). */
+  def modelLocations(spark: SparkSession, model: GeoModel): DataFrame = {
+    import spark.implicits._
+    model.qm.zipWithIndex
+      .map { case (v, l) => (l.toLong, v(0), v(1), v(2)) }.toSeq
+      .toDF("loc", "x", "y", "z")
+      .select(col("loc"),
+        round(degrees(atan2(col("z"), sqrt(col("x") * col("x") + col("y") * col("y")))), 6)
+          .as("lat"),
+        round(degrees(atan2(col("y"), col("x"))), 6).as("lon"))
+  }
+
   /** A8 — count-based micro-batching (5 msgs per prediction,
     * TopicModelBolt.java:87). Per-message results are independent, so the
     * batch boundary only affects amortization (SURVEY A8); the batch id is

@@ -110,35 +110,58 @@ object OperatorQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
-  /** J1 + J3 + T6 — LOD enrichment: customer nations → owl:sameAs lookup →
-    * coordinate/label dereference → WKT output. Triple tables derive
-    * deterministically from nation/region (the snapshot-side-input model
-    * of SURVEY §2.4; integer-valued coordinates keep string formatting
-    * engine-portable). */
+  /** J1 + J2/F9 + J3 + T6 — the full LOD enrichment chain: customer
+    * nations → owl:sameAs lookup → property scan for URI-valued candidate
+    * places (literal-valued triples filtered by F9) → coordinate/label
+    * dereference (with a non-English label the LANGMATCHES filter must
+    * skip) → WKT output. Triple tables derive deterministically from
+    * nation (the snapshot-side-input model of SURVEY §2.4; integer-valued
+    * coordinates keep string formatting engine-portable). */
   def q16LodEnrich(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.load(spark, dir, "nation")
     val dbpUri = concat(lit("dbp:"), lower(regexp_replace(col("n_name"), " ", "_")))
     val sameAs = n.select(dbpUri.as("subject"),
       concat(lit("lgd:"), col("n_nationkey")).as("object"))
-    val triples =
-      n.select(dbpUri.as("subject"), lit("geo:lat").as("predicate"),
-          (col("n_nationkey") * 3 - 20).cast("string").as("object"),
+    // J2 input: two URI-valued place links per nation + one literal
+    // property that F9 must drop
+    val propTriples =
+      n.select(dbpUri.as("subject"), lit("p:near").as("predicate"),
+          concat(lit("plc:"), (col("n_nationkey") * 2 + 1) % 30).as("object"),
+          lit(true).as("object_is_uri"))
+        .unionByName(n.select(dbpUri.as("subject"), lit("p:in").as("predicate"),
+          concat(lit("plc:"), (col("n_nationkey") * 3 + 2) % 30).as("object"),
+          lit(true).as("object_is_uri")))
+        .unionByName(n.select(dbpUri.as("subject"), lit("p:name").as("predicate"),
+          col("n_name").as("object"), lit(false).as("object_is_uri")))
+    // J3 input: per-place coordinates + English and German labels (the
+    // lang filter must keep only @en)
+    val pids = n.select(((col("n_nationkey") * 2 + 1) % 30).as("pid"))
+      .unionByName(n.select(((col("n_nationkey") * 3 + 2) % 30).as("pid")))
+      .distinct()
+    val placeUri = concat(lit("plc:"), col("pid"))
+    val placeTriples =
+      pids.select(placeUri.as("subject"), lit("geo:lat").as("predicate"),
+          (col("pid") * 5 - 40).cast("string").as("object"),
           lit(null).cast("string").as("lang_tag"))
-        .unionByName(n.select(dbpUri.as("subject"), lit("geo:long").as("predicate"),
-          (col("n_nationkey") * 7 - 40).cast("string").as("object"),
+        .unionByName(pids.select(placeUri.as("subject"), lit("geo:long").as("predicate"),
+          (col("pid") * 9 - 100).cast("string").as("object"),
           lit(null).cast("string").as("lang_tag")))
-        .unionByName(n.select(dbpUri.as("subject"), lit("rdfs:label").as("predicate"),
-          col("n_name").as("object"), lit("en").as("lang_tag")))
+        .unionByName(pids.select(placeUri.as("subject"), lit("rdfs:label").as("predicate"),
+          concat(lit("Place "), col("pid")).as("object"), lit("en").as("lang_tag")))
+        .unionByName(pids.select(placeUri.as("subject"), lit("rdfs:label").as("predicate"),
+          concat(lit("Ort "), col("pid")).as("object"), lit("de").as("lang_tag")))
     val locs = Tables.load(spark, dir, "customer")
       .select(col("c_nationkey")).distinct()
       .withColumn("lgd_uri", concat(lit("lgd:"), col("c_nationkey")))
     val linked = Lod.sameAsLookup(locs, "lgd_uri", sameAs)
-    Lod.dereferencePlaces(linked, "dbpedia_uri", triples)
-      .select(col("c_nationkey"), col("dbpedia_uri"),
+    val cands = Lod.placeCandidates(linked, "dbpedia_uri", propTriples)
+    Lod.dereferencePlaces(cands, "place", placeTriples)
+      .select(col("c_nationkey"), col("dbpedia_uri"), col("place"),
+        array_join(array_sort(col("properties")), ",").as("properties"),
         col("lat").cast("long").as("lat"), col("lon").cast("long").as("lon"),
         col("label"),
         graft.functions.TextFunctions.wktPointLatFirst(col("lat"), col("lon")).as("wkt"))
-      .orderBy(col("c_nationkey"))
+      .orderBy(col("c_nationkey"), col("place"))
   }
 
   /** T9 — naive-Bayes relevance over candidate property lists; counts
@@ -179,6 +202,51 @@ object OperatorQueries {
       .orderBy(col("key"), col("window_start"))
   }
 
+  /** A1 — nested-JSON discussion-tree assembly: one row per root carrying
+    * the reference's recursive Tweet JSON (DiscussionTreeBolt.java:189-200),
+    * children ordered by (ts, node_id) — SURVEY's determinism rule. The
+    * oracle rebuilds the exact JSON bytes level by level (max depth 4 in
+    * the driver data; both sides bound at 6). */
+  def q30TreeAssembly(spark: SparkSession, dir: String): DataFrame =
+    DiscussionTree.assembleTrees(rootedNodes(spark, dir), maxDepth = 6)
+      .select(col("root_id"), tsStr(col("ts")).as("root_ts"), col("tree_json"))
+      .orderBy(col("root_id"))
+
+  /** Fixture [[TopicModel.GeoModel]]: integer-valued matrices (exact in
+    * doubles, so scoring sums are order-independent and the oracle can be
+    * pure SQL arithmetic) with Cartesian qm rows exercising toSpherical. */
+  private[queries] def fixtureGeoModel: TopicModel.GeoModel = {
+    val K = 8; val L = 25; val V = 256
+    TopicModel.GeoModel(
+      topicWord = Array.tabulate(K, V)((k, v) => ((k * 31 + v * 17) % 89 + 1).toDouble),
+      pi0Alpha = Array.tabulate(L)(l => (l % 7 + 1).toDouble),
+      pisetasum = Array.tabulate(L, K)((l, k) => ((l * 5 + k * 3) % 23 + 1).toDouble),
+      qm = Array.tabulate(L)(l => Array(
+        ((l * 2 + 1) % 7 - 3).toDouble,
+        ((l * 3 + 2) % 11 - 5).toDouble,
+        ((l * 5 + 3) % 13 - 6).toDouble)))
+  }
+
+  /** M2 (model-matrix path) — scoring against the broadcast
+    * topic_word/pi0Alpha/pisetasum matrices with toSpherical qm
+    * coordinates on the output; same stemmed index as q15, per-doc top-5. */
+  def q31TopicModelMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val vocab = TopicModel.buildVocab(d, "text", stem = true)
+    val indexed = TopicModel.indexDocs(d, "doc_id", "text", vocab, stem = true)
+    val model = fixtureGeoModel
+    val scored = TopicModel.scoreLocationsModel(indexed, "doc_id", model)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("probability").desc, col("loc").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .join(broadcast(TopicModel.modelLocations(spark, model)), "loc")
+      .select(col("doc_id"), col("rank"), col("loc"), col("lat"), col("lon"),
+        col("score"), col("probability"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_interaction_counts" -> q12InteractionCounts,
     "q13_tree_stats" -> q13TreeStats,
@@ -186,7 +254,9 @@ object OperatorQueries {
     "q15_topic_model" -> q15TopicModel,
     "q16_lod_enrich" -> q16LodEnrich,
     "q17_nb_relevance" -> q17NbRelevance,
-    "q18_punctuation_window" -> q18PunctuationWindow)
+    "q18_punctuation_window" -> q18PunctuationWindow,
+    "q30_tree_assembly" -> q30TreeAssembly,
+    "q31_topic_model_matrix" -> q31TopicModelMatrix)
 
   /** Oracle mirror of [[TweetSource.eventsAsTweetJson]]: the events table
     * reinterpreted as tweets (second-truncated timestamps — the Twitter
@@ -356,6 +426,117 @@ object OperatorQueries {
        |    max(CASE WHEN feature = 'threadInitiationRatio' THEN level END) AS lvl_threadInitiationRatio
        |  FROM lv GROUP BY user_id)""".stripMargin
 
+  /** Extended node relation for the tree-assembly oracle: same dummy
+    * synthesis as [[nodesCte]] plus screen_name / ts / retweet (the
+    * columns the nested JSON serializes). */
+  private val fullNodesCte =
+    s"""$eventsCte,
+       |obs AS (
+       |  SELECT event_id::VARCHAR AS node_id, author_id AS user_id,
+       |    'u' || author_id AS screen_name, ts,
+       |    CASE WHEN event_type IN ('signup','error') AND k IS NOT NULL
+       |             AND k < event_id
+       |           THEN (CASE WHEN k % 10 = 7 THEN k + 2000000000
+       |                 ELSE k END)::VARCHAR
+       |         WHEN event_type = 'purchase' AND k IS NOT NULL
+       |             AND k < event_id
+       |           THEN k::VARCHAR END AS parent_id,
+       |    CASE WHEN event_type IN ('signup','error') AND k IS NOT NULL
+       |             AND k < event_id
+       |         THEN (CASE WHEN k % 10 = 7 THEN 100 + k % 25
+       |               ELSE k % 25 END)::VARCHAR END AS reply_user,
+       |    (event_type = 'purchase' AND k IS NOT NULL AND k < event_id)
+       |      AS retweet,
+       |    TRUE AS observed
+       |  FROM live),
+       |dummies AS (
+       |  SELECT o.parent_id AS node_id, min(o.reply_user) AS user_id,
+       |    CASE WHEN min(o.reply_user) IS NOT NULL
+       |         THEN 'u ' || min(o.reply_user) END AS screen_name,
+       |    NULL::TIMESTAMP AS ts, NULL::VARCHAR AS parent_id,
+       |    NULL::VARCHAR AS reply_user, FALSE AS retweet, FALSE AS observed
+       |  FROM obs o
+       |  WHERE o.parent_id IS NOT NULL
+       |    AND NOT EXISTS (SELECT 1 FROM obs i WHERE i.node_id = o.parent_id)
+       |  GROUP BY o.parent_id),
+       |nodes AS (
+       |  SELECT * FROM obs UNION ALL SELECT * FROM dummies),
+       |walk AS (
+       |  SELECT node_id, node_id AS cur, parent_id AS nxt, 0::BIGINT AS depth
+       |  FROM nodes
+       |  UNION ALL
+       |  SELECT w.node_id, n.node_id, n.parent_id, w.depth + 1
+       |  FROM walk w JOIN nodes n ON w.nxt = n.node_id),
+       |fn AS (
+       |  SELECT n.node_id, n.parent_id, n.ts, w.depth,
+       |    '{'
+       |    || CASE WHEN n.user_id IS NOT NULL
+       |         THEN '"author_id":"' || n.user_id || '",' ELSE '' END
+       |    || CASE WHEN n.screen_name IS NOT NULL
+       |         THEN '"author_screen_name":"' || n.screen_name || '",' ELSE '' END
+       |    || '"tweet_id":"' || n.node_id || '",'
+       |    || CASE WHEN n.ts IS NOT NULL
+       |         THEN '"timestamp":"' || strftime(n.ts, '%Y-%m-%dT%H:%M:%SZ') || '",'
+       |         ELSE '' END
+       |    || CASE WHEN n.parent_id IS NOT NULL
+       |         THEN '"in_reply_to":"' || n.parent_id || '",' ELSE '' END
+       |    || '"observed":' || n.observed || ',"retweet":' || n.retweet AS selfj
+       |  FROM nodes n JOIN walk w ON w.node_id = n.node_id AND w.nxt IS NULL)"""
+      .stripMargin
+
+  /** Level-by-level unrolled nested-JSON assembly (the driver data's max
+    * depth is 4; both engine and oracle bound at 6 — an empty level is
+    * harmless). Mirrors [[DiscussionTree.assembleTrees]] byte for byte. */
+  private val treeAssemblyOracle: String = {
+    val maxDepth = 6
+    val levels = new StringBuilder
+    levels.append(
+      s"""l$maxDepth AS (
+         |  SELECT parent_id, ts, node_id, selfj || ',"replies":[]}' AS json
+         |  FROM fn WHERE depth = $maxDepth)""".stripMargin)
+    for (d <- (maxDepth - 1) to 0 by -1) {
+      levels.append(
+        s""",
+           |k$d AS (
+           |  SELECT parent_id AS pid,
+           |    string_agg(json, ',' ORDER BY ts, node_id) AS kids
+           |  FROM l${d + 1} GROUP BY parent_id),
+           |l$d AS (
+           |  SELECT f.parent_id, f.ts, f.node_id,
+           |    f.selfj || ',"replies":[' || coalesce(k.kids, '') || ']}' AS json
+           |  FROM fn f LEFT JOIN k$d k ON k.pid = f.node_id
+           |  WHERE f.depth = $d)""".stripMargin)
+    }
+    // plain concatenation — a stripMargin here would re-strip the '||'
+    // concat operators inside the already-stripped embedded CTEs
+    s"WITH RECURSIVE ${fullNodesCte.stripPrefix("WITH ")},\n" +
+      levels.toString +
+      "\nSELECT node_id AS root_id,\n" +
+      "  strftime(ts, '%Y-%m-%d %H:%M:%S') AS root_ts, json AS tree_json\n" +
+      "FROM l0 ORDER BY root_id"
+  }
+
+  /** Shared stemmed-index CTE chain for the q15/q31 oracles (see the
+    * stem_map note at q15). */
+  private val stemmedWordsCte =
+    """WITH stem_map(word, stem) AS (VALUES
+      |  ('customer','custom'), ('key','kei'), ('merge','merg'),
+      |  ('query','queri'), ('table','tabl'), ('value','valu')),
+      |toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+      |  FROM documents),
+      |flt AS (
+      |  SELECT doc_id, word FROM toks WHERE length(word) > 1
+      |    AND word NOT IN ('the','a','an','and','or','of','to','in','is','it')),
+      |st AS (
+      |  SELECT f.doc_id, coalesce(s.stem, f.word) AS word
+      |  FROM flt f LEFT JOIN stem_map s USING (word)),
+      |vocab AS (
+      |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS word_id
+      |  FROM (SELECT DISTINCT word FROM st)),
+      |words AS (SELECT doc_id, word_id FROM st JOIN vocab USING (word))"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
     "q12_interaction_counts" ->
       s"""$eventsCte,
@@ -422,28 +603,14 @@ object OperatorQueries {
          |    ELSE '<None>' END AS role
          |FROM feats f JOIN piv p USING (user_id)
          |ORDER BY f.user_id""".stripMargin,
-    // stem_map: the Porter stems of every corpus token whose stem differs
-    // from the token, precomputed with graft.functions.PorterStemmer (the
-    // documents tables draw from a fixed 30-word pool at every SF; DuckDB
-    // ships no offline-available stemmer, so the map IS the oracle's
-    // stemmer — identity words fall through the coalesce).
+    // stem_map (in stemmedWordsCte): the Porter stems of every corpus
+    // token whose stem differs from the token, precomputed with
+    // graft.functions.PorterStemmer (the documents tables draw from a
+    // fixed 30-word pool at every SF; DuckDB ships no offline-available
+    // stemmer, so the map IS the oracle's stemmer — identity words fall
+    // through the coalesce).
     "q15_topic_model" ->
-      """WITH stem_map(word, stem) AS (VALUES
-        |  ('customer','custom'), ('key','kei'), ('merge','merg'),
-        |  ('query','queri'), ('table','tabl'), ('value','valu')),
-        |toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
-        |  FROM documents),
-        |flt AS (
-        |  SELECT doc_id, word FROM toks WHERE length(word) > 1
-        |    AND word NOT IN ('the','a','an','and','or','of','to','in','is','it')),
-        |st AS (
-        |  SELECT f.doc_id, coalesce(s.stem, f.word) AS word
-        |  FROM flt f LEFT JOIN stem_map s USING (word)),
-        |vocab AS (
-        |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS word_id
-        |  FROM (SELECT DISTINCT word FROM st)),
-        |words AS (SELECT doc_id, word_id FROM st JOIN vocab USING (word)),
+      s"""$stemmedWordsCte,
         |batches AS (
         |  SELECT doc_id, (row_number() OVER (ORDER BY doc_id) - 1) // 5 AS batch_id
         |  FROM (SELECT DISTINCT doc_id FROM words)),
@@ -467,17 +634,45 @@ object OperatorQueries {
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "q16_lod_enrich" ->
       """WITH locs AS (SELECT DISTINCT c_nationkey FROM customer),
-        |sa AS (
-        |  SELECT 'dbp:' || lower(replace(n_name, ' ', '_')) AS dbpedia_uri,
-        |    n_nationkey, n_name,
-        |    (n_nationkey * 3 - 20)::VARCHAR AS lat,
-        |    (n_nationkey * 7 - 40)::VARCHAR AS lon
-        |  FROM nation)
-        |SELECT l.c_nationkey, s.dbpedia_uri,
-        |  s.lat::BIGINT AS lat, s.lon::BIGINT AS lon, s.n_name AS label,
-        |  'POINT(' || s.lat || ' ' || s.lon || ')' AS wkt
-        |FROM locs l LEFT JOIN sa s ON s.n_nationkey = l.c_nationkey
-        |ORDER BY l.c_nationkey""".stripMargin,
+        |n AS (SELECT n_nationkey, n_name,
+        |      'dbp:' || lower(replace(n_name, ' ', '_')) AS dbp FROM nation),
+        |props AS (
+        |  SELECT dbp AS subject, 'p:near' AS predicate,
+        |    'plc:' || ((n_nationkey*2+1)%30) AS object, TRUE AS is_uri FROM n
+        |  UNION ALL
+        |  SELECT dbp, 'p:in', 'plc:' || ((n_nationkey*3+2)%30), TRUE FROM n
+        |  UNION ALL
+        |  SELECT dbp, 'p:name', n_name, FALSE FROM n),
+        |pids AS (SELECT DISTINCT pid FROM (
+        |  SELECT (n_nationkey*2+1)%30 AS pid FROM nation
+        |  UNION ALL SELECT (n_nationkey*3+2)%30 FROM nation)),
+        |ptr AS (
+        |  SELECT 'plc:'||pid AS subject, 'geo:lat' AS predicate,
+        |    (pid*5-40)::VARCHAR AS object, NULL::VARCHAR AS lang FROM pids
+        |  UNION ALL SELECT 'plc:'||pid, 'geo:long', (pid*9-100)::VARCHAR, NULL FROM pids
+        |  UNION ALL SELECT 'plc:'||pid, 'rdfs:label', 'Place '||pid, 'en' FROM pids
+        |  UNION ALL SELECT 'plc:'||pid, 'rdfs:label', 'Ort '||pid, 'de' FROM pids),
+        |cand AS (
+        |  SELECT l.c_nationkey, nn.dbp AS dbpedia_uri, p.object AS place,
+        |    array_to_string(list_sort(list_distinct(list(p.predicate))), ',')
+        |      AS properties
+        |  FROM locs l JOIN n nn ON nn.n_nationkey = l.c_nationkey
+        |  JOIN props p ON p.subject = nn.dbp AND p.is_uri
+        |  GROUP BY 1, 2, 3),
+        |latt AS (SELECT subject, min(object) AS lat FROM ptr
+        |         WHERE predicate = 'geo:lat' GROUP BY 1),
+        |lont AS (SELECT subject, min(object) AS lon FROM ptr
+        |         WHERE predicate = 'geo:long' GROUP BY 1),
+        |labt AS (SELECT subject, min(object) AS label FROM ptr
+        |         WHERE predicate = 'rdfs:label' AND lang = 'en' GROUP BY 1)
+        |SELECT c.c_nationkey, c.dbpedia_uri, c.place, c.properties,
+        |  la.lat::BIGINT AS lat, lo.lon::BIGINT AS lon, lb.label,
+        |  'POINT(' || la.lat || ' ' || lo.lon || ')' AS wkt
+        |FROM cand c
+        |LEFT JOIN latt la ON la.subject = c.place
+        |LEFT JOIN lont lo ON lo.subject = c.place
+        |LEFT JOIN labt lb ON lb.subject = c.place
+        |ORDER BY c.c_nationkey, c.place""".stripMargin,
     "q17_nb_relevance" ->
       """WITH counts AS (
         |  SELECT (['p:a','p:b','p:c','p:d','total'])[r_regionkey + 1] AS property,
@@ -540,5 +735,34 @@ object OperatorQueries {
         |    AS window_end,
         |  flush_n AS n_events
         |FROM step WHERE flush_start IS NOT NULL
-        |ORDER BY key, window_start""".stripMargin)
+        |ORDER BY key, window_start""".stripMargin,
+    "q30_tree_assembly" -> treeAssemblyOracle,
+    "q31_topic_model_matrix" ->
+      s"""$stemmedWordsCte,
+        |wl AS (
+        |  SELECT w.doc_id, l.l::BIGINT AS loc,
+        |    sum(((k.k*31 + w.word_id*17) % 89 + 1)
+        |        * ((l.l*5 + k.k*3) % 23 + 1))::DOUBLE AS s
+        |  FROM words w
+        |  CROSS JOIN generate_series(0, 24) l(l)
+        |  CROSS JOIN generate_series(0, 7) k(k)
+        |  GROUP BY 1, 2),
+        |scores AS (
+        |  SELECT doc_id, loc, (loc % 7 + 1)::DOUBLE * s AS score FROM wl),
+        |tot AS (SELECT doc_id, sum(score) AS total FROM scores GROUP BY 1),
+        |qm AS (SELECT l::BIGINT AS loc,
+        |    ((l*2+1)%7-3)::DOUBLE AS x, ((l*3+2)%11-5)::DOUBLE AS y,
+        |    ((l*5+3)%13-6)::DOUBLE AS z
+        |  FROM generate_series(0, 24) t(l))
+        |SELECT doc_id, rank, loc,
+        |  round(degrees(atan2(z, sqrt(x*x + y*y))), 6) AS lat,
+        |  round(degrees(atan2(y, x)), 6) AS lon,
+        |  score, probability
+        |FROM (
+        |  SELECT s.doc_id, s.loc, s.score, s.score / t.total AS probability,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |      ORDER BY s.score / t.total DESC, s.loc) AS rank
+        |  FROM scores s JOIN tot t USING (doc_id)) r
+        |JOIN qm USING (loc)
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)
 }
