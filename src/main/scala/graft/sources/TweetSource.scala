@@ -41,12 +41,16 @@ object TweetSource {
   /** Streaming read from Kafka (S1). Compiles against stock Spark; needs the
     * spark-sql-kafka connector on the classpath at runtime. `exchange` and
     * `routing` of the AMQP envelope map to Kafka `topic` and `key`
-    * (FIXTURES.md §3). */
-  def readKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    * (FIXTURES.md §3). `maxOffsetsPerTrigger` is W7 backpressure — the
+    * reference's AMQP prefetch=200 / maxSpoutPending=200
+    * (config/storm_config.ini:47-48) as a per-micro-batch record cap. */
+  def readKafka(spark: SparkSession, bootstrap: String, topic: String,
+      maxOffsetsPerTrigger: Long = 10000L): DataFrame =
     spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
       .load()
       .select(
         col("topic").as("exchange"),
@@ -54,9 +58,13 @@ object TweetSource {
         from_json(col("value").cast("string"), tweetSchema).as("message"))
 
   /** Streaming read of JSON-lines files (used by tests and local runs in
-    * place of Kafka — same downstream schema). */
-  def readStreamJsonLines(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(tweetSchema).json(dir)
+    * place of Kafka — same downstream schema). `maxFilesPerTrigger` is the
+    * file-source analog of W7 backpressure. */
+  def readStreamJsonLines(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(tweetSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(dir)
 
   /** Kafka sink for result frames (S3 — the anonymous TupleToMessage bolts,
     * lodExplorer TopologyRunner.java:173-221). Caller starts the query. */

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import PunctuationWindow.Event
+import graft.sources.TweetSource
+
+/** End-to-end Structured Streaming runs: the W1/W2 parity window through
+  * flatMapGroupsWithState with checkpointed state across micro-batches
+  * (W6), and the JSON-lines file source with maxFilesPerTrigger
+  * backpressure (W7). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  test("streaming punctuation windows equal the batch fold across micro-batches (W1/W2/W6)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(3)
+    val evs = (for {
+      k <- Seq("a", "b")
+      i <- 1 to 30
+    } yield Event(k, rnd.nextInt(1000).toLong, f"$k$i%03d"))
+      .sortBy(e => (e.tsMicros, e.payload))
+    val stream = MemoryStream[Event]
+    val query = PunctuationWindow.streaming(stream.toDS(), lengthMicros = 100L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("punct_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("punct_ckpt").toString)
+      .start()
+    try {
+      // three micro-batches: state must carry open windows across them
+      evs.grouped(evs.size / 3 + 1).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("punct_stream").as[PunctuationWindow.Flush]
+      .collect().map(f => (f.key, f.startMicros, f.endMicros, f.n_events)).toSet
+    val want = PunctuationWindow.batch(evs.toDS(), 100L)
+      .collect().map(f => (f.key, f.startMicros, f.endMicros, f.n_events)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("file-source tweet stream honours maxFilesPerTrigger (W7) and normalizes (S6/S1)") {
+    val dir = Files.createTempDirectory("tweets_in")
+    def tweet(id: Int): String =
+      s"""{"created_at":"Mon Jan 01 00:00:${f"$id%02d"} +0000 2024","id_str":"t$id",""" +
+        s""""text":"hello $id","user":{"id_str":"u$id","screen_name":"s $id"}}"""
+    for (f <- 0 until 3)
+      Files.write(dir.resolve(s"part-$f.json"),
+        (0 until 5).map(i => tweet(f * 5 + i)).mkString("\n").getBytes)
+
+    val stream = TweetSource.readStreamJsonLines(spark, dir.toString,
+      maxFilesPerTrigger = 1)
+    val query = TweetSource.normalized(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("tweets_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("tweets_ckpt").toString)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    val rows = spark.table("tweets_stream").collect()
+    assert(rows.length == 15)
+    // T10 cleanup ran inside the stream
+    assert(rows.forall(!_.getAs[String]("author_screen_name").contains(" ")))
+    // W7: one file per micro-batch -> at least 3 progress entries with rows
+    val batches = query.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected >=3 micro-batches, saw $batches")
+  }
+}
