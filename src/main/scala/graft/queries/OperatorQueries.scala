@@ -247,6 +247,26 @@ object OperatorQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** S7/F4/A10 — the trainer's corpus-build path over the documents
+    * table: deterministic per-doc coordinates (some zero, so the F4
+    * filter drops real rows) → T4 token cleanup → "lat lon text" lines
+    * with the count header as row 0. The zip-archive scan itself (S7's
+    * IO half) is covered by TrainerCorpusSpec with real zip fixtures —
+    * parquet test tables can't carry zips. */
+  def q32TrainerCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TrainerCorpus
+    val d = docs(spark, dir).select(col("doc_id"),
+      ((col("doc_id") * 3) % 181 - 90).as("lat"),
+      ((col("doc_id") * 7) % 361 - 180).as("lon"),
+      TrainerCorpus.cleanText(col("text")).as("txt"))
+    val g = TrainerCorpus.geoFilter(d, "lat", "lon")
+    TrainerCorpus.corpusWithHeader(
+      g.select(col("doc_id"),
+        concat_ws(" ", col("lat"), col("lon"), col("txt")).as("line")),
+      "doc_id")
+      .orderBy(col("seq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_interaction_counts" -> q12InteractionCounts,
     "q13_tree_stats" -> q13TreeStats,
@@ -256,7 +276,8 @@ object OperatorQueries {
     "q17_nb_relevance" -> q17NbRelevance,
     "q18_punctuation_window" -> q18PunctuationWindow,
     "q30_tree_assembly" -> q30TreeAssembly,
-    "q31_topic_model_matrix" -> q31TopicModelMatrix)
+    "q31_topic_model_matrix" -> q31TopicModelMatrix,
+    "q32_trainer_corpus" -> q32TrainerCorpus)
 
   /** Oracle mirror of [[TweetSource.eventsAsTweetJson]]: the events table
     * reinterpreted as tweets (second-truncated timestamps — the Twitter
@@ -737,6 +758,22 @@ object OperatorQueries {
         |FROM step WHERE flush_start IS NOT NULL
         |ORDER BY key, window_start""".stripMargin,
     "q30_tree_assembly" -> treeAssemblyOracle,
+    "q32_trainer_corpus" ->
+      """WITH f AS (
+        |  SELECT doc_id, (doc_id*3)%181 - 90 AS lat, (doc_id*7)%361 - 180 AS lon,
+        |    array_to_string(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'),
+        |      t -> length(t) > 1), ' ') AS txt
+        |  FROM documents),
+        |g AS (SELECT * FROM f WHERE lat != 0 AND lon != 0),
+        |data AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) AS seq,
+        |    lat::VARCHAR || ' ' || lon::VARCHAR || ' ' || txt AS line
+        |  FROM g)
+        |SELECT seq, line FROM (
+        |  SELECT 0::BIGINT AS seq, count(*)::VARCHAR AS line FROM g
+        |  UNION ALL SELECT seq, line FROM data)
+        |ORDER BY seq""".stripMargin,
     "q31_topic_model_matrix" ->
       s"""$stemmedWordsCte,
         |wl AS (
