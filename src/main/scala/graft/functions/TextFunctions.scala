@@ -100,21 +100,31 @@ object TextFunctions {
   def minhashSig(shingleSet: Column, salt: Int): Column =
     array_min(transform(shingleSet, s => md5(concat(lit(salt.toString), lit(":"), s))))
 
-  /** 16-bit SimHash over the distinct tokens of a document. Bit b of the
-    * fingerprint is set when the sum over tokens of ±1 (sign = parity of
-    * md5 nibble b) is positive. Integer arithmetic → engine-exact. */
-  def simhash16(tokens: Column): Column = {
+  /** SimHash over the distinct tokens of a document, up to 60 bits
+    * (sign-safe in a BIGINT on every engine). Bit b is set when the sum
+    * over tokens of ±1 is positive; the per-token sign for bit b is the
+    * parity of hex nibble b%32 of md5(token) (bits 0-31) or of
+    * md5("1:"+token) (bits 32-59). Integer arithmetic → engine-exact. */
+  def simhashBits(tokens: Column, nBits: Int = 60): Column = {
+    require(nBits >= 1 && nBits <= 60, "sign-safe long supports up to 60 bits")
     val distinctToks = array_distinct(tokens)
-    val packed = (0 until 16).map { b =>
-      val perTokenSign = transform(distinctToks, t =>
+    val packed = (0 until nBits).map { b =>
+      val nib = b % 32
+      val perTokenSign = transform(distinctToks, t => {
+        val h = if (b < 32) md5(t) else md5(concat(lit("1:"), t))
         when((call_function("locate",
-          substring(md5(t), b + 1, 1), lit("0123456789abcdef")) - 1) % 2 === 1, lit(1))
-          .otherwise(lit(-1)))
+          substring(h, nib + 1, 1), lit("0123456789abcdef")) - 1) % 2 === 1, lit(1))
+          .otherwise(lit(-1))
+      })
       val s = aggregate(perTokenSign, lit(0), (acc, x) => acc + x)
       when(s > 0, lit(1L << b)).otherwise(lit(0L))
     }
     packed.reduce(_ + _)
   }
+
+  /** 16-bit SimHash (demo width; near-dup use wants [[simhashBits]]'s
+    * default 60). */
+  def simhash16(tokens: Column): Column = simhashBits(tokens, 16)
 
   /** Deterministic 64-bit-ish document fingerprint: first 15 hex chars of
     * md5 as a big-int-safe long (driver-exact in any engine with md5+conv). */

@@ -101,9 +101,39 @@ object Dedup {
     jaccard(pairs, sh).filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash dedup: 16-bit fingerprint per doc; identical fingerprints are
-    * near-dup buckets. */
-  def simhashBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      TextFunctions.simhash16(TextFunctions.tokenize(col(textCol))).as("simhash"))
+  /** SimHash dedup: `nBits`-bit fingerprint per doc (default 60 — real
+    * near-dup width; identical fingerprints are near-dup buckets, and
+    * Hamming-close fingerprints can be banded like MinHash).
+    *
+    * Staged as three projections so each token is md5-hashed ONCE and
+    * packed into a per-token bit mask ONCE; the per-bit vote sums then
+    * touch only shift/mask integer ops. (A single nested expression would
+    * re-evaluate the hash per bit — 60× the md5 work; CollapseProject
+    * keeps these stages separate because the intermediate is expensive
+    * and multiply-referenced.) Bit semantics identical to
+    * [[TextFunctions.simhashBits]]. */
+  def simhashBuckets(docs: DataFrame, idCol: String, textCol: String,
+      nBits: Int = 60): DataFrame = {
+    require(nBits >= 1 && nBits <= 60, "sign-safe long supports up to 60 bits")
+    val hexChars = lit("0123456789abcdef")
+    docs
+      .select(col(idCol).as("doc_id"),
+        array_distinct(TextFunctions.tokenize(col(textCol))).as("toks"))
+      // one 64-hex-char hash string per token: md5(t) ++ md5("1:"+t)
+      .select(col("doc_id"), transform(col("toks"),
+        t => concat(md5(t), md5(concat(lit("1:"), t)))).as("hashes"))
+      // per-token packed mask: bit b = parity of hex char b+1
+      .select(col("doc_id"), transform(col("hashes"), h =>
+        (0 until nBits).map { b =>
+          when((call_function("locate", substring(h, b + 1, 1), hexChars) - 1) % 2 === 1,
+            lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)).as("packed"))
+      // per-bit vote: 2 * (#tokens with bit set) - #tokens > 0
+      .select(col("doc_id"),
+        (0 until nBits).map { b =>
+          val votes = aggregate(col("packed"), lit(0L),
+            (acc, p) => acc + shiftright(p, b).bitwiseAND(lit(1L)) * 2 - 1)
+          when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -42,6 +42,51 @@ object Similarity {
       .filter(col("rank") <= k)
       .withColumn("cosine", cosine(col("v_query"), col("v_corpus")))
       .select("query_id", "rank", "corpus_id", "dot_q", "cosine")
+  }
+
+  /** IVF (inverted-file) ANN — the scale path beyond sign-bit LSH: a
+    * centroid table partitions the corpus into cells (assignment =
+    * argmin exact-quantized squared L2 against the broadcast centroids, a
+    * map-side one-pass min-of-struct, no shuffle); each query probes its
+    * `nprobe` nearest cells and exact re-ranks only those cells'
+    * vectors. At 100 TB the cell id is the corpus partition key: with C
+    * cells a query touches nprobe/C of the data (vs 9/2^nBits for the
+    * Hamming-1 LSH probe set), and C grows with the corpus while the
+    * centroid table stays broadcastable. Centroid *training* (k-means) is
+    * an offline job; any centroid relation works — tests and queries use
+    * a deterministic corpus subsample. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cent_id"),
+      quantize(col(vecCol)).as("q_cent"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (s, v) => s + v)
+    // cell assignment: min (dist, cent_id) struct per corpus vector —
+    // lexicographic min gives the deterministic nearest-centroid tie-break
+    val cells = corpus.select(col(idCol).as("corpus_id"),
+        quantize(col(vecCol)).as("q_corpus"))
+      .crossJoin(broadcast(cents))
+      .groupBy(col("corpus_id"))
+      .agg(
+        min(struct(sqDist(col("q_corpus"), col("q_cent")).as("d"),
+          col("cent_id"))).getField("cent_id").as("cell"),
+        first(col("q_corpus")).as("q_corpus"))
+    // query probes: nprobe nearest centroids each (query set is small —
+    // a rank window over Q x C rows)
+    val qd = queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("q_query"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", sqDist(col("q_query"), col("q_cent")))
+    val pw = Window.partitionBy("query_id").orderBy(col("d").asc, col("cent_id").asc)
+    val probes = qd.withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_query"), col("cent_id").as("cell"))
+    val scored = cells.join(broadcast(probes), "cell")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("dot_q", dotExact(col("q_query"), col("q_corpus")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot_q").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "dot_q")
   }
 
   /** LSH-bucketed ANN: corpus is bucketed by the sign pattern of the first

@@ -73,6 +73,20 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN: centroid cells + nprobe probing + exact re-rank — the
+    * 100-TB scale path (cell = partition key; see Similarity.ivfTopK).
+    * Centroids = a deterministic corpus subsample standing in for
+    * offline k-means output. */
+  def q33SimilarityIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 16),
+      e.filter(col("vec_id") % 31 === 5), "vec_id", "embedding",
+      k = 10, nprobe = 2)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), col("dot_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Token statistics (whitespace + BPE-ish subword split estimate). */
   def q25TokenStats(spark: SparkSession, dir: String): DataFrame =
     TextMetrics.tokenStats(docs(spark, dir), "doc_id", "text")
@@ -112,6 +126,7 @@ object PipelineQueries {
     "q22_simhash" -> q22Simhash,
     "q23_similarity_brute" -> q23SimilarityBrute,
     "q24_similarity_lsh" -> q24SimilarityLsh,
+    "q33_similarity_ivf" -> q33SimilarityIvf,
     "q25_token_stats" -> q25TokenStats,
     "q26_quality" -> q26Quality,
     "q27_langid" -> q27LangId,
@@ -187,9 +202,10 @@ object PipelineQueries {
         |bits AS (
         |  SELECT doc_id, g.b AS b,
         |    sum(CASE WHEN (strpos('0123456789abcdef',
-        |          substr(md5(tok), g.b + 1, 1)) - 1) % 2 = 1
+        |          substr(CASE WHEN g.b < 32 THEN md5(tok)
+        |                 ELSE md5('1:' || tok) END, g.b % 32 + 1, 1)) - 1) % 2 = 1
         |        THEN 1 ELSE -1 END) AS s
-        |  FROM ex CROSS JOIN generate_series(0, 15) g(b)
+        |  FROM ex CROSS JOIN generate_series(0, 59) g(b)
         |  GROUP BY 1, 2)
         |SELECT doc_id,
         |  sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
@@ -240,6 +256,48 @@ object PipelineQueries {
         |exp AS (
         |  SELECT cand.query_id, cand.corpus_id,
         |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
+        |  FROM cand
+        |  JOIN v q ON q.vec_id = cand.query_id
+        |  JOIN v c ON c.vec_id = cand.corpus_id),
+        |dots AS (
+        |  SELECT query_id, corpus_id, sum(qx * cx)::BIGINT AS dot_q
+        |  FROM exp GROUP BY 1, 2)
+        |SELECT query_id, rank, corpus_id, dot_q FROM (
+        |  SELECT query_id, corpus_id, dot_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot_q DESC, corpus_id) AS rank
+        |  FROM dots)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q33_similarity_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, qv AS cv FROM v WHERE vec_id % 31 = 5),
+        |exp0 AS (
+        |  SELECT a.vec_id, c.cent_id, unnest(a.qv) AS qx, unnest(c.cv) AS cx
+        |  FROM v a CROSS JOIN cents c),
+        |cd AS (
+        |  SELECT vec_id, cent_id, sum((qx-cx)*(qx-cx))::BIGINT AS d
+        |  FROM exp0 GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT vec_id AS corpus_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+        |    FROM cd)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+        |    FROM cd WHERE vec_id < 16)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.query_id, cl.corpus_id
+        |  FROM probes p JOIN cells cl ON cl.cell = p.cell
+        |  WHERE cl.corpus_id <> p.query_id),
+        |exp AS (
+        |  SELECT cand.query_id, cand.corpus_id, unnest(q.qv) AS qx, unnest(c.qv) AS cx
         |  FROM cand
         |  JOIN v q ON q.vec_id = cand.query_id
         |  JOIN v c ON c.vec_id = cand.corpus_id),

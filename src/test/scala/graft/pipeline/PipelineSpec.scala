@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextFunctions
+
+/** Dedup / similarity pipeline invariants. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("staged simhashBuckets equals the expression-level simhashBits") {
+    val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "delta epsilon"),
+      (3L, "zeta"), (4L, "alpha beta gamma alpha")).toDF("doc_id", "text")
+    val staged = Dedup.simhashBuckets(docs, "doc_id", "text", nBits = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = docs.select(col("doc_id"),
+      TextFunctions.simhashBits(TextFunctions.tokenize(col("text")), 60).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(staged == direct)
+    // identical texts share a fingerprint; all fingerprints sign-safe
+    assert(staged(1L) == staged(4L))
+    assert(staged.values.forall(_ >= 0L))
+  }
+
+  test("IVF cells partition the corpus; probing own cell finds in-cell neighbours") {
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(8)(math.floor(rnd.nextGaussian() * 1000) / 1000.0f)
+    val corpus = (0L until 60L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val cents = corpus.filter(col("vec_id") % 17 === 3)
+    val top = Similarity.ivfTopK(corpus, queries, cents, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    val rows = top.collect()
+    assert(rows.nonEmpty)
+    // ranks are 1..k per query, no self matches
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    for ((q, rs) <- byQ) {
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      assert(rs.forall(_.getAs[Long]("corpus_id") != q))
+    }
+    // determinism: same plan, same result
+    val again = Similarity.ivfTopK(corpus, queries, cents, "vec_id", "embedding",
+      k = 5, nprobe = 2).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+}
