@@ -67,6 +67,60 @@ object TextMetrics {
     docs.select(col(idCol), detected.as("detected_lang"))
   }
 
+  /** Character-trigram language profiles for [[langIdNgram]] — integer
+    * weights (exact sums). Common trigrams per language; overlaps between
+    * languages are realistic and resolved by total weight. Any
+    * (lang, ngram, weight) relation can replace this fixture (e.g. one
+    * trained offline from per-language corpora). */
+  val trigramProfiles: Seq[(String, String, Long)] = Seq(
+    ("en", "the", 30L), ("en", " th", 20L), ("en", "he ", 20L),
+    ("en", "ing", 15L), ("en", "and", 15L), ("en", "ion", 10L),
+    ("en", " of", 12L), ("en", "of ", 10L), ("en", " to", 10L),
+    ("en", "is ", 10L), ("en", " is", 8L), ("en", "er ", 8L),
+    ("de", "der", 20L), ("de", "und", 20L), ("de", "ein", 15L),
+    ("de", "sch", 15L), ("de", "ich", 15L), ("de", "die", 15L),
+    ("de", "en ", 15L), ("de", "ch ", 10L), ("de", " de", 10L),
+    ("de", "nd ", 10L),
+    ("fr", "le ", 15L), ("fr", " le", 12L), ("fr", "que", 15L),
+    ("fr", " qu", 10L), ("fr", " de", 15L), ("fr", "es ", 10L),
+    ("fr", "ent", 10L), ("fr", "eur", 8L), ("fr", "ais", 8L),
+    ("es", "de ", 12L), ("es", " de", 12L), ("es", "os ", 15L),
+    ("es", "la ", 15L), ("es", " la", 12L), ("es", "que", 12L),
+    ("es", "ado", 10L), ("es", "ar ", 10L), ("es", "el ", 12L),
+    ("es", "cio", 8L))
+
+  /** M1 (n-gram profile variant) — the reference's cybozu langdetect is a
+    * character-n-gram naive Bayes over per-language profile files
+    * (TweetIndexBolt.java:96-125), seed-nondeterministic; this is its
+    * deterministic relational form: text → character trigrams → broadcast
+    * join against a (lang, ngram, weight) profile relation →
+    * per-(doc, lang) weight sum → argmax (ties by lang asc, no hits →
+    * 'und'). The profile broadcasts; scoring is a map-side join plus one
+    * aggregation keyed by doc — scan-speed at any corpus size. */
+  def langIdNgram(docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lowered = lower(col(textCol))
+    // sequence(1, n) with n < 1 would generate a DESCENDING sequence in
+    // Spark — guard short texts explicitly
+    val grams = docs.select(col(idCol),
+      explode(when(length(lowered) >= 3,
+        transform(sequence(lit(1), length(lowered) - 2),
+          i => lowered.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))).as("ngram"))
+    val byLang = grams.join(broadcast(profiles), "ngram")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(col("weight")).as("score"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("lang").asc)
+    val top = byLang.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("lang"), col("score"))
+    docs.select(col(idCol)).join(top, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lang"), lit("und")).as("detected_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
   /** Document fingerprint: md5 plus a 15-hex-digit numeric fingerprint
     * (engine-portable); the rolling-hash variant lives in
     * [[TextFunctions.fingerprint]]. */

@@ -105,6 +105,15 @@ object PipelineQueries {
     TextMetrics.detectLanguage(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Language ID via character-trigram profiles (M1's real shape:
+    * profile-relation broadcast join + per-doc argmax). */
+  def q34LangIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val profiles = TextMetrics.trigramProfiles.toDF("lang", "ngram", "weight")
+    TextMetrics.langIdNgram(docs(spark, dir), "doc_id", "text", profiles)
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting: md5 + numeric 60-bit fingerprint. */
   def q28Fingerprints(spark: SparkSession, dir: String): DataFrame =
     TextMetrics.fingerprints(docs(spark, dir), "doc_id", "text")
@@ -130,6 +139,7 @@ object PipelineQueries {
     "q25_token_stats" -> q25TokenStats,
     "q26_quality" -> q26Quality,
     "q27_langid" -> q27LangId,
+    "q34_langid_ngram" -> q34LangIdNgram,
     "q28_fingerprints" -> q28Fingerprints,
     "q29_multimodal" -> q29Multimodal)
 
@@ -357,6 +367,30 @@ object PipelineQueries {
         |    WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
         |    ELSE 'es' END AS detected_lang
         |FROM hits ORDER BY doc_id""".stripMargin,
+    "q34_langid_ngram" -> {
+      val profileValues = TextMetrics.trigramProfiles
+        .map { case (l, g, w) => s"('$l', '$g', $w)" }.mkString(", ")
+      s"""WITH profiles(lang, ngram, weight) AS (VALUES $profileValues),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN length(lower(text)) >= 3
+        |    THEN list_transform(generate_series(1, length(lower(text)) - 2),
+        |         i -> substr(lower(text), i, 3))
+        |    ELSE []::VARCHAR[] END) AS ngram
+        |  FROM documents),
+        |by_lang AS (
+        |  SELECT doc_id, lang, sum(weight)::BIGINT AS score
+        |  FROM g JOIN profiles USING (ngram) GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, lang, score FROM (
+        |    SELECT doc_id, lang, score,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, lang) AS rn
+        |    FROM by_lang) WHERE rn = 1)
+        |SELECT d.doc_id, coalesce(t.lang, 'und') AS detected_lang,
+        |  coalesce(t.score, 0)::BIGINT AS score
+        |FROM documents d LEFT JOIN top t USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    },
     "q28_fingerprints" ->
       """SELECT doc_id, md5(text) AS md5,
         |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint64

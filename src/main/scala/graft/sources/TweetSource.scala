@@ -76,6 +76,21 @@ object TweetSource {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** S4 — per-micro-batch JSON debug dump: the Spark form of the bolts'
+    * debug file sinks (DiscussionTreeBolt.java:162-165,
+    * RoleAnalysisBolt.java:111-120, TopicModelBolt.java:112-128). Each
+    * batch serializes every column to one JSON line (T7) under
+    * `dir/batch=<id>`. Caller starts the returned query. */
+  def debugJsonSink(df: DataFrame, dir: String, checkpoint: String) =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .select(to_json(struct(batch.columns.map(col).toIndexedSeq: _*)).as("value"))
+          .write.mode("overwrite").text(s"$dir/batch=$id")
+      }
+
   /** F1 — drop Twitter delete events (no `created_at`):
     * DiscussionTreeBolt.java:97-99. */
   def dropDeletes(tweets: DataFrame): DataFrame =

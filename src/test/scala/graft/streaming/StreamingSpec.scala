@@ -79,4 +79,31 @@ class StreamingSpec extends AnyFunSuite {
     val batches = query.recentProgress.count(_.numInputRows > 0)
     assert(batches >= 3, s"expected >=3 micro-batches, saw $batches")
   }
+
+  test("debug JSON file sink dumps every batch as JSON lines (S4/T7)") {
+    val inDir = Files.createTempDirectory("tweets_dbg_in")
+    val outDir = Files.createTempDirectory("tweets_dbg_out")
+    def tweet(id: Int): String =
+      s"""{"created_at":"Mon Jan 01 00:00:${f"$id%02d"} +0000 2024","id_str":"t$id",""" +
+        s""""text":"hello $id","user":{"id_str":"u$id","screen_name":"s$id"}}"""
+    for (f <- 0 until 2)
+      Files.write(inDir.resolve(s"p$f.json"),
+        (0 until 4).map(i => tweet(f * 4 + i)).mkString("\n").getBytes)
+
+    val stream = TweetSource.readStreamJsonLines(spark, inDir.toString,
+      maxFilesPerTrigger = 1)
+    val query = TweetSource.debugJsonSink(
+      TweetSource.normalized(stream).select("tweet_id", "author_id", "text"),
+      outDir.toString,
+      Files.createTempDirectory("dbg_ckpt").toString).start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    val dumped = spark.read.text(outDir.toString + "/batch=*")
+      .collect().map(_.getString(0))
+    assert(dumped.length == 8)
+    // every line is the T7 JSON of the projected columns
+    assert(dumped.forall(l => l.startsWith("""{"tweet_id":"t""") &&
+      l.contains(""""text":"hello """)))
+  }
 }
