@@ -25,7 +25,10 @@ object Tables {
       // spark.sql.legacy.parquet.nanosAsLong=true it arrives as Long.
       // Integral `div` (not floor of a double division): ns-epoch longs
       // exceed double's 53-bit mantissa, so float division can be off by
-      // 1us — `div` matches DuckDB's nanos→micros truncation bit-exactly.
+      // 1us — `div` matches DuckDB's nanos→micros truncation bit-exactly
+      // for the driver data's non-negative epochs. (Pre-1970 nanos would
+      // need floor-division: `div` truncates toward zero while DuckDB
+      // floors, a 1us divergence on negative values.)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }

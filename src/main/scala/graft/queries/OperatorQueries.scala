@@ -247,6 +247,25 @@ object OperatorQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** A2 (verbose + flat array forms) — the interaction graph's nested
+    * outputs: per (author, action) the full timestamped interaction list
+    * as JSON (arrays hash differently across engines; JSON strings do
+    * not) and the sorted distinct target set. Timestamps are
+    * pre-formatted so the struct sort and the JSON bytes are
+    * engine-portable. */
+  def q35InteractionGraph(spark: SparkSession, dir: String): DataFrame = {
+    val inter = InteractionGraph.interactions(normalizedEvents(spark, dir))
+      .withColumn("ts", tsStr(col("ts")))
+    val verbose = InteractionGraph.verboseGraph(inter)
+      .select(col("author_id"), col("action"),
+        to_json(col("interactions")).as("verbose_json"))
+    val flat = InteractionGraph.flatGraph(inter)
+      .select(col("author_id"), col("action"),
+        array_join(col("targets"), ",").as("targets"))
+    verbose.join(flat, Seq("author_id", "action"))
+      .orderBy(col("author_id"), col("action"))
+  }
+
   /** S7/F4/A10 — the trainer's corpus-build path over the documents
     * table: deterministic per-doc coordinates (some zero, so the F4
     * filter drops real rows) → T4 token cleanup → "lat lon text" lines
@@ -277,7 +296,8 @@ object OperatorQueries {
     "q18_punctuation_window" -> q18PunctuationWindow,
     "q30_tree_assembly" -> q30TreeAssembly,
     "q31_topic_model_matrix" -> q31TopicModelMatrix,
-    "q32_trainer_corpus" -> q32TrainerCorpus)
+    "q32_trainer_corpus" -> q32TrainerCorpus,
+    "q35_interaction_graph" -> q35InteractionGraph)
 
   /** Oracle mirror of [[TweetSource.eventsAsTweetJson]]: the events table
     * reinterpreted as tweets (second-truncated timestamps — the Twitter
@@ -758,6 +778,32 @@ object OperatorQueries {
         |FROM step WHERE flush_start IS NOT NULL
         |ORDER BY key, window_start""".stripMargin,
     "q30_tree_assembly" -> treeAssemblyOracle,
+    "q35_interaction_graph" ->
+      s"""$eventsCte,
+         |inter AS (
+         |  SELECT author_id, 'replied_to' AS action,
+         |    (CASE WHEN k % 10 = 7 THEN 100 + k % 25
+         |     ELSE k % 25 END)::VARCHAR AS target,
+         |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         |  FROM live WHERE event_type IN ('signup','error') AND k IS NOT NULL AND k < event_id
+         |  UNION ALL
+         |  SELECT author_id, 'mentioned', (k % 25)::VARCHAR,
+         |    strftime(ts, '%Y-%m-%d %H:%M:%S')
+         |  FROM live WHERE event_type IN ('click','view') AND k IS NOT NULL
+         |  UNION ALL
+         |  SELECT author_id, 'mentioned', ((k * 3 + 1) % 25)::VARCHAR,
+         |    strftime(ts, '%Y-%m-%d %H:%M:%S')
+         |  FROM live WHERE event_type IN ('click','view') AND k IS NOT NULL
+         |  UNION ALL
+         |  SELECT author_id, 'retweeted', (k % 25)::VARCHAR,
+         |    strftime(ts, '%Y-%m-%d %H:%M:%S')
+         |  FROM live WHERE event_type = 'purchase' AND k IS NOT NULL AND k < event_id)
+         |SELECT author_id, action,
+         |  '[' || string_agg('{"ts":"' || ts_s || '","user_id":"' || target || '"}',
+         |    ',' ORDER BY ts_s, target) || ']' AS verbose_json,
+         |  array_to_string(list_sort(list_distinct(list(target))), ',') AS targets
+         |FROM inter GROUP BY author_id, action
+         |ORDER BY author_id, action""".stripMargin,
     "q32_trainer_corpus" ->
       """WITH f AS (
         |  SELECT doc_id, (doc_id*3)%181 - 90 AS lat, (doc_id*7)%361 - 180 AS lon,
