@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Column-level text/timestamp primitives: T1 parse, T4/T2 token
+  * pipeline, T5/T6/T10 formatting, shingles and hashes. */
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).getAs[T]("r")
+
+  test("T1: Twitter timestamp format round-trips through parse") {
+    val df = Seq("Mon Feb 29 23:59:59 +0000 2016", "Wed Jan 01 00:00:00 +0000 2020")
+      .toDF("s")
+    val back = df.select(
+      TextFunctions.formatTwitterTime(
+        TextFunctions.parseTwitterTime(col("s"))).as("r"))
+      .as[String].collect()
+    assert(back.toSeq == Seq("Mon Feb 29 23:59:59 +0000 2016",
+      "Wed Jan 01 00:00:00 +0000 2020"))
+  }
+
+  test("T2 index terms: tokenize, drop 1-char, drop stopwords, stem — keeps duplicates") {
+    val got = Seq("The Table tables a of TABLE x")
+      .toDF("t").select(TextFunctions.indexTerms(col("t")).as("r"))
+      .as[Seq[String]].head()
+    // 'the'/'of' stopwords, 'a'/'x' short; 'table'/'tables' both stem to
+    // 'tabl' and BOTH occurrences survive
+    assert(got == Seq("tabl", "tabl", "tabl"))
+  }
+
+  test("T5/T6: lon,lat string and lat-first WKT") {
+    assert(one[String](TextFunctions.lonLat(lit(7.25), lit(-50.5))) == "7.25,-50.5")
+    assert(one[String](TextFunctions.wktPointLatFirst(lit(50), lit(7))) == "POINT(50 7)")
+  }
+
+  test("T10: screen-name whitespace cleanup") {
+    assert(one[String](TextFunctions.cleanUserName(lit("u 1 2\t3"))) == "u123")
+  }
+
+  test("shingles: sliding n-grams, whole-text fallback under n tokens") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextFunctions.shingles(TextFunctions.tokenize(col("t")), 3).as("r"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextFunctions.shingles(TextFunctions.tokenize(col("t")), 3).as("r"))
+      .as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash signature is the min salted md5 and varies with salt") {
+    val sh = array(lit("x"), lit("y"))
+    val s0 = one[String](TextFunctions.minhashSig(sh, 0))
+    val s1 = one[String](TextFunctions.minhashSig(sh, 1))
+    // deterministic, matches a direct computation
+    val md5s0 = Seq("0:x", "0:y").map(s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString)
+    assert(s0 == md5s0.min)
+    assert(s0 != s1)
+  }
+
+  test("fingerprint: first 15 md5 hex chars as a long, non-negative") {
+    val f = one[Long](TextFunctions.fingerprint(lit("hello")))
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes).map("%02x".format(_)).mkString
+    assert(f == java.lang.Long.parseLong(md5hex.take(15), 16))
+    assert(f >= 0L)
+  }
+}
