@@ -5,12 +5,21 @@ package graft
   * every output column (a bare count() would let Catalyst drop the
   * top-level sorts the oracles pay for). Failed queries report their
   * elapsed time AND are listed in "failed" so a crash is never mistaken
-  * for a fast run. */
+  * for a fast run.
+  *
+  * Before timing, every input table is scanned once (count) so the first
+  * measured query doesn't absorb one-time costs — parquet footer reads,
+  * FS cache population, executor/codegen warm-up — that no steady-state
+  * deployment pays per query. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Tables.session(s"local[$cpus]", cpus)
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case _: Throwable => () } // missing table: the query will report
+    }
     var failed = List.empty[String]
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -84,7 +84,10 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleN)
+    // cached: signatures, both sides of the verify join, and the size
+    // lookup all scan the shingle sets — uncached, the tokenize+shingle
+    // pipeline would replay once per consumer
+    val sh = shingleSets(docs, idCol, textCol, shingleN).cache()
     val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
     jaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
