@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -32,14 +32,24 @@ object RoleAnalysis {
     "inDegreeRatio", "postsReplyRatio", "stddevPostsPerThread",
     "threadInitiationRatio")
 
+  /** Window prefix of a "<window>:<id>" scoped id ([[rolesWindowed]]). */
+  private def winOf(c: Column): Column = substring_index(c, ":", 1)
+
   /** A4 — the 17-feature per-user aggregate over a community of
     * `nodes(node_id, user_id, parent_id, root_id)`.
     *
     * The Twitter path never sets DiscussionNode.type, so question/answer/
     * comment counts are identically zero and therefore
     * threadInitiationRatio = avgCommentsPerPost = avgRepliesPerQuestion = 0
-    * (SURVEY.md §2.5 A4 — preserved faithfully; do NOT "fix"). */
-  def userFeatures(nodes: DataFrame, minContributions: Int = 1): DataFrame = {
+    * (SURVEY.md §2.5 A4 — preserved faithfully; do NOT "fix").
+    *
+    * `windowed = true` treats ids as "<window>:<id>" (see
+    * [[rolesWindowed]]): every per-user aggregation is automatically
+    * window-scoped because the prefixed ids are window-unique; only |U|
+    * (the inDegreeRatio denominator) needs explicit per-window
+    * computation. */
+  def userFeatures(nodes: DataFrame, minContributions: Int = 1,
+      windowed: Boolean = false): DataFrame = {
     val base = nodes.select("node_id", "user_id", "parent_id", "root_id")
 
     // parent author per node. Cached: n1 self-joins into the edge view and
@@ -63,9 +73,14 @@ object RoleAnalysis {
 
     // |U| as a broadcast 1-row aggregate cross-joined in at the end — NOT a
     // driver-side .first() action, which would execute the whole upstream
-    // once per plan construction and block pipelining at scale.
-    val totalUsers = base.agg(
-      countDistinct("user_id").cast("double").as("total_users"))
+    // once per plan construction and block pipelining at scale. In
+    // windowed mode it is a per-window aggregate joined on the prefix.
+    val totalUsers =
+      if (windowed)
+        base.groupBy(winOf(col("user_id")).as("w"))
+          .agg(countDistinct("user_id").cast("double").as("total_users"))
+      else
+        base.agg(countDistinct("user_id").cast("double").as("total_users"))
 
     val posts = base.groupBy("user_id").agg(count(lit(1)).as("postCount"))
     val replied = e.groupBy(col("p_uid")).agg(
@@ -96,7 +111,11 @@ object RoleAnalysis {
       .join(bidir.withColumnRenamed("p_uid", "user_id"), Seq("user_id"), "left")
       .join(neighbours.withColumnRenamed("u", "user_id"), Seq("user_id"), "left")
       .join(userTrees, Seq("user_id"), "left")
-      .crossJoin(broadcast(totalUsers))
+      .transform { d =>
+        if (windowed)
+          d.withColumn("w", winOf(col("user_id"))).join(totalUsers, "w").drop("w")
+        else d.crossJoin(broadcast(totalUsers))
+      }
       .na.fill(0L, Seq("repliedPosts", "replyingUserCount", "bidirThreadCount",
         "bidirUserCount", "neighbourCount", "discussionCount", "sumSize", "sumSize2"))
       .filter(col("postCount") >= lit(minContributions))
@@ -135,12 +154,14 @@ object RoleAnalysis {
     * IndexOutOfBounds) is clamped to the last element — documented
     * deviation that only fires where the reference cannot run at all.
     * Input: long format (feature STRING, value DOUBLE). */
-  def tertileBoundaries(featureValues: DataFrame): DataFrame = {
-    val w = Window.partitionBy("feature").orderBy("value")
+  def tertileBoundaries(featureValues: DataFrame,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = "feature" +: extraKeys
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("value")
     val ranked = featureValues
       .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("feature")))
-    ranked.groupBy("feature").agg(
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    ranked.groupBy(keys.map(col): _*).agg(
       ((max(when(col("rn") === least(floor(col("n") / 3) + 1, col("n")), col("value"))) +
         max(when(col("rn") === least(floor(col("n") / 3) + 2, col("n")), col("value")))) / 2.0)
         .as("low_mid"),
@@ -159,12 +180,18 @@ object RoleAnalysis {
   /** A5 levels: join each (user, feature, value) against its boundaries.
     * The feature frame is one row per user (tiny even at 100 TB of posts)
     * but expensive to produce — cache it so the melt→boundaries→levels
-    * path and the final join don't replay the whole feature DAG. */
-  def withLevels(featuresIn: DataFrame): DataFrame = {
+    * path and the final join don't replay the whole feature DAG.
+    * Windowed mode trains boundaries per "<window>:" user-id prefix (the
+    * reference trains Boundaries over the users of ONE window's
+    * community). */
+  def withLevels(featuresIn: DataFrame, windowed: Boolean = false): DataFrame = {
     val features = featuresIn.cache()
-    val melted = meltFeatures(features)
-    val bounds = tertileBoundaries(melted)
-    val lvl = melted.join(bounds, "feature")
+    val melted0 = meltFeatures(features)
+    val melted =
+      if (windowed) melted0.withColumn("w", winOf(col("user_id"))) else melted0
+    val boundKeys = if (windowed) Seq("w") else Nil
+    val bounds = tertileBoundaries(melted, boundKeys)
+    val lvl = melted.join(bounds, "feature" +: boundKeys)
       .withColumn("level",
         when(col("value") <= col("low_mid"), "low")
           .when(col("value") <= col("mid_high"), "med")
@@ -203,4 +230,15 @@ object RoleAnalysis {
   /** M4 — full composition: nodes → features → levels → roles. */
   def roles(nodes: DataFrame, minContributions: Int = 1): DataFrame =
     assignRoles(withLevels(userFeatures(nodes, minContributions)))
+
+  /** M4, per-window: every node/user id carries a "<window>:" prefix
+    * (see [[graft.runner.Topologies]]), so user-level aggregations are
+    * window-scoped by key construction, and |U| + tertile boundaries are
+    * computed per window — each flushed window is an independent
+    * community, exactly the reference's per-flush RoleAnalysisBolt run,
+    * but all windows compute in one shuffle-parallel plan instead of a
+    * driver loop. */
+  def rolesWindowed(nodes: DataFrame, minContributions: Int = 1): DataFrame =
+    assignRoles(withLevels(
+      userFeatures(nodes, minContributions, windowed = true), windowed = true))
 }

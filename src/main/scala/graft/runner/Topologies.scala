@@ -1,0 +1,130 @@
+package graft.runner
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DiscussionTree, InteractionGraph, Lod, RoleAnalysis, TopicModel}
+import graft.pipeline.TextMetrics
+import graft.sources.TweetSource
+import graft.streaming.PunctuationWindow
+
+/** The reference's topology entry points (SURVEY.md §3) as composable
+  * query builders — what a westTopologies user actually runs. Each takes
+  * a tweet-shaped DataFrame (the [[TweetSource.tweetSchema]] columns,
+  * from any source: Kafka, JSON-lines files, a stream) and returns the
+  * topology's output relation.
+  *
+  * Windowing: the role-analysis and interaction-graph topologies buffer
+  * into the reference's first-event-aligned punctuation windows (W1-W3)
+  * and process each flushed window as an independent community. Window
+  * membership is materialized by the [[PunctuationWindow]] fold; the
+  * per-window community operators then run as ONE shuffle-parallel plan
+  * over all windows (ids carry a "<windowStartMicros>:" prefix, making
+  * every key window-scoped), where the Storm bolts looped one window at
+  * a time on one thread.
+  */
+object Topologies {
+
+  /** Tag each tweet of a flushed window with its window start; tweets of
+    * the trailing unflushed buffer are excluded, exactly like the
+    * reference (it never emits a partial buffer). `keyCol` is the
+    * channel key (the bolt had a single global buffer — use a constant
+    * for strict parity; any key column gives the parallel upgrade). */
+  def windowTags(normalized: DataFrame, windowMicros: Long,
+      keyCol: Option[String] = None): DataFrame = {
+    val keyed = keyCol match {
+      case Some(k) => normalized.withColumn("_wkey", col(k))
+      case None => normalized.withColumn("_wkey", lit("all"))
+    }
+    val ev = PunctuationWindow.fromColumns(keyed, "_wkey", "ts", "tweet_id")
+    PunctuationWindow.toDataFrame(PunctuationWindow.batch(ev, windowMicros))
+      .select(col("window_start"), explode(col("payloads")).as("tweet_id"))
+  }
+
+  private def prefixed(c: org.apache.spark.sql.Column, win: org.apache.spark.sql.Column) =
+    when(c.isNotNull, concat(win, lit(":"), c))
+
+  /** roleAnalysisTopology: tweets → F1 → normalize → W1 windows → per-
+    * window discussion trees (J4) → A3/A4/A5/A6 community roles.
+    * Output: (window_start, user_id, role, postCount, ...). */
+  def roleAnalysis(tweets: DataFrame, windowMicros: Long = 600000000L): DataFrame = {
+    val norm = TweetSource.normalized(tweets)
+    val tagged = norm.join(windowTags(norm, windowMicros), "tweet_id")
+    val win = unix_micros(col("window_start")).cast("string")
+    val scoped = tagged.select(
+      prefixed(col("tweet_id"), win).as("tweet_id"),
+      prefixed(col("author_id"), win).as("author_id"),
+      col("author_screen_name"), col("ts"), col("retweet"),
+      prefixed(col("ancestor_id"), win).as("ancestor_id"),
+      prefixed(col("in_reply_to_user_id_str"), win).as("in_reply_to_user_id_str"),
+      col("in_reply_to_screen_name"))
+    val rooted = DiscussionTree.withRoots(DiscussionTree.nodes(scoped).cache())
+    RoleAnalysis.rolesWindowed(
+      rooted.select("node_id", "user_id", "parent_id", "root_id"))
+      .select(
+        timestamp_micros(substring_index(col("user_id"), ":", 1).cast("long"))
+          .as("window_start"),
+        substring_index(col("user_id"), ":", -1).as("user_id"),
+        col("role"), col("postCount"), col("repliedPosts"),
+        col("replyingUserCount"), col("inDegreeRatio"),
+        col("postsReplyRatio"), col("bidirNeighbourRatio"),
+        col("bidirThreadRatio"), col("avgPostPerThread"),
+        col("stddevPostsPerThread"))
+  }
+
+  /** InteractionGraphBolt (implemented but never wired in the reference —
+    * rebuilt as a first-class query): tweets → F1 → normalize → W1
+    * windows → per-window (author, action) interaction summary. The
+    * author id is window-prefixed through the aggregation (same
+    * window-scoping device as [[roleAnalysis]]) and split back out. */
+  def interactionGraph(tweets: DataFrame, windowMicros: Long = 600000000L): DataFrame = {
+    val norm = TweetSource.normalized(tweets)
+    val tagged = norm.join(windowTags(norm, windowMicros), "tweet_id")
+    val win = unix_micros(col("window_start")).cast("string")
+    val scoped = tagged.withColumn("author_id",
+      concat(win, lit(":"), col("author_id")))
+    InteractionGraph.flatCounts(InteractionGraph.interactions(scoped))
+      .select(
+        timestamp_micros(substring_index(col("author_id"), ":", 1).cast("long"))
+          .as("window_start"),
+        substring_index(col("author_id"), ":", -1).as("author_id"),
+        col("action"), col("screen_name"), col("n_interactions"),
+        col("n_targets"), col("first_ts"), col("last_ts"))
+  }
+
+  /** locationTopicModelTopology: tweets → F1/F2 → language filter (F3) →
+    * T2 stem/tokenize → T3 vocab index → M2 scoring → A9 top-K →
+    * T5 "lon,lat" → F5 key pruning. `vocab` mirrors the pretrained
+    * wordmap side input (S5); pass [[TopicModel.buildVocab]] output to
+    * derive it from a corpus instead. */
+  def locationTopicModel(tweets: DataFrame, vocab: DataFrame,
+      numLocations: Int = 25, topK: Int = 5): DataFrame = {
+    val norm = TweetSource.normalized(tweets)
+      .filter(col("text").isNotNull) // F2
+      .filter(graft.functions.TextFunctions.detectEnglish(col("text"))) // F3
+    val indexed = TopicModel.indexDocs(norm, "tweet_id", "text", vocab, stem = true)
+    val scored = TopicModel.scoreLocations(indexed, "tweet_id", numLocations)
+    TopicModel.topLocations(scored, "tweet_id", topK)
+      .select(col("tweet_id").as("itinno:item_id"), // F5 key pruning
+        col("rank"), col("location"), col("probability"))
+  }
+
+  /** lodExplorerTopology: geoparsed tweet locations → J1 owl:sameAs →
+    * J2 property scan (F9) → T9 naive-Bayes relevance → J3 dereference →
+    * T6 WKT output. Side inputs are snapshot triple tables (SURVEY §2.4).
+    * `locations(tweet_id, lgd_uri)` carries each tweet's geoparse
+    * candidates (the reference reads itinno:loc_set). */
+  def lodExplorer(locations: DataFrame, sameAs: DataFrame,
+      propTriples: DataFrame, placeTriples: DataFrame,
+      nbCounts: DataFrame): DataFrame = {
+    val linked = Lod.sameAsLookup(locations, "lgd_uri", sameAs)
+    val cands = Lod.placeCandidates(linked, "dbpedia_uri", propTriples)
+    val scored = Lod.nbRelevance(
+      cands.select(col("tweet_id"), col("place"), explode(col("properties")).as("property")),
+      Seq("tweet_id", "place"), nbCounts)
+      .filter(col("accepted"))
+    Lod.dereferencePlaces(scored, "place", placeTriples)
+      .select(col("tweet_id"), col("place"), col("label"),
+        graft.functions.TextFunctions.wktPointLatFirst(col("lat"), col("lon")).as("wkt"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.runner
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.TweetSource
+
+/** End-to-end topology builders (§3 entry points) on hand-built tweet
+  * fixtures: per-window role analysis, windowed interaction graph, the
+  * topic-model chain, and the LOD enrichment chain. */
+class TopologiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tweet(id: String, user: String, hhmmss: String,
+      replyTo: String = null, replyUser: String = null,
+      text: String = "the table is fast"): String = {
+    val reply =
+      if (replyTo == null) ""
+      else s""""in_reply_to_status_id_str":"$replyTo",""" +
+        s""""in_reply_to_user_id_str":"$replyUser",""" +
+        s""""in_reply_to_screen_name":"u $replyUser","""
+    s"""{"created_at":"Mon Jan 01 $hhmmss +0000 2024","id_str":"$id",""" +
+      s""""text":"$text",$reply""" +
+      s""""user":{"id_str":"$user","screen_name":"s $user"}}"""
+  }
+
+  /** Two flushed 10-min windows + a trailing (never-emitted) buffer.
+    * w1 = {t1,t2,t3,t4} (t4 is the closing event, included);
+    * w2 = {t5,t6,t7} with t6 replying to an unobserved parent. */
+  private lazy val tweets = {
+    val lines = Seq(
+      tweet("t1", "u1", "00:00:00"),
+      tweet("t2", "u2", "00:01:00", replyTo = "t1", replyUser = "u1"),
+      tweet("t3", "u1", "00:02:00", replyTo = "t2", replyUser = "u2"),
+      tweet("t4", "u3", "00:10:30"), // closes w1, joins w1
+      tweet("t5", "u1", "00:12:00"),
+      tweet("t6", "u2", "00:13:00", replyTo = "gone", replyUser = "u9"),
+      tweet("t7", "u3", "00:25:00"), // closes w2, joins w2
+      tweet("t8", "u1", "00:30:00")) // trailing buffer, never flushed
+    spark.read.schema(TweetSource.tweetSchema).json(lines.toDS())
+  }
+
+  test("roleAnalysis: per-window communities, trailing buffer excluded") {
+    val out = Topologies.roleAnalysis(tweets).cache()
+    val rows = out.collect()
+    val windows = rows.map(_.getAs[java.sql.Timestamp]("window_start")).distinct
+    assert(windows.length == 2)
+    // w1 community: u1, u2, u3 (|U| = 3)
+    val w1 = rows.filter(_.getAs[java.sql.Timestamp]("window_start").toString
+      .contains("00:00:00"))
+    assert(w1.map(_.getAs[String]("user_id")).toSet == Set("u1", "u2", "u3"))
+    val u1w1 = w1.find(_.getAs[String]("user_id") == "u1").get
+    assert(u1w1.getAs[Long]("postCount") == 2) // t1, t3
+    // t2 (u2) replied to u1's t1 -> one replying user over |U|=3
+    assert(u1w1.getAs[Double]("inDegreeRatio") == 1.0 / 3.0)
+    // w2 community includes the dummy-root author u9
+    val w2 = rows.filter(_.getAs[java.sql.Timestamp]("window_start").toString
+      .contains("00:12:00"))
+    assert(w2.map(_.getAs[String]("user_id")).toSet == Set("u1", "u2", "u3", "u9"))
+    // t8's trailing window never flushed: only 2 windows, no 00:30 rows
+    assert(rows.forall(r => !r.getAs[java.sql.Timestamp]("window_start")
+      .toString.contains("00:30:00")))
+  }
+
+  test("interactionGraph: per-window reply actions") {
+    val out = Topologies.interactionGraph(tweets).collect()
+    val w1replies = out.filter(r =>
+      r.getAs[java.sql.Timestamp]("window_start").toString.contains("00:00:00") &&
+        r.getAs[String]("action") == "replied_to")
+    // u2 replied to u1 (t2), u1 replied to u2 (t3)
+    assert(w1replies.map(r => (r.getAs[String]("author_id"),
+      r.getAs[Long]("n_interactions"))).toSet == Set(("u2", 1L), ("u1", 1L)))
+    // screen names are T10-cleaned
+    assert(out.forall(!_.getAs[String]("screen_name").contains(" ")))
+  }
+
+  test("locationTopicModel: english-filtered, indexed, top-k located") {
+    import graft.operators.TopicModel
+    val mixed = spark.read.schema(TweetSource.tweetSchema).json(Seq(
+      tweet("t1", "u1", "00:00:00", text = "the table is fast"),
+      tweet("t2", "u2", "00:01:00", text = "tisch und stuhl und tisch")).toDS())
+    val vocab = TopicModel.buildVocab(
+      mixed.select(col("text")).filter(col("text").isNotNull), "text", stem = true)
+    val out = Topologies.locationTopicModel(mixed, vocab, numLocations = 5, topK = 3)
+      .collect()
+    // the German tweet fails the english stopword-ratio filter (F3)
+    assert(out.map(_.getAs[String]("itinno:item_id")).distinct.toSeq == Seq("t1"))
+    assert(out.length == 3) // top-3 locations
+    assert(out.forall(_.getAs[String]("location").contains(",")))
+  }
+
+  test("lodExplorer: sameAs -> candidates -> relevance -> dereference -> WKT") {
+    val locations = Seq(("t1", "lgd:1"), ("t2", "lgd:99")) // 99: no sameAs
+      .toDF("tweet_id", "lgd_uri")
+    val sameAs = Seq(("dbp:x", "lgd:1")).toDF("subject", "object")
+    val propTriples = Seq(
+      ("dbp:x", "p:near", "plc:1", true),
+      ("dbp:x", "p:name", "X Town", false)) // F9 drops the literal
+      .toDF("subject", "predicate", "object", "object_is_uri")
+    val placeTriples = Seq(
+      ("plc:1", "geo:lat", "50", null),
+      ("plc:1", "geo:long", "7", null),
+      ("plc:1", "rdfs:label", "Place One", "en"),
+      ("plc:1", "rdfs:label", "Ort Eins", "de"))
+      .toDF("subject", "predicate", "object", "lang_tag")
+    val nbCounts = Seq(("p:near", 8.0, 1.0), ("total", 10.0, 5.0))
+      .toDF("property", "rel", "irrel")
+    val out = Topologies.lodExplorer(locations, sameAs, propTriples,
+      placeTriples, nbCounts).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("tweet_id") == "t1")
+    assert(r.getAs[String]("place") == "plc:1")
+    assert(r.getAs[String]("label") == "Place One") // @en only
+    assert(r.getAs[String]("wkt") == "POINT(50 7)")
+  }
+}
