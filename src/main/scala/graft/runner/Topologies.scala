@@ -72,6 +72,56 @@ object Topologies {
         col("stddevPostsPerThread"))
   }
 
+  /** roleAnalysisTopology, streaming form — the reference's actual bolt
+    * wiring: the window stage emits each flushed window's tweets as JSON
+    * (T7, DiscussionTreeBolt.java:152-161), the role stage re-parses
+    * them (T8, RoleAnalysisBolt.java:81-84). Here the punctuation-window
+    * fold runs in flatMapGroupsWithState (checkpointed state across
+    * micro-batches, W6) and each foreachBatch runs the per-window
+    * community pipeline on the flushed windows, appending parquet to
+    * `outDir`. Caller starts the returned query. */
+  def roleAnalysisStream(tweets: DataFrame, windowMicros: Long,
+      outDir: String, checkpoint: String) = {
+    val norm = TweetSource.normalized(tweets)
+    val normSchema = norm.schema
+    val withPayload = norm
+      .withColumn("_wkey", lit("all"))
+      .withColumn("_payload",
+        to_json(struct(normSchema.fieldNames.map(col).toIndexedSeq: _*)))
+    val ev = PunctuationWindow.fromColumns(withPayload, "_wkey", "ts", "_payload")
+    PunctuationWindow.streaming(ev, windowMicros).toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val tagged = batch
+            .select(col("startMicros"), explode(col("payloads")).as("json"))
+            .select(col("startMicros").cast("string").as("win"),
+              from_json(col("json"), normSchema).as("t"))
+            .select(col("win"), col("t.*"))
+          val scoped = tagged.select(
+            prefixed(col("tweet_id"), col("win")).as("tweet_id"),
+            prefixed(col("author_id"), col("win")).as("author_id"),
+            col("author_screen_name"), col("ts"), col("retweet"),
+            prefixed(col("ancestor_id"), col("win")).as("ancestor_id"),
+            prefixed(col("in_reply_to_user_id_str"), col("win"))
+              .as("in_reply_to_user_id_str"),
+            col("in_reply_to_screen_name"))
+          val rooted = DiscussionTree.withRoots(
+            DiscussionTree.nodes(scoped).cache())
+          RoleAnalysis.rolesWindowed(
+            rooted.select("node_id", "user_id", "parent_id", "root_id"))
+            .select(
+              timestamp_micros(substring_index(col("user_id"), ":", 1).cast("long"))
+                .as("window_start"),
+              substring_index(col("user_id"), ":", -1).as("user_id"),
+              col("role"), col("postCount"), col("inDegreeRatio"))
+            .write.mode("append").parquet(outDir)
+        }
+      }
+  }
+
   /** InteractionGraphBolt (implemented but never wired in the reference —
     * rebuilt as a first-class query): tweets → F1 → normalize → W1
     * windows → per-window (author, action) interaction summary. The

@@ -91,6 +91,44 @@ class TopologiesSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[String]("location").contains(",")))
   }
 
+  test("roleAnalysisStream matches the batch topology across micro-batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lines = Seq(
+      tweet("t1", "u1", "00:00:00"),
+      tweet("t2", "u2", "00:01:00", replyTo = "t1", replyUser = "u1"),
+      tweet("t3", "u1", "00:02:00", replyTo = "t2", replyUser = "u2"),
+      tweet("t4", "u3", "00:10:30"),
+      tweet("t5", "u1", "00:12:00"),
+      tweet("t6", "u2", "00:13:00", replyTo = "gone", replyUser = "u9"),
+      tweet("t7", "u3", "00:25:00"),
+      tweet("t8", "u1", "00:30:00"))
+    val stream = MemoryStream[String]
+    val streamTweets = stream.toDS()
+      .select(from_json(col("value"), TweetSource.tweetSchema).as("m"))
+      .select("m.*")
+    val outDir = Files.createTempDirectory("roles_out").toString
+    val query = Topologies.roleAnalysisStream(streamTweets, 600000000L,
+      outDir, Files.createTempDirectory("roles_ckpt").toString).start()
+    try {
+      // three micro-batches: window state must survive across them (W6)
+      lines.grouped(3).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("window_start", "user_id", "role", "postCount", "inDegreeRatio")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Topologies.roleAnalysis(tweets)
+      .select("window_start", "user_id", "role", "postCount", "inDegreeRatio")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("lodExplorer: sameAs -> candidates -> relevance -> dereference -> WKT") {
     val locations = Seq(("t1", "lgd:1"), ("t2", "lgd:99")) // 99: no sameAs
       .toDF("tweet_id", "lgd_uri")
