@@ -152,6 +152,60 @@ object TopicModel {
       col("score") / sum(col("score")).over(total))
   }
 
+  /** M2 (seeded-Gibbs variant) — the reference's actual inference shape:
+    * per-token topic assignments resampled for `iters` sweeps against the
+    * broadcast matrices, then per-location scores from the doc's topic
+    * counts (jar:jgibblda.PredictLocation). The reference's `Math.random`
+    * is unseeded (bit-parity impossible by construction, SURVEY §2.6);
+    * here the RNG is seeded per document from (seed, doc id), so results
+    * are identical across partitionings, retries and cluster sizes —
+    * the determinism discipline that makes stochastic inference safe in
+    * a distributed engine. Not SQL-expressible: the driver records a
+    * rows-only check for its query; unit tests pin determinism. */
+  def scoreLocationsGibbs(indexed: DataFrame, idCol: String, model: GeoModel,
+      seed: Long = 42L, iters: Int = 5): DataFrame = {
+    val bc = indexed.sparkSession.sparkContext.broadcast(model)
+    val gibbs = udf((docId: Long, wordIds: Seq[Long]) => {
+      val m = bc.value
+      val kTopics = m.topicWord.length
+      val rng = new scala.util.Random(seed ^ java.lang.Long.rotateLeft(docId, 17))
+      val words = wordIds.map(_.toInt).toArray
+      val z = Array.fill(words.length)(rng.nextInt(kTopics))
+      val cnt = new Array[Int](kTopics)
+      z.foreach(k => cnt(k) += 1)
+      val alpha = 1.0
+      var it = 0
+      while (it < iters) {
+        var i = 0
+        while (i < words.length) {
+          cnt(z(i)) -= 1
+          val w = words(i)
+          val p = Array.tabulate(kTopics)(k => m.topicWord(k)(w) * (cnt(k) + alpha))
+          var u = rng.nextDouble() * p.sum
+          var k = 0
+          while (k < kTopics - 1 && u > p(k)) { u -= p(k); k += 1 }
+          z(i) = k
+          cnt(k) += 1
+          i += 1
+        }
+        it += 1
+      }
+      (0 until m.pisetasum.length).map { l =>
+        var s = 0.0
+        var k = 0
+        while (k < kTopics) { s += cnt(k) * m.pisetasum(l)(k); k += 1 }
+        m.pi0Alpha(l) * s
+      }
+    })
+    val total = Window.partitionBy(idCol)
+    indexed
+      .filter(size(col("word_ids")) > 0) // F8
+      .withColumn("scores", gibbs(col(idCol), col("word_ids")))
+      .select(col(idCol), posexplode(col("scores")).as(Seq("loc", "score")))
+      .withColumn("loc", col("loc").cast("long"))
+      .withColumn("probability", col("score") / sum(col("score")).over(total))
+  }
+
   /** The model's location dimension with toSpherical coordinates:
     * lat = atan2(z, √(x²+y²)), lon = atan2(y, x), in degrees (rounded —
     * libm last-ulp differences across engines otherwise leak into hashed

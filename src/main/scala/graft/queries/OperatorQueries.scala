@@ -215,7 +215,7 @@ object OperatorQueries {
   /** Fixture [[TopicModel.GeoModel]]: integer-valued matrices (exact in
     * doubles, so scoring sums are order-independent and the oracle can be
     * pure SQL arithmetic) with Cartesian qm rows exercising toSpherical. */
-  private[queries] def fixtureGeoModel: TopicModel.GeoModel = {
+  def fixtureGeoModel: TopicModel.GeoModel = {
     val K = 8; val L = 25; val V = 256
     TopicModel.GeoModel(
       topicWord = Array.tabulate(K, V)((k, v) => ((k * 31 + v * 17) % 89 + 1).toDouble),
@@ -244,6 +244,25 @@ object OperatorQueries {
       .join(broadcast(TopicModel.modelLocations(spark, model)), "loc")
       .select(col("doc_id"), col("rank"), col("loc"), col("lat"), col("lon"),
         col("score"), col("probability"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** M2 (seeded-Gibbs) — stochastic inference against the same broadcast
+    * matrices, RNG seeded per doc. Not SQL-expressible (no oracle entry →
+    * the driver records a rows-only check); determinism is pinned by
+    * TopicModelSpec. */
+  def q36TopicModelGibbs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val vocab = TopicModel.buildVocab(d, "text", stem = true)
+    val indexed = TopicModel.indexDocs(d, "doc_id", "text", vocab, stem = true)
+    val scored = TopicModel.scoreLocationsGibbs(indexed, "doc_id", fixtureGeoModel)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("probability").desc, col("loc").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("loc"), col("score"),
+        col("probability"))
       .orderBy(col("doc_id"), col("rank"))
   }
 
@@ -297,7 +316,8 @@ object OperatorQueries {
     "q30_tree_assembly" -> q30TreeAssembly,
     "q31_topic_model_matrix" -> q31TopicModelMatrix,
     "q32_trainer_corpus" -> q32TrainerCorpus,
-    "q35_interaction_graph" -> q35InteractionGraph)
+    "q35_interaction_graph" -> q35InteractionGraph,
+    "q36_topic_model_gibbs" -> q36TopicModelGibbs)
 
   /** Oracle mirror of [[TweetSource.eventsAsTweetJson]]: the events table
     * reinterpreted as tweets (second-truncated timestamps — the Twitter
