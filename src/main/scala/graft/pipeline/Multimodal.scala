@@ -62,4 +62,51 @@ object Multimodal {
     import docs.sparkSession.implicits._
     extractFeatures(asMedia(docs, idCol, textCol).as[MediaRecord]).toDF()
   }
+
+  /** STUB — deterministic fake resize: a real deployment decodes,
+    * rescales and re-encodes; the fake emits a `w*h`-byte payload
+    * deterministically subsampled from the input. Binary→binary transform
+    * with parameters — the real resize plumbing shape. */
+  def resizeStub(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    val n = w * h
+    media.mapPartitions { it =>
+      it.map { r =>
+        val out = new Array[Byte](n)
+        if (r.payload.nonEmpty) {
+          var i = 0
+          while (i < n) {
+            out(i) = r.payload((i.toLong * r.payload.length / n).toInt)
+            i += 1
+          }
+        }
+        r.copy(payload = out)
+      }
+    }
+  }
+
+  case class MediaFrame(media_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** Frame sampling: treat the payload as fixed-size frames and keep
+    * every `everyN`-th — the one-row-to-many-rows contract of video
+    * frame extraction (flatMap per partition; a real decoder seeks
+    * keyframes here). frameBytes stands in for the codec's frame size. */
+  def sampleFrames(media: Dataset[MediaRecord], everyN: Int,
+      frameBytes: Int = 16): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        (0 until nFrames).filter(_ % everyN == 0).map { f =>
+          MediaFrame(r.media_id, f,
+            java.util.Arrays.copyOfRange(r.payload, f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+    }
+  }
+
+  /** Features → embedding column shape consumed by the similarity
+    * pipeline ([[Similarity]]): (vec_id, embedding Array[Float]). */
+  def asEmbeddings(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF().select(col("media_id").as("vec_id"), col("feat").as("embedding"))
 }

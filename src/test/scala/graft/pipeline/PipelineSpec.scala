@@ -25,6 +25,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(staged.values.forall(_ >= 0L))
   }
 
+  test("multimodal: resize emits fixed-size payloads, frame sampling fans out rows") {
+    val docs = Seq((1L, "x" * 64), (2L, "y" * 100), (3L, ""))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+      .as[Multimodal.MediaRecord]
+    val resized = Multimodal.resizeStub(media, 4, 4).collect()
+    assert(resized.forall(_.payload.length == 16))
+    // deterministic: resizing twice gives identical bytes
+    val again = Multimodal.resizeStub(media, 4, 4).collect()
+    assert(resized.map(_.payload.toSeq).toSet == again.map(_.payload.toSeq).toSet)
+    // 64 bytes / 16-byte frames = 4 frames; every 2nd -> frames 0 and 2
+    val frames = Multimodal.sampleFrames(media, everyN = 2).collect()
+      .groupBy(_.media_id).view.mapValues(_.map(_.frame_no).sorted.toSeq).toMap
+    assert(frames(1L) == Seq(0, 2))
+    assert(frames(2L) == Seq(0, 2, 4)) // 6 frames -> 0,2,4
+    assert(!frames.contains(3L)) // empty payload: no frames
+    // features feed the ANN pipeline shape
+    val embs = Multimodal.asEmbeddings(Multimodal.extractFeatures(media))
+    assert(embs.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(embs.count() == 3)
+  }
+
   test("IVF cells partition the corpus; probing own cell finds in-cell neighbours") {
     val rnd = new scala.util.Random(5)
     def vec() = Array.fill(8)(math.floor(rnd.nextGaussian() * 1000) / 1000.0f)
