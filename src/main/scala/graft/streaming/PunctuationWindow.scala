@@ -88,6 +88,24 @@ object PunctuationWindow {
       }
   }
 
+  /** Idiomatic mode (SURVEY §2.7 W1/W3): epoch-aligned tumbling windows
+    * with a watermark — the stock Structured Streaming formulation,
+    * offered alongside the parity fold. Deviations from the reference,
+    * by design: windows align to the epoch (not the first event), late
+    * events beyond the watermark are dropped (the reference accepts
+    * everything), and windows emit on watermark passage rather than on
+    * the closing event. Works on batch and streaming frames alike. */
+  def idiomaticTumbling(df: DataFrame, keyCol: String, tsCol: String,
+      windowLength: String, lateness: String = "0 seconds"): DataFrame = {
+    val watermarked =
+      if (df.isStreaming) df.withWatermark(tsCol, lateness) else df
+    watermarked
+      .groupBy(col(keyCol).as("key"), window(col(tsCol), windowLength))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("key"), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_events"))
+  }
+
   /** Adapter: a DataFrame with (key, ts, payload) columns → typed events. */
   def fromColumns(df: DataFrame, keyCol: String, tsCol: String,
       payloadCol: String): Dataset[Event] = {

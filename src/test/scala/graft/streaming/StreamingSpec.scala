@@ -80,6 +80,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches >= 3, s"expected >=3 micro-batches, saw $batches")
   }
 
+  test("idiomatic tumbling windows: epoch-aligned, watermark-driven emission") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val df = stream.toDF().toDF("k", "ts")
+    val query = PunctuationWindow.idiomaticTumbling(df, "k", "ts", "10 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("tumbling_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("tumb_ckpt").toString)
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      stream.addData(("a", t("2024-01-01 00:03:00")), ("a", t("2024-01-01 00:07:00")))
+      query.processAllAvailable()
+      // advancing the watermark past 00:10 closes the first window
+      stream.addData(("a", t("2024-01-01 00:21:00")))
+      query.processAllAvailable()
+      stream.addData(("a", t("2024-01-01 00:40:00")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("tumbling_stream")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[Long]("n_events"))).toSet
+    // epoch-aligned [00:00, 00:10) holds both early events; the 00:21
+    // event's window [00:20, 00:30) closed when the watermark hit 00:40
+    assert(rows.contains(("2024-01-01 00:00:00.0", 2L)))
+    assert(rows.contains(("2024-01-01 00:20:00.0", 1L)))
+  }
+
   test("debug JSON file sink dumps every batch as JSON lines (S4/T7)") {
     val inDir = Files.createTempDirectory("tweets_dbg_in")
     val outDir = Files.createTempDirectory("tweets_dbg_out")
