@@ -75,13 +75,19 @@ object TopicModel {
     * jar:PredictLocation bytecode). Docs with no indexed words are
     * excluded from scoring (F8, TopicModelBolt.java:151-155). */
   def scoreLocations(indexed: DataFrame, idCol: String, numLocations: Int): DataFrame = {
+    // pre-aggregate occurrence counts per (doc, word) BEFORE fanning out
+    // by location: sum over occurrences of affinity = count * affinity,
+    // so the L-way cross join touches distinct words only (the fan-out
+    // is the dominant row count at scale)
     val words = indexed
       .filter(size(col("word_ids")) > 0) // F8
       .select(col(idCol), explode(col("word_ids")).as("word_id"))
+      .groupBy(col(idCol), col("word_id"))
+      .agg(count(lit(1)).as("cnt"))
     val locs = words.sparkSession.range(numLocations).select(col("id").as("loc"))
     val scores = words.crossJoin(broadcast(locs))
       .groupBy(col(idCol), col("loc"))
-      .agg(sum(affinity(col("word_id"), col("loc"))).as("score"))
+      .agg(sum(col("cnt") * affinity(col("word_id"), col("loc"))).as("score"))
     val total = Window.partitionBy(idCol)
     scores.withColumn("probability",
       col("score").cast("double") / sum(col("score")).over(total).cast("double"))
