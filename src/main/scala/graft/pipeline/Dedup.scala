@@ -104,6 +104,52 @@ object Dedup {
     jaccard(pairs, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair relation → dedup
+    * clusters: each document is labeled with the smallest doc id
+    * reachable through near-dup edges, and one representative
+    * (`keep = doc_id == cluster_id`) survives per cluster — what a
+    * production dedup actually ships, one step past pair detection.
+    *
+    * Min-label propagation with pointer-doubling-style convergence: each
+    * round joins the current labels across the (symmetrized) edge set
+    * and keeps the minimum; rounds = O(component diameter), each one
+    * shuffle keyed by doc. Every iteration localCheckpoints (the same
+    * lineage-truncation discipline as DiscussionTree.withRoots — an
+    * uncheckpointed loop's plan tree grows exponentially). Throws if
+    * `maxIters` rounds don't converge rather than emitting wrong
+    * clusters. */
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+      maxIters: Int = 30): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(viaEdges, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.join(
+        labels.withColumnRenamed("label", "old_label"), "doc_id")
+        .filter(col("label") =!= col("old_label")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge after $maxIters rounds")
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("keep"))
+  }
+
   /** SimHash dedup: `nBits`-bit fingerprint per doc (default 60 — real
     * near-dup width; identical fingerprints are near-dup buckets, and
     * Hamming-close fingerprints can be banded like MinHash).

@@ -177,6 +177,23 @@ object CoreQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Native session windows: the same 30-min-gap sessionization as q10
+    * through Spark's built-in session_window (one shuffle on the session
+    * key, sessions merged inside the aggregation — the idiomatic form,
+    * and the one that also runs under Structured Streaming). Boundary
+    * semantics differ from q10's lag formulation at exactly-gap spacing
+    * (an event AT start+gap opens a NEW session here) — mirrored in the
+    * oracle with >=. */
+  def q38SessionWindowNative(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("sum_value"))
+      .select(col("user_id"),
+        tsStrMicros(col("session_window.start")).as("session_start"),
+        tsStrMicros(col("session_window.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** T1 — Twitter-format timestamp roundtrip on real data: format each
     * event ts as `EEE MMM dd HH:mm:ss Z yyyy`, then parse it back with the
     * engine's parser (Spark cannot parse EEE; see
@@ -201,7 +218,8 @@ object CoreQueries {
     "q08_window_topk" -> q08WindowTopK,
     "q09_tumbling_windows" -> q09TumblingWindows,
     "q10_sessionize" -> q10Sessionize,
-    "q11_twitter_ts_parse" -> q11TwitterTsParse)
+    "q11_twitter_ts_parse" -> q11TwitterTsParse,
+    "q38_session_window_native" -> q38SessionWindowNative)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -302,6 +320,28 @@ object CoreQueries {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q38_session_window_native" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER w)
+        |              >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+        |    AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum((value)::DECIMAL(28,10))::DOUBLE, 4) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q11_twitter_ts_parse" ->
       """SELECT event_id,
         |  strftime(ts::TIMESTAMP, '%a %b %d %H:%M:%S +0000 %Y') AS twitter_ts,

@@ -87,6 +87,18 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Near-dup clusters: MinHash+LSH verified pairs → connected
+    * components → one kept representative per cluster (the shipping form
+    * of dedup). */
+  def q37NearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    Dedup.nearDupClusters(d.select(col("doc_id")), pairs, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Token statistics (whitespace + BPE-ish subword split estimate). */
   def q25TokenStats(spark: SparkSession, dir: String): DataFrame =
     TextMetrics.tokenStats(docs(spark, dir), "doc_id", "text")
@@ -136,6 +148,7 @@ object PipelineQueries {
     "q23_similarity_brute" -> q23SimilarityBrute,
     "q24_similarity_lsh" -> q24SimilarityLsh,
     "q33_similarity_ivf" -> q33SimilarityIvf,
+    "q37_neardup_clusters" -> q37NearDupClusters,
     "q25_token_stats" -> q25TokenStats,
     "q26_quality" -> q26Quality,
     "q27_langid" -> q27LangId,
@@ -178,27 +191,46 @@ object PipelineQueries {
        |WHERE coalesce(s.shared, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(s.shared, 0))::DOUBLE >= 0.5
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
+  private val q20Oracle = jaccardTail(
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM (SELECT doc_id, i // 2 AS band,
+      |          string_agg(sig, '|' ORDER BY i) AS band_key
+      |        FROM (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS sig
+      |              FROM ex CROSS JOIN generate_series(0, 7) g(i)
+      |              GROUP BY doc_id, i)
+      |        GROUP BY doc_id, i // 2) a
+      |  JOIN (SELECT doc_id, i // 2 AS band,
+      |          string_agg(sig, '|' ORDER BY i) AS band_key
+      |        FROM (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS sig
+      |              FROM ex CROSS JOIN generate_series(0, 7) g(i)
+      |              GROUP BY doc_id, i)
+      |        GROUP BY doc_id, i // 2) b
+      |    ON a.band = b.band AND a.band_key = b.band_key
+      |       AND a.doc_id < b.doc_id""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
-    "q20_minhash_neardups" -> jaccardTail(
-      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM (SELECT doc_id, i // 2 AS band,
-        |          string_agg(sig, '|' ORDER BY i) AS band_key
-        |        FROM (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS sig
-        |              FROM ex CROSS JOIN generate_series(0, 7) g(i)
-        |              GROUP BY doc_id, i)
-        |        GROUP BY doc_id, i // 2) a
-        |  JOIN (SELECT doc_id, i // 2 AS band,
-        |          string_agg(sig, '|' ORDER BY i) AS band_key
-        |        FROM (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS sig
-        |              FROM ex CROSS JOIN generate_series(0, 7) g(i)
-        |              GROUP BY doc_id, i)
-        |        GROUP BY doc_id, i // 2) b
-        |    ON a.band = b.band AND a.band_key = b.band_key
-        |       AND a.doc_id < b.doc_id""".stripMargin),
+    "q20_minhash_neardups" -> q20Oracle,
+    // q20's verified pairs as a derived table, then the transitive
+    // closure via a recursive UNION walk; cluster = min reachable doc
+    "q37_neardup_clusters" ->
+      (s"WITH RECURSIVE pairs AS (\n  SELECT doc_a, doc_b FROM (\n$q20Oracle\n  )),\n" +
+        """edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach AS (
+          |  SELECT src AS doc, dst AS peer FROM edges
+          |  UNION
+          |  SELECT r.doc, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
+          |lbl AS (SELECT doc, min(peer) AS m FROM reach GROUP BY doc)
+          |SELECT d.doc_id,
+          |  least(d.doc_id, coalesce(l.m, d.doc_id)) AS cluster_id,
+          |  d.doc_id = least(d.doc_id, coalesce(l.m, d.doc_id)) AS keep
+          |FROM documents d LEFT JOIN lbl l ON l.doc = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
     "q21_ngram_jaccard" -> jaccardTail(
       """SELECT DISTINCT ea.doc_id AS doc_a, eb.doc_id AS doc_b
         |  FROM ex ea JOIN ex eb

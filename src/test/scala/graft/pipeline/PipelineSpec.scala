@@ -25,6 +25,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(staged.values.forall(_ >= 0L))
   }
 
+  test("nearDupClusters: transitive closure to min-id clusters, one keeper each") {
+    val docs = (1L to 8L).toDF("doc_id")
+    // components: {1,2,3,4} via chain, {6,7}, singletons {5}, {8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false) &&
+      out(3L) == (1L, false) && out(4L) == (1L, false))
+    assert(out(6L) == (6L, true) && out(7L) == (6L, false))
+    assert(out(5L) == (5L, true) && out(8L) == (8L, true))
+  }
+
   test("multimodal: resize emits fixed-size payloads, frame sampling fans out rows") {
     val docs = Seq((1L, "x" * 64), (2L, "y" * 100), (3L, ""))
       .toDF("doc_id", "text")
