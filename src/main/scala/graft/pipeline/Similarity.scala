@@ -44,6 +44,52 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "dot_q", "cosine")
   }
 
+  /** Offline centroid training for [[ivfTopK]]: Lloyd's k-means over the
+    * quantized vectors with deterministic everything — init = the k
+    * lowest-id vectors, assignment = argmin exact int64 squared L2 (ties
+    * to the lowest centroid id), new centroids = integer mean (div) of
+    * the assigned vectors, empty cells keep their previous centroid.
+    * Each round is one broadcast join + one aggregation; every round
+    * localCheckpoints (lineage-truncation discipline for iterative
+    * DataFrame algorithms). Returns (cent_id, centroid Array[Long]) in
+    * the quantized domain; determinism makes retraining reproducible
+    * across cluster sizes. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    val vecs = corpus
+      .select(col(idCol).as("vid"), quantize(col(vecCol)).as("qv"))
+      .localCheckpoint()
+    var cents = vecs.orderBy(col("vid")).limit(k)
+      .withColumn("cent_id", row_number().over(Window.orderBy(col("vid"))).cast("long") - 1)
+      .select(col("cent_id"), col("qv").as("cv"))
+      .localCheckpoint()
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (s, v) => s + v)
+    var i = 0
+    while (i < iters) {
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .groupBy(col("vid"))
+        .agg(
+          min(struct(sqDist(col("qv"), col("cv")).as("d"), col("cent_id")))
+            .getField("cent_id").as("cent_id"),
+          first(col("qv")).as("qv"))
+      // element-wise mean: explode positions, average, regroup in order
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("x")) / count(lit(1))).cast("long").as("m"))
+        .withColumn("item", struct(col("pos"), col("m")))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(col("item"))), s => s.getField("m")).as("cv"))
+      cents = cents.select(col("cent_id"), col("cv").as("old_cv"))
+        .join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cv"), col("old_cv")).as("cv"))
+        .localCheckpoint()
+      i += 1
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN — the scale path beyond sign-bit LSH: a
     * centroid table partitions the corpus into cells (assignment =
     * argmin exact-quantized squared L2 against the broadcast centroids, a
@@ -56,9 +102,22 @@ object Similarity {
     * an offline job; any centroid relation works — tests and queries use
     * a deterministic corpus subsample. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
-    val cents = centroids.select(col(idCol).as("cent_id"),
-      quantize(col(vecCol)).as("q_cent"))
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame =
+    ivfTopKQuantized(corpus, queries,
+      centroids.select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("q_cent")),
+      idCol, vecCol, k, nprobe)
+
+  /** IVF against an already-quantized centroid table — the shape
+    * [[trainCentroids]] emits: `(cent_id, cv: Array[Long])`. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, trained: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame =
+    ivfTopKQuantized(corpus, queries,
+      trained.select(col("cent_id"), col("cv").as("q_cent")),
+      idCol, vecCol, k, nprobe)
+
+  private def ivfTopKQuantized(corpus: DataFrame, queries: DataFrame,
+      cents: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
     def sqDist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (s, v) => s + v)
     // cell assignment: min (dist, cent_id) struct per corpus vector —

@@ -81,4 +81,33 @@ class PipelineSpec extends AnyFunSuite {
       k = 5, nprobe = 2).collect()
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("trainCentroids: deterministic k-means that tightens cells and feeds IVF") {
+    val rnd = new scala.util.Random(9)
+    // two well-separated blobs around (+5..) and (-5..)
+    def blob(center: Float) =
+      Array.fill(4)(center + math.floor(rnd.nextGaussian() * 500) / 1000.0f)
+    val corpus = ((0L until 20L).map(i => (i, blob(5.0f))) ++
+      (20L until 40L).map(i => (i, blob(-5.0f)))).toDF("vec_id", "embedding")
+    val trained = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      k = 2, iters = 5)
+    val cents = trained.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(cents.size == 2)
+    // determinism across runs
+    val again = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      k = 2, iters = 5).collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(cents.keySet == again.keySet)
+    assert(cents.forall { case (k2, v) => again(k2).sameElements(v) })
+    // centroids moved to opposite blobs (quantized 1e6 scale)
+    val signs = cents.values.map(_.head.signum).toSet
+    assert(signs == Set(1, -1))
+    // trained centroids slot into the IVF query path
+    val top = Similarity.ivfTopKTrained(corpus,
+      corpus.filter(col("vec_id") < 2), trained, "vec_id", "embedding",
+      k = 3, nprobe = 1).collect()
+    assert(top.nonEmpty)
+    // nprobe=1 on clean blobs: neighbours come from the query's own blob
+    assert(top.forall(r => r.getAs[Long]("corpus_id") < 20L))
+  }
 }
