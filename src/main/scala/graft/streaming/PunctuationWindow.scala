@@ -35,6 +35,24 @@ object PunctuationWindow {
   case class Flush(key: String, startMicros: Long, endMicros: Long,
     n_events: Long, payloads: Seq[String])
 
+  /** One step of the DiscussionTreeBolt.execute fold: feed an event into
+    * the window state, optionally emitting a flush. */
+  private def step(state: Option[WindowState], e: Event,
+      lengthMicros: Long): (Option[Flush], Option[WindowState]) =
+    state match {
+      case None =>
+        (None, Some(WindowState(e.tsMicros, List(e))))
+      case Some(ws) =>
+        if (e.tsMicros >= ws.startMicros + lengthMicros) {
+          // closing event joins the flushed window; buffer resets to empty
+          val evs = (e :: ws.events).reverse
+          (Some(Flush(e.key, ws.startMicros, e.tsMicros,
+            evs.size.toLong, evs.map(_.payload))), None)
+        } else {
+          (None, Some(ws.copy(events = e :: ws.events)))
+        }
+    }
+
   /** The exact per-event fold of DiscussionTreeBolt.execute. Returns
     * (flushes, finalState). */
   private[streaming] def fold(sorted: Iterator[Event], lengthMicros: Long,
@@ -42,32 +60,53 @@ object PunctuationWindow {
     var state = init
     var flushes = List.empty[Flush]
     sorted.foreach { e =>
-      state match {
-        case None =>
-          state = Some(WindowState(e.tsMicros, List(e)))
-        case Some(ws) =>
-          if (e.tsMicros >= ws.startMicros + lengthMicros) {
-            // closing event joins the flushed window; buffer resets to empty
-            val evs = (e :: ws.events).reverse
-            flushes ::= Flush(e.key, ws.startMicros, e.tsMicros,
-              evs.size.toLong, evs.map(_.payload))
-            state = None
-          } else {
-            state = Some(ws.copy(events = e :: ws.events))
-          }
-      }
+      val (f, next) = step(state, e, lengthMicros)
+      f.foreach(flushes ::= _)
+      state = next
     }
     (flushes.reverse, state)
   }
 
   /** Batch variant: complete (flushed) windows only — parity with the
-    * reference, which never emits a trailing partial buffer. */
+    * reference, which never emits a trailing partial buffer.
+    *
+    * Shuffle-sort by (key, ts, payload) and stream the fold over each
+    * partition's iterator — Spark's sort spills, and resident memory is
+    * one OPEN WINDOW's buffer, not one key's whole history (a
+    * flatMapGroups + in-memory sort would materialize the largest key —
+    * fatal for a low-cardinality key at scale; the reference's global
+    * single buffer is exactly that shape). */
   def batch(events: Dataset[Event], lengthMicros: Long): Dataset[Flush] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.key).flatMapGroups { (_, it) =>
-      val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.payload)).iterator
-      fold(sorted, lengthMicros, None)._1.iterator
-    }
+    events
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("tsMicros"), col("payload"))
+      .mapPartitions { it =>
+        new Iterator[Flush] {
+          private var pending: List[Flush] = Nil
+          private var state: Option[WindowState] = None
+          private var curKey: String = null
+          private def advance(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val e = it.next()
+              if (e.key != curKey) {
+                curKey = e.key
+                state = None // trailing partial buffer of the previous key drops
+              }
+              val (f, next) = step(state, e, lengthMicros)
+              f.foreach(pending ::= _)
+              state = next
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending.nonEmpty }
+          override def next(): Flush = {
+            advance()
+            val f = pending.head
+            pending = pending.tail
+            f
+          }
+        }
+      }
   }
 
   /** Streaming variant: event-driven emission via flatMapGroupsWithState
