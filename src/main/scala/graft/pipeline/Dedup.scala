@@ -31,11 +31,17 @@ object Dedup {
         .as("shingles"))
 
   /** MinHash signature: `numHashes` independent permutations simulated by
-    * salted md5; signature component i = min md5("<i>:"+shingle). */
-  def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame =
-    (0 until numHashes).foldLeft(shingled) { (d, i) =>
-      d.withColumn(s"sig_$i", TextFunctions.minhashSig(col("shingles"), i))
+    * salted md5; signature component i = min md5("<i>:"+shingle).
+    * Relational form — explode shingles once, then `numHashes` codegen'd
+    * min aggregates in one pass (array lambdas execute interpreted; see
+    * [[simhashBuckets]]). */
+  def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val ex = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val aggs = (0 until numHashes).map { i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig_$i")
     }
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH banding: group `rowsPerBand` signature components per band; docs
     * sharing any band key are candidate pairs. Returns (doc_id, band,
