@@ -101,8 +101,10 @@ object TextMetrics {
       profiles: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lowered = lower(col(textCol))
-    // sequence(1, n) with n < 1 would generate a DESCENDING sequence in
-    // Spark — guard short texts explicitly
+    // a transform lambda (interpreted) beats exploding positions here:
+    // position-explode would duplicate the full text per gram row before
+    // the substr. sequence(1, n) with n < 1 would generate a DESCENDING
+    // sequence in Spark — guard short texts explicitly.
     val grams = docs.select(col(idCol),
       explode(when(length(lowered) >= 3,
         transform(sequence(lit(1), length(lowered) - 2),
