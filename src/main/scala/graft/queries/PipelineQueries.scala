@@ -29,13 +29,23 @@ object PipelineQueries {
     Dedup.exact(docs(spark, dir), "doc_id", "text")
       .orderBy(col("text_hash"))
 
+  /** Verified near-dup pairs, cached per (session, sf dir): q20 reports
+    * them, q37 clusters them — the pair detection runs once. */
+  private val sharedPairs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    sharedPairs.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Dedup.minhashNearDups(docs(spark, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("size_a"),
+          col("size_b"), col("jaccard"))
+        .cache())
+
   /** MinHash + LSH near-dup pipeline: shingle → 8 salted-md5 minhashes →
     * 4 bands → bucket join → exact-Jaccard verify at 0.5. */
   def q20MinhashNearDups(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(docs(spark, dir), "doc_id", "text",
-      shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
-      .select(col("doc_a"), col("doc_b"), col("shared"), col("size_a"),
-        col("size_b"), col("jaccard"))
+    minhashPairs(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** All-pairs n-gram Jaccard (the quadratic oracle baseline of q20). */
@@ -90,14 +100,10 @@ object PipelineQueries {
   /** Near-dup clusters: MinHash+LSH verified pairs → connected
     * components → one kept representative per cluster (the shipping form
     * of dedup). */
-  def q37NearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
-      shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
-      .select("doc_a", "doc_b")
-    Dedup.nearDupClusters(d.select(col("doc_id")), pairs, "doc_id")
+  def q37NearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(docs(spark, dir).select(col("doc_id")),
+      minhashPairs(spark, dir).select("doc_a", "doc_b"), "doc_id")
       .orderBy(col("doc_id"))
-  }
 
   /** Token statistics (whitespace + BPE-ish subword split estimate). */
   def q25TokenStats(spark: SparkSession, dir: String): DataFrame =
