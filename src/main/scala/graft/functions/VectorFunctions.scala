@@ -31,6 +31,13 @@ object VectorFunctions {
   /** Cosine similarity in double precision. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** L2-normalize an embedding (the standard ANN preprocessing step so
+    * dot product ≡ cosine); zero vectors pass through unchanged. */
+  def l2normalize(vec: Column): Column = {
+    val n = norm(vec)
+    when(n > 0, transform(vec, x => x.cast("double") / n)).otherwise(vec)
+  }
+
   /** Coarse LSH bucket for an embedding: sign bits of the first `nBits`
     * components. Cheap, deterministic, engine-portable; used to prune the
     * candidate set before exact re-ranking (IVF-style scale path). */

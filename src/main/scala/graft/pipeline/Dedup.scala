@@ -24,6 +24,20 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Canonical text form: lowercase, punctuation → space, whitespace
+    * squeezed, trimmed — the usual normalization before exact dedup so
+    * trivially-reformatted duplicates collapse. */
+  def canonicalText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Exact dedup over the canonical form (catches case/punctuation/
+    * whitespace variants that byte-exact dedup misses); same one-shuffle
+    * shape as [[exact]]. */
+  def exactCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(canonicalText(col(textCol))).as("canon_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** Distinct word n-gram shingle set per document. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),

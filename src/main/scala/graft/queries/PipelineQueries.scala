@@ -97,6 +97,12 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Canonical-form exact dedup: case/punctuation/whitespace variants
+    * collapse before hashing. */
+  def q39DedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactCanonical(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("canon_hash"))
+
   /** Near-dup clusters: MinHash+LSH verified pairs → connected
     * components → one kept representative per cluster (the shipping form
     * of dedup). */
@@ -155,6 +161,7 @@ object PipelineQueries {
     "q24_similarity_lsh" -> q24SimilarityLsh,
     "q33_similarity_ivf" -> q33SimilarityIvf,
     "q37_neardup_clusters" -> q37NearDupClusters,
+    "q39_dedup_canonical" -> q39DedupCanonical,
     "q25_token_stats" -> q25TokenStats,
     "q26_quality" -> q26Quality,
     "q27_langid" -> q27LangId,
@@ -220,6 +227,11 @@ object PipelineQueries {
         |  count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q20_minhash_neardups" -> q20Oracle,
+    "q39_dedup_canonical" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY canon_hash""".stripMargin,
     // q20's verified pairs as a derived table, then the transitive
     // closure via a recursive UNION walk; cluster = min reachable doc
     "q37_neardup_clusters" ->

@@ -25,6 +25,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(staged.values.forall(_ >= 0L))
   }
 
+  test("canonical dedup collapses case/punctuation/whitespace variants") {
+    val docs = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO ... world"),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val out = Dedup.exactCanonical(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L)) // 1,2,3 collapse; keeper = min id
+  }
+
+  test("l2normalize yields unit vectors, zero vector passes through") {
+    import graft.functions.VectorFunctions
+    val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("id", "v")
+      .select(col("id"), VectorFunctions.l2normalize(col("v")).as("n"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(math.abs(m(1L).map(x => x * x).sum - 1.0) < 1e-12)
+    assert(m(2L).forall(_ == 0.0))
+  }
+
   test("nearDupClusters: transitive closure to min-id clusters, one keeper each") {
     val docs = (1L to 8L).toDF("doc_id")
     // components: {1,2,3,4} via chain, {6,7}, singletons {5}, {8}
