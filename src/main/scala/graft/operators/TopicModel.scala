@@ -212,6 +212,56 @@ object TopicModel {
       .withColumn("probability", col("score") / sum(col("score")).over(total))
   }
 
+  /** M2, per-message form — the reference's actual execution shape
+    * (TopicModelBolt scores each message independently): one row in, up
+    * to `k` location rows out, no aggregation anywhere — so this runs
+    * under Structured Streaming in append mode, where the relational
+    * [[indexDocs]]/[[scoreLocations]] path (groupBy + window) cannot.
+    * Vocab and model ride a broadcast; indexing, scoring, per-doc
+    * normalization and the top-k all happen inside one UDF over the
+    * token array (T2 index terms → T3 lookup → M2 matrix scoring → A9
+    * top-k with the (probability desc, loc asc) tie rule). */
+  def locatePerMessage(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Map[String, Long], model: GeoModel, k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val bcV = spark.sparkContext.broadcast(vocab)
+    val bcM = spark.sparkContext.broadcast(model)
+    val locate = udf((tokens: Seq[String]) => {
+      val v = bcV.value
+      val m = bcM.value
+      val kTopics = m.topicWord.length
+      val ids = tokens.flatMap(v.get) // T3: unknown tokens drop
+      if (ids.isEmpty) Seq.empty[(Long, Long, Double)] // F8
+      else {
+        val scores = (0 until m.pisetasum.length).map { l =>
+          var s = 0.0
+          ids.foreach { w =>
+            var t = 0
+            while (t < kTopics) {
+              s += m.topicWord(t)(w.toInt) * m.pisetasum(l)(t)
+              t += 1
+            }
+          }
+          m.pi0Alpha(l) * s
+        }
+        val total = scores.sum
+        scores.zipWithIndex
+          .map { case (s, l) => (l.toLong, s / total) }
+          .sortBy { case (l, p) => (-p, l) } // A9 tie rule
+          .take(k)
+          .zipWithIndex
+          .map { case ((l, p), r) => (l, (r + 1).toLong, p) }
+      }
+    })
+    docs
+      .withColumn("_located",
+        explode(locate(graft.functions.TextFunctions.indexTerms(col(textCol)))))
+      .select(col(idCol),
+        col("_located._1").as("loc"),
+        col("_located._2").as("rank"),
+        col("_located._3").as("probability"))
+  }
+
   /** The model's location dimension with toSpherical coordinates:
     * lat = atan2(z, √(x²+y²)), lon = atan2(y, x), in degrees (rounded —
     * libm last-ulp differences across engines otherwise leak into hashed

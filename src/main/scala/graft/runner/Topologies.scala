@@ -159,6 +159,23 @@ object Topologies {
         col("rank"), col("location"), col("probability"))
   }
 
+  /** locationTopicModelTopology, streaming form: per-message indexing +
+    * matrix scoring + top-k inside one UDF over broadcast vocab/model
+    * (the reference scores each message independently, so the streaming
+    * plan has NO stateful operator — pure append mode at source rate).
+    * Works on batch frames too; pair with [[TweetSource.kafkaSink]] or
+    * [[TweetSource.debugJsonSink]]. */
+  def locationTopicModelPerMessage(tweets: DataFrame,
+      vocab: Map[String, Long], model: TopicModel.GeoModel,
+      topK: Int = 5): DataFrame = {
+    val norm = TweetSource.normalized(tweets)
+      .filter(col("text").isNotNull) // F2
+      .filter(graft.functions.TextFunctions.detectEnglish(col("text"))) // F3
+    TopicModel.locatePerMessage(norm, "tweet_id", "text", vocab, model, topK)
+      .select(col("tweet_id").as("itinno:item_id"), // F5
+        col("rank"), col("loc"), col("probability"))
+  }
+
   /** lodExplorerTopology: geoparsed tweet locations → J1 owl:sameAs →
     * J2 property scan (F9) → T9 naive-Bayes relevance → J3 dereference →
     * T6 WKT output. Side inputs are snapshot triple tables (SURVEY §2.4).

@@ -129,6 +129,54 @@ class TopologiesSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("per-message topic model streams in append mode and matches the matrix scorer") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TopicModel
+    import graft.queries.OperatorQueries
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lines = Seq(
+      tweet("t1", "u1", "00:00:00", text = "the table is fast and the table is big"),
+      tweet("t2", "u2", "00:01:00", text = "a query of the sort key and the hash"))
+    val model = OperatorQueries.fixtureGeoModel
+    // vocab over the two texts' stemmed index terms
+    val batchTweets = spark.read.schema(TweetSource.tweetSchema).json(lines.toDS())
+    val vocabMap = TopicModel.buildVocab(
+      TweetSource.normalized(batchTweets).select("text"), "text", stem = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val stream = MemoryStream[String]
+    val streamTweets = stream.toDS()
+      .select(from_json(col("value"), TweetSource.tweetSchema).as("m"))
+      .select("m.*")
+    val query = Topologies.locationTopicModelPerMessage(
+      streamTweets, vocabMap, model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("topic_stream")
+      .option("checkpointLocation", Files.createTempDirectory("tm_ckpt").toString)
+      .start()
+    try {
+      lines.foreach { l => stream.addData(l); query.processAllAvailable() }
+    } finally query.stop()
+    val streamed = spark.table("topic_stream")
+      .collect().map(_.toString).sorted.toSeq
+    // batch twin through the same per-message path
+    val batch = Topologies.locationTopicModelPerMessage(
+      batchTweets, vocabMap, model)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 10) // 2 docs x top-5
+    // and the per-message scorer agrees with the relational matrix path
+    val norm = TweetSource.normalized(batchTweets)
+    val indexed = TopicModel.indexDocs(norm, "tweet_id", "text",
+      TopicModel.buildVocab(norm.select("text"), "text", stem = true), stem = true)
+    val relational = TopicModel.scoreLocationsModel(indexed, "tweet_id", model)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+    val perMsg = Topologies.locationTopicModelPerMessage(batchTweets, vocabMap, model, topK = 25)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(perMsg == relational)
+  }
+
   test("lodExplorer: sameAs -> candidates -> relevance -> dereference -> WKT") {
     val locations = Seq(("t1", "lgd:1"), ("t2", "lgd:99")) // 99: no sameAs
       .toDF("tweet_id", "lgd_uri")
