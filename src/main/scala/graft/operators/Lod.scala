@@ -60,8 +60,14 @@ object Lod {
     * the reference's quirk of multiplying the prior once per *known*
     * property (not once total) is preserved.
     *
+    * Each per-row log term is cast to exact DECIMAL(28,10) before the
+    * sum, so partial-aggregation order cannot move the score and the
+    * accept comparison is exact — the order-independence discipline of
+    * [[graft.queries.CoreQueries]] applied to log space (the 10-dp cast
+    * also absorbs last-ulp libm log differences across engines).
+    *
     * Input: long format `(candidate keys..., property)`; output adds
-    * log_pos / log_neg / accepted. */
+    * log_pos / log_neg (DECIMAL) / accepted. */
   def nbRelevance(candidateProps: DataFrame, keyCols: Seq[String],
       counts: DataFrame): DataFrame = {
     val totals = counts.filter(col("property") === "total")
@@ -73,10 +79,12 @@ object Lod {
       .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_known_props"),
-        sum(log((col("rel") + 1.0) / (col("totRel") + 2.0)) +
-          log(col("totRel") / (col("totRel") + col("totIrrel")))).as("log_pos"),
-        sum(log((col("irrel") + 1.0) / (col("totIrrel") + 2.0)) +
-          log(col("totIrrel") / (col("totRel") + col("totIrrel")))).as("log_neg"))
+        sum((log((col("rel") + 1.0) / (col("totRel") + 2.0)) +
+          log(col("totRel") / (col("totRel") + col("totIrrel"))))
+          .cast("decimal(28,10)")).as("log_pos"),
+        sum((log((col("irrel") + 1.0) / (col("totIrrel") + 2.0)) +
+          log(col("totIrrel") / (col("totRel") + col("totIrrel"))))
+          .cast("decimal(28,10)")).as("log_neg"))
       .withColumn("accepted", col("n_known_props") > 0 && col("log_pos") > col("log_neg"))
     scored
   }

@@ -263,18 +263,22 @@ object TopicModel {
   }
 
   /** The model's location dimension with toSpherical coordinates:
-    * lat = atan2(z, √(x²+y²)), lon = atan2(y, x), in degrees (rounded —
-    * libm last-ulp differences across engines otherwise leak into hashed
-    * output). */
+    * lat = atan2(z, √(x²+y²)), lon = atan2(y, x), in degrees, rounded in
+    * the DECIMAL domain (double → exact DECIMAL(28,10) absorbs libm
+    * last-ulp differences across engines, then the 6-dp decimal round is
+    * HALF_UP on every engine — `round(double, 6)` implementations differ
+    * near boundaries; see [[graft.queries.CoreQueries]]). */
   def modelLocations(spark: SparkSession, model: GeoModel): DataFrame = {
     import spark.implicits._
+    def deg6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(28,10)"), 6).cast("decimal(38,6)")
     model.qm.zipWithIndex
       .map { case (v, l) => (l.toLong, v(0), v(1), v(2)) }.toSeq
       .toDF("loc", "x", "y", "z")
       .select(col("loc"),
-        round(degrees(atan2(col("z"), sqrt(col("x") * col("x") + col("y") * col("y")))), 6)
+        deg6(degrees(atan2(col("z"), sqrt(col("x") * col("x") + col("y") * col("y")))))
           .as("lat"),
-        round(degrees(atan2(col("y"), col("x"))), 6).as("lon"))
+        deg6(degrees(atan2(col("y"), col("x")))).as("lon"))
   }
 
   /** A8 — count-based micro-batching (5 msgs per prediction,

@@ -31,23 +31,32 @@ object CoreQueries {
   private[queries] def tsStrMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
-  /** Order-independent double aggregation: cast each addend to exact
-    * DECIMAL before summing, so partial-aggregation order (which varies
-    * with partitioning/scheduling) cannot move the result — `round(sum(
-    * double))` sat on rounding boundaries and flaked run-to-run (the
-    * driver caught q10 doing exactly that). The double→decimal cast is
-    * tie-free (no binary double lands exactly on a .5 ulp of a 10-dp
-    * decimal), so Spark and DuckDB round identically; the final
-    * decimal→double cast and round are then deterministic on both sides.
-    * Oracle mirror: `round(sum((expr)::DECIMAL(28,10))::DOUBLE, s)`. */
+  /** Order-independent double aggregation, DECIMAL end to end: cast each
+    * addend to exact DECIMAL(28,10), sum (partial-aggregation order can no
+    * longer move the result), round IN THE DECIMAL DOMAIN, and emit the
+    * DECIMAL itself — the hashed value never passes through a binary
+    * double, so engine-specific `round(double)` implementations (Spark
+    * rounds the shortest-repr BigDecimal; DuckDB multiply-rounds the
+    * binary value, with behavior that changed across DuckDB versions)
+    * cannot disagree. Spark's decimal round and DuckDB's are both
+    * HALF_UP/away-from-zero (probed on ±x.00005), and the per-addend
+    * double→decimal cast agrees between engines (shortest-repr vs binary
+    * rounding diverge only when the true value sits within ~1 ulp of a
+    * 0.5e-10 boundary). The explicit decimal(38,s) cast pins an identical
+    * declared type on both sides.
+    * Oracle mirror: `round(sum((expr)::DECIMAL(28,10)), s)::DECIMAL(38,s)`. */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
-    round(sum(c.cast("decimal(28,10)")).cast("double"), scale)
+    round(sum(c.cast("decimal(28,10)")), scale).cast(s"decimal(38,$scale)")
 
-  /** avg with the same discipline: exact decimal sum, one double division
-    * by the non-null count. Oracle mirror:
-    * `round(sum((c)::DECIMAL(28,10))::DOUBLE / count(c), s)`. */
+  /** avg with the same discipline: decimal-rounded exact sum, then ONE
+    * double division by the non-null count — both operands are bit-equal
+    * across engines (the rounded sum's unscaled value stays far below
+    * 2^52 at gate scale factors, where BigDecimal.doubleValue and
+    * DuckDB's decimal→double use the same divide-by-power-of-ten), so the
+    * IEEE quotient is too; no final round step exists to flake.
+    * Oracle mirror: `round(sum((c)::DECIMAL(28,10)), s)::DOUBLE / count(c)`. */
   private def davg(c: org.apache.spark.sql.Column, scale: Int) =
-    round(sum(c.cast("decimal(28,10)")).cast("double") / count(c), scale)
+    round(sum(c.cast("decimal(28,10)")), scale).cast("double") / count(c)
 
   /** TPC-H Q1-style pricing summary: filter → groupBy → 8 aggregates.
     * The filter and the 7-column projection both reach the parquet scan. */
@@ -224,16 +233,16 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum((l_quantity)::DECIMAL(28,10))::DOUBLE, 4) AS sum_qty,
-        |  round(sum((l_extendedprice)::DECIMAL(28,10))::DOUBLE, 4) AS sum_base_price,
-        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10))::DOUBLE, 4)
+        |  round(sum((l_quantity)::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS sum_qty,
+        |  round(sum((l_extendedprice)::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS sum_base_price,
+        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)), 4)::DECIMAL(38,4)
         |    AS sum_disc_price,
-        |  round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(28,10))::DOUBLE, 4)
+        |  round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(28,10)), 4)::DECIMAL(38,4)
         |    AS sum_charge,
-        |  round(sum((l_quantity)::DECIMAL(28,10))::DOUBLE / count(l_quantity), 6) AS avg_qty,
-        |  round(sum((l_extendedprice)::DECIMAL(28,10))::DOUBLE / count(l_extendedprice), 6)
+        |  round(sum((l_quantity)::DECIMAL(28,10)), 6)::DOUBLE / count(l_quantity) AS avg_qty,
+        |  round(sum((l_extendedprice)::DECIMAL(28,10)), 6)::DOUBLE / count(l_extendedprice)
         |    AS avg_price,
-        |  round(sum((l_discount)::DECIMAL(28,10))::DOUBLE / count(l_discount), 6) AS avg_disc,
+        |  round(sum((l_discount)::DECIMAL(28,10)), 6)::DOUBLE / count(l_discount) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -248,7 +257,7 @@ object CoreQueries {
         |LIMIT 200""".stripMargin,
     "q03_top_revenue_orders" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
-        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10))::DOUBLE, 4) AS revenue
+        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -258,7 +267,7 @@ object CoreQueries {
         |LIMIT 10""".stripMargin,
     "q05_region_revenue" ->
       """SELECT r_name, n_name,
-        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10))::DOUBLE, 4) AS revenue
+        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -269,7 +278,7 @@ object CoreQueries {
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q06_orphan_customers" ->
       """SELECT n_name, count(*) AS n_orphans,
-        |  round(sum((c_acctbal)::DECIMAL(28,10))::DOUBLE, 4) AS orphan_acctbal
+        |  round(sum((c_acctbal)::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS orphan_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -296,7 +305,7 @@ object CoreQueries {
       """SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S')
         |    AS window_start, event_type,
         |  count(*) AS n_events,
-        |  round(sum((value)::DECIMAL(28,10))::DOUBLE, 4) AS sum_value
+        |  round(sum((value)::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
@@ -316,7 +325,7 @@ object CoreQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-        |  round(sum((value)::DECIMAL(28,10))::DOUBLE, 4) AS sum_value
+        |  round(sum((value)::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS sum_value
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
@@ -339,7 +348,7 @@ object CoreQueries {
         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
         |    AS session_end,
         |  count(*) AS n_events,
-        |  round(sum((value)::DECIMAL(28,10))::DOUBLE, 4) AS sum_value
+        |  round(sum((value)::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "q11_twitter_ts_parse" ->

@@ -55,6 +55,20 @@ object OperatorQueries {
         DiscussionTree.nodes(normalizedEvents(spark, dir)).cache())
         .localCheckpoint())
 
+  /** Stemmed word-id index shared by q15/q31/q36 (same discipline as
+    * [[normalizedEvents]]): the T2 tokenize→stopword→Porter-stem pass, the
+    * T3 distributed vocab sort and the per-doc id-sequence groupBy run
+    * ONCE per (session, sf dir) instead of once per query — and, inside
+    * q15, once instead of twice (the count-batch branch and the scoring
+    * branch both consume it). At cluster scale this is one corpus read
+    * and one vocab shuffle instead of three of each. */
+  private def stemmedIndex(spark: SparkSession, dir: String): DataFrame =
+    shared.getOrElseUpdate((spark.sparkContext.applicationId, s"stemidx:$dir"), {
+      val d = docs(spark, dir)
+      val vocab = TopicModel.buildVocab(d, "text", stem = true)
+      TopicModel.indexDocs(d, "doc_id", "text", vocab, stem = true).cache()
+    })
+
   /** A2 — interaction-graph aggregate (flat counts form: portable across
     * engines where nested arrays are not). */
   def q12InteractionCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -96,9 +110,7 @@ object OperatorQueries {
     * vocab → word-id indexing → count-5 micro-batches → deterministic
     * location scoring → per-doc top-5 with the "lon,lat" string. */
   def q15TopicModel(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val vocab = TopicModel.buildVocab(d, "text", stem = true)
-    val indexed = TopicModel.indexDocs(d, "doc_id", "text", vocab, stem = true)
+    val indexed = stemmedIndex(spark, dir)
     val batches = TopicModel.withCountBatches(
       indexed.select(col("doc_id")), "doc_id")
     val scored = TopicModel.scoreLocations(indexed, "doc_id", numLocations = 25)
@@ -123,33 +135,44 @@ object OperatorQueries {
     val sameAs = n.select(dbpUri.as("subject"),
       concat(lit("lgd:"), col("n_nationkey")).as("object"))
     // J2 input: two URI-valued place links per nation + one literal
-    // property that F9 must drop
-    val propTriples =
-      n.select(dbpUri.as("subject"), lit("p:near").as("predicate"),
+    // property that F9 must drop. One explode per source table instead of
+    // an 8-branch union — one nation scan, one pids scan, not seven.
+    val propTriples = n
+      .select(dbpUri.as("subject"), explode(array(
+        struct(lit("p:near").as("predicate"),
           concat(lit("plc:"), (col("n_nationkey") * 2 + 1) % 30).as("object"),
-          lit(true).as("object_is_uri"))
-        .unionByName(n.select(dbpUri.as("subject"), lit("p:in").as("predicate"),
+          lit(true).as("object_is_uri")),
+        struct(lit("p:in").as("predicate"),
           concat(lit("plc:"), (col("n_nationkey") * 3 + 2) % 30).as("object"),
-          lit(true).as("object_is_uri")))
-        .unionByName(n.select(dbpUri.as("subject"), lit("p:name").as("predicate"),
-          col("n_name").as("object"), lit(false).as("object_is_uri")))
+          lit(true).as("object_is_uri")),
+        struct(lit("p:name").as("predicate"), col("n_name").as("object"),
+          lit(false).as("object_is_uri")))).as("t"))
+      .select(col("subject"), col("t.predicate"), col("t.object"),
+        col("t.object_is_uri"))
     // J3 input: per-place coordinates + English and German labels (the
     // lang filter must keep only @en)
-    val pids = n.select(((col("n_nationkey") * 2 + 1) % 30).as("pid"))
-      .unionByName(n.select(((col("n_nationkey") * 3 + 2) % 30).as("pid")))
+    val pids = n
+      .select(explode(array((col("n_nationkey") * 2 + 1) % 30,
+        (col("n_nationkey") * 3 + 2) % 30)).as("pid"))
       .distinct()
     val placeUri = concat(lit("plc:"), col("pid"))
-    val placeTriples =
-      pids.select(placeUri.as("subject"), lit("geo:lat").as("predicate"),
+    val nullTag = lit(null).cast("string")
+    val placeTriples = pids
+      .select(placeUri.as("subject"), explode(array(
+        struct(lit("geo:lat").as("predicate"),
           (col("pid") * 5 - 40).cast("string").as("object"),
-          lit(null).cast("string").as("lang_tag"))
-        .unionByName(pids.select(placeUri.as("subject"), lit("geo:long").as("predicate"),
+          nullTag.as("lang_tag")),
+        struct(lit("geo:long").as("predicate"),
           (col("pid") * 9 - 100).cast("string").as("object"),
-          lit(null).cast("string").as("lang_tag")))
-        .unionByName(pids.select(placeUri.as("subject"), lit("rdfs:label").as("predicate"),
-          concat(lit("Place "), col("pid")).as("object"), lit("en").as("lang_tag")))
-        .unionByName(pids.select(placeUri.as("subject"), lit("rdfs:label").as("predicate"),
-          concat(lit("Ort "), col("pid")).as("object"), lit("de").as("lang_tag")))
+          nullTag.as("lang_tag")),
+        struct(lit("rdfs:label").as("predicate"),
+          concat(lit("Place "), col("pid")).as("object"),
+          lit("en").as("lang_tag")),
+        struct(lit("rdfs:label").as("predicate"),
+          concat(lit("Ort "), col("pid")).as("object"),
+          lit("de").as("lang_tag")))).as("t"))
+      .select(col("subject"), col("t.predicate"), col("t.object"),
+        col("t.lang_tag"))
     val locs = Tables.load(spark, dir, "customer")
       .select(col("c_nationkey")).distinct()
       .withColumn("lgd_uri", concat(lit("lgd:"), col("c_nationkey")))
@@ -183,8 +206,9 @@ object OperatorQueries {
       }.reduce(_ unionByName _)
     Lod.nbRelevance(props, Seq("s_suppkey"), counts)
       .select(col("s_suppkey"), col("n_known_props"),
-        round(col("log_pos"), 6).as("log_pos"),
-        round(col("log_neg"), 6).as("log_neg"), col("accepted"))
+        round(col("log_pos"), 6).cast("decimal(38,6)").as("log_pos"),
+        round(col("log_neg"), 6).cast("decimal(38,6)").as("log_neg"),
+        col("accepted"))
       .orderBy(col("s_suppkey"))
   }
 
@@ -232,9 +256,7 @@ object OperatorQueries {
     * coordinates on the output; same stemmed index as q15, per-doc top-5. */
   def q31TopicModelMatrix(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = docs(spark, dir)
-    val vocab = TopicModel.buildVocab(d, "text", stem = true)
-    val indexed = TopicModel.indexDocs(d, "doc_id", "text", vocab, stem = true)
+    val indexed = stemmedIndex(spark, dir)
     val model = fixtureGeoModel
     val scored = TopicModel.scoreLocationsModel(indexed, "doc_id", model)
     val w = Window.partitionBy("doc_id")
@@ -253,9 +275,7 @@ object OperatorQueries {
     * TopicModelSpec. */
   def q36TopicModelGibbs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = docs(spark, dir)
-    val vocab = TopicModel.buildVocab(d, "text", stem = true)
-    val indexed = TopicModel.indexDocs(d, "doc_id", "text", vocab, stem = true)
+    val indexed = stemmedIndex(spark, dir)
     val scored = TopicModel.scoreLocationsGibbs(indexed, "doc_id", fixtureGeoModel)
     val w = Window.partitionBy("doc_id")
       .orderBy(col("probability").desc, col("loc").asc)
@@ -752,14 +772,16 @@ object OperatorQueries {
         |  UNION ALL
         |  SELECT s_suppkey, 'p:x' FROM supplier WHERE s_suppkey % 7 = 0)
         |SELECT s_suppkey, count(*) AS n_known_props,
-        |  round(sum(ln((k.rel + 1.0) / (t.totRel + 2.0))
-        |    + ln(t.totRel / (t.totRel + t.totIrrel))), 6) AS log_pos,
-        |  round(sum(ln((k.irrel + 1.0) / (t.totIrrel + 2.0))
-        |    + ln(t.totIrrel / (t.totRel + t.totIrrel))), 6) AS log_neg,
-        |  count(*) > 0 AND sum(ln((k.rel + 1.0) / (t.totRel + 2.0))
-        |      + ln(t.totRel / (t.totRel + t.totIrrel)))
-        |    > sum(ln((k.irrel + 1.0) / (t.totIrrel + 2.0))
-        |      + ln(t.totIrrel / (t.totRel + t.totIrrel))) AS accepted
+        |  round(sum((ln((k.rel + 1.0) / (t.totRel + 2.0))
+        |    + ln(t.totRel / (t.totRel + t.totIrrel)))::DECIMAL(28,10)), 6)
+        |    ::DECIMAL(38,6) AS log_pos,
+        |  round(sum((ln((k.irrel + 1.0) / (t.totIrrel + 2.0))
+        |    + ln(t.totIrrel / (t.totRel + t.totIrrel)))::DECIMAL(28,10)), 6)
+        |    ::DECIMAL(38,6) AS log_neg,
+        |  count(*) > 0 AND sum((ln((k.rel + 1.0) / (t.totRel + 2.0))
+        |      + ln(t.totRel / (t.totRel + t.totIrrel)))::DECIMAL(28,10))
+        |    > sum((ln((k.irrel + 1.0) / (t.totIrrel + 2.0))
+        |      + ln(t.totIrrel / (t.totRel + t.totIrrel)))::DECIMAL(28,10)) AS accepted
         |FROM props JOIN known k USING (property) CROSS JOIN tot t
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "q18_punctuation_window" ->
@@ -858,8 +880,9 @@ object OperatorQueries {
         |    ((l*5+3)%13-6)::DOUBLE AS z
         |  FROM generate_series(0, 24) t(l))
         |SELECT doc_id, rank, loc,
-        |  round(degrees(atan2(z, sqrt(x*x + y*y))), 6) AS lat,
-        |  round(degrees(atan2(y, x)), 6) AS lon,
+        |  round((degrees(atan2(z, sqrt(x*x + y*y))))::DECIMAL(28,10), 6)
+        |    ::DECIMAL(38,6) AS lat,
+        |  round((degrees(atan2(y, x)))::DECIMAL(28,10), 6)::DECIMAL(38,6) AS lon,
         |  score, probability
         |FROM (
         |  SELECT s.doc_id, s.loc, s.score, s.score / t.total AS probability,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -116,13 +116,19 @@ object PipelineQueries {
     TextMetrics.tokenStats(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  /** Quality scoring: length / punctuation / stopword-ratio heuristics. */
-  def q26Quality(spark: SparkSession, dir: String): DataFrame =
+  /** Quality scoring: length / punctuation / stopword-ratio heuristics.
+    * Ratios are exact small-int divisions (bit-equal across engines);
+    * the emission rounds them in the DECIMAL domain — `round(double, 6)`
+    * implementations differ near boundaries across engines/versions
+    * (see [[CoreQueries]]). */
+  def q26Quality(spark: SparkSession, dir: String): DataFrame = {
+    def dec6(c: Column) = round(c.cast("decimal(28,10)"), 6).cast("decimal(38,6)")
     TextMetrics.qualityScore(docs(spark, dir), "doc_id", "text")
-      .withColumn("punct_ratio", round(col("punct_ratio"), 6))
-      .withColumn("stopword_ratio", round(col("stopword_ratio"), 6))
-      .withColumn("mean_token_len", round(col("mean_token_len"), 6))
+      .withColumn("punct_ratio", dec6(col("punct_ratio")))
+      .withColumn("stopword_ratio", dec6(col("stopword_ratio")))
+      .withColumn("mean_token_len", dec6(col("mean_token_len")))
       .orderBy(col("doc_id"))
+  }
 
   /** Language ID over stopword profiles (deterministic M1 replacement). */
   def q27LangId(spark: SparkSession, dir: String): DataFrame =
@@ -386,12 +392,15 @@ object PipelineQueries {
         |  FROM documents),
         |m AS (
         |  SELECT doc_id, n_chars,
-        |    round(punct::DOUBLE / n_chars::DOUBLE, 6) AS punct_ratio,
-        |    round(CASE WHEN len(t) > 0 THEN
+        |    round((punct::DOUBLE / n_chars::DOUBLE)::DECIMAL(28,10), 6)
+        |      ::DECIMAL(38,6) AS punct_ratio,
+        |    round((CASE WHEN len(t) > 0 THEN
         |      len(list_filter(t, x -> list_contains(
         |        ['the','a','an','and','or','of','to','in','is','it'], x)))::DOUBLE
-        |        / len(t)::DOUBLE ELSE 0.0 END, 6) AS stopword_ratio,
-        |    round((n_chars - len(t) + 1)::DOUBLE / len(t)::DOUBLE, 6) AS mean_token_len
+        |        / len(t)::DOUBLE ELSE 0.0 END)::DECIMAL(28,10), 6)
+        |      ::DECIMAL(38,6) AS stopword_ratio,
+        |    round(((n_chars - len(t) + 1)::DOUBLE / len(t)::DOUBLE)::DECIMAL(28,10), 6)
+        |      ::DECIMAL(38,6) AS mean_token_len
         |  FROM base)
         |SELECT doc_id, n_chars, punct_ratio, stopword_ratio, mean_token_len,
         |  CASE WHEN n_chars >= 50 AND punct_ratio < 0.2

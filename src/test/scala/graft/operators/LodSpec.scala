@@ -55,8 +55,12 @@ class LodSpec extends AnyFunSuite {
     val negPrior = math.log(5.0 / 15.0)
     val c1pos = math.log(5.0 / 12.0) + posPrior + math.log(2.0 / 12.0) + posPrior
     val c1neg = math.log(2.0 / 7.0) + negPrior + math.log(4.0 / 7.0) + negPrior
-    assert(math.abs(out("c1").getAs[Double]("log_pos") - c1pos) < 1e-12)
-    assert(math.abs(out("c1").getAs[Double]("log_neg") - c1neg) < 1e-12)
+    // log_pos/log_neg are exact DECIMAL(28,10) sums of per-term casts:
+    // within 0.5e-10 per term of the double-domain reference value
+    assert(math.abs(out("c1").getAs[java.math.BigDecimal]("log_pos")
+      .doubleValue - c1pos) < 1e-9)
+    assert(math.abs(out("c1").getAs[java.math.BigDecimal]("log_neg")
+      .doubleValue - c1neg) < 1e-9)
     assert(out("c1").getAs[Long]("n_known_props") == 2) // p:zzz ignored
     assert(out("c1").getAs[Boolean]("accepted") == (c1pos > c1neg)) // true here
     // c2: only the irrelevance-heavy property -> rejected
