@@ -68,27 +68,38 @@ object DiscussionTree {
     * analyzed). Truncating lineage at each materialized step is the
     * standard discipline for iterative Spark computations (GraphX
     * checkpoints for the same reason). A parent-pointer cycle (malformed
-    * data) can never converge: `dist` keeps growing, so the loop exits at
-    * `maxIters` and THROWS rather than silently emitting wrong roots. */
+    * data) can never converge: pointers keep moving, so the loop exits at
+    * `maxIters` and THROWS rather than silently emitting wrong roots.
+    *
+    * Convergence detection rides the checkpoint job itself: a per-round
+    * accumulator counts rows whose pointer still moved (`b_dist > 0`)
+    * WHILE the frontier materializes, so each round is exactly ONE job —
+    * a separate `agg(...).first()` probe would re-scan the frontier and
+    * double the job count (2·log(depth) extra full passes at scale).
+    * Accumulator updates inside the materialization action are applied
+    * exactly once per successful task, and the job only completes when
+    * every task has, so a zero reading really means no pointer moved. */
   def withRoots(nodeDf: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sc = nodeDf.sparkSession.sparkContext
     var cur = nodeDf.select(
       col("node_id"),
       coalesce(col("parent_id"), col("node_id")).as("anc"),
       when(col("parent_id").isNull, 0L).otherwise(1L).as("dist"))
       .localCheckpoint() // eager: materializes and truncates lineage
-    var total = cur.agg(coalesce(sum("dist"), lit(0L))).first().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      val moved = sc.longAccumulator(s"withRootsMoved$i")
+      val tick = udf((m: Boolean) => { if (m) moved.add(1L); m })
       val b = cur.select(col("node_id").as("b_id"), col("anc").as("b_anc"),
         col("dist").as("b_dist"))
       val nxt = cur.join(b, cur("anc") === b("b_id"))
         .select(col("node_id"), col("b_anc").as("anc"),
-          (col("dist") + col("b_dist")).as("dist"))
-        .localCheckpoint()
-      val t = nxt.agg(coalesce(sum("dist"), lit(0L))).first().getLong(0)
-      converged = t == total
-      total = t
+          (col("dist") + col("b_dist")).as("dist"),
+          tick(col("b_dist") > 0).as("chg"))
+        .localCheckpoint() // the one job per round: materialize + count movers
+        .drop("chg")
+      converged = moved.value == 0
       cur = nxt
       i += 1
     }

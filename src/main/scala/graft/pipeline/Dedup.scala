@@ -137,9 +137,15 @@ object Dedup {
     * lineage-truncation discipline as DiscussionTree.withRoots — an
     * uncheckpointed loop's plan tree grows exponentially). Throws if
     * `maxIters` rounds don't converge rather than emitting wrong
-    * clusters. */
+    * clusters.
+    *
+    * Convergence detection rides the checkpoint job (see
+    * [[graft.operators.DiscussionTree.withRoots]]): an accumulator counts
+    * label changes while the round materializes — one job per round, no
+    * separate probe join/count over the labels. */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
       maxIters: Int = 30): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -148,18 +154,19 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      val changed = sc.longAccumulator(s"ccChanged$i")
+      val tick = udf((c: Boolean) => { if (c) changed.add(1L); c })
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
       val next = labels.join(viaEdges, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      val changed = next.join(
-        labels.withColumnRenamed("label", "old_label"), "doc_id")
-        .filter(col("label") =!= col("old_label")).limit(1).count()
-      converged = changed == 0
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          tick(coalesce(col("nbr_label") < col("label"), lit(false))).as("chg"))
+        .localCheckpoint() // one job: materialize round + count changes
+        .drop("chg")
+      converged = changed.value == 0
       labels = next
       i += 1
     }
