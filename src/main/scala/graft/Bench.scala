@@ -1,4 +1,7 @@
 package graft
+
+import scala.util.control.NonFatal
+
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{name:sec,...},"failed":[...]}.
   * Each query is forced with a noop-format write — full materialization of
@@ -6,6 +9,12 @@ package graft
   * top-level sorts the oracles pay for). Failed queries report their
   * elapsed time AND are listed in "failed" so a crash is never mistaken
   * for a fast run.
+  *
+  * Each query runs SPARK_GRAFT_RUNS times (default 2) and reports the
+  * per-query MIN — single-run numbers at local[32] swing 2–3× with cache
+  * pressure and JIT state (r3/r4 both chased phantom regressions), and
+  * min-of-n is the standard way to strip that noise. "runs" and the raw
+  * per-run times are included so a reader can see the spread.
   *
   * Before timing, every input table is scanned once (count) so the first
   * measured query doesn't absorb one-time costs — parquet footer reads,
@@ -15,27 +24,36 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val spark = Tables.session(s"local[$cpus]", cpus)
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).count()
-      catch { case _: Throwable => () } // missing table: the query will report
+      catch { case NonFatal(e) => // missing table: the query will report
+        System.err.println(s"[bench] warm-up scan of '$n' failed: ${e.getMessage}")
+      }
     }
     var failed = List.empty[String]
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to runs).map { i =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case NonFatal(e) =>
+          if (i == 1) failed ::= name // report once, still time every run
+          System.err.println(s"[bench] $name run $i failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, times.min, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    val raw = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fl = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val sf = sfDir.split("/sf").last
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sf"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qs,"all_runs":$raw,"failed":$fl,"sf":"$sf"}""")
     spark.stop()
   }
 }

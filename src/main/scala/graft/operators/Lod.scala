@@ -70,8 +70,16 @@ object Lod {
     * log_pos / log_neg (DECIMAL) / accepted. */
   def nbRelevance(candidateProps: DataFrame, keyCols: Seq[String],
       counts: DataFrame): DataFrame = {
+    // Positivity precondition: totRel/totIrrel must be > 0 — log(0) would
+    // become NULL after the decimal cast and silently vanish from the sum
+    // (the reference trains on non-empty rel+irrel corpora, so zero totals
+    // mean broken input). assert_true makes that loud; the check runs once
+    // on the broadcast 1-row totals.
     val totals = counts.filter(col("property") === "total")
       .select(col("rel").as("totRel"), col("irrel").as("totIrrel"))
+      .withColumn("_pos", assert_true(col("totRel") > 0 && col("totIrrel") > 0,
+        lit("nbRelevance requires totRel > 0 and totIrrel > 0")))
+      .drop("_pos")
     val known = counts.filter(col("property") =!= "total")
     val scored = candidateProps
       .join(broadcast(known), Seq("property"), "inner") // only known properties score

@@ -267,11 +267,12 @@ object TopicModel {
     * the DECIMAL domain (double → exact DECIMAL(28,10) absorbs libm
     * last-ulp differences across engines, then the 6-dp decimal round is
     * HALF_UP on every engine — `round(double, 6)` implementations differ
-    * near boundaries; see [[graft.queries.CoreQueries]]). */
+    * near boundaries), then emitted as DOUBLE (DECIMAL-typed outputs
+    * hash differently across engines; see [[graft.queries.CoreQueries]]). */
   def modelLocations(spark: SparkSession, model: GeoModel): DataFrame = {
     import spark.implicits._
     def deg6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(28,10)"), 6).cast("decimal(38,6)")
+      round(c.cast("decimal(28,10)"), 6).cast("double")
     model.qm.zipWithIndex
       .map { case (v, l) => (l.toLong, v(0), v(1), v(2)) }.toSeq
       .toDF("loc", "x", "y", "z")

@@ -13,8 +13,10 @@ import graft.functions.TextFunctions
   *    the full text payload.
   *  - MinHash/LSH shuffles only (doc_id, band_key) pairs; candidate
   *    verification joins back on the (much smaller) candidate set.
-  *  - all hashing uses md5, so signatures are engine-portable and the
-  *    pipeline needs no UDF (whole-stage codegen throughout).
+  *  - all hashing uses md5, so signatures are engine-portable; the
+  *    data path needs no UDF (whole-stage codegen throughout). The one
+  *    UDF in this file is [[nearDupClusters]]'s convergence tick — a
+  *    side-effecting accumulator probe, not a data transform.
   */
 object Dedup {
 
@@ -154,6 +156,10 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // Accumulator-in-transformation is safe ONLY because the test is
+      // `== 0`: task retries/speculation can over-count ticks, never
+      // under-count, so a genuinely-converged round (no label moved
+      // anywhere) always reads exactly 0.
       val changed = sc.longAccumulator(s"ccChanged$i")
       val tick = udf((c: Boolean) => { if (c) changed.add(1L); c })
       val viaEdges = edges

@@ -31,29 +31,27 @@ object CoreQueries {
   private[queries] def tsStrMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
-  /** Order-independent double aggregation, DECIMAL end to end: cast each
-    * addend to exact DECIMAL(28,10), sum (partial-aggregation order can no
-    * longer move the result), round IN THE DECIMAL DOMAIN, and emit the
-    * DECIMAL itself — the hashed value never passes through a binary
-    * double, so engine-specific `round(double)` implementations (Spark
-    * rounds the shortest-repr BigDecimal; DuckDB multiply-rounds the
-    * binary value, with behavior that changed across DuckDB versions)
-    * cannot disagree. Spark's decimal round and DuckDB's are both
-    * HALF_UP/away-from-zero (probed on ±x.00005), and the per-addend
-    * double→decimal cast agrees between engines (shortest-repr vs binary
-    * rounding diverge only when the true value sits within ~1 ulp of a
-    * 0.5e-10 boundary). The explicit decimal(38,s) cast pins an identical
-    * declared type on both sides.
-    * Oracle mirror: `round(sum((expr)::DECIMAL(28,10)), s)::DECIMAL(38,s)`. */
+  /** Order-independent double aggregation: cast each addend to exact
+    * DECIMAL(28,10), sum (partial-aggregation order can no longer move
+    * the result), round IN THE DECIMAL DOMAIN (Spark's decimal round and
+    * DuckDB's are both HALF_UP/away-from-zero, probed on ±x.00005; the
+    * per-addend double→decimal cast agrees between engines too), then
+    * emit as DOUBLE. The final double cast matters: engines render
+    * DECIMAL-typed values through different paths and value hashers
+    * disagree on them, whereas a ≤4–6 dp decimal with ≤15 significant
+    * digits converts to double bit-identically on both engines.
+    * Oracle mirror: `round(sum((expr)::DECIMAL(28,10)), s)::DOUBLE`. */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
-    round(sum(c.cast("decimal(28,10)")), scale).cast(s"decimal(38,$scale)")
+    round(sum(c.cast("decimal(28,10)")), scale).cast("double")
 
   /** avg with the same discipline: decimal-rounded exact sum, then ONE
     * double division by the non-null count — both operands are bit-equal
-    * across engines (the rounded sum's unscaled value stays far below
-    * 2^52 at gate scale factors, where BigDecimal.doubleValue and
-    * DuckDB's decimal→double use the same divide-by-power-of-ten), so the
-    * IEEE quotient is too; no final round step exists to flake.
+    * across engines, so the IEEE quotient is too; no final round step
+    * exists to flake. Decimal→double is bit-identical only while the
+    * rounded sum's unscaled value stays below 2^52 (≈4.5e15): callers
+    * must pick `scale` so that max-possible-sum × 10^scale keeps real
+    * headroom — q01 uses scale 4 (per-group sum ≤ ~1e10 even at sf1 →
+    * unscaled ≤ 1e14, 45× margin), NOT 6 (only ~4× at sf0.1).
     * Oracle mirror: `round(sum((c)::DECIMAL(28,10)), s)::DOUBLE / count(c)`. */
   private def davg(c: org.apache.spark.sql.Column, scale: Int) =
     round(sum(c.cast("decimal(28,10)")), scale).cast("double") / count(c)
@@ -71,9 +69,9 @@ object CoreQueries {
           .as("sum_disc_price"),
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
           (lit(1) + col("l_tax")), 4).as("sum_charge"),
-        davg(col("l_quantity"), 6).as("avg_qty"),
-        davg(col("l_extendedprice"), 6).as("avg_price"),
-        davg(col("l_discount"), 6).as("avg_disc"),
+        davg(col("l_quantity"), 4).as("avg_qty"),
+        davg(col("l_extendedprice"), 4).as("avg_price"),
+        davg(col("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -233,16 +231,16 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum((l_quantity)::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS sum_qty,
-        |  round(sum((l_extendedprice)::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS sum_base_price,
-        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)), 4)::DECIMAL(38,4)
+        |  round(sum((l_quantity)::DECIMAL(28,10)), 4)::DOUBLE AS sum_qty,
+        |  round(sum((l_extendedprice)::DECIMAL(28,10)), 4)::DOUBLE AS sum_base_price,
+        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)), 4)::DOUBLE
         |    AS sum_disc_price,
-        |  round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(28,10)), 4)::DECIMAL(38,4)
+        |  round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(28,10)), 4)::DOUBLE
         |    AS sum_charge,
-        |  round(sum((l_quantity)::DECIMAL(28,10)), 6)::DOUBLE / count(l_quantity) AS avg_qty,
-        |  round(sum((l_extendedprice)::DECIMAL(28,10)), 6)::DOUBLE / count(l_extendedprice)
+        |  round(sum((l_quantity)::DECIMAL(28,10)), 4)::DOUBLE / count(l_quantity) AS avg_qty,
+        |  round(sum((l_extendedprice)::DECIMAL(28,10)), 4)::DOUBLE / count(l_extendedprice)
         |    AS avg_price,
-        |  round(sum((l_discount)::DECIMAL(28,10)), 6)::DOUBLE / count(l_discount) AS avg_disc,
+        |  round(sum((l_discount)::DECIMAL(28,10)), 4)::DOUBLE / count(l_discount) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -257,7 +255,7 @@ object CoreQueries {
         |LIMIT 200""".stripMargin,
     "q03_top_revenue_orders" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
-        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS revenue
+        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)), 4)::DOUBLE AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -267,7 +265,7 @@ object CoreQueries {
         |LIMIT 10""".stripMargin,
     "q05_region_revenue" ->
       """SELECT r_name, n_name,
-        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS revenue
+        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)), 4)::DOUBLE AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -278,7 +276,7 @@ object CoreQueries {
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q06_orphan_customers" ->
       """SELECT n_name, count(*) AS n_orphans,
-        |  round(sum((c_acctbal)::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS orphan_acctbal
+        |  round(sum((c_acctbal)::DECIMAL(28,10)), 4)::DOUBLE AS orphan_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -305,7 +303,7 @@ object CoreQueries {
       """SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S')
         |    AS window_start, event_type,
         |  count(*) AS n_events,
-        |  round(sum((value)::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS sum_value
+        |  round(sum((value)::DECIMAL(28,10)), 4)::DOUBLE AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
@@ -325,7 +323,7 @@ object CoreQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-        |  round(sum((value)::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS sum_value
+        |  round(sum((value)::DECIMAL(28,10)), 4)::DOUBLE AS sum_value
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
@@ -348,7 +346,7 @@ object CoreQueries {
         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
         |    AS session_end,
         |  count(*) AS n_events,
-        |  round(sum((value)::DECIMAL(28,10)), 4)::DECIMAL(38,4) AS sum_value
+        |  round(sum((value)::DECIMAL(28,10)), 4)::DOUBLE AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "q11_twitter_ts_parse" ->

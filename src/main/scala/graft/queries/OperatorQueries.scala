@@ -206,8 +206,8 @@ object OperatorQueries {
       }.reduce(_ unionByName _)
     Lod.nbRelevance(props, Seq("s_suppkey"), counts)
       .select(col("s_suppkey"), col("n_known_props"),
-        round(col("log_pos"), 6).cast("decimal(38,6)").as("log_pos"),
-        round(col("log_neg"), 6).cast("decimal(38,6)").as("log_neg"),
+        round(col("log_pos"), 6).cast("double").as("log_pos"),
+        round(col("log_neg"), 6).cast("double").as("log_neg"),
         col("accepted"))
       .orderBy(col("s_suppkey"))
   }
@@ -774,10 +774,10 @@ object OperatorQueries {
         |SELECT s_suppkey, count(*) AS n_known_props,
         |  round(sum((ln((k.rel + 1.0) / (t.totRel + 2.0))
         |    + ln(t.totRel / (t.totRel + t.totIrrel)))::DECIMAL(28,10)), 6)
-        |    ::DECIMAL(38,6) AS log_pos,
+        |    ::DOUBLE AS log_pos,
         |  round(sum((ln((k.irrel + 1.0) / (t.totIrrel + 2.0))
         |    + ln(t.totIrrel / (t.totRel + t.totIrrel)))::DECIMAL(28,10)), 6)
-        |    ::DECIMAL(38,6) AS log_neg,
+        |    ::DOUBLE AS log_neg,
         |  count(*) > 0 AND sum((ln((k.rel + 1.0) / (t.totRel + 2.0))
         |      + ln(t.totRel / (t.totRel + t.totIrrel)))::DECIMAL(28,10))
         |    > sum((ln((k.irrel + 1.0) / (t.totIrrel + 2.0))
@@ -881,8 +881,8 @@ object OperatorQueries {
         |  FROM generate_series(0, 24) t(l))
         |SELECT doc_id, rank, loc,
         |  round((degrees(atan2(z, sqrt(x*x + y*y))))::DECIMAL(28,10), 6)
-        |    ::DECIMAL(38,6) AS lat,
-        |  round((degrees(atan2(y, x)))::DECIMAL(28,10), 6)::DECIMAL(38,6) AS lon,
+        |    ::DOUBLE AS lat,
+        |  round((degrees(atan2(y, x)))::DECIMAL(28,10), 6)::DOUBLE AS lon,
         |  score, probability
         |FROM (
         |  SELECT s.doc_id, s.loc, s.score, s.score / t.total AS probability,

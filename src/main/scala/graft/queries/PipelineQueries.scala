@@ -119,10 +119,11 @@ object PipelineQueries {
   /** Quality scoring: length / punctuation / stopword-ratio heuristics.
     * Ratios are exact small-int divisions (bit-equal across engines);
     * the emission rounds them in the DECIMAL domain — `round(double, 6)`
-    * implementations differ near boundaries across engines/versions
-    * (see [[CoreQueries]]). */
+    * implementations differ near boundaries across engines/versions —
+    * then casts back to DOUBLE (DECIMAL-typed outputs hash differently
+    * across engines; see [[CoreQueries]]). */
   def q26Quality(spark: SparkSession, dir: String): DataFrame = {
-    def dec6(c: Column) = round(c.cast("decimal(28,10)"), 6).cast("decimal(38,6)")
+    def dec6(c: Column) = round(c.cast("decimal(28,10)"), 6).cast("double")
     TextMetrics.qualityScore(docs(spark, dir), "doc_id", "text")
       .withColumn("punct_ratio", dec6(col("punct_ratio")))
       .withColumn("stopword_ratio", dec6(col("stopword_ratio")))
@@ -393,14 +394,14 @@ object PipelineQueries {
         |m AS (
         |  SELECT doc_id, n_chars,
         |    round((punct::DOUBLE / n_chars::DOUBLE)::DECIMAL(28,10), 6)
-        |      ::DECIMAL(38,6) AS punct_ratio,
+        |      ::DOUBLE AS punct_ratio,
         |    round((CASE WHEN len(t) > 0 THEN
         |      len(list_filter(t, x -> list_contains(
         |        ['the','a','an','and','or','of','to','in','is','it'], x)))::DOUBLE
         |        / len(t)::DOUBLE ELSE 0.0 END)::DECIMAL(28,10), 6)
-        |      ::DECIMAL(38,6) AS stopword_ratio,
+        |      ::DOUBLE AS stopword_ratio,
         |    round(((n_chars - len(t) + 1)::DOUBLE / len(t)::DOUBLE)::DECIMAL(28,10), 6)
-        |      ::DECIMAL(38,6) AS mean_token_len
+        |      ::DOUBLE AS mean_token_len
         |  FROM base)
         |SELECT doc_id, n_chars, punct_ratio, stopword_ratio, mean_token_len,
         |  CASE WHEN n_chars >= 50 AND punct_ratio < 0.2

@@ -78,8 +78,10 @@ object Topologies {
     * them (T8, RoleAnalysisBolt.java:81-84). Here the punctuation-window
     * fold runs in flatMapGroupsWithState (checkpointed state across
     * micro-batches, W6) and each foreachBatch runs the per-window
-    * community pipeline on the flushed windows, appending parquet to
-    * `outDir`. Caller starts the returned query. */
+    * community pipeline on the flushed windows, writing parquet to
+    * `outDir/batch=<id>` (idempotent under micro-batch replay) and
+    * dropping the batch's cached intermediates. Caller starts the
+    * returned query. */
   def roleAnalysisStream(tweets: DataFrame, windowMicros: Long,
       outDir: String, checkpoint: String) = {
     val norm = TweetSource.normalized(tweets)
@@ -93,7 +95,7 @@ object Topologies {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val tagged = batch
             .select(col("startMicros"), explode(col("payloads")).as("json"))
@@ -117,7 +119,17 @@ object Topologies {
                 .as("window_start"),
               substring_index(col("user_id"), ":", -1).as("user_id"),
               col("role"), col("postCount"), col("inDegreeRatio"))
-            .write.mode("append").parquet(outDir)
+            // batch-id-addressed overwrite (same device as debugJsonSink):
+            // replaying a micro-batch after a restart rewrites its own
+            // directory instead of appending duplicate rows — foreachBatch
+            // is at-least-once, so the sink must be idempotent per batchId.
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          // The per-window pipeline caches intermediates (DiscussionTree
+          // nodes above; n1/e/features inside RoleAnalysis). They are only
+          // useful within this batch — left in place, CacheManager entries
+          // accumulate without bound across micro-batches. clearCache is
+          // deliberate: a long-lived stream must not grow per-batch state.
+          batch.sparkSession.sharedState.cacheManager.clearCache()
         }
       }
   }

@@ -46,16 +46,22 @@ object TweetSource {
     * (config/storm_config.ini:47-48) as a per-micro-batch record cap. */
   def readKafka(spark: SparkSession, bootstrap: String, topic: String,
       maxOffsetsPerTrigger: Long = 10000L): DataFrame =
-    spark.readStream
+    decodeKafkaEnvelope(spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
-      .load()
-      .select(
-        col("topic").as("exchange"),
-        col("key").cast("string").as("routing"),
-        from_json(col("value").cast("string"), tweetSchema).as("message"))
+      .load())
+
+  /** The AMQP-envelope mapping applied to a Kafka-shaped frame
+    * (topic / key / value): topic→exchange, key→routing, value→parsed
+    * tweet struct. Split out from [[readKafka]] so the decode semantics
+    * are testable without a broker or the kafka connector jar. */
+  def decodeKafkaEnvelope(kafka: DataFrame): DataFrame =
+    kafka.select(
+      col("topic").as("exchange"),
+      col("key").cast("string").as("routing"),
+      from_json(col("value").cast("string"), tweetSchema).as("message"))
 
   /** Streaming read of JSON-lines files (used by tests and local runs in
     * place of Kafka — same downstream schema). `maxFilesPerTrigger` is the

@@ -109,8 +109,9 @@ class TopologiesSpec extends AnyFunSuite {
       .select(from_json(col("value"), TweetSource.tweetSchema).as("m"))
       .select("m.*")
     val outDir = Files.createTempDirectory("roles_out").toString
+    val ckptDir = Files.createTempDirectory("roles_ckpt").toString
     val query = Topologies.roleAnalysisStream(streamTweets, 600000000L,
-      outDir, Files.createTempDirectory("roles_ckpt").toString).start()
+      outDir, ckptDir).start()
     try {
       // three micro-batches: window state must survive across them (W6)
       lines.grouped(3).foreach { chunk =>
@@ -118,6 +119,11 @@ class TopologiesSpec extends AnyFunSuite {
         query.processAllAvailable()
       }
     } finally query.stop()
+
+    // per-batch cleanup: a long-lived stream must not accumulate
+    // CacheManager entries — foreachBatch clears its intermediates
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "roleAnalysisStream left cached plans behind after stopping")
 
     val streamed = spark.read.parquet(outDir)
       .select("window_start", "user_id", "role", "postCount", "inDegreeRatio")
@@ -127,6 +133,24 @@ class TopologiesSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+
+    // Idempotency under replay: delete the last commit marker so restart
+    // re-runs the final micro-batch (foreachBatch is at-least-once). The
+    // batch-id-addressed overwrite must leave the output unchanged —
+    // an append sink would duplicate the replayed batch's rows.
+    val commits = new java.io.File(s"$ckptDir/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) crc.delete() // Hadoop local-FS checksum shadow file
+    val replay = Topologies.roleAnalysisStream(streamTweets, 600000000L,
+      outDir, ckptDir).start()
+    try replay.processAllAvailable() finally replay.stop()
+    val replayed = spark.read.parquet(outDir)
+      .select("window_start", "user_id", "role", "postCount", "inDegreeRatio")
+      .collect().map(_.toString).sorted.toSeq
+    assert(replayed == streamed, "micro-batch replay duplicated rows")
   }
 
   test("per-message topic model streams in append mode and matches the matrix scorer") {

@@ -5,14 +5,27 @@ dumped oracle_sql.json, runs the oracle in DuckDB over the same sf dir,
 and compares row count, column-name set, and a value hash computed over
 column-name-sorted, row-sorted string representations.
 
-Usage: python3 tools/check.py [outDir] [sfDir]
+Two hashing modes, BOTH must pass:
+  duck   — Spark parquet read back through DuckDB read_parquet (the
+           original mode; both sides' values rendered by DuckDB).
+  strict — Spark parquet read directly with pyarrow, values formatted
+           by this script. This catches emitted-type divergences the
+           duck mode normalizes away (round 4 shipped DECIMAL-typed
+           aggregates that hashed green locally but red on the driver,
+           whose hasher does not round-trip through DuckDB).
+
+Usage: python3 tools/check.py [outDir] [sfDir] [--strict]
+(--strict is accepted for compatibility; strict mode ALWAYS runs)
 (run `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"` first)
 """
 import sys, json, hashlib, glob, os
+import decimal
 import duckdb
+import pyarrow.parquet as pq
 
-outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
-sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+args = [a for a in sys.argv[1:] if a != "--strict"]
+outdir = args[0] if len(args) > 0 else "/tmp/verify_out"
+sfdir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -27,6 +40,15 @@ def norm_cell(v):
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.6f}"
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # str() keeps the declared scale ("1.2000" at scale 4): a DECIMAL
+        # output only hashes equal to the oracle if the oracle emits the
+        # SAME type and scale — a DOUBLE one formats as "1.200000"/repr
+        # and mismatches, which is exactly the driver-visible divergence
+        # this mode exists to catch.
+        return str(v)
+    if isinstance(v, list):
+        return "[" + ", ".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
@@ -40,6 +62,15 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
+def read_pyarrow(files):
+    """Spark output via pyarrow, no DuckDB in the path."""
+    tbl = pq.ParquetDataset(files).read()
+    cols = tbl.column_names
+    pyrows = tbl.to_pylist()
+    rows = [tuple(d[c] for c in cols) for d in pyrows]
+    return cols, rows
+
+
 con = duckdb.connect()
 for t in TABLES:
     p = f"{sfdir}/{t}.parquet"
@@ -49,7 +80,7 @@ for t in TABLES:
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 results = {}
 for name in sorted(oracle):
-    spark_glob = glob.glob(f"{outdir}/{name}/*.parquet")
+    spark_glob = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     if not spark_glob:
         results[name] = {"ok": False, "why": "no spark output"}
         continue
@@ -62,6 +93,11 @@ for name in sorted(oracle):
         results[name] = {"ok": False, "why": f"spark read: {e}"}
         continue
     try:
+        p_cols, p_rows = read_pyarrow(spark_glob)
+    except Exception as e:
+        results[name] = {"ok": False, "why": f"pyarrow read: {e}"}
+        continue
+    try:
         oq = con.execute(oracle[name])
         o_cols = [d[0] for d in oq.description]
         o_rows = oq.fetchall()
@@ -70,11 +106,14 @@ for name in sorted(oracle):
         continue
     ok_rows = len(s_rows) == len(o_rows)
     ok_cols = sorted(s_cols) == sorted(o_cols)
-    sh, oh = table_hash(s_cols, s_rows), table_hash(o_cols, o_rows)
+    oh = table_hash(o_cols, o_rows)
+    duck_ok = table_hash(s_cols, s_rows) == oh
+    strict_ok = table_hash(p_cols, p_rows) == oh
     results[name] = {
-        "ok": ok_rows and ok_cols and sh == oh,
+        "ok": ok_rows and ok_cols and duck_ok and strict_ok,
         "rows": [len(s_rows), len(o_rows)],
-        "cols_match": ok_cols, "hash_match": sh == oh,
+        "cols_match": ok_cols, "hash_match": duck_ok,
+        "strict_hash_match": strict_ok,
     }
     if not ok_cols:
         results[name]["cols"] = [sorted(s_cols), sorted(o_cols)]
@@ -83,5 +122,5 @@ npass = sum(1 for r in results.values() if r["ok"])
 for name, r in results.items():
     flag = "PASS" if r["ok"] else "FAIL"
     print(f"{flag} {name} {json.dumps({k: v for k, v in r.items() if k != 'ok'})}")
-print(f"== {npass}/{len(results)} pass")
+print(f"== {npass}/{len(results)} pass (duck + strict modes)")
 sys.exit(0 if npass == len(results) else 1)
