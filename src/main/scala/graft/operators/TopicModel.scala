@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.functions.TextFunctions
 
@@ -302,5 +303,40 @@ object TopicModel {
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i / batchSize)
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  case class CountBatchAssign(doc_id: Long, batch_id: Long)
+  private[operators] case class CountBatchState(nextBatchId: Long, buffer: List[Long])
+
+  /** A8, streaming form — the bolt's actual count trigger
+    * (TopicModelBolt.java:87,99-138): messages buffer until the count
+    * reaches `batchSize`; the full batch then fires with the next batch
+    * id and the buffer resets. A trailing partial buffer never fires —
+    * exactly the bolt, where prediction happens only on the 5th message.
+    * State (next batch id + buffer) is checkpointed across micro-batches
+    * (W6), where the bolt lost its buffer on restart.
+    *
+    * Parity mode, NOT the scale path: the reference's trigger is one
+    * global counter, so every id routes through a single state key — use
+    * [[withCountBatches]] (distributed rank) for batch/backfill work.
+    * Arrival order within a micro-batch is undefined under retries, so
+    * processing order is fixed to id order (the same documented deviation
+    * as [[graft.streaming.PunctuationWindow]]). */
+  def countBatchesStreaming(ids: Dataset[Long],
+      batchSize: Int = 5): Dataset[CountBatchAssign] = {
+    import ids.sparkSession.implicits._
+    ids.groupByKey(_ => "all")
+      .flatMapGroupsWithState[CountBatchState, CountBatchAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[Long], state) =>
+          val st = state.getOption.getOrElse(CountBatchState(0L, Nil))
+          val all = st.buffer ::: it.toList.sorted
+          val nFull = all.size / batchSize
+          val (fire, keep) = all.splitAt(nFull * batchSize)
+          state.update(CountBatchState(st.nextBatchId + nFull, keep))
+          fire.iterator.zipWithIndex.map { case (id, i) =>
+            CountBatchAssign(id, st.nextBatchId + i / batchSize)
+          }
+      }
   }
 }

@@ -33,6 +33,32 @@ class TopicModelSpec extends AnyFunSuite {
     assert(b == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("countBatchesStreaming fires full batches across micro-batches, holds the partial tail") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Long]
+    val query = TopicModel.countBatchesStreaming(stream.toDS(), batchSize = 5)
+      .writeStream.outputMode("append").format("memory").queryName("cbs").start()
+    try {
+      stream.addData(0L, 1L, 2L) // 3 buffered, below the trigger
+      query.processAllAvailable()
+      assert(spark.table("cbs").count() == 0)
+      stream.addData(3L to 11L: _*) // 12 total: batches 0,1 fire; 10,11 held
+      query.processAllAvailable()
+      val got = spark.table("cbs").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (0L to 9L).map(i => i -> i / 5).toMap)
+      stream.addData(12L, 13L, 14L) // buffer reaches 5: batch 2 fires
+      query.processAllAvailable()
+      val got2 = spark.table("cbs").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == (0L to 14L).map(i => i -> i / 5).toMap)
+      // bit-parity with the batch mode over the completed prefix
+      val batchMode = TopicModel.withCountBatches(
+        spark.range(15).toDF("doc_id"), "doc_id", batchSize = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == batchMode)
+    } finally query.stop()
+  }
+
   test("seeded Gibbs is deterministic across runs and partitionings") {
     val vocab = TopicModel.buildVocab(docs, "text")
     val indexed = TopicModel.indexDocs(docs, "doc_id", "text", vocab)
