@@ -199,16 +199,20 @@ object Dedup {
   def simhashBuckets(docs: DataFrame, idCol: String, textCol: String,
       nBits: Int = 60): DataFrame = {
     require(nBits >= 1 && nBits <= 60, "sign-safe long supports up to 60 bits")
-    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    // One translate folds each hex char to its parity ('1' iff odd), so
+    // the 60 per-bit votes are a 1-char substring + equality instead of
+    // an 8-way isin over the raw hex — same bits, ~8x fewer string
+    // compares inside the aggregate.
     val hashed = docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextFunctions.tokenize(col(textCol)))).as("tok"))
       .select(col("doc_id"),
-        concat(md5(col("tok")), md5(concat(lit("1:"), col("tok")))).as("h"))
+        translate(concat(md5(col("tok")), md5(concat(lit("1:"), col("tok")))),
+          "0123456789abcdef", "0101010101010101").as("h"))
     val votes = hashed.groupBy(col("doc_id")).agg(
-      sum(when(substring(col("h"), 1, 1).isin(oddHex: _*), 1L).otherwise(-1L)).as("v0"),
+      sum(when(substring(col("h"), 1, 1) === "1", 1L).otherwise(-1L)).as("v0"),
       (1 until nBits).map { b =>
-        sum(when(substring(col("h"), b + 1, 1).isin(oddHex: _*), 1L).otherwise(-1L))
+        sum(when(substring(col("h"), b + 1, 1) === "1", 1L).otherwise(-1L))
           .as(s"v$b")
       }: _*)
     votes.select(col("doc_id"),
