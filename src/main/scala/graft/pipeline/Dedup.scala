@@ -183,6 +183,35 @@ object Dedup {
       (col("doc_id") === col("label")).as("keep"))
   }
 
+  /** Embedding-cosine near-dups: pairs (a < b) whose unit-norm embedding
+    * dot product — exact, integer-quantized
+    * ([[graft.functions.VectorFunctions.dotExact]]) — meets `minDotQ`,
+    * found via a sign-LSH bucket self-join (same coarse quantizer as
+    * [[Similarity.lshTopK]]). At `scale` 1e6, dot_q ≈ cosine × 1e12.
+    *
+    * Scale shape: candidates come from a self-equi-join on the sign
+    * bucket — only (id, qv, bucket) shuffles, never the raw text/doc.
+    * Within-bucket work is quadratic in bucket occupancy, so `nBits`
+    * must grow with the corpus (occupancy ≈ n / 2^nBits; 16–24 bits at
+    * 100 TB, optionally with Hamming-1 probes to recover split pairs).
+    * Recall is approximate by construction — a near-dup pair straddling
+    * a sign boundary in every probed bit is missed; exactly the standard
+    * LSH recall trade documented for [[minhashNearDups]]. */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+      minDotQ: Long, nBits: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.{dotExact, quantize, signBucket}
+    val v = corpus.select(col(idCol).as("vid"),
+      quantize(col(vecCol)).as("qv"),
+      signBucket(col(vecCol), nBits).as("bucket"))
+    val a = v.select(col("vid").as("vec_a"), col("qv").as("qa"), col("bucket"))
+    val b = v.select(col("vid").as("vec_b"), col("qv").as("qb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot_q", dotExact(col("qa"), col("qb")))
+      .filter(col("dot_q") >= minDotQ)
+      .select(col("vec_a"), col("vec_b"), col("dot_q"))
+  }
+
   /** SimHash dedup: `nBits`-bit fingerprint per doc (default 60 — real
     * near-dup width; identical fingerprints are near-dup buckets, and
     * Hamming-close fingerprints can be banded like MinHash).

@@ -72,6 +72,15 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup pairs: sign-LSH bucket self-join +
+    * exact quantized-dot threshold (0.25 × 1e12 ≈ cosine 0.25 on these
+    * unit-norm embeddings — low enough to yield real pairs in the
+    * synthetic corpus, high enough to prune same-bucket noise). */
+  def q40EmbeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(emb(spark, dir), "vec_id", "embedding",
+      minDotQ = 250000000000L, nBits = 8)
+      .orderBy(col("vec_a"), col("vec_b"))
+
   /** LSH-bucketed ANN (sign-bit coarse quantizer, multi-probe Hamming-1):
     * the scale path — bucket join instead of cross join. */
   def q24SimilarityLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -169,6 +178,7 @@ object PipelineQueries {
     "q33_similarity_ivf" -> q33SimilarityIvf,
     "q37_neardup_clusters" -> q37NearDupClusters,
     "q39_dedup_canonical" -> q39DedupCanonical,
+    "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q25_token_stats" -> q25TokenStats,
     "q26_quality" -> q26Quality,
     "q27_langid" -> q27LangId,
@@ -234,6 +244,29 @@ object PipelineQueries {
         |  count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q20_minhash_neardups" -> q20Oracle,
+    "q40_embedding_neardups" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+        |     + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+        |     + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+        |     + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+        |     + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings),
+        |exp AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    unnest(a.qv) AS ax, unnest(b.qv) AS bx
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT vec_a, vec_b, sum(ax * bx)::BIGINT AS dot_q
+        |  FROM exp GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, dot_q FROM dots
+        |WHERE dot_q >= 250000000000
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q39_dedup_canonical" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_hash,

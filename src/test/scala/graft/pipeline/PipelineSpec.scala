@@ -11,6 +11,30 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("embeddingNearDups: same-bucket pairs above threshold, a<b, bucket misses stay out") {
+    // components exact in binary so the quantized dots are exact
+    val vecs = Seq(
+      (1L, Array(0.5, 0.75, 0.0)),   // bucket 3 (nBits=2: both signs +)
+      (2L, Array(0.5, 0.75, 0.0)),   // identical to 1 → dot_q 812.5e9
+      (3L, Array(0.75, 0.5, 0.0)),   // bucket 3, dot with 1/2 = 750e9
+      (4L, Array(-0.5, 0.75, 0.0)))  // bucket 2 — alone, never a candidate
+      .toDF("vec_id", "embedding")
+    val strict = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      minDotQ = 800000000000L, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(strict == Set((1L, 2L, 812500000000L)))
+    val loose = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      minDotQ = 700000000000L, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // vec 4's nearest (dot 281.25e9 with 1/2) is in another bucket:
+    // LSH recall trade — it must NOT appear even at threshold 0
+    val all = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      minDotQ = Long.MinValue, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!all.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("staged simhashBuckets equals the expression-level simhashBits") {
     val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "delta epsilon"),
       (3L, "zeta"), (4L, "alpha beta gamma alpha")).toDF("doc_id", "text")
