@@ -228,22 +228,27 @@ object Dedup {
   def simhashBuckets(docs: DataFrame, idCol: String, textCol: String,
       nBits: Int = 60): DataFrame = {
     require(nBits >= 1 && nBits <= 60, "sign-safe long supports up to 60 bits")
-    // One translate folds each hex char to its parity ('1' iff odd), so
-    // the 60 per-bit votes are a 1-char substring + equality instead of
-    // an 8-way isin over the raw hex — same bits, ~8x fewer string
-    // compares inside the aggregate.
+    // Each token's nBits parity bits are packed into ONE long before the
+    // aggregate: translate folds each hex char to its parity ('1' iff
+    // odd), conv(..., 2, 10) reads the first nBits parity chars as a
+    // binary number (char 1 = most significant). The 60 per-bit votes are
+    // then pure shift/mask integer ops — no per-vote string work at all
+    // (the earlier per-vote substring-isin formulation did 60 string
+    // probes per token row inside the aggregate).
     val hashed = docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextFunctions.tokenize(col(textCol)))).as("tok"))
       .select(col("doc_id"),
-        translate(concat(md5(col("tok")), md5(concat(lit("1:"), col("tok")))),
-          "0123456789abcdef", "0101010101010101").as("h"))
+        conv(substring(
+          translate(concat(md5(col("tok")), md5(concat(lit("1:"), col("tok")))),
+            "0123456789abcdef", "0101010101010101"), 1, nBits),
+          2, 10).cast("long").as("bits"))
+    // parity char b+1 (bit b of the fingerprint) sits at position
+    // nBits-1-b of the packed long (conv is big-endian)
+    def bit(b: Int) = shiftright(col("bits"), nBits - 1 - b).bitwiseAND(lit(1L))
     val votes = hashed.groupBy(col("doc_id")).agg(
-      sum(when(substring(col("h"), 1, 1) === "1", 1L).otherwise(-1L)).as("v0"),
-      (1 until nBits).map { b =>
-        sum(when(substring(col("h"), b + 1, 1) === "1", 1L).otherwise(-1L))
-          .as(s"v$b")
-      }: _*)
+      sum(bit(0) * 2L - 1L).as("v0"),
+      (1 until nBits).map { b => sum(bit(b) * 2L - 1L).as(s"v$b") }: _*)
     votes.select(col("doc_id"),
       (0 until nBits).map { b =>
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
