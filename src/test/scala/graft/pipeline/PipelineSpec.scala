@@ -11,6 +11,22 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("langIdNgram: profile argmax; sub-trigram and no-hit texts fall back to und") {
+    val docs = Seq(
+      (1L, "the theory of the thing"),  // en trigrams dominate
+      (2L, "der und ein ich dich"),     // de
+      (3L, "ab"),                       // < 3 chars: zero grams (sequence guard)
+      (4L, "zzzz qqqq xxxx"))           // grams exist, none in any profile
+      .toDF("doc_id", "text")
+    val profiles = TextMetrics.trigramProfiles.toDF("lang", "ngram", "weight")
+    val out = TextMetrics.langIdNgram(docs, "doc_id", "text", profiles)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == "en")
+    assert(out(2L)._1 == "de")
+    assert(out(3L) == (("und", 0L)))
+    assert(out(4L) == (("und", 0L)))
+  }
+
   test("embeddingNearDups: same-bucket pairs above threshold, a<b, bucket misses stay out") {
     // components exact in binary so the quantized dots are exact
     val vecs = Seq(
