@@ -38,7 +38,7 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case NonFatal(e) =>
-          if (i == 1) failed ::= name // report once, still time every run
+          if (!failed.contains(name)) failed ::= name // any failing run marks it
           System.err.println(s"[bench] $name run $i failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9

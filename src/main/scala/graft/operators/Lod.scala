@@ -73,13 +73,14 @@ object Lod {
     // Positivity precondition: totRel/totIrrel must be > 0 — log(0) would
     // become NULL after the decimal cast and silently vanish from the sum
     // (the reference trains on non-empty rel+irrel corpora, so zero totals
-    // mean broken input). assert_true makes that loud; the check runs once
-    // on the broadcast 1-row totals.
+    // mean broken input). The assert_true is woven INTO the emitted
+    // columns (not a dropped side column, which ColumnPruning would
+    // erase); it runs once per row of the broadcast 1-row totals.
+    def checked(c: org.apache.spark.sql.Column) =
+      when(assert_true(col("rel") > 0 && col("irrel") > 0,
+        lit("nbRelevance requires totRel > 0 and totIrrel > 0")).isNull, c)
     val totals = counts.filter(col("property") === "total")
-      .select(col("rel").as("totRel"), col("irrel").as("totIrrel"))
-      .withColumn("_pos", assert_true(col("totRel") > 0 && col("totIrrel") > 0,
-        lit("nbRelevance requires totRel > 0 and totIrrel > 0")))
-      .drop("_pos")
+      .select(checked(col("rel")).as("totRel"), checked(col("irrel")).as("totIrrel"))
     val known = counts.filter(col("property") =!= "total")
     val scored = candidateProps
       .join(broadcast(known), Seq("property"), "inner") // only known properties score

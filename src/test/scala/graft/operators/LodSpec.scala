@@ -69,4 +69,17 @@ class LodSpec extends AnyFunSuite {
     assert(out("c2").getAs[Boolean]("accepted") == (c2pos > c2neg))
     assert(!out("c2").getAs[Boolean]("accepted"))
   }
+
+  test("T9: zero rel/irrel totals fail loudly instead of nulling the log sums") {
+    val counts = Seq(("p:a", 4.0, 1.0), ("total", 10.0, 0.0))
+      .toDF("property", "rel", "irrel")
+    val props = Seq(("c1", "p:a")).toDF("cand", "property")
+    val e = intercept[Exception] {
+      Lod.nbRelevance(props, Seq("cand"), counts).collect()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("totRel > 0 and totIrrel > 0"))
+  }
 }
