@@ -112,6 +112,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 00:20:00.0", 1L)))
   }
 
+  test("native session windows run under Structured Streaming and match the batch form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+    val streamed = sessions(
+      stream.toDF().toDF("user_id", "ts", "value").withWatermark("ts", "0 seconds"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_stream")
+      .option("checkpointLocation", Files.createTempDirectory("sess_ckpt").toString)
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1.0), (1L, t("2024-01-01 00:10:00"), 2.0),
+      (1L, t("2024-01-01 01:00:00"), 3.0), // 30-min gap → second session
+      (2L, t("2024-01-01 00:05:00"), 4.0))
+    try {
+      stream.addData(events.take(2))
+      streamed.processAllAvailable()
+      stream.addData(events.drop(2))
+      streamed.processAllAvailable()
+      // a late watermark-advancing event so every session above closes
+      stream.addData((9L, t("2024-01-01 09:00:00"), 0.0))
+      streamed.processAllAvailable()
+    } finally streamed.stop()
+    val got = spark.table("session_stream")
+      .filter(col("user_id") < 9)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3))).toSet
+    val batch = sessions(events.toDF("user_id", "ts", "value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got == batch) // same operator form, both execution modes
+    assert(got.size == 3) // u1: two sessions (30-min gap splits), u2: one
+  }
+
   test("debug JSON file sink dumps every batch as JSON lines (S4/T7)") {
     val inDir = Files.createTempDirectory("tweets_dbg_in")
     val outDir = Files.createTempDirectory("tweets_dbg_out")
