@@ -57,6 +57,21 @@ class DiscussionTreeSpec extends AnyFunSuite {
     assert(rooted("gone") == ("gone", 0L))
   }
 
+  test("withRoots resolves a 200-deep chain (8 doubling rounds, linear plans)") {
+    val n = 200
+    val rows = ("t000", "u0", "x", ts(0), false,
+        null.asInstanceOf[String], null.asInstanceOf[String], null.asInstanceOf[String]) +:
+      (1 until n).map(i => (f"t$i%03d", s"u$i", "x", ts(i % 60), false,
+        f"t${i - 1}%03d", s"u${i - 1}", "x"))
+    val rooted = DiscussionTree.withRoots(DiscussionTree.nodes(normalized(rows)).cache())
+      .collect().map(r => r.getAs[String]("node_id") ->
+        ((r.getAs[String]("root_id"), r.getAs[Long]("depth")))).toMap
+    assert(rooted.size == n)
+    assert(rooted.values.forall(_._1 == "t000")) // one tree, one root
+    assert(rooted(f"t${n - 1}%03d") == (("t000", (n - 1).toLong)))
+    assert(rooted("t100") == (("t000", 100L)))
+  }
+
   test("withRoots throws on a parent-pointer cycle instead of emitting wrong roots") {
     // hand-build a cyclic node relation (the adapter can't produce one)
     val cyclic = Seq(
