@@ -108,10 +108,19 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     // cached: signatures, both sides of the verify join, and the size
     // lookup all scan the shingle sets — uncached, the tokenize+shingle
-    // pipeline would replay once per consumer
+    // pipeline would replay once per consumer. The cache's lifecycle is
+    // bounded HERE: the verified pairs (tiny next to the shingle sets)
+    // are materialized eagerly via localCheckpoint, then the shingles
+    // unpersist — a long-lived session accumulates no per-call cache
+    // entries (callers before this fix leaked one cached relation per
+    // invocation; cf. the per-batch clearCache in roleAnalysisStream).
     val sh = shingleSets(docs, idCol, textCol, shingleN).cache()
-    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
-    jaccard(cands, sh).filter(col("jaccard") >= threshold)
+    try {
+      val cands =
+        lshCandidates(lshBands(minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
+      jaccard(cands, sh).filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally sh.unpersist(false)
   }
 
   /** All-pairs n-gram Jaccard near-dup (quadratic verification baseline —

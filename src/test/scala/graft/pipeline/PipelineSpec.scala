@@ -11,6 +11,22 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("minhashNearDups finds exact dups, leaves no cache entries behind") {
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // identical → jaccard 1.0
+      (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    // the shingle cache's lifecycle is internal: nothing persists after
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "minhashNearDups leaked a cached relation")
+  }
+
   test("langIdNgram: profile argmax; sub-trigram and no-hit texts fall back to und") {
     val docs = Seq(
       (1L, "the theory of the thing"),  // en trigrams dominate
