@@ -82,6 +82,18 @@ object RoleAnalysis {
       else
         base.agg(countDistinct("user_id").cast("double").as("total_users"))
 
+    try {
+      userFeaturesFrom(base, n1, e, totalUsers, minContributions, windowed)
+        // The feature frame is one row per user — tiny next to n1/e.
+        // Materializing it eagerly here bounds the caches' lifecycle:
+        // n1/e unpersist on return instead of living until session end
+        // (one leaked pair per call in long-lived sessions otherwise).
+        .localCheckpoint(true)
+    } finally { n1.unpersist(false); e.unpersist(false) }
+  }
+
+  private def userFeaturesFrom(base: DataFrame, n1: DataFrame, e: DataFrame,
+      totalUsers: DataFrame, minContributions: Int, windowed: Boolean): DataFrame = {
     val posts = base.groupBy("user_id").agg(count(lit(1)).as("postCount"))
     val replied = e.groupBy(col("p_uid")).agg(
       countDistinct(col("p_nid")).as("repliedPosts"),
@@ -178,14 +190,15 @@ object RoleAnalysis {
   }
 
   /** A5 levels: join each (user, feature, value) against its boundaries.
-    * The feature frame is one row per user (tiny even at 100 TB of posts)
-    * but expensive to produce — cache it so the melt→boundaries→levels
-    * path and the final join don't replay the whole feature DAG.
+    * The feature frame arrives checkpointed from [[userFeatures]] (one
+    * row per user, materialized eagerly there), so the melt→boundaries→
+    * levels path and the final join replay only a block read — no cache
+    * needed here, and nothing to leak.
     * Windowed mode trains boundaries per "<window>:" user-id prefix (the
     * reference trains Boundaries over the users of ONE window's
     * community). */
   def withLevels(featuresIn: DataFrame, windowed: Boolean = false): DataFrame = {
-    val features = featuresIn.cache()
+    val features = featuresIn
     val melted0 = meltFeatures(features)
     val melted =
       if (windowed) melted0.withColumn("w", winOf(col("user_id"))) else melted0
