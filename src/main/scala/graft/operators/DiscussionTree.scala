@@ -55,8 +55,11 @@ object DiscussionTree {
     * rather than maxDepth — the standard scalable formulation of
     * transitive parent lookup.
     *
-    * Callers should pass a *cached* `nodeDf` (it seeds the loop AND joins
-    * the resolved pointers back at the end).
+    * The input is cached HERE for its two consumptions (loop seed + the
+    * final join) and unpersisted before returning; the result arrives
+    * eagerly checkpointed, so downstream consumers replay a block read,
+    * not the loop, and a long-lived session accumulates no cache entries
+    * per call.
     *
     * Each frontier is `localCheckpoint`-ed (materialized + lineage
     * truncated), NOT merely cached: every doubling step references the
@@ -79,7 +82,13 @@ object DiscussionTree {
     * Accumulator updates inside the materialization action are applied
     * exactly once per successful task, and the job only completes when
     * every task has, so a zero reading really means no pointer moved. */
-  def withRoots(nodeDf: DataFrame, maxIters: Int = 20): DataFrame = {
+  def withRoots(nodeDfIn: DataFrame, maxIters: Int = 20): DataFrame = {
+    val nodeDf = nodeDfIn.cache()
+    try withRootsLoop(nodeDf, maxIters).localCheckpoint(true)
+    finally nodeDf.unpersist(false)
+  }
+
+  private def withRootsLoop(nodeDf: DataFrame, maxIters: Int): DataFrame = {
     val sc = nodeDf.sparkSession.sparkContext
     var cur = nodeDf.select(
       col("node_id"),

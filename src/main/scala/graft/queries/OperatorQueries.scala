@@ -43,17 +43,16 @@ object OperatorQueries {
       TweetSource.normalizedFromEvents(events(spark, dir)).cache())
 
   /** Rooted node relation shared by q13/q14 (J4 + pointer-doubling root
-    * resolution over the events reply/retweet graph). localCheckpoint
-    * (materialize + truncate lineage) rather than cache: the role query
-    * references this relation in ~10 self-join branches, and a flat
-    * LogicalRDD keeps its analyzed plan linear where the full
-    * pointer-doubling lineage would make it exponential (see
+    * resolution over the events reply/retweet graph). withRoots returns
+    * an eagerly checkpointed frame (materialized + lineage-truncated, its
+    * internal caches released), so the role query's ~10 self-join
+    * branches reference a flat LogicalRDD where the full pointer-doubling
+    * lineage would make the plan exponential (see
     * [[DiscussionTree.withRoots]]). */
   private def rootedNodes(spark: SparkSession, dir: String): DataFrame =
     shared.getOrElseUpdate((spark.sparkContext.applicationId, s"rooted:$dir"),
       DiscussionTree.withRoots(
-        DiscussionTree.nodes(normalizedEvents(spark, dir)).cache())
-        .localCheckpoint())
+        DiscussionTree.nodes(normalizedEvents(spark, dir))))
 
   /** Stemmed word-id index shared by q15/q31/q36 (same discipline as
     * [[normalizedEvents]]): the T2 tokenize→stopword→Porter-stem pass, the

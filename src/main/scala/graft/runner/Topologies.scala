@@ -58,7 +58,7 @@ object Topologies {
       prefixed(col("ancestor_id"), win).as("ancestor_id"),
       prefixed(col("in_reply_to_user_id_str"), win).as("in_reply_to_user_id_str"),
       col("in_reply_to_screen_name"))
-    val rooted = DiscussionTree.withRoots(DiscussionTree.nodes(scoped).cache())
+    val rooted = DiscussionTree.withRoots(DiscussionTree.nodes(scoped))
     RoleAnalysis.rolesWindowed(
       rooted.select("node_id", "user_id", "parent_id", "root_id"))
       .select(
@@ -110,8 +110,7 @@ object Topologies {
             prefixed(col("in_reply_to_user_id_str"), col("win"))
               .as("in_reply_to_user_id_str"),
             col("in_reply_to_screen_name"))
-          val rooted = DiscussionTree.withRoots(
-            DiscussionTree.nodes(scoped).cache())
+          val rooted = DiscussionTree.withRoots(DiscussionTree.nodes(scoped))
           RoleAnalysis.rolesWindowed(
             rooted.select("node_id", "user_id", "parent_id", "root_id"))
             .select(
@@ -124,11 +123,9 @@ object Topologies {
             // directory instead of appending duplicate rows — foreachBatch
             // is at-least-once, so the sink must be idempotent per batchId.
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-          // The per-window pipeline caches intermediates (DiscussionTree
-          // nodes above; n1/e/features inside RoleAnalysis). They are only
-          // useful within this batch — left in place, CacheManager entries
-          // accumulate without bound across micro-batches. clearCache is
-          // deliberate: a long-lived stream must not grow per-batch state.
+          // Operators bound their own caches (withRoots, userFeatures);
+          // this belt-and-suspenders clear keeps a long-lived stream at
+          // zero CacheManager growth even if a future operator forgets.
           batch.sparkSession.sharedState.cacheManager.clearCache()
         }
       }

@@ -48,7 +48,7 @@ class DiscussionTreeSpec extends AnyFunSuite {
       ("t3", "u3", "c", ts(3), false, "t2", "u2", "b"),
       ("t4", "u4", "d", ts(4), false, "t3", "u3", "c"),
       ("t5", "u5", "e", ts(5), false, "gone", "ug", "u g")))
-    val rooted = DiscussionTree.withRoots(DiscussionTree.nodes(df).cache())
+    val rooted = DiscussionTree.withRoots(DiscussionTree.nodes(df))
       .collect().map(r => r.getAs[String]("node_id") ->
         (r.getAs[String]("root_id"), r.getAs[Long]("depth"))).toMap
     assert(rooted("t1") == ("t1", 0L))
@@ -63,7 +63,7 @@ class DiscussionTreeSpec extends AnyFunSuite {
         null.asInstanceOf[String], null.asInstanceOf[String], null.asInstanceOf[String]) +:
       (1 until n).map(i => (f"t$i%03d", s"u$i", "x", ts(i % 60), false,
         f"t${i - 1}%03d", s"u${i - 1}", "x"))
-    val rooted = DiscussionTree.withRoots(DiscussionTree.nodes(normalized(rows)).cache())
+    val rooted = DiscussionTree.withRoots(DiscussionTree.nodes(normalized(rows)))
       .collect().map(r => r.getAs[String]("node_id") ->
         ((r.getAs[String]("root_id"), r.getAs[Long]("depth")))).toMap
     assert(rooted.size == n)
@@ -90,7 +90,7 @@ class DiscussionTreeSpec extends AnyFunSuite {
       ("t2", "u2", "b", ts(2), false, "t1", "u1", "a"),
       ("t3", "u3", "c", ts(3), false, "gone", "ug", "u g")))
     val stats = DiscussionTree.treeStats(
-      DiscussionTree.withRoots(DiscussionTree.nodes(df).cache()))
+      DiscussionTree.withRoots(DiscussionTree.nodes(df)))
       .collect().map(r => r.getAs[String]("root_id") ->
         (r.getAs[Long]("tree_size"), r.getAs[Long]("max_depth"),
           r.getAs[Long]("dummy_roots"))).toMap
@@ -104,7 +104,7 @@ class DiscussionTreeSpec extends AnyFunSuite {
       // two children with the SAME timestamp: order falls to node_id
       ("t3", "u3", "c", ts(2), false, "t1", "u1", "a"),
       ("t2", "u2", "b", ts(2), false, "t1", "u1", "a")))
-    val rooted = DiscussionTree.withRoots(DiscussionTree.nodes(df).cache())
+    val rooted = DiscussionTree.withRoots(DiscussionTree.nodes(df))
     val Array(row) = DiscussionTree.assembleTrees(rooted, maxDepth = 3).collect()
     assert(row.getAs[String]("root_id") == "t1")
     val json = row.getAs[String]("tree_json")
@@ -126,7 +126,7 @@ class DiscussionTreeSpec extends AnyFunSuite {
       ("t1", "u1", "a", ts(1), false, null, null, null),
       ("t2", "u2", "b", ts(2), false, "t1", "u1", "a"),
       ("t3", "u3", "c", ts(3), false, "t2", "u2", "b")))
-    val rooted = DiscussionTree.withRoots(DiscussionTree.nodes(df).cache())
+    val rooted = DiscussionTree.withRoots(DiscussionTree.nodes(df))
     assert(DiscussionTree.droppedBeyondDepth(rooted, maxDepth = 1) == 1L)
     assert(DiscussionTree.droppedBeyondDepth(rooted, maxDepth = 2) == 0L)
   }
