@@ -151,6 +151,47 @@ object Topologies {
         col("n_targets"), col("first_ts"), col("last_ts"))
   }
 
+  /** interactionGraph, streaming form — the same wiring as
+    * [[roleAnalysisStream]] (punctuation-window fold in
+    * flatMapGroupsWithState with checkpointed state, JSON hand-off
+    * between stages, batch-id-addressed idempotent parquet sink, cache
+    * cleanup per batch); the per-window stage is the interaction-graph
+    * aggregate instead of the community-role pipeline. Caller starts the
+    * returned query. */
+  def interactionGraphStream(tweets: DataFrame, windowMicros: Long,
+      outDir: String, checkpoint: String) = {
+    val norm = TweetSource.normalized(tweets)
+    val normSchema = norm.schema
+    val withPayload = norm
+      .withColumn("_wkey", lit("all"))
+      .withColumn("_payload",
+        to_json(struct(normSchema.fieldNames.map(col).toIndexedSeq: _*)))
+    val ev = PunctuationWindow.fromColumns(withPayload, "_wkey", "ts", "_payload")
+    PunctuationWindow.streaming(ev, windowMicros).toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val scoped = batch
+            .select(col("startMicros"), explode(col("payloads")).as("json"))
+            .select(col("startMicros").cast("string").as("win"),
+              from_json(col("json"), normSchema).as("t"))
+            .select(col("win"), col("t.*"))
+            .withColumn("author_id", concat(col("win"), lit(":"), col("author_id")))
+          InteractionGraph.flatCounts(InteractionGraph.interactions(scoped))
+            .select(
+              timestamp_micros(substring_index(col("author_id"), ":", 1).cast("long"))
+                .as("window_start"),
+              substring_index(col("author_id"), ":", -1).as("author_id"),
+              col("action"), col("screen_name"), col("n_interactions"),
+              col("n_targets"), col("first_ts"), col("last_ts"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          batch.sparkSession.sharedState.cacheManager.clearCache()
+        }
+      }
+  }
+
   /** locationTopicModelTopology: tweets → F1/F2 → language filter (F3) →
     * T2 stem/tokenize → T3 vocab index → M2 scoring → A9 top-K →
     * T5 "lon,lat" → F5 key pruning. `vocab` mirrors the pretrained

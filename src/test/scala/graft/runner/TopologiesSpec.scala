@@ -76,6 +76,42 @@ class TopologiesSpec extends AnyFunSuite {
     assert(out.forall(!_.getAs[String]("screen_name").contains(" ")))
   }
 
+  test("interactionGraphStream matches the batch topology across micro-batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lines = Seq(
+      tweet("t1", "u1", "00:00:00"),
+      tweet("t2", "u2", "00:01:00", replyTo = "t1", replyUser = "u1"),
+      tweet("t3", "u1", "00:02:00", replyTo = "t2", replyUser = "u2"),
+      tweet("t4", "u3", "00:10:30"),
+      tweet("t5", "u1", "00:12:00"),
+      tweet("t6", "u2", "00:13:00", replyTo = "gone", replyUser = "u9"),
+      tweet("t7", "u3", "00:25:00"),
+      tweet("t8", "u1", "00:30:00"))
+    val stream = MemoryStream[String]
+    val streamTweets = stream.toDS()
+      .select(from_json(col("value"), TweetSource.tweetSchema).as("m"))
+      .select("m.*")
+    val outDir = Files.createTempDirectory("ig_out").toString
+    val query = Topologies.interactionGraphStream(streamTweets, 600000000L,
+      outDir, Files.createTempDirectory("ig_ckpt").toString).start()
+    try {
+      lines.grouped(3).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("window_start", "author_id", "action", "screen_name",
+        "n_interactions", "n_targets", "first_ts", "last_ts")
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = canon(spark.read.parquet(outDir))
+    val batch = canon(Topologies.interactionGraph(tweets))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("locationTopicModel: english-filtered, indexed, top-k located") {
     import graft.operators.TopicModel
     val mixed = spark.read.schema(TweetSource.tweetSchema).json(Seq(
