@@ -53,6 +53,22 @@ object Lod {
       .drop("lat_s", "lon_s", "label_s")
   }
 
+  /** J2, streaming-safe form: the per-place property aggregation moved to
+    * the STATIC triples side — (subject, place, properties) precomputed
+    * once, so attaching candidates to a (possibly streaming) entity frame
+    * is a stateless broadcast join instead of a streaming groupBy. */
+  def placePropsStatic(triples: DataFrame): DataFrame =
+    triples.filter(col("object_is_uri"))
+      .groupBy(col("subject"), col("object").as("place"))
+      .agg(collect_set(col("predicate")).as("properties"))
+
+  /** J2 via [[placePropsStatic]]: candidates for each entity row. */
+  def placeCandidatesStream(entities: DataFrame, uriCol: String,
+      triples: DataFrame): DataFrame =
+    entities.join(broadcast(placePropsStatic(triples)),
+      entities(uriCol) === col("subject"), "inner")
+      .drop("subject")
+
   /** T9 — naive-Bayes relevance score over a candidate's property list
     * (LocationCrawlerBolt.java:155-181). `counts(property, rel, irrel)`
     * mirrors nb_count.csv incl. its `total` row. Scores are computed in
@@ -96,5 +112,54 @@ object Lod {
           .cast("decimal(28,10)")).as("log_neg"))
       .withColumn("accepted", col("n_known_props") > 0 && col("log_pos") > col("log_neg"))
     scored
+  }
+
+  /** T9, per-row form for streaming: the same naive-Bayes score computed
+    * over the candidate's `properties` ARRAY in one stateless projection
+    * (no groupBy → runs under Structured Streaming append mode). The
+    * counts side input is collected at plan-build time — the bolt's
+    * `prepare()`-time download (LocationCrawlerBolt.java:155-181). Each
+    * log term is quantized to DECIMAL(28,10) HALF_UP exactly like
+    * [[nbRelevance]]'s cast, and the pos/neg comparison happens on the
+    * exact decimal sums, so `accepted` is bit-identical to the
+    * aggregation form regardless of property order (decimal addition is
+    * order-exact); log_pos/log_neg are emitted as doubles for
+    * inspection. */
+  def nbRelevancePerRow(cands: DataFrame, propsCol: String,
+      counts: DataFrame): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val totalRow = counts.filter(col("property") === "total")
+      .select("rel", "irrel").collect()
+    require(totalRow.nonEmpty, "nbRelevancePerRow: counts side input has no 'total' row")
+    val (totRel, totIrrel) = (totalRow.head.getDouble(0), totalRow.head.getDouble(1))
+    require(totRel > 0 && totIrrel > 0,
+      "nbRelevancePerRow requires totRel > 0 and totIrrel > 0")
+    val known = counts.filter(col("property") =!= "total")
+      .select("property", "rel", "irrel").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val bc = cands.sparkSession.sparkContext.broadcast(known)
+    val posPrior = math.log(totRel / (totRel + totIrrel))
+    val negPrior = math.log(totIrrel / (totRel + totIrrel))
+    def q(d: Double) = JBD.valueOf(d).setScale(10, RoundingMode.HALF_UP)
+    val score = udf((props: Seq[String]) => {
+      var n = 0L
+      var pos = JBD.ZERO
+      var neg = JBD.ZERO
+      if (props != null) props.foreach { p =>
+        bc.value.get(p).foreach { case (rel, irrel) =>
+          n += 1
+          pos = pos.add(q(math.log((rel + 1.0) / (totRel + 2.0)) + posPrior))
+          neg = neg.add(q(math.log((irrel + 1.0) / (totIrrel + 2.0)) + negPrior))
+        }
+      }
+      (n, pos.doubleValue, neg.doubleValue, n > 0 && pos.compareTo(neg) > 0)
+    })
+    cands
+      .withColumn("_s", score(col(propsCol)))
+      .withColumn("n_known_props", col("_s._1"))
+      .withColumn("log_pos", col("_s._2"))
+      .withColumn("log_neg", col("_s._3"))
+      .withColumn("accepted", col("_s._4"))
+      .drop("_s")
   }
 }

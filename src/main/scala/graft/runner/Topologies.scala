@@ -244,4 +244,27 @@ object Topologies {
       .select(col("tweet_id"), col("place"), col("label"),
         graft.functions.TextFunctions.wktPointLatFirst(col("lat"), col("lon")).as("wkt"))
   }
+
+  /** lodExplorerTopology, streaming form — the reference's actual shape
+    * (LocationCrawlerBolt scores each tweet's locations as they arrive).
+    * Every stage is stateless against static side inputs: the per-place
+    * property aggregation moves to the static triples side
+    * ([[Lod.placePropsStatic]]), relevance scores per row over the
+    * property array ([[Lod.nbRelevancePerRow]], counts captured at
+    * plan-build like the bolt's prepare()-time download), and the
+    * dereference joins are stream-static broadcasts — so the plan runs
+    * in append mode with NO stateful operator, on batch and streaming
+    * `locations` frames alike. Bit-identical `accepted` decisions to
+    * [[lodExplorer]] (same DECIMAL-quantized log terms). */
+  def lodExplorerPerMessage(locations: DataFrame, sameAs: DataFrame,
+      propTriples: DataFrame, placeTriples: DataFrame,
+      nbCounts: DataFrame): DataFrame = {
+    val linked = Lod.sameAsLookup(locations, "lgd_uri", sameAs)
+    val cands = Lod.placeCandidatesStream(linked, "dbpedia_uri", propTriples)
+    val scored = Lod.nbRelevancePerRow(cands, "properties", nbCounts)
+      .filter(col("accepted"))
+    Lod.dereferencePlaces(scored, "place", placeTriples)
+      .select(col("tweet_id"), col("place"), col("label"),
+        graft.functions.TextFunctions.wktPointLatFirst(col("lat"), col("lon")).as("wkt"))
+  }
 }

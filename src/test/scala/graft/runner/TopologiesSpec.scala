@@ -261,5 +261,31 @@ class TopologiesSpec extends AnyFunSuite {
     assert(r.getAs[String]("place") == "plc:1")
     assert(r.getAs[String]("label") == "Place One") // @en only
     assert(r.getAs[String]("wkt") == "POINT(50 7)")
+
+    // per-message form: identical rows on the same batch input...
+    val perMsg = Topologies.lodExplorerPerMessage(locations, sameAs,
+      propTriples, placeTriples, nbCounts)
+    assert(perMsg.collect().map(_.toString).sorted.toSeq ==
+      out.map(_.toString).sorted.toSeq)
+    // ...and the same plan runs as a STREAM (stateless append mode)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val query = Topologies.lodExplorerPerMessage(
+      stream.toDS().toDF("tweet_id", "lgd_uri"), sameAs,
+      propTriples, placeTriples, nbCounts)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lod_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("lod_ckpt").toString)
+      .start()
+    try {
+      stream.addData(("t1", "lgd:1"))
+      query.processAllAvailable()
+      stream.addData(("t2", "lgd:99"))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(spark.table("lod_stream").collect().map(_.toString).sorted.toSeq ==
+      out.map(_.toString).sorted.toSeq)
   }
 }
