@@ -34,16 +34,24 @@ object Bench {
     }
     var failed = List.empty[String]
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { i =>
+      val timed = (1 to runs).map { i =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case NonFatal(e) =>
-          if (!failed.contains(name)) failed ::= name // any failing run marks it
-          System.err.println(s"[bench] $name run $i failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case NonFatal(e) =>
+            if (!failed.contains(name)) failed ::= name // any failing run marks it
+            System.err.println(s"[bench] $name run $i failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, times.min, times)
+      // A crashed run often "finishes" in near-zero time; letting it into
+      // the min would report the crash duration as the query's time. Use
+      // the min over SUCCESSFUL runs; only when every run failed fall back
+      // to the raw min (the query is in "failed" either way).
+      val good = timed.collect { case (t, true) => t }
+      val best = if (good.nonEmpty) good.min else timed.map(_._1).min
+      (name, best, timed.map(_._1))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

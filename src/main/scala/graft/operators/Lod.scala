@@ -128,13 +128,19 @@ object Lod {
   def nbRelevancePerRow(cands: DataFrame, propsCol: String,
       counts: DataFrame): DataFrame = {
     import java.math.{BigDecimal => JBD, RoundingMode}
-    val totalRow = counts.filter(col("property") === "total")
+    // Cast before collect: the aggregation form (nbRelevance) accepts
+    // integer-typed counts fine through Column arithmetic, so this form
+    // must too — getDouble on an INT/BIGINT row value would throw.
+    val castCounts = counts.select(col("property"),
+      col("rel").cast("double").as("rel"),
+      col("irrel").cast("double").as("irrel"))
+    val totalRow = castCounts.filter(col("property") === "total")
       .select("rel", "irrel").collect()
     require(totalRow.nonEmpty, "nbRelevancePerRow: counts side input has no 'total' row")
     val (totRel, totIrrel) = (totalRow.head.getDouble(0), totalRow.head.getDouble(1))
     require(totRel > 0 && totIrrel > 0,
       "nbRelevancePerRow requires totRel > 0 and totIrrel > 0")
-    val known = counts.filter(col("property") =!= "total")
+    val known = castCounts.filter(col("property") =!= "total")
       .select("property", "rel", "irrel").collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     val bc = cands.sparkSession.sparkContext.broadcast(known)

@@ -320,7 +320,7 @@ object CoreQueries {
         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM marked)
-        |SELECT user_id, session_id, count(*) AS n_events,
+        |SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
         |  round(sum((value)::DECIMAL(28,10)), 4)::DOUBLE AS sum_value

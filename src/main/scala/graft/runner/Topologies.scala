@@ -123,10 +123,12 @@ object Topologies {
             // directory instead of appending duplicate rows — foreachBatch
             // is at-least-once, so the sink must be idempotent per batchId.
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-          // Operators bound their own caches (withRoots, userFeatures);
-          // this belt-and-suspenders clear keeps a long-lived stream at
-          // zero CacheManager growth even if a future operator forgets.
-          batch.sparkSession.sharedState.cacheManager.clearCache()
+          // No cache cleanup needed here: every operator on this path
+          // (withRoots, userFeatures) bounds its own cache lifecycle, and
+          // a session-wide clearCache() would evict caches belonging to
+          // OTHER workloads sharing the session (sharedState is shared
+          // even across newSession()). StreamingSpec asserts the
+          // CacheManager is empty after the stream stops.
         }
       }
   }
@@ -154,8 +156,8 @@ object Topologies {
   /** interactionGraph, streaming form — the same wiring as
     * [[roleAnalysisStream]] (punctuation-window fold in
     * flatMapGroupsWithState with checkpointed state, JSON hand-off
-    * between stages, batch-id-addressed idempotent parquet sink, cache
-    * cleanup per batch); the per-window stage is the interaction-graph
+    * between stages, batch-id-addressed idempotent parquet sink,
+    * operator-bounded cache lifecycles); the per-window stage is the interaction-graph
     * aggregate instead of the community-role pipeline. Caller starts the
     * returned query. */
   def interactionGraphStream(tweets: DataFrame, windowMicros: Long,
@@ -187,7 +189,9 @@ object Topologies {
               col("action"), col("screen_name"), col("n_interactions"),
               col("n_targets"), col("first_ts"), col("last_ts"))
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-          batch.sparkSession.sharedState.cacheManager.clearCache()
+          // Nothing on this path caches (flatCounts is a straight
+          // aggregation); see roleAnalysisStream for why a session-wide
+          // clearCache() would be wrong here.
         }
       }
   }

@@ -43,8 +43,10 @@ class TopologiesSpec extends AnyFunSuite {
   }
 
   test("roleAnalysis: per-window communities, trailing buffer excluded") {
-    val out = Topologies.roleAnalysis(tweets).cache()
-    val rows = out.collect()
+    // collect once instead of cache(): a cached frame left registered here
+    // would trip the later CacheManager-empty assertion (the session is
+    // shared across tests, as it is across workloads in production)
+    val rows = Topologies.roleAnalysis(tweets).collect()
     val windows = rows.map(_.getAs[java.sql.Timestamp]("window_start")).distinct
     assert(windows.length == 2)
     // w1 community: u1, u2, u3 (|U| = 3)
@@ -146,6 +148,17 @@ class TopologiesSpec extends AnyFunSuite {
       .select("m.*")
     val outDir = Files.createTempDirectory("roles_out").toString
     val ckptDir = Files.createTempDirectory("roles_ckpt").toString
+    // CacheManager entry count via reflection (no public listing API):
+    // the session is shared across suites and other workloads may hold
+    // intentional session-scoped caches (OperatorQueries adapters), so
+    // assert the stream's DELTA is zero, not absolute emptiness.
+    def cachedCount: Int = {
+      val cm = spark.sharedState.cacheManager
+      val fd = cm.getClass.getDeclaredField("cachedData")
+      fd.setAccessible(true)
+      fd.get(cm).asInstanceOf[Iterable[_]].size
+    }
+    val cachedBefore = cachedCount
     val query = Topologies.roleAnalysisStream(streamTweets, 600000000L,
       outDir, ckptDir).start()
     try {
@@ -156,9 +169,9 @@ class TopologiesSpec extends AnyFunSuite {
       }
     } finally query.stop()
 
-    // per-batch cleanup: a long-lived stream must not accumulate
-    // CacheManager entries — foreachBatch clears its intermediates
-    assert(spark.sharedState.cacheManager.isEmpty,
+    // a long-lived stream must not accumulate CacheManager entries —
+    // every operator on its path bounds its own cache lifecycle
+    assert(cachedCount == cachedBefore,
       "roleAnalysisStream left cached plans behind after stopping")
 
     val streamed = spark.read.parquet(outDir)

@@ -9,10 +9,14 @@ Two hashing modes, BOTH must pass:
   duck   — Spark parquet read back through DuckDB read_parquet (the
            original mode; both sides' values rendered by DuckDB).
   strict — Spark parquet read directly with pyarrow, values formatted
-           by this script. This catches emitted-type divergences the
-           duck mode normalizes away (round 4 shipped DECIMAL-typed
-           aggregates that hashed green locally but red on the driver,
-           whose hasher does not round-trip through DuckDB).
+           by this script, compared against the ORACLE result fetched
+           through DuckDB's Arrow bridge (not fetchall). This catches
+           emitted-type divergences the duck mode normalizes away:
+           round 4 shipped DECIMAL-typed aggregates that hashed green
+           locally but red on the driver, and round 5 shipped a q10
+           oracle whose windowed sum(INTEGER) types as HUGEINT — exact
+           over fetchall, but rendered as a double ('1.0' vs '1') by
+           any Arrow/pandas-path hasher like the driver's.
 
 Usage: python3 tools/check.py [outDir] [sfDir] [--strict]
 (--strict is accepted for compatibility; strict mode ALWAYS runs)
@@ -101,20 +105,40 @@ for name in sorted(oracle):
         oq = con.execute(oracle[name])
         o_cols = [d[0] for d in oq.description]
         o_rows = oq.fetchall()
+        # Arrow-path read of the SAME oracle query. HUGEINT (e.g. an
+        # uncast windowed sum(INTEGER)) surfaces as decimal128(38,0)
+        # here while fetchall yields exact Python ints — the emission
+        # type check below is what catches it.
+        a_tbl = con.execute(oracle[name]).arrow()
+        a_cols = a_tbl.column_names
+        a_rows = [tuple(d[c] for c in a_cols) for d in a_tbl.to_pylist()]
     except Exception as e:
         results[name] = {"ok": False, "why": f"oracle: {e}"}
         continue
+    # Emission-type invariant (CLAUDE.md): hashed outputs are DOUBLE /
+    # BIGINT / STRING, never DECIMAL or HUGEINT — the driver renders
+    # Spark-vs-DuckDB decimal-family values through different paths
+    # (round 4: DECIMAL aggregates; round 5: a HUGEINT session_id), so a
+    # decimal-typed column on EITHER side fails even when today's value
+    # hash happens to collide.
+    bad_types = (
+        [f"spark {f.name}:{f.type}" for f in pq.ParquetDataset(spark_glob)
+            .schema if "decimal" in str(f.type)] +
+        [f"oracle {f.name}:{f.type}" for f in a_tbl.schema
+            if "decimal" in str(f.type)])
     ok_rows = len(s_rows) == len(o_rows)
     ok_cols = sorted(s_cols) == sorted(o_cols)
-    oh = table_hash(o_cols, o_rows)
-    duck_ok = table_hash(s_cols, s_rows) == oh
-    strict_ok = table_hash(p_cols, p_rows) == oh
+    duck_ok = table_hash(s_cols, s_rows) == table_hash(o_cols, o_rows)
+    strict_ok = (table_hash(p_cols, p_rows) == table_hash(a_cols, a_rows)
+                 and not bad_types)
     results[name] = {
         "ok": ok_rows and ok_cols and duck_ok and strict_ok,
         "rows": [len(s_rows), len(o_rows)],
         "cols_match": ok_cols, "hash_match": duck_ok,
         "strict_hash_match": strict_ok,
     }
+    if bad_types:
+        results[name]["decimal_typed"] = bad_types
     if not ok_cols:
         results[name]["cols"] = [sorted(s_cols), sorted(o_cols)]
 
