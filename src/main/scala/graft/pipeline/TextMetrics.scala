@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -133,9 +133,69 @@ object TextMetrics {
 
   /** Document fingerprint: md5 plus a 15-hex-digit numeric fingerprint
     * (engine-portable); the rolling-hash variant lives in
-    * [[TextFunctions.fingerprint]]. */
+    * [[winnowFingerprints]]. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
       md5(col(textCol)).as("md5"),
       TextFunctions.fingerprint(col(textCol)).as("fingerprint64"))
+
+  /** Bind an expression to a lambda variable so a multi-reference
+    * consumer evaluates it ONCE per row: higher-order functions don't
+    * ride whole-stage codegen, so they get no subexpression elimination —
+    * without the bind, each reference would recompute the whole array. */
+  private def bind1(x: Column)(f: Column => Column): Column =
+    element_at(transform(array(x), f), 1)
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the scheme behind MOSS): hash every k-character gram
+    * of the lowered text with a Rabin–Karp polynomial rolling hash,
+    * slide a w-hash window keeping each window's minimum, and emit the
+    * distinct selected hashes sorted. Guarantee: documents sharing any
+    * substring of length >= k + w - 1 share at least one fingerprint, so
+    * the fingerprint set drives containment/near-dup detection where the
+    * whole-document md5 of [[fingerprints]] only catches exact matches.
+    *
+    * The per-gram value IS the Rabin–Karp hash (fold of acc*B + c mod M);
+    * the relational form computes each gram independently instead of
+    * carrying the O(1) rolling update — same values, embarrassingly
+    * parallel, and portable to any engine with 64-bit integers (B = 257,
+    * M = 2^31 - 1 keeps every intermediate under 2^62, so engines that
+    * trap overflow — DuckDB — agree with ones that wrap — the JVM).
+    *
+    * Pure per-row column expressions: no shuffle, scan-speed at any
+    * corpus size; O(n·k) work per document. Fingerprints are emitted as
+    * a sorted CSV string plus count (set semantics, hash-portable).
+    * Documents shorter than k chars get zero fingerprints; shorter than
+    * k + w - 1, the single minimum over all gram hashes. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "winnowFingerprints: k and w must be >= 1")
+    val B = 257L
+    val M = 2147483647L
+    val txt = lower(col(textCol))
+    val codes = when(length(txt) >= 1,
+        transform(sequence(lit(1), length(txt)),
+          p => ascii(txt.substr(p, lit(1))).cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+    val fps = bind1(codes) { cs =>
+      val nGrams = size(cs) - (k - 1)
+      val hashes = when(nGrams >= 1,
+          transform(sequence(lit(1), nGrams),
+            i => aggregate(slice(cs, i, lit(k)), lit(0L),
+              (acc, c) => (acc * B + c) % M)))
+        .otherwise(array().cast("array<bigint>"))
+      bind1(hashes) { hl =>
+        when(size(hl) === 0, array().cast("array<bigint>"))
+          .when(size(hl) < w, array(array_min(hl)))
+          .otherwise(array_sort(array_distinct(
+            transform(sequence(lit(1), size(hl) - (w - 1)),
+              j => array_min(slice(hl, j, lit(w)))))))
+      }
+    }
+    docs.select(col(idCol), fps.as("_fps"))
+      .select(col(idCol),
+        size(col("_fps")).cast("long").as("n_fps"),
+        array_join(transform(col("_fps"), _.cast("string")), ",").as("fps_csv"))
+  }
 }

@@ -159,6 +159,13 @@ object PipelineQueries {
     TextMetrics.fingerprints(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprints (MOSS scheme): Rabin–Karp k-gram hashes →
+    * sliding-window minima → distinct sorted set, as count + CSV. */
+  def q41WinnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.winnowFingerprints(docs(spark, dir), "doc_id", "text",
+      k = 5, w = 4)
+      .orderBy(col("doc_id"))
+
   /** Multimodal plumbing: binary payload column → partition-local batched
     * feature extraction (decode stubbed; schema/batch shape real). The
     * oracle checks the SQL-expressible projection. */
@@ -184,6 +191,7 @@ object PipelineQueries {
     "q27_langid" -> q27LangId,
     "q34_langid_ngram" -> q34LangIdNgram,
     "q28_fingerprints" -> q28Fingerprints,
+    "q41_winnow_fingerprints" -> q41WinnowFingerprints,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -488,6 +496,28 @@ object PipelineQueries {
       """SELECT doc_id, md5(text) AS md5,
         |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint64
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors TextMetrics.winnowFingerprints (k=5, w=4, B=257, M=2^31-1):
+    // list slices are INCLUSIVE of both ends (hl[j:j+3] is the w=4
+    // window), list_reduce seeds the fold with a prepended 0 to match
+    // Spark aggregate()'s explicit zero.
+    "q41_winnow_fingerprints" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN length(txt) >= 5 THEN
+        |    [list_reduce(list_prepend(0::BIGINT,
+        |        [ascii(c)::BIGINT for c in string_split(substr(txt, i, 5), '')]),
+        |       (a, b) -> (a * 257 + b) % 2147483647)
+        |     for i in generate_series(1, length(txt) - 4)]
+        |  ELSE CAST([] AS BIGINT[]) END AS hl FROM t),
+        |f AS (SELECT doc_id, CASE
+        |    WHEN len(hl) = 0 THEN CAST([] AS BIGINT[])
+        |    WHEN len(hl) < 4 THEN [list_min(hl)]
+        |    ELSE list_sort(list_distinct([list_min(hl[j:j+3])
+        |      for j in generate_series(1, len(hl) - 3)]))
+        |  END AS fps FROM h)
+        |SELECT doc_id, len(fps)::BIGINT AS n_fps,
+        |  array_to_string(fps, ',') AS fps_csv
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q29_multimodal" ->
       """SELECT doc_id AS media_id, 'image/fake' AS media_type,
         |  octet_length(encode(text))::BIGINT AS byte_len,

@@ -185,4 +185,35 @@ class PipelineSpec extends AnyFunSuite {
     // nprobe=1 on clean blobs: neighbours come from the query's own blob
     assert(top.forall(r => r.getAs[Long]("corpus_id") < 20L))
   }
+
+  test("winnowFingerprints: pinned example, short-text edges, shared-substring guarantee") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "tiny"),             // < k chars → no k-gram → no fingerprint
+      (3L, "exact"),            // exactly k chars → 1 gram → 1 fingerprint
+      (4L, "sevench"),          // k <= len < k+w-1 → min over all grams
+      (5L, "THE QUICK BROWN FOX JUMPS")) // lowercased → identical to doc 1
+      .toDF("doc_id", "text")
+    val out = TextMetrics.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_fps"), r.getAs[String]("fps_csv")))).toMap
+    // pinned against an independent DuckDB evaluation of the same scheme
+    assert(out(1L) == ((8L,
+      "60656600,146965159,185451919,187496359,926043553,930160572,997487566,1330070695")))
+    assert(out(2L) == ((0L, "")))
+    assert(out(3L) == ((1L, "271262691")))
+    assert(out(4L) == ((1L, "237580511")))
+    assert(out(5L) == out(1L))
+
+    // winnowing guarantee: sharing a substring of length >= k + w - 1 (= 8)
+    // forces at least one common selected fingerprint
+    val shared = "zqxjwvkb" // 8 chars, appears in both texts below
+    val pair = Seq(
+      (10L, s"aaaa ${shared} bbbb cccc dddd"),
+      (11L, s"eeee ffff gggg ${shared} hhhh"))
+      .toDF("doc_id", "text")
+    val sets = TextMetrics.winnowFingerprints(pair, "doc_id", "text")
+      .collect().map(r => r.getAs[String]("fps_csv").split(",").toSet)
+    assert(sets(0).intersect(sets(1)).nonEmpty)
+  }
 }
