@@ -139,6 +139,49 @@ object TextMetrics {
       md5(col(textCol)).as("md5"),
       TextFunctions.fingerprint(col(textCol)).as("fingerprint64"))
 
+  /** Repetition quality signals (Gopher-style, Rae et al. 2021 §A1.1):
+    * the fraction of characters inside the most frequent word 2-gram,
+    * the fraction of characters covered by word 3-grams occurring more
+    * than once, and the duplicate-word fraction. Overlapping occurrences
+    * are counted and both char fractions capped at 1 — a documented
+    * deviation from Gopher's de-overlapped attribution. The standard cheap repetition filters for corpus cleaning,
+    * complementing [[qualityScore]]'s length/punctuation heuristics.
+    *
+    * Scale shape: BOTH gram sizes ride ONE tagged explode → a single
+    * shuffle keyed (doc, n, gram) with map-side partial counting → per-doc
+    * aggregates joined back to the per-row word stats. Gram text shuffles
+    * once; the join is doc-keyed and AQE-broadcastable. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokenize(col(textCol))
+    val base = docs.select(col(idCol), length(col(textCol)).as("n_chars"), toks.as("t"))
+    def gramsOf(n: Int): Column =
+      when(size(col("t")) >= n, // sequence(1, 0) DESCENDS — guard short docs
+        transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => struct(lit(n).as("n"), array_join(slice(col("t"), i, lit(n)), " ").as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    val counts = base
+      .select(col(idCol), explode(concat(gramsOf(2), gramsOf(3))).as("ng"))
+      .groupBy(col(idCol), col("ng.n").as("n"), col("ng.g").as("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val aggs = counts.groupBy(col(idCol)).agg(
+      max(when(col("n") === 2, col("cnt") * length(col("g")))).as("top2"),
+      sum(when(col("n") === 3 && col("cnt") > 1, col("cnt") * length(col("g"))))
+        .as("dup3"))
+    base
+      .select(col(idCol), col("n_chars"),
+        size(col("t")).cast("long").as("n_words"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct_words"))
+      .join(aggs, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        when(col("n_words") > 0, lit(1.0) -
+          col("n_distinct_words").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)).as("dup_word_frac"),
+        least(lit(1.0), coalesce(col("top2").cast("double") / col("n_chars").cast("double"),
+          lit(0.0))).as("top_bigram_frac"),
+        least(lit(1.0), coalesce(col("dup3").cast("double") / col("n_chars").cast("double"),
+          lit(0.0))).as("dup_trigram_frac"))
+  }
+
   /** Bind an expression to a lambda variable so a multi-reference
     * consumer evaluates it ONCE per row: higher-order functions don't
     * ride whole-stage codegen, so they get no subexpression elimination —

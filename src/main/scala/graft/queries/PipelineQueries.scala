@@ -166,6 +166,12 @@ object PipelineQueries {
       k = 5, w = 4)
       .orderBy(col("doc_id"))
 
+  /** Gopher-style repetition quality signals: top-2-gram char fraction,
+    * duplicated-3-gram char fraction, duplicate-word fraction. */
+  def q42Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.repetitionStats(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Multimodal plumbing: binary payload column → partition-local batched
     * feature extraction (decode stubbed; schema/batch shape real). The
     * oracle checks the SQL-expressible projection. */
@@ -192,6 +198,7 @@ object PipelineQueries {
     "q34_langid_ngram" -> q34LangIdNgram,
     "q28_fingerprints" -> q28Fingerprints,
     "q41_winnow_fingerprints" -> q41WinnowFingerprints,
+    "q42_repetition" -> q42Repetition,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -518,6 +525,37 @@ object PipelineQueries {
         |SELECT doc_id, len(fps)::BIGINT AS n_fps,
         |  array_to_string(fps, ',') AS fps_csv
         |FROM f ORDER BY doc_id""".stripMargin,
+    // Mirrors TextMetrics.repetitionStats: tagged grams ('2:'/'3:'
+    // prefixes stand in for the struct tag), LIKE filters split the
+    // per-size aggregates back out, length(gg)-2 drops the tag chars.
+    // Lines never START with || (stripMargin would eat the first pipe).
+    "q42_repetition" ->
+      """WITH toks AS (SELECT doc_id, length(text) AS n_chars,
+        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(
+        |    (CASE WHEN len(t) >= 2 THEN
+        |      ['2:'
+        |       || array_to_string(t[i:i+1], ' ') for i in generate_series(1, len(t)-1)]
+        |     ELSE CAST([] AS VARCHAR[]) END) ||
+        |    (CASE WHEN len(t) >= 3 THEN
+        |      ['3:'
+        |       || array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]
+        |     ELSE CAST([] AS VARCHAR[]) END)) AS gg
+        |  FROM toks),
+        |c AS (SELECT doc_id, gg, count(*) AS cnt FROM g GROUP BY doc_id, gg),
+        |a AS (SELECT doc_id,
+        |    max(CASE WHEN gg LIKE '2:%' THEN cnt * (length(gg) - 2) END) AS top2,
+        |    sum(CASE WHEN gg LIKE '3:%' AND cnt > 1 THEN cnt * (length(gg) - 2) END) AS dup3
+        |  FROM c GROUP BY doc_id),
+        |w AS (SELECT doc_id, n_chars, len(t)::BIGINT AS n_words,
+        |    len(list_distinct(t))::BIGINT AS n_distinct_words FROM toks)
+        |SELECT w.doc_id, w.n_words,
+        |  CASE WHEN w.n_words > 0
+        |    THEN 1.0 - w.n_distinct_words::DOUBLE / w.n_words::DOUBLE
+        |    ELSE 0.0 END AS dup_word_frac,
+        |  least(1.0, coalesce(a.top2::DOUBLE / w.n_chars::DOUBLE, 0.0)) AS top_bigram_frac,
+        |  least(1.0, coalesce(a.dup3::DOUBLE / w.n_chars::DOUBLE, 0.0)) AS dup_trigram_frac
+        |FROM w LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q29_multimodal" ->
       """SELECT doc_id AS media_id, 'image/fake' AS media_type,
         |  octet_length(encode(text))::BIGINT AS byte_len,

@@ -216,4 +216,22 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("fps_csv").split(",").toSet)
     assert(sets(0).intersect(sets(1)).nonEmpty)
   }
+
+  test("repetitionStats: gram fractions by hand, caps, single-token fallback") {
+    val docs = Seq(
+      (1L, "a b a b c"), // "a b"×2 (len 3) over 9 chars; no repeated trigram
+      (2L, "x"),         // no grams at all → zeros
+      (3L, "w w w w"))   // overlap overshoot → both fractions cap at 1
+      .toDF("doc_id", "text")
+    val out = TextMetrics.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_words") == 5L)
+    assert(out(1L).getAs[Double]("dup_word_frac") == 1.0 - 3.0 / 5.0)
+    assert(out(1L).getAs[Double]("top_bigram_frac") == 6.0 / 9.0)
+    assert(out(1L).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(out(2L).getAs[Double]("top_bigram_frac") == 0.0)
+    assert(out(2L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(out(3L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(out(3L).getAs[Double]("dup_trigram_frac") == 1.0)
+  }
 }
