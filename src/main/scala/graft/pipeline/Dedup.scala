@@ -263,4 +263,44 @@ object Dedup {
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _).as("simhash"))
   }
+
+  /** Decontamination against an evaluation set (the GPT-3 appendix-C /
+    * PaLM pipeline step): a corpus document is contaminated when it
+    * shares any n-token gram with any eval document — exact token-gram
+    * collision, the standard test-set-overlap check run before training.
+    *
+    * Scale shape: the eval side is bounded (benchmarks are small next to
+    * a 100 TB corpus), so its distinct gram fingerprints BROADCAST —
+    * 8 bytes per gram via the md5-derived 64-bit fingerprint instead of
+    * the gram text. The corpus side explodes grams, map-side hash-joins
+    * the broadcast, and aggregates per doc_id; corpus text never
+    * shuffles, and uncontaminated docs (the vast majority) die at the
+    * join probe without producing a row. */
+  def decontaminate(corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, "decontaminate: n must be >= 1")
+    def gramFps(df: DataFrame, idCol: String, textCol: String, outId: String): DataFrame = {
+      val t = TextFunctions.tokenize(col(textCol))
+      df.select(col(idCol).as(outId), t.as("_t"))
+        .select(col(outId), explode(
+          when(size(col("_t")) >= n, // sequence(1, 0) descends — guard
+            transform(sequence(lit(1), size(col("_t")) - (n - 1)),
+              i => TextFunctions.fingerprint(
+                array_join(slice(col("_t"), i, lit(n)), " "))))
+            .otherwise(array().cast("array<bigint>"))).as("gram_fp"))
+    }
+    val cg = gramFps(corpus, corpusIdCol, corpusTextCol, corpusIdCol)
+    val eg = gramFps(evalSet, evalIdCol, evalTextCol, "_eval_id").distinct()
+    val hits = cg.join(broadcast(eg), "gram_fp")
+      .groupBy(col(corpusIdCol))
+      .agg(countDistinct(col("gram_fp")).as("n_shared_grams"),
+        countDistinct(col("_eval_id")).as("n_eval_docs"))
+    corpus.select(col(corpusIdCol))
+      .join(hits, Seq(corpusIdCol), "left")
+      .select(col(corpusIdCol),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        coalesce(col("n_shared_grams") > 0, lit(false)).as("contaminated"))
+  }
 }

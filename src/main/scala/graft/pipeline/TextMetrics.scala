@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.functions.TextFunctions
 
@@ -182,13 +183,6 @@ object TextMetrics {
           lit(0.0))).as("dup_trigram_frac"))
   }
 
-  /** Bind an expression to a lambda variable so a multi-reference
-    * consumer evaluates it ONCE per row: higher-order functions don't
-    * ride whole-stage codegen, so they get no subexpression elimination —
-    * without the bind, each reference would recompute the whole array. */
-  private def bind1(x: Column)(f: Column => Column): Column =
-    element_at(transform(array(x), f), 1)
-
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003 — the scheme behind MOSS): hash every k-character gram
@@ -199,46 +193,77 @@ object TextMetrics {
     * the fingerprint set drives containment/near-dup detection where the
     * whole-document md5 of [[fingerprints]] only catches exact matches.
     *
-    * The per-gram value IS the Rabin–Karp hash (fold of acc*B + c mod M);
-    * the relational form computes each gram independently instead of
-    * carrying the O(1) rolling update — same values, embarrassingly
-    * parallel, and portable to any engine with 64-bit integers (B = 257,
-    * M = 2^31 - 1 keeps every intermediate under 2^62, so engines that
-    * trap overflow — DuckDB — agree with ones that wrap — the JVM).
+    * The per-gram value is the Rabin–Karp hash (fold of acc*B + c mod M)
+    * of the gram's code points; B = 257, M = 2^31 - 1 keep every
+    * intermediate under 2^62, so engines that trap overflow — DuckDB —
+    * agree with ones that wrap — the JVM.
     *
-    * Pure per-row column expressions: no shuffle, scan-speed at any
-    * corpus size; O(n·k) work per document. Fingerprints are emitted as
-    * a sorted CSV string plus count (set semantics, hash-portable).
-    * Documents shorter than k chars get zero fingerprints; shorter than
-    * k + w - 1, the single minimum over all gram hashes. */
+    * Implemented as a mapPartitions kernel: the true O(1) rolling update
+    * per gram and an O(n) monotonic-deque sliding minimum. This is the
+    * documented last-resort case — the equivalent column-expression form
+    * (transform over positions + per-gram fold + per-window array_min)
+    * computes identical values but sits outside whole-stage codegen, and
+    * its per-element interpreted evaluation measured 12 s at sf0.1
+    * against sub-second for this kernel. The shape is identical either
+    * way: per-row map work, no shuffle, scan-speed at any corpus size.
+    *
+    * Fingerprints are emitted as a sorted CSV string plus count (set
+    * semantics, hash-portable). Documents shorter than k chars get zero
+    * fingerprints; shorter than k + w - 1, the single minimum over all
+    * gram hashes. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "winnowFingerprints: k and w must be >= 1")
     val B = 257L
     val M = 2147483647L
-    val txt = lower(col(textCol))
-    val codes = when(length(txt) >= 1,
-        transform(sequence(lit(1), length(txt)),
-          p => ascii(txt.substr(p, lit(1))).cast("long")))
-      .otherwise(array().cast("array<bigint>"))
-    val fps = bind1(codes) { cs =>
-      val nGrams = size(cs) - (k - 1)
-      val hashes = when(nGrams >= 1,
-          transform(sequence(lit(1), nGrams),
-            i => aggregate(slice(cs, i, lit(k)), lit(0L),
-              (acc, c) => (acc * B + c) % M)))
-        .otherwise(array().cast("array<bigint>"))
-      bind1(hashes) { hl =>
-        when(size(hl) === 0, array().cast("array<bigint>"))
-          .when(size(hl) < w, array(array_min(hl)))
-          .otherwise(array_sort(array_distinct(
-            transform(sequence(lit(1), size(hl) - (w - 1)),
-              j => array_min(slice(hl, j, lit(w)))))))
+    val pPow = (1 until k).foldLeft(1L)((p, _) => p * B % M) // B^(k-1) mod M
+    val in = docs.select(col(idCol), lower(col(textCol)).as("_t"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("n_fps", LongType, nullable = false),
+      StructField("fps_csv", StringType, nullable = false)))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val t = if (r.isNullAt(1)) "" else r.getString(1)
+        val cps = t.codePoints().toArray // ascii() semantics: one code point per char
+        val m = cps.length - (k - 1)
+        val sel = new java.util.TreeSet[java.lang.Long]() // distinct + sorted
+        if (m >= 1) {
+          val hs = new Array[Long](m)
+          var h = 0L
+          var i = 0
+          while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+          hs(0) = h
+          var g = 1
+          while (g < m) { // rolling: drop cps(g-1), append cps(g+k-1)
+            h = ((h + M - cps(g - 1) * pPow % M) % M * B + cps(g + k - 1)) % M
+            hs(g) = h
+            g += 1
+          }
+          if (m < w) {
+            var mn = hs(0); var j = 1
+            while (j < m) { if (hs(j) < mn) mn = hs(j); j += 1 }
+            sel.add(mn)
+          } else {
+            val dq = new java.util.ArrayDeque[Int]()
+            var j = 0
+            while (j < m) {
+              while (!dq.isEmpty && hs(dq.peekLast) >= hs(j)) dq.pollLast()
+              dq.addLast(j)
+              if (dq.peekFirst <= j - w) dq.pollFirst()
+              if (j >= w - 1) sel.add(hs(dq.peekFirst))
+              j += 1
+            }
+          }
+        }
+        val sb = new java.lang.StringBuilder
+        val it = sel.iterator()
+        while (it.hasNext) {
+          if (sb.length > 0) sb.append(',')
+          sb.append(it.next().longValue)
+        }
+        Row(r.get(0), sel.size.toLong, sb.toString)
       }
-    }
-    docs.select(col(idCol), fps.as("_fps"))
-      .select(col(idCol),
-        size(col("_fps")).cast("long").as("n_fps"),
-        array_join(transform(col("_fps"), _.cast("string")), ",").as("fps_csv"))
+    }(Encoders.row(outSchema))
+      .toDF(idCol, "n_fps", "fps_csv")
   }
 }

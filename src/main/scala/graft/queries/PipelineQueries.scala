@@ -172,6 +172,16 @@ object PipelineQueries {
     TextMetrics.repetitionStats(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Decontamination: src0 documents stand in for the eval/benchmark
+    * set; every other document is checked for 8-token-gram overlap. */
+  def q43Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.decontaminate(
+      d.filter(col("source") =!= "src0"), "doc_id", "text",
+      d.filter(col("source") === "src0"), "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: binary payload column → partition-local batched
     * feature extraction (decode stubbed; schema/batch shape real). The
     * oracle checks the SQL-expressible projection. */
@@ -199,6 +209,7 @@ object PipelineQueries {
     "q28_fingerprints" -> q28Fingerprints,
     "q41_winnow_fingerprints" -> q41WinnowFingerprints,
     "q42_repetition" -> q42Repetition,
+    "q43_decontaminate" -> q43Decontaminate,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -525,6 +536,36 @@ object PipelineQueries {
         |SELECT doc_id, len(fps)::BIGINT AS n_fps,
         |  array_to_string(fps, ',') AS fps_csv
         |FROM f ORDER BY doc_id""".stripMargin,
+    // Mirrors Dedup.decontaminate (n=8 token grams, md5-15-hex BIGINT
+    // fingerprints — same device as q28). Gram fingerprints, not gram
+    // text, cross the join on both sides.
+    "q43_decontaminate" ->
+      """WITH corp AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |    FROM documents WHERE source <> 'src0'),
+        |ev AS (SELECT doc_id AS eval_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |    FROM documents WHERE source = 'src0'),
+        |cg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |    [('0x'
+        |      || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+        |     for i in generate_series(1, len(t) - 7)]
+        |  ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM corp),
+        |eg AS (SELECT DISTINCT eval_id, gram_fp FROM (
+        |  SELECT eval_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      [('0x'
+        |        || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+        |       for i in generate_series(1, len(t) - 7)]
+        |    ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM ev)),
+        |hits AS (SELECT cg.doc_id,
+        |    count(DISTINCT cg.gram_fp)::BIGINT AS n_shared_grams,
+        |    count(DISTINCT eg.eval_id)::BIGINT AS n_eval_docs
+        |  FROM cg JOIN eg USING (gram_fp) GROUP BY cg.doc_id),
+        |base AS (SELECT doc_id FROM documents WHERE source <> 'src0')
+        |SELECT base.doc_id,
+        |  coalesce(hits.n_shared_grams, 0)::BIGINT AS n_shared_grams,
+        |  coalesce(hits.n_eval_docs, 0)::BIGINT AS n_eval_docs,
+        |  coalesce(hits.n_shared_grams > 0, false) AS contaminated
+        |FROM base LEFT JOIN hits USING (doc_id)
+        |ORDER BY base.doc_id""".stripMargin,
     // Mirrors TextMetrics.repetitionStats: tagged grams ('2:'/'3:'
     // prefixes stand in for the struct tag), LIKE filters split the
     // per-size aggregates back out, length(gg)-2 drops the tag chars.

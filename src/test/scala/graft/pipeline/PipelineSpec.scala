@@ -217,6 +217,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(sets(0).intersect(sets(1)).nonEmpty)
   }
 
+  test("decontaminate flags n-gram overlap with the eval set, counts grams and eval docs") {
+    val phrase = "one two three four five six seven eight" // exactly n=8 tokens
+    val corpus = Seq(
+      (1L, s"prefix words $phrase suffix words"), // 1 shared 8-gram... plus shifted ones? no: neighbours include prefix/suffix tokens absent from eval
+      (2L, "totally unrelated text with no overlap at all whatsoever"),
+      (3L, s"$phrase"), // the phrase alone
+      (4L, "short"))    // < n tokens → no grams → clean
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, s"intro $phrase outro"), (101L, phrase))
+      .toDF("eval_id", "etext")
+    val out = Dedup.decontaminate(corpus, "doc_id", "text",
+      evalSet, "eval_id", "etext", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("contaminated"))
+    assert(out(1L).getAs[Long]("n_shared_grams") == 1L)
+    assert(out(1L).getAs[Long]("n_eval_docs") == 2L) // phrase appears in both eval docs
+    assert(!out(2L).getAs[Boolean]("contaminated"))
+    assert(out(2L).getAs[Long]("n_shared_grams") == 0L)
+    assert(out(3L).getAs[Boolean]("contaminated"))
+    assert(!out(4L).getAs[Boolean]("contaminated"))
+    assert(out.size == 4) // every corpus doc gets a row, hit or not
+  }
+
   test("repetitionStats: gram fractions by hand, caps, single-token fallback") {
     val docs = Seq(
       (1L, "a b a b c"), // "a b"×2 (len 3) over 9 chars; no repeated trigram
