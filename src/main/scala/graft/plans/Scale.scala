@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.functions._
+
+/** Explicit scale levers that complement the session-level defaults
+  * (AQE skew-join + coalescing, broadcast joins — see
+  * [[graft.Tables.session]]): deterministic salting for skew beyond what
+  * AQE's runtime splitting handles, and bucketed persistence so repeated
+  * co-located joins skip their exchanges entirely.
+  *
+  * AQE splits skewed SORT-MERGE partitions at runtime, but only at
+  * shuffle boundaries it can see, and only per-query; salting bakes the
+  * spread into the key, and bucketing bakes co-location into storage —
+  * the two levers a 100 TB deployment reaches for when one hot key or
+  * one repeated fact-fact join dominates a pipeline.
+  */
+object Scale {
+
+  /** Salted equi-join for extreme key skew: the big (skewed) side gets a
+    * deterministic salt in [0, nSalts) and the small side is replicated
+    * once per salt, so one hot key's rows spread across nSalts shuffle
+    * partitions instead of hot-spotting one. Result-identical to
+    * `big.join(small, Seq(key), joinType)` for "inner" and "left" (each
+    * big row matches exactly the one replica carrying its salt).
+    *
+    * The salt hashes the big row's full contents rather than calling
+    * rand(): a retried task salts identically, keeping the operator
+    * deterministic under speculative execution (the repo-wide
+    * determinism discipline).
+    *
+    * "right"/"full" are rejected: an unmatched small row would surface
+    * once per replica. Use the small side as the left input instead. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      nSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(nSalts >= 1, "saltedJoin: nSalts must be >= 1")
+    require(Set("inner", "left", "leftouter", "left_outer")(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins, not $joinType")
+    val bigS = big.withColumn("_salt",
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(nSalts)))
+    val smallS = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    bigS.join(smallS, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Bucketed, bucket-sorted external-table write: one file per bucket,
+    * sorted on `key`. Two tables written this way with the SAME bucket
+    * count sort-merge-join on `key` with NO exchange on either side —
+    * the join reads co-located buckets (ScaleSpec asserts the plan is
+    * exchange-free). A non-global in-partition sort remains under the
+    * join by default: since SPARK-28595 bucketed scans don't expose
+    * sortedness (multi-file buckets made that unsafe); set
+    * spark.sql.legacy.bucketedTableScan.outputOrdering=true to also
+    * elide it for single-file buckets like these. This is the
+    * storage-side answer for fact-fact joins repeated across queries:
+    * one bucketed write amortizes every downstream shuffle away. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int): Unit =
+    // repartition on the key with the bucket count first: bucket-id and
+    // repartition hashing agree (pmod of the same hash), so each task
+    // holds exactly one bucket and writes ONE file per bucket — the
+    // sorted-bucket property only survives single-file buckets, and
+    // multi-file buckets would put a per-task Sort back under the join.
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** The co-located join over two [[writeBucketed]] tables. Plain
+    * `spark.table(a).join(spark.table(b), key)` — the method exists to
+    * name the pattern and anchor the exchange-free plan assertion. */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+      tableA: String, tableB: String, key: String): DataFrame =
+    spark.table(tableA).join(spark.table(tableB), key)
+}

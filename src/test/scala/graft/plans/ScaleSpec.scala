@@ -1,0 +1,68 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Scale-lever invariants: salted joins are result-identical and
+  * actually spread the hot key; bucketed joins are exchange-free. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join on a skewed key, inner and left") {
+    // one hot key (90% of rows) plus a key missing from the small side
+    val big = ((1 to 90).map(i => ("hot", i)) ++ (1 to 9).map(i => ("cold", i)) :+ ("orphan", 0))
+      .toDF("k", "v")
+    val small = Seq(("hot", "H"), ("cold", "C"), ("unused", "U")).toDF("k", "tag")
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt)
+        .select("k", "v", "tag").collect().map(_.toString).sorted.toSeq
+      val salted = Scale.saltedJoin(big, small, "k", nSalts = 8, joinType = jt)
+        .select("k", "v", "tag").collect().map(_.toString).sorted.toSeq
+      assert(salted == plain, s"joinType=$jt")
+    }
+    // the hot key's rows really do carry more than one distinct salt
+    val spread = big.withColumn("_salt",
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .filter(col("k") === "hot").select("_salt").distinct().count()
+    assert(spread > 1, "salting left the hot key on a single partition")
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(big, small, "k", 8, joinType = "full")
+    }
+  }
+
+  test("bucketed tables sort-merge-join with no exchange") {
+    val dir = Files.createTempDirectory("buckets").toString
+    val a = (1 to 1000).map(i => (i.toLong % 97, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong % 97, s"b$i")).toDF("k", "vb")
+    Scale.writeBucketed(a, "bkt_a", s"$dir/a", "k", buckets = 8)
+    Scale.writeBucketed(b, "bkt_b", s"$dir/b", "k", buckets = 8)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "bkt_a", "bkt_b", "k")
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // the whole point: co-located buckets, zero shuffle on either side
+      assert(!plan.contains("Exchange"),
+        "bucketed join still shuffles:\n" + plan.take(2000))
+      // an in-partition (non-global) sort remains by default: since
+      // SPARK-28595 bucketed scans don't expose sortedness (multi-file
+      // buckets made it unsafe); it's shuffle-free and cheap. The legacy
+      // flag spark.sql.legacy.bucketedTableScan.outputOrdering restores
+      // sorted scans for single-file buckets like writeBucketed's.
+      assert(plan.contains("Sort [") && plan.contains("], false, 0"),
+        "expected only non-global sorts:\n" + plan.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
