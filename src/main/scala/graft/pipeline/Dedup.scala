@@ -26,6 +26,23 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Streaming exact dedup: keep the FIRST arrival of each text hash,
+    * drop replays within the watermark. `dropDuplicatesWithinWatermark`
+    * keys state by the md5 (the text payload never enters the state
+    * store) and expires entries once the event-time watermark passes —
+    * bounded state, unlike an unwindowed dropDuplicates whose state
+    * grows with the corpus forever. Works on batch frames too (plain
+    * hash-distinct, watermark ignored), so one definition serves both
+    * backfill and the live stream. */
+  def exactStreaming(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String = "10 minutes"): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), col(tsCol), md5(col(textCol)).as("text_hash"))
+      .withWatermark(tsCol, watermark)
+    if (docs.isStreaming) hashed.dropDuplicatesWithinWatermark("text_hash")
+    else hashed.dropDuplicates("text_hash")
+  }
+
   /** Canonical text form: lowercase, punctuation → space, whitespace
     * squeezed, trimmed — the usual normalization before exact dedup so
     * trivially-reformatted duplicates collapse. */

@@ -179,4 +179,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(dumped.forall(l => l.startsWith("""{"tweet_id":"t""") &&
       l.contains(""""text":"hello """)))
   }
+
+  test("streaming exact dedup drops replays across micro-batches, state keyed by hash") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val in = stream.toDS().toDF("doc_id", "ts", "text")
+    val query = graft.pipeline.Dedup.exactStreaming(in, "doc_id", "text", "ts")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("dedup_ckpt").toString)
+      .start()
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    try {
+      stream.addData(Seq((1L, t(1), "alpha"), (2L, t(2), "beta"), (3L, t(3), "alpha")))
+      query.processAllAvailable()
+      // second micro-batch replays "alpha" — state must remember it
+      stream.addData(Seq((4L, t(4), "alpha"), (5L, t(5), "gamma")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val kept = spark.table("dedup_stream")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // first arrival of each distinct text survives: alpha→1, beta→2, gamma→5
+    assert(kept == Seq(1L, 2L, 5L))
+  }
 }
