@@ -217,6 +217,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(sets(0).intersect(sets(1)).nonEmpty)
   }
 
+  test("winnowFingerprints kernel equals a naive reference over 200 random strings") {
+    // naive reference: per-gram fold hash, per-window min, distinct sorted —
+    // no rolling update, no deque; pins the kernel's two optimizations
+    def naive(text: String, k: Int, w: Int): Seq[Long] = {
+      val t = text.toLowerCase
+      val cps = t.codePoints().toArray
+      val m = cps.length - (k - 1)
+      if (m < 1) Seq.empty
+      else {
+        val hs = (0 until m).map(i =>
+          (i until i + k).foldLeft(0L)((acc, j) => (acc * 257L + cps(j)) % 2147483647L))
+        val wins =
+          if (m < w) Seq(hs.min)
+          else (0 to m - w).map(j => hs.slice(j, j + w).min)
+        wins.distinct.sorted
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefg h" // small alphabet + space → frequent hash ties
+    val docs = (1 to 200).map { i =>
+      val len = rnd.nextInt(40) // includes < k and < k+w-1 edge lengths
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val out = TextMetrics.winnowFingerprints(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fps_csv")).toMap
+    docs.foreach { case (id, text) =>
+      val want = naive(text, 5, 4).mkString(",")
+      assert(out(id) == want, s"doc $id text='$text'")
+    }
+  }
+
   test("decontaminate flags n-gram overlap with the eval set, counts grams and eval docs") {
     val phrase = "one two three four five six seven eight" // exactly n=8 tokens
     val corpus = Seq(
