@@ -173,4 +173,19 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("dot_q").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Embedding health check — the validation pass a pipeline runs before
+    * ANN indexing: per-vector dimension and the exact int64-quantized
+    * squared L2 norm, plus its deviation from a unit norm (1e12 in
+    * quantized units). All arithmetic is quantize-then-integer-sum, so
+    * the values are order-independent and engine-exact — a double-domain
+    * norm would differ in the last ulp with summation order. Per-row
+    * column expressions, no shuffle. */
+  def embeddingStats(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val unitSq = 1000000000000L // (1e6)^2: quantized squared norm of a unit vector
+    embs.select(col(idCol),
+      size(col(vecCol)).cast("long").as("dim"),
+      dotExact(quantize(col(vecCol)), quantize(col(vecCol))).as("norm_sq_q"))
+      .withColumn("norm_dev_q", col("norm_sq_q") - lit(unitSq))
+  }
 }

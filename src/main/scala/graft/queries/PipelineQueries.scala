@@ -106,6 +106,11 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding health check: per-vector dim + exact quantized norm. */
+  def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
   /** Canonical-form exact dedup: case/punctuation/whitespace variants
     * collapse before hashing. */
   def q39DedupCanonical(spark: SparkSession, dir: String): DataFrame =
@@ -202,6 +207,7 @@ object PipelineQueries {
     "q37_neardup_clusters" -> q37NearDupClusters,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
+    "q44_embedding_stats" -> q44EmbeddingStats,
     "q25_token_stats" -> q25TokenStats,
     "q26_quality" -> q26Quality,
     "q27_langid" -> q27LangId,
@@ -336,6 +342,19 @@ object PipelineQueries {
         |SELECT doc_id,
         |  sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Mirrors Similarity.embeddingStats (quantize-then-integer-sum —
+    // order-independent and engine-exact; a double-domain norm would
+    // flake with summation order). DuckDB sums BIGINT into HUGEINT —
+    // the ::BIGINT casts keep the emitted types decimal-family-free.
+    "q44_embedding_stats" ->
+      """WITH q AS (SELECT vec_id, len(embedding)::BIGINT AS dim,
+        |  list_aggregate(list_transform(embedding,
+        |      x -> floor(x::DOUBLE * 1000000)::BIGINT * floor(x::DOUBLE * 1000000)::BIGINT),
+        |    'sum')::BIGINT AS norm_sq_q
+        |  FROM embeddings)
+        |SELECT vec_id, dim, norm_sq_q,
+        |  (norm_sq_q - 1000000000000)::BIGINT AS norm_dev_q
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q23_similarity_brute" ->
       """WITH v AS (
         |  SELECT vec_id,

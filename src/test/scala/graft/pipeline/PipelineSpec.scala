@@ -217,6 +217,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(sets(0).intersect(sets(1)).nonEmpty)
   }
 
+  test("embeddingStats: exact quantized norms by hand; l2normalize lands on unit norm") {
+    import graft.functions.VectorFunctions
+    val embs = Seq(
+      (1L, Seq(0.6f, 0.8f)),        // exact unit: 600000^2 + 800000^2 = 1e12
+      (2L, Seq(3.0f, 4.0f)),        // norm 5 → 25e12, dev 24e12
+      (3L, Seq(0.0f, 0.0f)))        // zero vector
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingStats(embs, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("dim"), r.getAs[Long]("norm_sq_q"), r.getAs[Long]("norm_dev_q")))).toMap
+    assert(out(1L) == ((2L, 1000000000000L, 0L)))
+    assert(out(2L) == ((2L, 25000000000000L, 24000000000000L)))
+    assert(out(3L) == ((2L, 0L, -1000000000000L)))
+    // normalizing doc 2 then re-measuring lands within quantization noise
+    // of a unit norm (each component's floor() can shave up to 1e-6)
+    val renorm = Similarity.embeddingStats(
+      embs.filter(col("vec_id") === 2L)
+        .select(col("vec_id"), VectorFunctions.l2normalize(col("embedding")).as("embedding")),
+      "vec_id", "embedding").collect().head
+    assert(math.abs(renorm.getAs[Long]("norm_dev_q")) < 5000000L)
+  }
+
   test("winnowFingerprints kernel equals a naive reference over 200 random strings") {
     // naive reference: per-gram fold hash, per-window min, distinct sorted —
     // no rolling update, no deque; pins the kernel's two optimizations
