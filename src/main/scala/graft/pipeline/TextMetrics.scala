@@ -183,6 +183,28 @@ object TextMetrics {
           lit(0.0))).as("dup_trigram_frac"))
   }
 
+  /** Fixed-token-budget document chunking — the context-window prep step
+    * of a training pipeline: each document's token array splits into
+    * ceil(n/maxTokens) contiguous chunks of at most maxTokens tokens.
+    * One explode per chunk (not per token), then a slice/join projection;
+    * per-row map work, no shuffle, scan-speed on any corpus. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 32): DataFrame = {
+    require(maxTokens >= 1, "chunk: maxTokens must be >= 1")
+    val t = TextFunctions.tokenize(col(textCol))
+    docs.select(col(idCol), t.as("_t"))
+      .select(col(idCol), col("_t"),
+        explode(when(size(col("_t")) >= 1, // Spark "/" is fractional — floor for the int div
+          sequence(lit(0), floor((size(col("_t")) - 1) / maxTokens).cast("int")))
+          .otherwise(array().cast("array<int>"))).as("_c"))
+      .select(col(idCol),
+        col("_c").cast("long").as("chunk_id"),
+        size(slice(col("_t"), col("_c") * maxTokens + 1, lit(maxTokens)))
+          .cast("long").as("n_tokens"),
+        md5(array_join(slice(col("_t"), col("_c") * maxTokens + 1, lit(maxTokens)), " "))
+          .as("chunk_md5"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003 — the scheme behind MOSS): hash every k-character gram

@@ -171,6 +171,21 @@ object PipelineQueries {
       k = 5, w = 4)
       .orderBy(col("doc_id"))
 
+  /** Fixed-budget chunking: 32-token chunks, md5 per chunk. */
+  def q45Chunk(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.chunk(docs(spark, dir), "doc_id", "text", maxTokens = 32)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Corpus composition report: per (source, lang) + rollup totals. */
+  def q46CorpusReport(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.TextFunctions.tokenize(col("text"))).cast("long"))
+          .as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
+
   /** Gopher-style repetition quality signals: top-2-gram char fraction,
     * duplicated-3-gram char fraction, duplicate-word fraction. */
   def q42Repetition(spark: SparkSession, dir: String): DataFrame =
@@ -216,6 +231,8 @@ object PipelineQueries {
     "q41_winnow_fingerprints" -> q41WinnowFingerprints,
     "q42_repetition" -> q42Repetition,
     "q43_decontaminate" -> q43Decontaminate,
+    "q45_chunk" -> q45Chunk,
+    "q46_corpus_report" -> q46CorpusReport,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -555,6 +572,27 @@ object PipelineQueries {
         |SELECT doc_id, len(fps)::BIGINT AS n_fps,
         |  array_to_string(fps, ',') AS fps_csv
         |FROM f ORDER BY doc_id""".stripMargin,
+    // Mirrors TextMetrics.chunk (32-token chunks; DuckDB list slices are
+    // inclusive, so [c*32+1 : c*32+32] is the 32-token window).
+    "q45_chunk" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, unnest(CASE WHEN len(t) >= 1
+        |    THEN generate_series(0, (len(t) - 1) // 32)
+        |    ELSE CAST([] AS BIGINT[]) END) AS cid
+        |  FROM toks)
+        |SELECT doc_id, cid::BIGINT AS chunk_id,
+        |  len(t[cid * 32 + 1 : cid * 32 + 32])::BIGINT AS n_tokens,
+        |  md5(array_to_string(t[cid * 32 + 1 : cid * 32 + 32], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // Mirrors q46CorpusReport; NULLS FIRST pinned on both sides (Spark
+    // asc defaults nulls-first, DuckDB defaults nulls-last).
+    "q46_corpus_report" ->
+      """SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |  sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT AS n_tokens,
+        |  sum(length(text))::BIGINT AS n_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
     // Mirrors Dedup.decontaminate (n=8 token grams, md5-15-hex BIGINT
     // fingerprints — same device as q28). Gram fingerprints, not gram
     // text, cross the join on both sides.

@@ -217,6 +217,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(sets(0).intersect(sets(1)).nonEmpty)
   }
 
+  test("chunk splits token arrays on exact 32-token boundaries") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(70)), // 32 + 32 + 6
+      (2L, words(64)), // exact boundary: 32 + 32, no empty tail chunk
+      (3L, words(32)), // single full chunk
+      (4L, words(1)))  // single 1-token chunk
+      .toDF("doc_id", "text")
+    val out = TextMetrics.chunk(docs, "doc_id", "text", maxTokens = 32)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_md5")))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byDoc(1L) == Seq(32L, 32L, 6L))
+    assert(byDoc(2L) == Seq(32L, 32L))
+    assert(byDoc(3L) == Seq(32L))
+    assert(byDoc(4L) == Seq(1L))
+    // content-addressed: the identical first-32-token prefix of docs 1/2/3
+    // hashes identically across docs, while a doc's own chunks differ
+    val md5Of = out.map(r => (r._1, r._2) -> r._4).toMap
+    assert(md5Of((1L, 0L)) == md5Of((2L, 0L)) && md5Of((1L, 0L)) == md5Of((3L, 0L)))
+    assert(md5Of((1L, 1L)) == md5Of((2L, 1L)))
+    assert(Set(md5Of((1L, 0L)), md5Of((1L, 1L)), md5Of((1L, 2L))).size == 3)
+  }
+
   test("embeddingStats: exact quantized norms by hand; l2normalize lands on unit norm") {
     import graft.functions.VectorFunctions
     val embs = Seq(
