@@ -36,8 +36,10 @@ object Dedup {
     * backfill and the live stream. */
   def exactStreaming(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String = "10 minutes"): DataFrame = {
+    // all input columns ride along (dedup state still holds only the
+    // hash + event time, not the payload)
     val hashed = docs
-      .select(col(idCol), col(tsCol), md5(col(textCol)).as("text_hash"))
+      .withColumn("text_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
     if (docs.isStreaming) hashed.dropDuplicatesWithinWatermark("text_hash")
     else hashed.dropDuplicates("text_hash")

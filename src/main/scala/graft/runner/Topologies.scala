@@ -271,4 +271,32 @@ object Topologies {
       .select(col("tweet_id"), col("place"), col("label"),
         graft.functions.TextFunctions.wktPointLatFirst(col("lat"), col("lon")).as("wkt"))
   }
+
+  /** Continuous training-data ingest (north-star composition, not a
+    * reference topology): a stream of (doc_id, ts, text) documents →
+    * watermark-bounded exact dedup (first arrival wins, state keyed by
+    * text hash) → quality score + language ID annotations → quality
+    * filter → batch-id-addressed idempotent parquet sink. The batch
+    * pipeline ops compose unchanged inside foreachBatch — per-row
+    * projections and a bounded-state dedup, nothing that needs a
+    * window. Caller starts the returned query. */
+  def documentIngestStream(docs: DataFrame, outDir: String,
+      checkpoint: String, watermark: String = "10 minutes") = {
+    val deduped = graft.pipeline.Dedup
+      .exactStreaming(docs, "doc_id", "text", "ts", watermark)
+    deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val quality = TextMetrics.qualityScore(batch, "doc_id", "text")
+          val lang = TextMetrics.detectLanguage(batch, "doc_id", "text")
+          batch.select("doc_id", "ts", "text")
+            .join(quality, "doc_id")
+            .join(lang, "doc_id")
+            .filter(col("quality") > 0)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+      }
+  }
 }

@@ -129,6 +129,32 @@ class TopologiesSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[String]("location").contains(",")))
   }
 
+  test("documentIngestStream: dedup + quality filter + langid with idempotent batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val good = "the table is fast and the query is small and the data is good"
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = stream.toDS().toDF("doc_id", "ts", "text")
+    val outDir = Files.createTempDirectory("ingest_out").toString
+    val ckptDir = Files.createTempDirectory("ingest_ckpt").toString
+    val query = Topologies.documentIngestStream(docs, outDir, ckptDir).start()
+    try {
+      stream.addData(Seq((1L, ts(1), good), (2L, ts(2), "x"))) // 2: fails length rule
+      query.processAllAvailable()
+      stream.addData(Seq((3L, ts(3), good), // replay of 1 — dedup drops it
+        (4L, ts(4), "der tisch und der stuhl und die lampe sind gut und schnell da")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.read.parquet(outDir)
+      .select("doc_id", "detected_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 4L)) // 2 filtered on quality, 3 deduped
+    assert(out(1L) == "en")
+    assert(out(4L) == "de")
+  }
+
   test("roleAnalysisStream matches the batch topology across micro-batches") {
     import java.nio.file.Files
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
