@@ -46,6 +46,7 @@ object Tables {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(new GraftExtensions) // native expressions (stem_tokens)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

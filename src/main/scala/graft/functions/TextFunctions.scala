@@ -47,13 +47,20 @@ object TextFunctions {
     filter(tokens, t => !array_contains(lit(englishStopwords.toArray), t))
 
   /** T2 — Porter-stem each token ([[PorterStemmer]], vendored classic
-    * algorithm). A UDF: the suffix-stripping loop is genuinely imperative
-    * per-token work; it runs once per token post-filtering, off the
-    * codegen'd hot path of scans/joins. */
+    * algorithm) through the native [[StemTokens]] Catalyst expression:
+    * no UDF serialization boundary, inlines into whole-stage codegen.
+    * Requires [[graft.GraftExtensions]] on the session (every
+    * [[graft.Tables.session]] registers it; external sessions set
+    * spark.sql.extensions=graft.GraftExtensions). [[stemTokensUdfForm]]
+    * is the portable fallback and the parity pin. */
+  def stemTokens(tokens: Column): Column = call_function("stem_tokens", tokens)
+
   private val stemTokensUdf = udf((tokens: Seq[String]) =>
     if (tokens == null) null else tokens.map(PorterStemmer.stem))
 
-  def stemTokens(tokens: Column): Column = stemTokensUdf(tokens)
+  /** UDF form of [[stemTokens]] for sessions without GraftExtensions;
+    * StemTokensSpec pins both forms value-identical. */
+  def stemTokensUdfForm(tokens: Column): Column = stemTokensUdf(tokens)
 
   /** T2 — the reference's full index-path term pipeline
     * (TweetIndexBolt.java:172-186: tokenize, drop 1-char tokens, drop
