@@ -183,6 +183,32 @@ object TextMetrics {
           lit(0.0))).as("dup_trigram_frac"))
   }
 
+  /** Deterministic hash-based corpus sampling for training-data mixes:
+    * keep a document iff `fingerprint(salt:id) mod 100 < rate_pct` for
+    * its group's configured percentage. Unlike seeded `sample()` /
+    * `sampleBy` (RNG per partition — resplitting the input changes the
+    * selection), the decision is a pure function of (salt, id): stable
+    * under repartitioning, retries, and engine choice, which is what
+    * makes a training mix REPRODUCIBLE. The rates side is a tiny
+    * broadcast join; the filter is map-side — scan-speed.
+    *
+    * `rates` maps group → percentage (0-100); groups absent from the map
+    * are dropped (rate 0). */
+  def sampleMix(docs: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Int], salt: String = "mix"): DataFrame = {
+    require(rates.values.forall(p => p >= 0 && p <= 100),
+      "sampleMix: rates are percentages in [0, 100]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.toDF(groupCol, "_rate_pct")
+    docs.join(broadcast(ratesDf), groupCol)
+      .withColumn("_bucket",
+        pmod(TextFunctions.fingerprint(
+          concat(lit(salt), lit(":"), col(idCol).cast("string"))), lit(100L)))
+      .filter(col("_bucket") < col("_rate_pct"))
+      .drop("_bucket", "_rate_pct")
+  }
+
   /** Fixed-token-budget document chunking — the context-window prep step
     * of a training pipeline: each document's token array splits into
     * ceil(n/maxTokens) contiguous chunks of at most maxTokens tokens.

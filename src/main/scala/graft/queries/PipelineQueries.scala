@@ -186,6 +186,14 @@ object PipelineQueries {
         sum(length(col("text")).cast("long")).as("n_chars"))
       .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
 
+  /** Deterministic training-mix sampling: per-source keep rates, the
+    * keep decision a pure function of (salt, doc_id). */
+  def q47SampleMix(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.sampleMix(docs(spark, dir), "doc_id", "source",
+      Map("src0" -> 100, "src1" -> 50, "src2" -> 25, "src3" -> 10))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** Gopher-style repetition quality signals: top-2-gram char fraction,
     * duplicated-3-gram char fraction, duplicate-word fraction. */
   def q42Repetition(spark: SparkSession, dir: String): DataFrame =
@@ -233,6 +241,7 @@ object PipelineQueries {
     "q43_decontaminate" -> q43Decontaminate,
     "q45_chunk" -> q45Chunk,
     "q46_corpus_report" -> q46CorpusReport,
+    "q47_sample_mix" -> q47SampleMix,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -623,6 +632,17 @@ object PipelineQueries {
         |  coalesce(hits.n_shared_grams > 0, false) AS contaminated
         |FROM base LEFT JOIN hits USING (doc_id)
         |ORDER BY base.doc_id""".stripMargin,
+    // Mirrors TextMetrics.sampleMix (salt "mix", md5-15-hex fingerprint
+    // mod 100 — same portable hash device as q28/q43).
+    "q47_sample_mix" ->
+      """WITH rates AS (SELECT * FROM (VALUES
+        |    ('src0', 100), ('src1', 50), ('src2', 25), ('src3', 10))
+        |  AS r(source, rate_pct))
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN rates USING (source)
+        |WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 100
+        |      < rate_pct
+        |ORDER BY d.doc_id""".stripMargin,
     // Mirrors TextMetrics.repetitionStats: tagged grams ('2:'/'3:'
     // prefixes stand in for the struct tag), LIKE filters split the
     // per-size aggregates back out, length(gg)-2 drops the tag chars.

@@ -217,6 +217,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(sets(0).intersect(sets(1)).nonEmpty)
   }
 
+  test("sampleMix: selection is a pure function of (salt, id) — stable under repartitioning") {
+    val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val rates = Map("a" -> 30, "b" -> 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      TextMetrics.sampleMix(df, "doc_id", "source", rates)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val base = ids(docs)
+    assert(ids(docs.repartition(17)) == base) // resplitting must not change the mix
+    assert(base.forall(_ % 2 == 0)) // rate-0 group fully dropped
+    // 30% of 1000 'a' docs within sampling noise of the hash buckets
+    assert(base.length > 240 && base.length < 360, s"got ${base.length}")
+    // different salt → different (but equally stable) selection
+    val other = TextMetrics.sampleMix(docs, "doc_id", "source", rates, salt = "v2")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(other != base)
+  }
+
   test("chunk splits token arrays on exact 32-token boundaries") {
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val docs = Seq(
