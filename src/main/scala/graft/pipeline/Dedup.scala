@@ -142,6 +142,52 @@ object Dedup {
     } finally sh.unpersist(false)
   }
 
+  /** Cross-corpus MinHash+LSH near-dup join — fuzzy decontamination
+    * ([[decontaminate]]'s exact-gram check misses paraphrased/reordered
+    * overlap) and cross-snapshot dedup: candidates come from matching
+    * LSH band keys BETWEEN the two sets, then exact Jaccard verifies at
+    * `threshold`. Same banded scale shape as [[minhashNearDups]] — only
+    * (doc_id, band_key) pairs shuffle for candidates, and verification
+    * touches candidates only — but the two sides keep separate shingle
+    * frames throughout, so overlapping id namespaces are safe (ids are
+    * only ever compared within their own side).
+    *
+    * Output: (doc_a from left, doc_b from right, shared, size_a, size_b,
+    * jaccard) — no a < b constraint, the pair is ordered by side. */
+  def minhashNearDupsAgainst(left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val shL = shingleSets(left, leftId, leftText, shingleN).cache()
+    val shR = shingleSets(right, rightId, rightText, shingleN).cache()
+    try {
+      val bl = lshBands(minhashSignatures(shL, numHashes), numHashes, rowsPerBand)
+        .select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+      val br = lshBands(minhashSignatures(shR, numHashes), numHashes, rowsPerBand)
+        .select(col("band").as("band_r"), col("band_key").as("band_key_r"),
+          col("doc_id").as("doc_b"))
+      val cands = bl.join(br,
+          col("band") === col("band_r") && col("band_key") === col("band_key_r"))
+        .select("doc_a", "doc_b").distinct()
+      val toksL = shL.select(col("doc_id").as("doc_a"), explode(col("shingles")).as("sh_a"))
+      val toksR = shR.select(col("doc_id").as("doc_b"), explode(col("shingles")).as("sh_b"))
+      val shared = cands
+        .join(toksL, Seq("doc_a"))
+        .join(toksR, Seq("doc_b"))
+        .filter(col("sh_a") === col("sh_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      cands
+        .join(shared, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("shared"))
+        .join(shL.select(col("doc_id").as("doc_a"), size(col("shingles")).as("size_a")), Seq("doc_a"))
+        .join(shR.select(col("doc_id").as("doc_b"), size(col("shingles")).as("size_b")), Seq("doc_b"))
+        .withColumn("jaccard",
+          col("shared").cast("double") /
+            (col("size_a") + col("size_b") - col("shared")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally { shL.unpersist(false); shR.unpersist(false) }
+  }
+
   /** All-pairs n-gram Jaccard near-dup (quadratic verification baseline —
     * the correctness oracle for the LSH path; don't run at scale). */
   def ngramJaccardAllPairs(docs: DataFrame, idCol: String, textCol: String,

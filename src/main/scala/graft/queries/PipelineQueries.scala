@@ -186,6 +186,17 @@ object PipelineQueries {
         sum(length(col("text")).cast("long")).as("n_chars"))
       .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
 
+  /** Fuzzy decontamination: corpus vs src0-eval near-dup join. */
+  def q48FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.minhashNearDupsAgainst(
+      d.filter(col("source") =!= "src0"), "doc_id", "text",
+      d.filter(col("source") === "src0"), "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("size_a"),
+        col("size_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Deterministic training-mix sampling: per-source keep rates, the
     * keep decision a pure function of (salt, doc_id). */
   def q47SampleMix(spark: SparkSession, dir: String): DataFrame =
@@ -242,6 +253,7 @@ object PipelineQueries {
     "q45_chunk" -> q45Chunk,
     "q46_corpus_report" -> q46CorpusReport,
     "q47_sample_mix" -> q47SampleMix,
+    "q48_fuzzy_decontaminate" -> q48FuzzyDecontaminate,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -632,6 +644,56 @@ object PipelineQueries {
         |  coalesce(hits.n_shared_grams > 0, false) AS contaminated
         |FROM base LEFT JOIN hits USING (doc_id)
         |ORDER BY base.doc_id""".stripMargin,
+    // Two-sided q20: per-side shingle/band CTEs (filtered by source), a
+    // cross-set band join for candidates, exact Jaccard at 0.5.
+    "q48_fuzzy_decontaminate" ->
+      """WITH toksL AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |    FROM documents WHERE source <> 'src0'),
+        |toksR AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |    FROM documents WHERE source = 'src0'),
+        |shLc AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(generate_series(1, len(t)-2),
+        |                        i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS shingles FROM toksL),
+        |shRc AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(generate_series(1, len(t)-2),
+        |                        i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS shingles FROM toksR),
+        |exL AS (SELECT doc_id, unnest(shingles) AS s FROM shLc),
+        |exR AS (SELECT doc_id, unnest(shingles) AS s FROM shRc),
+        |szL AS (SELECT doc_id, len(shingles) AS sz FROM shLc),
+        |szR AS (SELECT doc_id, len(shingles) AS sz FROM shRc),
+        |bndL AS (SELECT doc_id, i // 2 AS band,
+        |    string_agg(sig, '|' ORDER BY i) AS band_key
+        |  FROM (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS sig
+        |        FROM exL CROSS JOIN generate_series(0, 7) g(i)
+        |        GROUP BY doc_id, i)
+        |  GROUP BY doc_id, i // 2),
+        |bndR AS (SELECT doc_id, i // 2 AS band,
+        |    string_agg(sig, '|' ORDER BY i) AS band_key
+        |  FROM (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS sig
+        |        FROM exR CROSS JOIN generate_series(0, 7) g(i)
+        |        GROUP BY doc_id, i)
+        |  GROUP BY doc_id, i // 2),
+        |cands AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM bndL l JOIN bndR r
+        |    ON l.band = r.band AND l.band_key = r.band_key),
+        |shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+        |  FROM cands c
+        |  JOIN exL ea ON ea.doc_id = c.doc_a
+        |  JOIN exR eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b, coalesce(s.shared, 0) AS shared,
+        |  sa.sz AS size_a, sb.sz AS size_b,
+        |  coalesce(s.shared, 0)::DOUBLE
+        |    / (sa.sz + sb.sz - coalesce(s.shared, 0))::DOUBLE AS jaccard
+        |FROM cands c
+        |LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+        |JOIN szL sa ON sa.doc_id = c.doc_a
+        |JOIN szR sb ON sb.doc_id = c.doc_b
+        |WHERE coalesce(s.shared, 0)::DOUBLE
+        |    / (sa.sz + sb.sz - coalesce(s.shared, 0))::DOUBLE >= 0.5
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
     // Mirrors TextMetrics.sampleMix (salt "mix", md5-15-hex fingerprint
     // mod 100 — same portable hash device as q28/q43).
     "q47_sample_mix" ->

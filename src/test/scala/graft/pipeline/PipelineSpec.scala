@@ -217,6 +217,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(sets(0).intersect(sets(1)).nonEmpty)
   }
 
+  test("minhashNearDupsAgainst joins across sets; overlapping id namespaces stay separate") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words over here now friend"))
+      .toDF("doc_id", "text")
+    // eval doc_id 1 COLLIDES with corpus doc_id 1 on purpose: its text
+    // matches corpus doc 2, and the collision must not cross-contaminate
+    val evalSet = Seq((1L, "totally different words over here now friend"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupsAgainst(corpus, "doc_id", "text",
+      evalSet, "doc_id", "text")
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((2L, 1L, 1.0))) // corpus 2 ≈ eval 1, nothing else
+  }
+
   test("sampleMix: selection is a pure function of (salt, id) — stable under repartitioning") {
     val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b", s"text $i"))
       .toDF("doc_id", "source", "text")
