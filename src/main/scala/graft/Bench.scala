@@ -51,12 +51,16 @@ object Bench {
       // to the raw min (the query is in "failed" either way).
       val good = timed.collect { case (t, true) => t }
       val best = if (good.nonEmpty) good.min else timed.map(_._1).min
-      (name, best, timed.map(_._1))
+      (name, best, timed)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    // crashed runs emit null, not their near-zero crash duration — a
+    // consumer computing spread/mean from all_runs must not absorb them
     val raw = results.map { case (k, _, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map { case (t, ok) =>
+        if (ok) f"$t%.3f" else "null"
+      }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val fl = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum

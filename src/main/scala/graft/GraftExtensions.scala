@@ -16,7 +16,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("stem_tokens"),
       new ExpressionInfo(classOf[StemTokens].getName, "stem_tokens"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        StemTokens(children.head)))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // explicit arity check: children.head would silently drop extra
+        // arguments and throw a bare empty-head error on zero
+        require(children.length == 1,
+          s"stem_tokens expects exactly 1 argument, got ${children.length}")
+        StemTokens(children.head)
+      }))
   }
 }

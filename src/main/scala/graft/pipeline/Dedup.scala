@@ -42,7 +42,16 @@ object Dedup {
       .withColumn("text_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
     if (docs.isStreaming) hashed.dropDuplicatesWithinWatermark("text_hash")
-    else hashed.dropDuplicates("text_hash")
+    else {
+      // deterministic batch twin of "first arrival wins": keep the
+      // min-(ts, id) row per hash — dropDuplicates would keep whichever
+      // row a partition saw first, varying across runs/repartitionings
+      val others = hashed.columns.filter(_ != "text_hash")
+      hashed.groupBy(col("text_hash"))
+        .agg(min_by(struct(others.map(col).toIndexedSeq: _*),
+          struct(col(tsCol), col(idCol))).as("_r"))
+        .select(col("_r.*"), col("text_hash"))
+    }
   }
 
   /** Canonical text form: lowercase, punctuation → space, whitespace
@@ -100,25 +109,32 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact Jaccard over distinct shingle sets for a pair relation —
-    * shared / (|A| + |B| - shared), via an explode + join (no arrays cross
-    * the shuffle; scales linearly in total shingle count). */
-  def jaccard(pairs: DataFrame, shingled: DataFrame): DataFrame = {
-    val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("set_size"))
-    val toks = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+  /** Exact Jaccard for a pair relation whose sides come from TWO shingle
+    * frames (doc_a ids resolve only against `shingledA`, doc_b only
+    * against `shingledB` — overlapping id namespaces stay separate) —
+    * shared / (|A| + |B| - shared), via an explode + join (no arrays
+    * cross the shuffle; scales linearly in total shingle count). */
+  def jaccardAcross(pairs: DataFrame, shingledA: DataFrame,
+      shingledB: DataFrame): DataFrame = {
+    val toksA = shingledA.select(col("doc_id").as("doc_a"), explode(col("shingles")).as("sh_a"))
+    val toksB = shingledB.select(col("doc_id").as("doc_b"), explode(col("shingles")).as("sh_b"))
     val shared = pairs
-      .join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
-      .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .join(toksA, Seq("doc_a"))
+      .join(toksB, Seq("doc_b"))
       .filter(col("sh_a") === col("sh_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     pairs
       .join(shared, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("shared"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
+      .join(shingledA.select(col("doc_id").as("doc_a"), size(col("shingles")).as("size_a")), Seq("doc_a"))
+      .join(shingledB.select(col("doc_id").as("doc_b"), size(col("shingles")).as("size_b")), Seq("doc_b"))
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("size_a") + col("size_b") - col("shared")).cast("double"))
   }
+
+  /** One-frame [[jaccardAcross]]: both pair sides resolve in `shingled`. */
+  def jaccard(pairs: DataFrame, shingled: DataFrame): DataFrame =
+    jaccardAcross(pairs, shingled, shingled)
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
     * join → exact-Jaccard verification at `threshold`. */
@@ -169,20 +185,7 @@ object Dedup {
       val cands = bl.join(br,
           col("band") === col("band_r") && col("band_key") === col("band_key_r"))
         .select("doc_a", "doc_b").distinct()
-      val toksL = shL.select(col("doc_id").as("doc_a"), explode(col("shingles")).as("sh_a"))
-      val toksR = shR.select(col("doc_id").as("doc_b"), explode(col("shingles")).as("sh_b"))
-      val shared = cands
-        .join(toksL, Seq("doc_a"))
-        .join(toksR, Seq("doc_b"))
-        .filter(col("sh_a") === col("sh_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      cands
-        .join(shared, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("shared"))
-        .join(shL.select(col("doc_id").as("doc_a"), size(col("shingles")).as("size_a")), Seq("doc_a"))
-        .join(shR.select(col("doc_id").as("doc_b"), size(col("shingles")).as("size_b")), Seq("doc_b"))
-        .withColumn("jaccard",
-          col("shared").cast("double") /
-            (col("size_a") + col("size_b") - col("shared")).cast("double"))
+      jaccardAcross(cands, shL, shR)
         .filter(col("jaccard") >= threshold)
         .localCheckpoint(true)
     } finally { shL.unpersist(false); shR.unpersist(false) }

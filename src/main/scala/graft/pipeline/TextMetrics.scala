@@ -27,22 +27,34 @@ object TextMetrics {
 
   /** Quality score: length, punctuation ratio, stopword ratio, mean token
     * length — the standard cheap heuristics for corpus filtering. */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The quality signals as named expressions over `textCol` — shared by
+    * the select-form [[qualityScore]] and the append-form
+    * [[withQuality]] (streaming paths annotate rows in place; a
+    * doc_id-keyed join back would cross-pair rows when ids repeat
+    * within a batch). */
+  def qualityColumns(textCol: String): Seq[(String, Column)] = {
     val toks = TextFunctions.tokenize(col(textCol))
     val nChars = length(col(textCol))
     val punct = nChars - length(regexp_replace(col(textCol), "[^a-zA-Z0-9\\s]", ""))
-    docs.select(
-      col(idCol),
-      nChars.as("n_chars"),
-      (punct.cast("double") / nChars.cast("double")).as("punct_ratio"),
-      TextFunctions.stopwordRatio(col(textCol)).as("stopword_ratio"),
-      ((nChars - size(toks) + 1).cast("double") / size(toks).cast("double"))
-        .as("mean_token_len"))
-      .withColumn("quality",
-        when(col("n_chars") >= 50 && col("punct_ratio") < 0.2 &&
-          col("mean_token_len") >= 3 && col("mean_token_len") <= 12, 1.0)
-          .otherwise(0.0))
+    val punctRatio = punct.cast("double") / nChars.cast("double")
+    val meanTokenLen =
+      (nChars - size(toks) + 1).cast("double") / size(toks).cast("double")
+    Seq(
+      "n_chars" -> nChars,
+      "punct_ratio" -> punctRatio,
+      "stopword_ratio" -> TextFunctions.stopwordRatio(col(textCol)),
+      "mean_token_len" -> meanTokenLen,
+      "quality" -> when(nChars >= 50 && punctRatio < 0.2 &&
+        meanTokenLen >= 3 && meanTokenLen <= 12, 1.0).otherwise(0.0))
   }
+
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol) +:
+      qualityColumns(textCol).map { case (n, c) => c.as(n) }: _*)
+
+  /** [[qualityScore]] appended to the input rows — no join, no shuffle. */
+  def withQuality(docs: DataFrame, textCol: String): DataFrame =
+    qualityColumns(textCol).foldLeft(docs) { case (d, (n, c)) => d.withColumn(n, c) }
 
   /** Deterministic language ID via stopword-profile hit ratios. The
     * reference's cybozu langdetect is seed-nondeterministic (SURVEY.md M1)
@@ -54,19 +66,28 @@ object TextMetrics {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
     "es" -> Seq("el", "los", "las", "es", "un", "una", "y"))
 
-  def detectLanguage(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The stopword-profile language decision as one expression — shared
+    * by [[detectLanguage]] (select form) and [[withLanguage]] (append
+    * form, for streaming annotation without a join). */
+  def languageColumn(textCol: String): Column = {
     val toks = TextFunctions.tokenize(col(textCol))
     val hits = langProfiles.map { case (lang, words) =>
       (lang, size(filter(toks, t => array_contains(lit(words.toArray), t))))
     }
     // first profile with the max hit count; 'und' (undetermined) if none hit
     val maxHits = greatest(hits.map(_._2): _*)
-    val detected = hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+    // foldRight means earlier profiles overwrite later ones on ties
+    hits.foldRight(lit("und")) { case ((lang, h), acc) =>
       when(h === maxHits && maxHits > 0, lang).otherwise(acc)
     }
-    // foldRight means earlier profiles overwrite later ones on ties
-    docs.select(col(idCol), detected.as("detected_lang"))
   }
+
+  def detectLanguage(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), languageColumn(textCol).as("detected_lang"))
+
+  /** [[detectLanguage]] appended to the input rows — no join, no shuffle. */
+  def withLanguage(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("detected_lang", languageColumn(textCol))
 
   /** Character-trigram language profiles for [[langIdNgram]] — integer
     * weights (exact sums). Common trigrams per language; overlaps between

@@ -24,10 +24,16 @@ object Scale {
     * `big.join(small, Seq(key), joinType)` for "inner" and "left" (each
     * big row matches exactly the one replica carrying its salt).
     *
-    * The salt hashes the big row's full contents rather than calling
-    * rand(): a retried task salts identically, keeping the operator
-    * deterministic under speculative execution (the repo-wide
-    * determinism discipline).
+    * The salt hashes the big row's contents PLUS a partition-local row
+    * index rather than calling rand(): identical rows (the classic
+    * extreme-skew payload — without the index they'd all hash to ONE
+    * salt and re-create the hot spot) still spread, and a recomputed
+    * partition reproduces the same salts (monotonically_increasing_id
+    * is a pure function of partition id and position, stable for a
+    * deterministic input — unlike rand(), which re-rolls under fetch
+    * failures and can lose/duplicate rows mid-shuffle). Any salt value
+    * is CORRECT (each big row matches exactly the replica carrying its
+    * salt); determinism only matters for retry consistency.
     *
     * "right"/"full" are rejected: an unmatched small row would surface
     * once per replica. Use the small side as the left input instead. */
@@ -37,7 +43,8 @@ object Scale {
     require(Set("inner", "left", "leftouter", "left_outer")(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins, not $joinType")
     val bigS = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(nSalts)))
+      pmod(hash(big.columns.map(col).toIndexedSeq :+
+        monotonically_increasing_id(): _*), lit(nSalts)))
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     bigS.join(smallS, Seq(key, "_salt"), joinType).drop("_salt")

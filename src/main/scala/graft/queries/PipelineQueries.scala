@@ -386,9 +386,9 @@ object PipelineQueries {
     // the ::BIGINT casts keep the emitted types decimal-family-free.
     "q44_embedding_stats" ->
       """WITH q AS (SELECT vec_id, len(embedding)::BIGINT AS dim,
-        |  list_aggregate(list_transform(embedding,
+        |  coalesce(list_aggregate(list_transform(embedding,
         |      x -> floor(x::DOUBLE * 1000000)::BIGINT * floor(x::DOUBLE * 1000000)::BIGINT),
-        |    'sum')::BIGINT AS norm_sq_q
+        |    'sum'), 0)::BIGINT AS norm_sq_q
         |  FROM embeddings)
         |SELECT vec_id, dim, norm_sq_q,
         |  (norm_sq_q - 1000000000000)::BIGINT AS norm_dev_q

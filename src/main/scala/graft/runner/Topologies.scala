@@ -289,11 +289,13 @@ object Topologies {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val quality = TextMetrics.qualityScore(batch, "doc_id", "text")
-          val lang = TextMetrics.detectLanguage(batch, "doc_id", "text")
-          batch.select("doc_id", "ts", "text")
-            .join(quality, "doc_id")
-            .join(lang, "doc_id")
+          // append-form annotations: pure per-row projections, no join —
+          // a doc_id-keyed join back would cross-pair rows when a batch
+          // carries two texts under one id, and would pay two shuffles
+          // per micro-batch for per-row work
+          TextMetrics.withLanguage(
+            TextMetrics.withQuality(batch.select("doc_id", "ts", "text"), "text"),
+            "text")
             .filter(col("quality") > 0)
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }

@@ -14,8 +14,10 @@ class ScaleSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("saltedJoin equals the plain join on a skewed key, inner and left") {
-    // one hot key (90% of rows) plus a key missing from the small side
-    val big = ((1 to 90).map(i => ("hot", i)) ++ (1 to 9).map(i => ("cold", i)) :+ ("orphan", 0))
+    // one hot key whose 90 rows are BYTE-IDENTICAL (the worst skew
+    // payload: a content-only salt would put them all on one salt),
+    // plus a key missing from the small side
+    val big = ((1 to 90).map(_ => ("hot", 1)) ++ (1 to 9).map(i => ("cold", i)) :+ ("orphan", 0))
       .toDF("k", "v")
     val small = Seq(("hot", "H"), ("cold", "C"), ("unused", "U")).toDF("k", "tag")
     for (jt <- Seq("inner", "left")) {
@@ -25,11 +27,12 @@ class ScaleSpec extends AnyFunSuite {
         .select("k", "v", "tag").collect().map(_.toString).sorted.toSeq
       assert(salted == plain, s"joinType=$jt")
     }
-    // the hot key's rows really do carry more than one distinct salt
+    // identical hot rows still spread across salts (row-index component)
     val spread = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(8)))
+      pmod(hash(big.columns.map(col).toIndexedSeq :+
+        monotonically_increasing_id(): _*), lit(8)))
       .filter(col("k") === "hot").select("_salt").distinct().count()
-    assert(spread > 1, "salting left the hot key on a single partition")
+    assert(spread > 1, "salting left identical hot-key rows on a single salt")
     intercept[IllegalArgumentException] {
       Scale.saltedJoin(big, small, "k", 8, joinType = "full")
     }

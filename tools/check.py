@@ -102,14 +102,17 @@ for name in sorted(oracle):
         results[name] = {"ok": False, "why": f"pyarrow read: {e}"}
         continue
     try:
-        oq = con.execute(oracle[name])
+        # materialize once (some oracles — q48's two-sided MinHash — cost
+        # seconds), then read the SAME result through both type paths
+        con.execute(f"CREATE OR REPLACE TEMP TABLE _oracle_r AS {oracle[name]}")
+        oq = con.execute("SELECT * FROM _oracle_r")
         o_cols = [d[0] for d in oq.description]
         o_rows = oq.fetchall()
-        # Arrow-path read of the SAME oracle query. HUGEINT (e.g. an
+        # Arrow-path read of the SAME oracle result. HUGEINT (e.g. an
         # uncast windowed sum(INTEGER)) surfaces as decimal128(38,0)
         # here while fetchall yields exact Python ints — the emission
         # type check below is what catches it.
-        a_tbl = con.execute(oracle[name]).arrow()
+        a_tbl = con.execute("SELECT * FROM _oracle_r").arrow()
         a_cols = a_tbl.column_names
         a_rows = [tuple(d[c] for c in a_cols) for d in a_tbl.to_pylist()]
     except Exception as e:
