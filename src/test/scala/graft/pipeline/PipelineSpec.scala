@@ -217,6 +217,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(sets(0).intersect(sets(1)).nonEmpty)
   }
 
+  test("append-form annotations equal the select forms column for column") {
+    val docs = Seq(
+      (1L, "the table is fast and the query is small and the data is good"),
+      (2L, "x"),
+      (3L, "der tisch und der stuhl und die lampe sind gut und schnell da"))
+      .toDF("doc_id", "text")
+    val selectQ = TextMetrics.qualityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val appendQ = TextMetrics.withQuality(docs, "text")
+      .select("doc_id", "n_chars", "punct_ratio", "stopword_ratio",
+        "mean_token_len", "quality")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(selectQ == appendQ)
+    val selectL = TextMetrics.detectLanguage(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val appendL = TextMetrics.withLanguage(docs, "text")
+      .select("doc_id", "detected_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(selectL == appendL)
+  }
+
   test("minhashNearDupsAgainst joins across sets; overlapping id namespaces stay separate") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

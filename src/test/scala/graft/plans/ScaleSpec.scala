@@ -57,11 +57,21 @@ class ScaleSpec extends AnyFunSuite {
         "bucketed join still shuffles:\n" + plan.take(2000))
       // an in-partition (non-global) sort remains by default: since
       // SPARK-28595 bucketed scans don't expose sortedness (multi-file
-      // buckets made it unsafe); it's shuffle-free and cheap. The legacy
-      // flag spark.sql.legacy.bucketedTableScan.outputOrdering restores
-      // sorted scans for single-file buckets like writeBucketed's.
+      // buckets made it unsafe); it's shuffle-free and cheap.
       assert(plan.contains("Sort [") && plan.contains("], false, 0"),
         "expected only non-global sorts:\n" + plan.take(2000))
+      // ...and the legacy flag restores fully sort-free merges for
+      // single-file buckets like writeBucketed's, as documented
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      try {
+        val sorted = Scale.bucketedJoin(spark, "bkt_a", "bkt_b", "k")
+        assert(sorted.count() > 0)
+        val p2 = sorted.queryExecution.executedPlan.toString
+        assert(p2.contains("SortMergeJoin") && !p2.contains("Exchange")
+          && !p2.contains("Sort ["),
+          "legacy sorted-bucket scan still sorts:\n" + p2.take(2000))
+      } finally spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
       spark.sql("DROP TABLE IF EXISTS bkt_a")
