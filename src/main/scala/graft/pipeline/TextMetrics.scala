@@ -261,6 +261,44 @@ object TextMetrics {
           .as("chunk_md5"))
   }
 
+  /** Sequence packing — next-fit binning of documents into fixed token
+    * budgets, the step that turns a filtered corpus into training
+    * sequences: within each group (shard), documents in id order fill
+    * the current bin until the next one would overflow `capacity`, then
+    * a new bin opens; an oversized document gets a bin of its own.
+    *
+    * Packing is inherently sequential PER SHARD, so the distributed form
+    * packs within groups: repartition on the group, sort within
+    * partitions, stream a fold over each partition's iterator (the
+    * [[graft.streaming.PunctuationWindow]] batch pattern — the sort
+    * spills, resident state is one (bin, fill) pair). Global sequential
+    * packing would serialize the corpus and buys nothing for training. */
+  def packDocs(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, capacity: Long): DataFrame = {
+    require(capacity >= 1, "packDocs: capacity must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("id"),
+        size(TextFunctions.tokenize(col(textCol))).cast("long").as("n"))
+      .repartition(col("grp"))
+      .sortWithinPartitions(col("grp"), col("id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curGrp: String = null
+        var bin = 0L
+        var fill = 0L
+        it.map { case (grp, id, n) =>
+          if (grp != curGrp) { curGrp = grp; bin = 0L; fill = 0L }
+          if (fill > 0 && fill + n > capacity) { bin += 1; fill = 0L }
+          fill += n
+          (grp, id, n, bin)
+        }
+      }
+      .toDF(groupCol, idCol, "n_tokens", "bin_id")
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003 — the scheme behind MOSS): hash every k-character gram

@@ -197,6 +197,12 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Sequence packing: next-fit 128-token bins per source shard. */
+  def q49Pack(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.packDocs(docs(spark, dir), "doc_id", "source", "text",
+      capacity = 128L)
+      .orderBy(col("source"), col("doc_id"))
+
   /** Deterministic training-mix sampling: per-source keep rates, the
     * keep decision a pure function of (salt, doc_id). */
   def q47SampleMix(spark: SparkSession, dir: String): DataFrame =
@@ -254,6 +260,7 @@ object PipelineQueries {
     "q46_corpus_report" -> q46CorpusReport,
     "q47_sample_mix" -> q47SampleMix,
     "q48_fuzzy_decontaminate" -> q48FuzzyDecontaminate,
+    "q49_pack" -> q49Pack,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -694,6 +701,27 @@ object PipelineQueries {
         |WHERE coalesce(s.shared, 0)::DOUBLE
         |    / (sa.sz + sb.sz - coalesce(s.shared, 0))::DOUBLE >= 0.5
         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    // Mirrors TextMetrics.packDocs: the sequential next-fit fold becomes
+    // a recursive CTE stepping row_number order within each source.
+    "q49_pack" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, source,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n
+        |  FROM documents),
+        |ord AS (SELECT doc_id, source, n,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM toks),
+        |pack AS (
+        |  SELECT doc_id, source, n, rn, 0::BIGINT AS bin_id, n AS fill
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.source, o.n, o.rn,
+        |    CASE WHEN p.fill > 0 AND p.fill + o.n > 128
+        |         THEN p.bin_id + 1 ELSE p.bin_id END,
+        |    CASE WHEN p.fill > 0 AND p.fill + o.n > 128
+        |         THEN o.n ELSE p.fill + o.n END
+        |  FROM ord o JOIN pack p ON o.source = p.source AND o.rn = p.rn + 1)
+        |SELECT source, doc_id, n AS n_tokens, bin_id FROM pack
+        |ORDER BY source, doc_id""".stripMargin,
     // Mirrors TextMetrics.sampleMix (salt "mix", md5-15-hex fingerprint
     // mod 100 — same portable hash device as q28/q43).
     "q47_sample_mix" ->

@@ -254,6 +254,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((2L, 1L, 1.0))) // corpus 2 ≈ eval 1, nothing else
   }
 
+  test("packDocs: next-fit by hand — overflow opens bins, oversized docs stand alone, groups reset") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "g1", words(6)),  // bin 0 (fill 6)
+      (2L, "g1", words(3)),  // bin 0 (fill 9)
+      (3L, "g1", words(2)),  // 9+2 > 10 → bin 1 (fill 2)
+      (4L, "g1", words(15)), // oversized: 2+15 > 10 → bin 2 alone
+      (5L, "g1", words(1)),  // fill 15 > 0 and 15+1 > 10 → bin 3
+      (6L, "g2", words(4)))  // new group → bin 0
+      .toDF("doc_id", "source", "text")
+    val out = TextMetrics.packDocs(docs, "doc_id", "source", "text", capacity = 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Long]("n_tokens"), r.getAs[Long]("bin_id")))).toMap
+    assert(out(1L) == (("g1", 6L, 0L)))
+    assert(out(2L) == (("g1", 3L, 0L)))
+    assert(out(3L) == (("g1", 2L, 1L)))
+    assert(out(4L) == (("g1", 15L, 2L)))
+    assert(out(5L) == (("g1", 1L, 3L)))
+    assert(out(6L) == (("g2", 4L, 0L)))
+  }
+
   test("sampleMix: selection is a pure function of (salt, id) — stable under repartitioning") {
     val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b", s"text $i"))
       .toDF("doc_id", "source", "text")
