@@ -261,6 +261,21 @@ object TextMetrics {
           .as("chunk_md5"))
   }
 
+  /** Corpus vocabulary extraction — the tokenizer-training prep step:
+    * corpus-wide token frequencies, top K by (count desc, token asc —
+    * deterministic ties). One explode → one hash aggregate with map-side
+    * partial counting → a K-row ordered take; the aggregate keys on the
+    * token (bounded vocabulary), not the document, so cardinality stays
+    * flat as the corpus grows. */
+  def topVocabulary(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "topVocabulary: k must be >= 1")
+    docs.select(explode(TextFunctions.tokenize(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Sequence packing — next-fit binning of documents into fixed token
     * budgets, the step that turns a filtered corpus into training
     * sequences: within each group (shard), documents in id order fill

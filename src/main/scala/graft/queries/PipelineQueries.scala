@@ -197,6 +197,10 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Vocabulary extraction: top-25 corpus tokens, deterministic ties. */
+  def q50Vocab(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.topVocabulary(docs(spark, dir), "text", k = 25)
+
   /** Sequence packing: next-fit 128-token bins per source shard. */
   def q49Pack(spark: SparkSession, dir: String): DataFrame =
     TextMetrics.packDocs(docs(spark, dir), "doc_id", "source", "text",
@@ -261,6 +265,7 @@ object PipelineQueries {
     "q47_sample_mix" -> q47SampleMix,
     "q48_fuzzy_decontaminate" -> q48FuzzyDecontaminate,
     "q49_pack" -> q49Pack,
+    "q50_vocab" -> q50Vocab,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -701,6 +706,13 @@ object PipelineQueries {
         |WHERE coalesce(s.shared, 0)::DOUBLE
         |    / (sa.sz + sb.sz - coalesce(s.shared, 0))::DOUBLE >= 0.5
         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    "q50_vocab" ->
+      """SELECT token, count(*) AS n_occurrences
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token ASC
+        |LIMIT 25""".stripMargin,
     // Mirrors TextMetrics.packDocs: the sequential next-fit fold becomes
     // a recursive CTE stepping row_number order within each source.
     "q49_pack" ->

@@ -254,6 +254,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((2L, 1L, 1.0))) // corpus 2 ≈ eval 1, nothing else
   }
 
+  test("topVocabulary: frequency order with deterministic alphabetical ties") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a c d")) // a:3 b:3 c:2 d:1 — a before b on the count tie
+      .toDF("doc_id", "text")
+    val out = TextMetrics.topVocabulary(docs, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
   test("packDocs: next-fit by hand — overflow opens bins, oversized docs stand alone, groups reset") {
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val docs = Seq(
