@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction for training-data pipelines (north-star
+  * extension): the scrub pass every corpus runs before tokenizer/LM
+  * training. Pure per-row column expressions (regexp_count /
+  * regexp_replace are codegen'd) — no shuffle, scan-speed at any corpus
+  * size, and trivially streamable (the same columns apply to a
+  * readStream frame).
+  *
+  * Pattern discipline: every regex sticks to the syntax subset that
+  * Java's `java.util.regex` (Spark) and RE2 (DuckDB, and most external
+  * scrubbers) interpret identically — character classes, bounded
+  * repetition, alternation, `\b` word boundaries; no backrefs, no
+  * lookaround — so the same pattern table can be shipped to either
+  * engine and the oracle can mirror the scrub byte-for-byte.
+  */
+object Pii {
+
+  /** (kind, pattern, replacement) — ordered: redaction applies top to
+    * bottom, so earlier patterns must not produce text that later
+    * patterns match (the placeholders contain no digits or '@'). */
+  val patterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+1-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Per-kind match counts over `textCol`, one `n_<kind>s` column each. */
+  def countColumns(textCol: String): Seq[(String, Column)] =
+    patterns.map { case (kind, pat, _) =>
+      s"n_${kind}s" -> regexp_count(col(textCol), lit(pat)).cast("long")
+    }
+
+  /** The scrubbed text: every pattern's matches replaced by its
+    * placeholder, in declaration order. */
+  def redactedColumn(textCol: String): Column =
+    patterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Detection + redaction in one select: id, per-kind counts, total
+    * hit count, and the scrubbed text. */
+  def scrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = countColumns(textCol)
+    docs.select(
+      col(idCol) +:
+        counts.map { case (n, c) => c.as(n) } :+
+        counts.map(_._2).reduce(_ + _).as("n_pii") :+
+        redactedColumn(textCol).as("redacted"): _*)
+  }
+
+  /** [[scrub]] appended to the input rows — the streaming/annotation
+    * form (no join back, so repeated ids within a batch stay safe). */
+  def withScrub(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = countColumns(textCol)
+    val withCounts = counts.foldLeft(docs) { case (d, (n, c)) => d.withColumn(n, c) }
+    withCounts
+      .withColumn("n_pii", counts.map(_._2).reduce(_ + _))
+      .withColumn("redacted", redactedColumn(textCol))
+  }
+}

@@ -397,4 +397,124 @@ object TextMetrics {
     }(Encoders.row(outSchema))
       .toDF(idCol, "n_fps", "fps_csv")
   }
+
+  /** Decimal-domain round-then-double emission (see CoreQueries.dsum):
+    * `round(double, s)` implementations differ near boundaries across
+    * engines; DECIMAL-typed outputs hash differently across engines. */
+  private def dec6(c: Column): Column =
+    round(c.cast("decimal(28,10)"), 6).cast("double")
+
+  /** TF-IDF top-`k` terms per document — the classic keyword-extraction
+    * pass (salient-term indexing, topic labeling, dedup-key selection).
+    *
+    * Shape: one explode → one (doc, token) pre-aggregation; the document
+    * frequency relation is token-keyed (cardinality = vocabulary, not
+    * corpus) and broadcasts back, as does the 1-row corpus count — no
+    * driver-side action, one shuffle on (doc, token). Ranking uses the
+    * exact integer key (tf DESC, df ASC, token ASC) — the same order as
+    * tf·idf for fixed (tf, df) — so ranks never depend on double
+    * rounding; the tf·idf value itself is informational and rounds in
+    * the decimal domain. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, "tfIdfTopTerms: k must be >= 1")
+    val ex = docs.select(col(idCol),
+      explode(TextFunctions.tokenize(col(textCol))).as("token"))
+    val tf = ex.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),
+        dec6(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("tfidf"))
+  }
+
+  /** Unigram language-model surprisal — the cheap perplexity proxy used
+    * for quality filtering (CCNet-style: rank documents by how unlikely
+    * their tokens are under a corpus-level unigram model; here the model
+    * is estimated from the corpus itself).
+    *
+    * score(doc) = mean over tokens of −ln p(token), p = count/total.
+    * Per-token surprisals are computed in the double domain (both
+    * engines' `ln` agree bit-for-bit on identical input — the device
+    * q17's log-odds hash-check pins), then summed as DECIMAL(28,10)
+    * (double addition is order-dependent under partitioning; decimal
+    * addition is exact). Token counts broadcast back (vocabulary-sized
+    * relation), total is a broadcast 1-row aggregate — one shuffle on
+    * token, one on doc. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs.select(col(idCol),
+      explode(TextFunctions.tokenize(col(textCol))).as("token"))
+    val counts = ex.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("tot"))
+    val perTok = ex.join(broadcast(counts), "token")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        log(col("tot").cast("double") / col("cnt").cast("double"))
+          .cast("decimal(28,10)").as("surp"))
+    perTok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surp")).as("sum_dec"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("sum_dec"), 6).cast("double").as("sum_surprisal"),
+        dec6(col("sum_dec").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_surprisal"))
+  }
+
+  /** Chunk-level first-occurrence dedup — the paragraph-dedup analog
+    * (Dolma-style: drop repeated spans ACROSS documents, not just whole
+    * near-dup documents). Works on [[chunk]]'s fixed-budget chunks;
+    * occurrence order is the deterministic (doc_id, chunk_id) total
+    * order, so the kept copy is always the earliest.
+    *
+    * Shape: one shuffle keyed by chunk hash for the occurrence ranking
+    * (key cardinality = distinct chunks — grows with the corpus, never
+    * skewed beyond true duplicate multiplicity), one shuffle back on doc
+    * for the per-document rollup. The chunk text never shuffles — only
+    * (doc, chunk_id, md5). */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = Window.partitionBy(col("chunk_md5"))
+      .orderBy(col(idCol).asc, col("chunk_id").asc)
+    chunk(docs, idCol, textCol, maxTokens)
+      .withColumn("_occ", row_number().over(occ))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col(idCol), col("n_chunks"), col("n_dup_chunks"),
+        dec6(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+          .as("dup_frac"))
+  }
+
+  /** Temperature-sampled mixing weights — the multi-source sampling
+    * schedule step (Raffel et al. 2020 §3.4.1 / XLM-R: sample source s
+    * with probability ∝ n_s^α, α < 1 upweights small sources). α is
+    * fixed at 1/2 so the power is `sqrt`, which IEEE 754 requires to be
+    * correctly rounded — bit-identical across engines, unlike `pow`.
+    *
+    * Cross-engine discipline: each source's √tokens is truncated to
+    * DECIMAL(28,10) (deterministic on both engines), the normalizer is
+    * the EXACT decimal sum of those truncations (double summation order
+    * would flake), and the final weight divides the two as doubles.
+    * One aggregation to source granularity (map-side combined), then a
+    * broadcast 1-row total — no driver action. */
+  def mixWeights(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val perSrc = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokenize(col(textCol))).cast("long")).as("n_tokens"))
+      .withColumn("_sq", sqrt(col("n_tokens").cast("double")).cast("decimal(28,10)"))
+    val total = perSrc.agg(sum(col("_sq")).as("_tot"))
+    perSrc.crossJoin(broadcast(total))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("_sq"), 6).cast("double").as("sqrt_tokens"),
+        dec6(col("_sq").cast("double") / col("_tot").cast("double"))
+          .as("weight"))
+  }
 }

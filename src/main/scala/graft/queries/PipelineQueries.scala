@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextMetrics}
+import graft.pipeline.{Dedup, Multimodal, Pii, Similarity, TextMetrics}
 
 /** Training-data pipeline queries (north-star extensions, BASELINE.json):
   * deduplication, similarity search, text analysis, multimodal plumbing —
@@ -231,6 +231,46 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrub: detection counts + redacted-text hash. The synthetic
+    * corpus contains no PII, so the query first plants it
+    * deterministically (email/phone/IP derived from doc_id — the same
+    * derivation runs on both engines), then [[Pii.scrub]] detects and
+    * redacts; the md5 of the redacted text pins the scrub byte-exactly. */
+  def q51PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = docs(spark, dir).withColumn("dirty", concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, concat(lit(" host 10."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1"))).otherwise(lit(""))))
+    Pii.scrub(dirty, "doc_id", "dirty")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        col("n_pii"), md5(col("redacted")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF top-5 terms per document (keyword extraction). */
+  def q52TfIdf(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.tfIdfTopTerms(docs(spark, dir), "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** Unigram-LM surprisal (perplexity-proxy quality score). */
+  def q53Surprisal(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.unigramSurprisal(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Chunk-level first-occurrence dedup (paragraph-dedup analog). */
+  def q54ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.chunkDedup(docs(spark, dir), "doc_id", "text", maxTokens = 32)
+      .orderBy(col("doc_id"))
+
+  /** Temperature-sampled (α = 1/2) source mixing weights. */
+  def q55MixWeights(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.mixWeights(docs(spark, dir), "source", "text")
+      .orderBy(col("source"))
+
   /** Multimodal plumbing: binary payload column → partition-local batched
     * feature extraction (decode stubbed; schema/batch shape real). The
     * oracle checks the SQL-expressible projection. */
@@ -266,6 +306,11 @@ object PipelineQueries {
     "q48_fuzzy_decontaminate" -> q48FuzzyDecontaminate,
     "q49_pack" -> q49Pack,
     "q50_vocab" -> q50Vocab,
+    "q51_pii_scrub" -> q51PiiScrub,
+    "q52_tfidf" -> q52TfIdf,
+    "q53_surprisal" -> q53Surprisal,
+    "q54_chunk_dedup" -> q54ChunkDedup,
+    "q55_mix_weights" -> q55MixWeights,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -781,5 +826,113 @@ object PipelineQueries {
         |  octet_length(encode(text))::BIGINT AS byte_len,
         |  CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1))::BIGINT
         |    ELSE -1 END AS first_byte
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // Mirrors q51PiiScrub: the same deterministic PII planting, then the
+    // same Java/RE2-portable patterns (Pii.patterns) counted and
+    // replaced in the same order. Counts run on the dirty text
+    // independently of redaction.
+    "q51_pii_scrub" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+        |      doc_id::VARCHAR || '@mail.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+        |      lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' host 10.' ||
+        |      (doc_id % 256)::VARCHAR || '.0.1' ELSE '' END AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(d,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(d, '\+1-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+        |  len(regexp_extract_all(d,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ips,
+        |  (len(regexp_extract_all(d,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |   len(regexp_extract_all(d, '\+1-[0-9]{3}-[0-9]{4}')) +
+        |   len(regexp_extract_all(d,
+        |     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')))::BIGINT AS n_pii,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(d,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'))
+        |    AS redacted_md5
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+    // Mirrors TextMetrics.tfIdfTopTerms: integer ranking key
+    // (tf DESC, df ASC, token ASC) so ranks never ride double rounding;
+    // the tf·idf value itself rounds in the decimal domain (ln agrees
+    // bit-for-bit across engines on identical input — the q17 device).
+    "q52_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
+        |  FROM tf JOIN df USING (token))
+        |SELECT doc_id, rank::BIGINT AS rank, token, tf::BIGINT AS tf,
+        |  df::BIGINT AS df,
+        |  round((tf * ln(n_docs::DOUBLE / df::DOUBLE))::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS tfidf
+        |FROM r CROSS JOIN n WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
+    // Mirrors TextMetrics.unigramSurprisal: per-token ln in the double
+    // domain, the per-doc sum as exact DECIMAL(28,10) (double addition
+    // is order-dependent), round-then-::DOUBLE emission.
+    "q53_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT AS tot FROM c),
+        |p AS (SELECT toks.doc_id,
+        |    ln(tot::DOUBLE / cnt::DOUBLE)::DECIMAL(28,10) AS surp
+        |  FROM toks JOIN c USING (token) CROSS JOIN t),
+        |a AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(surp) AS sum_dec FROM p GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(sum_dec, 6)::DOUBLE AS sum_surprisal,
+        |  round((sum_dec::DOUBLE / n_tokens::DOUBLE)::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS avg_surprisal
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // Mirrors TextMetrics.chunkDedup over q45's chunk CTE: occurrence
+    // rank partitioned by chunk md5, ordered by the (doc_id, chunk_id)
+    // total order.
+    "q54_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, unnest(CASE WHEN len(t) >= 1
+        |    THEN generate_series(0, (len(t) - 1) // 32)
+        |    ELSE CAST([] AS BIGINT[]) END) AS cid
+        |  FROM toks),
+        |ch AS (SELECT doc_id, cid,
+        |    md5(array_to_string(t[cid * 32 + 1 : cid * 32 + 32], ' ')) AS m
+        |  FROM c),
+        |o AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY m ORDER BY doc_id, cid) AS occ
+        |  FROM ch),
+        |a AS (SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |    sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
+        |  FROM o GROUP BY 1)
+        |SELECT doc_id, n_chunks, n_dup_chunks,
+        |  round((n_dup_chunks::DOUBLE / n_chunks::DOUBLE)::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS dup_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // Mirrors TextMetrics.mixWeights: α = 1/2 via sqrt (IEEE-correctly
+    // rounded, bit-identical across engines, unlike pow); the
+    // normalizer is the exact decimal sum of decimal-truncated sqrts.
+    "q55_mix_weights" ->
+      """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |q AS (SELECT source, n_docs, n_tokens,
+        |    sqrt(n_tokens::DOUBLE)::DECIMAL(28,10) AS sq FROM s),
+        |t AS (SELECT sum(sq) AS tot FROM q)
+        |SELECT source, n_docs, n_tokens,
+        |  round(sq, 6)::DOUBLE AS sqrt_tokens,
+        |  round((sq::DOUBLE / tot::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS weight
+        |FROM q CROSS JOIN t ORDER BY source""".stripMargin)
 }
