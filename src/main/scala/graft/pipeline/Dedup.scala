@@ -78,25 +78,30 @@ object Dedup {
     * salted md5; signature component i = min md5("<i>:"+shingle).
     * Relational form — explode shingles once, then `numHashes` codegen'd
     * min aggregates in one pass (array lambdas execute interpreted; see
-    * [[simhashBuckets]]). */
+    * [[simhashBuckets]]). Every non-`shingles` column is a grouping key
+    * and passes through (so callers can carry e.g. a source/partition
+    * tag alongside doc_id without a join back). */
   def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
-    val ex = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val keyCols = shingled.columns.filterNot(_ == "shingles").map(col)
+    val ex = shingled.select(keyCols :+ explode(col("shingles")).as("sh"): _*)
     val aggs = (0 until numHashes).map { i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig_$i")
     }
-    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    ex.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: group `rowsPerBand` signature components per band; docs
-    * sharing any band key are candidate pairs. Returns (doc_id, band,
-    * band_key). */
+    * sharing any band key are candidate pairs. Returns the passthrough
+    * key columns plus (band, band_key). */
   def lshBands(signatures: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
       struct(lit(b).as("band"), concat_ws("|", cols: _*).as("band_key"))
     }
-    signatures.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val passCols = signatures.columns.filterNot(_.startsWith("sig_")).map(col)
+    signatures.select(passCols :+ explode(array(bands: _*)).as("bk"): _*)
+      .select(passCols :+ col("bk.band").as("band") :+
+        col("bk.band_key").as("band_key"): _*)
   }
 
   /** Candidate pairs from LSH buckets (a < b, distinct across bands). */

@@ -420,4 +420,90 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L).getAs[Double]("top_bigram_frac") == 1.0)
     assert(out(3L).getAs[Double]("dup_trigram_frac") == 1.0)
   }
+
+  test("tfIdfTopTerms: integer ranking key and score by hand") {
+    val docs = Seq(
+      (1L, "x x x y common"),
+      (2L, "y common common"),
+      (3L, "common common common"))
+      .toDF("doc_id", "text")
+    // df: x→1, y→2, common→3; n_docs = 3
+    val out = TextMetrics.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[String]("token"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("tfidf")))).toMap
+    // doc 1: x (tf 3) first, then y and common tie on tf=1 → df asc wins
+    assert(out((1L, 1L))._1 == "x" && out((1L, 1L))._2 == 3L && out((1L, 1L))._3 == 1L)
+    assert(out((1L, 2L))._1 == "y")
+    // doc 3: only one distinct token; ln(3/3) = 0 → tfidf exactly 0
+    assert(out((3L, 1L))._1 == "common" && out((3L, 1L))._4 == 0.0)
+    assert(!out.contains((3L, 2L)))
+    // doc 1 rank 1 score: 3 * ln(3/1), rounded at 6 dp
+    val expected = BigDecimal(3.0 * math.log(3.0))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, 1L))._4 == expected)
+  }
+
+  test("unigramSurprisal: sums by hand on a two-token corpus") {
+    val docs = Seq(
+      (1L, "a a a"),
+      (2L, "a b")) // counts: a→4, b→1, total 5
+      .toDF("doc_id", "text")
+    val out = TextMetrics.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("sum_surprisal"),
+          r.getAs[Double]("avg_surprisal")))).toMap
+    def d10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val sA = d10(math.log(5.0 / 4.0)); val sB = d10(math.log(5.0 / 1.0))
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 3L && out(1L)._2 == r6(sA * 3))
+    assert(out(2L)._1 == 2L && out(2L)._2 == r6(sA + sB))
+    assert(out(2L)._3 == r6(d10(((sA + sB).toDouble / 2.0))))
+  }
+
+  test("chunkDedup: cross-document repeated chunks counted, first kept") {
+    val docs = Seq(
+      (1L, "a b c d"),  // chunks: [a b], [c d]
+      (2L, "a b x y"),  // [a b] dups doc 1's; [x y] fresh
+      (3L, "c d"))      // [c d] dups doc 1's
+      .toDF("doc_id", "text")
+    val out = TextMetrics.chunkDedup(docs, "doc_id", "text", maxTokens = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(out(1L) == ((2L, 0L, 0.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+  }
+
+  test("mixWeights: sqrt-temperature weights on exact squares") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "big", words(16)),   // sqrt 4
+      (2L, "small", words(4)))  // sqrt 2 → weights 2/3, 1/3
+      .toDF("doc_id", "source", "text")
+    val out = TextMetrics.mixWeights(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("sqrt_tokens"), r.getAs[Double]("weight")))).toMap
+    assert(out("big") == ((1L, 16L, 4.0, 0.666667)))
+    assert(out("small") == ((1L, 4L, 2.0, 0.333333)))
+  }
+
+  test("q48 shared-band path matches the standalone cross-corpus operator") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val viaShared = graft.queries.PipelineQueries
+      .q48FuzzyDecontaminate(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val viaOperator = Dedup.minhashNearDupsAgainst(
+      d.filter(col("source") =!= "src0"), "doc_id", "text",
+      d.filter(col("source") === "src0"), "doc_id", "text")
+      .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
+      .collect().map(_.toSeq).toSet
+    assert(viaShared == viaOperator)
+  }
 }
