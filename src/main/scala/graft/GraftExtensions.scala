@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.types.Decimal
 
-import graft.functions.StemTokens
+import graft.functions.{DotLongs, QuantizeVec, SqDistLongs, StemTokens}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * apply with `.withExtensions(new GraftExtensions)` (as
@@ -22,6 +23,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"stem_tokens expects exactly 1 argument, got ${children.length}")
         StemTokens(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_quantize"),
+      new ExpressionInfo(classOf[QuantizeVec].getName, "vec_quantize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"vec_quantize expects (array, scale), got ${children.length} arguments")
+        // the scale is a plan-time constant, not a per-row column
+        require(children(1).foldable, "vec_quantize scale must be a literal")
+        val scale = children(1).eval() match {
+          case d: java.lang.Double => d.doubleValue
+          case f: java.lang.Float => f.doubleValue
+          case i: java.lang.Integer => i.doubleValue
+          case l: java.lang.Long => l.doubleValue
+          case d: Decimal => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"vec_quantize scale must be numeric, got $other")
+        }
+        QuantizeVec(children.head, scale)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_longs"),
+      new ExpressionInfo(classOf[DotLongs].getName, "dot_longs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"dot_longs expects exactly 2 arguments, got ${children.length}")
+        DotLongs(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sqdist_longs"),
+      new ExpressionInfo(classOf[SqDistLongs].getName, "sqdist_longs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"sqdist_longs expects exactly 2 arguments, got ${children.length}")
+        SqDistLongs(children.head, children(1))
       }))
   }
 }

@@ -13,13 +13,35 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Quantize a float/double vector to int64 (1e-6 resolution). */
+  /** Quantize a float/double vector to int64 (1e-6 resolution) through
+    * the native [[QuantizeVec]] expression (one primitive loop; the
+    * `transform` lambda form evaluates interpreted per element —
+    * [[quantizeHof]] keeps it for the parity spec). */
   def quantize(vec: Column, scale: Double = 1e6): Column =
+    call_function("vec_quantize", vec, lit(scale))
+
+  /** Higher-order-function twin of [[quantize]] (CodegenFallback path;
+    * VectorExpressionsSpec pins both value-identical). */
+  def quantizeHof(vec: Column, scale: Double = 1e6): Column =
     transform(vec, x => floor(x.cast("double") * lit(scale)).cast("long"))
 
-  /** Exact int64 dot product of two quantized vectors. */
+  /** Exact int64 dot product of two quantized vectors — native
+    * [[DotLongs]] expression. */
   def dotExact(a: Column, b: Column): Column =
+    call_function("dot_longs", a, b)
+
+  /** Higher-order-function twin of [[dotExact]] (parity spec only). */
+  def dotExactHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact int64 squared L2 distance of two quantized vectors — native
+    * [[SqDistLongs]] expression (the k-means / IVF assignment kernel). */
+  def sqDistExact(a: Column, b: Column): Column =
+    call_function("sqdist_longs", a, b)
+
+  /** Higher-order-function twin of [[sqDistExact]] (parity spec only). */
+  def sqDistExactHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (s, v) => s + v)
 
   /** Double-precision dot product (sequential fold, deterministic order). */
   def dot(a: Column, b: Column): Column =

@@ -63,8 +63,7 @@ object Similarity {
       .withColumn("cent_id", row_number().over(Window.orderBy(col("vid"))).cast("long") - 1)
       .select(col("cent_id"), col("qv").as("cv"))
       .localCheckpoint()
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (s, v) => s + v)
+    def sqDist(a: Column, b: Column): Column = sqDistExact(a, b)
     var i = 0
     while (i < iters) {
       val assigned = vecs.crossJoin(broadcast(cents))
@@ -118,8 +117,7 @@ object Similarity {
   private def ivfTopKQuantized(corpus: DataFrame, queries: DataFrame,
       cents: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int): DataFrame = {
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (s, v) => s + v)
+    def sqDist(a: Column, b: Column): Column = sqDistExact(a, b)
     // cell assignment: min (dist, cent_id) struct per corpus vector —
     // lexicographic min gives the deterministic nearest-centroid tie-break
     val cells = corpus.select(col(idCol).as("corpus_id"),

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Native vec_quantize / dot_longs / sqdist_longs: value parity with the
+  * higher-order-function forms (the previous implementation), null and
+  * length-mismatch semantics, SQL-text availability, interpreted-vs-codegen
+  * agreement. */
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("quantize: native equals HOF form over random float vectors") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextFloat() - 0.5f) * 20f)))
+    val rows = vecs.toDF("id", "v").select(
+      VectorFunctions.quantize(col("v")).as("nat"),
+      VectorFunctions.quantizeHof(col("v")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getAs[collection.Seq[Long]]("nat") == r.getAs[collection.Seq[Long]]("hof"))
+    }
+  }
+
+  test("dot and sqdist: native equals HOF form over random quantized vectors") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(16)(rnd.nextLong() % 1000000L)
+    val pairs = Seq.tabulate(60)(i => (i.toLong, vec(), vec()))
+    val rows = pairs.toDF("id", "a", "b").select(
+      VectorFunctions.dotExact(col("a"), col("b")).as("dn"),
+      VectorFunctions.dotExactHof(col("a"), col("b")).as("dh"),
+      VectorFunctions.sqDistExact(col("a"), col("b")).as("sn"),
+      VectorFunctions.sqDistExactHof(col("a"), col("b")).as("sh")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
+  test("length mismatch and null element yield null, like zip_with padding") {
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L)),
+      (2L, Seq[java.lang.Long](1L, null), Seq[java.lang.Long](3L, 4L)),
+      (3L, null.asInstanceOf[Seq[java.lang.Long]], Seq[java.lang.Long](3L))
+    ).toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      VectorFunctions.dotExact(col("a"), col("b")).as("dn"),
+      VectorFunctions.dotExactHof(col("a"), col("b")).as("dh"),
+      VectorFunctions.sqDistExact(col("a"), col("b")).as("sn"),
+      VectorFunctions.sqDistExactHof(col("a"), col("b")).as("sh"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4),
+        s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("expressions resolve from SQL text via GraftExtensions") {
+    Seq((Seq(1.5f, -2.25f), Seq(2L, 3L), Seq(5L, 1L)))
+      .toDF("v", "a", "b").createOrReplaceTempView("vec_in")
+    val r = spark.sql(
+      """SELECT vec_quantize(v, 1000000.0) AS q, dot_longs(a, b) AS d,
+        |       sqdist_longs(a, b) AS s FROM vec_in""".stripMargin)
+      .collect().head
+    assert(r.getAs[collection.Seq[Long]]("q") == Seq(1500000L, -2250000L))
+    assert(r.getLong(1) == 2L * 5L + 3L * 1L)
+    assert(r.getLong(2) == 9L + 4L)
+  }
+
+  test("interpreted eval matches the kernel used by codegen") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val a = new GenericArrayData(Array[Any](2L, -3L, 7L))
+    val b = new GenericArrayData(Array[Any](5L, 4L, -1L))
+    assert(VectorKernels.dotLongs(a, b) == 2L * 5 - 3L * 4 - 7L)
+    assert(VectorKernels.sqdistLongs(a, b) == 9L + 49L + 64L)
+    val q = VectorKernels.quantize(
+      new GenericArrayData(Array[Any](1.5f, -2.25f)), isFloat = true, 1e6)
+    assert(q.toLongArray().toSeq == Seq(1500000L, -2250000L))
+    // floor, not truncate: negative values round toward -inf
+    val qn = VectorKernels.quantize(
+      new GenericArrayData(Array[Any](-0.1234567d)), isFloat = false, 1e6)
+    assert(qn.toLongArray().toSeq == Seq(-123457L))
+  }
+}
