@@ -294,6 +294,54 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("dot_q"))
   }
 
+  /** Semantic dedup (SemDeDup-style, arXiv:2303.09540): cluster the
+    * embeddings around a centroid table, then prune rows that sit inside
+    * another cluster-mate's similarity ball — the embedding analog of
+    * MinHash near-dup removal, catching paraphrases that share no
+    * shingles. Deterministic everything: assignment = argmin exact
+    * quantized squared L2 (ties to the lowest centroid id, the
+    * [[Similarity]] IVF device), and a row is removed when ANY lower-id
+    * cluster-mate has quantized dot ≥ `minDotQ` (independent-witness
+    * rule — one relational join, no sequential greedy iteration; the
+    * kept set can differ from greedy SemDeDup when a dropped row is the
+    * only witness against a later one, a documented deviation that keeps
+    * the operator a single shuffle instead of a loop).
+    *
+    * Scale shape: the centroid table broadcasts (C grows with the
+    * corpus, stays ≪ n); assignment is a map-side min-of-struct — no
+    * shuffle; the candidate join is an equi-join on cluster_id, so the
+    * quadratic term is bounded by cluster occupancy exactly like
+    * [[embeddingNearDups]]'s bucket occupancy. Only (id, qv, cluster)
+    * ever shuffles. Centroids come from [[Similarity.trainCentroids]]
+    * offline at scale; tests/queries use a deterministic subsample. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      minDotQ: Long): DataFrame = {
+    import graft.functions.VectorFunctions.{dotExact, quantize, sqDistExact}
+    val cents = broadcast(centroids.select(col(centIdCol).as("cent_id"),
+      quantize(col(centVecCol)).as("cv")))
+    val assigned = corpus
+      .select(col(idCol).as("vid"), quantize(col(vecCol)).as("qv"))
+      .crossJoin(cents)
+      .groupBy(col("vid"))
+      .agg(
+        min(struct(sqDistExact(col("qv"), col("cv")).as("d"), col("cent_id")))
+          .getField("cent_id").as("cluster_id"),
+        first(col("qv")).as("qv"))
+    val a = assigned.select(col("cluster_id"), col("vid").as("a_id"),
+      col("qv").as("qa"))
+    val b = assigned.select(col("cluster_id"), col("vid").as("b_id"),
+      col("qv").as("qb"))
+    val dups = a.join(b, Seq("cluster_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(dotExact(col("qa"), col("qb")) >= minDotQ)
+      .select(col("b_id").as("vid")).distinct()
+    assigned.select(col("vid"), col("cluster_id"))
+      .join(dups.withColumn("dup", lit(1L)), Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("cluster_id"),
+        when(col("dup").isNotNull, 0L).otherwise(1L).as("kept"))
+  }
+
   /** SimHash dedup: `nBits`-bit fingerprint per doc (default 60 — real
     * near-dup width; identical fingerprints are near-dup buckets, and
     * Hamming-close fingerprints can be banded like MinHash).

@@ -517,4 +517,78 @@ object TextMetrics {
         dec6(col("_sq").cast("double") / col("_tot").cast("double"))
           .as("weight"))
   }
+
+  /** Model-based quality scoring — the fastText-style linear classifier
+    * shape (Joulin et al. 2016; the CCNet/LLaMA corpus-filtering
+    * device): hash each token into `numBuckets` feature buckets, join
+    * the bucket against a BROADCAST weight table, sum weights per doc,
+    * threshold the resulting logit. The weight table here is a
+    * deterministic stand-in (wq = bucket mod 197 − 98 — engine-portable
+    * integer arithmetic so the oracle can recompute it); the operator
+    * contract is the pluggable `weights` relation — a trained model
+    * drops in without touching the plan shape.
+    *
+    * Scale shape: weights are model-sized (buckets, not vocabulary) and
+    * always broadcast; scoring is explode → broadcast hash join → one
+    * (doc) hash aggregate with map-side partials. Integer score sums are
+    * exact; the only double op is the final logit division (one
+    * correctly-rounded divide — bit-identical across engines). */
+  def classifierQuality(docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 1024, weights: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val w = weights.getOrElse(
+      spark.range(numBuckets).select(col("id").as("bucket"),
+        (col("id") % 197 - 98).cast("long").as("wq")))
+    val ex = docs.select(col(idCol),
+      explode(TextFunctions.tokenize(col(textCol))).as("token"))
+      .select(col(idCol),
+        pmod(TextFunctions.fingerprint(col("token")), lit(numBuckets.toLong))
+          .as("bucket"))
+    ex.join(broadcast(w), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wq")).as("score_q"))
+      .select(col(idCol), col("n_tokens"), col("score_q"),
+        (col("score_q").cast("double") /
+          (lit(197.0) * col("n_tokens").cast("double"))).as("logit"),
+        when(col("score_q") >= 0, 1L).otherwise(0L).as("pass"))
+  }
+
+  /** Cross-document duplicated-substring detection (the Lee et al. 2022
+    * "Deduplicating Training Data" signal at fingerprint granularity):
+    * a document's winnowing fingerprints ([[winnowFingerprints]])
+    * deterministically cover its k-gram substrings, so a fingerprint
+    * appearing in ≥ 2 documents witnesses a shared substring; the
+    * per-document shared fraction ranks boilerplate/template-heavy
+    * documents for span-level dedup.
+    *
+    * Scale shape: fingerprinting is per-row scan work; afterwards only
+    * (doc_id, fp) pairs — 8-byte keys, never text — shuffle: one hash
+    * aggregate to fingerprint granularity, one equi-join back, one
+    * doc-keyed rollup. Fingerprint-key multiplicity is true duplication
+    * multiplicity (same no-pathological-skew argument as chunk dedup). */
+  def sharedSubstringStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("n_fps"), col("fps_csv"))
+    // n_fps = 0 ⇒ fps_csv = "" ⇒ split yields [""]; the filter drops it
+    val owners = fps
+      .select(col(idCol),
+        explode(filter(split(col("fps_csv"), ","), s => s =!= ""))
+          .as("fp"))
+    // fingerprints are distinct per doc ⇒ count(*) = owning-doc count
+    val sharedFps = owners.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("fp"))
+    val perDoc = owners.join(sharedFps, "fp")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    fps.select(col(idCol), col("n_fps"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_fps"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_fps") > 0,
+          coalesce(col("n_shared"), lit(0L)).cast("double") /
+            col("n_fps").cast("double"))
+          .otherwise(lit(0.0)).as("shared_frac"))
+  }
 }

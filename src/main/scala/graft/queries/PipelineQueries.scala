@@ -318,6 +318,31 @@ object PipelineQueries {
     TextMetrics.mixWeights(docs(spark, dir), "source", "text")
       .orderBy(col("source"))
 
+  /** Semantic dedup (SemDeDup): cluster embeddings around a
+    * deterministic centroid subsample (vec_id < 16 — [[Similarity]]'s
+    * q33 device; production trains centroids offline), prune rows with a
+    * lower-id cluster-mate at quantized dot ≥ 0.4 × 1e12. */
+  def q56SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Dedup.semanticDedup(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 16), "vec_id", "embedding",
+      minDotQ = 400000000000L)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Model-based quality classifier (fastText-shape): hashed unigram
+    * buckets × broadcast weight table → per-doc logit + pass flag. */
+  def q57QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.classifierQuality(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Cross-document duplicated-substring stats over the winnowing
+    * fingerprints: shared-fingerprint count + fraction per doc. */
+  def q58SharedSubstrings(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.sharedSubstringStats(docs(spark, dir), "doc_id", "text",
+      k = 5, w = 4)
+      .orderBy(col("doc_id"))
+
   /** Multimodal plumbing: binary payload column → partition-local batched
     * feature extraction (decode stubbed; schema/batch shape real). The
     * oracle checks the SQL-expressible projection. */
@@ -358,11 +383,32 @@ object PipelineQueries {
     "q53_surprisal" -> q53Surprisal,
     "q54_chunk_dedup" -> q54ChunkDedup,
     "q55_mix_weights" -> q55MixWeights,
+    "q56_semantic_dedup" -> q56SemanticDedup,
+    "q57_quality_classifier" -> q57QualityClassifier,
+    "q58_shared_substrings" -> q58SharedSubstrings,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
   // TextFunctions.tokenize/shingles exactly (split keeps empty tokens;
   // shingles over the full token array; whole-text shingle when < n).
+  // Winnowing fingerprint relation (k=5 char grams, w=4 windows) —
+  // shared by the q41 and q58 oracles; ends with `f(doc_id, fps)`.
+  private val winnowCte =
+    """WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
+      |h AS (SELECT doc_id,
+      |  CASE WHEN length(txt) >= 5 THEN
+      |    [list_reduce(list_prepend(0::BIGINT,
+      |        [ascii(c)::BIGINT for c in string_split(substr(txt, i, 5), '')]),
+      |       (a, b) -> (a * 257 + b) % 2147483647)
+      |     for i in generate_series(1, length(txt) - 4)]
+      |  ELSE CAST([] AS BIGINT[]) END AS hl FROM t),
+      |f AS (SELECT doc_id, CASE
+      |    WHEN len(hl) = 0 THEN CAST([] AS BIGINT[])
+      |    WHEN len(hl) < 4 THEN [list_min(hl)]
+      |    ELSE list_sort(list_distinct([list_min(hl[j:j+3])
+      |      for j in generate_series(1, len(hl) - 3)]))
+      |  END AS fps FROM h)""".stripMargin
+
   private val shingleCte =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
@@ -678,25 +724,73 @@ object PipelineQueries {
     // Mirrors TextMetrics.winnowFingerprints (k=5, w=4, B=257, M=2^31-1):
     // list slices are INCLUSIVE of both ends (hl[j:j+3] is the w=4
     // window), list_reduce seeds the fold with a prepended 0 to match
-    // Spark aggregate()'s explicit zero.
+    // Spark aggregate()'s explicit zero. (winnowCte is defined once and
+    // shared with q58, which reuses the same fingerprint relation.)
     "q41_winnow_fingerprints" ->
-      """WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
-        |h AS (SELECT doc_id,
-        |  CASE WHEN length(txt) >= 5 THEN
-        |    [list_reduce(list_prepend(0::BIGINT,
-        |        [ascii(c)::BIGINT for c in string_split(substr(txt, i, 5), '')]),
-        |       (a, b) -> (a * 257 + b) % 2147483647)
-        |     for i in generate_series(1, length(txt) - 4)]
-        |  ELSE CAST([] AS BIGINT[]) END AS hl FROM t),
-        |f AS (SELECT doc_id, CASE
-        |    WHEN len(hl) = 0 THEN CAST([] AS BIGINT[])
-        |    WHEN len(hl) < 4 THEN [list_min(hl)]
-        |    ELSE list_sort(list_distinct([list_min(hl[j:j+3])
-        |      for j in generate_series(1, len(hl) - 3)]))
-        |  END AS fps FROM h)
-        |SELECT doc_id, len(fps)::BIGINT AS n_fps,
-        |  array_to_string(fps, ',') AS fps_csv
-        |FROM f ORDER BY doc_id""".stripMargin,
+      (winnowCte + "\n" +
+        """SELECT doc_id, len(fps)::BIGINT AS n_fps,
+          |  array_to_string(fps, ',') AS fps_csv
+          |FROM f ORDER BY doc_id""".stripMargin),
+    // Mirrors Dedup.semanticDedup (centroids = vec_id < 16, argmin with
+    // centroid-id tie-break, independent-witness prune at dot_q >= 4e11).
+    "q56_semantic_dedup" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, qv AS cv FROM v WHERE vec_id < 16),
+        |ex AS (SELECT a.vec_id, c.cent_id, unnest(a.qv) AS ax, unnest(c.cv) AS cx
+        |       FROM v a CROSS JOIN c),
+        |dist AS (SELECT vec_id, cent_id, sum((ax - cx) * (ax - cx))::BIGINT AS d
+        |         FROM ex GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cent_id AS cluster_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |pe AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         unnest(va.qv) AS ax, unnest(vb.qv) AS bx
+        |       FROM asg a
+        |       JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        |       JOIN v va ON va.vec_id = a.vec_id
+        |       JOIN v vb ON vb.vec_id = b.vec_id),
+        |dups AS (SELECT DISTINCT b_id FROM (
+        |    SELECT a_id, b_id, sum(ax * bx)::BIGINT AS dot_q FROM pe GROUP BY 1, 2)
+        |  WHERE dot_q >= 400000000000)
+        |SELECT g.vec_id, g.cluster_id,
+        |  (CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+        |FROM asg g LEFT JOIN dups d ON d.b_id = g.vec_id
+        |ORDER BY g.vec_id""".stripMargin,
+    // Mirrors TextMetrics.classifierQuality (1024 buckets, wq = bucket
+    // mod 197 - 98; bucket = md5-based 60-bit fingerprint mod 1024).
+    "q57_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM toks),
+        |s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum((bucket % 197) - 98)::BIGINT AS score_q
+        |  FROM b GROUP BY 1)
+        |SELECT doc_id, n_tokens, score_q,
+        |  score_q::DOUBLE / (197.0 * n_tokens) AS logit,
+        |  (CASE WHEN score_q >= 0 THEN 1 ELSE 0 END)::BIGINT AS pass
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // Mirrors TextMetrics.sharedSubstringStats: a winnowing fingerprint
+    // in >= 2 docs witnesses a shared substring; fraction per doc.
+    "q58_shared_substrings" ->
+      (winnowCte + ",\n" +
+        """own AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+          |sh AS (SELECT fp FROM own GROUP BY fp HAVING count(*) >= 2),
+          |per AS (SELECT o.doc_id, count(*)::BIGINT AS n_shared
+          |        FROM own o JOIN sh USING (fp) GROUP BY 1)
+          |SELECT f.doc_id, len(f.fps)::BIGINT AS n_fps,
+          |  coalesce(p.n_shared, 0)::BIGINT AS n_shared,
+          |  CASE WHEN len(f.fps) > 0
+          |    THEN coalesce(p.n_shared, 0)::DOUBLE / len(f.fps)
+          |    ELSE 0.0 END AS shared_frac
+          |FROM f LEFT JOIN per p ON p.doc_id = f.doc_id
+          |ORDER BY f.doc_id""".stripMargin),
     // Mirrors TextMetrics.chunk (32-token chunks; DuckDB list slices are
     // inclusive, so [c*32+1 : c*32+32] is the 32-token window).
     "q45_chunk" ->

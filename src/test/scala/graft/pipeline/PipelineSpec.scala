@@ -492,6 +492,86 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("small") == ((1L, 4L, 2.0, 0.333333)))
   }
 
+  test("semanticDedup: argmin assignment with centroid-id tie-break, ball prune by hand") {
+    // binary-exact components so quantized dots/distances are exact
+    val cents = Seq(
+      (10L, Array(1.0, 0.0)),
+      (11L, Array(0.0, 1.0))).toDF("cid", "cvec")
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)),    // cluster 10
+      (2L, Array(1.0, 0.0)),    // dup of 1 (dot 1e12)
+      (3L, Array(0.75, 0.25)),  // cluster 10, max dot 0.75e12 → kept
+      (4L, Array(0.0, 1.0)),    // cluster 11
+      (5L, Array(0.0, 1.0)),    // dup of 4
+      (6L, Array(0.5, 0.5)))    // equidistant → tie to lower cent id 10; kept
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      cents, "cid", "cvec", minDotQ = 800000000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> ((10L, 1L)), 2L -> ((10L, 0L)), 3L -> ((10L, 1L)),
+      4L -> ((11L, 1L)), 5L -> ((11L, 0L)), 6L -> ((10L, 1L))))
+  }
+
+  test("classifierQuality: hashed-bucket weights by hand, pluggable weight table") {
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      new java.math.BigInteger(hex.substring(0, 15), 16).longValueExact() % 1024L
+    }
+    def wq(tok: String): Long = bucket(tok) % 197L - 98L
+    val docs = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "")) // split of "" yields one empty token
+      .toDF("doc_id", "text")
+    val out = TextMetrics.classifierQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val s1 = wq("alpha") + 2 * wq("beta")
+    val s2 = wq("")
+    assert(out(1L) == ((3L, s1, s1.toDouble / (197.0 * 3.0), if (s1 >= 0) 1L else 0L)))
+    assert(out(2L) == ((1L, s2, s2.toDouble / 197.0, if (s2 >= 0) 1L else 0L)))
+    // operator contract: a trained weight table drops in unchanged
+    val ones = spark.range(1024).select(col("id").as("bucket"), lit(5L).as("wq"))
+    val flat = TextMetrics.classifierQuality(docs, "doc_id", "text",
+      weights = Some(ones))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(flat == Map(1L -> 15L, 2L -> 5L))
+  }
+
+  test("sharedSubstringStats: shared substrings witnessed, unique and short docs at zero") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "xx the quick brown fox yy"), // shares >= 8 chars with doc 1
+      (3L, "zzzz qqqq wwww kkkk rrrr"),  // unique text
+      (4L, "abc"))                        // < k chars: zero fingerprints
+      .toDF("doc_id", "text")
+    val out = TextMetrics.sharedSubstringStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // winnowing guarantee: a shared substring of length >= k+w-1 = 8
+    // leaves at least one shared fingerprint on both sides
+    assert(out(1L)._2 >= 1L && out(2L)._2 >= 1L)
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    // the fraction is exactly n_shared / n_fps on every row
+    out.values.foreach { case (nFps, nShared, frac) =>
+      assert(nShared <= nFps)
+      assert(frac == (if (nFps == 0) 0.0 else nShared.toDouble / nFps))
+    }
+    // cross-check n_shared against a driver-side recount over the raw
+    // fingerprint sets (set intersection semantics, any pair of docs)
+    val sets = TextMetrics.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getString(2).isEmpty) Set.empty[String]
+         else r.getString(2).split(",").toSet)).toMap
+    out.foreach { case (id, (_, nShared, _)) =>
+      val others = sets.filter(_._1 != id).values.flatten.toSet
+      assert(nShared == sets(id).count(others.contains), s"doc $id")
+    }
+  }
+
   test("q48 shared-band path matches the standalone cross-corpus operator") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/documents.parquet").exists())
