@@ -313,21 +313,35 @@ object Dedup {
     * quadratic term is bounded by cluster occupancy exactly like
     * [[embeddingNearDups]]'s bucket occupancy. Only (id, qv, cluster)
     * ever shuffles. Centroids come from [[Similarity.trainCentroids]]
-    * offline at scale; tests/queries use a deterministic subsample. */
+    * offline at scale; tests/queries use a deterministic subsample.
+    * Constraints (from the packed-long argmin below): centroid ids must
+    * be in [0, 2^15) and quantized squared distances under 2^48 — both
+    * hold for unit-norm embeddings and any broadcastable centroid
+    * count. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
       minDotQ: Long): DataFrame = {
     import graft.functions.VectorFunctions.{dotExact, quantize, sqDistExact}
     val cents = broadcast(centroids.select(col(centIdCol).as("cent_id"),
       quantize(col(centVecCol)).as("cv")))
+    // argmin as ONE long min: packed = d * 2^15 + cent_id compares
+    // lexicographically on (d, cent_id) while cent_id < 2^15 and
+    // d < 2^48 (unit-norm embeddings quantized at 1e6 give
+    // d ≤ 64·(2e6)² ≈ 2.6e14). A struct-valued min forces Spark into
+    // SortAggregate (struct agg buffers aren't hash-mutable); the packed
+    // long keeps the n×C argmin a plain two-level HashAggregate with
+    // map-side partials.
+    val packed = sqDistExact(col("qv"), col("cv")) * lit(32768L) + col("cent_id")
     val assigned = corpus
       .select(col(idCol).as("vid"), quantize(col(vecCol)).as("qv"))
       .crossJoin(cents)
       .groupBy(col("vid"))
-      .agg(
-        min(struct(sqDistExact(col("qv"), col("cv")).as("d"), col("cent_id")))
-          .getField("cent_id").as("cluster_id"),
+      .agg(pmod(min(packed), lit(32768L)).as("cluster_id"),
         first(col("qv")).as("qv"))
+      // materialize once: assignment feeds both join sides and the final
+      // projection — unchecked, the scan+cross+argmin lineage executes
+      // three times (the store-signatures-once production shape)
+      .localCheckpoint()
     val a = assigned.select(col("cluster_id"), col("vid").as("a_id"),
       col("qv").as("qa"))
     val b = assigned.select(col("cluster_id"), col("vid").as("b_id"),

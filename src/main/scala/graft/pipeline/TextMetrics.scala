@@ -568,8 +568,13 @@ object TextMetrics {
     * multiplicity (same no-pathological-skew argument as chunk dedup). */
   def sharedSubstringStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
+    // materialize the fingerprint relation once: it feeds the shared-fp
+    // aggregate, the per-doc join AND the final rollup — unchecked, the
+    // mapPartitions winnowing kernel would run three times (production
+    // stores fingerprints once and serves every consumer from them)
     val fps = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol), col("n_fps"), col("fps_csv"))
+      .localCheckpoint()
     // n_fps = 0 ⇒ fps_csv = "" ⇒ split yields [""]; the filter drops it
     val owners = fps
       .select(col(idCol),
