@@ -43,6 +43,31 @@ object VectorFunctions {
   def sqDistExactHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (s, v) => s + v)
 
+  /** Lexicographic (d, id) argmin key packed into ONE long:
+    * `d * 2^idBits + id` orders exactly like `struct(d, id)` while
+    * 0 ≤ id < 2^idBits and d < 2^(63-idBits). A struct-valued `min`
+    * forces SortAggregate (struct agg buffers aren't hash-mutable);
+    * the packed long keeps a per-key argmin inside HashAggregate with
+    * map-side partials. The multiplication deliberately stays an ANSI
+    * checked op — a caller whose distances exceed the bound gets a loud
+    * ARITHMETIC_OVERFLOW, never a silently wrong argmin (a shift would
+    * wrap). Size `idBits` from the actual id domain
+    * ([[bitsFor]]) so the distance headroom is maximal. */
+  def packDistId(d: Column, id: Column, idBits: Int): Column = {
+    require(idBits >= 1 && idBits <= 32, s"packDistId: idBits=$idBits")
+    d * lit(1L << idBits) + id
+  }
+
+  /** Recover the id from a [[packDistId]] key. */
+  def unpackId(packed: Column, idBits: Int): Column =
+    pmod(packed, lit(1L << idBits))
+
+  /** Bits needed to hold ids in [0, maxId]. */
+  def bitsFor(maxId: Long): Int = {
+    require(maxId >= 0, s"bitsFor: negative id $maxId")
+    math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(maxId, 1L)))
+  }
+
   /** Double-precision dot product (sequential fold, deterministic order). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

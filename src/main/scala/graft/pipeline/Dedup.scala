@@ -314,30 +314,33 @@ object Dedup {
     * [[embeddingNearDups]]'s bucket occupancy. Only (id, qv, cluster)
     * ever shuffles. Centroids come from [[Similarity.trainCentroids]]
     * offline at scale; tests/queries use a deterministic subsample.
-    * Constraints (from the packed-long argmin below): centroid ids must
-    * be in [0, 2^15) and quantized squared distances under 2^48 — both
-    * hold for unit-norm embeddings and any broadcastable centroid
-    * count. */
+    * Constraint (from the packed-long argmin below): quantized squared
+    * distances must fit 63 − idBits bits, where idBits covers the
+    * centroid id domain — amply true for unit-norm embeddings (violations
+    * fail loudly, never silently). */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
       minDotQ: Long): DataFrame = {
-    import graft.functions.VectorFunctions.{dotExact, quantize, sqDistExact}
+    import graft.functions.VectorFunctions._
     val cents = broadcast(centroids.select(col(centIdCol).as("cent_id"),
       quantize(col(centVecCol)).as("cv")))
-    // argmin as ONE long min: packed = d * 2^15 + cent_id compares
-    // lexicographically on (d, cent_id) while cent_id < 2^15 and
-    // d < 2^48 (unit-norm embeddings quantized at 1e6 give
-    // d ≤ 64·(2e6)² ≈ 2.6e14). A struct-valued min forces Spark into
-    // SortAggregate (struct agg buffers aren't hash-mutable); the packed
-    // long keeps the n×C argmin a plain two-level HashAggregate with
-    // map-side partials.
-    val packed = sqDistExact(col("qv"), col("cv")) * lit(32768L) + col("cent_id")
+    // Packed-long argmin in a HashAggregate (see
+    // [[graft.functions.VectorFunctions.packDistId]]): idBits sized from
+    // the actual centroid id domain (one tiny action on the broadcast-
+    // small relation) so distance headroom is maximal. qv rides as a
+    // GROUPING key (functionally dependent on vid), not a first()
+    // aggregate: an array-typed agg buffer is not hash-mutable and would
+    // force the whole n×C argmin into SortAggregate; group keys may be
+    // arrays, so the buffer stays one long.
+    val idBits = bitsFor(
+      centroids.agg(max(col(centIdCol).cast("long"))).head.getLong(0))
+    val packed = packDistId(sqDistExact(col("qv"), col("cv")),
+      col("cent_id"), idBits)
     val assigned = corpus
       .select(col(idCol).as("vid"), quantize(col(vecCol)).as("qv"))
       .crossJoin(cents)
-      .groupBy(col("vid"))
-      .agg(pmod(min(packed), lit(32768L)).as("cluster_id"),
-        first(col("qv")).as("qv"))
+      .groupBy(col("vid"), col("qv"))
+      .agg(unpackId(min(packed), idBits).as("cluster_id"))
       // materialize once: assignment feeds both join sides and the final
       // projection — unchecked, the scan+cross+argmin lineage executes
       // three times (the store-signatures-once production shape)

@@ -66,12 +66,13 @@ object Similarity {
     def sqDist(a: Column, b: Column): Column = sqDistExact(a, b)
     var i = 0
     while (i < iters) {
+      // packed argmin + qv as a grouping key: see ivfTopKQuantized —
+      // keeps the n×k assignment a HashAggregate; idBits sized from k
+      val idBits = bitsFor(k - 1L)
       val assigned = vecs.crossJoin(broadcast(cents))
-        .groupBy(col("vid"))
-        .agg(
-          min(struct(sqDist(col("qv"), col("cv")).as("d"), col("cent_id")))
-            .getField("cent_id").as("cent_id"),
-          first(col("qv")).as("qv"))
+        .groupBy(col("vid"), col("qv"))
+        .agg(unpackId(min(packDistId(sqDist(col("qv"), col("cv")),
+          col("cent_id"), idBits)), idBits).as("cent_id"))
       // element-wise mean: explode positions, average, regroup in order
       val means = assigned
         .select(col("cent_id"), posexplode(col("qv")).as(Seq("pos", "x")))
@@ -91,8 +92,8 @@ object Similarity {
 
   /** IVF (inverted-file) ANN — the scale path beyond sign-bit LSH: a
     * centroid table partitions the corpus into cells (assignment =
-    * argmin exact-quantized squared L2 against the broadcast centroids, a
-    * map-side one-pass min-of-struct, no shuffle); each query probes its
+    * argmin exact-quantized squared L2 against the broadcast centroids —
+    * a packed-long min in a map-side hash aggregate); each query probes its
     * `nprobe` nearest cells and exact re-ranks only those cells'
     * vectors. At 100 TB the cell id is the corpus partition key: with C
     * cells a query touches nprobe/C of the data (vs 9/2^nBits for the
@@ -118,21 +119,33 @@ object Similarity {
       cents: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int): DataFrame = {
     def sqDist(a: Column, b: Column): Column = sqDistExact(a, b)
-    // cell assignment: min (dist, cent_id) struct per corpus vector —
-    // lexicographic min gives the deterministic nearest-centroid tie-break
+    // Densify centroid ids to 0..C-1 (bounded window over the broadcast-
+    // sized relation, like trainCentroids' seed): the cell id is a purely
+    // internal join key, and dense ids make the packed argmin below safe
+    // for ANY caller-supplied centroid id domain. Renumbering is
+    // monotonic in cent_id, so tie-break order is unchanged.
+    val dense = cents.select(
+      (row_number().over(Window.orderBy(col("cent_id"))).cast("long") - 1)
+        .as("cent_id"),
+      col("q_cent"))
+    // cell assignment: packed-long argmin (packDistId) in a
+    // HashAggregate; idBits sized from the dense centroid count (one
+    // tiny action on the broadcast-small relation). q_corpus rides as a
+    // GROUPING key, not first(): an array agg buffer is not hash-mutable
+    // and would force the n×C argmin into SortAggregate.
+    val idBits = bitsFor(math.max(dense.count() - 1, 0L))
+    val packed = packDistId(sqDist(col("q_corpus"), col("q_cent")),
+      col("cent_id"), idBits)
     val cells = corpus.select(col(idCol).as("corpus_id"),
         quantize(col(vecCol)).as("q_corpus"))
-      .crossJoin(broadcast(cents))
-      .groupBy(col("corpus_id"))
-      .agg(
-        min(struct(sqDist(col("q_corpus"), col("q_cent")).as("d"),
-          col("cent_id"))).getField("cent_id").as("cell"),
-        first(col("q_corpus")).as("q_corpus"))
+      .crossJoin(broadcast(dense))
+      .groupBy(col("corpus_id"), col("q_corpus"))
+      .agg(unpackId(min(packed), idBits).as("cell"))
     // query probes: nprobe nearest centroids each (query set is small —
     // a rank window over Q x C rows)
     val qd = queries.select(col(idCol).as("query_id"),
         quantize(col(vecCol)).as("q_query"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(dense))
       .withColumn("d", sqDist(col("q_query"), col("q_cent")))
     val pw = Window.partitionBy("query_id").orderBy(col("d").asc, col("cent_id").asc)
     val probes = qd.withColumn("pr", row_number().over(pw))

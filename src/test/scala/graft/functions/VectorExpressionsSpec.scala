@@ -70,6 +70,26 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 9L + 4L)
   }
 
+  test("packDistId orders like struct(d, id); bitsFor covers the id domain") {
+    assert(VectorFunctions.bitsFor(0L) == 1)
+    assert(VectorFunctions.bitsFor(1L) == 1)
+    assert(VectorFunctions.bitsFor(15L) == 4)
+    assert(VectorFunctions.bitsFor(16L) == 5)
+    assert(VectorFunctions.bitsFor(32767L) == 15)
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong % 25, math.abs(rnd.nextLong()) % (1L << 40), rnd.nextInt(1 << 12).toLong))
+      .toDF("key", "d", "id")
+    val viaStruct = rows.groupBy("key")
+      .agg(min(struct(col("d"), col("id"))).getField("id").as("arg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPacked = rows.groupBy("key")
+      .agg(VectorFunctions.unpackId(
+        min(VectorFunctions.packDistId(col("d"), col("id"), 12)), 12).as("arg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStruct == viaPacked)
+  }
+
   test("interpreted eval matches the kernel used by codegen") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val a = new GenericArrayData(Array[Any](2L, -3L, 7L))
