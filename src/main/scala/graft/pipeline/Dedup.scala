@@ -418,19 +418,29 @@ object Dedup {
       evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
       n: Int = 8): DataFrame = {
     require(n >= 1, "decontaminate: n must be >= 1")
-    def gramFps(df: DataFrame, idCol: String, textCol: String, outId: String): DataFrame = {
-      val t = TextFunctions.tokenize(col(textCol))
-      df.select(col(idCol).as(outId), t.as("_t"))
-        .select(col(outId), explode(
-          when(size(col("_t")) >= n, // sequence(1, 0) descends — guard
-            transform(sequence(lit(1), size(col("_t")) - (n - 1)),
-              i => TextFunctions.fingerprint(
-                array_join(slice(col("_t"), i, lit(n)), " "))))
-            .otherwise(array().cast("array<bigint>"))).as("gram_fp"))
-    }
-    val cg = gramFps(corpus, corpusIdCol, corpusTextCol, corpusIdCol)
-    val eg = gramFps(evalSet, evalIdCol, evalTextCol, "_eval_id").distinct()
-    val hits = cg.join(broadcast(eg), "gram_fp")
+    val cg = gramFingerprints(corpus, corpusIdCol, corpusTextCol, corpusIdCol, n)
+    val eg = gramFingerprints(evalSet, evalIdCol, evalTextCol, "_eval_id", n).distinct()
+    decontaminateVerify(corpus, corpusIdCol, cg, broadcast(eg))
+  }
+
+  /** Token-n-gram 64-bit fingerprints, one row per (id, gram). */
+  private def gramFingerprints(df: DataFrame, idCol: String, textCol: String,
+      outId: String, n: Int): DataFrame = {
+    val t = TextFunctions.tokenize(col(textCol))
+    df.select(col(idCol).as(outId), t.as("_t"))
+      .select(col(outId), explode(
+        when(size(col("_t")) >= n, // sequence(1, 0) descends — guard
+          transform(sequence(lit(1), size(col("_t")) - (n - 1)),
+            i => TextFunctions.fingerprint(
+              array_join(slice(col("_t"), i, lit(n)), " "))))
+          .otherwise(array().cast("array<bigint>"))).as("gram_fp"))
+  }
+
+  /** Shared verify + rollup tail: corpus grams × eval grams → per-doc
+    * contamination counts, zero-filled for clean docs. */
+  private def decontaminateVerify(corpus: DataFrame, corpusIdCol: String,
+      corpusGrams: DataFrame, evalGrams: DataFrame): DataFrame = {
+    val hits = corpusGrams.join(evalGrams, "gram_fp")
       .groupBy(col(corpusIdCol))
       .agg(countDistinct(col("gram_fp")).as("n_shared_grams"),
         countDistinct(col("_eval_id")).as("n_eval_docs"))
@@ -440,5 +450,39 @@ object Dedup {
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
         coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
         coalesce(col("n_shared_grams") > 0, lit(false)).as("contaminated"))
+  }
+
+  /** [[decontaminate]] with a Bloom-filter pre-filter — the shape for
+    * eval suites too large to broadcast as an exact gram set (a few GB
+    * of held-out data is ~10⁸ grams = ~800 MB exact vs ~120 MB of Bloom
+    * bits at 1% fpp). The corpus side probes the broadcast sketch
+    * map-side and drops effectively every gram before ANY join
+    * machinery; survivors (true hits + the fpp tail) then run the exact
+    * verify join, so false positives are eliminated and the result is
+    * IDENTICAL to [[decontaminate]] — the sketch buys scale, never
+    * accuracy (the q43/q59 driver oracle is literally the same SQL).
+    *
+    * The membership probe is a scalar UDF over the broadcast sketch —
+    * justified: Spark's BloomFilterMightContain expression is internal
+    * to runtime row-group filtering and not constructible from the
+    * public API, and the probe sits behind a codegen'd explode, costing
+    * one virtual call per gram. The verify join is left unhinted: the
+    * surviving gram set is tiny, so AQE broadcasts it (or shuffles a
+    * near-empty relation when the eval side genuinely can't broadcast —
+    * exactly the fallback wanted at scale). */
+  def decontaminateBloom(corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, evalSet: DataFrame, evalIdCol: String,
+      evalTextCol: String, n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    require(n >= 1, "decontaminateBloom: n must be >= 1")
+    val spark = corpus.sparkSession
+    val eg = gramFingerprints(evalSet, evalIdCol, evalTextCol, "_eval_id", n)
+      .distinct().localCheckpoint() // bounded side; built once, used twice
+    val nGrams = math.max(eg.count(), 1000L)
+    val bloom = eg.stat.bloomFilter("gram_fp", nGrams, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: Long) => bloomBc.value.mightContainLong(fp))
+    val cg = gramFingerprints(corpus, corpusIdCol, corpusTextCol, corpusIdCol, n)
+      .filter(mightContain(col("gram_fp")))
+    decontaminateVerify(corpus, corpusIdCol, cg, eg)
   }
 }

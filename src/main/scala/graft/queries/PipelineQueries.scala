@@ -336,6 +336,18 @@ object PipelineQueries {
     TextMetrics.classifierQuality(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Bloom pre-filtered decontamination: identical values to [[q43Decontaminate]]
+    * (exact verify join removes sketch false positives); the sketch is
+    * the memory-bounded scale path for eval sets too big to broadcast
+    * exactly. */
+  def q59DecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.decontaminateBloom(
+      d.filter(col("source") =!= "src0"), "doc_id", "text",
+      d.filter(col("source") === "src0"), "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-document duplicated-substring stats over the winnowing
     * fingerprints: shared-fingerprint count + fraction per doc. */
   def q58SharedSubstrings(spark: SparkSession, dir: String): DataFrame =
@@ -386,11 +398,43 @@ object PipelineQueries {
     "q56_semantic_dedup" -> q56SemanticDedup,
     "q57_quality_classifier" -> q57QualityClassifier,
     "q58_shared_substrings" -> q58SharedSubstrings,
+    "q59_decontaminate_bloom" -> q59DecontaminateBloom,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
   // TextFunctions.tokenize/shingles exactly (split keeps empty tokens;
   // shingles over the full token array; whole-text shingle when < n).
+  // Exact 8-token-gram decontamination — shared by q43 (exact broadcast
+  // set) and q59 (Bloom pre-filter + exact verify): same values, the
+  // Bloom sketch only changes the physical plan.
+  private val q43DecontaminateOracle =
+    """WITH corp AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |    FROM documents WHERE source <> 'src0'),
+      |ev AS (SELECT doc_id AS eval_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |    FROM documents WHERE source = 'src0'),
+      |cg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+      |    [('0x'
+      |      || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+      |     for i in generate_series(1, len(t) - 7)]
+      |  ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM corp),
+      |eg AS (SELECT DISTINCT eval_id, gram_fp FROM (
+      |  SELECT eval_id, unnest(CASE WHEN len(t) >= 8 THEN
+      |      [('0x'
+      |        || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+      |       for i in generate_series(1, len(t) - 7)]
+      |    ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM ev)),
+      |hits AS (SELECT cg.doc_id,
+      |    count(DISTINCT cg.gram_fp)::BIGINT AS n_shared_grams,
+      |    count(DISTINCT eg.eval_id)::BIGINT AS n_eval_docs
+      |  FROM cg JOIN eg USING (gram_fp) GROUP BY cg.doc_id),
+      |base AS (SELECT doc_id FROM documents WHERE source <> 'src0')
+      |SELECT base.doc_id,
+      |  coalesce(hits.n_shared_grams, 0)::BIGINT AS n_shared_grams,
+      |  coalesce(hits.n_eval_docs, 0)::BIGINT AS n_eval_docs,
+      |  coalesce(hits.n_shared_grams > 0, false) AS contaminated
+      |FROM base LEFT JOIN hits USING (doc_id)
+      |ORDER BY base.doc_id""".stripMargin
+
   // Winnowing fingerprint relation (k=5 char grams, w=4 windows) —
   // shared by the q41 and q58 oracles; ends with `f(doc_id, fps)`.
   private val winnowCte =
@@ -815,33 +859,10 @@ object PipelineQueries {
     // Mirrors Dedup.decontaminate (n=8 token grams, md5-15-hex BIGINT
     // fingerprints — same device as q28). Gram fingerprints, not gram
     // text, cross the join on both sides.
-    "q43_decontaminate" ->
-      """WITH corp AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
-        |    FROM documents WHERE source <> 'src0'),
-        |ev AS (SELECT doc_id AS eval_id, regexp_split_to_array(lower(text), '\s+') AS t
-        |    FROM documents WHERE source = 'src0'),
-        |cg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
-        |    [('0x'
-        |      || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
-        |     for i in generate_series(1, len(t) - 7)]
-        |  ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM corp),
-        |eg AS (SELECT DISTINCT eval_id, gram_fp FROM (
-        |  SELECT eval_id, unnest(CASE WHEN len(t) >= 8 THEN
-        |      [('0x'
-        |        || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
-        |       for i in generate_series(1, len(t) - 7)]
-        |    ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM ev)),
-        |hits AS (SELECT cg.doc_id,
-        |    count(DISTINCT cg.gram_fp)::BIGINT AS n_shared_grams,
-        |    count(DISTINCT eg.eval_id)::BIGINT AS n_eval_docs
-        |  FROM cg JOIN eg USING (gram_fp) GROUP BY cg.doc_id),
-        |base AS (SELECT doc_id FROM documents WHERE source <> 'src0')
-        |SELECT base.doc_id,
-        |  coalesce(hits.n_shared_grams, 0)::BIGINT AS n_shared_grams,
-        |  coalesce(hits.n_eval_docs, 0)::BIGINT AS n_eval_docs,
-        |  coalesce(hits.n_shared_grams > 0, false) AS contaminated
-        |FROM base LEFT JOIN hits USING (doc_id)
-        |ORDER BY base.doc_id""".stripMargin,
+    "q43_decontaminate" -> q43DecontaminateOracle,
+    // The Bloom pre-filter changes the PLAN, never the result: false
+    // positives die in the exact verify join, so q59's oracle IS q43's.
+    "q59_decontaminate_bloom" -> q43DecontaminateOracle,
     // Two-sided q20: per-side shingle/band CTEs (filtered by source), a
     // cross-set band join for candidates, exact Jaccard at 0.5.
     "q48_fuzzy_decontaminate" ->

@@ -572,6 +572,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateBloom equals exact decontaminate, even at fpp ~ 1") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),     // shares the 8-gram a..h with eval 100
+      (2L, "k l m n o p q r s t"),     // clean
+      (3L, "short text"))              // < 8 tokens: no grams
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e f g h zz")).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, "doc_id", "text",
+      eval, "doc_id", "text", n = 8).collect().map(_.toSeq).toSet
+    val bloom = Dedup.decontaminateBloom(corpus, "doc_id", "text",
+      eval, "doc_id", "text", n = 8).collect().map(_.toSeq).toSet
+    assert(bloom == exact)
+    // saturate the sketch (fpp -> 1): every gram survives the pre-filter
+    // and the exact verify join alone must still produce exact results
+    val saturated = Dedup.decontaminateBloom(corpus, "doc_id", "text",
+      eval, "doc_id", "text", n = 8, fpp = 0.99).collect().map(_.toSeq).toSet
+    assert(saturated == exact)
+    val contaminated = exact.filter(_(3) == true).map(_.head)
+    assert(contaminated == Set(1L))
+  }
+
   test("q48 shared-band path matches the standalone cross-corpus operator") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/documents.parquet").exists())
