@@ -10,8 +10,8 @@ import scala.util.control.NonFatal
   * elapsed time AND are listed in "failed" so a crash is never mistaken
   * for a fast run.
   *
-  * Each query runs SPARK_GRAFT_RUNS times (default 2) and reports the
-  * per-query MIN — single-run numbers at local[32] swing 2–3× with cache
+  * Each query runs SPARK_GRAFT_RUNS times (default 3) and reports the
+  * per-query MIN — single-run numbers at local[32] swing 2–4× with cache
   * pressure and JIT state (r3/r4 both chased phantom regressions), and
   * min-of-n is the standard way to strip that noise. "runs" and the raw
   * per-run times are included so a reader can see the spread.
@@ -24,7 +24,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // min-of-3 by default: this container shows 4× single-query swings
+    // between consecutive identical-binary runs; two samples still let a
+    // double-hit outlier through, three rarely do (~1 min extra total)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = Tables.session(s"local[$cpus]", cpus)
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).count()
