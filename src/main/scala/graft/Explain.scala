@@ -22,7 +22,11 @@ object Explain {
     try names.foreach { n =>
       println(s"==== $n")
       val df = SparkEntry.queries(n)(spark, dir)
-      if (exec) df.write.mode("overwrite").format("noop").save()
+      // collect() executes THIS Dataset's own QueryExecution, so the
+      // explain below prints its finalized adaptive plan
+      // (isFinalPlan=true). A noop write would execute a separate
+      // QueryExecution and leave df's plan unexecuted.
+      if (exec) df.collect()
       df.explain("formatted")
     } finally spark.stop()
   }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -114,6 +115,21 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Cross-side LSH candidate pairs: equi-join two band frames (each
+    * the [[lshBands]] shape) on (band, band_key). Unlike
+    * [[lshCandidates]] there is no a < b constraint — the pair is
+    * ordered by side, so overlapping id namespaces are safe. Shared by
+    * [[minhashNearDupsAgainst]] and the q48 query (which serves both
+    * sides from one cached per-session band relation). */
+  def lshCandidatesAcross(bandsLeft: DataFrame, bandsRight: DataFrame): DataFrame = {
+    val bl = bandsLeft.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val br = bandsRight.select(col("band").as("band_r"),
+      col("band_key").as("band_key_r"), col("doc_id").as("doc_b"))
+    bl.join(br,
+        col("band") === col("band_r") && col("band_key") === col("band_key_r"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** Exact Jaccard for a pair relation whose sides come from TWO shingle
     * frames (doc_a ids resolve only against `shingledA`, doc_b only
     * against `shingledB` — overlapping id namespaces stay separate) —
@@ -182,14 +198,9 @@ object Dedup {
     val shL = shingleSets(left, leftId, leftText, shingleN).cache()
     val shR = shingleSets(right, rightId, rightText, shingleN).cache()
     try {
-      val bl = lshBands(minhashSignatures(shL, numHashes), numHashes, rowsPerBand)
-        .select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-      val br = lshBands(minhashSignatures(shR, numHashes), numHashes, rowsPerBand)
-        .select(col("band").as("band_r"), col("band_key").as("band_key_r"),
-          col("doc_id").as("doc_b"))
-      val cands = bl.join(br,
-          col("band") === col("band_r") && col("band_key") === col("band_key_r"))
-        .select("doc_a", "doc_b").distinct()
+      val cands = lshCandidatesAcross(
+        lshBands(minhashSignatures(shL, numHashes), numHashes, rowsPerBand),
+        lshBands(minhashSignatures(shR, numHashes), numHashes, rowsPerBand))
       jaccardAcross(cands, shL, shR)
         .filter(col("jaccard") >= threshold)
         .localCheckpoint(true)
@@ -322,25 +333,38 @@ object Dedup {
       centroids: DataFrame, centIdCol: String, centVecCol: String,
       minDotQ: Long): DataFrame = {
     import graft.functions.VectorFunctions._
-    val cents = broadcast(centroids.select(col(centIdCol).as("cent_id"),
-      quantize(col(centVecCol)).as("cv")))
+    // Densify centroid ids to 0..C-1 (bounded window over the broadcast-
+    // sized relation — the ivfTopKQuantized device) so the packed argmin
+    // is safe for ANY caller-supplied id domain: a negative id would
+    // otherwise corrupt the pack silently, and an empty table would NPE.
+    // Renumbering is monotonic in the original id, so the
+    // ties-to-lowest-id break is unchanged; the original id maps back
+    // after the argmin via a broadcast join on the same tiny relation.
+    val cents = centroids.select(col(centIdCol).cast("long").as("orig_id"),
+        quantize(col(centVecCol)).as("cv"))
+      .select(
+        (row_number().over(Window.orderBy(col("orig_id"))).cast("long") - 1)
+          .as("dense_id"),
+        col("orig_id"), col("cv"))
     // Packed-long argmin in a HashAggregate (see
     // [[graft.functions.VectorFunctions.packDistId]]): idBits sized from
-    // the actual centroid id domain (one tiny action on the broadcast-
-    // small relation) so distance headroom is maximal. qv rides as a
+    // the dense centroid count (one tiny action on the broadcast-small
+    // relation) so distance headroom is maximal. qv rides as a
     // GROUPING key (functionally dependent on vid), not a first()
     // aggregate: an array-typed agg buffer is not hash-mutable and would
     // force the whole n×C argmin into SortAggregate; group keys may be
     // arrays, so the buffer stays one long.
-    val idBits = bitsFor(
-      centroids.agg(max(col(centIdCol).cast("long"))).head.getLong(0))
+    val idBits = bitsFor(math.max(cents.count() - 1, 0L))
     val packed = packDistId(sqDistExact(col("qv"), col("cv")),
-      col("cent_id"), idBits)
+      col("dense_id"), idBits)
     val assigned = corpus
       .select(col(idCol).as("vid"), quantize(col(vecCol)).as("qv"))
-      .crossJoin(cents)
+      .crossJoin(broadcast(cents.select(col("dense_id"), col("cv"))))
       .groupBy(col("vid"), col("qv"))
-      .agg(unpackId(min(packed), idBits).as("cluster_id"))
+      .agg(unpackId(min(packed), idBits).as("dense_id"))
+      .join(broadcast(cents.select(col("dense_id"),
+        col("orig_id").as("cluster_id"))), "dense_id")
+      .select(col("vid"), col("qv"), col("cluster_id"))
       // materialize once: assignment feeds both join sides and the final
       // projection — unchecked, the scan+cross+argmin lineage executes
       // three times (the store-signatures-once production shape)

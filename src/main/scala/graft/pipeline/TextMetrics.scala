@@ -526,7 +526,9 @@ object TextMetrics {
     * deterministic stand-in (wq = bucket mod 197 − 98 — engine-portable
     * integer arithmetic so the oracle can recompute it); the operator
     * contract is the pluggable `weights` relation — a trained model
-    * drops in without touching the plan shape.
+    * drops in without touching the plan shape; buckets absent from a
+    * (naturally sparse) table score 0, and every token still counts
+    * toward `n_tokens`.
     *
     * Scale shape: weights are model-sized (buckets, not vocabulary) and
     * always broadcast; scoring is explode → broadcast hash join → one
@@ -544,9 +546,14 @@ object TextMetrics {
       .select(col(idCol),
         pmod(TextFunctions.fingerprint(col("token")), lit(numBuckets.toLong))
           .as("bucket"))
-    ex.join(broadcast(w), "bucket")
+    // LEFT join + coalesce(0): trained linear models are stored sparse
+    // (only non-zero buckets); an inner join would drop tokens hashing
+    // to an absent bucket — undercounting n_tokens, skewing the logit
+    // denominator, and losing whole docs whose every token misses.
+    ex.join(broadcast(w), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("wq")).as("score_q"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("wq"), lit(0L))).as("score_q"))
       .select(col(idCol), col("n_tokens"), col("score_q"),
         (col("score_q").cast("double") /
           (lit(197.0) * col("n_tokens").cast("double"))).as("logit"),

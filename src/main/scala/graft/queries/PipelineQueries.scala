@@ -229,14 +229,9 @@ object PipelineQueries {
     val bands = docBands(spark, dir)
     val shL = sh.filter(col("source") =!= "src0").select(col("doc_id"), col("shingles"))
     val shR = sh.filter(col("source") === "src0").select(col("doc_id"), col("shingles"))
-    val bl = bands.filter(col("source") =!= "src0")
-      .select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-    val br = bands.filter(col("source") === "src0")
-      .select(col("band").as("band_r"), col("band_key").as("band_key_r"),
-        col("doc_id").as("doc_b"))
-    val cands = bl.join(br,
-        col("band") === col("band_r") && col("band_key") === col("band_key_r"))
-      .select("doc_a", "doc_b").distinct()
+    val cands = Dedup.lshCandidatesAcross(
+      bands.filter(col("source") =!= "src0"),
+      bands.filter(col("source") === "src0"))
     Dedup.jaccardAcross(cands, shL, shR)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("size_a"),

@@ -513,6 +513,27 @@ class PipelineSpec extends AnyFunSuite {
       4L -> ((11L, 1L)), 5L -> ((11L, 0L)), 6L -> ((10L, 1L))))
   }
 
+  test("semanticDedup: negative/sparse centroid ids assign correctly (densified pack)") {
+    // a negative id would corrupt the packed argmin if packed raw;
+    // ids must densify internally and map back to the caller's domain
+    val cents = Seq(
+      (-1L, Array(1.0, 0.0)),
+      (7L, Array(0.0, 1.0))).toDF("cid", "cvec")
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)),   // nearest: centroid -1
+      (2L, Array(0.0, 1.0)),   // nearest: centroid 7
+      (3L, Array(0.5, 0.5)))   // tie → lowest original id: -1
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      cents, "cid", "cvec", minDotQ = 800000000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> -1L, 2L -> 7L, 3L -> -1L))
+    // empty centroid table: empty result, not an NPE
+    val none = Seq.empty[(Long, Array[Double])].toDF("cid", "cvec")
+    assert(Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      none, "cid", "cvec", minDotQ = 0L).count() == 0L)
+  }
+
   test("classifierQuality: hashed-bucket weights by hand, pluggable weight table") {
     def bucket(tok: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -538,6 +559,13 @@ class PipelineSpec extends AnyFunSuite {
       weights = Some(ones))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(flat == Map(1L -> 15L, 2L -> 5L))
+    // sparse weight table (the natural trained-model storage): tokens
+    // hashing to absent buckets score 0 but still count toward n_tokens
+    val sparse = Seq((bucket("alpha"), 5L)).toDF("bucket", "wq")
+    val sp = TextMetrics.classifierQuality(docs, "doc_id", "text",
+      weights = Some(sparse))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sp == Map(1L -> ((3L, 5L)), 2L -> ((1L, 0L))))
   }
 
   test("sharedSubstringStats: shared substrings witnessed, unique and short docs at zero") {
