@@ -305,6 +305,39 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("dot_q"))
   }
 
+  /** Cross-set embedding near-dup join — SEMANTIC decontamination,
+    * completing the trio: [[decontaminate]] catches verbatim n-gram
+    * overlap, [[minhashNearDupsAgainst]] catches lexical paraphrase
+    * (shared shingles), and this catches eval contamination that
+    * survives both — rewordings sharing no shingles but mapping to
+    * nearby embeddings. Candidates come from a cross-set sign-LSH
+    * bucket equi-join (each vector lives in exactly ONE bucket, so no
+    * distinct is needed), verified by the exact int64-quantized dot at
+    * `minDotQ`. The pair is ordered by side with no a < b constraint,
+    * so overlapping id namespaces are safe ([[lshCandidatesAcross]]'s
+    * contract).
+    *
+    * Scale shape: the eval side is bounded → BROADCAST; the corpus side
+    * never shuffles at all (map-side broadcast hash join on the bucket,
+    * then per-row dot + filter). Recall is the standard sign-LSH trade
+    * documented at [[embeddingNearDups]] — grow `nBits` with corpus
+    * size, probe Hamming-1 neighbors to recover split pairs. */
+  def embeddingNearDupsAgainst(left: DataFrame, leftId: String,
+      leftVec: String, right: DataFrame, rightId: String, rightVec: String,
+      minDotQ: Long, nBits: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.{dotExact, quantize, signBucket}
+    val a = left.select(col(leftId).as("vec_a"),
+      quantize(col(leftVec)).as("qa"),
+      signBucket(col(leftVec), nBits).as("bucket"))
+    val b = right.select(col(rightId).as("vec_b"),
+      quantize(col(rightVec)).as("qb"),
+      signBucket(col(rightVec), nBits).as("bucket"))
+    a.join(broadcast(b), Seq("bucket"))
+      .withColumn("dot_q", dotExact(col("qa"), col("qb")))
+      .filter(col("dot_q") >= minDotQ)
+      .select(col("vec_a"), col("vec_b"), col("dot_q"))
+  }
+
   /** Semantic dedup (SemDeDup-style, arXiv:2303.09540): cluster the
     * embeddings around a centroid table, then prune rows that sit inside
     * another cluster-mate's similarity ball — the embedding analog of

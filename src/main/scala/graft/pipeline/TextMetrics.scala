@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -274,6 +275,58 @@ object TextMetrics {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
+  }
+
+  /** Per-group token-length distribution report — the corpus-health
+    * check run before choosing chunking/packing budgets: exact discrete
+    * percentiles (the value at 1-based rank `((n-1)*p) div 100 + 1`
+    * in the per-group sorted multiset — percentile_disc semantics, so
+    * every output is an actual observed integer, never an interpolated
+    * double; the value at a rank is tie-order-independent by
+    * construction). Integer percent points keep the rank arithmetic
+    * exact and engine-portable.
+    *
+    * Scale shape: one shuffle keyed by the group for the rank window
+    * (the sort spills; per-group data never concentrates on the
+    * driver). Exact per-group percentiles fundamentally need that
+    * per-group sort; at 100 TB the cheap path is
+    * [[tokenPercentilesApprox]] (GK sketch, map-side mergeable, no
+    * sort) — same report shape, rank error ≤ the accuracy parameter. */
+  def tokenPercentiles(docs: DataFrame, groupCol: String, textCol: String,
+      percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      s"tokenPercentiles: percents must be in [0,100], got $percents")
+    val counts = docs.select(col(groupCol),
+      size(TextFunctions.tokenize(col(textCol))).cast("long").as("n_tokens"))
+    val r = counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("n_tokens"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val picks = percents.map { p =>
+      // 1-based discrete rank: floor((n-1) * p / 100) + 1, exact ints
+      val idx = expr(s"((n - 1) * $p) div 100") + lit(1L)
+      max(when(col("rn") === idx, col("n_tokens"))).as(s"p$p")
+    }
+    r.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n_docs"), picks: _*)
+  }
+
+  /** The 100-TB path for [[tokenPercentiles]]: approx_percentile's
+    * mergeable GK sketch — no per-group sort, map-side partials. Rank
+    * error is bounded by `accuracy`; results are NOT bit-stable across
+    * partitionings (the sketch merge order varies), so this feeds
+    * monitoring, not hash-checked outputs. */
+  def tokenPercentilesApprox(docs: DataFrame, groupCol: String,
+      textCol: String, percents: Seq[Int] = Seq(50, 90, 99),
+      accuracy: Int = 10000): DataFrame = {
+    val counts = docs.select(col(groupCol),
+      size(TextFunctions.tokenize(col(textCol))).cast("long").as("n_tokens"))
+    val picks = percents.map { p =>
+      percentile_approx(col("n_tokens"), lit(p / 100.0), lit(accuracy))
+        .as(s"p$p")
+    }
+    counts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), picks: _*)
   }
 
   /** Sequence packing — next-fit binning of documents into fixed token

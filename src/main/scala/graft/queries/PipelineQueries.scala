@@ -112,6 +112,27 @@ object PipelineQueries {
       minDotQ = 250000000000L, nBits = 8)
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** Semantic decontamination — the embedding leg of the trio (exact
+    * grams q43/q59, lexical fuzzy q48): corpus vectors (vec_id % 10 ≠ 0)
+    * vs a held-out eval set (vec_id % 10 = 0), sign-LSH bucket
+    * candidates + exact quantized-dot verify at the q40 threshold. The
+    * eval side broadcasts — the corpus side never shuffles. */
+  def q60SemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Dedup.embeddingNearDupsAgainst(
+      e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+      e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+      minDotQ = 250000000000L, nBits = 8)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Per-source token-length distribution: exact discrete percentiles
+    * (p50/p90/p99) — integer rank arithmetic, so every value is an
+    * observed token count (engine-exact; no interpolated doubles). */
+  def q61LengthPercentiles(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.tokenPercentiles(docs(spark, dir), "source", "text")
+      .orderBy(col("source"))
+
   /** LSH-bucketed ANN (sign-bit coarse quantizer, multi-probe Hamming-1):
     * the scale path — bucket join instead of cross join. */
   def q24SimilarityLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -394,6 +415,8 @@ object PipelineQueries {
     "q57_quality_classifier" -> q57QualityClassifier,
     "q58_shared_substrings" -> q58SharedSubstrings,
     "q59_decontaminate_bloom" -> q59DecontaminateBloom,
+    "q60_semantic_decontaminate" -> q60SemanticDecontaminate,
+    "q61_length_percentiles" -> q61LengthPercentiles,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -526,6 +549,52 @@ object PipelineQueries {
         |SELECT vec_a, vec_b, dot_q FROM dots
         |WHERE dot_q >= 250000000000
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Mirrors Dedup.embeddingNearDupsAgainst: corpus (vec_id % 10 <> 0)
+    // vs eval (vec_id % 10 = 0), same bucket/quantize arithmetic as q40,
+    // pair ordered by side (no a < b).
+    "q60_semantic_decontaminate" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+        |     + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+        |     + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+        |     + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+        |     + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings),
+        |exp AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    unnest(a.qv) AS ax, unnest(b.qv) AS bx
+        |  FROM v a JOIN v b ON a.bucket = b.bucket
+        |  WHERE a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0),
+        |dots AS (
+        |  SELECT vec_a, vec_b, sum(ax * bx)::BIGINT AS dot_q
+        |  FROM exp GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, dot_q FROM dots
+        |WHERE dot_q >= 250000000000
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // Mirrors TextMetrics.tokenPercentiles: discrete percentile = value
+    // at 1-based rank ((n-1)*p) div 100 + 1 of the per-source sorted
+    // token counts — exact integer arithmetic on both engines.
+    "q61_length_percentiles" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM t)
+        |SELECT source, max(n)::BIGINT AS n_docs,
+        |  max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN n_tokens END)::BIGINT AS p50,
+        |  max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN n_tokens END)::BIGINT AS p90,
+        |  max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN n_tokens END)::BIGINT AS p99
+        |FROM r GROUP BY source
+        |ORDER BY source""".stripMargin,
     "q39_dedup_canonical" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_hash,

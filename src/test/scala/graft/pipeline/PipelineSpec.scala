@@ -513,6 +513,53 @@ class PipelineSpec extends AnyFunSuite {
       4L -> ((11L, 1L)), 5L -> ((11L, 0L)), 6L -> ((10L, 1L))))
   }
 
+  test("embeddingNearDupsAgainst: cross-set pairs only, side-ordered, id overlap safe") {
+    // same fixture as the self-join test; ids deliberately OVERLAP
+    // across sides to pin the separate-namespace contract
+    val corpus = Seq(
+      (1L, Array(0.5, 0.75, 0.0)),   // bucket 3
+      (2L, Array(0.75, 0.5, 0.0)),   // bucket 3
+      (3L, Array(-0.5, 0.75, 0.0)))  // bucket 2
+      .toDF("vec_id", "embedding")
+    val eval_ = Seq(
+      (1L, Array(0.5, 0.75, 0.0)),   // bucket 3 — same id as corpus 1
+      (9L, Array(-0.5, 0.5, 0.0)))   // bucket 2
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupsAgainst(corpus, "vec_id", "embedding",
+      eval_, "vec_id", "embedding", minDotQ = 700000000000L, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // corpus 1 ≡ eval 1 (dot 812.5e9); corpus 2 × eval 1 = 750e9;
+    // corpus 3 × eval 9 = 250e9+375e9... = (-0.5*-0.5 + 0.75*0.5)e12
+    // = 625e9 < 700e9 → out. No within-side pairs ever.
+    assert(out == Set((1L, 1L, 812500000000L), (2L, 1L, 750000000000L)))
+    // threshold 0: the cross-bucket pair (corpus 1, eval 9) still absent
+    val all = Dedup.embeddingNearDupsAgainst(corpus, "vec_id", "embedding",
+      eval_, "vec_id", "embedding", minDotQ = Long.MinValue, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 1L), (2L, 1L), (3L, 9L)))
+  }
+
+  test("tokenPercentiles: discrete rank arithmetic by hand; approx stays within rank error") {
+    // src a: counts 1..10 → n=10, p50 idx = 4+1=5 → 5, p90 idx = 8+1 → 9,
+    // p99 idx = floor(9*99/100)+1 = 8+1 → 9; src b: single doc → all = its count
+    val docs = (1 to 10).map(i => ("a", Seq.fill(i)("w").mkString(" "))) :+
+      (("b", "x y z"))
+    val df = docs.toDF("source", "text")
+    val out = TextMetrics.tokenPercentiles(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map("a" -> ((10L, 5L, 9L, 9L)), "b" -> ((1L, 3L, 3L, 3L))))
+    // the approx (scale-path) form agrees exactly at this tiny accuracy-
+    // dominated size
+    val ap = TextMetrics.tokenPercentilesApprox(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(ap("a")._1 == 10L && math.abs(ap("a")._2 - 5L) <= 1)
+    intercept[IllegalArgumentException] {
+      TextMetrics.tokenPercentiles(df, "source", "text", Seq(101))
+    }
+  }
+
   test("semanticDedup: negative/sparse centroid ids assign correctly (densified pack)") {
     // a negative id would corrupt the packed argmin if packed raw;
     // ids must densify internally and map back to the caller's domain
