@@ -292,11 +292,16 @@ object Topologies {
           // append-form annotations: pure per-row projections, no join —
           // a doc_id-keyed join back would cross-pair rows when a batch
           // carries two texts under one id, and would pay two shuffles
-          // per micro-batch for per-row work
-          TextMetrics.withLanguage(
-            TextMetrics.withQuality(batch.select("doc_id", "ts", "text"), "text"),
-            "text")
-            .filter(col("quality") > 0)
+          // per micro-batch for per-row work. PII redaction runs LAST,
+          // on the surviving rows only, and replaces the raw text at
+          // the sink boundary (the production norm: nothing unscrubbed
+          // lands in the training store).
+          graft.pipeline.Pii.withScrub(
+            TextMetrics.withLanguage(
+              TextMetrics.withQuality(batch.select("doc_id", "ts", "text"), "text"),
+              "text")
+              .filter(col("quality") > 0), "text")
+            .withColumn("text", col("redacted")).drop("redacted")
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }
       }

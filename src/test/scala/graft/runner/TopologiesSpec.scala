@@ -144,15 +144,22 @@ class TopologiesSpec extends AnyFunSuite {
       stream.addData(Seq((1L, ts(1), good), (2L, ts(2), "x"))) // 2: fails length rule
       query.processAllAvailable()
       stream.addData(Seq((3L, ts(3), good), // replay of 1 — dedup drops it
-        (4L, ts(4), "der tisch und der stuhl und die lampe sind gut und schnell da")))
+        (4L, ts(4), "der tisch und der stuhl und die lampe sind gut und schnell da"),
+        (5L, ts(5), good + " mail bob@mail.com"))) // PII survives quality
       query.processAllAvailable()
     } finally query.stop()
-    val out = spark.read.parquet(outDir)
-      .select("doc_id", "detected_lang").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out.keySet == Set(1L, 4L)) // 2 filtered on quality, 3 deduped
+    val rows = spark.read.parquet(outDir)
+      .select("doc_id", "detected_lang", "n_pii", "text").collect()
+    val out = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 4L, 5L)) // 2 filtered on quality, 3 deduped
     assert(out(1L) == "en")
     assert(out(4L) == "de")
+    // the sink never sees unscrubbed text: the address is redacted in
+    // place and counted
+    val r5 = rows.find(_.getLong(0) == 5L).get
+    assert(r5.getAs[Long]("n_pii") == 1L)
+    assert(r5.getAs[String]("text") == good + " mail <EMAIL>")
+    assert(rows.forall(r => !r.getAs[String]("text").contains("@")))
   }
 
   test("roleAnalysisStream matches the batch topology across micro-batches") {
