@@ -240,6 +240,66 @@ object TextMetrics {
       .drop("_bucket", "_rate_pct")
   }
 
+  /** Weighted epoch upsampling — [[sampleMix]]'s complement for mix
+    * weights ABOVE one: a group configured at e.g. 250% contributes
+    * every document twice plus a deterministic half of them a third
+    * time (`copies = w div 100`, plus one more iff
+    * `fingerprint(salt:id) mod 100 < w mod 100` — the same pure-
+    * function-of-(salt, id) device as sampleMix, so the epoch
+    * assignment is stable under repartitioning, retries, and engine
+    * choice). Subsampling falls out of the same arithmetic (w < 100 →
+    * 0 or 1 copies); groups absent from the map contribute nothing.
+    *
+    * Scale shape: tiny broadcast weights join, map-side bucket filter,
+    * one `explode(sequence)` per surviving row — no shuffle; output
+    * rows carry an `epoch` index so downstream shuffling/packing can
+    * interleave repeats instead of clustering them. `sequence(1, 0)`
+    * DESCENDS in Spark, so rows with zero copies are filtered before
+    * the explode, never given a descending range. */
+  def upsampleMix(docs: DataFrame, idCol: String, groupCol: String,
+      weightsPct: Map[String, Int], salt: String = "mix"): DataFrame = {
+    require(weightsPct.values.forall(_ >= 0),
+      "upsampleMix: weights are non-negative percentages")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weightsPct.toSeq.toDF(groupCol, "_w_pct")
+    docs.join(broadcast(w), groupCol)
+      .withColumn("_bucket",
+        pmod(TextFunctions.fingerprint(
+          concat(lit(salt), lit(":"), col(idCol).cast("string"))), lit(100L)))
+      .withColumn("_n",
+        expr("_w_pct div 100") +
+          when(col("_bucket") < col("_w_pct") % 100, 1L).otherwise(0L))
+      .filter(col("_n") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("_n"))))
+      .drop("_bucket", "_w_pct", "_n")
+  }
+
+  /** Deterministic global corpus shuffle — the reshard-before-packing
+    * step that decorrelates training order from ingest order: every
+    * document gets a shard (`fingerprint(salt:id) mod nShards`) and a
+    * position within its shard (rank by the same hash; ties — 60-bit
+    * hash collisions — break by id). A pure function of (salt, id):
+    * re-running, repartitioning, or switching engines reproduces the
+    * identical order, unlike `orderBy(rand(seed))`.
+    *
+    * Scale shape: ONE exchange keyed by shard, per-shard sort for the
+    * rank (spills; nothing driver-side) — exactly the cost any global
+    * shuffle pays; nShards sizes the output files for the training
+    * loader. */
+  def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shuffle"): DataFrame = {
+    require(nShards >= 1, "shuffleShards: nShards must be >= 1")
+    docs
+      .withColumn("_k", TextFunctions.fingerprint(
+        concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("_k"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_k"), col(idCol)))
+        .cast("long"))
+      .drop("_k")
+  }
+
   /** Fixed-token-budget document chunking — the context-window prep step
     * of a training pipeline: each document's token array splits into
     * ceil(n/maxTokens) contiguous chunks of at most maxTokens tokens.

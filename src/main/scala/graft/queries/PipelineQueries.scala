@@ -278,6 +278,22 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Weighted epoch upsampling: src0 at 250% (2-3 copies), src1 at 150%
+    * (1-2), src2 at 80% (0-1); every other source contributes nothing.
+    * Copy counts are a pure function of (salt, doc_id). */
+  def q63UpsampleMix(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.upsampleMix(docs(spark, dir), "doc_id", "source",
+      Map("src0" -> 250, "src1" -> 150, "src2" -> 80))
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+
+  /** Deterministic global shuffle into 8 shards: hash-derived shard +
+    * in-shard position, reproducible across engines and partitionings. */
+  def q62ShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.shuffleShards(docs(spark, dir), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
   /** Gopher-style repetition quality signals: top-2-gram char fraction,
     * duplicated-3-gram char fraction, duplicate-word fraction. */
   def q42Repetition(spark: SparkSession, dir: String): DataFrame =
@@ -417,6 +433,8 @@ object PipelineQueries {
     "q59_decontaminate_bloom" -> q59DecontaminateBloom,
     "q60_semantic_decontaminate" -> q60SemanticDecontaminate,
     "q61_length_percentiles" -> q61LengthPercentiles,
+    "q62_shuffle_shards" -> q62ShuffleShards,
+    "q63_upsample_mix" -> q63UpsampleMix,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -1016,6 +1034,29 @@ object PipelineQueries {
         |WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 100
         |      < rate_pct
         |ORDER BY d.doc_id""".stripMargin,
+    // Mirrors TextMetrics.upsampleMix: copies = w div 100, plus one iff
+    // fingerprint(mix:id) mod 100 < w mod 100; epoch = 1..copies.
+    "q63_upsample_mix" ->
+      """WITH wts AS (SELECT * FROM (VALUES
+        |    ('src0', 250), ('src1', 150), ('src2', 80))
+        |  AS r(source, w_pct)),
+        |n AS (SELECT d.doc_id, d.source,
+        |    w_pct // 100 + (CASE WHEN
+        |      ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 100
+        |      < w_pct % 100 THEN 1 ELSE 0 END) AS n_copies
+        |  FROM documents d JOIN wts USING (source))
+        |SELECT doc_id, source, unnest(generate_series(1, n_copies))::BIGINT AS epoch
+        |FROM n WHERE n_copies >= 1
+        |ORDER BY doc_id, epoch""".stripMargin,
+    // Mirrors TextMetrics.shuffleShards: shard = fingerprint(shuffle:id)
+    // mod 8, pos = rank by (fingerprint, doc_id) within the shard.
+    "q62_shuffle_shards" ->
+      """WITH k AS (SELECT doc_id,
+        |    ('0x' || substr(md5('shuffle:' || doc_id::VARCHAR), 1, 15))::BIGINT AS kk
+        |  FROM documents)
+        |SELECT doc_id, (kk % 8)::BIGINT AS shard,
+        |  row_number() OVER (PARTITION BY kk % 8 ORDER BY kk, doc_id)::BIGINT AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
     // Mirrors TextMetrics.repetitionStats: tagged grams ('2:'/'3:'
     // prefixes stand in for the struct tag), LIKE filters split the
     // per-size aggregates back out, length(gg)-2 drops the tag chars.

@@ -513,6 +513,47 @@ class PipelineSpec extends AnyFunSuite {
       4L -> ((11L, 1L)), 5L -> ((11L, 0L)), 6L -> ((10L, 1L))))
   }
 
+  test("upsampleMix: integer-weight copies exact, fractional part hash-gated, absent dropped") {
+    def frac(id: Long): Long = { // fingerprint("mix:" + id) mod 100, by hand
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mix:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      new java.math.BigInteger(hex.substring(0, 15), 16).longValueExact() % 100L
+    }
+    val docs = (1L to 20L).map(i =>
+      (i, if (i <= 10) "tripled" else if (i <= 15) "half" else "gone"))
+      .toDF("doc_id", "source")
+    val out = TextMetrics.upsampleMix(docs, "doc_id", "source",
+      Map("tripled" -> 300, "half" -> 50))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // weight 300: exactly 3 copies, epochs 1..3, hash-independent
+    (1L to 10L).foreach(i => assert(byDoc(i) == Seq(1L, 2L, 3L)))
+    // weight 50: one copy iff fingerprint bucket < 50 — subsampling
+    (11L to 15L).foreach { i =>
+      assert(byDoc.get(i) == (if (frac(i) < 50) Some(Seq(1L)) else None))
+    }
+    // absent source: contributes nothing
+    (16L to 20L).foreach(i => assert(!byDoc.contains(i)))
+  }
+
+  test("shuffleShards: stable under repartitioning, dense per-shard positions") {
+    val docs = (0L until 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = TextMetrics.shuffleShards(docs, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val b = TextMetrics.shuffleShards(docs.repartition(7), "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(a == b) // pure function of (salt, id): partitioning-invariant
+    assert(a.size == 100)
+    // positions are 1..n_s and dense within every shard
+    a.values.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSeq.sorted == (1L to rows.size).toSeq)
+    }
+    // the hash actually scatters ingest order: some adjacent ids split
+    assert(a.values.map(_._1).toSet.size == 4)
+  }
+
   test("embeddingNearDupsAgainst: cross-set pairs only, side-ordered, id overlap safe") {
     // same fixture as the self-join test; ids deliberately OVERLAP
     // across sides to pin the separate-namespace contract
