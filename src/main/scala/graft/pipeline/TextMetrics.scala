@@ -249,6 +249,10 @@ object TextMetrics {
     * assignment is stable under repartitioning, retries, and engine
     * choice). Subsampling falls out of the same arithmetic (w < 100 →
     * 0 or 1 copies); groups absent from the map contribute nothing.
+    * The default salt deliberately differs from [[sampleMix]]'s: with a
+    * shared salt the two hash gates would be fully correlated when the
+    * operators compose (every sampleMix survivor would also win the
+    * fractional extra copy, skewing the effective mix).
     *
     * Scale shape: tiny broadcast weights join, map-side bucket filter,
     * one `explode(sequence)` per surviving row — no shuffle; output
@@ -257,7 +261,7 @@ object TextMetrics {
     * DESCENDS in Spark, so rows with zero copies are filtered before
     * the explode, never given a descending range. */
   def upsampleMix(docs: DataFrame, idCol: String, groupCol: String,
-      weightsPct: Map[String, Int], salt: String = "mix"): DataFrame = {
+      weightsPct: Map[String, Int], salt: String = "upsample"): DataFrame = {
     require(weightsPct.values.forall(_ >= 0),
       "upsampleMix: weights are non-negative percentages")
     val spark = docs.sparkSession
@@ -337,14 +341,22 @@ object TextMetrics {
       .limit(k)
   }
 
+  /** The (group, token-count) projection feeding BOTH percentile report
+    * forms — one definition so the exact and approx reports can never
+    * diverge on tokenization. */
+  private def tokenCounts(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(groupCol),
+      size(TextFunctions.tokenize(col(textCol))).cast("long").as("n_tokens"))
+
   /** Per-group token-length distribution report — the corpus-health
     * check run before choosing chunking/packing budgets: exact discrete
-    * percentiles (the value at 1-based rank `((n-1)*p) div 100 + 1`
-    * in the per-group sorted multiset — percentile_disc semantics, so
-    * every output is an actual observed integer, never an interpolated
-    * double; the value at a rank is tie-order-independent by
-    * construction). Integer percent points keep the rank arithmetic
-    * exact and engine-portable.
+    * percentiles with percentile_disc semantics — the SMALLEST observed
+    * value whose cumulative distribution reaches p, i.e. 1-based rank
+    * `max(1, ceil(n*p/100))`, computed as `(n*p + 99) div 100` in exact
+    * integer arithmetic, engine-portable. Every output is an actual
+    * observed integer, never an interpolated double, and the value at a
+    * rank is tie-order-independent by construction.
     *
     * Scale shape: one shuffle keyed by the group for the rank window
     * (the sort spills; per-group data never concentrates on the
@@ -356,15 +368,14 @@ object TextMetrics {
       percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
       s"tokenPercentiles: percents must be in [0,100], got $percents")
-    val counts = docs.select(col(groupCol),
-      size(TextFunctions.tokenize(col(textCol))).cast("long").as("n_tokens"))
-    val r = counts
+    val r = tokenCounts(docs, groupCol, textCol)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("n_tokens"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
     val picks = percents.map { p =>
-      // 1-based discrete rank: floor((n-1) * p / 100) + 1, exact ints
-      val idx = expr(s"((n - 1) * $p) div 100") + lit(1L)
+      // percentile_disc rank: ceil(n*p/100) in exact ints, floored at 1
+      // so p=0 selects the minimum
+      val idx = greatest(lit(1L), expr(s"(n * $p + 99) div 100"))
       max(when(col("rn") === idx, col("n_tokens"))).as(s"p$p")
     }
     r.groupBy(col(groupCol))
@@ -379,13 +390,13 @@ object TextMetrics {
   def tokenPercentilesApprox(docs: DataFrame, groupCol: String,
       textCol: String, percents: Seq[Int] = Seq(50, 90, 99),
       accuracy: Int = 10000): DataFrame = {
-    val counts = docs.select(col(groupCol),
-      size(TextFunctions.tokenize(col(textCol))).cast("long").as("n_tokens"))
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      s"tokenPercentilesApprox: percents must be in [0,100], got $percents")
     val picks = percents.map { p =>
       percentile_approx(col("n_tokens"), lit(p / 100.0), lit(accuracy))
         .as(s"p$p")
     }
-    counts.groupBy(col(groupCol))
+    tokenCounts(docs, groupCol, textCol).groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), picks: _*)
   }
 

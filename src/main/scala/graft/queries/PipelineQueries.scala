@@ -489,6 +489,24 @@ object PipelineQueries {
       |      for j in generate_series(1, len(hl) - 3)]))
       |  END AS fps FROM h)""".stripMargin
 
+  // Quantize + 8-bit sign bucket over the embeddings table, mirroring
+  // VectorFunctions.quantize/signBucket — ONE definition shared by the
+  // q40 and q60 oracles so the two cannot drift; ends with
+  // `v(vec_id, qv, bucket)`.
+  private val embBucketCte =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv,
+      |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+      |     + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+      |     + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+      |     + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+      |     + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
+      |  FROM embeddings)""".stripMargin
+
   private val shingleCte =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
@@ -545,58 +563,37 @@ object PipelineQueries {
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q20_minhash_neardups" -> q20Oracle,
     "q40_embedding_neardups" ->
-      """WITH v AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv,
-        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
-        |     + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
-        |     + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
-        |     + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
-        |     + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
-        |  FROM embeddings),
-        |exp AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    unnest(a.qv) AS ax, unnest(b.qv) AS bx
-        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |dots AS (
-        |  SELECT vec_a, vec_b, sum(ax * bx)::BIGINT AS dot_q
-        |  FROM exp GROUP BY 1, 2)
-        |SELECT vec_a, vec_b, dot_q FROM dots
-        |WHERE dot_q >= 250000000000
-        |ORDER BY vec_a, vec_b""".stripMargin,
+      (embBucketCte + ",\n" +
+        """exp AS (
+          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |    unnest(a.qv) AS ax, unnest(b.qv) AS bx
+          |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          |dots AS (
+          |  SELECT vec_a, vec_b, sum(ax * bx)::BIGINT AS dot_q
+          |  FROM exp GROUP BY 1, 2)
+          |SELECT vec_a, vec_b, dot_q FROM dots
+          |WHERE dot_q >= 250000000000
+          |ORDER BY vec_a, vec_b""".stripMargin),
     // Mirrors Dedup.embeddingNearDupsAgainst: corpus (vec_id % 10 <> 0)
-    // vs eval (vec_id % 10 = 0), same bucket/quantize arithmetic as q40,
-    // pair ordered by side (no a < b).
+    // vs eval (vec_id % 10 = 0), same bucket/quantize arithmetic as q40
+    // (shared CTE), pair ordered by side (no a < b).
     "q60_semantic_decontaminate" ->
-      """WITH v AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv,
-        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
-        |     + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
-        |     + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
-        |     + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
-        |     + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
-        |  FROM embeddings),
-        |exp AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    unnest(a.qv) AS ax, unnest(b.qv) AS bx
-        |  FROM v a JOIN v b ON a.bucket = b.bucket
-        |  WHERE a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0),
-        |dots AS (
-        |  SELECT vec_a, vec_b, sum(ax * bx)::BIGINT AS dot_q
-        |  FROM exp GROUP BY 1, 2)
-        |SELECT vec_a, vec_b, dot_q FROM dots
-        |WHERE dot_q >= 250000000000
-        |ORDER BY vec_a, vec_b""".stripMargin,
-    // Mirrors TextMetrics.tokenPercentiles: discrete percentile = value
-    // at 1-based rank ((n-1)*p) div 100 + 1 of the per-source sorted
-    // token counts — exact integer arithmetic on both engines.
+      (embBucketCte + ",\n" +
+        """exp AS (
+          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |    unnest(a.qv) AS ax, unnest(b.qv) AS bx
+          |  FROM v a JOIN v b ON a.bucket = b.bucket
+          |  WHERE a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0),
+          |dots AS (
+          |  SELECT vec_a, vec_b, sum(ax * bx)::BIGINT AS dot_q
+          |  FROM exp GROUP BY 1, 2)
+          |SELECT vec_a, vec_b, dot_q FROM dots
+          |WHERE dot_q >= 250000000000
+          |ORDER BY vec_a, vec_b""".stripMargin),
+    // Mirrors TextMetrics.tokenPercentiles: percentile_disc = value at
+    // 1-based rank max(1, ceil(n*p/100)) = greatest(1, (n*p + 99) div
+    // 100) of the per-source sorted token counts — exact integer
+    // arithmetic on both engines.
     "q61_length_percentiles" ->
       """WITH t AS (
         |  SELECT source,
@@ -608,9 +605,9 @@ object PipelineQueries {
         |    count(*) OVER (PARTITION BY source) AS n
         |  FROM t)
         |SELECT source, max(n)::BIGINT AS n_docs,
-        |  max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN n_tokens END)::BIGINT AS p50,
-        |  max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN n_tokens END)::BIGINT AS p90,
-        |  max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN n_tokens END)::BIGINT AS p99
+        |  max(CASE WHEN rn = greatest(1, (n * 50 + 99) // 100) THEN n_tokens END)::BIGINT AS p50,
+        |  max(CASE WHEN rn = greatest(1, (n * 90 + 99) // 100) THEN n_tokens END)::BIGINT AS p90,
+        |  max(CASE WHEN rn = greatest(1, (n * 99 + 99) // 100) THEN n_tokens END)::BIGINT AS p99
         |FROM r GROUP BY source
         |ORDER BY source""".stripMargin,
     "q39_dedup_canonical" ->
@@ -1035,14 +1032,14 @@ object PipelineQueries {
         |      < rate_pct
         |ORDER BY d.doc_id""".stripMargin,
     // Mirrors TextMetrics.upsampleMix: copies = w div 100, plus one iff
-    // fingerprint(mix:id) mod 100 < w mod 100; epoch = 1..copies.
+    // fingerprint(upsample:id) mod 100 < w mod 100; epoch = 1..copies.
     "q63_upsample_mix" ->
       """WITH wts AS (SELECT * FROM (VALUES
         |    ('src0', 250), ('src1', 150), ('src2', 80))
         |  AS r(source, w_pct)),
         |n AS (SELECT d.doc_id, d.source,
         |    w_pct // 100 + (CASE WHEN
-        |      ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 100
+        |      ('0x' || substr(md5('upsample:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 100
         |      < w_pct % 100 THEN 1 ELSE 0 END) AS n_copies
         |  FROM documents d JOIN wts USING (source))
         |SELECT doc_id, source, unnest(generate_series(1, n_copies))::BIGINT AS epoch

@@ -514,9 +514,9 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("upsampleMix: integer-weight copies exact, fractional part hash-gated, absent dropped") {
-    def frac(id: Long): Long = { // fingerprint("mix:" + id) mod 100, by hand
+    def frac(id: Long): Long = { // fingerprint("upsample:" + id) mod 100, by hand
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"mix:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val hex = md.digest(s"upsample:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
       new java.math.BigInteger(hex.substring(0, 15), 16).longValueExact() % 100L
     }
     val docs = (1L to 20L).map(i =>
@@ -581,15 +581,17 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("tokenPercentiles: discrete rank arithmetic by hand; approx stays within rank error") {
-    // src a: counts 1..10 → n=10, p50 idx = 4+1=5 → 5, p90 idx = 8+1 → 9,
-    // p99 idx = floor(9*99/100)+1 = 8+1 → 9; src b: single doc → all = its count
+    // percentile_disc ranks over src a (counts 1..10, n=10):
+    // p50 → ceil(5.0)=5 → 5, p90 → ceil(9.0)=9 → 9, p99 → ceil(9.9)=10
+    // → 10 (the tail value — a lower-rank formula would report 9);
+    // src b: single doc → all = its count
     val docs = (1 to 10).map(i => ("a", Seq.fill(i)("w").mkString(" "))) :+
       (("b", "x y z"))
     val df = docs.toDF("source", "text")
     val out = TextMetrics.tokenPercentiles(df, "source", "text")
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(out == Map("a" -> ((10L, 5L, 9L, 9L)), "b" -> ((1L, 3L, 3L, 3L))))
+    assert(out == Map("a" -> ((10L, 5L, 9L, 10L)), "b" -> ((1L, 3L, 3L, 3L))))
     // the approx (scale-path) form agrees exactly at this tiny accuracy-
     // dominated size
     val ap = TextMetrics.tokenPercentilesApprox(df, "source", "text")
