@@ -81,4 +81,23 @@ object Scale {
   def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
       tableA: String, tableB: String, key: String): DataFrame =
     spark.table(tableA).join(spark.table(tableB), key)
+
+  /** Materialize [[graft.pipeline.TextMetrics.shuffleShards]] output as
+    * the directory layout a training loader consumes: one
+    * `shard=<k>/` partition directory per shard, rows inside each file
+    * in shuffled (`pos`) order. `repartition(shard)` first so each
+    * shard's rows land in ONE task → one file per directory (Hive-style
+    * partitionBy alone would write one file per (input-partition,
+    * shard) pair — up to tasks × shards shards of a shard);
+    * `sortWithinPartitions(pos)` preserves the reproducible order on
+    * disk. The shard column sizes with nShards, so directory count —
+    * and with it file count — is an explicit knob, not a function of
+    * input partitioning. */
+  def writeShards(sharded: DataFrame, path: String): Unit =
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("pos"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
 }

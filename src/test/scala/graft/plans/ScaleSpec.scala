@@ -78,4 +78,31 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
+
+  test("writeShards: one file per shard directory, rows round-trip with order intact") {
+    import java.nio.file.Files
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val sharded = graft.pipeline.TextMetrics
+      .shuffleShards(docs, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos")
+    val dir = Files.createTempDirectory("shards").toString
+    Scale.writeShards(sharded, dir)
+    // one data file per shard directory: a shard's rows all hash to one
+    // task, so the loader reads exactly nShards sequential files
+    (0L until 4L).foreach { s =>
+      val files = new java.io.File(s"$dir/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard=$s has ${files.length} files")
+    }
+    // round-trip: identical rows, and within each shard file the rows
+    // are stored in pos order (single file read back in one split)
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("shard").cast("long"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(back.toSet ==
+      sharded.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    val inFileOrder = spark.read
+      .parquet(s"$dir/shard=0").select("pos").collect().map(_.getLong(0))
+    assert(inFileOrder.toSeq == inFileOrder.sorted.toSeq)
+  }
 }
