@@ -285,6 +285,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(6L) == (("g2", 4L, 0L)))
   }
 
+  test("chunk + packDocs invariants over random corpora (seeded trials)") {
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 3) {
+      val docs = (1L to 30L).map { i =>
+        val n = rnd.nextInt(50) // 0 → "" → one empty token
+        (i, s"g${rnd.nextInt(3)}", (1 to n).map(k => s"w$k").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val tokCount = docs.collect().map(r =>
+        r.getLong(0) -> r.getString(2).split("\\s+", -1).length.toLong).toMap
+      // chunk: budgets respected, ids dense, token counts conserved
+      val chunks = TextMetrics.chunk(docs, "doc_id", "text", maxTokens = 7)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+          r.getAs[Long]("n_tokens")))
+      chunks.groupBy(_._1).foreach { case (id, cs) =>
+        val ordered = cs.sortBy(_._2)
+        assert(ordered.map(_._2).toSeq == (0L until cs.length).toSeq)
+        assert(ordered.map(_._3).sum == tokCount(id))
+        assert(ordered.init.forall(_._3 == 7L) && ordered.last._3 <= 7L)
+        assert(ordered.last._3 >= 1L)
+      }
+      assert(chunks.map(_._1).toSet == tokCount.keySet)
+      // packDocs: every doc in exactly one bin; a bin never exceeds
+      // capacity unless it is one oversized doc standing alone
+      val packed = TextMetrics.packDocs(docs, "doc_id", "source", "text",
+        capacity = 20L)
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("bin_id"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens")))
+      assert(packed.map(_._3).sorted.toSeq == (1L to 30L).toSeq)
+      packed.groupBy(p => (p._1, p._2)).foreach { case (_, rows) =>
+        assert(rows.map(_._4).sum <= 20L || rows.length == 1)
+      }
+      // bins are dense per group
+      packed.groupBy(_._1).foreach { case (_, rows) =>
+        val bins = rows.map(_._2).distinct.sorted.toSeq
+        assert(bins == (0L until bins.length).toSeq)
+      }
+    }
+  }
+
   test("sampleMix: selection is a pure function of (salt, id) — stable under repartitioning") {
     val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b", s"text $i"))
       .toDF("doc_id", "source", "text")
