@@ -56,7 +56,7 @@ object Bench {
       val best = if (good.nonEmpty) good.min else timed.map(_._1).min
       (name, best, timed)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.2f""" }
       .mkString("{", ",", "}")
     // crashed runs emit null, not their near-zero crash duration — a
     // consumer computing spread/mean from all_runs must not absorb them
@@ -68,7 +68,17 @@ object Bench {
     val fl = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val sf = sfDir.split("/sf").last
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qs,"all_runs":$raw,"failed":$fl,"sf":"$sf"}""")
+    // The stdout contract is ONE parseable JSON line, and the consumer
+    // only keeps the last ~2000 chars of output — with 60+ queries the
+    // per-run detail blew that budget (r3–r6 all arrived truncated), so
+    // the raw runs go to a sidecar file and the line stays compact.
+    val detail =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"all_runs":$raw,"failed":$fl,"sf":"$sf"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      detail.getBytes("UTF-8"))
+    catch { case NonFatal(e) => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    val flPart = if (failed.isEmpty) "" else s""","failed":$fl"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$flPart,"sf":"$sf"}""")
     spark.stop()
   }
 }
