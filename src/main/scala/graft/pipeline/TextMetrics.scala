@@ -727,4 +727,50 @@ object TextMetrics {
             col("n_fps").cast("double"))
           .otherwise(lit(0.0)).as("shared_frac"))
   }
+
+  /** BM25 retrieval scoring against a fixed query-term set (Lucene's
+    * idf variant) — the ranking half of retrieval-based corpus curation
+    * (finding documents "about" a topic for targeted mixing, eval-set
+    * construction, or retrieval-augmented filtering).
+    *
+    * score(d) = Σ_{t ∈ terms} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Scale shape: the query-term filter lands BEFORE the only corpus
+    * shuffle, so the (doc, term) aggregate sees query-term hits only —
+    * typically a vanishing fraction of the corpus token stream. Document
+    * length rides the explode as a constant grouping key (no second join
+    * against a corpus-sized relation); df (≤ |terms| rows) and the 1-row
+    * corpus stats broadcast back. Only docs hitting ≥1 term are emitted.
+    *
+    * Float discipline: ln/·// on bit-identical operands are bit-identical
+    * across engines; only the final per-doc Σ is order-dependent, so it
+    * runs as exact DECIMAL and rounds in the decimal domain (house rule,
+    * see CoreQueries.dsum). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: at least one query term")
+    val toks = TextFunctions.tokenize(col(textCol))
+    val hits = docs.select(col(idCol), size(toks).cast("long").as("dl"),
+        explode(toks).as("token"))
+      .filter(col("token").isin(terms: _*))
+    val tf = hits.groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("sum_dl"))
+    val perTerm = tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("tf"),
+        (log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+             (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+         (col("tf").cast("double") * lit(k1 + 1.0)) /
+         (col("tf").cast("double") + lit(k1) *
+           (lit(1.0 - b) + lit(b) * (col("dl").cast("double") /
+             (col("sum_dl").cast("double") / col("n_docs").cast("double"))))))
+          .cast("decimal(28,10)").as("term_score"))
+    perTerm.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("tf")).as("sum_tf"),
+        round(sum(col("term_score")), 6).cast("double").as("bm25"))
+  }
 }

@@ -201,6 +201,30 @@ object CoreQueries {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Event-time as-of join over the events stream: every purchase is
+    * enriched with the user's most recent click at-or-before it — the
+    * attribution/temporal-lookup shape ([[graft.operators.AsOfJoin]]).
+    * One shuffle on user_id, no range cross product; both sides may be
+    * corpus-sized. The oracle mirrors the union-and-sweep formulation
+    * (running `last_value IGNORE NULLS`) rather than DuckDB's ASOF JOIN,
+    * whose equal-ts tie order among right rows is unspecified. */
+  def q64AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.operators.AsOfJoin.asOf(purchases, clicks,
+        keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        payload = Seq("event_id", "ts"))
+      .select(col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("matched.event_id").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("matched.ts")))
+          .as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** T1 — Twitter-format timestamp roundtrip on real data: format each
     * event ts as `EEE MMM dd HH:mm:ss Z yyyy`, then parse it back with the
     * engine's parser (Spark cannot parse EEE; see
@@ -226,7 +250,8 @@ object CoreQueries {
     "q09_tumbling_windows" -> q09TumblingWindows,
     "q10_sessionize" -> q10Sessionize,
     "q11_twitter_ts_parse" -> q11TwitterTsParse,
-    "q38_session_window_native" -> q38SessionWindowNative)
+    "q38_session_window_native" -> q38SessionWindowNative,
+    "q64_asof_join" -> q64AsofJoin)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -357,5 +382,25 @@ object CoreQueries {
         |           '%Y-%m-%d %H:%M:%S') AS parsed_ts
         |FROM events
         |WHERE event_id < 1000
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q64_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |swept AS (
+        |  SELECT user_id, ts, event_id, side,
+        |         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |           OVER w AS click_id,
+        |         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+        |           OVER w AS click_ts
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id::BIGINT AS user_id,
+        |       event_id::BIGINT AS purchase_id,
+        |       click_id::BIGINT AS click_id,
+        |       (epoch_us(ts) - epoch_us(click_ts))::BIGINT AS gap_us
+        |FROM swept WHERE side = 1
+        |ORDER BY purchase_id""".stripMargin)
 }

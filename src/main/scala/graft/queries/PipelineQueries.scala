@@ -350,6 +350,15 @@ object PipelineQueries {
     TextMetrics.mixWeights(docs(spark, dir), "source", "text")
       .orderBy(col("source"))
 
+  /** BM25 retrieval scoring against a fixed query-term set — the ranking
+    * half of retrieval-based curation ([[TextMetrics.bm25]]). Terms span
+    * the frequency range of the synthetic vocabulary so idf variation is
+    * actually exercised. */
+  def q65Bm25(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.bm25(docs(spark, dir), "doc_id", "text",
+      terms = Seq("vector", "join", "slow", "spark", "window"))
+      .orderBy(col("doc_id"))
+
   /** Semantic dedup (SemDeDup): cluster embeddings around a
     * deterministic centroid subsample (vec_id < 16 — [[Similarity]]'s
     * q33 device; production trains centroids offline), prune rows with a
@@ -435,6 +444,7 @@ object PipelineQueries {
     "q61_length_percentiles" -> q61LengthPercentiles,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
+    "q65_bm25" -> q65Bm25,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -1198,5 +1208,34 @@ object PipelineQueries {
         |SELECT source, n_docs, n_tokens,
         |  round(sq, 6)::DOUBLE AS sqrt_tokens,
         |  round((sq::DOUBLE / tot::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS weight
-        |FROM q CROSS JOIN t ORDER BY source""".stripMargin)
+        |FROM q CROSS JOIN t ORDER BY source""".stripMargin,
+    // Mirrors TextMetrics.bm25 term-by-term: ln and the */ chain run on
+    // bit-identical double operands in the same association order as the
+    // Spark expression; only the per-doc Σ is order-dependent, so it sums
+    // as DECIMAL(28,10) and rounds in the decimal domain (house rule).
+    "q65_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS dl,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, token, count(*)::BIGINT AS tf FROM toks
+        |  WHERE token IN ('vector', 'join', 'slow', 'spark', 'window')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS n_docs,
+        |    sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT AS sum_dl
+        |  FROM documents),
+        |per AS (SELECT tf.doc_id, tf.tf,
+        |    (ln((n.n_docs::DOUBLE - df.df::DOUBLE + 0.5)
+        |          / (df.df::DOUBLE + 0.5) + 1.0)
+        |     * (tf.tf::DOUBLE * 2.2)
+        |     / (tf.tf::DOUBLE + 1.2
+        |        * (0.25 + 0.75 * (tf.dl::DOUBLE
+        |             / (n.sum_dl::DOUBLE / n.n_docs::DOUBLE)))))
+        |      ::DECIMAL(28,10) AS term_score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |  sum(tf)::BIGINT AS sum_tf,
+        |  round(sum(term_score), 6)::DOUBLE AS bm25
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }
