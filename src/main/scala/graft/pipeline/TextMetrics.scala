@@ -773,4 +773,50 @@ object TextMetrics {
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("tf")).as("sum_tf"),
         round(sum(col("term_score")), 6).cast("double").as("bm25"))
   }
+
+  /** PMI co-occurrence — collocation extraction (word-association mining,
+    * phrase detection for tokenizer/vocab construction, topic seeding).
+    * For each ordered token pair (a, b) with b within `window` tokens
+    * after a: pmi = ln( (c_ab/Tpairs) / ((c_a/Ttok)·(c_b/Ttok)) ).
+    *
+    * Pairs generate inside the row via higher-order functions (transform
+    * over the token array × a sliced lookahead) — no positions self-join,
+    * no join at all until the vocabulary-sized aggregates. The one corpus
+    * shuffle is the (a, b) count with map-side combine; key cardinality
+    * is co-occurring-vocab², which `minCount` bounds before the joins
+    * (rare pairs dominate that tail — standard collocation practice).
+    * Unigram counts and both 1-row totals broadcast.
+    *
+    * Hash discipline: each pmi is ONE ln over bit-identical double
+    * ratios — no order-dependent summation anywhere — so the value is
+    * engine-stable after decimal-domain rounding. */
+  def pmiCooccurrence(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 2, minCount: Long = 1L): DataFrame = {
+    require(window >= 1, "pmiCooccurrence: window must be >= 1")
+    val t = TextFunctions.tokenize(col(textCol))
+    // i is transform's 0-based index; slice is 1-based → lookahead of
+    // `window` tokens after position i starts at i+2
+    val pairCol = flatten(transform(t, (tok, i) =>
+      transform(slice(t, i + lit(2), lit(window)),
+        u => struct(tok.as("a"), u.as("b")))))
+    val pairs = docs.select(explode(pairCol).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = docs.select(explode(t).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val totTok = uni.agg(sum(col("c")).as("t_tok"))
+    val totPair = docs
+      .select(explode(pairCol).as("p")).agg(count(lit(1)).as("t_pair"))
+    pairs
+      .join(broadcast(uni.select(col("tok").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))), "b")
+      .crossJoin(broadcast(totTok)).crossJoin(broadcast(totPair))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        dec6(log(
+          (col("c_ab").cast("double") / col("t_pair").cast("double")) /
+          ((col("c_a").cast("double") / col("t_tok").cast("double")) *
+           (col("c_b").cast("double") / col("t_tok").cast("double")))))
+          .as("pmi"))
+  }
 }

@@ -359,6 +359,13 @@ object PipelineQueries {
       terms = Seq("vector", "join", "slow", "spark", "window"))
       .orderBy(col("doc_id"))
 
+  /** PMI co-occurrence at lookahead 2 with a support threshold —
+    * collocation extraction ([[TextMetrics.pmiCooccurrence]]). */
+  def q66Pmi(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.pmiCooccurrence(docs(spark, dir), "doc_id", "text",
+      window = 2, minCount = 5L)
+      .orderBy(col("a"), col("b"))
+
   /** Semantic dedup (SemDeDup): cluster embeddings around a
     * deterministic centroid subsample (vec_id < 16 — [[Similarity]]'s
     * q33 device; production trains centroids offline), prune rows with a
@@ -445,6 +452,7 @@ object PipelineQueries {
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
+    "q66_pmi" -> q66Pmi,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -1237,5 +1245,33 @@ object PipelineQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
         |  sum(tf)::BIGINT AS sum_tf,
         |  round(sum(term_score), 6)::DOUBLE AS bm25
-        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Mirrors TextMetrics.pmiCooccurrence: each pmi is a single ln over
+    // the same double ratio chain — no order-dependent summation — so
+    // decimal-domain rounding alone makes it hash-stable.
+    "q66_pmi" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |pos AS (SELECT doc_id, unnest(
+        |    [{'tok': t[i], 'pos': i} for i in generate_series(1, len(t))],
+        |    recursive := true) FROM toks),
+        |rawpairs AS (SELECT p1.tok AS a, p2.tok AS b
+        |  FROM pos p1 JOIN pos p2
+        |    ON p1.doc_id = p2.doc_id AND p2.pos BETWEEN p1.pos + 1 AND p1.pos + 2),
+        |pairs AS (SELECT a, b, count(*)::BIGINT AS c_ab FROM rawpairs
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |uni AS (SELECT tok, count(*)::BIGINT AS c FROM
+        |  (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+        |tt AS (SELECT sum(c)::BIGINT AS t_tok FROM uni),
+        |tp AS (SELECT count(*)::BIGINT AS t_pair FROM rawpairs)
+        |SELECT pairs.a, pairs.b, pairs.c_ab,
+        |  ua.c AS c_a, ub.c AS c_b,
+        |  round((ln((c_ab::DOUBLE / t_pair::DOUBLE)
+        |      / ((ua.c::DOUBLE / t_tok::DOUBLE)
+        |         * (ub.c::DOUBLE / t_tok::DOUBLE))))::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS pmi
+        |FROM pairs JOIN uni ua ON pairs.a = ua.tok
+        |           JOIN uni ub ON pairs.b = ub.tok
+        |           CROSS JOIN tt CROSS JOIN tp
+        |ORDER BY pairs.a, pairs.b""".stripMargin)
 }
