@@ -225,6 +225,14 @@ object TextMetrics {
     *
     * `rates` maps group → percentage (0-100); groups absent from the map
     * are dropped (rate 0). */
+  /** The sampleMix keep decision as one expression: true iff the doc's
+    * deterministic (salt, id) bucket falls under `ratePct`. Null
+    * `ratePct` (group absent from the rates map) yields null → callers
+    * filtering on it drop the row, matching the rate-0 semantics. */
+  def mixKeeps(id: Column, ratePct: Column, salt: String): Column =
+    pmod(TextFunctions.fingerprint(
+      concat(lit(salt), lit(":"), id.cast("string"))), lit(100L)) < ratePct
+
   def sampleMix(docs: DataFrame, idCol: String, groupCol: String,
       rates: Map[String, Int], salt: String = "mix"): DataFrame = {
     require(rates.values.forall(p => p >= 0 && p <= 100),
@@ -233,11 +241,8 @@ object TextMetrics {
     import spark.implicits._
     val ratesDf = rates.toSeq.toDF(groupCol, "_rate_pct")
     docs.join(broadcast(ratesDf), groupCol)
-      .withColumn("_bucket",
-        pmod(TextFunctions.fingerprint(
-          concat(lit(salt), lit(":"), col(idCol).cast("string"))), lit(100L)))
-      .filter(col("_bucket") < col("_rate_pct"))
-      .drop("_bucket", "_rate_pct")
+      .filter(mixKeeps(col(idCol), col("_rate_pct"), salt))
+      .drop("_rate_pct")
   }
 
   /** Weighted epoch upsampling — [[sampleMix]]'s complement for mix

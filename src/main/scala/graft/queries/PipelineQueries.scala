@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Pii, Similarity, TextMetrics}
+import graft.pipeline.{Curate, Dedup, Multimodal, Pii, Similarity, TextMetrics}
 
 /** Training-data pipeline queries (north-star extensions, BASELINE.json):
   * deduplication, similarity search, text analysis, multimodal plumbing —
@@ -366,6 +366,18 @@ object PipelineQueries {
       window = 2, minCount = 5L)
       .orderBy(col("a"), col("b"))
 
+  /** End-to-end curation ledger ([[Curate.curate]]): quality gate →
+    * canonical dedup → decontamination vs the src0 eval set →
+    * deterministic mix sampling, one verdict row per corpus document. */
+  def q67Curate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Curate.curate(d.filter(col("source") =!= "src0"), "doc_id", "text",
+        "source", d.filter(col("source") === "src0"), "doc_id", "text",
+        rates = Map("src1" -> 100, "src2" -> 75, "src3" -> 50,
+          "src4" -> 25, "src5" -> 10))
+      .orderBy(col("doc_id"))
+  }
+
   /** Semantic dedup (SemDeDup): cluster embeddings around a
     * deterministic centroid subsample (vec_id < 16 — [[Similarity]]'s
     * q33 device; production trains centroids offline), prune rows with a
@@ -453,6 +465,7 @@ object PipelineQueries {
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
     "q66_pmi" -> q66Pmi,
+    "q67_curate" -> q67Curate,
     "q29_multimodal" -> q29Multimodal)
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
@@ -1273,5 +1286,62 @@ object PipelineQueries {
         |FROM pairs JOIN uni ua ON pairs.a = ua.tok
         |           JOIN uni ub ON pairs.b = ub.tok
         |           CROSS JOIN tt CROSS JOIN tp
-        |ORDER BY pairs.a, pairs.b""".stripMargin)
+        |ORDER BY pairs.a, pairs.b""".stripMargin,
+    // Mirrors Curate.curate stage by stage. Quality thresholds compare
+    // the RAW double ratios (division of identical operands is IEEE-
+    // identical across engines — no rounding needed for a comparison);
+    // dedup/gram/mix devices are the q39/q43/q47 fragments.
+    "q67_curate" ->
+      """WITH corpus AS (SELECT doc_id, source, text FROM documents
+        |  WHERE source <> 'src0'),
+        |q AS (SELECT doc_id, source, text,
+        |    regexp_split_to_array(lower(text), '\s+') AS t,
+        |    (length(text) >= 50
+        |     AND (length(text) - length(regexp_replace(text,
+        |            '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+        |         / length(text)::DOUBLE < 0.2
+        |     AND (length(text) - len(regexp_split_to_array(lower(text), '\s+'))
+        |            + 1)::DOUBLE
+        |         / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE
+        |         BETWEEN 3 AND 12) AS q_ok
+        |  FROM corpus),
+        |pass1 AS (SELECT doc_id, source, text, t FROM q WHERE q_ok),
+        |keep AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS ck,
+        |    min(doc_id) AS keep_id
+        |  FROM pass1 GROUP BY 1),
+        |dup AS (SELECT p.doc_id, p.doc_id <> k.keep_id AS is_dup
+        |  FROM pass1 p JOIN keep k
+        |    ON md5(trim(regexp_replace(regexp_replace(lower(p.text),
+        |         '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) = k.ck),
+        |cg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |    [('0x'
+        |      || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+        |     for i in generate_series(1, len(t) - 7)]
+        |  ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM pass1),
+        |eg AS (SELECT DISTINCT gram_fp FROM (
+        |  SELECT unnest(CASE WHEN len(t) >= 8 THEN
+        |      [('0x'
+        |        || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+        |       for i in generate_series(1, len(t) - 7)]
+        |    ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM (
+        |    SELECT regexp_split_to_array(lower(text), '\s+') AS t
+        |    FROM documents WHERE source = 'src0'))),
+        |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram_fp)),
+        |rates AS (SELECT * FROM (VALUES
+        |    ('src1', 100), ('src2', 75), ('src3', 50), ('src4', 25),
+        |    ('src5', 10)) AS r(source, rate_pct))
+        |SELECT q.doc_id, q.source,
+        |  CASE WHEN NOT q_ok THEN 'dropped_quality'
+        |       WHEN d.is_dup THEN 'dropped_duplicate'
+        |       WHEN c.doc_id IS NOT NULL THEN 'dropped_contaminated'
+        |       WHEN r.rate_pct IS NOT NULL AND
+        |            ('0x' || substr(md5('curate:' || q.doc_id::VARCHAR), 1, 15))
+        |              ::BIGINT % 100 < r.rate_pct
+        |         THEN 'kept'
+        |       ELSE 'dropped_sampled' END AS verdict
+        |FROM q LEFT JOIN dup d USING (doc_id)
+        |       LEFT JOIN contam c USING (doc_id)
+        |       LEFT JOIN rates r USING (source)
+        |ORDER BY q.doc_id""".stripMargin)
 }
