@@ -225,6 +225,23 @@ object CoreQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** Ordered funnel over the events stream ([[graft.operators.Funnel]]):
+    * signup → click within 24 h → purchase within 24 h of the click.
+    * One shuffle on user_id; all three step windows and the per-user
+    * collapse ride the same exchange. The oracle uses the equivalent
+    * per-step join formulation — values identical (same min over the
+    * same sets), mechanism deliberately different. */
+  def q68Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnel(t(spark, dir, "events"),
+        "user_id", "ts", "event_type",
+        steps = Seq("signup", "click", "purchase"), maxGap = "24 hours")
+      .select(col("user_id"),
+        tsStrMicros(col("t0")).as("signup_ts"),
+        tsStrMicros(col("t1")).as("click_ts"),
+        tsStrMicros(col("t2")).as("purchase_ts"),
+        col("steps_completed"))
+      .orderBy(col("user_id"))
+
   /** T1 — Twitter-format timestamp roundtrip on real data: format each
     * event ts as `EEE MMM dd HH:mm:ss Z yyyy`, then parse it back with the
     * engine's parser (Spark cannot parse EEE; see
@@ -251,7 +268,8 @@ object CoreQueries {
     "q10_sessionize" -> q10Sessionize,
     "q11_twitter_ts_parse" -> q11TwitterTsParse,
     "q38_session_window_native" -> q38SessionWindowNative,
-    "q64_asof_join" -> q64AsofJoin)
+    "q64_asof_join" -> q64AsofJoin,
+    "q68_funnel" -> q68Funnel)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -402,5 +420,24 @@ object CoreQueries {
         |       click_id::BIGINT AS click_id,
         |       (epoch_us(ts) - epoch_us(click_ts))::BIGINT AS gap_us
         |FROM swept WHERE side = 1
-        |ORDER BY purchase_id""".stripMargin)
+        |ORDER BY purchase_id""".stripMargin,
+    "q68_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts::TIMESTAMP) AS t0 FROM events
+        |    WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts::TIMESTAMP) AS t1
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP >= s.t0
+        |    AND e.ts::TIMESTAMP <= s.t0 + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts::TIMESTAMP) AS t2
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP >= c.t1
+        |    AND e.ts::TIMESTAMP <= c.t1 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT s.user_id,
+        |  strftime(s.t0, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+        |  strftime(c.t1, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  strftime(p.t2, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  (1 + (c.t1 IS NOT NULL)::INT + (p.t2 IS NOT NULL)::INT)::BIGINT
+        |    AS steps_completed
+        |FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY s.user_id""".stripMargin)
 }
