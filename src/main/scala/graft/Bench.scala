@@ -35,8 +35,14 @@ object Bench {
         System.err.println(s"[bench] warm-up scan of '$n' failed: ${e.getMessage}")
       }
     }
+    // SPARK_GRAFT_ONLY=q42_repetition,q66_pmi — iterate on a subset
+    // without paying the full sweep; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val timed = (1 to runs).map { i =>
         val t0 = System.nanoTime()
         val ok =
