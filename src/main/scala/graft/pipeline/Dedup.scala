@@ -484,13 +484,16 @@ object Dedup {
   private def gramFingerprints(df: DataFrame, idCol: String, textCol: String,
       outId: String, n: Int): DataFrame = {
     val t = TextFunctions.tokenize(col(textCol))
+    // positions explode + slice/join/md5 in the fused projection — the
+    // transform-lambda form built the fingerprint array interpreted
+    // (same trap as the q34 gram builder); sequence(1, 0) descends, so
+    // short docs are guarded to an empty position array
     df.select(col(idCol).as(outId), t.as("_t"))
-      .select(col(outId), explode(
-        when(size(col("_t")) >= n, // sequence(1, 0) descends — guard
-          transform(sequence(lit(1), size(col("_t")) - (n - 1)),
-            i => TextFunctions.fingerprint(
-              array_join(slice(col("_t"), i, lit(n)), " "))))
-          .otherwise(array().cast("array<bigint>"))).as("gram_fp"))
+      .select(col(outId), col("_t"), explode(
+        when(size(col("_t")) >= n, sequence(lit(1), size(col("_t")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("_i"))
+      .select(col(outId), TextFunctions.fingerprint(
+        array_join(slice(col("_t"), col("_i"), lit(n)), " ")).as("gram_fp"))
   }
 
   /** Shared verify + rollup tail: corpus grams × eval grams → per-doc
