@@ -199,4 +199,28 @@ object Similarity {
       dotExact(quantize(col(vecCol)), quantize(col(vecCol))).as("norm_sq_q"))
       .withColumn("norm_dev_q", col("norm_sq_q") - lit(unitSq))
   }
+
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the index-health metric every deployed ANN system monitors (probe
+    * counts, nBits, and nprobe are tuned against exactly this number).
+    * Both inputs are (query_id, rank, corpus_id, ...) frames as produced
+    * by [[bruteForceTopK]] / [[lshTopK]] / [[ivfTopK]].
+    *
+    * Shape: the exact side is the ground truth (k rows per query); one
+    * left join on (query_id, corpus_id) — both sides are k·|queries|
+    * rows, vanishing next to the corpus, so this runs wherever the topK
+    * outputs land. The division is a single IEEE-exact op over integer
+    * operands; rounding follows the decimal-domain house rule. */
+  def recallReport(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "recallReport: k must be >= 1")
+    val hits = approx.select(col("query_id"), col("corpus_id"))
+      .withColumn("_hit", lit(1L))
+    exact.select(col("query_id"), col("corpus_id"))
+      .join(hits, Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"), lit(k.toLong).as("k"),
+        round((col("n_hit").cast("double") / lit(k.toDouble))
+          .cast("decimal(28,10)"), 6).cast("double").as("recall"))
+  }
 }

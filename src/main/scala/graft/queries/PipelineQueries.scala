@@ -378,6 +378,18 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Recall@10 of the q24 LSH index against the q23 exact baseline —
+    * the ANN index-health metric ([[Similarity.recallReport]]). */
+  def q69AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < 16)
+    Similarity.recallReport(
+        Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 10),
+        Similarity.lshTopK(e, queries, "vec_id", "embedding", k = 10, nBits = 8),
+        k = 10)
+      .orderBy(col("query_id"))
+  }
+
   /** Semantic dedup (SemDeDup): cluster embeddings around a
     * deterministic centroid subsample (vec_id < 16 — [[Similarity]]'s
     * q33 device; production trains centroids offline), prune rows with a
@@ -466,7 +478,71 @@ object PipelineQueries {
     "q65_bm25" -> q65Bm25,
     "q66_pmi" -> q66Pmi,
     "q67_curate" -> q67Curate,
+    "q69_ann_recall" -> q69AnnRecall,
     "q29_multimodal" -> q29Multimodal)
+
+  // q23/q24 oracle bodies without the presentation ORDER BY — each
+  // serves its own query (plus the order) AND rides as a CTE inside
+  // q69's recall report.
+  private val q23Body =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+      |  FROM embeddings),
+      |exp AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
+      |  FROM v q CROSS JOIN v c
+      |  WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id),
+      |dots AS (
+      |  SELECT query_id, corpus_id, sum(qx * cx)::BIGINT AS dot_q
+      |  FROM exp GROUP BY 1, 2)
+      |SELECT query_id, rank, corpus_id, dot_q FROM (
+      |  SELECT query_id, corpus_id, dot_q,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dot_q DESC, corpus_id) AS rank
+      |  FROM dots)
+      |WHERE rank <= 10""".stripMargin
+
+  private val q24Body =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv,
+      |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+      |     + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+      |     + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+      |     + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+      |     + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
+      |  FROM embeddings),
+      |probes AS (
+      |  SELECT vec_id AS query_id, qv,
+      |    unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
+      |      xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT),
+      |      xor(bucket, 16::BIGINT), xor(bucket, 32::BIGINT),
+      |      xor(bucket, 64::BIGINT), xor(bucket, 128::BIGINT)]) AS bucket
+      |  FROM v WHERE vec_id < 16),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, c.vec_id AS corpus_id
+      |  FROM probes p JOIN v c ON c.bucket = p.bucket
+      |  WHERE c.vec_id <> p.query_id),
+      |exp AS (
+      |  SELECT cand.query_id, cand.corpus_id,
+      |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
+      |  FROM cand
+      |  JOIN v q ON q.vec_id = cand.query_id
+      |  JOIN v c ON c.vec_id = cand.corpus_id),
+      |dots AS (
+      |  SELECT query_id, corpus_id, sum(qx * cx)::BIGINT AS dot_q
+      |  FROM exp GROUP BY 1, 2)
+      |SELECT query_id, rank, corpus_id, dot_q FROM (
+      |  SELECT query_id, corpus_id, dot_q,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dot_q DESC, corpus_id) AS rank
+      |  FROM dots)
+      |WHERE rank <= 10""".stripMargin
 
   // Shared oracle CTE: tokenization + 3-shingle sets, mirroring
   // TextFunctions.tokenize/shingles exactly (split keeps empty tokens;
@@ -698,63 +774,23 @@ object PipelineQueries {
         |  (norm_sq_q - 1000000000000)::BIGINT AS norm_dev_q
         |FROM q ORDER BY vec_id""".stripMargin,
     "q23_similarity_brute" ->
-      """WITH v AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
-        |  FROM embeddings),
-        |exp AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-        |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
-        |  FROM v q CROSS JOIN v c
-        |  WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id),
-        |dots AS (
-        |  SELECT query_id, corpus_id, sum(qx * cx)::BIGINT AS dot_q
-        |  FROM exp GROUP BY 1, 2)
-        |SELECT query_id, rank, corpus_id, dot_q FROM (
-        |  SELECT query_id, corpus_id, dot_q,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot_q DESC, corpus_id) AS rank
-        |  FROM dots)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      (q23Body + "\nORDER BY query_id, rank"),
     "q24_similarity_lsh" ->
-      """WITH v AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv,
-        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
-        |     + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
-        |     + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
-        |     + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
-        |     + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
-        |  FROM embeddings),
-        |probes AS (
-        |  SELECT vec_id AS query_id, qv,
-        |    unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
-        |      xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT),
-        |      xor(bucket, 16::BIGINT), xor(bucket, 32::BIGINT),
-        |      xor(bucket, 64::BIGINT), xor(bucket, 128::BIGINT)]) AS bucket
-        |  FROM v WHERE vec_id < 16),
-        |cand AS (
-        |  SELECT DISTINCT p.query_id, c.vec_id AS corpus_id
-        |  FROM probes p JOIN v c ON c.bucket = p.bucket
-        |  WHERE c.vec_id <> p.query_id),
-        |exp AS (
-        |  SELECT cand.query_id, cand.corpus_id,
-        |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
-        |  FROM cand
-        |  JOIN v q ON q.vec_id = cand.query_id
-        |  JOIN v c ON c.vec_id = cand.corpus_id),
-        |dots AS (
-        |  SELECT query_id, corpus_id, sum(qx * cx)::BIGINT AS dot_q
-        |  FROM exp GROUP BY 1, 2)
-        |SELECT query_id, rank, corpus_id, dot_q FROM (
-        |  SELECT query_id, corpus_id, dot_q,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot_q DESC, corpus_id) AS rank
-        |  FROM dots)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      (q24Body + "\nORDER BY query_id, rank"),
+    // Recall@10 of the q24 LSH result against the q23 exact result:
+    // both bodies reused verbatim as CTEs, left join on the (query,
+    // corpus) pair, count hits per query.
+    "q69_ann_recall" ->
+      (s"WITH b AS (\n$q23Body\n), a AS (\n$q24Body\n),\n" +
+        """hit AS (SELECT b.query_id,
+          |    sum(CASE WHEN a.corpus_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+          |      AS n_hit
+          |  FROM b LEFT JOIN a
+          |    ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id
+          |  GROUP BY 1)
+          |SELECT query_id, n_hit, 10::BIGINT AS k,
+          |  round((n_hit::DOUBLE / 10.0)::DECIMAL(28,10), 6)::DOUBLE AS recall
+          |FROM hit ORDER BY query_id""".stripMargin),
     "q33_similarity_ivf" ->
       """WITH v AS (
         |  SELECT vec_id,

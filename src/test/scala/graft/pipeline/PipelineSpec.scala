@@ -764,4 +764,22 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(viaShared == viaOperator)
   }
+
+  test("recallReport: identical results score 1, disjoint 0, partial exact") {
+    import spark.implicits._
+    def topk(rows: (Long, Long)*) = rows.toSeq.toDF("query_id", "corpus_id")
+    val exact = topk((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L))
+    val approx = topk((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), // all 4
+      (2L, 20L), (2L, 99L), (2L, 98L), (2L, 97L)) // 1 of 4
+    val m = Similarity.recallReport(exact, approx, k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(m(1L) === ((4L, 1.0)))
+    assert(m(2L) === ((1L, 0.25)))
+    // approx hits outside the exact set never inflate the count
+    val inflated = Similarity.recallReport(exact,
+      topk((1L, 50L), (1L, 51L), (2L, 52L)), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inflated === Map(1L -> 0L, 2L -> 0L))
+  }
 }
