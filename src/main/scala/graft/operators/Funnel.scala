@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Ordered-funnel analysis — the sequential-pattern operator of product
   * analytics (signup → click → purchase conversion): step i is reached
@@ -49,5 +50,57 @@ object Funnel {
       .withColumn("steps_completed",
         steps.indices.map(i =>
           when(col(s"t$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+  }
+
+  /** One funnel event: (user, event type, event-time micros). */
+  case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+  /** Emitted whenever a user's funnel advances: the step index (0-based)
+    * and the event-time that reached it. */
+  case class FunnelAdvance(user_id: Long, step: Int, ts_us: Long)
+  private[operators] case class FunnelState(reached: List[Long])
+
+  /** Streaming form — live conversion tracking with checkpointed
+    * per-user state (W6: survives restart, where a Storm bolt's buffer
+    * would not). Emits a [[FunnelAdvance]] row the moment a user's
+    * funnel advances a step; state is the list of reached step times
+    * (≤ |steps| longs per user — bounded, no event buffering).
+    *
+    * Parity with [[funnel]] holds for streams delivered in event-time
+    * order per user: within a micro-batch events process in ts order
+    * (arrival order is undefined under retries — the same documented
+    * device as [[graft.streaming.PunctuationWindow]]), but a
+    * cross-batch LATE event cannot retro-advance an earlier step
+    * (streaming monotonicity — the standard funnel-tracking trade). */
+  def funnelStreaming(events: Dataset[FunnelEvent], steps: Seq[String],
+      maxGapUs: Long): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "funnelStreaming: at least one step")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[FunnelEvent], state) =>
+          var reached = state.getOption.map(_.reached).getOrElse(Nil)
+          val out = List.newBuilder[FunnelAdvance]
+          // ties at one ts process in STEP order (non-step events last),
+          // so an equal-ts next-step event still advances — the same
+          // inclusive bound the batch form's (ts, side) window order has
+          def stepIdx(t: String) = { val i = steps.indexOf(t)
+            if (i < 0) Int.MaxValue else i }
+          it.toSeq.sortBy(e => (e.ts_us, stepIdx(e.event_type))).foreach { e =>
+            val next = reached.length
+            if (next < steps.length && e.event_type == steps(next)) {
+              val eligible =
+                if (next == 0) true
+                else e.ts_us >= reached.head &&
+                  e.ts_us <= reached.head + maxGapUs
+              if (eligible) {
+                reached = e.ts_us :: reached
+                out += FunnelAdvance(user, next, e.ts_us)
+              }
+            }
+          }
+          if (reached.nonEmpty) state.update(FunnelState(reached))
+          out.result().iterator
+      }
   }
 }

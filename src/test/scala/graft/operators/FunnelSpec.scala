@@ -58,4 +58,78 @@ class FunnelSpec extends AnyFunSuite {
       (5L, 24 * H, "purchase"))) // exactly at the 24h bound
     assert(m(5L)._4 == 3L)
   }
+
+  test("funnelStreaming advances across micro-batches and holds state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Funnel.FunnelEvent]
+    val query = Funnel.funnelStreaming(stream.toDS(),
+        Seq("signup", "click", "purchase"), maxGapUs = 24 * H)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_stream").start()
+    try {
+      // batch 1: signup + an out-of-window click (ignored), equal-ts click counts
+      stream.addData(
+        Funnel.FunnelEvent(1L, "click", 0L),   // pre-signup: ignored
+        Funnel.FunnelEvent(1L, "signup", H),
+        Funnel.FunnelEvent(2L, "signup", 0L))
+      query.processAllAvailable()
+      val b1 = spark.table("funnel_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(b1 === Set((1L, 0, H), (2L, 0, 0L)))
+      // batch 2: user 1 advances through click; user 2's click too late
+      stream.addData(
+        Funnel.FunnelEvent(1L, "click", 3 * H),
+        Funnel.FunnelEvent(2L, "click", 30 * H))
+      query.processAllAvailable()
+      val b2 = spark.table("funnel_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(b2 === b1 + ((1L, 1, 3 * H)))
+      // batch 3: purchase within 24h of the CLICK (40h after signup)
+      stream.addData(Funnel.FunnelEvent(1L, "purchase", 22 * H))
+      query.processAllAvailable()
+      val b3 = spark.table("funnel_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(b3 === b2 + ((1L, 2, 22 * H)))
+    } finally query.stop()
+  }
+
+  test("funnelStreaming matches the batch funnel on ts-ordered real events") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val steps = Seq("signup", "click", "purchase")
+    val gap = 24L * 3600L * 1000000L
+    // batch reference: step times from the window formulation
+    val batch = Funnel.funnel(
+        ev.withColumn("ts", timestamp_micros(col("ts_us"))),
+        "user_id", "ts", "event_type", steps, "24 hours")
+      .select(col("user_id"), unix_micros(col("t0")),
+        unix_micros(col("t1")), unix_micros(col("t2")))
+      .collect()
+      .flatMap { r =>
+        (0 to 2).flatMap(i => Option(r.get(i + 1))
+          .map(t => (r.getLong(0), i, t.asInstanceOf[Long])))
+      }.toSet
+    // streaming: feed ALL events ts-ordered in two micro-batches
+    val ordered = ev.as[(Long, String, Long)].collect()
+      .map { case (u, t, us) => Funnel.FunnelEvent(u, t, us) }
+      .sortBy(_.ts_us)
+    val (first, second) = ordered.splitAt(ordered.length / 2)
+    val stream = MemoryStream[Funnel.FunnelEvent]
+    val query = Funnel.funnelStreaming(stream.toDS(), steps, gap)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_parity").start()
+    try {
+      stream.addData(first.toSeq); query.processAllAvailable()
+      stream.addData(second.toSeq); query.processAllAvailable()
+      val got = spark.table("funnel_parity").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === batch)
+    } finally query.stop()
+  }
 }
