@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Event-time as-of join — the temporal lookup Spark has no native
   * operator for: for each left row, attach the most recent right row
@@ -67,5 +68,48 @@ object AsOfJoin {
       .filter(col("__side") === 1)
     enriched.select(left.columns.map(c => col(s"__row.$c").as(c)).toSeq
       :+ col("matched"): _*)
+  }
+
+  /** One stream event: side 0 = lookup/right, side 1 = probe/left; `id`
+    * is the payload identifier and the equal-ts tiebreak (max wins). */
+  case class AsOfEvent(key: Long, side: Int, ts_us: Long, id: Long)
+  /** Emitted for each left event: the matched right id/ts, null-free
+    * variant uses matched = -1 when nothing preceded. */
+  case class AsOfMatch(key: Long, left_id: Long, ts_us: Long,
+      matched_id: Option[Long], matched_ts: Option[Long])
+  private[operators] case class AsOfState(rightTs: Long, rightId: Long)
+
+  /** Streaming form — real-time enrichment: each left event is matched
+    * against the LATEST right event seen so far for its key (state is
+    * one (ts, id) pair per key — O(1), checkpointed; a Storm bolt's
+    * in-memory last-value map, made restart-safe).
+    *
+    * Parity with [[asOf]] holds for streams delivered in event-time
+    * order per key: within a micro-batch events process in (ts, side,
+    * id) order — right before left at equal ts, max id among equal-ts
+    * rights — exactly the batch window order; a cross-batch LATE right
+    * event cannot rewrite matches already emitted (streaming
+    * monotonicity, same trade as [[Funnel.funnelStreaming]]). */
+  def asOfStreaming(events: Dataset[AsOfEvent]): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[AsOfEvent], state) =>
+          var latest = state.getOption
+          val out = List.newBuilder[AsOfMatch]
+          it.toSeq.sortBy(e => (e.ts_us, e.side, e.id)).foreach { e =>
+            if (e.side == 0) {
+              if (latest.forall(s => e.ts_us > s.rightTs ||
+                  (e.ts_us == s.rightTs && e.id >= s.rightId)))
+                latest = Some(AsOfState(e.ts_us, e.id))
+            } else {
+              out += AsOfMatch(key, e.id, e.ts_us,
+                latest.map(_.rightId), latest.map(_.rightTs))
+            }
+          }
+          latest.foreach(state.update)
+          out.result().iterator
+      }
   }
 }

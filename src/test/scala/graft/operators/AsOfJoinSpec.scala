@@ -65,4 +65,72 @@ class AsOfJoinSpec extends AnyFunSuite {
       right = Seq((1L, 9L, 200L)))
     assert(m(100L).contains(200L) && m(101L).contains(200L))
   }
+
+  test("asOfStreaming holds state across batches; ties mirror batch order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[AsOfJoin.AsOfEvent]
+    val query = AsOfJoin.asOfStreaming(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_stream").start()
+    def rows() = spark.table("asof_stream").collect()
+      .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    try {
+      // batch 1: left before any right → no match; equal-ts right wins
+      stream.addData(
+        AsOfJoin.AsOfEvent(1L, 1, 5L, 100L),  // probe at ts 5: nothing yet
+        AsOfJoin.AsOfEvent(1L, 0, 10L, 200L), // rights at ts 10: max id wins
+        AsOfJoin.AsOfEvent(1L, 0, 10L, 205L),
+        AsOfJoin.AsOfEvent(1L, 1, 10L, 101L)) // equal-ts probe matches 205
+      query.processAllAvailable()
+      assert(rows() === Map(100L -> None, 101L -> Some(205L)))
+      // batch 2: state carried — a later probe still sees right 205
+      stream.addData(AsOfJoin.AsOfEvent(1L, 1, 50L, 102L))
+      query.processAllAvailable()
+      assert(rows()(102L).contains(205L))
+      // keys never cross
+      stream.addData(AsOfJoin.AsOfEvent(2L, 1, 99L, 103L))
+      query.processAllAvailable()
+      assert(rows()(103L).isEmpty)
+    } finally query.stop()
+  }
+
+  test("asOfStreaming matches batch asOf on the ts-ordered events table") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val batch = {
+      val clicks = ev.filter(col("side") === 0)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("event_id"))
+      val purchases = ev.filter(col("side") === 1)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("event_id"))
+      AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "event_id",
+          Seq("event_id"))
+        .collect().map(r => r.getLong(2) ->
+          Option(r.get(3)).map(_.asInstanceOf[org.apache.spark.sql.Row].getLong(0)))
+        .toMap
+    }
+    val ordered = ev.as[(Long, Int, Long, Long)].collect()
+      .map { case (k, s, ts, id) => AsOfJoin.AsOfEvent(k, s, ts, id) }
+      .sortBy(_.ts_us)
+    val (a, b) = ordered.splitAt(ordered.length / 2)
+    val stream = MemoryStream[AsOfJoin.AsOfEvent]
+    val query = AsOfJoin.asOfStreaming(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_parity").start()
+    try {
+      stream.addData(a.toSeq); query.processAllAvailable()
+      stream.addData(b.toSeq); query.processAllAvailable()
+      val got = spark.table("asof_parity").collect()
+        .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      assert(got === batch)
+    } finally query.stop()
+  }
 }
