@@ -545,4 +545,43 @@ object Dedup {
       .filter(mightContain(col("gram_fp")))
     decontaminateVerify(corpus, corpusIdCol, cg, eg)
   }
+
+  /** Cross-document n-gram novelty — the duplicate-n-gram fraction of
+    * the Dolma/RefinedWeb quality suite: how much of a document's
+    * distinct n-gram set also appears in OTHER documents. Complements
+    * [[graft.pipeline.TextMetrics.repetitionStats]] (intra-document
+    * repetition) and `sharedSubstringStats` (winnow-SAMPLED substrings);
+    * this is the exhaustive exact-gram form.
+    *
+    * Scale shape: only (id, 8-byte gram fingerprint) pairs ever shuffle
+    * — text explodes to fingerprints map-side. One gram-keyed aggregate
+    * builds the corpus gram table (count = owning docs, since the pairs
+    * are per-doc distinct); shared grams join back fingerprint-keyed.
+    * Gram-table cardinality grows with corpus size, but per-key rows are
+    * true duplication multiplicity — the identical profile q54 carries.
+    *
+    * `novelty_frac = 1 − shared/total`; a doc too short for any n-gram
+    * is fully novel by convention. */
+  def gramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val fps = gramFingerprints(docs, idCol, textCol, idCol, n).distinct()
+    val sharedFps = fps.groupBy(col("gram_fp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("gram_fp"))
+    val shared = fps.join(sharedFps, "gram_fp")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
+    val totals = fps.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round((lit(1.0) -
+            coalesce(col("n_shared_grams"), lit(0L)).cast("double") /
+              col("n_grams").cast("double")).cast("decimal(28,10)"), 6)
+            .cast("double"))
+          .otherwise(lit(1.0)).as("novelty_frac"))
+  }
 }

@@ -378,6 +378,12 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document 8-gram novelty ([[Dedup.gramNovelty]]) — the
+    * duplicate-n-gram quality signal, exhaustive exact-gram form. */
+  def q70GramNovelty(spark: SparkSession, dir: String): DataFrame =
+    Dedup.gramNovelty(docs(spark, dir), "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+
   /** Recall@10 of the q24 LSH index against the q23 exact baseline —
     * the ANN index-health metric ([[Similarity.recallReport]]). */
   def q69AnnRecall(spark: SparkSession, dir: String): DataFrame = {
@@ -479,6 +485,7 @@ object PipelineQueries {
     "q66_pmi" -> q66Pmi,
     "q67_curate" -> q67Curate,
     "q69_ann_recall" -> q69AnnRecall,
+    "q70_gram_novelty" -> q70GramNovelty,
     "q29_multimodal" -> q29Multimodal)
 
   // q23/q24 oracle bodies without the presentation ORDER BY — each
@@ -791,6 +798,32 @@ object PipelineQueries {
           |SELECT query_id, n_hit, 10::BIGINT AS k,
           |  round((n_hit::DOUBLE / 10.0)::DECIMAL(28,10), 6)::DOUBLE AS recall
           |FROM hit ORDER BY query_id""".stripMargin),
+    // Mirrors Dedup.gramNovelty: the q43 gram-fingerprint device over
+    // ALL documents, distinct per doc; a gram is shared when >= 2 docs
+    // own it. 1 - shared/total on exact ints, decimal-domain round.
+    "q70_gram_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram_fp FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      [('0x'
+        |        || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+        |       for i in generate_series(1, len(t) - 7)]
+        |    ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM toks)),
+        |own AS (SELECT gram_fp FROM (
+        |  SELECT gram_fp, count(*) AS c FROM g GROUP BY 1) WHERE c >= 2),
+        |sh AS (SELECT doc_id, count(*)::BIGINT AS n_shared_grams
+        |  FROM g JOIN own USING (gram_fp) GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(tot.n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(sh.n_shared_grams, 0)::BIGINT AS n_shared_grams,
+        |  CASE WHEN coalesce(tot.n_grams, 0) > 0 THEN
+        |    round((1.0 - coalesce(sh.n_shared_grams, 0)::DOUBLE
+        |             / tot.n_grams::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+        |  ELSE 1.0::DOUBLE END AS novelty_frac
+        |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN sh USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q33_similarity_ivf" ->
       """WITH v AS (
         |  SELECT vec_id,

@@ -765,6 +765,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaShared == viaOperator)
   }
 
+  test("gramNovelty: shared grams witnessed across docs, short docs fully novel") {
+    import spark.implicits._
+    val eight = "a b c d e f g h"            // exactly one 8-gram
+    val docs = Seq(
+      (1L, eight),                            // shares its gram with doc 2
+      (2L, eight + " i"),                     // grams: abcdefgh + bcdefghi
+      (3L, "p q r s t u v w x"),              // two grams, all unique
+      (4L, "too short")).toDF("doc_id", "text")
+    val m = Dedup.gramNovelty(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L) === ((1L, 1L, 0.0)))
+    assert(m(2L) === ((2L, 1L, 0.5)))
+    assert(m(3L) === ((2L, 0L, 1.0)))
+    assert(m(4L) === ((0L, 0L, 1.0))) // no 8-gram → fully novel by convention
+    // intra-doc repetition alone is NOT cross-doc sharing (distinct per doc)
+    val solo = Dedup.gramNovelty(
+      Seq((9L, eight + " " + eight)).toDF("doc_id", "text"),
+      "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(solo(9L) == 0L)
+  }
+
   test("recallReport: identical results score 1, disjoint 0, partial exact") {
     import spark.implicits._
     def topk(rows: (Long, Long)*) = rows.toSeq.toDF("query_id", "corpus_id")
