@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Curate, Dedup, Multimodal, Pii, Similarity, TextMetrics}
+import graft.pipeline.{Bpe, Curate, Dedup, Multimodal, Pii, Similarity, TextMetrics}
 
 /** Training-data pipeline queries (north-star extensions, BASELINE.json):
   * deduplication, similarity search, text analysis, multimodal plumbing —
@@ -378,6 +378,15 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge training ([[Bpe.trainMerges]]): learn 10 merges from the
+    * corpus word frequencies. Iterative greedy argmax — not
+    * SQL-expressible, so no oracle (rows-only driver check, the q36
+    * contract); BpeSpec pins the merge sequence against an independent
+    * reimplementation. */
+  def q71BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Bpe.trainMerges(docs(spark, dir), "text", numMerges = 10)
+      .orderBy(col("merge_rank"))
+
   /** Cross-document 8-gram novelty ([[Dedup.gramNovelty]]) — the
     * duplicate-n-gram quality signal, exhaustive exact-gram form. */
   def q70GramNovelty(spark: SparkSession, dir: String): DataFrame =
@@ -486,6 +495,7 @@ object PipelineQueries {
     "q67_curate" -> q67Curate,
     "q69_ann_recall" -> q69AnnRecall,
     "q70_gram_novelty" -> q70GramNovelty,
+    "q71_bpe_merges" -> q71BpeMerges,
     "q29_multimodal" -> q29Multimodal)
 
   // q23/q24 oracle bodies without the presentation ORDER BY — each
