@@ -231,6 +231,26 @@ object TextMetrics {
     *
     * `rates` maps group → percentage (0-100); groups absent from the map
     * are dropped (rate 0). */
+  /** Deterministic train/validation/test split assignment: the split
+    * label is a pure function of (salt, id) — stable under
+    * repartitioning, retries, engine choice and corpus growth (a
+    * document keeps its split when new data arrives, the property that
+    * prevents silent eval-set leakage across dataset versions).
+    * `splits` maps label → percentage; must sum to 100. Buckets are
+    * assigned by cumulative range in the given order. */
+  def assignSplits(docs: DataFrame, idCol: String,
+      splits: Seq[(String, Int)], salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100 &&
+      splits.forall(_._2 > 0), "assignSplits: positive percentages summing to 100")
+    val bucket = pmod(TextFunctions.fingerprint(
+      concat(lit(salt), lit(":"), col(idCol).cast("string"))), lit(100L))
+    val cum = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val label = splits.zip(cum).foldRight(lit(splits.last._1)) {
+      case (((name, _), upper), acc) => when(bucket < upper, name).otherwise(acc)
+    }
+    docs.withColumn("split", label)
+  }
+
   /** The sampleMix keep decision as one expression: true iff the doc's
     * deterministic (salt, id) bucket falls under `ratePct`. Null
     * `ratePct` (group absent from the rates map) yields null → callers

@@ -378,6 +378,15 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic 80/10/10 split assignment
+    * ([[TextMetrics.assignSplits]]) — documents keep their split under
+    * repartitioning, reruns and corpus growth. */
+  def q72SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.assignSplits(docs(spark, dir), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** BPE merge training ([[Bpe.trainMerges]]): learn 10 merges from the
     * corpus word frequencies. Iterative greedy argmax — not
     * SQL-expressible, so no oracle (rows-only driver check, the q36
@@ -496,6 +505,7 @@ object PipelineQueries {
     "q69_ann_recall" -> q69AnnRecall,
     "q70_gram_novelty" -> q70GramNovelty,
     "q71_bpe_merges" -> q71BpeMerges,
+    "q72_split_assign" -> q72SplitAssign,
     "q29_multimodal" -> q29Multimodal)
 
   // q23/q24 oracle bodies without the presentation ORDER BY — each
@@ -808,6 +818,17 @@ object PipelineQueries {
           |SELECT query_id, n_hit, 10::BIGINT AS k,
           |  round((n_hit::DOUBLE / 10.0)::DECIMAL(28,10), 6)::DOUBLE AS recall
           |FROM hit ORDER BY query_id""".stripMargin),
+    // Mirrors TextMetrics.assignSplits: same (salt, id) bucket device
+    // as q47, cumulative CASE ranges.
+    "q72_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |    ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))
+        |      ::BIGINT % 100 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // Mirrors Dedup.gramNovelty: the q43 gram-fingerprint device over
     // ALL documents, distinct per doc; a gram is shared when >= 2 docs
     // own it. 1 - shared/total on exact ints, decimal-domain round.

@@ -765,6 +765,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaShared == viaOperator)
   }
 
+  test("assignSplits: stable under corpus growth, ranges cumulative, validated") {
+    import spark.implicits._
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    def labels(n: Int) = TextMetrics.assignSplits(
+        (1 to n).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text"),
+        "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val small = labels(200)
+    val grown = labels(400)
+    // growth never reassigns an existing document's split
+    assert(small.forall { case (id, l) => grown(id) == l })
+    // all three splits materialize at rough proportion
+    val counts = grown.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // percentages must sum to 100
+    intercept[IllegalArgumentException] {
+      TextMetrics.assignSplits(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", Seq("train" -> 50, "val" -> 10))
+    }
+  }
+
   test("gramNovelty: shared grams witnessed across docs, short docs fully novel") {
     import spark.implicits._
     val eight = "a b c d e f g h"            // exactly one 8-gram
