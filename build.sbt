@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify stdout contract is machine-parsed: forked-process
+// output must reach stdout verbatim (sbt's default LoggedOutput wraps
+// every line in "[info] ", which breaks JSON-line consumers), and the
+// trailing "[success] Total time: ..." line must not follow the JSON
+// line. r1–r7 all arrived unparseable over exactly this.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
