@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * the Scala analog of `mapInPandas` (batch shape: one iterator of rows
   * per partition; the decode library is invoked per batch, not per row).
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake (byte-length + first-byte histogram
-  * features). The Spark-side contract — schema, partitioning, batch
-  * iteration — is real and tested; swap `decodeStub` for a JNI/codec call
-  * in production.
+  * The IMAGE path is fully real: PNGs are encoded and decoded with the
+  * JDK's javax.imageio inside the batched kernels (see [[encodePng]] /
+  * [[decodeImages]]) — no external codec needed. Audio/video have no
+  * codecs in this container, so `decodeStub` remains a clearly-marked
+  * deterministic fake for them (byte-length + first-byte histogram
+  * features); the Spark-side contract — schema, partitioning, batch
+  * iteration — is identical, so swapping in a JNI/codec call is local.
   */
 object Multimodal {
 
@@ -81,6 +83,84 @@ object Multimodal {
           }
         }
         r.copy(payload = out)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- PNG
+  // Real decode path (no stub): deterministic tiny PNGs are encoded from
+  // doc ids with java.awt.image + javax.imageio (JDK-only, no new deps),
+  // then decoded back in the batched partition kernel. PNG is lossless
+  // 24-bit RGB, so the decoded pixels equal the closed-form generator
+  // exactly — which lets a SQL oracle verify the full encode→decode
+  // roundtrip from the formula alone.
+
+  /** Closed-form synthetic image dims/pixels (shared by the encoder, the
+    * spec and the SQL oracle): w = 8 + id%9, h = 8 + id%7,
+    * r=(id*31+x*7+y*13)%256, g=(id*17+x*11+y*3)%256, b=(id*5+x*23+y*29)%256. */
+  def pngDims(id: Long): (Int, Int) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+
+  /** Encode one deterministic PNG for `id` (real ImageIO encode). */
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((id * 5 + x * 23 + y * 29) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Documents → one encoded PNG payload per doc (partition-local batched
+    * encode; encoder state initializes once per partition). */
+  def syntheticPngs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no tmp files
+      it.map(id => MediaRecord(id, "image/png", encodePng(id)))
+    }
+  }
+
+  case class DecodedImage(media_id: Long, width: Long, height: Long,
+    r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL decode: ImageIO.read per payload inside the batched partition
+    * kernel — the production shape for opaque binary media columns
+    * (decoder init once per partition, rows stream through, only the
+    * fixed-width feature row leaves the partition; payload bytes never
+    * shuffle). Emits exact integer channel sums, not float means, so the
+    * output is hash-stable across engines. */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"undecodable payload for media_id=${m.media_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(m.media_id, w.toLong, h.toLong, rs, gs, bs)
       }
     }
   }

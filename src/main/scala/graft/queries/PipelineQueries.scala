@@ -460,7 +460,20 @@ object PipelineQueries {
         col("first_byte").cast("long").as("first_byte"))
       .orderBy(col("media_id"))
 
+  /** REAL multimodal decode: one deterministic tiny PNG is ImageIO-encoded
+    * per doc, then ImageIO-decoded back in the batched partition kernel
+    * and reduced to exact integer channel sums. PNG is lossless 24-bit
+    * RGB, so the oracle verifies the whole encode→decode roundtrip from
+    * the closed-form pixel generator alone — a decode bug (or a stub)
+    * cannot hash-match. */
+  def q73MultimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(Multimodal.syntheticPngs(docs(spark, dir), "doc_id"))
+      .toDF()
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_multimodal_decode" -> q73MultimodalDecode,
     "q19_dedup_exact" -> q19DedupExact,
     "q20_minhash_neardups" -> q20MinhashNearDups,
     "q21_ngram_jaccard" -> q21NgramJaccard,
@@ -1216,6 +1229,27 @@ object PipelineQueries {
         |  least(1.0, coalesce(a.top2::DOUBLE / w.n_chars::DOUBLE, 0.0)) AS top_bigram_frac,
         |  least(1.0, coalesce(a.dup3::DOUBLE / w.n_chars::DOUBLE, 0.0)) AS dup_trigram_frac
         |FROM w LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Closed-form twin of the ImageIO encode→decode roundtrip: PNG is
+    // lossless, so the decoded channel sums must equal the generator
+    // formula summed directly. Lateral generate_series = per-doc pixel
+    // grid; sums cast ::BIGINT (DuckDB integer sums are HUGEINT).
+    "q73_multimodal_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |grid AS (
+        |  SELECT x.gx, y.gy
+        |  FROM generate_series(0, 15) AS x(gx), generate_series(0, 13) AS y(gy)),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (d.doc_id*31 + g.gx*7 + g.gy*13) % 256 AS r,
+        |    (d.doc_id*17 + g.gx*11 + g.gy*3) % 256 AS g,
+        |    (d.doc_id*5 + g.gx*23 + g.gy*29) % 256 AS b
+        |  FROM dims d JOIN grid g ON g.gx < d.w AND g.gy < d.h)
+        |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum,
+        |  sum(b)::BIGINT AS b_sum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "q29_multimodal" ->
       """SELECT doc_id AS media_id, 'image/fake' AS media_type,
         |  octet_length(encode(text))::BIGINT AS byte_len,

@@ -135,6 +135,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(embs.count() == 3)
   }
 
+  test("multimodal PNG: ImageIO encode→decode roundtrip matches the closed form") {
+    val ids = Seq(0L, 1L, 7L, 42L, 123L)
+    // payloads are genuine PNGs (magic bytes), not passthrough fakes
+    val png = Multimodal.encodePng(42L)
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    val docs = ids.toDF("doc_id")
+    val out = Multimodal.decodeImages(Multimodal.syntheticPngs(docs, "doc_id"))
+      .collect().map(d => d.media_id -> d).toMap
+    for (id <- ids) {
+      val (w, h) = Multimodal.pngDims(id)
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        rs += (id * 31 + x * 7 + y * 13) % 256
+        gs += (id * 17 + x * 11 + y * 3) % 256
+        bs += (id * 5 + x * 23 + y * 29) % 256
+      }
+      val d = out(id)
+      assert((d.width, d.height) == (w.toLong, h.toLong), s"dims for id=$id")
+      assert((d.r_sum, d.g_sum, d.b_sum) == ((rs, gs, bs)), s"sums for id=$id")
+    }
+  }
+
   test("IVF cells partition the corpus; probing own cell finds in-cell neighbours") {
     val rnd = new scala.util.Random(5)
     def vec() = Array.fill(8)(math.floor(rnd.nextGaussian() * 1000) / 1000.0f)
