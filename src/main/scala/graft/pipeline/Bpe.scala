@@ -102,7 +102,9 @@ object Bpe {
     while (rank <= numMerges && !done) {
       val counts = collection.mutable.Map.empty[(String, String), Long]
       state.foreach { case (syms, c) =>
-        // count non-overlapping occurrences left to right, as the fold does
+        // count ALL adjacent (overlapping) pairs — "aaa" yields (a,a)
+        // twice — matching the distributed position-explode counter; only
+        // the REWRITE below merges non-overlapping left to right
         var i = 0
         while (i < syms.length - 1) {
           counts((syms(i), syms(i + 1))) =

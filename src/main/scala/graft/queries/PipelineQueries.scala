@@ -62,6 +62,23 @@ object PipelineQueries {
   private val sharedPairs =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  private def drain(
+      maps: scala.collection.concurrent.TrieMap[(String, String), DataFrame]*): Unit =
+    maps.foreach { m =>
+      m.keys.toSeq.foreach(k => m.remove(k).foreach { df =>
+        try df.unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }
+      })
+    }
+
+  /** Drop the MinHash shingle/band/pair caches (q20, q37, q48) —
+    * unpersist + drop references so the ContextCleaner can reclaim the
+    * localCheckpoint blocks; see OperatorQueries.release for the policy. */
+  def releaseMinhashCaches(): Unit = drain(sharedShingled, sharedBands, sharedPairs)
+
+  /** Drop the shared term-frequency cache (q52, q53). */
+  def releaseTfCache(): Unit = drain(sharedTf)
+
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     sharedPairs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val sh = shingledDocs(spark, dir).select(col("doc_id"), col("shingles"))
@@ -1479,7 +1496,10 @@ object PipelineQueries {
         |    ('src1', 100), ('src2', 75), ('src3', 50), ('src4', 25),
         |    ('src5', 10)) AS r(source, rate_pct))
         |SELECT q.doc_id, q.source,
-        |  CASE WHEN NOT q_ok THEN 'dropped_quality'
+        |  -- IS NOT TRUE, not NOT: null text makes q_ok NULL here, while
+        |  -- the Spark side's quality expression defaults to 0.0 (a firm
+        |  -- false) — 'NOT NULL' would fall through to a later branch
+        |  CASE WHEN q_ok IS NOT TRUE THEN 'dropped_quality'
         |       WHEN d.is_dup THEN 'dropped_duplicate'
         |       WHEN c.doc_id IS NOT NULL THEN 'dropped_contaminated'
         |       WHEN r.rate_pct IS NOT NULL AND
