@@ -97,6 +97,13 @@ object Bench {
       // to the raw min (the query is in "failed" either way).
       val good = timed.collect { case (t, true) => t }
       val best = if (good.nonEmpty) good.min else timed.map(_._1).min
+      // bounded cache story: drop a family's shared caches once the
+      // sorted sweep is past its last consumer (outside the timed runs)
+      SparkEntry.cacheReleaseAfter.get(name).foreach { rel =>
+        rel()
+        System.err.println(s"[bench] released caches after $name; " +
+          s"persistent RDDs now ${spark.sparkContext.getPersistentRDDs.size}")
+      }
       (name, best, timed)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.2f""" }

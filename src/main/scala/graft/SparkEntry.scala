@@ -32,4 +32,15 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ OperatorQueries.oracles ++ PipelineQueries.oracles
+
+  /** Cache lifecycle for a full name-ordered sweep (Bench): each shared
+    * query-family cache is released right after its LAST consumer in sort
+    * order, so the sweep never holds every family's cache simultaneously.
+    * A long-lived deployment serving one family keeps its cache for the
+    * session — this hook exists for the all-families sweep shape. */
+  def cacheReleaseAfter: Map[String, () => Unit] = Map(
+    "q35_interaction_graph" -> (() => OperatorQueries.releaseEventsCaches()),
+    "q36_topic_model_gibbs" -> (() => OperatorQueries.releaseStemIndexCache()),
+    "q48_fuzzy_decontaminate" -> (() => PipelineQueries.releaseMinhashCaches()),
+    "q53_surprisal" -> (() => PipelineQueries.releaseTfCache()))
 }

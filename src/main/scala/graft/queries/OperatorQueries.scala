@@ -38,6 +38,28 @@ object OperatorQueries {
   private val shared =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Release shared caches whose tag starts with one of `prefixes` —
+    * unpersist + drop the reference (for checkpointed frames unpersist is
+    * a no-op and the dropped reference lets the ContextCleaner reclaim
+    * the blocks). A session-lifetime cache is right for a real deployment
+    * serving one query family, but a 70+-query sweep would otherwise hold
+    * every family's cache simultaneously; Bench releases each family as
+    * the sweep moves past its last consumer (SparkEntry.cacheReleaseAfter). */
+  private def release(prefixes: String*): Unit =
+    shared.keys.toSeq.foreach { case k @ (_, tag) =>
+      if (prefixes.exists(tag.startsWith))
+        shared.remove(k).foreach { df =>
+          try df.unpersist()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+    }
+
+  /** Drop the normalized-events + rooted-nodes caches (q12–q14, q30, q35). */
+  def releaseEventsCaches(): Unit = release("norm:", "rooted:")
+
+  /** Drop the stemmed word-id index cache (q15, q31, q36). */
+  def releaseStemIndexCache(): Unit = release("stemidx:")
+
   private def normalizedEvents(spark: SparkSession, dir: String): DataFrame =
     shared.getOrElseUpdate((spark.sparkContext.applicationId, s"norm:$dir"),
       TweetSource.normalizedFromEvents(events(spark, dir)).cache())
