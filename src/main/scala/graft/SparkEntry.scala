@@ -42,5 +42,6 @@ object SparkEntry {
     "q35_interaction_graph" -> (() => OperatorQueries.releaseEventsCaches()),
     "q36_topic_model_gibbs" -> (() => OperatorQueries.releaseStemIndexCache()),
     "q48_fuzzy_decontaminate" -> (() => PipelineQueries.releaseMinhashCaches()),
-    "q53_surprisal" -> (() => PipelineQueries.releaseTfCache()))
+    "q53_surprisal" -> (() => PipelineQueries.releaseTfCache()),
+    "q74_keep_best" -> (() => PipelineQueries.releaseClusterCache()))
 }

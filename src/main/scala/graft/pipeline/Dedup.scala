@@ -276,6 +276,34 @@ object Dedup {
       (col("doc_id") === col("label")).as("keep"))
   }
 
+  /** Cluster-representative selection ("keep best", the RefinedWeb /
+    * FineWeb shipping form of near-dup dedup): instead of keeping the
+    * lowest-id member of each near-dup cluster, keep the member that a
+    * quality relation ranks highest — so deduplication removes the WORST
+    * copies, not arbitrary ones.
+    *
+    * `clusters` is [[nearDupClusters]] output (`idCol`, cluster_id, …);
+    * `quality` carries (`idCol`, quality, n_chars). The representative is
+    * the argmax under the total order (quality DESC, n_chars DESC, id
+    * ASC) — deterministic across partitionings and engines because the
+    * id tiebreak is unique.
+    *
+    * Scale shape: one join on the doc id (both sides already id-keyed)
+    * and one window over cluster_id. Cluster cardinality ≈ corpus
+    * cardinality (near-dup clusters are overwhelmingly singletons), and
+    * per-cluster row counts are true duplicate multiplicities, so the
+    * window partition sizes are bounded by the worst duplicate family —
+    * the same skew profile the dedup join itself already has. Only ids
+    * and two small numerics shuffle; text never enters the plan. */
+  def keepBestPerCluster(clusters: DataFrame, quality: DataFrame,
+      idCol: String): DataFrame = {
+    val ranked = clusters.select(col(idCol), col("cluster_id"))
+      .join(quality.select(col(idCol), col("quality"), col("n_chars")), idCol)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("n_chars").desc, col(idCol))
+    ranked.withColumn("keep_best", row_number().over(w) === 1)
+  }
+
   /** Embedding-cosine near-dups: pairs (a < b) whose unit-norm embedding
     * dot product — exact, integer-quantized
     * ([[graft.functions.VectorFunctions.dotExact]]) — meets `minDotQ`,

@@ -186,12 +186,39 @@ object PipelineQueries {
     Dedup.exactCanonical(docs(spark, dir), "doc_id", "text")
       .orderBy(col("canon_hash"))
 
+  /** Near-dup cluster labels, cached per (session, sf dir): q37 reports
+    * them, q74 re-ranks the representatives by quality — the iterative
+    * label propagation runs once (clusters are labels only; the cache is
+    * independent of the pair/band caches it was built from). */
+  private val sharedClusters =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Drop the near-dup cluster-label cache (q37, q74). */
+  def releaseClusterCache(): Unit = drain(sharedClusters)
+
+  private def docClusters(spark: SparkSession, dir: String): DataFrame =
+    sharedClusters.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Dedup.nearDupClusters(docs(spark, dir).select(col("doc_id")),
+        minhashPairs(spark, dir).select("doc_a", "doc_b"), "doc_id")
+        .localCheckpoint(true))
+
   /** Near-dup clusters: MinHash+LSH verified pairs → connected
     * components → one kept representative per cluster (the shipping form
     * of dedup). */
   def q37NearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupClusters(docs(spark, dir).select(col("doc_id")),
-      minhashPairs(spark, dir).select("doc_a", "doc_b"), "doc_id")
+    docClusters(spark, dir)
+      .orderBy(col("doc_id"))
+
+  /** Near-dup dedup, keep-best form (RefinedWeb-style): q37's clusters
+    * joined with q26's quality signals; the kept representative is the
+    * best-quality member (quality DESC, n_chars DESC, doc_id ASC)
+    * instead of the lowest id — dedup drops the WORST copies. */
+  def q74KeepBest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.keepBestPerCluster(docClusters(spark, dir),
+        TextMetrics.qualityScore(docs(spark, dir), "doc_id", "text"),
+        "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("n_chars"), col("keep_best"))
       .orderBy(col("doc_id"))
 
   /** Token statistics (whitespace + BPE-ish subword split estimate). */
@@ -512,6 +539,7 @@ object PipelineQueries {
     "q24_similarity_lsh" -> q24SimilarityLsh,
     "q33_similarity_ivf" -> q33SimilarityIvf,
     "q37_neardup_clusters" -> q37NearDupClusters,
+    "q74_keep_best" -> q74KeepBest,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -733,6 +761,24 @@ object PipelineQueries {
       |    ON a.band = b.band AND a.band_key = b.band_key
       |       AND a.doc_id < b.doc_id""".stripMargin)
 
+  // q37/q74 shared oracle machinery: q20's verified pairs → transitive
+  // closure via a recursive UNION walk → per-doc min reachable label
+  // (`lbl`) → cluster ids over all documents (`clus`).
+  private val clusterCtes =
+    s"WITH RECURSIVE pairs AS (\n  SELECT doc_a, doc_b FROM (\n$q20Oracle\n  )),\n" +
+      """edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS doc, dst AS peer FROM edges
+        |  UNION
+        |  SELECT r.doc, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
+        |lbl AS (SELECT doc, min(peer) AS m FROM reach GROUP BY doc),
+        |clus AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(l.m, d.doc_id)) AS cluster_id
+        |  FROM documents d LEFT JOIN lbl l ON l.doc = d.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
@@ -795,20 +841,34 @@ object PipelineQueries {
     // q20's verified pairs as a derived table, then the transitive
     // closure via a recursive UNION walk; cluster = min reachable doc
     "q37_neardup_clusters" ->
-      (s"WITH RECURSIVE pairs AS (\n  SELECT doc_a, doc_b FROM (\n$q20Oracle\n  )),\n" +
-        """edges AS (
-          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-          |reach AS (
-          |  SELECT src AS doc, dst AS peer FROM edges
-          |  UNION
-          |  SELECT r.doc, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
-          |lbl AS (SELECT doc, min(peer) AS m FROM reach GROUP BY doc)
-          |SELECT d.doc_id,
-          |  least(d.doc_id, coalesce(l.m, d.doc_id)) AS cluster_id,
-          |  d.doc_id = least(d.doc_id, coalesce(l.m, d.doc_id)) AS keep
-          |FROM documents d LEFT JOIN lbl l ON l.doc = d.doc_id
-          |ORDER BY d.doc_id""".stripMargin),
+      (clusterCtes +
+        "\nSELECT doc_id, cluster_id, doc_id = cluster_id AS keep" +
+        "\nFROM clus ORDER BY doc_id"),
+    // Mirrors Dedup.keepBestPerCluster over q37's clusters: the quality
+    // CASE reproduces TextMetrics.qualityColumns UNROUNDED (the Spark
+    // side decides on raw doubles; rounding first could flip a boundary
+    // comparison), and the representative is the row_number()=1 argmax
+    // under the deterministic (quality DESC, n_chars DESC, doc_id) order.
+    "q74_keep_best" ->
+      (clusterCtes + ",\n" +
+        """q AS (
+          |  SELECT doc_id, length(text) AS n_chars,
+          |    CASE WHEN length(text) >= 50
+          |      AND ((length(text) - length(regexp_replace(text,
+          |            '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+          |          / length(text)::DOUBLE) < 0.2
+          |      AND (((length(text) - len(regexp_split_to_array(lower(text), '\s+'))
+          |            + 1)::DOUBLE
+          |          / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE)
+          |          BETWEEN 3 AND 12)
+          |    THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS quality
+          |  FROM documents)
+          |SELECT c.doc_id, c.cluster_id, q.quality, q.n_chars,
+          |  row_number() OVER (PARTITION BY c.cluster_id
+          |    ORDER BY q.quality DESC, q.n_chars DESC, c.doc_id) = 1
+          |    AS keep_best
+          |FROM clus c JOIN q ON q.doc_id = c.doc_id
+          |ORDER BY c.doc_id""".stripMargin),
     "q21_ngram_jaccard" -> jaccardTail(
       """SELECT DISTINCT ea.doc_id AS doc_a, eb.doc_id AS doc_b
         |  FROM ex ea JOIN ex eb
