@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 
 import graft.functions.TextFunctions
 
@@ -888,5 +888,68 @@ object TextMetrics {
           ((col("c_a").cast("double") / col("t_tok").cast("double")) *
            (col("c_b").cast("double") / col("t_tok").cast("double")))))
           .as("pmi"))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al., the standard web-corpus
+    * pre-filter): a document's text is split into newline-delimited
+    * lines; a line SURVIVES iff it ends in terminal punctuation
+    * (`.` / `!` / `?`) and carries at least `minWords` whitespace words;
+    * the document itself is kept iff at least `minKeptLines` lines
+    * survive. Emitted per doc: line counts, surviving character count,
+    * and the md5 of the cleaned text (surviving lines re-joined with
+    * `\n`; null when nothing survives) so the rewrite is pinned
+    * byte-exactly.
+    *
+    * Implementation: a single mapPartitions kernel — line split, word
+    * count, rule check and md5 are per-row Scala on the partition
+    * iterator, the same no-shuffle shape as [[winnowFingerprints]]
+    * (a higher-order-function form would run interpreted per element,
+    * and an explode → re-aggregate form would shuffle every surviving
+    * line's text; the kernel does neither). Scan-bound and
+    * embarrassingly parallel at any corpus size; only fixed-width
+    * counters and one hash leave the partition. */
+  def c4LineClean(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    require(minWords >= 1 && minKeptLines >= 1,
+      "c4LineClean: minWords and minKeptLines must be >= 1")
+    val in = docs.select(col(idCol), col(textCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("n_lines", LongType, nullable = false),
+      StructField("n_kept", LongType, nullable = false),
+      StructField("kept_chars", LongType, nullable = false),
+      StructField("clean_hash", StringType, nullable = true),
+      StructField("keep_doc", BooleanType, nullable = false)))
+    in.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val t = if (r.isNullAt(1)) "" else r.getString(1)
+        var nLines = 0L
+        var nKept = 0L
+        var keptChars = 0L
+        val kept = new java.lang.StringBuilder
+        t.split("\n").foreach { raw =>
+          val line = raw.trim
+          if (line.nonEmpty) {
+            nLines += 1
+            val last = line.charAt(line.length - 1)
+            val terminal = last == '.' || last == '!' || last == '?'
+            if (terminal &&
+                line.split("\\s+").count(_.nonEmpty) >= minWords) {
+              nKept += 1
+              keptChars += line.length
+              if (kept.length > 0) kept.append('\n')
+              kept.append(line)
+            }
+          }
+        }
+        val hash = if (nKept == 0L) null else {
+          md.reset()
+          md.digest(kept.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }
+        Row(r.get(0), nLines, nKept, keptChars, hash, nKept >= minKeptLines)
+      }
+    }(Encoders.row(outSchema))
+      .toDF(idCol, "n_lines", "n_kept", "kept_chars", "clean_hash", "keep_doc")
   }
 }

@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.Tables
 import graft.pipeline.{Bpe, Curate, Dedup, Multimodal, Pii, Similarity, TextMetrics}
@@ -374,6 +375,51 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic line planting for q75: the synthetic corpus is one
+    * flat space-separated line, so the query first folds each text into
+    * newline-delimited "sentences" — line width w = 4 + doc_id % 5
+    * tokens, and line i (0-based) gains a terminal '.' iff
+    * (doc_id + 7·i) % 3 ≠ 0 — pure integer arithmetic, reproduced
+    * verbatim in the oracle (the q51 planting device). Runs in the same
+    * stage as the cleaning kernel that consumes it: two chained
+    * mapPartitions, no shuffle. */
+  private def plantLines(d: DataFrame): DataFrame = {
+    val in = d.select(col("doc_id"), col("text"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("text", StringType, nullable = false)))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val t = if (r.isNullAt(1)) "" else r.getString(1)
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+        val w = (4 + id % 5).toInt
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i * w < toks.length) {
+          if (i > 0) sb.append('\n')
+          val lo = i * w
+          val hi = math.min(lo + w, toks.length)
+          var j = lo
+          while (j < hi) {
+            if (j > lo) sb.append(' ')
+            sb.append(toks(j))
+            j += 1
+          }
+          if ((id + 7L * i) % 3 != 0) sb.append('.')
+          i += 1
+        }
+        Row(id, sb.toString)
+      }
+    }(Encoders.row(outSchema)).toDF("doc_id", "text")
+  }
+
+  /** C4-style line-level cleaning (terminal-punctuation + min-words line
+    * rules, min-kept-lines doc rule) over deterministically planted line
+    * structure. */
+  def q75C4Clean(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.c4LineClean(plantLines(docs(spark, dir)), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Shared (doc, token, tf) relation, cached per (session, sf dir): the
     * corpus-scan + explode + aggregate half of q52 (tf-idf) and q53
     * (surprisal) is identical — materialized once, served to both, the
@@ -540,6 +586,7 @@ object PipelineQueries {
     "q33_similarity_ivf" -> q33SimilarityIvf,
     "q37_neardup_clusters" -> q37NearDupClusters,
     "q74_keep_best" -> q74KeepBest,
+    "q75_c4_clean" -> q75C4Clean,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -1377,6 +1424,47 @@ object PipelineQueries {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'))
         |    AS redacted_md5
         |FROM dirty ORDER BY doc_id""".stripMargin,
+    // Mirrors q75C4Clean: the same doc_id-derived line planting
+    // (width 4 + doc_id % 5, '.' iff (doc_id + 7i) % 3 != 0), then the
+    // same C4 line rules (terminal punctuation + >= 5 words) and doc
+    // rule (>= 3 surviving lines); md5 of the '\n'-rejoined survivors
+    // pins the rewrite byte-exactly. sum(length) would type HUGEINT —
+    // ::BIGINT per the decimal-family invariant.
+    "q75_c4_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t,
+        |    4 + doc_id % 5 AS w
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, w, t,
+        |    unnest(CASE WHEN len(t) = 0 THEN CAST([] AS BIGINT[])
+        |           ELSE generate_series(0, (len(t) - 1) // w) END) AS i
+        |  FROM toks),
+        |lines AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(list_slice(t, i * w + 1, least((i + 1) * w, len(t))), ' ')
+        |      || CASE WHEN (doc_id + 7 * i) % 3 <> 0 THEN '.' ELSE '' END AS line,
+        |    least((i + 1) * w, len(t)) - i * w AS nw
+        |  FROM ex),
+        |k AS (
+        |  SELECT doc_id, i, line, length(line) AS lc,
+        |    (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?') AND nw >= 5 AS keep
+        |  FROM lines),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_lines,
+        |    count(*) FILTER (WHERE keep) AS n_kept,
+        |    coalesce(sum(lc) FILTER (WHERE keep), 0) AS kept_chars,
+        |    md5(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE keep)) AS clean_hash
+        |  FROM k GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+        |  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(a.kept_chars, 0)::BIGINT AS kept_chars,
+        |  a.clean_hash,
+        |  coalesce(a.n_kept, 0) >= 3 AS keep_doc
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Mirrors TextMetrics.tfIdfTopTerms: integer ranking key
     // (tf DESC, df ASC, token ASC) so ranks never ride double rounding;
     // the tf·idf value itself rounds in the decimal domain (ln agrees
