@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.functions.TextFunctions
 
@@ -88,6 +89,126 @@ object Bpe {
       }
     }
     merges.result().toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** BPE tokenizer APPLICATION — encode a corpus with learned merges
+    * ([[trainMerges]] output, in rank order). Per word: repeatedly merge
+    * the adjacent pair with the LOWEST merge rank present (greedy
+    * lowest-rank-first, the standard BPE encode; deterministic because
+    * ranks are unique), until no learnable pair remains. Emits per doc
+    * the word/char/BPE-token counts (n_chars/n_tokens is the compression
+    * the tokenizer buys) and an md5 over the full token stream (tokens
+    * joined with spaces, words with `|`) pinning the encode byte-exactly.
+    *
+    * Scale shape: the merge table is vocabulary-sized → a plain
+    * broadcast; the corpus pass is one mapPartitions kernel — no
+    * shuffle, scan-bound, embarrassingly parallel. Only fixed-width
+    * counters and one hash per doc leave the partition. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val rankOf: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    require(rankOf.size == merges.size, "encode: duplicate merge pair")
+    val bc = spark.sparkContext.broadcast(rankOf)
+    val in = docs.select(col(idCol), col(textCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_chars", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("tokens_hash", StringType, nullable = true)))
+    in.mapPartitions { rows =>
+      val ranks = bc.value
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val t = if (r.isNullAt(1)) "" else r.getString(1)
+        // mirrors TextFunctions.tokenize (lower-case, split on \s+)
+        val words = t.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        var nCh = 0L
+        var nTok = 0L
+        val sb = new java.lang.StringBuilder
+        words.foreach { w =>
+          nCh += w.length
+          val toks = encodeWord(w, ranks)
+          nTok += toks.length
+          if (sb.length > 0) sb.append('|')
+          var i = 0
+          while (i < toks.length) {
+            if (i > 0) sb.append(' ')
+            sb.append(toks(i))
+            i += 1
+          }
+        }
+        val hash = if (words.isEmpty) null else {
+          md.reset()
+          md.digest(sb.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }
+        Row(r.get(0), words.length.toLong, nCh, nTok, hash)
+      }
+    }(Encoders.row(outSchema))
+      .toDF(idCol, "n_words", "n_chars", "n_tokens", "tokens_hash")
+  }
+
+  /** One word under greedy lowest-rank-first merging. */
+  private[pipeline] def encodeWord(w: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = Array.tabulate(w.length)(i => w.substring(i, i + 1))
+    var go = syms.length >= 2
+    while (go) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) go = false
+      else {
+        // ranks are unique, so `best` names exactly one pair; merge its
+        // occurrences non-overlapping left to right (the training
+        // rewrite order)
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 &&
+              ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue) == best) {
+            out += syms(j) + syms(j + 1)
+            j += 2
+          } else {
+            out += syms(j)
+            j += 1
+          }
+        }
+        syms = out.toArray
+        go = syms.length >= 2
+      }
+    }
+    syms
+  }
+
+  /** Independent reference encoder for the spec: REPLAY the merge list
+    * in rank order (merge all occurrences of pair 1 everywhere, then
+    * pair 2, …). Equivalent to the greedy lowest-rank-first kernel
+    * because a pair involving a merged symbol can only have been learned
+    * AFTER the merge that created that symbol — so no lower-rank pair
+    * can appear once its rank has been passed — but implemented with a
+    * genuinely different control flow. */
+  private[pipeline] def referenceEncode(w: String,
+      merges: Seq[(String, String)]): Vector[String] = {
+    var syms = w.toCharArray.map(_.toString).toVector
+    merges.foreach { case (l, r) =>
+      val nb = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          nb += (l + r); i += 2
+        } else { nb += syms(i); i += 1 }
+      }
+      syms = nb.result()
+    }
+    syms
   }
 
   /** Independent reference implementation for the spec: single-threaded

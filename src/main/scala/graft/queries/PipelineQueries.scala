@@ -495,9 +495,37 @@ object PipelineQueries {
     * SQL-expressible, so no oracle (rows-only driver check, the q36
     * contract); BpeSpec pins the merge sequence against an independent
     * reimplementation. */
-  def q71BpeMerges(spark: SparkSession, dir: String): DataFrame =
-    Bpe.trainMerges(docs(spark, dir), "text", numMerges = 10)
+  def q71BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMerges(spark, dir).toDF("merge_rank", "left", "right", "pair_count")
       .orderBy(col("merge_rank"))
+  }
+
+  /** Learned BPE merges, cached per (session, sf dir): q71 reports them,
+    * q76 encodes with them — the iterative training runs once. The cache
+    * is a driver-local Seq (10 rows), not a Spark cache: nothing to
+    * unpersist. */
+  private val sharedMerges = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[(Long, String, String, Long)]]
+
+  private def bpeMerges(spark: SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] =
+    sharedMerges.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Bpe.trainMerges(docs(spark, dir), "text", numMerges = 10)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq)
+
+  /** BPE tokenizer application: encode the corpus with q71's learned
+    * merges (trained once per session, broadcast into the encode
+    * kernel). Iterative greedy merging — not SQL-expressible → no
+    * oracle (rows-only, the q36/q71 contract); BpeEncodeSpec pins the
+    * kernel against an independent replay encoder, and the golden spec
+    * pins the full sf0.001 output hash. */
+  def q76BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    Bpe.encode(docs(spark, dir), "doc_id", "text",
+        bpeMerges(spark, dir).map { case (_, l, r, _) => (l, r) })
+      .orderBy(col("doc_id"))
 
   /** Cross-document 8-gram novelty ([[Dedup.gramNovelty]]) — the
     * duplicate-n-gram quality signal, exhaustive exact-gram form. */
@@ -587,6 +615,7 @@ object PipelineQueries {
     "q37_neardup_clusters" -> q37NearDupClusters,
     "q74_keep_best" -> q74KeepBest,
     "q75_c4_clean" -> q75C4Clean,
+    "q76_bpe_encode" -> q76BpeEncode,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
