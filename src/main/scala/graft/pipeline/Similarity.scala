@@ -185,6 +185,45 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Approximate k-NN GRAPH over the corpus — every vector gets its k
+    * most-similar neighbors (semantic-dedup clustering, diversity
+    * sampling, and graph-based retrieval indexes all start from this
+    * relation). Candidates come from a sign-LSH multi-probe bucket join,
+    * re-ranked by the exact int64-quantized dot product.
+    *
+    * Scale shape: unlike [[lshTopK]] (bounded query set → broadcast),
+    * the graph makes EVERY vector a query, so the candidate join is a
+    * bucket EQUI-JOIN: the probe side explodes nBits+1 Hamming-≤1
+    * probes, only (id, qv, bucket) ever shuffles, and within-bucket
+    * work is bounded by occupancy ≈ n(nBits+1) / 2^nBits — grow nBits
+    * with the corpus exactly as [[graft.pipeline.Dedup.embeddingNearDups]]
+    * documents. Recall is approximate by construction (a true neighbor
+    * >1 sign-bit away in every probe is missed) — the standard LSH
+    * trade, measured by [[recallReport]]. */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBits: Int = 8): DataFrame = {
+    require(k >= 1, "knnGraph: k must be >= 1")
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      quantize(col(vecCol)).as("q_nbr"),
+      signBucket(col(vecCol), nBits).as("bucket"))
+    val probes = (0 to nBits).map { i =>
+      if (i == 0) signBucket(col(vecCol), nBits)
+      else signBucket(col(vecCol), nBits).bitwiseXOR(lit(1L << (i - 1)))
+    }
+    val q = corpus.select(col(idCol).as("src_id"),
+      quantize(col(vecCol)).as("q_src"),
+      explode(array(probes.map(_.cast("long")): _*)).as("bucket"))
+    val scored = c.join(q, "bucket")
+      .filter(col("nbr_id") =!= col("src_id"))
+      .withColumn("dot_q", dotExact(col("q_src"), col("q_nbr")))
+      .select("src_id", "nbr_id", "dot_q").distinct()
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("dot_q").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("src_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("dot_q"))
+  }
+
   /** Embedding health check — the validation pass a pipeline runs before
     * ANN indexing: per-vector dimension and the exact int64-quantized
     * squared L2 norm, plus its deviation from a unit norm (1e12 in

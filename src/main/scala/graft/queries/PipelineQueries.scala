@@ -181,6 +181,14 @@ object PipelineQueries {
     Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
 
+  /** Approximate k-NN graph over ALL embeddings (k = 3): sign-LSH
+    * multi-probe bucket equi-join + exact quantized re-rank — the
+    * every-vector-is-a-query form of q24 (broadcast would not scale
+    * when the query set IS the corpus). */
+  def q77KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(emb(spark, dir), "vec_id", "embedding", k = 3)
+      .orderBy(col("src_id"), col("rank"))
+
   /** Canonical-form exact dedup: case/punctuation/whitespace variants
     * collapse before hashing. */
   def q39DedupCanonical(spark: SparkSession, dir: String): DataFrame =
@@ -616,6 +624,7 @@ object PipelineQueries {
     "q74_keep_best" -> q74KeepBest,
     "q75_c4_clean" -> q75C4Clean,
     "q76_bpe_encode" -> q76BpeEncode,
+    "q77_knn_graph" -> q77KnnGraph,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -979,6 +988,48 @@ object PipelineQueries {
         |SELECT vec_id, dim, norm_sq_q,
         |  (norm_sq_q - 1000000000000)::BIGINT AS norm_dev_q
         |FROM q ORDER BY vec_id""".stripMargin,
+    // q24's bucket construction with every vector as a query (no
+    // vec_id < 16 probe filter) and per-source top-3 — mirrors
+    // Similarity.knnGraph.
+    "q77_knn_graph" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+        |     + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+        |     + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+        |     + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+        |     + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings),
+        |probes AS (
+        |  SELECT vec_id AS src_id,
+        |    unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
+        |      xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT),
+        |      xor(bucket, 16::BIGINT), xor(bucket, 32::BIGINT),
+        |      xor(bucket, 64::BIGINT), xor(bucket, 128::BIGINT)]) AS bucket
+        |  FROM v),
+        |cand AS (
+        |  SELECT DISTINCT p.src_id, c.vec_id AS nbr_id
+        |  FROM probes p JOIN v c ON c.bucket = p.bucket
+        |  WHERE c.vec_id <> p.src_id),
+        |exp AS (
+        |  SELECT cand.src_id, cand.nbr_id,
+        |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
+        |  FROM cand
+        |  JOIN v q ON q.vec_id = cand.src_id
+        |  JOIN v c ON c.vec_id = cand.nbr_id),
+        |dots AS (
+        |  SELECT src_id, nbr_id, sum(qx * cx)::BIGINT AS dot_q
+        |  FROM exp GROUP BY 1, 2)
+        |SELECT src_id, rank, nbr_id, dot_q FROM (
+        |  SELECT src_id, nbr_id, dot_q,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY dot_q DESC, nbr_id) AS rank
+        |  FROM dots)
+        |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin,
     "q23_similarity_brute" ->
       (q23Body + "\nORDER BY query_id, rank"),
     "q24_similarity_lsh" ->

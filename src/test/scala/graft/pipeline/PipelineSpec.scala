@@ -833,6 +833,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(solo(9L) == 0L)
   }
 
+  test("knnGraph: equals exact kNN when one bucket holds everything; k bound; no self") {
+    // all-positive 2-dim unit-ish vectors share sign bucket 3 under any
+    // nBits >= 2, and every Hamming-1 probe of an occupied bucket still
+    // finds it — so the LSH graph must equal the exact top-k
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f)),
+      (3L, Array(0.6f, 0.8f)),
+      (4L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 2, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // quantized dots: cos order by hand — 1's nearest are 2 then 3;
+    // 4's nearest are 3 then 2; 2 and 3 are each other's nearest
+    assert(out((1L, 1L)) == 2L && out((1L, 2L)) == 3L)
+    assert(out((4L, 1L)) == 3L && out((4L, 2L)) == 2L)
+    assert(out((2L, 1L)) == 3L && out((3L, 1L)) == 2L)
+    assert(out.size == 8) // 4 sources x k=2, never a self edge
+    assert(!out.exists { case ((s, _), n) => s == n })
+  }
+
   test("recallReport: identical results score 1, disjoint 0, partial exact") {
     import spark.implicits._
     def topk(rows: (Long, Long)*) = rows.toSeq.toDF("query_id", "corpus_id")
