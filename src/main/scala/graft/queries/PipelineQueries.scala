@@ -181,6 +181,26 @@ object PipelineQueries {
     Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
 
+  /** Cross-source near-dup overlap report: q20's verified pairs rolled
+    * up by unordered source pair — which sources duplicate each other,
+    * the contamination/licensing diagnostic a corpus operator reads
+    * before choosing mixing weights (a mirror site shows up as one hot
+    * off-diagonal cell). Reuses the shared pair cache; the doc→source
+    * attachment is an id-keyed join of the (tiny) pair relation against
+    * the id→source projection — text and shingles never re-enter the
+    * plan, and output cardinality is at most |sources|². */
+  def q78SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    val withSrc = minhashPairs(spark, dir).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+    withSrc.select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Approximate k-NN graph over ALL embeddings (k = 3): sign-LSH
     * multi-probe bucket equi-join + exact quantized re-rank — the
     * every-vector-is-a-query form of q24 (broadcast would not scale
@@ -625,6 +645,7 @@ object PipelineQueries {
     "q75_c4_clean" -> q75C4Clean,
     "q76_bpe_encode" -> q76BpeEncode,
     "q77_knn_graph" -> q77KnnGraph,
+    "q78_source_overlap" -> q78SourceOverlap,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -923,6 +944,17 @@ object PipelineQueries {
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY canon_hash""".stripMargin,
+    // q20's verified pairs attached to their sources (unordered pair),
+    // counted per source-pair cell — mirrors q78SourceOverlap
+    "q78_source_overlap" ->
+      (s"WITH p AS (\n  SELECT doc_a, doc_b FROM (\n$q20Oracle\n  ))\n" +
+        """SELECT least(sa.source, sb.source) AS source_a,
+          |  greatest(sa.source, sb.source) AS source_b,
+          |  count(*)::BIGINT AS n_pairs
+          |FROM p
+          |JOIN documents sa ON sa.doc_id = p.doc_a
+          |JOIN documents sb ON sb.doc_id = p.doc_b
+          |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin),
     // q20's verified pairs as a derived table, then the transitive
     // closure via a recursive UNION walk; cluster = min reachable doc
     "q37_neardup_clusters" ->
