@@ -137,10 +137,24 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
     catch { case NonFatal(e) => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"cal":$cal%.3f,"queries":$qs,"failed":$fl,"sf":"$sf"}"""
+    def headline(queries: String, failedList: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"cal":$cal%.3f,"queries":$queries,"failed":$failedList,"sf":"$sf"}"""
+    val lineFull = headline(qs, fl)
     // The line is the LAST stdout line, so the consumer's 2000-char tail
     // clips preceding lines, not the JSON — the hard cap is line+\n <= 2000.
+    // If the full-name form outgrows the cap (every query adds ~25
+    // chars), fall back to the qNN key prefixes — unique by
+    // construction, and a truncated-unparseable line would be strictly
+    // worse than short keys. bench_detail.json always carries full names.
+    val line = if (lineFull.length <= 1990) lineFull else {
+      val qsShort = results.map { case (k, v, _) =>
+        "\"" + k.takeWhile(_ != '_') + f"""\":$v%.2f""" }.mkString("{", ",", "}")
+      val flShort = failed.sorted.map(n =>
+        "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+      System.err.println("[bench] full-name headline is " +
+        s"${lineFull.length} chars > 1990: compacting keys to qNN prefixes")
+      headline(qsShort, flShort)
+    }
     System.err.println(s"[bench] headline line length = ${line.length} chars (hard cap 1990)")
     if (line.length > 1990)
       System.err.println("[bench] WARNING: headline line exceeds the consumer tail window!")
