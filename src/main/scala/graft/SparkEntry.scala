@@ -41,7 +41,7 @@ object SparkEntry {
   def cacheReleaseAfter: Map[String, () => Unit] = Map(
     "q35_interaction_graph" -> (() => OperatorQueries.releaseEventsCaches()),
     "q36_topic_model_gibbs" -> (() => OperatorQueries.releaseStemIndexCache()),
-    "q53_surprisal" -> (() => PipelineQueries.releaseTfCache()),
     "q74_keep_best" -> (() => PipelineQueries.releaseClusterCache()),
-    "q78_source_overlap" -> (() => PipelineQueries.releaseMinhashCaches()))
+    "q78_source_overlap" -> (() => PipelineQueries.releaseMinhashCaches()),
+    "q79_vocab_coverage" -> (() => PipelineQueries.releaseTfCache()))
 }

@@ -890,6 +890,37 @@ object TextMetrics {
           .as("pmi"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing diagnostic: what
+    * fraction of ALL token occurrences do the top-k most frequent
+    * tokens cover, at the standard cut points? (The curve's knee is
+    * where growing the vocabulary stops paying; its complement is the
+    * OOV rate a k-entry vocab would leave.)
+    *
+    * Scale shape: consumes the (doc, token, tf) relation
+    * ([[termFrequencies]] — the shared materialized form), re-aggregated
+    * to TOKEN granularity, so the ranked running sum runs on the
+    * vocabulary-sized relation, never the corpus; the global
+    * single-partition window is bounded by |vocab|, and the grand total
+    * is a 1-row broadcast. Coverage is one IEEE divide of exact integer
+    * operands — bit-stable across engines. */
+  def vocabCoverageFromTf(tf: DataFrame, cutPoints: Seq[Int]): DataFrame = {
+    require(cutPoints.nonEmpty, "vocabCoverage: need at least one cut point")
+    val tok = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
+    val w = Window.orderBy(col("c").desc, col("token"))
+    val ranked = tok
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("covered",
+        sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val total = tok.agg(sum(col("c")).as("total"))
+    ranked.filter(col("k").isin(cutPoints.map(_.toLong): _*))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered").cast("long").as("covered"),
+        col("total").cast("long").as("total"),
+        (col("covered").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+  }
+
   /** C4-style line-level cleaning (Raffel et al., the standard web-corpus
     * pre-filter): a document's text is split into newline-delimited
     * lines; a line SURVIVES iff it ends in terminal punctuation

@@ -471,6 +471,16 @@ object PipelineQueries {
     TextMetrics.unigramSurprisalFromTf(termFreqs(spark, dir), "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Vocabulary coverage curve (tokenizer sizing): fraction of all
+    * token occurrences covered by the top-k tokens at standard cut
+    * points — rides the shared tf cache, so the corpus is not
+    * re-scanned; the ranked running sum runs on the vocabulary-sized
+    * relation. */
+  def q79VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.vocabCoverageFromTf(termFreqs(spark, dir),
+        Seq(1, 2, 5, 10, 20, 50, 100, 200, 500))
+      .orderBy(col("k"))
+
   /** Chunk-level first-occurrence dedup (paragraph-dedup analog). */
   def q54ChunkDedup(spark: SparkSession, dir: String): DataFrame =
     TextMetrics.chunkDedup(docs(spark, dir), "doc_id", "text", maxTokens = 32)
@@ -646,6 +656,7 @@ object PipelineQueries {
     "q76_bpe_encode" -> q76BpeEncode,
     "q77_knn_graph" -> q77KnnGraph,
     "q78_source_overlap" -> q78SourceOverlap,
+    "q79_vocab_coverage" -> q79VocabCoverage,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -1577,6 +1588,28 @@ object PipelineQueries {
         |  coalesce(a.n_kept, 0) >= 3 AS keep_doc
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Mirrors vocabCoverageFromTf: same tokenization as q52's tf
+    // relation, token-granularity counts, ranked running sum (ROWS
+    // frame; the (c DESC, token) order is total so RANGE would equal
+    // ROWS, but say what we mean), coverage as ONE IEEE divide of exact
+    // integers. Window sums type HUGEINT — ::BIGINT per the invariant.
+    "q79_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+        |r AS (
+        |  SELECT token, c,
+        |    row_number() OVER (ORDER BY c DESC, token) AS k,
+        |    sum(c) OVER (ORDER BY c DESC, token
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS covered
+        |  FROM tok),
+        |t AS (SELECT sum(c)::BIGINT AS total FROM tok)
+        |SELECT k::BIGINT AS k, r.covered, t.total,
+        |  r.covered::DOUBLE / t.total::DOUBLE AS coverage
+        |FROM r, t
+        |WHERE k IN (1, 2, 5, 10, 20, 50, 100, 200, 500)
+        |ORDER BY k""".stripMargin,
     // Mirrors TextMetrics.tfIdfTopTerms: integer ranking key
     // (tf DESC, df ASC, token ASC) so ranks never ride double rounding;
     // the tf·idf value itself rounds in the decimal domain (ln agrees

@@ -854,6 +854,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out.exists { case ((s, _), n) => s == n })
   }
 
+  test("vocabCoverage: ranked running sums by hand, tie order, cut points past vocab vanish") {
+    // token totals: a=5, b=3, c=2 (total 10)
+    val tf = Seq((1L, "a", 3L), (2L, "a", 2L), (1L, "b", 3L), (1L, "c", 2L))
+      .toDF("doc_id", "token", "tf")
+    val out = TextMetrics.vocabCoverageFromTf(tf, Seq(1, 2, 3, 50))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((5L, 10L, 0.5)))
+    assert(out(2L) == ((8L, 10L, 0.8)))
+    assert(out(3L) == ((10L, 10L, 1.0)))
+    assert(out.size == 3) // k=50 exceeds |vocab|=3: no row
+    // equal counts tie by token: b=2, c=2 -> b ranks first
+    val tied = Seq((1L, "c", 2L), (1L, "b", 2L)).toDF("doc_id", "token", "tf")
+    val t2 = TextMetrics.vocabCoverageFromTf(tied, Seq(1))
+      .collect().head
+    assert(t2.getLong(1) == 2L && t2.getLong(2) == 4L)
+  }
+
   test("recallReport: identical results score 1, disjoint 0, partial exact") {
     import spark.implicits._
     def topk(rows: (Long, Long)*) = rows.toSeq.toDF("query_id", "corpus_id")
