@@ -677,6 +677,83 @@ object TextMetrics {
           .as("dup_frac"))
   }
 
+  /** Chunk-dedup REWRITE (the Dolma paragraph-removal analog): every
+    * chunk whose content already occurred earlier in the corpus (first
+    * occurrence kept, deterministic (doc, chunk) order — [[chunkDedup]]'s
+    * ranking) is REMOVED, and the cleaned document is re-emitted in
+    * canonical token space (lower-cased, single-spaced — the same space
+    * the chunk hashes live in), pinned by md5.
+    *
+    * Scale shape — the rewrite without shuffling text: the occurrence
+    * ranking runs on (id, chunk_id, md5) only (the q54 plan); the
+    * DROPPED set — duplicate-rate × corpus, vanishing next to the
+    * corpus — aggregates to (doc_id, [chunk_ids]) and joins back
+    * id-keyed; a mapPartitions kernel then deletes those token ranges
+    * in-row. Document text never crosses an exchange; the naive
+    * explode→filter→regroup form would shuffle every surviving chunk's
+    * text twice. */
+  def chunkDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 32): DataFrame = {
+    require(maxTokens >= 1, "chunkDedupRewrite: maxTokens must be >= 1")
+    val occ = Window.partitionBy(col("chunk_md5"))
+      .orderBy(col(idCol).asc, col("chunk_id").asc)
+    val dropped = chunk(docs, idCol, textCol, maxTokens)
+      .withColumn("_occ", row_number().over(occ))
+      .filter(col("_occ") > 1)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("chunk_id")).as("_drop"))
+    val in = docs.select(col(idCol), col(textCol))
+      .join(dropped, Seq(idCol), "left")
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("n_chunks", LongType, nullable = false),
+      StructField("n_dropped", LongType, nullable = false),
+      StructField("n_tokens_after", LongType, nullable = false),
+      StructField("clean_md5", StringType, nullable = true)))
+    in.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        // limit -1: Spark's split keeps trailing empty tokens — Java's
+        // default (limit 0) drops them, which would shift chunk bounds
+        val toks: Array[String] =
+          if (r.isNullAt(1)) Array.empty
+          else r.getString(1).toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+", -1)
+        val drop: Set[Long] =
+          if (r.isNullAt(2)) Set.empty else r.getSeq[Long](2).toSet
+        val nChunks =
+          if (toks.isEmpty) 0L else ((toks.length - 1) / maxTokens + 1).toLong
+        val sb = new java.lang.StringBuilder
+        var keptChunks = 0L
+        var keptToks = 0L
+        var first = true // flat ' '-join of kept tokens, empties included
+        var cid = 0L     // (= joining the kept chunk texts with ' ')
+        while (cid < nChunks) {
+          if (!drop.contains(cid)) {
+            keptChunks += 1
+            val lo = (cid * maxTokens).toInt
+            val hi = math.min(lo + maxTokens, toks.length)
+            var j = lo
+            while (j < hi) {
+              if (!first) sb.append(' ')
+              sb.append(toks(j))
+              first = false
+              j += 1
+            }
+            keptToks += hi - lo
+          }
+          cid += 1
+        }
+        val hash = if (keptChunks == 0L) null else {
+          md.reset()
+          md.digest(sb.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }
+        Row(r.get(0), nChunks, drop.size.toLong, keptToks, hash)
+      }
+    }(Encoders.row(outSchema))
+      .toDF(idCol, "n_chunks", "n_dropped", "n_tokens_after", "clean_md5")
+  }
+
   /** Temperature-sampled mixing weights — the multi-source sampling
     * schedule step (Raffel et al. 2020 §3.4.1 / XLM-R: sample source s
     * with probability ∝ n_s^α, α < 1 upweights small sources). α is

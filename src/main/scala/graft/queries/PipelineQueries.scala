@@ -486,6 +486,15 @@ object PipelineQueries {
     TextMetrics.chunkDedup(docs(spark, dir), "doc_id", "text", maxTokens = 32)
       .orderBy(col("doc_id"))
 
+  /** Chunk-dedup rewrite (Dolma-style duplicated-paragraph REMOVAL):
+    * q54's first-occurrence ranking, then the losing chunks are deleted
+    * in-row and the cleaned text pinned by md5 — only hashes and the
+    * (small) dropped-chunk set ever shuffle. */
+  def q80DedupRewrite(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.chunkDedupRewrite(docs(spark, dir), "doc_id", "text",
+        maxTokens = 32)
+      .orderBy(col("doc_id"))
+
   /** Temperature-sampled (α = 1/2) source mixing weights. */
   def q55MixWeights(spark: SparkSession, dir: String): DataFrame =
     TextMetrics.mixWeights(docs(spark, dir), "source", "text")
@@ -657,6 +666,7 @@ object PipelineQueries {
     "q77_knn_graph" -> q77KnnGraph,
     "q78_source_overlap" -> q78SourceOverlap,
     "q79_vocab_coverage" -> q79VocabCoverage,
+    "q80_dedup_rewrite" -> q80DedupRewrite,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -1588,6 +1598,35 @@ object PipelineQueries {
         |  coalesce(a.n_kept, 0) >= 3 AS keep_doc
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Mirrors chunkDedupRewrite: q45's chunk derivation, q54's
+    // first-occurrence ranking, then the cleaned doc is the kept chunk
+    // texts rejoined with ' ' (ORDER BY cid) — one flat token join, the
+    // same canonical token space the chunk hashes live in. clean_md5 is
+    // NULL only when every chunk was dropped.
+    "q80_dedup_rewrite" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, unnest(CASE WHEN len(t) >= 1
+        |    THEN generate_series(0, (len(t) - 1) // 32)
+        |    ELSE CAST([] AS BIGINT[]) END) AS cid
+        |  FROM toks),
+        |ch AS (SELECT doc_id, cid,
+        |    array_to_string(list_slice(t, cid * 32 + 1, least((cid + 1) * 32, len(t))), ' ') AS ctext,
+        |    least((cid + 1) * 32, len(t)) - cid * 32 AS nt
+        |  FROM c),
+        |occ AS (SELECT doc_id, cid, ctext, nt,
+        |    row_number() OVER (PARTITION BY md5(ctext) ORDER BY doc_id, cid) AS rn
+        |  FROM ch),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_chunks,
+        |    count(*) FILTER (WHERE rn > 1) AS n_dropped,
+        |    coalesce(sum(nt) FILTER (WHERE rn = 1), 0) AS n_tokens_after,
+        |    md5(string_agg(ctext, ' ' ORDER BY cid) FILTER (WHERE rn = 1)) AS clean_md5
+        |  FROM occ GROUP BY doc_id)
+        |SELECT doc_id, n_chunks::BIGINT AS n_chunks,
+        |  n_dropped::BIGINT AS n_dropped,
+        |  n_tokens_after::BIGINT AS n_tokens_after, clean_md5
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // Mirrors vocabCoverageFromTf: same tokenization as q52's tf
     // relation, token-granularity counts, ranked running sum (ROWS
     // frame; the (c DESC, token) order is total so RANGE would equal

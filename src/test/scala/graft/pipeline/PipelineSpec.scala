@@ -854,6 +854,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out.exists { case ((s, _), n) => s == n })
   }
 
+  test("chunkDedupRewrite: losing chunks deleted in-row, md5 by hand, all-dropped is null") {
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "A b c d"),   // chunks [a b][c d]; first occurrence of both
+      (2L, "a b x y"),   // [a b] duplicates doc1's -> dropped; [x y] kept
+      (3L, "a b"))       // its only chunk duplicates -> everything dropped
+      .toDF("doc_id", "text")
+    val out = TextMetrics.chunkDedupRewrite(docs, "doc_id", "text", maxTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), Option(r.getString(4))))).toMap
+    assert(out(1L) == ((2L, 0L, 4L, Some(m("a b c d")))))
+    assert(out(2L) == ((2L, 1L, 2L, Some(m("x y")))))
+    assert(out(3L) == ((1L, 1L, 0L, None)))
+  }
+
   test("vocabCoverage: ranked running sums by hand, tie order, cut points past vocab vanish") {
     // token totals: a=5, b=3, c=2 (total 10)
     val tf = Seq((1L, "a", 3L), (2L, "a", 2L), (1L, "b", 3L), (1L, "c", 2L))
