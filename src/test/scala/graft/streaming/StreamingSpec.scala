@@ -206,4 +206,38 @@ class StreamingSpec extends AnyFunSuite {
     // first arrival of each distinct text survives: alpha→1, beta→2, gamma→5
     assert(kept == Seq(1L, 2L, 5L))
   }
+
+  test("C4 line cleaning runs under Structured Streaming and matches the batch kernel") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the cleaning kernel is a stateless mapPartitions — it must compose
+    // into a streaming plan unchanged (the ingest-path property)
+    val docs = Seq(
+      (1L, "one two three four five.\nno punct line here at all\nsix seven eight nine ten!"),
+      (2L, "short.\nalpha beta gamma delta epsilon?"),
+      (3L, ""))
+    val stream = MemoryStream[(Long, String)]
+    val in = stream.toDS().toDF("doc_id", "text")
+    val query = graft.pipeline.TextMetrics.c4LineClean(in, "doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("c4_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("c4_ckpt").toString)
+      .start()
+    try {
+      stream.addData(docs.take(2))
+      query.processAllAvailable()
+      stream.addData(docs.drop(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("c4_stream")
+      .collect().map(_.mkString(",")).sorted.toSeq
+    val batch = graft.pipeline.TextMetrics
+      .c4LineClean(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.mkString(",")).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
 }
