@@ -43,5 +43,5 @@ object SparkEntry {
     "q36_topic_model_gibbs" -> (() => OperatorQueries.releaseStemIndexCache()),
     "q74_keep_best" -> (() => PipelineQueries.releaseClusterCache()),
     "q78_source_overlap" -> (() => PipelineQueries.releaseMinhashCaches()),
-    "q79_vocab_coverage" -> (() => PipelineQueries.releaseTfCache()))
+    "q81_nb_train" -> (() => PipelineQueries.releaseTfCache()))
 }

@@ -821,6 +821,42 @@ object TextMetrics {
         when(col("score_q") >= 0, 1L).otherwise(0L).as("pass"))
   }
 
+  /** Quality-classifier TRAINING — the learn half of the
+    * [[classifierQuality]] loop (fastText-style quality pipelines label
+    * a seed set, TRAIN token weights, then apply them at corpus scale):
+    * Laplace-smoothed per-token log-odds between a positive and a
+    * negative document class, over document PRESENCE frequencies (the
+    * standard Bernoulli naive-Bayes form).
+    * `labels` carries (`idCol`, label ∈ {0,1});
+    * weight = ln(((df_pos+1)/(n_pos+2)) / ((df_neg+1)/(n_neg+2))).
+    *
+    * Determinism: df/n are exact integers, each smoothed ratio is one
+    * IEEE divide, `ln` agrees bit-for-bit across engines on identical
+    * input (the q17/q52 device), and emission rounds in the decimal
+    * domain. Scale shape: one distinct (doc, token) pass over the
+    * shared tf relation, an id-keyed join to attach labels, one
+    * token-keyed aggregate — output is vocabulary-sized — and a 1-row
+    * class-count broadcast. */
+  def trainNbWeights(tf: DataFrame, labels: DataFrame,
+      idCol: String): DataFrame = {
+    val pres = tf.select(col(idCol), col("token")).distinct()
+      .join(labels.select(col(idCol), col("label")), idCol)
+    val counts = labels.agg(
+      sum(col("label")).as("n_pos"),
+      sum(lit(1L) - col("label")).as("n_neg"))
+    pres.groupBy(col("token"))
+      .agg(sum(col("label")).as("df_pos"),
+        sum(lit(1L) - col("label")).as("df_neg"))
+      .crossJoin(broadcast(counts))
+      .select(col("token"), col("df_pos"), col("df_neg"),
+        dec6(log(
+          ((col("df_pos") + 1).cast("double") /
+            (col("n_pos") + 2).cast("double")) /
+          ((col("df_neg") + 1).cast("double") /
+            (col("n_neg") + 2).cast("double"))))
+          .as("weight"))
+  }
+
   /** Cross-document duplicated-substring detection (the Lee et al. 2022
     * "Deduplicating Training Data" signal at fingerprint granularity):
     * a document's winnowing fingerprints ([[winnowFingerprints]])

@@ -481,6 +481,17 @@ object PipelineQueries {
         Seq(1, 2, 5, 10, 20, 50, 100, 200, 500))
       .orderBy(col("k"))
 
+  /** Quality-classifier training (the learn half of q57's apply):
+    * Bernoulli-NB log-odds token weights from the q26 quality rule as
+    * pseudo-labels — rides the shared tf cache, vocabulary-sized
+    * output. */
+  def q81NbTrain(spark: SparkSession, dir: String): DataFrame = {
+    val labels = TextMetrics.qualityScore(docs(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("quality").cast("long").as("label"))
+    TextMetrics.trainNbWeights(termFreqs(spark, dir), labels, "doc_id")
+      .orderBy(col("token"))
+  }
+
   /** Chunk-level first-occurrence dedup (paragraph-dedup analog). */
   def q54ChunkDedup(spark: SparkSession, dir: String): DataFrame =
     TextMetrics.chunkDedup(docs(spark, dir), "doc_id", "text", maxTokens = 32)
@@ -667,6 +678,7 @@ object PipelineQueries {
     "q78_source_overlap" -> q78SourceOverlap,
     "q79_vocab_coverage" -> q79VocabCoverage,
     "q80_dedup_rewrite" -> q80DedupRewrite,
+    "q81_nb_train" -> q81NbTrain,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -1598,6 +1610,40 @@ object PipelineQueries {
         |  coalesce(a.n_kept, 0) >= 3 AS keep_doc
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Mirrors trainNbWeights over q26's quality rule as pseudo-labels:
+    // presence (DISTINCT doc, token), per-class doc frequencies,
+    // Laplace-smoothed log-odds via engine-stable ln on identical
+    // inputs; integer sums ::BIGINT per the decimal-family invariant.
+    "q81_nb_train" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 50
+        |      AND ((length(text) - length(regexp_replace(text,
+        |            '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+        |          / length(text)::DOUBLE) < 0.2
+        |      AND (((length(text) - len(regexp_split_to_array(lower(text), '\s+'))
+        |            + 1)::DOUBLE
+        |          / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE)
+        |          BETWEEN 3 AND 12)
+        |    THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |pres AS (SELECT DISTINCT doc_id, token FROM toks),
+        |c AS (SELECT sum(label)::BIGINT AS n_pos,
+        |    sum(1 - label)::BIGINT AS n_neg FROM q),
+        |agg AS (
+        |  SELECT p.token,
+        |    sum(q.label)::BIGINT AS df_pos,
+        |    sum(1 - q.label)::BIGINT AS df_neg
+        |  FROM pres p JOIN q ON q.doc_id = p.doc_id
+        |  GROUP BY 1)
+        |SELECT token, df_pos, df_neg,
+        |  round(ln(((df_pos + 1)::DOUBLE / (c.n_pos + 2)::DOUBLE)
+        |      / ((df_neg + 1)::DOUBLE / (c.n_neg + 2)::DOUBLE))
+        |    ::DECIMAL(28,10), 6)::DOUBLE AS weight
+        |FROM agg, c ORDER BY token""".stripMargin,
     // Mirrors chunkDedupRewrite: q45's chunk derivation, q54's
     // first-occurrence ranking, then the cleaned doc is the kept chunk
     // texts rejoined with ' ' (ORDER BY cid) — one flat token join, the

@@ -854,6 +854,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out.exists { case ((s, _), n) => s == n })
   }
 
+  test("trainNbWeights: smoothed log-odds by hand; presence, not counts") {
+    // docs 1,2 positive, doc 3 negative; tf values deliberately > 1 so a
+    // count-based (multinomial) implementation would diverge
+    val tf = Seq((1L, "a", 5L), (1L, "b", 1L), (2L, "a", 2L),
+      (3L, "a", 1L), (3L, "c", 9L)).toDF("doc_id", "token", "tf")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 0L)).toDF("doc_id", "label")
+    val out = TextMetrics.trainNbWeights(tf, labels, "doc_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // n_pos=2, n_neg=1; w = ln(((df_p+1)/4) / ((df_n+1)/3)), dec6:
+    assert(out("a") == ((2L, 1L, 0.117783)))   // ln(9/8)
+    assert(out("b") == ((1L, 0L, 0.405465)))   // ln(3/2)
+    assert(out("c") == ((0L, 1L, -0.980829)))  // ln(3/8)
+    assert(out.size == 3)
+  }
+
   test("chunkDedupRewrite: losing chunks deleted in-row, md5 by hand, all-dropped is null") {
     def m(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
