@@ -21,15 +21,26 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      // parquet stores ts as INT64 TIMESTAMP(NANOS); with
-      // spark.sql.legacy.parquet.nanosAsLong=true it arrives as Long.
-      // Integral `div` (not floor of a double division): ns-epoch longs
-      // exceed double's 53-bit mantissa, so float division can be off by
-      // 1us — `div` matches DuckDB's nanos→micros truncation bit-exactly
-      // for the driver data's non-negative epochs. (Pre-1970 nanos would
-      // need floor-division: `div` truncates toward zero while DuckDB
-      // floors, a 1us divergence on negative values.)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // The driver has shipped `ts` two ways across rounds; normalize
+      // both to session-TZ (UTC) TimestampType at microsecond precision
+      // so downstream queries and emitted columns are identical either
+      // way:
+      //  - INT64 TIMESTAMP(NANOS): with
+      //    spark.sql.legacy.parquet.nanosAsLong=true it arrives as Long.
+      //    Integral `div` (not floor of a double division): ns-epoch
+      //    longs exceed double's 53-bit mantissa, so float division can
+      //    be off by 1us — `div` matches DuckDB's nanos→micros
+      //    truncation bit-exactly for non-negative epochs.
+      //  - TIMESTAMP(MICROS) without the UTC flag: arrives as
+      //    TIMESTAMP_NTZ; the cast under the UTC session re-tags the
+      //    same wall-clock micros, matching DuckDB's naive read.
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     else df
   }
 
