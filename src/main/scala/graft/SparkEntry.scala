@@ -43,5 +43,6 @@ object SparkEntry {
     "q36_topic_model_gibbs" -> (() => OperatorQueries.releaseStemIndexCache()),
     "q74_keep_best" -> (() => PipelineQueries.releaseClusterCache()),
     "q78_source_overlap" -> (() => PipelineQueries.releaseMinhashCaches()),
-    "q81_nb_train" -> (() => PipelineQueries.releaseTfCache()))
+    "q85_zipf" -> (() => PipelineQueries.releaseTfCache()),
+    "q86_knn_purity" -> (() => PipelineQueries.releaseKnnCache()))
 }

@@ -1096,4 +1096,241 @@ object TextMetrics {
     }(Encoders.row(outSchema))
       .toDF(idCol, "n_lines", "n_kept", "kept_chars", "clean_hash", "keep_doc")
   }
+
+  /** Bigram-LM surprisal — the next step up from [[unigramSurprisal]]'s
+    * perplexity proxy (CCNet-style quality filtering scores documents by
+    * how unlikely their text is under a corpus-level language model; the
+    * bigram model additionally penalizes improbable word ORDER, which a
+    * unigram model cannot see).
+    *
+    * Model: add-one-smoothed conditional p(w2|w1) = (c12+1)/(c1+V) where
+    * c12 = corpus count of bigram (w1,w2), c1 = corpus count of w1 as a
+    * bigram prefix, V = corpus vocabulary size (the caller passes it as a
+    * 1-row `v` relation so a shared term-frequency cache can supply it
+    * without re-scanning the corpus). score(doc) = mean over the doc's
+    * bigrams of −ln p.
+    *
+    * Cross-engine discipline (the q53 device): per-bigram surprisals run
+    * in the double domain — all ln inputs are exact small integers, so
+    * the divide and `ln` are bit-identical across engines — then each is
+    * truncated to DECIMAL(18,10) and multiplied by the exact integer
+    * per-doc bigram count before the order-independent DECIMAL sum.
+    *
+    * Scale shape: ONE corpus scan builds the per-doc bigram frequency
+    * relation via explode(sequence)+element_at (Generate+Project fuse in
+    * whole-stage codegen — a lambda zip would run interpreted); the
+    * model relations aggregate FROM it (c12 is observed-bigram-sized,
+    * c1 vocabulary-sized). The scoring probe joins the COMPACT per-doc
+    * bigram relation, not raw token occurrences. The c12 join is keyed
+    * on the bigram (left unhinted so AQE broadcasts it while it fits and
+    * falls back to a shuffle join when the observed-bigram vocabulary
+    * outgrows memory at corpus scale); c1 and V broadcast always. */
+  def bigramSurprisalFromVocab(docs: DataFrame, idCol: String,
+      textCol: String, vocabSize: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokenize(col(textCol)).as("_t"))
+    val btf = toks.filter(size(col("_t")) >= 2)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("_t")) - 1)).as("_i"), col("_t"))
+      .select(col(idCol), element_at(col("_t"), col("_i")).as("w1"),
+        element_at(col("_t"), col("_i") + 1).as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("btf"))
+      // model estimation AND the scoring probe consume this relation —
+      // materialize it or the corpus scan + explode re-executes per
+      // consumer (the documented termFrequencies trap)
+      .localCheckpoint(true)
+    val c12 = btf.groupBy(col("w1"), col("w2")).agg(sum(col("btf")).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val perBg = btf.join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col(idCol), col("btf"),
+        (log((col("c1") + col("v")).cast("double") /
+            (col("c12") + lit(1L)).cast("double"))
+          .cast("decimal(18,10)") * col("btf").cast("decimal(10,0)"))
+          .as("_surp"))
+    perBg.groupBy(col(idCol))
+      .agg(sum(col("btf")).as("n_bigrams"), sum(col("_surp")).as("_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("_sum"), 6).cast("double").as("sum_surprisal"),
+        dec6(col("_sum").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_surprisal"))
+  }
+
+  /** Boilerplate line removal — the corpus-frequency flavor of line
+    * cleaning (RefinedWeb / Dolma: a line whose EXACT text appears in at
+    * least `minDocs` distinct documents is navigation chrome, cookie
+    * banners, licence footers — remove EVERY occurrence, unlike
+    * [[chunkDedupRewrite]] which keeps the first). Input documents carry
+    * newline-delimited lines; `line_id` is the 0-based raw split index.
+    * Emitted per doc: non-empty line count, removed count, the cleaned
+    * text's length and md5 (kept non-empty lines re-joined with `\n`;
+    * null when nothing survives).
+    *
+    * Scale shape — the q80 rewrite discipline: only (doc, line_id,
+    * line_md5) ever shuffles. The document-frequency aggregate is keyed
+    * by line hash (cardinality = distinct lines); the boilerplate set it
+    * yields is tiny by construction (lines repeated across ≥ minDocs
+    * docs) and BROADCASTS back onto the hash relation; the per-doc
+    * removal list joins id-keyed; a mapPartitions kernel deletes the
+    * listed lines in-row. Line text never crosses an exchange — the
+    * explode→filter→string_agg form would shuffle every surviving
+    * line's text. */
+  def boilerplateRemove(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, "boilerplateRemove: minDocs must be >= 2")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("line_id", "_line")))
+      .filter(col("_line") =!= "")
+      .select(col(idCol), col("line_id").cast("long").as("line_id"),
+        md5(col("_line")).as("_lmd5"))
+    val boiler = lines.groupBy(col("_lmd5"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("_lmd5"))
+    val dropped = lines.join(broadcast(boiler), Seq("_lmd5"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("line_id")).as("_drop"))
+    val in = docs.select(col(idCol), col(textCol))
+      .join(dropped, Seq(idCol), "left")
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("n_lines", LongType, nullable = false),
+      StructField("n_removed", LongType, nullable = false),
+      StructField("clean_chars", LongType, nullable = false),
+      StructField("clean_md5", StringType, nullable = true)))
+    in.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val t = if (r.isNullAt(1)) "" else r.getString(1)
+        val drop: Set[Long] =
+          if (r.isNullAt(2)) Set.empty else r.getSeq[Long](2).toSet
+        val raw = t.split("\n", -1)
+        var nLines = 0L
+        var nRemoved = 0L
+        var kept = 0L
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < raw.length) {
+          if (raw(i).nonEmpty) {
+            nLines += 1
+            if (drop.contains(i.toLong)) nRemoved += 1
+            else {
+              if (kept > 0) sb.append('\n')
+              sb.append(raw(i))
+              kept += 1
+            }
+          }
+          i += 1
+        }
+        val hash = if (kept == 0L) null else {
+          md.reset()
+          md.digest(sb.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }
+        Row(r.get(0), nLines, nRemoved, sb.length.toLong, hash)
+      }
+    }(Encoders.row(outSchema))
+      .toDF(idCol, "n_lines", "n_removed", "clean_chars", "clean_md5")
+  }
+
+  /** Heavy hitters — exact top-`k` tokens located by a bounded-memory
+    * Misra-Gries sketch pass plus an exact recount of the sketch's
+    * candidates (the canonical distributed frequent-items shape:
+    * Misra–Gries summaries merge by union, and any token with global
+    * frequency above N/(capacity+1) is GUARANTEED to survive in at
+    * least one partition's summary, so the candidate union is a
+    * superset of every such token — size the capacity so the expected
+    * k-th count clears N/(capacity+1) and the result is exact).
+    *
+    * Scale shape: pass 1 explodes tokens and folds each partition into
+    * a ≤ `capacity`-entry summary IN the scan stage (no shuffle; only
+    * ≤ capacity candidate tokens per partition leave it). Pass 2
+    * re-scans with a broadcast left-semi filter on the candidates — the
+    * aggregate's key space is the candidate set, not the vocabulary, so
+    * the shuffle is capacity-bounded regardless of corpus size. The
+    * final top-k ranks the candidate-sized relation on the exact
+    * integer key (cnt DESC, token ASC). A single full groupBy(token)
+    * would shuffle the whole vocabulary; the sketch bounds both memory
+    * and shuffle at any scale. */
+  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 256, k: Int = 10): DataFrame = {
+    require(capacity >= k && k >= 1, "heavyHitters: need capacity >= k >= 1")
+    val toks = docs.select(
+      explode(TextFunctions.tokenize(col(textCol))).as("token"))
+    val candSchema = StructType(Seq(StructField("token", StringType,
+      nullable = false)))
+    val cands = toks.mapPartitions { rows =>
+      val m = new java.util.HashMap[String, Long](capacity * 2)
+      rows.foreach { r =>
+        val t = r.getString(0)
+        val c = m.get(t)
+        if (c != 0L || m.containsKey(t)) m.put(t, c + 1L)
+        else if (m.size < capacity) m.put(t, 1L)
+        else {
+          // Misra-Gries decrement step: every tracked count drops by 1
+          val it = m.entrySet.iterator
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      scala.jdk.CollectionConverters.SetHasAsScala(m.keySet).asScala
+        .iterator.map(Row(_))
+    }(Encoders.row(candSchema)).distinct()
+    val exact = toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("token"), col("cnt"))
+  }
+
+  /** Zipf-law fit — corpus health analytics (a natural-language corpus
+    * shows ln(freq) ≈ intercept + slope·ln(rank) with slope near −1;
+    * a far-off slope or low R² flags synthetic, templated, or heavily
+    * duplicated text). Ordinary least squares of y = ln(count) on
+    * x = ln(rank) over the full ranked vocabulary.
+    *
+    * Cross-engine discipline: x, y and their products are doubles over
+    * exact integer inputs (bit-identical across engines), truncated
+    * per-term to DECIMAL(28,10) and summed exactly; each sum is rounded
+    * to 6 decimals and cast back to double (the rounded values stay far
+    * below 2^53, so the cast is exact on both engines); the OLS closed
+    * form then runs in fixed-association double arithmetic written
+    * identically in the oracle. Emitted slope/intercept/R² round in the
+    * decimal domain per the house rule.
+    *
+    * Scale shape: counts aggregate from the caller's term-frequency
+    * relation (vocabulary-sized); the rank window is a single-partition
+    * sort of that relation only (the q79 device — fine because
+    * vocabulary ≪ corpus); the six sums reduce with map-side partials
+    * to one row. */
+  def zipfFitFromTf(tf: DataFrame): DataFrame = {
+    val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    val ranked = counts.withColumn("rank", row_number().over(w).cast("long"))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("cnt").cast("double"))
+    val sums = ranked.agg(
+      count(lit(1)).as("n_types"),
+      sum(x.cast("decimal(28,10)")).as("_sx"),
+      sum(y.cast("decimal(28,10)")).as("_sy"),
+      sum((x * y).cast("decimal(28,10)")).as("_sxy"),
+      sum((x * x).cast("decimal(28,10)")).as("_sxx"),
+      sum((y * y).cast("decimal(28,10)")).as("_syy"))
+    val n = col("n_types").cast("double")
+    def d(c: Column): Column = round(c, 6).cast("double")
+    val sx = d(col("_sx")); val sy = d(col("_sy")); val sxy = d(col("_sxy"))
+    val sxx = d(col("_sxx")); val syy = d(col("_syy"))
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val slope = num / den
+    sums.select(col("n_types"),
+      dec6(slope).as("slope"),
+      dec6((sy - (num / den) * sx) / n).as("intercept"),
+      dec6((num * num) / (den * (n * syy - sy * sy))).as("r2"))
+  }
 }

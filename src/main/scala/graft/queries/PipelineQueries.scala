@@ -201,13 +201,35 @@ object PipelineQueries {
       .orderBy("source_a", "source_b")
   }
 
+  /** Shared k=3 kNN graph, cached per (session, sf dir): q77 reports
+    * it, q86 scores its label purity — the bucket join + re-rank runs
+    * once (the MinHash-family store-once-serve-many shape). */
+  private val sharedKnn =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def knnGraph3(spark: SparkSession, dir: String): DataFrame =
+    sharedKnn.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Similarity.knnGraph(emb(spark, dir), "vec_id", "embedding", k = 3)
+        .localCheckpoint(true))
+
+  /** Drop the shared kNN-graph cache (q77, q86). */
+  def releaseKnnCache(): Unit = drain(sharedKnn)
+
   /** Approximate k-NN graph over ALL embeddings (k = 3): sign-LSH
     * multi-probe bucket equi-join + exact quantized re-rank — the
     * every-vector-is-a-query form of q24 (broadcast would not scale
     * when the query set IS the corpus). */
   def q77KnnGraph(spark: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraph(emb(spark, dir), "vec_id", "embedding", k = 3)
+    knnGraph3(spark, dir)
       .orderBy(col("src_id"), col("rank"))
+
+  /** kNN label purity over the shared q77 graph — per-label fraction of
+    * edges whose neighbor shares the source's label. */
+  def q86KnnPurity(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelPurity(knnGraph3(spark, dir),
+        emb(spark, dir).select(col("vec_id"), col("label")),
+        "vec_id", "label")
+      .orderBy(col("label"))
 
   /** Canonical-form exact dedup: case/punctuation/whitespace variants
     * collapse before hashing. */
@@ -492,6 +514,37 @@ object PipelineQueries {
       .orderBy(col("token"))
   }
 
+  /** Bigram-LM surprisal (word-order-aware perplexity proxy) — the
+    * vocabulary size rides the shared tf cache so only the bigram pass
+    * scans the corpus; the per-doc bigram relation is materialized once
+    * inside the operator (model estimation + scoring probe consume it,
+    * the q52/q53 double-consumer shape). */
+  def q82BigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.bigramSurprisalFromVocab(docs(spark, dir), "doc_id", "text",
+        termFreqs(spark, dir).agg(count_distinct(col("token")).as("v")))
+      .orderBy(col("doc_id"))
+
+  /** Boilerplate line removal over the q75 planted line structure:
+    * lines whose exact text recurs in >= 3 distinct documents are
+    * deleted everywhere they appear. */
+  def q83Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.boilerplateRemove(plantLines(docs(spark, dir)), "doc_id",
+        "text", minDocs = 3)
+      .orderBy(col("doc_id"))
+
+  /** Exact top-10 tokens via a Misra-Gries candidate sketch + exact
+    * recount (memory- and shuffle-bounded heavy hitters). */
+  def q84HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.heavyHitters(docs(spark, dir), "doc_id", "text",
+      capacity = 256, k = 10)
+      .orderBy(col("rank"))
+
+  /** Zipf-law OLS fit over the ranked vocabulary — rides the shared tf
+    * cache (zero extra corpus scans) and is this sweep's tf release
+    * point (last tf consumer in name order). */
+  def q85Zipf(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.zipfFitFromTf(termFreqs(spark, dir))
+
   /** Chunk-level first-occurrence dedup (paragraph-dedup analog). */
   def q54ChunkDedup(spark: SparkSession, dir: String): DataFrame =
     TextMetrics.chunkDedup(docs(spark, dir), "doc_id", "text", maxTokens = 32)
@@ -679,6 +732,11 @@ object PipelineQueries {
     "q79_vocab_coverage" -> q79VocabCoverage,
     "q80_dedup_rewrite" -> q80DedupRewrite,
     "q81_nb_train" -> q81NbTrain,
+    "q82_bigram_surprisal" -> q82BigramSurprisal,
+    "q83_boilerplate" -> q83Boilerplate,
+    "q84_heavy_hitters" -> q84HeavyHitters,
+    "q85_zipf" -> q85Zipf,
+    "q86_knn_purity" -> q86KnnPurity,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -721,6 +779,49 @@ object PipelineQueries {
   // q23/q24 oracle bodies without the presentation ORDER BY — each
   // serves its own query (plus the order) AND rides as a CTE inside
   // q69's recall report.
+  // q77 oracle body without the presentation ORDER BY — serves the q77
+  // entry (plus the order) AND rides as a CTE inside q86's purity
+  // report, the same zero-drift reuse as q23/q24 inside q69.
+  private val q77Body =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv,
+      |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+      |     + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+      |     + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+      |     + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+      |     + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
+      |  FROM embeddings),
+      |probes AS (
+      |  SELECT vec_id AS src_id,
+      |    unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
+      |      xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT),
+      |      xor(bucket, 16::BIGINT), xor(bucket, 32::BIGINT),
+      |      xor(bucket, 64::BIGINT), xor(bucket, 128::BIGINT)]) AS bucket
+      |  FROM v),
+      |cand AS (
+      |  SELECT DISTINCT p.src_id, c.vec_id AS nbr_id
+      |  FROM probes p JOIN v c ON c.bucket = p.bucket
+      |  WHERE c.vec_id <> p.src_id),
+      |exp AS (
+      |  SELECT cand.src_id, cand.nbr_id,
+      |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
+      |  FROM cand
+      |  JOIN v q ON q.vec_id = cand.src_id
+      |  JOIN v c ON c.vec_id = cand.nbr_id),
+      |dots AS (
+      |  SELECT src_id, nbr_id, sum(qx * cx)::BIGINT AS dot_q
+      |  FROM exp GROUP BY 1, 2)
+      |SELECT src_id, rank, nbr_id, dot_q FROM (
+      |  SELECT src_id, nbr_id, dot_q,
+      |    row_number() OVER (PARTITION BY src_id
+      |      ORDER BY dot_q DESC, nbr_id) AS rank
+      |  FROM dots)
+      |WHERE rank <= 3""".stripMargin
+
   private val q23Body =
     """WITH v AS (
       |  SELECT vec_id,
@@ -1056,45 +1157,21 @@ object PipelineQueries {
     // q24's bucket construction with every vector as a query (no
     // vec_id < 16 probe filter) and per-source top-3 — mirrors
     // Similarity.knnGraph.
-    "q77_knn_graph" ->
-      """WITH v AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv,
-        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
-        |     + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
-        |     + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
-        |     + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
-        |     + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
-        |  FROM embeddings),
-        |probes AS (
-        |  SELECT vec_id AS src_id,
-        |    unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
-        |      xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT),
-        |      xor(bucket, 16::BIGINT), xor(bucket, 32::BIGINT),
-        |      xor(bucket, 64::BIGINT), xor(bucket, 128::BIGINT)]) AS bucket
-        |  FROM v),
-        |cand AS (
-        |  SELECT DISTINCT p.src_id, c.vec_id AS nbr_id
-        |  FROM probes p JOIN v c ON c.bucket = p.bucket
-        |  WHERE c.vec_id <> p.src_id),
-        |exp AS (
-        |  SELECT cand.src_id, cand.nbr_id,
-        |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
-        |  FROM cand
-        |  JOIN v q ON q.vec_id = cand.src_id
-        |  JOIN v c ON c.vec_id = cand.nbr_id),
-        |dots AS (
-        |  SELECT src_id, nbr_id, sum(qx * cx)::BIGINT AS dot_q
-        |  FROM exp GROUP BY 1, 2)
-        |SELECT src_id, rank, nbr_id, dot_q FROM (
-        |  SELECT src_id, nbr_id, dot_q,
-        |    row_number() OVER (PARTITION BY src_id
-        |      ORDER BY dot_q DESC, nbr_id) AS rank
-        |  FROM dots)
-        |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin,
+    "q77_knn_graph" -> (q77Body + "\nORDER BY src_id, rank"),
+    // kNN label purity: the q77 body reused verbatim as a CTE (the q69
+    // zero-drift device), two id-keyed label joins, per-label rollup.
+    "q86_knn_purity" ->
+      (s"WITH g AS (\n$q77Body\n)\n" +
+        """SELECT s.label::BIGINT AS label,
+          |  count(*)::BIGINT AS n_edges,
+          |  sum(CASE WHEN s.label = n.label THEN 1 ELSE 0 END)::BIGINT
+          |    AS n_same,
+          |  round((sum(CASE WHEN s.label = n.label THEN 1 ELSE 0 END)::DOUBLE
+          |      / count(*)::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS purity
+          |FROM g
+          |JOIN embeddings s ON s.vec_id = g.src_id
+          |JOIN embeddings n ON n.vec_id = g.nbr_id
+          |GROUP BY 1 ORDER BY label""".stripMargin),
     "q23_similarity_brute" ->
       (q23Body + "\nORDER BY query_id, rank"),
     "q24_similarity_lsh" ->
@@ -1644,6 +1721,108 @@ object PipelineQueries {
         |      / ((df_neg + 1)::DOUBLE / (c.n_neg + 2)::DOUBLE))
         |    ::DECIMAL(28,10), 6)::DOUBLE AS weight
         |FROM agg, c ORDER BY token""".stripMargin,
+    // Mirrors bigramSurprisalFromVocab: add-one-smoothed bigram LM —
+    // per-occurrence ln on exact-integer double operands (engine-stable),
+    // summed as DECIMAL per the q53 device; V = full corpus vocabulary.
+    "q82_bigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |ex AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |  FROM toks WHERE len(t) >= 2),
+        |b AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM ex),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok)::BIGINT AS v
+        |  FROM (SELECT unnest(t) AS tok FROM toks)),
+        |p AS (SELECT b.doc_id,
+        |    ln((c1.c1 + v.v)::DOUBLE / (c12.c12 + 1)::DOUBLE)
+        |      ::DECIMAL(28,10) AS surp
+        |  FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |a AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |    sum(surp) AS sum_dec FROM p GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  round(sum_dec, 6)::DOUBLE AS sum_surprisal,
+        |  round((sum_dec::DOUBLE / n_bigrams::DOUBLE)::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS avg_surprisal
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // Mirrors boilerplateRemove over the q75 planted lines: per-line md5
+    // document frequency, lines with df >= 3 removed everywhere, cleaned
+    // text re-joined with \n in line order (NULL when nothing survives).
+    "q83_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t,
+        |    4 + doc_id % 5 AS w
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, w, t,
+        |    unnest(CASE WHEN len(t) = 0 THEN CAST([] AS BIGINT[])
+        |           ELSE generate_series(0, (len(t) - 1) // w) END) AS i
+        |  FROM toks),
+        |lines AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(list_slice(t, i * w + 1, least((i + 1) * w, len(t))), ' ')
+        |      || CASE WHEN (doc_id + 7 * i) % 3 <> 0 THEN '.' ELSE '' END AS line
+        |  FROM ex),
+        |boiler AS (SELECT md5(line) AS m FROM lines
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        |tag AS (SELECT doc_id, i, line,
+        |    md5(line) IN (SELECT m FROM boiler) AS rm
+        |  FROM lines),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_lines,
+        |    count(*) FILTER (WHERE rm) AS n_removed,
+        |    string_agg(line, chr(10) ORDER BY i) FILTER (WHERE NOT rm) AS clean
+        |  FROM tag GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+        |  coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+        |  coalesce(length(a.clean), 0)::BIGINT AS clean_chars,
+        |  md5(a.clean) AS clean_md5
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Mirrors heavyHitters' exact recount: the Misra-Gries sketch only
+    // PRUNES candidates (guaranteed superset at this capacity), so the
+    // oracle is the plain exact top-10 on (cnt DESC, token ASC).
+    "q84_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+        |r AS (SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token ASC)::BIGINT AS rank
+        |  FROM c)
+        |SELECT rank, token, cnt FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // Mirrors zipfFitFromTf: per-term doubles truncated to DECIMAL and
+    // summed exactly; sums rounded to 6 and cast back to double (exact —
+    // far below 2^53); the OLS closed form in the SAME association order
+    // as the Spark expression, emitted via the decimal-domain round.
+    "q85_zipf" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+        |  FROM c),
+        |t AS (SELECT ln(rank::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM r),
+        |s AS (SELECT count(*)::BIGINT AS n_types,
+        |    round(sum(x::DECIMAL(28,10)), 6)::DOUBLE AS sx,
+        |    round(sum(y::DECIMAL(28,10)), 6)::DOUBLE AS sy,
+        |    round(sum((x * y)::DECIMAL(28,10)), 6)::DOUBLE AS sxy,
+        |    round(sum((x * x)::DECIMAL(28,10)), 6)::DOUBLE AS sxx,
+        |    round(sum((y * y)::DECIMAL(28,10)), 6)::DOUBLE AS syy
+        |  FROM t)
+        |SELECT n_types,
+        |  round(((n_types::DOUBLE * sxy - sx * sy)
+        |      / (n_types::DOUBLE * sxx - sx * sx))::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS slope,
+        |  round(((sy - ((n_types::DOUBLE * sxy - sx * sy)
+        |        / (n_types::DOUBLE * sxx - sx * sx)) * sx)
+        |      / n_types::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS intercept,
+        |  round((((n_types::DOUBLE * sxy - sx * sy)
+        |        * (n_types::DOUBLE * sxy - sx * sy))
+        |      / ((n_types::DOUBLE * sxx - sx * sx)
+        |        * (n_types::DOUBLE * syy - sy * sy)))::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS r2
+        |FROM s""".stripMargin,
     // Mirrors chunkDedupRewrite: q45's chunk derivation, q54's
     // first-occurrence ranking, then the cleaned doc is the kept chunk
     // texts rejoined with ' ' (ORDER BY cid) — one flat token join, the
