@@ -262,4 +262,32 @@ object Similarity {
         round((col("n_hit").cast("double") / lit(k.toDouble))
           .cast("decimal(28,10)"), 6).cast("double").as("recall"))
   }
+
+  /** kNN label purity — the embedding-quality report over a
+    * [[knnGraph]]: per source label, the fraction of graph edges whose
+    * neighbor carries the SAME label. High purity means the embedding
+    * space separates the labels (safe to use for semantic dedup /
+    * clustering); a label whose purity collapses is poorly embedded.
+    * The q69 device applied to the graph: derived entirely from an
+    * upstream result, so the oracle reuses the graph's own SQL body
+    * verbatim and cannot drift.
+    *
+    * Shape: the graph is k·n rows and the label relation (id, label) is
+    * a projection of the corpus — two id-keyed joins (no vectors, no
+    * text), then a |labels|-bounded aggregate with map-side partials. */
+  def labelPurity(graph: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
+    val src = labels.select(col(idCol).as("src_id"),
+      col(labelCol).cast("long").as("_src_label"))
+    val nbr = labels.select(col(idCol).as("nbr_id"),
+      col(labelCol).cast("long").as("_nbr_label"))
+    graph.join(src, "src_id").join(nbr, "nbr_id")
+      .groupBy(col("_src_label").as("label"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("_src_label") === col("_nbr_label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .select(col("label"), col("n_edges"), col("n_same"),
+        round((col("n_same").cast("double") / col("n_edges").cast("double"))
+          .cast("decimal(28,10)"), 6).cast("double").as("purity"))
+  }
 }
