@@ -263,6 +263,72 @@ object Similarity {
           .cast("decimal(28,10)"), 6).cast("double").as("recall"))
   }
 
+  /** Product-quantization ADC retrieval — the memory-bounded ANN scale
+    * path past IVF (Jégou et al. 2011): each vector is stored as
+    * `numSubspaces` codeword ids instead of `numSubspaces*subDim`
+    * floats, and queries score candidates through a per-query lookup
+    * table (ADC: approx dot = Σ over subspaces of dot(query-subvector,
+    * assigned codeword)). The codebook relation stands in for offline
+    * per-subspace k-means output exactly as q33's centroid subsample
+    * does — a trained codebook drops in without touching the plan.
+    *
+    * Determinism/portability: everything runs in the exact int64
+    * quantized domain (sub-slices of the 1e6-quantized vectors), codeword
+    * assignment ties break to the lowest codeword id, codeword ids are
+    * the row_number order of the codebook's own id column.
+    *
+    * Scale shape: the codebook (and the per-query lookup table —
+    * |queries|·m·|codebook| longs) BROADCAST; the corpus is touched by
+    * exactly two map-side passes (subspace split+assign, then
+    * code→lookup join), each aggregating with map-side partials; the
+    * (vec, subspace) assignment is a HashAggregate via the packed
+    * argmin key ([[packDistId]] — a struct min would force
+    * SortAggregate), and only (id, s, code) longs ever shuffle. Encode
+    * cost n·m·|codebook| and ADC cost n·m·|queries| are the standard PQ
+    * trade. idBits=16 caps codebooks at 65k codewords and subspace
+    * distances at 2^47 (subDim ≤ 35 at 1e6 quantization) — packDistId
+    * throws loudly, never corrupts the argmin, if either bound is hit. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, numSubspaces: Int, subDim: Int,
+      k: Int): DataFrame = {
+    require(numSubspaces >= 1 && subDim >= 1 && k >= 1,
+      "pqTopK: numSubspaces, subDim and k must be >= 1")
+    val idBits = 16
+    def split(df: DataFrame, idOut: String, subOut: String): DataFrame =
+      df.select(col(idOut),
+          explode(sequence(lit(0), lit(numSubspaces - 1))).as("s"), col("_q"))
+        .select(col(idOut), col("s").cast("long").as("s"),
+          slice(col("_q"), col("s") * lit(subDim) + lit(1), lit(subDim))
+            .as(subOut))
+    val cb = codebook
+      .select(col(idCol).as("_cbid"), quantize(col(vecCol)).as("_q"))
+      .withColumn("cent_id",
+        (row_number().over(Window.orderBy(col("_cbid"))) - 1).cast("long"))
+    val cwsub = split(cb.select(col("cent_id"), col("_q")), "cent_id", "cw")
+    val enc = split(corpus.select(col(idCol).as("corpus_id"),
+        quantize(col(vecCol)).as("_q")), "corpus_id", "sub")
+      .join(broadcast(cwsub), "s")
+      .groupBy(col("corpus_id"), col("s"))
+      .agg(unpackId(min(packDistId(sqDistExact(col("sub"), col("cw")),
+        col("cent_id"), idBits)), idBits).as("code"))
+    val dt = split(queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("_q")), "query_id", "qsub")
+      .join(broadcast(cwsub), "s")
+      .select(col("query_id"), col("s").as("_s"), col("cent_id").as("_cent"),
+        dotExact(col("qsub"), col("cw")).as("dq"))
+    val adc = enc
+      .join(broadcast(dt),
+        col("s") === col("_s") && col("code") === col("_cent"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("dq")).as("dot_pq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot_pq").desc, col("corpus_id").asc)
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("dot_pq"))
+  }
+
   /** kNN label purity — the embedding-quality report over a
     * [[knnGraph]]: per source label, the fraction of graph edges whose
     * neighbor carries the SAME label. High purity means the embedding

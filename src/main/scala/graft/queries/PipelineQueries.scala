@@ -176,6 +176,17 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization ADC top-10: 4 subspaces × 16 dims, codebook =
+    * the deterministic vec_id % 61 == 3 subsample (the q33 stand-in
+    * device for offline per-subspace k-means). */
+  def q87PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 16),
+        e.filter(col("vec_id") % 61 === 3), "vec_id", "embedding",
+        numSubspaces = 4, subDim = 16, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding health check: per-vector dim + exact quantized norm. */
   def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
@@ -737,6 +748,7 @@ object PipelineQueries {
     "q84_heavy_hitters" -> q84HeavyHitters,
     "q85_zipf" -> q85Zipf,
     "q86_knn_purity" -> q86KnnPurity,
+    "q87_pq_adc" -> q87PqAdc,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -1172,6 +1184,46 @@ object PipelineQueries {
           |JOIN embeddings s ON s.vec_id = g.src_id
           |JOIN embeddings n ON n.vec_id = g.nbr_id
           |GROUP BY 1 ORDER BY label""".stripMargin),
+    // Mirrors pqTopK: subspace slices of the quantized vectors, codeword
+    // assignment by exact integer squared L2 (ties to the lowest
+    // renumbered codeword id), ADC scoring via the per-query lookup
+    // table — all int64, bit-identical by construction.
+    "q87_pq_adc" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id, qv,
+        |    row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
+        |  FROM v WHERE vec_id % 61 = 3),
+        |sp AS (SELECT unnest(generate_series(0, 3)) AS s),
+        |cwsub AS (SELECT cent_id, s, list_slice(qv, s * 16 + 1, (s + 1) * 16) AS cw
+        |  FROM cb CROSS JOIN sp),
+        |vsub AS (SELECT vec_id, s, list_slice(qv, s * 16 + 1, (s + 1) * 16) AS sub
+        |  FROM v CROSS JOIN sp),
+        |ee AS (SELECT vs.vec_id, vs.s, cs.cent_id,
+        |    unnest(vs.sub) AS ax, unnest(cs.cw) AS bx
+        |  FROM vsub vs JOIN cwsub cs ON cs.s = vs.s),
+        |ed AS (SELECT vec_id, s, cent_id, sum((ax - bx) * (ax - bx))::BIGINT AS d
+        |  FROM ee GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id AS corpus_id, s, cent_id AS code FROM (
+        |    SELECT vec_id, s, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cent_id) AS rn
+        |    FROM ed) WHERE rn = 1),
+        |qe AS (SELECT vs.vec_id AS query_id, vs.s, cs.cent_id,
+        |    unnest(vs.sub) AS ax, unnest(cs.cw) AS bx
+        |  FROM vsub vs JOIN cwsub cs ON cs.s = vs.s WHERE vs.vec_id < 16),
+        |dt AS (SELECT query_id, s, cent_id, sum(ax * bx)::BIGINT AS dq
+        |  FROM qe GROUP BY 1, 2, 3),
+        |adc AS (SELECT dt.query_id, codes.corpus_id, sum(dt.dq)::BIGINT AS dot_pq
+        |  FROM codes JOIN dt ON dt.s = codes.s AND dt.cent_id = codes.code
+        |  WHERE codes.corpus_id <> dt.query_id GROUP BY 1, 2)
+        |SELECT query_id, rank::BIGINT AS rank, corpus_id, dot_pq FROM (
+        |  SELECT query_id, corpus_id, dot_pq,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot_pq DESC, corpus_id) AS rank
+        |  FROM adc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q23_similarity_brute" ->
       (q23Body + "\nORDER BY query_id, rank"),
     "q24_similarity_lsh" ->

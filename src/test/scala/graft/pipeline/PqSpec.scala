@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-computed fixtures for PQ-ADC retrieval and kNN label purity.
+  * All embedding components are exact binary fractions so the 1e6
+  * quantization is predictable (floor(0.75 * 1e6) = 750000 exactly). */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pqTopK: codes quantize to the nearest codeword, ADC ranks by table sum") {
+    // 4-dim vectors, 2 subspaces x 2 dims. Codebook = v0 (1,0,0,1) and
+    // v9 (0,1,1,0); codeword ids renumber to 0 (v0) and 1 (v9).
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)),                 // codes (0,0)
+      (9L, Array(0f, 1f, 1f, 0f)),                 // codes (1,1)
+      (1L, Array(0.75f, 0.25f, 0.25f, 0.75f)),     // codes (0,0), the query
+      (2L, Array(0.25f, 0.75f, 0.75f, 0.25f)),     // codes (1,1)
+      (3L, Array(0.75f, 0.25f, 0.75f, 0.25f)))     // codes (0,1)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vecs, vecs.filter($"vec_id" === 1L),
+        vecs.filter($"vec_id" === 0L || $"vec_id" === 9L),
+        "vec_id", "embedding", numSubspaces = 2, subDim = 2, k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // query subvectors quantize to (750000, 250000) and (250000, 750000);
+    // ADC lookup per subspace: dot vs codeword 0 = 750000*1e6, vs
+    // codeword 1 = 250000*1e6 (both subspaces, by symmetry)
+    val hi = 750000L * 1000000L
+    val lo = 250000L * 1000000L
+    assert(out.toSeq == Seq(
+      (1L, 0L, hi + hi),   // codes (0,0)
+      (2L, 3L, hi + lo),   // codes (0,1)
+      (3L, 2L, lo + lo),   // codes (1,1) — ties with v9, lower id first
+      (4L, 9L, lo + lo)))
+  }
+
+  test("labelPurity: per-label edge counts and same-label fraction") {
+    val graph = Seq(
+      (1L, 1L, 2L, 10L), (1L, 2L, 3L, 9L),  // src 1: nbrs 2 (same), 3 (diff)
+      (2L, 1L, 1L, 10L),                     // src 2: nbr 1 (same)
+      (3L, 1L, 1L, 8L))                      // src 3: nbr 1 (diff)
+      .toDF("src_id", "rank", "nbr_id", "dot_q")
+    val labels = Seq((1L, 7), (2L, 7), (3L, 8)).toDF("vec_id", "label")
+    val out = Similarity.labelPurity(graph, labels, "vec_id", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(7L) == ((3L, 2L, 0.666667))) // 2/3 rounded in decimal domain
+    assert(out(8L) == ((1L, 0L, 0.0)))
+  }
+}
