@@ -42,7 +42,7 @@ object SparkEntry {
     "q35_interaction_graph" -> (() => OperatorQueries.releaseEventsCaches()),
     "q36_topic_model_gibbs" -> (() => OperatorQueries.releaseStemIndexCache()),
     "q74_keep_best" -> (() => PipelineQueries.releaseClusterCache()),
-    "q78_source_overlap" -> (() => PipelineQueries.releaseMinhashCaches()),
     "q85_zipf" -> (() => PipelineQueries.releaseTfCache()),
-    "q86_knn_purity" -> (() => PipelineQueries.releaseKnnCache()))
+    "q86_knn_purity" -> (() => PipelineQueries.releaseKnnCache()),
+    "q88_incremental_dedup" -> (() => PipelineQueries.releaseMinhashCaches()))
 }

@@ -612,4 +612,42 @@ object Dedup {
             .cast("double"))
           .otherwise(lit(1.0)).as("novelty_frac"))
   }
+
+  /** Incremental-ingest dedup — the daily-batch production shape: a NEW
+    * batch of documents is checked against the EXISTING corpus and each
+    * new document gets a verdict: `dup_exact` (byte-identical text
+    * already in the corpus), `dup_near` (a verified near-dup pair
+    * crosses the batch/corpus boundary), or `new`. Exact beats near.
+    * `nearPairs` is the verified (doc_a, doc_b) near-dup relation — in
+    * production served from the signature store exactly as the shared
+    * MinHash cache serves it here, so the expensive detection is
+    * amortized across every ingest.
+    *
+    * Scale shape: the exact arm is a hash-keyed left-semi join — only
+    * 16-byte md5 keys shuffle, text never moves, and the build side is
+    * the deduplicated corpus hash set. The near arm is two projections
+    * of the (near-dup-rate-sized) pair relation, restricted to
+    * boundary-crossing pairs by id-keyed semi joins. The verdict is two
+    * id-keyed left joins on the batch-sized relation only. */
+  def incrementalDedup(newDocs: DataFrame, oldDocs: DataFrame,
+      nearPairs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nh = newDocs.select(col(idCol), md5(col(textCol)).as("_h"))
+    val oh = oldDocs.select(md5(col(textCol)).as("_h")).distinct()
+    val exact = nh.join(oh, Seq("_h"), "left_semi")
+      .select(col(idCol)).withColumn("_e", lit(1L))
+    val sym = nearPairs.select(col("doc_a").as(idCol), col("doc_b").as("_oid"))
+      .unionByName(
+        nearPairs.select(col("doc_b").as(idCol), col("doc_a").as("_oid")))
+    val near = sym
+      .join(newDocs.select(col(idCol)), Seq(idCol), "left_semi")
+      .join(oldDocs.select(col(idCol).as("_oid")), Seq("_oid"), "left_semi")
+      .select(col(idCol)).distinct().withColumn("_n", lit(1L))
+    newDocs.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_e").isNotNull, lit("dup_exact"))
+          .when(col("_n").isNotNull, lit("dup_near"))
+          .otherwise(lit("new")).as("verdict"))
+  }
 }

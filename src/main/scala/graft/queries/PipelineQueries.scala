@@ -242,6 +242,19 @@ object PipelineQueries {
         "vec_id", "label")
       .orderBy(col("label"))
 
+  /** Incremental-ingest dedup: src5 is the NEW batch, everything else
+    * the EXISTING corpus; near-dup evidence rides the shared verified-
+    * pair cache (q20/q37/q48/q78 family — q88 is now its release
+    * point). */
+  def q88IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.incrementalDedup(d.filter(col("source") === "src5"),
+        d.filter(col("source") =!= "src5"),
+        minhashPairs(spark, dir).select(col("doc_a"), col("doc_b")),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical-form exact dedup: case/punctuation/whitespace variants
     * collapse before hashing. */
   def q39DedupCanonical(spark: SparkSession, dir: String): DataFrame =
@@ -749,6 +762,7 @@ object PipelineQueries {
     "q85_zipf" -> q85Zipf,
     "q86_knn_purity" -> q86KnnPurity,
     "q87_pq_adc" -> q87PqAdc,
+    "q88_incremental_dedup" -> q88IncrementalDedup,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -1037,6 +1051,28 @@ object PipelineQueries {
         |  count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q20_minhash_neardups" -> q20Oracle,
+    // Mirrors incrementalDedup with src5 as the new batch: the verified
+    // near-dup pairs reuse the q20 oracle body verbatim (q69 device),
+    // the exact arm compares raw text md5 across the boundary, exact
+    // beats near.
+    "q88_incremental_dedup" ->
+      (s"WITH pairs AS (SELECT doc_a, doc_b FROM (\n$q20Oracle\n)),\n" +
+        """srcs AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+          |nd AS (SELECT doc_id, h FROM srcs WHERE source = 'src5'),
+          |od AS (SELECT doc_id, h FROM srcs WHERE source <> 'src5'),
+          |exd AS (SELECT DISTINCT nd.doc_id FROM nd JOIN od ON od.h = nd.h),
+          |nrd AS (SELECT DISTINCT x.doc_id FROM (
+          |    SELECT doc_a AS doc_id, doc_b AS oid FROM pairs
+          |    UNION ALL SELECT doc_b, doc_a FROM pairs) x
+          |  JOIN nd ON nd.doc_id = x.doc_id
+          |  JOIN od ON od.doc_id = x.oid)
+          |SELECT nd.doc_id,
+          |  CASE WHEN exd.doc_id IS NOT NULL THEN 'dup_exact'
+          |       WHEN nrd.doc_id IS NOT NULL THEN 'dup_near'
+          |       ELSE 'new' END AS verdict
+          |FROM nd LEFT JOIN exd ON exd.doc_id = nd.doc_id
+          |LEFT JOIN nrd ON nrd.doc_id = nd.doc_id
+          |ORDER BY nd.doc_id""".stripMargin),
     "q40_embedding_neardups" ->
       (embBucketCte + ",\n" +
         """exp AS (
