@@ -263,6 +263,41 @@ object Similarity {
           .cast("decimal(28,10)"), 6).cast("double").as("recall"))
   }
 
+  /** Hash-checkable k-means training report: run [[trainCentroids]],
+    * then one final assignment pass, and emit per centroid its final
+    * cell size and an md5 over the centroid's quantized components —
+    * pinning the ENTIRE iterative trainer byte-exactly against an
+    * oracle that unrolls the same Lloyd rounds in SQL (q36/q71 carried
+    * spec-level pins only; this is the stronger driver-checked form).
+    *
+    * Engine-exactness of the mean: Spark's `(sum / count).cast(long)`
+    * is a truncated IEEE double quotient. Both engines divide the SAME
+    * exact operands (|sum| ≤ |cell|·1e6 stays far below 2^53), and a
+    * correctly-rounded quotient of p/q can only round across an integer
+    * boundary if the true quotient is within 2^-53·|p/q| of it — but a
+    * NON-integer p/q is at least 1/q away from any integer, and
+    * 1/q ≫ 2^-53·|p/q| for every feasible cell size, so trunc agrees
+    * bit-exactly across engines. Same argument class as the q61
+    * integer-rank percentile device. */
+  def kmeansReport(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val trained = trainCentroids(corpus, idCol, vecCol, k, iters)
+    val idBits = bitsFor(k - 1L)
+    val cells = corpus
+      .select(col(idCol).as("vid"), quantize(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(trained))
+      .groupBy(col("vid"), col("qv"))
+      .agg(unpackId(min(packDistId(sqDistExact(col("qv"), col("cv")),
+        col("cent_id"), idBits)), idBits).as("cent_id"))
+    val sizes = cells.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_assigned"))
+    trained.join(sizes, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        md5(concat_ws(",", col("cv").cast("array<string>")))
+          .as("centroid_md5"))
+  }
+
   /** Product-quantization ADC retrieval — the memory-bounded ANN scale
     * path past IVF (Jégou et al. 2011): each vector is stored as
     * `numSubspaces` codeword ids instead of `numSubspaces*subDim`

@@ -187,6 +187,15 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Oracle-checked k-means training (k = 8, 2 Lloyd rounds): the
+    * iterative trainer's centroids and final cell sizes hash-checked
+    * against a DuckDB oracle that unrolls the same rounds in SQL —
+    * the stronger form of the q36/q71 spec-level pins. */
+  def q89KmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansReport(emb(spark, dir), "vec_id", "embedding",
+        k = 8, iters = 2)
+      .orderBy(col("cent_id"))
+
   /** Embedding health check: per-vector dim + exact quantized norm. */
   def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
@@ -763,6 +772,7 @@ object PipelineQueries {
     "q86_knn_purity" -> q86KnnPurity,
     "q87_pq_adc" -> q87PqAdc,
     "q88_incremental_dedup" -> q88IncrementalDedup,
+    "q89_kmeans_train" -> q89KmeansTrain,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -805,6 +815,33 @@ object PipelineQueries {
   // q23/q24 oracle bodies without the presentation ORDER BY — each
   // serves its own query (plus the order) AND rides as a CTE inside
   // q69's recall report.
+  // One Lloyd round as DuckDB CTEs, mirroring trainCentroids round i:
+  // assignment = argmin exact int64 squared L2 (ties to the lowest
+  // centroid id), new centroid = per-position truncated mean (trunc of
+  // the IEEE double quotient of exact operands — bit-identical to
+  // Spark's (sum/count).cast(long); see Similarity.kmeansReport), empty
+  // cells keep the previous centroid.
+  private def kmeansIterCtes(i: Int): String = {
+    val prev = if (i == 1) "c0" else s"c${i - 1}"
+    s"""e$i AS (SELECT v.vec_id, c.cent_id, unnest(v.qv) AS ax, unnest(c.cv) AS bx
+       |  FROM v CROSS JOIN $prev c),
+       |d$i AS (SELECT vec_id, cent_id, sum((ax - bx) * (ax - bx))::BIGINT AS d
+       |  FROM e$i GROUP BY 1, 2),
+       |a$i AS (SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+       |    FROM d$i) WHERE rn = 1),
+       |m$i AS (SELECT a$i.cent_id, t.pos,
+       |    trunc(sum(t.x)::DOUBLE / count(*)::DOUBLE)::BIGINT AS m
+       |  FROM a$i JOIN (SELECT vec_id, unnest(qv) AS x,
+       |      unnest(generate_series(1, len(qv))) AS pos FROM v) t
+       |    ON t.vec_id = a$i.vec_id
+       |  GROUP BY 1, 2),
+       |g$i AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM m$i GROUP BY 1),
+       |c$i AS (SELECT p.cent_id, coalesce(g$i.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN g$i USING (cent_id))""".stripMargin
+  }
+
   // q77 oracle body without the presentation ORDER BY — serves the q77
   // entry (plus the order) AND rides as a CTE inside q86's purity
   // report, the same zero-drift reuse as q23/q24 inside q69.
@@ -1220,6 +1257,32 @@ object PipelineQueries {
           |JOIN embeddings s ON s.vec_id = g.src_id
           |JOIN embeddings n ON n.vec_id = g.nbr_id
           |GROUP BY 1 ORDER BY label""".stripMargin),
+    // Mirrors kmeansReport (k=8, iters=2): seed = the 8 lowest-id
+    // vectors, two unrolled Lloyd rounds (kmeansIterCtes), one final
+    // assignment against c2, centroid pinned by md5 over its components.
+    "q89_kmeans_train" ->
+      (s"""WITH v AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+          |  FROM embeddings),
+          |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+          |    qv AS cv
+          |  FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 8)),
+          |${kmeansIterCtes(1)},
+          |${kmeansIterCtes(2)},
+          |ef AS (SELECT v.vec_id, c.cent_id, unnest(v.qv) AS ax, unnest(c.cv) AS bx
+          |  FROM v CROSS JOIN c2 c),
+          |df AS (SELECT vec_id, cent_id, sum((ax - bx) * (ax - bx))::BIGINT AS d
+          |  FROM ef GROUP BY 1, 2),
+          |af AS (SELECT vec_id, cent_id FROM (
+          |    SELECT vec_id, cent_id,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+          |    FROM df) WHERE rn = 1),
+          |sz AS (SELECT cent_id, count(*)::BIGINT AS n_assigned FROM af GROUP BY 1)
+          |SELECT c2.cent_id::BIGINT AS cent_id,
+          |  coalesce(sz.n_assigned, 0)::BIGINT AS n_assigned,
+          |  md5(array_to_string(c2.cv, ',')) AS centroid_md5
+          |FROM c2 LEFT JOIN sz USING (cent_id) ORDER BY cent_id""".stripMargin),
     // Mirrors pqTopK: subspace slices of the quantized vectors, codeword
     // assignment by exact integer squared L2 (ties to the lowest
     // renumbered codeword id), ADC scoring via the per-query lookup
