@@ -1097,6 +1097,30 @@ object TextMetrics {
       .toDF(idCol, "n_lines", "n_kept", "kept_chars", "clean_hash", "keep_doc")
   }
 
+  /** Trending tokens — the streaming face of [[heavyHitters]]: per
+    * tumbling event-time window, the token frequency relation (the
+    * "what is spiking right now" feed a live ingest pipeline watches).
+    * Works on a STREAM (watermarked windowed aggregation, append mode —
+    * a window's counts emit once, when the watermark passes its end)
+    * and as the identical batch twin on a static frame (withWatermark
+    * is a no-op in batch). Per-window top-k ranking runs downstream on
+    * the emitted window (a rank inside the streaming aggregation would
+    * need update mode; production ranks on read exactly like this).
+    *
+    * Scale shape: explode + windowed count with map-side partials —
+    * state per (window, token) is one long, bounded by
+    * vocabulary × windows-inside-watermark. */
+  def trendingTokens(docs: DataFrame, tsCol: String, textCol: String,
+      windowDur: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(TextFunctions.tokenize(col(textCol))).as("token"))
+      .groupBy(window(col(tsCol), windowDur), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("token"),
+        col("cnt"))
+
   /** Bigram-LM surprisal — the next step up from [[unigramSurprisal]]'s
     * perplexity proxy (CCNet-style quality filtering scores documents by
     * how unlikely their text is under a corpus-level language model; the

@@ -547,6 +547,22 @@ object PipelineQueries {
       .orderBy(col("token"))
   }
 
+  /** Batch face of the trending-tokens stream (the q75 planting device
+    * for event time: ts = 2024-01-01 + doc_id minutes, so windows are
+    * exercised through Spark's real `window()` against pure integer
+    * arithmetic in the oracle); the same plan runs unchanged on a
+    * stream (StreamingSpec pins parity). */
+  def q90TrendingTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"),
+      (to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_interval(0, 0, 0, 0, 0, doc_id, 0)")).as("ts"),
+      col("text"))
+    TextMetrics.trendingTokens(d, "ts", "text", "10 minutes", "10 minutes")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("token"), col("cnt"))
+      .orderBy(col("window_start"), col("token"))
+  }
+
   /** Bigram-LM surprisal (word-order-aware perplexity proxy) — the
     * vocabulary size rides the shared tf cache so only the bigram pass
     * scans the corpus; the per-doc bigram relation is materialized once
@@ -773,6 +789,7 @@ object PipelineQueries {
     "q87_pq_adc" -> q87PqAdc,
     "q88_incremental_dedup" -> q88IncrementalDedup,
     "q89_kmeans_train" -> q89KmeansTrain,
+    "q90_trending_tokens" -> q90TrendingTokens,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -1872,6 +1889,21 @@ object PipelineQueries {
         |      / ((df_neg + 1)::DOUBLE / (c.n_neg + 2)::DOUBLE))
         |    ::DECIMAL(28,10), 6)::DOUBLE AS weight
         |FROM agg, c ORDER BY token""".stripMargin,
+    // Mirrors q90TrendingTokens: planted ts = base + doc_id minutes with
+    // an epoch-aligned base, so window(ts, 10m).start reduces to pure
+    // integer bucket arithmetic on doc_id; emission as a formatted
+    // string (the q09 device — no cross-engine timestamp rendering).
+    "q90_trending_tokens" ->
+      """WITH d AS (SELECT doc_id,
+        |    strftime(TIMESTAMP '2024-01-01 00:00:00'
+        |      + INTERVAL ((doc_id // 10) * 10) MINUTE, '%Y-%m-%d %H:%M:%S')
+        |      AS window_start,
+        |    text FROM documents),
+        |t AS (SELECT window_start,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM d)
+        |SELECT window_start, token, count(*)::BIGINT AS cnt
+        |FROM t GROUP BY 1, 2 ORDER BY window_start, token""".stripMargin,
     // Mirrors bigramSurprisalFromVocab: add-one-smoothed bigram LM —
     // per-occurrence ln on exact-integer double operands (engine-stable),
     // summed as DECIMAL per the q53 device; V = full corpus vocabulary.

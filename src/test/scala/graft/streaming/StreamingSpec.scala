@@ -240,4 +240,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.size == 3)
   }
+
+  test("trending tokens: streaming windowed counts equal the batch twin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val docs = Seq(
+      (t("2024-01-01 00:01:00"), "spark spark join"),
+      (t("2024-01-01 00:08:00"), "spark window"),
+      (t("2024-01-01 00:12:00"), "join join"))
+    val query = graft.pipeline.TextMetrics
+      .trendingTokens(stream.toDF().toDF("ts", "text"), "ts", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trend_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("trend_ckpt").toString)
+      .start()
+    try {
+      stream.addData(docs.take(2))
+      query.processAllAvailable()
+      // watermark must pass 00:10 to close the first window, and then
+      // pass 00:20 to close the second
+      stream.addData(docs.drop(2))
+      query.processAllAvailable()
+      stream.addData((t("2024-01-01 00:31:00"), "flush"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("trend_stream")
+      .filter(col("window_start") < t("2024-01-01 00:30:00"))
+      .collect().map(_.mkString(",")).sorted.toSeq
+    val batch = graft.pipeline.TextMetrics
+      .trendingTokens(docs.toDF("ts", "text"), "ts", "text")
+      .collect().map(_.mkString(",")).sorted.toSeq
+    assert(batch.size == 4) // (00:00: spark=3, join=1, window=1; 00:10: join=2)
+    assert(streamed == batch)
+  }
 }
