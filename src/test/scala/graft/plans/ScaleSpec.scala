@@ -105,4 +105,31 @@ class ScaleSpec extends AnyFunSuite {
       .parquet(s"$dir/shard=0").select("pos").collect().map(_.getLong(0))
     assert(inFileOrder.toSeq == inFileOrder.sorted.toSeq)
   }
+
+  test("PQ encode argmin is a HashAggregate; codebook and ADC table joins broadcast") {
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.fill(4)((i % 7).toFloat / 8f)))
+      .toDF("vec_id", "embedding")
+    val df = graft.pipeline.Similarity.pqTopK(vecs,
+      vecs.filter(col("vec_id") < 2), vecs.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", numSubspaces = 2, subDim = 2, k = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the n×C codeword argmin must stay hash-aggregable (packed key);
+    // a struct-min would silently flip it to SortAggregate
+    assert(!plan.contains("SortAggregate"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("heavy-hitter recount rides a broadcast semi filter, never a vocabulary SMJ") {
+    val docs = Seq((1L, "a a a b b c d e f g h"), (2L, "a b c i j k"))
+      .toDF("doc_id", "text")
+    val df = graft.pipeline.TextMetrics.heavyHitters(docs, "doc_id", "text",
+      capacity = 4, k = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }
