@@ -44,5 +44,5 @@ object SparkEntry {
     "q74_keep_best" -> (() => PipelineQueries.releaseClusterCache()),
     "q85_zipf" -> (() => PipelineQueries.releaseTfCache()),
     "q86_knn_purity" -> (() => PipelineQueries.releaseKnnCache()),
-    "q88_incremental_dedup" -> (() => PipelineQueries.releaseMinhashCaches()))
+    "q91_lsh_tuning" -> (() => PipelineQueries.releaseMinhashCaches()))
 }

@@ -97,6 +97,37 @@ object PipelineQueries {
     minhashPairs(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** LSH banding-tuning report — the S-curve trade every MinHash deploy
+    * tunes: with 8 minhashes, compare (bands=4, rows=2) against
+    * (bands=2, rows=4) on candidate volume vs verified precision
+    * (more rows per band → sharper curve → fewer, more precise
+    * candidates). Shingles and the b4r2 band relation ride the shared
+    * caches; only the alternative banding re-aggregates signatures
+    * (vocabulary of shingles is already materialized). Candidate
+    * relations are tiny (near-dup-rate-sized) and localCheckpoint once
+    * for their count + verify consumers. */
+  def q91LshTuning(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingledDocs(spark, dir).select(col("doc_id"), col("shingles"))
+    def configRow(bands: DataFrame, label: String): DataFrame = {
+      val cands = Dedup.lshCandidates(
+          bands.select(col("doc_id"), col("band"), col("band_key")))
+        .localCheckpoint(true)
+      val ver = Dedup.jaccard(cands, sh).filter(col("jaccard") >= 0.5)
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(ver.agg(count(lit(1)).as("n_verified")))
+        .select(lit(label).as("config"), col("n_candidates"),
+          col("n_verified"),
+          when(col("n_candidates") > 0,
+            round((col("n_verified").cast("double") /
+                col("n_candidates").cast("double")).cast("decimal(28,10)"), 6)
+              .cast("double")).as("verified_frac"))
+    }
+    val sigs = Dedup.minhashSignatures(shingledDocs(spark, dir), numHashes = 8)
+    configRow(docBands(spark, dir), "b4_r2")
+      .unionByName(configRow(Dedup.lshBands(sigs, 8, 4), "b2_r4"))
+      .orderBy(col("config"))
+  }
+
   /** All-pairs n-gram Jaccard (the quadratic oracle baseline of q20). */
   def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardAllPairs(docs(spark, dir), "doc_id", "text",
@@ -790,6 +821,7 @@ object PipelineQueries {
     "q88_incremental_dedup" -> q88IncrementalDedup,
     "q89_kmeans_train" -> q89KmeansTrain,
     "q90_trending_tokens" -> q90TrendingTokens,
+    "q91_lsh_tuning" -> q91LshTuning,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -858,6 +890,35 @@ object PipelineQueries {
        |c$i AS (SELECT p.cent_id, coalesce(g$i.cv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN g$i USING (cent_id))""".stripMargin
   }
+
+  // One LSH banding configuration (8 minhashes, `r` rows per band) as
+  // DuckDB CTEs suffixed `_$r`: the banded self-join candidates plus
+  // their exact-Jaccard verification counts — mirroring q91's two
+  // configRow legs (the q20 banding SQL with the band width
+  // parameterized).
+  private def lshConfigCtes(r: Int): String =
+    s"""band$r AS (SELECT doc_id, i // $r AS band,
+       |    string_agg(sig, '|' ORDER BY i) AS band_key
+       |  FROM (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS sig
+       |        FROM ex CROSS JOIN generate_series(0, 7) g(i)
+       |        GROUP BY doc_id, i)
+       |  GROUP BY doc_id, i // $r),
+       |cand$r AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band$r a JOIN band$r b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |       AND a.doc_id < b.doc_id),
+       |shr$r AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+       |  FROM cand$r c
+       |  JOIN ex ea ON ea.doc_id = c.doc_a
+       |  JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
+       |  GROUP BY 1, 2),
+       |ver$r AS (SELECT count(*) AS n FROM cand$r c
+       |  LEFT JOIN shr$r s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b
+       |  WHERE coalesce(s.shared, 0)::DOUBLE
+       |    / (sa.sz + sb.sz - coalesce(s.shared, 0))::DOUBLE >= 0.5),
+       |cnt$r AS (SELECT count(*) AS n FROM cand$r)""".stripMargin
 
   // q77 oracle body without the presentation ORDER BY — serves the q77
   // entry (plus the order) AND rides as a CTE inside q86's purity
@@ -1889,6 +1950,25 @@ object PipelineQueries {
         |      / ((df_neg + 1)::DOUBLE / (c.n_neg + 2)::DOUBLE))
         |    ::DECIMAL(28,10), 6)::DOUBLE AS weight
         |FROM agg, c ORDER BY token""".stripMargin,
+    // Mirrors q91LshTuning: both banding configurations share the
+    // shingle CTEs; per config the candidate count and the >=0.5
+    // verified count.
+    "q91_lsh_tuning" ->
+      (s"$shingleCte,\n${lshConfigCtes(2)},\n${lshConfigCtes(4)}\n" +
+        """SELECT * FROM (
+          |  SELECT 'b4_r2' AS config, cnt2.n::BIGINT AS n_candidates,
+          |    ver2.n::BIGINT AS n_verified,
+          |    CASE WHEN cnt2.n > 0 THEN
+          |      round((ver2.n::DOUBLE / cnt2.n::DOUBLE)::DECIMAL(28,10), 6)
+          |        ::DOUBLE END AS verified_frac
+          |  FROM cnt2, ver2
+          |  UNION ALL
+          |  SELECT 'b2_r4', cnt4.n::BIGINT, ver4.n::BIGINT,
+          |    CASE WHEN cnt4.n > 0 THEN
+          |      round((ver4.n::DOUBLE / cnt4.n::DOUBLE)::DECIMAL(28,10), 6)
+          |        ::DOUBLE END
+          |  FROM cnt4, ver4)
+          |ORDER BY config""".stripMargin),
     // Mirrors q90TrendingTokens: planted ts = base + doc_id minutes with
     // an epoch-aligned base, so window(ts, 10m).start reduces to pure
     // integer bucket arithmetic on doc_id; emission as a formatted
