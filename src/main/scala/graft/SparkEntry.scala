@@ -42,7 +42,7 @@ object SparkEntry {
     "q35_interaction_graph" -> (() => OperatorQueries.releaseEventsCaches()),
     "q36_topic_model_gibbs" -> (() => OperatorQueries.releaseStemIndexCache()),
     "q74_keep_best" -> (() => PipelineQueries.releaseClusterCache()),
-    "q85_zipf" -> (() => PipelineQueries.releaseTfCache()),
+    "q92_quality_calibration" -> (() => PipelineQueries.releaseTfCache()),
     "q86_knn_purity" -> (() => PipelineQueries.releaseKnnCache()),
     "q91_lsh_tuning" -> (() => PipelineQueries.releaseMinhashCaches()))
 }

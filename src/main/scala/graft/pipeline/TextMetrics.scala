@@ -1312,6 +1312,44 @@ object TextMetrics {
       .select(col("rank"), col("token"), col("cnt"))
   }
 
+  /** Quality-signal calibration — the report a curation pipeline reads
+    * before trusting a cheap filter: rank documents by unigram-LM
+    * average surprisal (the expensive signal, [[unigramSurprisal]]),
+    * bucket into `buckets` rank deciles, and measure what fraction of
+    * each decile the cheap [[qualityScore]] rule accepts. A monotone
+    * falling curve means the rule agrees with the LM; a flat one means
+    * the rule is noise.
+    *
+    * Determinism: ranks order by the already-rounded avg_surprisal
+    * (bit-identical across engines — the q53 device) with doc-id
+    * tie-break; decile = ((rank−1)·buckets) div n, pure integer
+    * arithmetic (the q61 rank-device family).
+    *
+    * Scale: inputs are two narrow per-doc relations (one riding the
+    * shared tf cache, one scan-speed); the global rank window sorts the
+    * narrow projection only — at true corpus scale swap it for the
+    * GK-sketch decile boundaries exactly as q61 documents. */
+  def qualityCalibrationFromTf(tf: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "qualityCalibration: buckets must be >= 1")
+    val surp = unigramSurprisalFromTf(tf, idCol)
+      .select(col(idCol), col("avg_surprisal"))
+    val qual = qualityScore(docs, idCol, textCol)
+      .select(col(idCol), col("quality").cast("long").as("_q"))
+    val w = Window.orderBy(col("avg_surprisal").asc, col(idCol).asc)
+    val ranked = surp.join(qual, Seq(idCol))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .localCheckpoint(true) // consumed by the 1-row total AND the rollup
+    val total = ranked.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("decile", expr(s"((_rn - 1) * $buckets) div _n + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_q")).as("n_quality"))
+      .select(col("decile"), col("n_docs"), col("n_quality"),
+        dec6(col("n_quality").cast("double") / col("n_docs").cast("double"))
+          .as("quality_frac"))
+  }
+
   /** Zipf-law fit — corpus health analytics (a natural-language corpus
     * shows ln(freq) ≈ intercept + slope·ln(rank) with slope near −1;
     * a far-off slope or low R² flags synthetic, templated, or heavily

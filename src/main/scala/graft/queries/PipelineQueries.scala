@@ -625,6 +625,14 @@ object PipelineQueries {
   def q85Zipf(spark: SparkSession, dir: String): DataFrame =
     TextMetrics.zipfFitFromTf(termFreqs(spark, dir))
 
+  /** Quality-signal calibration: surprisal-ranked deciles × the q26
+    * quality rule's acceptance fraction — rides the shared tf cache
+    * (its new release point: last tf consumer in sweep order). */
+  def q92QualityCalibration(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.qualityCalibrationFromTf(termFreqs(spark, dir),
+        docs(spark, dir), "doc_id", "text")
+      .orderBy(col("decile"))
+
   /** Chunk-level first-occurrence dedup (paragraph-dedup analog). */
   def q54ChunkDedup(spark: SparkSession, dir: String): DataFrame =
     TextMetrics.chunkDedup(docs(spark, dir), "doc_id", "text", maxTokens = 32)
@@ -822,6 +830,7 @@ object PipelineQueries {
     "q89_kmeans_train" -> q89KmeansTrain,
     "q90_trending_tokens" -> q90TrendingTokens,
     "q91_lsh_tuning" -> q91LshTuning,
+    "q92_quality_calibration" -> q92QualityCalibration,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -2086,6 +2095,45 @@ object PipelineQueries {
         |        * (n_types::DOUBLE * syy - sy * sy)))::DECIMAL(28,10), 6)
         |    ::DOUBLE AS r2
         |FROM s""".stripMargin,
+    // Mirrors qualityCalibrationFromTf: the q53 surprisal body feeds a
+    // rank window over the ROUNDED avg (bit-identical across engines),
+    // integer decile arithmetic, and the q26/q81 quality CASE.
+    "q92_quality_calibration" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT AS tot FROM c),
+        |p AS (SELECT toks.doc_id,
+        |    ln(tot::DOUBLE / cnt::DOUBLE)::DECIMAL(28,10) AS surp
+        |  FROM toks JOIN c USING (token) CROSS JOIN t),
+        |a AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(surp) AS sum_dec FROM p GROUP BY 1),
+        |s AS (SELECT doc_id,
+        |    round((sum_dec::DOUBLE / n_tokens::DOUBLE)::DECIMAL(28,10), 6)
+        |      ::DOUBLE AS avg_surprisal
+        |  FROM a),
+        |q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 50
+        |      AND ((length(text) - length(regexp_replace(text,
+        |            '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+        |          / length(text)::DOUBLE) < 0.2
+        |      AND (((length(text) - len(regexp_split_to_array(lower(text), '\s+'))
+        |            + 1)::DOUBLE
+        |          / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE)
+        |          BETWEEN 3 AND 12)
+        |    THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |r AS (SELECT s.doc_id, q.label,
+        |    row_number() OVER (ORDER BY s.avg_surprisal, s.doc_id) AS rn
+        |  FROM s JOIN q USING (doc_id)),
+        |n AS (SELECT count(*)::BIGINT AS n FROM r)
+        |SELECT (((rn - 1) * 10) // n.n + 1)::BIGINT AS decile,
+        |  count(*)::BIGINT AS n_docs, sum(label)::BIGINT AS n_quality,
+        |  round((sum(label)::DOUBLE / count(*)::DOUBLE)::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS quality_frac
+        |FROM r CROSS JOIN n GROUP BY 1 ORDER BY decile""".stripMargin,
     // Mirrors chunkDedupRewrite: q45's chunk derivation, q54's
     // first-occurrence ranking, then the cleaned doc is the kept chunk
     // texts rejoined with ' ' (ORDER BY cid) — one flat token join, the
