@@ -92,6 +92,20 @@ class CorpusStatsSpec extends AnyFunSuite {
       ("d", 2L), ("e", 2L)))
   }
 
+  test("quality calibration: deciles split the surprisal ranking evenly") {
+    // 20 docs: ids 1..10 one rare-ish token each, 11..20 a common one;
+    // what matters here is the bucket arithmetic, not the rule agreement
+    val docs = (1L to 20L).map { i =>
+      val tok = if (i <= 10) s"rare$i" else "common"
+      (i, Seq.fill(10)(tok).mkString(" "))
+    }.toDF("doc_id", "text")
+    val tf = TextMetrics.termFrequencies(docs, "doc_id", "text")
+    val out = TextMetrics.qualityCalibrationFromTf(tf, docs, "doc_id", "text",
+        buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)))
+  }
+
   test("zipf fit: an exact power law recovers slope -1 with r2 = 1") {
     // counts 24/rank over 4 types: ln(cnt) = ln 24 - ln(rank)
     val tf = Seq((1L, "t1", 24L), (1L, "t2", 12L), (1L, "t3", 8L),
