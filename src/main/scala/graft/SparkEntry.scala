@@ -41,7 +41,7 @@ object SparkEntry {
   def cacheReleaseAfter: Map[String, () => Unit] = Map(
     "q35_interaction_graph" -> (() => OperatorQueries.releaseEventsCaches()),
     "q36_topic_model_gibbs" -> (() => OperatorQueries.releaseStemIndexCache()),
-    "q74_keep_best" -> (() => PipelineQueries.releaseClusterCache()),
+    "q93_effective_size" -> (() => PipelineQueries.releaseClusterCache()),
     "q92_quality_calibration" -> (() => PipelineQueries.releaseTfCache()),
     "q86_knn_purity" -> (() => PipelineQueries.releaseKnnCache()),
     "q91_lsh_tuning" -> (() => PipelineQueries.releaseMinhashCaches()))

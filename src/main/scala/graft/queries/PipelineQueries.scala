@@ -107,12 +107,18 @@ object PipelineQueries {
     * relations are tiny (near-dup-rate-sized) and localCheckpoint once
     * for their count + verify consumers. */
   def q91LshTuning(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingledDocs(spark, dir).select(col("doc_id"), col("shingles"))
+    // No fresh Jaccard evaluation for EITHER config: a b2r4 candidate
+    // shares its full 4-row band, hence both 2-row halves, so every
+    // candidate of the sharper config is a b4r2 candidate — and the
+    // shared verified-pair cache holds exactly the >= 0.5 subset of the
+    // b4r2 candidates. Verification per config is therefore a semi-join
+    // against the cached pairs on the (tiny) candidate relation.
+    val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     def configRow(bands: DataFrame, label: String): DataFrame = {
       val cands = Dedup.lshCandidates(
           bands.select(col("doc_id"), col("band"), col("band_key")))
         .localCheckpoint(true)
-      val ver = Dedup.jaccard(cands, sh).filter(col("jaccard") >= 0.5)
+      val ver = cands.join(pairs, Seq("doc_a", "doc_b"), "left_semi")
       cands.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(ver.agg(count(lit(1)).as("n_verified")))
         .select(lit(label).as("config"), col("n_candidates"),
@@ -335,6 +341,34 @@ object PipelineQueries {
       .select(col("doc_id"), col("cluster_id"), col("quality"),
         col("n_chars"), col("keep_best"))
       .orderBy(col("doc_id"))
+
+  /** Effective corpus size after near-dup dedup — the "what do I
+    * actually have left to train on" report (dedup papers quote
+    * corpus shrinkage exactly this way): per source, document and
+    * token counts before/after keeping one representative per q37
+    * cluster. Rides the shared cluster cache (its new release point);
+    * token counts are scan-speed column expressions, one id-keyed join
+    * against the label relation, |sources|-bounded rollup. */
+  def q93EffectiveSize(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"),
+      size(graft.functions.TextFunctions.tokenize(col("text")))
+        .cast("long").as("_tok"))
+    val kept = docClusters(spark, dir).select(col("doc_id"),
+      (col("cluster_id") === col("doc_id")).as("_keep"))
+    d.join(kept, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(col("_tok")).as("n_tokens"),
+        sum(when(col("_keep"), col("_tok")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_docs_kept"),
+        col("n_tokens"), col("n_tokens_kept"),
+        round((col("n_tokens_kept").cast("double") /
+            col("n_tokens").cast("double")).cast("decimal(28,10)"), 6)
+          .cast("double").as("kept_token_frac"))
+      .orderBy(col("source"))
+  }
 
   /** Token statistics (whitespace + BPE-ish subword split estimate). */
   def q25TokenStats(spark: SparkSession, dir: String): DataFrame =
@@ -831,6 +865,7 @@ object PipelineQueries {
     "q90_trending_tokens" -> q90TrendingTokens,
     "q91_lsh_tuning" -> q91LshTuning,
     "q92_quality_calibration" -> q92QualityCalibration,
+    "q93_effective_size" -> q93EffectiveSize,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -2095,6 +2130,25 @@ object PipelineQueries {
         |        * (n_types::DOUBLE * syy - sy * sy)))::DECIMAL(28,10), 6)
         |    ::DOUBLE AS r2
         |FROM s""".stripMargin,
+    // Mirrors q93EffectiveSize: q37's cluster CTEs + a scan-speed token
+    // count, keep = cluster representative (doc_id == cluster_id).
+    "q93_effective_size" ->
+      (clusterCtes + ",\n" +
+        """tok AS (SELECT doc_id, source,
+          |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS ntok
+          |  FROM documents)
+          |SELECT t.source,
+          |  count(*)::BIGINT AS n_docs,
+          |  sum(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END)::BIGINT
+          |    AS n_docs_kept,
+          |  sum(t.ntok)::BIGINT AS n_tokens,
+          |  sum(CASE WHEN c.doc_id = c.cluster_id THEN t.ntok ELSE 0 END)::BIGINT
+          |    AS n_tokens_kept,
+          |  round((sum(CASE WHEN c.doc_id = c.cluster_id THEN t.ntok ELSE 0 END)::DOUBLE
+          |      / sum(t.ntok)::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+          |    AS kept_token_frac
+          |FROM clus c JOIN tok t ON t.doc_id = c.doc_id
+          |GROUP BY 1 ORDER BY source""".stripMargin),
     // Mirrors qualityCalibrationFromTf: the q53 surprisal body feeds a
     // rank window over the ROUNDED avg (bit-identical across engines),
     // integer decile arithmetic, and the q26/q81 quality CASE.
