@@ -189,4 +189,81 @@ object Multimodal {
     * pipeline ([[Similarity]]): (vec_id, embedding Array[Float]). */
   def asEmbeddings(features: Dataset[MediaFeatures]): DataFrame =
     features.toDF().select(col("media_id").as("vec_id"), col("feat").as("embedding"))
+
+  /** Deterministic sample count for [[encodeWav]] (64..128). */
+  def wavSamples(id: Long): Int = (64 + id % 65).toInt
+
+  /** Encode one deterministic 16-bit mono 8 kHz PCM WAV for `id` (REAL
+    * javax.sound.sampled encode — RIFF/fmt/data chunks written by the
+    * JDK encoder). Sample i = ((id·37 + i·101) mod 65536) − 32768,
+    * sweeping the full int16 range — closed-form so the decode oracle
+    * recomputes it without touching the codec. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = wavSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((id * 37 + i.toLong * 101) % 65536) - 32768).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream(512)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Documents → one encoded WAV payload per doc (partition-local
+    * batched encode, the [[syntheticPngs]] contract). */
+  def syntheticWavs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => MediaRecord(id, "audio/wav", encodeWav(id)))
+    }
+  }
+
+  case class DecodedAudio(media_id: Long, n_samples: Long, sample_rate: Long,
+    s_min: Long, s_max: Long, s_sum: Long)
+
+  /** REAL audio decode: AudioSystem parses the RIFF container and
+    * format chunk per payload inside the batched partition kernel (the
+    * [[decodeImages]] contract — decoder per partition, payload bytes
+    * never shuffle, only the fixed-width feature row leaves). Emits
+    * exact integer sample statistics so the output is hash-stable; a
+    * stubbed decode cannot match the oracle, which recomputes the
+    * closed-form generator. */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian && fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"unexpected WAV format for media_id=${m.media_id}: $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var sm = 0L
+        var i = 0
+        while (i < n) {
+          val v: Int =
+            ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          sm += v
+          i += 1
+        }
+        DecodedAudio(m.media_id, n.toLong, fmt.getSampleRate.toLong,
+          mn, mx, sm)
+      }
+    }
+  }
 }

@@ -836,8 +836,19 @@ object PipelineQueries {
       .withColumnRenamed("media_id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** REAL audio decode roundtrip (the q73 device for WAV): closed-form
+    * int16 PCM encoded by the JDK WAV writer, decoded by AudioSystem,
+    * exact integer sample stats — the oracle recomputes the generator,
+    * so a decode bug (or a stub) cannot hash-match. */
+  def q94AudioDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudio(Multimodal.syntheticWavs(docs(spark, dir), "doc_id"))
+      .toDF()
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_multimodal_decode" -> q73MultimodalDecode,
+    "q94_audio_decode" -> q94AudioDecode,
     "q19_dedup_exact" -> q19DedupExact,
     "q20_minhash_neardups" -> q20MinhashNearDups,
     "q21_ngram_jaccard" -> q21NgramJaccard,
@@ -1882,6 +1893,18 @@ object PipelineQueries {
         |  sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum,
         |  sum(b)::BIGINT AS b_sum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // Mirrors decodeAudio over syntheticWavs: the closed-form int16
+    // generator recomputed directly — the real AudioSystem decode on the
+    // Spark side must reproduce it byte-exactly through the codec.
+    "q94_audio_decode" ->
+      """WITH dims AS (SELECT doc_id, 64 + doc_id % 65 AS n FROM documents),
+        |s AS (SELECT d.doc_id, d.n,
+        |    ((d.doc_id * 37 + i.i * 101) % 65536) - 32768 AS v
+        |  FROM dims d JOIN generate_series(0, 128) i(i) ON i.i < d.n)
+        |SELECT doc_id, n::BIGINT AS n_samples, 8000::BIGINT AS sample_rate,
+        |  min(v)::BIGINT AS s_min, max(v)::BIGINT AS s_max,
+        |  sum(v)::BIGINT AS s_sum
+        |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "q29_multimodal" ->
       """SELECT doc_id AS media_id, 'image/fake' AS media_type,
         |  octet_length(encode(text))::BIGINT AS byte_len,

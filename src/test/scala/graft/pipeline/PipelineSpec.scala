@@ -158,6 +158,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal WAV: AudioSystem encode→decode roundtrip matches the closed form") {
+    val ids = Seq(0L, 1L, 7L, 42L, 123L)
+    // payloads are genuine RIFF/WAVE containers, not passthrough fakes
+    val wav = Multimodal.encodeWav(42L)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val out = Multimodal.decodeAudio(
+        Multimodal.syntheticWavs(ids.toDF("doc_id"), "doc_id"))
+      .collect().map(d => d.media_id -> d).toMap
+    for (id <- ids) {
+      val n = Multimodal.wavSamples(id)
+      val vs = (0 until n).map(i => ((id * 37 + i.toLong * 101) % 65536) - 32768)
+      val d = out(id)
+      assert(d.n_samples == n.toLong && d.sample_rate == 8000L, s"fmt for id=$id")
+      assert((d.s_min, d.s_max, d.s_sum) == ((vs.min, vs.max, vs.sum)),
+        s"stats for id=$id")
+    }
+  }
+
   test("IVF cells partition the corpus; probing own cell finds in-cell neighbours") {
     val rnd = new scala.util.Random(5)
     def vec() = Array.fill(8)(math.floor(rnd.nextGaussian() * 1000) / 1000.0f)
