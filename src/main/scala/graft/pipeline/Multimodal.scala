@@ -226,6 +226,100 @@ object Multimodal {
     }
   }
 
+  def gifDims(id: Long): (Int, Int) = ((4 + id % 5).toInt, (4 + id % 3).toInt)
+  def gifFrames(id: Long): Int = (2 + id % 4).toInt
+
+  /** Encode one deterministic ANIMATED GIF for `id` (REAL multi-frame
+    * encode through the JDK's GIF writer): gifFrames(id) frames of
+    * gifDims(id) pixels over an explicit 4-gray palette
+    * (gray = 85 · ((id + 7f + 3x + 5y) mod 4)). Frames are written
+    * indexed (GIF is palette-native — an RGB source would be quantized
+    * lossily) and NON-interlaced (the writer's progressive mode
+    * permutes rows on readback otherwise), making the roundtrip
+    * pixel-exact and oracle-checkable. */
+  def encodeGif(id: Long): Array[Byte] = {
+    val (w, h) = gifDims(id)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream(512)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val grays = Array[Byte](0, 85, (170 & 0xff).toByte, (255 & 0xff).toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 4, grays, grays, grays)
+    var f = 0
+    while (f < gifFrames(id)) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((id + f * 7L + x * 3L + y * 5L) % 4).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  /** Documents → one animated-GIF payload per doc. */
+  def syntheticGifs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(id => MediaRecord(id, "image/gif", encodeGif(id)))
+    }
+  }
+
+  case class DecodedFrame(media_id: Long, frame_no: Long, width: Long,
+    height: Long, gray_sum: Long)
+
+  /** REAL video-style frame sampling: the GIF reader parses the
+    * multi-frame container per payload and every `everyN`-th frame is
+    * decoded and reduced to exact integer pixel sums — the
+    * one-row-to-many-rows contract of [[sampleFrames]] with a genuine
+    * codec behind it. Decoder initializes ONCE per partition and is
+    * re-pointed per record (the decodeImages/decodeAudio contract);
+    * payload bytes never shuffle. */
+  def decodeVideoFrames(media: Dataset[MediaRecord],
+      everyN: Int): Dataset[DecodedFrame] = {
+    require(everyN >= 1, "decodeVideoFrames: everyN must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { m =>
+        reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload)))
+        val n = reader.getNumImages(true)
+        (0 until n by everyN).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += img.getRGB(x, y) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          DecodedFrame(m.media_id, f.toLong, w.toLong, h.toLong, sum)
+        }
+      }
+    }
+  }
+
   case class DecodedAudio(media_id: Long, n_samples: Long, sample_rate: Long,
     s_min: Long, s_max: Long, s_sum: Long)
 

@@ -846,9 +846,21 @@ object PipelineQueries {
       .withColumnRenamed("media_id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** REAL video-frame decode roundtrip (the q73/q94 device for
+    * multi-frame media): deterministic animated GIFs encoded and
+    * frame-sampled (every 2nd frame) through the JDK's real GIF codec,
+    * exact integer pixel sums per sampled frame. */
+  def q95VideoDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideoFrames(
+        Multimodal.syntheticGifs(docs(spark, dir), "doc_id"), everyN = 2)
+      .toDF()
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy(col("doc_id"), col("frame_no"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_multimodal_decode" -> q73MultimodalDecode,
     "q94_audio_decode" -> q94AudioDecode,
+    "q95_video_decode" -> q95VideoDecode,
     "q19_dedup_exact" -> q19DedupExact,
     "q20_minhash_neardups" -> q20MinhashNearDups,
     "q21_ngram_jaccard" -> q21NgramJaccard,
@@ -1905,6 +1917,22 @@ object PipelineQueries {
         |  min(v)::BIGINT AS s_min, max(v)::BIGINT AS s_max,
         |  sum(v)::BIGINT AS s_sum
         |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // Mirrors decodeVideoFrames over syntheticGifs (every 2nd frame):
+    // the closed-form gray generator (85·((id+7f+3x+5y) mod 4))
+    // recomputed directly — the Spark side must reproduce it through
+    // the real GIF encode→decode.
+    "q95_video_decode" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+        |    2 + doc_id % 4 AS nf FROM documents),
+        |fr AS (SELECT d.doc_id, d.w, d.h, f.f FROM dims d
+        |  JOIN generate_series(0, 5) f(f) ON f.f < d.nf AND f.f % 2 = 0),
+        |px AS (SELECT fr.doc_id, fr.f, fr.w, fr.h,
+        |    85 * ((fr.doc_id + fr.f * 7 + g.gx * 3 + g.gy * 5) % 4) AS v
+        |  FROM fr JOIN (SELECT x.gx, y.gy FROM generate_series(0, 8) x(gx),
+        |      generate_series(0, 6) y(gy)) g ON g.gx < fr.w AND g.gy < fr.h)
+        |SELECT doc_id, f::BIGINT AS frame_no, w::BIGINT AS width,
+        |  h::BIGINT AS height, sum(v)::BIGINT AS gray_sum
+        |FROM px GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_no""".stripMargin,
     "q29_multimodal" ->
       """SELECT doc_id AS media_id, 'image/fake' AS media_type,
         |  octet_length(encode(text))::BIGINT AS byte_len,

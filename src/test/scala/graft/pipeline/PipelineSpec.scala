@@ -177,6 +177,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal GIF: animated encode→frame-sampled decode matches the closed form") {
+    val ids = Seq(0L, 1L, 7L, 42L, 123L)
+    // payloads are genuine GIF containers; every 2nd frame sampled
+    val gif = Multimodal.encodeGif(42L)
+    assert(new String(gif.take(4), "US-ASCII").startsWith("GIF8"))
+    val out = Multimodal.decodeVideoFrames(
+        Multimodal.syntheticGifs(ids.toDF("doc_id"), "doc_id"), everyN = 2)
+      .collect().map(d => (d.media_id, d.frame_no) -> d).toMap
+    for (id <- ids) {
+      val (w, h) = Multimodal.gifDims(id)
+      val frames = (0 until Multimodal.gifFrames(id) by 2)
+      assert(out.keys.count(_._1 == id) == frames.size, s"frame count id=$id")
+      for (f <- frames) {
+        var sum = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          sum += 85L * ((id + f * 7L + x * 3L + y * 5L) % 4)
+        val d = out((id, f.toLong))
+        assert((d.width, d.height, d.gray_sum) == ((w.toLong, h.toLong, sum)),
+          s"frame stats id=$id f=$f")
+      }
+    }
+  }
+
   test("IVF cells partition the corpus; probing own cell finds in-cell neighbours") {
     val rnd = new scala.util.Random(5)
     def vec() = Array.fill(8)(math.floor(rnd.nextGaussian() * 1000) / 1000.0f)
