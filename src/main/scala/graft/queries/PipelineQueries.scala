@@ -723,6 +723,31 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Contamination-safe split assignment — the composition every real
+    * pretraining pipeline runs before materializing splits: q72's
+    * deterministic 80/10/10 buckets, but any document with 8-gram
+    * overlap against the eval set (q43's check) is forced into a
+    * `quarantine` split so benchmark contamination can never enter
+    * train OR test. The override is an id-keyed left join of the
+    * (small) contaminated set onto the map-side bucket assignment. */
+  def q96SafeSplits(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("source") =!= "src0")
+    val splits = TextMetrics.assignSplits(corpus, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("source"), col("split"))
+    val contaminated = Dedup.decontaminate(corpus, "doc_id", "text",
+        d.filter(col("source") === "src0"), "doc_id", "text", n = 8)
+      .filter(col("contaminated"))
+      .select(col("doc_id"))
+      .withColumn("_c", lit(1L))
+    splits.join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("_c").isNotNull, lit("quarantine")).otherwise(col("split"))
+          .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BPE merge training ([[Bpe.trainMerges]]): learn 10 merges from the
     * corpus word frequencies. Iterative greedy argmax — not
     * SQL-expressible, so no oracle (rows-only driver check, the q36
@@ -889,6 +914,7 @@ object PipelineQueries {
     "q91_lsh_tuning" -> q91LshTuning,
     "q92_quality_calibration" -> q92QualityCalibration,
     "q93_effective_size" -> q93EffectiveSize,
+    "q96_safe_splits" -> q96SafeSplits,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -2200,6 +2226,23 @@ object PipelineQueries {
           |    AS kept_token_frac
           |FROM clus c JOIN tok t ON t.doc_id = c.doc_id
           |GROUP BY 1 ORDER BY source""".stripMargin),
+    // Mirrors q96SafeSplits: q72's bucket CASE restricted to the corpus
+    // side, overridden to 'quarantine' by the q43 oracle body reused
+    // verbatim (the q69 zero-drift device).
+    "q96_safe_splits" ->
+      (s"WITH con AS (SELECT doc_id, contaminated FROM (\n$q43DecontaminateOracle\n)),\n" +
+        """sp AS (SELECT doc_id, source,
+          |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+          |         ELSE 'test' END AS split
+          |  FROM (SELECT doc_id, source,
+          |      ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))
+          |        ::BIGINT % 100 AS b
+          |    FROM documents WHERE source <> 'src0'))
+          |SELECT sp.doc_id, sp.source,
+          |  CASE WHEN con.contaminated THEN 'quarantine' ELSE sp.split END
+          |    AS split
+          |FROM sp JOIN con ON con.doc_id = sp.doc_id
+          |ORDER BY sp.doc_id""".stripMargin),
     // Mirrors qualityCalibrationFromTf: the q53 surprisal body feeds a
     // rank window over the ROUNDED avg (bit-identical across engines),
     // integer decile arithmetic, and the q26/q81 quality CASE.
