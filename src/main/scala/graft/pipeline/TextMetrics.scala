@@ -335,6 +335,29 @@ object TextMetrics {
       .drop("_k")
   }
 
+  /** Curriculum ordering — deterministic quality-tiered training order
+    * (curriculum learning: feed higher-quality documents first, shuffle
+    * WITHIN each tier): tier = the [[qualityScore]] rule, shard + pos =
+    * the [[shuffleShards]] hash device partitioned by (tier, shard).
+    * The physical read order is (tier DESC, shard, pos) — reproducible
+    * across engines, repartitionings and reruns, with no global sort:
+    * rank windows are per (tier, shard), so parallelism is
+    * tiers × shards and each window holds ~n/(tiers·shards) narrow
+    * rows. */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, salt: String = "curriculum"): DataFrame = {
+    require(nShards >= 1, "curriculumOrder: nShards must be >= 1")
+    qualityScore(docs, idCol, textCol)
+      .select(col(idCol), col("quality").cast("long").as("tier"))
+      .withColumn("_k", TextFunctions.fingerprint(
+        concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("_k"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("tier"), col("shard"))
+          .orderBy(col("_k"), col(idCol))).cast("long"))
+      .select(col(idCol), col("tier"), col("shard"), col("pos"))
+  }
+
   /** Fixed-token-budget document chunking — the context-window prep step
     * of a training pipeline: each document's token array splits into
     * ceil(n/maxTokens) contiguous chunks of at most maxTokens tokens.

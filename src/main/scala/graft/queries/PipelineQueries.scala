@@ -723,6 +723,13 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Curriculum training order: quality tier (q26 rule) + in-tier
+    * deterministic shuffle over 4 shards ([[TextMetrics.curriculumOrder]]). */
+  def q97Curriculum(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.curriculumOrder(docs(spark, dir), "doc_id", "text",
+        nShards = 4)
+      .orderBy(col("doc_id"))
+
   /** Contamination-safe split assignment — the composition every real
     * pretraining pipeline runs before materializing splits: q72's
     * deterministic 80/10/10 buckets, but any document with 8-gram
@@ -915,6 +922,7 @@ object PipelineQueries {
     "q92_quality_calibration" -> q92QualityCalibration,
     "q93_effective_size" -> q93EffectiveSize,
     "q96_safe_splits" -> q96SafeSplits,
+    "q97_curriculum" -> q97Curriculum,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -2226,6 +2234,27 @@ object PipelineQueries {
           |    AS kept_token_frac
           |FROM clus c JOIN tok t ON t.doc_id = c.doc_id
           |GROUP BY 1 ORDER BY source""".stripMargin),
+    // Mirrors curriculumOrder: the q26/q81 quality CASE as the tier, the
+    // q62 md5-fingerprint device for shard + in-(tier,shard) rank.
+    "q97_curriculum" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 50
+        |      AND ((length(text) - length(regexp_replace(text,
+        |            '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+        |          / length(text)::DOUBLE) < 0.2
+        |      AND (((length(text) - len(regexp_split_to_array(lower(text), '\s+'))
+        |            + 1)::DOUBLE
+        |          / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE)
+        |          BETWEEN 3 AND 12)
+        |    THEN 1 ELSE 0 END AS tier,
+        |    ('0x' || substr(md5('curriculum:' || doc_id::VARCHAR), 1, 15))
+        |      ::BIGINT AS kk
+        |  FROM documents)
+        |SELECT doc_id, tier::BIGINT AS tier, (kk % 4)::BIGINT AS shard,
+        |  row_number() OVER (PARTITION BY tier, kk % 4
+        |    ORDER BY kk, doc_id)::BIGINT AS pos
+        |FROM q ORDER BY doc_id""".stripMargin,
     // Mirrors q96SafeSplits: q72's bucket CASE restricted to the corpus
     // side, overridden to 'quarantine' by the q43 oracle body reused
     // verbatim (the q69 zero-drift device).
