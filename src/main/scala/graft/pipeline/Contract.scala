@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-contract validation — the expectation-suite gate a production
+  * pipeline runs before letting a batch into the corpus store (the
+  * Great-Expectations / dbt-test shape): a fixed rule table evaluated in
+  * ONE scan via conditional aggregation, emitted one row per rule so
+  * the report is joinable/alertable. A passing report (all zeros) IS
+  * the normal production case; ContractSpec plants violations to prove
+  * every rule fires.
+  */
+object Contract {
+
+  /** Validate the `documents` contract: id presence/uniqueness, text
+    * non-emptiness, stored-length consistency, language allow-list,
+    * source naming. NULL-valued comparisons count as non-violations in
+    * BOTH engines (SQL three-valued logic falls through the CASE), so
+    * nullability itself is guarded by its own dedicated rules.
+    *
+    * Scale shape: one scan, map-side conditional partials, a 1-row
+    * global aggregate unpivoted by `stack` (codegen'd) — no shuffle
+    * beyond the final single-row reduce at any corpus size. */
+  def documentsContract(docs: DataFrame,
+      allowedLangs: Seq[String]): DataFrame = {
+    val agg = docs.agg(
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_id_null"),
+      // count(col) skips NULL ids — those are id_not_null's business
+      (count(col("doc_id")) - countDistinct(col("doc_id"))).as("v_id_dup"),
+      sum(when(col("text").isNull || trim(col("text")) === "", 1L)
+        .otherwise(0L)).as("v_text_empty"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("v_chars"),
+      sum(when(!col("lang").isin(allowedLangs: _*), 1L).otherwise(0L))
+        .as("v_lang"),
+      sum(when(!col("source").startsWith("src"), 1L).otherwise(0L))
+        .as("v_source"))
+    agg.select(expr(
+        "stack(6, 'id_not_null', v_id_null, 'id_unique', v_id_dup, " +
+          "'text_not_empty', v_text_empty, 'n_chars_consistent', v_chars, " +
+          "'lang_allowed', v_lang, 'source_format', v_source) " +
+          "as (rule, n_violations)"))
+      .select(col("rule"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+}

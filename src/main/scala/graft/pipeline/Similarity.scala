@@ -364,6 +364,41 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("dot_pq"))
   }
 
+  /** Norm-quantile outlier detection — the embedding-health FILTER that
+    * follows [[embeddingStats]]' report: vectors whose exact quantized
+    * squared norm falls outside the [p1, p99] percentile band are
+    * flagged for exclusion before ANN indexing (zero/collapsed vectors
+    * drag down every neighborhood; exploded norms dominate dot
+    * products). Percentile bounds use the q61 integer-rank
+    * percentile_disc device — engine-exact, unlike interpolating or
+    * sketching percentile functions.
+    *
+    * Scale shape: the rank window sorts the narrow (id, norm) relation
+    * only; at true corpus scale swap the bounds for the documented
+    * GK-sketch path (q61) — the outlier filter itself stays a map-side
+    * comparison against two broadcast scalars. */
+  def normOutliers(embs: DataFrame, idCol: String, vecCol: String,
+      loPct: Int = 1, hiPct: Int = 99): DataFrame = {
+    require(0 < loPct && loPct < hiPct && hiPct < 100,
+      "normOutliers: need 0 < loPct < hiPct < 100")
+    val norms = embs.select(col(idCol),
+      dotExact(quantize(col(vecCol)), quantize(col(vecCol))).as("norm_sq_q"))
+    val w = Window.orderBy(col("norm_sq_q").asc, col(idCol).asc)
+    val ranked = norms.withColumn("_rn", row_number().over(w).cast("long"))
+      .localCheckpoint(true) // count + two bound probes + the filter
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    def bound(pct: Int, name: String): DataFrame = ranked
+      .crossJoin(broadcast(n))
+      .filter(col("_rn") ===
+        greatest(lit(1L), expr(s"(_n * $pct + 99) div 100")))
+      .select(col("norm_sq_q").as(name))
+    ranked.crossJoin(broadcast(bound(loPct, "lo_bound")))
+      .crossJoin(broadcast(bound(hiPct, "hi_bound")))
+      .filter(col("norm_sq_q") < col("lo_bound") ||
+        col("norm_sq_q") > col("hi_bound"))
+      .select(col(idCol), col("norm_sq_q"), col("lo_bound"), col("hi_bound"))
+  }
+
   /** kNN label purity — the embedding-quality report over a
     * [[knnGraph]]: per source label, the fraction of graph edges whose
     * neighbor carries the SAME label. High purity means the embedding

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.Tables
-import graft.pipeline.{Bpe, Curate, Dedup, Multimodal, Pii, Similarity, TextMetrics}
+import graft.pipeline.{Bpe, Contract, Curate, Dedup, Multimodal, Pii, Similarity, TextMetrics}
 
 /** Training-data pipeline queries (north-star extensions, BASELINE.json):
   * deduplication, similarity search, text analysis, multimodal plumbing —
@@ -232,6 +232,19 @@ object PipelineQueries {
     Similarity.kmeansReport(emb(spark, dir), "vec_id", "embedding",
         k = 8, iters = 2)
       .orderBy(col("cent_id"))
+
+  /** Data-contract validation gate over the documents table (six rules,
+    * one scan, one row per rule — [[Contract.documentsContract]]). */
+  def q98DataContract(spark: SparkSession, dir: String): DataFrame =
+    Contract.documentsContract(docs(spark, dir),
+        Seq("en", "de", "es", "fr", "zh"))
+      .orderBy(col("rule"))
+
+  /** Embedding norm-quantile outliers ([p1, p99] band, exact integer
+    * rank bounds — [[Similarity.normOutliers]]). */
+  def q99NormOutliers(spark: SparkSession, dir: String): DataFrame =
+    Similarity.normOutliers(emb(spark, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
 
   /** Embedding health check: per-vector dim + exact quantized norm. */
   def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
@@ -923,6 +936,8 @@ object PipelineQueries {
     "q93_effective_size" -> q93EffectiveSize,
     "q96_safe_splits" -> q96SafeSplits,
     "q97_curriculum" -> q97Curriculum,
+    "q98_data_contract" -> q98DataContract,
+    "q99_norm_outliers" -> q99NormOutliers,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -2234,6 +2249,51 @@ object PipelineQueries {
           |    AS kept_token_frac
           |FROM clus c JOIN tok t ON t.doc_id = c.doc_id
           |GROUP BY 1 ORDER BY source""".stripMargin),
+    // Mirrors Contract.documentsContract: one conditional aggregate,
+    // unpivoted one row per rule; NULL comparisons fall through the
+    // CASE to 0 on both engines (three-valued logic).
+    "q98_data_contract" ->
+      """WITH a AS (SELECT
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_id_null,
+        |    (count(doc_id) - count(DISTINCT doc_id))::BIGINT AS v_id_dup,
+        |    sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS v_text_empty,
+        |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |      ::BIGINT AS v_chars,
+        |    sum(CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr', 'zh')
+        |      THEN 1 ELSE 0 END)::BIGINT AS v_lang,
+        |    sum(CASE WHEN source NOT LIKE 'src%' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS v_source
+        |  FROM documents)
+        |SELECT rule, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'id_not_null' AS rule, v_id_null AS n_violations FROM a
+        |  UNION ALL SELECT 'id_unique', v_id_dup FROM a
+        |  UNION ALL SELECT 'text_not_empty', v_text_empty FROM a
+        |  UNION ALL SELECT 'n_chars_consistent', v_chars FROM a
+        |  UNION ALL SELECT 'lang_allowed', v_lang FROM a
+        |  UNION ALL SELECT 'source_format', v_source FROM a)
+        |ORDER BY rule""".stripMargin,
+    // Mirrors Similarity.normOutliers: exact quantized norms, the q61
+    // integer-rank percentile_disc device for the [p1, p99] bounds.
+    "q99_norm_outliers" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, unnest(qv) AS x FROM v),
+        |norms AS (SELECT vec_id, sum(x * x)::BIGINT AS norm_sq_q
+        |  FROM e GROUP BY 1),
+        |r AS (SELECT vec_id, norm_sq_q,
+        |    row_number() OVER (ORDER BY norm_sq_q, vec_id) AS rn
+        |  FROM norms),
+        |n AS (SELECT count(*)::BIGINT AS n FROM norms),
+        |lo AS (SELECT norm_sq_q AS lo_bound FROM r CROSS JOIN n
+        |  WHERE rn = greatest(1, (n.n * 1 + 99) // 100)),
+        |hi AS (SELECT norm_sq_q AS hi_bound FROM r CROSS JOIN n
+        |  WHERE rn = greatest(1, (n.n * 99 + 99) // 100))
+        |SELECT vec_id, norm_sq_q, lo_bound, hi_bound
+        |FROM norms CROSS JOIN lo CROSS JOIN hi
+        |WHERE norm_sq_q < lo_bound OR norm_sq_q > hi_bound
+        |ORDER BY vec_id""".stripMargin,
     // Mirrors curriculumOrder: the q26/q81 quality CASE as the tier, the
     // q62 md5-fingerprint device for shard + in-(tier,shard) rank.
     "q97_curriculum" ->

@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Every data-contract rule fires on planted violations, and the
+  * norm-outlier band flags exactly the extremes. */
+class ContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("documentsContract: each rule counts its planted violation") {
+    val rows = Seq(
+      (Some(1L), "good text here", "en", "src1", 14L),
+      (Some(1L), "dup id", "en", "src2", 6L),          // id_unique
+      (None, "no id", "en", "src1", 5L),               // id_not_null
+      (Some(3L), "  ", "en", "src1", 2L),              // text_not_empty
+      (Some(4L), "bad count", "en", "src1", 99L),      // n_chars_consistent
+      (Some(5L), "bad lang", "xx", "src1", 8L),        // lang_allowed
+      (Some(6L), "bad source", "en", "web1", 10L))     // source_format
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Contract.documentsContract(rows, Seq("en", "de"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out("id_not_null") == ((1L, false)))
+    assert(out("id_unique") == ((1L, false)))
+    assert(out("text_not_empty") == ((1L, false)))
+    // the planted n_chars mismatches: 99 vs 9; rows with honest counts
+    // (including the empty-text and bad-lang rows) don't count
+    assert(out("n_chars_consistent")._1 >= 1L)
+    assert(out("lang_allowed") == ((1L, false)))
+    assert(out("source_format") == ((1L, false)))
+  }
+
+  test("documentsContract: a clean frame passes every rule") {
+    val rows = Seq((1L, "alpha beta", "en", "src1", 10L),
+      (2L, "gamma delta", "de", "src2", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Contract.documentsContract(rows, Seq("en", "de")).collect()
+    assert(out.length == 6 && out.forall(_.getBoolean(2)))
+  }
+
+  test("normOutliers flags exactly the vectors outside the [p1,p99] rank band") {
+    // 100 vectors with strictly increasing norms: p1 bound = rank 1,
+    // p99 bound = rank 99 -> outliers = the single largest norm
+    val vecs = (1L to 100L).map(i => (i, Array(i.toFloat / 100f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.normOutliers(vecs, "vec_id", "embedding")
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(100L))
+  }
+}
