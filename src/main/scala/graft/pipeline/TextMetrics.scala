@@ -1335,6 +1335,43 @@ object TextMetrics {
       .select(col("rank"), col("token"), col("cnt"))
   }
 
+  /** Token-budget apportionment — the scheduling step that turns mixing
+    * proportions into an actual per-source token allocation for the
+    * next training batch: proportional (largest-remainder / Hamilton)
+    * apportionment of an integer `budget` over per-source token counts.
+    * floor shares first, then the leftover seats go to the largest
+    * remainders (ties to the smaller source name) — allocations sum to
+    * EXACTLY the budget, and every step is integer arithmetic on exact
+    * counts, so the result is engine-portable with no float weights.
+    *
+    * Scale shape: one token-count aggregate (map-side combined) to a
+    * |sources|-sized relation; the remainder rank is a window over that
+    * tiny relation; the 1-row totals broadcast. */
+  def apportionBudget(docs: DataFrame, groupCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "apportionBudget: budget must be >= 0")
+    val perSrc = docs.groupBy(col(groupCol))
+      .agg(sum(size(TextFunctions.tokenize(col(textCol))).cast("long"))
+        .as("n_tokens"))
+    val total = perSrc.agg(sum(col("n_tokens")).as("_tot"),
+      count(lit(1)).as("_nsrc"))
+    val base = perSrc.crossJoin(broadcast(total))
+      .withColumn("_floor", expr(s"($budget * n_tokens) div _tot"))
+      .withColumn("_rem", expr(s"($budget * n_tokens) % _tot"))
+    val w = Window.orderBy(col("_rem").desc, col(groupCol).asc)
+    base
+      .withColumn("_rr", row_number().over(w).cast("long"))
+      .withColumn("_leftover",
+        lit(budget) - sum(col("_floor")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col(groupCol), col("n_tokens"),
+        col("_floor").as("floor_alloc"),
+        col("_rr").as("remainder_rank"),
+        (col("_floor") + when(col("_rr") <= col("_leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
+
   /** Quality-signal calibration — the report a curation pipeline reads
     * before trusting a cheap filter: rank documents by unigram-LM
     * average surprisal (the expensive signal, [[unigramSurprisal]]),

@@ -233,6 +233,15 @@ object PipelineQueries {
         k = 8, iters = 2)
       .orderBy(col("cent_id"))
 
+  /** Token-budget apportionment (largest-remainder over exact integer
+    * token counts; 1M-token budget) — q04 fills the one unused 2-digit
+    * slot: 3-digit names would collide with q10's compacted bench
+    * prefix. */
+  def q04TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.apportionBudget(docs(spark, dir), "source", "text",
+        budget = 1000000L)
+      .orderBy(col("source"))
+
   /** Data-contract validation gate over the documents table (six rules,
     * one scan, one row per rule — [[Contract.documentsContract]]). */
   def q98DataContract(spark: SparkSession, dir: String): DataFrame =
@@ -938,6 +947,7 @@ object PipelineQueries {
     "q97_curriculum" -> q97Curriculum,
     "q98_data_contract" -> q98DataContract,
     "q99_norm_outliers" -> q99NormOutliers,
+    "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
     "q44_embedding_stats" -> q44EmbeddingStats,
@@ -2249,6 +2259,27 @@ object PipelineQueries {
           |    AS kept_token_frac
           |FROM clus c JOIN tok t ON t.doc_id = c.doc_id
           |GROUP BY 1 ORDER BY source""".stripMargin),
+    // Mirrors apportionBudget (budget = 1e6): floor shares + largest
+    // remainders, all exact integer arithmetic; // floors and div
+    // truncates identically on the non-negative operands.
+    "q04_token_budget" ->
+      """WITH s AS (SELECT source,
+        |    sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_tokens)::BIGINT AS tot FROM s),
+        |b AS (SELECT s.source, s.n_tokens,
+        |    (1000000 * s.n_tokens) // t.tot AS fl,
+        |    (1000000 * s.n_tokens) % t.tot AS rem
+        |  FROM s CROSS JOIN t),
+        |r AS (SELECT source, n_tokens, fl,
+        |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rr FROM b),
+        |l AS (SELECT 1000000 - sum(fl)::BIGINT AS leftover FROM b)
+        |SELECT r.source, r.n_tokens, r.fl::BIGINT AS floor_alloc,
+        |  r.rr::BIGINT AS remainder_rank,
+        |  (r.fl + CASE WHEN r.rr <= l.leftover THEN 1 ELSE 0 END)::BIGINT
+        |    AS alloc
+        |FROM r CROSS JOIN l ORDER BY r.source""".stripMargin,
     // Mirrors Contract.documentsContract: one conditional aggregate,
     // unpivoted one row per rule; NULL comparisons fall through the
     // CASE to 0 on both engines (three-valued logic).

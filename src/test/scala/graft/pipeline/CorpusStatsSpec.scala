@@ -106,6 +106,21 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)))
   }
 
+  test("apportionBudget: allocations sum to the budget, largest remainder wins") {
+    // token counts 3/3/4 over budget 7: products 21/21/28 over tot 10 ->
+    // floors 2/2/2, remainders 1/1/8 -> the single leftover seat goes
+    // to c (largest remainder); a and b tie at rank 2/3 alphabetically
+    val docs = Seq((1L, "x x x", "a"), (2L, "x x x", "b"), (3L, "x x x x", "c"))
+      .toDF("doc_id", "text", "source")
+    val out = TextMetrics.apportionBudget(docs, "source", "text", budget = 7L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(out.values.map(_._2).sum == 7L)
+    assert(out("a") == ((2L, 2L)))
+    assert(out("b") == ((2L, 2L)))
+    assert(out("c") == ((2L, 3L)))
+  }
+
   test("zipf fit: an exact power law recovers slope -1 with r2 = 1") {
     // counts 24/rank over 4 types: ln(cnt) = ln 24 - ln(rank)
     val tf = Seq((1L, "t1", 24L), (1L, "t2", 12L), (1L, "t3", 8L),
