@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.Tables
-import graft.pipeline.{Bpe, Contract, Curate, Dedup, Multimodal, Pii, Similarity, TextMetrics}
+import graft.pipeline.{Bpe, Contract, Curate, Dedup, Dsir, Multimodal, Pii, Similarity, TextMetrics}
 
 /** Training-data pipeline queries (north-star extensions, BASELINE.json):
   * deduplication, similarity search, text analysis, multimodal plumbing —
@@ -254,6 +254,17 @@ object PipelineQueries {
   def q99NormOutliers(spark: SparkSession, dir: String): DataFrame =
     Similarity.normOutliers(emb(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
+
+  /** DSIR importance resampling ([[Dsir.selectTopK]]): the 100 raw-pool
+    * (non-English here — the target distribution is the English slice)
+    * documents whose hashed unigram+bigram features are most
+    * target-like under the add-one-smoothed 256-bucket gram models.
+    * One corpus scan; models broadcast back; top-k is a TakeOrdered. */
+  def q100Dsir(spark: SparkSession, dir: String): DataFrame =
+    Dsir.selectTopK(docs(spark, dir), "doc_id", "text",
+        targetFlag = col("lang") === "en", k = 100,
+        passthrough = Seq("lang", "source"))
+      .orderBy(col("logw").desc, col("doc_id"))
 
   /** Embedding health check: per-vector dim + exact quantized norm. */
   def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
@@ -947,6 +958,7 @@ object PipelineQueries {
     "q97_curriculum" -> q97Curriculum,
     "q98_data_contract" -> q98DataContract,
     "q99_norm_outliers" -> q99NormOutliers,
+    "q100_dsir" -> q100Dsir,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2325,6 +2337,44 @@ object PipelineQueries {
         |FROM norms CROSS JOIN lo CROSS JOIN hi
         |WHERE norm_sq_q < lo_bound OR norm_sq_q > hi_bound
         |ORDER BY vec_id""".stripMargin,
+    // Mirrors Dsir.selectTopK: unigrams+bigrams via the positions device
+    // (i in 1..2n-1; i<=n unigram, else bigram at i-n), md5-15-hex
+    // buckets mod 256, add-one-smoothed double ln log-ratios summed as
+    // DECIMAL (the q53 device), top 100 by (logw DESC, doc_id).
+    "q100_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source, (lang = 'en') AS tgt,
+        |    regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, source, tgt,
+        |    CASE WHEN i <= len(t) THEN t[i]
+        |         ELSE t[i - len(t)] || ' ' || t[i - len(t) + 1] END AS gram
+        |  FROM (SELECT *, unnest(range(1, 2 * len(t))) AS i FROM toks)),
+        |db AS (
+        |  SELECT doc_id, lang, source, tgt,
+        |    ('0x' || substr(md5('dsir:' || gram), 1, 15))::BIGINT % 256 AS bucket,
+        |    count(*)::BIGINT AS c
+        |  FROM grams GROUP BY ALL),
+        |model AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN tgt THEN c ELSE 0 END)::BIGINT AS ct,
+        |    sum(CASE WHEN NOT tgt THEN c ELSE 0 END)::BIGINT AS cs
+        |  FROM db GROUP BY bucket),
+        |tot AS (SELECT sum(ct)::BIGINT AS t_tot, sum(cs)::BIGINT AS s_tot
+        |  FROM model),
+        |lr AS (
+        |  SELECT bucket,
+        |    (ln((ct + 1) / (t_tot + 256)) - ln((cs + 1) / (s_tot + 256)))
+        |      ::DECIMAL(18,10) AS lrv
+        |  FROM model CROSS JOIN tot),
+        |w AS (
+        |  SELECT doc_id, lang, source, sum(c)::BIGINT AS n_grams,
+        |    round(sum(lrv * c::DECIMAL(10,0)), 6)::DOUBLE AS logw
+        |  FROM db JOIN lr USING (bucket) WHERE NOT tgt
+        |  GROUP BY doc_id, lang, source)
+        |SELECT doc_id, lang, source, n_grams, logw
+        |FROM w ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin,
     // Mirrors curriculumOrder: the q26/q81 quality CASE as the tier, the
     // q62 md5-fingerprint device for shard + in-(tier,shard) rank.
     "q97_curriculum" ->
