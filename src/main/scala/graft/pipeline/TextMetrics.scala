@@ -310,6 +310,51 @@ object TextMetrics {
       .drop("_bucket", "_w_pct", "_n")
   }
 
+  /** Temperature-rebalanced group sampling report — the multilingual
+    * mixing device (XLM-R-style: sample groups proportional to
+    * `n_g^α`, flattening the size distribution so low-resource
+    * languages are not drowned out). α is fixed at 0.5 because that
+    * exponent is computable as `sqrt`, which is IEEE-correctly-rounded
+    * and therefore bit-identical across engines (the q55 device);
+    * `pow` is NOT cross-engine exact and never enters a hashed output.
+    *
+    * The keep rate normalizes so the smallest group is kept whole:
+    * `rate_g = floor(100 · sqrt(n_min / n_g))` — under-α-proportional
+    * groups then land at their temperature share relative to it. The
+    * keep decision is [[mixKeeps]]' pure (salt, id) hash gate, so the
+    * selection is reproducible under repartitioning and engine choice.
+    *
+    * Scale shape: ONE corpus scan collapses (group, hash-bucket) to a
+    * ≤|groups|·100-row histogram with map-side partials; group counts,
+    * the 1-row min, the rates, and the kept-count rollup all derive
+    * from that histogram — the corpus is never rescanned and nothing
+    * corpus-sized shuffles. Output: one row per group with its size,
+    * keep rate, and surviving document count. */
+  def temperatureMixReport(docs: DataFrame, idCol: String,
+      groupCol: String, salt: String = "tmix"): DataFrame = {
+    val hist = docs
+      .select(col(groupCol),
+        pmod(TextFunctions.fingerprint(
+          concat(lit(salt), lit(":"), col(idCol).cast("string"))), lit(100L))
+          .as("_h"))
+      .groupBy(col(groupCol), col("_h")).agg(count(lit(1)).as("_c"))
+      // consumed twice (rate derivation + kept-count probe): materialize
+      // the ≤|groups|·100-row histogram so the corpus scan runs once
+      .localCheckpoint(true)
+    val counts = hist.groupBy(col(groupCol)).agg(sum(col("_c")).as("n_docs"))
+    val minc = counts.agg(min(col("n_docs")).as("_minn"))
+    val rates = counts.crossJoin(broadcast(minc))
+      .select(col(groupCol), col("n_docs"),
+        // double-first division: long/long would truncate; the double
+        // quotient, sqrt, and ×100 are all IEEE-exact cross-engine
+        floor(lit(100.0) * sqrt(col("_minn").cast("double") /
+          col("n_docs").cast("double"))).cast("long").as("rate_pct"))
+    hist.join(broadcast(rates), groupCol)
+      .groupBy(col(groupCol), col("n_docs"), col("rate_pct"))
+      .agg(sum(when(col("_h") < col("rate_pct"), col("_c")).otherwise(0L))
+        .as("n_kept"))
+  }
+
   /** Deterministic global corpus shuffle — the reshard-before-packing
     * step that decorrelates training order from ingest order: every
     * document gets a shard (`fingerprint(salt:id) mod nShards`) and a

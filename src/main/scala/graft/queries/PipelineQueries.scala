@@ -266,6 +266,14 @@ object PipelineQueries {
         passthrough = Seq("lang", "source"))
       .orderBy(col("logw").desc, col("doc_id"))
 
+  /** α=0.5 temperature rebalancing across languages
+    * ([[TextMetrics.temperatureMixReport]]): per-language keep rates
+    * ∝ sqrt(n_min/n_l), deterministic hash-gate selection, one-scan
+    * histogram rollup. */
+  def q101TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.temperatureMixReport(docs(spark, dir), "doc_id", "lang")
+      .orderBy(col("lang"))
+
   /** Embedding health check: per-vector dim + exact quantized norm. */
   def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
@@ -959,6 +967,7 @@ object PipelineQueries {
     "q98_data_contract" -> q98DataContract,
     "q99_norm_outliers" -> q99NormOutliers,
     "q100_dsir" -> q100Dsir,
+    "q101_temperature_mix" -> q101TemperatureMix,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2375,6 +2384,23 @@ object PipelineQueries {
         |  GROUP BY doc_id, lang, source)
         |SELECT doc_id, lang, source, n_grams, logw
         |FROM w ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin,
+    // Mirrors TextMetrics.temperatureMixReport: rate = floor(100·
+    // sqrt(n_min/n_l)) (sqrt is IEEE-exact cross-engine; pow is not),
+    // keep gate = the md5-15-hex (salt, id) bucket device, salt "tmix".
+    "q101_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs
+        |  FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_docs)::BIGINT AS minn FROM c),
+        |r AS (SELECT lang, n_docs,
+        |    floor(100.0 * sqrt(minn::DOUBLE / n_docs::DOUBLE))::BIGINT
+        |      AS rate_pct
+        |  FROM c CROSS JOIN m)
+        |SELECT lang, n_docs, rate_pct,
+        |  sum(CASE WHEN ('0x' || substr(md5('tmix:' || d.doc_id::VARCHAR),
+        |        1, 15))::BIGINT % 100 < rate_pct
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM documents d JOIN r USING (lang)
+        |GROUP BY lang, n_docs, rate_pct ORDER BY lang""".stripMargin,
     // Mirrors curriculumOrder: the q26/q81 quality CASE as the tier, the
     // q62 md5-fingerprint device for shard + in-(tier,shard) rank.
     "q97_curriculum" ->
