@@ -239,6 +239,38 @@ object Similarity {
       .withColumn("norm_dev_q", col("norm_sq_q") - lit(unitSq))
   }
 
+  /** Matryoshka truncation-energy report — the dimension-reduction
+    * health check run before adopting truncated embeddings (MRL-style
+    * retrieval serves the first d/2 or d/4 coordinates to cut index
+    * cost; this measures what that truncation keeps). For a vector v
+    * and its length-p prefix v̂ (zero-padded), cos(v, v̂) = ‖v̂‖/‖v‖,
+    * so the retained energy needs no pairwise work — it is a per-row
+    * ratio of the prefix and full quantized norms.
+    *
+    * Exactness: both norms are exact int64 sums over the quantized
+    * coordinates (the q44 device); the single division and `sqrt` are
+    * IEEE-correctly-rounded on identical operands in any engine, and
+    * rounding happens once in the decimal domain. Pure per-row column
+    * expressions — no shuffle, scan-speed at any corpus size. */
+  def truncationEnergy(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    def prefixNorm(frac: Int): Column = {
+      val prefix = slice(col(vecCol), lit(1),
+        floor(size(col(vecCol)) / frac).cast("int"))
+      dotExact(quantize(prefix), quantize(prefix))
+    }
+    def energy(prefixSq: Column, fullSq: Column): Column =
+      when(fullSq === 0L, lit(null).cast("double"))
+        .otherwise(round(sqrt(prefixSq.cast("double") / fullSq.cast("double"))
+          .cast("decimal(28,10)"), 6).cast("double"))
+    val withNorms = embs.select(col(idCol),
+      size(col(vecCol)).cast("long").as("dim"),
+      dotExact(quantize(col(vecCol)), quantize(col(vecCol))).as("norm_sq_q"),
+      prefixNorm(2).as("_h"), prefixNorm(4).as("_q"))
+    withNorms.select(col(idCol), col("dim"), col("norm_sq_q"),
+      energy(col("_h"), col("norm_sq_q")).as("energy_half"),
+      energy(col("_q"), col("norm_sq_q")).as("energy_quarter"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one —
     * the index-health metric every deployed ANN system monitors (probe
     * counts, nBits, and nprobe are tuned against exactly this number).

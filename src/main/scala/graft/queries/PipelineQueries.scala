@@ -274,6 +274,13 @@ object PipelineQueries {
     TextMetrics.temperatureMixReport(docs(spark, dir), "doc_id", "lang")
       .orderBy(col("lang"))
 
+  /** Matryoshka truncation-energy report
+    * ([[Similarity.truncationEnergy]]): per-vector retained energy at
+    * half and quarter dimension — exact quantized norms, one sqrt. */
+  def q102TruncationEnergy(spark: SparkSession, dir: String): DataFrame =
+    Similarity.truncationEnergy(emb(spark, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
   /** Embedding health check: per-vector dim + exact quantized norm. */
   def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
@@ -968,6 +975,7 @@ object PipelineQueries {
     "q99_norm_outliers" -> q99NormOutliers,
     "q100_dsir" -> q100Dsir,
     "q101_temperature_mix" -> q101TemperatureMix,
+    "q102_truncation_energy" -> q102TruncationEnergy,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2401,6 +2409,31 @@ object PipelineQueries {
         |      THEN 1 ELSE 0 END)::BIGINT AS n_kept
         |FROM documents d JOIN r USING (lang)
         |GROUP BY lang, n_docs, rate_pct ORDER BY lang""".stripMargin,
+    // Mirrors Similarity.truncationEnergy: the q44/q99 quantized-norm
+    // device on the full vector and its half/quarter prefixes;
+    // cos(v, prefix) = sqrt(prefix_norm_sq / norm_sq) — one IEEE-exact
+    // division + sqrt, rounded once in the decimal domain.
+    "q102_truncation_energy" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT)
+        |      AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, len(qv)::BIGINT AS dim,
+        |    (SELECT coalesce(sum(x * x), 0)::BIGINT
+        |       FROM unnest(qv) AS u(x)) AS norm_sq_q,
+        |    (SELECT coalesce(sum(x * x), 0)::BIGINT
+        |       FROM unnest(qv[1:(len(qv) // 2)]) AS u(x)) AS h,
+        |    (SELECT coalesce(sum(x * x), 0)::BIGINT
+        |       FROM unnest(qv[1:(len(qv) // 4)]) AS u(x)) AS q
+        |  FROM v)
+        |SELECT vec_id, dim, norm_sq_q,
+        |  CASE WHEN norm_sq_q = 0 THEN NULL
+        |    ELSE round(sqrt(h / norm_sq_q)::DECIMAL(28,10), 6)::DOUBLE
+        |  END AS energy_half,
+        |  CASE WHEN norm_sq_q = 0 THEN NULL
+        |    ELSE round(sqrt(q / norm_sq_q)::DECIMAL(28,10), 6)::DOUBLE
+        |  END AS energy_quarter
+        |FROM n ORDER BY vec_id""".stripMargin,
     // Mirrors curriculumOrder: the q26/q81 quality CASE as the tier, the
     // q62 md5-fingerprint device for shard + in-(tier,shard) rank.
     "q97_curriculum" ->
