@@ -57,6 +57,43 @@ object TextMetrics {
   def withQuality(docs: DataFrame, textCol: String): DataFrame =
     qualityColumns(textCol).foldLeft(docs) { case (d, (n, c)) => d.withColumn(n, c) }
 
+  /** Wide per-document quality-signal extraction (RedPajama-V2-style:
+    * ship the raw signals as a table and let each downstream filter pick
+    * thresholds, instead of baking one quality bit at ingest). All
+    * signals are per-row column expressions over one scan — no
+    * shuffle, no lambda-HOF builders in the hot path (array_distinct
+    * and the regexp family are codegen'd) — so the pass stays
+    * scan-speed at any corpus size and applies unchanged to a
+    * readStream frame. Ratios round once in the decimal domain. */
+  def signalColumns(textCol: String): Seq[(String, Column)] = {
+    val t = TextFunctions.tokenize(col(textCol))
+    val nChars = length(col(textCol))
+    val nTok = size(t)
+    val nLines = size(split(col(textCol), "\n"))
+    def charFrac(keepClassInverse: String): Column =
+      when(nChars > 0,
+        dec6(length(regexp_replace(col(textCol), keepClassInverse, ""))
+          .cast("double") / nChars.cast("double"))).otherwise(lit(0.0))
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_lines" -> nLines.cast("long"),
+      "n_sents" -> regexp_count(col(textCol), lit("[.!?]")).cast("long"),
+      "n_tokens" -> nTok.cast("long"),
+      "n_types" -> size(array_distinct(t)).cast("long"),
+      "ttr" -> when(nTok > 0, dec6(size(array_distinct(t)).cast("double") /
+        nTok.cast("double"))).otherwise(lit(0.0)),
+      "frac_alpha" -> charFrac("[^A-Za-z]"),
+      "frac_digit" -> charFrac("[^0-9]"),
+      "frac_upper" -> charFrac("[^A-Z]"),
+      "tokens_per_line" -> when(nLines > 0, dec6(nTok.cast("double") /
+        nLines.cast("double"))).otherwise(lit(0.0)))
+  }
+
+  /** The signal table: `idCol` plus every [[signalColumns]] signal. */
+  def qualitySignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol) +:
+      signalColumns(textCol).map { case (n, c) => c.as(n) }: _*)
+
   /** Deterministic language ID via stopword-profile hit ratios. The
     * reference's cybozu langdetect is seed-nondeterministic (SURVEY.md M1)
     * — replaced by an order-fixed argmax over per-language stopword

@@ -281,6 +281,13 @@ object PipelineQueries {
     Similarity.truncationEnergy(emb(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
 
+  /** Wide per-document quality-signal table
+    * ([[TextMetrics.qualitySignals]]): ten raw signals in one
+    * scan-speed pass, thresholds left to downstream consumers. */
+  def q103QualitySignals(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.qualitySignals(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Embedding health check: per-vector dim + exact quantized norm. */
   def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
@@ -976,6 +983,7 @@ object PipelineQueries {
     "q100_dsir" -> q100Dsir,
     "q101_temperature_mix" -> q101TemperatureMix,
     "q102_truncation_energy" -> q102TruncationEnergy,
+    "q103_quality_signals" -> q103QualitySignals,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2434,6 +2442,39 @@ object PipelineQueries {
         |    ELSE round(sqrt(q / norm_sq_q)::DECIMAL(28,10), 6)::DOUBLE
         |  END AS energy_quarter
         |FROM n ORDER BY vec_id""".stripMargin,
+    // Mirrors TextMetrics.qualitySignals: per-row regexp/array devices
+    // shared with q26/q51's oracles, ratios rounded once as DECIMAL.
+    "q103_quality_signals" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    regexp_split_to_array(lower(text), '\s+') AS t,
+        |    length(text) AS n_chars,
+        |    len(regexp_split_to_array(text, '\n')) AS n_lines
+        |  FROM documents)
+        |SELECT doc_id,
+        |  n_chars::BIGINT AS n_chars,
+        |  n_lines::BIGINT AS n_lines,
+        |  len(regexp_extract_all(text, '[.!?]'))::BIGINT AS n_sents,
+        |  len(t)::BIGINT AS n_tokens,
+        |  len(list_distinct(t))::BIGINT AS n_types,
+        |  round((CASE WHEN len(t) > 0 THEN
+        |      len(list_distinct(t))::DOUBLE / len(t)::DOUBLE
+        |    ELSE 0.0 END)::DECIMAL(28,10), 6)::DOUBLE AS ttr,
+        |  round((CASE WHEN n_chars > 0 THEN
+        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |        / n_chars::DOUBLE
+        |    ELSE 0.0 END)::DECIMAL(28,10), 6)::DOUBLE AS frac_alpha,
+        |  round((CASE WHEN n_chars > 0 THEN
+        |      length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+        |        / n_chars::DOUBLE
+        |    ELSE 0.0 END)::DECIMAL(28,10), 6)::DOUBLE AS frac_digit,
+        |  round((CASE WHEN n_chars > 0 THEN
+        |      length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+        |        / n_chars::DOUBLE
+        |    ELSE 0.0 END)::DECIMAL(28,10), 6)::DOUBLE AS frac_upper,
+        |  round((CASE WHEN n_lines > 0 THEN
+        |      len(t)::DOUBLE / n_lines::DOUBLE
+        |    ELSE 0.0 END)::DECIMAL(28,10), 6)::DOUBLE AS tokens_per_line
+        |FROM base ORDER BY doc_id""".stripMargin,
     // Mirrors curriculumOrder: the q26/q81 quality CASE as the tier, the
     // q62 md5-fingerprint device for shard + in-(tier,shard) rank.
     "q97_curriculum" ->
