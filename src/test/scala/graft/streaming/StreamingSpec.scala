@@ -241,6 +241,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 3)
   }
 
+  test("quality signals annotate a stream and match the batch table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // qualitySignals is pure per-row column expressions, so the same
+    // call must compose into an append-mode streaming plan unchanged
+    val docs = Seq((1L, "Ab1 cd. ab1\nAb1 x!"), (2L, "AB12cd...."), (3L, ""))
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.pipeline.TextMetrics
+      .qualitySignals(stream.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("signals_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("signals_ckpt").toString)
+      .start()
+    try {
+      stream.addData(docs)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("signals_stream")
+      .collect().map(_.mkString(",")).sorted.toSeq
+    val batch = graft.pipeline.TextMetrics
+      .qualitySignals(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.mkString(",")).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+
   test("trending tokens: streaming windowed counts equal the batch twin") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
