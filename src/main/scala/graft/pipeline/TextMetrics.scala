@@ -94,6 +94,55 @@ object TextMetrics {
     docs.select(col(idCol) +:
       signalColumns(textCol).map { case (n, c) => c.as(n) }: _*)
 
+  /** The Gopher/MassiveText document-filter rule set (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", table A1) — the published
+    * heuristic battery most later corpora (RefinedWeb, FineWeb) start
+    * from. Seven rules, emitted as 0/1 BIGINT flags plus the conjunctive
+    * verdict, so downstream consumers can audit WHICH rule fired (the
+    * same ship-the-signals philosophy as [[qualitySignals]]).
+    *
+    * Thresholds follow the paper: 50 ≤ words ≤ 100 000; mean word
+    * length in [3, 10]; symbol-to-word ratio (# or …) ≤ 0.1; ≤ 90% of
+    * lines may start with a bullet; < 30% may end with an ellipsis;
+    * ≥ 80% of words contain an alphabetic character; ≥ 2 distinct
+    * English stop words appear. The line rules use `(?m)` anchors —
+    * within the regex subset Java and RE2 interpret identically.
+    *
+    * One scan, per-row expressions; every ratio compares IEEE-identical
+    * doubles so the verdict is engine-stable. The word-alpha rule rides
+    * a `filter` HOF (interpreted) — acceptable here because the
+    * predicate is per-token trivial; the rest is codegen'd regexp. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = TextFunctions.tokenize(col(textCol))
+    val nWords = size(t)
+    val nLines = size(split(col(textCol), "\n"))
+    val meanLen = length(regexp_replace(col(textCol), "\\s", ""))
+      .cast("double") / nWords.cast("double")
+    val symbolRatio = regexp_count(col(textCol), lit("#|\\.\\.\\."))
+      .cast("double") / nWords.cast("double")
+    val bulletFrac = regexp_count(col(textCol), lit("(?m)^[-*]"))
+      .cast("double") / nLines.cast("double")
+    val ellipsisFrac = regexp_count(col(textCol), lit("(?m)\\.\\.\\.$"))
+      .cast("double") / nLines.cast("double")
+    val alphaFrac = size(filter(t, x => x.rlike("[a-z]")))
+      .cast("double") / nWords.cast("double")
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => when(array_contains(t, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    val rules = Seq(
+      "r_word_count" -> flag(nWords >= 50 && nWords <= 100000),
+      "r_mean_word_len" -> flag(meanLen >= 3.0 && meanLen <= 10.0),
+      "r_symbol_ratio" -> flag(symbolRatio <= 0.1),
+      "r_bullet_lines" -> flag(bulletFrac <= 0.9),
+      "r_ellipsis_lines" -> flag(ellipsisFrac < 0.3),
+      "r_alpha_words" -> flag(alphaFrac >= 0.8),
+      "r_stopwords" -> flag(stopHits >= 2L))
+    docs.select(col(idCol) +: nWords.cast("long").as("n_words") +:
+      rules.map { case (n, c) => c.as(n) } :+
+      rules.map(_._2).reduce(_ * _).as("pass"): _*)
+  }
+
   /** Deterministic language ID via stopword-profile hit ratios. The
     * reference's cybozu langdetect is seed-nondeterministic (SURVEY.md M1)
     * — replaced by an order-fixed argmax over per-language stopword

@@ -288,6 +288,13 @@ object PipelineQueries {
     TextMetrics.qualitySignals(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Gopher/MassiveText rule battery ([[TextMetrics.gopherRules]]):
+    * the seven published filter rules as auditable 0/1 flags plus the
+    * conjunctive verdict, one scan. */
+  def q104GopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.gopherRules(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Embedding health check: per-vector dim + exact quantized norm. */
   def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
@@ -984,6 +991,7 @@ object PipelineQueries {
     "q101_temperature_mix" -> q101TemperatureMix,
     "q102_truncation_energy" -> q102TruncationEnergy,
     "q103_quality_signals" -> q103QualitySignals,
+    "q104_gopher_rules" -> q104GopherRules,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2475,6 +2483,56 @@ object PipelineQueries {
         |      len(t)::DOUBLE / n_lines::DOUBLE
         |    ELSE 0.0 END)::DECIMAL(28,10), 6)::DOUBLE AS tokens_per_line
         |FROM base ORDER BY doc_id""".stripMargin,
+    // Mirrors TextMetrics.gopherRules: identical regexp/array devices,
+    // every ratio an IEEE-identical double before its threshold compare.
+    "q104_gopher_rules" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    regexp_split_to_array(lower(text), '\s+') AS t,
+        |    len(regexp_split_to_array(text, '\n')) AS n_lines
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(t) AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+        |      / len(t)::DOUBLE AS mean_len,
+        |    len(regexp_extract_all(text, '#|\.\.\.'))::DOUBLE
+        |      / len(t)::DOUBLE AS symbol_ratio,
+        |    len(regexp_extract_all(text, '(?m)^[-*]'))::DOUBLE
+        |      / n_lines::DOUBLE AS bullet_frac,
+        |    len(regexp_extract_all(text, '(?m)\.\.\.$'))::DOUBLE
+        |      / n_lines::DOUBLE AS ellipsis_frac,
+        |    len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+        |      / len(t)::DOUBLE AS alpha_frac,
+        |    (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'with') THEN 1 ELSE 0 END)
+        |      AS stop_hits
+        |  FROM base),
+        |f AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words >= 50 AND n_words <= 100000
+        |      THEN 1 ELSE 0 END AS r_word_count,
+        |    CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+        |      THEN 1 ELSE 0 END AS r_mean_word_len,
+        |    CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS r_symbol_ratio,
+        |    CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS r_bullet_lines,
+        |    CASE WHEN ellipsis_frac < 0.3 THEN 1 ELSE 0 END AS r_ellipsis_lines,
+        |    CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS r_alpha_words,
+        |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stopwords
+        |  FROM m)
+        |SELECT doc_id, n_words::BIGINT AS n_words,
+        |  r_word_count::BIGINT AS r_word_count,
+        |  r_mean_word_len::BIGINT AS r_mean_word_len,
+        |  r_symbol_ratio::BIGINT AS r_symbol_ratio,
+        |  r_bullet_lines::BIGINT AS r_bullet_lines,
+        |  r_ellipsis_lines::BIGINT AS r_ellipsis_lines,
+        |  r_alpha_words::BIGINT AS r_alpha_words,
+        |  r_stopwords::BIGINT AS r_stopwords,
+        |  (r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
+        |   * r_ellipsis_lines * r_alpha_words * r_stopwords)::BIGINT AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
     // Mirrors curriculumOrder: the q26/q81 quality CASE as the tier, the
     // q62 md5-fingerprint device for shard + in-(tier,shard) rank.
     "q97_curriculum" ->
