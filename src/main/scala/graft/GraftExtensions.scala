@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.types.Decimal
 
-import graft.functions.{DotLongs, QuantizeVec, SqDistLongs, StemTokens}
+import graft.functions.{DotLongs, MaxAbsLongs, QuantizeVec, Sq8SqErrLongs, SqDistLongs, StemTokens}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * apply with `.withExtensions(new GraftExtensions)` (as
@@ -50,6 +50,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"dot_longs expects exactly 2 arguments, got ${children.length}")
         DotLongs(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("maxabs_longs"),
+      new ExpressionInfo(classOf[MaxAbsLongs].getName, "maxabs_longs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"maxabs_longs expects exactly 1 argument, got ${children.length}")
+        MaxAbsLongs(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sq8_sqerr_longs"),
+      new ExpressionInfo(classOf[Sq8SqErrLongs].getName, "sq8_sqerr_longs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"sq8_sqerr_longs expects exactly 1 argument, got ${children.length}")
+        Sq8SqErrLongs(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("sqdist_longs"),

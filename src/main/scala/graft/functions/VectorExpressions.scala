@@ -58,6 +58,52 @@ object VectorKernels {
     java.lang.Long.valueOf(acc)
   }
 
+  /** max |aᵢ| over a long array; null on null element, 0 when empty. */
+  def maxAbsLongs(a: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = math.abs(a.getLong(i))
+      if (v > acc) acc = v
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** Symmetric int8 (127-level) scalar-quantization reconstruction
+    * error, entirely in integer arithmetic: with s = max|aᵢ|, each
+    * magnitude m quantizes to code m·127/s (truncating division — both
+    * operands non-negative, so trunc ≡ floor in any engine) and
+    * reconstructs as code·s/127; returns Σ (m − reconstructed)². An
+    * all-zero vector returns 0; null on null element. Magnitudes must
+    * stay below ~2⁵⁶/127 for the intermediate product — the 1e6-scaled
+    * unit-norm embeddings are 10 orders of magnitude under that. */
+  def sq8SqErrLongs(a: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    var i = 0
+    var s = 0L
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = math.abs(a.getLong(i))
+      if (v > s) s = v
+      i += 1
+    }
+    if (s == 0L) return java.lang.Long.valueOf(0L)
+    var acc = 0L
+    i = 0
+    while (i < n) {
+      val m = math.abs(a.getLong(i))
+      val code = m * 127L / s
+      val rec = code * s / 127L
+      val d = m - rec
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** Σ (aᵢ−bᵢ)² over long arrays; null semantics as [[dotLongs]]. */
   def sqdistLongs(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
@@ -136,6 +182,55 @@ abstract class LongVectorFold extends BinaryExpression {
       |if (${ev.value}_r == null) { ${ev.isNull} = true; }
       |else { ${ev.value} = ${ev.value}_r.longValue(); }
       |""".stripMargin)
+}
+
+abstract class LongVectorUnaryFold extends UnaryExpression {
+  /** Kernel invoked by both eval paths; may return null. */
+  def kernel(a: ArrayData): java.lang.Long
+  def kernelName: String
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  // null even for a non-null child: a null element
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    kernel(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |java.lang.Long ${ev.value}_r =
+      |  graft.functions.VectorKernels$$.MODULE$$.$kernelName($a);
+      |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ${ev.value}_r.longValue(); }
+      |""".stripMargin)
+}
+
+/** `maxabs_longs(a)`: max absolute element of an int64 array. */
+case class MaxAbsLongs(child: Expression) extends LongVectorUnaryFold {
+  override def kernel(a: ArrayData): java.lang.Long =
+    VectorKernels.maxAbsLongs(a)
+  override def kernelName: String = "maxAbsLongs"
+  override protected def withNewChildInternal(newChild: Expression): MaxAbsLongs =
+    copy(child = newChild)
+  override def prettyName: String = "maxabs_longs"
+}
+
+/** `sq8_sqerr_longs(a)`: exact int64 squared reconstruction error of
+  * symmetric 127-level scalar quantization at the vector's own max-abs
+  * scale. */
+case class Sq8SqErrLongs(child: Expression) extends LongVectorUnaryFold {
+  override def kernel(a: ArrayData): java.lang.Long =
+    VectorKernels.sq8SqErrLongs(a)
+  override def kernelName: String = "sq8SqErrLongs"
+  override protected def withNewChildInternal(newChild: Expression): Sq8SqErrLongs =
+    copy(child = newChild)
+  override def prettyName: String = "sq8_sqerr_longs"
 }
 
 /** `dot_longs(a, b)`: exact int64 dot product. */

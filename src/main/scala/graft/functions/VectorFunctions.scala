@@ -43,6 +43,17 @@ object VectorFunctions {
   def sqDistExactHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (s, v) => s + v)
 
+  /** Max absolute element of a quantized vector — native
+    * [[MaxAbsLongs]] expression (the SQ8 per-vector scale). */
+  def maxAbsExact(a: Column): Column =
+    call_function("maxabs_longs", a)
+
+  /** Exact int64 squared reconstruction error of symmetric 127-level
+    * scalar quantization at the vector's own max-abs scale — native
+    * [[Sq8SqErrLongs]] expression. */
+  def sq8SqErrExact(a: Column): Column =
+    call_function("sq8_sqerr_longs", a)
+
   /** Lexicographic (d, id) argmin key packed into ONE long:
     * `d * 2^idBits + id` orders exactly like `struct(d, id)` while
     * 0 ≤ id < 2^idBits and d < 2^(63-idBits). A struct-valued `min`

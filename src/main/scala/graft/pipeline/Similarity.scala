@@ -271,6 +271,29 @@ object Similarity {
       energy(col("_q"), col("norm_sq_q")).as("energy_quarter"))
   }
 
+  /** Int8 scalar-quantization (SQ8) error report — the compression
+    * study run before serving an ANN index at a quarter of the float32
+    * footprint (FAISS-style per-vector max-abs scaling to 127 levels).
+    * All arithmetic stays in the exact integer domain: the quantized
+    * coordinates, the max-abs scale, the truncating-division
+    * encode/decode, and the squared-error sum are int64 end to end —
+    * no float rounding anywhere, so the report is engine-exact. The
+    * informational RMSE (quantized units) pays one IEEE-exact
+    * division + sqrt per row. Native single-pass kernels
+    * ([[graft.functions.MaxAbsLongs]], [[graft.functions.Sq8SqErrLongs]])
+    * keep the scan inside whole-stage codegen; per-row expressions,
+    * no shuffle at any corpus size. */
+  def sq8Report(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val qv = quantize(col(vecCol))
+    embs.select(col(idCol),
+      size(col(vecCol)).cast("long").as("dim"),
+      maxAbsExact(qv).as("scale_q"),
+      sq8SqErrExact(qv).as("sq_err_q"))
+      .withColumn("rmse_q",
+        round(sqrt(col("sq_err_q").cast("double") / col("dim").cast("double"))
+          .cast("decimal(28,10)"), 6).cast("double"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one —
     * the index-health metric every deployed ANN system monitors (probe
     * counts, nBits, and nprobe are tuned against exactly this number).

@@ -295,6 +295,12 @@ object PipelineQueries {
     TextMetrics.gopherRules(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** SQ8 compression-error report ([[Similarity.sq8Report]]): exact
+    * integer-domain int8 quantization error per vector. */
+  def q105Sq8Error(spark: SparkSession, dir: String): DataFrame =
+    Similarity.sq8Report(emb(spark, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
   /** Embedding health check: per-vector dim + exact quantized norm. */
   def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
@@ -992,6 +998,7 @@ object PipelineQueries {
     "q102_truncation_energy" -> q102TruncationEnergy,
     "q103_quality_signals" -> q103QualitySignals,
     "q104_gopher_rules" -> q104GopherRules,
+    "q105_sq8_error" -> q105Sq8Error,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2533,6 +2540,29 @@ object PipelineQueries {
         |  (r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
         |   * r_ellipsis_lines * r_alpha_words * r_stopwords)::BIGINT AS pass
         |FROM f ORDER BY doc_id""".stripMargin,
+    // Mirrors Similarity.sq8Report: the q44 quantize device, then pure
+    // integer encode/decode (a*127//s, //127 — truncating division on
+    // non-negative operands, identical in both engines) and an integer
+    // squared-error sum; RMSE is one IEEE-exact division + sqrt.
+    "q105_sq8_error" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT)
+        |      AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, abs(x)::BIGINT AS a
+        |  FROM (SELECT vec_id, unnest(qv) AS x FROM v)),
+        |s AS (SELECT vec_id, max(a)::BIGINT AS scale_q, count(*)::BIGINT AS dim
+        |  FROM e GROUP BY vec_id),
+        |err AS (SELECT e.vec_id,
+        |    sum(CASE WHEN scale_q = 0 THEN 0 ELSE
+        |      (a - ((a * 127 // scale_q) * scale_q // 127))
+        |        * (a - ((a * 127 // scale_q) * scale_q // 127)) END)::BIGINT
+        |      AS sq_err_q
+        |  FROM e JOIN s USING (vec_id) GROUP BY e.vec_id)
+        |SELECT vec_id, dim, scale_q, sq_err_q,
+        |  round(sqrt(sq_err_q::DOUBLE / dim::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+        |    AS rmse_q
+        |FROM s JOIN err USING (vec_id) ORDER BY vec_id""".stripMargin,
     // Mirrors curriculumOrder: the q26/q81 quality CASE as the tier, the
     // q62 md5-fingerprint device for shard + in-(tier,shard) rank.
     "q97_curriculum" ->

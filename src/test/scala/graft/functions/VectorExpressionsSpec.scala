@@ -90,6 +90,35 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(viaStruct == viaPacked)
   }
 
+  test("maxabs and sq8 error: closed forms, null element, SQL availability") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // [3, -4]: s=4; m=3 → code 3*127/4=95, rec 95*4/127=2, err 1;
+    // m=4 → code 127, rec 4, err 0 → total 1
+    assert(VectorKernels.maxAbsLongs(
+      new GenericArrayData(Array[Any](3L, -4L))) == 4L)
+    assert(VectorKernels.sq8SqErrLongs(
+      new GenericArrayData(Array[Any](3L, -4L))) == 1L)
+    // all-zero vector: scale 0 → zero error, no division
+    assert(VectorKernels.sq8SqErrLongs(
+      new GenericArrayData(Array[Any](0L, 0L))) == 0L)
+    // the scale element itself always reconstructs exactly
+    assert(VectorKernels.sq8SqErrLongs(
+      new GenericArrayData(Array[Any](1000000L))) == 0L)
+    assert(VectorKernels.maxAbsLongs(
+      new GenericArrayData(Array[Any](1L, null))) == null)
+    assert(VectorKernels.sq8SqErrLongs(
+      new GenericArrayData(Array[Any](1L, null))) == null)
+    // through the registered SQL functions (exercises codegen path)
+    Seq((Seq(3L, -4L), Seq[java.lang.Long](1L, null)))
+      .toDF("a", "n").createOrReplaceTempView("sq8_in")
+    val r = spark.sql(
+      """SELECT maxabs_longs(a) AS m, sq8_sqerr_longs(a) AS e,
+        |       maxabs_longs(n) AS mn, sq8_sqerr_longs(n) AS en
+        |FROM sq8_in""".stripMargin).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L)
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("interpreted eval matches the kernel used by codegen") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val a = new GenericArrayData(Array[Any](2L, -3L, 7L))
