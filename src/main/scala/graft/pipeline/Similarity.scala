@@ -294,6 +294,30 @@ object Similarity {
           .cast("decimal(28,10)"), 6).cast("double"))
   }
 
+  /** Per-dimension embedding statistics — the anisotropy / dead-dimension
+    * diagnostic run before trusting an embedding space (a dimension that
+    * is constant, near-zero, or wildly off-scale distorts every cosine
+    * downstream; PCA/whitening decisions start from exactly this table).
+    *
+    * Shape: one scan posexplodes vectors to (dim, q) pairs that collapse
+    * immediately into a |dim|-keyed aggregate — map-side partials reduce
+    * each partition to |dim| rows, so the exchange moves |dim|·partitions
+    * rows regardless of corpus size. All aggregates are exact integers in
+    * the quantized domain; the mean divides two exact int64s (< 2⁵³) in
+    * one IEEE-exact op. */
+  def dimensionStats(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embs.select(posexplode(quantize(col(vecCol))).as(Seq("_p", "_q")))
+      .groupBy((col("_p") + 1).cast("long").as("dim_idx"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_q")).as("sum_q"),
+        min(col("_q")).as("min_q"),
+        max(col("_q")).as("max_q"),
+        sum(when(col("_q") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim_idx"), col("n"), col("sum_q"),
+        round((col("sum_q").cast("double") / col("n").cast("double"))
+          .cast("decimal(28,10)"), 6).cast("double").as("mean_q"),
+        col("min_q"), col("max_q"), col("n_zero"))
+
   /** Recall@k of an approximate top-k result against the exact one —
     * the index-health metric every deployed ANN system monitors (probe
     * counts, nBits, and nprobe are tuned against exactly this number).

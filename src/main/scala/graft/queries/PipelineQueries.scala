@@ -301,6 +301,13 @@ object PipelineQueries {
     Similarity.sq8Report(emb(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
 
+  /** Per-dimension embedding statistics
+    * ([[Similarity.dimensionStats]]): dead-dimension / anisotropy
+    * diagnostic, |dim|-keyed exact-integer aggregate. */
+  def q106DimStats(spark: SparkSession, dir: String): DataFrame =
+    Similarity.dimensionStats(emb(spark, dir), "vec_id", "embedding")
+      .orderBy(col("dim_idx"))
+
   /** Embedding health check: per-vector dim + exact quantized norm. */
   def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
@@ -999,6 +1006,7 @@ object PipelineQueries {
     "q103_quality_signals" -> q103QualitySignals,
     "q104_gopher_rules" -> q104GopherRules,
     "q105_sq8_error" -> q105Sq8Error,
+    "q106_dim_stats" -> q106DimStats,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2563,6 +2571,24 @@ object PipelineQueries {
         |  round(sqrt(sq_err_q::DOUBLE / dim::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
         |    AS rmse_q
         |FROM s JOIN err USING (vec_id) ORDER BY vec_id""".stripMargin,
+    // Mirrors Similarity.dimensionStats: the q44 quantize device
+    // exploded with its 1-based position, |dim|-keyed integer rollup.
+    "q106_dim_stats" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT)
+        |      AS qv
+        |  FROM embeddings),
+        |e AS (SELECT i::BIGINT AS dim_idx, qv[i] AS q
+        |  FROM (SELECT qv, unnest(range(1, len(qv) + 1)) AS i FROM v))
+        |SELECT dim_idx,
+        |  count(*)::BIGINT AS n,
+        |  sum(q)::BIGINT AS sum_q,
+        |  round((sum(q)::DOUBLE / count(*)::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+        |    AS mean_q,
+        |  min(q)::BIGINT AS min_q,
+        |  max(q)::BIGINT AS max_q,
+        |  sum(CASE WHEN q = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+        |FROM e GROUP BY dim_idx ORDER BY dim_idx""".stripMargin,
     // Mirrors curriculumOrder: the q26/q81 quality CASE as the tier, the
     // q62 md5-fingerprint device for shard + in-(tier,shard) rank.
     "q97_curriculum" ->
