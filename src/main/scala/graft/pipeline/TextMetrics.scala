@@ -143,6 +143,60 @@ object TextMetrics {
       rules.map(_._2).reduce(_ * _).as("pass"): _*)
   }
 
+  /** Pairwise Jensen-Shannon divergence between per-group unigram token
+    * distributions — the corpus-diversity diagnostic behind mixture
+    * design (two sources with near-zero JSD are vocabulary mirrors;
+    * upweighting both buys no diversity — the same read that drives
+    * q78's near-dup overlap report, but at the distribution level).
+    *
+    * Only SHARED tokens need the join: a token present in one group
+    * only has m = p/2, so its KL term is p·ln 2 — linear in p — and the
+    * whole one-sided remainder collapses to
+    * `½·ln2·((N₁−S₁)/N₁ + (N₂−S₂)/N₂)` where S is the shared-token
+    * mass, all exact integers from the same aggregate.
+    *
+    * Exactness: per-token terms are IEEE-identical doubles (integer
+    * ratios, ln) summed as DECIMAL; the ½ factor multiplies INSIDE the
+    * double term before the decimal cast, so no engine-specific decimal
+    * scale rules apply.
+    *
+    * Shape: one corpus scan collapses to the (group, token, count)
+    * relation (vocabulary-sized, materialized once); the token-keyed
+    * self-join emits only co-occurring (token, pair) rows; group totals
+    * broadcast; the final aggregate keys on |groups|² pairs with
+    * map-side partials. */
+  def sourceDivergence(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(groupCol).as("_g"),
+        explode(TextFunctions.tokenize(col(textCol))).as("token"))
+      .groupBy(col("_g"), col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // model + both join sides: scan once
+    val tot = tf.groupBy(col("_g")).agg(sum(col("c")).as("n"))
+    val a = tf.select(col("_g").as("ga"), col("token"), col("c").as("ca"))
+    val b = tf.select(col("_g").as("gb"), col("token"), col("c").as("cb"))
+    val shared = a.join(b, Seq("token")).filter(col("ga") < col("gb"))
+      .join(broadcast(tot.select(col("_g").as("ga"), col("n").as("na"))), "ga")
+      .join(broadcast(tot.select(col("_g").as("gb"), col("n").as("nb"))), "gb")
+    val p = col("ca").cast("double") / col("na").cast("double")
+    val q = col("cb").cast("double") / col("nb").cast("double")
+    val term = (lit(0.5) * (p * log(lit(2.0) * p / (p + q)) +
+      q * log(lit(2.0) * q / (p + q)))).cast("decimal(18,10)")
+    shared
+      .groupBy(col("ga").as("source_a"), col("gb").as("source_b"),
+        col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("ca")).as("_sa"), sum(col("cb")).as("_sb"),
+        sum(term).as("_sum"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("_sum") +
+          (lit(0.5) * log(lit(2.0)) *
+            ((col("na") - col("_sa")).cast("double") / col("na").cast("double") +
+             (col("nb") - col("_sb")).cast("double") / col("nb").cast("double")))
+            .cast("decimal(18,10)"), 6)
+          .cast("double").as("jsd"))
+  }
+
   /** Deterministic language ID via stopword-profile hit ratios. The
     * reference's cybozu langdetect is seed-nondeterministic (SURVEY.md M1)
     * — replaced by an order-fixed argmax over per-language stopword

@@ -308,6 +308,14 @@ object PipelineQueries {
     Similarity.dimensionStats(emb(spark, dir), "vec_id", "embedding")
       .orderBy(col("dim_idx"))
 
+  /** Pairwise source-vocabulary Jensen-Shannon divergence
+    * ([[TextMetrics.sourceDivergence]]): which sources are
+    * distribution-level mirrors — the diversity read behind mixture
+    * weights. */
+  def q107SourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.sourceDivergence(docs(spark, dir), "source", "text")
+      .orderBy(col("source_a"), col("source_b"))
+
   /** Embedding health check: per-vector dim + exact quantized norm. */
   def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
@@ -1007,6 +1015,7 @@ object PipelineQueries {
     "q104_gopher_rules" -> q104GopherRules,
     "q105_sq8_error" -> q105Sq8Error,
     "q106_dim_stats" -> q106DimStats,
+    "q107_source_divergence" -> q107SourceDivergence,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2589,6 +2598,34 @@ object PipelineQueries {
         |  max(q)::BIGINT AS max_q,
         |  sum(CASE WHEN q = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
         |FROM e GROUP BY dim_idx ORDER BY dim_idx""".stripMargin,
+    // Mirrors TextMetrics.sourceDivergence: shared-token self-join only;
+    // one-sided tokens enter through the closed-form ln2 remainder.
+    // Term parenthesization mirrors the Spark expression exactly so the
+    // doubles are bit-identical before their DECIMAL casts.
+    "q107_source_divergence" ->
+      """WITH tf AS (SELECT g, token, count(*)::BIGINT AS c
+        |  FROM (SELECT source AS g,
+        |          unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |        FROM documents)
+        |  GROUP BY g, token),
+        |tot AS (SELECT g, sum(c)::BIGINT AS n FROM tf GROUP BY g),
+        |sh AS (SELECT a.g AS source_a, b.g AS source_b,
+        |    ta.n AS na, tb.n AS nb, a.c AS ca, b.c AS cb
+        |  FROM tf a JOIN tf b ON a.token = b.token AND a.g < b.g
+        |  JOIN tot ta ON ta.g = a.g
+        |  JOIN tot tb ON tb.g = b.g),
+        |agg AS (SELECT source_a, source_b, na, nb,
+        |    count(*)::BIGINT AS n_shared,
+        |    sum(ca)::BIGINT AS sa, sum(cb)::BIGINT AS sb,
+        |    sum((0.5 * ((ca / na) * ln(2.0 * (ca / na) / ((ca / na) + (cb / nb)))
+        |       + (cb / nb) * ln(2.0 * (cb / nb) / ((ca / na) + (cb / nb)))))
+        |      ::DECIMAL(18,10)) AS s
+        |  FROM sh GROUP BY source_a, source_b, na, nb)
+        |SELECT source_a, source_b, n_shared,
+        |  round(s + (0.5 * ln(2.0) *
+        |      ((na - sa) / na + (nb - sb) / nb))::DECIMAL(18,10), 6)::DOUBLE
+        |    AS jsd
+        |FROM agg ORDER BY source_a, source_b""".stripMargin,
     // Mirrors curriculumOrder: the q26/q81 quality CASE as the tier, the
     // q62 md5-fingerprint device for shard + in-(tier,shard) rank.
     "q97_curriculum" ->
