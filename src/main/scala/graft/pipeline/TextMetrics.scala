@@ -565,6 +565,40 @@ object TextMetrics {
           .as("chunk_md5"))
   }
 
+  /** Overlapping sliding-window chunking — the retrieval/RAG indexing
+    * twin of [[chunk]]: windows of `window` tokens starting every
+    * `stride` tokens (stride < window ⇒ consecutive chunks share
+    * `window − stride` tokens of context, the standard passage-indexing
+    * shape). Chunk count is the pure integer form
+    * `max(ceil((n − window)/stride), 0) + 1`, so the last window is
+    * emitted even when partial and a short document yields exactly one
+    * chunk. Same scale shape as [[chunk]]: one explode per CHUNK (not
+    * token), slice/join projections fused by codegen, no shuffle. */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "slidingChunks: need 1 <= stride <= window")
+    val t = TextFunctions.tokenize(col(textCol))
+    val n = size(col("_t"))
+    // ceil((n - window)/stride) = floor((n - window + stride - 1)/stride);
+    // Column "/" is double division, so floor() supplies the floor-div
+    // semantics (exact at these magnitudes), then clamp negatives to 0
+    val lastId = greatest(
+      floor((n - window + stride - 1).cast("double") / stride).cast("long"),
+      lit(0L))
+    docs.select(col(idCol), t.as("_t"))
+      .select(col(idCol), col("_t"),
+        explode(when(n >= 1, sequence(lit(0L), lastId))
+          .otherwise(array().cast("array<long>"))).as("_c"))
+      .select(col(idCol),
+        col("_c").as("chunk_id"),
+        (col("_c") * stride + 1).cast("long").as("start_tok"),
+        size(slice(col("_t"), (col("_c") * stride + 1).cast("int"), lit(window)))
+          .cast("long").as("n_tokens"),
+        md5(array_join(slice(col("_t"), (col("_c") * stride + 1).cast("int"),
+          lit(window)), " ")).as("chunk_md5"))
+  }
+
   /** Corpus vocabulary extraction — the tokenizer-training prep step:
     * corpus-wide token frequencies, top K by (count desc, token asc —
     * deterministic ties). One explode → one hash aggregate with map-side

@@ -316,6 +316,14 @@ object PipelineQueries {
     TextMetrics.sourceDivergence(docs(spark, dir), "source", "text")
       .orderBy(col("source_a"), col("source_b"))
 
+  /** Sliding-window passage chunking with overlap
+    * ([[TextMetrics.slidingChunks]]): window 32, stride 24 — the
+    * retrieval-indexing twin of q45's disjoint chunker. */
+  def q108SlidingChunks(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.slidingChunks(docs(spark, dir), "doc_id", "text",
+        window = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Embedding health check: per-vector dim + exact quantized norm. */
   def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
@@ -1016,6 +1024,7 @@ object PipelineQueries {
     "q105_sq8_error" -> q105Sq8Error,
     "q106_dim_stats" -> q106DimStats,
     "q107_source_divergence" -> q107SourceDivergence,
+    "q108_sliding_chunks" -> q108SlidingChunks,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2626,6 +2635,21 @@ object PipelineQueries {
         |      ((na - sa) / na + (nb - sb) / nb))::DECIMAL(18,10), 6)::DOUBLE
         |    AS jsd
         |FROM agg ORDER BY source_a, source_b""".stripMargin,
+    // Mirrors TextMetrics.slidingChunks (window 32, stride 24): the q45
+    // chunk device with ceil((n-32)/24) overlapping starts.
+    "q108_sliding_chunks" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, unnest(CASE WHEN len(t) >= 1
+        |    THEN generate_series(0,
+        |      greatest((len(t) - 32 + 24 - 1) // 24, 0))
+        |    ELSE CAST([] AS BIGINT[]) END) AS cid
+        |  FROM toks)
+        |SELECT doc_id, cid::BIGINT AS chunk_id,
+        |  (cid * 24 + 1)::BIGINT AS start_tok,
+        |  len(t[cid * 24 + 1 : cid * 24 + 32])::BIGINT AS n_tokens,
+        |  md5(array_to_string(t[cid * 24 + 1 : cid * 24 + 32], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // Mirrors curriculumOrder: the q26/q81 quality CASE as the tier, the
     // q62 md5-fingerprint device for shard + in-(tier,shard) rank.
     "q97_curriculum" ->
