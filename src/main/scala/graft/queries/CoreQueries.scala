@@ -164,6 +164,56 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Event-rate anomaly detection — the streaming-analytics alerting
+    * pattern: hourly counts per event type, a trailing 6-window
+    * mean/std baseline (exact integer sums over the frame; the only
+    * doubles are one division chain mirrored verbatim in the oracle),
+    * and the z-score of each window against its own history. Windows
+    * with fewer than 3 baseline predecessors emit a null z (cold
+    * start); a zero-variance baseline also yields null (no alert
+    * basis). Catastrophic-cancellation guard: the variance clamps at 0
+    * before sqrt — both engines compute the identical double, so the
+    * clamp is engine-stable.
+    *
+    * Shape: one scan → (type, hour) counts with map-side partials
+    * (bounded by types × hours, corpus-size-independent), then pure
+    * window math partitioned by type — one exchange on event_type. */
+  def q109RateAnomaly(spark: SparkSession, dir: String): DataFrame =
+    rateAnomalyOf(t(spark, dir, "events"))
+
+  /** [[q109RateAnomaly]] over a caller-supplied events frame (spec path). */
+  def rateAnomalyOf(events: DataFrame): DataFrame = {
+    val hour = window(col("ts"), "1 hour").getField("start")
+    val counts = events
+      .groupBy(col("event_type"), hour.as("_w"))
+      .agg(count(lit(1)).as("n_events"))
+    val frame = Window.partitionBy(col("event_type")).orderBy(col("_w"))
+      .rowsBetween(-6, -1)
+    val nPrev = count(col("n_events")).over(frame)
+    val sumPrev = sum(col("n_events")).over(frame)
+    val sumSqPrev = sum(col("n_events") * col("n_events")).over(frame)
+    val meanD = sumPrev.cast("double") / nPrev.cast("double")
+    val varD = greatest(
+      (sumSqPrev.cast("double") -
+        sumPrev.cast("double") * sumPrev.cast("double") / nPrev.cast("double"))
+        / nPrev.cast("double"),
+      lit(0.0))
+    counts
+      .withColumn("n_prev", nPrev)
+      .withColumn("_mean", meanD)
+      .withColumn("_std", sqrt(varD))
+      .select(tsStr(col("_w")).as("window_start"), col("event_type"),
+        col("n_events"), col("n_prev"),
+        when(col("n_prev") >= 3,
+          round(col("_mean").cast("decimal(28,10)"), 6).cast("double"))
+          .as("baseline_mean"),
+        when(col("n_prev") >= 3 && col("_std") > 0.0,
+          round(((col("n_events").cast("double") - col("_mean")) / col("_std"))
+            .cast("decimal(28,10)"), 6).cast("double"))
+          .as("z"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Gap-based sessionization (30-min inactivity) via lag + running sum —
     * one shuffle on (user_id), then pure window math. */
   def q10Sessionize(spark: SparkSession, dir: String): DataFrame = {
@@ -269,7 +319,8 @@ object CoreQueries {
     "q11_twitter_ts_parse" -> q11TwitterTsParse,
     "q38_session_window_native" -> q38SessionWindowNative,
     "q64_asof_join" -> q64AsofJoin,
-    "q68_funnel" -> q68Funnel)
+    "q68_funnel" -> q68Funnel,
+    "q109_rate_anomaly" -> q109RateAnomaly)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -350,6 +401,33 @@ object CoreQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    // Mirrors q109RateAnomaly: hourly counts, the same trailing-frame
+    // integer sums, and the identical double division chain (BIGINT
+    // operands promote to double exactly as Spark's explicit casts).
+    "q109_rate_anomaly" ->
+      """WITH c AS (SELECT event_type,
+        |    date_trunc('hour', ts::TIMESTAMP) AS w,
+        |    count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, w, n_events,
+        |    count(n_events) OVER f AS n_prev,
+        |    sum(n_events) OVER f AS sp,
+        |    sum(n_events * n_events) OVER f AS ssp
+        |  FROM c
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY w
+        |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  n_events, n_prev::BIGINT AS n_prev,
+        |  CASE WHEN n_prev >= 3 THEN
+        |    round((sp / n_prev)::DECIMAL(28,10), 6)::DOUBLE END
+        |    AS baseline_mean,
+        |  CASE WHEN n_prev >= 3 AND
+        |      sqrt(greatest((ssp - sp::DOUBLE * sp / n_prev) / n_prev, 0.0)) > 0
+        |    THEN round(((n_events - sp / n_prev)
+        |      / sqrt(greatest((ssp - sp::DOUBLE * sp / n_prev) / n_prev, 0.0)))
+        |      ::DECIMAL(28,10), 6)::DOUBLE
+        |  END AS z
+        |FROM s ORDER BY window_start, event_type""".stripMargin,
     "q10_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
