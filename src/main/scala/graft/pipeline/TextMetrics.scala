@@ -622,6 +622,60 @@ object TextMetrics {
     docs.select(col(groupCol),
       size(TextFunctions.tokenize(col(textCol))).cast("long").as("n_tokens"))
 
+  /** Per-group two-sample Kolmogorov-Smirnov drift statistic over the
+    * token-count distribution — each group against the REST of the
+    * corpus: the distribution-drift test run when a new source lands or
+    * an ingest pipeline changes (a source whose length distribution
+    * diverges from the corpus distorts packing and curriculum
+    * decisions; KS is the standard nonparametric detector).
+    *
+    * Exactness: the ECDF difference is kept as the cross-multiplied
+    * INTEGER numerator |cum_g·N_rest − cum_rest·N_g| — the max and its
+    * argmax (smallest value attaining it) are selected in exact integer
+    * arithmetic, so the report is engine-stable; the final statistic
+    * divides two exact int64s once. The cross-product bound limits
+    * exact integer selection to ~3·10⁹ documents per side — beyond
+    * that, pre-aggregate counts into value buckets first.
+    *
+    * Shape: one scan collapses to (group, n_tokens, count) — bounded by
+    * |groups|·|distinct lengths|, corpus-size-independent — and every
+    * later step (grid, cumulative windows, max selection) works on that
+    * compact relation. */
+  def ksDrift(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val counts = tokenCounts(docs, groupCol, textCol)
+      .groupBy(col(groupCol), col("n_tokens")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // totals, value totals, and the grid probe
+    val totals = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n_g"))
+    val values = counts.select(col("n_tokens")).distinct()
+    val valTotals = counts.groupBy(col("n_tokens")).agg(sum(col("c")).as("c_all"))
+    val grand = totals.agg(sum(col("n_g")).as("n_tot"))
+    val wg = Window.partitionBy(col(groupCol)).orderBy(col("n_tokens"))
+    val grid = totals.crossJoin(values)
+      .join(counts, Seq(groupCol, "n_tokens"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(valTotals), Seq("n_tokens"))
+      .crossJoin(broadcast(grand))
+      .withColumn("_cum_g", sum(col("c")).over(wg))
+      .withColumn("_cum_all", sum(col("c_all")).over(wg))
+      .withColumn("d_num", abs(
+        col("_cum_g") * (col("n_tot") - col("n_g")) -
+          (col("_cum_all") - col("_cum_g")) * col("n_g")))
+    val maxd = grid.groupBy(col(groupCol).as("_g2"))
+      .agg(max(col("d_num")).as("d_max"))
+    grid.join(maxd,
+        grid(groupCol) === col("_g2") && col("d_num") === col("d_max"))
+      .groupBy(col(groupCol), col("n_g"), col("n_tot"), col("d_max"))
+      .agg(min(col("n_tokens")).as("at_n_tokens"))
+      .select(col(groupCol), col("n_g").as("n_docs"), col("d_max"),
+        col("at_n_tokens"),
+        when(col("n_tot") > col("n_g"),
+          round((col("d_max").cast("double") /
+            (col("n_g").cast("double") *
+              (col("n_tot") - col("n_g")).cast("double")))
+            .cast("decimal(28,10)"), 6).cast("double"))
+          .as("ks_stat"))
+  }
+
   /** Per-group token-length distribution report — the corpus-health
     * check run before choosing chunking/packing budgets: exact discrete
     * percentiles with percentile_disc semantics — the SMALLEST observed

@@ -324,6 +324,13 @@ object PipelineQueries {
         window = 32, stride = 24)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Per-source KS drift of token-count distributions
+    * ([[TextMetrics.ksDrift]]): exact-integer max-ECDF-gap selection,
+    * each source against the rest of the corpus. */
+  def q110KsDrift(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.ksDrift(docs(spark, dir), "source", "text")
+      .orderBy(col("source"))
+
   /** Embedding health check: per-vector dim + exact quantized norm. */
   def q44EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(emb(spark, dir), "vec_id", "embedding")
@@ -1025,6 +1032,7 @@ object PipelineQueries {
     "q106_dim_stats" -> q106DimStats,
     "q107_source_divergence" -> q107SourceDivergence,
     "q108_sliding_chunks" -> q108SlidingChunks,
+    "q110_ks_drift" -> q110KsDrift,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2650,6 +2658,42 @@ object PipelineQueries {
         |  len(t[cid * 24 + 1 : cid * 24 + 32])::BIGINT AS n_tokens,
         |  md5(array_to_string(t[cid * 24 + 1 : cid * 24 + 32], ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // Mirrors TextMetrics.ksDrift: cross-multiplied integer ECDF gaps,
+    // max + smallest-argmax selected in exact integer arithmetic; one
+    // division at the end. Grid rows are unique per (g, value) so the
+    // default RANGE frame equals ROWS on both engines.
+    "q110_ks_drift" ->
+      """WITH tc AS (SELECT source AS g,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT g, n_tokens, count(*)::BIGINT AS c FROM tc GROUP BY 1, 2),
+        |tot AS (SELECT g, sum(c)::BIGINT AS n_g FROM c GROUP BY g),
+        |vals AS (SELECT DISTINCT n_tokens FROM c),
+        |vt AS (SELECT n_tokens, sum(c)::BIGINT AS c_all FROM c GROUP BY 1),
+        |grand AS (SELECT sum(n_g)::BIGINT AS n_tot FROM tot),
+        |grid AS (SELECT t.g, t.n_g, v.n_tokens,
+        |    coalesce(cc.c, 0)::BIGINT AS c, vt.c_all, grand.n_tot
+        |  FROM tot t CROSS JOIN vals v
+        |  LEFT JOIN c cc ON cc.g = t.g AND cc.n_tokens = v.n_tokens
+        |  JOIN vt ON vt.n_tokens = v.n_tokens
+        |  CROSS JOIN grand),
+        |d AS (SELECT g, n_g, n_tot, n_tokens,
+        |    abs(sum(c) OVER w * (n_tot - n_g)
+        |      - (sum(c_all) OVER w - sum(c) OVER w) * n_g)::BIGINT AS d_num
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY g ORDER BY n_tokens
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT g, max(d_num)::BIGINT AS d_max FROM d GROUP BY g),
+        |sel AS (SELECT d.g, d.n_g, d.n_tot, m.d_max,
+        |    min(d.n_tokens)::BIGINT AS at_n_tokens
+        |  FROM d JOIN m ON d.g = m.g AND d.d_num = m.d_max
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT g AS source, n_g AS n_docs, d_max, at_n_tokens,
+        |  CASE WHEN n_tot > n_g THEN
+        |    round((d_max::DOUBLE / (n_g::DOUBLE * (n_tot - n_g)::DOUBLE))
+        |      ::DECIMAL(28,10), 6)::DOUBLE
+        |  END AS ks_stat
+        |FROM sel ORDER BY source""".stripMargin,
     // Mirrors curriculumOrder: the q26/q81 quality CASE as the tier, the
     // q62 md5-fingerprint device for shard + in-(tier,shard) rank.
     "q97_curriculum" ->
