@@ -65,24 +65,40 @@ object Multimodal {
     extractFeatures(asMedia(docs, idCol, textCol).as[MediaRecord]).toDF()
   }
 
-  /** STUB — deterministic fake resize: a real deployment decodes,
-    * rescales and re-encodes; the fake emits a `w*h`-byte payload
-    * deterministically subsampled from the input. Binary→binary transform
-    * with parameters — the real resize plumbing shape. */
-  def resizeStub(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+  /** REAL image resize: ImageIO decode → nearest-neighbor downsample by
+    * `factor` → lossless PNG re-encode, all inside the batched partition
+    * kernel (binary→binary, the production transform shape — payload
+    * bytes never shuffle). The pixel map is the explicit integer form
+    * `src = (dst · srcDim) / dstDim` — no Graphics2D interpolation, so
+    * the output bytes are deterministic and the resized pixels are an
+    * exact closed form of the source pixels (which is what lets q111's
+    * SQL oracle verify the full decode→resize→encode→decode roundtrip
+    * from the generator formula alone). */
+  def resizeImages(media: Dataset[MediaRecord], factor: Int = 2): Dataset[MediaRecord] = {
+    require(factor >= 1, "resizeImages: factor must be >= 1")
     import media.sparkSession.implicits._
-    val n = w * h
     media.mapPartitions { it =>
-      it.map { r =>
-        val out = new Array[Byte](n)
-        if (r.payload.nonEmpty) {
-          var i = 0
-          while (i < n) {
-            out(i) = r.payload((i.toLong * r.payload.length / n).toInt)
-            i += 1
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"undecodable payload for media_id=${m.media_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val wr = math.max(w / factor, 1)
+        val hr = math.max(h / factor, 1)
+        val out = new java.awt.image.BufferedImage(wr, hr,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < hr) {
+          var x = 0
+          while (x < wr) {
+            out.setRGB(x, y, img.getRGB(x * w / wr, y * h / hr))
+            x += 1
           }
+          y += 1
         }
-        r.copy(payload = out)
+        val baos = new java.io.ByteArrayOutputStream(256)
+        javax.imageio.ImageIO.write(out, "png", baos)
+        m.copy(payload = baos.toByteArray)
       }
     }
   }

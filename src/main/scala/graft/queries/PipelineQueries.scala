@@ -966,6 +966,19 @@ object PipelineQueries {
       .withColumnRenamed("media_id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** REAL image resize roundtrip ([[Multimodal.resizeImages]]): the q73
+    * PNGs decode → nearest-neighbor half-size → PNG re-encode → decode
+    * again, reduced to exact integer channel sums of the RESIZED image.
+    * The oracle recomputes the NN-sampled generator pixels directly, so
+    * a resize bug (wrong pixel map, lossy re-encode, interpolation) at
+    * any pixel cannot hash-match. */
+  def q111ImageResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(Multimodal.resizeImages(
+        Multimodal.syntheticPngs(docs(spark, dir), "doc_id"), factor = 2))
+      .toDF()
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** REAL audio decode roundtrip (the q73 device for WAV): closed-form
     * int16 PCM encoded by the JDK WAV writer, decoded by AudioSystem,
     * exact integer sample stats — the oracle recomputes the generator,
@@ -1033,6 +1046,7 @@ object PipelineQueries {
     "q107_source_divergence" -> q107SourceDivergence,
     "q108_sliding_chunks" -> q108SlidingChunks,
     "q110_ks_drift" -> q110KsDrift,
+    "q111_image_resize" -> q111ImageResize,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2050,6 +2064,27 @@ object PipelineQueries {
         |  sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum,
         |  sum(b)::BIGINT AS b_sum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // Mirrors q111ImageResize: the q73 pixel generator sampled at the
+    // nearest-neighbor source coordinates (dst·srcDim)//dstDim of the
+    // half-size image — the whole decode→resize→encode→decode chain must
+    // reproduce these sums exactly (PNG is lossless, NN is exact).
+    "q111_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |rd AS (SELECT doc_id, w, h, w // 2 AS wr, h // 2 AS hr FROM dims),
+        |grid AS (
+        |  SELECT x.gx, y.gy
+        |  FROM generate_series(0, 7) AS x(gx), generate_series(0, 6) AS y(gy)),
+        |px AS (
+        |  SELECT d.doc_id, d.wr, d.hr,
+        |    (g.gx * d.w) // d.wr AS sx, (g.gy * d.h) // d.hr AS sy
+        |  FROM rd d JOIN grid g ON g.gx < d.wr AND g.gy < d.hr)
+        |SELECT doc_id, wr::BIGINT AS width, hr::BIGINT AS height,
+        |  sum((doc_id * 31 + sx * 7 + sy * 13) % 256)::BIGINT AS r_sum,
+        |  sum((doc_id * 17 + sx * 11 + sy * 3) % 256)::BIGINT AS g_sum,
+        |  sum((doc_id * 5 + sx * 23 + sy * 29) % 256)::BIGINT AS b_sum
+        |FROM px GROUP BY doc_id, wr, hr ORDER BY doc_id""".stripMargin,
     // Mirrors decodeAudio over syntheticWavs: the closed-form int16
     // generator recomputed directly — the real AudioSystem decode on the
     // Spark side must reproduce it byte-exactly through the codec.

@@ -118,11 +118,31 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val media = Multimodal.asMedia(docs, "doc_id", "text")
       .as[Multimodal.MediaRecord]
-    val resized = Multimodal.resizeStub(media, 4, 4).collect()
-    assert(resized.forall(_.payload.length == 16))
+    // REAL resize: synthetic PNGs decode → NN-downsample → re-encode;
+    // the resized pixels must equal the generator formula at the
+    // nearest-neighbor source coordinates
+    val pngs = Multimodal.syntheticPngs(docs, "doc_id")
+    val resized = Multimodal.resizeImages(pngs, factor = 2).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    resized.foreach { case (id, bytes) =>
+      val (w, h) = Multimodal.pngDims(id)
+      val (wr, hr) = (w / 2, h / 2)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == wr && img.getHeight == hr)
+      for (x <- 0 until wr; y <- 0 until hr) {
+        val (sx, sy) = (x * w / wr, y * h / hr)
+        val expected = ((((id * 31 + sx * 7 + sy * 13) % 256) << 16) |
+          (((id * 17 + sx * 11 + sy * 3) % 256) << 8) |
+          ((id * 5 + sx * 23 + sy * 29) % 256)).toInt
+        assert((img.getRGB(x, y) & 0xffffff) == expected,
+          s"id=$id pixel ($x,$y)")
+      }
+    }
     // deterministic: resizing twice gives identical bytes
-    val again = Multimodal.resizeStub(media, 4, 4).collect()
-    assert(resized.map(_.payload.toSeq).toSet == again.map(_.payload.toSeq).toSet)
+    val again = Multimodal.resizeImages(pngs, factor = 2).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    assert(resized.view.mapValues(_.toSeq).toMap ==
+      again.view.mapValues(_.toSeq).toMap)
     // 64 bytes / 16-byte frames = 4 frames; every 2nd -> frames 0 and 2
     val frames = Multimodal.sampleFrames(media, everyN = 2).collect()
       .groupBy(_.media_id).view.mapValues(_.map(_.frame_no).sorted.toSeq).toMap
