@@ -336,6 +336,49 @@ object Multimodal {
     }
   }
 
+  /** REAL audio downsample: AudioSystem decode → integer-factor
+    * decimation (keep samples 0, factor, 2·factor, …) → WAV re-encode
+    * at rate/factor, inside the batched partition kernel (the
+    * [[resizeImages]] binary→binary contract for audio). Plain
+    * decimation rather than an interpolating resampler keeps the
+    * output samples an exact closed form of the input — which is what
+    * lets q112's oracle verify the decode→decimate→encode→decode chain
+    * from the generator formula. A production anti-aliased resampler
+    * swaps into the same kernel. */
+  def decimateAudio(media: Dataset[MediaRecord], factor: Int = 2): Dataset[MediaRecord] = {
+    require(factor >= 1, "decimateAudio: factor must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian && fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"unexpected WAV format for media_id=${m.media_id}: $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val nd = (n + factor - 1) / factor
+        val pcm = new Array[Byte](nd * 2)
+        var j = 0
+        while (j < nd) {
+          pcm(2 * j) = bytes(2 * j * factor)
+          pcm(2 * j + 1) = bytes(2 * j * factor + 1)
+          j += 1
+        }
+        val outFmt = new javax.sound.sampled.AudioFormat(
+          fmt.getSampleRate / factor, 16, 1, true, false)
+        val outAis = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), outFmt, nd.toLong)
+        val baos = new java.io.ByteArrayOutputStream(512)
+        javax.sound.sampled.AudioSystem.write(outAis,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        m.copy(payload = baos.toByteArray)
+      }
+    }
+  }
+
   case class DecodedAudio(media_id: Long, n_samples: Long, sample_rate: Long,
     s_min: Long, s_max: Long, s_sum: Long)
 

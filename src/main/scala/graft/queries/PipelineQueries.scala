@@ -989,6 +989,17 @@ object PipelineQueries {
       .withColumnRenamed("media_id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** REAL audio downsample roundtrip ([[Multimodal.decimateAudio]]):
+    * the q94 WAVs decode → 2× decimation → WAV re-encode at 4 kHz →
+    * decode again, reduced to exact integer stats of the decimated
+    * signal; the oracle samples the generator at even indices. */
+  def q112AudioResample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudio(Multimodal.decimateAudio(
+        Multimodal.syntheticWavs(docs(spark, dir), "doc_id"), factor = 2))
+      .toDF()
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** REAL video-frame decode roundtrip (the q73/q94 device for
     * multi-frame media): deterministic animated GIFs encoded and
     * frame-sampled (every 2nd frame) through the JDK's real GIF codec,
@@ -1047,6 +1058,7 @@ object PipelineQueries {
     "q108_sliding_chunks" -> q108SlidingChunks,
     "q110_ks_drift" -> q110KsDrift,
     "q111_image_resize" -> q111ImageResize,
+    "q112_audio_resample" -> q112AudioResample,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2097,6 +2109,18 @@ object PipelineQueries {
         |  min(v)::BIGINT AS s_min, max(v)::BIGINT AS s_max,
         |  sum(v)::BIGINT AS s_sum
         |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // Mirrors q112AudioResample: the q94 generator sampled at even
+    // indices (2× decimation), ceil(n/2) samples at 4 kHz — the real
+    // decode→decimate→encode→decode chain must reproduce it exactly.
+    "q112_audio_resample" ->
+      """WITH dims AS (SELECT doc_id, 64 + doc_id % 65 AS n FROM documents),
+        |s AS (SELECT d.doc_id, (d.n + 1) // 2 AS nd,
+        |    ((d.doc_id * 37 + (i.i * 2) * 101) % 65536) - 32768 AS v
+        |  FROM dims d JOIN generate_series(0, 64) i(i) ON i.i * 2 < d.n)
+        |SELECT doc_id, nd::BIGINT AS n_samples, 4000::BIGINT AS sample_rate,
+        |  min(v)::BIGINT AS s_min, max(v)::BIGINT AS s_max,
+        |  sum(v)::BIGINT AS s_sum
+        |FROM s GROUP BY doc_id, nd ORDER BY doc_id""".stripMargin,
     // Mirrors decodeVideoFrames over syntheticGifs (every 2nd frame):
     // the closed-form gray generator (85·((id+7f+3x+5y) mod 4))
     // recomputed directly — the Spark side must reproduce it through

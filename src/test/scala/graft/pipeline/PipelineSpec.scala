@@ -197,6 +197,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal audio: 2x decimation keeps even-index samples at half rate") {
+    val ids = Seq(0L, 1L, 7L, 42L, 123L)
+    val out = Multimodal.decodeAudio(Multimodal.decimateAudio(
+        Multimodal.syntheticWavs(ids.toDF("doc_id"), "doc_id"), factor = 2))
+      .collect().map(d => d.media_id -> d).toMap
+    for (id <- ids) {
+      val n = Multimodal.wavSamples(id)
+      val vs = (0 until n by 2).map(i => ((id * 37 + i.toLong * 101) % 65536) - 32768)
+      val d = out(id)
+      assert(d.n_samples == ((n + 1) / 2).toLong, s"count for id=$id")
+      assert(d.sample_rate == 4000L, s"rate for id=$id")
+      assert((d.s_min, d.s_max, d.s_sum) == ((vs.min, vs.max, vs.sum)),
+        s"stats for id=$id")
+    }
+  }
+
   test("multimodal GIF: animated encode→frame-sampled decode matches the closed form") {
     val ids = Seq(0L, 1L, 7L, 42L, 123L)
     // payloads are genuine GIF containers; every 2nd frame sampled
