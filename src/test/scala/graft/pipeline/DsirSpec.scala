@@ -53,6 +53,18 @@ class DsirSpec extends AnyFunSuite {
     assert(math.abs(w(1L)._2 - (-math.log(2.0))) < 1e-6)
   }
 
+  test("the scoring plan never rescans the corpus (materialized features)") {
+    // hashedGramCounts localCheckpoints before fanning out to the model
+    // and the probe — so the weights plan must contain NO source scan at
+    // all (only the checkpointed RDD), and the model side must broadcast
+    val plan = Dsir.importanceWeights(corpus, "doc_id", "text",
+      col("is_tgt"), buckets = 64).queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      s"corpus rescanned by model/probe:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("Broadcast"),
+      "bucket model should broadcast back")
+  }
+
   test("selectTopK keeps the k best and never a target document") {
     val top = Dsir.selectTopK(corpus, "doc_id", "text", col("is_tgt"), k = 2)
       .collect().map(_.getLong(0))
