@@ -428,6 +428,20 @@ object PipelineQueries {
     docClusters(spark, dir)
       .orderBy(col("doc_id"))
 
+  /** Cluster-size histogram over the shared q37 cluster labels — the
+    * duplication-profile summary dedup papers report (how much of the
+    * corpus sits in singletons vs large mirror families). Two
+    * |clusters|-bounded aggregates over the cached label relation; the
+    * expensive label propagation is amortized across the whole q37
+    * family (q113 sorts before the cache's q93 release point). */
+  def q113ClusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    docClusters(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("_sz"))
+      .groupBy(col("_sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("_sz")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** Near-dup dedup, keep-best form (RefinedWeb-style): q37's clusters
     * joined with q26's quality signals; the kept representative is the
     * best-quality member (quality DESC, n_chars DESC, doc_id ASC)
@@ -1059,6 +1073,7 @@ object PipelineQueries {
     "q110_ks_drift" -> q110KsDrift,
     "q111_image_resize" -> q111ImageResize,
     "q112_audio_resample" -> q112AudioResample,
+    "q113_cluster_size_histogram" -> q113ClusterSizeHistogram,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -1496,6 +1511,15 @@ object PipelineQueries {
       (clusterCtes +
         "\nSELECT doc_id, cluster_id, doc_id = cluster_id AS keep" +
         "\nFROM clus ORDER BY doc_id"),
+    // q37's clusters rolled up twice: per-cluster size, then the
+    // size histogram — mirrors q113ClusterSizeHistogram.
+    "q113_cluster_size_histogram" ->
+      (clusterCtes + ",\n" +
+        """sz AS (SELECT cluster_id, count(*)::BIGINT AS s
+          |  FROM clus GROUP BY cluster_id)
+          |SELECT s AS cluster_size, count(*)::BIGINT AS n_clusters,
+          |  sum(s)::BIGINT AS n_docs
+          |FROM sz GROUP BY s ORDER BY cluster_size""".stripMargin),
     // Mirrors Dedup.keepBestPerCluster over q37's clusters: the quality
     // CASE reproduces TextMetrics.qualityColumns UNROUNDED (the Spark
     // side decides on raw doubles; rounding first could flip a boundary
