@@ -391,6 +391,41 @@ object TextMetrics {
     docs.withColumn("split", label)
   }
 
+  /** Split-balance QA report — the bias check run after
+    * [[assignSplits]] before anyone trains on the result: per
+    * (group, split) document and token mass, the observed share
+    * against the configured percentage, and an exact-integer deviation
+    * numerator `|100·n_cell − pct·n_group|` so "which cell drifted
+    * most" is decided without float rounding (hash-gate assignment is
+    * uniform over ids, not stratified per group, so small groups CAN
+    * drift — this report is how that's caught).
+    *
+    * Shape: one scan → the (group, split) cell aggregate (map-side
+    * partials, ≤ |groups|·|splits| rows, materialized once for the
+    * totals derivation and the probe); group totals broadcast back.
+    * Cells with zero documents are absent on both engines. */
+  def splitBalance(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, splits: Seq[(String, Int)],
+      salt: String = "split"): DataFrame = {
+    val cell = assignSplits(docs, idCol, splits, salt)
+      .select(col(groupCol), col("split"),
+        size(TextFunctions.tokenize(col(textCol))).cast("long").as("_nt"))
+      .groupBy(col(groupCol), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+      .localCheckpoint(true)
+    val tot = cell.groupBy(col(groupCol)).agg(sum(col("n_docs")).as("_ng"))
+    val expected = splits.foldRight(lit(null).cast("long")) {
+      case ((name, pct), acc) =>
+        when(col("split") === name, pct.toLong).otherwise(acc)
+    }
+    cell.join(broadcast(tot), groupCol :: Nil)
+      .select(col(groupCol), col("split"), col("n_docs"), col("n_tokens"),
+        expected.as("expected_pct"),
+        dec6(lit(100.0) * col("n_docs").cast("double") /
+          col("_ng").cast("double")).as("share_pct"),
+        abs(col("n_docs") * 100L - expected * col("_ng")).as("dev_num"))
+  }
+
   /** The sampleMix keep decision as one expression: true iff the doc's
     * deterministic (salt, id) bucket falls under `ratePct`. Null
     * `ratePct` (group absent from the rates map) yields null → callers

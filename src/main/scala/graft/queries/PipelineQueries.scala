@@ -835,6 +835,14 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Split-balance QA over q72's 80/10/10 assignment
+    * ([[TextMetrics.splitBalance]]): per-(source, split) mass vs the
+    * configured shares, exact-integer deviation numerator. */
+  def q114SplitBalance(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.splitBalance(docs(spark, dir), "doc_id", "source", "text",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .orderBy(col("source"), col("split"))
+
   /** Curriculum training order: quality tier (q26 rule) + in-tier
     * deterministic shuffle over 4 shards ([[TextMetrics.curriculumOrder]]). */
   def q97Curriculum(spark: SparkSession, dir: String): DataFrame =
@@ -1074,6 +1082,7 @@ object PipelineQueries {
     "q111_image_resize" -> q111ImageResize,
     "q112_audio_resample" -> q112AudioResample,
     "q113_cluster_size_histogram" -> q113ClusterSizeHistogram,
+    "q114_split_balance" -> q114SplitBalance,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -1692,6 +1701,32 @@ object PipelineQueries {
         |      ::BIGINT % 100 AS b
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // Mirrors TextMetrics.splitBalance over q72's assignment: the same
+    // hash-gate CASE, (source, split) cell masses, configured share and
+    // the exact-integer deviation numerator |100·n_cell − pct·n_group|.
+    "q114_split_balance" ->
+      """WITH sp AS (SELECT source,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS nt
+        |  FROM (SELECT source, text,
+        |      ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))
+        |        ::BIGINT % 100 AS b
+        |    FROM documents)),
+        |cell AS (SELECT source, split, count(*)::BIGINT AS n_docs,
+        |    sum(nt)::BIGINT AS n_tokens
+        |  FROM sp GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(n_docs)::BIGINT AS ng
+        |  FROM cell GROUP BY source)
+        |SELECT source, split, n_docs, n_tokens,
+        |  (CASE split WHEN 'train' THEN 80 WHEN 'val' THEN 10
+        |    ELSE 10 END)::BIGINT AS expected_pct,
+        |  round((100.0 * n_docs / ng)::DECIMAL(28,10), 6)::DOUBLE
+        |    AS share_pct,
+        |  abs(n_docs * 100 - (CASE split WHEN 'train' THEN 80
+        |    WHEN 'val' THEN 10 ELSE 10 END) * ng)::BIGINT AS dev_num
+        |FROM cell JOIN tot USING (source)
+        |ORDER BY source, split""".stripMargin,
     // Mirrors Dedup.gramNovelty: the q43 gram-fingerprint device over
     // ALL documents, distinct per doc; a gram is shared when >= 2 docs
     // own it. 1 - shared/total on exact ints, decimal-domain round.
