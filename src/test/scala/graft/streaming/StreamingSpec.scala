@@ -268,6 +268,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 3)
   }
 
+  test("rate anomaly: streaming closed-hour scores equal the batch twin bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // hourly counts 2,4,6,8,3 for type a (plus a lone type b): hours
+    // 0-3 close when hour 4 arrives; hour 3 is the first scoreable one
+    val perHour = Seq(2, 4, 6, 8, 3)
+    val evs = perHour.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i =>
+        RateAnomalyStream.RateEvent("a", h * 3600000000L + i * 1000000L))
+    } :+ RateAnomalyStream.RateEvent("b", 0L)
+    val stream = MemoryStream[RateAnomalyStream.RateEvent]
+    val q = RateAnomalyStream.anomalies(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rate_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("rate_ckpt").toString)
+      .start()
+    try {
+      // split across batches mid-hour to exercise cross-batch state
+      val (b1, b2) = evs.splitAt(7)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("rate_stream").as[RateAnomalyStream.RateWindow]
+      .collect().map(w => (w.event_type, w.window_start_us) -> w).toMap
+    // batch twin over the same events; drop each key's open final hour
+    val batch = graft.queries.CoreQueries.rateAnomalyOf(
+        evs.toDF("event_type", "us")
+          .select(col("event_type"), (col("us") / 1000000L).cast("timestamp").as("ts")))
+      .collect().map { r =>
+        val startUs = java.sql.Timestamp.valueOf(r.getString(0)).getTime * 1000L
+        (r.getString(1), startUs) ->
+          ((r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      }.toMap
+    assert(streamed.keySet ==
+      (0 until 4).map(h => ("a", h * 3600000000L)).toSet,
+      "closed hours only: a's hours 0-3; b's single hour stays open")
+    streamed.foreach { case (k, w) =>
+      assert(batch(k) == ((w.n_events, w.n_prev, w.baseline_mean, w.z)),
+        s"parity at $k")
+    }
+    // the scoreable hour (3 predecessors) agrees with the closed form
+    val h3 = streamed(("a", 3 * 3600000000L))
+    assert(h3.n_prev == 3L && h3.baseline_mean == Some(4.0))
+  }
+
   test("trending tokens: streaming windowed counts equal the batch twin") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
