@@ -336,6 +336,60 @@ object Multimodal {
     }
   }
 
+  /** REAL video-frame thumbnailing: every `everyN`-th GIF frame decodes,
+    * downsamples nearest-neighbor by `factor` (the [[resizeImages]]
+    * integer pixel map) and roundtrips through a lossless PNG encode —
+    * the thumbnail-strip pipeline (sampled frames stored as stills).
+    * One-row-to-many-rows inside the batched kernel; readers initialize
+    * once per partition; only fixed-width rows leave. */
+  def thumbnailFrames(media: Dataset[MediaRecord], everyN: Int,
+      factor: Int = 2): Dataset[DecodedFrame] = {
+    require(everyN >= 1 && factor >= 1,
+      "thumbnailFrames: everyN and factor must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { m =>
+        reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload)))
+        val n = reader.getNumImages(true)
+        (0 until n by everyN).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val wr = math.max(w / factor, 1)
+          val hr = math.max(h / factor, 1)
+          val thumb = new java.awt.image.BufferedImage(wr, hr,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < hr) {
+            var x = 0
+            while (x < wr) {
+              thumb.setRGB(x, y, img.getRGB(x * w / wr, y * h / hr))
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream(128)
+          javax.imageio.ImageIO.write(thumb, "png", baos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(baos.toByteArray))
+          var sum = 0L
+          y = 0
+          while (y < hr) {
+            var x = 0
+            while (x < wr) {
+              sum += back.getRGB(x, y) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          DecodedFrame(m.media_id, f.toLong, wr.toLong, hr.toLong, sum)
+        }
+      }
+    }
+  }
+
   /** REAL audio downsample: AudioSystem decode → integer-factor
     * decimation (keep samples 0, factor, 2·factor, …) → WAV re-encode
     * at rate/factor, inside the batched partition kernel (the

@@ -843,6 +843,18 @@ object PipelineQueries {
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
       .orderBy(col("source"), col("split"))
 
+  /** Video-frame thumbnailing roundtrip
+    * ([[Multimodal.thumbnailFrames]]): every 2nd GIF frame → NN
+    * half-size → lossless PNG roundtrip → exact gray sums; the oracle
+    * recomputes the generator at the NN source coordinates. */
+  def q115VideoThumbnail(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.thumbnailFrames(
+        Multimodal.syntheticGifs(docs(spark, dir), "doc_id"),
+        everyN = 2, factor = 2)
+      .toDF()
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy(col("doc_id"), col("frame_no"))
+
   /** Curriculum training order: quality tier (q26 rule) + in-tier
     * deterministic shuffle over 4 shards ([[TextMetrics.curriculumOrder]]). */
   def q97Curriculum(spark: SparkSession, dir: String): DataFrame =
@@ -1083,6 +1095,7 @@ object PipelineQueries {
     "q112_audio_resample" -> q112AudioResample,
     "q113_cluster_size_histogram" -> q113ClusterSizeHistogram,
     "q114_split_balance" -> q114SplitBalance,
+    "q115_video_thumbnail" -> q115VideoThumbnail,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2196,6 +2209,25 @@ object PipelineQueries {
         |SELECT doc_id, f::BIGINT AS frame_no, w::BIGINT AS width,
         |  h::BIGINT AS height, sum(v)::BIGINT AS gray_sum
         |FROM px GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_no""".stripMargin,
+    // Mirrors q115VideoThumbnail: the q95 frames sampled at the q111
+    // nearest-neighbor coordinates of the half-size thumbnail; the real
+    // GIF-decode → NN-resize → PNG roundtrip must reproduce these sums.
+    "q115_video_thumbnail" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+        |    2 + doc_id % 4 AS nf FROM documents),
+        |fr AS (SELECT d.doc_id, d.w, d.h, f.f FROM dims d
+        |  JOIN generate_series(0, 5) f(f) ON f.f < d.nf AND f.f % 2 = 0),
+        |rd AS (SELECT doc_id, f, w, h,
+        |    greatest(w // 2, 1) AS wr, greatest(h // 2, 1) AS hr FROM fr),
+        |px AS (SELECT rd.doc_id, rd.f, rd.wr, rd.hr,
+        |    85 * ((rd.doc_id + rd.f * 7
+        |      + ((g.gx * rd.w) // rd.wr) * 3
+        |      + ((g.gy * rd.h) // rd.hr) * 5) % 4) AS v
+        |  FROM rd JOIN (SELECT x.gx, y.gy FROM generate_series(0, 3) x(gx),
+        |      generate_series(0, 2) y(gy)) g ON g.gx < rd.wr AND g.gy < rd.hr)
+        |SELECT doc_id, f::BIGINT AS frame_no, wr::BIGINT AS width,
+        |  hr::BIGINT AS height, sum(v)::BIGINT AS gray_sum
+        |FROM px GROUP BY doc_id, f, wr, hr ORDER BY doc_id, frame_no""".stripMargin,
     "q29_multimodal" ->
       """SELECT doc_id AS media_id, 'image/fake' AS media_type,
         |  octet_length(encode(text))::BIGINT AS byte_len,
