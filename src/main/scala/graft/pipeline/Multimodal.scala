@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * the Scala analog of `mapInPandas` (batch shape: one iterator of rows
   * per partition; the decode library is invoked per batch, not per row).
   *
-  * The IMAGE path is fully real: PNGs are encoded and decoded with the
-  * JDK's javax.imageio inside the batched kernels (see [[encodePng]] /
-  * [[decodeImages]]) — no external codec needed. Audio/video have no
-  * codecs in this container, so `decodeStub` remains a clearly-marked
-  * deterministic fake for them (byte-length + first-byte histogram
-  * features); the Spark-side contract — schema, partitioning, batch
-  * iteration — is identical, so swapping in a JNI/codec call is local.
+  * ALL THREE modalities decode through real JDK codecs — PNG stills
+  * via javax.imageio ([[encodePng]]/[[decodeImages]]), WAV audio via
+  * javax.sound.sampled ([[encodeWav]]/[[decodeAudio]]), multi-frame
+  * animated GIF "video" via the ImageIO GIF reader
+  * ([[encodeGif]]/[[decodeVideoFrames]]). The generic
+  * [[extractFeatures]] path dispatches on `media_type` to the same
+  * codec kernels; payloads with an unknown type get container-level
+  * raw-byte features ([[byteFeatures]]) — a real featureizer for
+  * opaque blobs, not a decode stub. Swapping in an external codec
+  * (JPEG, MP3, H.264) is local to one dispatch arm.
   */
 object Multimodal {
 
@@ -23,47 +26,123 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, media_type: String, byte_len: Int,
     first_byte: Int, checksum: Long, feat: Array[Float])
 
-  /** Attach a binary payload column from a string column (test harness:
-    * text bytes stand in for encoded media). */
+  /** Attach a binary payload column from a string column — opaque raw
+    * bytes, typed as such ([[extractFeatures]] routes this type to the
+    * raw-byte featureizer, not a codec). */
   def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).cast("long").as("media_id"),
-      lit("image/fake").as("media_type"),
+      lit("application/octet-stream").as("media_type"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** STUB — deterministic fake decode. A real deployment decodes the
-    * payload with an image/audio codec here; everything around it (batch
-    * shape, schema, partition locality) is production-real. */
-  private def decodeStub(payload: Array[Byte]): (Long, Array[Float]) = {
+  /** A mixed-modality media table — one REAL encoded payload per doc,
+    * modality round-robined by id: PNG stills, WAV audio, raw text
+    * bytes. The generic-dispatch fixture for [[extractFeatures]] (q29):
+    * every codec arm gets exercised in one relation. */
+  def mixedMedia(docs: DataFrame, idCol: String,
+      textCol: String = "text"): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) => (id % 3) match {
+          case 0 => MediaRecord(id, "image/png", encodePng(id))
+          case 1 => MediaRecord(id, "audio/wav", encodeWav(id))
+          case _ => MediaRecord(id, "application/octet-stream",
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }}
+      }
+  }
+
+  /** Container-level raw-byte features for opaque/unknown media types —
+    * byte checksum plus a folded byte histogram. A real featureizer for
+    * undecodable blobs (dedup, corruption triage), and the fallback arm
+    * of [[extractFeatures]]' codec dispatch. */
+  private def byteFeatures(payload: Array[Byte]): Array[Float] = {
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) { feat(i % 8) += (payload(i) & 0xff) / 255.0f; i += 1 }
+    feat
+  }
+
+  private def byteCrc(payload: Array[Byte]): Long = {
     var crc = 0L
     var i = 0
     while (i < payload.length) { crc = (crc * 31 + (payload(i) & 0xff)) & 0x7fffffffL; i += 1 }
-    val feat = new Array[Float](8)
-    i = 0
-    while (i < payload.length) { feat(i % 8) += (payload(i) & 0xff) / 255.0f; i += 1 }
-    (crc, feat)
+    crc
   }
 
   /** Batched partition-local feature extraction (mapPartitions = the
-    * Scala `mapInPandas`): rows stream through per partition; the decoder
-    * initializes once per partition, not per row. */
+    * Scala `mapInPandas`): rows stream through per partition; decoders
+    * initialize once per partition, not per row. Dispatches on
+    * `media_type` to the REAL codec kernels — PNG/GIF through ImageIO
+    * (feat = [w, h, r_sum, g_sum, b_sum]), WAV through AudioSystem
+    * (feat = [n_samples, rate, s_min, s_max, s_sum]) — and to
+    * [[byteFeatures]] for opaque types. The decoded sums stay below
+    * 2^24 for the synthetic media, so the float lanes carry them
+    * exactly (q29's oracle recomputes them from the closed-form
+    * generators — a stubbed decode cannot hash-match). */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder init would go here (e.g., codec context)
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
-        val (crc, feat) = decodeStub(r.payload)
+        val feat: Array[Float] = r.media_type match {
+          case "image/png" | "image/gif" =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            require(img != null, s"undecodable image for media_id=${r.media_id}")
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (rs, gs, bs) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Array(w.toFloat, h.toFloat, rs.toFloat, gs.toFloat, bs.toFloat,
+              0f, 0f, 0f)
+          case "audio/wav" =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian && fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              s"unexpected WAV format for media_id=${r.media_id}: $fmt")
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var sm = 0L
+            var i = 0
+            while (i < n) {
+              val v: Int =
+                ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              sm += v
+              i += 1
+            }
+            Array(n.toFloat, fmt.getSampleRate, mn.toFloat, mx.toFloat,
+              sm.toFloat, 0f, 0f, 0f)
+          case _ => byteFeatures(r.payload)
+        }
         MediaFeatures(r.media_id, r.media_type, r.payload.length,
-          if (r.payload.nonEmpty) r.payload(0) & 0xff else -1, crc, feat)
+          if (r.payload.nonEmpty) r.payload(0) & 0xff else -1,
+          byteCrc(r.payload), feat)
       }
     }
   }
 
-  /** DataFrame-level pipeline: docs → media → features. */
-  def featuresOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import docs.sparkSession.implicits._
-    extractFeatures(asMedia(docs, idCol, textCol).as[MediaRecord]).toDF()
-  }
+  /** DataFrame-level generic pipeline: docs → mixed REAL media →
+    * codec-dispatched features. */
+  def featuresOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    extractFeatures(mixedMedia(docs, idCol, textCol)).toDF()
 
   /** REAL image resize: ImageIO decode → nearest-neighbor downsample by
     * `factor` → lossless PNG re-encode, all inside the batched partition
@@ -314,25 +393,30 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       it.flatMap { m =>
-        reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(m.payload)))
-        val n = reader.getNumImages(true)
-        (0 until n by everyN).map { f =>
-          val img = reader.read(f)
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              sum += img.getRGB(x, y) & 0xff
-              x += 1
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        reader.setInput(in)
+        try {
+          val n = reader.getNumImages(true)
+          // toVector: all frames MUST be read before the shared reader
+          // moves to the next record (and before `in` closes)
+          (0 until n by everyN).map { f =>
+            val img = reader.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sum += img.getRGB(x, y) & 0xff
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-          DecodedFrame(m.media_id, f.toLong, w.toLong, h.toLong, sum)
-        }
-      }
+            DecodedFrame(m.media_id, f.toLong, w.toLong, h.toLong, sum)
+          }.toVector
+        } finally in.close()
+      } ++ { reader.dispose(); Iterator.empty }
     }
   }
 
@@ -351,9 +435,13 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       it.flatMap { m =>
-        reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(m.payload)))
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        reader.setInput(in)
+        try {
         val n = reader.getNumImages(true)
+        // toVector: all frames MUST be read before the shared reader
+        // moves to the next record (and before `in` closes)
         (0 until n by everyN).map { f =>
           val img = reader.read(f)
           val (w, h) = (img.getWidth, img.getHeight)
@@ -385,8 +473,9 @@ object Multimodal {
             y += 1
           }
           DecodedFrame(m.media_id, f.toLong, wr.toLong, hr.toLong, sum)
-        }
-      }
+        }.toVector
+        } finally in.close()
+      } ++ { reader.dispose(); Iterator.empty }
     }
   }
 

@@ -452,18 +452,18 @@ object Similarity {
     * percentile_disc device — engine-exact, unlike interpolating or
     * sketching percentile functions.
     *
-    * Scale shape: the rank window sorts the narrow (id, norm) relation
-    * only; at true corpus scale swap the bounds for the documented
-    * GK-sketch path (q61) — the outlier filter itself stays a map-side
-    * comparison against two broadcast scalars. */
+    * Scale shape: the ranks come from [[Ranks.bucketedGlobalRank]] —
+    * partitioned two-level ranking over the narrow (id, norm) relation,
+    * no corpus-cardinality single-task sort (ScaleSpec pins the shape);
+    * the outlier filter itself stays a map-side comparison against two
+    * broadcast scalars. */
   def normOutliers(embs: DataFrame, idCol: String, vecCol: String,
       loPct: Int = 1, hiPct: Int = 99): DataFrame = {
     require(0 < loPct && loPct < hiPct && hiPct < 100,
       "normOutliers: need 0 < loPct < hiPct < 100")
     val norms = embs.select(col(idCol),
       dotExact(quantize(col(vecCol)), quantize(col(vecCol))).as("norm_sq_q"))
-    val w = Window.orderBy(col("norm_sq_q").asc, col(idCol).asc)
-    val ranked = norms.withColumn("_rn", row_number().over(w).cast("long"))
+    val ranked = Ranks.bucketedGlobalRank(norms, "norm_sq_q", idCol)
       .localCheckpoint(true) // count + two bound probes + the filter
     val n = ranked.agg(count(lit(1)).as("_n"))
     def bound(pct: Int, name: String): DataFrame = ranked

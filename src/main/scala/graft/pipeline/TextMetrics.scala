@@ -108,6 +108,13 @@ object TextMetrics {
     * English stop words appear. The line rules use `(?m)` anchors —
     * within the regex subset Java and RE2 interpret identically.
     *
+    * Intentional variants vs the paper's table A1, chosen for
+    * engine-stability and mirrored exactly in the oracle: the
+    * symbol/ellipsis patterns match ASCII `...` only (not U+2026 `…`),
+    * and the ellipsis rule keeps `frac < 0.3` (strict) where the paper
+    * removes `> 30%` (i.e. keeps ≤ 0.3) — boundary docs at exactly 30%
+    * are the only divergence, and both engines agree on it.
+    *
     * One scan, per-row expressions; every ratio compares IEEE-identical
     * doubles so the verdict is engine-stable. The word-alpha rule rides
     * a `filter` HOF (interpreted) — acceptable here because the
@@ -116,7 +123,10 @@ object TextMetrics {
     val t = TextFunctions.tokenize(col(textCol))
     val nWords = size(t)
     val nLines = size(split(col(textCol), "\n"))
-    val meanLen = length(regexp_replace(col(textCol), "\\s", ""))
+    // Explicit whitespace class, NOT \s: Java \s includes \x0B
+    // (vertical tab) while RE2 \s does not — the oracle mirrors this
+    // exact class so both engines strip identical bytes.
+    val meanLen = length(regexp_replace(col(textCol), "[ \\t\\n\\f\\r]", ""))
       .cast("double") / nWords.cast("double")
     val symbolRatio = regexp_count(col(textCol), lit("#|\\.\\.\\."))
       .cast("double") / nWords.cast("double")
@@ -670,7 +680,9 @@ object TextMetrics {
     * arithmetic, so the report is engine-stable; the final statistic
     * divides two exact int64s once. The cross-product bound limits
     * exact integer selection to ~3·10⁹ documents per side — beyond
-    * that, pre-aggregate counts into value buckets first.
+    * that, pre-aggregate counts into value buckets first. The bound is
+    * enforced at runtime (a side over 3e9 docs raises instead of
+    * silently wrapping to a plausible-but-wrong d_max).
     *
     * Shape: one scan collapses to (group, n_tokens, count) — bounded by
     * |groups|·|distinct lengths|, corpus-size-independent — and every
@@ -692,9 +704,18 @@ object TextMetrics {
       .crossJoin(broadcast(grand))
       .withColumn("_cum_g", sum(col("c")).over(wg))
       .withColumn("_cum_all", sum(col("c_all")).over(wg))
-      .withColumn("d_num", abs(
-        col("_cum_g") * (col("n_tot") - col("n_g")) -
-          (col("_cum_all") - col("_cum_g")) * col("n_g")))
+      // loud overflow guard (folded into d_num so Catalyst cannot prune
+      // it): both cross-multiplication factors must stay <= ~3e9 or the
+      // int64 product could wrap silently
+      .withColumn("d_num", when(
+        col("n_g") > lit(3000000000L) ||
+          col("n_tot") - col("n_g") > lit(3000000000L),
+        raise_error(lit("ksDrift: a side exceeds 3e9 documents — the " +
+          "exact int64 cross-multiplication would overflow; " +
+          "pre-aggregate counts into value buckets first")).cast("long"))
+        .otherwise(abs(
+          col("_cum_g") * (col("n_tot") - col("n_g")) -
+            (col("_cum_all") - col("_cum_g")) * col("n_g"))))
     val maxd = grid.groupBy(col(groupCol).as("_g2"))
       .agg(max(col("d_num")).as("d_max"))
     grid.join(maxd,
@@ -1694,9 +1715,10 @@ object TextMetrics {
     * arithmetic (the q61 rank-device family).
     *
     * Scale: inputs are two narrow per-doc relations (one riding the
-    * shared tf cache, one scan-speed); the global rank window sorts the
-    * narrow projection only — at true corpus scale swap it for the
-    * GK-sketch decile boundaries exactly as q61 documents. */
+    * shared tf cache, one scan-speed); the rank comes from
+    * [[Ranks.bucketedGlobalRank]] — partitioned two-level ranking, no
+    * corpus-cardinality single-task sort anywhere in the plan
+    * (ScaleSpec pins the shape). */
   def qualityCalibrationFromTf(tf: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, buckets: Int = 10): DataFrame = {
     require(buckets >= 1, "qualityCalibration: buckets must be >= 1")
@@ -1704,9 +1726,8 @@ object TextMetrics {
       .select(col(idCol), col("avg_surprisal"))
     val qual = qualityScore(docs, idCol, textCol)
       .select(col(idCol), col("quality").cast("long").as("_q"))
-    val w = Window.orderBy(col("avg_surprisal").asc, col(idCol).asc)
-    val ranked = surp.join(qual, Seq(idCol))
-      .withColumn("_rn", row_number().over(w).cast("long"))
+    val ranked = Ranks.bucketedGlobalRank(
+        surp.join(qual, Seq(idCol)), "avg_surprisal", idCol)
       .localCheckpoint(true) // consumed by the 1-row total AND the rollup
     val total = ranked.agg(count(lit(1)).as("_n"))
     ranked.crossJoin(broadcast(total))

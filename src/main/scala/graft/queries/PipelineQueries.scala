@@ -979,13 +979,22 @@ object PipelineQueries {
       k = 5, w = 4)
       .orderBy(col("doc_id"))
 
-  /** Multimodal plumbing: binary payload column → partition-local batched
-    * feature extraction (decode stubbed; schema/batch shape real). The
-    * oracle checks the SQL-expressible projection. */
+  /** Generic multimodal feature extraction, media_type-DISPATCHED
+    * through the real codec kernels: a mixed media table (PNG / WAV /
+    * raw bytes round-robined by id) runs through ONE batched kernel
+    * that routes each row to ImageIO, AudioSystem, or the raw-byte
+    * featureizer. The oracle recomputes the decoded feature sums from
+    * the closed-form generators per modality — a stubbed decode on any
+    * arm cannot hash-match. */
   def q29Multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.featuresOf(docs(spark, dir), "doc_id", "text")
-      .select(col("media_id"), col("media_type"), col("byte_len").cast("long").as("byte_len"),
-        col("first_byte").cast("long").as("first_byte"))
+      .select(col("media_id"), col("media_type"),
+        when(col("media_type") === "image/png",
+          (element_at(col("feat"), 3) + element_at(col("feat"), 4) +
+            element_at(col("feat"), 5)).cast("long"))
+          .when(col("media_type") === "audio/wav",
+            element_at(col("feat"), 5).cast("long"))
+          .otherwise(col("byte_len").cast("long")).as("feat_sum"))
       .orderBy(col("media_id"))
 
   /** REAL multimodal decode: one deterministic tiny PNG is ImageIO-encoded
@@ -2228,12 +2237,36 @@ object PipelineQueries {
         |SELECT doc_id, f::BIGINT AS frame_no, wr::BIGINT AS width,
         |  hr::BIGINT AS height, sum(v)::BIGINT AS gray_sum
         |FROM px GROUP BY doc_id, f, wr, hr ORDER BY doc_id, frame_no""".stripMargin,
+    // Mirrors the dispatched featuresOf: per modality the decoded
+    // feature sum recomputed from the closed-form generators (the q73
+    // PNG pixels, the q94 WAV samples), raw payloads by byte length.
     "q29_multimodal" ->
-      """SELECT doc_id AS media_id, 'image/fake' AS media_type,
-        |  octet_length(encode(text))::BIGINT AS byte_len,
-        |  CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1))::BIGINT
-        |    ELSE -1 END AS first_byte
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """WITH png AS (
+        |  SELECT d.doc_id, sum((d.doc_id*31 + g.gx*7 + g.gy*13) % 256
+        |      + (d.doc_id*17 + g.gx*11 + g.gy*3) % 256
+        |      + (d.doc_id*5 + g.gx*23 + g.gy*29) % 256) AS fs
+        |  FROM (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |        FROM documents WHERE doc_id % 3 = 0) d
+        |  JOIN (SELECT x.gx, y.gy FROM generate_series(0, 15) x(gx),
+        |        generate_series(0, 13) y(gy)) g
+        |    ON g.gx < d.w AND g.gy < d.h
+        |  GROUP BY d.doc_id),
+        |wav AS (
+        |  SELECT d.doc_id,
+        |    sum(((d.doc_id * 37 + i.i * 101) % 65536) - 32768) AS fs
+        |  FROM (SELECT doc_id, 64 + doc_id % 65 AS n FROM documents
+        |        WHERE doc_id % 3 = 1) d
+        |  JOIN generate_series(0, 128) i(i) ON i.i < d.n
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id AS media_id, 'image/png' AS media_type,
+        |  fs::BIGINT AS feat_sum FROM png
+        |UNION ALL
+        |SELECT doc_id, 'audio/wav', fs::BIGINT FROM wav
+        |UNION ALL
+        |SELECT doc_id, 'application/octet-stream',
+        |  octet_length(encode(text))::BIGINT
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY media_id""".stripMargin,
     // Mirrors q51PiiScrub: the same deterministic PII planting, then the
     // same Java/RE2-portable patterns (Pii.patterns) counted and
     // replaced in the same order. Counts run on the dirty text
@@ -2682,7 +2715,7 @@ object PipelineQueries {
         |    len(regexp_split_to_array(text, '\n')) AS n_lines
         |  FROM documents),
         |m AS (SELECT doc_id, len(t) AS n_words,
-        |    length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+        |    length(regexp_replace(text, '[ \t\n\f\r]', '', 'g'))::DOUBLE
         |      / len(t)::DOUBLE AS mean_len,
         |    len(regexp_extract_all(text, '#|\.\.\.'))::DOUBLE
         |      / len(t)::DOUBLE AS symbol_ratio,

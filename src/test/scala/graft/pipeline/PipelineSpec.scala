@@ -155,6 +155,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(embs.count() == 3)
   }
 
+  test("multimodal dispatch: mixed media routes each modality through its real codec") {
+    val docs = Seq((0L, "abc"), (1L, "de"), (2L, "fgh"), (3L, ""), (4L, "xy"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.mixedMedia(docs, "doc_id"))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(0L).media_type == "image/png")
+    assert(feats(1L).media_type == "audio/wav")
+    assert(feats(2L).media_type == "application/octet-stream")
+    // png arm decodes through ImageIO: feat = generator pixel sums
+    val (w, h) = Multimodal.pngDims(3L)
+    val px = for (x <- 0 until w; y <- 0 until h) yield (x, y)
+    assert(feats(3L).feat(0) == w.toFloat && feats(3L).feat(1) == h.toFloat)
+    assert(feats(3L).feat(2) ==
+      px.map { case (x, y) => (3L * 31 + x * 7 + y * 13) % 256 }.sum.toFloat)
+    assert(feats(3L).feat(4) ==
+      px.map { case (x, y) => (3L * 5 + x * 23 + y * 29) % 256 }.sum.toFloat)
+    // wav arm decodes through AudioSystem: feat = generator sample stats
+    val n = Multimodal.wavSamples(1L)
+    val samples = (0 until n).map(i => ((37 + i.toLong * 101) % 65536 - 32768).toInt)
+    assert(feats(1L).feat(0) == n.toFloat && feats(1L).feat(1) == 8000f)
+    assert(feats(1L).feat(2) == samples.min.toFloat)
+    assert(feats(1L).feat(3) == samples.max.toFloat)
+    assert(feats(1L).feat(4) == samples.sum.toFloat)
+    // raw arm: container-level byte features
+    assert(feats(2L).byte_len == 3 && feats(2L).first_byte == 'f'.toInt)
+  }
+
   test("multimodal PNG: ImageIO encode→decode roundtrip matches the closed form") {
     val ids = Seq(0L, 1L, 7L, 42L, 123L)
     // payloads are genuine PNGs (magic bytes), not passthrough fakes

@@ -122,6 +122,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("bucketedGlobalRank equals the single-task rank and keeps every Window partitioned") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties (including at min and max), negatives, reversed
+    // tie-break ids — the cases where two-level ranking could drift
+    val df = (0L until 500L)
+      .map(i => ((i % 37).toDouble / 3.0 - 5.0, 499L - i))
+      .toDF("v", "id")
+    val got = graft.pipeline.Ranks.bucketedGlobalRank(df, "v", "id",
+      nBuckets = 16)
+    val expect = df.withColumn("_rn", row_number().over(
+      Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("v", "id", "_rn").collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(got) == rows(expect))
+    // degenerate all-equal values: one bucket, ranks purely by tie-break
+    val flat = (0L until 50L).map(i => (1.0, i)).toDF("v", "id")
+    assert(rows(graft.pipeline.Ranks.bucketedGlobalRank(flat, "v", "id")) ==
+      rows(flat.withColumn("_rn", row_number().over(
+        Window.orderBy(col("v").asc, col("id").asc)).cast("long"))))
+    // plan shape: every Window carries the bucket partition spec (a
+    // corpus-cardinality GLOBAL window would have no partition columns
+    // and an Exchange SinglePartition feeding it), and every
+    // SinglePartition exchange gathers partial-aggregate rows (the
+    // 1-row min/max stats — one row per input partition), never raw
+    // relation rows for a single-task sort
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val windowLines = lines.filter(_.contains("Window "))
+    assert(windowLines.nonEmpty, plan.take(3000))
+    windowLines.foreach(l =>
+      assert(l.contains("[_b#"), s"unpartitioned Window:\n$l"))
+    lines.zip(lines.drop(1)).foreach { case (l, child) =>
+      if (l.contains("Exchange SinglePartition"))
+        assert(child.contains("partial_"),
+          s"SinglePartition exchange over non-partial rows:\n$l\n$child")
+    }
+  }
+
   test("heavy-hitter recount rides a broadcast semi filter, never a vocabulary SMJ") {
     val docs = Seq((1L, "a a a b b c d e f g h"), (2L, "a b c i j k"))
       .toDF("doc_id", "text")
