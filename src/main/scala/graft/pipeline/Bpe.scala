@@ -34,7 +34,16 @@ import graft.functions.TextFunctions
 object Bpe {
 
   /** @return one row per learned merge: (merge_rank from 1, left, right,
-    *         pair_count) in learning order. */
+    *         pair_count) in learning order.
+    *
+    * Scale bound: ONE driver round-trip (a 1-row argmax collect over the
+    * vocabulary-sized pair relation) per merge — exact sequential BPE
+    * is inherently this loop. Fine at numMerges ≲ 10³; a production
+    * tokenizer's ~50k merges means ~50k sequential driver rounds, each
+    * re-aggregating pair counts. [[trainMergesBatched]] is the scale
+    * path: it accepts a top-k batch of mutually non-interacting pairs
+    * per round, cutting driver rounds by ~batchK at the cost of a
+    * slightly different (still deterministic) merge order. */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges >= 1, "trainMerges: numMerges must be >= 1")
     val spark = docs.sparkSession
@@ -89,6 +98,105 @@ object Bpe {
       }
     }
     merges.result().toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** Batched BPE training — the 50k-merge scale path for
+    * [[trainMerges]]: each round collects the top `batchK` pairs by the
+    * same (count DESC, left, right) total order and greedily accepts
+    * the prefix-priority subset that is mutually NON-INTERACTING — no
+    * accepted pair's left/right/merged symbol equals any symbol of an
+    * earlier-accepted pair — then applies all accepted merges in one
+    * rewrite. Disjoint pairs commute (merging one cannot create,
+    * destroy, or re-count occurrences of another), so the batch rewrite
+    * equals applying the accepted merges sequentially; driver rounds
+    * drop by ~|batch| per round.
+    *
+    * Deviation from exact sequential BPE, by design: a merge can CREATE
+    * new pairs (merging (x,y) under "w x y z" births (w,xy) and (xy,z))
+    * whose counts may exceed a later batch member's — exact sequential
+    * BPE would rank those first. Batching trades that reordering for
+    * ~batchK× fewer driver rounds (the BatchBPE trade); `batchK = 1`
+    * reproduces [[trainMerges]] exactly. Output is deterministic across
+    * partitionings and reruns; [[referenceMergesBatched]] pins the
+    * semantics with an independent single-threaded implementation. */
+  def trainMergesBatched(docs: DataFrame, textCol: String, numMerges: Int,
+      batchK: Int = 16): DataFrame = {
+    require(numMerges >= 1, "trainMergesBatched: numMerges must be >= 1")
+    require(batchK >= 1, "trainMergesBatched: batchK must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val words = docs
+      .select(explode(TextFunctions.tokenize(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var state = words
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .localCheckpoint()
+
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1L
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = state
+        .select(col("cnt"), explode(
+          when(size(col("syms")) >= 2,
+            sequence(lit(1), size(col("syms")) - 1))
+            .otherwise(array().cast("array<int>"))).as("_i"),
+          col("syms"))
+        .select(element_at(col("syms"), col("_i")).as("l"),
+          element_at(col("syms"), col("_i") + 1).as("r"), col("cnt"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(batchK).collect()
+        .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+      val accepted = selectNonInteracting(top,
+        (numMerges - rank + 1).toInt)
+      if (accepted.isEmpty) exhausted = true
+      else {
+        accepted.foreach { case (l, r, pc) =>
+          merges += ((rank, l, r, pc)); rank += 1
+        }
+        // one rewrite applies every accepted merge: the fold's tail
+        // check chains one `when` per accepted pair — disjoint symbols
+        // make the branches mutually exclusive, so left-to-right
+        // non-overlapping semantics per pair are preserved
+        val merged = aggregate(
+          col("syms"),
+          array(lit(null).cast("string")),
+          (acc, s) => accepted.foldLeft(when(lit(false), acc)) {
+            case (w, (l, r, _)) => w.when(
+              element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          }.otherwise(concat(acc, array(s))),
+          acc => slice(acc, lit(2), size(acc) - 1))
+        state = state.select(merged.as("syms"), col("cnt")).localCheckpoint()
+      }
+    }
+    merges.result().toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** Greedy prefix-priority non-interacting subset of candidate pairs
+    * (already in (count DESC, left, right) order): accept a pair iff
+    * none of its left / right / concatenated symbol strings collides
+    * with any string of an earlier-accepted pair (the concatenation
+    * check also blocks the "ab"+"c" vs "a"+"bc" string-collision edge),
+    * up to `limit` acceptances. Shared by the distributed and reference
+    * batched trainers so the selection rule cannot drift. */
+  private[pipeline] def selectNonInteracting(
+      candidates: Seq[(String, String, Long)],
+      limit: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.HashSet.empty[String]
+    val out = Seq.newBuilder[(String, String, Long)]
+    var n = 0
+    candidates.foreach { case cand @ (l, r, _) =>
+      if (n < limit && !used(l) && !used(r) && !used(l + r)) {
+        out += cand
+        used += l; used += r; used += (l + r)
+        n += 1
+      }
+    }
+    out.result()
   }
 
   /** BPE tokenizer APPLICATION — encode a corpus with learned merges
@@ -249,6 +357,51 @@ object Bpe {
           (nb.result(), c)
         }
         rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Independent single-threaded reference for [[trainMergesBatched]]:
+    * same candidate order, same [[selectNonInteracting]] rule, but the
+    * counting and rewrite run as plain Scala collection passes — two
+    * implementations, one answer (the [[referenceMerges]] device). */
+  private[pipeline] def referenceMergesBatched(wordCounts: Map[String, Long],
+      numMerges: Int, batchK: Int): Seq[(Long, String, String, Long)] = {
+    var state = wordCounts.toSeq.map { case (w, c) =>
+      (w.toCharArray.map(_.toString).toVector, c) }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= numMerges && !done) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+          i += 1
+        }
+      }
+      val top = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }
+        .take(batchK).map { case ((a, b), c) => (a, b, c) }
+      val accepted = selectNonInteracting(top, (numMerges - rank + 1).toInt)
+      if (accepted.isEmpty) done = true
+      else {
+        accepted.foreach { case (l, r, pc) =>
+          out += ((rank, l, r, pc)); rank += 1
+        }
+        val table = accepted.map { case (l, r, _) => (l, r) -> (l + r) }.toMap
+        state = state.map { case (syms, c) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && table.contains((syms(i), syms(i + 1)))) {
+              nb += table((syms(i), syms(i + 1))); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          (nb.result(), c)
+        }
       }
     }
     out.result()

@@ -105,14 +105,63 @@ object Dedup {
         col("bk.band_key").as("band_key"): _*)
   }
 
-  /** Candidate pairs from LSH buckets (a < b, distinct across bands). */
-  def lshCandidates(banded: DataFrame): DataFrame = {
-    val l = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-    val r = banded.select(col("band").as("band_r"), col("band_key").as("band_key_r"),
+  /** Band keys whose occupancy exceeds `maxBucket` — the degenerate-key
+    * report behind the [[lshCandidates]] skew guard. Compact: one
+    * aggregate over (band, band_key), output bounded by the number of
+    * overloaded keys. */
+  def lshOverloadedKeys(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("occupancy"))
+      .filter(col("occupancy") > maxBucket)
+
+  /** Candidate pairs from LSH buckets (a < b, distinct across bands).
+    *
+    * `maxBucket` is the band-key occupancy guard: within-bucket work is
+    * quadratic in occupancy, so ONE degenerate key (boilerplate text
+    * hashing half the corpus into a single band bucket) lands
+    * O(n²) pair generation on one task. Keys over the cap are EXCLUDED
+    * from candidate generation — and loudly: the exclusion count and
+    * worst occupancies go to stderr, and [[lshOverloadedKeys]] returns
+    * the same report for callers (no silent caps). Boilerplate-heavy
+    * keys are better handled by exact/chunk dedup; raising `nBits` /
+    * band width is the recall-preserving mitigation. Default = no cap
+    * (test-scale behavior unchanged). */
+  def lshCandidates(banded: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val src = capOccupancy(banded, Seq("band", "band_key"), maxBucket,
+      "lshCandidates")
+    val l = src.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val r = src.select(col("band").as("band_r"), col("band_key").as("band_key_r"),
       col("doc_id").as("doc_b"))
     l.join(r, col("band") === col("band_r") && col("band_key") === col("band_key_r") &&
         col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** The shared occupancy guard: drop rows whose `keyCols` group exceeds
+    * `maxBucket` rows, reporting the dropped keys on stderr (count +
+    * top occupancies). The report aggregate shuffles the same compact
+    * key projection the candidate join shuffles anyway; the eager count
+    * runs only when a cap is actually set. */
+  private def capOccupancy(df: DataFrame, keyCols: Seq[String], maxBucket: Int,
+      who: String): DataFrame = {
+    if (maxBucket == Int.MaxValue) df
+    else {
+      require(maxBucket >= 1, s"$who: maxBucket must be >= 1")
+      val over = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("occupancy"))
+        .filter(col("occupancy") > maxBucket)
+        .localCheckpoint(true)
+      val n = over.count()
+      if (n > 0) {
+        val worst = over.orderBy(col("occupancy").desc).limit(3)
+          .collect().map(_.getLong(keyCols.length)).mkString(", ")
+        System.err.println(s"[graft] $who: excluded $n overloaded " +
+          s"bucket key(s) over occupancy $maxBucket (worst: $worst) — " +
+          "degenerate-key guard; recover those docs via exact/chunk " +
+          "dedup or a wider key (nBits / rowsPerBand)")
+      }
+      df.join(broadcast(over.select(keyCols.map(col): _*)), keyCols, "left_anti")
+    }
   }
 
   /** Cross-side LSH candidate pairs: equi-join two band frames (each
@@ -161,7 +210,7 @@ object Dedup {
     * join → exact-Jaccard verification at `threshold`. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = Int.MaxValue): DataFrame = {
     // cached: signatures, both sides of the verify join, and the size
     // lookup all scan the shingle sets — uncached, the tokenize+shingle
     // pipeline would replay once per consumer. The cache's lifecycle is
@@ -172,8 +221,9 @@ object Dedup {
     // invocation; cf. the per-batch clearCache in roleAnalysisStream).
     val sh = shingleSets(docs, idCol, textCol, shingleN).cache()
     try {
-      val cands =
-        lshCandidates(lshBands(minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
+      val cands = lshCandidates(
+        lshBands(minhashSignatures(sh, numHashes), numHashes, rowsPerBand),
+        maxBucket)
       jaccard(cands, sh).filter(col("jaccard") >= threshold)
         .localCheckpoint(true)
     } finally sh.unpersist(false)
@@ -314,16 +364,21 @@ object Dedup {
     * bucket — only (id, qv, bucket) shuffles, never the raw text/doc.
     * Within-bucket work is quadratic in bucket occupancy, so `nBits`
     * must grow with the corpus (occupancy ≈ n / 2^nBits; 16–24 bits at
-    * 100 TB, optionally with Hamming-1 probes to recover split pairs).
+    * 100 TB, optionally with Hamming-1 probes to recover split pairs) —
+    * and `maxBucket` enforces the bound at runtime: a degenerate
+    * direction (zero vectors, a collapsed embedder) that floods one
+    * bucket gets excluded LOUDLY (stderr report, the
+    * [[lshCandidates]] guard) instead of landing a quadratic mega-task.
     * Recall is approximate by construction — a near-dup pair straddling
     * a sign boundary in every probed bit is missed; exactly the standard
     * LSH recall trade documented for [[minhashNearDups]]. */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-      minDotQ: Long, nBits: Int = 8): DataFrame = {
+      minDotQ: Long, nBits: Int = 8, maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.functions.VectorFunctions.{dotExact, quantize, signBucket}
-    val v = corpus.select(col(idCol).as("vid"),
+    val v0 = corpus.select(col(idCol).as("vid"),
       quantize(col(vecCol)).as("qv"),
       signBucket(col(vecCol), nBits).as("bucket"))
+    val v = capOccupancy(v0, Seq("bucket"), maxBucket, "embeddingNearDups")
     val a = v.select(col("vid").as("vec_a"), col("qv").as("qa"), col("bucket"))
     val b = v.select(col("vid").as("vec_b"), col("qv").as("qb"), col("bucket"))
     a.join(b, Seq("bucket"))

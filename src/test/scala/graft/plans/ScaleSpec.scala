@@ -162,6 +162,50 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH occupancy guards exclude degenerate keys loudly, clean results unchanged") {
+    import graft.pipeline.Dedup
+    // 30 byte-identical boilerplate docs: every band key is shared by
+    // all 30 → a quadratic mega-bucket on one task without the guard
+    val boiler = (100L until 130L).map(i =>
+      (i, "the same boilerplate text repeated again and again and again"))
+    val clean = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu one"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu two"),
+      (3L, "completely different words nothing shared here at all believe me"))
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(Dedup.minhashNearDups(
+      (boiler ++ clean).toDF("doc_id", "text"), "doc_id", "text",
+      maxBucket = 10))
+    // no boiler pair survives candidate generation (bounded per-task
+    // work), and the clean portion is bit-identical to an uncapped run
+    // without the degenerate docs
+    assert(capped.forall { case (a, b) => a < 100L && b < 100L }, capped)
+    assert(capped ==
+      pairs(Dedup.minhashNearDups(clean.toDF("doc_id", "text"), "doc_id", "text")))
+    assert(capped.contains((1L, 2L)), "guard must not eat genuine near-dups")
+    // the report relation is caller-visible (no silent caps)
+    val banded = Dedup.lshBands(Dedup.minhashSignatures(
+      Dedup.shingleSets((boiler ++ clean).toDF("doc_id", "text"),
+        "doc_id", "text", 3), 8), 8, 2)
+    val over = Dedup.lshOverloadedKeys(banded, 10)
+    assert(over.count() > 0)
+    assert(over.select(max(col("occupancy"))).head().getLong(0) == 30L)
+
+    // sign-LSH flavor: 20 identical vectors flood bucket 15; the
+    // genuine near-dup pair in bucket 14 survives the cap
+    val flood = (100L until 120L).map(i => (i, Array(1f, 1f, 1f, 1f)))
+    val cleanV = Seq(
+      (1L, Array(-1f, 1f, 1f, 1f)), (2L, Array(-0.9f, 1f, 1f, 1f)),
+      (3L, Array(-1f, -1f, -1f, -1f)))
+    val cappedV = Dedup.embeddingNearDups((flood ++ cleanV).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", minDotQ = 3000000000000L, nBits = 4, maxBucket = 10)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedV == Set((1L, 2L)), cappedV)
+  }
+
   test("heavy-hitter recount rides a broadcast semi filter, never a vocabulary SMJ") {
     val docs = Seq((1L, "a a a b b c d e f g h"), (2L, "a b c i j k"))
       .toDF("doc_id", "text")
