@@ -683,11 +683,31 @@ object Dedup {
     * the deduplicated corpus hash set. The near arm is two projections
     * of the (near-dup-rate-sized) pair relation, restricted to
     * boundary-crossing pairs by id-keyed semi joins. The verdict is two
-    * id-keyed left joins on the batch-sized relation only. */
+    * id-keyed left joins on the batch-sized relation only.
+    *
+    * `bloomFpp > 0` turns on the q59 sketch trade for the exact arm:
+    * the BATCH side is the bounded one (a daily ingest), so its md5 set
+    * builds a broadcast Bloom filter and the corpus hash relation
+    * filters MAP-SIDE before the semi-join — per ingest only
+    * ~fpp·|corpus| + |true dups| corpus hashes shuffle instead of every
+    * corpus hash. False positives survive only into the exact semi-join,
+    * so the verdicts are IDENTICAL at any fpp (the spec pins fpp ≈ 1). */
   def incrementalDedup(newDocs: DataFrame, oldDocs: DataFrame,
-      nearPairs: DataFrame, idCol: String, textCol: String): DataFrame = {
+      nearPairs: DataFrame, idCol: String, textCol: String,
+      bloomFpp: Double = 0.0): DataFrame = {
     val nh = newDocs.select(col(idCol), md5(col(textCol)).as("_h"))
-    val oh = oldDocs.select(md5(col(textCol)).as("_h")).distinct()
+    val ohRaw = oldDocs.select(md5(col(textCol)).as("_h"))
+    // the Bloom probe runs BEFORE distinct so pruned corpus hashes never
+    // enter the dedup shuffle at all
+    val oh = (if (bloomFpp <= 0.0) ohRaw else {
+      val spark = newDocs.sparkSession
+      val nhc = nh.localCheckpoint(true) // bounded side; built once, probed once
+      val bloom = nhc.stat.bloomFilter("_h", math.max(nhc.count(), 1000L),
+        bloomFpp)
+      val bloomBc = spark.sparkContext.broadcast(bloom)
+      val mightContain = udf((h: String) => h != null && bloomBc.value.mightContain(h))
+      ohRaw.filter(mightContain(col("_h")))
+    }).distinct()
     val exact = nh.join(oh, Seq("_h"), "left_semi")
       .select(col(idCol)).withColumn("_e", lit(1L))
     val sym = nearPairs.select(col("doc_a").as(idCol), col("doc_b").as("_oid"))

@@ -389,13 +389,15 @@ object PipelineQueries {
   /** Incremental-ingest dedup: src5 is the NEW batch, everything else
     * the EXISTING corpus; near-dup evidence rides the shared verified-
     * pair cache (q20/q37/q48/q78 family — q88 is now its release
-    * point). */
+    * point). The batch-side Bloom pre-filter is ON (the scale path:
+    * corpus hashes prune map-side before the exact semi-join) — the
+    * verdicts are provably fpp-independent, so the oracle is unchanged. */
   def q88IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     Dedup.incrementalDedup(d.filter(col("source") === "src5"),
         d.filter(col("source") =!= "src5"),
         minhashPairs(spark, dir).select(col("doc_a"), col("doc_b")),
-        "doc_id", "text")
+        "doc_id", "text", bloomFpp = 0.01)
       .orderBy(col("doc_id"))
   }
 

@@ -353,4 +353,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size == 4) // (00:00: spark=3, join=1, window=1; 00:10: join=2)
     assert(streamed == batch)
   }
+
+  test("transformWithState top-k leaderboard: final generation equals the batch top-k") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import TrendingTopKStream.{TokenEvent, TopKRow}
+    val W = 600000000L // 10-minute windows in microseconds
+    val evs = Seq(
+      // window 0: spark×3, join×2, window×1  → top3 = spark, join, window
+      TokenEvent(0L, "spark"), TokenEvent(0L, "join"), TokenEvent(0L, "spark"),
+      TokenEvent(0L, "window"), TokenEvent(0L, "join"), TokenEvent(0L, "spark"),
+      // window 1: tie join=scan=1 → lexicographic rank: join, scan
+      TokenEvent(W, "scan"), TokenEvent(W, "join"))
+    // transformWithState runs only on the RocksDB state store
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[TokenEvent]
+    val query = TrendingTopKStream.topTokens(stream.toDS(), k = 3)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("topk_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("topk_ckpt").toString)
+      .start()
+    try {
+      // split window 0 across batches: the second batch must see the
+      // first batch's counts from state, not restart at zero
+      stream.addData(evs.take(3)); query.processAllAvailable()
+      stream.addData(evs.drop(3)); query.processAllAvailable()
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val rows = spark.table("topk_stream").as[TopKRow].collect()
+    // window 0 was touched by two batches → generations 1 and 2; the
+    // final generation supersedes (the downstream-upsert contract)
+    val finalBoard = rows.groupBy(_.window_start_us).map { case (w, rs) =>
+      val g = rs.map(_.gen).max
+      w -> rs.filter(_.gen == g).sortBy(_.rank)
+        .map(r => (r.rank, r.token, r.cnt)).toSeq
+    }
+    assert(finalBoard(0L) ==
+      Seq((1L, "spark", 3L), (2L, "join", 2L), (3L, "window", 1L)))
+    assert(finalBoard(W) == Seq((1L, "join", 1L), (2L, "scan", 1L)))
+    // the mid-stream generation saw only batch-1 counts (spark×2, join×1)
+    val gen1 = rows.filter(r => r.window_start_us == 0L && r.gen == 1L)
+      .sortBy(_.rank).map(r => (r.token, r.cnt)).toSeq
+    assert(gen1 == Seq(("spark", 2L), ("join", 1L)))
+  }
 }
