@@ -60,4 +60,29 @@ object Pii {
       .withColumn("n_pii", counts.map(_._2).reduce(_ + _))
       .withColumn("redacted", redactedColumn(textCol))
   }
+
+  /** Per-group PII density report — the triage read that decides where
+    * scrubbing effort (or source exclusion) goes: per group, documents
+    * affected, per-kind hit totals, and hits per 1000 documents. One
+    * scan (the per-row count columns), one |groups|-bounded aggregate
+    * with map-side partials; the density divides exact integers once
+    * and rounds in the decimal domain (the house hash rule). */
+  def densityReport(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val counts = countColumns(textCol)
+    val total = counts.map(_._2).reduce(_ + _)
+    docs.select(col(groupCol) +: (counts.map { case (n, c) => c.as(n) } :+
+        total.as("_n_pii")): _*)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(when(col("_n_pii") > 0, 1L).otherwise(0L)).as("n_affected") +:
+          counts.map { case (n, _) => sum(col(n)).as(n) } :+
+          sum(col("_n_pii")).as("n_pii")): _*)
+      .select((Seq(col(groupCol), col("n_docs"), col("n_affected")) ++
+        counts.map { case (n, _) => col(n) } ++ Seq(col("n_pii"),
+          round(((col("n_pii") * 1000L).cast("double") /
+              col("n_docs").cast("double"))
+              .cast("decimal(28,10)"), 6).cast("double")
+            .as("pii_per_1k"))): _*)
+  }
 }

@@ -565,6 +565,36 @@ object TextMetrics {
       .drop("_k")
   }
 
+  /** Shard-balance report over [[shuffleShards]] — the QA read before a
+    * training run trusts its shard layout: per shard, document and
+    * token totals plus skew ratios normalized so 1.0 means perfectly
+    * even (`docs_skew` = n_docs·nShards / total). Hash sharding
+    * balances document COUNTS by construction; token totals can still
+    * skew when long documents cluster, and a shard whose tokens_skew
+    * strays far from 1 starves or hot-spots its training worker.
+    *
+    * Shape: one scan to (id, token-count), the same shard hash device
+    * as the layout itself (one definition — the report can never
+    * disagree with the writer), a |shards|-bounded aggregate with
+    * map-side partials, and a 1-row broadcast total. */
+  def shardSkew(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, salt: String = "shuffle"): DataFrame = {
+    val sharded = shuffleShards(
+      docs.select(col(idCol),
+        size(TextFunctions.tokenize(col(textCol))).cast("long").as("_nt")),
+      idCol, nShards, salt)
+    val per = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_docs")).as("_td"),
+      sum(col("n_tokens")).as("_tt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        dec6((col("n_docs") * nShards).cast("double") /
+          col("_td").cast("double")).as("docs_skew"),
+        dec6((col("n_tokens") * nShards).cast("double") /
+          col("_tt").cast("double")).as("tokens_skew"))
+  }
+
   /** Curriculum ordering — deterministic quality-tiered training order
     * (curriculum learning: feed higher-quality documents first, shuffle
     * WITHIN each tier): tier = the [[qualityScore]] rule, shard + pos =
@@ -642,6 +672,43 @@ object TextMetrics {
           .cast("long").as("n_tokens"),
         md5(array_join(slice(col("_t"), (col("_c") * stride + 1).cast("int"),
           lit(window)), " ")).as("chunk_md5"))
+  }
+
+  /** Cross-source quantile normalization — the score-calibration step
+    * before mixing heterogeneous sources: a raw per-document statistic
+    * (token count here) is not comparable across sources whose length
+    * distributions differ, so each document's WITHIN-SOURCE rank maps
+    * to the pooled corpus value at the equivalent quantile
+    * (`norm_tokens` = pooled value at rank ceil(N·r/n_g), the
+    * percentile_disc integer device — every output an actually-observed
+    * integer, engine-portable, no interpolation).
+    *
+    * Scale shape: the within-source rank window partitions by source;
+    * the pooled rank comes from [[Ranks.bucketedGlobalRank]] (no
+    * corpus-cardinality single-task sort); the lookup is one rank-keyed
+    * equi-join of two narrow corpus-sized relations. The target-rank
+    * product N·r stays in int64 up to ~3e9 documents (the ksDrift
+    * bound class). */
+  def quantileNormalize(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String): DataFrame = {
+    val vals = docs.select(col(idCol), col(groupCol),
+      size(TextFunctions.tokenize(col(textCol))).cast("long").as("v"))
+    val wg = Window.partitionBy(col(groupCol)).orderBy(col("v"), col(idCol))
+    val src = vals
+      .withColumn("_r", row_number().over(wg).cast("long"))
+      .withColumn("_ng",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))).cast("long"))
+    val pooled = Ranks.bucketedGlobalRank(
+        vals.select(col(idCol), col("v")), "v", idCol, "_rp")
+      .localCheckpoint(true) // consumed by the 1-row total AND the lookup
+    val n = pooled.agg(count(lit(1)).as("_n"))
+    val pooledVals = pooled.select(col("_rp").as("_target"),
+      col("v").as("norm_tokens"))
+    src.crossJoin(broadcast(n))
+      .withColumn("_target", expr("(_n * _r + _ng - 1) div _ng"))
+      .join(pooledVals, Seq("_target"))
+      .select(col(idCol), col(groupCol), col("v").as("n_tokens"),
+        col("norm_tokens"))
   }
 
   /** Corpus vocabulary extraction — the tokenizer-training prep step:
@@ -819,6 +886,36 @@ object TextMetrics {
         }
       }
       .toDF(groupCol, idCol, "n_tokens", "bin_id")
+  }
+
+  /** Packing-efficiency report over [[packDocs]] — the QA read before
+    * committing to a sequence budget: per shard, how many bins the
+    * next-fit pass opened, how full they run (utilization =
+    * total_tokens / (n_bins·capacity)), and the fill spread. A
+    * utilization far below 1 means the capacity fights the length
+    * distribution (too many oversized or just-over-half documents) and
+    * packing should follow a chunking pass instead.
+    *
+    * Shape: rides the packed relation — one (group, bin)-keyed
+    * aggregate with map-side partials, then a |groups|-bounded rollup;
+    * utilization is exact-integer until the one final division (dec6'd,
+    * the house hash rule). */
+  def packStats(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, capacity: Long): DataFrame = {
+    val bins = packDocs(docs, idCol, groupCol, textCol, capacity)
+      .groupBy(col(groupCol), col("bin_id"))
+      .agg(sum(col("n_tokens")).as("fill"))
+    bins.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("fill")).as("total_tokens"),
+        sum(when(col("fill") >= capacity, 1L).otherwise(0L))
+          .as("n_full_bins"),
+        min(col("fill")).as("min_fill"),
+        max(col("fill")).as("max_fill"))
+      .select(col(groupCol), col("n_bins"), col("total_tokens"),
+        col("n_full_bins"), col("min_fill"), col("max_fill"),
+        dec6(col("total_tokens").cast("double") /
+          (col("n_bins") * capacity).cast("double")).as("utilization"))
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,

@@ -857,6 +857,46 @@ object PipelineQueries {
       .withColumnRenamed("media_id", "doc_id")
       .orderBy(col("doc_id"), col("frame_no"))
 
+  /** Cross-source quantile normalization
+    * ([[TextMetrics.quantileNormalize]]): each doc's within-source
+    * token-count rank maps to the pooled corpus value at the
+    * equivalent quantile — the score-calibration device, pooled ranks
+    * via the partitioned [[graft.pipeline.Ranks]] device. */
+  def q116QuantileNormalize(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.quantileNormalize(docs(spark, dir), "doc_id", "source",
+        "text")
+      .orderBy(col("doc_id"))
+
+  /** Packing-efficiency report ([[TextMetrics.packStats]]) over the q49
+    * next-fit packing: bins opened, fill spread, utilization per
+    * source. */
+  def q117PackStats(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.packStats(docs(spark, dir), "doc_id", "source", "text",
+        capacity = 128L)
+      .orderBy(col("source"))
+
+  /** PII density per source ([[Pii.densityReport]]) over the q51
+    * deterministic planting — the triage report that routes scrubbing
+    * effort by source. */
+  def q118PiiDensity(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = docs(spark, dir).withColumn("dirty", concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, concat(lit(" host 10."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1"))).otherwise(lit(""))))
+    Pii.densityReport(dirty, "source", "dirty")
+      .orderBy(col("source"))
+  }
+
+  /** Shard-balance report ([[TextMetrics.shardSkew]]) over the q62
+    * hash-shard layout: per-shard doc/token totals + skew ratios. */
+  def q119ShardSkew(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.shardSkew(docs(spark, dir), "doc_id", "text", nShards = 8)
+      .orderBy(col("shard"))
+
   /** Curriculum training order: quality tier (q26 rule) + in-tier
     * deterministic shuffle over 4 shards ([[TextMetrics.curriculumOrder]]). */
   def q97Curriculum(spark: SparkSession, dir: String): DataFrame =
@@ -1107,6 +1147,10 @@ object PipelineQueries {
     "q113_cluster_size_histogram" -> q113ClusterSizeHistogram,
     "q114_split_balance" -> q114SplitBalance,
     "q115_video_thumbnail" -> q115VideoThumbnail,
+    "q116_quantile_normalize" -> q116QuantileNormalize,
+    "q117_pack_stats" -> q117PackStats,
+    "q118_pii_density" -> q118PiiDensity,
+    "q119_shard_skew" -> q119ShardSkew,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -1411,6 +1455,27 @@ object PipelineQueries {
        |WHERE coalesce(s.shared, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(s.shared, 0))::DOUBLE >= 0.5
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
+  // The q49 next-fit packing as a recursive CTE — its own oracle (plus
+  // an ORDER BY) and the base relation of the q117 efficiency report.
+  private val q49OracleBody =
+    """WITH RECURSIVE toks AS (SELECT doc_id, source,
+      |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n
+      |  FROM documents),
+      |ord AS (SELECT doc_id, source, n,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM toks),
+      |pack AS (
+      |  SELECT doc_id, source, n, rn, 0::BIGINT AS bin_id, n AS fill
+      |  FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.doc_id, o.source, o.n, o.rn,
+      |    CASE WHEN p.fill > 0 AND p.fill + o.n > 128
+      |         THEN p.bin_id + 1 ELSE p.bin_id END,
+      |    CASE WHEN p.fill > 0 AND p.fill + o.n > 128
+      |         THEN o.n ELSE p.fill + o.n END
+      |  FROM ord o JOIN pack p ON o.source = p.source AND o.rn = p.rn + 1)
+      |SELECT source, doc_id, n AS n_tokens, bin_id FROM pack""".stripMargin
+
   private val q20Oracle = jaccardTail(
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM (SELECT doc_id, i // 2 AS band,
@@ -1506,6 +1571,30 @@ object PipelineQueries {
     // 1-based rank max(1, ceil(n*p/100)) = greatest(1, (n*p + 99) div
     // 100) of the per-source sorted token counts — exact integer
     // arithmetic on both engines.
+    // Mirrors quantileNormalize: within-source rank r of n_g maps to
+    // the pooled value at percentile_disc rank ceil(N*r/n_g) — all
+    // integer arithmetic, both rank orders tie-broken by doc_id.
+    "q116_quantile_normalize" ->
+      """WITH v AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tokens, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS ng
+        |  FROM v),
+        |p AS (
+        |  SELECT n_tokens AS norm_tokens,
+        |    row_number() OVER (ORDER BY n_tokens, doc_id) AS rp
+        |  FROM v),
+        |n AS (SELECT count(*) AS n FROM v)
+        |SELECT s.doc_id, s.source, s.n_tokens,
+        |  p.norm_tokens::BIGINT AS norm_tokens
+        |FROM s CROSS JOIN n
+        |JOIN p ON p.rp = (n.n * s.r + s.ng - 1) // s.ng
+        |ORDER BY doc_id""".stripMargin,
     "q61_length_percentiles" ->
       """WITH t AS (
         |  SELECT source,
@@ -2054,25 +2143,23 @@ object PipelineQueries {
         |LIMIT 25""".stripMargin,
     // Mirrors TextMetrics.packDocs: the sequential next-fit fold becomes
     // a recursive CTE stepping row_number order within each source.
-    "q49_pack" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, source,
-        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n
-        |  FROM documents),
-        |ord AS (SELECT doc_id, source, n,
-        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-        |  FROM toks),
-        |pack AS (
-        |  SELECT doc_id, source, n, rn, 0::BIGINT AS bin_id, n AS fill
-        |  FROM ord WHERE rn = 1
-        |  UNION ALL
-        |  SELECT o.doc_id, o.source, o.n, o.rn,
-        |    CASE WHEN p.fill > 0 AND p.fill + o.n > 128
-        |         THEN p.bin_id + 1 ELSE p.bin_id END,
-        |    CASE WHEN p.fill > 0 AND p.fill + o.n > 128
-        |         THEN o.n ELSE p.fill + o.n END
-        |  FROM ord o JOIN pack p ON o.source = p.source AND o.rn = p.rn + 1)
-        |SELECT source, doc_id, n AS n_tokens, bin_id FROM pack
-        |ORDER BY source, doc_id""".stripMargin,
+    "q49_pack" -> (q49OracleBody + "\nORDER BY source, doc_id"),
+    // Mirrors TextMetrics.packStats: the q49 packing body rolled up to
+    // per-(source, bin) fills, then the per-source efficiency report.
+    "q117_pack_stats" ->
+      (s"WITH packed AS (\n$q49OracleBody\n),\n" +
+        """bins AS (
+          |  SELECT source, bin_id, sum(n_tokens) AS fill
+          |  FROM packed GROUP BY source, bin_id)
+          |SELECT source, count(*)::BIGINT AS n_bins,
+          |  sum(fill)::BIGINT AS total_tokens,
+          |  sum(CASE WHEN fill >= 128 THEN 1 ELSE 0 END)::BIGINT
+          |    AS n_full_bins,
+          |  min(fill)::BIGINT AS min_fill, max(fill)::BIGINT AS max_fill,
+          |  round((sum(fill)::DOUBLE
+          |    / (count(*) * 128)::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+          |    AS utilization
+          |FROM bins GROUP BY source ORDER BY source""".stripMargin),
     // Mirrors TextMetrics.sampleMix (salt "mix", md5-15-hex fingerprint
     // mod 100 — same portable hash device as q28/q43).
     "q47_sample_mix" ->
@@ -2107,6 +2194,50 @@ object PipelineQueries {
         |SELECT doc_id, (kk % 8)::BIGINT AS shard,
         |  row_number() OVER (PARTITION BY kk % 8 ORDER BY kk, doc_id)::BIGINT AS pos
         |FROM k ORDER BY shard, pos""".stripMargin,
+    // Mirrors Pii.densityReport over the q51 planting: same patterns,
+    // counts aggregated per source, density = exact-integer division
+    // rounded in the decimal domain.
+    "q118_pii_density" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+        |      doc_id::VARCHAR || '@mail.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+        |      lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' host 10.' ||
+        |      (doc_id % 256)::VARCHAR || '.0.1' ELSE '' END AS d
+        |  FROM documents),
+        |c AS (SELECT source,
+        |    len(regexp_extract_all(d,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS ne,
+        |    len(regexp_extract_all(d, '\+1-[0-9]{3}-[0-9]{4}'))::BIGINT AS np,
+        |    len(regexp_extract_all(d,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS ni
+        |  FROM dirty)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_affected,
+        |  sum(ne)::BIGINT AS n_emails, sum(np)::BIGINT AS n_phones,
+        |  sum(ni)::BIGINT AS n_ips, sum(ne + np + ni)::BIGINT AS n_pii,
+        |  round(((sum(ne + np + ni) * 1000)::DOUBLE
+        |    / count(*)::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS pii_per_1k
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // Mirrors TextMetrics.shardSkew: the q62 shard hash, per-shard
+    // doc/token totals, skew = count*nShards/total (1.0 = even).
+    "q119_shard_skew" ->
+      """WITH k AS (SELECT doc_id,
+        |    ('0x' || substr(md5('shuffle:' || doc_id::VARCHAR), 1, 15))::BIGINT AS kk,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS nt
+        |  FROM documents),
+        |per AS (SELECT (kk % 8)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+        |    sum(nt)::BIGINT AS n_tokens FROM k GROUP BY 1),
+        |tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM per)
+        |SELECT shard, n_docs, n_tokens,
+        |  round(((n_docs * 8)::DOUBLE / td::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+        |    AS docs_skew,
+        |  round(((n_tokens * 8)::DOUBLE / tt::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+        |    AS tokens_skew
+        |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin,
     // Mirrors TextMetrics.repetitionStats: tagged grams ('2:'/'3:'
     // prefixes stand in for the struct tag), LIKE filters split the
     // per-size aggregates back out, length(gg)-2 drops the tag chars.
