@@ -373,19 +373,92 @@ object Dedup {
     * a sign boundary in every probed bit is missed; exactly the standard
     * LSH recall trade documented for [[minhashNearDups]]. */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-      minDotQ: Long, nBits: Int = 8, maxBucket: Int = Int.MaxValue): DataFrame = {
+      minDotQ: Long, nBits: Int = 8, maxBucket: Int = Int.MaxValue): DataFrame =
+    bucketPairs(corpus, idCol, vecCol, nBits, maxBucket, "embeddingNearDups")
+      .filter(col("dot_q") >= minDotQ)
+      .select(col("vec_a"), col("vec_b"), col("dot_q"))
+
+  /** Hard-negative mining for contrastive-training data — the pair
+    * selection that makes embedding training work: per anchor, same-
+    * bucket candidates whose exact quantized dot lands in the MID band
+    * `[loDotQ, hiDotQ)` — similar enough to be informative, distant
+    * enough not to be an unlabeled positive (the near-dup band above
+    * `hiDotQ` is exactly what [[embeddingNearDups]] removes). Same
+    * sign-LSH candidate generation and exact-dot verify as the dedup
+    * form — one operator family serves both ends of the similarity
+    * spectrum.
+    *
+    * Scale note: sign-LSH concentrates HIGH-similarity pairs in shared
+    * buckets, so the mid band is sampled, not exhaustive — exactly the
+    * industry practice (in-batch/ANN-candidate negatives, not all
+    * pairs). Raise nBits for tighter candidate sets; the occupancy
+    * guard applies unchanged. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      loDotQ: Long, hiDotQ: Long, nBits: Int = 8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(loDotQ < hiDotQ, "hardNegatives: need loDotQ < hiDotQ")
+    bucketPairs(corpus, idCol, vecCol, nBits, maxBucket, "hardNegatives")
+      .filter(col("dot_q") >= loDotQ && col("dot_q") < hiDotQ)
+      .select(col("vec_a"), col("vec_b"), col("dot_q"))
+  }
+
+  /** Shared sign-LSH bucket self-join: (vec_a < vec_b, dot_q) candidate
+    * pairs — the body behind [[embeddingNearDups]] and
+    * [[hardNegatives]], one definition so the two bands can never
+    * disagree on candidate generation. */
+  private def bucketPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, maxBucket: Int, who: String): DataFrame = {
     import graft.functions.VectorFunctions.{dotExact, quantize, signBucket}
     val v0 = corpus.select(col(idCol).as("vid"),
       quantize(col(vecCol)).as("qv"),
       signBucket(col(vecCol), nBits).as("bucket"))
-    val v = capOccupancy(v0, Seq("bucket"), maxBucket, "embeddingNearDups")
+    val v = capOccupancy(v0, Seq("bucket"), maxBucket, who)
     val a = v.select(col("vid").as("vec_a"), col("qv").as("qa"), col("bucket"))
     val b = v.select(col("vid").as("vec_b"), col("qv").as("qb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("dot_q", dotExact(col("qa"), col("qb")))
+  }
+
+  /** Hamming-1 multi-probe embedding near-dups — the recall-recovery
+    * mitigation [[embeddingNearDups]] documents, made real: a pair
+    * whose vectors straddle exactly ONE sign boundary lands in buckets
+    * at Hamming distance 1 and the plain bucket equi-join never sees
+    * it. Here one side additionally probes its nBits single-bit-flip
+    * neighbor buckets (home + nBits keys per vector), so every pair at
+    * bucket distance ≤ 1 reaches the exact-dot verify; `bucket_dist`
+    * (0 or 1) reports which pairs the probes recovered. Pairs
+    * differing in ≥ 2 sign bits remain the residual recall trade.
+    *
+    * Scale shape: still a bucket EQUI-join — only the (nBits+1)-way
+    * probe explosion of (id, qv, bucket) shuffles, never raw vectors
+    * at corpus width; per-bucket work grows by the probe factor, which
+    * is why the occupancy guard applies here too. Each qualifying pair
+    * matches exactly one probe key (one bit differs → one flip), so no
+    * dedup pass is needed. */
+  def embeddingNearDupsProbed(corpus: DataFrame, idCol: String,
+      vecCol: String, minDotQ: Long, nBits: Int = 8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    import graft.functions.VectorFunctions.{dotExact, quantize, signBucket}
+    val v0 = corpus.select(col(idCol).as("vid"),
+      quantize(col(vecCol)).as("qv"),
+      signBucket(col(vecCol), nBits).as("bucket"))
+    val v = capOccupancy(v0, Seq("bucket"), maxBucket,
+      "embeddingNearDupsProbed")
+    val flips = array((lit(0L) +:
+      (0 until nBits).map(i => lit(1L << i))): _*)
+    val probes = v.select(col("vid").as("vec_a"), col("qv").as("qa"),
+        col("bucket").as("_home"), explode(flips).as("_flip"))
+      .select(col("vec_a"), col("qa"), col("_home"),
+        expr("_home ^ _flip").as("bucket"))
+    val home = v.select(col("vid").as("vec_b"), col("qv").as("qb"),
+      col("bucket"))
+    probes.join(home, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot_q", dotExact(col("qa"), col("qb")))
       .filter(col("dot_q") >= minDotQ)
-      .select(col("vec_a"), col("vec_b"), col("dot_q"))
+      .select(col("vec_a"), col("vec_b"), col("dot_q"),
+        expr("bit_count(_home ^ bucket)").cast("long").as("bucket_dist"))
   }
 
   /** Cross-set embedding near-dup join — SEMANTIC decontamination,

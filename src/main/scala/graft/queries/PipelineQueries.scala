@@ -167,6 +167,37 @@ object PipelineQueries {
       minDotQ = 250000000000L, nBits = 8)
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** Hamming-1 multi-probe near-dups ([[Dedup.embeddingNearDupsProbed]]):
+    * the q40 bucket join plus single-bit-flip probes — pairs split by
+    * one sign boundary are recovered and tagged bucket_dist = 1. */
+  def q120ProbedNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsProbed(emb(spark, dir), "vec_id", "embedding",
+        minDotQ = 250000000000L, nBits = 8)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Containment (asymmetric Jaccard) over the shared verified near-dup
+    * pairs: shared/|A| and shared/|B| — the one-sided overlap that
+    * catches a small document quoted inside a big one, which symmetric
+    * Jaccard under-scores. Exact integer operands, IEEE division. */
+  def q121Containment(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("shared").cast("long").as("shared"),
+        col("size_a").cast("long").as("size_a"),
+        col("size_b").cast("long").as("size_b"),
+        (col("shared").cast("double") / col("size_a").cast("double"))
+          .as("containment_a"),
+        (col("shared").cast("double") / col("size_b").cast("double"))
+          .as("containment_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Hard-negative mining ([[Dedup.hardNegatives]]): same-bucket pairs
+    * in the mid-similarity band [0.05, 0.25)·1e12 — contrastive-
+    * training pair selection from the same sign-LSH family as q40. */
+  def q122HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hardNegatives(emb(spark, dir), "vec_id", "embedding",
+        loDotQ = 50000000000L, hiDotQ = 250000000000L, nBits = 8)
+      .orderBy(col("vec_a"), col("vec_b"))
+
   /** Semantic decontamination — the embedding leg of the trio (exact
     * grams q43/q59, lexical fuzzy q48): corpus vectors (vec_id % 10 ≠ 0)
     * vs a held-out eval set (vec_id % 10 = 0), sign-LSH bucket
@@ -1151,6 +1182,9 @@ object PipelineQueries {
     "q117_pack_stats" -> q117PackStats,
     "q118_pii_density" -> q118PiiDensity,
     "q119_shard_skew" -> q119ShardSkew,
+    "q120_probed_neardups" -> q120ProbedNearDups,
+    "q121_containment" -> q121Containment,
+    "q122_hard_negatives" -> q122HardNegatives,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -1549,6 +1583,49 @@ object PipelineQueries {
           |  SELECT vec_a, vec_b, sum(ax * bx)::BIGINT AS dot_q
           |  FROM exp GROUP BY 1, 2)
           |SELECT vec_a, vec_b, dot_q FROM dots
+          |WHERE dot_q >= 250000000000
+          |ORDER BY vec_a, vec_b""".stripMargin),
+    // Mirrors q121Containment: the q20 verified-pair body re-projected
+    // to one-sided overlap ratios (exact integer operands, IEEE
+    // division — the jaccard column's own device).
+    "q121_containment" ->
+      (s"WITH p AS (SELECT * FROM (\n$q20Oracle\n))\n" +
+        """SELECT doc_a, doc_b, shared::BIGINT AS shared,
+          |  size_a::BIGINT AS size_a, size_b::BIGINT AS size_b,
+          |  shared::DOUBLE / size_a::DOUBLE AS containment_a,
+          |  shared::DOUBLE / size_b::DOUBLE AS containment_b
+          |FROM p ORDER BY doc_a, doc_b""".stripMargin),
+    // Mirrors hardNegatives: the q40 bucket join restricted to the
+    // mid-similarity band [5e10, 2.5e11).
+    "q122_hard_negatives" ->
+      (embBucketCte + ",\n" +
+        """exp AS (
+          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |    unnest(a.qv) AS ax, unnest(b.qv) AS bx
+          |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          |dots AS (
+          |  SELECT vec_a, vec_b, sum(ax * bx)::BIGINT AS dot_q
+          |  FROM exp GROUP BY 1, 2)
+          |SELECT vec_a, vec_b, dot_q FROM dots
+          |WHERE dot_q >= 50000000000 AND dot_q < 250000000000
+          |ORDER BY vec_a, vec_b""".stripMargin),
+    // Mirrors embeddingNearDupsProbed: the oracle brute-forces the
+    // bucket-distance-<=1 condition (bit_count of xor) that the Spark
+    // side reaches via single-bit-flip probe keys.
+    "q120_probed_neardups" ->
+      (embBucketCte + ",\n" +
+        """exp AS (
+          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |    bit_count(xor(a.bucket, b.bucket))::BIGINT AS bucket_dist,
+          |    unnest(a.qv) AS ax, unnest(b.qv) AS bx
+          |  FROM v a JOIN v b
+          |    ON bit_count(xor(a.bucket, b.bucket)) <= 1
+          |    AND a.vec_id < b.vec_id),
+          |dots AS (
+          |  SELECT vec_a, vec_b, bucket_dist,
+          |    sum(ax * bx)::BIGINT AS dot_q
+          |  FROM exp GROUP BY 1, 2, 3)
+          |SELECT vec_a, vec_b, dot_q, bucket_dist FROM dots
           |WHERE dot_q >= 250000000000
           |ORDER BY vec_a, vec_b""".stripMargin),
     // Mirrors Dedup.embeddingNearDupsAgainst: corpus (vec_id % 10 <> 0)

@@ -155,6 +155,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(embs.count() == 3)
   }
 
+  test("Hamming-1 probes recover one-boundary pairs; distance-0 set equals the plain join") {
+    // ids 1,2: same bucket (near-dups, dist 0). ids 3,4: high cosine but
+    // dim-1 sign straddles a boundary (dist 1) — the plain bucket join
+    // MUST miss them, the probed join must recover them. id 5: far.
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.9f, 0.9f, 0.9f)),
+      (2L, Array(0.8f, 0.9f, 0.9f, 0.9f)),
+      (3L, Array(0.001f, -0.9f, 0.9f, 0.9f)),
+      (4L, Array(-0.001f, -0.9f, 0.9f, 0.9f)),
+      (5L, Array(-0.9f, 0.9f, -0.9f, -0.9f))).toDF("vec_id", "embedding")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minDot = 1500000000000L // cosine-ish: 3,4 dot ~ 1.62e12; 1,2 ~ 3.15e12
+    val plain = pairs(Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      minDotQ = minDot, nBits = 4))
+    val probed = Dedup.embeddingNearDupsProbed(vecs, "vec_id", "embedding",
+      minDotQ = minDot, nBits = 4)
+    assert(plain == Set((1L, 2L)))
+    assert(pairs(probed) == Set((1L, 2L), (3L, 4L)))
+    val dist = probed.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(dist((1L, 2L)) == 0L && dist((3L, 4L)) == 1L)
+  }
+
   test("multimodal dispatch: mixed media routes each modality through its real codec") {
     val docs = Seq((0L, "abc"), (1L, "de"), (2L, "fgh"), (3L, ""), (4L, "xy"))
       .toDF("doc_id", "text")
