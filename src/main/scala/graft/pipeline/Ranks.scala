@@ -45,15 +45,18 @@ object Ranks {
       rankCol: String = "_rn", nBuckets: Int = 1024): DataFrame = {
     require(nBuckets >= 1, s"bucketedGlobalRank: nBuckets must be >= 1")
     val v = col(valueCol).cast("double")
-    val stats = df.agg(min(v).as("_lo"), max(v).as("_hi"))
-    val bucketed = df.crossJoin(broadcast(stats))
+    // 1-row side-input action (the BPE/Lod bounded-collect class): lo/hi
+    // become literals, so the bucket map is pure map-side and the stats
+    // subtree isn't recomputed under both the histogram and rank branches
+    val statsRow = df.agg(min(v).as("_lo"), max(v).as("_hi")).head()
+    val empty = statsRow.isNullAt(0)
+    val (lo, hi) =
+      if (empty) (0.0, 0.0) else (statsRow.getDouble(0), statsRow.getDouble(1))
+    val bucketed = df
       .withColumn("_b",
-        when(col("_hi") <= col("_lo"), lit(0L))
-          .otherwise(least(lit(nBuckets - 1L),
-            floor((v - col("_lo")) / (col("_hi") - col("_lo"))
-              * nBuckets)))
-          .cast("int"))
-      .drop("_lo", "_hi")
+        if (hi <= lo) lit(0)
+        else least(lit(nBuckets - 1L),
+          floor((v - lit(lo)) / lit(hi - lo) * nBuckets)).cast("int"))
     val hist = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_bcnt"))
     // Exclusive prefix sum over the nBuckets-bounded histogram — a
     // broadcast non-equi self-join instead of a global window, so the
