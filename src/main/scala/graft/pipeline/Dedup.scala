@@ -269,6 +269,25 @@ object Dedup {
     jaccard(pairs, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** Dedup-aware loss weights over a [[nearDupClusters]] labeling —
+    * the "count-duplicates-once-but-weight-them" alternative to silent
+    * dropping (duplicate-count reweighting: the kept representative
+    * carries its cluster's size as a training weight, so the corpus
+    * distribution is preserved while near-dup redundancy is removed).
+    * Dropped members get weight 0; singleton representatives weight 1.
+    *
+    * Shape: one cluster-keyed aggregate (cluster-bounded relation) and
+    * one cluster-keyed join back — rides the already-materialized
+    * cluster labels, so the expensive label propagation is amortized
+    * across the q37 family. */
+  def clusterWeights(clusters: DataFrame): DataFrame = {
+    val sz = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("_sz"))
+    clusters.join(sz, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("keep"), col("_sz")).otherwise(lit(0L)).as("weight"))
+  }
+
   /** Connected components over a near-dup pair relation → dedup
     * clusters: each document is labeled with the smallest doc id
     * reachable through near-dup edges, and one representative

@@ -475,6 +475,14 @@ object PipelineQueries {
         sum(col("_sz")).as("n_docs"))
       .orderBy(col("cluster_size"))
 
+  /** Dedup-aware loss weights ([[Dedup.clusterWeights]]) over the
+    * shared q37 clusters: representatives carry cluster size as a
+    * training weight (distribution-preserving dedup), dropped members
+    * weight 0. */
+  def q123ClusterWeights(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusterWeights(docClusters(spark, dir))
+      .orderBy(col("doc_id"))
+
   /** Near-dup dedup, keep-best form (RefinedWeb-style): q37's clusters
     * joined with q26's quality signals; the kept representative is the
     * best-quality member (quality DESC, n_chars DESC, doc_id ASC)
@@ -1185,6 +1193,7 @@ object PipelineQueries {
     "q120_probed_neardups" -> q120ProbedNearDups,
     "q121_containment" -> q121Containment,
     "q122_hard_negatives" -> q122HardNegatives,
+    "q123_cluster_weights" -> q123ClusterWeights,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -1710,6 +1719,17 @@ object PipelineQueries {
       (clusterCtes +
         "\nSELECT doc_id, cluster_id, doc_id = cluster_id AS keep" +
         "\nFROM clus ORDER BY doc_id"),
+    // q37's clusters + per-cluster sizes: the representative carries
+    // the size as weight, dropped members 0 — mirrors clusterWeights.
+    "q123_cluster_weights" ->
+      (clusterCtes + ",\n" +
+        """sz AS (SELECT cluster_id, count(*)::BIGINT AS s
+          |  FROM clus GROUP BY cluster_id)
+          |SELECT c.doc_id, c.cluster_id,
+          |  CASE WHEN c.doc_id = c.cluster_id THEN sz.s ELSE 0 END::BIGINT
+          |    AS weight
+          |FROM clus c JOIN sz ON sz.cluster_id = c.cluster_id
+          |ORDER BY c.doc_id""".stripMargin),
     // q37's clusters rolled up twice: per-cluster size, then the
     // size histogram — mirrors q113ClusterSizeHistogram.
     "q113_cluster_size_histogram" ->

@@ -162,6 +162,39 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("signature store: persisted bands serve incremental candidates identical to scratch") {
+    import graft.pipeline.Dedup
+    // production incremental dedup persists the band relation ONCE and
+    // each ingest joins against the store instead of re-shingling the
+    // corpus — pin that the store round-trips and candidate generation
+    // is unchanged
+    val corpus = (1L to 40L)
+      .map(i => (i, s"shared prefix words here then doc ${i % 7} tail"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "shared prefix words here then doc 3 tail"),
+      (101L, "completely novel text nothing in common"))
+      .toDF("doc_id", "text")
+    def bands(d: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(Dedup.minhashSignatures(
+        Dedup.shingleSets(d, "doc_id", "text", 3), 8), 8, 2)
+        .select("doc_id", "band", "band_key")
+    val dir = Files.createTempDirectory("sigstore").toString
+    try {
+      // one band_key-bucketed write = the store; band_key is the join key
+      Scale.writeBucketed(bands(corpus), "sig_store", dir, "band_key",
+        buckets = 4)
+      val restored = spark.table("sig_store")
+      def pairs(store: org.apache.spark.sql.DataFrame) =
+        Dedup.lshCandidatesAcross(bands(batch), store)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = pairs(restored)
+      assert(got == pairs(bands(corpus)))
+      assert(got.nonEmpty && got.forall(_._1 == 100L),
+        s"batch doc 100 must hit its corpus twins, 101 must not: $got")
+    } finally spark.sql("DROP TABLE IF EXISTS sig_store")
+  }
+
   test("LSH occupancy guards exclude degenerate keys loudly, clean results unchanged") {
     import graft.pipeline.Dedup
     // 30 byte-identical boilerplate docs: every band key is shared by
