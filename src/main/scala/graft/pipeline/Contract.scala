@@ -44,4 +44,38 @@ object Contract {
       .select(col("rule"), col("n_violations"),
         (col("n_violations") === 0L).as("pass"))
   }
+
+  /** The `embeddings` contract — the vector-table expectation suite an
+    * ANN/dedup pipeline gates on: id presence/uniqueness, non-empty
+    * vectors, ONE consistent dimensionality (counted as distinct
+    * observed dims beyond the first — 0 when consistent), no
+    * NaN/Infinity components, no all-zero vectors (they poison cosine
+    * neighborhoods), label presence. Same one-scan conditional-
+    * aggregation + stack shape as [[documentsContract]]; the component
+    * checks ride `exists` lambdas (interpreted, but over short
+    * fixed-dim arrays — one pass per row, no shuffle). */
+  def embeddingsContract(embs: DataFrame): DataFrame = {
+    val e = col("embedding")
+    val agg = embs.agg(
+      sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("v_id_null"),
+      (count(col("vec_id")) - countDistinct(col("vec_id"))).as("v_id_dup"),
+      sum(when(e.isNull || size(e) === 0, 1L).otherwise(0L)).as("v_empty"),
+      // empty vectors are vector_not_empty's business — they must not
+      // count dim 0 as an observed dimensionality
+      greatest(countDistinct(when(e.isNotNull && size(e) > 0, size(e))) - 1L,
+        lit(0L)).as("v_dim"),
+      sum(when(exists(e, x => isnan(x) ||
+          abs(x) === lit(Float.PositiveInfinity)), 1L).otherwise(0L))
+        .as("v_nonfinite"),
+      sum(when(e.isNotNull && size(e) > 0 && !exists(e, x => x =!= 0f),
+        1L).otherwise(0L)).as("v_zero_vec"),
+      sum(when(col("label").isNull, 1L).otherwise(0L)).as("v_label_null"))
+    agg.select(expr(
+        "stack(7, 'id_not_null', v_id_null, 'id_unique', v_id_dup, " +
+          "'vector_not_empty', v_empty, 'dims_consistent', v_dim, " +
+          "'components_finite', v_nonfinite, 'no_zero_vectors', v_zero_vec, " +
+          "'label_not_null', v_label_null) as (rule, n_violations)"))
+      .select(col("rule"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
 }

@@ -475,6 +475,12 @@ object PipelineQueries {
         sum(col("_sz")).as("n_docs"))
       .orderBy(col("cluster_size"))
 
+  /** Embeddings-table data contract ([[Contract.embeddingsContract]]):
+    * the vector-side expectation suite completing the q98 pair. */
+  def q124EmbeddingsContract(spark: SparkSession, dir: String): DataFrame =
+    Contract.embeddingsContract(emb(spark, dir))
+      .orderBy(col("rule"))
+
   /** Dedup-aware loss weights ([[Dedup.clusterWeights]]) over the
     * shared q37 clusters: representatives carry cluster size as a
     * training weight (distribution-preserving dedup), dropped members
@@ -1194,6 +1200,7 @@ object PipelineQueries {
     "q121_containment" -> q121Containment,
     "q122_hard_negatives" -> q122HardNegatives,
     "q123_cluster_weights" -> q123ClusterWeights,
+    "q124_embeddings_contract" -> q124EmbeddingsContract,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2802,6 +2809,36 @@ object PipelineQueries {
         |  UNION ALL SELECT 'n_chars_consistent', v_chars FROM a
         |  UNION ALL SELECT 'lang_allowed', v_lang FROM a
         |  UNION ALL SELECT 'source_format', v_source FROM a)
+        |ORDER BY rule""".stripMargin,
+    // Mirrors Contract.embeddingsContract: same conditional aggregates
+    // over the embeddings table, unpivoted by UNION ALL.
+    "q124_embeddings_contract" ->
+      """WITH a AS (SELECT
+        |    sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS v_id_null,
+        |    (count(vec_id) - count(DISTINCT vec_id))::BIGINT AS v_id_dup,
+        |    sum(CASE WHEN embedding IS NULL OR len(embedding) = 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS v_empty,
+        |    greatest(count(DISTINCT CASE WHEN embedding IS NOT NULL
+        |      AND len(embedding) > 0
+        |      THEN len(embedding) END) - 1, 0)::BIGINT AS v_dim,
+        |    sum(CASE WHEN len(list_filter(embedding,
+        |        x -> isnan(x) OR isinf(x))) > 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS v_nonfinite,
+        |    sum(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+        |        AND len(list_filter(embedding, x -> x <> 0)) = 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS v_zero_vec,
+        |    sum(CASE WHEN label IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS v_label_null
+        |  FROM embeddings)
+        |SELECT rule, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'id_not_null' AS rule, v_id_null AS n_violations FROM a
+        |  UNION ALL SELECT 'id_unique', v_id_dup FROM a
+        |  UNION ALL SELECT 'vector_not_empty', v_empty FROM a
+        |  UNION ALL SELECT 'dims_consistent', v_dim FROM a
+        |  UNION ALL SELECT 'components_finite', v_nonfinite FROM a
+        |  UNION ALL SELECT 'no_zero_vectors', v_zero_vec FROM a
+        |  UNION ALL SELECT 'label_not_null', v_label_null FROM a)
         |ORDER BY rule""".stripMargin,
     // Mirrors Similarity.normOutliers: exact quantized norms, the q61
     // integer-rank percentile_disc device for the [p1, p99] bounds.

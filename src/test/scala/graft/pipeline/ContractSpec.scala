@@ -42,6 +42,33 @@ class ContractSpec extends AnyFunSuite {
     assert(out.length == 6 && out.forall(_.getBoolean(2)))
   }
 
+  test("embeddingsContract: each rule counts its planted violation; clean frame passes") {
+    val rows = Seq(
+      (Some(1L), Array(0.1f, 0.2f), Some(3)),
+      (Some(1L), Array(0.3f, 0.4f), Some(4)),          // id_unique
+      (None, Array(0.5f, 0.6f), Some(1)),              // id_not_null
+      (Some(3L), Array.empty[Float], Some(1)),         // vector_not_empty
+      (Some(4L), Array(0.1f, 0.2f, 0.3f), Some(2)),    // dims_consistent
+      (Some(5L), Array(Float.NaN, 0.1f), Some(2)),     // components_finite
+      (Some(6L), Array(0f, 0f), Some(2)),              // no_zero_vectors
+      (Some(7L), Array(0.7f, 0.8f), None))             // label_not_null
+      .toDF("vec_id", "embedding", "label")
+    val out = Contract.embeddingsContract(rows)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out("id_not_null") == ((1L, false)))
+    assert(out("id_unique") == ((1L, false)))
+    assert(out("vector_not_empty") == ((1L, false)))
+    assert(out("dims_consistent") == ((1L, false))) // 2 dims observed (2,3) → 1 extra
+    assert(out("components_finite") == ((1L, false)))
+    assert(out("no_zero_vectors") == ((1L, false)))
+    assert(out("label_not_null") == ((1L, false)))
+    val clean = Seq((1L, Array(0.1f, 0.2f), 0), (2L, Array(0.3f, 0.4f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val res = Contract.embeddingsContract(clean).collect()
+    assert(res.length == 7 && res.forall(_.getBoolean(2)))
+  }
+
   test("normOutliers flags exactly the vectors outside the [p1,p99] rank band") {
     // 100 vectors with strictly increasing norms: p1 bound = rank 1,
     // p99 bound = rank 99 -> outliers = the single largest norm
