@@ -799,6 +799,76 @@ object TextMetrics {
           .as("ks_stat"))
   }
 
+  /** Per-group Population Stability Index — the third drift lens next
+    * to [[ksDrift]] (max ECDF gap) and [[sourceDivergence]] (vocabulary
+    * JSD): the monitoring-standard binned divergence
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) of each source's token-count
+    * distribution against the rest of the corpus, over `bins` pooled
+    * percentile_disc quantile bins (reference-quantile binning, the
+    * production convention). Counts are Laplace-smoothed (+1 per bin)
+    * so empty cells stay defined — deterministic, engine-mirrored.
+    * Conventional read: < 0.1 stable, 0.1–0.25 drifting, > 0.25 major.
+    *
+    * Cross-engine discipline: bin boundaries and cell counts are exact
+    * integers (the q61 rank device over the compact value histogram);
+    * p, q are IEEE double quotients of exact integers, ln runs on the
+    * identical double (bit-stable, the q107 device), each term
+    * truncates to DECIMAL(28,10) and sums exactly; the result rounds
+    * once in the decimal domain.
+    *
+    * Shape: one scan collapses to the (group, n_tokens, count) cell
+    * relation — bounded by |groups|·|distinct lengths|, corpus-size-
+    * independent (the ksDrift profile); boundaries come from a window
+    * over the pooled value histogram (compact); the bins-1-row bound
+    * table broadcasts into the cell binning; the final aggregate keys
+    * on |groups|·bins cells. */
+  def psiDrift(docs: DataFrame, groupCol: String, textCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "psiDrift: bins must be >= 2")
+    val cell = tokenCounts(docs, groupCol, textCol)
+      .groupBy(col(groupCol), col("n_tokens")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // histogram, grid, totals all read it
+    val hist = cell.groupBy(col("n_tokens")).agg(sum(col("c")).as("cv"))
+    val n = cell.agg(sum(col("c")).as("_n"))
+    // pooled percentile_disc boundaries: bound_j = smallest value whose
+    // cumulative count reaches ceil(N*j/bins), j = 1..bins-1 (window
+    // over the compact value histogram — the ksDrift precedent)
+    val wv = Window.orderBy(col("n_tokens"))
+    val bounds = hist.withColumn("_cum", sum(col("cv")).over(wv))
+      .crossJoin(broadcast(n))
+      .select(col("n_tokens"), col("_cum"), col("_n"),
+        explode(sequence(lit(1), lit(bins - 1))).as("_j"))
+      .filter(col("_cum") >= expr(s"(_n * _j + $bins - 1) div $bins"))
+      .groupBy(col("_j")).agg(min(col("n_tokens")).as("_bound"))
+    // bin = 1 + #bounds strictly below the value (ties stay low)
+    val binnedCells = cell.crossJoin(broadcast(bounds))
+      .groupBy(col(groupCol), col("n_tokens"), col("c"))
+      .agg(sum(when(col("n_tokens") > col("_bound"), 1L).otherwise(0L))
+        .as("_bin0"))
+      .select(col(groupCol), (col("_bin0") + 1L).as("_bin"), col("c"))
+      .groupBy(col(groupCol), col("_bin")).agg(sum(col("c")).as("sb"))
+    // full (source × bin) grid, zero-filled; per-bin and per-source totals
+    val grid = cell.select(col(groupCol)).distinct()
+      .crossJoin(broadcast(
+        docs.sparkSession.range(1, bins + 1).select(col("id").as("_bin"))))
+      .join(binnedCells, Seq(groupCol, "_bin"), "left")
+      .na.fill(0L, Seq("sb"))
+    val binTot = grid.groupBy(col("_bin")).agg(sum(col("sb")).as("cb"))
+    val srcTot = grid.groupBy(col(groupCol)).agg(sum(col("sb")).as("ns"))
+    val p = (col("sb") + 1L).cast("double") /
+      (col("ns") + bins).cast("double")
+    val q = (col("cb") - col("sb") + 1L).cast("double") /
+      (col("_nn") - col("ns") + bins).cast("double")
+    grid.join(broadcast(binTot), Seq("_bin"))
+      .join(broadcast(srcTot), Seq(groupCol))
+      .crossJoin(broadcast(n.select(col("_n").as("_nn"))))
+      .select(col(groupCol), col("ns"),
+        ((p - q) * log(p / q)).cast("decimal(28,10)").as("_term"))
+      .groupBy(col(groupCol))
+      .agg(max(col("ns")).as("n_docs"),
+        round(sum(col("_term")), 6).cast("double").as("psi"))
+  }
+
   /** Per-group token-length distribution report — the corpus-health
     * check run before choosing chunking/packing budgets: exact discrete
     * percentiles with percentile_disc semantics — the SMALLEST observed

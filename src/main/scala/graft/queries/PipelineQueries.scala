@@ -481,6 +481,14 @@ object PipelineQueries {
     Contract.embeddingsContract(emb(spark, dir))
       .orderBy(col("rule"))
 
+  /** Population Stability Index per source ([[TextMetrics.psiDrift]]):
+    * binned drift of each source's length distribution vs the rest of
+    * the corpus over pooled decile bins — the monitoring-standard third
+    * lens next to q110 (KS) and q107 (JSD). */
+  def q125PsiDrift(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.psiDrift(docs(spark, dir), "source", "text", bins = 10)
+      .orderBy(col("source"))
+
   /** Dedup-aware loss weights ([[Dedup.clusterWeights]]) over the
     * shared q37 clusters: representatives carry cluster size as a
     * training weight (distribution-preserving dedup), dropped members
@@ -1201,6 +1209,7 @@ object PipelineQueries {
     "q122_hard_negatives" -> q122HardNegatives,
     "q123_cluster_weights" -> q123ClusterWeights,
     "q124_embeddings_contract" -> q124EmbeddingsContract,
+    "q125_psi_drift" -> q125PsiDrift,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2810,6 +2819,47 @@ object PipelineQueries {
         |  UNION ALL SELECT 'lang_allowed', v_lang FROM a
         |  UNION ALL SELECT 'source_format', v_source FROM a)
         |ORDER BY rule""".stripMargin,
+    // Mirrors psiDrift: pooled decile bounds via the rank device over
+    // the value histogram, +1-smoothed cell ratios, per-term ln on
+    // IEEE-identical doubles, DECIMAL term sum, one final round.
+    "q125_psi_drift" ->
+      """WITH t AS (SELECT source,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS v
+        |  FROM documents),
+        |cell AS (SELECT source, v, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+        |hist AS (SELECT v, sum(c)::BIGINT AS cv FROM cell GROUP BY 1),
+        |n AS (SELECT sum(c)::BIGINT AS nn FROM cell),
+        |cum AS (SELECT v, sum(cv) OVER (ORDER BY v)::BIGINT AS cm FROM hist),
+        |bounds AS (
+        |  SELECT j.j, min(cum.v) AS bound
+        |  FROM cum CROSS JOIN n JOIN generate_series(1, 9) j(j)
+        |    ON cum.cm >= (n.nn * j.j + 9) // 10
+        |  GROUP BY j.j),
+        |binned AS (
+        |  SELECT cell.source, cell.v, cell.c,
+        |    1 + sum(CASE WHEN cell.v > b.bound THEN 1 ELSE 0 END) AS bin
+        |  FROM cell CROSS JOIN bounds b GROUP BY 1, 2, 3),
+        |sb AS (SELECT source, bin, sum(c)::BIGINT AS sb
+        |  FROM binned GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, gb.bin, coalesce(sb.sb, 0)::BIGINT AS sb
+        |  FROM (SELECT DISTINCT source FROM cell) s
+        |  CROSS JOIN generate_series(1, 10) gb(bin)
+        |  LEFT JOIN sb ON sb.source = s.source AND sb.bin = gb.bin),
+        |bt AS (SELECT bin, sum(sb)::BIGINT AS cb FROM grid GROUP BY 1),
+        |st AS (SELECT source, sum(sb)::BIGINT AS ns FROM grid GROUP BY 1),
+        |terms AS (
+        |  SELECT g.source, st.ns,
+        |    (((g.sb + 1)::DOUBLE / (st.ns + 10)::DOUBLE)
+        |     - ((bt.cb - g.sb + 1)::DOUBLE / (n.nn - st.ns + 10)::DOUBLE))
+        |    * ln(((g.sb + 1)::DOUBLE / (st.ns + 10)::DOUBLE)
+        |       / ((bt.cb - g.sb + 1)::DOUBLE / (n.nn - st.ns + 10)::DOUBLE))
+        |      AS term
+        |  FROM grid g JOIN bt USING (bin) JOIN st USING (source)
+        |  CROSS JOIN n)
+        |SELECT source, max(ns)::BIGINT AS n_docs,
+        |  round(sum(term::DECIMAL(28,10)), 6)::DOUBLE AS psi
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     // Mirrors Contract.embeddingsContract: same conditional aggregates
     // over the embeddings table, unpivoted by UNION ALL.
     "q124_embeddings_contract" ->
