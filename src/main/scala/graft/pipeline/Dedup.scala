@@ -655,6 +655,36 @@ object Dedup {
     decontaminateVerify(corpus, corpusIdCol, cg, broadcast(eg))
   }
 
+  /** Eval-side contamination triage — the flip of [[decontaminate]]:
+    * per EVAL document, how many corpus documents share any n-token
+    * gram and how many distinct grams leak. Decontamination answers
+    * "which corpus docs do I drop"; this answers "which benchmark items
+    * are already compromised and must leave the eval set" — both reads
+    * are run before any training/eval pair is trusted.
+    *
+    * Same scale shape as [[decontaminate]] — the bounded eval gram set
+    * broadcasts, corpus grams probe it map-side — but the rollup keys
+    * on the eval id, so the output is eval-sized. */
+  def contaminationByEval(corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, evalSet: DataFrame, evalIdCol: String,
+      evalTextCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, "contaminationByEval: n must be >= 1")
+    val cg = gramFingerprints(corpus, corpusIdCol, corpusTextCol,
+      "_corpus_id", n)
+    val eg = gramFingerprints(evalSet, evalIdCol, evalTextCol,
+      evalIdCol, n).distinct()
+    val hits = cg.join(broadcast(eg), "gram_fp")
+      .groupBy(col(evalIdCol))
+      .agg(countDistinct(col("gram_fp")).as("n_shared_grams"),
+        countDistinct(col("_corpus_id")).as("n_corpus_docs"))
+    evalSet.select(col(evalIdCol))
+      .join(hits, Seq(evalIdCol), "left")
+      .select(col(evalIdCol),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("n_shared_grams") > 0, lit(false)).as("compromised"))
+  }
+
   /** Token-n-gram 64-bit fingerprints, one row per (id, gram). */
   private def gramFingerprints(df: DataFrame, idCol: String, textCol: String,
       outId: String, n: Int): DataFrame = {

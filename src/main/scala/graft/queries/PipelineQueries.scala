@@ -481,6 +481,17 @@ object PipelineQueries {
     Contract.embeddingsContract(emb(spark, dir))
       .orderBy(col("rule"))
 
+  /** Eval-side contamination triage ([[Dedup.contaminationByEval]]):
+    * per src0 (eval) document, the corpus docs and distinct grams that
+    * leak into it — the q43 device keyed by the other side. */
+  def q126EvalContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.contaminationByEval(
+        d.filter(col("source") =!= "src0"), "doc_id", "text",
+        d.filter(col("source") === "src0"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Population Stability Index per source ([[TextMetrics.psiDrift]]):
     * binned drift of each source's length distribution vs the rest of
     * the corpus over pooled decile bins — the monitoring-standard third
@@ -1210,6 +1221,7 @@ object PipelineQueries {
     "q123_cluster_weights" -> q123ClusterWeights,
     "q124_embeddings_contract" -> q124EmbeddingsContract,
     "q125_psi_drift" -> q125PsiDrift,
+    "q126_eval_contamination" -> q126EvalContamination,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2819,6 +2831,36 @@ object PipelineQueries {
         |  UNION ALL SELECT 'lang_allowed', v_lang FROM a
         |  UNION ALL SELECT 'source_format', v_source FROM a)
         |ORDER BY rule""".stripMargin,
+    // Mirrors contaminationByEval: the q43 gram device with the hits
+    // rollup keyed on the EVAL side.
+    "q126_eval_contamination" ->
+      """WITH corp AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |    FROM documents WHERE source <> 'src0'),
+        |ev AS (SELECT doc_id AS eval_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |    FROM documents WHERE source = 'src0'),
+        |cg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |    [('0x'
+        |      || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+        |     for i in generate_series(1, len(t) - 7)]
+        |  ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM corp),
+        |eg AS (SELECT DISTINCT eval_id, gram_fp FROM (
+        |  SELECT eval_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      [('0x'
+        |        || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+        |       for i in generate_series(1, len(t) - 7)]
+        |    ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM ev)),
+        |hits AS (SELECT eg.eval_id,
+        |    count(DISTINCT eg.gram_fp)::BIGINT AS n_shared_grams,
+        |    count(DISTINCT cg.doc_id)::BIGINT AS n_corpus_docs
+        |  FROM cg JOIN eg USING (gram_fp) GROUP BY eg.eval_id),
+        |base AS (SELECT doc_id AS eval_id FROM documents
+        |  WHERE source = 'src0')
+        |SELECT base.eval_id AS doc_id,
+        |  coalesce(hits.n_shared_grams, 0)::BIGINT AS n_shared_grams,
+        |  coalesce(hits.n_corpus_docs, 0)::BIGINT AS n_corpus_docs,
+        |  coalesce(hits.n_shared_grams > 0, false) AS compromised
+        |FROM base LEFT JOIN hits USING (eval_id)
+        |ORDER BY doc_id""".stripMargin,
     // Mirrors psiDrift: pooled decile bounds via the rank device over
     // the value histogram, +1-smoothed cell ratios, per-term ln on
     // IEEE-identical doubles, DECIMAL term sum, one final round.
