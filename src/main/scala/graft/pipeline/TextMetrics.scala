@@ -1126,6 +1126,73 @@ object TextMetrics {
           .as("tfidf"))
   }
 
+  /** Sparse lexical retrieval — TF-IDF-weighted cosine top-k over an
+    * inverted index, the lexical complement of the embedding ANN family
+    * (BM25's q65 scores one query string; this retrieves per-document
+    * neighbors corpus-wide, the classic duplicate/citation-finder and
+    * the "sparse arm" of hybrid retrieval). Terms appearing in more
+    * than `maxDfPct` percent of documents are pruned from index,
+    * weights AND norms alike — the standard posting-list bound (a
+    * stopword's postings are quadratic join fuel and contribute
+    * near-zero discrimination; the df·100 ≤ N·pct comparison is exact
+    * integer, engine-portable), and pruning-consistent scoring keeps
+    * the operator exactly self-consistent and mirrored.
+    *
+    * Cross-engine discipline: w = tf·ln(N/df) on exact integers (ln
+    * bit-stable); norm² and dot terms truncate to DECIMAL(28,10)
+    * and sum exactly, round once, sqrt/divide on identical doubles
+    * (q55's sqrt precedent); ranks order by (rounded score DESC,
+    * corpus id) — fully hash-stable.
+    *
+    * Scale shape: the pruned df relation and the 1-row N broadcast;
+    * query postings (bounded query set) BROADCAST into the inverted-
+    * index join, so corpus postings never shuffle; the dot aggregate
+    * keys on (query, candidate) — cardinality bounded by shared-term
+    * co-occurrence under the df cap; norms join candidate-sized. The
+    * top-k window partitions by query. */
+  def lexicalTopKFromTf(tf: DataFrame, nDocs: DataFrame, queryIds: DataFrame,
+      idCol: String, k: Int = 5, maxDfPct: Int = 80): DataFrame = {
+    require(k >= 1, "lexicalTopK: k must be >= 1")
+    require(maxDfPct >= 1 && maxDfPct <= 100,
+      "lexicalTopK: maxDfPct must be in [1, 100]")
+    val dfRel = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 100 <= col("n_docs") * maxDfPct)
+      .select(col("token"), col("df"))
+    val w = tf.join(broadcast(dfRel), "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("token"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("w"))
+      .localCheckpoint(true) // postings feed norms, query side, corpus side
+    val norms = w.groupBy(col(idCol))
+      .agg(round(sum((col("w") * col("w")).cast("decimal(28,10)")), 6)
+        .cast("double").as("_sq"))
+      .select(col(idCol), sqrt(col("_sq")).as("_nrm"))
+    val qw = w.join(queryIds.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("query_id"), col("token"), col("w").as("wq"))
+    val dots = w.select(col(idCol).as("corpus_id"), col("token"),
+        col("w").as("wc"))
+      .join(broadcast(qw), Seq("token"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(round(sum((col("wq") * col("wc")).cast("decimal(28,10)")), 6)
+        .cast("double").as("dot"))
+    val scored = dots
+      .join(broadcast(norms.select(col(idCol).as("query_id"),
+        col("_nrm").as("_nq"))), Seq("query_id"))
+      .join(norms.select(col(idCol).as("corpus_id"),
+        col("_nrm").as("_nc")), Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        dec6(col("dot") / (col("_nq") * col("_nc"))).as("score"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
   /** Unigram language-model surprisal — the cheap perplexity proxy used
     * for quality filtering (CCNet-style: rank documents by how unlikely
     * their tokens are under a corpus-level unigram model; here the model

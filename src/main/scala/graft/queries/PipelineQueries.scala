@@ -481,6 +481,18 @@ object PipelineQueries {
     Contract.embeddingsContract(emb(spark, dir))
       .orderBy(col("rule"))
 
+  /** Sparse lexical retrieval ([[TextMetrics.lexicalTopKFromTf]]):
+    * TF-IDF cosine top-5 corpus neighbors for every 25th document via
+    * the df-pruned inverted index — the lexical arm of hybrid
+    * retrieval, riding the shared tf cache. */
+  def q127LexicalTopK(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.lexicalTopKFromTf(termFreqs(spark, dir),
+        docs(spark, dir).agg(count(lit(1)).as("n_docs")),
+        docs(spark, dir).filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id")),
+        "doc_id", k = 5, maxDfPct = 78)
+      .orderBy(col("query_id"), col("rank"))
+
   /** Eval-side contamination triage ([[Dedup.contaminationByEval]]):
     * per src0 (eval) document, the corpus docs and distinct grams that
     * leak into it — the q43 device keyed by the other side. */
@@ -1222,6 +1234,7 @@ object PipelineQueries {
     "q124_embeddings_contract" -> q124EmbeddingsContract,
     "q125_psi_drift" -> q125PsiDrift,
     "q126_eval_contamination" -> q126EvalContamination,
+    "q127_lexical_topk" -> q127LexicalTopK,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2831,6 +2844,41 @@ object PipelineQueries {
         |  UNION ALL SELECT 'lang_allowed', v_lang FROM a
         |  UNION ALL SELECT 'source_format', v_source FROM a)
         |ORDER BY rule""".stripMargin,
+    // Mirrors lexicalTopKFromTf: df-pruned TF-IDF postings, DECIMAL
+    // norm²/dot sums, sqrt/divide on identical doubles, rank by
+    // (rounded score DESC, corpus id).
+    "q127_lexical_topk" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |dfr AS (SELECT token, df FROM
+        |  (SELECT token, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN n
+        |  WHERE df * 100 <= n_docs * 78),
+        |w AS (SELECT tf.doc_id, tf.token,
+        |    tf.tf::DOUBLE * ln(n.n_docs::DOUBLE / dfr.df::DOUBLE) AS w
+        |  FROM tf JOIN dfr USING (token) CROSS JOIN n),
+        |norms AS (SELECT doc_id,
+        |    sqrt(round(sum((w * w)::DECIMAL(28,10)), 6)::DOUBLE) AS nrm
+        |  FROM w GROUP BY 1),
+        |q AS (SELECT doc_id AS query_id, token, w AS wq FROM w
+        |  WHERE doc_id % 25 = 0),
+        |d AS (SELECT q.query_id, c.doc_id AS corpus_id,
+        |    round(sum((q.wq * c.w)::DECIMAL(28,10)), 6)::DOUBLE AS dot
+        |  FROM q JOIN w c USING (token) WHERE c.doc_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |s AS (SELECT d.query_id, d.corpus_id,
+        |    round((d.dot / (nq.nrm * nc.nrm))::DECIMAL(28,10), 6)::DOUBLE
+        |      AS score
+        |  FROM d JOIN norms nq ON nq.doc_id = d.query_id
+        |  JOIN norms nc ON nc.doc_id = d.corpus_id),
+        |r AS (SELECT query_id, corpus_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, corpus_id) AS rank
+        |  FROM s)
+        |SELECT query_id, rank::BIGINT AS rank, corpus_id, score
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // Mirrors contaminationByEval: the q43 gram device with the hits
     // rollup keyed on the EVAL side.
     "q126_eval_contamination" ->
