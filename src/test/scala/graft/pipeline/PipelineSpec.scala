@@ -155,6 +155,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(embs.count() == 3)
   }
 
+  test("quantileNormalize maps within-source ranks to pooled percentile_disc values") {
+    def doc(l: Int) = ("w " * l).trim
+    val docs = Seq(
+      (1L, "a", doc(1)), (2L, "a", doc(2)), (3L, "a", doc(3)), (4L, "a", doc(4)),
+      (5L, "b", doc(10)), (6L, "b", doc(20)))
+      .toDF("doc_id", "source", "text")
+    val out = TextMetrics.quantileNormalize(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // pooled sorted values: 1,2,3,4,10,20 (N=6)
+    // source a rank r of 4 → pooled rank ceil(6r/4) = 2,3,5,6 → 2,3,10,20
+    // source b rank r of 2 → pooled rank ceil(6r/2) = 3,6 → 3,20
+    assert(out == Map(1L -> 2L, 2L -> 3L, 3L -> 10L, 4L -> 20L,
+      5L -> 3L, 6L -> 20L))
+  }
+
+  test("lexicalTopK: identical docs score 1.0, disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "apple banana"),
+      (3L, "apple cherry"), (4L, "zebra zebra"))
+      .toDF("doc_id", "text")
+    val tf = TextMetrics.termFrequencies(docs, "doc_id", "text")
+    val out = TextMetrics.lexicalTopKFromTf(tf,
+        docs.agg(count(lit(1)).as("n_docs")),
+        docs.filter(col("doc_id") === 1L).select("doc_id"),
+        "doc_id", k = 3, maxDfPct = 80)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 2 is byte-identical → cosine exactly 1.0 after the one
+    // rounding; doc 3 shares only 'apple'; doc 4 shares nothing and
+    // must not appear at all
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L), (2L, 3L)))
+    assert(out.head._3 == 1.0)
+    assert(out(1)._3 > 0.0 && out(1)._3 < 1.0)
+  }
+
   test("Hamming-1 probes recover one-boundary pairs; distance-0 set equals the plain join") {
     // ids 1,2: same bucket (near-dups, dist 0). ids 3,4: high cosine but
     // dim-1 sign straddles a boundary (dist 1) — the plain bucket join
