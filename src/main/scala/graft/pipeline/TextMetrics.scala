@@ -1898,6 +1898,61 @@ object TextMetrics {
       .select(col("rank"), col("token"), col("cnt"))
   }
 
+  /** Exact-quota stratified sampling — [[sampleMix]]'s fixed-COUNT
+    * counterpart: exactly min(quota, |group|) documents per group,
+    * picked in deterministic hash order (fingerprint(salt:id), id) —
+    * the reproducible replacement for per-stratum
+    * `ORDER BY rand() LIMIT n` (stable under repartitioning, retries,
+    * engine choice; different salts give independent draws).
+    *
+    * Shape: one exchange keyed by the group, per-group rank window
+    * (the q62 sort, partitioned — it spills, parallelism = |groups|),
+    * map-side hash. `pick_order` is emitted so a later smaller quota
+    * is a pure filter over the same output. */
+  def stratifiedSample(docs: DataFrame, idCol: String, groupCol: String,
+      quota: Int, salt: String = "strata"): DataFrame = {
+    require(quota >= 1, "stratifiedSample: quota must be >= 1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_k").asc, col(idCol).asc)
+    docs.select(col(idCol), col(groupCol),
+        TextFunctions.fingerprint(
+          concat(lit(salt), lit(":"), col(idCol).cast("string"))).as("_k"))
+      .withColumn("pick_order", row_number().over(w).cast("long"))
+      .filter(col("pick_order") <= quota)
+      .select(col(idCol), col(groupCol), col("pick_order"))
+  }
+
+  /** Token-budget trim — [[apportionBudget]] composed with a
+    * deterministic per-source fill, the step that MATERIALIZES a token
+    * allocation as an actual document subset: each source's
+    * largest-remainder allocation is filled by its documents in hash
+    * order (the [[stratifiedSample]] pick order) until the next
+    * document would exceed the allocation (greedy prefix:
+    * kept ⇔ inclusive running token sum ≤ alloc). Every step is
+    * integer arithmetic on exact counts — engine-portable, no float
+    * weights anywhere.
+    *
+    * Shape: the allocation relation is |sources|-sized and broadcasts;
+    * the fill is one group-keyed exchange + rank-window cumulative sum
+    * (spills); everything else is map-side. */
+  def budgetTrim(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, budget: Long, salt: String = "strata"): DataFrame = {
+    val alloc = apportionBudget(docs, groupCol, textCol, budget)
+      .select(col(groupCol), col("alloc"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_k").asc, col(idCol).asc)
+    docs.select(col(idCol), col(groupCol),
+        size(TextFunctions.tokenize(col(textCol))).cast("long")
+          .as("n_tokens"),
+        TextFunctions.fingerprint(
+          concat(lit(salt), lit(":"), col(idCol).cast("string"))).as("_k"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(alloc), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        col("cum_tokens"), col("alloc"),
+        (col("cum_tokens") <= col("alloc")).as("kept"))
+  }
+
   /** Token-budget apportionment — the scheduling step that turns mixing
     * proportions into an actual per-source token allocation for the
     * next training batch: proportional (largest-remainder / Hamilton)

@@ -481,6 +481,21 @@ object PipelineQueries {
     Contract.embeddingsContract(emb(spark, dir))
       .orderBy(col("rule"))
 
+  /** Exact-quota stratified sample ([[TextMetrics.stratifiedSample]]):
+    * 15 docs per source in deterministic hash order. */
+  def q128StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.stratifiedSample(docs(spark, dir), "doc_id", "source",
+        quota = 15)
+      .orderBy(col("source"), col("pick_order"))
+
+  /** Token-budget trim ([[TextMetrics.budgetTrim]]): the q04
+    * largest-remainder allocation materialized as an actual per-source
+    * document subset (greedy hash-order prefix fill). */
+  def q129BudgetTrim(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.budgetTrim(docs(spark, dir), "doc_id", "source", "text",
+        budget = 30000L)
+      .orderBy(col("doc_id"))
+
   /** Sparse lexical retrieval ([[TextMetrics.lexicalTopKFromTf]]):
     * TF-IDF cosine top-5 corpus neighbors for every 25th document via
     * the df-pruned inverted index — the lexical arm of hybrid
@@ -1235,6 +1250,8 @@ object PipelineQueries {
     "q125_psi_drift" -> q125PsiDrift,
     "q126_eval_contamination" -> q126EvalContamination,
     "q127_lexical_topk" -> q127LexicalTopK,
+    "q128_stratified_sample" -> q128StratifiedSample,
+    "q129_budget_trim" -> q129BudgetTrim,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -2844,6 +2861,48 @@ object PipelineQueries {
         |  UNION ALL SELECT 'lang_allowed', v_lang FROM a
         |  UNION ALL SELECT 'source_format', v_source FROM a)
         |ORDER BY rule""".stripMargin,
+    // Mirrors stratifiedSample: md5-15-hex hash order per source (the
+    // q62 device, salt "strata"), rank window, quota filter.
+    "q128_stratified_sample" ->
+      """WITH k AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5('strata:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      AS kk
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY kk, doc_id)
+        |    ::BIGINT AS pick_order
+        |FROM k QUALIFY pick_order <= 15
+        |ORDER BY source, pick_order""".stripMargin,
+    // Mirrors budgetTrim: the q04 allocation CTEs + an inclusive
+    // hash-order running token sum per source; kept = cum <= alloc.
+    "q129_budget_trim" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS nt,
+        |    ('0x' || substr(md5('strata:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      AS kk
+        |  FROM documents),
+        |s AS (SELECT source, sum(nt)::BIGINT AS n_tokens
+        |  FROM toks GROUP BY 1),
+        |t AS (SELECT sum(n_tokens)::BIGINT AS tot FROM s),
+        |b AS (SELECT s.source,
+        |    (30000 * s.n_tokens) // t.tot AS fl,
+        |    (30000 * s.n_tokens) % t.tot AS rem
+        |  FROM s CROSS JOIN t),
+        |r AS (SELECT source, fl,
+        |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rr FROM b),
+        |l AS (SELECT 30000 - sum(fl)::BIGINT AS leftover FROM b),
+        |alloc AS (SELECT r.source,
+        |    (r.fl + CASE WHEN r.rr <= l.leftover THEN 1 ELSE 0 END)::BIGINT
+        |      AS alloc
+        |  FROM r CROSS JOIN l),
+        |cum AS (SELECT doc_id, source, nt AS n_tokens,
+        |    sum(nt) OVER (PARTITION BY source ORDER BY kk, doc_id)::BIGINT
+        |      AS cum_tokens
+        |  FROM toks)
+        |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, a.alloc,
+        |  c.cum_tokens <= a.alloc AS kept
+        |FROM cum c JOIN alloc a USING (source)
+        |ORDER BY c.doc_id""".stripMargin,
     // Mirrors lexicalTopKFromTf: df-pruned TF-IDF postings, DECIMAL
     // norm²/dot sums, sqrt/divide on identical doubles, rank by
     // (rounded score DESC, corpus id).
