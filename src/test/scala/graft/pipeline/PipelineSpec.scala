@@ -155,6 +155,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(embs.count() == 3)
   }
 
+  test("stratifiedSample: exact quotas, repartition-stable, salts draw independently") {
+    val docs = (1L to 100L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val got = TextMetrics.stratifiedSample(docs, "doc_id", "source", quota = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.groupBy(_._2).forall(_._2.length == 10))
+    assert(got.groupBy(_._2).values.forall(
+      _.map(_._3).sorted.toSeq == (1L to 10L)))
+    // small group: quota bounded by group size
+    val tiny = TextMetrics.stratifiedSample(
+      docs.filter(col("doc_id") <= 5), "doc_id", "source", quota = 10)
+    assert(tiny.count() == 5)
+    // pure function of (salt, id): identical across partitionings;
+    // a different salt picks a different subset
+    val again = TextMetrics.stratifiedSample(docs.repartition(7),
+      "doc_id", "source", quota = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == again.toSet)
+    val other = TextMetrics.stratifiedSample(docs, "doc_id", "source",
+      quota = 10, salt = "other")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(other.map(_._1).toSet != got.map(_._1).toSet)
+  }
+
+  test("budgetTrim: greedy prefix fill; an oversized head doc blocks its source") {
+    def doc(l: Int) = ("w " * l).trim
+    // source a: 4 docs of 10 tokens; source b: one 100-token doc
+    val docs = Seq(
+      (1L, "a", doc(10)), (2L, "a", doc(10)), (3L, "a", doc(10)),
+      (4L, "a", doc(10)), (5L, "b", doc(100)))
+      .toDF("doc_id", "source", "text")
+    // budget 70: a has 40/140 → floor 20, b has 100/140 → floor 50;
+    // leftover 0 → alloc a=20, b=50
+    val out = TextMetrics.budgetTrim(docs, "doc_id", "source", "text",
+        budget = 70L)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getBoolean(5)))
+    val kept = out.filter(_._3).map(_._1).toSet
+    // a fills 2 docs (20 tokens); b's single 100-token doc exceeds its
+    // 50 allocation → b keeps nothing (greedy prefix, no splitting)
+    assert(out.filter(_._1 <= 4).head._2 == 20L)
+    assert(kept.size == 2 && kept.forall(_ <= 4L))
+    assert(!out.find(_._1 == 5L).get._3)
+  }
+
   test("quantileNormalize maps within-source ranks to pooled percentile_disc values") {
     def doc(l: Int) = ("w " * l).trim
     val docs = Seq(
