@@ -41,8 +41,26 @@ object Tables {
           df.withColumn("ts", col("ts").cast("timestamp"))
         case _ => df
       }
-    else df
+    else canonicalize(name, df)
   }
+
+  // The driver REGENERATES the testdata between rounds and physical
+  // column types have shifted before (events.ts NANOS→MICROS broke
+  // three suites in one round). Pin the id/vector/label types the
+  // operator and Encoder code assumes — a no-op cast-free path when the
+  // parquet already matches (the normal case), a lossless widening
+  // otherwise. House rule: normalize HERE, never per-query.
+  private val canonicalTypes: Map[String, Seq[(String, String)]] = Map(
+    "documents" -> Seq("doc_id" -> "bigint", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+      "label" -> "int"))
+
+  private def canonicalize(name: String, df: DataFrame): DataFrame =
+    canonicalTypes.get(name).fold(df)(_.foldLeft(df) { case (d, (c, t)) =>
+      if (d.columns.contains(c) && d.schema(c).dataType.simpleString != t)
+        d.withColumn(c, col(c).cast(t))
+      else d
+    })
 
   /** Register all tables as temp views named exactly like the parquet
     * files, so `spark.sql` text matches the DuckDB oracle text. */
