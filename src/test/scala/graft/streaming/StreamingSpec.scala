@@ -354,6 +354,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming LSH candidates equal the batch join across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.Dedup
+    // docs 1,2 near-dup; 3 near-dups with both; 4 unrelated — banded
+    // once (batch-side computation is shared by both faces)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta nu xi"),
+      (4L, "totally different words appear in this document only here"))
+      .toDF("doc_id", "text")
+    val banded = Dedup.lshBands(Dedup.minhashSignatures(
+        Dedup.shingleSets(docs, "doc_id", "text", 3), 8), 8, 2)
+      .select("doc_id", "band", "band_key")
+    val want = Dedup.lshCandidates(banded)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(want.nonEmpty, "fixture must produce at least one candidate")
+    val rows = banded.collect()
+      .map(r => NearDupStream.BandRow(r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(_.doc_id)
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[NearDupStream.BandRow]
+    val query = NearDupStream.candidates(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("nd_ckpt").toString)
+      .start()
+    try {
+      // split so doc 1+2 arrive first and doc 3 lands in a LATER batch:
+      // its pairs must come from state, not the batch
+      val (b1, b2) = rows.partition(_.doc_id <= 2L)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val got = spark.table("neardup_stream")
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // the cross-batch pair (1,3) or (2,3) must exist — proves state
+    // carried bucket residents across the batch boundary
+    assert(got.exists(_._2 == 3L), s"no cross-batch pair in $got")
+  }
+
   test("transformWithState top-k leaderboard: final generation equals the batch top-k") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
