@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.types.Decimal
 
-import graft.functions.{DotLongs, MaxAbsLongs, QuantizeVec, Sq8SqErrLongs, SqDistLongs, StemTokens}
+import graft.functions.{CountRlike, DotLongs, MaxAbsLongs, QuantizeVec, Sq8SqErrLongs, SqDistLongs, StemTokens}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * apply with `.withExtensions(new GraftExtensions)` (as
@@ -66,6 +66,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"sq8_sqerr_longs expects exactly 1 argument, got ${children.length}")
         Sq8SqErrLongs(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("count_rlike"),
+      new ExpressionInfo(classOf[CountRlike].getName, "count_rlike"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"count_rlike expects (array, pattern), got ${children.length} arguments")
+        // the pattern is a plan-time constant compiled once
+        require(children(1).foldable, "count_rlike pattern must be a literal")
+        val pat = children(1).eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"count_rlike pattern must be a string literal, got $other")
+        }
+        CountRlike(children.head, pat)
       }))
     ext.injectFunction((
       FunctionIdentifier("sqdist_longs"),

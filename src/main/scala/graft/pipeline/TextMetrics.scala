@@ -116,9 +116,11 @@ object TextMetrics {
     * are the only divergence, and both engines agree on it.
     *
     * One scan, per-row expressions; every ratio compares IEEE-identical
-    * doubles so the verdict is engine-stable. The word-alpha rule rides
-    * a `filter` HOF (interpreted) — acceptable here because the
-    * predicate is per-token trivial; the rest is codegen'd regexp. */
+    * doubles so the verdict is engine-stable. The word-alpha rule runs
+    * the native `count_rlike` expression (pattern compiled once at plan
+    * time, primitive loop, whole-stage codegen) — the former
+    * `size(filter(t, _.rlike(...)))` HOF evaluated an interpreted
+    * boxed lambda per token; the rest is codegen'd regexp. */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = TextFunctions.tokenize(col(textCol))
     val nWords = size(t)
@@ -134,7 +136,7 @@ object TextMetrics {
       .cast("double") / nLines.cast("double")
     val ellipsisFrac = regexp_count(col(textCol), lit("(?m)\\.\\.\\.$"))
       .cast("double") / nLines.cast("double")
-    val alphaFrac = size(filter(t, x => x.rlike("[a-z]")))
+    val alphaFrac = call_function("count_rlike", t, lit("[a-z]"))
       .cast("double") / nWords.cast("double")
     val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
       .map(w => when(array_contains(t, w), 1L).otherwise(0L))
