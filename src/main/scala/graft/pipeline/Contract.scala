@@ -78,4 +78,25 @@ object Contract {
       .select(col("rule"), col("n_violations"),
         (col("n_violations") === 0L).as("pass"))
   }
+
+  /** Snapshot diff — the dataset-versioning report run when a corpus
+    * refresh lands: per id, `added` (new in B), `removed` (gone from
+    * B), `changed` (same id, different content hash), or `unchanged`.
+    * The audit that gates incremental retraining (how much actually
+    * moved?) and catches silent upstream rewrites.
+    *
+    * Scale shape: both snapshots project to (id, md5) — the text
+    * payload never shuffles — then ONE id-keyed full-outer join; the
+    * status is a map-side CASE over the two hash columns. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ha = a.select(col(idCol), md5(col(textCol)).as("_ha"))
+    val hb = b.select(col(idCol), md5(col(textCol)).as("_hb"))
+    ha.join(hb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_ha").isNull, "added")
+          .when(col("_hb").isNull, "removed")
+          .when(col("_ha") =!= col("_hb"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -475,6 +475,21 @@ object PipelineQueries {
         sum(col("_sz")).as("n_docs"))
       .orderBy(col("cluster_size"))
 
+  /** Snapshot diff ([[Contract.snapshotDiff]]): the current corpus vs a
+    * deterministically simulated refresh — every 7th doc deleted, every
+    * 5th rewritten, every 11th spawning a new id — one full-outer hash
+    * join, per-id status. */
+  def q130SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = docs(spark, dir)
+    val b = a.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(a.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+    Contract.snapshotDiff(a, b, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Embeddings-table data contract ([[Contract.embeddingsContract]]):
     * the vector-side expectation suite completing the q98 pair. */
   def q124EmbeddingsContract(spark: SparkSession, dir: String): DataFrame =
@@ -1252,6 +1267,7 @@ object PipelineQueries {
     "q127_lexical_topk" -> q127LexicalTopK,
     "q128_stratified_sample" -> q128StratifiedSample,
     "q129_budget_trim" -> q129BudgetTrim,
+    "q130_snapshot_diff" -> q130SnapshotDiff,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -3009,6 +3025,24 @@ object PipelineQueries {
         |SELECT source, max(ns)::BIGINT AS n_docs,
         |  round(sum(term::DECIMAL(28,10)), 6)::DOUBLE AS psi
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // Mirrors q130SnapshotDiff: the same simulated refresh, one
+    // full-outer join of (id, md5) projections, map-side status CASE.
+    "q130_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+        |b0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS t
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |b1 AS (SELECT doc_id + 100000 AS doc_id, text AS t
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |b AS (SELECT doc_id, md5(t) AS hb FROM
+        |  (SELECT * FROM b0 UNION ALL SELECT * FROM b1))
+        |SELECT doc_id,
+        |  CASE WHEN a.ha IS NULL THEN 'added'
+        |       WHEN b.hb IS NULL THEN 'removed'
+        |       WHEN a.ha <> b.hb THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM a FULL OUTER JOIN b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Mirrors Contract.embeddingsContract: same conditional aggregates
     // over the embeddings table, unpivoted by UNION ALL.
     "q124_embeddings_contract" ->
