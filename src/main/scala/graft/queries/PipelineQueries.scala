@@ -512,13 +512,17 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   /** Sparse lexical retrieval ([[TextMetrics.lexicalTopKFromTf]]):
-    * TF-IDF cosine top-5 corpus neighbors for every 25th document via
+    * TF-IDF cosine top-5 corpus neighbors for every 250th document via
     * the df-pruned inverted index — the lexical arm of hybrid
-    * retrieval, riding the shared tf cache. */
+    * retrieval, riding the shared tf cache. The synthetic corpus'
+    * 30-word pool is the DEGENERATE lexical case (every token in ~77%
+    * of docs — no mid-frequency band for the df cap to bite), so the
+    * fixture bounds the query set; a natural-vocabulary corpus bounds
+    * candidates through the cap itself. */
   def q127LexicalTopK(spark: SparkSession, dir: String): DataFrame =
     TextMetrics.lexicalTopKFromTf(termFreqs(spark, dir),
         docs(spark, dir).agg(count(lit(1)).as("n_docs")),
-        docs(spark, dir).filter(col("doc_id") % 25 === 0)
+        docs(spark, dir).filter(col("doc_id") % 250 === 0)
           .select(col("doc_id")),
         "doc_id", k = 5, maxDfPct = 78)
       .orderBy(col("query_id"), col("rank"))
@@ -2938,7 +2942,7 @@ object PipelineQueries {
         |    sqrt(round(sum((w * w)::DECIMAL(28,10)), 6)::DOUBLE) AS nrm
         |  FROM w GROUP BY 1),
         |q AS (SELECT doc_id AS query_id, token, w AS wq FROM w
-        |  WHERE doc_id % 25 = 0),
+        |  WHERE doc_id % 250 = 0),
         |d AS (SELECT q.query_id, c.doc_id AS corpus_id,
         |    round(sum((q.wq * c.w)::DECIMAL(28,10)), 6)::DOUBLE AS dot
         |  FROM q JOIN w c USING (token) WHERE c.doc_id <> q.query_id
