@@ -260,6 +260,91 @@ object Multimodal {
     }
   }
 
+  /** Encode the [[encodePng]] pixel generator for `gen` as a REAL
+    * 24-bit BMP (JDK ImageIO writer) — byte-distinct from the PNG of
+    * the same pixels, pixel-identical after decode. The fixture for
+    * format-invariant dedup. */
+  def encodeBmp(gen: Long): Array[Byte] = {
+    val (w, h) = pngDims(gen)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((gen * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((gen * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((gen * 5 + x * 23 + y * 29) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
+  }
+
+  /** Documents → format-MIXED media: even ids carry a PNG, odd ids a
+    * BMP, and ids 2k/2k+1 render the SAME generator pixels (gen =
+    * id div 2) — so every pixel content exists under two different
+    * byte encodings. Exact byte-hash dedup finds nothing here;
+    * [[pixelHashes]]-based dedup pairs them all. */
+  def syntheticMixedFormat(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val gen = id / 2
+        if (id % 2 == 0) MediaRecord(id, "image/png", encodePng(gen))
+        else MediaRecord(id, "image/bmp", encodeBmp(gen))
+      }
+    }
+  }
+
+  case class PixelHash(media_id: Long, width: Long, height: Long,
+    pixel_md5: String)
+
+  /** DECODED-content hash — the device behind format-invariant image
+    * dedup (re-encoded duplicates share no bytes, so byte-hash dedup
+    * misses them; the decoded pixel raster is the canonical identity).
+    * The canonical string is `"WxH:" + r.g.b pixels row-major` and its
+    * md5 is closed-form recomputable from the generator, so the oracle
+    * verifies decode + canonicalization for BOTH container formats
+    * without touching a codec. Batched partition kernel; payloads
+    * never shuffle, only the 32-byte hash leaves. */
+  def pixelHashes(media: Dataset[MediaRecord]): Dataset[PixelHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"undecodable payload for media_id=${m.media_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sb = new java.lang.StringBuilder(w * h * 12)
+        sb.append(w).append('x').append(h).append(':')
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            if (x > 0 || y > 0) sb.append(',')
+            val p = img.getRGB(x, y)
+            sb.append((p >> 16) & 0xff).append('.')
+              .append((p >> 8) & 0xff).append('.').append(p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        md.reset()
+        val hash = md.digest(sb.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        PixelHash(m.media_id, w.toLong, h.toLong, hash)
+      }
+    }
+  }
+
   case class MediaFrame(media_id: Long, frame_no: Int, frame: Array[Byte])
 
   /** Frame sampling: treat the payload as fixed-size frames and keep

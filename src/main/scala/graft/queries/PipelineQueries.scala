@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -474,6 +475,23 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("_sz")).as("n_docs"))
       .orderBy(col("cluster_size"))
+
+  /** Format-invariant image dedup ([[Multimodal.pixelHashes]]): ids
+    * 2k/2k+1 carry the SAME pixels as a PNG and a BMP — byte dedup
+    * finds nothing, decoded-pixel-hash dedup pairs every twin. The
+    * oracle recomputes the canonical pixel string (and its md5) from
+    * the closed-form generator, so a decode or canonicalization bug in
+    * EITHER codec path cannot hash-match. */
+  def q131PixelDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Multimodal.pixelHashes(
+      Multimodal.syntheticMixedFormat(docs(spark, dir), "doc_id")).toDF()
+    val w = Window.partitionBy(col("pixel_md5"))
+    hashed.select(col("media_id"), col("width"), col("height"),
+        col("pixel_md5"),
+        min(col("media_id")).over(w).as("keep_id"),
+        count(lit(1)).over(w).as("n_dups"))
+      .orderBy(col("media_id"))
+  }
 
   /** Snapshot diff ([[Contract.snapshotDiff]]): the current corpus vs a
     * deterministically simulated refresh — every 7th doc deleted, every
@@ -1272,6 +1290,7 @@ object PipelineQueries {
     "q128_stratified_sample" -> q128StratifiedSample,
     "q129_budget_trim" -> q129BudgetTrim,
     "q130_snapshot_diff" -> q130SnapshotDiff,
+    "q131_pixel_dedup" -> q131PixelDedup,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -3029,6 +3048,32 @@ object PipelineQueries {
         |SELECT source, max(ns)::BIGINT AS n_docs,
         |  round(sum(term::DECIMAL(28,10)), 6)::DOUBLE AS psi
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // Mirrors q131PixelDedup: the canonical pixel string (and md5)
+    // recomputed from the generator at gen = doc_id div 2 — identical
+    // for the PNG and BMP twins, so decoded-content dedup pairs them.
+    "q131_pixel_dedup" ->
+      """WITH dims AS (SELECT doc_id, doc_id // 2 AS gen,
+        |    8 + (doc_id // 2) % 9 AS w, 8 + (doc_id // 2) % 7 AS h
+        |  FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h, g.gy, g.gx,
+        |    (d.gen*31 + g.gx*7 + g.gy*13) % 256 AS pr,
+        |    (d.gen*17 + g.gx*11 + g.gy*3) % 256 AS pg,
+        |    (d.gen*5 + g.gx*23 + g.gy*29) % 256 AS pb
+        |  FROM dims d JOIN (SELECT x.gx, y.gy
+        |      FROM generate_series(0, 15) x(gx),
+        |        generate_series(0, 13) y(gy)) g
+        |    ON g.gx < d.w AND g.gy < d.h),
+        |s AS (SELECT doc_id, w, h,
+        |    string_agg(pr || '.' || pg || '.' || pb, ',' ORDER BY gy, gx)
+        |      AS ps
+        |  FROM px GROUP BY 1, 2, 3),
+        |hv AS (SELECT doc_id AS media_id, w::BIGINT AS width,
+        |    h::BIGINT AS height, md5(w || 'x' || h || ':' || ps) AS pixel_md5
+        |  FROM s)
+        |SELECT media_id, width, height, pixel_md5,
+        |  min(media_id) OVER (PARTITION BY pixel_md5)::BIGINT AS keep_id,
+        |  count(*) OVER (PARTITION BY pixel_md5)::BIGINT AS n_dups
+        |FROM hv ORDER BY media_id""".stripMargin,
     // Mirrors q130SnapshotDiff: the same simulated refresh, one
     // full-outer join of (id, md5) projections, map-side status CASE.
     "q130_snapshot_diff" ->

@@ -284,6 +284,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats(2L).byte_len == 3 && feats(2L).first_byte == 'f'.toInt)
   }
 
+  test("multimodal BMP: format twins share pixels, differ in bytes; pixel hash pairs them") {
+    // genuine BMP container (magic 'BM'), pixel-exact roundtrip
+    val bmp = Multimodal.encodeBmp(42L)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    val (w, h) = Multimodal.pngDims(42L)
+    assert(img.getWidth == w && img.getHeight == h)
+    for (x <- 0 until w; y <- 0 until h) {
+      val expected = ((((42L * 31 + x * 7 + y * 13) % 256) << 16) |
+        (((42L * 17 + x * 11 + y * 3) % 256) << 8) |
+        ((42L * 5 + x * 23 + y * 29) % 256)).toInt
+      assert((img.getRGB(x, y) & 0xffffff) == expected, s"pixel ($x,$y)")
+    }
+    // the dedup premise: byte hashes differ, pixel hashes agree
+    val ids = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
+    val media = Multimodal.syntheticMixedFormat(ids, "doc_id")
+    val byByte = media.collect()
+      .map(m => m.media_id -> java.util.Arrays.hashCode(m.payload)).toMap
+    assert(byByte(10L) != byByte(11L) && byByte(12L) != byByte(13L))
+    val byPixel = Multimodal.pixelHashes(media).collect()
+      .map(p => p.media_id -> p.pixel_md5).toMap
+    assert(byPixel(10L) == byPixel(11L) && byPixel(12L) == byPixel(13L))
+    assert(byPixel(10L) != byPixel(12L))
+  }
+
   test("multimodal PNG: ImageIO encode→decode roundtrip matches the closed form") {
     val ids = Seq(0L, 1L, 7L, 42L, 123L)
     // payloads are genuine PNGs (magic bytes), not passthrough fakes
