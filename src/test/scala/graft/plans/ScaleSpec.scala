@@ -162,6 +162,29 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketedGlobalRank property: random values and bucket counts stay rank-exact") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 12) {
+      val n = 20 + rnd.nextInt(300)
+      // heavy-tie regimes (few distinct values) and spread regimes mix
+      val distinct = 1 + rnd.nextInt(if (trial % 3 == 0) 4 else 80)
+      val vals = Seq.fill(n)(
+        (rnd.nextInt(distinct).toDouble - distinct / 2.0, rnd.nextLong()))
+      val df = vals.toDF("v", "id").repartition(1 + rnd.nextInt(9))
+      val nBuckets = 1 + rnd.nextInt(64)
+      val got = graft.pipeline.Ranks
+        .bucketedGlobalRank(df, "v", "id", nBuckets = nBuckets)
+        .collect().map(r => (r.getDouble(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val want = df.withColumn("_rn", row_number().over(
+          Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got == want, s"trial $trial: n=$n distinct=$distinct buckets=$nBuckets")
+    }
+  }
+
   test("signature store: persisted bands serve incremental candidates identical to scratch") {
     import graft.pipeline.Dedup
     // production incremental dedup persists the band relation ONCE and
