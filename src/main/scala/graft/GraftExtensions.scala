@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.types.Decimal
 
-import graft.functions.{CountRlike, DotLongs, MaxAbsLongs, QuantizeVec, Sq8SqErrLongs, SqDistLongs, StemTokens}
+import graft.functions.{CountRlike, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, Sq8SqErrLongs, SqDistLongs, StemTokens}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * apply with `.withExtensions(new GraftExtensions)` (as
@@ -66,6 +66,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"sq8_sqerr_longs expects exactly 1 argument, got ${children.length}")
         Sq8SqErrLongs(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"nfc_normalize expects exactly 1 argument, got ${children.length}")
+        NfcNormalize(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("count_rlike"),

@@ -33,6 +33,45 @@ object TextKernels {
     }
     cnt
   }
+
+  /** Unicode NFC; the common already-normalized case short-circuits
+    * without re-encoding. */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** `nfc_normalize(str)`: Unicode NFC normalization via
+  * `java.text.Normalizer` — named after DuckDB's built-in of the same
+  * name so oracle SQL reads identically. Spark has no built-in
+  * normalization; the HOF-free unary expression keeps it inside
+  * whole-stage codegen. Canonically-equivalent byte sequences (é vs
+  * e + U+0301) normalize to one form — the precondition for
+  * canonical text dedup over real-world corpora. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
 }
 
 /** `count_rlike(arr, 'pattern')`: # array elements matching the regex

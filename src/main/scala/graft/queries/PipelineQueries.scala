@@ -493,6 +493,27 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Unicode-canonical dedup: ids 2k/2k+1 carry canonically-EQUIVALENT
+    * but byte-distinct text (composed é vs e + U+0301 combining acute)
+    * — byte dedup misses every pair, NFC-canonical dedup groups them.
+    * Runs the native `nfc_normalize` expression (named after DuckDB's
+    * built-in, so the oracle reads identically); the real-corpus
+    * precondition for canonical text dedup. */
+  def q132UnicodeCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = docs(spark, dir).select(col("doc_id"),
+      concat(lit("menu item caf"),
+        when(col("doc_id") % 2 === 0, lit("é"))
+          .otherwise(lit("é")),
+        lit(" number "), expr("doc_id div 2").cast("string")).as("text"))
+    val w = Window.partitionBy(col("canon_md5"))
+    dirty.select(col("doc_id"),
+        md5(call_function("nfc_normalize", col("text"))).as("canon_md5"))
+      .select(col("doc_id"), col("canon_md5"),
+        min(col("doc_id")).over(w).as("keep_id"),
+        count(lit(1)).over(w).as("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Snapshot diff ([[Contract.snapshotDiff]]): the current corpus vs a
     * deterministically simulated refresh — every 7th doc deleted, every
     * 5th rewritten, every 11th spawning a new id — one full-outer hash
@@ -1291,6 +1312,7 @@ object PipelineQueries {
     "q129_budget_trim" -> q129BudgetTrim,
     "q130_snapshot_diff" -> q130SnapshotDiff,
     "q131_pixel_dedup" -> q131PixelDedup,
+    "q132_unicode_canonical" -> q132UnicodeCanonical,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -3048,6 +3070,21 @@ object PipelineQueries {
         |SELECT source, max(ns)::BIGINT AS n_docs,
         |  round(sum(term::DECIMAL(28,10)), 6)::DOUBLE AS psi
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // Mirrors q132UnicodeCanonical: the same combining-accent planting
+    // (chr(233) composed vs 'e'+chr(769)), DuckDB's own nfc_normalize.
+    "q132_unicode_canonical" ->
+      """WITH dirty AS (SELECT doc_id,
+        |    'menu item caf' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(233)
+        |         ELSE 'e' || chr(769) END ||
+        |    ' number ' || (doc_id // 2)::VARCHAR AS text
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(nfc_normalize(text)) AS canon_md5
+        |  FROM dirty)
+        |SELECT doc_id, canon_md5,
+        |  min(doc_id) OVER (PARTITION BY canon_md5)::BIGINT AS keep_id,
+        |  count(*) OVER (PARTITION BY canon_md5)::BIGINT AS n_dups
+        |FROM h ORDER BY doc_id""".stripMargin,
     // Mirrors q131PixelDedup: the canonical pixel string (and md5)
     // recomputed from the generator at gen = doc_id div 2 — identical
     // for the PNG and BMP twins, so decoded-content dedup pairs them.

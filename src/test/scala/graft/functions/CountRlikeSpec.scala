@@ -45,6 +45,18 @@ class CountRlikeSpec extends AnyFunSuite {
     assert(out(4L) == Some(1L))
   }
 
+  test("nfc_normalize composes combining sequences; identity on normalized text; null-safe") {
+    val rows = spark.sql(
+      "SELECT nfc_normalize('cafe' || chr(769)) AS a, " +
+        "nfc_normalize('caf' || chr(233)) AS b, " +
+        "nfc_normalize('plain ascii') AS c, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS d").head()
+    assert(rows.getString(0) == rows.getString(1), "NFC must compose e+U+0301 to é")
+    assert(rows.getString(0) == "café")
+    assert(rows.getString(2) == "plain ascii")
+    assert(rows.isNullAt(3))
+  }
+
   test("matching is unanchored (rlike semantics) and available from SQL text") {
     val got = spark.sql(
       "SELECT count_rlike(array('xay', 'zz', 'a'), 'a')").head().getLong(0)
