@@ -46,11 +46,16 @@ class CountRlikeSpec extends AnyFunSuite {
   }
 
   test("nfc_normalize composes combining sequences; identity on normalized text; null-safe") {
-    val rows = spark.sql(
-      "SELECT nfc_normalize('cafe' || chr(769)) AS a, " +
-        "nfc_normalize('caf' || chr(233)) AS b, " +
-        "nfc_normalize('plain ascii') AS c, " +
-        "nfc_normalize(CAST(NULL AS STRING)) AS d").head()
+    // NOTE: Spark SQL's chr() is byte-based (mod 256), unlike DuckDB's
+    // codepoint chr() — build the test strings as Scala literals
+    val rows = Seq(("café", "café", "plain ascii"))
+      .toDF("dec", "comp", "plain")
+      .select(
+        call_function("nfc_normalize", col("dec")).as("a"),
+        call_function("nfc_normalize", col("comp")).as("b"),
+        call_function("nfc_normalize", col("plain")).as("c"),
+        call_function("nfc_normalize", lit(null).cast("string")).as("d"))
+      .head()
     assert(rows.getString(0) == rows.getString(1), "NFC must compose e+U+0301 to é")
     assert(rows.getString(0) == "café")
     assert(rows.getString(2) == "plain ascii")
