@@ -406,6 +406,86 @@ object Multimodal {
     }
   }
 
+  /** Encode the [[encodeWav]] sample generator for `gen` as a REAL
+    * AIFF (big-endian signed PCM through the JDK writer) — the audio
+    * counterpart of [[encodeBmp]]: byte-distinct container, identical
+    * decoded samples. */
+  def encodeAiff(gen: Long): Array[Byte] = {
+    val n = wavSamples(gen)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((gen * 37 + i.toLong * 101) % 65536) - 32768).toInt
+      pcm(2 * i) = ((v >> 8) & 0xff).toByte // big-endian
+      pcm(2 * i + 1) = (v & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream(512)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, baos)
+    baos.toByteArray
+  }
+
+  /** Documents → format-MIXED audio: even ids a WAV, odd ids an AIFF,
+    * ids 2k/2k+1 sharing the generator samples (gen = id div 2) — the
+    * [[syntheticMixedFormat]] fixture for audio. */
+  def syntheticMixedAudio(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val gen = id / 2
+        if (id % 2 == 0) MediaRecord(id, "audio/wav", encodeWav(gen))
+        else MediaRecord(id, "audio/aiff", encodeAiff(gen))
+      }
+    }
+  }
+
+  case class SampleHash(media_id: Long, n_samples: Long, sample_md5: String)
+
+  /** DECODED-sample hash — [[pixelHashes]] for audio: WAV and AIFF
+    * containers of the same signal canonicalize to one
+    * `"n:rate:" + signed-int16 samples` string whose md5 the oracle
+    * recomputes from the closed-form generator. Endianness-aware
+    * int16 read (AIFF is big-endian, WAV little) — the decode step a
+    * byte-hash can never see through. */
+  def sampleHashes(media: Dataset[MediaRecord]): Dataset[SampleHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"unexpected format for media_id=${m.media_id}: $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val big = fmt.isBigEndian
+        val sb = new java.lang.StringBuilder(n * 7)
+        sb.append(n).append(':')
+          .append(fmt.getSampleRate.toLong).append(':')
+        var i = 0
+        while (i < n) {
+          if (i > 0) sb.append(',')
+          val v: Int =
+            if (big) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort.toInt
+            else ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          sb.append(v)
+          i += 1
+        }
+        md.reset()
+        val hash = md.digest(sb.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        SampleHash(m.media_id, n.toLong, hash)
+      }
+    }
+  }
+
   def gifDims(id: Long): (Int, Int) = ((4 + id % 5).toInt, (4 + id % 3).toInt)
   def gifFrames(id: Long): Int = (2 + id % 4).toInt
 

@@ -306,8 +306,28 @@ object CoreQueries {
       .orderBy(col("event_id"))
   }
 
+  /** ROLLUP / grouping-sets OLAP surface: revenue at (flag, status)
+    * detail, per-flag subtotals, and the grand total in ONE pass —
+    * Spark expands the rollup into partial-aggregated grouping sets
+    * exactly as a warehouse engine does. `grouping()` flags ride along
+    * because a REAL null group key and a subtotal row are otherwise
+    * indistinguishable (the standard rollup footgun). */
+  def q133RollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
+    "q133_rollup_revenue" -> q133RollupRevenue,
     "q02_filter_pushdown" -> q02FilterPushdown,
     "q03_top_revenue_orders" -> q03TopRevenueOrders,
     "q05_region_revenue" -> q05RegionRevenue,
@@ -323,6 +343,17 @@ object CoreQueries {
     "q109_rate_anomaly" -> q109RateAnomaly)
 
   val oracles: Map[String, String] = Map(
+    "q133_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)), 4)
+        |    ::DOUBLE AS revenue,
+        |  count(*) AS n_items,
+        |  grouping(l_returnflag)::BIGINT AS g_flag,
+        |  grouping(l_linestatus)::BIGINT AS g_status
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum((l_quantity)::DECIMAL(28,10)), 4)::DOUBLE AS sum_qty,

@@ -514,6 +514,20 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Format-invariant AUDIO dedup ([[Multimodal.sampleHashes]]): WAV
+    * and AIFF twins of identical samples — byte dedup blind, decoded
+    * canonical-sample hash pairs them; oracle recomputes the sample
+    * string from the generator for both containers. */
+  def q134AudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Multimodal.sampleHashes(
+      Multimodal.syntheticMixedAudio(docs(spark, dir), "doc_id")).toDF()
+    val w = Window.partitionBy(col("sample_md5"))
+    hashed.select(col("media_id"), col("n_samples"), col("sample_md5"),
+        min(col("media_id")).over(w).as("keep_id"),
+        count(lit(1)).over(w).as("n_dups"))
+      .orderBy(col("media_id"))
+  }
+
   /** Snapshot diff ([[Contract.snapshotDiff]]): the current corpus vs a
     * deterministically simulated refresh — every 7th doc deleted, every
     * 5th rewritten, every 11th spawning a new id — one full-outer hash
@@ -1313,6 +1327,7 @@ object PipelineQueries {
     "q130_snapshot_diff" -> q130SnapshotDiff,
     "q131_pixel_dedup" -> q131PixelDedup,
     "q132_unicode_canonical" -> q132UnicodeCanonical,
+    "q134_audio_dedup" -> q134AudioDedup,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -3070,6 +3085,24 @@ object PipelineQueries {
         |SELECT source, max(ns)::BIGINT AS n_docs,
         |  round(sum(term::DECIMAL(28,10)), 6)::DOUBLE AS psi
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // Mirrors q134AudioDedup: the canonical "n:rate:samples" string and
+    // md5 from the generator at gen = doc_id div 2 — identical for the
+    // WAV and AIFF twins.
+    "q134_audio_dedup" ->
+      """WITH dims AS (SELECT doc_id, doc_id // 2 AS gen,
+        |    64 + (doc_id // 2) % 65 AS n FROM documents),
+        |s AS (SELECT d.doc_id, d.n, i.i,
+        |    ((d.gen * 37 + i.i * 101) % 65536) - 32768 AS v
+        |  FROM dims d JOIN generate_series(0, 128) i(i) ON i.i < d.n),
+        |str AS (SELECT doc_id, n,
+        |    string_agg(v::VARCHAR, ',' ORDER BY i) AS ss
+        |  FROM s GROUP BY 1, 2),
+        |h AS (SELECT doc_id AS media_id, n::BIGINT AS n_samples,
+        |    md5(n || ':8000:' || ss) AS sample_md5 FROM str)
+        |SELECT media_id, n_samples, sample_md5,
+        |  min(media_id) OVER (PARTITION BY sample_md5)::BIGINT AS keep_id,
+        |  count(*) OVER (PARTITION BY sample_md5)::BIGINT AS n_dups
+        |FROM h ORDER BY media_id""".stripMargin,
     // Mirrors q132UnicodeCanonical: the same combining-accent planting
     // (chr(233) composed vs 'e'+chr(769)), DuckDB's own nfc_normalize.
     "q132_unicode_canonical" ->

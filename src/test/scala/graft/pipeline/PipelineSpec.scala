@@ -309,6 +309,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(byPixel(10L) != byPixel(12L))
   }
 
+  test("multimodal AIFF: big-endian twins share samples, differ in bytes; sample hash pairs them") {
+    // genuine AIFF container (FORM magic), sample-exact roundtrip
+    val aiff = Multimodal.encodeAiff(7L)
+    assert(new String(aiff.take(4), "US-ASCII") == "FORM")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(aiff))
+    assert(ais.getFormat.isBigEndian)
+    val bytes = ais.readAllBytes()
+    val n = Multimodal.wavSamples(7L)
+    assert(bytes.length == n * 2)
+    for (i <- 0 until n) {
+      val expected = ((7L * 37 + i.toLong * 101) % 65536 - 32768).toInt
+      val got = ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort.toInt
+      assert(got == expected, s"sample $i")
+    }
+    // dedup premise: byte hashes differ, canonical sample hashes agree
+    val ids = Seq(20L, 21L).toDF("doc_id")
+    val media = Multimodal.syntheticMixedAudio(ids, "doc_id")
+    val byByte = media.collect()
+      .map(m => m.media_id -> java.util.Arrays.hashCode(m.payload)).toMap
+    assert(byByte(20L) != byByte(21L))
+    val bySample = Multimodal.sampleHashes(media).collect()
+      .map(p => p.media_id -> p.sample_md5).toMap
+    assert(bySample(20L) == bySample(21L))
+  }
+
   test("multimodal PNG: ImageIO encode→decode roundtrip matches the closed form") {
     val ids = Seq(0L, 1L, 7L, 42L, 123L)
     // payloads are genuine PNGs (magic bytes), not passthrough fakes
