@@ -162,6 +162,47 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("zInterleave is the exact Morton code; z-ordered files bound BOTH key spans") {
+    // exact bit interleave vs a reference implementation
+    def mortonRef(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 32) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val df = new scala.util.Random(5).shuffle(pts).toDF("x", "y")
+    val codes = df.select(col("x"), col("y"),
+        Scale.zInterleave(col("x"), col("y")).as("z"))
+      .collect()
+    codes.foreach(r =>
+      assert(r.getLong(2) == mortonRef(r.getLong(0), r.getLong(1))))
+    // layout: per-file spans of BOTH keys stay bounded under z-order;
+    // an x-sorted baseline leaves y unbounded in every file
+    def fileSpans(dir: String, sortZ: Boolean): Seq[(Long, Long)] = {
+      if (sortZ) Scale.writeZOrdered(df, dir, "x", "y", numFiles = 16)
+      else df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col("x")) - min(col("x"))).as("sx"),
+          (max(col("y")) - min(col("y"))).as("sy"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    }
+    val zDir = Files.createTempDirectory("zorder").toString
+    val xDir = Files.createTempDirectory("xsort").toString
+    val zSpans = fileSpans(zDir, sortZ = true)
+    val xSpans = fileSpans(xDir, sortZ = false)
+    def avg(s: Seq[Long]) = s.sum.toDouble / s.length
+    // x-sort: x tightly bounded but y spans the full 0..63 everywhere
+    assert(avg(xSpans.map(_._2)) > 55.0, s"baseline y spans: $xSpans")
+    // z-order: BOTH dimensions bounded well below the global range
+    assert(avg(zSpans.map(_._1)) < 32.0, s"z x spans: $zSpans")
+    assert(avg(zSpans.map(_._2)) < 32.0, s"z y spans: $zSpans")
+  }
+
   test("bucketedGlobalRank property: random values and bucket counts stay rank-exact") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(17)
