@@ -325,9 +325,31 @@ object CoreQueries {
         col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Interval RANGE window frame: per order, trailing-7-day order-value
+    * sum over that customer's own orders — the moving-aggregate surface
+    * (RANGE BETWEEN INTERVAL ... PRECEDING) that rows-frames cannot
+    * express when event spacing is irregular. Values sum as exact
+    * DECIMAL inside the frame (frame membership is timestamp
+    * arithmetic, identical across engines); emitted per the house
+    * round-then-double rule. */
+  def q136MovingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") % 100 === 0)
+      .selectExpr("o_custkey", "o_orderkey", "o_orderdate",
+        """round(sum(cast(o_totalprice AS DECIMAL(28,10))) OVER (
+          |  PARTITION BY o_custkey ORDER BY o_orderdate
+          |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW),
+          |4) AS trailing_7d""".stripMargin)
+      .select(col("o_custkey"), col("o_orderkey"),
+        tsStr(col("o_orderdate")).as("o_orderdate"),
+        col("trailing_7d").cast("double").as("trailing_7d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q133_rollup_revenue" -> q133RollupRevenue,
+    "q136_moving_revenue" -> q136MovingRevenue,
     "q02_filter_pushdown" -> q02FilterPushdown,
     "q03_top_revenue_orders" -> q03TopRevenueOrders,
     "q05_region_revenue" -> q05RegionRevenue,
@@ -343,6 +365,15 @@ object CoreQueries {
     "q109_rate_anomaly" -> q109RateAnomaly)
 
   val oracles: Map[String, String] = Map(
+    "q136_moving_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |  round(sum(o_totalprice::DECIMAL(28,10)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW),
+        |  4)::DOUBLE AS trailing_7d
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q133_rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,10)), 4)

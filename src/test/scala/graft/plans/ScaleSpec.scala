@@ -79,6 +79,39 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning fires on the shard layout for a selective dim join") {
+    import java.nio.file.Files
+    val docs = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val sharded = graft.pipeline.TextMetrics
+      .shuffleShards(docs, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+    val dir = Files.createTempDirectory("dppshards").toString
+    Scale.writeShards(sharded, dir)
+    // a selective "wanted shards" dim — the shape of any training run
+    // that reads a subset of shards chosen by a separate relation.
+    // Three DPP planning preconditions, all production-relevant:
+    // the dim predicate must be SELECTIVE (equality; isNotNull does
+    // not qualify), the join key must match the partition column's
+    // type (a cast around the partition column defeats the rule), and
+    // the dim must be a real source (a local Seq's filter constant-
+    // folds away before the PartitionPruning rule runs).
+    val dimDir = Files.createTempDirectory("dppdim").toString
+    Seq((0, "a"), (3, "b"), (5, "c")).toDF("shard", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val joined = spark.read.parquet(dir)
+        .join(spark.read.parquet(dimDir).filter(col("tag") === "a"),
+          Seq("shard"))
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      // the scan must carry a runtime partition filter, not read all 8
+      // shard directories and filter post-scan
+      assert(plan.contains("dynamicpruning"),
+        "no dynamic partition pruning in:\n" + plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("writeShards: one file per shard directory, rows round-trip with order intact") {
     import java.nio.file.Files
     val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
