@@ -1186,6 +1186,10 @@ object TextMetrics {
         col("_nrm").as("_nq"))), Seq("query_id"))
       .join(norms.select(col(idCol).as("corpus_id"),
         col("_nrm").as("_nc")), Seq("corpus_id"))
+      // a doc whose surviving terms ALL weigh zero (df exactly == N at
+      // the cap boundary) has norm 0; its pairs would score 0/0 = NaN —
+      // drop them (zero-weight vectors carry no lexical signal)
+      .filter(col("_nq") > 0.0 && col("_nc") > 0.0)
       .select(col("query_id"), col("corpus_id"),
         dec6(col("dot") / (col("_nq") * col("_nc"))).as("score"))
     val wr = Window.partitionBy(col("query_id"))

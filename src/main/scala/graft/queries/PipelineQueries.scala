@@ -3007,7 +3007,8 @@ object PipelineQueries {
         |    round((d.dot / (nq.nrm * nc.nrm))::DECIMAL(28,10), 6)::DOUBLE
         |      AS score
         |  FROM d JOIN norms nq ON nq.doc_id = d.query_id
-        |  JOIN norms nc ON nc.doc_id = d.corpus_id),
+        |  JOIN norms nc ON nc.doc_id = d.corpus_id
+        |  WHERE nq.nrm > 0 AND nc.nrm > 0),
         |r AS (SELECT query_id, corpus_id, score,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY score DESC, corpus_id) AS rank
