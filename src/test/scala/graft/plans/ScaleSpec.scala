@@ -79,6 +79,44 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge partition at runtime (skew=true in the final plan)") {
+    // one key carries ~90% of the rows; AQE must mark and split the
+    // skewed SMJ partition once the thresholds are within test reach
+    // payloads must stay incompressible: skew detection measures
+    // COMPRESSED shuffle bytes, and a repeated constant deflates to
+    // almost nothing
+    val prnd = new scala.util.Random(23)
+    val big = ((1 to 20000).map(_ => ("hot", prnd.nextLong().toHexString * 4)) ++
+      (1 to 2000).map(i => (s"k$i", "y"))).toDF("k", "payload")
+    // the dim carries the hot key ONCE: result stays fact-sized; skew
+    // detection looks at the fact partition's size, not match counts
+    val other = (Seq(("hot", 1)) ++
+      (1 to 1000).map(i => (s"k$i", i))).toDF("k", "v")
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    try {
+      val joined = big.join(other, Seq("k"))
+      // execute THIS QueryExecution (count() would plan a different
+      // one and leave this AdaptiveSparkPlan un-finalized)
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("skew=true"),
+        "AQE did not mark the skewed join:\n" + plan.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning fires on the shard layout for a selective dim join") {
     import java.nio.file.Files
     val docs = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
