@@ -676,6 +676,30 @@ object TextMetrics {
           lit(window)), " ")).as("chunk_md5"))
   }
 
+  /** Per-document script profile — the pre-langid routing signal a
+    * multilingual pipeline reads first (script detection is cheap and
+    * decisive where trigram langid needs training data per language):
+    * character fractions per writing system over EXPLICIT code-point
+    * ranges — identical byte-for-byte in Java and RE2, unlike the
+    * `\p{script=...}` names the two engines spell differently. One
+    * scan, codegen'd regexp_replace counting, ratios dec6'd. */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nChars = length(col(textCol))
+    def frac(keepInverse: String): Column =
+      when(nChars > 0,
+        dec6(length(regexp_replace(col(textCol), keepInverse, ""))
+          .cast("double") / nChars.cast("double"))).otherwise(lit(0.0))
+    // LITERAL range-endpoint characters (Scala \uXXXX lexing), not
+    // regex \u escapes: Java accepts \uXXXX inside classes but RE2
+    // wants \x{...} — literal endpoints read identically in both
+    docs.select(col(idCol), nChars.cast("long").as("n_chars"),
+      frac("[^A-Za-z]").as("latin_frac"),
+      frac("[^Ѐ-ӿ]").as("cyrillic_frac"),
+      frac("[^一-鿿]").as("cjk_frac"),
+      frac("[^؀-ۿ]").as("arabic_frac"),
+      frac("[^0-9]").as("digit_frac"))
+  }
+
   /** Cross-source quantile normalization — the score-calibration step
     * before mixing heterogeneous sources: a raw per-document statistic
     * (token count here) is not comparable across sources whose length

@@ -493,6 +493,23 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Script profile ([[TextMetrics.scriptProfile]]) over deterministic
+    * multilingual planting: per-doc character fractions for
+    * Latin/Cyrillic/CJK/Arabic/digit ranges — the pre-langid routing
+    * signal; literal code-point range endpoints read identically in
+    * Java and RE2. */
+  def q137ScriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(" привет"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit(" 你好世界"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" مرحبا"))
+        .otherwise(lit(""))).as("text"))
+    TextMetrics.scriptProfile(planted, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Unicode-canonical dedup: ids 2k/2k+1 carry canonically-EQUIVALENT
     * but byte-distinct text (composed é vs e + U+0301 combining acute)
     * — byte dedup misses every pair, NFC-canonical dedup groups them.
@@ -1328,6 +1345,7 @@ object PipelineQueries {
     "q131_pixel_dedup" -> q131PixelDedup,
     "q132_unicode_canonical" -> q132UnicodeCanonical,
     "q134_audio_dedup" -> q134AudioDedup,
+    "q137_script_profile" -> q137ScriptProfile,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -3086,6 +3104,26 @@ object PipelineQueries {
         |SELECT source, max(ns)::BIGINT AS n_docs,
         |  round(sum(term::DECIMAL(28,10)), 6)::DOUBLE AS psi
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // Mirrors q137ScriptProfile: identical literal code-point range
+    // classes (RE2 'g' replace), same planting, dec6 ratio device.
+    "q137_script_profile" ->
+      """WITH planted AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' привет' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' 你好世界' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' مرحبا' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id, length(t)::BIGINT AS n_chars,
+        |  round((length(regexp_replace(t, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |    / length(t)::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS latin_frac,
+        |  round((length(regexp_replace(t, '[^Ѐ-ӿ]', '', 'g'))::DOUBLE
+        |    / length(t)::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS cyrillic_frac,
+        |  round((length(regexp_replace(t, '[^一-鿿]', '', 'g'))::DOUBLE
+        |    / length(t)::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS cjk_frac,
+        |  round((length(regexp_replace(t, '[^؀-ۿ]', '', 'g'))::DOUBLE
+        |    / length(t)::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS arabic_frac,
+        |  round((length(regexp_replace(t, '[^0-9]', '', 'g'))::DOUBLE
+        |    / length(t)::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS digit_frac
+        |FROM planted ORDER BY doc_id""".stripMargin,
     // Mirrors q134AudioDedup: the canonical "n:rate:samples" string and
     // md5 from the generator at gen = doc_id div 2 — identical for the
     // WAV and AIFF twins.
