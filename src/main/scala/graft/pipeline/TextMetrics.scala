@@ -676,6 +676,45 @@ object TextMetrics {
           lit(window)), " ")).as("chunk_md5"))
   }
 
+  /** Padding-waste report — the measurement behind length-sorted
+    * batching (inference servers and packed training both pay
+    * `batch·max(len) − Σlen` padding per batch): documents batched in
+    * LENGTH order vs deterministic-random order, per strategy the
+    * batches opened, real tokens, padded slots, and the wasted-slot
+    * fraction. The gap between the two rows IS the case for sorted
+    * bucketing.
+    *
+    * Shape: both global orderings rank via [[Ranks.bucketedGlobalRank]]
+    * (no single-task sort); batch membership is integer arithmetic on
+    * the rank; per-batch and per-strategy aggregates are map-side
+    * partial'd. Everything is exact integers until the one dec6'd
+    * final ratio. */
+  def paddingWaste(docs: DataFrame, idCol: String, textCol: String,
+      batchSize: Int, salt: String = "batch"): DataFrame = {
+    require(batchSize >= 1, "paddingWaste: batchSize must be >= 1")
+    val base = docs.select(col(idCol),
+      size(TextFunctions.tokenize(col(textCol))).cast("long").as("v"),
+      TextFunctions.fingerprint(
+        concat(lit(salt), lit(":"), col(idCol).cast("string"))).as("_h"))
+      .localCheckpoint(true) // both strategy rankings read it
+    def strategy(name: String, valueCol: String): DataFrame =
+      Ranks.bucketedGlobalRank(base, valueCol, idCol, "_rn")
+        .withColumn("_batch", expr(s"(_rn - 1) div $batchSize"))
+        .groupBy(col("_batch"))
+        .agg(count(lit(1)).as("_cnt"), max(col("v")).as("_mx"),
+          sum(col("v")).as("_sum"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("_sum")).as("total_tokens"),
+          sum(col("_cnt") * col("_mx") - col("_sum")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          dec6(col("padded_tokens").cast("double") /
+            (col("padded_tokens") + col("total_tokens")).cast("double"))
+            .as("pad_frac"))
+    strategy("length_sorted", "v")
+      .unionByName(strategy("hash_random", "_h"))
+  }
+
   /** Per-document script profile — the pre-langid routing signal a
     * multilingual pipeline reads first (script detection is cheap and
     * decisive where trigram langid needs training data per language):

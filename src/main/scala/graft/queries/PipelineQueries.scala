@@ -493,6 +493,14 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Padding-waste report ([[TextMetrics.paddingWaste]]): batches of 16
+    * in length order vs hash-random order — the sorted-bucketing case,
+    * both rankings through the partitioned rank device. */
+  def q138PaddingWaste(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.paddingWaste(docs(spark, dir), "doc_id", "text",
+        batchSize = 16)
+      .orderBy(col("strategy"))
+
   /** Script profile ([[TextMetrics.scriptProfile]]) over deterministic
     * multilingual planting: per-doc character fractions for
     * Latin/Cyrillic/CJK/Arabic/digit ranges — the pre-langid routing
@@ -1346,6 +1354,7 @@ object PipelineQueries {
     "q132_unicode_canonical" -> q132UnicodeCanonical,
     "q134_audio_dedup" -> q134AudioDedup,
     "q137_script_profile" -> q137ScriptProfile,
+    "q138_padding_waste" -> q138PaddingWaste,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -3104,6 +3113,36 @@ object PipelineQueries {
         |SELECT source, max(ns)::BIGINT AS n_docs,
         |  round(sum(term::DECIMAL(28,10)), 6)::DOUBLE AS psi
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // Mirrors paddingWaste: row_number rankings under both orders, the
+    // same (rank-1) div 16 batching, exact-integer waste accounting.
+    "q138_padding_waste" ->
+      """WITH toks AS (SELECT doc_id,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS v,
+        |    ('0x' || substr(md5('batch:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      AS h
+        |  FROM documents),
+        |s1 AS (SELECT v,
+        |    (row_number() OVER (ORDER BY v, doc_id) - 1) // 16 AS b
+        |  FROM toks),
+        |a1 AS (SELECT b, count(*) AS c, max(v) AS m, sum(v) AS s
+        |  FROM s1 GROUP BY b),
+        |r1 AS (SELECT 'length_sorted' AS strategy,
+        |    count(*)::BIGINT AS n_batches, sum(s)::BIGINT AS total_tokens,
+        |    sum(c * m - s)::BIGINT AS padded_tokens FROM a1),
+        |s2 AS (SELECT v,
+        |    (row_number() OVER (ORDER BY h, doc_id) - 1) // 16 AS b
+        |  FROM toks),
+        |a2 AS (SELECT b, count(*) AS c, max(v) AS m, sum(v) AS s
+        |  FROM s2 GROUP BY b),
+        |r2 AS (SELECT 'hash_random' AS strategy,
+        |    count(*)::BIGINT AS n_batches, sum(s)::BIGINT AS total_tokens,
+        |    sum(c * m - s)::BIGINT AS padded_tokens FROM a2)
+        |SELECT strategy, n_batches, total_tokens, padded_tokens,
+        |  round((padded_tokens::DOUBLE
+        |    / (padded_tokens + total_tokens)::DOUBLE)::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS pad_frac
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |ORDER BY strategy""".stripMargin,
     // Mirrors q137ScriptProfile: identical literal code-point range
     // classes (RE2 'g' replace), same planting, dec6 ratio device.
     "q137_script_profile" ->
