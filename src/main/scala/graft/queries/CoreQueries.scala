@@ -346,10 +346,32 @@ object CoreQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Cohort retention — the classic product-analytics matrix over the
+    * event stream: users grouped by first-seen day, per (cohort,
+    * day-offset) the distinct users still active. Two aggregates plus
+    * one user-keyed join — no window, no self-join explosion; the day
+    * truncation and diff are integer-exact on both engines under the
+    * UTC session. */
+  def q139CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val act = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    act.join(first, Seq("user_id"))
+      .select(col("user_id"), col("d0"),
+        datediff(col("d"), col("d0")).cast("long").as("day_offset"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q133_rollup_revenue" -> q133RollupRevenue,
     "q136_moving_revenue" -> q136MovingRevenue,
+    "q139_cohort_retention" -> q139CohortRetention,
     "q02_filter_pushdown" -> q02FilterPushdown,
     "q03_top_revenue_orders" -> q03TopRevenueOrders,
     "q05_region_revenue" -> q05RegionRevenue,
@@ -365,6 +387,15 @@ object CoreQueries {
     "q109_rate_anomaly" -> q109RateAnomaly)
 
   val oracles: Map[String, String] = Map(
+    "q139_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY 1)
+        |SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+        |  date_diff('day', f.d0, a.d)::BIGINT AS day_offset,
+        |  count(DISTINCT a.user_id)::BIGINT AS n_users
+        |FROM a JOIN f USING (user_id)
+        |WHERE date_diff('day', f.d0, a.d) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q136_moving_revenue" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
