@@ -676,6 +676,43 @@ object TextMetrics {
           lit(window)), " ")).as("chunk_md5"))
   }
 
+  /** Filter-agreement report — Cohen's kappa between two binary
+    * document raters (here: the cheap [[qualityScore]] rule vs the
+    * [[gopherRules]] battery), the statistic that tells a curation
+    * team whether two filters measure the SAME thing (high kappa — one
+    * is redundant) or complementary signal (low kappa — compose them).
+    * Raw agreement p_o alone misleads when both raters accept almost
+    * everything; kappa subtracts chance agreement p_e from the
+    * marginals.
+    *
+    * Exactness: the 2×2 cells are exact integers from one conditional
+    * aggregate; p_o, p_e, kappa are IEEE double expressions over those
+    * integers written identically in the oracle (kappa computed from
+    * the UNROUNDED p_o/p_e; the emitted columns round once); a
+    * degenerate p_e = 1 yields null, mirrored. Shape: two scans joined
+    * on the id, one 1-row aggregate. */
+  def raterAgreement(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val a = qualityScore(docs, idCol, textCol)
+      .select(col(idCol), col("quality").cast("long").as("_a"))
+    val b = gopherRules(docs, idCol, textCol)
+      .select(col(idCol), col("pass").as("_b"))
+    val cells = a.join(b, Seq(idCol)).agg(
+      sum(when(col("_a") === 0 && col("_b") === 0, 1L).otherwise(0L)).as("n00"),
+      sum(when(col("_a") === 0 && col("_b") === 1, 1L).otherwise(0L)).as("n01"),
+      sum(when(col("_a") === 1 && col("_b") === 0, 1L).otherwise(0L)).as("n10"),
+      sum(when(col("_a") === 1 && col("_b") === 1, 1L).otherwise(0L)).as("n11"),
+      count(lit(1)).as("_n"))
+    val po = (col("n00") + col("n11")).cast("double") / col("_n").cast("double")
+    val peNum = (col("n10") + col("n11")) * (col("n01") + col("n11")) +
+      (col("n00") + col("n01")) * (col("n00") + col("n10"))
+    val pe = peNum.cast("double") / (col("_n") * col("_n")).cast("double")
+    cells.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      dec6(po).as("po"), dec6(pe).as("pe"),
+      when(peNum === col("_n") * col("_n"), lit(null).cast("double"))
+        .otherwise(dec6((po - pe) / (lit(1.0) - pe))).as("kappa"))
+  }
+
   /** Padding-waste report — the measurement behind length-sorted
     * batching (inference servers and packed training both pay
     * `batch·max(len) − Σlen` padding per batch): documents batched in

@@ -493,6 +493,12 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Filter agreement ([[TextMetrics.raterAgreement]]): Cohen's kappa
+    * between the cheap quality rule and the Gopher battery — redundant
+    * vs complementary filters, one row. */
+  def q140FilterAgreement(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.raterAgreement(docs(spark, dir), "doc_id", "text")
+
   /** Padding-waste report ([[TextMetrics.paddingWaste]]): batches of 16
     * in length order vs hash-random order — the sorted-bucketing case,
     * both rankings through the partitioned rank device. */
@@ -1355,6 +1361,7 @@ object PipelineQueries {
     "q134_audio_dedup" -> q134AudioDedup,
     "q137_script_profile" -> q137ScriptProfile,
     "q138_padding_waste" -> q138PaddingWaste,
+    "q140_filter_agreement" -> q140FilterAgreement,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -1658,6 +1665,57 @@ object PipelineQueries {
        |JOIN sizes sb ON sb.doc_id = c.doc_b
        |WHERE coalesce(s.shared, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(s.shared, 0))::DOUBLE >= 0.5
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
+  // The Gopher seven-rule battery as SQL — its own oracle and the
+  // "rater B" of the q140 agreement report.
+  private val q104OracleBody =
+    """WITH base AS (SELECT doc_id, text,
+        |    regexp_split_to_array(lower(text), '\s+') AS t,
+        |    len(regexp_split_to_array(text, '\n')) AS n_lines
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(t) AS n_words,
+        |    length(regexp_replace(text, '[ \t\n\f\r]', '', 'g'))::DOUBLE
+        |      / len(t)::DOUBLE AS mean_len,
+        |    len(regexp_extract_all(text, '#|\.\.\.'))::DOUBLE
+        |      / len(t)::DOUBLE AS symbol_ratio,
+        |    len(regexp_extract_all(text, '(?m)^[-*]'))::DOUBLE
+        |      / n_lines::DOUBLE AS bullet_frac,
+        |    len(regexp_extract_all(text, '(?m)\.\.\.$'))::DOUBLE
+        |      / n_lines::DOUBLE AS ellipsis_frac,
+        |    len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+        |      / len(t)::DOUBLE AS alpha_frac,
+        |    (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'with') THEN 1 ELSE 0 END)
+        |      AS stop_hits
+        |  FROM base),
+        |f AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words >= 50 AND n_words <= 100000
+        |      THEN 1 ELSE 0 END AS r_word_count,
+        |    CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+        |      THEN 1 ELSE 0 END AS r_mean_word_len,
+        |    CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS r_symbol_ratio,
+        |    CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS r_bullet_lines,
+        |    CASE WHEN ellipsis_frac < 0.3 THEN 1 ELSE 0 END AS r_ellipsis_lines,
+        |    CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS r_alpha_words,
+        |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stopwords
+        |  FROM m)
+        |SELECT doc_id, n_words::BIGINT AS n_words,
+        |  r_word_count::BIGINT AS r_word_count,
+        |  r_mean_word_len::BIGINT AS r_mean_word_len,
+        |  r_symbol_ratio::BIGINT AS r_symbol_ratio,
+        |  r_bullet_lines::BIGINT AS r_bullet_lines,
+        |  r_ellipsis_lines::BIGINT AS r_ellipsis_lines,
+        |  r_alpha_words::BIGINT AS r_alpha_words,
+        |  r_stopwords::BIGINT AS r_stopwords,
+        |  (r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
+        |   * r_ellipsis_lines * r_alpha_words * r_stopwords)::BIGINT AS pass
+        |FROM f ORDER BY doc_id""".stripMargin
 
   // The q49 next-fit packing as a recursive CTE — its own oracle (plus
   // an ORDER BY) and the base relation of the q117 efficiency report.
@@ -3113,6 +3171,51 @@ object PipelineQueries {
         |SELECT source, max(ns)::BIGINT AS n_docs,
         |  round(sum(term::DECIMAL(28,10)), 6)::DOUBLE AS psi
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // Mirrors raterAgreement: rater A is qualityColumns' UNROUNDED
+    // double rule (the q74 device), rater B wraps the q104 body; kappa
+    // arithmetic written as the identical double expression tree.
+    "q140_filter_agreement" ->
+      (s"WITH gb AS (SELECT doc_id, pass AS b FROM (\n$q104OracleBody\n)),\n" +
+        """qa AS (SELECT doc_id,
+          |    CASE WHEN length(text) >= 50
+          |      AND ((length(text) - length(regexp_replace(text,
+          |            '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+          |          / length(text)::DOUBLE) < 0.2
+          |      AND ((length(text)
+          |            - len(regexp_split_to_array(lower(text), '\s+'))
+          |            + 1)::DOUBLE
+          |          / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE)
+          |          >= 3.0
+          |      AND ((length(text)
+          |            - len(regexp_split_to_array(lower(text), '\s+'))
+          |            + 1)::DOUBLE
+          |          / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE)
+          |          <= 12.0
+          |    THEN 1 ELSE 0 END AS a
+          |  FROM documents),
+          |c AS (SELECT
+          |    sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)::BIGINT AS n00,
+          |    sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+          |    sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+          |    sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)::BIGINT AS n11,
+          |    count(*)::BIGINT AS n
+          |  FROM qa JOIN gb USING (doc_id))
+          |SELECT n00, n01, n10, n11,
+          |  round(((n00 + n11)::DOUBLE / n::DOUBLE)::DECIMAL(28,10), 6)
+          |    ::DOUBLE AS po,
+          |  round((((n10 + n11) * (n01 + n11)
+          |      + (n00 + n01) * (n00 + n10))::DOUBLE
+          |    / (n * n)::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS pe,
+          |  CASE WHEN (n10 + n11) * (n01 + n11)
+          |      + (n00 + n01) * (n00 + n10) = n * n THEN NULL
+          |  ELSE round(((((n00 + n11)::DOUBLE / n::DOUBLE)
+          |      - (((n10 + n11) * (n01 + n11)
+          |          + (n00 + n01) * (n00 + n10))::DOUBLE / (n * n)::DOUBLE))
+          |    / (1.0 - (((n10 + n11) * (n01 + n11)
+          |          + (n00 + n01) * (n00 + n10))::DOUBLE
+          |        / (n * n)::DOUBLE)))::DECIMAL(28,10), 6)::DOUBLE
+          |  END AS kappa
+          |FROM c""".stripMargin),
     // Mirrors paddingWaste: row_number rankings under both orders, the
     // same (rank-1) div 16 batching, exact-integer waste accounting.
     "q138_padding_waste" ->
@@ -3406,54 +3509,7 @@ object PipelineQueries {
         |FROM base ORDER BY doc_id""".stripMargin,
     // Mirrors TextMetrics.gopherRules: identical regexp/array devices,
     // every ratio an IEEE-identical double before its threshold compare.
-    "q104_gopher_rules" ->
-      """WITH base AS (SELECT doc_id, text,
-        |    regexp_split_to_array(lower(text), '\s+') AS t,
-        |    len(regexp_split_to_array(text, '\n')) AS n_lines
-        |  FROM documents),
-        |m AS (SELECT doc_id, len(t) AS n_words,
-        |    length(regexp_replace(text, '[ \t\n\f\r]', '', 'g'))::DOUBLE
-        |      / len(t)::DOUBLE AS mean_len,
-        |    len(regexp_extract_all(text, '#|\.\.\.'))::DOUBLE
-        |      / len(t)::DOUBLE AS symbol_ratio,
-        |    len(regexp_extract_all(text, '(?m)^[-*]'))::DOUBLE
-        |      / n_lines::DOUBLE AS bullet_frac,
-        |    len(regexp_extract_all(text, '(?m)\.\.\.$'))::DOUBLE
-        |      / n_lines::DOUBLE AS ellipsis_frac,
-        |    len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
-        |      / len(t)::DOUBLE AS alpha_frac,
-        |    (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(t, 'be') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(t, 'that') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(t, 'have') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(t, 'with') THEN 1 ELSE 0 END)
-        |      AS stop_hits
-        |  FROM base),
-        |f AS (SELECT doc_id, n_words,
-        |    CASE WHEN n_words >= 50 AND n_words <= 100000
-        |      THEN 1 ELSE 0 END AS r_word_count,
-        |    CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
-        |      THEN 1 ELSE 0 END AS r_mean_word_len,
-        |    CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS r_symbol_ratio,
-        |    CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS r_bullet_lines,
-        |    CASE WHEN ellipsis_frac < 0.3 THEN 1 ELSE 0 END AS r_ellipsis_lines,
-        |    CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS r_alpha_words,
-        |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stopwords
-        |  FROM m)
-        |SELECT doc_id, n_words::BIGINT AS n_words,
-        |  r_word_count::BIGINT AS r_word_count,
-        |  r_mean_word_len::BIGINT AS r_mean_word_len,
-        |  r_symbol_ratio::BIGINT AS r_symbol_ratio,
-        |  r_bullet_lines::BIGINT AS r_bullet_lines,
-        |  r_ellipsis_lines::BIGINT AS r_ellipsis_lines,
-        |  r_alpha_words::BIGINT AS r_alpha_words,
-        |  r_stopwords::BIGINT AS r_stopwords,
-        |  (r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
-        |   * r_ellipsis_lines * r_alpha_words * r_stopwords)::BIGINT AS pass
-        |FROM f ORDER BY doc_id""".stripMargin,
+    "q104_gopher_rules" -> q104OracleBody,
     // Mirrors Similarity.sq8Report: the q44 quantize device, then pure
     // integer encode/decode (a*127//s, //127 — truncating division on
     // non-negative operands, identical in both engines) and an integer
