@@ -676,6 +676,30 @@ object TextMetrics {
           lit(window)), " ")).as("chunk_md5"))
   }
 
+  /** Per-source vocabulary profile — the lexical-health companion to
+    * [[zipfFitFromTf]]: token/type totals, hapax legomena (tokens seen
+    * exactly once — a high hapax fraction flags OCR noise or genuinely
+    * diverse text; near-zero flags templated content), and the
+    * type-token ratio. One scan collapses to the (source, token,
+    * count) relation (|sources|·vocabulary-bounded, map-side partials);
+    * the rollup is |sources|-sized; ratios are exact-integer divisions
+    * dec6'd once. */
+  def vocabGrowth(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(groupCol),
+        explode(TextFunctions.tokenize(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        dec6(col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        dec6(col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_frac"))
+
   /** Filter-agreement report — Cohen's kappa between two binary
     * document raters (here: the cheap [[qualityScore]] rule vs the
     * [[gopherRules]] battery), the statistic that tells a curation

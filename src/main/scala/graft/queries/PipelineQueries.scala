@@ -493,6 +493,12 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Per-source vocabulary profile ([[TextMetrics.vocabGrowth]]):
+    * token/type/hapax counts + TTR — lexical diversity triage. */
+  def q141VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.vocabGrowth(docs(spark, dir), "source", "text")
+      .orderBy(col("source"))
+
   /** Filter agreement ([[TextMetrics.raterAgreement]]): Cohen's kappa
     * between the cheap quality rule and the Gopher battery — redundant
     * vs complementary filters, one row. */
@@ -1362,6 +1368,7 @@ object PipelineQueries {
     "q137_script_profile" -> q137ScriptProfile,
     "q138_padding_waste" -> q138PaddingWaste,
     "q140_filter_agreement" -> q140FilterAgreement,
+    "q141_vocab_growth" -> q141VocabGrowth,
     "q04_token_budget" -> q04TokenBudget,
     "q39_dedup_canonical" -> q39DedupCanonical,
     "q40_embedding_neardups" -> q40EmbeddingNearDups,
@@ -3171,6 +3178,22 @@ object PipelineQueries {
         |SELECT source, max(ns)::BIGINT AS n_docs,
         |  round(sum(term::DECIMAL(28,10)), 6)::DOUBLE AS psi
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // Mirrors vocabGrowth: the same two-level aggregate, dec6 ratios.
+    "q141_vocab_growth" ->
+      """WITH tf AS (SELECT source, token, count(*)::BIGINT AS c
+        |  FROM (SELECT source,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |    FROM documents) GROUP BY 1, 2),
+        |a AS (SELECT source, sum(c)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS n_types,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        |  FROM tf GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  round((n_types::DOUBLE / n_tokens::DOUBLE)::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS ttr,
+        |  round((n_hapax::DOUBLE / n_types::DOUBLE)::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS hapax_frac
+        |FROM a ORDER BY source""".stripMargin,
     // Mirrors raterAgreement: rater A is qualityColumns' UNROUNDED
     // double rule (the q74 device), rater B wraps the q104 body; kappa
     // arithmetic written as the identical double expression tree.
