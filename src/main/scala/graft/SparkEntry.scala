@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{CoreQueries, OperatorQueries, PipelineQueries}
+import graft.queries.{CacheFamily, CoreQueries, OperatorQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,16 +33,26 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ OperatorQueries.oracles ++ PipelineQueries.oracles
 
-  /** Cache lifecycle for a full name-ordered sweep (Bench): each shared
-    * query-family cache is released right after its LAST consumer in sort
-    * order, so the sweep never holds every family's cache simultaneously.
-    * A long-lived deployment serving one family keeps its cache for the
-    * session — this hook exists for the all-families sweep shape. */
-  def cacheReleaseAfter: Map[String, () => Unit] = Map(
-    "q35_interaction_graph" -> (() => OperatorQueries.releaseEventsCaches()),
-    "q36_topic_model_gibbs" -> (() => OperatorQueries.releaseStemIndexCache()),
-    "q93_effective_size" -> (() => PipelineQueries.releaseClusterCache()),
-    "q92_quality_calibration" -> (() => PipelineQueries.releaseTfCache()),
-    "q86_knn_purity" -> (() => PipelineQueries.releaseKnnCache()),
-    "q91_lsh_tuning" -> (() => PipelineQueries.releaseMinhashCaches()))
+  /** Bench sweep order: numeric query index, then full name — q100 runs
+    * AFTER q99 (lexicographic order ran the q1xx block first, holding
+    * every family cache it touched resident across the whole sweep;
+    * round 9's headline paid ~5 s for it). Shared by Bench and
+    * CacheLifecycleSpec so the empirical consumer check observes the
+    * exact warm/cold pattern the sweep produces. */
+  def sweepOrder(name: String): (Int, String) = {
+    val idx = name.drop(1).takeWhile(_.isDigit)
+    (if (idx.isEmpty) Int.MaxValue else idx.toInt, name)
+  }
+
+  /** Cache lifecycle for a full sweep (Bench): each shared query-family
+    * cache declares its consumers; Bench COMPUTES each family's release
+    * position (max consumer index in the actual sorted sweep list) so
+    * the sweep never holds every family's cache simultaneously and a new
+    * consumer can never outlive a hand-named release point.
+    * CacheLifecycleSpec asserts these sets equal the empirical
+    * CacheRegistry touches. A long-lived deployment serving one family
+    * keeps its cache for the session — this hook exists for the
+    * all-families sweep shape. */
+  def cacheFamilies: Map[String, CacheFamily] =
+    OperatorQueries.cacheFamilies ++ PipelineQueries.cacheFamilies
 }

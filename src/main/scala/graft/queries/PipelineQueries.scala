@@ -44,20 +44,24 @@ object PipelineQueries {
   private val sharedBands =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
+  private def shingledDocs(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("minhash")
     sharedShingled.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       docs(spark, dir).select(col("doc_id"), col("source"),
         array_distinct(graft.functions.TextFunctions.shingles(
           graft.functions.TextFunctions.tokenize(col("text")), 3))
           .as("shingles"))
         .cache())
+  }
 
-  private def docBands(spark: SparkSession, dir: String): DataFrame =
+  private def docBands(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("minhash")
     sharedBands.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       Dedup.lshBands(
         Dedup.minhashSignatures(shingledDocs(spark, dir), numHashes = 8),
         numHashes = 8, rowsPerBand = 2)
         .cache())
+  }
 
   /** Verified near-dup pairs, cached per (session, sf dir): q20 reports
     * them, q37 clusters them — the pair detection runs once. */
@@ -81,7 +85,33 @@ object PipelineQueries {
   /** Drop the shared term-frequency cache (q52, q53). */
   def releaseTfCache(): Unit = drain(sharedTf)
 
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+  /** Shared-cache families owned by this object — consumers verified
+    * against the empirical [[CacheRegistry]] touches by
+    * CacheLifecycleSpec; Bench computes release positions from them.
+    * Note the transitive edges: the FIRST clusters consumer in sweep
+    * order also touches minhash (docClusters builds from minhashPairs on
+    * a cold cache), so that query appears in BOTH sets. */
+  def cacheFamilies: Map[String, CacheFamily] = Map(
+    "minhash" -> CacheFamily(
+      Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
+        "q78_source_overlap", "q88_incremental_dedup", "q91_lsh_tuning",
+        "q121_containment"),
+      () => releaseMinhashCaches()),
+    "tf" -> CacheFamily(
+      Set("q52_tfidf", "q53_surprisal", "q79_vocab_coverage",
+        "q81_nb_train", "q82_bigram_surprisal", "q85_zipf",
+        "q92_quality_calibration", "q127_lexical_topk"),
+      () => releaseTfCache()),
+    "knn" -> CacheFamily(
+      Set("q77_knn_graph", "q86_knn_purity"),
+      () => releaseKnnCache()),
+    "clusters" -> CacheFamily(
+      Set("q37_neardup_clusters", "q74_keep_best", "q93_effective_size",
+        "q113_cluster_size_histogram", "q123_cluster_weights"),
+      () => releaseClusterCache()))
+
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("minhash")
     sharedPairs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val sh = shingledDocs(spark, dir).select(col("doc_id"), col("shingles"))
       val cands = Dedup.lshCandidates(
@@ -91,6 +121,7 @@ object PipelineQueries {
           col("size_b"), col("jaccard"))
         .localCheckpoint(true)
     })
+  }
 
   /** MinHash + LSH near-dup pipeline: shingle → 8 salted-md5 minhashes →
     * 4 bands → bucket join → exact-Jaccard verify at 0.5. */
@@ -394,10 +425,12 @@ object PipelineQueries {
   private val sharedKnn =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  private def knnGraph3(spark: SparkSession, dir: String): DataFrame =
+  private def knnGraph3(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("knn")
     sharedKnn.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       Similarity.knnGraph(emb(spark, dir), "vec_id", "embedding", k = 3)
         .localCheckpoint(true))
+  }
 
   /** Drop the shared kNN-graph cache (q77, q86). */
   def releaseKnnCache(): Unit = drain(sharedKnn)
@@ -449,11 +482,13 @@ object PipelineQueries {
   /** Drop the near-dup cluster-label cache (q37, q74). */
   def releaseClusterCache(): Unit = drain(sharedClusters)
 
-  private def docClusters(spark: SparkSession, dir: String): DataFrame =
+  private def docClusters(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("clusters")
     sharedClusters.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       Dedup.nearDupClusters(docs(spark, dir).select(col("doc_id")),
         minhashPairs(spark, dir).select("doc_a", "doc_b"), "doc_id")
         .localCheckpoint(true))
+  }
 
   /** Near-dup clusters: MinHash+LSH verified pairs → connected
     * components → one kept representative per cluster (the shipping form
@@ -889,10 +924,12 @@ object PipelineQueries {
   private val sharedTf =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  private def termFreqs(spark: SparkSession, dir: String): DataFrame =
+  private def termFreqs(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("tf")
     sharedTf.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       TextMetrics.termFrequencies(docs(spark, dir), "doc_id", "text")
         .localCheckpoint(true))
+  }
 
   /** TF-IDF top-5 terms per document (keyword extraction). */
   def q52TfIdf(spark: SparkSession, dir: String): DataFrame =
