@@ -30,7 +30,7 @@ object TextFunctions {
 
   /** Whitespace tokenizer (the reference lower-cases then splits; see
     * jar:ckling.text.Text.getTerms). */
-  def tokenize(text: Column): Column = split(lower(text), "\\s+")
+  def tokenize(text: Column): Column = split(lower(text), "[ \\t\\n\\f\\r]+")
 
   /** T4 — drop 1-char tokens. */
   def dropShortTokens(tokens: Column): Column =
@@ -91,7 +91,7 @@ object TextFunctions {
     format_string("POINT(%s %s)", lat, lon)
 
   /** T10 — strip all whitespace from screen names. */
-  def cleanUserName(c: Column): Column = regexp_replace(c, "\\s", "")
+  def cleanUserName(c: Column): Column = regexp_replace(c, "[ \\t\\n\\f\\r]", "")
 
   /** Word n-gram shingles over a token array (dedup pipeline primitive).
     * `transform(sequence(...))` keeps this inside codegen. */

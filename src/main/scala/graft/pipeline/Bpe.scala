@@ -232,7 +232,7 @@ object Bpe {
         val t = if (r.isNullAt(1)) "" else r.getString(1)
         // mirrors TextFunctions.tokenize (lower-case, split on \s+)
         val words = t.toLowerCase(java.util.Locale.ROOT)
-          .split("\\s+").filter(_.nonEmpty)
+          .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
         var nCh = 0L
         var nTok = 0L
         val sb = new java.lang.StringBuilder

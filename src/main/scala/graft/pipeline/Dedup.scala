@@ -60,7 +60,7 @@ object Dedup {
     * trivially-reformatted duplicates collapse. */
   def canonicalText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(regexp_replace(
-      regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+      regexp_replace(lower(c), "[^a-z0-9 \\t\\n\\f\\r]", " "), "[ \\t\\n\\f\\r]+", " "))
 
   /** Exact dedup over the canonical form (catches case/punctuation/
     * whitespace variants that byte-exact dedup misses); same one-shuffle

@@ -557,6 +557,12 @@ object Multimodal {
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      // dispose on TASK COMPLETION, not in a lazy iterator tail: a
+      // consumer that stops early (limit, take) never drains the
+      // iterator, and a `++ {dispose}` tail would leak the native
+      // reader; the listener fires on every task end path
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.dispose()))
       it.flatMap { m =>
         val in = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(m.payload))
@@ -581,7 +587,7 @@ object Multimodal {
             DecodedFrame(m.media_id, f.toLong, w.toLong, h.toLong, sum)
           }.toVector
         } finally in.close()
-      } ++ { reader.dispose(); Iterator.empty }
+      }
     }
   }
 
@@ -599,6 +605,12 @@ object Multimodal {
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      // dispose on TASK COMPLETION, not in a lazy iterator tail: a
+      // consumer that stops early (limit, take) never drains the
+      // iterator, and a `++ {dispose}` tail would leak the native
+      // reader; the listener fires on every task end path
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.dispose()))
       it.flatMap { m =>
         val in = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(m.payload))
@@ -640,7 +652,7 @@ object Multimodal {
           DecodedFrame(m.media_id, f.toLong, wr.toLong, hr.toLong, sum)
         }.toVector
         } finally in.close()
-      } ++ { reader.dispose(); Iterator.empty }
+      }
     }
   }
 

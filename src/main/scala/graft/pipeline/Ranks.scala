@@ -47,16 +47,30 @@ object Ranks {
     val v = col(valueCol).cast("double")
     // 1-row side-input action (the BPE/Lod bounded-collect class): lo/hi
     // become literals, so the bucket map is pure map-side and the stats
-    // subtree isn't recomputed under both the histogram and rank branches
-    val statsRow = df.agg(min(v).as("_lo"), max(v).as("_hi")).head()
+    // subtree isn't recomputed under both the histogram and rank branches.
+    // min/max exclude NaN explicitly (Spark's max treats NaN as greatest,
+    // which would poison the bucket arithmetic for every row).
+    val vFinite = when(v.isNotNull && !isnan(v), v)
+    val statsRow = df.agg(min(vFinite).as("_lo"), max(vFinite).as("_hi")).head()
     val empty = statsRow.isNullAt(0)
     val (lo, hi) =
       if (empty) (0.0, 0.0) else (statsRow.getDouble(0), statsRow.getDouble(1))
+    // Null/NaN rows get explicit buckets matching Spark's total order for
+    // an ascending sort — nulls FIRST (bucket 0, asc_nulls_first inside
+    // the bucket), NaN LAST (> +Infinity in Spark's ordering → last
+    // bucket) — so the rank stays bit-identical to the single-task
+    // Window.orderBy(asc) even on nullable or NaN-bearing metrics (a
+    // null value used to fall through least(), land in the LAST bucket
+    // and rank at the end; round-9 callers were all non-null so the gate
+    // never saw it). Degeneracy, not a bug: an all-null/all-NaN column
+    // collapses to hi <= lo and ranks serially in one bucket.
     val bucketed = df
       .withColumn("_b",
         if (hi <= lo) lit(0)
-        else least(lit(nBuckets - 1L),
-          floor((v - lit(lo)) / lit(hi - lo) * nBuckets)).cast("int"))
+        else when(v.isNull, lit(0))
+          .when(isnan(v), lit(nBuckets - 1))
+          .otherwise(least(lit(nBuckets - 1L),
+            floor((v - lit(lo)) / lit(hi - lo) * nBuckets)).cast("int")))
     val hist = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_bcnt"))
     // Exclusive prefix sum over the nBuckets-bounded histogram — a
     // broadcast non-equi self-join instead of a global window, so the
@@ -66,7 +80,7 @@ object Ranks {
       .groupBy(col("_b"))
       .agg(sum(coalesce(col("_pcnt"), lit(0L))).as("_cum"))
     val wIn = Window.partitionBy(col("_b"))
-      .orderBy(col(valueCol).asc, col(tieCol).asc)
+      .orderBy(col(valueCol).asc_nulls_first, col(tieCol).asc)
     bucketed.join(broadcast(offsets), Seq("_b"))
       .withColumn(rankCol,
         col("_cum") + row_number().over(wIn).cast("long"))

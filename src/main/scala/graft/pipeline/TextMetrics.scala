@@ -22,7 +22,7 @@ object TextMetrics {
       col(idCol),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_distinct_tokens"),
-      size(split(col(textCol), "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).as("n_subword_splits"),
+      size(split(col(textCol), "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r]")).as("n_subword_splits"),
       length(col(textCol)).as("n_chars"))
   }
 
@@ -36,7 +36,7 @@ object TextMetrics {
   def qualityColumns(textCol: String): Seq[(String, Column)] = {
     val toks = TextFunctions.tokenize(col(textCol))
     val nChars = length(col(textCol))
-    val punct = nChars - length(regexp_replace(col(textCol), "[^a-zA-Z0-9\\s]", ""))
+    val punct = nChars - length(regexp_replace(col(textCol), "[^a-zA-Z0-9 \\t\\n\\f\\r]", ""))
     val punctRatio = punct.cast("double") / nChars.cast("double")
     val meanTokenLen =
       (nChars - size(toks) + 1).cast("double") / size(toks).cast("double")
@@ -1277,14 +1277,37 @@ object TextMetrics {
     * co-occurrence under the df cap; norms join candidate-sized. The
     * top-k window partitions by query. */
   def lexicalTopKFromTf(tf: DataFrame, nDocs: DataFrame, queryIds: DataFrame,
-      idCol: String, k: Int = 5, maxDfPct: Int = 80): DataFrame = {
+      idCol: String, k: Int = 5, maxDfPct: Int = 80,
+      maxPosting: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, "lexicalTopK: k must be >= 1")
     require(maxDfPct >= 1 && maxDfPct <= 100,
       "lexicalTopK: maxDfPct must be in [1, 100]")
-    val dfRel = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    require(maxPosting >= 1, "lexicalTopK: maxPosting must be >= 1")
+    val pctPruned = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 100 <= col("n_docs") * maxDfPct)
       .select(col("token"), col("df"))
+    // Absolute posting-length guard (the Dedup.capOccupancy device for
+    // inverted indexes): a natural Zipf head can clear a PERCENTAGE cap
+    // while its postings are still corpus-scale join fuel — candidate
+    // volume per query is bounded by the sum of its terms' posting
+    // lengths, so the absolute bound is what survives a 100× corpus
+    // growth. Excluded tokens are reported loudly; exclusion is
+    // score-consistent (df is per-token, so the surviving index is
+    // IDENTICAL to running on a pre-filtered tf — ScaleSpec pins this).
+    val dfRel = if (maxPosting == Int.MaxValue) pctPruned else {
+      val over = pctPruned.filter(col("df") > maxPosting).localCheckpoint(true)
+      val n = over.count()
+      if (n > 0) {
+        val worst = over.orderBy(col("df").desc).limit(3).collect()
+          .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", ")
+        System.err.println(s"[graft] lexicalTopK: excluded $n token(s) " +
+          s"with postings over $maxPosting (worst: $worst) — " +
+          "degenerate-vocabulary guard; raise maxPosting or lower " +
+          "maxDfPct to adjudicate them explicitly")
+      }
+      pctPruned.filter(col("df") <= maxPosting)
+    }
     val w = tf.join(broadcast(dfRel), "token")
       .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("token"),
@@ -1433,7 +1456,7 @@ object TextMetrics {
         val toks: Array[String] =
           if (r.isNullAt(1)) Array.empty
           else r.getString(1).toLowerCase(java.util.Locale.ROOT)
-            .split("\\s+", -1)
+            .split("[ \\t\\n\\f\\r]+", -1)
         val drop: Set[Long] =
           if (r.isNullAt(2)) Set.empty else r.getSeq[Long](2).toSet
         val nChunks =
@@ -1794,7 +1817,7 @@ object TextMetrics {
             val last = line.charAt(line.length - 1)
             val terminal = last == '.' || last == '!' || last == '?'
             if (terminal &&
-                line.split("\\s+").count(_.nonEmpty) >= minWords) {
+                line.split("[ \\t\\n\\f\\r]+").count(_.nonEmpty) >= minWords) {
               nKept += 1
               keptChars += line.length
               if (kept.length > 0) kept.append('\n')

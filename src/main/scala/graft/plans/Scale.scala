@@ -104,9 +104,21 @@ object Scale {
   /** Morton (Z-order) interleave of two non-negative 32-bit keys into
     * one long sort key — bit i of `a` lands at position 2i, of `b` at
     * 2i+1, so nearby (a, b) PAIRS get nearby codes. Pure builtin
-    * shift/mask column arithmetic (codegen'd, engine-portable). */
+    * shift/mask column arithmetic (codegen'd, engine-portable).
+    *
+    * Domain is ENFORCED per row: a null, negative, or >= 2^32 key raises
+    * instead of silently producing a non-monotone code (the spread masks
+    * destroy bits above 32, which would quietly defeat the clustering —
+    * no error, just files whose min/max stats prune nothing). */
   def zInterleave(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def checked(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val l = c.cast("long")
+      when(l.isNull.or(l < 0).or(l > lit(0xFFFFFFFFL)),
+        raise_error(concat(lit("zInterleave: key out of [0, 2^32): "),
+          coalesce(c.cast("string"), lit("null")))).cast("long"))
+        .otherwise(l)
+    }
     def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
       // classic 32→64-bit bit-spreading by doubling mask strides
       val s1 = (c.bitwiseOR(shiftleft(c, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
@@ -115,7 +127,7 @@ object Scale {
       val s4 = (s3.bitwiseOR(shiftleft(s3, 2))).bitwiseAND(lit(0x3333333333333333L))
       (s4.bitwiseOR(shiftleft(s4, 1))).bitwiseAND(lit(0x5555555555555555L))
     }
-    spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
+    spread(checked(a)).bitwiseOR(shiftleft(spread(checked(b)), 1))
   }
 
   /** Z-order clustered write — the data-skipping layout lever for scans

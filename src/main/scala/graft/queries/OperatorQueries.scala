@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{DiscussionTree, InteractionGraph, Lod, RoleAnalysis, TopicModel}
-import graft.sources.TweetSource
+import graft.sources.{TrainerCorpus, TweetSource}
 import graft.streaming.PunctuationWindow
 
 /** Topology-operator queries (SURVEY.md §2): every reference operator
@@ -70,7 +70,7 @@ object OperatorQueries {
       () => releaseEventsCaches()),
     "stemidx" -> CacheFamily(
       Set("q15_topic_model", "q31_topic_model_matrix",
-        "q36_topic_model_gibbs"),
+        "q36_topic_model_gibbs", "q135_topic_model_train"),
       () => releaseStemIndexCache()))
 
   private def normalizedEvents(spark: SparkSession, dir: String): DataFrame = {
@@ -365,6 +365,32 @@ object OperatorQueries {
       .orderBy(col("seq"))
   }
 
+  /** M3 — the geographic topic-model TRAINER (the last reference
+    * capability, `LocationTopicModelTrainer.java:261-278`): learn a
+    * [[TopicModel.GeoModel]] on the q32 geo corpus (deterministic
+    * lat/lon + the shared stemmed word-id index) at toy hyperparameters
+    * (K=4 topics, L=5 locations, 3 Gibbs sweeps — the reference's
+    * L=849/niters=200 operating point scales by config, not code) and
+    * dump the learned matrices relationally. Iterative + stochastic
+    * (seeded) → no SQL oracle (rows-only check, the q36/q71 contract);
+    * TopicModelTrainerSpec pins an sf0.001 golden hash, partitioning
+    * invariance, and the round-trip into q31's scorer. */
+  def q135TopicModelTrain(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = stemmedIndex(spark, dir)
+      .select(col("doc_id"),
+        ((col("doc_id") * 3) % 181 - 90).as("lat"),
+        ((col("doc_id") * 7) % 361 - 180).as("lon"),
+        col("word_ids"))
+    val geo = TrainerCorpus.geoFilter(corpus, "lat", "lon")
+      .filter(size(col("word_ids")) > 0) // F8
+    val model = TopicModel.trainGeoModel(geo,
+      numTopics = 4, numLocations = 5, iters = 3)
+    TopicModel.modelMatrices(spark, model)
+      .withColumn("value", round(col("value").cast("decimal(28,10)"), 6)
+        .cast("double"))
+      .orderBy(col("matrix"), col("i"), col("j"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_interaction_counts" -> q12InteractionCounts,
     "q13_tree_stats" -> q13TreeStats,
@@ -377,7 +403,8 @@ object OperatorQueries {
     "q31_topic_model_matrix" -> q31TopicModelMatrix,
     "q32_trainer_corpus" -> q32TrainerCorpus,
     "q35_interaction_graph" -> q35InteractionGraph,
-    "q36_topic_model_gibbs" -> q36TopicModelGibbs)
+    "q36_topic_model_gibbs" -> q36TopicModelGibbs,
+    "q135_topic_model_train" -> q135TopicModelTrain)
 
   /** Oracle mirror of [[TweetSource.eventsAsTweetJson]]: the events table
     * reinterpreted as tweets (second-truncated timestamps — the Twitter
@@ -644,7 +671,7 @@ object OperatorQueries {
       |  ('customer','custom'), ('key','kei'), ('merge','merg'),
       |  ('query','queri'), ('table','tabl'), ('value','valu')),
       |toks AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS word
       |  FROM documents),
       |flt AS (
       |  SELECT doc_id, word FROM toks WHERE length(word) > 1
@@ -890,7 +917,7 @@ object OperatorQueries {
       """WITH f AS (
         |  SELECT doc_id, (doc_id*3)%181 - 90 AS lat, (doc_id*7)%361 - 180 AS lon,
         |    array_to_string(list_filter(
-        |      regexp_split_to_array(lower(text), '\s+'),
+        |      regexp_split_to_array(lower(text), '[ \t\n\f\r]+'),
         |      t -> length(t) > 1), ' ') AS txt
         |  FROM documents),
         |g AS (SELECT * FROM f WHERE lat != 0 AND lon != 0),

@@ -888,7 +888,7 @@ object PipelineQueries {
       rows.map { r =>
         val id = r.getLong(0)
         val t = if (r.isNullAt(1)) "" else r.getString(1)
-        val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+        val toks = t.trim.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
         val w = (4 + id % 5).toInt
         val sb = new java.lang.StringBuilder
         var i = 0
@@ -1615,9 +1615,9 @@ object PipelineQueries {
   // set) and q59 (Bloom pre-filter + exact verify): same values, the
   // Bloom sketch only changes the physical plan.
   private val q43DecontaminateOracle =
-    """WITH corp AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+    """WITH corp AS (SELECT doc_id, regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
       |    FROM documents WHERE source <> 'src0'),
-      |ev AS (SELECT doc_id AS eval_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |ev AS (SELECT doc_id AS eval_id, regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
       |    FROM documents WHERE source = 'src0'),
       |cg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
       |    [('0x'
@@ -1680,7 +1680,7 @@ object PipelineQueries {
 
   private val shingleCte =
     """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
@@ -1714,7 +1714,7 @@ object PipelineQueries {
   // "rater B" of the q140 agreement report.
   private val q104OracleBody =
     """WITH base AS (SELECT doc_id, text,
-        |    regexp_split_to_array(lower(text), '\s+') AS t,
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t,
         |    len(regexp_split_to_array(text, '\n')) AS n_lines
         |  FROM documents),
         |m AS (SELECT doc_id, len(t) AS n_words,
@@ -1765,7 +1765,7 @@ object PipelineQueries {
   // an ORDER BY) and the base relation of the q117 efficiency report.
   private val q49OracleBody =
     """WITH RECURSIVE toks AS (SELECT doc_id, source,
-      |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n
+      |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT AS n
       |  FROM documents),
       |ord AS (SELECT doc_id, source, n,
       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
@@ -1926,7 +1926,7 @@ object PipelineQueries {
     "q116_quantile_normalize" ->
       """WITH v AS (
         |  SELECT doc_id, source,
-        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tokens
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT AS n_tokens
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, source, n_tokens,
@@ -1947,7 +1947,7 @@ object PipelineQueries {
     "q61_length_percentiles" ->
       """WITH t AS (
         |  SELECT source,
-        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tokens
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT AS n_tokens
         |  FROM documents),
         |r AS (
         |  SELECT source, n_tokens,
@@ -1962,7 +1962,7 @@ object PipelineQueries {
         |ORDER BY source""".stripMargin,
     "q39_dedup_canonical" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_hash,
+        |    '[^a-z0-9 \t\n\f\r]', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g'))) AS canon_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY canon_hash""".stripMargin,
     // q20's verified pairs attached to their sources (unordered pair),
@@ -2013,11 +2013,11 @@ object PipelineQueries {
           |  SELECT doc_id, length(text) AS n_chars,
           |    CASE WHEN length(text) >= 50
           |      AND ((length(text) - length(regexp_replace(text,
-          |            '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+          |            '[^a-zA-Z0-9 \t\n\f\r]', '', 'g')))::DOUBLE
           |          / length(text)::DOUBLE) < 0.2
-          |      AND (((length(text) - len(regexp_split_to_array(lower(text), '\s+'))
+          |      AND (((length(text) - len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
           |            + 1)::DOUBLE
-          |          / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE)
+          |          / len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::DOUBLE)
           |          BETWEEN 3 AND 12)
           |    THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS quality
           |  FROM documents)
@@ -2034,7 +2034,7 @@ object PipelineQueries {
     "q22_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_distinct(regexp_split_to_array(lower(text), '\s+')) AS t
+        |    list_distinct(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS t
         |  FROM documents),
         |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
         |bits AS (
@@ -2181,7 +2181,7 @@ object PipelineQueries {
       """WITH sp AS (SELECT source,
         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
         |         ELSE 'test' END AS split,
-        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS nt
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT AS nt
         |  FROM (SELECT source, text,
         |      ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))
         |        ::BIGINT % 100 AS b
@@ -2205,7 +2205,7 @@ object PipelineQueries {
     // own it. 1 - shared/total on exact ints, decimal-domain round.
     "q70_gram_novelty" ->
       """WITH toks AS (SELECT doc_id,
-        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t FROM documents),
         |g AS (SELECT DISTINCT doc_id, gram_fp FROM (
         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
         |      [('0x'
@@ -2270,17 +2270,17 @@ object PipelineQueries {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q25_token_stats" ->
       """SELECT doc_id,
-        |  len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens,
-        |  len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS n_distinct_tokens,
-        |  len(string_split_regex(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subword_splits,
+        |  len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS n_tokens,
+        |  len(list_distinct(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))) AS n_distinct_tokens,
+        |  len(string_split_regex(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\f\r]')) AS n_subword_splits,
         |  length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q26_quality" ->
       """WITH base AS (
         |  SELECT doc_id, text,
-        |    regexp_split_to_array(lower(text), '\s+') AS t,
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t,
         |    length(text) AS n_chars,
-        |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS punct
+        |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \t\n\f\r]', '', 'g')) AS punct
         |  FROM documents),
         |m AS (
         |  SELECT doc_id, n_chars,
@@ -2302,7 +2302,7 @@ object PipelineQueries {
     "q27_langid" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |    regexp_split_to_array(lower(text), '\s+') AS t
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
         |  FROM documents),
         |hits AS (
         |  SELECT doc_id,
@@ -2389,7 +2389,7 @@ object PipelineQueries {
     // mod 197 - 98; bucket = md5-based 60-bit fingerprint mod 1024).
     "q57_quality_classifier" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |  FROM documents),
         |b AS (SELECT doc_id,
         |    ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 AS bucket
@@ -2420,7 +2420,7 @@ object PipelineQueries {
     // inclusive, so [c*32+1 : c*32+32] is the 32-token window).
     "q45_chunk" ->
       """WITH toks AS (SELECT doc_id,
-        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t FROM documents),
         |c AS (SELECT doc_id, t, unnest(CASE WHEN len(t) >= 1
         |    THEN generate_series(0, (len(t) - 1) // 32)
         |    ELSE CAST([] AS BIGINT[]) END) AS cid
@@ -2433,7 +2433,7 @@ object PipelineQueries {
     // asc defaults nulls-first, DuckDB defaults nulls-last).
     "q46_corpus_report" ->
       """SELECT source, lang, count(*)::BIGINT AS n_docs,
-        |  sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT AS n_tokens,
+        |  sum(len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')))::BIGINT AS n_tokens,
         |  sum(length(text))::BIGINT AS n_chars
         |FROM documents GROUP BY ROLLUP (source, lang)
         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
@@ -2447,9 +2447,9 @@ object PipelineQueries {
     // Two-sided q20: per-side shingle/band CTEs (filtered by source), a
     // cross-set band join for candidates, exact Jaccard at 0.5.
     "q48_fuzzy_decontaminate" ->
-      """WITH toksL AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      """WITH toksL AS (SELECT doc_id, regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
         |    FROM documents WHERE source <> 'src0'),
-        |toksR AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |toksR AS (SELECT doc_id, regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
         |    FROM documents WHERE source = 'src0'),
         |shLc AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
         |    THEN list_transform(generate_series(1, len(t)-2),
@@ -2496,7 +2496,7 @@ object PipelineQueries {
         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
     "q50_vocab" ->
       """SELECT token, count(*) AS n_occurrences
-        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |      FROM documents)
         |GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC
@@ -2587,7 +2587,7 @@ object PipelineQueries {
     "q119_shard_skew" ->
       """WITH k AS (SELECT doc_id,
         |    ('0x' || substr(md5('shuffle:' || doc_id::VARCHAR), 1, 15))::BIGINT AS kk,
-        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS nt
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT AS nt
         |  FROM documents),
         |per AS (SELECT (kk % 8)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
         |    sum(nt)::BIGINT AS n_tokens FROM k GROUP BY 1),
@@ -2604,7 +2604,7 @@ object PipelineQueries {
     // Lines never START with || (stripMargin would eat the first pipe).
     "q42_repetition" ->
       """WITH toks AS (SELECT doc_id, length(text) AS n_chars,
-        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t FROM documents),
         |g AS (SELECT doc_id, unnest(
         |    (CASE WHEN len(t) >= 2 THEN
         |      ['2:'
@@ -2800,7 +2800,7 @@ object PipelineQueries {
     "q75_c4_clean" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t,
+        |    list_filter(regexp_split_to_array(trim(text), '[ \t\n\f\r]+'), x -> x <> '') AS t,
         |    4 + doc_id % 5 AS w
         |  FROM documents),
         |ex AS (
@@ -2841,16 +2841,16 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    CASE WHEN length(text) >= 50
         |      AND ((length(text) - length(regexp_replace(text,
-        |            '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+        |            '[^a-zA-Z0-9 \t\n\f\r]', '', 'g')))::DOUBLE
         |          / length(text)::DOUBLE) < 0.2
-        |      AND (((length(text) - len(regexp_split_to_array(lower(text), '\s+'))
+        |      AND (((length(text) - len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
         |            + 1)::DOUBLE
-        |          / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE)
+        |          / len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::DOUBLE)
         |          BETWEEN 3 AND 12)
         |    THEN 1 ELSE 0 END AS label
         |  FROM documents),
         |toks AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |    unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |  FROM documents),
         |pres AS (SELECT DISTINCT doc_id, token FROM toks),
         |c AS (SELECT sum(label)::BIGINT AS n_pos,
@@ -2896,7 +2896,7 @@ object PipelineQueries {
         |      AS window_start,
         |    text FROM documents),
         |t AS (SELECT window_start,
-        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |    unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |  FROM d)
         |SELECT window_start, token, count(*)::BIGINT AS cnt
         |FROM t GROUP BY 1, 2 ORDER BY window_start, token""".stripMargin,
@@ -2905,7 +2905,7 @@ object PipelineQueries {
     // summed as DECIMAL per the q53 device; V = full corpus vocabulary.
     "q82_bigram_surprisal" ->
       """WITH toks AS (SELECT doc_id,
-        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t FROM documents),
         |ex AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
         |  FROM toks WHERE len(t) >= 2),
         |b AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM ex),
@@ -2930,7 +2930,7 @@ object PipelineQueries {
     "q83_boilerplate" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t,
+        |    list_filter(regexp_split_to_array(trim(text), '[ \t\n\f\r]+'), x -> x <> '') AS t,
         |    4 + doc_id % 5 AS w
         |  FROM documents),
         |ex AS (
@@ -2964,7 +2964,7 @@ object PipelineQueries {
     // PRUNES candidates (guaranteed superset at this capacity), so the
     // oracle is the plain exact top-10 on (cnt DESC, token ASC).
     "q84_heavy_hitters" ->
-      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |  FROM documents),
         |c AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
         |r AS (SELECT token, cnt,
@@ -2976,7 +2976,7 @@ object PipelineQueries {
     // far below 2^53); the OLS closed form in the SAME association order
     // as the Spark expression, emitted via the decimal-domain round.
     "q85_zipf" ->
-      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |  FROM documents),
         |c AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
@@ -3007,7 +3007,7 @@ object PipelineQueries {
     "q93_effective_size" ->
       (clusterCtes + ",\n" +
         """tok AS (SELECT doc_id, source,
-          |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS ntok
+          |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT AS ntok
           |  FROM documents)
           |SELECT t.source,
           |  count(*)::BIGINT AS n_docs,
@@ -3026,7 +3026,7 @@ object PipelineQueries {
     // truncates identically on the non-negative operands.
     "q04_token_budget" ->
       """WITH s AS (SELECT source,
-        |    sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT
+        |    sum(len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')))::BIGINT
         |      AS n_tokens
         |  FROM documents GROUP BY 1),
         |t AS (SELECT sum(n_tokens)::BIGINT AS tot FROM s),
@@ -3082,7 +3082,7 @@ object PipelineQueries {
     // hash-order running token sum per source; kept = cum <= alloc.
     "q129_budget_trim" ->
       """WITH toks AS (SELECT doc_id, source,
-        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS nt,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT AS nt,
         |    ('0x' || substr(md5('strata:' || doc_id::VARCHAR), 1, 15))::BIGINT
         |      AS kk
         |  FROM documents),
@@ -3113,7 +3113,7 @@ object PipelineQueries {
     // (rounded score DESC, corpus id).
     "q127_lexical_topk" ->
       """WITH toks AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |    unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |  FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
         |n AS (SELECT count(*) AS n_docs FROM documents),
@@ -3147,9 +3147,9 @@ object PipelineQueries {
     // Mirrors contaminationByEval: the q43 gram device with the hits
     // rollup keyed on the EVAL side.
     "q126_eval_contamination" ->
-      """WITH corp AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      """WITH corp AS (SELECT doc_id, regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
         |    FROM documents WHERE source <> 'src0'),
-        |ev AS (SELECT doc_id AS eval_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |ev AS (SELECT doc_id AS eval_id, regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
         |    FROM documents WHERE source = 'src0'),
         |cg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
         |    [('0x'
@@ -3179,7 +3179,7 @@ object PipelineQueries {
     // IEEE-identical doubles, DECIMAL term sum, one final round.
     "q125_psi_drift" ->
       """WITH t AS (SELECT source,
-        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS v
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT AS v
         |  FROM documents),
         |cell AS (SELECT source, v, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
         |hist AS (SELECT v, sum(c)::BIGINT AS cv FROM cell GROUP BY 1),
@@ -3219,7 +3219,7 @@ object PipelineQueries {
     "q141_vocab_growth" ->
       """WITH tf AS (SELECT source, token, count(*)::BIGINT AS c
         |  FROM (SELECT source,
-        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |      unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |    FROM documents) GROUP BY 1, 2),
         |a AS (SELECT source, sum(c)::BIGINT AS n_tokens,
         |    count(*)::BIGINT AS n_types,
@@ -3239,17 +3239,17 @@ object PipelineQueries {
         """qa AS (SELECT doc_id,
           |    CASE WHEN length(text) >= 50
           |      AND ((length(text) - length(regexp_replace(text,
-          |            '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+          |            '[^a-zA-Z0-9 \t\n\f\r]', '', 'g')))::DOUBLE
           |          / length(text)::DOUBLE) < 0.2
           |      AND ((length(text)
-          |            - len(regexp_split_to_array(lower(text), '\s+'))
+          |            - len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
           |            + 1)::DOUBLE
-          |          / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE)
+          |          / len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::DOUBLE)
           |          >= 3.0
           |      AND ((length(text)
-          |            - len(regexp_split_to_array(lower(text), '\s+'))
+          |            - len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
           |            + 1)::DOUBLE
-          |          / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE)
+          |          / len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::DOUBLE)
           |          <= 12.0
           |    THEN 1 ELSE 0 END AS a
           |  FROM documents),
@@ -3280,7 +3280,7 @@ object PipelineQueries {
     // same (rank-1) div 16 batching, exact-integer waste accounting.
     "q138_padding_waste" ->
       """WITH toks AS (SELECT doc_id,
-        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS v,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT AS v,
         |    ('0x' || substr(md5('batch:' || doc_id::VARCHAR), 1, 15))::BIGINT
         |      AS h
         |  FROM documents),
@@ -3461,7 +3461,7 @@ object PipelineQueries {
     "q100_dsir" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, source, (lang = 'en') AS tgt,
-        |    regexp_split_to_array(lower(text), '\s+') AS t
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
         |  FROM documents),
         |grams AS (
         |  SELECT doc_id, lang, source, tgt,
@@ -3538,7 +3538,7 @@ object PipelineQueries {
     // shared with q26/q51's oracles, ratios rounded once as DECIMAL.
     "q103_quality_signals" ->
       """WITH base AS (SELECT doc_id, text,
-        |    regexp_split_to_array(lower(text), '\s+') AS t,
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t,
         |    length(text) AS n_chars,
         |    len(regexp_split_to_array(text, '\n')) AS n_lines
         |  FROM documents)
@@ -3618,7 +3618,7 @@ object PipelineQueries {
     "q107_source_divergence" ->
       """WITH tf AS (SELECT g, token, count(*)::BIGINT AS c
         |  FROM (SELECT source AS g,
-        |          unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |          unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |        FROM documents)
         |  GROUP BY g, token),
         |tot AS (SELECT g, sum(c)::BIGINT AS n FROM tf GROUP BY g),
@@ -3643,7 +3643,7 @@ object PipelineQueries {
     // chunk device with ceil((n-32)/24) overlapping starts.
     "q108_sliding_chunks" ->
       """WITH toks AS (SELECT doc_id,
-        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t FROM documents),
         |c AS (SELECT doc_id, t, unnest(CASE WHEN len(t) >= 1
         |    THEN generate_series(0,
         |      greatest((len(t) - 32 + 24 - 1) // 24, 0))
@@ -3660,7 +3660,7 @@ object PipelineQueries {
     // default RANGE frame equals ROWS on both engines.
     "q110_ks_drift" ->
       """WITH tc AS (SELECT source AS g,
-        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tokens
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT AS n_tokens
         |  FROM documents),
         |c AS (SELECT g, n_tokens, count(*)::BIGINT AS c FROM tc GROUP BY 1, 2),
         |tot AS (SELECT g, sum(c)::BIGINT AS n_g FROM c GROUP BY g),
@@ -3697,11 +3697,11 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    CASE WHEN length(text) >= 50
         |      AND ((length(text) - length(regexp_replace(text,
-        |            '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+        |            '[^a-zA-Z0-9 \t\n\f\r]', '', 'g')))::DOUBLE
         |          / length(text)::DOUBLE) < 0.2
-        |      AND (((length(text) - len(regexp_split_to_array(lower(text), '\s+'))
+        |      AND (((length(text) - len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
         |            + 1)::DOUBLE
-        |          / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE)
+        |          / len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::DOUBLE)
         |          BETWEEN 3 AND 12)
         |    THEN 1 ELSE 0 END AS tier,
         |    ('0x' || substr(md5('curriculum:' || doc_id::VARCHAR), 1, 15))
@@ -3733,7 +3733,7 @@ object PipelineQueries {
     // integer decile arithmetic, and the q26/q81 quality CASE.
     "q92_quality_calibration" ->
       """WITH toks AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |    unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |  FROM documents),
         |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
         |t AS (SELECT sum(cnt)::BIGINT AS tot FROM c),
@@ -3750,11 +3750,11 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    CASE WHEN length(text) >= 50
         |      AND ((length(text) - length(regexp_replace(text,
-        |            '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+        |            '[^a-zA-Z0-9 \t\n\f\r]', '', 'g')))::DOUBLE
         |          / length(text)::DOUBLE) < 0.2
-        |      AND (((length(text) - len(regexp_split_to_array(lower(text), '\s+'))
+        |      AND (((length(text) - len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
         |            + 1)::DOUBLE
-        |          / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE)
+        |          / len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::DOUBLE)
         |          BETWEEN 3 AND 12)
         |    THEN 1 ELSE 0 END AS label
         |  FROM documents),
@@ -3774,7 +3774,7 @@ object PipelineQueries {
     // NULL only when every chunk was dropped.
     "q80_dedup_rewrite" ->
       """WITH toks AS (SELECT doc_id,
-        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t FROM documents),
         |c AS (SELECT doc_id, t, unnest(CASE WHEN len(t) >= 1
         |    THEN generate_series(0, (len(t) - 1) // 32)
         |    ELSE CAST([] AS BIGINT[]) END) AS cid
@@ -3803,7 +3803,7 @@ object PipelineQueries {
     // integers. Window sums type HUGEINT — ::BIGINT per the invariant.
     "q79_vocab_coverage" ->
       """WITH toks AS (
-        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |  FROM documents),
         |tok AS (SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY 1),
         |r AS (
@@ -3824,7 +3824,7 @@ object PipelineQueries {
     // bit-for-bit across engines on identical input — the q17 device).
     "q52_tfidf" ->
       """WITH toks AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |    unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |  FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
@@ -3844,7 +3844,7 @@ object PipelineQueries {
     // is order-dependent), round-then-::DOUBLE emission.
     "q53_surprisal" ->
       """WITH toks AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |    unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |  FROM documents),
         |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
         |t AS (SELECT sum(cnt)::BIGINT AS tot FROM c),
@@ -3863,7 +3863,7 @@ object PipelineQueries {
     // total order.
     "q54_chunk_dedup" ->
       """WITH toks AS (SELECT doc_id,
-        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t FROM documents),
         |c AS (SELECT doc_id, t, unnest(CASE WHEN len(t) >= 1
         |    THEN generate_series(0, (len(t) - 1) // 32)
         |    ELSE CAST([] AS BIGINT[]) END) AS cid
@@ -3886,7 +3886,7 @@ object PipelineQueries {
     // normalizer is the exact decimal sum of decimal-truncated sqrts.
     "q55_mix_weights" ->
       """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs,
-        |    sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT AS n_tokens
+        |    sum(len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')))::BIGINT AS n_tokens
         |  FROM documents GROUP BY 1),
         |q AS (SELECT source, n_docs, n_tokens,
         |    sqrt(n_tokens::DOUBLE)::DECIMAL(28,10) AS sq FROM s),
@@ -3901,15 +3901,15 @@ object PipelineQueries {
     // as DECIMAL(28,10) and rounds in the decimal domain (house rule).
     "q65_bm25" ->
       """WITH toks AS (SELECT doc_id,
-        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS dl,
-        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT AS dl,
+        |    unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
         |  FROM documents),
         |tf AS (SELECT doc_id, dl, token, count(*)::BIGINT AS tf FROM toks
         |  WHERE token IN ('vector', 'join', 'slow', 'spark', 'window')
         |  GROUP BY 1, 2, 3),
         |df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
         |n AS (SELECT count(*)::BIGINT AS n_docs,
-        |    sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT AS sum_dl
+        |    sum(len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')))::BIGINT AS sum_dl
         |  FROM documents),
         |per AS (SELECT tf.doc_id, tf.tf,
         |    (ln((n.n_docs::DOUBLE - df.df::DOUBLE + 0.5)
@@ -3929,7 +3929,7 @@ object PipelineQueries {
     // decimal-domain rounding alone makes it hash-stable.
     "q66_pmi" ->
       """WITH toks AS (SELECT doc_id,
-        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t FROM documents),
         |pos AS (SELECT doc_id, unnest(
         |    [{'tok': t[i], 'pos': i} for i in generate_series(1, len(t))],
         |    recursive := true) FROM toks),
@@ -3960,25 +3960,25 @@ object PipelineQueries {
       """WITH corpus AS (SELECT doc_id, source, text FROM documents
         |  WHERE source <> 'src0'),
         |q AS (SELECT doc_id, source, text,
-        |    regexp_split_to_array(lower(text), '\s+') AS t,
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t,
         |    (length(text) >= 50
         |     AND (length(text) - length(regexp_replace(text,
-        |            '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+        |            '[^a-zA-Z0-9 \t\n\f\r]', '', 'g')))::DOUBLE
         |         / length(text)::DOUBLE < 0.2
-        |     AND (length(text) - len(regexp_split_to_array(lower(text), '\s+'))
+        |     AND (length(text) - len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
         |            + 1)::DOUBLE
-        |         / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE
+        |         / len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::DOUBLE
         |         BETWEEN 3 AND 12) AS q_ok
         |  FROM corpus),
         |pass1 AS (SELECT doc_id, source, text, t FROM q WHERE q_ok),
         |keep AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS ck,
+        |      '[^a-z0-9 \t\n\f\r]', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g'))) AS ck,
         |    min(doc_id) AS keep_id
         |  FROM pass1 GROUP BY 1),
         |dup AS (SELECT p.doc_id, p.doc_id <> k.keep_id AS is_dup
         |  FROM pass1 p JOIN keep k
         |    ON md5(trim(regexp_replace(regexp_replace(lower(p.text),
-        |         '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) = k.ck),
+        |         '[^a-z0-9 \t\n\f\r]', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g'))) = k.ck),
         |cg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
         |    [('0x'
         |      || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
@@ -3990,7 +3990,7 @@ object PipelineQueries {
         |        || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
         |       for i in generate_series(1, len(t) - 7)]
         |    ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM (
-        |    SELECT regexp_split_to_array(lower(text), '\s+') AS t
+        |    SELECT regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
         |    FROM documents WHERE source = 'src0'))),
         |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram_fp)),
         |rates AS (SELECT * FROM (VALUES

@@ -16,11 +16,19 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * Contract notes, mirroring the batch form: pairs are emitted
   * (min, max)-ordered; a pair sharing several band keys emits once per
   * shared key (the batch form's pre-`distinct` multiplicity — the
-  * verify stage dedups, StreamingSpec compares sets); per-key state is
-  * the bucket occupancy, the SAME quantity the batch occupancy guard
-  * bounds — `maxBucket` stops both emission and state growth for a
-  * degenerate key (a full bucket's later arrivals are dropped from
-  * candidacy, the loud-cap trade documented on the batch guard).
+  * verify stage dedups, StreamingSpec compares sets).
+  *
+  * `maxBucket` caveat — batch/streaming parity holds ONLY with
+  * `maxBucket` unset: both forms bound the same quantity (bucket
+  * occupancy), but with DIFFERENT candidate sets at the cap. Batch
+  * `capOccupancy` sees the whole relation and excludes EVERY row of an
+  * overloaded key; the streaming form has already emitted the first
+  * arrivals' pairs by the time the bucket fills (append mode cannot
+  * retract), so the only causal semantics is keep-the-first-maxBucket
+  * prefix and drop later arrivals from candidacy + state. A capped
+  * bucket therefore contributes up to C(maxBucket, 2) pairs here and
+  * ZERO pairs in batch. Treat the cap as a per-form degenerate-key
+  * guard, not a parity-preserving knob.
   *
   * `transformWithState` (Spark 4.1, RocksDB state store) rather than
   * `flatMapGroupsWithState`: ListState appends per arrival instead of
