@@ -103,6 +103,10 @@ object Bench {
       }.groupBy(_._1).map { case (i, fs) =>
         i -> fs.map { case (_, fam, rel) => (fam, rel) }
       }
+    releaseAt.toSeq.sortBy(_._1).foreach { case (i, fams) =>
+      System.err.println(s"[bench] release plan: ${fams.map(_._1).mkString(",")} " +
+        s"after #$i ${sweepNames(i)}")
+    }
     val results = sweep.zipWithIndex.map { case ((name, fn), pos) =>
       val timed = (1 to runs).map { i =>
         val t0 = System.nanoTime()

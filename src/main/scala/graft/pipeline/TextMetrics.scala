@@ -1046,6 +1046,70 @@ object TextMetrics {
       .agg(count(lit(1)).as("n_docs"), picks: _*)
   }
 
+  /** The ORACLE-CHECKABLE approximate-percentile scale path: a mergeable
+    * equi-width histogram sketch. [[tokenPercentilesApprox]]'s GK sketch
+    * is rank-bounded but NOT bit-stable across partitionings (merge
+    * order moves the sketch), so it can never sit behind a hashed
+    * output; this sketch is: per group, bin = exact integer
+    * `((v - lo) * nBins) div (hi - lo)` (truncating div == floor for
+    * non-negative operands on BOTH engines), bin counts are
+    * order-independent sums, and the percentile answer is the smallest
+    * bin whose cumulative count reaches the percentile_disc rank
+    * `greatest(1, (n*p + 99) div 100)` (q61's device). The sketch state
+    * is `nBins` longs per group — one map-side-combined pass, mergeable
+    * by addition, no per-group sort anywhere; the value estimate is the
+    * bin's upper edge (single IEEE multiply+divide+add — bit-identical
+    * cross-engine) and the TRUE value is guaranteed inside the bin with
+    * rank error ≤ `bin_n` (emitted, so the error bound is part of the
+    * output contract, not a comment).
+    *
+    * Plan shape: stats and histogram are group-bounded broadcast
+    * relations; the prefix sum is the window-free broadcast non-equi
+    * self-join over the nBins-bounded histogram ([[graft.pipeline.Ranks]]'
+    * device) — nothing row-scale crosses a single task. */
+  def tokenPercentilesSketch(docs: DataFrame, groupCol: String,
+      textCol: String, percents: Seq[Int] = Seq(50, 90, 99),
+      nBins: Int = 256): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      s"tokenPercentilesSketch: percents must be in [0,100], got $percents")
+    require(nBins >= 1, "tokenPercentilesSketch: nBins must be >= 1")
+    val t = tokenCounts(docs, groupCol, textCol)
+      .select(col(groupCol), col("n_tokens").as("v"))
+    val stats = t.groupBy(col(groupCol))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n_docs"))
+    val binned = t.join(broadcast(stats), Seq(groupCol))
+      .withColumn("bin",
+        when(col("hi") <= col("lo"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            expr(s"((v - lo) * $nBins) div (hi - lo)"))))
+    val hist = binned.groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("bin_n"))
+    val prior = hist.select(col(groupCol).as("_g"), col("bin").as("_b"),
+      col("bin_n").as("_n"))
+    val cum = hist.join(broadcast(prior),
+        col(groupCol) === col("_g") && col("_b") <= col("bin"))
+      .groupBy(col(groupCol), col("bin"), col("bin_n"))
+      .agg(sum(col("_n")).as("cum_n"))
+    val targets = stats.select(col(groupCol), col("lo"), col("hi"),
+        col("n_docs"),
+        explode(array(percents.map(p => lit(p.toLong)): _*)).as("pct"))
+      .withColumn("target",
+        greatest(lit(1L), expr("(n_docs * pct + 99) div 100")))
+    val chosen = targets
+      .join(broadcast(cum.select(col(groupCol), col("bin"), col("cum_n"))),
+        Seq(groupCol))
+      .filter(col("cum_n") >= col("target"))
+      .groupBy(col(groupCol), col("pct"), col("n_docs"), col("lo"), col("hi"))
+      .agg(min(col("bin")).as("bin"))
+    chosen
+      .join(broadcast(cum), Seq(groupCol, "bin"))
+      .select(col(groupCol), col("pct"), col("n_docs"), col("bin"),
+        col("bin_n"), col("cum_n"),
+        (col("lo") + ((col("bin") + 1) * (col("hi") - col("lo"))) /
+          lit(nBins.toDouble)).as("est"))
+  }
+
   /** Sequence packing — next-fit binning of documents into fixed token
     * budgets, the step that turns a filtered corpus into training
     * sequences: within each group (shard), documents in id order fill

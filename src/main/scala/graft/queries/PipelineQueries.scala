@@ -251,6 +251,17 @@ object PipelineQueries {
     TextMetrics.tokenPercentiles(docs(spark, dir), "source", "text")
       .orderBy(col("source"))
 
+  /** Approximate percentiles via the mergeable equi-width histogram
+    * sketch ([[TextMetrics.tokenPercentilesSketch]]) — the
+    * ORACLE-CHECKED approximate scale path beside q61's exact form:
+    * deterministic for any partitioning (exact integer binning +
+    * order-independent sums), so unlike the GK `approx_percentile`
+    * sketch it can sit behind a hashed output; the emitted `bin_n` IS
+    * the guaranteed rank-error bound. */
+  def q142SketchPercentiles(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.tokenPercentilesSketch(docs(spark, dir), "source", "text")
+      .orderBy(col("source"), col("pct"))
+
   /** LSH-bucketed ANN (sign-bit coarse quantizer, multi-probe Hamming-1):
     * the scale path — bucket join instead of cross join. */
   def q24SimilarityLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -1435,6 +1446,7 @@ object PipelineQueries {
     "q59_decontaminate_bloom" -> q59DecontaminateBloom,
     "q60_semantic_decontaminate" -> q60SemanticDecontaminate,
     "q61_length_percentiles" -> q61LengthPercentiles,
+    "q142_sketch_percentiles" -> q142SketchPercentiles,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -1944,6 +1956,39 @@ object PipelineQueries {
         |FROM s CROSS JOIN n
         |JOIN p ON p.rp = (n.n * s.r + s.ng - 1) // s.ng
         |ORDER BY doc_id""".stripMargin,
+    // Mirrors tokenPercentilesSketch: exact integer equi-width binning
+    // (// floors like Spark's div on non-negative ints), windowed prefix
+    // sum cast ::BIGINT (HUGEINT invariant), percentile_disc rank pick,
+    // bin upper edge in identical IEEE arithmetic
+    "q142_sketch_percentiles" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT AS v
+        |  FROM documents),
+        |s AS (SELECT source, min(v) AS lo, max(v) AS hi,
+        |    count(*)::BIGINT AS n_docs FROM t GROUP BY source),
+        |b AS (SELECT t.source,
+        |    CASE WHEN s.hi <= s.lo THEN 0
+        |         ELSE least(255, ((t.v - s.lo) * 256) // (s.hi - s.lo)) END AS bin
+        |  FROM t JOIN s USING (source)),
+        |h AS (SELECT source, bin, count(*)::BIGINT AS bin_n
+        |  FROM b GROUP BY source, bin),
+        |c AS (SELECT source, bin, bin_n,
+        |    sum(bin_n) OVER (PARTITION BY source ORDER BY bin)::BIGINT AS cum_n
+        |  FROM h),
+        |p AS (SELECT source, lo, hi, n_docs, pct,
+        |    greatest(1, (n_docs * pct + 99) // 100) AS target
+        |  FROM s CROSS JOIN (SELECT unnest([50, 90, 99])::BIGINT AS pct)),
+        |pick AS (SELECT p.source, p.pct, p.n_docs, p.lo, p.hi,
+        |    min(c.bin) AS bin
+        |  FROM p JOIN c ON c.source = p.source AND c.cum_n >= p.target
+        |  GROUP BY p.source, p.pct, p.n_docs, p.lo, p.hi)
+        |SELECT pick.source, pick.pct, pick.n_docs, pick.bin::BIGINT AS bin,
+        |  c.bin_n, c.cum_n,
+        |  (pick.lo + ((pick.bin + 1) * (pick.hi - pick.lo)) / 256.0)::DOUBLE AS est
+        |FROM pick
+        |JOIN c ON c.source = pick.source AND c.bin = pick.bin
+        |ORDER BY pick.source, pick.pct""".stripMargin,
     "q61_length_percentiles" ->
       """WITH t AS (
         |  SELECT source,
