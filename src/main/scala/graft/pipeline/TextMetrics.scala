@@ -1075,9 +1075,15 @@ object TextMetrics {
     require(nBins >= 1, "tokenPercentilesSketch: nBins must be >= 1")
     val t = tokenCounts(docs, groupCol, textCol)
       .select(col(groupCol), col("n_tokens").as("v"))
+    // The corpus is touched exactly TWICE — the equi-width bound needs
+    // min/max before binning (inherent to the sketch), and everything
+    // past the histogram derives from bounded localCheckpointed
+    // relations (without the pins, every downstream subtree re-derives
+    // its own corpus scan — the audited first cut paid 6+ scans).
     val stats = t.groupBy(col(groupCol))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
         count(lit(1)).as("n_docs"))
+      .localCheckpoint(true) // groups-bounded
     val binned = t.join(broadcast(stats), Seq(groupCol))
       .withColumn("bin",
         when(col("hi") <= col("lo"), lit(0L))
@@ -1085,6 +1091,7 @@ object TextMetrics {
             expr(s"((v - lo) * $nBins) div (hi - lo)"))))
     val hist = binned.groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("bin_n"))
+      .localCheckpoint(true) // (groups × nBins)-bounded
     val prior = hist.select(col(groupCol).as("_g"), col("bin").as("_b"),
       col("bin_n").as("_n"))
     val cum = hist.join(broadcast(prior),
