@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deterministic, mergeable, ORACLE-CHECKABLE sketches — the q142
+  * histogram-percentile discipline applied to the other two sketch
+  * primitives a 100 TB pipeline leans on: count-min (frequency
+  * estimates under fixed memory) and HyperLogLog (distinct counts
+  * under fixed memory).
+  *
+  * The usual objection to hashing sketches in a correctness gate is
+  * merge-order nondeterminism — Spark's own `approx_count_distinct` /
+  * GK percentiles are bit-unstable across partitionings. These two are
+  * NOT: every register is an order-independent integer aggregate (sums
+  * for CMS counters, max for HLL registers) over engine-portable
+  * md5-derived hashes, so the sketch state — and therefore the
+  * estimate — is bit-identical for any partitioning, any cluster
+  * size, and across engines; DuckDB twins reproduce them exactly.
+  *
+  * Scale shape: both sketches are one corpus pass into a
+  * registers-bounded relation (d×w counters / m registers per group),
+  * mergeable by construction (sum/max), broadcast back for estimate
+  * lookups. Nothing row-scale crosses a single task.
+  */
+object Sketches {
+
+  /** The repo's engine-portable 60-bit integer hash (md5 hex prefix →
+    * int64; the q28 fingerprint device) with a salt. */
+  private def hash60(salt: String, c: Column): Column =
+    conv(substring(md5(concat(lit(salt), c)), 1, 15), 16, 10).cast("long")
+
+  /** Count-min sketch over corpus token frequencies, reported for the
+    * exact top-`k` tokens (the q84 Misra-Gries candidate device picks
+    * them, so the comparison needs no vocab-cardinality rank): `depth`
+    * salted hash rows × `width` counter buckets, counter = SUM of
+    * occurrences hashing to it (order-independent), estimate = MIN over
+    * rows of the token's counters. CMS guarantees est >= exact (only
+    * collisions inflate, never deflate) with overestimate bounded by
+    * ~N/width per row — emitting exact AND estimate side by side makes
+    * the bound auditable in the output itself.
+    *
+    * Counter build aggregates the VOCAB-level counts (groupBy token
+    * first), not raw occurrences — `depth`× fewer shuffled rows for an
+    * identical sketch (counters are sums of sums). */
+  def cmsTopK(docs: DataFrame, textCol: String, k: Int = 20,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    require(k >= 1 && depth >= 1 && width >= 1,
+      "cmsTopK: k, depth, width must be >= 1")
+    val tokCounts = docs
+      .select(explode(TextFunctions.tokenize(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // vocab-bounded; feeds counters AND top-k
+    val rows = (0 until depth).map { r =>
+      struct(lit(r.toLong).as("r"),
+        (hash60(s"cms$r:", col("token")) % width).as("bucket"))
+    }
+    val counters = tokCounts
+      .select(explode(array(rows: _*)).as("rb"), col("cnt"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("counter"))
+    // top-k rank via the bucketed global-rank device (tokCounts is
+    // vocab-cardinality — a bare Window.orderBy would single-task it;
+    // the CLAUDE/Ranks invariant)
+    val top = Ranks.bucketedGlobalRank(
+        tokCounts.withColumn("_negcnt", -col("cnt")),
+        "_negcnt", "token", "rank")
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("token"), col("cnt").as("n_exact"))
+    val probes = top.select(col("rank"), col("token"), col("n_exact"),
+        explode(array(rows: _*)).as("rb"))
+      .select(col("rank"), col("token"), col("n_exact"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    probes
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy(col("rank"), col("token"), col("n_exact"))
+      .agg(min(col("counter")).as("n_cms"))
+  }
+
+  /** HyperLogLog distinct-count sketch per group (`m` registers,
+    * Flajolet et al. 2007): bucket and rank-of-first-one come from two
+    * independently salted 60-bit hashes; register = MAX rho per bucket
+    * (order-independent), rho clamped at 40 so the exact-integer
+    * estimator below cannot overflow (rho > 40 needs ~2^40 distinct
+    * values per bucket — far beyond any target scale).
+    *
+    * The harmonic-mean estimator is computed EXACTLY in integers before
+    * the final float ops: with R = max register,
+    * S = Σ_j 2^(R − M_j) (absent registers contribute 2^R), the raw
+    * estimate α·m²·2^R / S divides two exact int64s — one IEEE divide,
+    * bit-identical cross-engine (double sums of 2^−M_j would be
+    * order-dependent). Small-range branch: m·ln(m/zeros) when
+    * raw ≤ 2.5m and zeros > 0 (ln is bit-stable on identical input —
+    * the q17/q52 device); both regimes are exercised across the test
+    * SFs. Output keeps `zeros` and `r_max` so the regime is auditable. */
+  def hllDistinct(items: DataFrame, groupCol: String, itemCol: String,
+      m: Int = 64, alphaNum: Double = 0.709): DataFrame = {
+    require(m >= 16, "hllDistinct: m must be >= 16")
+    val it = items.select(col(groupCol), col(itemCol).as("item"))
+    val hashed = it.select(col(groupCol),
+      (hash60("hllb:", col("item")) % m).as("bucket"),
+      least(lit(40L),
+        lit(61L) - length(bin(hash60("hllr:", col("item")))).cast("long"))
+        .as("rho"))
+    val regs = hashed.groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    val exact = it.groupBy(col(groupCol))
+      .agg(count_distinct(col("item")).as("n_exact"))
+    val perGroup = regs.groupBy(col(groupCol))
+      .agg(max(col("reg")).as("r_max"), count(lit(1)).as("present"))
+    val s = regs.join(broadcast(perGroup), Seq(groupCol))
+      .groupBy(col(groupCol), col("r_max"), col("present"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max - reg AS INT))"))
+        .as("s_present"))
+      .select(col(groupCol), col("r_max"),
+        (lit(m.toLong) - col("present")).as("zeros"),
+        (col("s_present") +
+          (lit(m.toLong) - col("present")) *
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))")).as("s"))
+    val raw = (lit(alphaNum) * lit(m.toDouble) * lit(m.toDouble)) *
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))").cast("double") /
+      col("s").cast("double")
+    val est = when(raw <= lit(2.5 * m) && col("zeros") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+      .otherwise(raw)
+    s.join(exact, Seq(groupCol))
+      .select(col(groupCol), col("n_exact"), col("zeros"), col("r_max"),
+        round(est.cast("decimal(28,10)"), 2).cast("double").as("est"))
+  }
+}

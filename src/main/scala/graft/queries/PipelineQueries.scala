@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.Tables
-import graft.pipeline.{Bpe, Contract, Curate, Dedup, Dsir, Multimodal, Pii, Similarity, TextMetrics}
+import graft.pipeline.{Bpe, Contract, Curate, Dedup, Dsir, Multimodal, Pii, Similarity, Sketches, TextMetrics}
 
 /** Training-data pipeline queries (north-star extensions, BASELINE.json):
   * deduplication, similarity search, text analysis, multimodal plumbing —
@@ -261,6 +261,35 @@ object PipelineQueries {
   def q142SketchPercentiles(spark: SparkSession, dir: String): DataFrame =
     TextMetrics.tokenPercentilesSketch(docs(spark, dir), "source", "text")
       .orderBy(col("source"), col("pct"))
+
+  /** Count-min sketch frequency estimates for the exact top-20 corpus
+    * tokens ([[Sketches.cmsTopK]]) — the fixed-memory frequency-
+    * estimation scale path beside q84's Misra-Gries device: the 4×64
+    * counter matrix is an order-independent integer aggregate over
+    * portable md5 hashes, so sketch AND estimate are bit-exact for any
+    * partitioning and both engines; n_cms >= n_exact by construction
+    * (collisions only inflate), the overestimate visible per row. */
+  def q143CmsTopk(spark: SparkSession, dir: String): DataFrame =
+    Sketches.cmsTopK(docs(spark, dir), "text", k = 20)
+      .orderBy(col("rank"))
+
+  /** HyperLogLog distinct 3-shingles per source
+    * ([[Sketches.hllDistinct]], m=64) — fixed-memory cardinality, the
+    * sketch a 100 TB dedup/vocab pipeline uses where exact
+    * count_distinct would shuffle the key space; registers are
+    * order-independent maxes and the harmonic estimator divides two
+    * EXACT int64s, so unlike approx_count_distinct it is bit-stable and
+    * fully oracle-checked. The gate exercises the raw harmonic branch
+    * (shingle cardinality >> 2.5m at every test SF, zeros = 0);
+    * SketchesSpec pins the small-range ln branch, the error bound, and
+    * partitioning invariance. */
+  def q144HllShingles(spark: SparkSession, dir: String): DataFrame = {
+    val items = docs(spark, dir).select(col("source"),
+      explode(graft.functions.TextFunctions.shingles(
+        graft.functions.TextFunctions.tokenize(col("text")), 3)).as("sh"))
+    Sketches.hllDistinct(items, "source", "sh")
+      .orderBy(col("source"))
+  }
 
   /** LSH-bucketed ANN (sign-bit coarse quantizer, multi-probe Hamming-1):
     * the scale path — bucket join instead of cross join. */
@@ -1447,6 +1476,8 @@ object PipelineQueries {
     "q60_semantic_decontaminate" -> q60SemanticDecontaminate,
     "q61_length_percentiles" -> q61LengthPercentiles,
     "q142_sketch_percentiles" -> q142SketchPercentiles,
+    "q143_cms_topk" -> q143CmsTopk,
+    "q144_hll_shingles" -> q144HllShingles,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -1989,6 +2020,65 @@ object PipelineQueries {
         |FROM pick
         |JOIN c ON c.source = pick.source AND c.bin = pick.bin
         |ORDER BY pick.source, pick.pct""".stripMargin,
+    // Mirrors Sketches.cmsTopK: vocab counts, 4 salted md5 hash rows x
+    // 64 buckets, counter = sum, estimate = min over rows; top-20 by
+    // (cnt desc, token) exactly as the bucketed rank orders
+    "q143_cms_topk" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
+        |  FROM documents),
+        |tc AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token),
+        |rb AS (SELECT token, cnt, r,
+        |    ('0x' || substr(md5('cms' || r::VARCHAR || ':' || token), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3])::BIGINT AS r)),
+        |cntr AS (SELECT r, bucket, sum(cnt)::BIGINT AS counter
+        |  FROM rb GROUP BY r, bucket),
+        |top AS (SELECT token, cnt AS n_exact,
+        |    row_number() OVER (ORDER BY cnt DESC, token)::BIGINT AS rnk
+        |  FROM tc QUALIFY rnk <= 20)
+        |SELECT top.rnk AS rank, top.token, top.n_exact,
+        |  min(cntr.counter)::BIGINT AS n_cms
+        |FROM top
+        |JOIN rb ON rb.token = top.token
+        |JOIN cntr ON cntr.r = rb.r AND cntr.bucket = rb.bucket
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // Mirrors Sketches.hllDistinct: m=64 registers from two salted
+    // hashes (bucket + clamped rho), exact-integer harmonic sum via
+    // shifts (HUGEINT sums cast ::BIGINT), one IEEE divide, ln branch
+    // for the small range — identical float expression tree to Spark
+    "q144_hll_shingles" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT source, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(generate_series(1, len(t)-2),
+        |                        i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS item
+        |  FROM toks),
+        |h AS (SELECT source,
+        |    ('0x' || substr(md5('hllb:' || item), 1, 15))::BIGINT % 64 AS bucket,
+        |    least(40, 61 - length(bin(('0x' || substr(md5('hllr:' || item), 1, 15))::BIGINT)))::BIGINT AS rho
+        |  FROM sh),
+        |regs AS (SELECT source, bucket, max(rho)::BIGINT AS reg
+        |  FROM h GROUP BY source, bucket),
+        |pg AS (SELECT source, max(reg)::BIGINT AS r_max,
+        |    count(*)::BIGINT AS present FROM regs GROUP BY source),
+        |sm AS (SELECT regs.source, pg.r_max, (64 - pg.present)::BIGINT AS zeros,
+        |    (sum(1::BIGINT << (pg.r_max - regs.reg))::BIGINT
+        |      + (64 - pg.present) * (1::BIGINT << pg.r_max))::BIGINT AS s
+        |  FROM regs JOIN pg ON pg.source = regs.source
+        |  GROUP BY regs.source, pg.r_max, pg.present),
+        |ex AS (SELECT source, count(DISTINCT item)::BIGINT AS n_exact
+        |  FROM sh GROUP BY source)
+        |SELECT sm.source, ex.n_exact, sm.zeros, sm.r_max,
+        |  round((CASE WHEN (0.709 * 64.0 * 64.0) * (1::BIGINT << sm.r_max)::DOUBLE / sm.s::DOUBLE <= 160.0
+        |              AND sm.zeros > 0
+        |    THEN 64.0 * ln(64.0 / sm.zeros::DOUBLE)
+        |    ELSE (0.709 * 64.0 * 64.0) * (1::BIGINT << sm.r_max)::DOUBLE / sm.s::DOUBLE
+        |    END)::DECIMAL(28,10), 2)::DOUBLE AS est
+        |FROM sm JOIN ex ON ex.source = sm.source
+        |ORDER BY sm.source""".stripMargin,
     "q61_length_percentiles" ->
       """WITH t AS (
         |  SELECT source,
