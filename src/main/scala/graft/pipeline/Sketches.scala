@@ -96,15 +96,25 @@ object Sketches {
     * raw ≤ 2.5m and zeros > 0 (ln is bit-stable on identical input —
     * the q17/q52 device); both regimes are exercised across the test
     * SFs. Output keeps `zeros` and `r_max` so the regime is auditable. */
+  /** The HLL hash prep, shared by the batch estimator and the streaming
+    * twin ([[graft.streaming.HllStream]]): (group, bucket, rho) rows
+    * from two independently salted 60-bit hashes, rho clamped at 40.
+    * Computing this batch-side per micro-batch and keeping only the
+    * register MAX in state is what makes the streaming face carry m
+    * longs per group instead of the item set. */
+  def hllHashed(items: DataFrame, groupCol: String, itemCol: String,
+      m: Int = 64): DataFrame =
+    items.select(col(groupCol),
+      (hash60("hllb:", col(itemCol)) % m).as("bucket"),
+      least(lit(40L),
+        lit(61L) - length(bin(hash60("hllr:", col(itemCol)))).cast("long"))
+        .as("rho"))
+
   def hllDistinct(items: DataFrame, groupCol: String, itemCol: String,
       m: Int = 64, alphaNum: Double = 0.709): DataFrame = {
     require(m >= 16, "hllDistinct: m must be >= 16")
     val it = items.select(col(groupCol), col(itemCol).as("item"))
-    val hashed = it.select(col(groupCol),
-      (hash60("hllb:", col("item")) % m).as("bucket"),
-      least(lit(40L),
-        lit(61L) - length(bin(hash60("hllr:", col("item")))).cast("long"))
-        .as("rho"))
+    val hashed = hllHashed(items, groupCol, itemCol, m)
     val regs = hashed.groupBy(col(groupCol), col("bucket"))
       .agg(max(col("rho")).as("reg"))
     val exact = it.groupBy(col(groupCol))
