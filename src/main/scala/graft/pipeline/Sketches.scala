@@ -96,6 +96,90 @@ object Sketches {
     * raw ≤ 2.5m and zeros > 0 (ln is bit-stable on identical input —
     * the q17/q52 device); both regimes are exercised across the test
     * SFs. Output keeps `zeros` and `r_max` so the regime is auditable. */
+  /** K-minimum-values sketch overlap (Beyer et al., SIGMOD 2007) — the
+    * set-INTERSECTION estimator the HLL family cannot provide: per
+    * group keep the K smallest 60-bit item hashes (a min-K of a set is
+    * order-independent, so like the other sketches here it is
+    * bit-stable for any partitioning and fully oracle-checkable); for
+    * every group pair, the merged K-min set estimates
+    * |A ∪ B| = (K−1)·2^60 / h_(K) and |A ∩ B| = (c/K)·|A ∪ B| where c
+    * counts sketch members present in BOTH sides among the union's
+    * K-min — the sketch-based decontamination/overlap primitive (q78
+    * computes exact overlap from verified near-dup pairs; this
+    * estimates raw shingle overlap from K longs per source).
+    *
+    * Exact-when-small: a pair whose merged sketch holds fewer than K
+    * distinct hashes is COMPLETE (both sides kept everything), so union
+    * and intersection are exact counts — the standard KMV small-set
+    * rule, mirrored in the oracle's CASE.
+    *
+    * Scale shape: the per-group min-K runs as a group-partitioned
+    * window (parallelism = #groups, in-partition sort spills — the q61
+    * tokenPercentiles precedent); everything after is K·#groups-bounded
+    * (pairs, merges, ranks — broadcast-size relations). The exact
+    * `n_inter_exact` column exists for the report only — a production
+    * deploy runs the sketch side alone. Float discipline: h_(K) is a
+    * ≤2^60 int64 whose double conversion is IEEE-correctly-rounded in
+    * both engines; 255·2^60 is exactly representable; one divide + one
+    * multiply, mirrored op-for-op, rounded once in the decimal domain. */
+  def kmvOverlap(items: DataFrame, groupCol: String, itemCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "kmvOverlap: k must be >= 2")
+    val sh = items.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct()
+      .localCheckpoint(true) // feeds the sketch AND the exact report
+    val hashes = sh.select(col("g"), hash60("kmv:", col("item")).as("h"))
+      .distinct()
+    val wg = Window.partitionBy(col("g")).orderBy(col("h").asc)
+    val kmv = hashes.withColumn("rn", row_number().over(wg))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("h"))
+      .localCheckpoint(true) // K·#groups-bounded; probed per pair
+    val groups = kmv.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("ga"))
+      .crossJoin(broadcast(groups.select(col("g").as("gb"))))
+      .filter(col("ga") < col("gb"))
+    val sides = pairs
+      .join(broadcast(kmv.select(col("g").as("ga"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))), Seq("ga"))
+      .unionByName(pairs
+        .join(broadcast(kmv.select(col("g").as("gb"), col("h"),
+          lit(0L).as("in_a"), lit(1L).as("in_b"))), Seq("gb"))
+        .select(col("ga"), col("gb"), col("h"), col("in_a"), col("in_b")))
+    val merged = sides.groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val wp = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h").asc)
+    val ranked = merged.withColumn("rn", row_number().over(wp))
+    val perPair = ranked.groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_merged"),
+        max(when(col("rn") === k, col("h"))).as("h_k"),
+        sum(when(col("rn") <= k && col("in_a") === 1 && col("in_b") === 1,
+          1L).otherwise(0L)).as("common_in_k"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("common_all"))
+    val unionEst = when(col("n_merged") < k, col("n_merged").cast("double"))
+      .otherwise((lit((k - 1).toDouble) * lit(1.152921504606846976e18)) /
+        col("h_k").cast("double"))
+    val interEst = when(col("n_merged") < k, col("common_all").cast("double"))
+      .otherwise((col("common_in_k").cast("double") / lit(k.toDouble)) *
+        ((lit((k - 1).toDouble) * lit(1.152921504606846976e18)) /
+          col("h_k").cast("double")))
+    val exact = sh.select(col("g").as("ga"), col("item"))
+      .join(sh.select(col("g").as("gb"), col("item")), Seq("item"))
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    perPair
+      .join(exact, Seq("ga", "gb"), "left")
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        col("common_in_k"),
+        round(unionEst.cast("decimal(28,10)"), 2).cast("double")
+          .as("union_est"),
+        round(interEst.cast("decimal(28,10)"), 2).cast("double")
+          .as("inter_est"),
+        coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"))
+  }
+
   /** The HLL hash prep, shared by the batch estimator and the streaming
     * twin ([[graft.streaming.HllStream]]): (group, bucket, rho) rows
     * from two independently salted 60-bit hashes, rho clamped at 40.

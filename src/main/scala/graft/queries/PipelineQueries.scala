@@ -283,13 +283,48 @@ object PipelineQueries {
     * (shingle cardinality >> 2.5m at every test SF, zeros = 0);
     * SketchesSpec pins the small-range ln branch, the error bound, and
     * partitioning invariance. */
+  /** Per-source exploded 3-shingle rows in the Generate+Project form
+    * (explode the start positions, build each shingle string in the
+    * NEXT projection — fuses in whole-stage codegen, where the
+    * `shingles()` HOF's transform lambda evaluates interpreted per
+    * element: the q66/q34 trap, worth ~2 s at sf0.1 here). Semantics
+    * identical to `explode(TextFunctions.shingles(tokenize(text), 3))`
+    * including the short-doc whole-text shingle (sentinel i = 0). */
+  private def shingleRows(d: DataFrame): DataFrame =
+    d.select(col("source"),
+        graft.functions.TextFunctions.tokenize(col("text")).as("t"))
+      .select(col("source"), col("t"),
+        explode(when(size(col("t")) >= 3,
+            sequence(lit(1), size(col("t")) - 2))
+          .otherwise(array(lit(0)))).as("i"))
+      .select(col("source"),
+        when(col("i") === 0, concat_ws(" ", col("t")))
+          .otherwise(concat_ws(" ", slice(col("t"), col("i"), lit(3)))).as("sh"))
+
   def q144HllShingles(spark: SparkSession, dir: String): DataFrame = {
-    val items = docs(spark, dir).select(col("source"),
-      explode(graft.functions.TextFunctions.shingles(
-        graft.functions.TextFunctions.tokenize(col("text")), 3)).as("sh"))
+    // The REPORT shape: n_exact forces a dedup shuffle anyway, so both
+    // passes share one deduped checkpointed relation (the raw stream
+    // explodes to ~10M shingle rows at sf0.1 but only ~30k distinct
+    // (source, shingle) pairs survive). The production pure-sketch
+    // path — registers straight off the raw stream, no dedup, no exact
+    // column — is hllDistinct's own contract and is what HllStream
+    // runs continuously.
+    val items = shingleRows(docs(spark, dir)).distinct().localCheckpoint(true)
     Sketches.hllDistinct(items, "source", "sh")
       .orderBy(col("source"))
   }
+
+  /** KMV sketch set-overlap between sources ([[Sketches.kmvOverlap]],
+    * K=256): estimated union + intersection cardinality of the raw
+    * 3-shingle sets for every source pair from K longs per source —
+    * the sketch-based face of q78's exact near-dup overlap and the
+    * primitive a 100 TB decontamination pass runs BEFORE paying any
+    * pairwise join. n_inter_exact rides along for the report so the
+    * estimate quality is visible per pair. */
+  def q145KmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    Sketches.kmvOverlap(shingleRows(docs(spark, dir)), "source", "sh",
+        k = 256)
+      .orderBy(col("source_a"), col("source_b"))
 
   /** LSH-bucketed ANN (sign-bit coarse quantizer, multi-probe Hamming-1):
     * the scale path — bucket join instead of cross join. */
@@ -1478,6 +1513,7 @@ object PipelineQueries {
     "q142_sketch_percentiles" -> q142SketchPercentiles,
     "q143_cms_topk" -> q143CmsTopk,
     "q144_hll_shingles" -> q144HllShingles,
+    "q145_kmv_overlap" -> q145KmvOverlap,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -2079,6 +2115,61 @@ object PipelineQueries {
         |    END)::DECIMAL(28,10), 2)::DOUBLE AS est
         |FROM sm JOIN ex ON ex.source = sm.source
         |ORDER BY sm.source""".stripMargin,
+    // Mirrors Sketches.kmvOverlap: per-source K=256 smallest salted
+    // hashes, pair-merged K-min, Beyer et al. estimators with the
+    // exact-when-small CASE; 255*2^60 written as exact double literals
+    "q145_kmv_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT source, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(generate_series(1, len(t)-2),
+        |                        i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS item
+        |  FROM toks),
+        |shd AS (SELECT DISTINCT source AS g, item FROM sh0),
+        |hs AS (SELECT DISTINCT g,
+        |    ('0x' || substr(md5('kmv:' || item), 1, 15))::BIGINT AS h
+        |  FROM shd),
+        |kmv AS (SELECT g, h FROM (
+        |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        |    FROM hs) WHERE rn <= 256),
+        |gs AS (SELECT DISTINCT g FROM kmv),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+        |sides AS (
+        |  SELECT p.ga, p.gb, k.h, 1::BIGINT AS in_a, 0::BIGINT AS in_b
+        |  FROM pairs p JOIN kmv k ON k.g = p.ga
+        |  UNION ALL
+        |  SELECT p.ga, p.gb, k.h, 0::BIGINT, 1::BIGINT
+        |  FROM pairs p JOIN kmv k ON k.g = p.gb),
+        |merged AS (SELECT ga, gb, h, max(in_a)::BIGINT AS in_a,
+        |    max(in_b)::BIGINT AS in_b
+        |  FROM sides GROUP BY ga, gb, h),
+        |ranked AS (SELECT ga, gb, h, in_a, in_b,
+        |    row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        |  FROM merged),
+        |pp AS (SELECT ga, gb, count(*)::BIGINT AS n_merged,
+        |    max(CASE WHEN rn = 256 THEN h END) AS h_k,
+        |    sum(CASE WHEN rn <= 256 AND in_a = 1 AND in_b = 1
+        |        THEN 1 ELSE 0 END)::BIGINT AS common_in_k,
+        |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS common_all
+        |  FROM ranked GROUP BY ga, gb),
+        |ex AS (SELECT a.g AS ga, b.g AS gb, count(*)::BIGINT AS n_inter_exact
+        |  FROM shd a JOIN shd b ON a.item = b.item AND a.g < b.g
+        |  GROUP BY a.g, b.g)
+        |SELECT pp.ga AS source_a, pp.gb AS source_b, pp.common_in_k,
+        |  round((CASE WHEN pp.n_merged < 256 THEN pp.n_merged::DOUBLE
+        |    ELSE (255.0 * 1152921504606846976.0) / pp.h_k::DOUBLE
+        |    END)::DECIMAL(28,10), 2)::DOUBLE AS union_est,
+        |  round((CASE WHEN pp.n_merged < 256 THEN pp.common_all::DOUBLE
+        |    ELSE (pp.common_in_k::DOUBLE / 256.0)
+        |      * ((255.0 * 1152921504606846976.0) / pp.h_k::DOUBLE)
+        |    END)::DECIMAL(28,10), 2)::DOUBLE AS inter_est,
+        |  coalesce(ex.n_inter_exact, 0)::BIGINT AS n_inter_exact
+        |FROM pp LEFT JOIN ex ON ex.ga = pp.ga AND ex.gb = pp.gb
+        |ORDER BY pp.ga, pp.gb""".stripMargin,
     "q61_length_percentiles" ->
       """WITH t AS (
         |  SELECT source,
