@@ -386,6 +386,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("sketch family plans: no sort-merge joins, no single-task windows, no cartesians") {
+    // q142/q143/q144/q145 sell determinism + bounded state; their plans
+    // must stay broadcast/hash-aggregate shaped — a SortMergeJoin or an
+    // unpartitioned Window over row-scale data would mean a bounded
+    // relation stopped being treated as bounded
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    for (q <- Seq("q142_sketch_percentiles", "q143_cms_topk",
+        "q144_hll_shingles", "q145_kmv_overlap")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n${plan.take(2500)}")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2500)}")
+      val lines = plan.linesIterator.toVector
+      // every Window must carry a partition spec (group/bucket/pair
+      // columns) — the q143 rank device and the per-group min-K are the
+      // only windows and both are partitioned
+      lines.filter(_.trim.startsWith("Arguments: [row_number()")).foreach {
+        l => assert(!l.contains("windowspecdefinition()"), s"$q:\n$l")
+      }
+      lines.zip(lines.drop(1)).foreach { case (l, child) =>
+        if (l.contains("Exchange SinglePartition"))
+          assert(child.contains("partial_") || child.contains("LocalTableScan"),
+            s"$q SinglePartition over non-partial rows:\n$l\n$child")
+      }
+    }
+  }
+
   test("signature store: persisted bands serve incremental candidates identical to scratch") {
     import graft.pipeline.Dedup
     // production incremental dedup persists the band relation ONCE and
