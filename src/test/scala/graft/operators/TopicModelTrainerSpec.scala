@@ -65,6 +65,31 @@ class TopicModelTrainerSpec extends AnyFunSuite {
     }
   }
 
+  test("Gibbs sweeps recover planted topic structure") {
+    // two disjoint vocabularies (ids 0-5 vs 6-11) planted on doc parity:
+    // after training K=2, each topic's word mass must concentrate on one
+    // vocabulary half — the "it actually learns" check a determinism pin
+    // alone cannot give. Geography is uniform so location cannot leak
+    // the label.
+    val planted = (0L until 60L).map { d =>
+      val base = if (d % 2 == 0) 0L else 6L
+      val words = (0 until 8).map(i => base + (d * 3 + i * i) % 6)
+      (d, 10.0, 20.0, words)
+    }.toDF("doc_id", "lat", "lon", "word_ids")
+    val model = TopicModel.trainGeoModel(planted, numTopics = 2,
+      numLocations = 2, iters = 8)
+    val concentration = model.topicWord.map { row =>
+      val lo = row.slice(0, 6).sum
+      val hi = row.slice(6, 12).sum
+      math.max(lo, hi) / (lo + hi)
+    }
+    // each topic majority-owns one half, and the two topics pick
+    // DIFFERENT halves
+    concentration.foreach(c => assert(c > 0.8, concentration.toSeq))
+    val picksLow = model.topicWord.map(r => r.slice(0, 6).sum > r.slice(6, 12).sum)
+    assert(picksLow.toSet.size == 2, s"both topics chose the same half")
+  }
+
   test("q135 trainer dump at sf0.001 matches the pinned golden hash") {
     assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
     val out = graft.queries.OperatorQueries
