@@ -41,6 +41,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(wide.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("kmvOverlap: exact-when-small equals truth; estimator branch bounded; partitioning-invariant") {
+    // small sets (30+30 items, K=256): merged sketch is COMPLETE, so
+    // union/intersection must be EXACT counts — the gate's corpora only
+    // exercise the estimator branch, this pins the other CASE arm
+    val a = (0 until 30).map(i => ("ga", s"x$i"))
+    val b = (0 until 30).map(i => ("gb", if (i < 10) s"x$i" else s"y$i"))
+    val small = (a ++ b).toDF("g", "item")
+    val row = Sketches.kmvOverlap(small, "g", "item").head()
+    assert(row.getDouble(3) == 50.0, s"union_est ${row.getDouble(3)}") // 30+30-10
+    assert(row.getDouble(4) == 10.0, s"inter_est ${row.getDouble(4)}")
+    assert(row.getLong(5) == 10L)
+    // estimator branch: 2000-item sets with 50% overlap, K=256 —
+    // generous 3-sigma-ish bounds (sigma ~ 1/sqrt(K) ~ 6%)
+    val bigA = (0 until 2000).map(i => ("ga", s"c$i"))
+    val bigB = (0 until 2000).map(i => ("gb", if (i < 1000) s"c$i" else s"d$i"))
+    val big = (bigA ++ bigB).toDF("g", "item").repartition(5)
+    val r2 = Sketches.kmvOverlap(big, "g", "item").head()
+    assert(math.abs(r2.getDouble(3) - 3000.0) / 3000.0 < 0.25,
+      s"union_est ${r2.getDouble(3)}")
+    assert(math.abs(r2.getDouble(4) - 1000.0) / 1000.0 < 0.5,
+      s"inter_est ${r2.getDouble(4)}")
+    assert(r2.getLong(5) == 1000L)
+    val r3 = Sketches.kmvOverlap(big.repartition(11), "g", "item").head()
+    assert(r3.getDouble(3) == r2.getDouble(3) && r3.getDouble(4) == r2.getDouble(4))
+  }
+
   test("hllDistinct: raw-branch error within theory, ln branch on small groups, partitioning-invariant") {
     // big group: raw harmonic branch; m=64 gives sigma ~ 1.04/8 = 13%,
     // assert a generous 3-sigma bound
