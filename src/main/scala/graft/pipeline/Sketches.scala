@@ -46,6 +46,38 @@ object Sketches {
     * Counter build aggregates the VOCAB-level counts (groupBy token
     * first), not raw occurrences — `depth`× fewer shuffled rows for an
     * identical sketch (counters are sums of sums). */
+  /** The `depth` (row, bucket) pairs of an item — one struct per salted
+    * hash row. Shared by the batch counter build, the top-k probe, and
+    * the streaming twin's batch-side hash prep. */
+  private[graft] def cmsRows(itemCol: String, depth: Int,
+      width: Int): Seq[Column] =
+    (0 until depth).map { r =>
+      struct(lit(r.toLong).as("r"),
+        (hash60(s"cms$r:", col(itemCol)) % width).as("bucket"))
+    }
+
+  /** The d×w counter matrix from a weighted item relation — counters
+    * are sums of sums, so feeding vocabulary-level counts is identical
+    * to (and `depth`× cheaper to shuffle than) per-occurrence rows. */
+  def cmsCounters(weighted: DataFrame, itemCol: String, weightCol: String,
+      depth: Int = 4, width: Int = 64): DataFrame =
+    weighted
+      .select(explode(array(cmsRows(itemCol, depth, width): _*)).as("rb"),
+        col(weightCol))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum(col(weightCol)).as("counter"))
+
+  /** Per-occurrence hashed rows for the STREAMING twin
+    * ([[graft.streaming.CmsStream]]): each item row becomes `depth`
+    * (r, bucket, w) updates, computed batch-side per micro-batch so the
+    * stateful operator does pure integer adds. */
+  def cmsHashed(items: DataFrame, itemCol: String,
+      depth: Int = 4, width: Int = 64): DataFrame =
+    items
+      .select(explode(array(cmsRows(itemCol, depth, width): _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"),
+        lit(1L).as("w"))
+
   def cmsTopK(docs: DataFrame, textCol: String, k: Int = 20,
       depth: Int = 4, width: Int = 64): DataFrame = {
     require(k >= 1 && depth >= 1 && width >= 1,
@@ -54,14 +86,8 @@ object Sketches {
       .select(explode(TextFunctions.tokenize(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // vocab-bounded; feeds counters AND top-k
-    val rows = (0 until depth).map { r =>
-      struct(lit(r.toLong).as("r"),
-        (hash60(s"cms$r:", col("token")) % width).as("bucket"))
-    }
-    val counters = tokCounts
-      .select(explode(array(rows: _*)).as("rb"), col("cnt"))
-      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .agg(sum(col("cnt")).as("counter"))
+    val rows = cmsRows("token", depth, width)
+    val counters = cmsCounters(tokCounts, "token", "cnt", depth, width)
     // top-k rank via the bucketed global-rank device (tokCounts is
     // vocab-cardinality — a bare Window.orderBy would single-task it;
     // the CLAUDE/Ranks invariant)
