@@ -505,4 +505,105 @@ object Similarity {
         round((col("n_same").cast("double") / col("n_edges").cast("double"))
           .cast("decimal(28,10)"), 6).cast("double").as("purity"))
   }
+
+  /** Distributed EXACT Gram/covariance accumulation — the first phase
+    * of PCA / whitening / decorrelation over an embedding column, and
+    * the one dense-linear-algebra primitive a 100 TB embedding pipeline
+    * cannot express as a per-row map: Σ x·xᵀ over the corpus.
+    *
+    * Scale shape: each partition accumulates the UPPER-TRIANGLE Gram of
+    * its rows into a d(d+1)/2 long array inside `mapPartitions` —
+    * bounded state, one corpus pass, no per-pair rows ever materialize
+    * (the relational explode-self-join form shuffles n·d² rows; this
+    * shuffles #partitions · d(d+1)/2 partial rows, ~66k at d=64 and 32
+    * partitions, for ANY corpus size). Partials merge by integer sum —
+    * order-independent, so the matrix is bit-stable for any
+    * partitioning, and the quantized-int64 domain
+    * ([[graft.functions.VectorFunctions.quantize]]) makes it
+    * oracle-exact cross-engine.
+    *
+    * Overflow is GUARDED, not assumed: a Gram entry is bounded by
+    * n·maxAbs², checked against Long.MaxValue/4 up front (1-row
+    * aggregates) — past that scale, shrink the quantization scale or
+    * shard the accumulation; silent wraparound never ships.
+    *
+    * Output: one row per (i ≤ j) with the exact integer sums and the
+    * covariance in the mirrored single-IEEE-op form the oracle
+    * reproduces bit-for-bit. */
+  def gramCovariance(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    val q = emb.select(quantize(col(vecCol)).as("qv"))
+      .localCheckpoint(true) // one quantize pass feeds guard + both sums
+    val guard = q.select(count(lit(1)).as("n"),
+      max(maxAbsExact(col("qv"))).as("ma")).head()
+    val n = guard.getLong(0)
+    require(n > 0, "gramCovariance: empty input")
+    val ma = guard.getLong(1)
+    // maxSafeAbs = floor(sqrt(Long.MaxValue/4)): checked FIRST so the
+    // guard's own ma*ma cannot wrap
+    val maxSafeAbs = 1518500249L
+    require(ma <= maxSafeAbs &&
+        (ma <= 0 || n <= (Long.MaxValue / 4) / (ma * ma)),
+      s"gramCovariance: n=$n rows at maxAbs=$ma risks int64 overflow " +
+        "(bound n*maxAbs^2) — lower the quantization scale or shard")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val partials = q.mapPartitions { rows =>
+      var acc: Array[Long] = null
+      var d = 0
+      rows.foreach { r =>
+        val v = r.getSeq[Long](0)
+        if (acc == null) { d = v.length; acc = new Array[Long](d * (d + 1) / 2) }
+        var idx = 0
+        var i = 0
+        while (i < d) {
+          val vi = v(i)
+          var j = i
+          while (j < d) { acc(idx) += vi * v(j); j += 1; idx += 1 }
+          i += 1
+        }
+      }
+      if (acc == null) Iterator.empty
+      else {
+        val out = Vector.newBuilder[org.apache.spark.sql.Row]
+        var idx = 0
+        var i = 0
+        while (i < d) {
+          var j = i
+          while (j < d) {
+            out += org.apache.spark.sql.Row(i, j, acc(idx)); j += 1; idx += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    val gram = partials.groupBy(col("i"), col("j"))
+      .agg(sum(col("s")).as("sum_ij"))
+    val dimSums = q.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(sum(col("x")).as("sum_d"))
+      .localCheckpoint(true) // d-bounded; probed for both sides
+    val nC = lit(n)
+    gram
+      .join(broadcast(dimSums.select(col("pos").as("i"),
+        col("sum_d").as("sum_i"))), Seq("i"))
+      .join(broadcast(dimSums.select(col("pos").as("j"),
+        col("sum_d").as("sum_j"))), Seq("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        nC.as("n"), col("sum_i"), col("sum_j"), col("sum_ij"),
+        // covariance reported in ORIGINAL embedding units (/ scale² =
+        // 1e12): the quantized-unit value is ~1e10 and DuckDB's
+        // double→DECIMAL(28,10) cast is lossy above ~2^53/1e10 (the
+        // conversion multiplies in double) — r10 found the last-ulp
+        // mismatch; at ~1e-2 magnitude the decimal round is exact
+        round((((col("sum_ij").cast("double") / nC) -
+          (col("sum_i").cast("double") / nC) *
+            (col("sum_j").cast("double") / nC)) / lit(1.0e12))
+          .cast("decimal(28,10)"), 6).cast("double").as("cov"))
+  }
 }

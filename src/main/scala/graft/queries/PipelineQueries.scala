@@ -326,6 +326,16 @@ object PipelineQueries {
         k = 256)
       .orderBy(col("source_a"), col("source_b"))
 
+  /** Exact corpus Gram/covariance matrix over the embedding column
+    * ([[Similarity.gramCovariance]]) — the PCA/whitening first phase as
+    * a bounded-state one-pass aggregation (each partition accumulates a
+    * d(d+1)/2 integer triangle; partials merge by sum, so the matrix is
+    * bit-stable for any partitioning and the n·d² explode-join form the
+    * oracle uses never materializes on the Spark side). */
+  def q146EmbeddingGram(spark: SparkSession, dir: String): DataFrame =
+    Similarity.gramCovariance(emb(spark, dir), "vec_id", "embedding")
+      .orderBy(col("i"), col("j"))
+
   /** LSH-bucketed ANN (sign-bit coarse quantizer, multi-probe Hamming-1):
     * the scale path — bucket join instead of cross join. */
   def q24SimilarityLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -1514,6 +1524,7 @@ object PipelineQueries {
     "q143_cms_topk" -> q143CmsTopk,
     "q144_hll_shingles" -> q144HllShingles,
     "q145_kmv_overlap" -> q145KmvOverlap,
+    "q146_embedding_gram" -> q146EmbeddingGram,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -2170,6 +2181,32 @@ object PipelineQueries {
         |  coalesce(ex.n_inter_exact, 0)::BIGINT AS n_inter_exact
         |FROM pp LEFT JOIN ex ON ex.ga = pp.ga AND ex.gb = pp.gb
         |ORDER BY pp.ga, pp.gb""".stripMargin,
+    // Mirrors Similarity.gramCovariance: same 1e6 floor quantization,
+    // exact integer sums (HUGEINT cast ::BIGINT), covariance in the
+    // identical single-IEEE-op expression; ordinality is 1-based ->
+    // i-1 mirrors posexplode
+    "q146_embedding_gram" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, (i - 1)::INT AS i, qv[i] AS x
+        |  FROM (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM v)),
+        |g AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x)::BIGINT AS sum_ij
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY a.i, b.i),
+        |sd AS (SELECT i, sum(x)::BIGINT AS sum_d FROM e GROUP BY i),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM v)
+        |SELECT g.i::BIGINT AS i, g.j::BIGINT AS j, nn.n,
+        |  sa.sum_d AS sum_i, sb.sum_d AS sum_j, g.sum_ij,
+        |  round((((g.sum_ij::DOUBLE / nn.n)
+        |    - (sa.sum_d::DOUBLE / nn.n) * (sb.sum_d::DOUBLE / nn.n)
+        |    ) / 1000000000000.0)::DECIMAL(28,10), 6)::DOUBLE AS cov
+        |FROM g
+        |CROSS JOIN nn
+        |JOIN sd sa ON sa.i = g.i
+        |JOIN sd sb ON sb.i = g.j
+        |ORDER BY g.i, g.j""".stripMargin,
     "q61_length_percentiles" ->
       """WITH t AS (
         |  SELECT source,

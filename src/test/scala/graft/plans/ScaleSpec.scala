@@ -386,6 +386,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("gramCovariance: equals the naive per-pair sums, any partitioning; guard trips") {
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(46)
+    val d = 8
+    def vec() = Array.fill(d)(rnd.nextFloat() * 2f - 1f)
+    val data = (0L until 200L).map(i => (i, vec().toSeq))
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.gramCovariance(df.repartition(6), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    // naive reference in the same quantized domain
+    val q = data.map(_._2.map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+    val n = q.length
+    for (i <- 0 until d; j <- i until d) {
+      val sij = q.map(v => v(i) * v(j)).sum
+      val si = q.map(_(i)).sum
+      val sj = q.map(_(j)).sum
+      val (gsi, gsj, gsij, _) = got((i.toLong, j.toLong))
+      assert((gsi, gsj, gsij) == ((si, sj, sij)), s"($i,$j)")
+      val cov = ((sij.toDouble / n) - (si.toDouble / n) * (sj.toDouble / n)) / 1.0e12
+      val rounded = BigDecimal(cov)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((i.toLong, j.toLong))._4 == rounded, s"cov ($i,$j)")
+    }
+    assert(got.size == d * (d + 1) / 2)
+    // partitioning invariance (integer sums cannot move)
+    val again = Similarity.gramCovariance(df.repartition(1), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(again == got)
+    // the overflow guard must REFUSE, not wrap: huge components
+    val hot = Seq((1L, Seq.fill(4)(3000.0f)), (2L, Seq.fill(4)(3000.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.gramCovariance(hot, "vec_id", "embedding")
+    }
+  }
+
   test("sketch family plans: no sort-merge joins, no single-task windows, no cartesians") {
     // q142/q143/q144/q145 sell determinism + bounded state; their plans
     // must stay broadcast/hash-aggregate shaped — a SortMergeJoin or an
