@@ -506,6 +506,202 @@ object Similarity {
           .cast("decimal(28,10)"), 6).cast("double").as("purity"))
   }
 
+  /** Deterministic cyclic Jacobi eigendecomposition of a small
+    * symmetric matrix (the d×d covariance — driver-side by design:
+    * Spark MLlib's PCA does exactly this shape, distributed covariance
+    * then local eigen; here the solver is dependency-free and fully
+    * deterministic: fixed cyclic (p,q) order, fixed sweep count, no
+    * data-dependent pivoting). Returns (eigenvalues, eigenvectors as
+    * COLUMNS) unsorted — callers order and fix signs. */
+  def jacobiEigen(cIn: Array[Array[Double]],
+      sweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val d = cIn.length
+    require(d >= 1 && cIn.forall(_.length == d), "jacobiEigen: square input")
+    val a = Array.tabulate(d, d)((i, j) => cIn(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var s = 0
+    while (s < sweeps) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var i = 0
+            while (i < d) { // A := A·G (columns p, q)
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - sn * aiq
+              a(i)(q) = sn * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) { // A := Gᵀ·A (rows p, q)
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - sn * aqi
+              a(q)(i) = sn * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < d) { // V := V·G
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - sn * viq
+              v(i)(q) = sn * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      s += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** PCA report — the full pipeline over an embedding column:
+    * (1) distributed exact covariance ([[gramCovariance]]'s integer
+    * sums, re-derived at full double precision from the unrounded
+    * sums); (2) driver-side deterministic Jacobi on the d×d matrix
+    * (bounded work, the MLlib shape); (3) a DISTRIBUTED verification
+    * column: the corpus is projected onto each principal axis and the
+    * projection variance computed with the decimal-sum discipline
+    * (order-independent for any partitioning) — for a true eigenpair
+    * it must equal the eigenvalue, so the report carries its own
+    * proof. Eigenvector sign is fixed deterministically (largest-|·|
+    * component positive, lowest index on ties). Iterative + driver
+    * math → no SQL oracle (rows-only, the q36/q135 contract);
+    * PcaSpec pins recovery of planted structure, orthonormality,
+    * trace identity, the sf0.001 golden hash, and that proj_var ≈
+    * eigenvalue on real data. */
+  def pcaReport(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.functions.{round => sround}
+    val g = gramCovariance(emb, idCol, vecCol)
+      .select("i", "j", "n", "sum_i", "sum_j", "sum_ij")
+      .collect()
+    require(g.nonEmpty, "pcaReport: empty input")
+    val n = g.head.getLong(2)
+    val d = g.map(_.getLong(1)).max.toInt + 1
+    require(k >= 1 && k <= d, s"pcaReport: k must be in [1, $d]")
+    val c = Array.ofDim[Double](d, d)
+    g.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      // full-precision covariance in ORIGINAL units from the exact sums
+      val cov = ((r.getLong(5).toDouble / n) -
+        (r.getLong(3).toDouble / n) * (r.getLong(4).toDouble / n)) / 1.0e12
+      c(i)(j) = cov; c(j)(i) = cov
+    }
+    val (evals, evecs) = jacobiEigen(c)
+    val order = (0 until d).sortBy(i => (-evals(i), i)).take(k)
+    val top = order.map { col0 =>
+      val v = Array.tabulate(d)(i => evecs(i)(col0))
+      val m = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(m) < 0) v.map(x => -x) else v
+    }.toArray
+    val lambda = order.map(evals).toArray
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    val bcV = spark.sparkContext.broadcast(top)
+    val projUdf = udf((e: Seq[Float]) => {
+      val vs = bcV.value
+      vs.map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * e(i).toDouble; i += 1 }
+        s
+      }.toSeq
+    })
+    // distributed verification: decimal-truncated sums are exact and
+    // order-independent, so proj_var is partitioning-stable
+    val projected = emb.select(posexplode(projUdf(col(vecCol)))
+      .as(Seq("comp", "p")))
+    val verify = projected.groupBy(col("comp"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("p").cast("decimal(28,10)")).as("sp"),
+        sum((col("p") * col("p")).cast("decimal(28,10)")).as("spp"))
+      .select(col("comp"),
+        ((col("spp").cast("double") / col("np")) -
+          (col("sp").cast("double") / col("np")) *
+            (col("sp").cast("double") / col("np"))).as("proj_var"))
+    import spark.implicits._
+    val cum = lambda.scanLeft(0.0)(_ + _).tail
+    val driverRows = lambda.zipWithIndex.map { case (l, r) =>
+      (r, r.toLong + 1, l, cum(r) / trace)
+    }.toSeq.toDF("comp", "rank", "eigenvalue", "explained_cum")
+    driverRows.join(broadcast(verify), Seq("comp"))
+      .select(col("rank"),
+        sround(col("eigenvalue").cast("decimal(28,10)"), 6)
+          .cast("double").as("eigenvalue"),
+        sround(col("explained_cum").cast("decimal(28,10)"), 6)
+          .cast("double").as("explained_cum"),
+        sround(col("proj_var").cast("decimal(28,10)"), 6)
+          .cast("double").as("proj_var"))
+  }
+
+  /** PCA whitening model: mean vector + the k whitening rows
+    * W = Λ^(−1/2)·Vᵀ, so y = W·(x − μ) has identity covariance over
+    * the training corpus. Driver-sized (k·d + d doubles). */
+  final case class WhitenModel(mean: Array[Double], w: Array[Array[Double]])
+
+  /** Fit a whitening model from the exact covariance — driver math on
+    * the [[gramCovariance]] sums + [[jacobiEigen]], deterministic
+    * end-to-end (fixed sweep order, fixed sign convention, eigenvalue
+    * floor `epsilon` guards near-null axes). */
+  def fitWhitening(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      epsilon: Double = 1e-12): WhitenModel = {
+    val g = gramCovariance(emb, idCol, vecCol)
+      .select("i", "j", "n", "sum_i", "sum_j", "sum_ij").collect()
+    require(g.nonEmpty, "fitWhitening: empty input")
+    val n = g.head.getLong(2)
+    val d = g.map(_.getLong(1)).max.toInt + 1
+    require(k >= 1 && k <= d, s"fitWhitening: k must be in [1, $d]")
+    val c = Array.ofDim[Double](d, d)
+    val mean = new Array[Double](d)
+    g.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val cov = ((r.getLong(5).toDouble / n) -
+        (r.getLong(3).toDouble / n) * (r.getLong(4).toDouble / n)) / 1.0e12
+      c(i)(j) = cov; c(j)(i) = cov
+      if (i == j) mean(i) = r.getLong(3).toDouble / n / 1.0e6
+    }
+    val (evals, evecs) = jacobiEigen(c)
+    val order = (0 until d).sortBy(i => (-evals(i), i)).take(k)
+    val w = order.map { col0 =>
+      val v = Array.tabulate(d)(i => evecs(i)(col0))
+      val m = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      val sgn = if (v(m) < 0) -1.0 else 1.0
+      val scale = 1.0 / math.sqrt(math.max(evals(col0), epsilon))
+      v.map(x => x * sgn * scale)
+    }.toArray
+    WhitenModel(mean, w)
+  }
+
+  /** Apply a whitening model: one broadcast, one per-row kernel, no
+    * shuffle — appends `outCol` as the k-dim whitened vector. Note the
+    * whitened values come from QUANTIZED-domain training statistics
+    * applied to raw floats, so covariance of the output is identity up
+    * to quantization error (PcaSpec closes the loop by running
+    * [[gramCovariance]] over the whitened output). */
+  def whiten(emb: DataFrame, vecCol: String, model: WhitenModel,
+      outCol: String = "whitened"): DataFrame = {
+    val bc = emb.sparkSession.sparkContext.broadcast(model)
+    val u = udf((e: Seq[Float]) => {
+      val m = bc.value
+      val cent = Array.tabulate(m.mean.length)(i => e(i).toDouble - m.mean(i))
+      m.w.map { row =>
+        var s = 0.0; var i = 0
+        while (i < row.length) { s += row(i) * cent(i); i += 1 }
+        s
+      }.toSeq
+    })
+    emb.withColumn(outCol, u(col(vecCol)))
+  }
+
   /** Distributed EXACT Gram/covariance accumulation — the first phase
     * of PCA / whitening / decorrelation over an embedding column, and
     * the one dense-linear-algebra primitive a 100 TB embedding pipeline

@@ -336,6 +336,18 @@ object PipelineQueries {
     Similarity.gramCovariance(emb(spark, dir), "vec_id", "embedding")
       .orderBy(col("i"), col("j"))
 
+  /** PCA report over the embeddings ([[Similarity.pcaReport]], top-8):
+    * distributed exact covariance → deterministic driver Jacobi (the
+    * MLlib shape: d×d bounded driver math) → DISTRIBUTED verification
+    * (per-axis projection variance via decimal sums must equal the
+    * eigenvalue — the report carries its own proof). Iterative eigen →
+    * no SQL oracle (rows-only, the q36/q135 contract); PcaSpec pins
+    * planted-structure recovery, orthonormality, the trace identity,
+    * proj_var ≈ λ, and an sf0.001 golden hash. */
+  def q147PcaReport(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pcaReport(emb(spark, dir), "vec_id", "embedding", k = 8)
+      .orderBy(col("rank"))
+
   /** LSH-bucketed ANN (sign-bit coarse quantizer, multi-probe Hamming-1):
     * the scale path — bucket join instead of cross join. */
   def q24SimilarityLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -1525,6 +1537,7 @@ object PipelineQueries {
     "q144_hll_shingles" -> q144HllShingles,
     "q145_kmv_overlap" -> q145KmvOverlap,
     "q146_embedding_gram" -> q146EmbeddingGram,
+    "q147_pca_report" -> q147PcaReport,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
