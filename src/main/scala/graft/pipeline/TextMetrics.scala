@@ -1117,6 +1117,67 @@ object TextMetrics {
           lit(nBins.toDouble)).as("est"))
   }
 
+  /** T5/UL2-style span corruption — the denoising-objective prep that
+    * turns a clean corpus into (input, target) training pairs: masked
+    * spans become `<extra_id_k>` sentinels in the input and the target
+    * lists each sentinel with its masked content. Spans here are FIXED
+    * token blocks (`blockLen`) masked by a salted-hash coin on
+    * (doc, block) — deterministic (stable under repartitioning,
+    * retries, engines: the q47 hash-sampling discipline) and
+    * non-overlapping BY CONSTRUCTION, which is what keeps the operator
+    * relational: greedy variable-length spans need a sequential scan,
+    * block masking is a pure per-block expression (the honest
+    * documented trade vs the reference T5 sampler's Poisson spans).
+    *
+    * Shapes: one Generate per doc (block explode), sentinel numbering
+    * via a per-doc running count window, re-assembly by the
+    * array_sort(collect_list(struct)) device — no shuffle beyond the
+    * per-doc aggregation. */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      blockLen: Int = 3, maskOneIn: Int = 10,
+      salt: String = "span"): DataFrame = {
+    require(blockLen >= 1 && maskOneIn >= 1,
+      "spanCorrupt: blockLen and maskOneIn must be >= 1")
+    val L = blockLen
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenize(col(textCol)).as("t"))
+    val blocks = toks
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"),
+        explode(sequence(lit(0L), expr(s"(size(t) + ${L - 1}) div $L") - 1))
+          .as("b"))
+      .select(col("doc_id"), col("n_tokens"), col("b"),
+        array_join(slice(col("t"), (col("b") * L + 1).cast("int"), lit(L)), " ")
+          .as("btxt"),
+        (conv(substring(md5(concat(lit(s"$salt:"),
+          col("doc_id").cast("string"), lit(":"), col("b").cast("string"))),
+          1, 15), 16, 10).cast("long") % maskOneIn === 0).as("masked"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val numbered = blocks.withColumn("k",
+      sum(when(col("masked"), 1L).otherwise(0L)).over(w) - 1)
+    val pieces = numbered.select(col("doc_id"), col("n_tokens"), col("b"),
+      col("masked"),
+      when(col("masked"),
+        concat(lit("<extra_id_"), col("k").cast("string"), lit(">")))
+        .otherwise(col("btxt")).as("piece_in"),
+      when(col("masked"),
+        concat(lit("<extra_id_"), col("k").cast("string"), lit("> "),
+          col("btxt"))).as("piece_tgt"))
+    pieces.groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("b"), col("piece_in")))),
+          s => s.getField("piece_in")), " ").as("input"),
+        // the WHOLE struct goes null for unmasked blocks (collect_list
+        // skips nulls; a struct with a null field would survive)
+        array_join(transform(
+          array_sort(collect_list(when(col("masked"),
+            struct(col("b"), col("piece_tgt"))))),
+          s => s.getField("piece_tgt")), " ").as("target"))
+  }
+
   /** Sequence packing — next-fit binning of documents into fixed token
     * budgets, the step that turns a filtered corpus into training
     * sequences: within each group (shard), documents in id order fill

@@ -348,6 +348,14 @@ object PipelineQueries {
     Similarity.pcaReport(emb(spark, dir), "vec_id", "embedding", k = 8)
       .orderBy(col("rank"))
 
+  /** T5-style span corruption ([[TextMetrics.spanCorrupt]]): the
+    * denoising-objective prep — fixed 3-token blocks masked by a
+    * salted-hash coin (deterministic, repartition/engine-stable),
+    * sentinels in the input, sentinel+content pairs in the target. */
+  def q148SpanCorruption(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.spanCorrupt(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** LSH-bucketed ANN (sign-bit coarse quantizer, multi-probe Hamming-1):
     * the scale path — bucket join instead of cross join. */
   def q24SimilarityLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -1538,6 +1546,7 @@ object PipelineQueries {
     "q145_kmv_overlap" -> q145KmvOverlap,
     "q146_embedding_gram" -> q146EmbeddingGram,
     "q147_pca_report" -> q147PcaReport,
+    "q148_span_corruption" -> q148SpanCorruption,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -2220,6 +2229,39 @@ object PipelineQueries {
         |JOIN sd sa ON sa.i = g.i
         |JOIN sd sb ON sb.i = g.j
         |ORDER BY g.i, g.j""".stripMargin,
+    // Mirrors spanCorrupt: 3-token blocks, salted-hash mask coin,
+    // running sentinel count, string_agg re-assembly (coalesce'd ''
+    // target when nothing masked, matching Spark's empty array_join)
+    "q148_span_corruption" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS tk
+        |  FROM documents),
+        |b AS (SELECT doc_id, tk, len(tk)::BIGINT AS n_tokens,
+        |    unnest(range(0, (len(tk) + 2) // 3)) AS b
+        |  FROM t),
+        |p AS (SELECT doc_id, n_tokens, b,
+        |    array_to_string(tk[b*3+1 : b*3+3], ' ') AS btxt,
+        |    ('0x' || substr(md5('span:' || doc_id::VARCHAR || ':' || b::VARCHAR),
+        |      1, 15))::BIGINT % 10 = 0 AS masked
+        |  FROM b),
+        |k AS (SELECT doc_id, n_tokens, b, btxt, masked,
+        |    (count(*) FILTER (WHERE masked) OVER
+        |      (PARTITION BY doc_id ORDER BY b
+        |       ROWS UNBOUNDED PRECEDING))::BIGINT - 1 AS kk
+        |  FROM p),
+        |pieces AS (SELECT doc_id, n_tokens, b, masked,
+        |    CASE WHEN masked THEN '<extra_id_' || kk::VARCHAR || '>'
+        |         ELSE btxt END AS piece_in,
+        |    CASE WHEN masked THEN '<extra_id_' || kk::VARCHAR || '> ' || btxt
+        |         END AS piece_tgt
+        |  FROM k)
+        |SELECT doc_id, max(n_tokens) AS n_tokens,
+        |  count(*)::BIGINT AS n_blocks,
+        |  sum(CASE WHEN masked THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+        |  string_agg(piece_in, ' ' ORDER BY b) AS input,
+        |  coalesce(string_agg(piece_tgt, ' ' ORDER BY b)
+        |    FILTER (WHERE masked), '') AS target
+        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q61_length_percentiles" ->
       """WITH t AS (
         |  SELECT source,
