@@ -28,6 +28,25 @@ class SpanCorruptSpec extends AnyFunSuite {
     }.filter(_.nonEmpty).mkString(" ")
   }
 
+  test("blockLen=1 degenerates to MLM-style single-token masking") {
+    val docs = (0L until 60L)
+      .map(i => (i, Seq.fill(30)(s"t${i % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextMetrics.spanCorrupt(docs, "doc_id", "text", blockLen = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    out.foreach { case (id, nTok, nBlocks, nMasked, input, target) =>
+      assert(nBlocks == nTok) // every token is its own maskable block
+      assert(input.split(" ").length == nTok)
+      assert(reconstruct(input, target).split(" ").length == nTok, s"doc $id")
+      // each sentinel hides exactly ONE token
+      if (nMasked > 0)
+        target.split("(?=<extra_id_\\d+>)").filter(_.nonEmpty).foreach { p =>
+          assert(p.trim.split(" ").length == 2, s"doc $id: '$p'")
+        }
+    }
+  }
+
   test("input + target splice back to the original tokens; deterministic; rate sane") {
     val rnd = new scala.util.Random(5)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
