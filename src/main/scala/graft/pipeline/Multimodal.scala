@@ -26,6 +26,70 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, media_type: String, byte_len: Int,
     first_byte: Int, checksum: Long, feat: Array[Float])
 
+  /** Per-partition pooled PNG encoder — the WRITE-side twin of the
+    * pooled GIF reader in [[decodeVideoFrames]]. `ImageIO.write` scans
+    * the service registry and allocates a fresh `ImageWriter` +
+    * `ImageOutputStream` per call; at one call per record that
+    * allocation churn dominated the q111/q115 encode path (round-10
+    * regression adjudication). One writer per partition, re-pointed
+    * per record; output bytes are identical to `ImageIO.write` (same
+    * writer class, default write param). Callers register
+    * [[PngEncoder#dispose]] on task completion. */
+  private final class PngEncoder {
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    private val baos = new java.io.ByteArrayOutputStream(1024)
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      baos.reset()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.close()
+      baos.toByteArray
+    }
+    def dispose(): Unit = writer.dispose()
+  }
+
+  /** Pool a [[PngEncoder]] for the current task: dispose is registered
+    * on TASK COMPLETION (not an iterator tail) so early-terminating
+    * consumers (limit/take) cannot leak the writer. */
+  private def pooledPngEncoder(): PngEncoder = {
+    val enc = new PngEncoder
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => enc.dispose()))
+    enc
+  }
+
+  /** Per-partition pooled WAV encoder — the audio twin of [[PngEncoder]].
+    * `AudioSystem.write` re-resolves the `AudioFileWriter` provider per
+    * call; here the provider is resolved ONCE per partition through the
+    * public `javax.sound.sampled.spi` service interface (the JDK's
+    * `java.desktop` module declares its WAVE writer there) and the
+    * output buffer is reused. Same writer class ⇒ identical bytes to
+    * the per-call path. */
+  private final class WavEncoder {
+    private val writer: javax.sound.sampled.spi.AudioFileWriter = {
+      val it = java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+      var w: javax.sound.sampled.spi.AudioFileWriter = null
+      while (w == null && it.hasNext) {
+        val c = it.next()
+        if (c.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE)) w = c
+      }
+      require(w != null, "no WAVE AudioFileWriter provider on this JVM")
+      w
+    }
+    private val baos = new java.io.ByteArrayOutputStream(1024)
+    def encode(pcm: Array[Byte], fmt: javax.sound.sampled.AudioFormat,
+        frames: Long): Array[Byte] = {
+      baos.reset()
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+  }
+
   /** Attach a binary payload column from a string column — opaque raw
     * bytes, typed as such ([[extractFeatures]] routes this type to the
     * raw-byte featureizer, not a codec). */
@@ -158,6 +222,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val enc = pooledPngEncoder()
       it.map { m =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
         require(img != null, s"undecodable payload for media_id=${m.media_id}")
@@ -175,9 +240,7 @@ object Multimodal {
           }
           y += 1
         }
-        val baos = new java.io.ByteArrayOutputStream(256)
-        javax.imageio.ImageIO.write(out, "png", baos)
-        m.copy(payload = baos.toByteArray)
+        m.copy(payload = enc.encode(out))
       }
     }
   }
@@ -195,8 +258,9 @@ object Multimodal {
     * r=(id*31+x*7+y*13)%256, g=(id*17+x*11+y*3)%256, b=(id*5+x*23+y*29)%256. */
   def pngDims(id: Long): (Int, Int) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
 
-  /** Encode one deterministic PNG for `id` (real ImageIO encode). */
-  def encodePng(id: Long): Array[Byte] = {
+  /** Render the closed-form generator raster for `id` (shared by the
+    * per-call [[encodePng]] and the pooled-encoder partition kernels). */
+  private def pngImage(id: Long): java.awt.image.BufferedImage = {
     val (w, h) = pngDims(id)
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -212,18 +276,24 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** Encode one deterministic PNG for `id` (real ImageIO encode). */
+  def encodePng(id: Long): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream(256)
-    javax.imageio.ImageIO.write(img, "png", baos)
+    javax.imageio.ImageIO.write(pngImage(id), "png", baos)
     baos.toByteArray
   }
 
   /** Documents → one encoded PNG payload per doc (partition-local batched
-    * encode; encoder state initializes once per partition). */
+    * encode; the pooled writer initializes once per partition). */
   def syntheticPngs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no tmp files
-      it.map(id => MediaRecord(id, "image/png", encodePng(id)))
+      val enc = pooledPngEncoder()
+      it.map(id => MediaRecord(id, "image/png", enc.encode(pngImage(id))))
     }
   }
 
@@ -378,7 +448,9 @@ object Multimodal {
     * JDK encoder). Sample i = ((id·37 + i·101) mod 65536) − 32768,
     * sweeping the full int16 range — closed-form so the decode oracle
     * recomputes it without touching the codec. */
-  def encodeWav(id: Long): Array[Byte] = {
+  /** The closed-form little-endian int16 PCM block for `id` (shared by
+    * [[encodeWav]] and the pooled-encoder partition kernels). */
+  private def wavPcm(id: Long): Array[Byte] = {
     val n = wavSamples(id)
     val pcm = new Array[Byte](n * 2)
     var i = 0
@@ -388,9 +460,15 @@ object Multimodal {
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    pcm
+  }
+
+  private val wavFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+
+  def encodeWav(id: Long): Array[Byte] = {
+    val pcm = wavPcm(id)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      new java.io.ByteArrayInputStream(pcm), wavFmt, (pcm.length / 2).toLong)
     val baos = new java.io.ByteArrayOutputStream(512)
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
@@ -398,11 +476,16 @@ object Multimodal {
   }
 
   /** Documents → one encoded WAV payload per doc (partition-local
-    * batched encode, the [[syntheticPngs]] contract). */
+    * batched encode through the pooled writer, the [[syntheticPngs]]
+    * contract). */
   def syntheticWavs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
-      it.map(id => MediaRecord(id, "audio/wav", encodeWav(id)))
+      val enc = new WavEncoder
+      it.map { id =>
+        val pcm = wavPcm(id)
+        MediaRecord(id, "audio/wav", enc.encode(pcm, wavFmt, (pcm.length / 2).toLong))
+      }
     }
   }
 
@@ -611,6 +694,7 @@ object Multimodal {
       // reader; the listener fires on every task end path
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => reader.dispose()))
+      val enc = pooledPngEncoder()
       it.flatMap { m =>
         val in = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(m.payload))
@@ -635,10 +719,8 @@ object Multimodal {
             }
             y += 1
           }
-          val baos = new java.io.ByteArrayOutputStream(128)
-          javax.imageio.ImageIO.write(thumb, "png", baos)
           val back = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(baos.toByteArray))
+            new java.io.ByteArrayInputStream(enc.encode(thumb)))
           var sum = 0L
           y = 0
           while (y < hr) {
@@ -669,6 +751,7 @@ object Multimodal {
     require(factor >= 1, "decimateAudio: factor must be >= 1")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      val enc = new WavEncoder
       it.map { m =>
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(m.payload))
@@ -689,12 +772,7 @@ object Multimodal {
         }
         val outFmt = new javax.sound.sampled.AudioFormat(
           fmt.getSampleRate / factor, 16, 1, true, false)
-        val outAis = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), outFmt, nd.toLong)
-        val baos = new java.io.ByteArrayOutputStream(512)
-        javax.sound.sampled.AudioSystem.write(outAis,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-        m.copy(payload = baos.toByteArray)
+        m.copy(payload = enc.encode(pcm, outFmt, nd.toLong))
       }
     }
   }
