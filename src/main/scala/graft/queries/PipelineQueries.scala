@@ -22,8 +22,25 @@ object PipelineQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-  private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "embeddings")
+
+  /** Shared embeddings relation, cached per (session, sf dir): ~20 of
+    * the similarity/dedup/contract queries read the same scanned-and-
+    * canonicalized vector table; without a family each re-paid the
+    * parquet footer + canonicalize casts, and under the numeric sweep
+    * whichever consumer ran first absorbed the cold-scan cost (q23's
+    * round-10 attribution shift). Vectors are fixed-width and small
+    * relative to text, so the cache is the scan output itself. */
+  private val sharedEmb =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("embeddings")
+    sharedEmb.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Tables.load(spark, dir, "embeddings").cache())
+  }
+
+  /** Drop the shared embeddings-scan cache. */
+  def releaseEmbCache(): Unit = drain(sharedEmb)
 
   /** Exact dedup (hash-groupBy): canonical representative per identical
     * text. One shuffle on the md5 key — the text payload never shuffles. */
@@ -92,6 +109,15 @@ object PipelineQueries {
     * order also touches minhash (docClusters builds from minhashPairs on
     * a cold cache), so that query appears in BOTH sets. */
   def cacheFamilies: Map[String, CacheFamily] = Map(
+    "embeddings" -> CacheFamily(
+      Set("q23_similarity_brute", "q24_similarity_lsh", "q33_similarity_ivf",
+        "q40_embedding_neardups", "q44_embedding_stats", "q56_semantic_dedup",
+        "q60_semantic_decontaminate", "q69_ann_recall", "q77_knn_graph",
+        "q86_knn_purity", "q87_pq_adc", "q89_kmeans_train",
+        "q99_norm_outliers", "q102_truncation_energy", "q105_sq8_error",
+        "q106_dim_stats", "q120_probed_neardups", "q122_hard_negatives",
+        "q124_embeddings_contract", "q146_embedding_gram", "q147_pca_report"),
+      () => releaseEmbCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
         "q78_source_overlap", "q88_incremental_dedup", "q91_lsh_tuning",
