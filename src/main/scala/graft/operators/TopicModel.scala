@@ -246,10 +246,24 @@ object TopicModel {
     *    order can perturb a bit.
     *
     * Every sweep's state frame `localCheckpoint`s (the iterative-loop
-    * lineage discipline shared with withRoots/trainCentroids). */
+    * lineage discipline shared with withRoots/trainCentroids).
+    *
+    * SCALE CEILING — the per-sweep K×V counts broadcast: each Gibbs
+    * sweep collects the global (topic, word) count matrix to the driver
+    * and broadcasts it (K·V longs, e.g. K=64 × V=5M ≈ 2.5 GB — per
+    * sweep, at every executor). `maxCountsBytes` is the loud guard (the
+    * capOccupancy discipline): training REFUSES to start past it rather
+    * than silently OOMing executors mid-sweep. The large-V alternative
+    * keeps the counts DISTRIBUTED: explode the state to (w, k, n) once
+    * per sweep, shuffle-join it back to the exploded token relation on
+    * `w` (vocabulary-partitioned, so each reducer holds only its vocab
+    * shard's K-vector), and resample per token group — one extra shuffle
+    * per sweep in exchange for O(K·V/shards) memory; the sampler's
+    * (seed, doc_id, sweep) RNG makes the two forms bit-identical. */
   def trainGeoModel(geoCorpus: DataFrame, numTopics: Int, numLocations: Int,
       iters: Int, seed: Long = 42L, beta: Double = 0.1,
-      alpha: Double = 1.0, alpha0: Double = 1.0): GeoModel = {
+      alpha: Double = 1.0, alpha0: Double = 1.0,
+      maxCountsBytes: Long = 1L << 30): GeoModel = {
     require(numTopics >= 1 && numLocations >= 1 && iters >= 0,
       "trainGeoModel: numTopics/numLocations must be >= 1, iters >= 0")
     val spark = geoCorpus.sparkSession
@@ -257,6 +271,18 @@ object TopicModel {
     val vRow = geoCorpus.select(max(array_max(col("word_ids")))).head()
     require(!vRow.isNullAt(0), "trainGeoModel: empty corpus")
     val V = vRow.getLong(0).toInt + 1
+    val countsBytes = K.toLong * V.toLong * 8L
+    require(countsBytes <= maxCountsBytes,
+      s"trainGeoModel: K*V counts matrix is $countsBytes bytes " +
+        s"(K=$K, V=$V), over maxCountsBytes=$maxCountsBytes — the " +
+        "per-sweep driver collect + broadcast would not survive this " +
+        "vocabulary; shrink V (frequency-threshold the vocab) or use " +
+        "the join-distributed count path documented on this method")
+    if (countsBytes > maxCountsBytes / 4)
+      System.err.println(s"[graft] trainGeoModel: K*V counts matrix is " +
+        s"$countsBytes bytes (K=$K, V=$V) — within maxCountsBytes=" +
+        s"$maxCountsBytes but broadcast per sweep; consider a " +
+        "frequency-thresholded vocab at this scale")
 
     // geography: unit-sphere Cartesian vectors (the qm domain the
     // reference ships; modelLocations' toSpherical inverts it)

@@ -40,6 +40,20 @@ class TopicModelTrainerSpec extends AnyFunSuite {
     assert(dump(a) != dump(c), "different seed must move the model")
   }
 
+  test("K*V counts-broadcast guard refuses oversized vocabularies loudly") {
+    // toyCorpus: V = 12, so K = 3 needs 3*12*8 = 288 bytes; a cap below
+    // that must refuse BEFORE any sweep runs, naming both dimensions
+    val ex = intercept[IllegalArgumentException] {
+      TopicModel.trainGeoModel(toyCorpus(2), 3, 4, iters = 1,
+        maxCountsBytes = 100L)
+    }
+    assert(ex.getMessage.contains("maxCountsBytes"))
+    assert(ex.getMessage.contains("V=12"))
+    // at the default cap the same corpus trains fine
+    val m = TopicModel.trainGeoModel(toyCorpus(2), 3, 4, iters = 1)
+    assert(m.topicWord.nonEmpty)
+  }
+
   test("trained matrices are proper distributions and feed the M2 scorer") {
     val model = TopicModel.trainGeoModel(toyCorpus(4), 3, 4, iters = 4)
     model.topicWord.foreach(r => assert(math.abs(r.sum - 1.0) < 1e-9))
