@@ -12,7 +12,51 @@ import org.apache.spark.sql.functions._
   * tables are dimension tables that broadcast to every executor exactly
   * like the bolt's `prepare()`-time downloads did per worker.
   */
+/** Pluggable source of the LOD side-input relations (SURVEY §7.3): the
+  * reference crawls live SPARQL endpoints inside the bolt
+  * (LocationCrawlerBolt.java:131-153 property scans, :183-209
+  * dereference); this engine's default is snapshot triple TABLES so the
+  * lookups stay broadcast joins. An HTTP implementation stays possible
+  * behind this trait — fetch/crawl into DataFrames of the same shapes
+  * (e.g. a bounded crawler materializing its frontier per micro-batch)
+  * — and every [[Lod]] entry point accepts the trait, so swapping the
+  * resolver never touches query code.
+  *
+  * Relation contracts:
+  *  - `sameAsTriples`: `(subject, object)` — `<subject> owl:sameAs
+  *    <object>` rows, looked up by object (J1);
+  *  - `entityTriples`: `(subject, predicate, object, object_is_uri)` —
+  *    the per-entity property scan source (J2/F9);
+  *  - `placeTriples`: `(subject, predicate, object, lang_tag)` — the
+  *    geo:lat / geo:long / rdfs:label dereference source (J3). */
+trait LodResolver {
+  def sameAsTriples: DataFrame
+  def entityTriples: DataFrame
+  def placeTriples: DataFrame
+}
+
+/** The default resolver: pre-downloaded snapshot triple tables (the
+  * bolt's `prepare()`-time side inputs, promoted to dimension tables
+  * that broadcast exactly once per executor). */
+final case class SnapshotLodResolver(sameAsTriples: DataFrame,
+  entityTriples: DataFrame, placeTriples: DataFrame) extends LodResolver
+
 object Lod {
+
+  /** J1 via a [[LodResolver]]. */
+  def sameAsLookup(locs: DataFrame, lgdUriCol: String,
+      resolver: LodResolver): DataFrame =
+    sameAsLookup(locs, lgdUriCol, resolver.sameAsTriples)
+
+  /** J2 via a [[LodResolver]]. */
+  def placeCandidates(entities: DataFrame, uriCol: String,
+      resolver: LodResolver): DataFrame =
+    placeCandidates(entities, uriCol, resolver.entityTriples)
+
+  /** J3 via a [[LodResolver]]. */
+  def dereferencePlaces(places: DataFrame, placeCol: String,
+      resolver: LodResolver): DataFrame =
+    dereferencePlaces(places, placeCol, resolver.placeTriples)
 
   /** J1 — owl:sameAs lookup: LinkedGeoData URI → DBpedia URI, first match
     * (LocationCrawlerBolt.java:125-129). `sameAs(subject, object)` holds

@@ -216,9 +216,11 @@ object OperatorQueries {
     val locs = Tables.load(spark, dir, "customer")
       .select(col("c_nationkey")).distinct()
       .withColumn("lgd_uri", concat(lit("lgd:"), col("c_nationkey")))
-    val linked = Lod.sameAsLookup(locs, "lgd_uri", sameAs)
-    val cands = Lod.placeCandidates(linked, "dbpedia_uri", propTriples)
-    Lod.dereferencePlaces(cands, "place", placeTriples)
+    val resolver = graft.operators.SnapshotLodResolver(
+      sameAs, propTriples, placeTriples)
+    val linked = Lod.sameAsLookup(locs, "lgd_uri", resolver)
+    val cands = Lod.placeCandidates(linked, "dbpedia_uri", resolver)
+    Lod.dereferencePlaces(cands, "place", resolver)
       .select(col("c_nationkey"), col("dbpedia_uri"), col("place"),
         array_join(array_sort(col("properties")), ",").as("properties"),
         col("lat").cast("long").as("lat"), col("lon").cast("long").as("lon"),

@@ -237,14 +237,22 @@ object Topologies {
     * candidates (the reference reads itinno:loc_set). */
   def lodExplorer(locations: DataFrame, sameAs: DataFrame,
       propTriples: DataFrame, placeTriples: DataFrame,
-      nbCounts: DataFrame): DataFrame = {
-    val linked = Lod.sameAsLookup(locations, "lgd_uri", sameAs)
-    val cands = Lod.placeCandidates(linked, "dbpedia_uri", propTriples)
+      nbCounts: DataFrame): DataFrame =
+    lodExplorer(locations,
+      graft.operators.SnapshotLodResolver(sameAs, propTriples, placeTriples),
+      nbCounts)
+
+  /** [[lodExplorer]] against a pluggable [[graft.operators.LodResolver]]
+    * — the form a live-SPARQL deployment calls (SURVEY §7.3). */
+  def lodExplorer(locations: DataFrame,
+      resolver: graft.operators.LodResolver, nbCounts: DataFrame): DataFrame = {
+    val linked = Lod.sameAsLookup(locations, "lgd_uri", resolver)
+    val cands = Lod.placeCandidates(linked, "dbpedia_uri", resolver)
     val scored = Lod.nbRelevance(
       cands.select(col("tweet_id"), col("place"), explode(col("properties")).as("property")),
       Seq("tweet_id", "place"), nbCounts)
       .filter(col("accepted"))
-    Lod.dereferencePlaces(scored, "place", placeTriples)
+    Lod.dereferencePlaces(scored, "place", resolver)
       .select(col("tweet_id"), col("place"), col("label"),
         graft.functions.TextFunctions.wktPointLatFirst(col("lat"), col("lon")).as("wkt"))
   }

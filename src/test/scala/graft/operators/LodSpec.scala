@@ -70,6 +70,34 @@ class LodSpec extends AnyFunSuite {
     assert(!out("c2").getAs[Boolean]("accepted"))
   }
 
+  test("LodResolver trait: the snapshot impl routes J1/J2/J3 identically") {
+    val locs = Seq(("l1", "lgd:1")).toDF("id", "lgd_uri")
+    val sameAs = Seq(("dbp:a", "lgd:1")).toDF("subject", "object")
+    val entityTriples = Seq(
+      ("dbp:a", "p:pop", "plc:1", true),
+      ("dbp:a", "p:name", "Bonn", false)) // non-URI object: F9-filtered
+      .toDF("subject", "predicate", "object", "object_is_uri")
+    val placeTriples = Seq(
+      ("plc:1", "geo:lat", "50", null),
+      ("plc:1", "geo:long", "7", null),
+      ("plc:1", "rdfs:label", "One", "en"))
+      .toDF("subject", "predicate", "object", "lang_tag")
+    val resolver = SnapshotLodResolver(sameAs, entityTriples, placeTriples)
+    val viaTrait = Lod.dereferencePlaces(
+      Lod.placeCandidates(
+        Lod.sameAsLookup(locs, "lgd_uri", resolver), "dbpedia_uri", resolver),
+      "place", resolver).collect()
+    val direct = Lod.dereferencePlaces(
+      Lod.placeCandidates(
+        Lod.sameAsLookup(locs, "lgd_uri", sameAs), "dbpedia_uri", entityTriples),
+      "place", placeTriples).collect()
+    assert(viaTrait.map(_.toString).sorted.toSeq ==
+      direct.map(_.toString).sorted.toSeq)
+    assert(viaTrait.length == 1 &&
+      viaTrait.head.getAs[String]("place") == "plc:1" &&
+      viaTrait.head.getAs[String]("label") == "One")
+  }
+
   test("T9: zero rel/irrel totals fail loudly instead of nulling the log sums") {
     val counts = Seq(("p:a", 4.0, 1.0), ("total", 10.0, 0.0))
       .toDF("property", "rel", "irrel")
