@@ -39,6 +39,37 @@ import scala.util.control.NonFatal
   * FS cache population, executor/codegen warm-up — that no steady-state
   * deployment pays per query. */
 object Bench {
+
+  /** Pick the largest headline form that fits the consumer's tail
+    * window. `mk` renders the full line given (queries-json,
+    * failed-json); tiers, in order:
+    *   1. full query names;
+    *   2. unique qNN key prefixes (compaction cuts at the underscore,
+    *      so "q100" vs "q10" stay distinct keys);
+    *   3. `"queries":{}` — per-query times live ONLY in
+    *      bench_detail.json; total/cal/failed still tell the round
+    *      story, and the key SCHEMA is unchanged (the consumer's
+    *      parser never sees a key appear or vanish).
+    * Tier 3's length is bounded by the failed list alone, so the
+    * format survives ANY future query count without re-litigating the
+    * cap per round (the round-10 headroom concern, closed by scheme).
+    * Returns (line, tier) — BenchHeadlineSpec pins the tier cutovers. */
+  def fitHeadline(mk: (String, String) => String,
+      entries: Seq[(String, Double)], failedSorted: Seq[String],
+      cap: Int = 1990): (String, Int) = {
+    def qmap(f: String => String) = entries.map { case (k, v) =>
+      "\"" + f(k) + f"""\":$v%.2f""" }.mkString("{", ",", "}")
+    def flist(f: String => String) =
+      failedSorted.map(n => "\"" + f(n) + "\"").mkString("[", ",", "]")
+    val id = identity[String] _
+    val pre = (s: String) => s.takeWhile(_ != '_')
+    val tiers = Seq(
+      (mk(qmap(id), flist(id)), 1),
+      (mk(qmap(pre), flist(pre)), 2),
+      (mk("{}", flist(pre)), 3))
+    tiers.find(_._1.length <= cap).getOrElse(tiers.last)
+  }
+
   def main(args: Array[String]): Unit = {
     val realOut = System.out
     // Anything printed during the run (Spark, libs, stray warnings) goes
@@ -135,8 +166,6 @@ object Bench {
       }
       (name, best, timed)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.2f""" }
-      .mkString("{", ",", "}")
     // crashed runs emit null, not their near-zero crash duration — a
     // consumer computing spread/mean from all_runs must not absorb them
     val raw = results.map { case (k, _, ts) =>
@@ -168,22 +197,15 @@ object Bench {
     catch { case NonFatal(e) => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     def headline(queries: String, failedList: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"cal":$cal%.3f,"queries":$queries,"failed":$failedList,"sf":"$sf"}"""
-    val lineFull = headline(qs, fl)
     // The line is the LAST stdout line, so the consumer's 2000-char tail
     // clips preceding lines, not the JSON — the hard cap is line+\n <= 2000.
-    // If the full-name form outgrows the cap (every query adds ~25
-    // chars), fall back to the qNN key prefixes — unique by
-    // construction, and a truncated-unparseable line would be strictly
-    // worse than short keys. bench_detail.json always carries full names.
-    val line = if (lineFull.length <= 1990) lineFull else {
-      val qsShort = results.map { case (k, v, _) =>
-        "\"" + k.takeWhile(_ != '_') + f"""\":$v%.2f""" }.mkString("{", ",", "}")
-      val flShort = failed.sorted.map(n =>
-        "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
-      System.err.println("[bench] full-name headline is " +
-        s"${lineFull.length} chars > 1990: compacting keys to qNN prefixes")
-      headline(qsShort, flShort)
-    }
+    // fitHeadline picks full names → qNN prefixes → no per-query map
+    // (bench_detail.json always carries full names + per-run times).
+    val (line, tier) = fitHeadline(headline,
+      results.map { case (k, v, _) => (k, v) }, failed.sorted)
+    if (tier > 1) System.err.println(
+      s"[bench] full-name headline over 1990 chars: using tier-$tier form" +
+        (if (tier == 3) " (per-query times in bench_detail.json only)" else ""))
     System.err.println(s"[bench] headline line length = ${line.length} chars (hard cap 1990)")
     if (line.length > 1990)
       System.err.println("[bench] WARNING: headline line exceeds the consumer tail window!")
