@@ -1178,6 +1178,101 @@ object TextMetrics {
           s => s.getField("piece_tgt")), " ").as("target"))
   }
 
+  /** T5's REAL variable-length span sampler (Raffel et al., JMLR 2020,
+    * `random_spans_noise_mask`), beside the relational fixed-block form
+    * [[spanCorrupt]]: the exact noise budget `round(n·noiseDensity)` is
+    * split into `round(budget/meanSpan)` spans by uniform random
+    * segmentation (cut-point sampling — span lengths are
+    * variable-length with mean `meanSpan`, the distribution the T5
+    * codebase actually uses where the paper says "Poisson-ish"), the
+    * non-noise tokens are segmented into the same number of gaps, and
+    * the two interleave gap/span/gap/span. Sentinels and the
+    * reconstruction invariant (input+target splice back to the original
+    * stream) are exactly [[spanCorrupt]]'s.
+    *
+    * Runs as a batched mapPartitions kernel — the sampler is an
+    * imperative per-doc walk, the documented case for dropping out of
+    * Column expressions — with the RNG seeded per (seed, doc_id), so
+    * output is bit-identical for ANY partitioning and any retry, and
+    * only fixed-schema rows leave the partition. Rows-only contract
+    * (the cut-point shuffle has no sane SQL twin); SpanCorruptSpec
+    * carries the reconstruction proof, budget exactness, determinism,
+    * and an sf0.001 golden hash. */
+  def spanCorruptSampled(docs: DataFrame, idCol: String, textCol: String,
+      noiseDensity: Double = 0.15, meanSpan: Double = 3.0,
+      seed: Long = 42L): DataFrame = {
+    require(noiseDensity > 0.0 && noiseDensity < 1.0,
+      "spanCorruptSampled: noiseDensity must be in (0, 1)")
+    require(meanSpan >= 1.0, "spanCorruptSampled: meanSpan must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, text) =>
+          val toks = text.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+          val n = toks.length
+          if (n < 2) (docId, n.toLong, 0L, 0L, toks.mkString(" "), "")
+          else {
+            val rng = new scala.util.Random(
+              seed ^ java.lang.Long.rotateLeft(docId, 17))
+            // budget and span count, clamped exactly like the reference
+            // sampler (noise in [1, n-1]; spans can't exceed either side)
+            val numNoise = math.min(math.max(
+              math.round(n * noiseDensity).toInt, 1), n - 1)
+            val numNonnoise = n - numNoise
+            val numSpans = math.min(math.min(math.max(
+              math.round(numNoise / meanSpan).toInt, 1), numNoise), numNonnoise)
+            // uniform segmentation of m tokens into k non-empty runs:
+            // a (k-1)-subset of the m-1 interior cut points
+            def segment(m: Int, k: Int): Array[Int] = {
+              val cuts = rng.shuffle((1 until m).toVector).take(k - 1)
+                .sorted.toArray
+              val out = new Array[Int](k)
+              var prev = 0
+              var i = 0
+              while (i < k) {
+                val end = if (i == k - 1) m else cuts(i)
+                out(i) = end - prev
+                prev = end
+                i += 1
+              }
+              out
+            }
+            // draw order fixed: noise first, then gaps (determinism is
+            // part of the golden-hash contract)
+            val noiseLens = segment(numNoise, numSpans)
+            val gapLens = segment(numNonnoise, numSpans)
+            val input = new StringBuilder
+            val target = new StringBuilder
+            var pos = 0
+            var s = 0
+            while (s < numSpans) {
+              var g = 0
+              while (g < gapLens(s)) {
+                if (input.nonEmpty) input.append(' ')
+                input.append(toks(pos)); pos += 1; g += 1
+              }
+              if (input.nonEmpty) input.append(' ')
+              input.append("<extra_id_").append(s).append('>')
+              if (target.nonEmpty) target.append(' ')
+              target.append("<extra_id_").append(s).append('>')
+              var m = 0
+              while (m < noiseLens(s)) {
+                target.append(' ').append(toks(pos)); pos += 1; m += 1
+              }
+              s += 1
+            }
+            // the two segmentations sum to exactly n — every token was
+            // routed to input or target (the reconstruction invariant)
+            assert(pos == n, s"spanCorruptSampled: consumed $pos of $n tokens")
+            (docId, n.toLong, numSpans.toLong, numNoise.toLong,
+              input.toString, target.toString)
+          }
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_spans", "n_masked", "input", "target")
+  }
+
   /** Sequence packing — next-fit binning of documents into fixed token
     * budgets, the step that turns a filtered corpus into training
     * sequences: within each group (shard), documents in id order fill

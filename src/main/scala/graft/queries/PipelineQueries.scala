@@ -382,6 +382,16 @@ object PipelineQueries {
     TextMetrics.spanCorrupt(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** T5's REAL variable-length span sampler
+    * ([[TextMetrics.spanCorruptSampled]]): exact noise budget split
+    * into mean-3 spans by seeded uniform segmentation — the
+    * mapPartitions twin of q148's relational fixed-block form.
+    * Rows-only contract (seeded cut-point shuffle has no SQL twin);
+    * SpanCorruptSpec carries reconstruction proof + golden hash. */
+  def q149SpanSampled(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.spanCorruptSampled(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** LSH-bucketed ANN (sign-bit coarse quantizer, multi-probe Hamming-1):
     * the scale path — bucket join instead of cross join. */
   def q24SimilarityLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -1573,6 +1583,7 @@ object PipelineQueries {
     "q146_embedding_gram" -> q146EmbeddingGram,
     "q147_pca_report" -> q147PcaReport,
     "q148_span_corruption" -> q148SpanCorruption,
+    "q149_span_sampled" -> q149SpanSampled,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
