@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming MinHash-LSH near-dup CANDIDATE detection — the stateful
   * arrival-time face of [[graft.pipeline.Dedup.lshCandidates]] /
@@ -18,17 +18,21 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * shared key (the batch form's pre-`distinct` multiplicity — the
   * verify stage dedups, StreamingSpec compares sets).
   *
-  * `maxBucket` caveat — batch/streaming parity holds ONLY with
-  * `maxBucket` unset: both forms bound the same quantity (bucket
-  * occupancy), but with DIFFERENT candidate sets at the cap. Batch
+  * `maxBucket` — TOMBSTONE-ON-OVERFLOW, batch-parity semantics: batch
   * `capOccupancy` sees the whole relation and excludes EVERY row of an
-  * overloaded key; the streaming form has already emitted the first
-  * arrivals' pairs by the time the bucket fills (append mode cannot
-  * retract), so the only causal semantics is keep-the-first-maxBucket
-  * prefix and drop later arrivals from candidacy + state. A capped
-  * bucket therefore contributes up to C(maxBucket, 2) pairs here and
-  * ZERO pairs in batch. Treat the cap as a per-form degenerate-key
-  * guard, not a parity-preserving knob.
+  * overloaded key, so an overloaded bucket contributes ZERO pairs.
+  * Append mode cannot physically retract rows already emitted while
+  * the bucket was below the cap, so the streaming form emits explicit
+  * RETRACTIONS instead: the moment a bucket would exceed `maxBucket`,
+  * every pair previously emitted from it is re-emitted with
+  * `tombstone = true`, the bucket's state is cleared, and the key is
+  * tombstoned — all later arrivals on it are dropped without emission.
+  * A pair is emitted at most once per (band, pair) bucket, so the
+  * NET candidate set `{(a,b) | emitted ∧ ¬tombstoned}` equals the
+  * batch `lshCandidates(banded, maxBucket)` set for any arrival order
+  * and any batch split (IncrementalDedupStreamSpec pins this).
+  * Downstream verify joins filter `!tombstone` pairs against the
+  * tombstoned set (an anti-join on (doc_a, doc_b, band)).
   *
   * `transformWithState` (Spark 4.1, RocksDB state store) rather than
   * `flatMapGroupsWithState`: ListState appends per arrival instead of
@@ -37,33 +41,53 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
 object NearDupStream {
 
   case class BandRow(doc_id: Long, band: Int, band_key: String)
-  case class CandPair(doc_a: Long, doc_b: Long, band: Int)
+  case class CandPair(doc_a: Long, doc_b: Long, band: Int,
+    tombstone: Boolean = false)
 
   class BandProcessor(maxBucket: Int)
       extends StatefulProcessor[(Int, String), BandRow, CandPair] {
     @transient private var seen: ListState[Long] = _
+    @transient private var dead: ValueState[Boolean] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       seen = getHandle.getListState[Long]("docs",
         Encoders.scalaLong, TTLConfig.NONE)
+      dead = getHandle.getValueState[Boolean]("tombstoned",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: (Int, String),
         rows: Iterator[BandRow], timers: TimerValues): Iterator[CandPair] = {
-      val prior = seen.get().toVector
-      // deterministic within-batch order; re-arrivals of a known id
-      // emit no self-pair and are not re-added
-      val fresh = rows.map(_.doc_id).toVector.distinct.sorted
-        .filterNot(prior.contains)
-      // loud-cap trade (the batch occupancy guard's streaming face):
-      // arrivals past a full bucket are dropped from candidacy
-      val accepted = fresh.take(math.max(maxBucket - prior.length, 0))
-      val out = Vector.newBuilder[CandPair]
-      for (d <- accepted; o <- prior)
-        out += CandPair(math.min(d, o), math.max(d, o), key._1)
-      for (i <- accepted.indices; j <- (i + 1) until accepted.length)
-        out += CandPair(accepted(i), accepted(j), key._1)
-      accepted.foreach(seen.appendValue)
-      out.result().iterator
+      if (maxBucket != Int.MaxValue && dead.exists()) Iterator.empty
+      else {
+        val prior = seen.get().toVector
+        // deterministic within-batch order; re-arrivals of a known id
+        // emit no self-pair and are not re-added
+        val fresh = rows.map(_.doc_id).toVector.distinct.sorted
+          .filterNot(prior.contains)
+        if (prior.length + fresh.length > maxBucket) {
+          // tombstone-on-overflow: retract every pair this bucket ever
+          // emitted (all pairs among `prior` — each was emitted exactly
+          // once, when its later member arrived), clear state, and kill
+          // the key; the net candidate set now matches batch
+          // capOccupancy's total exclusion of the overloaded key
+          val out = Vector.newBuilder[CandPair]
+          for (i <- prior.indices; j <- (i + 1) until prior.length)
+            out += CandPair(math.min(prior(i), prior(j)),
+              math.max(prior(i), prior(j)), key._1, tombstone = true)
+          seen.clear()
+          dead.update(true)
+          out.result().iterator
+        } else {
+          val out = Vector.newBuilder[CandPair]
+          for (d <- fresh; o <- prior)
+            out += CandPair(math.min(d, o), math.max(d, o), key._1)
+          for (i <- fresh.indices; j <- (i + 1) until fresh.length)
+            out += CandPair(fresh(i), fresh(j), key._1)
+          fresh.foreach(seen.appendValue)
+          out.result().iterator
+        }
+      }
     }
   }
 

@@ -108,4 +108,61 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       .filter(newIds).toSet
     assert(verified -- gotExact == batchNear)
   }
+
+  test("maxBucket tombstone-on-overflow: net streamed candidates equal batch for any split") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // bucket "hot" overflows (6 docs > cap 4) mid-stream; "ok" stays
+    // under; band 1 holds an untouched control pair
+    val rows =
+      (10L to 15L).map(NearDupStream.BandRow(_, 0, "hot")) ++
+      (1L to 3L).map(NearDupStream.BandRow(_, 0, "ok")) ++
+      Seq(NearDupStream.BandRow(1L, 1, "x"), NearDupStream.BandRow(2L, 1, "x"))
+    val cap = 4
+    val batchWant = Dedup.lshCandidates(
+        rows.toDF("doc_id", "band", "band_key"), maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchWant == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "hot bucket must be fully excluded by the batch guard")
+
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // two different batch splits: overflow lands mid-bucket in one and
+    // on a later batch in the other — the net set must not care
+    val splits = Seq(
+      Seq(rows.filter(_.doc_id <= 11), rows.filter(_.doc_id > 11)),
+      Seq(rows.take(3), rows.slice(3, 9), rows.drop(9)))
+    splits.zipWithIndex.foreach { case (batches, i) =>
+      val stream = MemoryStream[NearDupStream.BandRow]
+      val q = NearDupStream.candidates(stream.toDS(), maxBucket = cap)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"nd_tomb_$i")
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"ndt_ckpt_$i").toString)
+        .start()
+      try {
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally {
+        q.stop()
+      }
+      val emitted = spark.table(s"nd_tomb_$i")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getBoolean(3)))
+      val tombs = emitted.collect { case (a, b, band, true) => (a, b, band) }.toSet
+      val net = emitted.collect { case (a, b, band, false) => (a, b, band) }
+        .filterNot(tombs).map { case (a, b, _) => (a, b) }.toSet
+      // split 0 fills "hot" to 2 before overflow -> at least one
+      // retraction must have been exercised
+      if (i == 0) assert(tombs.nonEmpty, "overflow must emit retractions")
+      assert(net == batchWant, s"split $i")
+    }
+    prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
