@@ -506,6 +506,41 @@ object Similarity {
           .cast("decimal(28,10)"), 6).cast("double").as("purity"))
   }
 
+  /** Unnormalized in-walk centrality over a directed graph (the
+    * representative-selection signal for the kNN similarity graph:
+    * vectors many short walks END at sit in dense, well-connected
+    * regions — the coreset/keep-best candidates; norm-outlier and
+    * isolated vectors score 0). n_t(v) = Σ_{u→v} n_{t-1}(u) with
+    * n_0 ≡ 1 — PURE INTEGER (no degree normalization, no damping), so
+    * every count is order-independent and bit-stable across engines
+    * and partitionings, where a float PageRank never hashes stably.
+    *
+    * Each step is one shuffle join (edges ⋈ previous counts on the
+    * source) plus one map-side-combined aggregation on the
+    * destination — t steps, t bounded small (default 3). Counts grow
+    * ≤ ×maxDegree per step: with k-NN edges (k = 3) and 3 steps the
+    * bound is 27 ≪ int64. At a 1000-executor scale both sides of the
+    * join are (id, count) pairs — fixed width, never the vectors. */
+  def walkCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, idCol: String, steps: Int = 3): DataFrame = {
+    require(steps >= 1 && steps <= 12,
+      "walkCentrality: steps must be in [1, 12] (counts grow per step)")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+    var cur = nodes.select(col(idCol).as("_id"), lit(1L).as("_w"))
+    val levels = (1 to steps).map { _ =>
+      cur = e.join(cur, e("_src") === cur("_id"))
+        .groupBy(col("_dst").as("_id")).agg(sum(col("_w")).as("_w"))
+      cur
+    }
+    levels.zipWithIndex.foldLeft(nodes.select(col(idCol))) {
+      case (acc, (lvl, i)) =>
+        acc.join(lvl.select(col("_id"), col("_w").as(s"walks${i + 1}")),
+            acc(idCol) === lvl("_id"), "left")
+          .drop("_id")
+    }.select(col(idCol) +: (1 to steps).map(i =>
+      coalesce(col(s"walks$i"), lit(0L)).as(s"walks$i")): _*)
+  }
+
   /** Deterministic cyclic Jacobi eigendecomposition of a small
     * symmetric matrix (the d×d covariance — driver-side by design:
     * Spark MLlib's PCA does exactly this shape, distributed covariance

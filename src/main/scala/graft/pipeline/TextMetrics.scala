@@ -1836,6 +1836,64 @@ object TextMetrics {
     * aggregate to fingerprint granularity, one equi-join back, one
     * doc-keyed rollup. Fingerprint-key multiplicity is true duplication
     * multiplicity (same no-pathological-skew argument as chunk dedup). */
+  /** Duplicate-SPAN coverage (the Lee et al. 2022 "Deduplicating
+    * Training Data" substring metric): the fraction of each document's
+    * tokens covered by at least one k-token window that also appears
+    * in ≥ `minDocs` documents. Where [[sharedSubstringStats]] reports
+    * a winnowed fingerprint SAMPLE, this is the EXACT coverage — every
+    * window fingerprinted, coverage = the measure of the union of the
+    * duplicated [s, s+k) intervals.
+    *
+    * The union is computed WITHOUT exploding positions (a k× row
+    * blowup at corpus scale): duplicated windows of one doc sort by
+    * start, and because all intervals share length k the running
+    * union gains exactly `least(k, s − lag(s))` tokens per window —
+    * one per-doc window function over the duplicated-window relation
+    * only. Integer-exact, so both engines hash identically; the
+    * window is partitioned by doc (the [[graft.pipeline.Ranks]]
+    * discipline — never a bare global orderBy). The fingerprint
+    * relation shuffles (fp, doc_id, s) triples, never text. */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2 && minDocs >= 2,
+      "dupSpanCoverage: k and minDocs must be >= 2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenize(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"),
+        size(col("t")).cast("long").as("n_tokens"))
+    // one row per window start (1-based, slice semantics), fingerprint
+    // = md5 of the space-joined window (both engines emit identical
+    // lowercase hex) — materialized once, consumed by the dup-filter
+    // aggregate AND the join back
+    val wins = toks.filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("n_tokens") - (k - 1))).as("s"),
+        col("t"))
+      .select(col("doc_id"), col("s"),
+        md5(array_join(slice(col("t"), col("s").cast("int"), lit(k)), " "))
+          .as("fp"))
+      .localCheckpoint()
+    val dup = wins.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("fp"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val covered = wins.join(dup, "fp")
+      .withColumn("prev_s", lag(col("s"), 1).over(w))
+      .select(col("doc_id"),
+        when(col("prev_s").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("s") - col("prev_s")))
+          .as("gain"))
+      .groupBy(col("doc_id")).agg(sum(col("gain")).as("covered_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round((coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).cast("decimal(28,10)"), 6)
+          .cast("double").as("dup_frac"))
+  }
+
   def sharedSubstringStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     // materialize the fingerprint relation once: it feeds the shared-fp

@@ -116,7 +116,8 @@ object PipelineQueries {
         "q86_knn_purity", "q87_pq_adc", "q89_kmeans_train",
         "q99_norm_outliers", "q102_truncation_energy", "q105_sq8_error",
         "q106_dim_stats", "q120_probed_neardups", "q122_hard_negatives",
-        "q124_embeddings_contract", "q146_embedding_gram", "q147_pca_report"),
+        "q124_embeddings_contract", "q146_embedding_gram", "q147_pca_report",
+        "q150_walk_centrality"),
       () => releaseEmbCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -129,7 +130,7 @@ object PipelineQueries {
         "q92_quality_calibration", "q127_lexical_topk"),
       () => releaseTfCache()),
     "knn" -> CacheFamily(
-      Set("q77_knn_graph", "q86_knn_purity"),
+      Set("q77_knn_graph", "q86_knn_purity", "q150_walk_centrality"),
       () => releaseKnnCache()),
     "clusters" -> CacheFamily(
       Set("q37_neardup_clusters", "q74_keep_best", "q93_effective_size",
@@ -583,6 +584,19 @@ object PipelineQueries {
   def q77KnnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraph3(spark, dir)
       .orderBy(col("src_id"), col("rank"))
+
+  /** Integer in-walk centrality over the shared q77 kNN graph
+    * ([[Similarity.walkCentrality]]): 3 unrolled walk-count steps, pure
+    * BIGINT (no degree division, no damping — the hash-stable form of
+    * a PageRank-style importance signal), per-vector. Dense-region
+    * vectors (coreset / keep-best candidates) score high; isolated
+    * vectors score 0 at every depth. */
+  def q150WalkCentrality(spark: SparkSession, dir: String): DataFrame =
+    Similarity.walkCentrality(
+        knnGraph3(spark, dir).select(col("src_id"), col("nbr_id")),
+        "src_id", "nbr_id",
+        emb(spark, dir).select(col("vec_id")), "vec_id", steps = 3)
+      .orderBy(col("vec_id"))
 
   /** kNN label purity over the shared q77 graph — per-label fraction of
     * edges whose neighbor shares the source's label. */
@@ -1399,6 +1413,17 @@ object PipelineQueries {
       k = 5, w = 4)
       .orderBy(col("doc_id"))
 
+  /** EXACT duplicate-span coverage ([[TextMetrics.dupSpanCoverage]],
+    * Lee et al. 2022): per-doc fraction of tokens under at least one
+    * 5-token window repeated across ≥2 docs — the substring-dedup
+    * decision metric, interval union via the lag device (no position
+    * explode). k=5 matches the q58 winnow shingle so the two report
+    * the same phenomenon at sample vs exact fidelity. */
+  def q151DupSpans(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.dupSpanCoverage(docs(spark, dir), "doc_id", "text",
+      k = 5, minDocs = 2)
+      .orderBy(col("doc_id"))
+
   /** Generic multimodal feature extraction, media_type-DISPATCHED
     * through the real codec kernels: a mixed media table (PNG / WAV /
     * raw bytes round-robined by id) runs through ONE batched kernel
@@ -1584,6 +1609,8 @@ object PipelineQueries {
     "q147_pca_report" -> q147PcaReport,
     "q148_span_corruption" -> q148SpanCorruption,
     "q149_span_sampled" -> q149SpanSampled,
+    "q150_walk_centrality" -> q150WalkCentrality,
+    "q151_dup_spans" -> q151DupSpans,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -2420,6 +2447,27 @@ object PipelineQueries {
     // vec_id < 16 probe filter) and per-source top-3 — mirrors
     // Similarity.knnGraph.
     "q77_knn_graph" -> (q77Body + "\nORDER BY src_id, rank"),
+    // Integer in-walk centrality: the q77 body verbatim as the edge CTE
+    // (the q86 zero-drift device), then 3 unrolled count propagations.
+    // All sums ::BIGINT (DuckDB types sum(BIGINT) as HUGEINT).
+    "q150_walk_centrality" ->
+      (s"WITH g AS (\n$q77Body\n),\n" +
+        """e AS (SELECT src_id, nbr_id FROM g),
+          |n1 AS (SELECT nbr_id AS vec_id, count(*)::BIGINT AS w
+          |  FROM e GROUP BY 1),
+          |n2 AS (SELECT e.nbr_id AS vec_id, sum(n1.w)::BIGINT AS w
+          |  FROM e JOIN n1 ON n1.vec_id = e.src_id GROUP BY 1),
+          |n3 AS (SELECT e.nbr_id AS vec_id, sum(n2.w)::BIGINT AS w
+          |  FROM e JOIN n2 ON n2.vec_id = e.src_id GROUP BY 1)
+          |SELECT v.vec_id,
+          |  coalesce(n1.w, 0)::BIGINT AS walks1,
+          |  coalesce(n2.w, 0)::BIGINT AS walks2,
+          |  coalesce(n3.w, 0)::BIGINT AS walks3
+          |FROM embeddings v
+          |LEFT JOIN n1 ON n1.vec_id = v.vec_id
+          |LEFT JOIN n2 ON n2.vec_id = v.vec_id
+          |LEFT JOIN n3 ON n3.vec_id = v.vec_id
+          |ORDER BY v.vec_id""".stripMargin),
     // kNN label purity: the q77 body reused verbatim as a CTE (the q69
     // zero-drift device), two id-keyed label joins, per-label rollup.
     "q86_knn_purity" ->
@@ -2756,6 +2804,38 @@ object PipelineQueries {
         |  score_q::DOUBLE / (197.0 * n_tokens) AS logit,
         |  (CASE WHEN score_q >= 0 THEN 1 ELSE 0 END)::BIGINT AS pass
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Mirrors dupSpanCoverage (k=5, minDocs=2): every 5-token window
+    // md5-fingerprinted, duplicated windows interval-unioned per doc
+    // via least(5, s - lag(s)) over the start-sorted relation — the
+    // same integer lag device as the Spark side, no position explode.
+    "q151_dup_spans" ->
+      """WITH tn AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
+        |      ::BIGINT AS n_tokens
+        |  FROM documents),
+        |st AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t) - 4)) AS s
+        |  FROM tn WHERE n_tokens >= 5),
+        |wins AS (SELECT doc_id, s::BIGINT AS s,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS fp
+        |  FROM st),
+        |dup AS (SELECT fp FROM wins GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT w.doc_id, w.s,
+        |    lag(w.s) OVER (PARTITION BY w.doc_id ORDER BY w.s) AS prev_s
+        |  FROM wins w JOIN dup USING (fp)),
+        |cov AS (SELECT doc_id,
+        |    sum(CASE WHEN prev_s IS NULL THEN 5
+        |        ELSE least(5, s - prev_s) END)::BIGINT AS covered_tokens
+        |  FROM dw GROUP BY doc_id)
+        |SELECT tn.doc_id, tn.n_tokens,
+        |  coalesce(cov.covered_tokens, 0)::BIGINT AS covered_tokens,
+        |  round((coalesce(cov.covered_tokens, 0)::DOUBLE
+        |      / tn.n_tokens::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS dup_frac
+        |FROM tn LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Mirrors TextMetrics.sharedSubstringStats: a winnowing fingerprint
     // in >= 2 docs witnesses a shared substring; fraction per doc.
     "q58_shared_substrings" ->

@@ -1179,4 +1179,53 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inflated === Map(1L -> 0L, 2L -> 0L))
   }
+
+  test("walkCentrality: hand-computed counts on a cycle+star; isolated scores 0") {
+    // cycle 1->2->3->1 plus star spokes 4->2, 5->2; 6 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L), (5L, 2L))
+      .toDF("src", "dst")
+    val nodes = (1L to 6L).toDF("id")
+    val out = Similarity.walkCentrality(edges, "src", "dst", nodes, "id",
+        steps = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // n1 = in-degree; n2(v) = sum n1(u) over u->v; n3 likewise
+    assert(out(1L) == ((1L, 1L, 3L))) // in: 3; n2: n1(3)=1; n3: n2(3)=3... via 2
+    assert(out(2L) == ((3L, 1L, 1L))) // in: 1,4,5; n2: n1(1)=1; n3: n2(1)=1
+    assert(out(3L) == ((1L, 3L, 1L))) // in: 2; n2: n1(2)=3; n3: n2(2)=1
+    assert(out(4L) == ((0L, 0L, 0L)) && out(5L) == ((0L, 0L, 0L)))
+    assert(out(6L) == ((0L, 0L, 0L))) // isolated: 0 at every depth
+    // partitioning invariance (pure integer sums)
+    val again = Similarity.walkCentrality(edges.repartition(7), "src",
+        "dst", nodes.repartition(3), "id", steps = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
+
+  test("dupSpanCoverage: interval union by hand; overlap merges; unique docs score 0") {
+    // docs 1 and 2 share the 6-token run "a b c d e f" (two overlapping
+    // 5-windows -> union = 6 tokens); doc 3 is unique
+    val docs = Seq(
+      (1L, "a b c d e f x y z"),   // 9 tokens, covered = 6
+      (2L, "p q a b c d e f"),     // 8 tokens, covered = 6
+      (3L, "u v w j k l m n"))     // unique: covered = 0
+      .toDF("doc_id", "text")
+    val out = TextMetrics.dupSpanCoverage(docs, "doc_id", "text",
+        k = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((9L, 6L, 0.666667)))
+    assert(out(2L) == ((8L, 6L, 0.75)))
+    assert(out(3L) == ((8L, 0L, 0.0)))
+    // disjoint repeats in ONE doc each count fully (gap > k)
+    val docs2 = Seq(
+      (1L, "a b c d e Z Z Z a b c d e"), // 13 toks: two disjoint covered runs
+      (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val out2 = TextMetrics.dupSpanCoverage(docs2, "doc_id", "text",
+        k = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out2(1L) == 10L && out2(2L) == 5L)
+  }
 }
