@@ -275,6 +275,27 @@ object CoreQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** Attribution-window counting via the union-and-sweep range join
+    * ([[graft.operators.IntervalJoin]]): for each purchase, the count
+    * of that user's events in the inclusive hour before it. One
+    * shuffle on user_id, ONE window pass — no per-key cross product;
+    * the oracle runs the NAIVE range join (a different algorithm
+    * entirely), so the sweep's boundary semantics are adversarially
+    * verified bit-for-bit. */
+  def q152IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("interval_id"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"),
+        col("ts").as("w_end"))
+    graft.operators.IntervalJoin.intervalCount(windows,
+        ev.select(col("user_id"), col("ts")),
+        keys = Seq("user_id"), idCol = "interval_id",
+        startCol = "w_start", endCol = "w_end", tsCol = "ts")
+      .select(col("user_id"), col("interval_id"), col("n_events"))
+      .orderBy(col("interval_id"))
+  }
+
   /** Ordered funnel over the events stream ([[graft.operators.Funnel]]):
     * signup → click within 24 h → purchase within 24 h of the click.
     * One shuffle on user_id; all three step windows and the per-user
@@ -384,7 +405,8 @@ object CoreQueries {
     "q38_session_window_native" -> q38SessionWindowNative,
     "q64_asof_join" -> q64AsofJoin,
     "q68_funnel" -> q68Funnel,
-    "q109_rate_anomaly" -> q109RateAnomaly)
+    "q109_rate_anomaly" -> q109RateAnomaly,
+    "q152_interval_join" -> q152IntervalJoin)
 
   val oracles: Map[String, String] = Map(
     "q139_cohort_retention" ->
@@ -592,6 +614,21 @@ object CoreQueries {
         |       (epoch_us(ts) - epoch_us(click_ts))::BIGINT AS gap_us
         |FROM swept WHERE side = 1
         |ORDER BY purchase_id""".stripMargin,
+    // The NAIVE range join on purpose: DuckDB plans it as an IEJoin,
+    // a completely different algorithm from the Spark-side sweep — if
+    // the sweep's inclusive-bound order were off by one tie, the hash
+    // could not match.
+    "q152_interval_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id AS interval_id,
+        |    ts::TIMESTAMP - INTERVAL 1 HOUR AS s, ts::TIMESTAMP AS e
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT iv.user_id::BIGINT AS user_id,
+        |  iv.interval_id::BIGINT AS interval_id,
+        |  count(*)::BIGINT AS n_events
+        |FROM iv JOIN events ev ON ev.user_id = iv.user_id
+        |  AND ev.ts::TIMESTAMP >= iv.s AND ev.ts::TIMESTAMP <= iv.e
+        |GROUP BY 1, 2 ORDER BY interval_id""".stripMargin,
     "q68_funnel" ->
       """WITH s AS (SELECT user_id, min(ts::TIMESTAMP) AS t0 FROM events
         |    WHERE event_type = 'signup' GROUP BY 1),

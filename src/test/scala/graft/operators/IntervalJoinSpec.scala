@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[IntervalJoin.intervalCount]] — inclusive-boundary semantics by
+  * hand (events exactly at start and at end count; just outside do
+  * not), key isolation, zero-overlap intervals, and partitioning
+  * invariance of the sweep. */
+class IntervalJoinSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("inclusive bounds, key isolation, empty intervals; partition-invariant") {
+    // key 1: events at ts 5, 10, 15, 20; intervals [10, 15] (both
+    // boundary events count -> 2), [16, 19] (none -> 0), [4, 21] (all 4)
+    // key 2: one event at 10 — interval [10, 10] on key 1 must NOT see it
+    val events = Seq((1L, 5L), (1L, 10L), (1L, 15L), (1L, 20L), (2L, 10L))
+      .toDF("k", "ts")
+    val intervals = Seq(
+      (1L, 100L, 10L, 15L),
+      (1L, 101L, 16L, 19L),
+      (1L, 102L, 4L, 21L),
+      (1L, 103L, 10L, 10L),
+      (2L, 104L, 9L, 11L))
+      .toDF("k", "iid", "s", "e")
+    val out = IntervalJoin.intervalCount(intervals, events,
+        keys = Seq("k"), idCol = "iid", startCol = "s", endCol = "e",
+        tsCol = "ts")
+      .collect().map(r => r.getAs[Long]("iid") -> r.getAs[Long]("n_events"))
+      .toMap
+    assert(out == Map(100L -> 2L, 101L -> 0L, 102L -> 4L, 103L -> 1L,
+      104L -> 1L))
+    val again = IntervalJoin.intervalCount(intervals.repartition(7),
+        events.repartition(5), keys = Seq("k"), idCol = "iid",
+        startCol = "s", endCol = "e", tsCol = "ts")
+      .collect().map(r => r.getAs[Long]("iid") -> r.getAs[Long]("n_events"))
+      .toMap
+    assert(again == out)
+  }
+}
