@@ -2446,6 +2446,78 @@ object TextMetrics {
     * [[Ranks.bucketedGlobalRank]] — partitioned two-level ranking, no
     * corpus-cardinality single-task sort anywhere in the plan
     * (ScaleSpec pins the shape). */
+  /** Isotonic (pool-adjacent-violators) score calibration — the
+    * monotone step function mapping a quality-score bin to its
+    * calibrated positive rate, the standard post-hoc calibration for a
+    * quality classifier whose raw scores are order-faithful but not
+    * probability-faithful.
+    *
+    * Distributed shape (the BPE-merge-table pattern): the corpus
+    * reduces to ONE bounded per-bin (n, n_pos) aggregate; PAV runs on
+    * the driver over those B rows — sequential by nature, B is
+    * vocabulary-class side data, and a loud guard refuses unbounded
+    * bins — producing only the POOL BOUNDARIES. The pooled sums then
+    * re-aggregate IN Spark and the calibrated ratio is computed with
+    * the house decimal-round device, so every emitted byte comes from
+    * column expressions both engines evaluate identically.
+    *
+    * Determinism: PAV pooling compares adjacent rates by CROSS-
+    * MULTIPLICATION (p_a·n_b vs p_b·n_a — exact int64, no division
+    * ordering anywhere in the pooling decision). The DuckDB oracle
+    * computes the SAME function through the closed-form minimax
+    * characterization (fitted_i = max_{k≤i} min_{j≥i} avg(k..j)) — a
+    * different algorithm entirely; IEEE division is correctly rounded
+    * and monotone, so both reach the identical pooled-ratio double.
+    *
+    * @param binned one row per observation: (binCol int-castable,
+    *   labelCol 0/1-castable)
+    * @return one row per non-empty bin: bin, n, n_pos, calibrated —
+    *   calibrated non-decreasing in bin */
+  def isotonicCalibration(binned: DataFrame, binCol: String,
+      labelCol: String, maxBins: Int = 100000): DataFrame = {
+    val bins = binned
+      .groupBy(col(binCol).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"))
+      .localCheckpoint()
+    val stats = bins.orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(stats.length <= maxBins,
+      s"isotonicCalibration: ${stats.length} bins exceeds maxBins=" +
+        s"$maxBins — bin the score first; PAV state is driver-side")
+    // PAV over (sum_pos, n) blocks; merge while prev rate > next rate,
+    // compared exactly via cross-multiplication
+    case class Block(startBin: Long, p: Long, n: Long)
+    val pools = scala.collection.mutable.ArrayBuffer.empty[Block]
+    stats.foreach { case (b, n, p) =>
+      var cur = Block(b, p, n)
+      while (pools.nonEmpty &&
+          pools.last.p * cur.n >= cur.p * pools.last.n) {
+        val prev = pools.remove(pools.length - 1)
+        cur = Block(prev.startBin, prev.p + cur.p, prev.n + cur.n)
+      }
+      pools += cur
+    }
+    // bin -> pool id (the pool's start bin), broadcast-joined back
+    val starts = pools.map(_.startBin).toArray
+    val spark = binned.sparkSession
+    import spark.implicits._
+    val assign = stats.map { case (b, _, _) =>
+      // the pool owning b: the largest start <= b
+      val i = java.util.Arrays.binarySearch(starts, b)
+      val pool = if (i >= 0) starts(i) else starts(-i - 2)
+      (b, pool)
+    }.toSeq.toDF("bin", "pool")
+    bins.join(broadcast(assign), "bin")
+      .withColumn("p_blk", sum(col("n_pos")).over(
+        Window.partitionBy(col("pool"))))
+      .withColumn("n_blk", sum(col("n")).over(
+        Window.partitionBy(col("pool"))))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round((col("p_blk").cast("double") / col("n_blk").cast("double"))
+          .cast("decimal(28,10)"), 6).cast("double").as("calibrated"))
+  }
+
   def qualityCalibrationFromTf(tf: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, buckets: Int = 10): DataFrame = {
     require(buckets >= 1, "qualityCalibration: buckets must be >= 1")

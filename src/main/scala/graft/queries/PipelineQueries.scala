@@ -1424,6 +1424,24 @@ object PipelineQueries {
       k = 5, minDocs = 2)
       .orderBy(col("doc_id"))
 
+  /** Isotonic (PAV) calibration ([[TextMetrics.isotonicCalibration]])
+    * of a doc-length quality proxy (20 token-count bins) against a
+    * deterministic pseudo-label: the monotone calibrated-rate table a
+    * quality classifier's raw scores map through. The oracle computes
+    * the SAME step function via the closed-form minimax
+    * characterization — a different algorithm that must agree
+    * bit-for-bit (IEEE division is monotone + correctly rounded). */
+  def q153IsotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val binned = docs(spark, dir).select(
+      least(lit(19L),
+        floor(size(graft.functions.TextFunctions.tokenize(col("text")))
+          .cast("double") / 10.0).cast("long")).as("score_bin"),
+      (col("doc_id") % 10 < 3).cast("long").as("label"))
+    TextMetrics.isotonicCalibration(binned, "score_bin", "label")
+      .withColumnRenamed("bin", "score_bin")
+      .orderBy(col("score_bin"))
+  }
+
   /** Generic multimodal feature extraction, media_type-DISPATCHED
     * through the real codec kernels: a mixed media table (PNG / WAV /
     * raw bytes round-robined by id) runs through ONE batched kernel
@@ -1611,6 +1629,7 @@ object PipelineQueries {
     "q149_span_sampled" -> q149SpanSampled,
     "q150_walk_centrality" -> q150WalkCentrality,
     "q151_dup_spans" -> q151DupSpans,
+    "q153_isotonic_calibration" -> q153IsotonicCalibration,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -2804,6 +2823,37 @@ object PipelineQueries {
         |  score_q::DOUBLE / (197.0 * n_tokens) AS logit,
         |  (CASE WHEN score_q >= 0 THEN 1 ELSE 0 END)::BIGINT AS pass
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Mirrors isotonicCalibration through the closed-form MINIMAX
+    // characterization (fitted_i = max_{k<=i} min_{j>=i} avg(k..j)) —
+    // the Spark side runs pool-adjacent-violators with cross-multiplied
+    // integer compares; IEEE division is correctly rounded and
+    // monotone, so both algorithms land the identical pooled-ratio
+    // double before the shared round device. B=20 bins -> the k/i/j
+    // triangle is ~1.5k rows.
+    "q153_isotonic_calibration" ->
+      """WITH b AS (
+        |  SELECT least(19, len(regexp_split_to_array(lower(text),
+        |      '[ \t\n\f\r]+')) // 10)::BIGINT AS score_bin,
+        |    count(*)::BIGINT AS n,
+        |    sum(CASE WHEN doc_id % 10 < 3 THEN 1 ELSE 0 END)::BIGINT AS n_pos
+        |  FROM documents GROUP BY 1),
+        |o AS (SELECT score_bin, n, n_pos,
+        |    row_number() OVER (ORDER BY score_bin) AS i,
+        |    sum(n) OVER (ORDER BY score_bin)::BIGINT AS cn,
+        |    sum(n_pos) OVER (ORDER BY score_bin)::BIGINT AS cp
+        |  FROM b),
+        |r AS (SELECT k.i AS ki, j.i AS ji,
+        |    ((j.cp - k.cp + k.n_pos)::DOUBLE
+        |      / (j.cn - k.cn + k.n)::DOUBLE) AS ratio
+        |  FROM o k JOIN o j ON j.i >= k.i),
+        |im AS (SELECT r.ki, t.i AS i, min(r.ratio) AS m
+        |  FROM r JOIN o t ON t.i >= r.ki AND r.ji >= t.i
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, max(m) AS fitted FROM im GROUP BY 1)
+        |SELECT o.score_bin, o.n, o.n_pos,
+        |  round(fit.fitted::DECIMAL(28,10), 6)::DOUBLE AS calibrated
+        |FROM o JOIN fit ON fit.i = o.i
+        |ORDER BY o.score_bin""".stripMargin,
     // Mirrors dupSpanCoverage (k=5, minDocs=2): every 5-token window
     // md5-fingerprinted, duplicated windows interval-unioned per doc
     // via least(5, s - lag(s)) over the start-sorted relation — the
