@@ -674,6 +674,66 @@ object Multimodal {
     }
   }
 
+  case class FrameDiff(media_id: Long, frame_no: Long, width: Long,
+    height: Long, diff_sum: Long, scene_change: Boolean)
+
+  /** REAL frame differencing / scene-change detection: consecutive GIF
+    * frames decode inside the batched kernel and reduce to the exact
+    * integer sum of absolute per-pixel gray differences; a frame is
+    * flagged a scene change when its mean |Δ| reaches half-range
+    * (`2·diff_sum ≥ 255·w·h` — pure integer compare, no float
+    * threshold). The temporal-analysis stage of the video pipeline
+    * (shot-boundary detection, keyframe selection) beside the decode
+    * (q95) and thumbnail (q115) stages; frames of one payload are
+    * partition-local so the pairwise diff never shuffles — only the
+    * fixed-width row leaves. Reader pooled per partition, disposal on
+    * task completion (the [[decodeVideoFrames]] contract). */
+  def frameDiffs(media: Dataset[MediaRecord]): Dataset[FrameDiff] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.dispose()))
+      it.flatMap { m =>
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        reader.setInput(in)
+        try {
+          val n = reader.getNumImages(true)
+          var prev: Array[Int] = null
+          var w = 0
+          var h = 0
+          // toVector: all frames MUST be read before the shared reader
+          // moves to the next record (and before `in` closes)
+          (0 until n).flatMap { f =>
+            val img = reader.read(f)
+            w = img.getWidth; h = img.getHeight
+            val cur = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                cur(y * w + x) = img.getRGB(x, y) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val out = if (f == 0) None else {
+              var d = 0L
+              var i = 0
+              while (i < cur.length) { d += math.abs(cur(i) - prev(i)); i += 1 }
+              Some(FrameDiff(m.media_id, f.toLong, w.toLong, h.toLong, d,
+                2L * d >= 255L * w * h))
+            }
+            prev = cur
+            out
+          }.toVector
+        } finally in.close()
+      }
+    }
+  }
+
   /** REAL video-frame thumbnailing: every `everyN`-th GIF frame decodes,
     * downsamples nearest-neighbor by `factor` (the [[resizeImages]]
     * integer pixel map) and roundtrips through a lossless PNG encode —

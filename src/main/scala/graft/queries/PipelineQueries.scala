@@ -393,6 +393,19 @@ object PipelineQueries {
     TextMetrics.spanCorruptSampled(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Scene-change detection over the q95 GIFs
+    * ([[Multimodal.frameDiffs]]): consecutive frames diff to exact
+    * integer |Δ| sums with an integer half-range flag — the
+    * shot-boundary stage of the video pipeline. The oracle recomputes
+    * both frames from the closed-form gray generator, so a decode OR
+    * differencing bug at any pixel cannot hash-match. */
+  def q154SceneDetect(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameDiffs(
+        Multimodal.syntheticGifs(docs(spark, dir), "doc_id"))
+      .toDF()
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy(col("doc_id"), col("frame_no"))
+
   /** LSH-bucketed ANN (sign-bit coarse quantizer, multi-probe Hamming-1):
     * the scale path — bucket join instead of cross join. */
   def q24SimilarityLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -1630,6 +1643,7 @@ object PipelineQueries {
     "q150_walk_centrality" -> q150WalkCentrality,
     "q151_dup_spans" -> q151DupSpans,
     "q153_isotonic_calibration" -> q153IsotonicCalibration,
+    "q154_scene_detect" -> q154SceneDetect,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -3195,6 +3209,26 @@ object PipelineQueries {
         |      generate_series(0, 6) y(gy)) g ON g.gx < fr.w AND g.gy < fr.h)
         |SELECT doc_id, f::BIGINT AS frame_no, w::BIGINT AS width,
         |  h::BIGINT AS height, sum(v)::BIGINT AS gray_sum
+        |FROM px GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_no""".stripMargin,
+    // Mirrors frameDiffs: BOTH frames of each consecutive pair
+    // recomputed from the gray generator, per-pixel |difference|
+    // summed exactly; scene flag is the integer half-range compare
+    // 2*diff >= 255*w*h — the whole decode+diff chain must reproduce
+    // these integers.
+    "q154_scene_detect" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+        |    2 + doc_id % 4 AS nf FROM documents),
+        |fr AS (SELECT d.doc_id, d.w, d.h, f.f FROM dims d
+        |  JOIN generate_series(1, 5) f(f) ON f.f < d.nf),
+        |px AS (SELECT fr.doc_id, fr.f, fr.w, fr.h,
+        |    abs(85 * ((fr.doc_id + fr.f * 7 + g.gx * 3 + g.gy * 5) % 4)
+        |      - 85 * ((fr.doc_id + (fr.f - 1) * 7 + g.gx * 3 + g.gy * 5) % 4))
+        |      AS dv
+        |  FROM fr JOIN (SELECT x.gx, y.gy FROM generate_series(0, 8) x(gx),
+        |      generate_series(0, 6) y(gy)) g ON g.gx < fr.w AND g.gy < fr.h)
+        |SELECT doc_id, f::BIGINT AS frame_no, w::BIGINT AS width,
+        |  h::BIGINT AS height, sum(dv)::BIGINT AS diff_sum,
+        |  (2 * sum(dv) >= 255 * w * h) AS scene_change
         |FROM px GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_no""".stripMargin,
     // Mirrors q115VideoThumbnail: the q95 frames sampled at the q111
     // nearest-neighbor coordinates of the half-size thumbnail; the real
