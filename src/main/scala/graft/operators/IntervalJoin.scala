@@ -55,14 +55,17 @@ object IntervalJoin {
     val swept = sp.unionByName(ev).unionByName(ep)
       .withColumn("__c",
         sum(when(col("__side") === 1, 1L).otherwise(0L)).over(w))
-    val starts = swept.filter(col("__side") === 0)
-      .select(col("__iid").as("__iid0"), col("__c").as("__c0"))
-    val ends = swept.filter(col("__side") === 2)
-      .select(col("__iid").as("__iid1"), col("__c").as("__c1"))
+    // both probes pivot out of ONE pass over the swept relation (two
+    // filtered self-references would execute the union+window twice);
+    // the aggregate is interval-sized — each __iid has exactly one
+    // start and one end probe
+    val probes = swept.filter(col("__side") =!= 1)
+      .groupBy(col("__iid"))
+      .agg(max(when(col("__side") === 0, col("__c"))).as("__c0"),
+        max(when(col("__side") === 2, col("__c"))).as("__c1"))
     intervals
-      .join(starts, col(idCol).cast("long") === col("__iid0"))
-      .join(ends, col(idCol).cast("long") === col("__iid1"))
+      .join(probes, col(idCol).cast("long") === col("__iid"))
       .withColumn("n_events", col("__c1") - col("__c0"))
-      .drop("__iid0", "__iid1", "__c0", "__c1")
+      .drop("__iid", "__c0", "__c1")
   }
 }

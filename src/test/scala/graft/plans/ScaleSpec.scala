@@ -454,6 +454,34 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalCount sweep plan: ONE union+window pass, no cross product, no range join") {
+    // the union-and-sweep range join's whole pitch is one key-hashed
+    // exchange and no per-key cross product; a CartesianProduct or
+    // BroadcastNestedLoopJoin means Catalyst fell back to the naive
+    // range predicate, and TWO Window nodes mean the swept relation
+    // was silently computed twice (round-11 fix: probes pivot out of
+    // one pass)
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val df = graft.SparkEntry.queries("q152_interval_join")(spark, dir)
+    df.collect()
+    // the adaptive plan's toString repeats the tree under "Initial
+    // Plan"; keep the executed section only, and strip tree-drawing
+    // prefixes before matching node names
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    val nodes = plan.linesIterator
+      .map(_.replaceAll("^[\\s:+|-]+", "")).toVector
+    val windows = nodes.count(_.startsWith("Window "))
+    assert(windows == 1, s"expected exactly one sweep Window, got $windows:\n" +
+      plan.take(2500))
+    val unions = nodes.count(_.startsWith("Union"))
+    assert(unions == 1, s"expected exactly one sweep Union, got $unions:\n" +
+      plan.take(2500))
+  }
+
   test("signature store: persisted bands serve incremental candidates identical to scratch") {
     import graft.pipeline.Dedup
     // production incremental dedup persists the band relation ONCE and
