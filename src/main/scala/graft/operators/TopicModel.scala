@@ -248,36 +248,48 @@ object TopicModel {
     * Every sweep's state frame `localCheckpoint`s (the iterative-loop
     * lineage discipline shared with withRoots/trainCentroids).
     *
-    * SCALE CEILING — the per-sweep K×V counts broadcast: each Gibbs
-    * sweep collects the global (topic, word) count matrix to the driver
-    * and broadcasts it (K·V longs, e.g. K=64 × V=5M ≈ 2.5 GB — per
-    * sweep, at every executor). `maxCountsBytes` is the loud guard (the
-    * capOccupancy discipline): training REFUSES to start past it rather
-    * than silently OOMing executors mid-sweep. The large-V alternative
-    * keeps the counts DISTRIBUTED: explode the state to (w, k, n) once
-    * per sweep, shuffle-join it back to the exploded token relation on
-    * `w` (vocabulary-partitioned, so each reducer holds only its vocab
-    * shard's K-vector), and resample per token group — one extra shuffle
-    * per sweep in exchange for O(K·V/shards) memory; the sampler's
-    * (seed, doc_id, sweep) RNG makes the two forms bit-identical. */
+    * SCALE CEILING AND THE TWO SWEEP STRATEGIES — `countsVia`:
+    *  - `"broadcast"` (default): each Gibbs sweep collects the global
+    *    (topic, word) count matrix to the driver and broadcasts it
+    *    (K·V longs, e.g. K=64 × V=5M ≈ 2.5 GB — per sweep, at every
+    *    executor). `maxCountsBytes` is the loud guard (the capOccupancy
+    *    discipline): training REFUSES to start past it rather than
+    *    silently OOMing executors mid-sweep.
+    *  - `"join"`: the large-V path, IMPLEMENTED — counts stay
+    *    distributed. The token relation explodes once per sweep,
+    *    per-word K-vectors aggregate vocabulary-partitioned, join back
+    *    on the word key, docs regroup and run the SAME per-doc kernel;
+    *    only the K per-topic totals touch the driver. One extra
+    *    word-keyed shuffle and a ×K-wide token relation per sweep buy
+    *    the removal of every K×V materialization from the sweep loop.
+    *    The shared kernel + the (seed, doc_id, sweep) RNG make the two
+    *    strategies BIT-IDENTICAL (TopicModelTrainerSpec pins it).
+    * The final model assembly still collects one K×V matrix — that is
+    * the [[GeoModel]] contract itself (the trained parameters), built
+    * once after the last sweep, not per sweep; a large-V deployment
+    * would emit [[modelMatrices]] relationally instead. */
   def trainGeoModel(geoCorpus: DataFrame, numTopics: Int, numLocations: Int,
       iters: Int, seed: Long = 42L, beta: Double = 0.1,
       alpha: Double = 1.0, alpha0: Double = 1.0,
-      maxCountsBytes: Long = 1L << 30): GeoModel = {
+      maxCountsBytes: Long = 1L << 30,
+      countsVia: String = "broadcast"): GeoModel = {
     require(numTopics >= 1 && numLocations >= 1 && iters >= 0,
       "trainGeoModel: numTopics/numLocations must be >= 1, iters >= 0")
+    require(countsVia == "broadcast" || countsVia == "join",
+      s"trainGeoModel: countsVia must be 'broadcast' or 'join', got '$countsVia'")
     val spark = geoCorpus.sparkSession
     val K = numTopics
     val vRow = geoCorpus.select(max(array_max(col("word_ids")))).head()
     require(!vRow.isNullAt(0), "trainGeoModel: empty corpus")
     val V = vRow.getLong(0).toInt + 1
     val countsBytes = K.toLong * V.toLong * 8L
-    require(countsBytes <= maxCountsBytes,
+    require(countsVia == "join" || countsBytes <= maxCountsBytes,
       s"trainGeoModel: K*V counts matrix is $countsBytes bytes " +
         s"(K=$K, V=$V), over maxCountsBytes=$maxCountsBytes — the " +
         "per-sweep driver collect + broadcast would not survive this " +
-        "vocabulary; shrink V (frequency-threshold the vocab) or use " +
-        "the join-distributed count path documented on this method")
+        "vocabulary; shrink V (frequency-threshold the vocab) or pass " +
+        "countsVia = \"join\" (the vocabulary-partitioned sweep, " +
+        "bit-identical output)")
     if (countsBytes > maxCountsBytes / 4)
       System.err.println(s"[graft] trainGeoModel: K*V counts matrix is " +
         s"$countsBytes bytes (K=$K, V=$V) — within maxCountsBytes=" +
@@ -347,39 +359,111 @@ object TopicModel {
       }
       (nkw, nk)
     }
-    var sweep = 1
-    while (sweep <= iters) {
-      val bc = spark.sparkContext.broadcast(globalCounts(state))
-      val sweepId = sweep
+    // The per-doc collapsed-Gibbs kernel, shared VERBATIM by both count
+    // strategies: identical inputs (per-(k, word) counts via `cntKW`,
+    // global per-topic totals `gk`, the (seed, doc_id, sweep) RNG) →
+    // identical double arithmetic in identical order → bit-identical
+    // assignments. This is what makes the broadcast and join paths
+    // interchangeable (TopicModelTrainerSpec pins the parity).
+    def resampleDocKernel(docId: Long, sweepId: Int, words: Array[Int],
+        zz: Array[Int], cntKW: (Int, Int) => Long,
+        gk: Array[Long]): Array[Int] = {
+      val rng = docRng(docId, sweepId)
+      val ndk = new Array[Int](K)
+      zz.foreach(k => ndk(k) += 1)
+      val p = new Array[Double](K)
+      var i = 0
+      while (i < words.length) {
+        ndk(zz(i)) -= 1
+        val w = words(i)
+        var k = 0
+        var tot = 0.0
+        while (k < K) {
+          p(k) = (cntKW(k, w) + beta) / (gk(k) + V * beta) * (ndk(k) + alpha)
+          tot += p(k); k += 1
+        }
+        var u = rng.nextDouble() * tot
+        k = 0
+        while (k < K - 1 && u > p(k)) { u -= p(k); k += 1 }
+        zz(i) = k
+        ndk(k) += 1
+        i += 1
+      }
+      zz
+    }
+
+    // broadcast sweep: the K×V counts collect to the driver and ship
+    // whole (vocabulary-bounded side input; guarded above)
+    def sweepBroadcast(st: DataFrame, sweepId: Int): DataFrame = {
+      val bc = spark.sparkContext.broadcast(globalCounts(st))
       val resample = udf((docId: Long, wordIds: Seq[Long], z: Seq[Int]) => {
         val (gkw, gk) = bc.value
-        val rng = docRng(docId, sweepId)
-        val words = wordIds.map(_.toInt).toArray
-        val zz = z.toArray
-        val ndk = new Array[Int](K)
-        zz.foreach(k => ndk(k) += 1)
-        val p = new Array[Double](K)
-        var i = 0
-        while (i < words.length) {
-          ndk(zz(i)) -= 1
-          val w = words(i)
-          var k = 0
-          var tot = 0.0
-          while (k < K) {
-            p(k) = (gkw(k)(w) + beta) / (gk(k) + V * beta) * (ndk(k) + alpha)
-            tot += p(k); k += 1
-          }
-          var u = rng.nextDouble() * tot
-          k = 0
-          while (k < K - 1 && u > p(k)) { u -= p(k); k += 1 }
-          zz(i) = k
-          ndk(k) += 1
-          i += 1
-        }
-        zz.toSeq
+        resampleDocKernel(docId, sweepId, wordIds.map(_.toInt).toArray,
+          z.toArray, (k, w) => gkw(k)(w), gk).toSeq
       })
-      state = state
-        .withColumn("z", resample(col("doc_id"), col("word_ids"), col("z")))
+      st.withColumn("z", resample(col("doc_id"), col("word_ids"), col("z")))
+    }
+
+    // join sweep — the large-V path: counts stay DISTRIBUTED. The
+    // token relation explodes once, per-word K-vectors aggregate
+    // vocabulary-partitioned (each reducer holds only its vocab
+    // shard), join back to the tokens on the word key, and docs
+    // regroup to run the same kernel. Only `gk` (K longs) touches the
+    // driver. Cost: one extra word-keyed shuffle + a ×K-wide token
+    // relation per sweep, in exchange for NO K×V driver/executor
+    // materialization at any point.
+    def sweepJoin(st: DataFrame, sweepId: Int): DataFrame = {
+      val tok = st.select(col("doc_id"), col("loc"),
+          posexplode(arrays_zip(col("word_ids"), col("z"))).as(Seq("pos", "t")))
+        .select(col("doc_id"), col("loc"), col("pos"),
+          col("t.word_ids").as("w"), col("t.z").as("zk"))
+      val wcnt = tok.groupBy(col("w"), col("zk"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("w"))
+        .agg(collect_list(struct(col("zk"), col("n"))).as("kcnt"))
+      val gkArr = new Array[Long](K)
+      tok.groupBy(col("zk")).agg(count(lit(1)).as("n")).collect()
+        .foreach(r => gkArr(r.getInt(0)) = r.getLong(1))
+      val bcGk = spark.sparkContext.broadcast(gkArr)
+      val resample = udf((docId: Long,
+          toks: Seq[org.apache.spark.sql.Row]) => {
+        val sorted = toks.sortBy(_.getInt(0)) // by pos
+        val words = sorted.map(_.getLong(1).toInt).toArray
+        val zz = sorted.map(_.getInt(2)).toArray
+        // per-word K-vectors local to this doc (each distinct word once)
+        val cnt = scala.collection.mutable.LongMap.empty[Array[Long]]
+        sorted.foreach { r =>
+          val w = r.getLong(1)
+          if (!cnt.contains(w)) {
+            val a = new Array[Long](K)
+            r.getSeq[org.apache.spark.sql.Row](3).foreach { kc =>
+              a(kc.getInt(0)) = kc.getLong(1)
+            }
+            cnt(w) = a
+          }
+        }
+        val z2 = resampleDocKernel(docId, sweepId, words, zz,
+          (k, w) => cnt(w.toLong)(k), bcGk.value)
+        (words.map(_.toLong).toSeq, z2.toSeq)
+      })
+      val res = tok.join(wcnt, "w")
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("pos"), col("w"), col("zk"), col("kcnt")))
+          .as("toks"))
+        .select(col("doc_id"), resample(col("doc_id"), col("toks")).as("wz"))
+      // left-join onto the doc spine: a doc with EMPTY word_ids never
+      // survives the posexplode, but the broadcast path keeps it (and
+      // its loc counts in the occupancy priors) — parity demands it here
+      st.select(col("doc_id"), col("loc")).join(res, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("loc"),
+          coalesce(col("wz._1"), array().cast("array<bigint>")).as("word_ids"),
+          coalesce(col("wz._2"), array().cast("array<int>")).as("z"))
+    }
+
+    var sweep = 1
+    while (sweep <= iters) {
+      state = (if (countsVia == "join") sweepJoin(state, sweep)
+        else sweepBroadcast(state, sweep))
         .localCheckpoint()
       sweep += 1
     }

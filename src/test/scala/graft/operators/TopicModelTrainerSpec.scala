@@ -40,6 +40,23 @@ class TopicModelTrainerSpec extends AnyFunSuite {
     assert(dump(a) != dump(c), "different seed must move the model")
   }
 
+  test("join-distributed sweep is bit-identical to the broadcast sweep") {
+    // same corpus, same seed, both count strategies, two partitionings
+    // each — every matrix entry must match to the last bit (shared
+    // kernel + (seed, doc_id, sweep) RNG)
+    val viaB = TopicModel.trainGeoModel(toyCorpus(3), 3, 4, iters = 4)
+    val viaJ = TopicModel.trainGeoModel(toyCorpus(3), 3, 4, iters = 4,
+      countsVia = "join")
+    assert(dump(viaB) == dump(viaJ))
+    val viaJ7 = TopicModel.trainGeoModel(toyCorpus(7), 3, 4, iters = 4,
+      countsVia = "join")
+    assert(dump(viaJ7) == dump(viaB))
+    // the join path must not trip the broadcast-size guard
+    val tiny = TopicModel.trainGeoModel(toyCorpus(2), 3, 4, iters = 1,
+      countsVia = "join", maxCountsBytes = 1L)
+    assert(tiny.topicWord.nonEmpty)
+  }
+
   test("K*V counts-broadcast guard refuses oversized vocabularies loudly") {
     // toyCorpus: V = 12, so K = 3 needs 3*12*8 = 288 bytes; a cap below
     // that must refuse BEFORE any sweep runs, naming both dimensions
