@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Interval-overlap aggregation — the range-join shape Spark has no
   * native operator for: per interval [start, end] (inclusive), the
@@ -67,5 +68,59 @@ object IntervalJoin {
       .join(probes, col(idCol).cast("long") === col("__iid"))
       .withColumn("n_events", col("__c1") - col("__c0"))
       .drop("__iid", "__c0", "__c1")
+  }
+
+  /** One stream row: `probe = false` is a point event; `probe = true`
+    * asks for the count of events in `[ts_us − window, ts_us]`. A row
+    * that is both (the purchase that both counts and probes) is fed
+    * twice. */
+  case class PointEvent(key: Long, ts_us: Long, id: Long, probe: Boolean)
+  case class WindowCount(key: Long, probe_id: Long, ts_us: Long,
+    n_events: Long)
+  private[operators] case class WinState(tss: Vector[Long])
+
+  /** Streaming attribution-window counting — the arrival-time twin of
+    * [[intervalCount]] for trailing windows ending AT the probe (the
+    * q152 shape run as continuous ingest): per-key state holds the
+    * event timestamps still inside any future probe's window; each
+    * probe counts the in-window entries; state prunes below
+    * `maxSeen − window`, so resident state is bounded by one window's
+    * events per key (checkpointed, restart-safe).
+    *
+    * Parity with the batch sweep holds for streams delivered in
+    * event-time order per key (the [[AsOfJoin.asOfStreaming]] trade):
+    * within a micro-batch rows process in (ts, probe, id) order —
+    * events before probes at equal ts, exactly the batch side order —
+    * and the inclusive `[ts − w, ts]` membership test mirrors the
+    * probe ordering on both boundaries. A late cross-batch event
+    * cannot rewrite an emitted count (streaming monotonicity). */
+  def attributionStreaming(events: Dataset[PointEvent],
+      windowUs: Long): Dataset[WindowCount] = {
+    require(windowUs >= 0, "attributionStreaming: windowUs must be >= 0")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[WinState, WindowCount](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[PointEvent], state) =>
+          var buf = state.getOption.map(_.tss).getOrElse(Vector.empty)
+          var maxSeen = if (buf.nonEmpty) buf.last else Long.MinValue
+          val out = List.newBuilder[WindowCount]
+          it.toSeq.sortBy(e => (e.ts_us, e.probe, e.id)).foreach { e =>
+            if (!e.probe) {
+              buf :+= e.ts_us
+              if (e.ts_us > maxSeen) maxSeen = e.ts_us
+            } else {
+              val lo = e.ts_us - windowUs
+              out += WindowCount(key, e.id, e.ts_us,
+                buf.count(t => t >= lo && t <= e.ts_us).toLong)
+              if (e.ts_us > maxSeen) maxSeen = e.ts_us // probes advance pruning too
+            }
+          }
+          // prune: entries below every future probe's window (arrivals
+          // in event-time order ⇒ future probes have ts >= maxSeen)
+          val keep = buf.filter(_ >= maxSeen - windowUs)
+          if (keep.nonEmpty) state.update(WinState(keep)) else state.remove()
+          out.result().iterator
+      }
   }
 }

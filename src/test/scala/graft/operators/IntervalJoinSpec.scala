@@ -37,4 +37,47 @@ class IntervalJoinSpec extends AnyFunSuite {
       .toMap
     assert(again == out)
   }
+
+  test("attributionStreaming equals batch q152 on the real events table") {
+    assume(new java.io.File("/root/testdata/sf0.001/events.parquet").exists())
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.CoreQueries.q152IntervalJoin(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("ts_us"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect()
+    // every event is a point; purchases ALSO probe (fed twice)
+    val rows = (ev.map(r => IntervalJoin.PointEvent(r.getLong(0),
+        r.getLong(1), r.getLong(2), probe = false)) ++
+      ev.filter(_.getString(3) == "purchase")
+        .map(r => IntervalJoin.PointEvent(r.getLong(0), r.getLong(1),
+          r.getLong(2), probe = true)))
+      .sortBy(e => (e.ts_us, e.probe, e.id))
+    // two micro-batches split at the median event time — windows
+    // straddling the split must count state from batch 1
+    val mid = rows(rows.length / 2).ts_us
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[IntervalJoin.PointEvent]
+    val q = IntervalJoin.attributionStreaming(stream.toDS(),
+        windowUs = 3600L * 1000 * 1000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("attr_ckpt").toString)
+      .start()
+    try {
+      stream.addData(rows.filter(_.ts_us <= mid)); q.processAllAvailable()
+      stream.addData(rows.filter(_.ts_us > mid)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_stream")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == batch)
+  }
 }
