@@ -1028,6 +1028,44 @@ object TextMetrics {
       .agg(max(col("n")).as("n_docs"), picks: _*)
   }
 
+  /** Robust per-source length-outlier report — median/MAD instead of
+    * mean/σ (one boilerplate blob or concatenation bug shifts a mean
+    * arbitrarily; the median absolute deviation is breakdown-50%
+    * robust, the standard guardrail for corpus length QA). All
+    * arithmetic is INTEGER: medians come from the percentile_disc rank
+    * device (the q61 family — the picked value is an actual data
+    * value), deviations are |n − med|, MAD is the median of those, and
+    * the outlier test `dev > k·MAD` is an exact int64 compare — so the
+    * report hashes identically across engines and partitionings.
+    * Windows are all source-partitioned (the [[Ranks]] discipline). */
+  def madOutliers(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "madOutliers: k must be >= 1")
+    val tc = docs.select(col(idCol).as("doc_id"),
+      col(groupCol).as("grp"),
+      size(TextFunctions.tokenize(col(textCol))).cast("long").as("n_tokens"))
+    val grpW = Window.partitionBy(col("grp"))
+    val medRank = greatest(lit(1L), expr("(cnt * 50 + 99) div 100"))
+    val withMed = tc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(grpW))
+      .withColumn("med", max(when(col("rn") === medRank,
+        col("n_tokens"))).over(grpW))
+      .withColumn("dev", abs(col("n_tokens") - col("med")))
+    val withMad = withMed
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("dev"), col("doc_id"))))
+      .withColumn("mad", max(when(col("rn2") === medRank,
+        col("dev"))).over(grpW))
+    withMad.groupBy(col("grp").as(groupCol))
+      .agg(max(col("cnt")).as("n_docs"),
+        max(col("med")).as("med_tokens"),
+        max(col("mad")).as("mad_tokens"),
+        sum(when(col("dev") > col("mad") * k, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** The 100-TB path for [[tokenPercentiles]]: approx_percentile's
     * mergeable GK sketch — no per-group sort, map-side partials. Rank
     * error is bounded by `accuracy`; results are NOT bit-stable across

@@ -1437,6 +1437,14 @@ object PipelineQueries {
       k = 5, minDocs = 2)
       .orderBy(col("doc_id"))
 
+  /** Robust per-source length outliers ([[TextMetrics.madOutliers]]):
+    * median/MAD via the integer percentile_disc rank device, outlier
+    * test `dev > 3·MAD` in exact int64 — the breakdown-robust QA
+    * complement to the q99 mean/σ norm outliers. */
+  def q155MadOutliers(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.madOutliers(docs(spark, dir), "doc_id", "source", "text")
+      .orderBy(col("source"))
+
   /** Isotonic (PAV) calibration ([[TextMetrics.isotonicCalibration]])
     * of a doc-length quality proxy (20 token-count bins) against a
     * deterministic pseudo-label: the monotone calibrated-rate table a
@@ -1644,6 +1652,7 @@ object PipelineQueries {
     "q151_dup_spans" -> q151DupSpans,
     "q153_isotonic_calibration" -> q153IsotonicCalibration,
     "q154_scene_detect" -> q154SceneDetect,
+    "q155_mad_outliers" -> q155MadOutliers,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -2837,6 +2846,35 @@ object PipelineQueries {
         |  score_q::DOUBLE / (197.0 * n_tokens) AS logit,
         |  (CASE WHEN score_q >= 0 THEN 1 ELSE 0 END)::BIGINT AS pass
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Mirrors madOutliers: identical integer percentile_disc rank
+    // device (value at rank ceil(n/2), floored at 1) for the median
+    // and for the MAD, identical (n_tokens, doc_id) tie order, exact
+    // int64 outlier compare.
+    "q155_mad_outliers" ->
+      """WITH tc AS (
+        |  SELECT doc_id, source AS grp,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
+        |      ::BIGINT AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT *,
+        |    row_number() OVER (PARTITION BY grp
+        |      ORDER BY n_tokens, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY grp)::BIGINT AS cnt FROM tc),
+        |m2 AS (SELECT *,
+        |    max(CASE WHEN rn = greatest(1, (cnt * 50 + 99) // 100)
+        |      THEN n_tokens END) OVER (PARTITION BY grp) AS med FROM m),
+        |d AS (SELECT *, abs(n_tokens - med)::BIGINT AS dev FROM m2),
+        |d2 AS (SELECT *,
+        |    row_number() OVER (PARTITION BY grp
+        |      ORDER BY dev, doc_id) AS rn2 FROM d),
+        |d3 AS (SELECT *,
+        |    max(CASE WHEN rn2 = greatest(1, (cnt * 50 + 99) // 100)
+        |      THEN dev END) OVER (PARTITION BY grp) AS mad FROM d2)
+        |SELECT grp AS source, max(cnt)::BIGINT AS n_docs,
+        |  max(med)::BIGINT AS med_tokens, max(mad)::BIGINT AS mad_tokens,
+        |  sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_outliers
+        |FROM d3 GROUP BY grp ORDER BY source""".stripMargin,
     // Mirrors isotonicCalibration through the closed-form MINIMAX
     // characterization (fitted_i = max_{k<=i} min_{j>=i} avg(k..j)) —
     // the Spark side runs pool-adjacent-violators with cross-multiplied
