@@ -38,6 +38,28 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("intervalCount property: sweep equals brute force on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val events = (1 to 400).map(_ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong))
+    val intervals = (0 until 60).map { i =>
+      val s = rnd.nextInt(50).toLong
+      (rnd.nextInt(5).toLong, 1000L + i, s, s + rnd.nextInt(12).toLong)
+    }
+    val got = IntervalJoin.intervalCount(
+        intervals.toDF("k", "iid", "s", "e").repartition(7),
+        events.toDF("k", "ts").repartition(5),
+        keys = Seq("k"), idCol = "iid", startCol = "s", endCol = "e",
+        tsCol = "ts")
+      .collect().map(r => r.getAs[Long]("iid") -> r.getAs[Long]("n_events"))
+      .toMap
+    intervals.foreach { case (k, iid, s, e) =>
+      val want = events.count { case (ek, ts) => ek == k && ts >= s && ts <= e }
+      assert(got(iid) == want.toLong, s"interval $iid [$s,$e] key $k")
+    }
+  }
+
   test("attributionStreaming equals batch q152 on the real events table") {
     assume(new java.io.File("/root/testdata/sf0.001/events.parquet").exists())
     import spark.implicits._

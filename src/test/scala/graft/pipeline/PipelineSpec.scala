@@ -1203,6 +1203,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("dupSpanCoverage property: lag device equals brute-force position union") {
+    // 60 random docs from a tiny alphabet (lots of accidental repeats);
+    // the windowed-lag interval union must equal the brute-force
+    // distinct-covered-position count for every doc
+    val rnd = new scala.util.Random(11)
+    val words = Vector("a", "b", "c", "d")
+    val k = 4
+    val docsSeq = (0L until 60L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(25))(words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    }
+    val got = TextMetrics.dupSpanCoverage(docsSeq.toDF("doc_id", "text")
+        .repartition(7), "doc_id", "text", k = k, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute force: fingerprint every window, find multi-doc fps, union
+    // covered positions per doc as an explicit position set
+    val wins = docsSeq.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      (0 to t.length - k).map(s => (id, s, t.slice(s, s + k).mkString(" ")))
+    }
+    val dupFps = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+      .keySet
+    docsSeq.foreach { case (id, text) =>
+      val n = text.split(" ").length
+      val covered = wins.filter(w => w._1 == id && dupFps(w._3))
+        .flatMap(w => w._2 until w._2 + k).distinct.size
+      assert(got(id) == ((n.toLong, covered.toLong)), s"doc $id")
+    }
+  }
+
   test("dupSpanCoverage: interval union by hand; overlap merges; unique docs score 0") {
     // docs 1 and 2 share the 6-token run "a b c d e f" (two overlapping
     // 5-windows -> union = 6 tokens); doc 3 is unique
