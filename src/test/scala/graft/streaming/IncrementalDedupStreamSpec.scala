@@ -109,6 +109,55 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert(verified -- gotExact == batchNear)
   }
 
+  test("checkpointed state survives a full query restart (W6 delivery upgrade)") {
+    // batch 1 establishes canonical first-seen docs, the query STOPS
+    // (process death), a NEW query object restarts from the same
+    // checkpoint + source, and batch 2's duplicates must match against
+    // batch 1's canonicals — state recovered from RocksDB, not rebuilt
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("restart_ckpt").toString
+    val outDir = Files.createTempDirectory("restart_out").toString
+    val stream = MemoryStream[IncrementalDedupStream.HashedDoc]
+    // parquet sink: the memory sink refuses checkpoint recovery, and a
+    // real deployment's file/Kafka sink is exactly what W6's
+    // at-least-once-with-checkpoint claim is about
+    def start() = IncrementalDedupStream.exactDups(stream.toDS())
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val q1 = start()
+      stream.addData(Seq(
+        IncrementalDedupStream.HashedDoc(1L, "h1"),
+        IncrementalDedupStream.HashedDoc(2L, "h2")))
+      q1.processAllAvailable()
+      q1.stop() // simulated process death after checkpoint commit
+      val q2 = start()
+      stream.addData(Seq(
+        IncrementalDedupStream.HashedDoc(3L, "h1"),   // dup of RESTORED 1
+        IncrementalDedupStream.HashedDoc(4L, "h3")))
+      q2.processAllAvailable()
+      q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val events = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(events == Set((3L, 1L)),
+      s"doc 3 must dedup against the checkpoint-restored canonical 1, got $events")
+  }
+
   test("maxBucket tombstone-on-overflow: net streamed candidates equal batch for any split") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
