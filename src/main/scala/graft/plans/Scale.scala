@@ -148,4 +148,42 @@ object Scale {
       .write.mode("overwrite")
       .parquet(path)
   }
+
+  /** Small-file compaction — the table-maintenance lever every
+    * long-lived lake table needs: streaming sinks, fine-grained
+    * `partitionBy`, and incremental appends degrade a table into
+    * thousands of KB-scale files, and at 100 TB the scan's task count
+    * (and the NameNode/listing load) is set by FILE population, not
+    * data volume. Rewrites the directory at a file count derived from
+    * ACTUAL bytes (`ceil(totalBytes / targetFileBytes)` — a knob over
+    * measured input, never a guess), range-partitioned + sorted on
+    * `sortCols` so the rewrite also RESTORES clustering: files carry
+    * disjoint key ranges afterward, so min-max pruning works again.
+    * One range exchange + in-partition sort — the same cost a plain
+    * global sort pays. Returns (filesBefore, filesAfter, rows). */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, sortCols: Seq[String],
+      targetFileBytes: Long = 128L << 20): (Long, Long, Long) = {
+    require(sortCols.nonEmpty, "compactFiles: at least one sort column")
+    require(targetFileBytes >= 1, "compactFiles: targetFileBytes must be >= 1")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        if (st.isDirectory) dataFiles(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Nil
+      }
+    val before = dataFiles(new org.apache.hadoop.fs.Path(inPath))
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .repartitionByRange(nOut, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(outPath)
+    val after = dataFiles(new org.apache.hadoop.fs.Path(outPath))
+    (before.length.toLong, after.length.toLong,
+      spark.read.parquet(outPath).count())
+  }
 }

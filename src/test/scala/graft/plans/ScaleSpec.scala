@@ -454,6 +454,36 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("compactFiles: fragmented table rewrites to byte-derived count, clustered, lossless") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("frag").toString
+    val out = java.nio.file.Files.createTempDirectory("compact").toString
+    // 64-way fragmentation of a small table = 64 KB-scale files
+    (1L to 5000L).map(i => (i, s"payload_$i")).toDF("id", "v")
+      .repartition(64).write.mode("overwrite").parquet(in)
+    val (before, after, rows) = graft.plans.Scale.compactFiles(
+      spark, in, out, sortCols = Seq("id"), targetFileBytes = 64L << 10)
+    assert(before == 64L)
+    assert(after < before / 4, s"expected real consolidation, got $after files")
+    assert(rows == 5000L)
+    // clustering restored: per-file id ranges must be DISJOINT (range
+    // partitioning), so min-max pruning works after the rewrite
+    val spans = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath)
+          .agg(org.apache.spark.sql.functions.min("id"),
+            org.apache.spark.sql.functions.max("id")).head()
+        (d.getLong(0), d.getLong(1))
+      }.sortBy(_._1)
+    spans.zip(spans.drop(1)).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"file ranges overlap: $spans")
+    }
+    // content identical
+    val a = spark.read.parquet(in).collect().map(_.toString).sorted
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("intervalCount sweep plan: ONE union+window pass, no cross product, no range join") {
     // the union-and-sweep range join's whole pitch is one key-hashed
     // exchange and no per-key cross product; a CartesianProduct or
