@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-contract validation — the expectation-suite gate a production
@@ -88,6 +89,42 @@ object Contract {
     * Scale shape: both snapshots project to (id, md5) — the text
     * payload never shuffles — then ONE id-keyed full-outer join; the
     * status is a map-side CASE over the two hash columns. */
+  /** Conversation-structure contract — the SFT/chat-data validation a
+    * training pipeline runs before templating: per conversation,
+    * (a) the first turn is the user's, (b) the last is the
+    * assistant's (no truncated generations), (c) roles strictly
+    * alternate, (d) no empty turns. One window pass partitioned by
+    * conversation (the per-group discipline); every check is a
+    * boolean/integer aggregate, so the report hashes identically
+    * across engines. Input is the long turns relation
+    * `(convCol, idxCol, roleCol, textCol)` — the shape chat corpora
+    * ship in before template assembly. */
+  def chatContract(turns: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+    val flagged = turns
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(convCol))))
+      .withColumn("_prev", lag(col(roleCol), 1).over(w))
+    flagged.groupBy(col(convCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("_rn") === 1 && col(roleCol) === "user", 1L)
+          .otherwise(0L)).as("_su"),
+        sum(when(col("_rn") === col("_n") && col(roleCol) === "assistant", 1L)
+          .otherwise(0L)).as("_ea"),
+        sum(when(col("_prev") === col(roleCol), 1L).otherwise(0L))
+          .as("n_role_repeats"),
+        sum(when(length(trim(col(textCol))) === 0, 1L).otherwise(0L))
+          .as("n_empty"))
+      .select(col(convCol), col("n_turns"),
+        (col("_su") === 1L).as("starts_user"),
+        (col("_ea") === 1L).as("ends_assistant"),
+        col("n_role_repeats"), col("n_empty"),
+        (col("_su") === 1L && col("_ea") === 1L &&
+          col("n_role_repeats") === 0L && col("n_empty") === 0L).as("valid"))
+  }
+
   def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val ha = a.select(col(idCol), md5(col(textCol)).as("_ha"))

@@ -1437,6 +1437,32 @@ object PipelineQueries {
       k = 5, minDocs = 2)
       .orderBy(col("doc_id"))
 
+  /** Chat/SFT-structure contract ([[Contract.chatContract]]) over a
+    * synthesized turns relation (8-token chunks as turns, roles
+    * alternating from user) with PLANTED violations in the q51
+    * style — docs ≡3 (mod 7) repeat the user role at turn 2, docs ≡5
+    * (mod 11) blank turn 1 — so every rule provably fires; the rest
+    * validate or fail naturally on turn-count parity. */
+  def q156ChatContract(spark: SparkSession, dir: String): DataFrame = {
+    val turns = docs(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenize(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        size(col("t")).cast("long").as("n"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), expr("(n + 7) div 8") - 1)).as("b"))
+      .select(col("doc_id"), (col("b") + 1).as("turn_idx"),
+        when(col("doc_id") % 7 === 3 && col("b") === 1, lit("user"))
+          .otherwise(when(col("b") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant"))).as("role"),
+        when(col("doc_id") % 11 === 5 && col("b") === 0, lit(""))
+          .otherwise(array_join(
+            slice(col("t"), (col("b") * 8 + 1).cast("int"), lit(8)), " "))
+          .as("content"))
+    Contract.chatContract(turns, "doc_id", "turn_idx", "role", "content")
+      .orderBy(col("doc_id"))
+  }
+
   /** Robust per-source length outliers ([[TextMetrics.madOutliers]]):
     * median/MAD via the integer percentile_disc rank device, outlier
     * test `dev > 3·MAD` in exact int64 — the breakdown-robust QA
@@ -1653,6 +1679,7 @@ object PipelineQueries {
     "q153_isotonic_calibration" -> q153IsotonicCalibration,
     "q154_scene_detect" -> q154SceneDetect,
     "q155_mad_outliers" -> q155MadOutliers,
+    "q156_chat_contract" -> q156ChatContract,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -2846,6 +2873,44 @@ object PipelineQueries {
         |  score_q::DOUBLE / (197.0 * n_tokens) AS logit,
         |  (CASE WHEN score_q >= 0 THEN 1 ELSE 0 END)::BIGINT AS pass
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Mirrors q156ChatContract: identical 8-token chunk turns, planted
+    // role repeat / blank turn, identical window checks — integer sums
+    // ::BIGINT, booleans from count compares.
+    "q156_chat_contract" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
+        |      ::BIGINT AS n
+        |  FROM documents),
+        |bs AS (SELECT doc_id, t,
+        |    unnest(generate_series(0, ((n + 7) // 8) - 1)) AS b FROM tok),
+        |turns AS (SELECT doc_id, (b + 1)::BIGINT AS turn_idx,
+        |    CASE WHEN doc_id % 7 = 3 AND b = 1 THEN 'user'
+        |         WHEN b % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    CASE WHEN doc_id % 11 = 5 AND b = 0 THEN ''
+        |         ELSE array_to_string(t[b*8+1 : b*8+8], ' ') END AS content
+        |  FROM bs),
+        |f AS (SELECT doc_id, turn_idx, role, content,
+        |    row_number() OVER w AS rn,
+        |    count(*) OVER (PARTITION BY doc_id)::BIGINT AS nt,
+        |    lag(role) OVER w AS prev
+        |  FROM turns WINDOW w AS (PARTITION BY doc_id ORDER BY turn_idx)),
+        |a AS (SELECT doc_id, count(*)::BIGINT AS n_turns,
+        |    sum(CASE WHEN rn = 1 AND role = 'user' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS su,
+        |    sum(CASE WHEN rn = nt AND role = 'assistant' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS ea,
+        |    sum(CASE WHEN prev = role THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_role_repeats,
+        |    sum(CASE WHEN length(trim(content)) = 0 THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_empty
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_turns, su = 1 AS starts_user,
+        |  ea = 1 AS ends_assistant, n_role_repeats, n_empty,
+        |  (su = 1 AND ea = 1 AND n_role_repeats = 0 AND n_empty = 0)
+        |    AS valid
+        |FROM a ORDER BY doc_id""".stripMargin,
     // Mirrors madOutliers: identical integer percentile_disc rank
     // device (value at rank ceil(n/2), floored at 1) for the median
     // and for the MAD, identical (n_tokens, doc_id) tie order, exact

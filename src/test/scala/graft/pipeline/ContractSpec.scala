@@ -69,6 +69,32 @@ class ContractSpec extends AnyFunSuite {
     assert(res.length == 7 && res.forall(_.getBoolean(2)))
   }
 
+  test("chatContract: every rule fires on its planted violation, clean convs validate") {
+    val turns = Seq(
+      // conv 1: clean 2-turn conversation -> valid
+      (1L, 1L, "user", "hi"), (1L, 2L, "assistant", "hello"),
+      // conv 2: starts with assistant
+      (2L, 1L, "assistant", "hi"), (2L, 2L, "user", "x"),
+      (2L, 3L, "assistant", "y"),
+      // conv 3: ends on user (truncated generation)
+      (3L, 1L, "user", "a"), (3L, 2L, "assistant", "b"), (3L, 3L, "user", "c"),
+      // conv 4: role repeat mid-conversation
+      (4L, 1L, "user", "a"), (4L, 2L, "user", "b"), (4L, 3L, "assistant", "c"),
+      (4L, 4L, "assistant", "d"),
+      // conv 5: empty turn (whitespace only)
+      (5L, 1L, "user", "a"), (5L, 2L, "assistant", "  "))
+      .toDF("conv", "idx", "role", "content").repartition(5)
+    val out = Contract.chatContract(turns, "conv", "idx", "role", "content")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6))).toMap
+    assert(out(1L) == ((2L, true, true, 0L, 0L, true)))
+    assert(out(2L) == ((3L, false, true, 0L, 0L, false)))
+    assert(out(3L) == ((3L, true, false, 0L, 0L, false)))
+    assert(out(4L) == ((4L, true, true, 2L, 0L, false)))
+    assert(out(5L) == ((2L, true, true, 0L, 1L, false)))
+  }
+
   test("normOutliers flags exactly the vectors outside the [p1,p99] rank band") {
     // 100 vectors with strictly increasing norms: p1 bound = rank 1,
     // p99 bound = rank 99 -> outliers = the single largest norm
