@@ -125,6 +125,31 @@ object Contract {
           col("n_role_repeats") === 0L && col("n_empty") === 0L).as("valid"))
   }
 
+  /** SFT loss-mask span prep — the step between a validated chat
+    * corpus and the trainer: per turn, the token offset range it
+    * occupies in the assembled sequence (cumulative sum over the
+    * conversation) and whether it trains (`mask = false` on assistant
+    * turns, the train-on-assistant-only convention) — plus the
+    * per-conversation trainable-token count the mixing/packing stages
+    * consume. Offsets are exact integer window sums partitioned by
+    * conversation, so the output hashes identically across engines
+    * and partitionings. */
+  def lossMaskSpans(turns: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    turns
+      .withColumn("_nt",
+        size(graft.functions.TextFunctions.tokenize(col(textCol)))
+          .cast("long"))
+      .withColumn("end_off", sum(col("_nt")).over(w))
+      .select(col(convCol), col(idxCol), col(roleCol),
+        (col("end_off") - col("_nt")).as("start_off"), col("end_off"),
+        (col(roleCol) =!= "assistant").as("masked"),
+        when(col(roleCol) === "assistant", col("_nt")).otherwise(lit(0L))
+          .as("train_tokens"))
+  }
+
   def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val ha = a.select(col(idCol), md5(col(textCol)).as("_ha"))

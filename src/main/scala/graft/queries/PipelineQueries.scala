@@ -1443,8 +1443,11 @@ object PipelineQueries {
     * style — docs ≡3 (mod 7) repeat the user role at turn 2, docs ≡5
     * (mod 11) blank turn 1 — so every rule provably fires; the rest
     * validate or fail naturally on turn-count parity. */
-  def q156ChatContract(spark: SparkSession, dir: String): DataFrame = {
-    val turns = docs(spark, dir)
+  /** The shared synthetic chat-turns relation (q156/q157): 8-token
+    * chunks as turns, roles alternating from user, planted violations
+    * at docs ≡3 (mod 7) and ≡5 (mod 11). */
+  private def chatTurns(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .select(col("doc_id"),
         graft.functions.TextFunctions.tokenize(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
@@ -1459,9 +1462,20 @@ object PipelineQueries {
           .otherwise(array_join(
             slice(col("t"), (col("b") * 8 + 1).cast("int"), lit(8)), " "))
           .as("content"))
-    Contract.chatContract(turns, "doc_id", "turn_idx", "role", "content")
+
+  def q156ChatContract(spark: SparkSession, dir: String): DataFrame =
+    Contract.chatContract(chatTurns(spark, dir), "doc_id", "turn_idx",
+        "role", "content")
       .orderBy(col("doc_id"))
-  }
+
+  /** SFT loss-mask span prep ([[Contract.lossMaskSpans]]) over the
+    * q156 turns: per turn, exact token offsets in the assembled
+    * sequence and the train-on-assistant mask — the trainer-facing
+    * output of the chat pipeline. */
+  def q157LossMask(spark: SparkSession, dir: String): DataFrame =
+    Contract.lossMaskSpans(chatTurns(spark, dir), "doc_id", "turn_idx",
+        "role", "content")
+      .orderBy(col("doc_id"), col("turn_idx"))
 
   /** Robust per-source length outliers ([[TextMetrics.madOutliers]]):
     * median/MAD via the integer percentile_disc rank device, outlier
@@ -1680,6 +1694,7 @@ object PipelineQueries {
     "q154_scene_detect" -> q154SceneDetect,
     "q155_mad_outliers" -> q155MadOutliers,
     "q156_chat_contract" -> q156ChatContract,
+    "q157_loss_mask" -> q157LossMask,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -1753,6 +1768,24 @@ object PipelineQueries {
   // q77 oracle body without the presentation ORDER BY — serves the q77
   // entry (plus the order) AND rides as a CTE inside q86's purity
   // report, the same zero-drift reuse as q23/q24 inside q69.
+  /** The q156/q157 synthetic chat-turns relation, shared verbatim by
+    * both oracles (the q77-CTE zero-drift device). */
+  private val chatTurnsCte =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t,
+      |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
+      |      ::BIGINT AS n
+      |  FROM documents),
+      |bs AS (SELECT doc_id, t,
+      |    unnest(generate_series(0, ((n + 7) // 8) - 1)) AS b FROM tok),
+      |turns AS (SELECT doc_id, (b + 1)::BIGINT AS turn_idx,
+      |    CASE WHEN doc_id % 7 = 3 AND b = 1 THEN 'user'
+      |         WHEN b % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    CASE WHEN doc_id % 11 = 5 AND b = 0 THEN ''
+      |         ELSE array_to_string(t[b*8+1 : b*8+8], ' ') END AS content
+      |  FROM bs)""".stripMargin
+
   private val q77Body =
     """WITH v AS (
       |  SELECT vec_id,
@@ -2877,21 +2910,8 @@ object PipelineQueries {
     // role repeat / blank turn, identical window checks — integer sums
     // ::BIGINT, booleans from count compares.
     "q156_chat_contract" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t,
-        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
-        |      ::BIGINT AS n
-        |  FROM documents),
-        |bs AS (SELECT doc_id, t,
-        |    unnest(generate_series(0, ((n + 7) // 8) - 1)) AS b FROM tok),
-        |turns AS (SELECT doc_id, (b + 1)::BIGINT AS turn_idx,
-        |    CASE WHEN doc_id % 7 = 3 AND b = 1 THEN 'user'
-        |         WHEN b % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
-        |    CASE WHEN doc_id % 11 = 5 AND b = 0 THEN ''
-        |         ELSE array_to_string(t[b*8+1 : b*8+8], ' ') END AS content
-        |  FROM bs),
-        |f AS (SELECT doc_id, turn_idx, role, content,
+      (chatTurnsCte + ",\n" +
+      """f AS (SELECT doc_id, turn_idx, role, content,
         |    row_number() OVER w AS rn,
         |    count(*) OVER (PARTITION BY doc_id)::BIGINT AS nt,
         |    lag(role) OVER w AS prev
@@ -2910,7 +2930,26 @@ object PipelineQueries {
         |  ea = 1 AS ends_assistant, n_role_repeats, n_empty,
         |  (su = 1 AND ea = 1 AND n_role_repeats = 0 AND n_empty = 0)
         |    AS valid
-        |FROM a ORDER BY doc_id""".stripMargin,
+        |FROM a ORDER BY doc_id""".stripMargin),
+    // Mirrors lossMaskSpans over the same turns: per-turn token count
+    // (tokenize of '' is [''] = 1 on both engines), cumulative offsets
+    // via the running window sum, train-on-assistant mask.
+    "q157_loss_mask" ->
+      (chatTurnsCte + ",\n" +
+      """tt AS (SELECT doc_id, turn_idx, role,
+        |    len(regexp_split_to_array(lower(content), '[ \t\n\f\r]+'))
+        |      ::BIGINT AS nt
+        |  FROM turns)
+        |SELECT doc_id, turn_idx, role,
+        |  (sum(nt) OVER w - nt)::BIGINT AS start_off,
+        |  sum(nt) OVER w::BIGINT AS end_off,
+        |  role <> 'assistant' AS masked,
+        |  CASE WHEN role = 'assistant' THEN nt ELSE 0 END::BIGINT
+        |    AS train_tokens
+        |FROM tt
+        |WINDOW w AS (PARTITION BY doc_id ORDER BY turn_idx
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id, turn_idx""".stripMargin),
     // Mirrors madOutliers: identical integer percentile_disc rank
     // device (value at rank ceil(n/2), floored at 1) for the median
     // and for the MAD, identical (n_tokens, doc_id) tie order, exact
