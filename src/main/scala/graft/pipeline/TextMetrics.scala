@@ -1028,6 +1028,71 @@ object TextMetrics {
       .agg(max(col("n")).as("n_docs"), picks: _*)
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the KenLM-style
+    * corpus-LM quality filter: each position i ≥ 2 scores
+    * `ln S(wᵢ | wᵢ₋₂, wᵢ₋₁)` with S = trigram relative frequency,
+    * backing off ×0.4 to the bigram and ×0.4² to the unigram when the
+    * higher-order gram is unseen; a doc's score is the mean. Stupid
+    * backoff is the published large-corpus choice precisely because it
+    * needs NO discounting state — counts are plain relational
+    * aggregates, so the whole model "training" is three groupBys and
+    * scoring is five gram-keyed joins (only grams + counts shuffle,
+    * never text).
+    *
+    * Hash discipline: every per-position `ln` takes arguments built
+    * from exact-int divisions evaluated identically on both engines
+    * (one IEEE divide, one multiply by the same 0.4 literal), each
+    * term is cast DECIMAL(28,10) before the sum (ln values must never
+    * sum as doubles — order-dependence), and the mean is ONE final
+    * IEEE divide through the round-then-double device. */
+  def stupidBackoffScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokenize(col(textCol)))
+          .as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val g = toks
+      .withColumn("w1", lag(col("w"), 2).over(w))
+      .withColumn("w2", lag(col("w"), 1).over(w))
+    val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val c2 = g.filter(col("w2").isNotNull)
+      .groupBy(col("w2"), col("w")).agg(count(lit(1)).as("c2"))
+    val c3 = g.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w")).agg(count(lit(1)).as("c3"))
+    val nTotal = toks.agg(count(lit(1)).as("n_total"))
+    val scored = g.filter(col("w1").isNotNull)
+      .join(c3, Seq("w1", "w2", "w"), "left")
+      .join(c2.select(col("w2").as("w1"), col("w").as("w2"),
+        col("c2").as("c2ctx")), Seq("w1", "w2"), "left")
+      .join(c2.select(col("w2"), col("w"), col("c2").as("c2cur")),
+        Seq("w2", "w"), "left")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"))
+      .join(c1, Seq("w"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull,
+          log(col("c3").cast("double") / col("c2ctx").cast("double")))
+        .when(col("c2cur").isNotNull,
+          log(lit(0.4) * (col("c2cur").cast("double") /
+            col("c1w2").cast("double"))))
+        .otherwise(
+          log(lit(0.16) * (col("c1").cast("double") /
+            col("n_total").cast("double"))))
+        .cast("decimal(28,10)").as("s"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_scored"), sum(col("s")).as("ssum")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(
+          round((col("ssum").cast("double") /
+            col("n_scored").cast("double")).cast("decimal(28,10)"), 6)
+            .cast("double"),
+          lit(0.0)).as("avg_logscore"))
+  }
+
   /** Robust per-source length-outlier report — median/MAD instead of
     * mean/σ (one boilerplate blob or concatenation bug shifts a mean
     * arbitrarily; the median absolute deviation is breakdown-50%

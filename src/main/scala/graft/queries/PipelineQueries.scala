@@ -1477,6 +1477,15 @@ object PipelineQueries {
         "role", "content")
       .orderBy(col("doc_id"), col("turn_idx"))
 
+  /** Stupid-backoff trigram LM quality scoring
+    * ([[TextMetrics.stupidBackoffScore]]): corpus-LM mean
+    * log-likelihood per doc with ×0.4 backoff — the KenLM-style
+    * filter signal; counts are plain relational aggregates, scoring
+    * is gram-keyed joins. */
+  def q158BackoffLm(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.stupidBackoffScore(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Robust per-source length outliers ([[TextMetrics.madOutliers]]):
     * median/MAD via the integer percentile_disc rank device, outlier
     * test `dev > 3·MAD` in exact int64 — the breakdown-robust QA
@@ -1695,6 +1704,7 @@ object PipelineQueries {
     "q155_mad_outliers" -> q155MadOutliers,
     "q156_chat_contract" -> q156ChatContract,
     "q157_loss_mask" -> q157LossMask,
+    "q158_backoff_lm" -> q158BackoffLm,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -2950,6 +2960,49 @@ object PipelineQueries {
         |WINDOW w AS (PARTITION BY doc_id ORDER BY turn_idx
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id, turn_idx""".stripMargin),
+    // Mirrors stupidBackoffScore: identical gram counts (lag windows
+    // per doc), identical CASE backoff with 0.4::DOUBLE literals, each
+    // ln cast DECIMAL(28,10) before the sum (never summed as double),
+    // one final IEEE divide through the round device.
+    "q158_backoff_lm" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS a
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(a) AS w,
+        |    unnest(generate_series(1, len(a))) AS pos FROM d),
+        |g AS (SELECT doc_id, pos, w,
+        |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tk),
+        |c1 AS (SELECT w, count(*)::BIGINT AS c1 FROM tk GROUP BY 1),
+        |c2 AS (SELECT w2, w, count(*)::BIGINT AS c2 FROM g
+        |  WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |c3 AS (SELECT w1, w2, w, count(*)::BIGINT AS c3 FROM g
+        |  WHERE w1 IS NOT NULL GROUP BY 1, 2, 3),
+        |nt AS (SELECT count(*)::BIGINT AS n_total FROM tk),
+        |sc AS (SELECT g.doc_id,
+        |    (CASE WHEN c3.c3 IS NOT NULL
+        |        THEN ln(c3.c3::DOUBLE / cx.c2::DOUBLE)
+        |      WHEN cc.c2 IS NOT NULL
+        |        THEN ln(0.4::DOUBLE * (cc.c2::DOUBLE / c1b.c1::DOUBLE))
+        |      ELSE ln(0.16::DOUBLE * (c1w.c1::DOUBLE / nt.n_total::DOUBLE))
+        |      END)::DECIMAL(28,10) AS s
+        |  FROM g
+        |  LEFT JOIN c3 ON c3.w1 = g.w1 AND c3.w2 = g.w2 AND c3.w = g.w
+        |  LEFT JOIN c2 cx ON cx.w2 = g.w1 AND cx.w = g.w2
+        |  LEFT JOIN c2 cc ON cc.w2 = g.w2 AND cc.w = g.w
+        |  JOIN c1 c1b ON c1b.w = g.w2
+        |  JOIN c1 c1w ON c1w.w = g.w
+        |  CROSS JOIN nt
+        |  WHERE g.w1 IS NOT NULL),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_scored,
+        |    sum(s) AS ssum FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_scored, 0)::BIGINT AS n_scored,
+        |  coalesce(round((a.ssum::DOUBLE / a.n_scored::DOUBLE)
+        |    ::DECIMAL(28,10), 6)::DOUBLE, 0.0::DOUBLE) AS avg_logscore
+        |FROM d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // Mirrors madOutliers: identical integer percentile_disc rank
     // device (value at rank ceil(n/2), floored at 1) for the median
     // and for the MAD, identical (n_tokens, doc_id) tie order, exact
