@@ -342,6 +342,42 @@ object Similarity {
           .cast("decimal(28,10)"), 6).cast("double").as("recall"))
   }
 
+  /** NDCG@k of an approximate ranking against the exact ranking — the
+    * graded companion to [[recallReport]]: recall says how many exact
+    * neighbors the index found; NDCG says whether it found the
+    * IMPORTANT ones early (an index that returns exact-rank-1 at
+    * position 10 and misses nothing still loses NDCG). Relevance of an
+    * approx hit at exact rank r is `k+1−r` (top exact neighbor most
+    * valuable), misses score 0; DCG discounts by `log₂(rank+1)`.
+    *
+    * Hash discipline: relevances are integers, every discount divides
+    * identically-constructed IEEE doubles (`ln(rank+1)/ln(2)` — same
+    * op order both engines), each term is cast DECIMAL(28,10) before
+    * summing, and NDCG is one final IEEE divide through the
+    * round-then-double device. */
+  def ndcgReport(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "ndcgReport: k must be >= 1")
+    def discounted(rel: Column, rank: Column): Column =
+      (rel.cast("double") /
+        (log(rank.cast("double") + 1.0) / log(lit(2.0))))
+        .cast("decimal(28,10)")
+    val rel = approx.select(col("query_id"), col("rank"), col("corpus_id"))
+      .join(exact.select(col("query_id"), col("corpus_id"),
+        col("rank").as("_xrank")), Seq("query_id", "corpus_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(lit((k + 1).toLong) - col("_xrank"), lit(0L)).as("rel"))
+    val dcg = rel.groupBy(col("query_id"))
+      .agg(sum(discounted(col("rel"), col("rank"))).as("_dcg"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hit"))
+    val idcg = exact.groupBy(col("query_id"))
+      .agg(sum(discounted(lit((k + 1).toLong) - col("rank"), col("rank")))
+        .as("_idcg"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"), col("n_hit"),
+        round((col("_dcg").cast("double") / col("_idcg").cast("double"))
+          .cast("decimal(28,10)"), 6).cast("double").as("ndcg"))
+  }
+
   /** Hash-checkable k-means training report: run [[trainCentroids]],
     * then one final assignment pass, and emit per centroid its final
     * cell size and an md5 over the centroid's quantized components —

@@ -117,7 +117,7 @@ object PipelineQueries {
         "q99_norm_outliers", "q102_truncation_energy", "q105_sq8_error",
         "q106_dim_stats", "q120_probed_neardups", "q122_hard_negatives",
         "q124_embeddings_contract", "q146_embedding_gram", "q147_pca_report",
-        "q150_walk_centrality"),
+        "q150_walk_centrality", "q159_ndcg"),
       () => releaseEmbCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -1389,6 +1389,21 @@ object PipelineQueries {
       .orderBy(col("query_id"))
   }
 
+  /** NDCG@10 of the LSH index against the exact ranking
+    * ([[Similarity.ndcgReport]]): the graded index-quality metric
+    * beside q69's recall — same query set, same reused oracle bodies,
+    * so the three reports cannot drift. */
+  def q159NdcgReport(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < 16)
+    Similarity.ndcgReport(
+        Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 10),
+        Similarity.lshTopK(e, queries, "vec_id", "embedding", k = 10,
+          nBits = 8),
+        k = 10)
+      .orderBy(col("query_id"))
+  }
+
   /** Semantic dedup (SemDeDup): cluster embeddings around a
     * deterministic centroid subsample (vec_id < 16 — [[Similarity]]'s
     * q33 device; production trains centroids offline), prune rows with a
@@ -1705,6 +1720,7 @@ object PipelineQueries {
     "q156_chat_contract" -> q156ChatContract,
     "q157_loss_mask" -> q157LossMask,
     "q158_backoff_lm" -> q158BackoffLm,
+    "q159_ndcg" -> q159NdcgReport,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -2678,6 +2694,29 @@ object PipelineQueries {
           |SELECT query_id, n_hit, 10::BIGINT AS k,
           |  round((n_hit::DOUBLE / 10.0)::DECIMAL(28,10), 6)::DOUBLE AS recall
           |FROM hit ORDER BY query_id""".stripMargin),
+    // NDCG@10: both top-k bodies reused verbatim (the q69 device),
+    // graded relevance k+1-exact_rank, identical ln(rank+1)/ln(2)
+    // discount op order, DECIMAL term sums, one final IEEE divide.
+    "q159_ndcg" ->
+      (s"WITH b AS (\n$q23Body\n), a AS (\n$q24Body\n),\n" +
+        """rel AS (SELECT a.query_id, a.rank,
+          |    coalesce(11 - b.rank, 0)::BIGINT AS rel
+          |  FROM a LEFT JOIN b
+          |    ON b.query_id = a.query_id AND b.corpus_id = a.corpus_id),
+          |dcg AS (SELECT query_id,
+          |    sum((rel::DOUBLE / (ln((rank + 1)::DOUBLE)
+          |      / ln(2.0::DOUBLE)))::DECIMAL(28,10)) AS d,
+          |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hit
+          |  FROM rel GROUP BY 1),
+          |idcg AS (SELECT query_id,
+          |    sum(((11 - rank)::DOUBLE / (ln((rank + 1)::DOUBLE)
+          |      / ln(2.0::DOUBLE)))::DECIMAL(28,10)) AS d
+          |  FROM b GROUP BY 1)
+          |SELECT dcg.query_id, dcg.n_hit,
+          |  round((dcg.d::DOUBLE / idcg.d::DOUBLE)::DECIMAL(28,10), 6)
+          |    ::DOUBLE AS ndcg
+          |FROM dcg JOIN idcg USING (query_id)
+          |ORDER BY dcg.query_id""".stripMargin),
     // Mirrors TextMetrics.assignSplits: same (salt, id) bucket device
     // as q47, cumulative CASE ranges.
     "q72_split_assign" ->
