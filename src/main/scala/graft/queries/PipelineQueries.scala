@@ -1371,6 +1371,35 @@ object PipelineQueries {
         bpeMerges(spark, dir).map { case (_, l, r, _) => (l, r) })
       .orderBy(col("doc_id"))
 
+  /** Tokenizer fertility report over the q76 encoding: per-source
+    * BPE-tokens-per-word and chars-per-token — the metric that decides
+    * whether a tokenizer suits a corpus (high fertility = wasted
+    * sequence length; the multilingual-tokenizer evaluation standard).
+    * Counts ride the q71 merges + q76 kernel (trained once per
+    * session); ratios through the round device, single IEEE divides of
+    * exact integer sums. Rows-only by the q71/q76 contract (iterative
+    * greedy merges have no SQL twin); BpeGoldenSpec pins the sf0.001
+    * dump. */
+  def q160TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Bpe.encode(docs(spark, dir), "doc_id", "text",
+      bpeMerges(spark, dir).map { case (_, l, r, _) => (l, r) })
+    enc.join(docs(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        round((col("n_tokens").cast("double") /
+          col("n_words").cast("double")).cast("decimal(28,10)"), 6)
+          .cast("double").as("fertility"),
+        round((col("n_chars").cast("double") /
+          col("n_tokens").cast("double")).cast("decimal(28,10)"), 6)
+          .cast("double").as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-document 8-gram novelty ([[Dedup.gramNovelty]]) — the
     * duplicate-n-gram quality signal, exhaustive exact-gram form. */
   def q70GramNovelty(spark: SparkSession, dir: String): DataFrame =
@@ -1721,6 +1750,7 @@ object PipelineQueries {
     "q157_loss_mask" -> q157LossMask,
     "q158_backoff_lm" -> q158BackoffLm,
     "q159_ndcg" -> q159NdcgReport,
+    "q160_tokenizer_fertility" -> q160TokenizerFertility,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,

@@ -35,4 +35,21 @@ class BpeGoldenSpec extends AnyFunSuite {
     assert(h == "8d49ccda0b810544e812a3ddc345b1999c224ea8c512a0471279a89d04e41342",
       s"golden hash drifted: got $h over ${lines.length} rows")
   }
+
+  test("q160 tokenizer fertility at sf0.001 matches the pinned golden hash") {
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+    val out = graft.queries.PipelineQueries
+      .q160TokenizerFertility(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    // sanity bounds before the pin: fertility >= 1 (a word is at least
+    // one token) and chars_per_token >= 1
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 1.0 && r.getDouble(5) >= 1.0, r.toString)
+    }
+    val lines = rows.map(_.mkString(",")).sorted.toSeq
+    val h = sha256(lines)
+    assert(lines.nonEmpty)
+    assert(h == "6ffe66113f798a454f1fe65d53896274b3c6d4af5811fc36b0e9ce65227dadcf",
+      s"golden hash drifted: got $h over ${lines.length} rows")
+  }
 }
