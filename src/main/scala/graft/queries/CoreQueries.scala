@@ -296,6 +296,36 @@ object CoreQueries {
       .orderBy(col("interval_id"))
   }
 
+  /** Native relational PIVOT: per-user event counts spread across
+    * event-type columns (the wide activity-profile shape BI layers
+    * read). Spark's `.pivot(col, values)` with the value list given
+    * explicitly — one Expand + one aggregate, no second scan; the
+    * oracle is the equivalent CASE-sum formulation. */
+  def q161PivotActivity(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Native relational UNPIVOT (melt): the q161 wide profile folded
+    * back to (user_id, event_type, n) long form — the
+    * wide-to-long normalization step. Exercises Spark's `unpivot`
+    * operator end-to-end over the pivot output. */
+  def q162UnpivotActivity(spark: SparkSession, dir: String): DataFrame = {
+    val wide = t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+    wide.unpivot(Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"),
+          col("view")),
+        "event_type", "n")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Ordered funnel over the events stream ([[graft.operators.Funnel]]):
     * signup → click within 24 h → purchase within 24 h of the click.
     * One shuffle on user_id; all three step windows and the per-user
@@ -406,7 +436,9 @@ object CoreQueries {
     "q64_asof_join" -> q64AsofJoin,
     "q68_funnel" -> q68Funnel,
     "q109_rate_anomaly" -> q109RateAnomaly,
-    "q152_interval_join" -> q152IntervalJoin)
+    "q152_interval_join" -> q152IntervalJoin,
+    "q161_pivot_activity" -> q161PivotActivity,
+    "q162_unpivot_activity" -> q162UnpivotActivity)
 
   val oracles: Map[String, String] = Map(
     "q139_cohort_retention" ->
@@ -614,6 +646,35 @@ object CoreQueries {
         |       (epoch_us(ts) - epoch_us(click_ts))::BIGINT AS gap_us
         |FROM swept WHERE side = 1
         |ORDER BY purchase_id""".stripMargin,
+    // Mirrors the pivot as CASE sums; counts ::BIGINT. Column names
+    // must equal Spark's pivot output (the bare value strings).
+    "q161_pivot_activity" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |    AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+        |    AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |    AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+        |    AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+        |    AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // The unpivot of the pivot is the plain long count relation with
+    // zero rows materialized for absent types — a per-user × 5-type
+    // grid left-joined to the counts.
+    "q162_unpivot_activity" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |ty AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
+        |    'view']) AS event_type),
+        |c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, ty.event_type,
+        |  coalesce(c.n, 0)::BIGINT AS n
+        |FROM u CROSS JOIN ty
+        |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = ty.event_type
+        |ORDER BY u.user_id, ty.event_type""".stripMargin,
     // The NAIVE range join on purpose: DuckDB plans it as an IEJoin,
     // a completely different algorithm from the Spark-side sweep — if
     // the sweep's inclusive-bound order were off by one tie, the hash
