@@ -41,10 +41,18 @@ object IntervalJoin {
       tsCol: String): DataFrame = {
     require(keys.nonEmpty, "intervalCount: at least one key column")
     val k: Seq[Column] = keys.map(col)
+    // inverted interval (end < start) would silently emit a NEGATIVE
+    // count (its end-probe runs before its start-probe); raise loudly
+    // per row instead — woven INTO the emitted column so ColumnPruning
+    // cannot drop the check (the nbRelevance assert_true device)
+    val checkedStart = when(
+      assert_true(col(startCol) <= col(endCol),
+        lit("intervalCount: interval with start > end")).isNull,
+      col(startCol))
     // side order encodes the inclusive bounds: start-probe (0) sees the
     // count BEFORE equal-ts events (so they land inside), event (1),
     // end-probe (2) sees the count AFTER them
-    val sp = intervals.select(k ++ Seq(col(startCol).as("__ts"),
+    val sp = intervals.select(k ++ Seq(checkedStart.as("__ts"),
       lit(0).as("__side"), col(idCol).cast("long").as("__iid")): _*)
     val ev = events.select(k ++ Seq(col(tsCol).as("__ts"),
       lit(1).as("__side"), lit(null).cast("long").as("__iid")): _*)

@@ -290,11 +290,11 @@ object TopicModel {
         "vocabulary; shrink V (frequency-threshold the vocab) or pass " +
         "countsVia = \"join\" (the vocabulary-partitioned sweep, " +
         "bit-identical output)")
-    if (countsBytes > maxCountsBytes / 4)
+    if (countsVia == "broadcast" && countsBytes > maxCountsBytes / 4)
       System.err.println(s"[graft] trainGeoModel: K*V counts matrix is " +
         s"$countsBytes bytes (K=$K, V=$V) — within maxCountsBytes=" +
         s"$maxCountsBytes but broadcast per sweep; consider a " +
-        "frequency-thresholded vocab at this scale")
+        "frequency-thresholded vocab or countsVia=\"join\" at this scale")
 
     // geography: unit-sphere Cartesian vectors (the qm domain the
     // reference ships; modelLocations' toSpherical inverts it)
@@ -413,9 +413,11 @@ object TopicModel {
     // relation per sweep, in exchange for NO K×V driver/executor
     // materialization at any point.
     def sweepJoin(st: DataFrame, sweepId: Int): DataFrame = {
-      val tok = st.select(col("doc_id"), col("loc"),
+      // loc deliberately NOT carried: the token relation is the
+      // dominant per-sweep shuffle and loc re-joins from the doc spine
+      val tok = st.select(col("doc_id"),
           posexplode(arrays_zip(col("word_ids"), col("z"))).as(Seq("pos", "t")))
-        .select(col("doc_id"), col("loc"), col("pos"),
+        .select(col("doc_id"), col("pos"),
           col("t.word_ids").as("w"), col("t.z").as("zk"))
       val wcnt = tok.groupBy(col("w"), col("zk"))
         .agg(count(lit(1)).as("n"))

@@ -719,7 +719,12 @@ object Multimodal {
               }
               y += 1
             }
-            val out = if (f == 0) None else {
+            // dimension check mirrors the streaming twin
+            // (FrameDiffStream): animated GIFs may legally store
+            // sub-rectangle frames — a mismatched pair emits nothing
+            // (conservative resync) instead of overrunning the smaller
+            // raster or silently diffing a prefix
+            val out = if (f == 0 || prev.length != cur.length) None else {
               var d = 0L
               var i = 0
               while (i < cur.length) { d += math.abs(cur(i) - prev(i)); i += 1 }

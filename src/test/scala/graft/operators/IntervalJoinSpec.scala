@@ -38,6 +38,21 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("inverted interval (end < start) raises loudly, never a negative count") {
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      IntervalJoin.intervalCount(
+        Seq((1L, 9L, 10L, 5L)).toDF("k", "iid", "s", "e"),
+        Seq((1L, 7L)).toDF("k", "ts"),
+        keys = Seq("k"), idCol = "iid", startCol = "s", endCol = "e",
+        tsCol = "ts").collect()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(ex).contains("start > end"))
+  }
+
   test("intervalCount property: sweep equals brute force on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

@@ -183,35 +183,40 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     val splits = Seq(
       Seq(rows.filter(_.doc_id <= 11), rows.filter(_.doc_id > 11)),
       Seq(rows.take(3), rows.slice(3, 9), rows.drop(9)))
-    splits.zipWithIndex.foreach { case (batches, i) =>
-      val stream = MemoryStream[NearDupStream.BandRow]
-      val q = NearDupStream.candidates(stream.toDS(), maxBucket = cap)
-        .writeStream.outputMode("append").format("memory")
-        .queryName(s"nd_tomb_$i")
-        .option("checkpointLocation",
-          Files.createTempDirectory(s"ndt_ckpt_$i").toString)
-        .start()
-      try {
-        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
-      } finally {
-        q.stop()
+    try {
+      splits.zipWithIndex.foreach { case (batches, i) =>
+        val stream = MemoryStream[NearDupStream.BandRow]
+        val q = NearDupStream.candidates(stream.toDS(), maxBucket = cap)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(s"nd_tomb_$i")
+          .option("checkpointLocation",
+            Files.createTempDirectory(s"ndt_ckpt_$i").toString)
+          .start()
+        try {
+          batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+        } finally {
+          q.stop()
+        }
+        val emitted = spark.table(s"nd_tomb_$i")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+            r.getBoolean(3)))
+        val tombs = emitted.collect { case (a, b, band, true) => (a, b, band) }.toSet
+        val net = emitted.collect { case (a, b, band, false) => (a, b, band) }
+          .filterNot(tombs).map { case (a, b, _) => (a, b) }.toSet
+        // split 0 fills "hot" to 2 before overflow -> at least one
+        // retraction must have been exercised
+        if (i == 0) assert(tombs.nonEmpty, "overflow must emit retractions")
+        assert(net == batchWant, s"split $i")
       }
-      val emitted = spark.table(s"nd_tomb_$i")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
-          r.getBoolean(3)))
-      val tombs = emitted.collect { case (a, b, band, true) => (a, b, band) }.toSet
-      val net = emitted.collect { case (a, b, band, false) => (a, b, band) }
-        .filterNot(tombs).map { case (a, b, _) => (a, b) }.toSet
-      // split 0 fills "hot" to 2 before overflow -> at least one
-      // retraction must have been exercised
-      if (i == 0) assert(tombs.nonEmpty, "overflow must emit retractions")
-      assert(net == batchWant, s"split $i")
-    }
-    prevProvider match {
-      case Some(p) =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None =>
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally {
+      // restore in a finally: a failed assert must not leak the RocksDB
+      // provider into later suites sharing the session
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 }
