@@ -1966,8 +1966,14 @@ object TextMetrics {
         size(col("t")).cast("long").as("n_tokens"))
     // one row per window start (1-based, slice semantics), fingerprint
     // = md5 of the space-joined window (both engines emit identical
-    // lowercase hex) — materialized once, consumed by the dup-filter
-    // aggregate AND the join back
+    // lowercase hex). The relation is one ~60-byte row per corpus
+    // token, so it must be read ONCE and never materialized (a
+    // checkpoint here is petabytes at 100 TB): the duplicated-window
+    // filter uses the dense_rank distinct-count window device —
+    // max(dense_rank by doc) over the fp partition = the fp's
+    // distinct-doc count — so ONE fp-keyed shuffle replaces the
+    // aggregate-plus-self-join (which would execute the window build
+    // twice)
     val wins = toks.filter(col("n_tokens") >= k)
       .select(col("doc_id"),
         explode(sequence(lit(1L), col("n_tokens") - (k - 1))).as("s"),
@@ -1975,13 +1981,13 @@ object TextMetrics {
       .select(col("doc_id"), col("s"),
         md5(array_join(slice(col("t"), col("s").cast("int"), lit(k)), " "))
           .as("fp"))
-      .localCheckpoint()
-    val dup = wins.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("fp"))
+    val byFp = Window.partitionBy(col("fp"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-    val covered = wins.join(dup, "fp")
+    val covered = wins
+      .withColumn("_dr", dense_rank().over(byFp.orderBy(col("doc_id"))))
+      .withColumn("_nd", max(col("_dr")).over(byFp))
+      .filter(col("_nd") >= minDocs)
+      .select(col("doc_id"), col("s"))
       .withColumn("prev_s", lag(col("s"), 1).over(w))
       .select(col("doc_id"),
         when(col("prev_s").isNull, lit(k.toLong))
