@@ -1521,6 +1521,37 @@ object PipelineQueries {
         "role", "content")
       .orderBy(col("doc_id"), col("turn_idx"))
 
+  /** CSV round trip ([[graft.sources.Formats.roundtrip]]): documents →
+    * quoted CSV with header → re-read under the EXPLICIT schema →
+    * per-doc digest. The oracle reads the original parquet, so any
+    * loss in the CSV writer/reader pair (quoting, type coercion,
+    * header handling) cannot hash-match. */
+  def q163CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    graft.sources.Formats.roundtrip(
+        docs(spark, dir).select(col("doc_id"), col("source"), col("text")),
+        "csv", path, Map("header" -> "true"))
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ORC round trip — the same proof through the other columnar
+    * format; together with q163 every built-in interchange format on
+    * this image (parquet, CSV, JSON-lines via TweetSource, ORC) has an
+    * executable losslessness witness. */
+  def q164OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    graft.sources.Formats.roundtrip(
+        docs(spark, dir).select(col("doc_id"), col("source"), col("text")),
+        "orc", path)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stupid-backoff trigram LM quality scoring
     * ([[TextMetrics.stupidBackoffScore]]): corpus-LM mean
     * log-likelihood per doc with ×0.4 backoff — the KenLM-style
@@ -1751,6 +1782,8 @@ object PipelineQueries {
     "q158_backoff_lm" -> q158BackoffLm,
     "q159_ndcg" -> q159NdcgReport,
     "q160_tokenizer_fertility" -> q160TokenizerFertility,
+    "q163_csv_roundtrip" -> q163CsvRoundtrip,
+    "q164_orc_roundtrip" -> q164OrcRoundtrip,
     "q62_shuffle_shards" -> q62ShuffleShards,
     "q63_upsample_mix" -> q63UpsampleMix,
     "q65_bm25" -> q65Bm25,
@@ -3029,6 +3062,16 @@ object PipelineQueries {
         |WINDOW w AS (PARTITION BY doc_id ORDER BY turn_idx
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id, turn_idx""".stripMargin),
+    // The roundtrip oracles read the ORIGINAL parquet — a lossy
+    // write→re-read step on the Spark side cannot hash-match.
+    "q163_csv_roundtrip" ->
+      """SELECT doc_id, source, length(text)::BIGINT AS n_chars,
+        |  md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q164_orc_roundtrip" ->
+      """SELECT doc_id, source, length(text)::BIGINT AS n_chars,
+        |  md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Mirrors stupidBackoffScore: identical gram counts (lag windows
     // per doc), identical CASE backoff with 0.4::DOUBLE literals, each
     // ln cast DECIMAL(28,10) before the sum (never summed as double),
