@@ -75,6 +75,29 @@ class IntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("attributionStreaming windowUs=0: only events exactly at the probe ts count") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      IntervalJoin.PointEvent(1L, 10L, 1L, probe = false),
+      IntervalJoin.PointEvent(1L, 10L, 2L, probe = false), // same instant
+      IntervalJoin.PointEvent(1L, 9L, 3L, probe = false),  // 1 us earlier
+      IntervalJoin.PointEvent(1L, 10L, 50L, probe = true),
+      IntervalJoin.PointEvent(1L, 11L, 51L, probe = true))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[IntervalJoin.PointEvent]
+    val q = IntervalJoin.attributionStreaming(stream.toDS(), windowUs = 0L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_zero")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("attr0_ckpt").toString)
+      .start()
+    try { stream.addData(rows); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("attr_zero")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == Map(50L -> 2L, 51L -> 0L))
+  }
+
   test("attributionStreaming equals batch q152 on the real events table") {
     assume(new java.io.File("/root/testdata/sf0.001/events.parquet").exists())
     import spark.implicits._

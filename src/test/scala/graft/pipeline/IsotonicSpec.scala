@@ -55,6 +55,31 @@ class IsotonicSpec extends AnyFunSuite {
     assert(inBinOrder == inBinOrder.sorted, "calibrated must be non-decreasing")
   }
 
+  test("property: PAV equals minimax on 20 random uneven fixtures") {
+    val rnd = new scala.util.Random(17)
+    (1 to 20).foreach { trial =>
+      val b = 3 + rnd.nextInt(6)
+      val stats = (0 until b).map { i =>
+        val n = 1L + rnd.nextInt(12)
+        (i.toLong, n, rnd.nextInt(n.toInt + 1).toLong)
+      }
+      val out = calibrate(obsOf(stats))
+      val want = stats.indices.map { i =>
+        val fitted = (0 to i).map { k =>
+          (i until stats.length).map { j =>
+            val p = (k to j).map(stats(_)._3).sum.toDouble
+            val n = (k to j).map(stats(_)._2).sum.toDouble
+            p / n
+          }.min
+        }.max
+        stats(i)._1 -> BigDecimal(fitted)
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      assert(out == want, s"trial $trial stats=$stats")
+    }
+  }
+
   test("bin-count guard refuses unbounded driver state loudly") {
     val ex = intercept[IllegalArgumentException] {
       TextMetrics.isotonicCalibration(

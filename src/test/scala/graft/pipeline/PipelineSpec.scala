@@ -1180,6 +1180,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(inflated === Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("ndcgReport: perfect ranking scores 1, reversed ranking matches hand math") {
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
+      .toDF("query_id", "rank", "corpus_id")
+    val perfect = Similarity.ndcgReport(exact, exact, k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(perfect == ((3L, 1.0)))
+    // reversed: ids come back in opposite order -> rels [1,2,3] at
+    // ranks [1,2,3]
+    val reversed = Seq((1L, 1L, 12L), (1L, 2L, 11L), (1L, 3L, 10L))
+      .toDF("query_id", "rank", "corpus_id")
+    def disc(rel: Double, rank: Double) =
+      BigDecimal(rel / (math.log(rank + 1.0) / math.log(2.0)))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val dcg = (disc(1, 1) + disc(2, 2) + disc(3, 3)).doubleValue
+    val idcg = (disc(3, 1) + disc(2, 2) + disc(1, 3)).doubleValue
+    val want = BigDecimal(dcg / idcg)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Similarity.ndcgReport(exact, reversed, k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(got == ((3L, want)))
+  }
+
+  test("stupidBackoffScore matches a direct reimplementation on a tiny corpus") {
+    val corpus = Seq((1L, "a b c a b d"), (2L, "a b c c"), (3L, "x"))
+    val got = TextMetrics.stupidBackoffScore(
+        corpus.toDF("doc_id", "text").repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // independent reimplementation straight from the Brants formula
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val all = toks.flatMap(_._2)
+    val n = all.length.toDouble
+    val c1 = all.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val c2 = toks.flatMap(_._2.sliding(2).filter(_.length == 2))
+      .groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val c3 = toks.flatMap(_._2.sliding(3).filter(_.length == 3))
+      .groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    toks.foreach { case (id, ts) =>
+      val terms = (2 until ts.length).map { i =>
+        val (w1, w2, w) = (ts(i - 2), ts(i - 1), ts(i))
+        val s =
+          if (c3.contains(Seq(w1, w2, w)))
+            math.log(c3(Seq(w1, w2, w)) / c2(Seq(w1, w2)))
+          else if (c2.contains(Seq(w2, w)))
+            math.log(0.4 * (c2(Seq(w2, w)) / c1(w2)))
+          else math.log(0.16 * (c1(w) / n))
+        BigDecimal(s).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val want =
+        if (terms.isEmpty) (0L, 0.0)
+        else (terms.length.toLong,
+          BigDecimal(terms.sum.doubleValue / terms.length)
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(got(id) == want, s"doc $id")
+    }
+  }
+
   test("walkCentrality: hand-computed counts on a cycle+star; isolated scores 0") {
     // cycle 1->2->3->1 plus star spokes 4->2, 5->2; 6 isolated
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L), (5L, 2L))
