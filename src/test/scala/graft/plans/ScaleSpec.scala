@@ -454,6 +454,25 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("walkCentrality prunes payload columns — only ids and counts in the plan") {
+    // the operator's 100-TB claim is that every step shuffles only
+    // (id, count) pairs; feed edge/node relations carrying a heavy
+    // payload column and assert it never reaches the executed plan
+    import spark.implicits._
+    val edges = Seq((1L, 2L, "heavy_edge_payload"), (2L, 3L, "x"))
+      .toDF("src", "dst", "edge_payload")
+    val nodes = Seq((1L, "heavy_node_payload"), (2L, "y"), (3L, "z"))
+      .toDF("id", "node_payload")
+    val df = graft.pipeline.Similarity.walkCentrality(
+      edges, "src", "dst", nodes, "id", steps = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("edge_payload") && !plan.contains("node_payload"),
+      "payload column leaked into the walk-centrality plan:\n" +
+        plan.take(2500))
+  }
+
   test("compactFiles: fragmented table rewrites to byte-derived count, clustered, lossless") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("frag").toString

@@ -29,6 +29,15 @@ class FormatsSpec extends AnyFunSuite {
     assert(back(5L) == "12345") // string, not coerced
   }
 
+  test("JSON-lines round trip is lossless under the explicit schema") {
+    val df = nasty.toDF("id", "v")
+    val path = java.nio.file.Files.createTempDirectory("fmt_json").toString
+    val back = Formats.roundtrip(df, "json", path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == nasty.toMap)
+    assert(back(5L) == "12345") // string, not re-inferred as a number
+  }
+
   test("ORC round trip is lossless and schema-exact") {
     val df = nasty.toDF("id", "v")
     val path = java.nio.file.Files.createTempDirectory("fmt_orc").toString
