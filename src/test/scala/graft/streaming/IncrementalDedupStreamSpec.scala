@@ -158,6 +158,48 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       s"doc 3 must dedup against the checkpoint-restored canonical 1, got $events")
   }
 
+  test("transformWithState ListState survives a query restart (band candidates)") {
+    // the W6 restart proof for the transformWithState/RocksDB path:
+    // bucket mates from batch 1 must pair with batch-2 arrivals through
+    // a FULL query restart — ListState recovered, not rebuilt
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("nd_restart_ckpt").toString
+    val outDir = Files.createTempDirectory("nd_restart_out").toString
+    val stream = MemoryStream[NearDupStream.BandRow]
+    def start() = NearDupStream.candidates(stream.toDS())
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val q1 = start()
+      stream.addData(Seq(NearDupStream.BandRow(1L, 0, "b"),
+        NearDupStream.BandRow(2L, 0, "b")))
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = start()
+      stream.addData(Seq(NearDupStream.BandRow(3L, 0, "b")))
+      q2.processAllAvailable()
+      q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val pairs = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) within batch 1; (1,3) and (2,3) require the RESTORED list
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("maxBucket tombstone-on-overflow: net streamed candidates equal batch for any split") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
