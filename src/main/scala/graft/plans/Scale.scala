@@ -175,6 +175,8 @@ object Scale {
         else Nil
       }
     val before = dataFiles(new org.apache.hadoop.fs.Path(inPath))
+    require(before.nonEmpty,
+      s"compactFiles: no parquet data files under $inPath")
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
