@@ -31,8 +31,13 @@ import scala.util.control.NonFatal
   * local min-of-3 on the same binary): "cal" in the line is a fixed-size
   * in-memory calibration aggregate (min-of-3) timed after warm-up —
   * a degraded/throttled container shows up there, independent of any
-  * query code. bench_detail.json adds per-run times, calibration runs,
-  * total JVM GC millis and peak RSS.
+  * query code. "memcal" (r12, the r11 divergence adjudicator) is its
+  * memory-side sibling: a fixed-size persist+scan through the unified
+  * storage pool, sensitive to heap pressure and eviction where cal is
+  * CPU-only. bench_detail.json adds per-run times, calibration runs,
+  * total JVM GC millis, peak RSS, and a per-query map of
+  * {rss_kb, gc_ms, cached_kb, resident cache families} so sweep-position
+  * residency effects are attributable from the artifact alone.
   *
   * Before timing, every input table is scanned once (count) so the first
   * measured query doesn't absorb one-time costs — parquet footer reads,
@@ -103,6 +108,45 @@ object Bench {
     calOnce() // codegen warm-up, not measured
     val calRuns = (1 to runs).map(_ => calOnce())
     val cal = calRuns.min
+    // Memory canary: cal is CPU-bound and blind to memory pressure (r11:
+    // driver sweep 25% slower + 3× RSS with cal moving only +9%). This
+    // one persists a fixed ~320 MB relation into the unified storage
+    // pool and scans it twice — heap pressure, eviction/recompute, or a
+    // host with degraded memory bandwidth shows up HERE while cal stays
+    // flat. Fixed size, input-independent; local baseline ≈0.3–0.8 s at
+    // 32 cores / 8 GiB heap.
+    def memCalOnce(): Double = {
+      val df = spark.range(20L * 1000 * 1000)
+        .select(col("id"), (col("id") * 2654435761L + 12345L).as("a"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val t0 = System.nanoTime()
+      df.count() // populate the cache
+      // mod keeps the 20M-row sum ~2e13, far from Long overflow
+      (1 to 2).foreach(_ => df.select(sum(col("a") % 1000003L + col("id"))).collect())
+      val dt = (System.nanoTime() - t0) / 1e9
+      df.unpersist(blocking = true)
+      dt
+    }
+    memCalOnce() // warm-up (codegen + block-manager paths), not measured
+    val memCalRuns = (1 to runs).map(_ => memCalOnce())
+    val memcal = memCalRuns.min
+    // Per-query telemetry for the sidecar: current RSS (not the
+    // monotonic HWM), cumulative JVM GC millis, and Spark storage-pool
+    // occupancy — so a sweep-position residency effect (r11's q14–q19
+    // stretch) is attributable from the artifact alone.
+    def rssNowKb(): Long =
+      try scala.io.Source.fromFile("/proc/self/status").getLines()
+        .collectFirst { case l if l.startsWith("VmRSS:") =>
+          l.split("\\s+")(1).toLong }.getOrElse(-1L)
+      catch { case NonFatal(_) => -1L }
+    def gcNowMs(): Long = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans)
+      .asScala.map(_.getCollectionTime.max(0L)).sum
+    def cachedKb(): Long =
+      try {
+        val info = spark.sparkContext.getRDDStorageInfo
+        (info.map(_.memSize).sum + info.map(_.diskSize).sum) / 1024
+      } catch { case NonFatal(_) => -1L }
     // SPARK_GRAFT_ONLY=q42_repetition,q66_pmi — iterate on a subset
     // without paying the full sweep; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -123,22 +167,31 @@ object Bench {
     // release point is >= its last consumer's position, for any query
     // set and any naming. CacheLifecycleSpec pins the declared sets to
     // the empirical CacheRegistry touches.
-    val releaseAt: Map[Int, Seq[(String, () => Unit)]] =
+    val famSpans: Seq[(String, Int, Int, () => Unit)] =
       SparkEntry.cacheFamilies.toSeq.flatMap { case (fam, cf) =>
         cf.consumers.filterNot(SparkEntry.queries.contains).foreach { m =>
           System.err.println(
             s"[bench] WARNING: cache family '$fam' declares unknown consumer '$m'")
         }
         val idxs = cf.consumers.map(sweepNames.indexOf).filter(_ >= 0)
-        if (idxs.isEmpty) None else Some((idxs.max, fam, cf.release))
-      }.groupBy(_._1).map { case (i, fs) =>
-        i -> fs.map { case (_, fam, rel) => (fam, rel) }
+        if (idxs.isEmpty) None else Some((fam, idxs.min, idxs.max, cf.release))
       }
+    val releaseAt: Map[Int, Seq[(String, () => Unit)]] =
+      famSpans.groupBy(_._3).map { case (i, fs) =>
+        i -> fs.map { case (fam, _, _, rel) => (fam, rel) }
+      }
+    // Families whose declared consumer span covers sweep position `pos` —
+    // the cache-occupancy column: built at the first consumer, dropped
+    // right after the last.
+    def residentFams(pos: Int): Seq[String] =
+      famSpans.collect { case (fam, lo, hi, _) if lo <= pos && pos <= hi => fam }
+        .sorted
     releaseAt.toSeq.sortBy(_._1).foreach { case (i, fams) =>
       System.err.println(s"[bench] release plan: ${fams.map(_._1).mkString(",")} " +
         s"after #$i ${sweepNames(i)}")
     }
     val results = sweep.zipWithIndex.map { case ((name, fn), pos) =>
+      val gc0 = gcNowMs()
       val timed = (1 to runs).map { i =>
         val t0 = System.nanoTime()
         val ok =
@@ -156,6 +209,9 @@ object Bench {
       // to the raw min (the query is in "failed" either way).
       val good = timed.collect { case (t, true) => t }
       val best = if (good.nonEmpty) good.min else timed.map(_._1).min
+      // Telemetry snapshot BEFORE the release hook: this is the state the
+      // query actually ran under (resident families + their bytes).
+      val tele = (rssNowKb(), gcNowMs() - gc0, cachedKb(), residentFams(pos))
       // bounded cache story: drop a family's shared caches once the
       // sweep is past its computed last consumer (outside the timed runs)
       releaseAt.getOrElse(pos, Nil).foreach { case (fam, rel) =>
@@ -164,14 +220,22 @@ object Bench {
           s"(computed last consumer); persistent RDDs now " +
           s"${spark.sparkContext.getPersistentRDDs.size}")
       }
-      (name, best, timed)
+      (name, best, timed, tele)
     }
     // crashed runs emit null, not their near-zero crash duration — a
     // consumer computing spread/mean from all_runs must not absorb them
-    val raw = results.map { case (k, _, ts) =>
+    val raw = results.map { case (k, _, ts, _) =>
       "\"" + k + "\":" + ts.map { case (t, ok) =>
         if (ok) f"$t%.3f" else "null"
       }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // Per-query residency telemetry (r11 adjudication: WHICH queries ran
+    // with WHAT resident, and what RSS/GC they saw — the three columns
+    // that distinguish a cache-release bug from container memory
+    // pressure).
+    val perQuery = results.map { case (k, _, _, (rss, gcD, cMb, fams)) =>
+      "\"" + k + "\":" + s"""{"rss_kb":$rss,"gc_ms":$gcD,"cached_kb":$cMb,""" +
+        "\"fams\":" + fams.map("\"" + _ + "\"").mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     val fl = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -190,19 +254,23 @@ object Bench {
     // per-run detail blew that budget (r3–r6 all arrived truncated), so
     // the raw runs + telemetry go to a sidecar file and the line stays
     // compact (re-measure its length whenever queries are added).
+    val memCalRaw = memCalRuns.map(t => f"$t%.3f").mkString("[", ",", "]")
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"cal":$cal%.3f,"cal_runs":$calRaw,"gc_ms":$gcMs,"rss_peak_kb":$rssPeakKb,"all_runs":$raw,"failed":$fl,"sf":"$sf"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"cal":$cal%.3f,"cal_runs":$calRaw,"memcal":$memcal%.3f,"memcal_runs":$memCalRaw,"gc_ms":$gcMs,"rss_peak_kb":$rssPeakKb,"all_runs":$raw,"per_query":$perQuery,"failed":$fl,"sf":"$sf"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
     catch { case NonFatal(e) => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     def headline(queries: String, failedList: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"cal":$cal%.3f,"queries":$queries,"failed":$failedList,"sf":"$sf"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"cal":$cal%.3f,"memcal":$memcal%.3f,"queries":$queries,"failed":$failedList,"sf":"$sf"}"""
     // The line is the LAST stdout line, so the consumer's 2000-char tail
     // clips preceding lines, not the JSON — the hard cap is line+\n <= 2000.
     // fitHeadline picks full names → qNN prefixes → no per-query map
     // (bench_detail.json always carries full names + per-run times).
+    // SPARK_GRAFT_HEADLINE_CAP: test-only override (driver never sets it)
+    // to force a lower tier end-to-end — the tier-3 dry-run knob (r12).
+    val cap = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_CAP", "1990").toInt
     val (line, tier) = fitHeadline(headline,
-      results.map { case (k, v, _) => (k, v) }, failed.sorted)
+      results.map { case (k, v, _, _) => (k, v) }, failed.sorted, cap)
     if (tier > 1) System.err.println(
       s"[bench] full-name headline over 1990 chars: using tier-$tier form" +
         (if (tier == 3) " (per-query times in bench_detail.json only)" else ""))

@@ -54,5 +54,6 @@ object SparkEntry {
     * keeps its cache for the session — this hook exists for the
     * all-families sweep shape. */
   def cacheFamilies: Map[String, CacheFamily] =
-    OperatorQueries.cacheFamilies ++ PipelineQueries.cacheFamilies
+    CoreQueries.cacheFamilies ++ OperatorQueries.cacheFamilies ++
+      PipelineQueries.cacheFamilies
 }

@@ -80,15 +80,6 @@ object Contract {
         (col("n_violations") === 0L).as("pass"))
   }
 
-  /** Snapshot diff — the dataset-versioning report run when a corpus
-    * refresh lands: per id, `added` (new in B), `removed` (gone from
-    * B), `changed` (same id, different content hash), or `unchanged`.
-    * The audit that gates incremental retraining (how much actually
-    * moved?) and catches silent upstream rewrites.
-    *
-    * Scale shape: both snapshots project to (id, md5) — the text
-    * payload never shuffles — then ONE id-keyed full-outer join; the
-    * status is a map-side CASE over the two hash columns. */
   /** Conversation-structure contract — the SFT/chat-data validation a
     * training pipeline runs before templating: per conversation,
     * (a) the first turn is the user's, (b) the last is the
@@ -150,6 +141,15 @@ object Contract {
           .as("train_tokens"))
   }
 
+  /** Snapshot diff — the dataset-versioning report run when a corpus
+    * refresh lands: per id, `added` (new in B), `removed` (gone from
+    * B), `changed` (same id, different content hash), or `unchanged`.
+    * The audit that gates incremental retraining (how much actually
+    * moved?) and catches silent upstream rewrites.
+    *
+    * Scale shape: both snapshots project to (id, md5) — the text
+    * payload never shuffles — then ONE id-keyed full-outer join; the
+    * status is a map-side CASE over the two hash columns. */
   def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val ha = a.select(col(idCol), md5(col(textCol)).as("_ha"))

@@ -1926,19 +1926,6 @@ object TextMetrics {
           .as("weight"))
   }
 
-  /** Cross-document duplicated-substring detection (the Lee et al. 2022
-    * "Deduplicating Training Data" signal at fingerprint granularity):
-    * a document's winnowing fingerprints ([[winnowFingerprints]])
-    * deterministically cover its k-gram substrings, so a fingerprint
-    * appearing in ≥ 2 documents witnesses a shared substring; the
-    * per-document shared fraction ranks boilerplate/template-heavy
-    * documents for span-level dedup.
-    *
-    * Scale shape: fingerprinting is per-row scan work; afterwards only
-    * (doc_id, fp) pairs — 8-byte keys, never text — shuffle: one hash
-    * aggregate to fingerprint granularity, one equi-join back, one
-    * doc-keyed rollup. Fingerprint-key multiplicity is true duplication
-    * multiplicity (same no-pathological-skew argument as chunk dedup). */
   /** Duplicate-SPAN coverage (the Lee et al. 2022 "Deduplicating
     * Training Data" substring metric): the fraction of each document's
     * tokens covered by at least one k-token window that also appears
@@ -2003,6 +1990,19 @@ object TextMetrics {
           .cast("double").as("dup_frac"))
   }
 
+  /** Cross-document duplicated-substring detection (the Lee et al. 2022
+    * "Deduplicating Training Data" signal at fingerprint granularity):
+    * a document's winnowing fingerprints ([[winnowFingerprints]])
+    * deterministically cover its k-gram substrings, so a fingerprint
+    * appearing in ≥ 2 documents witnesses a shared substring; the
+    * per-document shared fraction ranks boilerplate/template-heavy
+    * documents for span-level dedup.
+    *
+    * Scale shape: fingerprinting is per-row scan work; afterwards only
+    * (doc_id, fp) pairs — 8-byte keys, never text — shuffle: one hash
+    * aggregate to fingerprint granularity, one equi-join back, one
+    * doc-keyed rollup. Fingerprint-key multiplicity is true duplication
+    * multiplicity (same no-pathological-skew argument as chunk dedup). */
   def sharedSubstringStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     // materialize the fingerprint relation once: it feeds the shared-fp

@@ -22,6 +22,47 @@ object CoreQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Shared raw-events scan, cached per (session, sf dir): 13 queries
+    * (tumbling windows, sessionization, as-of/interval joins, funnel,
+    * pivot/unpivot, cohorts, the tweet-adapter prefix) each re-read and
+    * re-canonicalize the same events parquet — the largest shared-scan
+    * surface that had no cache family (every other hot relation — tf,
+    * minhash, embeddings, stemidx — already has one). One scan into
+    * executor-local columnar cache instead of 13 footer+decode passes;
+    * at cluster scale this is the difference between one read of the
+    * event log and a dozen. */
+  private val sharedEvents =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private[queries] def eventsScan(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("evscan")
+    sharedEvents.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Tables.load(spark, dir, "events").cache())
+  }
+
+  /** Drop the shared raw-events scan cache. */
+  def releaseEventsScanCache(): Unit =
+    sharedEvents.keys.toSeq.foreach(k => sharedEvents.remove(k).foreach { df =>
+      try df.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () }
+    })
+
+  /** Shared-cache families owned by this object — consumers verified
+    * against the empirical [[CacheRegistry]] touches by
+    * CacheLifecycleSpec; Bench computes release positions from them.
+    * Transitive edges: q12 is the first normalized-events consumer in
+    * sweep order, so it builds the "events" (normalized) cache FROM the
+    * raw scan and appears in both sets; q18's punctuation window reads
+    * the raw scan directly. */
+  def cacheFamilies: Map[String, CacheFamily] = Map(
+    "evscan" -> CacheFamily(
+      Set("q09_tumbling_windows", "q10_sessionize", "q11_twitter_ts_parse",
+        "q12_interaction_counts", "q18_punctuation_window",
+        "q38_session_window_native", "q64_asof_join", "q68_funnel",
+        "q109_rate_anomaly", "q139_cohort_retention", "q152_interval_join",
+        "q161_pivot_activity", "q162_unpivot_activity"),
+      () => releaseEventsScanCache()))
+
   /** Timestamp output discipline: every emitted timestamp column is
     * formatted to a fixed-width string on BOTH sides (Spark date_format /
     * DuckDB strftime) — naive-vs-UTC parquet annotations and engine
@@ -158,7 +199,7 @@ object CoreQueries {
   /** Epoch-aligned tumbling windows (idiomatic mode of W1, SURVEY §2.7):
     * daily event counts/sums per type via window(). */
   def q09TumblingWindows(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+    eventsScan(spark, dir)
       .groupBy(tsStr(window(col("ts"), "1 day").getField("start")).as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("sum_value"))
@@ -179,7 +220,7 @@ object CoreQueries {
     * (bounded by types × hours, corpus-size-independent), then pure
     * window math partitioned by type — one exchange on event_type. */
   def q109RateAnomaly(spark: SparkSession, dir: String): DataFrame =
-    rateAnomalyOf(t(spark, dir, "events"))
+    rateAnomalyOf(eventsScan(spark, dir))
 
   /** [[q109RateAnomaly]] over a caller-supplied events frame (spec path). */
   def rateAnomalyOf(events: DataFrame): DataFrame = {
@@ -218,7 +259,7 @@ object CoreQueries {
     * one shuffle on (user_id), then pure window math. */
   def q10Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    t(spark, dir, "events")
+    eventsScan(spark, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -242,7 +283,7 @@ object CoreQueries {
     * (an event AT start+gap opens a NEW session here) — mirrored in the
     * oracle with >=. */
   def q38SessionWindowNative(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+    eventsScan(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("sum_value"))
       .select(col("user_id"),
@@ -259,7 +300,7 @@ object CoreQueries {
     * (running `last_value IGNORE NULLS`) rather than DuckDB's ASOF JOIN,
     * whose equal-ts tie order among right rows is unspecified. */
   def q64AsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
+    val ev = eventsScan(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -283,7 +324,7 @@ object CoreQueries {
     * entirely), so the sweep's boundary semantics are adversarially
     * verified bit-for-bit. */
   def q152IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
+    val ev = eventsScan(spark, dir)
     val windows = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("interval_id"),
         (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"),
@@ -302,7 +343,7 @@ object CoreQueries {
     * explicitly — one Expand + one aggregate, no second scan; the
     * oracle is the equivalent CASE-sum formulation. */
   def q161PivotActivity(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+    eventsScan(spark, dir)
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
@@ -314,7 +355,7 @@ object CoreQueries {
     * wide-to-long normalization step. Exercises Spark's `unpivot`
     * operator end-to-end over the pivot output. */
   def q162UnpivotActivity(spark: SparkSession, dir: String): DataFrame = {
-    val wide = t(spark, dir, "events")
+    val wide = eventsScan(spark, dir)
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
@@ -333,7 +374,7 @@ object CoreQueries {
     * per-step join formulation — values identical (same min over the
     * same sets), mechanism deliberately different. */
   def q68Funnel(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Funnel.funnel(t(spark, dir, "events"),
+    graft.operators.Funnel.funnel(eventsScan(spark, dir),
         "user_id", "ts", "event_type",
         steps = Seq("signup", "click", "purchase"), maxGap = "24 hours")
       .select(col("user_id"),
@@ -349,7 +390,7 @@ object CoreQueries {
     * [[graft.functions.TextFunctions.parseTwitterTime]]). */
   def q11TwitterTsParse(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
-    t(spark, dir, "events")
+    eventsScan(spark, dir)
       .filter(col("event_id") < 1000)
       .select(col("event_id"),
         formatTwitterTime(col("ts")).as("twitter_ts"),
@@ -404,7 +445,7 @@ object CoreQueries {
     * truncation and diff are integer-exact on both engines under the
     * UTC session. */
   def q139CohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val act = t(spark, dir, "events")
+    val act = eventsScan(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .distinct()
     val first = act.groupBy(col("user_id")).agg(min(col("d")).as("d0"))

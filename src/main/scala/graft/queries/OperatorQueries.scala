@@ -20,8 +20,11 @@ import graft.streaming.PunctuationWindow
   */
 object OperatorQueries {
 
+  // Rides the shared raw-events scan (CoreQueries "evscan" family): the
+  // tweet-adapter prefix and the punctuation window read the same parquet
+  // the core event queries do.
   private def events(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    CoreQueries.eventsScan(spark, dir)
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 

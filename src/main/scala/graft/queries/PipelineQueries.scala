@@ -1526,8 +1526,16 @@ object PipelineQueries {
     * per-doc digest. The oracle reads the original parquet, so any
     * loss in the CSV writer/reader pair (quoting, type coercion,
     * header handling) cannot hash-match. */
+  /** One interchange scratch path per (session, format): Bench re-runs
+    * each roundtrip query `runs` times — a fresh createTempDirectory per
+    * invocation leaked one full copy of the documents table to /tmp per
+    * run (r11 advice); overwrite mode makes a stable path idempotent. */
+  private def rtPath(spark: SparkSession, dir: String, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${spark.sparkContext.applicationId}/" +
+      s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$tag" // per-SF-dir: the re-read is lazy
+
   def q163CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val path = rtPath(spark, dir, "csv")
     graft.sources.Formats.roundtrip(
         docs(spark, dir).select(col("doc_id"), col("source"), col("text")),
         "csv", path, Map("header" -> "true"))
@@ -1542,7 +1550,7 @@ object PipelineQueries {
     * this image (parquet, CSV, JSON-lines via TweetSource, ORC) has an
     * executable losslessness witness. */
   def q164OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val path = rtPath(spark, dir, "orc")
     graft.sources.Formats.roundtrip(
         docs(spark, dir).select(col("doc_id"), col("source"), col("text")),
         "orc", path)

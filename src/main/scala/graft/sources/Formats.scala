@@ -36,8 +36,14 @@ object Formats {
     require(format.nonEmpty, "roundtrip: format required")
     val opts =
       if (format == "csv")
+        // multiLine on the READ side is what actually honors quoted
+        // embedded newlines (the default line-mode reader splits a
+        // quoted record at \n regardless of writer quoting); escape is
+        // pinned explicitly so writer and reader can never drift.
         Map("ignoreLeadingWhiteSpace" -> "false",
-          "ignoreTrailingWhiteSpace" -> "false") ++ options
+          "ignoreTrailingWhiteSpace" -> "false",
+          "multiLine" -> "true",
+          "escape" -> "\"") ++ options
       else options
     df.write.mode("overwrite").options(opts).format(format).save(path)
     df.sparkSession.read.schema(df.schema).options(opts)

@@ -31,6 +31,15 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * NET candidate set `{(a,b) | emitted ∧ ¬tombstoned}` equals the
   * batch `lshCandidates(banded, maxBucket)` set for any arrival order
   * and any batch split (IncrementalDedupStreamSpec pins this).
+  * PRECONDITION — doc-distinct band rows: the parity claim holds when
+  * each (band, band_key, doc_id) row appears once across the stream.
+  * Batch `capOccupancy` counts RAW rows (a duplicate row double-counts
+  * toward `maxBucket`) while this processor dedups re-arrivals before
+  * counting, so duplicated band rows — e.g. at-least-once source
+  * redelivery — can cap a bucket in batch but not here. The lshBands
+  * shape is doc-distinct by construction (one signature row per doc);
+  * feed an exactly-once or deduplicated stream, or `distinct` the
+  * banded relation before the batch comparison.
   * Downstream verify joins filter `!tombstone` pairs against the
   * tombstoned set (an anti-join on (doc_a, doc_b, band)).
   *

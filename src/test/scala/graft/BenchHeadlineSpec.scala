@@ -10,8 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * the per-round headroom re-check. */
 class BenchHeadlineSpec extends AnyFunSuite {
 
+  // Mirrors Bench.main's real headline template (incl. the r12 memcal
+  // field) so the tier cutovers asserted here track the live line.
   private def mk(qs: String, fl: String): String =
-    s"""{"metric":"total","value":12.345,"unit":"sec","runs":3,"cal":0.150,"queries":$qs,"failed":$fl,"sf":"0.1"}"""
+    s"""{"metric":"total","value":12.345,"unit":"sec","runs":3,"cal":0.150,"memcal":0.550,"queries":$qs,"failed":$fl,"sf":"0.1"}"""
 
   private def entries(n: Int): Seq[(String, Double)] =
     (1 to n).map(i => (f"q${i}%d_some_operator_name", 1.23))

@@ -22,8 +22,10 @@ class FormatsSpec extends AnyFunSuite {
   test("CSV round trip preserves every adversarial value under the explicit schema") {
     val df = nasty.toDF("id", "v")
     val path = java.nio.file.Files.createTempDirectory("fmt_csv").toString
-    val back = Formats.roundtrip(df, "csv", path,
-        Map("header" -> "true", "multiLine" -> "true"))
+    // no multiLine here on purpose: the helper's own pinned defaults
+    // must survive the embedded-newline row (r11 advice: the claim held
+    // only when the CALLER remembered the option)
+    val back = Formats.roundtrip(df, "csv", path, Map("header" -> "true"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(back == nasty.toMap)
     assert(back(5L) == "12345") // string, not coerced
