@@ -78,6 +78,46 @@ object IntervalJoin {
       .drop("__iid", "__c0", "__c1")
   }
 
+  /** Idiomatic STOCK formulation of streaming attribution — Spark's
+    * native watermarked stream-stream inner join (the documented
+    * impression/click pattern), beside the [[attributionStreaming]]
+    * fold kernel. Each probe row (a purchase) joins every same-key
+    * event with `probeTs − window <= ts <= probeTs` (inclusive both
+    * ends, the q152 trailing-window semantics); the output is one MATCH
+    * row per (probe, event) pair — downstream counts per probe id.
+    *
+    * This is the formulation a Spark user reaches for first, and the
+    * state-size trade vs the fold kernel is why the kernel exists:
+    * the native join buffers BOTH sides in the state store until the
+    * watermark passes (events for `window + watermark delay`, probes
+    * for the delay) and emits |matches| rows — O(events-in-window) per
+    * probe — where the fold holds ONE window of timestamps per key and
+    * emits one count row per probe. Zero-match probes never emit here
+    * (inner join); the fold emits their 0 rows. Exactly-bounded state
+    * requires BOTH inputs watermarked and the range condition tying the
+    * two event-time columns, which this helper pins by construction.
+    *
+    * @param probes  streaming frame: keys + `idCol` + `probeTsCol`
+    * @param events  streaming frame: keys + `tsCol`
+    * @param window  trailing-window SQL interval literal (e.g. "1 hour")
+    * @param delay   watermark delay for both sides (e.g. "0 seconds")
+    * @return keys + `idCol` + `probeTsCol` + matched `tsCol` */
+  def attributionStreamingNative(probes: DataFrame, events: DataFrame,
+      keys: Seq[String], idCol: String, probeTsCol: String, tsCol: String,
+      window: String, delay: String): DataFrame = {
+    require(keys.nonEmpty, "attributionStreamingNative: at least one key")
+    val p = probes.withWatermark(probeTsCol, delay).alias("__p")
+    val e = events.withWatermark(tsCol, delay).alias("__e")
+    val keyCond = keys.map(k => col(s"__p.$k") === col(s"__e.$k"))
+      .reduce(_ && _)
+    val rangeCond =
+      col(s"__e.$tsCol") >= col(s"__p.$probeTsCol") - expr(s"INTERVAL $window") &&
+      col(s"__e.$tsCol") <= col(s"__p.$probeTsCol")
+    p.join(e, keyCond && rangeCond, "inner")
+      .select(keys.map(k => col(s"__p.$k")) ++
+        Seq(col(s"__p.$idCol"), col(s"__p.$probeTsCol"), col(s"__e.$tsCol")): _*)
+  }
+
   /** One stream row: `probe = false` is a point event; `probe = true`
     * asks for the count of events in `[ts_us − window, ts_us]`. A row
     * that is both (the purchase that both counts and probes) is fed

@@ -161,4 +161,36 @@ object Contract {
           .when(col("_ha") =!= col("_hb"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** MERGE-style corpus refresh — the operation [[snapshotDiff]] only
+    * REPORTS: apply snapshot B over current corpus A as an idempotent
+    * upsert/delete rewrite. The result is the new corpus — one row per
+    * B id carrying ALL of B's columns — tagged `status` ∈
+    * {added, changed, unchanged} (ids absent from B are deleted by
+    * construction; [[refreshAudit]] counts them). Applying the same
+    * snapshot twice is a no-op: the second pass re-emits B with every
+    * status `unchanged` (ContractSpec pins this).
+    *
+    * Scale shape: A contributes only (id, md5) to the join — the
+    * outgoing corpus text never shuffles off the B side beyond the one
+    * id-keyed exchange; verdicts are a map-side CASE. */
+  def applySnapshot(current: DataFrame, refresh: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ha = current.select(col(idCol), md5(col(textCol)).as("_ha"))
+    refresh.join(ha, Seq(idCol), "left")
+      .withColumn("status",
+        when(col("_ha").isNull, "added")
+          .when(col("_ha") =!= md5(col(textCol)), "changed")
+          .otherwise("unchanged"))
+      .drop("_ha")
+  }
+
+  /** Audit counts for a corpus refresh: rows per [[snapshotDiff]]
+    * verdict — the one-line log a production refresh records before
+    * committing the rewrite (how much actually moved?). */
+  def refreshAudit(current: DataFrame, refresh: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    snapshotDiff(current, refresh, idCol, textCol)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"))
 }

@@ -388,8 +388,15 @@ object OperatorQueries {
         col("word_ids"))
     val geo = TrainerCorpus.geoFilter(corpus, "lat", "lon")
       .filter(size(col("word_ids")) > 0) // F8
+    // countsVia default = "join" (r12, deliberate): the benched number
+    // should quote the 100-TB path. Measured at sf0.1 (min-of-3):
+    // join 6.81 s vs broadcast 5.32 s — 1.28×, within the accepted bar;
+    // the join sweep never materializes K×V anywhere, so it is the form
+    // that survives a production vocabulary. Outputs are bit-identical
+    // (TopicModelTrainerSpec); the env knob remains for A/B.
     val model = TopicModel.trainGeoModel(geo,
-      numTopics = 4, numLocations = 5, iters = 3)
+      numTopics = 4, numLocations = 5, iters = 3,
+      countsVia = sys.env.getOrElse("SPARK_GRAFT_Q135_COUNTS", "join"))
     TopicModel.modelMatrices(spark, model)
       .withColumn("value", round(col("value").cast("decimal(28,10)"), 6)
         .cast("double"))

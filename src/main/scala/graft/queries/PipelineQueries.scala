@@ -772,15 +772,40 @@ object PipelineQueries {
     * deterministically simulated refresh — every 7th doc deleted, every
     * 5th rewritten, every 11th spawning a new id — one full-outer hash
     * join, per-id status. */
-  def q130SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val a = docs(spark, dir)
-    val b = a.filter(col("doc_id") % 7 =!= 0)
+  /** The deterministically simulated refresh shared by q130/q165/q166:
+    * every 7th doc deleted, every 5th rewritten, every 11th spawning a
+    * new id. */
+  private def simulatedRefresh(a: DataFrame): DataFrame =
+    a.filter(col("doc_id") % 7 =!= 0)
       .withColumn("text", when(col("doc_id") % 5 === 0,
         concat(col("text"), lit(" v2"))).otherwise(col("text")))
       .unionByName(a.filter(col("doc_id") % 11 === 0)
         .withColumn("doc_id", col("doc_id") + 100000L))
-    Contract.snapshotDiff(a, b, "doc_id", "text")
+
+  def q130SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = docs(spark, dir)
+    Contract.snapshotDiff(a, simulatedRefresh(a), "doc_id", "text")
       .orderBy(col("doc_id"))
+  }
+
+  /** MERGE-style corpus refresh APPLIED ([[Contract.applySnapshot]]):
+    * the q130 diff as an actual idempotent upsert/delete rewrite — the
+    * new corpus, one row per refresh id with its per-row verdict; text
+    * emitted as a digest so the hashed output stays narrow. */
+  def q165ApplySnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val a = docs(spark, dir)
+    Contract.applySnapshot(a, simulatedRefresh(a), "doc_id", "text")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"),
+        col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Refresh audit counts ([[Contract.refreshAudit]]): docs per
+    * verdict — the commit-gating one-liner of the q165 rewrite. */
+  def q166RefreshAudit(spark: SparkSession, dir: String): DataFrame = {
+    val a = docs(spark, dir)
+    Contract.refreshAudit(a, simulatedRefresh(a), "doc_id", "text")
+      .orderBy(col("status"))
   }
 
   /** Embeddings-table data contract ([[Contract.embeddingsContract]]):
@@ -1736,6 +1761,8 @@ object PipelineQueries {
     "q128_stratified_sample" -> q128StratifiedSample,
     "q129_budget_trim" -> q129BudgetTrim,
     "q130_snapshot_diff" -> q130SnapshotDiff,
+    "q165_apply_snapshot" -> q165ApplySnapshot,
+    "q166_refresh_audit" -> q166RefreshAudit,
     "q131_pixel_dedup" -> q131PixelDedup,
     "q132_unicode_canonical" -> q132UnicodeCanonical,
     "q134_audio_dedup" -> q134AudioDedup,
@@ -4237,6 +4264,41 @@ object PipelineQueries {
         |       ELSE 'unchanged' END AS status
         |FROM a FULL OUTER JOIN b USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Mirrors Contract.applySnapshot over the same simulated refresh:
+    // the refresh side keeps its full row; the current corpus joins in
+    // as (id, md5) only.
+    "q165_apply_snapshot" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+        |b AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS t
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, source, text AS t
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT b.doc_id, b.source, md5(b.t) AS text_md5,
+        |  CASE WHEN a.ha IS NULL THEN 'added'
+        |       WHEN a.ha <> md5(b.t) THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM b LEFT JOIN a ON a.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    // Mirrors Contract.refreshAudit: the q130 diff body rolled up to
+    // one count per verdict.
+    "q166_refresh_audit" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+        |b0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS t
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |b1 AS (SELECT doc_id + 100000 AS doc_id, text AS t
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |b AS (SELECT doc_id, md5(t) AS hb FROM
+        |  (SELECT * FROM b0 UNION ALL SELECT * FROM b1))
+        |SELECT CASE WHEN a.ha IS NULL THEN 'added'
+        |       WHEN b.hb IS NULL THEN 'removed'
+        |       WHEN a.ha <> b.hb THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  count(*)::BIGINT AS n_docs
+        |FROM a FULL OUTER JOIN b USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Mirrors Contract.embeddingsContract: same conditional aggregates
     // over the embeddings table, unpivoted by UNION ALL.
     "q124_embeddings_contract" ->

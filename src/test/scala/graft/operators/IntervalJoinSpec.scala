@@ -98,6 +98,61 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got == Map(50L -> 2L, 51L -> 0L))
   }
 
+  test("native watermarked stream-stream join twin equals batch q152 (idiomatic mode)") {
+    assume(new java.io.File("/root/testdata/sf0.001/events.parquet").exists())
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.CoreQueries.q152IntervalJoin(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .collect()
+    val evStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val prStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val events = evStream.toDF().toDF("user_id", "ts_us")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+    val probes = prStream.toDF().toDF("user_id", "interval_id", "ts_us")
+      .select(col("user_id"), col("interval_id"),
+        timestamp_micros(col("ts_us")).as("p_ts"))
+    val joined = IntervalJoin.attributionStreamingNative(probes, events,
+      keys = Seq("user_id"), idCol = "interval_id", probeTsCol = "p_ts",
+      tsCol = "ts", window = "1 HOUR", delay = "0 seconds")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attr_native")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("attrn_ckpt").toString)
+      .start()
+    try {
+      // two micro-batches split at the median event id — matches across
+      // the split must join against buffered stream-stream state
+      val mid = ev.map(_.getLong(2)).sorted.apply(ev.length / 2)
+      def feed(pred: org.apache.spark.sql.Row => Boolean): Unit = {
+        val part = ev.filter(pred)
+        evStream.addData(part.map(r => (r.getLong(0), r.getLong(1))))
+        prStream.addData(part.filter(_.getString(3) == "purchase")
+          .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))))
+        q.processAllAvailable()
+      }
+      feed(_.getLong(2) <= mid)
+      feed(_.getLong(2) > mid)
+    } finally q.stop()
+    val gotCounts = spark.table("attr_native")
+      .groupBy(col("interval_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // inner join: zero-match probes never emit — they must be exactly
+    // the batch intervals with n_events = 0
+    assert(gotCounts == batch.filter(_._2 > 0L),
+      "matched counts diverge from the batch sweep")
+    assert(batch.keySet -- gotCounts.keySet == batch.filter(_._2 == 0L).keySet,
+      "absent probes must be exactly the zero-count intervals")
+  }
+
   test("attributionStreaming equals batch q152 on the real events table") {
     assume(new java.io.File("/root/testdata/sf0.001/events.parquet").exists())
     import spark.implicits._

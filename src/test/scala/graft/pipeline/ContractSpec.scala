@@ -104,4 +104,37 @@ class ContractSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(out.toSeq == Seq(100L))
   }
+
+  test("applySnapshot: upsert/delete rewrite with per-row verdicts; applying twice is a no-op") {
+    val current = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val refresh = Seq(
+      (1L, "alpha"),       // unchanged
+      (2L, "beta v2"),     // changed
+      (5L, "epsilon"))     // added; 3 and 4 are deleted
+      .toDF("doc_id", "text")
+    val merged = Contract.applySnapshot(current, refresh, "doc_id", "text")
+    val got = merged.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got == Map(
+      1L -> (("alpha", "unchanged")),
+      2L -> (("beta v2", "changed")),
+      5L -> (("epsilon", "added"))))
+    // idempotency: the merged corpus re-refreshed with the SAME snapshot
+    // is byte-identical content with every verdict 'unchanged'
+    val again = Contract.applySnapshot(merged.drop("status"), refresh,
+      "doc_id", "text")
+    val got2 = again.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got2.keySet == got.keySet)
+    assert(got2.forall { case (id, (txt, st)) =>
+      st == "unchanged" && txt == got(id)._1 })
+    // audit counts match the diff verdicts, including the deletions the
+    // merged relation no longer carries
+    val audit = Contract.refreshAudit(current, refresh, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit == Map("added" -> 1L, "changed" -> 1L, "removed" -> 2L,
+      "unchanged" -> 1L))
+  }
 }
