@@ -378,6 +378,48 @@ object Similarity {
           .cast("decimal(28,10)"), 6).cast("double").as("ndcg"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    * ensembling step of hybrid retrieval: N ranked arms (dense/lexical/
+    * approximate retrievers, each a (query, item, rank) top-k relation)
+    * fuse into one ranking by Σ 1/(K + rankᵢ), rank-based so
+    * incomparable arm scores never matter.
+    *
+    * Integer-register parity device: each term is computed as
+    * `scale div (K + rank)` in EXACT int64 (Spark `div` ≡ DuckDB `//`
+    * for positive operands) so the fused score is an order-independent
+    * integer sum — no float summation anywhere, hash-stable under any
+    * partitioning. At scale=1e12 the truncation error per term is
+    * ≤ 1e-12·(K+rank) of the true reciprocal — rank-order-equivalent to
+    * the real-valued RRF for every feasible (K, topK).
+    *
+    * Scale shape: arms arrive already top-k-per-query (|Q|·k rows, the
+    * retrievers did the corpus-scale work), so fusion is one
+    * (query, item)-keyed aggregate plus one per-query window — cost is
+    * bounded by queries × k × arms, corpus-size-independent.
+    *
+    * Precondition: each arm emits at most one row per (query, item)
+    * (a ranked list — true of every retriever in this library). */
+  def rrfFuse(arms: Seq[DataFrame], queryCol: String, itemCol: String,
+      rankCol: String, k: Int = 60, topK: Int = 10,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse: at least one arm")
+    require(k >= 1 && topK >= 1 && scale >= 1,
+      "rrfFuse: k, topK and scale must be >= 1")
+    val terms = arms.map(_.select(col(queryCol).as("query_id"),
+      col(itemCol).as("corpus_id"),
+      expr(s"${scale}L div (${k}L + CAST(`$rankCol` AS BIGINT))")
+        .as("term")))
+    val fused = terms.reduce(_.unionByName(_))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("term")).as("rrf_q"), count(lit(1)).as("n_arms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_q").desc, col("corpus_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("rrf_q"), col("n_arms"))
+  }
+
   /** Hash-checkable k-means training report: run [[trainCentroids]],
     * then one final assignment pass, and emit per centroid its final
     * cell size and an md5 over the centroid's quantized components —

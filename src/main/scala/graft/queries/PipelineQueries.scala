@@ -117,7 +117,7 @@ object PipelineQueries {
         "q99_norm_outliers", "q102_truncation_energy", "q105_sq8_error",
         "q106_dim_stats", "q120_probed_neardups", "q122_hard_negatives",
         "q124_embeddings_contract", "q146_embedding_gram", "q147_pca_report",
-        "q150_walk_centrality", "q159_ndcg"),
+        "q150_walk_centrality", "q159_ndcg", "q167_rrf_fusion"),
       () => releaseEmbCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -414,6 +414,21 @@ object PipelineQueries {
       "embedding", k = 10, nBits = 8)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("corpus_id"), col("dot_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hybrid-retrieval ensembling ([[Similarity.rrfFuse]]): the exact
+    * q23 arm and the sign-LSH q24 arm fused by reciprocal-rank fusion
+    * with integer registers — the multi-retriever combination step of
+    * a hybrid search stack, on the same probe set the recall/NDCG
+    * reports grade. */
+  def q167RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+    val approx = Similarity.lshTopK(e, q, "vec_id", "embedding",
+      k = 10, nBits = 8)
+    Similarity.rrfFuse(Seq(exact, approx), "query_id", "corpus_id", "rank")
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1705,6 +1720,7 @@ object PipelineQueries {
     "q22_simhash" -> q22Simhash,
     "q23_similarity_brute" -> q23SimilarityBrute,
     "q24_similarity_lsh" -> q24SimilarityLsh,
+    "q167_rrf_fusion" -> q167RrfFusion,
     "q33_similarity_ivf" -> q33SimilarityIvf,
     "q37_neardup_clusters" -> q37NearDupClusters,
     "q74_keep_best" -> q74KeepBest,
@@ -2792,6 +2808,24 @@ object PipelineQueries {
           |SELECT query_id, n_hit, 10::BIGINT AS k,
           |  round((n_hit::DOUBLE / 10.0)::DECIMAL(28,10), 6)::DOUBLE AS recall
           |FROM hit ORDER BY query_id""".stripMargin),
+    // RRF fusion of the q23/q24 arms: both bodies verbatim as CTEs,
+    // per-arm integer term `scale // (60 + rank)` (DuckDB // floors
+    // like Spark div for positive operands), exact int64 sum, re-rank.
+    "q167_rrf_fusion" ->
+      (s"WITH b AS (\n$q23Body\n), a AS (\n$q24Body\n),\n" +
+        """t AS (SELECT query_id, corpus_id,
+          |    1000000000000 // (60 + rank) AS term FROM b
+          |  UNION ALL SELECT query_id, corpus_id,
+          |    1000000000000 // (60 + rank) FROM a),
+          |f AS (SELECT query_id, corpus_id, sum(term)::BIGINT AS rrf_q,
+          |    count(*)::BIGINT AS n_arms
+          |  FROM t GROUP BY 1, 2)
+          |SELECT query_id, rank, corpus_id, rrf_q, n_arms FROM (
+          |  SELECT query_id, corpus_id, rrf_q, n_arms,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY rrf_q DESC, corpus_id) AS rank
+          |  FROM f) WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin),
     // NDCG@10: both top-k bodies reused verbatim (the q69 device),
     // graded relevance k+1-exact_rank, identical ln(rank+1)/ln(2)
     // discount op order, DECIMAL term sums, one final IEEE divide.

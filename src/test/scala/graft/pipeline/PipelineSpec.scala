@@ -1203,6 +1203,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == ((3L, want)))
   }
 
+  test("rrfFuse matches hand-computed integer RRF registers, ties break by item id") {
+    // arm A ranks items 10,11,12; arm B ranks 11,10,13 — fused by
+    // sum of (1e12 div (60 + rank)) per arm
+    val armA = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
+      .toDF("query_id", "rank", "corpus_id")
+    val armB = Seq((1L, 1L, 11L), (1L, 2L, 10L), (1L, 3L, 13L))
+      .toDF("query_id", "rank", "corpus_id")
+    def t(r: Long) = 1000000000000L / (60L + r) // exact integer division
+    val got = Similarity.rrfFuse(Seq(armA, armB), "query_id", "corpus_id",
+        "rank", k = 60, topK = 10)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // 10 and 11 fuse symmetrically (ranks {1,2} in opposite arms) ->
+    // identical rrf_q, tie broken by corpus_id; single-arm items keep
+    // n_arms = 1
+    assert(got.toSeq == Seq(
+      (1L, 10L, t(1) + t(2), 2L),
+      (2L, 11L, t(1) + t(2), 2L),
+      (3L, 12L, t(3), 1L),
+      (4L, 13L, t(3), 1L)))
+  }
+
   test("stupidBackoffScore matches a direct reimplementation on a tiny corpus") {
     val corpus = Seq((1L, "a b c a b d"), (2L, "a b c c"), (3L, "x"))
     val got = TextMetrics.stupidBackoffScore(
