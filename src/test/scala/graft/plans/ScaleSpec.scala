@@ -454,6 +454,22 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("rrfFuse plan: every window partitioned by query, fusion is one hash aggregate") {
+    // the fusion stage must never introduce a global (unpartitioned)
+    // window or a sort-merge join — arms are |Q|·k relations and the
+    // combine is a (query, item)-keyed aggregate + per-query rank
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val df = graft.SparkEntry.queries("q167_rrf_fusion")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+    plan.linesIterator.filter(_.contains("windowspecdefinition")).foreach {
+      l => assert(!l.contains("windowspecdefinition()"),
+        s"unpartitioned Window in q167:\n$l")
+    }
+  }
+
   test("walkCentrality prunes payload columns — only ids and counts in the plan") {
     // the operator's 100-TB claim is that every step shuffles only
     // (id, count) pairs; feed edge/node relations carrying a heavy
