@@ -153,6 +153,47 @@ class IntervalJoinSpec extends AnyFunSuite {
       "absent probes must be exactly the zero-count intervals")
   }
 
+  test("native stream-stream join state survives a full query restart") {
+    // the W6 restart proof for Spark's symmetric-hash join state:
+    // a batch-1 event must match a probe that only arrives after the
+    // query is killed and restarted from its checkpoint
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val prStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val events = evStream.toDF().toDF("user_id", "ts_us")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+    val probes = prStream.toDF().toDF("user_id", "interval_id", "ts_us")
+      .select(col("user_id"), col("interval_id"),
+        timestamp_micros(col("ts_us")).as("p_ts"))
+    val ckpt = java.nio.file.Files.createTempDirectory("attrn_restart_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("attrn_restart_out").toString
+    def start() = IntervalJoin.attributionStreamingNative(probes, events,
+        keys = Seq("user_id"), idCol = "interval_id", probeTsCol = "p_ts",
+        tsCol = "ts", window = "1 HOUR", delay = "0 seconds")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    val base = 1700000000000000L // some event-time epoch, micros
+    try {
+      val q1 = start()
+      evStream.addData(Seq((7L, base), (8L, base))) // user 8: no probe ever
+      q1.processAllAvailable(); q1.stop()
+      val q2 = start()
+      // probe 30 min after the batch-1 event — joins ONLY if the event
+      // side's buffered state was restored from the checkpoint
+      prStream.addData(Seq((7L, 501L, base + 1800L * 1000 * 1000)))
+      q2.processAllAvailable(); q2.stop()
+    } finally ()
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((7L, 501L)),
+      s"batch-1 event must match the post-restart probe, got $got")
+  }
+
   test("attributionStreaming equals batch q152 on the real events table") {
     assume(new java.io.File("/root/testdata/sf0.001/events.parquet").exists())
     import spark.implicits._

@@ -1226,6 +1226,32 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 13L, t(3), 1L)))
   }
 
+  test("rrfFuse property: random arms equal a direct reimplementation") {
+    val rnd = new scala.util.Random(7)
+    // 3 arms × 5 queries; each arm ranks a random 8-item subset of 0..30
+    val arms: Seq[Seq[(Long, Long, Long)]] = (0 until 3).map { _ =>
+      (0L until 5L).flatMap { q =>
+        rnd.shuffle((0L to 30L).toList).take(8).zipWithIndex
+          .map { case (it, i) => (q, (i + 1).toLong, it) }
+      }
+    }
+    val got = Similarity.rrfFuse(
+        arms.map(_.toDF("query_id", "rank", "corpus_id")),
+        "query_id", "corpus_id", "rank", k = 60, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val fused = arms.flatten
+      .map { case (q, r, it) => ((q, it), 1000000000000L / (60L + r)) }
+      .groupBy(_._1).toSeq
+      .map { case ((q, it), ts) => (q, it, ts.map(_._2).sum, ts.size.toLong) }
+    val want = fused.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+        .map { case ((_, it, s, n), i) => (q, (i + 1).toLong, it, s, n) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("stupidBackoffScore matches a direct reimplementation on a tiny corpus") {
     val corpus = Seq((1L, "a b c a b d"), (2L, "a b c c"), (3L, "x"))
     val got = TextMetrics.stupidBackoffScore(
