@@ -50,6 +50,35 @@ object Scale {
     bigS.join(smallS, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Key-skew diagnostic — the report a deployment runs BEFORE choosing
+    * between AQE, [[saltedJoin]] and bucketing: per-key row counts for
+    * the top `topN` offenders, each with its corpus share and its skew
+    * factor against the mean key (how many average keys this one is
+    * worth). One hash aggregate on the key; the descending rank rides
+    * [[graft.pipeline.Ranks.bucketedGlobalRank]] (ascending on the
+    * NEGATED count) because the key-count relation is itself
+    * key-cardinality — a bare global Window here would single-task the
+    * exact hot-key workload this report diagnoses. Totals are one 1-row
+    * broadcast. Integer registers throughout (share in ppm, skew ×1000
+    * via exact int64 div), so the report hashes identically across
+    * engines and partitionings. */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    require(topN >= 1, "skewReport: topN must be >= 1")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum(col("n_rows")).as("_total"),
+      count(lit(1)).as("_keys"))
+    graft.pipeline.Ranks.bucketedGlobalRank(
+        counts.withColumn("_neg", -col("n_rows")), "_neg", keyCol,
+        rankCol = "rank")
+      .drop("_neg")
+      .withColumn("rank", col("rank").cast("long"))
+      .filter(col("rank") <= topN)
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col(keyCol), col("n_rows"),
+        expr("(n_rows * 1000000L) div _total").as("share_ppm"),
+        expr("(n_rows * 1000L * _keys) div _total").as("skew_x1000"))
+  }
+
   /** Bucketed, bucket-sorted external-table write: one file per bucket,
     * sorted on `key`. Two tables written this way with the SAME bucket
     * count sort-merge-join on `key` with NO exchange on either side —

@@ -60,7 +60,7 @@ object CoreQueries {
         "q12_interaction_counts", "q18_punctuation_window",
         "q38_session_window_native", "q64_asof_join", "q68_funnel",
         "q109_rate_anomaly", "q139_cohort_retention", "q152_interval_join",
-        "q161_pivot_activity", "q162_unpivot_activity"),
+        "q161_pivot_activity", "q162_unpivot_activity", "q168_skew_report"),
       () => releaseEventsScanCache()))
 
   /** Timestamp output discipline: every emitted timestamp column is
@@ -367,6 +367,18 @@ object CoreQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Key-skew diagnostic ([[graft.plans.Scale.skewReport]]) over the
+    * event stream's user key — the report that decides between AQE,
+    * salting and bucketing: top-10 hottest users with row count, corpus
+    * share (ppm) and skew factor vs the mean key (×1000), all exact
+    * integer registers. The descending rank rides bucketedGlobalRank
+    * (negated count), never a bare global window over the
+    * key-cardinality relation. */
+  def q168SkewReport(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.Scale.skewReport(
+        eventsScan(spark, dir).select(col("user_id")), "user_id", topN = 10)
+      .orderBy(col("rank"))
+
   /** Ordered funnel over the events stream ([[graft.operators.Funnel]]):
     * signup → click within 24 h → purchase within 24 h of the click.
     * One shuffle on user_id; all three step windows and the per-user
@@ -479,7 +491,8 @@ object CoreQueries {
     "q109_rate_anomaly" -> q109RateAnomaly,
     "q152_interval_join" -> q152IntervalJoin,
     "q161_pivot_activity" -> q161PivotActivity,
-    "q162_unpivot_activity" -> q162UnpivotActivity)
+    "q162_unpivot_activity" -> q162UnpivotActivity,
+    "q168_skew_report" -> q168SkewReport)
 
   val oracles: Map[String, String] = Map(
     "q139_cohort_retention" ->
@@ -716,6 +729,23 @@ object CoreQueries {
         |FROM u CROSS JOIN ty
         |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = ty.event_type
         |ORDER BY u.user_id, ty.event_type""".stripMargin,
+    // Mirrors Scale.skewReport: plain rank over the key counts (the
+    // Spark side uses the bucketed-rank device — rank-exact for any
+    // partitioning); integer registers via // (floors like Spark div
+    // on positive operands).
+    "q168_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS n_rows
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n_rows)::BIGINT AS total,
+        |    count(*)::BIGINT AS keys FROM c),
+        |r AS (SELECT user_id, n_rows,
+        |    row_number() OVER (ORDER BY n_rows DESC, user_id) AS rank
+        |  FROM c)
+        |SELECT rank::BIGINT AS rank, user_id, n_rows,
+        |  (n_rows * 1000000) // total AS share_ppm,
+        |  (n_rows * 1000 * keys) // total AS skew_x1000
+        |FROM r CROSS JOIN t WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
     // The NAIVE range join on purpose: DuckDB plans it as an IEJoin,
     // a completely different algorithm from the Spark-side sweep — if
     // the sweep's inclusive-bound order were off by one tie, the hash

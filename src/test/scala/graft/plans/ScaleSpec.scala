@@ -454,6 +454,22 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("skewReport: hand-computed shares and skew factors on a skewed key") {
+    import spark.implicits._
+    // key 1: 6 rows, key 2: 3, key 3: 1 — total 10, 3 keys
+    val rows = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L))
+      .toDF("k").repartition(7)
+    val got = graft.plans.Scale.skewReport(rows, "k", topN = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1).toSeq
+    // share_ppm = n*1e6 div 10; skew_x1000 = n*1000*3 div 10
+    assert(got == Seq(
+      (1L, 1L, 6L, 600000L, 1800L),
+      (2L, 2L, 3L, 300000L, 900L)))
+  }
+
   test("rrfFuse plan: every window partitioned by query, fusion is one hash aggregate") {
     // the fusion stage must never introduce a global (unpartitioned)
     // window or a sort-merge join — arms are |Q|·k relations and the
