@@ -75,6 +75,14 @@ object Bench {
     tiers.find(_._1.length <= cap).getOrElse(tiers.last)
   }
 
+  /** The ONE headline template — shared by [[main]] and
+    * BenchHeadlineSpec so the spec's asserted tier cutovers can never
+    * drift from the live line (the r12 memcal addition was hand-synced
+    * into the spec's private copy; this removes the drift channel). */
+  def renderHeadline(total: Double, runs: Int, cal: Double, memcal: Double,
+      sf: String)(queries: String, failedList: String): String =
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"cal":$cal%.3f,"memcal":$memcal%.3f,"queries":$queries,"failed":$failedList,"sf":"$sf"}"""
+
   def main(args: Array[String]): Unit = {
     val realOut = System.out
     // Anything printed during the run (Spark, libs, stray warnings) goes
@@ -134,11 +142,14 @@ object Bench {
     // monotonic HWM), cumulative JVM GC millis, and Spark storage-pool
     // occupancy — so a sweep-position residency effect (r11's q14–q19
     // stretch) is attributable from the artifact alone.
-    def rssNowKb(): Long =
-      try scala.io.Source.fromFile("/proc/self/status").getLines()
-        .collectFirst { case l if l.startsWith("VmRSS:") =>
+    def statusKb(field: String): Long = // closes the fd (called per query)
+      try scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/self/status"))).asScala
+        .collectFirst { case l if l.startsWith(field + ":") =>
           l.split("\\s+")(1).toLong }.getOrElse(-1L)
       catch { case NonFatal(_) => -1L }
+    def rssNowKb(): Long = statusKb("VmRSS")
     def gcNowMs(): Long = scala.jdk.CollectionConverters.ListHasAsScala(
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans)
       .asScala.map(_.getCollectionTime.max(0L)).sum
@@ -244,11 +255,7 @@ object Bench {
     val gcMs = scala.jdk.CollectionConverters.ListHasAsScala(
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans)
       .asScala.map(_.getCollectionTime.max(0L)).sum
-    val rssPeakKb =
-      try scala.io.Source.fromFile("/proc/self/status").getLines()
-        .collectFirst { case l if l.startsWith("VmHWM:") =>
-          l.split("\\s+")(1).toLong }.getOrElse(-1L)
-      catch { case NonFatal(_) => -1L }
+    val rssPeakKb = statusKb("VmHWM")
     // The stdout contract is ONE parseable JSON line, and the consumer
     // only keeps the last ~2000 chars of output — with 70+ queries the
     // per-run detail blew that budget (r3–r6 all arrived truncated), so
@@ -260,8 +267,6 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
     catch { case NonFatal(e) => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    def headline(queries: String, failedList: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"cal":$cal%.3f,"memcal":$memcal%.3f,"queries":$queries,"failed":$failedList,"sf":"$sf"}"""
     // The line is the LAST stdout line, so the consumer's 2000-char tail
     // clips preceding lines, not the JSON — the hard cap is line+\n <= 2000.
     // fitHeadline picks full names → qNN prefixes → no per-query map
@@ -269,13 +274,14 @@ object Bench {
     // SPARK_GRAFT_HEADLINE_CAP: test-only override (driver never sets it)
     // to force a lower tier end-to-end — the tier-3 dry-run knob (r12).
     val cap = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_CAP", "1990").toInt
-    val (line, tier) = fitHeadline(headline,
+    val (line, tier) = fitHeadline(
+      renderHeadline(total, runs, cal, memcal, sf),
       results.map { case (k, v, _, _) => (k, v) }, failed.sorted, cap)
     if (tier > 1) System.err.println(
-      s"[bench] full-name headline over 1990 chars: using tier-$tier form" +
+      s"[bench] full-name headline over $cap chars: using tier-$tier form" +
         (if (tier == 3) " (per-query times in bench_detail.json only)" else ""))
-    System.err.println(s"[bench] headline line length = ${line.length} chars (hard cap 1990)")
-    if (line.length > 1990)
+    System.err.println(s"[bench] headline line length = ${line.length} chars (hard cap $cap)")
+    if (line.length > cap)
       System.err.println("[bench] WARNING: headline line exceeds the consumer tail window!")
     spark.stop()
     // Printed last, to the real stdout, after Spark is fully shut down:

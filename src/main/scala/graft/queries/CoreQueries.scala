@@ -60,7 +60,7 @@ object CoreQueries {
         "q12_interaction_counts", "q18_punctuation_window",
         "q38_session_window_native", "q64_asof_join", "q68_funnel",
         "q109_rate_anomaly", "q139_cohort_retention", "q152_interval_join",
-        "q161_pivot_activity", "q162_unpivot_activity", "q168_skew_report"),
+        "q161_pivot_activity", "q162_unpivot_activity"),
       () => releaseEventsScanCache()))
 
   /** Timestamp output discipline: every emitted timestamp column is
@@ -375,8 +375,14 @@ object CoreQueries {
     * (negated count), never a bare global window over the
     * key-cardinality relation. */
   def q168SkewReport(spark: SparkSession, dir: String): DataFrame =
+    // deliberately NOT on the evscan cache: q168 sweeps last, and
+    // joining the family would pin the events cache from q09 to the end
+    // of the sweep for the sake of ONE single-column scan — the r9
+    // residency pathology in miniature. The scan here prunes to
+    // user_id only (columnar read of one column), cheaper than holding
+    // the full-width cache alive.
     graft.plans.Scale.skewReport(
-        eventsScan(spark, dir).select(col("user_id")), "user_id", topN = 10)
+        t(spark, dir, "events").select(col("user_id")), "user_id", topN = 10)
       .orderBy(col("rank"))
 
   /** Ordered funnel over the events stream ([[graft.operators.Funnel]]):

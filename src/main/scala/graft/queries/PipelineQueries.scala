@@ -1569,10 +1569,28 @@ object PipelineQueries {
   /** One interchange scratch path per (session, format): Bench re-runs
     * each roundtrip query `runs` times — a fresh createTempDirectory per
     * invocation leaked one full copy of the documents table to /tmp per
-    * run (r11 advice); overwrite mode makes a stable path idempotent. */
-  private def rtPath(spark: SparkSession, dir: String, tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${spark.sparkContext.applicationId}/" +
-      s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$tag" // per-SF-dir: the re-read is lazy
+    * run (r11 advice); overwrite mode makes a stable path idempotent.
+    * The session root is deleted on JVM exit (one hook per root) — the
+    * applicationId component isolates concurrent sessions, so without
+    * the hook every session would still strand one CSV+ORC copy. */
+  private val rtCleanupRegistered =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def rtPath(spark: SparkSession, dir: String, tag: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_rt_" +
+      spark.sparkContext.applicationId
+    rtCleanupRegistered.getOrElseUpdate(root, {
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }
+      true
+    })
+    s"$root/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$tag" // per-SF-dir: the re-read is lazy
+  }
 
   def q163CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = rtPath(spark, dir, "csv")

@@ -10,10 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * the per-round headroom re-check. */
 class BenchHeadlineSpec extends AnyFunSuite {
 
-  // Mirrors Bench.main's real headline template (incl. the r12 memcal
-  // field) so the tier cutovers asserted here track the live line.
+  // THE live template (Bench.renderHeadline) with fixed telemetry
+  // values — the asserted tier cutovers track the real line by
+  // construction, not by a hand-synced copy.
   private def mk(qs: String, fl: String): String =
-    s"""{"metric":"total","value":12.345,"unit":"sec","runs":3,"cal":0.150,"memcal":0.550,"queries":$qs,"failed":$fl,"sf":"0.1"}"""
+    Bench.renderHeadline(12.345, 3, 0.150, 0.550, "0.1")(qs, fl)
 
   private def entries(n: Int): Seq[(String, Double)] =
     (1 to n).map(i => (f"q${i}%d_some_operator_name", 1.23))
