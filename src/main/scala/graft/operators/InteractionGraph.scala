@@ -73,4 +73,60 @@ object InteractionGraph {
         countDistinct(col("target_user_id")).as("n_targets"),
         min(col("ts")).as("first_ts"),
         max(col("ts")).as("last_ts"))
+
+  /** Exact per-vertex triangle counts over the UNDIRECTED interaction
+    * graph — the clustering/cohesion metric of social-graph analysis
+    * (how many of a user's neighbor pairs also interact).
+    *
+    * DEGREE-ORIENTED enumeration (the standard distributed-triangle
+    * device): each undirected edge is oriented from its
+    * (degree, id)-smaller endpoint to the larger, so every triangle is
+    * generated exactly once as two out-edges of its order-minimum
+    * vertex plus the closing oriented edge — and the wedge self-join
+    * fans out per LOW-degree vertex, bounding the blow-up by
+    * O(Σ min-degree per edge) ≈ O(E^1.5) instead of the hub-quadratic
+    * O(Σ deg²) a naive shared-vertex join pays. Exactly-once
+    * enumeration makes the counts integers both engines agree on; the
+    * oracle enumerates by ID order instead (a different orientation —
+    * same triangle set, adversarially different mechanism).
+    *
+    * Shape: one distinct on the (min, max) edge relation, one
+    * vertex-keyed degree aggregate joined back (AQE broadcasts it when
+    * small), one source-keyed wedge self-join, one edge-keyed closing
+    * semi-join, one explode + count. No driver collection anywhere. */
+  def triangleCounts(inter: DataFrame): DataFrame = {
+    val edges = inter
+      .filter(col("author_id") =!= col("target_user_id"))
+      .select(least(col("author_id"), col("target_user_id")).as("u"),
+        greatest(col("author_id"), col("target_user_id")).as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("n"))
+      .unionByName(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): struct comparison gives the total order
+    val withDeg = edges
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("s"), col("v").as("t"),
+          col("du").as("ds"), col("dv").as("dt")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"),
+          col("dv").as("ds"), col("du").as("dt"))).as("e"))
+      .select(col("e.s"), col("e.t"), col("e.ds"), col("e.dt"))
+    // wedges at the order-minimum vertex: two out-edges s→a, s→b with
+    // a before b in the SAME total order; the closing edge is then
+    // oriented a→b by construction
+    val a = oriented.select(col("s"), col("t").as("a"), col("dt").as("da"))
+    val b = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    val wedges = a.join(b, Seq("s"))
+      .filter(struct(col("da"), col("a")) < struct(col("db"), col("b")))
+    val closing = oriented.select(col("s").as("a"), col("t").as("b"))
+    val triangles = wedges.join(closing, Seq("a", "b"), "left_semi")
+      .select(col("s"), col("a"), col("b"))
+    triangles
+      .select(explode(array(col("s"), col("a"), col("b"))).as("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -403,7 +403,23 @@ object OperatorQueries {
       .orderBy(col("matrix"), col("i"), col("j"))
   }
 
+  /** Per-user triangle participation over the undirected interaction
+    * graph ([[InteractionGraph.triangleCounts]], degree-oriented
+    * exactly-once enumeration). Deliberately NOT on the shared
+    * normalized-events cache: q169 sweeps last among the event-graph
+    * queries and joining the family would extend the events cache's
+    * residency to the sweep tail for one normalize pass (the q168
+    * precedent); the oracle enumerates triangles by ID order — a
+    * different orientation of the same graph. */
+  def q169Triangles(spark: SparkSession, dir: String): DataFrame =
+    InteractionGraph.triangleCounts(
+        InteractionGraph.interactions(
+          graft.sources.TweetSource.normalizedFromEvents(
+            Tables.load(spark, dir, "events"))))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_triangles" -> q169Triangles,
     "q12_interaction_counts" -> q12InteractionCounts,
     "q13_tree_stats" -> q13TreeStats,
     "q14_roles" -> q14Roles,
@@ -431,6 +447,28 @@ object OperatorQueries {
       |live AS (
       |  SELECT * FROM e
       |  WHERE NOT (event_type = 'view' AND k IS NOT NULL AND k % 13 = 9))"""
+      .stripMargin
+
+  /** Oracle mirror of [[InteractionGraph.interactions]] over the tweet
+    * adapter: the three interaction branches (replies, double mentions,
+    * retweets) as a UNION ALL — shared by q12 and the q169 triangle
+    * oracle. */
+  private val interCte =
+    s"""$eventsCte,
+       |inter AS (
+       |  SELECT author_id, 'replied_to' AS action,
+       |    (CASE WHEN k % 10 = 7 THEN 100 + k % 25
+       |     ELSE k % 25 END)::VARCHAR AS target, ts
+       |  FROM live WHERE event_type IN ('signup','error') AND k IS NOT NULL AND k < event_id
+       |  UNION ALL
+       |  SELECT author_id, 'mentioned', (k % 25)::VARCHAR, ts
+       |  FROM live WHERE event_type IN ('click','view') AND k IS NOT NULL
+       |  UNION ALL
+       |  SELECT author_id, 'mentioned', ((k * 3 + 1) % 25)::VARCHAR, ts
+       |  FROM live WHERE event_type IN ('click','view') AND k IS NOT NULL
+       |  UNION ALL
+       |  SELECT author_id, 'retweeted', (k % 25)::VARCHAR, ts
+       |  FROM live WHERE event_type = 'purchase' AND k IS NOT NULL AND k < event_id)"""
       .stripMargin
 
   /** Node relation incl. J4 dummy-root synthesis: parents absent from the
@@ -699,21 +737,7 @@ object OperatorQueries {
 
   val oracles: Map[String, String] = Map(
     "q12_interaction_counts" ->
-      s"""$eventsCte,
-         |inter AS (
-         |  SELECT author_id, 'replied_to' AS action,
-         |    (CASE WHEN k % 10 = 7 THEN 100 + k % 25
-         |     ELSE k % 25 END)::VARCHAR AS target, ts
-         |  FROM live WHERE event_type IN ('signup','error') AND k IS NOT NULL AND k < event_id
-         |  UNION ALL
-         |  SELECT author_id, 'mentioned', (k % 25)::VARCHAR, ts
-         |  FROM live WHERE event_type IN ('click','view') AND k IS NOT NULL
-         |  UNION ALL
-         |  SELECT author_id, 'mentioned', ((k * 3 + 1) % 25)::VARCHAR, ts
-         |  FROM live WHERE event_type IN ('click','view') AND k IS NOT NULL
-         |  UNION ALL
-         |  SELECT author_id, 'retweeted', (k % 25)::VARCHAR, ts
-         |  FROM live WHERE event_type = 'purchase' AND k IS NOT NULL AND k < event_id)
+      s"""$interCte
          |SELECT author_id, action, 'u' || author_id AS screen_name,
          |  count(*) AS n_interactions,
          |  count(DISTINCT target) AS n_targets,
@@ -721,6 +745,23 @@ object OperatorQueries {
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
          |FROM inter GROUP BY author_id, action
          |ORDER BY author_id, action""".stripMargin,
+    // Triangles enumerated by ID order (e1=(a,b), e2=(b,c), e3=(a,c)
+    // with a<b<c lexicographically) — a different orientation from the
+    // Spark side's degree order; same triangle set, so per-vertex
+    // participation counts must agree exactly.
+    "q169_triangles" ->
+      s"""$interCte,
+         |ed AS (SELECT DISTINCT least(author_id, target) AS u,
+         |    greatest(author_id, target) AS v
+         |  FROM inter WHERE author_id <> target),
+         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM ed e1 JOIN ed e2 ON e2.u = e1.v
+         |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |vert AS (SELECT x AS user_id FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri)
+         |SELECT user_id, count(*)::BIGINT AS n_triangles
+         |FROM vert GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_tree_stats" ->
       s"""WITH RECURSIVE ${nodesCte.stripPrefix("WITH ")}
          |SELECT root_id, count(*) AS tree_size, max(depth) AS max_depth,

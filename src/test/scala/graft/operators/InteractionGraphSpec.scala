@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[InteractionGraph.triangleCounts]] — hand-counted fixtures (K4, a
+  * triangle-free star, direction/multiplicity collapse) and a random
+  * graph checked against brute-force enumeration. The operator's
+  * degree-oriented exactly-once device must agree with naive counting
+  * for any partitioning. */
+class InteractionGraphSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def inter(pairs: Seq[(String, String)]) =
+    pairs.toDF("author_id", "target_user_id")
+
+  private def counts(pairs: Seq[(String, String)]): Map[String, Long] =
+    InteractionGraph.triangleCounts(inter(pairs).repartition(7))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("K4 has four triangles, every vertex in three; a star has none") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)
+    assert(counts(k4) == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // hub with 5 leaves: wedges everywhere, no closing edges
+    assert(counts((1 to 5).map(i => ("hub", s"leaf$i"))).isEmpty)
+  }
+
+  test("direction and multiplicity collapse: both-way and repeated interactions count one edge") {
+    // the same triangle reported via duplicated and reversed edges
+    val noisy = Seq(("x", "y"), ("y", "x"), ("x", "y"),
+      ("y", "z"), ("z", "x"), ("x", "z"),
+      ("x", "x")) // self-loop must be dropped
+    assert(counts(noisy) == Map("x" -> 1L, "y" -> 1L, "z" -> 1L))
+  }
+
+  test("random graph equals brute-force triangle enumeration") {
+    val rnd = new scala.util.Random(29)
+    val verts = (0 until 18).map(i => s"v$i")
+    val pairs = for {
+      a <- verts; b <- verts if a < b && rnd.nextDouble() < 0.3
+    } yield (a, b)
+    // brute force over the undirected deduped edge set
+    val es = pairs.toSet
+    def edge(a: String, b: String) =
+      es.contains(if (a < b) (a, b) else (b, a))
+    val want = scala.collection.mutable.Map.empty[String, Long]
+    for {
+      i <- verts.indices; j <- (i + 1) until verts.length
+      k <- (j + 1) until verts.length
+      if edge(verts(i), verts(j)) && edge(verts(j), verts(k)) &&
+        edge(verts(i), verts(k))
+    } Seq(verts(i), verts(j), verts(k)).foreach { v =>
+      want(v) = want.getOrElse(v, 0L) + 1L
+    }
+    assert(counts(pairs) == want.toMap)
+  }
+}
