@@ -64,9 +64,27 @@ object Scale {
     * engines and partitionings. */
   def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     require(topN >= 1, "skewReport: topN must be >= 1")
+    // the key-count relation feeds FOUR consumers (bucketedGlobalRank's
+    // eager min/max stats action, its histogram and rank branches, and
+    // the totals aggregate) — materialize it once instead of replaying
+    // the input scan + groupBy per branch (the withRoots device)
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint()
     val totals = counts.agg(sum(col("n_rows")).as("_total"),
       count(lit(1)).as("_keys"))
+    // loud int64 guard, woven INTO the emitted column so ColumnPruning
+    // cannot drop it (the nbRelevance assert_true device): Spark's
+    // non-ANSI multiply would WRAP silently past 2^63 where DuckDB
+    // raises — n_rows * 1000 * keys must stay representable
+    val skewChecked = when(
+      assert_true(col("n_rows") <= lit(Long.MaxValue / 1000L) / col("_keys"),
+        lit("skewReport: n_rows * 1000 * n_keys exceeds int64 — rescale " +
+          "(report shares per stratum) before the skew factor")).isNull,
+      expr("(n_rows * 1000L * _keys) div _total"))
+    val shareChecked = when(
+      assert_true(col("n_rows") <= lit(Long.MaxValue / 1000000L),
+        lit("skewReport: n_rows * 1e6 exceeds int64")).isNull,
+      expr("(n_rows * 1000000L) div _total"))
     graft.pipeline.Ranks.bucketedGlobalRank(
         counts.withColumn("_neg", -col("n_rows")), "_neg", keyCol,
         rankCol = "rank")
@@ -75,8 +93,8 @@ object Scale {
       .filter(col("rank") <= topN)
       .crossJoin(broadcast(totals))
       .select(col("rank"), col(keyCol), col("n_rows"),
-        expr("(n_rows * 1000000L) div _total").as("share_ppm"),
-        expr("(n_rows * 1000L * _keys) div _total").as("skew_x1000"))
+        shareChecked.as("share_ppm"),
+        skewChecked.as("skew_x1000"))
   }
 
   /** Bucketed, bucket-sorted external-table write: one file per bucket,

@@ -178,16 +178,17 @@ class IntervalJoinSpec extends AnyFunSuite {
       .option("path", outDir).option("checkpointLocation", ckpt)
       .start()
     val base = 1700000000000000L // some event-time epoch, micros
+    var active: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     try {
-      val q1 = start()
+      val q1 = start(); active = Some(q1)
       evStream.addData(Seq((7L, base), (8L, base))) // user 8: no probe ever
-      q1.processAllAvailable(); q1.stop()
-      val q2 = start()
+      q1.processAllAvailable(); q1.stop(); active = None
+      val q2 = start(); active = Some(q2)
       // probe 30 min after the batch-1 event — joins ONLY if the event
       // side's buffered state was restored from the checkpoint
       prStream.addData(Seq((7L, 501L, base + 1800L * 1000 * 1000)))
-      q2.processAllAvailable(); q2.stop()
-    } finally ()
+      q2.processAllAvailable(); q2.stop(); active = None
+    } finally active.foreach(q => try q.stop() catch { case _: Throwable => () })
     val got = spark.read.parquet(outDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((7L, 501L)),
