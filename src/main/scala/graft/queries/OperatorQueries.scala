@@ -69,7 +69,7 @@ object OperatorQueries {
   def cacheFamilies: Map[String, CacheFamily] = Map(
     "events" -> CacheFamily(
       Set("q12_interaction_counts", "q13_tree_stats", "q14_roles",
-        "q30_tree_assembly", "q35_interaction_graph"),
+        "q30_tree_assembly", "q35_interaction_graph", "q169_triangles"),
       () => releaseEventsCaches()),
     "stemidx" -> CacheFamily(
       Set("q15_topic_model", "q31_topic_model_matrix",
@@ -405,17 +405,18 @@ object OperatorQueries {
 
   /** Per-user triangle participation over the undirected interaction
     * graph ([[InteractionGraph.triangleCounts]], degree-oriented
-    * exactly-once enumeration). Deliberately NOT on the shared
-    * normalized-events cache: q169 sweeps last among the event-graph
-    * queries and joining the family would extend the events cache's
-    * residency to the sweep tail for one normalize pass (the q168
-    * precedent); the oracle enumerates triangles by ID order — a
-    * different orientation of the same graph. */
+    * exactly-once enumeration). Rides the shared normalized-events
+    * cache — the OPPOSITE call from q168's cache bypass, deliberately:
+    * [[InteractionGraph.interactions]] fans three branches over its
+    * input, so an uncached q169 replays the ~3 s tweet-adapter
+    * normalize pass three times per run (measured 9.2 s/run at sf0.1
+    * vs ~1.5 s warm), while the norm cache it extends is tens of MB.
+    * Residency-vs-recompute cuts the other way when the saved pass is
+    * seconds, not a footer read. The oracle enumerates triangles by ID
+    * order — a different orientation of the same graph. */
   def q169Triangles(spark: SparkSession, dir: String): DataFrame =
     InteractionGraph.triangleCounts(
-        InteractionGraph.interactions(
-          graft.sources.TweetSource.normalizedFromEvents(
-            Tables.load(spark, dir, "events"))))
+        InteractionGraph.interactions(normalizedEvents(spark, dir)))
       .orderBy(col("user_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
