@@ -95,14 +95,40 @@ object InteractionGraph {
     * small), one source-keyed wedge self-join, one edge-keyed closing
     * semi-join, one explode + count. No driver collection anywhere. */
   def triangleCounts(inter: DataFrame): DataFrame = {
-    // The edge relation feeds the degree aggregate (twice, one per
-    // endpoint) AND the orientation join, and the oriented relation is
-    // referenced THREE times (both wedge sides + the closing semi
-    // join): left lazy, Catalyst replays the full upstream — for q169
-    // that is the JSON tweet-adapter parse — once per branch (measured
-    // 17 s vs 1.4 s at sf0.1). Materialize each once (the withRoots
-    // device); both are the operator's bounded working set (distinct
-    // edges), orders smaller than the interaction log.
+    val (edges, deg) = undirectedGraph(inter)
+    trianglesFrom(edges, deg)
+  }
+
+  /** Local clustering coefficient per vertex: closed wedges over
+    * possible wedges, `2·T(v) / (deg(v)·(deg(v)−1))` — the standard
+    * cohesion metric on top of [[triangleCounts]]. Every vertex with
+    * deg ≥ 2 is reported (zero triangles included — the interesting
+    * low end); registers are exact integers and the coefficient is one
+    * IEEE divide of bit-identical operands, rounded in the decimal
+    * domain (the house rule), so the relation hashes across engines.
+    * Shares ONE materialized graph with the triangle pass. */
+  def clusteringCoefficients(inter: DataFrame): DataFrame = {
+    val (edges, deg) = undirectedGraph(inter)
+    trianglesFrom(edges, deg)
+      .join(deg.withColumnRenamed("n", "user_id"), Seq("user_id"), "right")
+      .filter(col("d") >= 2)
+      .select(col("user_id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("(d * (d - 1)) div 2").as("n_wedges"), // exact integer div
+        round(((coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
+            (col("d") * (col("d") - 1)).cast("double"))
+            .cast("decimal(28,10)"), 6)
+          .cast("double").as("coeff"))
+  }
+
+  /** Deduped undirected edge relation + per-vertex degrees. Both are
+    * multiply-referenced bounded working sets (degree aggregate, both
+    * wedge sides, closing semi join, the coefficient denominator) —
+    * left lazy, Catalyst replays the full upstream per branch (for
+    * q169 that is the JSON tweet-adapter parse; measured 17 s vs
+    * 1.4 s at sf0.1), so each materializes once (the withRoots
+    * device), orders smaller than the interaction log. */
+  private def undirectedGraph(inter: DataFrame): (DataFrame, DataFrame) = {
     val edges = inter
       .filter(col("author_id") =!= col("target_user_id"))
       .select(least(col("author_id"), col("target_user_id")).as("u"),
@@ -112,6 +138,11 @@ object InteractionGraph {
     val deg = edges.select(col("u").as("n"))
       .unionByName(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    (edges, deg)
+  }
+
+  private def trianglesFrom(edges: DataFrame, deg: DataFrame): DataFrame = {
     // orient by (degree, id): struct comparison gives the total order
     val withDeg = edges
       .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")

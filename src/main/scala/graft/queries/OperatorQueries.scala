@@ -69,7 +69,8 @@ object OperatorQueries {
   def cacheFamilies: Map[String, CacheFamily] = Map(
     "events" -> CacheFamily(
       Set("q12_interaction_counts", "q13_tree_stats", "q14_roles",
-        "q30_tree_assembly", "q35_interaction_graph", "q169_triangles"),
+        "q30_tree_assembly", "q35_interaction_graph", "q169_triangles",
+        "q170_clustering"),
       () => releaseEventsCaches()),
     "stemidx" -> CacheFamily(
       Set("q15_topic_model", "q31_topic_model_matrix",
@@ -419,8 +420,19 @@ object OperatorQueries {
         InteractionGraph.interactions(normalizedEvents(spark, dir)))
       .orderBy(col("user_id"))
 
+  /** Local clustering coefficient per user
+    * ([[InteractionGraph.clusteringCoefficients]]): closed wedges over
+    * possible wedges, exact integer registers + one rounded IEEE
+    * divide; every deg ≥ 2 vertex reported, zero-triangle users
+    * included. Rides the same norm-events cache as q169. */
+  def q170Clustering(spark: SparkSession, dir: String): DataFrame =
+    InteractionGraph.clusteringCoefficients(
+        InteractionGraph.interactions(normalizedEvents(spark, dir)))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_triangles" -> q169Triangles,
+    "q170_clustering" -> q170Clustering,
     "q12_interaction_counts" -> q12InteractionCounts,
     "q13_tree_stats" -> q13TreeStats,
     "q14_roles" -> q14Roles,
@@ -763,6 +775,32 @@ object OperatorQueries {
          |  UNION ALL SELECT z FROM tri)
          |SELECT user_id, count(*)::BIGINT AS n_triangles
          |FROM vert GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same triangle set as q169's oracle plus the degree denominator;
+    // the coefficient mirrors Spark's round-in-decimal emission and the
+    // wedge count uses // (floors like Spark div on positives).
+    "q170_clustering" ->
+      s"""$interCte,
+         |ed AS (SELECT DISTINCT least(author_id, target) AS u,
+         |    greatest(author_id, target) AS v
+         |  FROM inter WHERE author_id <> target),
+         |dg AS (SELECT n, count(*)::BIGINT AS d FROM
+         |  (SELECT u AS n FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
+         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM ed e1 JOIN ed e2 ON e2.u = e1.v
+         |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |vert AS (SELECT x AS user_id FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri),
+         |tc AS (SELECT user_id, count(*)::BIGINT AS n_triangles
+         |  FROM vert GROUP BY 1)
+         |SELECT dg.n AS user_id,
+         |  coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+         |  (dg.d * (dg.d - 1)) // 2 AS n_wedges,
+         |  round(((coalesce(tc.n_triangles, 0) * 2)::DOUBLE
+         |      / (dg.d * (dg.d - 1))::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+         |    AS coeff
+         |FROM dg LEFT JOIN tc ON tc.user_id = dg.n
+         |WHERE dg.d >= 2 ORDER BY user_id""".stripMargin,
     "q13_tree_stats" ->
       s"""WITH RECURSIVE ${nodesCte.stripPrefix("WITH ")}
          |SELECT root_id, count(*) AS tree_size, max(depth) AS max_depth,

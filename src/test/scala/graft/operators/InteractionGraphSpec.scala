@@ -35,6 +35,26 @@ class InteractionGraphSpec extends AnyFunSuite {
     assert(counts(noisy) == Map("x" -> 1L, "y" -> 1L, "z" -> 1L))
   }
 
+  test("clusteringCoefficients: K4 closes every wedge; a path closes none; deg<2 dropped") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)
+    val gotK4 = InteractionGraph.clusteringCoefficients(inter(k4))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // every vertex: deg 3 -> 3 wedges, all closed -> coeff 1.0
+    assert(gotK4 == Map("a" -> ((3L, 3L, 1.0)), "b" -> ((3L, 3L, 1.0)),
+      "c" -> ((3L, 3L, 1.0)), "d" -> ((3L, 3L, 1.0))))
+    // path p-q-r: only q has deg 2 (1 wedge, open); endpoints deg 1 drop
+    val gotPath = InteractionGraph.clusteringCoefficients(
+        inter(Seq(("p", "q"), ("q", "r"))))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotPath == Map("q" -> ((0L, 1L, 0.0))))
+  }
+
   test("random graph equals brute-force triangle enumeration") {
     val rnd = new scala.util.Random(29)
     val verts = (0 until 18).map(i => s"v$i")
