@@ -121,6 +121,135 @@ object InteractionGraph {
           .cast("double").as("coeff"))
   }
 
+  /** Connected components over the undirected interaction graph by
+    * LARGE-STAR / SMALL-STAR alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the
+    * O(log² n)-round device for graphs whose DIAMETER is unbounded,
+    * where plain neighbor-min propagation
+    * ([[graft.pipeline.Dedup.nearDupClusters]]) pays one shuffle round
+    * per hop. Each phase is one adjacency groupBy (per-node min) plus
+    * one join back — per-round cost is O(E) rows shuffled regardless of
+    * diameter, and edges monotonically contract toward stars rooted at
+    * each component's minimum id.
+    *
+    * Phases (ids totally ordered — here lexicographic on the string
+    * user ids, matching least/greatest everywhere else in this file):
+    *  - large-star at u: every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star at u: the smaller neighborhood N = {v ∈ Γ(u), v < u}
+    *    plus u itself re-attach to min(N).
+    * Fixpoint of the composition = disjoint stars whose centers are
+    * component minima (their Theorem 1) — labels read directly off the
+    * final edge relation. Convergence is detected exactly (count +
+    * one-sided except on the bounded edge set), not by round budget;
+    * `maxRounds` is a loud guard only. Per-vertex output:
+    * (user_id, component = min id in the component). */
+  def connectedComponents(inter: DataFrame, maxRounds: Int = 30): DataFrame = {
+    var edges = undirectedEdges(inter) // (u, v), u < v, distinct, materialized
+    var nEdges = edges.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nNext = next.count()
+      // both phases preserve connectivity and never add parallel edges;
+      // set equality on the bounded relation = same count + nothing new
+      converged = nNext == nEdges && next.exceptAll(edges).isEmpty
+      edges = next
+      nEdges = nNext
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxRounds rounds")
+    // star fixpoint: every edge is (component-min, member). The min-agg
+    // is an identity safety net (and one cheap shuffle on star edges).
+    val children = edges.groupBy(col("v").as("user_id"))
+      .agg(min(col("u")).as("component"))
+    val roots = edges.select(col("u").as("user_id"), col("u").as("component"))
+      .distinct()
+    children.unionByName(roots)
+  }
+
+  /** Large-star phase: neighbors LARGER than u attach to the minimum of
+    * u's closed neighborhood. Every input edge is re-emitted exactly
+    * once (from its smaller endpoint's view), so connectivity is
+    * preserved and the output stays normalized u < v. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    val m = adj.groupBy(col("a")).agg(min(col("b")).as("mn"))
+      .select(col("a"), least(col("mn"), col("a")).as("m"))
+    adj.filter(col("b") > col("a"))
+      .join(m, "a")
+      .select(col("m").as("u"), col("b").as("v")) // m <= a < b
+      .distinct()
+  }
+
+  /** Small-star phase: the smaller neighborhood N(u) = {v < u} plus u
+    * itself attach to min(N(u)). Every edge is covered from its LARGER
+    * endpoint's view; output stays normalized u < v. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val sm = edges.select(col("v").as("a"), col("u").as("b")) // b < a
+    val m = sm.groupBy(col("a")).agg(min(col("b")).as("m"))
+    val fromN = sm.join(m, "a")
+      .filter(col("b") =!= col("m"))
+      .select(col("m").as("u"), col("b").as("v")) // m = min(N) < b
+    val fromU = m.select(col("m").as("u"), col("a").as("v")) // m < a
+    fromN.unionByName(fromU).distinct()
+  }
+
+  /** Degree assortativity of the undirected interaction graph — the
+    * Pearson correlation of endpoint degrees over edges (Newman 2002):
+    * do hubs interact with hubs (r > 0, social networks' signature) or
+    * with leaves (r < 0)? Registers are exact int64 sums over the 2m
+    * directed endpoint pairs — by symmetry Σx = Σy and Σx² = Σy², so
+    * the correlation needs NO square root:
+    * r = (2m·Σxy − (Σx)²) / (2m·Σx² − (Σx)²), one IEEE divide of
+    * bit-identical integer operands, rounded in the decimal domain.
+    * Multiplies wear loud int64 guards (Spark's non-ANSI `*` wraps
+    * silently where DuckDB raises — the skewReport device). One row
+    * out; a degenerate regular graph (zero denominator) reports NULL. */
+  def degreeAssortativity(inter: DataFrame): DataFrame = {
+    val (edges, deg) = undirectedGraph(inter)
+    val pairs = edges
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "dx"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dy"), "v")
+    val nodeAgg = deg.agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"))
+    val guarded = pairs.select(
+      when(assert_true(col("dx") <= lit(3037000498L) && col("dy") <= lit(3037000498L),
+        lit("degreeAssortativity: degree product exceeds int64 — " +
+          "rescale degrees before the correlation")).isNull,
+        col("dx") * col("dy")).as("xy"),
+      col("dx"),
+      (col("dx") * col("dx")).as("xx")) // dx <= 3037000498 ⇒ dx² < 2^63
+    val sums = guarded.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("dx")).as("sum_d"),
+      sum(col("xy")).as("sum_dxdy"),
+      sum(col("xx")).as("sum_d2"))
+    val num = col("n_pairs") * col("sum_dxdy") - col("sum_d") * col("sum_d")
+    val den = col("n_pairs") * col("sum_d2") - col("sum_d") * col("sum_d")
+    val numChecked = when(
+      assert_true(
+        greatest(col("sum_dxdy"), col("sum_d2")) <=
+          lit(Long.MaxValue) / greatest(col("n_pairs"), lit(1L)) &&
+          col("sum_d") <= lit(3037000498L),
+        lit("degreeAssortativity: register product exceeds int64 — " +
+          "rescale (sample edges or bucket degrees) before the correlation")).isNull,
+      num)
+    sums.crossJoin(broadcast(nodeAgg))
+      .select(col("n_nodes"),
+        expr("n_pairs div 2").as("n_edges"),
+        col("max_degree"),
+        col("sum_d"), col("sum_dxdy"), col("sum_d2"),
+        when(den === 0L, lit(null).cast("double"))
+          .otherwise(round((numChecked.cast("double") / den.cast("double"))
+              .cast("decimal(28,10)"), 6)
+            .cast("double")).as("assortativity"))
+  }
+
   /** Deduped undirected edge relation + per-vertex degrees. Both are
     * multiply-referenced bounded working sets (degree aggregate, both
     * wedge sides, closing semi join, the coefficient denominator) —
@@ -129,18 +258,23 @@ object InteractionGraph {
     * 1.4 s at sf0.1), so each materializes once (the withRoots
     * device), orders smaller than the interaction log. */
   private def undirectedGraph(inter: DataFrame): (DataFrame, DataFrame) = {
-    val edges = inter
-      .filter(col("author_id") =!= col("target_user_id"))
-      .select(least(col("author_id"), col("target_user_id")).as("u"),
-        greatest(col("author_id"), col("target_user_id")).as("v"))
-      .distinct()
-      .localCheckpoint()
+    val edges = undirectedEdges(inter)
     val deg = edges.select(col("u").as("n"))
       .unionByName(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
     (edges, deg)
   }
+
+  /** The deduped, self-loop-free, (min, max)-normalized edge relation —
+    * materialized once (it feeds every consumer's multiple branches). */
+  private def undirectedEdges(inter: DataFrame): DataFrame =
+    inter
+      .filter(col("author_id") =!= col("target_user_id"))
+      .select(least(col("author_id"), col("target_user_id")).as("u"),
+        greatest(col("author_id"), col("target_user_id")).as("v"))
+      .distinct()
+      .localCheckpoint()
 
   private def trianglesFrom(edges: DataFrame, deg: DataFrame): DataFrame = {
     // orient by (degree, id): struct comparison gives the total order

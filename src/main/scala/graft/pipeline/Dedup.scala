@@ -206,6 +206,45 @@ object Dedup {
   def jaccard(pairs: DataFrame, shingled: DataFrame): DataFrame =
     jaccardAcross(pairs, shingled, shingled)
 
+  /** Edit-distance verification of LSH candidate pairs — the
+    * character-level refinement arm of fuzzy dedup (shingle Jaccard is
+    * blind to small in-word edits that edit distance sees, and vice
+    * versa for reorderings). A pair is a duplicate when its Levenshtein
+    * distance is within `maxDist` AND within `maxPct`% of the longer
+    * text — the relative rule as an exact integer cross-multiplication
+    * (`100·lev ≤ pct·max(len)`), never a rounded-ratio compare.
+    *
+    * Scale shape: Levenshtein is O(len²) per pair, so it runs ONLY on
+    * the LSH candidate relation (near-dup-rate cardinality), never
+    * corpus²; the text payload joins onto candidates by id — two
+    * hash joins whose build side AQE broadcasts when small. The
+    * banded threshold form `levenshtein(a, b, maxDist)` is the
+    * O(maxDist·len) early-exit path — distances beyond the cap report
+    * as −1 (not duplicates by construction, cap your pct budget
+    * accordingly). Texts are projected to their ASCII printable
+    * subsequence first: Spark measures UTF-16 units where other
+    * engines measure codepoints or bytes, and on the ASCII plane every
+    * convention coincides, making the distance engine-portable (the
+    * q104 explicit-class discipline applied to string metrics). */
+  def editVerify(cands: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 64, maxPct: Int = 20): DataFrame = {
+    require(maxDist >= 0 && maxPct >= 0, "editVerify: thresholds must be >= 0")
+    val tx = docs.select(col(idCol),
+      regexp_replace(col(textCol), "[^ -~]", "").as("t"))
+    val a = tx.select(col(idCol).as("doc_a"), col("t").as("ta"))
+    val b = tx.select(col(idCol).as("doc_b"), col("t").as("tb"))
+    cands.select(col("doc_a"), col("doc_b"))
+      .join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"levenshtein(ta, tb, $maxDist)").cast("long").as("lev"),
+        length(col("ta")).cast("long").as("len_a"),
+        length(col("tb")).cast("long").as("len_b"))
+      .withColumn("is_dup",
+        when(col("lev") >= 0L &&
+          col("lev") * 100L <= lit(maxPct.toLong) * greatest(col("len_a"), col("len_b")),
+          1L).otherwise(0L))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
     * join → exact-Jaccard verification at `threshold`. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,

@@ -420,6 +420,48 @@ object Similarity {
         col("rrf_q"), col("n_arms"))
   }
 
+  /** Kendall rank correlation between two top-k retrieval arms — the
+    * order-agreement companion to recall@k (set overlap, q69) and
+    * NDCG (graded position discount, q159): over the items BOTH arms
+    * retrieved for a query, how often do the two rankings order a pair
+    * the same way? τ = (C − D) / P with C/D the concordant/discordant
+    * pair counts and P = m(m−1)/2 — all exact integer registers
+    * (within-arm ranks are distinct, so no tie terms), one rounded
+    * IEEE divide.
+    *
+    * Scale shape: the common-item relation is ≤ k rows per query —
+    * corpus-size-independent — and the pair self-join is bounded by
+    * k(k−1)/2 per query, so cost scales with the probe set, never the
+    * corpus. Queries with fewer than 2 common items have no pair order
+    * to compare and are dropped. */
+  def kendallTau(armA: DataFrame, armB: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String): DataFrame = {
+    val a = armA.select(col(queryCol).as("query_id"),
+      col(itemCol).as("corpus_id"), col(rankCol).cast("long").as("ra"))
+    val b = armB.select(col(queryCol).as("query_id"),
+      col(itemCol).as("corpus_id"), col(rankCol).cast("long").as("rb"))
+    val common = a.join(b, Seq("query_id", "corpus_id"))
+    val l = common.select(col("query_id"), col("corpus_id").as("ci"),
+      col("ra").as("rai"), col("rb").as("rbi"))
+    val r = common.select(col("query_id"), col("corpus_id").as("cj"),
+      col("ra").as("raj"), col("rb").as("rbj"))
+    val perQ = l.join(r, Seq("query_id"))
+      .filter(col("ci") < col("cj"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("rai") - col("raj")) * (col("rbi") - col("rbj")) > 0,
+          1L).otherwise(0L)).as("n_concordant"))
+    val counts = common.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_common"))
+    counts.join(perQ, Seq("query_id"))
+      .filter(col("n_common") >= 2)
+      .select(col("query_id"), col("n_common"), col("n_concordant"),
+        (col("n_pairs") - col("n_concordant")).as("n_discordant"),
+        round(((col("n_concordant") * 2 - col("n_pairs")).cast("double") /
+            col("n_pairs").cast("double")).cast("decimal(28,10)"), 6)
+          .cast("double").as("tau"))
+  }
+
   /** Hash-checkable k-means training report: run [[trainCentroids]],
     * then one final assignment pass, and emit per centroid its final
     * cell size and an md5 over the centroid's quantized components —

@@ -1582,6 +1582,72 @@ object TextMetrics {
           .as("tfidf"))
   }
 
+  /** Positional phrase search — the adjacency-probe operator a
+    * positional inverted index serves (the exact-phrase arm of a
+    * search stack, next to q127's TF-IDF term retrieval and q65's
+    * BM25): for each query phrase `w1 w2`, find its occurrences as a
+    * first-word posting probe joined to the (doc, pos+1) posting —
+    * never by re-scanning text. The query set is self-contained: the
+    * corpus's `topPhrases` most frequent bigrams (count DESC, phrase
+    * ASC — the exact-rank device), so the operator doubles as a
+    * collocation report; the count arm picks the queries, the PROBE
+    * arm produces the reported stats, and an oracle counting bigrams
+    * directly cross-checks the whole index mechanism.
+    *
+    * Scale shape: positional postings are built once and materialized
+    * (they feed the bigram counts and both probe sides); per-doc
+    * positions come from one doc-partitioned window (no global sort);
+    * the phrase top-N rides [[Ranks.bucketedGlobalRank]] (bigram
+    * vocabulary is corpus-cardinality — never a bare global window);
+    * both probe sides are pre-filtered by a broadcast semi-join on the
+    * query words, so probe volume is bounded by the query terms'
+    * posting lengths, not the corpus; the adjacency join keys on
+    * (doc, pos). */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      topPhrases: Int = 20): DataFrame = {
+    require(topPhrases >= 1, "phraseSearch: topPhrases must be >= 1")
+    val raw = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), "[ \\t\\n\\f\\r]+"))
+          .as(Seq("p0", "word")))
+      .filter(col("word") =!= "")
+    // positions over SURVIVING tokens, so adjacency means "consecutive
+    // words" regardless of how much whitespace separated them
+    val toks = raw
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("p0"))))
+      .select(col("doc_id"), col("pos"), col("word"))
+      .localCheckpoint() // feeds counts + both probe sides
+    val bigrams = toks
+      .withColumn("nxt", lead(col("word"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("nxt").isNotNull)
+      .select(concat_ws(" ", col("word"), col("nxt")).as("phrase"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("n_count"))
+    val top = graft.pipeline.Ranks.bucketedGlobalRank(
+        bigrams.withColumn("_neg", -col("n_count")), "_neg", "phrase",
+        rankCol = "rank")
+      .filter(col("rank") <= topPhrases)
+      .select(col("rank").cast("long").as("rank"), col("phrase"),
+        split(col("phrase"), " ").getItem(0).as("w1"),
+        split(col("phrase"), " ").getItem(1).as("w2"))
+      .localCheckpoint(true) // bounded query relation; feeds two probes
+    val first = toks.join(broadcast(top.select(col("phrase"), col("w1"),
+        col("w2"))), col("word") === col("w1"))
+      .select(col("phrase"), col("w2"), col("doc_id"), col("pos"))
+    val second = toks.join(broadcast(top.select(col("w2").as("word"))
+        .distinct()), Seq("word"), "left_semi")
+      .select(col("doc_id"), (col("pos") - lit(1)).as("pos"),
+        col("word").as("wn"))
+    val hits = first.join(second, Seq("doc_id", "pos"))
+      .filter(col("wn") === col("w2"))
+      .groupBy(col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+    top.select(col("rank"), col("phrase"))
+      .join(hits, Seq("phrase"))
+      .select(col("rank"), col("phrase"), col("n_docs"), col("n_occ"))
+  }
+
   /** Sparse lexical retrieval — TF-IDF-weighted cosine top-k over an
     * inverted index, the lexical complement of the embedding ANN family
     * (BM25's q65 scores one query string; this retrieves per-document

@@ -70,7 +70,7 @@ object OperatorQueries {
     "events" -> CacheFamily(
       Set("q12_interaction_counts", "q13_tree_stats", "q14_roles",
         "q30_tree_assembly", "q35_interaction_graph", "q169_triangles",
-        "q170_clustering"),
+        "q170_clustering", "q171_components", "q172_assortativity"),
       () => releaseEventsCaches()),
     "stemidx" -> CacheFamily(
       Set("q15_topic_model", "q31_topic_model_matrix",
@@ -430,9 +430,32 @@ object OperatorQueries {
         InteractionGraph.interactions(normalizedEvents(spark, dir)))
       .orderBy(col("user_id"))
 
+  /** Connected components over the undirected interaction graph
+    * ([[InteractionGraph.connectedComponents]], large-star/small-star —
+    * the O(log²)-round device for unbounded-diameter graphs, vs the
+    * neighbor-min O(diameter) loop the near-dup clusterer uses on its
+    * shallow duplicate graph). Per-user component = min id in the
+    * component; the oracle computes the same labels by a recursive
+    * reachability walk — a completely different mechanism. Rides the
+    * shared norm-events cache like q169/q170. */
+  def q171Components(spark: SparkSession, dir: String): DataFrame =
+    InteractionGraph.connectedComponents(
+        InteractionGraph.interactions(normalizedEvents(spark, dir)))
+      .orderBy(col("user_id"))
+
+  /** Degree assortativity of the interaction graph
+    * ([[InteractionGraph.degreeAssortativity]]): exact int64 degree
+    * registers over the 2m directed endpoint pairs + one rounded IEEE
+    * divide (no sqrt — the symmetric-form cancellation). One row. */
+  def q172Assortativity(spark: SparkSession, dir: String): DataFrame =
+    InteractionGraph.degreeAssortativity(
+        InteractionGraph.interactions(normalizedEvents(spark, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_triangles" -> q169Triangles,
     "q170_clustering" -> q170Clustering,
+    "q171_components" -> q171Components,
+    "q172_assortativity" -> q172Assortativity,
     "q12_interaction_counts" -> q12InteractionCounts,
     "q13_tree_stats" -> q13TreeStats,
     "q14_roles" -> q14Roles,
@@ -801,6 +824,50 @@ object OperatorQueries {
          |    AS coeff
          |FROM dg LEFT JOIN tc ON tc.user_id = dg.n
          |WHERE dg.d >= 2 ORDER BY user_id""".stripMargin,
+    // Components by recursive reachability walk (the q37 transitive-
+    // closure device): walk rows (n, lbl) mean "lbl can reach n";
+    // min lbl per node = min id in the component — the same labels the
+    // Spark side derives by large-star/small-star contraction, via a
+    // completely different mechanism.
+    "q171_components" ->
+      (s"WITH RECURSIVE ${interCte.stripPrefix("WITH ")},\n" +
+        """ed AS (SELECT DISTINCT least(author_id, target) AS u,
+          |    greatest(author_id, target) AS v
+          |  FROM inter WHERE author_id <> target),
+          |adj AS (SELECT u AS a, v AS b FROM ed
+          |  UNION ALL SELECT v, u FROM ed),
+          |walk AS (
+          |  SELECT a AS n, a AS lbl FROM (SELECT DISTINCT a FROM adj)
+          |  UNION
+          |  SELECT adj.b, walk.lbl FROM walk JOIN adj ON adj.a = walk.n)
+          |SELECT n AS user_id, min(lbl) AS component
+          |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin),
+    // Same ed/dg registers as q170; BIGINT products raise on overflow
+    // in DuckDB exactly where the Spark side's assert_true guard fires.
+    "q172_assortativity" ->
+      s"""$interCte,
+         |ed AS (SELECT DISTINCT least(author_id, target) AS u,
+         |    greatest(author_id, target) AS v
+         |  FROM inter WHERE author_id <> target),
+         |dg AS (SELECT n, count(*)::BIGINT AS d FROM
+         |  (SELECT u AS n FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
+         |pr AS (SELECT u AS a, v AS b FROM ed
+         |  UNION ALL SELECT v, u FROM ed),
+         |j AS (SELECT da.d AS dx, db.d AS dy
+         |  FROM pr JOIN dg da ON da.n = pr.a JOIN dg db ON db.n = pr.b),
+         |s AS (SELECT count(*)::BIGINT AS n_pairs, sum(dx)::BIGINT AS sum_d,
+         |    sum(dx * dy)::BIGINT AS sum_dxdy,
+         |    sum(dx * dx)::BIGINT AS sum_d2 FROM j),
+         |nn AS (SELECT count(*)::BIGINT AS n_nodes,
+         |    max(d)::BIGINT AS max_degree FROM dg)
+         |SELECT n_nodes, (n_pairs // 2)::BIGINT AS n_edges, max_degree,
+         |  sum_d, sum_dxdy, sum_d2,
+         |  CASE WHEN (n_pairs * sum_d2 - sum_d * sum_d) = 0 THEN NULL
+         |    ELSE round(((n_pairs * sum_dxdy - sum_d * sum_d)::DOUBLE
+         |      / (n_pairs * sum_d2 - sum_d * sum_d)::DOUBLE)
+         |      ::DECIMAL(28,10), 6)::DOUBLE
+         |  END AS assortativity
+         |FROM s CROSS JOIN nn""".stripMargin,
     "q13_tree_stats" ->
       s"""WITH RECURSIVE ${nodesCte.stripPrefix("WITH ")}
          |SELECT root_id, count(*) AS tree_size, max(depth) AS max_depth,

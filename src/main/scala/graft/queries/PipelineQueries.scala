@@ -117,12 +117,13 @@ object PipelineQueries {
         "q99_norm_outliers", "q102_truncation_energy", "q105_sq8_error",
         "q106_dim_stats", "q120_probed_neardups", "q122_hard_negatives",
         "q124_embeddings_contract", "q146_embedding_gram", "q147_pca_report",
-        "q150_walk_centrality", "q159_ndcg", "q167_rrf_fusion"),
+        "q150_walk_centrality", "q159_ndcg", "q167_rrf_fusion",
+        "q173_kendall_tau"),
       () => releaseEmbCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
         "q78_source_overlap", "q88_incremental_dedup", "q91_lsh_tuning",
-        "q121_containment"),
+        "q121_containment", "q174_edit_verify"),
       () => releaseMinhashCaches()),
     "tf" -> CacheFamily(
       Set("q52_tfidf", "q53_surprisal", "q79_vocab_coverage",
@@ -155,6 +156,29 @@ object PipelineQueries {
   def q20MinhashNearDups(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Edit-distance verification of the q20 LSH candidates
+    * ([[Dedup.editVerify]]): the character-level refinement arm of
+    * fuzzy dedup — banded Levenshtein over candidate pairs only, the
+    * relative duplicate rule as an exact integer cross-multiply.
+    * Rides the shared band relation; only the verify arm differs from
+    * q20's shingle-Jaccard. */
+  def q174EditVerify(spark: SparkSession, dir: String): DataFrame = {
+    val cands = Dedup.lshCandidates(
+      docBands(spark, dir).select(col("doc_id"), col("band"), col("band_key")))
+    Dedup.editVerify(cands, docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Positional phrase search ([[TextMetrics.phraseSearch]]): the
+    * corpus's top-20 bigram phrases retrieved through positional
+    * posting probes — first-word postings joined to the (doc, pos+1)
+    * posting — while the oracle counts bigram occurrences directly
+    * from the token lists: the whole index-probe mechanism is the
+    * thing under test. */
+  def q175PhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.phraseSearch(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("rank"))
 
   /** LSH banding-tuning report — the S-curve trade every MinHash deploy
     * tunes: with 8 minhashes, compare (bands=4, rows=2) against
@@ -430,6 +454,22 @@ object PipelineQueries {
       k = 10, nBits = 8)
     Similarity.rrfFuse(Seq(exact, approx), "query_id", "corpus_id", "rank")
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Kendall-τ rank agreement between the exact q23 arm and the
+    * sign-LSH q24 arm ([[Similarity.kendallTau]]): pairwise order
+    * concordance over each query's common retrieved items — the
+    * third leg of the retrieval-evaluation stool beside recall@10
+    * (q69, set overlap) and NDCG@10 (q159, position-discounted gain).
+    * Integer C/D registers, one rounded IEEE divide. */
+  def q173KendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+    val approx = Similarity.lshTopK(e, q, "vec_id", "embedding",
+      k = 10, nBits = 8)
+    Similarity.kendallTau(exact, approx, "query_id", "corpus_id", "rank")
+      .orderBy(col("query_id"))
   }
 
   /** IVF ANN: centroid cells + nprobe probing + exact re-rank — the
@@ -1739,6 +1779,9 @@ object PipelineQueries {
     "q23_similarity_brute" -> q23SimilarityBrute,
     "q24_similarity_lsh" -> q24SimilarityLsh,
     "q167_rrf_fusion" -> q167RrfFusion,
+    "q173_kendall_tau" -> q173KendallTau,
+    "q174_edit_verify" -> q174EditVerify,
+    "q175_phrase_search" -> q175PhraseSearch,
     "q33_similarity_ivf" -> q33SimilarityIvf,
     "q37_neardup_clusters" -> q37NearDupClusters,
     "q74_keep_best" -> q74KeepBest,
@@ -2218,7 +2261,10 @@ object PipelineQueries {
       |  FROM ord o JOIN pack p ON o.source = p.source AND o.rn = p.rn + 1)
       |SELECT source, doc_id, n AS n_tokens, bin_id FROM pack""".stripMargin
 
-  private val q20Oracle = jaccardTail(
+  // The b4r2 LSH candidate pairs (mirrors Dedup.lshCandidates over the
+  // 8-minhash/4-band signatures) — shared by the q20 Jaccard verify and
+  // the q174 edit-distance verify.
+  private val lshCandSql =
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM (SELECT doc_id, i // 2 AS band,
       |          string_agg(sig, '|' ORDER BY i) AS band_key
@@ -2233,7 +2279,9 @@ object PipelineQueries {
       |              GROUP BY doc_id, i)
       |        GROUP BY doc_id, i // 2) b
       |    ON a.band = b.band AND a.band_key = b.band_key
-      |       AND a.doc_id < b.doc_id""".stripMargin)
+      |       AND a.doc_id < b.doc_id""".stripMargin
+
+  private val q20Oracle = jaccardTail(lshCandSql)
 
   // q37/q74 shared oracle machinery: q20's verified pairs → transitive
   // closure via a recursive UNION walk → per-doc min reachable label
@@ -2259,6 +2307,47 @@ object PipelineQueries {
         |  count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q20_minhash_neardups" -> q20Oracle,
+    // Edit-distance verification of the same LSH candidates: full
+    // Levenshtein in DuckDB mirrors Spark's banded early-exit form via
+    // the >64 → −1 CASE; texts project to the ASCII printable plane
+    // first so every engine's length/distance convention coincides.
+    "q174_edit_verify" ->
+      (s"$shingleCte,\ncands AS (\n$lshCandSql),\n" +
+        """tx AS (SELECT doc_id,
+          |    regexp_replace(text, '[^ -~]', '', 'g') AS t
+          |  FROM documents),
+          |e AS (SELECT c.doc_a, c.doc_b,
+          |    levenshtein(ta.t, tb.t)::BIGINT AS l,
+          |    length(ta.t)::BIGINT AS len_a, length(tb.t)::BIGINT AS len_b
+          |  FROM cands c
+          |  JOIN tx ta ON ta.doc_id = c.doc_a
+          |  JOIN tx tb ON tb.doc_id = c.doc_b)
+          |SELECT doc_a, doc_b,
+          |  (CASE WHEN l > 64 THEN -1 ELSE l END)::BIGINT AS lev,
+          |  len_a, len_b,
+          |  (CASE WHEN l <= 64 AND 100 * l <= 20 * greatest(len_a, len_b)
+          |    THEN 1 ELSE 0 END)::BIGINT AS is_dup
+          |FROM e ORDER BY doc_a, doc_b""".stripMargin),
+    // Direct bigram counting over the filtered token lists — the Spark
+    // side retrieves the same phrases through positional index probes,
+    // an adversarially different mechanism.
+    "q175_phrase_search" ->
+      """WITH tl AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text),
+        |      '[ \t\n\f\r]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |big AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS phrase
+        |  FROM tl WHERE len(t) >= 2),
+        |cnt AS (SELECT phrase, count(*)::BIGINT AS n_occ,
+        |    count(DISTINCT doc_id)::BIGINT AS n_docs
+        |  FROM big GROUP BY 1)
+        |SELECT rank::BIGINT AS rank, phrase, n_docs, n_occ FROM (
+        |  SELECT phrase, n_docs, n_occ,
+        |    row_number() OVER (ORDER BY n_occ DESC, phrase) AS rank
+        |  FROM cnt)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // Mirrors incrementalDedup with src5 as the new batch: the verified
     // near-dup pairs reuse the q20 oracle body verbatim (q69 device),
     // the exact arm compares raw text md5 across the boundary, exact
@@ -2844,6 +2933,31 @@ object PipelineQueries {
           |      ORDER BY rrf_q DESC, corpus_id) AS rank
           |  FROM f) WHERE rank <= 10
           |ORDER BY query_id, rank""".stripMargin),
+    // Kendall τ between the q23/q24 arms: both bodies verbatim as CTEs
+    // (the q69 device), common items joined on (query, corpus), pair
+    // self-join bounded by k(k−1)/2 per query, integer concordance
+    // registers, τ = (2C − P)/P as one rounded IEEE divide.
+    "q173_kendall_tau" ->
+      (s"WITH b AS (\n$q23Body\n), a AS (\n$q24Body\n),\n" +
+        """c AS (SELECT b.query_id, b.corpus_id,
+          |    b.rank::BIGINT AS ra, a.rank::BIGINT AS rb
+          |  FROM b JOIN a
+          |    ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id),
+          |m AS (SELECT query_id, count(*)::BIGINT AS n_common
+          |  FROM c GROUP BY 1),
+          |p AS (SELECT x.query_id, count(*)::BIGINT AS n_pairs,
+          |    sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+          |        THEN 1 ELSE 0 END)::BIGINT AS n_concordant
+          |  FROM c x JOIN c y ON y.query_id = x.query_id
+          |    AND x.corpus_id < y.corpus_id
+          |  GROUP BY 1)
+          |SELECT m.query_id, m.n_common, p.n_concordant,
+          |  (p.n_pairs - p.n_concordant)::BIGINT AS n_discordant,
+          |  round(((p.n_concordant * 2 - p.n_pairs)::DOUBLE
+          |      / p.n_pairs::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS tau
+          |FROM m JOIN p ON p.query_id = m.query_id
+          |WHERE m.n_common >= 2
+          |ORDER BY m.query_id""".stripMargin),
     // NDCG@10: both top-k bodies reused verbatim (the q69 device),
     // graded relevance k+1-exact_rank, identical ln(rank+1)/ln(2)
     // discount op order, DECIMAL term sums, one final IEEE divide.

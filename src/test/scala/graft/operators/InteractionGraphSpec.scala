@@ -76,4 +76,57 @@ class InteractionGraphSpec extends AnyFunSuite {
     }
     assert(counts(pairs) == want.toMap)
   }
+
+  private def components(pairs: Seq[(String, String)]): Map[String, String] =
+    InteractionGraph.connectedComponents(inter(pairs).repartition(7))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("connectedComponents: chain, triangle and pair each label to their min id") {
+    // an 8-node chain exercises multi-round star contraction (diameter
+    // 7 ≫ the round count the log-contraction needs); direction noise
+    // and a self-loop must collapse exactly like the triangle pass
+    val chain = (1 until 8).map(i => (s"a$i", s"a${i + 1}"))
+    val g = chain ++ Seq(("y", "x"), ("z", "y"), ("x", "z"), // triangle
+      ("q", "p"), ("p", "q"), ("p", "p")) // pair + reversed dup + self-loop
+    val got = components(g)
+    val want = (1 to 8).map(i => s"a$i" -> "a1").toMap ++
+      Map("x" -> "x", "y" -> "x", "z" -> "x", "p" -> "p", "q" -> "p")
+    assert(got == want)
+  }
+
+  test("connectedComponents agrees with the neighbor-min clusterer on a random graph") {
+    // two independent algorithms (large/small-star contraction vs
+    // nearDupClusters' per-hop min propagation) over the same edges
+    val rnd = new scala.util.Random(41)
+    val verts = (0 until 40).map(i => f"n$i%02d")
+    val pairs = for {
+      a <- verts; b <- verts if a < b && rnd.nextDouble() < 0.04
+    } yield (a, b)
+    val star = components(pairs)
+    val nodes = verts.toDF("id")
+    val edges = pairs.toDF("doc_a", "doc_b")
+    val minLabel = graft.pipeline.Dedup
+      .nearDupClusters(nodes, edges, "id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // nearDupClusters labels every node (singletons included); the
+    // interaction graph has no isolated vertices, so compare on the
+    // star-side key set
+    assert(star == minLabel.view.filterKeys(star.keySet).toMap)
+  }
+
+  test("degreeAssortativity: star is -1, path is -0.5, regular K4 is NULL") {
+    def row(pairs: Seq[(String, String)]) =
+      InteractionGraph.degreeAssortativity(inter(pairs)).collect().head
+    val star = row((1 to 3).map(i => ("hub", s"leaf$i")))
+    // registers: 6 directed pairs, Σd = 12, Σdxdy = 18, Σd² = 30
+    assert((star.getLong(0), star.getLong(1), star.getLong(2)) == ((4L, 3L, 3L)))
+    assert((star.getLong(3), star.getLong(4), star.getLong(5)) == ((12L, 18L, 30L)))
+    assert(star.getDouble(6) == -1.0)
+    val path = row(Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    assert(path.getDouble(6) == -0.5)
+    val k4 = row(for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b))
+    assert(k4.isNullAt(6)) // 3-regular: zero variance, undefined
+  }
 }

@@ -1252,6 +1252,76 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("phraseSearch: probe arm equals direct counts, overlaps and ties included") {
+    // "a a a" holds TWO overlapping "a a" occurrences; doc 2 adds one
+    // more (3 total across 2 docs); "b c" appears once per doc (tie
+    // with nothing — ranked after "a a"); multi-whitespace must not
+    // break adjacency
+    val docs = Seq(
+      (1L, "a a a  b \t c"), (2L, "a a b\nc"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextMetrics.phraseSearch(docs.repartition(3), "doc_id", "text",
+        topPhrases = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // counts: "a a" 3 occ / 2 docs; then ties at 2: "a b"? doc1 "a b"
+    // once (3rd a -> b), doc2 "a b" once = 2 occ / 2 docs; "b c" 2/2
+    assert(got.toSeq == Seq(
+      (1L, "a a", 2L, 3L),
+      (2L, "a b", 2L, 2L),
+      (3L, "b c", 2L, 2L)))
+  }
+
+  test("editVerify: banded Levenshtein, relative rule, ASCII projection") {
+    // pair (1,2): distance 1 on "kitten"/"sitten"; (1,3): "kitten" vs
+    // "sitting" = 3; (4,5): identical after the ASCII projection drops
+    // the é (distance 0, lengths measured post-projection); (6,7):
+    // beyond the cap → lev −1, never a duplicate
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitten"), (3L, "sitting"),
+      (4L, "café au lait"), (5L, "caf au lait"),
+      (6L, "a" * 100), (7L, "b" * 100)).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.editVerify(cands, docs.repartition(3), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == Map(
+      (1L, 2L) -> ((1L, 6L, 6L, 1L)),
+      (1L, 3L) -> ((3L, 6L, 7L, 0L)), // 300 > 20·7: close but not 20%
+      (4L, 5L) -> ((0L, 11L, 11L, 1L)),
+      (6L, 7L) -> ((-1L, 100L, 100L, 0L))))
+  }
+
+  test("kendallTau matches hand-computed concordance registers") {
+    // query 1: common items {10,11,12} — A ranks them 1,2,3, B ranks
+    // them 3,1,2 → pairs (10,11): A says 10<11, B says 11<10 →
+    // discordant; (10,12): A 10<12, B 12<10 → discordant; (11,12):
+    // both 11<12 → concordant. τ = (1−2)/3. Query 2: perfect
+    // agreement on 2 common items, τ = 1. Query 3: one common item —
+    // dropped. Non-common items in either arm must not contribute.
+    val armA = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (1L, 4L, 99L), (2L, 1L, 20L), (2L, 2L, 21L), (3L, 1L, 30L))
+      .toDF("query_id", "rank", "corpus_id")
+    val armB = Seq((1L, 1L, 11L), (1L, 2L, 12L), (1L, 3L, 10L),
+      (1L, 4L, 98L), (2L, 1L, 20L), (2L, 2L, 21L), (3L, 1L, 30L))
+      .toDF("query_id", "rank", "corpus_id")
+    val got = Similarity.kendallTau(armA.repartition(5), armB,
+        "query_id", "corpus_id", "rank")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      1L -> ((3L, 1L, 2L, round6(-1.0 / 3.0))),
+      2L -> ((2L, 1L, 0L, 1.0))))
+  }
+
   test("stupidBackoffScore matches a direct reimplementation on a tiny corpus") {
     val corpus = Seq((1L, "a b c a b d"), (2L, "a b c c"), (3L, "x"))
     val got = TextMetrics.stupidBackoffScore(
