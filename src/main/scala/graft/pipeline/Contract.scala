@@ -193,4 +193,43 @@ object Contract {
     snapshotDiff(current, refresh, idCol, textCol)
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Slowly-changing-dimension type-2 history over a versioned corpus —
+    * the lineage ledger behind [[applySnapshot]]'s in-place rewrite:
+    * one row per (id, run of consecutive versions with identical
+    * content), carrying `[effective_from, effective_to]` version bounds
+    * and an `is_current` flag. A content change OR an absence gap
+    * closes the interval (a doc removed at v and re-added at v+k gets
+    * two intervals, even with identical content — presence history is
+    * part of lineage).
+    *
+    * `versioned` holds one row per (version, id) PRESENT in that
+    * snapshot. Shape: one id-partitioned window pass (per-id rows =
+    * versions the id appears in — bounded by snapshot count, never
+    * corpus-scale), one (id, run) aggregate, and a 1-row broadcast of
+    * the latest version for the current flag. Content compares by md5,
+    * so text never shuffles twice. */
+  def scd2History(versioned: DataFrame, idCol: String, versionCol: String,
+      textCol: String): DataFrame = {
+    val maxV = versioned.agg(max(col(versionCol).cast("long")).as("_maxv"))
+    val h = versioned.select(col(idCol),
+      col(versionCol).cast("long").as("ver"),
+      md5(col(textCol)).as("text_md5"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ver"))
+    val marked = h.withColumn("_brk",
+      when(lag(col("text_md5"), 1).over(w).isNull ||
+        lag(col("text_md5"), 1).over(w) =!= col("text_md5") ||
+        lag(col("ver"), 1).over(w) =!= col("ver") - 1L, 1L).otherwise(0L))
+    marked
+      .withColumn("_run", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_run"))
+      .agg(min(col("ver")).as("effective_from"),
+        max(col("ver")).as("effective_to"),
+        max(col("text_md5")).as("text_md5")) // constant within a run
+      .crossJoin(broadcast(maxV))
+      .withColumn("is_current",
+        when(col("effective_to") === col("_maxv"), 1L).otherwise(0L))
+      .drop("_run", "_maxv")
+  }
 }

@@ -86,4 +86,53 @@ object Ranks {
         col("_cum") + row_number().over(wIn).cast("long"))
       .drop("_b", "_cum")
   }
+
+  /** Per-group exact rank without a per-group single-task sort — the
+    * grouped form of [[bucketedGlobalRank]] for relations whose GROUPS
+    * are few (a dimension: sources, splits, languages) but whose
+    * per-group cardinality is corpus-scale (vocabulary, documents). A
+    * bare `Window.partitionBy(group).orderBy(value)` funnels each
+    * group through one task; here each group gets its own bucket
+    * histogram, so parallelism is groups × nBuckets and per-task work
+    * is group-size / nBuckets.
+    *
+    * Mechanism mirrors the global device with per-group lo/hi carried
+    * by a BROADCAST stats join instead of driver literals (the group
+    * relation is dimension-bounded by precondition — so are the
+    * histogram and offset relations, groups × nBuckets rows). Ranks
+    * are bit-identical to the single-task grouped window for any
+    * partitioning: the bucket map is weakly monotone per group, nulls
+    * rank first, NaN last, and the within-bucket sort orders by the
+    * ORIGINAL column. */
+  def bucketedGroupRank(df: DataFrame, valueCol: String, tieCol: String,
+      groupCol: String, rankCol: String = "_rn",
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"bucketedGroupRank: nBuckets must be >= 1")
+    val v = col(valueCol).cast("double")
+    val vFinite = when(v.isNotNull && !isnan(v), v)
+    val stats = df.groupBy(col(groupCol))
+      .agg(min(vFinite).as("_lo"), max(vFinite).as("_hi"))
+    val bucketed = df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("_b",
+        when(col("_hi").isNull || col("_hi") <= col("_lo"), lit(0))
+          .when(v.isNull, lit(0))
+          .when(isnan(v), lit(nBuckets - 1))
+          .otherwise(least(lit(nBuckets - 1L),
+            floor((v - col("_lo")) / (col("_hi") - col("_lo")) * nBuckets))
+            .cast("int")))
+    val hist = bucketed.groupBy(col(groupCol), col("_b"))
+      .agg(count(lit(1)).as("_bcnt"))
+    val prior = hist.select(col(groupCol).as("_pg"), col("_b").as("_pb"),
+      col("_bcnt").as("_pcnt"))
+    val offsets = hist.join(broadcast(prior),
+        col("_pg") === col(groupCol) && col("_pb") < col("_b"), "left")
+      .groupBy(col(groupCol), col("_b"))
+      .agg(sum(coalesce(col("_pcnt"), lit(0L))).as("_cum"))
+    val wIn = Window.partitionBy(col(groupCol), col("_b"))
+      .orderBy(col(valueCol).asc_nulls_first, col(tieCol).asc)
+    bucketed.join(broadcast(offsets), Seq(groupCol, "_b"))
+      .withColumn(rankCol,
+        col("_cum") + row_number().over(wIn).cast("long"))
+      .drop("_b", "_cum", "_lo", "_hi")
+  }
 }

@@ -1004,20 +1004,24 @@ object TextMetrics {
     * observed integer, never an interpolated double, and the value at a
     * rank is tie-order-independent by construction.
     *
-    * Scale shape: one shuffle keyed by the group for the rank window
-    * (the sort spills; per-group data never concentrates on the
-    * driver). Exact per-group percentiles fundamentally need that
-    * per-group sort; at 100 TB the cheap path is
+    * Scale shape: the rank rides [[Ranks.bucketedGroupRank]] — each
+    * group's sort splits across ~nBuckets tasks instead of funneling
+    * one task per group (the pre-round-12 form was a bare per-group
+    * row_number window: ONE task sorts an entire source at corpus
+    * scale), and the group sizes broadcast back. Value-at-rank is
+    * tie-order-independent (equal values share every candidate rank),
+    * so the upgrade is hash-neutral. At 100 TB the cheap path is
     * [[tokenPercentilesApprox]] (GK sketch, map-side mergeable, no
     * sort) — same report shape, rank error ≤ the accuracy parameter. */
   def tokenPercentiles(docs: DataFrame, groupCol: String, textCol: String,
       percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
       s"tokenPercentiles: percents must be in [0,100], got $percents")
-    val r = tokenCounts(docs, groupCol, textCol)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(groupCol)).orderBy(col("n_tokens"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val counts = tokenCounts(docs, groupCol, textCol)
+    val sizes = counts.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val r = Ranks.bucketedGroupRank(counts, "n_tokens", "n_tokens",
+        groupCol, rankCol = "rn")
+      .join(broadcast(sizes), Seq(groupCol))
     val picks = percents.map { p =>
       // percentile_disc rank: ceil(n*p/100) in exact ints, floored at 1
       // so p=0 selects the minimum
@@ -1603,19 +1607,24 @@ object TextMetrics {
     * query words, so probe volume is bounded by the query terms'
     * posting lengths, not the corpus; the adjacency join keys on
     * (doc, pos). */
-  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
-      topPhrases: Int = 20): DataFrame = {
-    require(topPhrases >= 1, "phraseSearch: topPhrases must be >= 1")
-    val raw = docs.select(col(idCol).as("doc_id"),
+  /** Positional postings: (doc_id, pos, word) with 1-based positions
+    * over the SURVIVING (non-empty) tokens, so adjacency means
+    * "consecutive words" regardless of how much whitespace separated
+    * them. Shared by [[phraseSearch]] and [[cdcChunks]]. */
+  private def positionalTokens(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         posexplode(split(lower(col(textCol)), "[ \\t\\n\\f\\r]+"))
           .as(Seq("p0", "word")))
       .filter(col("word") =!= "")
-    // positions over SURVIVING tokens, so adjacency means "consecutive
-    // words" regardless of how much whitespace separated them
-    val toks = raw
       .withColumn("pos", row_number()
         .over(Window.partitionBy(col("doc_id")).orderBy(col("p0"))))
       .select(col("doc_id"), col("pos"), col("word"))
+
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      topPhrases: Int = 20): DataFrame = {
+    require(topPhrases >= 1, "phraseSearch: topPhrases must be >= 1")
+    val toks = positionalTokens(docs, idCol, textCol)
       .localCheckpoint() // feeds counts + both probe sides
     val bigrams = toks
       .withColumn("nxt", lead(col("word"), 1)
@@ -1646,6 +1655,159 @@ object TextMetrics {
     top.select(col("rank"), col("phrase"))
       .join(hits, Seq("phrase"))
       .select(col("rank"), col("phrase"), col("n_docs"), col("n_occ"))
+  }
+
+  /** Content-defined chunking + chunk-level dedup — the rsync/FastCDC
+    * boundary device at word granularity: a chunk boundary falls after
+    * token i whenever the rolling window hash of the last `window`
+    * tokens is ≡ 0 (mod `divisor`), so boundaries are a function of
+    * LOCAL content only and an insertion early in a document shifts
+    * chunk frames instead of invalidating every downstream chunk — the
+    * property fixed-size chunking (q54) fundamentally lacks. Expected
+    * chunk length = `divisor` tokens. Output is the chunk-dedup ledger:
+    * per distinct chunk content, its token length, copy count, document
+    * reach and keeper doc.
+    *
+    * Shape: positional postings once; boundary flags and chunk ids are
+    * doc-partitioned window passes (lag window-gram → salted-hash gate
+    * → lagged cumulative sum); chunk content re-assembles through an
+    * ORDERED full-frame window collect (never a lambda `transform` —
+    * the interpreted-HOF trap), one row survives per chunk; the final
+    * dedup keys on the chunk digest, so chunk text never shuffles
+    * beyond its digest pass. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, divisor: Int = 16): DataFrame = {
+    require(window >= 2, "cdcChunks: window must be >= 2")
+    require(divisor >= 2, "cdcChunks: divisor must be >= 2")
+    val toks = positionalTokens(docs, idCol, textCol)
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gram = concat_ws(" ",
+      (window - 1 to 1 by -1).map(j => lag(col("word"), j).over(wOrd)) :+
+        col("word"): _*)
+    val flagged = toks.withColumn("b",
+      when(col("pos") >= window &&
+        conv(substring(md5(gram), 1, 15), 16, 10).cast("long") %
+          divisor === 0, 1L).otherwise(0L))
+    val withChunk = flagged.withColumn("chunk_id",
+      coalesce(sum(col("b")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wFull = Window.partitionBy(col("doc_id"), col("chunk_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val chunks = withChunk
+      .withColumn("_words", collect_list(col("word")).over(wFull))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("doc_id"), col("chunk_id"))
+          .orderBy(col("pos"))))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"),
+        md5(array_join(col("_words"), " ")).as("chunk_md5"),
+        size(col("_words")).cast("long").as("n_tokens"))
+    chunks.groupBy(col("chunk_md5"))
+      .agg(min(col("n_tokens")).as("n_tokens"), // constant per digest
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_doc"))
+  }
+
+  /** Weighted sampling without replacement — Efraimidis & Spirakis'
+    * A-ES reservoir scheme made deterministic: each doc draws
+    * u ∈ (0, 1] from a salted 60-bit hash and ranks by
+    * key = ln(u) / w (monotone in u^(1/w)), w = its token count; the
+    * global top-`k` keys ARE the weighted sample — inclusion
+    * probability proportional to w, without replacement, identical for
+    * any partitioning or engine. The length-proportional draw is the
+    * standard token-budgeted corpus subsample.
+    *
+    * Cross-engine discipline: u = (h+1)/2^60 — the divisor is a power
+    * of two (exact double), the dividend int64→double correctly
+    * rounded — then ln and the divide by w are correctly rounded on
+    * identical operands, so the key is bit-identical (the q17/q176 ln
+    * class); emitted keys round in the decimal domain (+0.0 kills a
+    * negative zero) and RANKING uses the emitted key, tie-broken by
+    * id. The top-k rides [[Ranks.bucketedGlobalRank]] — no
+    * corpus-cardinality single-task sort. Zero-token docs carry no
+    * sampling mass and drop. */
+  def weightedSample(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 100, salt: String = "wsample"): DataFrame = {
+    require(k >= 1, "weightedSample: k must be >= 1")
+    val h = conv(substring(md5(concat(lit(s"$salt:"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val keyed = docs.select(col(idCol).as("doc_id"),
+        size(split(lower(col(textCol)), "[ \\t\\n\\f\\r]+")).cast("long")
+          .as("n_tokens"),
+        h.as("_h"))
+      .filter(col("n_tokens") >= 1L)
+      .select(col("doc_id"), col("n_tokens"),
+        (round((log((col("_h") + 1L).cast("double") /
+            lit(1152921504606846976L).cast("double")) /
+            col("n_tokens").cast("double")).cast("decimal(28,10)"), 6)
+          .cast("double") + lit(0.0)).as("samp_key"))
+    Ranks.bucketedGlobalRank(keyed.withColumn("_neg", -col("samp_key")),
+        "_neg", "doc_id", rankCol = "rank")
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("n_tokens"), col("samp_key"))
+  }
+
+  /** Distinctive vocabulary per group — Monroe, Colaresi & Quinn's
+    * "Fightin' Words" log-odds with an informative Dirichlet prior
+    * (α_w = 1, α0 = V), the standard corpus-comparison statistic: for
+    * each group g vs the rest of the corpus,
+    * δ_w = ln((y+1)/(n_g+V−y−1)) − ln((y'+1)/(n'+V−y'−1)) and
+    * z_w = δ_w / √(1/(y+1) + 1/(y'+1)), ranked per group by z — which
+    * terms does this source use that the rest of the corpus doesn't?
+    *
+    * Cross-engine discipline: every float op is a correctly-rounded
+    * unary/binary op on exact-int64-derived operands (divide → ln →
+    * subtract → divide-by-sqrt), so z is bit-identical across engines
+    * (the q17/q52 ln precedent — no order-dependent float sums
+    * anywhere); the emitted score rounds in the decimal domain and
+    * adds +0.0 to collapse a negative-zero round result to +0.0
+    * before it can split a cross-engine sort. Ranking uses the EMITTED
+    * score (ties broken by token), so rank and display can never
+    * disagree.
+    *
+    * Scale shape: one id-keyed join tags tokens with their group, one
+    * (group, token) aggregate; the group-total relation broadcasts
+    * (groups are a dimension by precondition), the token-total join
+    * keys on token (vocabulary cardinality, never corpus), and the
+    * per-group rank rides [[Ranks.bucketedGroupRank]] — no
+    * vocabulary-sized single-task sort. Scored vocabulary = tokens
+    * OBSERVED in the group (absent tokens have strongly negative z and
+    * cannot reach a distinctiveness top-k). */
+  def logOddsTermsFromTf(tf: DataFrame, meta: DataFrame, idCol: String,
+      groupCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, "logOddsTerms: topK must be >= 1")
+    val ct = tf.join(meta.select(col(idCol), col(groupCol)), idCol)
+      .groupBy(col(groupCol), col("token"))
+      .agg(sum(col("tf")).as("y"))
+      .localCheckpoint() // feeds group totals, token totals and scoring
+    val gt = ct.groupBy(col(groupCol)).agg(sum(col("y")).as("n_g"))
+    val tt = ct.groupBy(col("token")).agg(sum(col("y")).as("y_tot"))
+    val v = tt.agg(count(lit(1)).as("vocab"), sum(col("y_tot")).as("n_tot"))
+    val d = (c: Column) => c.cast("double")
+    val scored = ct.join(broadcast(gt), Seq(groupCol))
+      .join(tt, Seq("token"))
+      .crossJoin(broadcast(v))
+      .select(col(groupCol), col("token"), col("y"),
+        (col("y_tot") - col("y")).as("y_rest"),
+        col("n_g"), (col("n_tot") - col("n_g")).as("n_rest"), col("vocab"))
+    val delta =
+      log(d(col("y") + 1L) / d(col("n_g") + col("vocab") - col("y") - 1L)) -
+        log(d(col("y_rest") + 1L) /
+          d(col("n_rest") + col("vocab") - col("y_rest") - 1L))
+    val sigma = sqrt(lit(1.0) / d(col("y") + 1L) +
+      lit(1.0) / d(col("y_rest") + 1L))
+    val z = scored.select(col(groupCol), col("token"), col("y"),
+      col("y_rest"),
+      (round((delta / sigma).cast("decimal(28,10)"), 6).cast("double") +
+        lit(0.0)).as("zscore"))
+    Ranks.bucketedGroupRank(z.withColumn("_neg", -col("zscore")), "_neg",
+        "token", groupCol, rankCol = "rank")
+      .filter(col("rank") <= topK)
+      .select(col(groupCol), col("rank").cast("long").as("rank"),
+        col("token"), col("y"), col("y_rest"), col("zscore"))
   }
 
   /** Sparse lexical retrieval — TF-IDF-weighted cosine top-k over an

@@ -118,7 +118,7 @@ object PipelineQueries {
         "q106_dim_stats", "q120_probed_neardups", "q122_hard_negatives",
         "q124_embeddings_contract", "q146_embedding_gram", "q147_pca_report",
         "q150_walk_centrality", "q159_ndcg", "q167_rrf_fusion",
-        "q173_kendall_tau"),
+        "q173_kendall_tau", "q179_hybrid_retrieval"),
       () => releaseEmbCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -128,7 +128,8 @@ object PipelineQueries {
     "tf" -> CacheFamily(
       Set("q52_tfidf", "q53_surprisal", "q79_vocab_coverage",
         "q81_nb_train", "q82_bigram_surprisal", "q85_zipf",
-        "q92_quality_calibration", "q127_lexical_topk"),
+        "q92_quality_calibration", "q127_lexical_topk",
+        "q176_logodds_terms", "q179_hybrid_retrieval"),
       () => releaseTfCache()),
     "knn" -> CacheFamily(
       Set("q77_knn_graph", "q86_knn_purity", "q150_walk_centrality"),
@@ -179,6 +180,17 @@ object PipelineQueries {
   def q175PhraseSearch(spark: SparkSession, dir: String): DataFrame =
     TextMetrics.phraseSearch(docs(spark, dir), "doc_id", "text")
       .orderBy(col("rank"))
+
+  /** "Fightin' Words" distinctive terms per source
+    * ([[TextMetrics.logOddsTermsFromTf]]): Dirichlet-smoothed log-odds
+    * z-scores of each source's vocabulary against the rest of the
+    * corpus, top-10 per source — the corpus-comparison statistic for
+    * source profiling. Rides the shared tf cache; the per-source rank
+    * rides the grouped bucketed-rank device. */
+  def q176LogOddsTerms(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.logOddsTermsFromTf(termFreqs(spark, dir),
+        docs(spark, dir), "doc_id", "source")
+      .orderBy(col("source"), col("rank"))
 
   /** LSH banding-tuning report — the S-curve trade every MinHash deploy
     * tunes: with 8 minhashes, compare (bands=4, rows=2) against
@@ -861,6 +873,63 @@ object PipelineQueries {
     val a = docs(spark, dir)
     Contract.refreshAudit(a, simulatedRefresh(a), "doc_id", "text")
       .orderBy(col("status"))
+  }
+
+  /** Content-defined chunk dedup ([[TextMetrics.cdcChunks]]):
+    * rolling-hash boundaries (window 3, divisor 16) and the chunk-
+    * digest ledger — the shift-robust complement of q54's fixed-size
+    * chunk dedup. */
+  def q180CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.cdcChunks(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("chunk_md5"))
+
+  /** Deterministic weighted sample without replacement
+    * ([[TextMetrics.weightedSample]]): Efraimidis–Spirakis keys from a
+    * salted hash, inclusion proportional to token count — the
+    * token-budgeted corpus subsample beside q47's Bernoulli gates and
+    * q128's per-stratum quotas. */
+  def q178WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.weightedSample(docs(spark, dir), "doc_id", "text", k = 100)
+      .orderBy(col("rank"))
+
+  /** Hybrid sparse+dense retrieval ([[Similarity.rrfFuse]] over a
+    * lexical and an embedding arm): the exact-cosine q23 arm fused
+    * with a TF-IDF inverted-index arm on the SAME probe ids (vec_id ≡
+    * doc_id by the driver's data model) — the cross-modality fusion
+    * every hybrid search stack ships, where q167 fused two dense arms.
+    * Rides BOTH the embeddings and tf caches. */
+  def q179HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val dense = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 16),
+      "vec_id", "embedding", k = 10)
+    val sparse = TextMetrics.lexicalTopKFromTf(termFreqs(spark, dir),
+      docs(spark, dir).agg(count(lit(1)).as("n_docs")),
+      docs(spark, dir).filter(col("doc_id") < 16).select(col("doc_id")),
+      "doc_id", k = 10, maxDfPct = 78)
+    Similarity.rrfFuse(Seq(dense, sparse), "query_id", "corpus_id", "rank")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SCD-2 corpus lineage ([[Contract.scd2History]]): the validity-
+    * interval ledger over three snapshot versions (the corpus, its
+    * simulated refresh, and the refresh of the refresh) — content
+    * changes and absence gaps both close intervals; `is_current`
+    * marks rows live at the latest version. */
+  def q177Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(spark, dir)
+    val v2 = simulatedRefresh(v1)
+    val v3 = simulatedRefresh(v2)
+    // the double-refresh can re-add an id the carried-over branch also
+    // holds (55 → 100055 twice in v3): collapse to one deterministic
+    // row per (ver, id) — memcmp-min text, identical in both engines —
+    // so the history window never sees a tied version
+    val versioned = v1.select(lit(1L).as("ver"), col("doc_id"), col("text"))
+      .unionByName(v2.select(lit(2L).as("ver"), col("doc_id"), col("text")))
+      .unionByName(v3.select(lit(3L).as("ver"), col("doc_id"), col("text")))
+      .groupBy(col("ver"), col("doc_id"))
+      .agg(min(col("text")).as("text"))
+    Contract.scd2History(versioned, "doc_id", "ver", "text")
+      .orderBy(col("doc_id"), col("effective_from"))
   }
 
   /** Embeddings-table data contract ([[Contract.embeddingsContract]]):
@@ -1782,6 +1851,11 @@ object PipelineQueries {
     "q173_kendall_tau" -> q173KendallTau,
     "q174_edit_verify" -> q174EditVerify,
     "q175_phrase_search" -> q175PhraseSearch,
+    "q176_logodds_terms" -> q176LogOddsTerms,
+    "q177_scd2_history" -> q177Scd2History,
+    "q178_weighted_sample" -> q178WeightedSample,
+    "q180_cdc_chunks" -> q180CdcChunks,
+    "q179_hybrid_retrieval" -> q179HybridRetrieval,
     "q33_similarity_ivf" -> q33SimilarityIvf,
     "q37_neardup_clusters" -> q37NearDupClusters,
     "q74_keep_best" -> q74KeepBest,
@@ -2283,6 +2357,44 @@ object PipelineQueries {
 
   private val q20Oracle = jaccardTail(lshCandSql)
 
+  // Mirrors TextMetrics.lexicalTopKFromTf as a parameterized standalone
+  // SELECT (own WITH — embeddable as a CTE subquery): TF-IDF inverted-
+  // index retrieval for the `queryPred` probe set at top-`k`. Shared by
+  // the q127 oracle and the q179 hybrid-fusion arm.
+  private def lexicalArmSql(queryPred: String, k: Int, maxDfPct: Int): String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |dfr AS (SELECT token, df FROM
+       |  (SELECT token, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN n
+       |  WHERE df * 100 <= n_docs * $maxDfPct),
+       |w AS (SELECT tf.doc_id, tf.token,
+       |    tf.tf::DOUBLE * ln(n.n_docs::DOUBLE / dfr.df::DOUBLE) AS w
+       |  FROM tf JOIN dfr USING (token) CROSS JOIN n),
+       |norms AS (SELECT doc_id,
+       |    sqrt(round(sum((w * w)::DECIMAL(28,10)), 6)::DOUBLE) AS nrm
+       |  FROM w GROUP BY 1),
+       |q AS (SELECT doc_id AS query_id, token, w AS wq FROM w
+       |  WHERE $queryPred),
+       |d AS (SELECT q.query_id, c.doc_id AS corpus_id,
+       |    round(sum((q.wq * c.w)::DECIMAL(28,10)), 6)::DOUBLE AS dot
+       |  FROM q JOIN w c USING (token) WHERE c.doc_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |s AS (SELECT d.query_id, d.corpus_id,
+       |    round((d.dot / (nq.nrm * nc.nrm))::DECIMAL(28,10), 6)::DOUBLE
+       |      AS score
+       |  FROM d JOIN norms nq ON nq.doc_id = d.query_id
+       |  JOIN norms nc ON nc.doc_id = d.corpus_id
+       |  WHERE nq.nrm > 0 AND nc.nrm > 0),
+       |r AS (SELECT query_id, corpus_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, corpus_id) AS rank
+       |  FROM s)
+       |SELECT query_id, rank::BIGINT AS rank, corpus_id, score
+       |FROM r WHERE rank <= $k""".stripMargin
+
   // q37/q74 shared oracle machinery: q20's verified pairs → transitive
   // closure via a recursive UNION walk → per-doc min reachable label
   // (`lbl`) → cluster ids over all documents (`clus`).
@@ -2348,6 +2460,37 @@ object PipelineQueries {
         |    row_number() OVER (ORDER BY n_occ DESC, phrase) AS rank
         |  FROM cnt)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // Monroe log-odds mirrored op-for-op: divide → ln → subtract →
+    // divide-by-sqrt on exact-int64-derived doubles (every step
+    // correctly rounded, no float sums), round-in-decimal + 0 (kills a
+    // −0.0), rank on the emitted score.
+    "q176_logodds_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
+        |  FROM documents),
+        |ct AS (SELECT d.source, t.token, count(*)::BIGINT AS y
+        |  FROM toks t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |gt AS (SELECT source, sum(y)::BIGINT AS n_g FROM ct GROUP BY 1),
+        |tt AS (SELECT token, sum(y)::BIGINT AS y_tot FROM ct GROUP BY 1),
+        |v AS (SELECT count(*)::BIGINT AS vocab, sum(y_tot)::BIGINT AS n_tot
+        |  FROM tt),
+        |sc AS (SELECT ct.source, ct.token, ct.y,
+        |    (tt.y_tot - ct.y)::BIGINT AS y_rest,
+        |    gt.n_g, (v.n_tot - gt.n_g)::BIGINT AS n_rest, v.vocab
+        |  FROM ct JOIN gt USING (source) JOIN tt USING (token)
+        |  CROSS JOIN v),
+        |z AS (SELECT source, token, y, y_rest,
+        |    round(((ln((y + 1)::DOUBLE / (n_g + vocab - y - 1)::DOUBLE)
+        |        - ln((y_rest + 1)::DOUBLE
+        |            / (n_rest + vocab - y_rest - 1)::DOUBLE))
+        |      / sqrt(1.0::DOUBLE / (y + 1)::DOUBLE
+        |          + 1.0::DOUBLE / (y_rest + 1)::DOUBLE))
+        |      ::DECIMAL(28,10), 6)::DOUBLE + 0 AS zscore
+        |  FROM sc)
+        |SELECT source, rank::BIGINT AS rank, token, y, y_rest, zscore
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY zscore DESC, token) AS rank FROM z)
+        |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
     // Mirrors incrementalDedup with src5 as the new batch: the verified
     // near-dup pairs reuse the q20 oracle body verbatim (q69 device),
     // the exact arm compares raw text md5 across the boundary, exact
@@ -2920,6 +3063,76 @@ object PipelineQueries {
     // like Spark div for positive operands), exact int64 sum, re-rank.
     "q167_rrf_fusion" ->
       (s"WITH b AS (\n$q23Body\n), a AS (\n$q24Body\n),\n" +
+        """t AS (SELECT query_id, corpus_id,
+          |    1000000000000 // (60 + rank) AS term FROM b
+          |  UNION ALL SELECT query_id, corpus_id,
+          |    1000000000000 // (60 + rank) FROM a),
+          |f AS (SELECT query_id, corpus_id, sum(term)::BIGINT AS rrf_q,
+          |    count(*)::BIGINT AS n_arms
+          |  FROM t GROUP BY 1, 2)
+          |SELECT query_id, rank, corpus_id, rrf_q, n_arms FROM (
+          |  SELECT query_id, corpus_id, rrf_q, n_arms,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY rrf_q DESC, corpus_id) AS rank
+          |  FROM f) WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin),
+    // Mirrors cdcChunks: zipped unnest/generate_subscripts positions,
+    // the same lag-window gram hash gate, lagged cumulative chunk ids,
+    // ordered string_agg re-assembly, digest-keyed dedup.
+    "q180_cdc_chunks" ->
+      """WITH tl AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text),
+        |      '[ \t\n\f\r]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(t, 1) AS pos,
+        |    unnest(t) AS word
+        |  FROM tl WHERE len(t) >= 1),
+        |g AS (SELECT doc_id, pos, word,
+        |    CASE WHEN pos >= 3 AND ('0x' || substr(md5(
+        |        lag(word, 2) OVER w || ' ' || lag(word, 1) OVER w
+        |        || ' ' || word), 1, 15))::BIGINT % 16 = 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |c AS (SELECT doc_id, pos, word,
+        |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_id
+        |  FROM g),
+        |ch AS (SELECT doc_id, chunk_id,
+        |    md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5,
+        |    count(*)::BIGINT AS n_tokens
+        |  FROM c GROUP BY 1, 2)
+        |SELECT chunk_md5, min(n_tokens)::BIGINT AS n_tokens,
+        |  count(*)::BIGINT AS n_copies,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  min(doc_id) AS keep_doc
+        |FROM ch GROUP BY 1 ORDER BY chunk_md5""".stripMargin,
+    // Mirrors weightedSample: the same salted 60-bit draw, u over the
+    // exact power-of-two divisor, ln/divide on identical operands,
+    // round-in-decimal + 0, rank on the emitted key.
+    "q178_weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT
+        |      AS n_tokens,
+        |    ('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM documents),
+        |kk AS (SELECT doc_id, n_tokens,
+        |    round((ln((h + 1)::DOUBLE / 1152921504606846976::DOUBLE)
+        |      / n_tokens::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE + 0
+        |      AS samp_key
+        |  FROM t WHERE n_tokens >= 1)
+        |SELECT rank::BIGINT AS rank, doc_id, n_tokens, samp_key FROM (
+        |  SELECT doc_id, n_tokens, samp_key,
+        |    row_number() OVER (ORDER BY samp_key DESC, doc_id) AS rank
+        |  FROM kk)
+        |WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // Hybrid sparse+dense RRF: the q23 dense body and the parameterized
+    // lexical arm (own WITH, embedded as a CTE subquery) fused by the
+    // q167 integer-register tail.
+    "q179_hybrid_retrieval" ->
+      (s"WITH b AS (\n$q23Body\n), a AS (\n" +
+        lexicalArmSql("doc_id < 16", 10, 78) + "\n),\n" +
         """t AS (SELECT query_id, corpus_id,
           |    1000000000000 // (60 + rank) AS term FROM b
           |  UNION ALL SELECT query_id, corpus_id,
@@ -4139,38 +4352,8 @@ object PipelineQueries {
     // norm²/dot sums, sqrt/divide on identical doubles, rank by
     // (rounded score DESC, corpus id).
     "q127_lexical_topk" ->
-      """WITH toks AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |dfr AS (SELECT token, df FROM
-        |  (SELECT token, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN n
-        |  WHERE df * 100 <= n_docs * 78),
-        |w AS (SELECT tf.doc_id, tf.token,
-        |    tf.tf::DOUBLE * ln(n.n_docs::DOUBLE / dfr.df::DOUBLE) AS w
-        |  FROM tf JOIN dfr USING (token) CROSS JOIN n),
-        |norms AS (SELECT doc_id,
-        |    sqrt(round(sum((w * w)::DECIMAL(28,10)), 6)::DOUBLE) AS nrm
-        |  FROM w GROUP BY 1),
-        |q AS (SELECT doc_id AS query_id, token, w AS wq FROM w
-        |  WHERE doc_id % 250 = 0),
-        |d AS (SELECT q.query_id, c.doc_id AS corpus_id,
-        |    round(sum((q.wq * c.w)::DECIMAL(28,10)), 6)::DOUBLE AS dot
-        |  FROM q JOIN w c USING (token) WHERE c.doc_id <> q.query_id
-        |  GROUP BY 1, 2),
-        |s AS (SELECT d.query_id, d.corpus_id,
-        |    round((d.dot / (nq.nrm * nc.nrm))::DECIMAL(28,10), 6)::DOUBLE
-        |      AS score
-        |  FROM d JOIN norms nq ON nq.doc_id = d.query_id
-        |  JOIN norms nc ON nc.doc_id = d.corpus_id
-        |  WHERE nq.nrm > 0 AND nc.nrm > 0),
-        |r AS (SELECT query_id, corpus_id, score,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, corpus_id) AS rank
-        |  FROM s)
-        |SELECT query_id, rank::BIGINT AS rank, corpus_id, score
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      (lexicalArmSql("doc_id % 250 = 0", 5, 78) +
+        "\nORDER BY query_id, rank"),
     // Mirrors contaminationByEval: the q43 gram device with the hits
     // rollup keyed on the EVAL side.
     "q126_eval_contamination" ->
@@ -4447,6 +4630,45 @@ object PipelineQueries {
         |       ELSE 'unchanged' END AS status
         |FROM b LEFT JOIN a ON a.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    // Mirrors q177Scd2History: the same three-version chain (refresh
+    // applied twice), the same (ver, id) memcmp-min dedup, run
+    // detection by lag over the id-partitioned window, run bounds +
+    // latest-version current flag.
+    "q177_scd2_history" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM v1 WHERE doc_id % 11 = 0),
+        |v3 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM v2 WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM v2 WHERE doc_id % 11 = 0),
+        |vers AS (SELECT ver, doc_id, min(text) AS text FROM (
+        |    SELECT 1::BIGINT AS ver, doc_id, text FROM v1
+        |    UNION ALL SELECT 2::BIGINT, doc_id, text FROM v2
+        |    UNION ALL SELECT 3::BIGINT, doc_id, text FROM v3)
+        |  GROUP BY 1, 2),
+        |h AS (SELECT doc_id, ver, md5(text) AS text_md5 FROM vers),
+        |m AS (SELECT doc_id, ver, text_md5,
+        |    CASE WHEN lag(text_md5) OVER w IS NULL
+        |         OR lag(text_md5) OVER w <> text_md5
+        |         OR lag(ver) OVER w <> ver - 1 THEN 1 ELSE 0 END AS brk
+        |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY ver)),
+        |r AS (SELECT doc_id, ver, text_md5,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY ver) AS run
+        |  FROM m),
+        |mx AS (SELECT max(ver)::BIGINT AS mv FROM h),
+        |g AS (SELECT doc_id, run, min(ver)::BIGINT AS effective_from,
+        |    max(ver)::BIGINT AS effective_to, max(text_md5) AS text_md5
+        |  FROM r GROUP BY 1, 2)
+        |SELECT doc_id, effective_from, effective_to, text_md5,
+        |  (CASE WHEN effective_to = mx.mv THEN 1 ELSE 0 END)::BIGINT
+        |    AS is_current
+        |FROM g CROSS JOIN mx
+        |ORDER BY doc_id, effective_from""".stripMargin,
     // Mirrors Contract.refreshAudit: the q130 diff body rolled up to
     // one count per verdict.
     "q166_refresh_audit" ->

@@ -137,4 +137,31 @@ class ContractSpec extends AnyFunSuite {
     assert(audit == Map("added" -> 1L, "changed" -> 1L, "removed" -> 2L,
       "unchanged" -> 1L))
   }
+
+  test("scd2History: runs close on content change AND absence gaps") {
+    // id 1: stable across all three versions → one current interval
+    // id 2: changed at v2 → [1,1] + [2,3] current
+    // id 3: removed at v2, re-added at v3 with the SAME text → two
+    //       intervals (presence history splits identical content)
+    // id 4: added at v2 → [2,3] current
+    // id 5: removed after v1 → [1,1], not current
+    val versioned = Seq(
+      (1L, 1L, "a"), (2L, 1L, "a"), (3L, 1L, "a"),
+      (1L, 2L, "b"), (2L, 2L, "b2"), (3L, 2L, "b2"),
+      (1L, 3L, "c"), (3L, 3L, "c"),
+      (2L, 4L, "d"), (3L, 4L, "d"),
+      (1L, 5L, "e"))
+      .toDF("ver", "doc_id", "text")
+    val got = Contract.scd2History(versioned.repartition(5), "doc_id",
+        "ver", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, 3L, 1L),
+      (2L, 1L, 1L, 0L), (2L, 2L, 3L, 1L),
+      (3L, 1L, 1L, 0L), (3L, 3L, 3L, 1L),
+      (4L, 2L, 3L, 1L),
+      (5L, 1L, 1L, 0L)))
+  }
 }

@@ -1252,6 +1252,134 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("cdcChunks equals a direct reimplementation and survives a prefix shift") {
+    def hash15(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def chunksOf(tokens: Seq[String]): Seq[Seq[String]] = {
+      val out = scala.collection.mutable.Buffer[Seq[String]]()
+      var cur = scala.collection.mutable.Buffer[String]()
+      tokens.indices.foreach { i =>
+        cur += tokens(i)
+        val boundary = i >= 2 &&
+          hash15(tokens.slice(i - 2, i + 1).mkString(" ")) % 16 == 0
+        if (boundary) { out += cur.toSeq; cur = scala.collection.mutable.Buffer[String]() }
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(13)
+    val alpha = Vector("ant", "bee", "cat", "dog", "eel", "fox", "gnu",
+      "hen", "ibis", "jay")
+    val base = Seq.fill(200)(alpha(rnd.nextInt(alpha.size)))
+    val shifted = Seq("extra", "words") ++ base // same content, shifted frame
+    val docsDf = Seq((1L, base.mkString(" ")), (2L, shifted.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextMetrics.cdcChunks(docsDf.repartition(3), "doc_id", "text")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val all = Seq((1L, base), (2L, shifted)).flatMap { case (id, ts) =>
+      chunksOf(ts).map(c => (md5hex(c.mkString(" ")), c.length.toLong, id))
+    }
+    val want = all.groupBy(_._1).map { case (h, rows) =>
+      h -> ((rows.head._2, rows.size.toLong,
+        rows.map(_._3).distinct.size.toLong, rows.map(_._3).min))
+    }
+    assert(got == want)
+    // content-defined boundaries resync after the prefix: the two docs
+    // share chunks despite the frame shift (fixed-size chunking would
+    // share none)
+    assert(want.values.count(_._3 == 2L) >= 5,
+      s"only ${want.values.count(_._3 == 2L)} shared chunks")
+  }
+
+  test("weightedSample equals a direct Efraimidis-Spirakis reimplementation") {
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // token counts 1..40 in a deterministic mix; single-space texts so
+    // both tokenizers trivially agree
+    val docs = (0L until 120L).map { i =>
+      val w = 1 + (i * 7 % 40).toInt
+      (i, Seq.fill(w)("tok").mkString(" "))
+    }
+    val got = TextMetrics.weightedSample(docs.toDF("doc_id", "text")
+        .repartition(7), "doc_id", "text", k = 25)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def key(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"wsample:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16)
+      round6(math.log((h + 1).toDouble / math.pow(2, 60)) / w.toDouble) + 0.0
+    }
+    val want = docs.map { case (i, t) =>
+      val w = t.split(" ").length.toLong
+      (i, w, key(i, w))
+    }.sortBy { case (i, _, k0) => (-k0, i) }.take(25).zipWithIndex
+      .map { case ((i, w, k0), r) => (r + 1L, i, w, k0) }
+    assert(got.toSeq == want)
+    // heavier docs must dominate the sample: the selected mean weight
+    // exceeds the population mean (deterministic given the fixture)
+    val meanSel = got.map(_._3).sum.toDouble / got.length
+    val meanAll = docs.map(_._2.split(" ").length).sum.toDouble / docs.size
+    assert(meanSel > meanAll, s"$meanSel <= $meanAll")
+  }
+
+  test("logOddsTermsFromTf matches a direct Monroe log-odds reimplementation") {
+    // two sources with shared + exclusive vocabulary; topK large enough
+    // to return every scored term so the whole relation is compared
+    val docs = Seq(
+      (1L, "alpha alpha beta shared", "s1"),
+      (2L, "alpha shared shared", "s1"),
+      (3L, "gamma gamma shared beta", "s2"),
+      (4L, "gamma delta", "s2")).toDF("doc_id", "text", "source")
+    val tf = TextMetrics.termFrequencies(docs, "doc_id", "text")
+    val got = TextMetrics.logOddsTermsFromTf(tf, docs.repartition(3),
+        "doc_id", "source", topK = 100)
+      .collect()
+      .map(r => (r.getString(0), r.getString(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // direct reimplementation in Scala doubles (same op order)
+    val toks = Seq(
+      ("s1", Seq("alpha", "alpha", "beta", "shared", "alpha", "shared", "shared")),
+      ("s2", Seq("gamma", "gamma", "shared", "beta", "gamma", "delta")))
+    val counts = toks.flatMap { case (s, ts) => ts.map(t => (s, t)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocabAll = counts.keys.map(_._2).toSet
+    val vocab = vocabAll.size.toLong
+    val nTot = counts.values.sum
+    val nG = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val yTot = counts.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wantRows = counts.toSeq.map { case ((s, t), y) =>
+      val yRest = yTot(t) - y
+      val nRest = nTot - nG(s)
+      val delta = math.log((y + 1).toDouble / (nG(s) + vocab - y - 1).toDouble) -
+        math.log((yRest + 1).toDouble / (nRest + vocab - yRest - 1).toDouble)
+      val z = delta / math.sqrt(1.0 / (y + 1) + 1.0 / (yRest + 1))
+      (s, t, y, yRest, round6(z) + 0.0)
+    }
+    val want = wantRows.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._5, r._2)).zipWithIndex.map { case (r, i) =>
+        (r._1, r._2) -> ((i + 1L, r._3, r._4, r._5))
+      }
+    }
+    assert(got == want)
+  }
+
   test("phraseSearch: probe arm equals direct counts, overlaps and ties included") {
     // "a a a" holds TWO overlapping "a a" occurrences; doc 2 adds one
     // more (3 total across 2 docs); "b c" appears once per doc (tie

@@ -286,6 +286,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(avg(zSpans.map(_._2)) < 32.0, s"z y spans: $zSpans")
   }
 
+  test("bucketedGroupRank equals the grouped single-task rank, nulls/NaN/degenerate groups included") {
+    import org.apache.spark.sql.expressions.Window
+    // group A: ties + negatives; group B: all-equal (degenerate hi<=lo);
+    // group C: nulls first, NaN last; group D: a single row
+    val vals: Seq[(String, java.lang.Double, Long)] =
+      (0L until 200L).map(i => ("A", java.lang.Double.valueOf((i % 13).toDouble - 4.0), i)) ++
+        (0L until 40L).map(i => ("B", java.lang.Double.valueOf(2.5), 1000L + i)) ++
+        Seq[(String, java.lang.Double, Long)](
+          ("C", null, 1L), ("C", Double.NaN, 2L), ("C", 0.5, 3L),
+          ("C", null, 4L), ("C", -1.0, 5L), ("C", Double.NaN, 6L),
+          ("D", 7.0, 9L))
+    val df = vals.toDF("g", "v", "id").repartition(7)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("g", "id", "_rn").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = graft.pipeline.Ranks.bucketedGroupRank(df, "v", "id", "g",
+      nBuckets = 8)
+    val want = df.withColumn("_rn", row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("v").asc, col("id").asc))
+      .cast("long"))
+    assert(rows(got) == rows(want))
+    // plan shape: no unpartitioned Window anywhere (every Window keys
+    // on (group, bucket))
+    val plan = got.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("Window ")).foreach(l =>
+      assert(l.contains("_b#"), s"unpartitioned Window:\n$l"))
+  }
+
   test("bucketedGlobalRank with nulls and NaN equals the single-task rank") {
     import org.apache.spark.sql.expressions.Window
     // nulls must rank FIRST (Spark asc default) and NaN LAST (> +Inf in
