@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Interaction-graph construction (A2): re-expression of
@@ -248,6 +249,62 @@ object InteractionGraph {
           .otherwise(round((numChecked.cast("double") / den.cast("double"))
               .cast("decimal(28,10)"), 6)
             .cast("double")).as("assortativity"))
+  }
+
+  /** Common-neighbor link prediction ("people you may know"): for each
+    * user, the top-`k` users they do NOT interact with, ranked by how
+    * many shared interaction partners they have — the classic triadic-
+    * closure recommender and the simplest link-prediction baseline.
+    *
+    * Scale shape: the wedge join is inherently O(Σ deg²) — that cost IS
+    * the operator — but the quadratic term is dominated by hub
+    * vertices, so `maxHubDegree` drops super-node INTERMEDIATES before
+    * the self-join (the standard production mitigation; a celebrity
+    * account connecting everyone to everyone predicts nothing). Dropped
+    * hubs are reported loudly (the capOccupancy discipline). Candidate
+    * ranking windows partition per source user; existing edges and
+    * self-pairs are anti-joined out. Counts are exact integers; ties
+    * break by candidate id. */
+  def commonNeighborRecs(inter: DataFrame, k: Int = 5,
+      maxHubDegree: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1, "commonNeighborRecs: k must be >= 1")
+    val (edges, deg) = undirectedGraph(inter)
+    val mids =
+      if (maxHubDegree == Int.MaxValue) deg
+      else {
+        require(maxHubDegree >= 1, "commonNeighborRecs: maxHubDegree must be >= 1")
+        val over = deg.filter(col("d") > maxHubDegree).localCheckpoint(true)
+        val n = over.count()
+        if (n > 0) {
+          val worst = over.orderBy(col("d").desc).limit(3)
+            .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}")
+            .mkString(", ")
+          System.err.println(s"[graft] commonNeighborRecs: excluded $n " +
+            s"hub intermediate(s) over degree $maxHubDegree (worst: " +
+            s"$worst) — super-node guard; they still receive and issue " +
+            "recommendations, they just stop connecting everyone to everyone")
+        }
+        deg.filter(col("d") <= maxHubDegree)
+      }
+    val adj = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    // wedges through capped intermediates: a —x— b, a ≠ b
+    val viaMid = adj.select(col("b").as("x"), col("a"))
+      .join(mids.select(col("n").as("x")), Seq("x"), "left_semi")
+    val cand = viaMid
+      .join(viaMid.select(col("x"), col("a").as("b")), Seq("x"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      // drop pairs that already interact (both orientations are present
+      // in adj, so one anti-join on the directed form covers both)
+      .join(adj, Seq("a", "b"), "left_anti")
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("common_neighbors").desc, col("b").asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("a").as("user_id"), col("rank"), col("b").as("rec_id"),
+        col("common_neighbors"))
   }
 
   /** Deduped undirected edge relation + per-vertex degrees. Both are

@@ -420,6 +420,39 @@ object Similarity {
         col("rrf_q"), col("n_arms"))
   }
 
+  /** Mean reciprocal rank of a system arm against a relevance arm —
+    * the first-hit metric completing the retrieval-evaluation set
+    * (recall@k: q69, NDCG: q159, Kendall τ: q173): per query, the
+    * reciprocal of the highest system rank whose item the relevance
+    * arm also retrieved; queries with no hit contribute zero. The
+    * reciprocal is the exact integer `scale div rank` (the q167 RRF
+    * register), the sum is an order-independent int64 sum, and the
+    * mean is ONE final IEEE divide by n_queries·scale, rounded in the
+    * decimal domain. One row out; all shuffles are bounded by the
+    * probe set, never the corpus. */
+  def mrrReport(sys: DataFrame, rel: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(scale >= 1, "mrrReport: scale must be >= 1")
+    val s = sys.select(col(queryCol).as("query_id"),
+      col(itemCol).as("corpus_id"), col(rankCol).cast("long").as("rs"))
+    val r = rel.select(col(queryCol).as("query_id"),
+      col(itemCol).as("corpus_id"))
+    val firsts = s.join(r, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(min(col("rs")).as("first_rel"))
+      .agg(count(lit(1)).as("n_hit_queries"),
+        sum(expr(s"${scale}L div first_rel")).as("sum_rr"))
+    val n = r.agg(countDistinct(col("query_id")).as("n_queries"))
+    firsts.crossJoin(broadcast(n))
+      .select(col("n_queries"), col("n_hit_queries"),
+        coalesce(col("sum_rr"), lit(0L)).as("sum_rr"),
+        round((coalesce(col("sum_rr"), lit(0L)).cast("double") /
+            (col("n_queries") * lit(scale)).cast("double"))
+            .cast("decimal(28,10)"), 6)
+          .cast("double").as("mrr"))
+  }
+
   /** Kendall rank correlation between two top-k retrieval arms — the
     * order-agreement companion to recall@k (set overlap, q69) and
     * NDCG (graded position discount, q159): over the items BOTH arms

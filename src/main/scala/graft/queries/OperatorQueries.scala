@@ -70,7 +70,8 @@ object OperatorQueries {
     "events" -> CacheFamily(
       Set("q12_interaction_counts", "q13_tree_stats", "q14_roles",
         "q30_tree_assembly", "q35_interaction_graph", "q169_triangles",
-        "q170_clustering", "q171_components", "q172_assortativity"),
+        "q170_clustering", "q171_components", "q172_assortativity",
+        "q181_common_neighbors"),
       () => releaseEventsCaches()),
     "stemidx" -> CacheFamily(
       Set("q15_topic_model", "q31_topic_model_matrix",
@@ -451,11 +452,21 @@ object OperatorQueries {
     InteractionGraph.degreeAssortativity(
         InteractionGraph.interactions(normalizedEvents(spark, dir)))
 
+  /** Common-neighbor link prediction over the interaction graph
+    * ([[InteractionGraph.commonNeighborRecs]]): top-5 non-neighbors by
+    * shared-partner count per user — triadic-closure recommendations;
+    * the oracle recomputes the wedge counts by direct SQL self-joins. */
+  def q181CommonNeighbors(spark: SparkSession, dir: String): DataFrame =
+    InteractionGraph.commonNeighborRecs(
+        InteractionGraph.interactions(normalizedEvents(spark, dir)))
+      .orderBy(col("user_id"), col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_triangles" -> q169Triangles,
     "q170_clustering" -> q170Clustering,
     "q171_components" -> q171Components,
     "q172_assortativity" -> q172Assortativity,
+    "q181_common_neighbors" -> q181CommonNeighbors,
     "q12_interaction_counts" -> q12InteractionCounts,
     "q13_tree_stats" -> q13TreeStats,
     "q14_roles" -> q14Roles,
@@ -868,6 +879,29 @@ object OperatorQueries {
          |      ::DECIMAL(28,10), 6)::DOUBLE
          |  END AS assortativity
          |FROM s CROSS JOIN nn""".stripMargin,
+    // Wedge counts by direct SQL self-joins over the doubled adjacency;
+    // existing edges anti-joined out, per-user rank with id tiebreak.
+    "q181_common_neighbors" ->
+      s"""$interCte,
+         |ed AS (SELECT DISTINCT least(author_id, target) AS u,
+         |    greatest(author_id, target) AS v
+         |  FROM inter WHERE author_id <> target),
+         |adj AS (SELECT u AS a, v AS b FROM ed
+         |  UNION ALL SELECT v, u FROM ed),
+         |wd AS (SELECT l.a AS a, r.a AS b, count(*)::BIGINT
+         |      AS common_neighbors
+         |  FROM adj l JOIN adj r ON r.b = l.b AND l.a <> r.a
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT wd.a, wd.b, wd.common_neighbors
+         |  FROM wd LEFT JOIN adj e ON e.a = wd.a AND e.b = wd.b
+         |  WHERE e.a IS NULL)
+         |SELECT a AS user_id, rank::BIGINT AS rank, b AS rec_id,
+         |  common_neighbors
+         |FROM (SELECT a, b, common_neighbors,
+         |    row_number() OVER (PARTITION BY a
+         |      ORDER BY common_neighbors DESC, b) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY user_id, rank""".stripMargin,
     "q13_tree_stats" ->
       s"""WITH RECURSIVE ${nodesCte.stripPrefix("WITH ")}
          |SELECT root_id, count(*) AS tree_size, max(depth) AS max_depth,

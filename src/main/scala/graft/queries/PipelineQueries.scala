@@ -118,7 +118,7 @@ object PipelineQueries {
         "q106_dim_stats", "q120_probed_neardups", "q122_hard_negatives",
         "q124_embeddings_contract", "q146_embedding_gram", "q147_pca_report",
         "q150_walk_centrality", "q159_ndcg", "q167_rrf_fusion",
-        "q173_kendall_tau", "q179_hybrid_retrieval"),
+        "q173_kendall_tau", "q179_hybrid_retrieval", "q182_mrr"),
       () => releaseEmbCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -873,6 +873,20 @@ object PipelineQueries {
     val a = docs(spark, dir)
     Contract.refreshAudit(a, simulatedRefresh(a), "doc_id", "text")
       .orderBy(col("status"))
+  }
+
+  /** Mean reciprocal rank of the sign-LSH q24 arm against the exact
+    * q23 arm ([[Similarity.mrrReport]]): the first-hit metric closing
+    * the retrieval-eval set (recall@10 q69, NDCG q159, Kendall τ
+    * q173) — integer reciprocal registers, one rounded IEEE divide,
+    * one row. */
+  def q182MrrReport(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+    val approx = Similarity.lshTopK(e, q, "vec_id", "embedding",
+      k = 10, nBits = 8)
+    Similarity.mrrReport(approx, exact, "query_id", "corpus_id", "rank")
   }
 
   /** Content-defined chunk dedup ([[TextMetrics.cdcChunks]]):
@@ -1855,6 +1869,7 @@ object PipelineQueries {
     "q177_scd2_history" -> q177Scd2History,
     "q178_weighted_sample" -> q178WeightedSample,
     "q180_cdc_chunks" -> q180CdcChunks,
+    "q182_mrr" -> q182MrrReport,
     "q179_hybrid_retrieval" -> q179HybridRetrieval,
     "q33_similarity_ivf" -> q33SimilarityIvf,
     "q37_neardup_clusters" -> q37NearDupClusters,
@@ -3146,6 +3161,25 @@ object PipelineQueries {
           |      ORDER BY rrf_q DESC, corpus_id) AS rank
           |  FROM f) WHERE rank <= 10
           |ORDER BY query_id, rank""".stripMargin),
+    // MRR of the q24 arm against q23: first common-item rank per query,
+    // integer reciprocal registers (scale // rank), one rounded divide.
+    "q182_mrr" ->
+      (s"WITH b AS (\n$q23Body\n), a AS (\n$q24Body\n),\n" +
+        """fr AS (SELECT a.query_id, min(a.rank)::BIGINT AS first_rel
+          |  FROM a JOIN b
+          |    ON b.query_id = a.query_id AND b.corpus_id = a.corpus_id
+          |  GROUP BY 1),
+          |agg AS (SELECT count(*)::BIGINT AS n_hit_queries,
+          |    sum(1000000000000 // first_rel)::BIGINT AS sum_rr
+          |  FROM fr),
+          |n AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries
+          |  FROM b)
+          |SELECT n.n_queries, agg.n_hit_queries,
+          |  coalesce(agg.sum_rr, 0)::BIGINT AS sum_rr,
+          |  round((coalesce(agg.sum_rr, 0)::DOUBLE
+          |      / (n.n_queries * 1000000000000)::DOUBLE)
+          |    ::DECIMAL(28,10), 6)::DOUBLE AS mrr
+          |FROM agg CROSS JOIN n""".stripMargin),
     // Kendall τ between the q23/q24 arms: both bodies verbatim as CTEs
     // (the q69 device), common items joined on (query, corpus), pair
     // self-join bounded by k(k−1)/2 per query, integer concordance

@@ -114,6 +114,32 @@ class InteractionGraphSpec extends AnyFunSuite {
     assert(star == minLabel.view.filterKeys(star.keySet).toMap)
   }
 
+  test("commonNeighborRecs: wedges minus edges, hub cap drops intermediates") {
+    def recs(pairs: Seq[(String, String)], cap: Int = Int.MaxValue) =
+      InteractionGraph.commonNeighborRecs(inter(pairs).repartition(5),
+          k = 5, maxHubDegree = cap)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+    // path a-b-c: a and c share b; b has no non-neighbor candidates
+    assert(recs(Seq(("a", "b"), ("b", "c"))) ==
+      Set(("a", 1L, "c", 1L), ("c", 1L, "a", 1L)))
+    // K4: everyone already interacts with everyone — no recommendations
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)
+    assert(recs(k4).isEmpty)
+    // star: all leaf pairs share the hub (cn=1); capping the hub to
+    // degree 2 removes it as an intermediate -> nothing left
+    val star = (1 to 3).map(i => ("hub", s"l$i"))
+    val got = recs(star)
+    assert(got == Set(
+      ("l1", 1L, "l2", 1L), ("l1", 2L, "l3", 1L),
+      ("l2", 1L, "l1", 1L), ("l2", 2L, "l3", 1L),
+      ("l3", 1L, "l1", 1L), ("l3", 2L, "l2", 1L)))
+    assert(recs(star, cap = 2).isEmpty)
+  }
+
   test("degreeAssortativity: star is -1, path is -0.5, regular K4 is NULL") {
     def row(pairs: Seq[(String, String)]) =
       InteractionGraph.degreeAssortativity(inter(pairs)).collect().head

@@ -1423,6 +1423,26 @@ class PipelineSpec extends AnyFunSuite {
       (6L, 7L) -> ((-1L, 100L, 100L, 0L))))
   }
 
+  test("mrrReport matches hand-computed first-hit registers") {
+    // q1: first hit at system rank 2; q2: hit at rank 1; q3: no hit;
+    // q4 exists only in the relevance arm (counts toward n_queries)
+    val sys = Seq((1L, 1L, 50L), (1L, 2L, 10L), (1L, 3L, 11L),
+      (2L, 1L, 20L), (3L, 1L, 70L))
+      .toDF("query_id", "rank", "corpus_id")
+    val rel = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 20L),
+      (3L, 1L, 99L), (4L, 1L, 5L))
+      .toDF("query_id", "rank", "corpus_id")
+    val got = Similarity.mrrReport(sys, rel, "query_id", "corpus_id", "rank")
+      .collect().head
+    val scale = 1000000000000L
+    val sumRr = scale / 2 + scale / 1
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3))
+      == ((4L, 2L, sumRr, round6(sumRr.toDouble / (4L * scale).toDouble))))
+  }
+
   test("kendallTau matches hand-computed concordance registers") {
     // query 1: common items {10,11,12} — A ranks them 1,2,3, B ranks
     // them 3,1,2 → pairs (10,11): A says 10<11, B says 11<10 →
