@@ -1097,6 +1097,105 @@ object TextMetrics {
           lit(0.0)).as("avg_logscore"))
   }
 
+  /** CCNet-style reference-LM perplexity bucketing (Wenzek et al.
+    * 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data"): train a per-language stupid-backoff trigram LM
+    * ([[stupidBackoffScore]]'s model) on a curated reference slice
+    * (`refFilter`), cross-score EVERY document against its language's
+    * model, then split each language into head/middle/tail terciles by
+    * score — the standard web-corpus quality triage where "head" feeds
+    * training and "tail" is dropped or down-sampled.
+    *
+    * Differences from the same-corpus scorer that make this the
+    * cross-scoring variant: all gram lookups are LEFT joins keyed by
+    * (lang, gram) — a scored doc may contain grams the reference never
+    * saw — with the OOV floor `ln(0.16 / n_total_lang)` (an unseen
+    * word scores as a count-1 unigram; deterministic, no smoothing
+    * state). Languages absent from the reference slice produce no
+    * scored positions (inner join on the per-lang total) and surface
+    * as n_scored=0 rather than nulls.
+    *
+    * Scale shape: only grams + counts shuffle, never text. The ref
+    * gram stream (tokenize + two lags) feeds FOUR count aggregates, so
+    * it is materialized once — the reference slice is curated and
+    * bounded by construction (CCNet's is one Wikipedia per language),
+    * never the crawl. The full-corpus gram stream has exactly ONE
+    * consumer (the scoring join chain) and stays lazy; the per-doc
+    * score relation (4 narrow columns) is materialized before fanning
+    * into the size aggregate + rank device. The per-lang tercile rank
+    * rides [[Ranks.bucketedGroupRank]] (never a bare single-task
+    * window), and the bucket index is the exact integer
+    * `least(2, 3·(rn−1) div n)` — the A5 tertile arithmetic — so the
+    * output hashes identically across engines and partitionings. */
+  def perplexityBuckets(docs: DataFrame, refFilter: Column, idCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    def grams(d: DataFrame) = {
+      val toks = d.select(col(idCol).as("doc_id"),
+        col(langCol).as("lang"),
+        posexplode(TextFunctions.tokenize(col(textCol)))
+          .as(Seq("pos", "w")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      toks
+        .withColumn("w1", lag(col("w"), 2).over(w))
+        .withColumn("w2", lag(col("w"), 1).over(w))
+    }
+    val refG = grams(docs.filter(refFilter)).localCheckpoint(true)
+    val c1 = refG.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c1"))
+    val c2 = refG.filter(col("w2").isNotNull)
+      .groupBy(col("lang"), col("w2"), col("w"))
+      .agg(count(lit(1)).as("c2"))
+    val c3 = refG.filter(col("w1").isNotNull)
+      .groupBy(col("lang"), col("w1"), col("w2"), col("w"))
+      .agg(count(lit(1)).as("c3"))
+    val nTotal = refG.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"))
+    val g = grams(docs)
+    val scored = g.filter(col("w1").isNotNull)
+      // inner: a lang with no reference LM contributes no scored rows
+      .join(nTotal, Seq("lang"))
+      .join(c3, Seq("lang", "w1", "w2", "w"), "left")
+      .join(c2.select(col("lang"), col("w2").as("w1"), col("w").as("w2"),
+        col("c2").as("c2ctx")), Seq("lang", "w1", "w2"), "left")
+      .join(c2.select(col("lang"), col("w2"), col("w"),
+        col("c2").as("c2cur")), Seq("lang", "w2", "w"), "left")
+      .join(c1.select(col("lang"), col("w").as("w2"),
+        col("c1").as("c1w2")), Seq("lang", "w2"), "left")
+      .join(c1, Seq("lang", "w"), "left")
+      .select(col("doc_id"),
+        when(col("c3").isNotNull,
+          log(col("c3").cast("double") / col("c2ctx").cast("double")))
+        .when(col("c2cur").isNotNull,
+          log(lit(0.4) * (col("c2cur").cast("double") /
+            col("c1w2").cast("double"))))
+        .otherwise(
+          log(lit(0.16) * (coalesce(col("c1"), lit(1L)).cast("double") /
+            col("n_total").cast("double"))))
+        .cast("decimal(28,10)").as("s"))
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+        col(langCol).as("lang"))
+      .join(scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_scored"), sum(col("s")).as("ssum")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(
+          round((col("ssum").cast("double") /
+            col("n_scored").cast("double")).cast("decimal(28,10)"), 6)
+            .cast("double"),
+          lit(0.0)).as("avg_logscore"))
+      .localCheckpoint(true)
+    val sizes = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    Ranks.bucketedGroupRank(perDoc, "avg_logscore", "doc_id", "lang",
+        rankCol = "rn")
+      .join(broadcast(sizes), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_scored"),
+        col("avg_logscore"),
+        element_at(lit(Array("tail", "middle", "head")),
+          (least(lit(2L), expr("(3 * (rn - 1)) div n")) + 1).cast("int"))
+          .as("bucket"))
+  }
+
   /** Robust per-source length-outlier report — median/MAD instead of
     * mean/σ (one boilerplate blob or concatenation bug shifts a mean
     * arbitrarily; the median absolute deviation is breakdown-50%

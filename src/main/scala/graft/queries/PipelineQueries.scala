@@ -1750,6 +1750,19 @@ object PipelineQueries {
     TextMetrics.stupidBackoffScore(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** CCNet-style reference-LM quality triage
+    * ([[TextMetrics.perplexityBuckets]]): per-language stupid-backoff
+    * trigram LMs trained on the src0–src4 slice, every document
+    * cross-scored against its language's model (LEFT gram joins, OOV
+    * floor), then split head/middle/tail per language by the exact
+    * integer tertile device over the [[Ranks.bucketedGroupRank]]
+    * rank. */
+  def q183PerplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.perplexityBuckets(docs(spark, dir),
+        col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        "doc_id", "text", "lang")
+      .orderBy(col("doc_id"))
+
   /** Robust per-source length outliers ([[TextMetrics.madOutliers]]):
     * median/MAD via the integer percentile_disc rank device, outlier
     * test `dev > 3·MAD` in exact int64 — the breakdown-robust QA
@@ -1870,6 +1883,7 @@ object PipelineQueries {
     "q178_weighted_sample" -> q178WeightedSample,
     "q180_cdc_chunks" -> q180CdcChunks,
     "q182_mrr" -> q182MrrReport,
+    "q183_perplexity_buckets" -> q183PerplexityBuckets,
     "q179_hybrid_retrieval" -> q179HybridRetrieval,
     "q33_similarity_ivf" -> q33SimilarityIvf,
     "q37_neardup_clusters" -> q37NearDupClusters,
@@ -3563,6 +3577,68 @@ object PipelineQueries {
         |    ::DECIMAL(28,10), 6)::DOUBLE, 0.0::DOUBLE) AS avg_logscore
         |FROM d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // Mirrors perplexityBuckets: lang-keyed gram counts from the
+    // src0-src4 reference slice, LEFT joins with the count-1 OOV
+    // floor, identical ln argument construction and DECIMAL(28,10)
+    // term sums, then the exact tertile 3*(rn-1)//n over the
+    // (avg_logscore, doc_id) per-lang rank.
+    "q183_perplexity_buckets" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS a
+        |  FROM documents),
+        |tk AS (SELECT doc_id, lang, source, unnest(a) AS w,
+        |    unnest(generate_series(1, len(a))) AS pos FROM d),
+        |g AS (SELECT doc_id, lang, source, pos, w,
+        |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tk),
+        |rt AS (SELECT * FROM tk
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |rg AS (SELECT * FROM g
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |c1 AS (SELECT lang, w, count(*)::BIGINT AS c1 FROM rt
+        |  GROUP BY 1, 2),
+        |c2 AS (SELECT lang, w2, w, count(*)::BIGINT AS c2 FROM rg
+        |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+        |c3 AS (SELECT lang, w1, w2, w, count(*)::BIGINT AS c3 FROM rg
+        |  WHERE w1 IS NOT NULL GROUP BY 1, 2, 3, 4),
+        |nt AS (SELECT lang, count(*)::BIGINT AS n_total FROM rt
+        |  GROUP BY 1),
+        |sc AS (SELECT g.doc_id,
+        |    (CASE WHEN c3.c3 IS NOT NULL
+        |        THEN ln(c3.c3::DOUBLE / cx.c2::DOUBLE)
+        |      WHEN cc.c2 IS NOT NULL
+        |        THEN ln(0.4::DOUBLE * (cc.c2::DOUBLE / c1b.c1::DOUBLE))
+        |      ELSE ln(0.16::DOUBLE * (coalesce(c1w.c1, 1)::DOUBLE
+        |        / nt.n_total::DOUBLE))
+        |      END)::DECIMAL(28,10) AS s
+        |  FROM g
+        |  JOIN nt ON nt.lang = g.lang
+        |  LEFT JOIN c3 ON c3.lang = g.lang AND c3.w1 = g.w1
+        |    AND c3.w2 = g.w2 AND c3.w = g.w
+        |  LEFT JOIN c2 cx ON cx.lang = g.lang AND cx.w2 = g.w1
+        |    AND cx.w = g.w2
+        |  LEFT JOIN c2 cc ON cc.lang = g.lang AND cc.w2 = g.w2
+        |    AND cc.w = g.w
+        |  LEFT JOIN c1 c1b ON c1b.lang = g.lang AND c1b.w = g.w2
+        |  LEFT JOIN c1 c1w ON c1w.lang = g.lang AND c1w.w = g.w
+        |  WHERE g.w1 IS NOT NULL),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_scored,
+        |    sum(s) AS ssum FROM sc GROUP BY 1),
+        |pd AS (SELECT d.doc_id, d.lang,
+        |    coalesce(a.n_scored, 0)::BIGINT AS n_scored,
+        |    coalesce(round((a.ssum::DOUBLE / a.n_scored::DOUBLE)
+        |      ::DECIMAL(28,10), 6)::DOUBLE, 0.0::DOUBLE) AS avg_logscore
+        |  FROM d LEFT JOIN agg a USING (doc_id)),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY avg_logscore, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang)::BIGINT AS n FROM pd)
+        |SELECT doc_id, lang, n_scored, avg_logscore,
+        |  CASE least(2, (3 * (rn - 1)) // n)
+        |    WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head'
+        |  END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     // Mirrors madOutliers: identical integer percentile_disc rank
     // device (value at rank ceil(n/2), floored at 1) for the median
     // and for the MAD, identical (n_tokens, doc_id) tie order, exact

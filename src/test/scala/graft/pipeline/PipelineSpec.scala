@@ -1443,6 +1443,39 @@ class PipelineSpec extends AnyFunSuite {
       == ((4L, 2L, sumRr, round6(sumRr.toDouble / (4L * scale).toDouble))))
   }
 
+  test("perplexityBuckets: cross-scoring, OOV floor, per-lang terciles") {
+    val docs = Seq(
+      (1L, "a b c a b d", "en", "ref"),   // the reference slice
+      (2L, "a b c", "en", "web"),         // trigram hit: ln(1/2)
+      (3L, "b c d", "en", "web"),         // unigram backoff: ln(.16*1/6)
+      (4L, "a b z", "en", "web"),         // OOV floor: same value
+      (5L, "x", "en", "web"),             // no trigram position
+      (6L, "a b c", "fr", "web"))         // lang with no reference LM
+      .toDF("doc_id", "text", "lang", "source")
+    def dec10(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    def round6(x: Double) = dec10(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // r1 scores its own four trigram positions: two exact ln(1) = 0
+    // and two ln(1/2) terms summed as DECIMAL(28,10), divided by 4
+    val r1 = round6((dec10(math.log(0.5)) * 2).toDouble / 4.0)
+    val s1 = round6(dec10(math.log(0.5)).toDouble)
+    val s2 = round6(dec10(math.log(0.16 * (1.0 / 6.0))).toDouble)
+    val got = TextMetrics.perplexityBuckets(docs.repartition(5),
+        col("source") === "ref", "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(got == Map(
+      1L -> (("en", 4L, r1, "middle")),
+      2L -> (("en", 1L, s1, "middle")),
+      3L -> (("en", 1L, s2, "tail")),
+      4L -> (("en", 1L, s2, "tail")),
+      5L -> (("en", 0L, 0.0, "head")),
+      6L -> (("fr", 0L, 0.0, "tail"))))
+  }
+
   test("kendallTau matches hand-computed concordance registers") {
     // query 1: common items {10,11,12} — A ranks them 1,2,3, B ranks
     // them 3,1,2 → pairs (10,11): A says 10<11, B says 11<10 →
