@@ -307,6 +307,65 @@ object InteractionGraph {
         col("common_neighbors"))
   }
 
+  /** Multi-source BFS hop distance over the undirected interaction
+    * graph: distance (in hops) from every vertex to its NEAREST seed,
+    * seeds = the `nSeeds` highest-degree users (ties by id) — the
+    * "influencer reach" / network-distance-to-hub metric, and the
+    * relational form of any seeded reachability question
+    * (contamination spread, moderation blast radius).
+    *
+    * Frontier expansion, not path enumeration: each round joins the
+    * CURRENT frontier to the adjacency list, anti-joins the last two
+    * frontiers (all a new neighbor can touch — see the loop invariant),
+    * and checkpoints — per-round shuffle cost is O(frontier-adjacent
+    * edges), total work O(E) with each edge crossed at most twice,
+    * where a walk-style expansion would revisit every node once per
+    * longer walk and an accumulated visited set would re-materialize
+    * O(V) every round. Rounds =
+    * eccentricity of the seed set (social graphs: small), bounded by
+    * `maxHops`; vertices not reached within the bound report NULL hops
+    * (the "outside the k-hop neighborhood" verdict, not an error —
+    * disconnected components are exactly the interesting finding).
+    * Visited/frontier relations hold (id, hops) only — no payload ever
+    * rides the loop. Output covers EVERY vertex of the graph. */
+  def hopDistances(inter: DataFrame, nSeeds: Int = 3,
+      maxHops: Int = 20): DataFrame = {
+    require(nSeeds >= 1, "hopDistances: nSeeds must be >= 1")
+    require(maxHops >= 0, "hopDistances: maxHops must be >= 0")
+    val (edges, deg) = undirectedGraph(inter)
+    val adj = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    // per-partition top-k + driver merge of nSeeds rows (TakeOrdered),
+    // never a global sort
+    val seeds = deg.orderBy(col("d").desc, col("n").asc).limit(nSeeds)
+      .select(col("n"))
+    // BFS invariant: a neighbor of frontier F_k lies in F_{k-1}, F_k, or
+    // the new F_{k+1} (adjacency changes distance by at most 1), so the
+    // dedup anti-join needs only the last TWO frontiers — per-round
+    // state is O(|frontier|), never the accumulated visited set.
+    var frontier = seeds.select(col("n"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var prev = frontier.limit(0)
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var hop = 0L
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = adj
+        .join(frontier.select(col("n").as("a")), Seq("a"), "left_semi")
+        .select(col("b").as("n")).distinct()
+        .join(frontier.unionByName(prev).select(col("n")), Seq("n"),
+          "left_anti")
+        .select(col("n"), lit(hop).as("hops"))
+        .localCheckpoint(true)
+      prev = frontier
+      frontier = next
+      levels += next
+    }
+    deg.select(col("n"))
+      .join(levels.reduce(_ unionByName _), Seq("n"), "left")
+      .select(col("n").as("user_id"), col("hops"))
+  }
+
   /** Deduped undirected edge relation + per-vertex degrees. Both are
     * multiply-referenced bounded working sets (degree aggregate, both
     * wedge sides, closing semi join, the coefficient denominator) —

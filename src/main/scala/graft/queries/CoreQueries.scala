@@ -60,7 +60,8 @@ object CoreQueries {
         "q12_interaction_counts", "q18_punctuation_window",
         "q38_session_window_native", "q64_asof_join", "q68_funnel",
         "q109_rate_anomaly", "q139_cohort_retention", "q152_interval_join",
-        "q161_pivot_activity", "q162_unpivot_activity"),
+        "q161_pivot_activity", "q162_unpivot_activity",
+        "q184_markov_transitions"),
       () => releaseEventsScanCache()))
 
   /** Timestamp output discipline: every emitted timestamp column is
@@ -367,6 +368,36 @@ object CoreQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** First-order Markov transition matrix over per-user event streams:
+    * order each user's events by (ts, event_id), pair each with its
+    * predecessor (lag), count every (prev_type, next_type) transition,
+    * and normalize rows to conditional probabilities — the behavioral
+    * bigram model behind next-event prediction, anomaly scoring
+    * (improbable transitions), and funnel-free flow analysis. One
+    * shuffle on user_id for the lag, then the transition relation is
+    * event-type² rows — dimension-bounded, so the row-normalizing
+    * window is over a tiny partition, never corpus-scale. Probability
+    * is one IEEE divide of exact int64 counts, rounded in the decimal
+    * domain (the house rule; DuckDB's windowed sum(BIGINT) is HUGEINT,
+    * cast back before the divide). */
+  def q184MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = eventsScan(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    trans
+      .withColumn("p_next",
+        round((col("n_transitions").cast("double") /
+            sum(col("n_transitions")).over(byPrev).cast("double"))
+            .cast("decimal(28,10)"), 6)
+          .cast("double"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** Key-skew diagnostic ([[graft.plans.Scale.skewReport]]) over the
     * event stream's user key — the report that decides between AQE,
     * salting and bucketing: top-10 hottest users with row count, corpus
@@ -498,9 +529,26 @@ object CoreQueries {
     "q152_interval_join" -> q152IntervalJoin,
     "q161_pivot_activity" -> q161PivotActivity,
     "q162_unpivot_activity" -> q162UnpivotActivity,
-    "q168_skew_report" -> q168SkewReport)
+    "q168_skew_report" -> q168SkewReport,
+    "q184_markov_transitions" -> q184MarkovTransitions)
 
   val oracles: Map[String, String] = Map(
+    // Mirrors q184MarkovTransitions: identical (ts, event_id) lag
+    // order, ::BIGINT on the windowed sum (DuckDB promotes windowed
+    // sum(BIGINT) to HUGEINT), identical round-in-decimal divide.
+    "q184_markov_transitions" ->
+      """WITH s AS (SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |t AS (SELECT prev_type, event_type AS next_type,
+        |    count(*)::BIGINT AS n_transitions
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_transitions,
+        |  round((n_transitions::DOUBLE /
+        |    (sum(n_transitions) OVER (PARTITION BY prev_type))::BIGINT
+        |      ::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE AS p_next
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
     "q139_cohort_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
         |f AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY 1)

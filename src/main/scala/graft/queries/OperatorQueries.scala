@@ -71,7 +71,7 @@ object OperatorQueries {
       Set("q12_interaction_counts", "q13_tree_stats", "q14_roles",
         "q30_tree_assembly", "q35_interaction_graph", "q169_triangles",
         "q170_clustering", "q171_components", "q172_assortativity",
-        "q181_common_neighbors"),
+        "q181_common_neighbors", "q185_hop_distance"),
       () => releaseEventsCaches()),
     "stemidx" -> CacheFamily(
       Set("q15_topic_model", "q31_topic_model_matrix",
@@ -461,7 +461,21 @@ object OperatorQueries {
         InteractionGraph.interactions(normalizedEvents(spark, dir)))
       .orderBy(col("user_id"), col("rank"))
 
+  /** Multi-source BFS hop distance from the 3 highest-degree users
+    * ([[InteractionGraph.hopDistances]], frontier expansion with the
+    * two-frontier dedup invariant): every vertex's network distance to
+    * its nearest hub, NULL = outside the 20-hop neighborhood. The
+    * oracle walks the same graph by a recursive (node, hops)
+    * enumeration capped at the same bound — path-style, a completely
+    * different mechanism that only agrees if the frontier dedup is
+    * exactly right. */
+  def q185HopDistance(spark: SparkSession, dir: String): DataFrame =
+    InteractionGraph.hopDistances(
+        InteractionGraph.interactions(normalizedEvents(spark, dir)))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_hop_distance" -> q185HopDistance,
     "q169_triangles" -> q169Triangles,
     "q170_clustering" -> q170Clustering,
     "q171_components" -> q171Components,
@@ -881,6 +895,30 @@ object OperatorQueries {
          |FROM s CROSS JOIN nn""".stripMargin,
     // Wedge counts by direct SQL self-joins over the doubled adjacency;
     // existing edges anti-joined out, per-user rank with id tiebreak.
+    // Walk-style recursive enumeration of (node, hops) pairs capped at
+    // the Spark call's maxHops=20, seeds = the same top-3 by
+    // (degree DESC, id ASC); min(hops) per node, unreached vertices
+    // LEFT-joined back in as NULL — agrees with frontier BFS only if
+    // the two-frontier dedup invariant holds.
+    "q185_hop_distance" ->
+      (s"WITH RECURSIVE ${interCte.stripPrefix("WITH ")},\n" +
+        """ed AS (SELECT DISTINCT least(author_id, target) AS u,
+          |    greatest(author_id, target) AS v
+          |  FROM inter WHERE author_id <> target),
+          |adj AS (SELECT u AS a, v AS b FROM ed
+          |  UNION ALL SELECT v, u FROM ed),
+          |dg AS (SELECT a AS n, count(*)::BIGINT AS d FROM adj
+          |  GROUP BY 1),
+          |seeds AS (SELECT n FROM dg ORDER BY d DESC, n ASC LIMIT 3),
+          |walk AS (
+          |  SELECT n, 0 AS h FROM seeds
+          |  UNION
+          |  SELECT adj.b, walk.h + 1 FROM walk
+          |  JOIN adj ON adj.a = walk.n WHERE walk.h < 20),
+          |dist AS (SELECT n, min(h)::BIGINT AS hops FROM walk
+          |  GROUP BY 1)
+          |SELECT dg.n AS user_id, dist.hops
+          |FROM dg LEFT JOIN dist USING (n) ORDER BY user_id""".stripMargin),
     "q181_common_neighbors" ->
       s"""$interCte,
          |ed AS (SELECT DISTINCT least(author_id, target) AS u,

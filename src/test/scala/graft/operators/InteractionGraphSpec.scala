@@ -94,6 +94,64 @@ class InteractionGraphSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("hopDistances: star+tail BFS levels, unreached NULL, maxHops cap, seed ties") {
+    // hub h (deg 6) with 5 leaves and a 3-hop tail, plus a separate
+    // pair — single seed is the hub; the pair stays NULL-unreached
+    val g = (1 to 5).map(i => ("h", s"l$i")) ++
+      Seq(("h", "x1"), ("x1", "x2"), ("x2", "x3"), ("p", "q"))
+    def dists(nSeeds: Int, maxHops: Int): Map[String, Option[Long]] =
+      InteractionGraph.hopDistances(inter(g).repartition(7), nSeeds, maxHops)
+        .collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val leaves = (1 to 5).map(i => s"l$i" -> Some(1L)).toMap
+    assert(dists(1, 20) == leaves ++ Map(
+      "h" -> Some(0L), "x1" -> Some(1L), "x2" -> Some(2L),
+      "x3" -> Some(3L), "p" -> None, "q" -> None))
+    // the cap truncates the tail: x3 is 3 hops out, bound is 2
+    assert(dists(1, 2)("x3") == None)
+    assert(dists(1, 2)("x2") == Some(2L))
+    // two disjoint triangles, all degree 2: both seeds land in the
+    // id-ascending triangle (tie-break by id), the other stays NULL
+    val twoTri = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"))
+    val got = InteractionGraph.hopDistances(inter(twoTri), 2, 20)
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map("a" -> Some(0L), "b" -> Some(0L), "c" -> Some(1L),
+      "d" -> None, "e" -> None, "f" -> None))
+  }
+
+  test("hopDistances agrees with driver-side brute BFS on a random graph") {
+    val rnd = new scala.util.Random(53)
+    val verts = (0 until 16).map(i => f"v$i%02d")
+    val pairs = for {
+      a <- verts; b <- verts if a < b && rnd.nextDouble() < 0.12
+    } yield (a, b)
+    val adj = pairs.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val deg = nodes.map(n => n -> adj(n).size.toLong).toMap
+    val seeds = nodes.sortBy(n => (-deg(n), n)).take(3)
+    // brute BFS from the seed set
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    var h = 0L
+    while (frontier.nonEmpty) {
+      h += 1
+      val hh = h
+      frontier = frontier.flatMap(adj).filterNot(dist.contains)
+      dist = dist ++ frontier.map(_ -> hh)
+    }
+    val want = nodes.map(n => n -> dist.get(n)).toMap
+    val got = InteractionGraph.hopDistances(inter(pairs).repartition(5))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == want)
+  }
+
   test("connectedComponents agrees with the neighbor-min clusterer on a random graph") {
     // two independent algorithms (large/small-star contraction vs
     // nearDupClusters' per-hop min propagation) over the same edges
