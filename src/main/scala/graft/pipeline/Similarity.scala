@@ -318,6 +318,40 @@ object Similarity {
           .cast("decimal(28,10)"), 6).cast("double").as("mean_q"),
         col("min_q"), col("max_q"), col("n_zero"))
 
+  /** Matryoshka (prefix-dimension) retrieval quality: recall@k of
+    * brute-force top-k computed on each PREFIX of the embedding
+    * (dims 8, 16, … — the Kusupati et al. 2022 nesting) against the
+    * full-dimension top-k — the measurement behind every
+    * truncate-the-embedding storage decision. [[truncationEnergy]]
+    * answers "how much magnitude survives truncation"; this answers
+    * the question that actually matters downstream: "does the NEIGHBOR
+    * RANKING survive".
+    *
+    * One full-dim exact pass (materialized — every prefix arm reuses
+    * it) plus one sliced pass per entry in `dims`; slicing happens
+    * before quantization, so each arm is exactly [[bruteForceTopK]] on
+    * the d-prefix in the same int64 parity domain. Per-arm cost is the
+    * brute pass's corpus × |queries| — the diagnostic is meant to run
+    * on a query SAMPLE, never as a serving path. Output one row per
+    * (dims, query): (dims, query_id, n_hit, k, recall). */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "matryoshkaRecall: dims must be non-empty")
+    require(dims.forall(_ >= 1), "matryoshkaRecall: dims must be >= 1")
+    val full = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("corpus_id"))
+      .localCheckpoint(true)
+    dims.map { d =>
+      val pc = corpus.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      val pq = queries.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      recallReport(full, bruteForceTopK(pc, pq, idCol, vecCol, k), k)
+        .select(lit(d.toLong).as("dims"), col("query_id"), col("n_hit"),
+          col("k"), col("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Recall@k of an approximate top-k result against the exact one —
     * the index-health metric every deployed ANN system monitors (probe
     * counts, nBits, and nprobe are tuned against exactly this number).

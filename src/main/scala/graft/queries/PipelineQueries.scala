@@ -118,7 +118,8 @@ object PipelineQueries {
         "q106_dim_stats", "q120_probed_neardups", "q122_hard_negatives",
         "q124_embeddings_contract", "q146_embedding_gram", "q147_pca_report",
         "q150_walk_centrality", "q159_ndcg", "q167_rrf_fusion",
-        "q173_kendall_tau", "q179_hybrid_retrieval", "q182_mrr"),
+        "q173_kendall_tau", "q179_hybrid_retrieval", "q182_mrr",
+        "q186_matryoshka_recall"),
       () => releaseEmbCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -565,6 +566,19 @@ object PipelineQueries {
   def q102TruncationEnergy(spark: SparkSession, dir: String): DataFrame =
     Similarity.truncationEnergy(emb(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
+
+  /** Matryoshka prefix-dimension recall
+    * ([[Similarity.matryoshkaRecall]]): brute top-10 on the 8/16/32-dim
+    * prefixes vs the full 64-dim top-10 — q102 measures surviving
+    * MAGNITUDE under truncation, this measures the surviving NEIGHBOR
+    * RANKING, the number a truncate-the-index decision actually rides
+    * on. */
+  def q186MatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.matryoshkaRecall(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 10, dims = Seq(8, 16, 32))
+      .orderBy(col("dims"), col("query_id"))
+  }
 
   /** Wide per-document quality-signal table
     * ([[TextMetrics.qualitySignals]]): ten raw signals in one
@@ -1914,6 +1928,7 @@ object PipelineQueries {
     "q100_dsir" -> q100Dsir,
     "q101_temperature_mix" -> q101TemperatureMix,
     "q102_truncation_energy" -> q102TruncationEnergy,
+    "q186_matryoshka_recall" -> q186MatryoshkaRecall,
     "q103_quality_signals" -> q103QualitySignals,
     "q104_gopher_rules" -> q104GopherRules,
     "q105_sq8_error" -> q105Sq8Error,
@@ -3069,6 +3084,52 @@ object PipelineQueries {
         |      ORDER BY dot_pq DESC, corpus_id) AS rank
         |  FROM adc)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Mirrors matryoshkaRecall: one dims list cross-joined through the
+    // prefix slice (slice-then-quantize ≡ quantize-then-slice,
+    // elementwise), the same int64 dot ranking as q23 per arm, hit
+    // count against the full-dimension top-10 via the q69 left-join
+    // device.
+    "q186_matryoshka_recall" ->
+      """WITH dimset AS (SELECT unnest([8, 16, 32]) AS dims),
+        |v AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+        |  FROM embeddings),
+        |pv AS (SELECT dims, vec_id, list_slice(qv, 1, dims) AS qv
+        |  FROM v CROSS JOIN dimset),
+        |fe AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
+        |  FROM v q CROSS JOIN v c
+        |  WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id),
+        |fd AS (SELECT query_id, corpus_id, sum(qx * cx)::BIGINT AS dot_q
+        |  FROM fe GROUP BY 1, 2),
+        |full10 AS (SELECT query_id, corpus_id FROM (
+        |    SELECT query_id, corpus_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY dot_q DESC, corpus_id) AS rank
+        |    FROM fd) WHERE rank <= 10),
+        |pe AS (SELECT q.dims, q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
+        |  FROM pv q JOIN pv c ON c.dims = q.dims
+        |  WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id),
+        |pd AS (SELECT dims, query_id, corpus_id,
+        |    sum(qx * cx)::BIGINT AS dot_q
+        |  FROM pe GROUP BY 1, 2, 3),
+        |pre10 AS (SELECT dims, query_id, corpus_id FROM (
+        |    SELECT dims, query_id, corpus_id, row_number() OVER (
+        |      PARTITION BY dims, query_id
+        |      ORDER BY dot_q DESC, corpus_id) AS rank
+        |    FROM pd) WHERE rank <= 10),
+        |hit AS (SELECT d.dims, f.query_id,
+        |    sum(CASE WHEN p.corpus_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+        |      AS n_hit
+        |  FROM full10 f CROSS JOIN dimset d
+        |  LEFT JOIN pre10 p ON p.dims = d.dims
+        |    AND p.query_id = f.query_id AND p.corpus_id = f.corpus_id
+        |  GROUP BY 1, 2)
+        |SELECT dims::BIGINT AS dims, query_id, n_hit, 10::BIGINT AS k,
+        |  round((n_hit::DOUBLE / 10.0)::DECIMAL(28,10), 6)::DOUBLE
+        |    AS recall
+        |FROM hit ORDER BY dims, query_id""".stripMargin,
     "q23_similarity_brute" ->
       (q23Body + "\nORDER BY query_id, rank"),
     "q24_similarity_lsh" ->

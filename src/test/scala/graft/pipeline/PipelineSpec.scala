@@ -1180,6 +1180,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(inflated === Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("matryoshkaRecall: prefix arm flips the winner, full-width arm recovers it") {
+    import spark.implicits._
+    // corpus dots vs the query [1, 1]: full ranking c1 (11) > c2 (2) >
+    // c3 (1); first-coordinate-only ranking c2 (2) > c1 (1) > c3 (0) —
+    // truncation flips the top-1, the full-width prefix restores it
+    val corpus = Seq(
+      (1L, Array(1.0f, 10.0f)),
+      (2L, Array(2.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)),
+      (0L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaRecall(corpus,
+        corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 1, dims = Seq(1, 2))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(4))))
+      .toMap
+    assert(got == Map(
+      (1L, 0L) -> ((0L, 0.0)), // dims=1: top-1 is c2, ground truth c1
+      (2L, 0L) -> ((1L, 1.0)))) // dims=2 ≡ full: recovered
+  }
+
   test("ndcgReport: perfect ranking scores 1, reversed ranking matches hand math") {
     val exact = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
       .toDF("query_id", "rank", "corpus_id")
