@@ -380,10 +380,18 @@ object CoreQueries {
     * is one IEEE divide of exact int64 counts, rounded in the decimal
     * domain (the house rule; DuckDB's windowed sum(BIGINT) is HUGEINT,
     * cast back before the divide). */
-  def q184MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+  def q184MarkovTransitions(spark: SparkSession, dir: String): DataFrame =
+    markovTransitionsOf(eventsScan(spark, dir))
+      .orderBy(col("prev_type"), col("next_type"))
+
+  /** q184's body over any (user_id, event_type, ts, event_id) relation —
+    * factored so the streaming twin's parity spec can aggregate both
+    * forms from one event list
+    * ([[graft.streaming.TransitionStream]]). */
+  def markovTransitionsOf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val trans = eventsScan(spark, dir)
+    val trans = events
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
@@ -395,7 +403,6 @@ object CoreQueries {
             sum(col("n_transitions")).over(byPrev).cast("double"))
             .cast("decimal(28,10)"), 6)
           .cast("double"))
-      .orderBy(col("prev_type"), col("next_type"))
   }
 
   /** Key-skew diagnostic ([[graft.plans.Scale.skewReport]]) over the

@@ -317,6 +317,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(h3.n_prev == 3L && h3.baseline_mean == Some(4.0))
   }
 
+  test("markov transitions: streaming last-event state equals the batch lag window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import TransitionStream.{TransEvent, Transition}
+    val evs = Seq(
+      TransEvent(1L, "view", 1000000L, 1L),
+      TransEvent(2L, "signup", 2000000L, 2L),
+      TransEvent(1L, "click", 3000000L, 3L),
+      TransEvent(1L, "click", 3000000L, 4L), // ts tie: event_id breaks it
+      TransEvent(2L, "purchase", 4000000L, 5L),
+      TransEvent(1L, "purchase", 5000000L, 6L),
+      TransEvent(3L, "view", 5000000L, 7L)) // lone event: no transition
+    val stream = MemoryStream[TransEvent]
+    val q = TransitionStream.transitions(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trans_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("trans_ckpt").toString)
+      .start()
+    try {
+      // split mid-user: u1's click→click, u2's signup→purchase and the
+      // ts-tied pair all cross the batch boundary through state
+      val (b1, b2) = evs.splitAt(3)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      // an out-of-order arrival (older than u1's stored last) is dropped
+      stream.addData(Seq(TransEvent(1L, "error", 500000L, 0L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("trans_stream").as[Transition]
+      .collect().toSeq
+      .groupBy(t => (t.prev_type, t.next_type))
+      .map { case (k, v) => k -> v.length.toLong }
+    val batch = graft.queries.CoreQueries.markovTransitionsOf(
+        evs.toDF().select(col("user_id"), col("event_type"),
+          (col("ts_us") / 1000000L).cast("timestamp").as("ts"),
+          col("event_id")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(streamed == Map(
+      ("view", "click") -> 1L, ("click", "click") -> 1L,
+      ("click", "purchase") -> 1L, ("signup", "purchase") -> 1L))
+  }
+
   test("trending tokens: streaming windowed counts equal the batch twin") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
