@@ -318,6 +318,83 @@ object Similarity {
           .cast("decimal(28,10)"), 6).cast("double").as("mean_q"),
         col("min_q"), col("max_q"), col("n_zero"))
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    * pick `k` items balancing relevance to a probe against redundancy
+    * with what's already picked — argmax of
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — the diversity-aware
+    * selection behind dedup-conscious few-shot/exemplar curation, where
+    * a pure relevance top-k returns the same document five times.
+    *
+    * Production shape (and the scale story): MMR reranks a CANDIDATE
+    * WINDOW, never the corpus — stage 1 is one distributed
+    * relevance pass (per-partition top-`nCandidates` + driver merge,
+    * the TakeOrdered shape), stage 2 is the greedy quadratic loop over
+    * the nCandidates-bounded window in driver math (the q153
+    * PAV/maxBins precedent: corpus work distributed, bounded kernel
+    * local, loud guard). The greedy argmax is inherently sequential —
+    * k dependent rounds of a whole-relation argmax — so a DataFrame
+    * formulation would pay k scheduler round-trips to scan 64 rows.
+    *
+    * Exact-integer scoring: relevance and similarity are quantized
+    * int64 dots; with λ = lambdaNum/lambdaDen the score is
+    * `lambdaNum·rel − (lambdaDen−lambdaNum)·maxSim` (the λ-scaled
+    * argmax, denominators cancel), ties by id — deterministic for any
+    * partitioning, no float anywhere. Output one row per pick:
+    * (rank, id, rel_dot, max_sim_dot, score) with max_sim_dot the
+    * redundancy actually charged at pick time (0 for the first). */
+  def mmrSelect(corpus: DataFrame, probe: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCandidates: Int = 64,
+      lambdaNum: Long = 7L, lambdaDen: Long = 10L): DataFrame = {
+    require(k >= 1, "mmrSelect: k must be >= 1")
+    require(nCandidates >= k, "mmrSelect: nCandidates must be >= k")
+    require(nCandidates <= 4096,
+      s"mmrSelect: nCandidates=$nCandidates exceeds the driver-window " +
+        "bound 4096 — widen the candidate stage distributedly instead")
+    require(lambdaNum >= 0 && lambdaNum <= lambdaDen && lambdaDen > 0,
+      "mmrSelect: need 0 <= lambdaNum <= lambdaDen")
+    val p = probe.select(col(idCol).as("pid"),
+      quantize(col(vecCol)).as("pq"))
+    val cands = corpus
+      .select(col(idCol).as("cid"), quantize(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(p))
+      .filter(col("cid") =!= col("pid"))
+      .withColumn("rel", dotExact(col("qv"), col("pq")))
+      .orderBy(col("rel").desc, col("cid").asc)
+      .limit(nCandidates)
+      .select(col("cid"), col("qv"), col("rel"))
+      .collect() // bounded by the nCandidates guard above
+    val pool = cands.map(r => (r.getLong(0),
+      r.getSeq[Long](1).toArray, r.getLong(2))).toBuffer
+    val lamS = lambdaNum
+    val lamD = lambdaDen - lambdaNum
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val maxSim = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    val picks = Vector.newBuilder[(Long, Long, Long, Long, Long)]
+    var rank = 0L
+    while (rank < math.min(k.toLong, cands.length.toLong)) {
+      rank += 1
+      val best = pool.minBy { case (id, _, rel) =>
+        (-(lamS * rel - lamD * maxSim(id)), id)
+      }
+      val (bid, bv, brel) = best
+      picks += ((rank, bid, brel, maxSim(bid),
+        lamS * brel - lamD * maxSim(bid)))
+      pool -= best
+      pool.foreach { case (id, v, _) =>
+        val s = dot(v, bv)
+        if (s > maxSim(id)) maxSim(id) = s
+      }
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    picks.result().toDF("rank", idCol, "rel_dot", "max_sim_dot", "score")
+  }
+
   /** Matryoshka (prefix-dimension) retrieval quality: recall@k of
     * brute-force top-k computed on each PREFIX of the embedding
     * (dims 8, 16, … — the Kusupati et al. 2022 nesting) against the

@@ -2864,6 +2864,66 @@ object TextMetrics {
           .otherwise(0L)).as("alloc"))
   }
 
+  /** Waterfilling token-budget allocation — the MAX-MIN-FAIR
+    * counterpart to [[apportionBudget]]'s proportional split: raise one
+    * common level t until Σ min(inventory_i, t) meets the budget, so
+    * small sources keep everything they have (capped at inventory) and
+    * every large source gets the same equalized share — the standard
+    * allocation when the mixing goal is source DIVERSITY rather than
+    * corpus-proportional representation (proportional splits let one
+    * giant crawl starve the tails).
+    *
+    * Closed form, no iteration: sort sources by inventory ascending;
+    * at cut row k the level is t = (budget − prefix_k) div slots_k
+    * (slots = sources from k on), the cut is the first row whose
+    * inventory exceeds its own candidate level, and the integer
+    * remainder r = (budget − prefix) mod slots tops up the r first
+    * uncapped rows by the same (inventory, source) order — allocations
+    * sum to EXACTLY min(budget, total). Pure int64 arithmetic end to
+    * end (div/mod), so the relation hashes across engines.
+    *
+    * Scale shape: one map-side-combined token-count aggregate reduces
+    * the corpus to a |sources|-sized relation; every window after that
+    * is over the dimension-bounded relation (the apportionBudget
+    * precedent), and the result broadcasts to whatever fill consumes
+    * it. Output: (group, inventory, allocation, capped 0/1). */
+  def waterfillBudget(docs: DataFrame, groupCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "waterfillBudget: budget must be >= 0")
+    val perSrc = docs.groupBy(col(groupCol))
+      .agg(sum(size(TextFunctions.tokenize(col(textCol))).cast("long"))
+        .as("inventory"))
+    val w = Window.orderBy(col("inventory").asc, col(groupCol).asc)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perSrc
+      .withColumn("_k", row_number().over(w).cast("long"))
+      .withColumn("_prefix",
+        coalesce(sum(col("inventory")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_m", count(lit(1)).over(wAll))
+      .withColumn("_slots", col("_m") - col("_k") + 1L)
+      .withColumn("_t", expr(s"(${budget}L - _prefix) div _slots"))
+      // first row whose inventory exceeds its own candidate level =
+      // the start of the uncapped suffix (NULL when budget >= total:
+      // everything is capped at inventory)
+      .withColumn("_kcut",
+        min(when(col("inventory") > col("_t"), col("_k"))).over(wAll))
+      .withColumn("_tstar",
+        max(when(col("_k") === col("_kcut"), col("_t"))).over(wAll))
+      .withColumn("_rstar",
+        max(when(col("_k") === col("_kcut"),
+          expr(s"(${budget}L - _prefix) % _slots"))).over(wAll))
+      .select(col(groupCol), col("inventory"),
+        when(col("_kcut").isNull || col("_k") < col("_kcut"),
+          col("inventory"))
+          .otherwise(col("_tstar") +
+            when(col("_k") - col("_kcut") < col("_rstar"), 1L)
+              .otherwise(0L)).as("allocation"),
+        when(col("_kcut").isNull || col("_k") < col("_kcut"), 1L)
+          .otherwise(0L).as("capped"))
+  }
+
   /** Quality-signal calibration — the report a curation pipeline reads
     * before trusting a cheap filter: rank documents by unigram-LM
     * average surprisal (the expensive signal, [[unigramSurprisal]]),

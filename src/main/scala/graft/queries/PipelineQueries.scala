@@ -119,7 +119,7 @@ object PipelineQueries {
         "q124_embeddings_contract", "q146_embedding_gram", "q147_pca_report",
         "q150_walk_centrality", "q159_ndcg", "q167_rrf_fusion",
         "q173_kendall_tau", "q179_hybrid_retrieval", "q182_mrr",
-        "q186_matryoshka_recall"),
+        "q186_matryoshka_recall", "q188_mmr_select"),
       () => releaseEmbCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -567,6 +567,19 @@ object PipelineQueries {
     Similarity.truncationEnergy(emb(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
 
+  /** MMR diversity selection ([[Similarity.mmrSelect]]): top-16 of the
+    * 64-candidate relevance window around probe vec 0, λ = 0.7 in the
+    * exact-integer λ-scaled argmax. NO ORACLE by contract — greedy
+    * sequential argmax is not SQL-expressible; MmrSpec pins the
+    * independent naive reimplementation and the planted-duplicate
+    * demotion. */
+  def q188MmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.mmrSelect(e, e.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 16, nCandidates = 64)
+      .orderBy(col("rank"))
+  }
+
   /** Matryoshka prefix-dimension recall
     * ([[Similarity.matryoshkaRecall]]): brute top-10 on the 8/16/32-dim
     * prefixes vs the full 64-dim top-10 — q102 measures surviving
@@ -980,6 +993,18 @@ object PipelineQueries {
     TextMetrics.budgetTrim(docs(spark, dir), "doc_id", "source", "text",
         budget = 30000L)
       .orderBy(col("doc_id"))
+
+  /** Max-min-fair token allocation ([[TextMetrics.waterfillBudget]]):
+    * the diversity-first counterpart to q04/q129's proportional
+    * apportionment — one equalized level, small sources capped at
+    * inventory, exact-integer closed form (no iteration). At 26000
+    * tokens the level lands mid-inventory at the small SFs (mixed
+    * capped/uncapped) and below every inventory at sf0.1 (pure
+    * equal-share + remainder regime). */
+  def q187Waterfill(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.waterfillBudget(docs(spark, dir), "source", "text",
+        budget = 26000L)
+      .orderBy(col("source"))
 
   /** Sparse lexical retrieval ([[TextMetrics.lexicalTopKFromTf]]):
     * TF-IDF cosine top-5 corpus neighbors for every 250th document via
@@ -1929,6 +1954,7 @@ object PipelineQueries {
     "q101_temperature_mix" -> q101TemperatureMix,
     "q102_truncation_energy" -> q102TruncationEnergy,
     "q186_matryoshka_recall" -> q186MatryoshkaRecall,
+    "q188_mmr_select" -> q188MmrSelect,
     "q103_quality_signals" -> q103QualitySignals,
     "q104_gopher_rules" -> q104GopherRules,
     "q105_sq8_error" -> q105Sq8Error,
@@ -1955,6 +1981,7 @@ object PipelineQueries {
     "q127_lexical_topk" -> q127LexicalTopK,
     "q128_stratified_sample" -> q128StratifiedSample,
     "q129_budget_trim" -> q129BudgetTrim,
+    "q187_waterfill" -> q187Waterfill,
     "q130_snapshot_diff" -> q130SnapshotDiff,
     "q165_apply_snapshot" -> q165ApplySnapshot,
     "q166_refresh_audit" -> q166RefreshAudit,
@@ -4491,6 +4518,44 @@ object PipelineQueries {
         |ORDER BY source, pick_order""".stripMargin,
     // Mirrors budgetTrim: the q04 allocation CTEs + an inclusive
     // hash-order running token sum per source; kept = cum <= alloc.
+    // Mirrors waterfillBudget: identical (inventory, source) sort,
+    // per-row candidate level (B - prefix) // slots, cut = first row
+    // whose inventory exceeds its own candidate, remainder tops up the
+    // first r uncapped rows. DuckDB // floors like Spark div on
+    // positive operands; all registers exact int64.
+    "q187_waterfill" ->
+      """WITH s AS (SELECT source,
+        |    sum(len(regexp_split_to_array(lower(text),
+        |      '[ \t\n\f\r]+')))::BIGINT AS inventory
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source, inventory,
+        |    row_number() OVER (ORDER BY inventory ASC, source ASC)
+        |      AS k,
+        |    coalesce(sum(inventory) OVER (
+        |      ORDER BY inventory ASC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS prefix,
+        |    count(*) OVER ()::BIGINT AS m
+        |  FROM s),
+        |c AS (SELECT *, (m - k + 1) AS slots,
+        |    (26000 - prefix) // (m - k + 1) AS t
+        |  FROM r),
+        |cut AS (SELECT min(CASE WHEN inventory > t THEN k END) AS kcut,
+        |    max(CASE WHEN inventory > t AND k = (SELECT
+        |        min(CASE WHEN inventory > t THEN k END) FROM c)
+        |      THEN t END) AS tstar,
+        |    max(CASE WHEN inventory > t AND k = (SELECT
+        |        min(CASE WHEN inventory > t THEN k END) FROM c)
+        |      THEN (26000 - prefix) % slots END) AS rstar
+        |  FROM c)
+        |SELECT c.source, c.inventory,
+        |  (CASE WHEN cut.kcut IS NULL OR c.k < cut.kcut THEN c.inventory
+        |    ELSE cut.tstar +
+        |      (CASE WHEN c.k - cut.kcut < cut.rstar THEN 1 ELSE 0 END)
+        |    END)::BIGINT AS allocation,
+        |  (CASE WHEN cut.kcut IS NULL OR c.k < cut.kcut THEN 1 ELSE 0
+        |    END)::BIGINT AS capped
+        |FROM c CROSS JOIN cut ORDER BY c.source""".stripMargin,
     "q129_budget_trim" ->
       """WITH toks AS (SELECT doc_id, source,
         |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT AS nt,

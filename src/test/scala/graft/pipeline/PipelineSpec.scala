@@ -1180,6 +1180,91 @@ class PipelineSpec extends AnyFunSuite {
     assert(inflated === Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("waterfillBudget: closed form equals brute level search at every budget regime") {
+    import spark.implicits._
+    def mkDocs(inv: Map[String, Long]) = inv.toSeq.flatMap { case (s, n) =>
+      val a = n / 2 // two docs per source: the aggregate is exercised
+      Seq((s"$s-1", s, Seq.fill(a.toInt)("w").mkString(" ")),
+        (s"$s-2", s, Seq.fill((n - a).toInt)("w").mkString(" ")))
+    }.toDF("doc_id", "source", "text")
+    // independent mechanism: linear search for the max level t with
+    // sum(min(s, t)) <= B, then remainder to the first uncapped rows
+    def brute(inv: Map[String, Long], budget: Long): Map[String, (Long, Long)] = {
+      val total = inv.values.sum
+      if (budget >= total) inv.map { case (s, n) => s -> ((n, 1L)) }
+      else {
+        def f(t: Long) = inv.values.map(math.min(_, t)).sum
+        var t = 0L
+        while (f(t + 1) <= budget) t += 1
+        var r = budget - f(t)
+        inv.toSeq.sortBy { case (s, n) => (n, s) }.map { case (s, n) =>
+          if (n <= t) s -> ((n, 1L))
+          else {
+            val topUp = if (r > 0) { r -= 1; 1L } else 0L
+            s -> ((t + topUp, 0L))
+          }
+        }.toMap
+      }
+    }
+    val rnd = new scala.util.Random(67)
+    val inv = (0 until 6).map(i => s"s$i" -> (2L + rnd.nextInt(39))).toMap
+    val total = inv.values.sum
+    val docsDf = mkDocs(inv).repartition(5)
+    for (budget <- Seq(1L, 5L, total / 2, total - 1, total, total + 10)) {
+      val got = TextMetrics.waterfillBudget(docsDf, "source", "text", budget)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got == brute(inv, budget), s"budget $budget")
+      assert(got.values.map(_._1).sum == math.min(budget, total))
+    }
+  }
+
+  test("mmrSelect: equals a naive recompute-everything reimplementation; duplicates demoted") {
+    import spark.implicits._
+    // probe [1, 1]; a and its exact duplicate both sit at rel 1.0, the
+    // most-relevant b at 1.5 — after b, the duplicate pair's mutual
+    // redundancy pushes the second twin to LAST despite rel parity
+    // with c
+    val corpus = Seq(
+      (0L, Array(1.0f, 1.0f)), // the probe row itself (excluded)
+      (1L, Array(1.0f, 0.0f)), // a
+      (2L, Array(1.0f, 0.0f)), // exact dup of a
+      (3L, Array(0.8f, 0.7f)), // b: most relevant
+      (4L, Array(0.0f, 1.0f))) // c: rel ties a, diverse from b
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpus,
+        corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 4, nCandidates = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // naive independent reimplementation: re-derive every score from
+    // scratch each round (no incremental maxSim state)
+    def q(v: Array[Float]) = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    def dot(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val probe = q(Array(1.0f, 1.0f))
+    val pool = Seq(1L -> Array(1.0f, 0.0f), 2L -> Array(1.0f, 0.0f),
+      3L -> Array(0.8f, 0.7f), 4L -> Array(0.0f, 1.0f))
+      .map { case (id, v) => id -> q(v) }
+    var sel = Vector.empty[(Long, Long, Long, Long)]
+    var rem = pool
+    for (rank <- 1 to 4) {
+      val scored = rem.map { case (id, v) =>
+        val rel = dot(v, probe)
+        val ms = if (sel.isEmpty) 0L
+          else sel.map(s => dot(v, pool.toMap.apply(s._2))).max
+        (id, v, rel, ms, 7L * rel - 3L * ms)
+      }
+      val best = scored.minBy { case (id, _, _, _, sc) => (-sc, id) }
+      sel :+= ((rank.toLong, best._1, best._3, best._4))
+      rem = rem.filterNot(_._1 == best._1)
+    }
+    assert(got.toSeq == sel)
+    // b first (rel), then diverse c over the a-twins, then a, dup LAST:
+    // the redundant twin is demoted below everything non-redundant
+    assert(got.map(_._2).toSeq == Seq(3L, 4L, 1L, 2L))
+  }
+
   test("matryoshkaRecall: prefix arm flips the winner, full-width arm recovers it") {
     import spark.implicits._
     // corpus dots vs the query [1, 1]: full ranking c1 (11) > c2 (2) >
