@@ -69,6 +69,57 @@ object Dedup {
     docs.groupBy(md5(canonicalText(col(textCol))).as("canon_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the third
+    * classic candidate-generation strategy beside hash-bucketed LSH and
+    * content-defined chunking: sort the corpus by a normalization key
+    * (here [[canonicalText]], so trivially-reformatted variants land
+    * adjacent), slide a `window`-wide frame down the sorted order, and
+    * verify only pairs inside the frame. Candidate volume is exactly
+    * O(n·window) by construction — no skew blow-up is possible, which
+    * is SNM's selling point over blocking keys with hot buckets — at
+    * the cost of missing duplicates the sort key separates (why
+    * production stacks run SNM as one pass of a multi-pass blocker
+    * next to LSH, exactly how it sits in this library).
+    *
+    * Scale shape: the corpus-cardinality sort goes through
+    * [[graft.pipeline.Ranks.bucketedGlobalRank]] (never a single-task
+    * Window.orderBy). The device buckets on a NUMERIC proxy — the
+    * first-8-chars base-128 encoding `Σ ascii(key[i])·128^(8−i)`,
+    * weakly monotone in the key because canonical text is pure ASCII —
+    * and breaks ties inside a bucket by the (full key, id) struct, so
+    * ranks equal the exact (key, id) sort for any partitioning.
+    * Neighbor pairs come from an EQUI-join on rank+delta (delta
+    * exploded 1..window), never a range join; verification is the
+    * shared exact-Jaccard arm. */
+  def sortedNeighborhood(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, threshold: Double = 0.5, shingleN: Int = 3,
+      shingled: Option[DataFrame] = None): DataFrame = {
+    require(window >= 1 && window <= 64,
+      "sortedNeighborhood: window must be in [1, 64]")
+    val prefix = (1 to 8).map(i =>
+        ascii(substring(col("_key"), i, 1)).cast("long") *
+          lit(1L << (7 * (8 - i))))
+      .reduce(_ + _)
+    val keyed = docs.select(col(idCol).as("doc_id"),
+        canonicalText(col(textCol)).as("_key"))
+      .withColumn("_kn", prefix)
+      .withColumn("_kt", struct(col("_key"), col("doc_id")))
+    val ranked = Ranks.bucketedGlobalRank(keyed, "_kn", "_kt",
+        rankCol = "rn")
+      .select(col("doc_id"), col("rn"))
+      .localCheckpoint() // both sides of the neighbor join read it
+    val pairs = ranked.select(col("doc_id").as("id_a"), col("rn"),
+        explode(sequence(lit(1), lit(window))).as("_d"))
+      .withColumn("rn_b", col("rn") + col("_d"))
+      .join(ranked.select(col("doc_id").as("id_b"),
+        col("rn").as("rn_b")), Seq("rn_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+    jaccard(pairs,
+        shingled.getOrElse(shingleSets(docs, idCol, textCol, shingleN)))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Distinct word n-gram shingle set per document. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),

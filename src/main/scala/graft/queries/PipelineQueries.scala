@@ -124,7 +124,8 @@ object PipelineQueries {
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
         "q78_source_overlap", "q88_incremental_dedup", "q91_lsh_tuning",
-        "q121_containment", "q174_edit_verify"),
+        "q121_containment", "q174_edit_verify",
+        "q189_sorted_neighborhood"),
       () => releaseMinhashCaches()),
     "tf" -> CacheFamily(
       Set("q52_tfidf", "q53_surprisal", "q79_vocab_coverage",
@@ -157,6 +158,16 @@ object PipelineQueries {
     * 4 bands → bucket join → exact-Jaccard verify at 0.5. */
   def q20MinhashNearDups(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(spark, dir)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Sorted-neighborhood blocking ([[Dedup.sortedNeighborhood]]): the
+    * skew-proof O(n·window) candidate strategy beside LSH's hash
+    * buckets — canonical-key sort through the bucketed global-rank
+    * device, rank+delta EQUI-join neighbors, the shared exact-Jaccard
+    * verify arm riding the shingle cache. */
+  def q189SortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhood(docs(spark, dir), "doc_id", "text",
+        window = 4, shingled = Some(shingledDocs(spark, dir)))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Edit-distance verification of the q20 LSH candidates
@@ -1955,6 +1966,7 @@ object PipelineQueries {
     "q102_truncation_energy" -> q102TruncationEnergy,
     "q186_matryoshka_recall" -> q186MatryoshkaRecall,
     "q188_mmr_select" -> q188MmrSelect,
+    "q189_sorted_neighborhood" -> q189SortedNeighborhood,
     "q103_quality_signals" -> q103QualitySignals,
     "q104_gopher_rules" -> q104GopherRules,
     "q105_sq8_error" -> q105Sq8Error,
@@ -2976,6 +2988,21 @@ object PipelineQueries {
       """SELECT DISTINCT ea.doc_id AS doc_a, eb.doc_id AS doc_b
         |  FROM ex ea JOIN ex eb
         |    ON ea.s = eb.s AND ea.doc_id < eb.doc_id""".stripMargin),
+    // Mirrors sortedNeighborhood: a plain (canonical key, doc_id)
+    // row_number stands in for the bucketed rank device (rank-exact by
+    // the device's contract; both engines' string order is binary over
+    // the pure-ASCII canonical key), rank+delta neighbor pairs within
+    // window 4, then the shared Jaccard tail at 0.5.
+    "q189_sorted_neighborhood" -> jaccardTail(
+      """WITH rk AS (SELECT doc_id, row_number() OVER (ORDER BY
+        |      trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 \t\n\f\r]', ' ', 'g'),
+        |        '[ \t\n\f\r]+', ' ', 'g')), doc_id) AS rn
+        |    FROM documents)
+        |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |    greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 4"""
+        .stripMargin),
     "q22_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -1219,6 +1219,62 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sortedNeighborhood: canonical adjacency found, outside-window pair missed, brute parity") {
+    import spark.implicits._
+    // canonical sort order: 1 ("alpha beta gamma delta"), 6 (same key —
+    // case/extra whitespace canonicalize away; ties by id), 2
+    // (…" epsilon"), then the m/z docs. Pair (1,2) sits at rank
+    // distance 2.
+    val docsDf = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "mike november oscar papa"),
+      (4L, "mike november oscar papa quebec"),
+      (5L, "zulu yankee xray whiskey"),
+      (6L, "Alpha  BETA gamma delta"))
+      .toDF("doc_id", "text").repartition(5)
+    def pairs(w: Int) =
+      Dedup.sortedNeighborhood(docsDf, "doc_id", "text", window = w)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // w=1: the exact-canonical twin (1,6) and (2,6) adjacency…
+    val w1 = pairs(1)
+    assert(w1.contains((1L, 6L)))
+    assert(!w1.contains((1L, 2L)), "rank distance 2 must be outside w=1")
+    // w=2 recovers (1,2) — the window IS the recall knob
+    assert(pairs(2).contains((1L, 2L)))
+    // brute reimplementation: full sort + all within-window pairs +
+    // driver jaccard at the same threshold
+    def canon(s: String) = s.toLowerCase
+      .replaceAll("[^a-z0-9 \t\n\f\r]", " ").replaceAll("[ \t\n\f\r]+", " ").trim
+    def shingles(s: String) = {
+      // the verify arm shingles RAW lowered whitespace tokens (the
+      // shared q20 shingle relation), not the canonical sort key
+      val t = s.toLowerCase.split("[ \t\n\f\r]+").toSeq
+      (if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+       else Set(t.mkString(" ")))
+    }
+    val rows = Seq(1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "mike november oscar papa",
+      4L -> "mike november oscar papa quebec",
+      5L -> "zulu yankee xray whiskey",
+      6L -> "Alpha  BETA gamma delta")
+    val ranked = rows.sortBy { case (id, t) => (canon(t), id) }.map(_._1)
+    for (w <- Seq(1, 2, 4)) {
+      val cand = for {
+        i <- ranked.indices; j <- (i + 1) until math.min(i + w + 1, ranked.length)
+      } yield (math.min(ranked(i), ranked(j)), math.max(ranked(i), ranked(j)))
+      val byId = rows.toMap
+      val want = cand.filter { case (a, b) =>
+        val (sa, sb) = (shingles(byId(a)), shingles(byId(b)))
+        val sh = sa.intersect(sb).size.toDouble
+        sh / (sa.size + sb.size - sh) >= 0.5
+      }.toSet
+      assert(pairs(w) == want, s"window $w")
+    }
+  }
+
   test("mmrSelect: equals a naive recompute-everything reimplementation; duplicates demoted") {
     import spark.implicits._
     // probe [1, 1]; a and its exact duplicate both sit at rel 1.0, the
