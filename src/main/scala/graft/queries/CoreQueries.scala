@@ -61,7 +61,8 @@ object CoreQueries {
         "q38_session_window_native", "q64_asof_join", "q68_funnel",
         "q109_rate_anomaly", "q139_cohort_retention", "q152_interval_join",
         "q161_pivot_activity", "q162_unpivot_activity",
-        "q184_markov_transitions"),
+        "q184_markov_transitions", "q190_type_hour_mi",
+        "q191_burstiness"),
       () => releaseEventsScanCache()))
 
   /** Timestamp output discipline: every emitted timestamp column is
@@ -405,6 +406,91 @@ object CoreQueries {
           .cast("double"))
   }
 
+  /** Mutual information between event type and hour-of-day — the
+    * dependence screen behind "is activity mix time-driven?" (feature
+    * selection, seasonality audits, leakage checks between a label and
+    * a time column). One corpus aggregate to the |types|×24 contingency
+    * table; margins broadcast back; MI and both marginal entropies in
+    * nats. Every ln argument is built as the IDENTICAL float expression
+    * from exact int64 counts on both engines (ln is bit-stable on
+    * identical input — the q17/q52 device), each term goes through
+    * DECIMAL(28,10) before summing (never a double sum), one row out. */
+  def q190TypeHourMi(spark: SparkSession, dir: String): DataFrame = {
+    val cell = eventsScan(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_ij"))
+    val byType = cell.groupBy(col("event_type")).agg(sum(col("n_ij")).as("n_i"))
+    val byHour = cell.groupBy(col("hr")).agg(sum(col("n_ij")).as("n_j"))
+    val tot = cell.agg(sum(col("n_ij")).as("n"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,10)")
+    val joined = cell
+      .join(broadcast(byType), Seq("event_type"))
+      .join(broadcast(byHour), Seq("hr"))
+      .crossJoin(broadcast(tot))
+    val mi = joined.agg(
+      max(col("n")).as("n"),
+      round(sum(dec((col("n_ij").cast("double") / col("n").cast("double")) *
+        log((col("n").cast("double") * col("n_ij").cast("double")) /
+          (col("n_i").cast("double") * col("n_j").cast("double"))))), 6)
+        .cast("double").as("mi_nats"))
+    val hT = byType.crossJoin(broadcast(tot)).agg(
+      round(sum(dec(-(col("n_i").cast("double") / col("n").cast("double")) *
+        log(col("n_i").cast("double") / col("n").cast("double")))), 6)
+        .cast("double").as("h_type_nats"))
+    val hH = byHour.crossJoin(broadcast(tot)).agg(
+      round(sum(dec(-(col("n_j").cast("double") / col("n").cast("double")) *
+        log(col("n_j").cast("double") / col("n").cast("double")))), 6)
+        .cast("double").as("h_hour_nats"))
+    mi.crossJoin(hT).crossJoin(hH)
+  }
+
+  /** Inter-arrival burstiness per event type (Goh & Barabási 2008):
+    * B = (σ − μ)/(σ + μ) over the second-granular gaps of each type's
+    * (ts, event_id)-ordered stream — B→−1 periodic, 0 Poisson, →1
+    * bursty; the rate-shape diagnostic beside q109's level anomalies.
+    * One shuffle on event_type for the lag; registers are exact int64
+    * (Σg, Σg², both behind loud overflow guards — the assortativity
+    * discipline), variance numerator/denominator divide as identical
+    * doubles, σ through IEEE-correctly-rounded sqrt (bit-stable across
+    * engines, the q55 device), rounded in the decimal domain. */
+  def q191Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = eventsScan(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byType))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        // exact integer floor, mirrored as epoch_us // 1000000 in the
+        // oracle (date_diff('second') counts boundary crossings, not
+        // the floored difference)
+        expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000")
+          .as("g"))
+    val guarded = gaps.select(col("event_type"), col("g"),
+      when(assert_true(col("g") <= lit(3037000498L),
+        lit("q191Burstiness: gap exceeds ~96 years — g*g overflows " +
+          "int64; coarsen the gap unit before the registers")).isNull,
+        col("g") * col("g")).as("g2"))
+    val sums = guarded.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("g")).as("sum_g"),
+      sum(col("g2")).as("sum_g2"))
+    val num = col("n_gaps") * col("sum_g2") - col("sum_g") * col("sum_g")
+    val numChecked = when(
+      assert_true(
+        col("sum_g2") <= lit(Long.MaxValue) / greatest(col("n_gaps"), lit(1L)) &&
+          col("sum_g") <= lit(3037000498L),
+        lit("q191Burstiness: register product exceeds int64 — coarsen " +
+          "the gap unit before the registers")).isNull, num)
+    val mu = col("sum_g").cast("double") / col("n_gaps").cast("double")
+    val sigma = sqrt(numChecked.cast("double") /
+      (col("n_gaps") * col("n_gaps")).cast("double"))
+    sums.select(col("event_type"), col("n_gaps"), col("sum_g"),
+        round((mu).cast("decimal(28,10)"), 6).cast("double").as("mean_gap_s"),
+        round(((sigma - mu) / (sigma + mu)).cast("decimal(28,10)"), 6)
+          .cast("double").as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
   /** Key-skew diagnostic ([[graft.plans.Scale.skewReport]]) over the
     * event stream's user key — the report that decides between AQE,
     * salting and bucketing: top-10 hottest users with row count, corpus
@@ -537,9 +623,61 @@ object CoreQueries {
     "q161_pivot_activity" -> q161PivotActivity,
     "q162_unpivot_activity" -> q162UnpivotActivity,
     "q168_skew_report" -> q168SkewReport,
-    "q184_markov_transitions" -> q184MarkovTransitions)
+    "q184_markov_transitions" -> q184MarkovTransitions,
+    "q190_type_hour_mi" -> q190TypeHourMi,
+    "q191_burstiness" -> q191Burstiness)
 
   val oracles: Map[String, String] = Map(
+    // Mirrors q190TypeHourMi: identical ln-argument float expression
+    // trees from exact BIGINT counts, per-term DECIMAL(28,10) sums.
+    "q190_type_hour_mi" ->
+      """WITH cell AS (SELECT event_type, hour(ts) AS hr,
+        |    count(*)::BIGINT AS n_ij
+        |  FROM events GROUP BY 1, 2),
+        |bt AS (SELECT event_type, sum(n_ij)::BIGINT AS n_i FROM cell
+        |  GROUP BY 1),
+        |bh AS (SELECT hr, sum(n_ij)::BIGINT AS n_j FROM cell GROUP BY 1),
+        |t AS (SELECT sum(n_ij)::BIGINT AS n FROM cell),
+        |mi AS (SELECT max(t.n) AS n,
+        |    round(sum(((cell.n_ij::DOUBLE / t.n::DOUBLE) *
+        |      ln((t.n::DOUBLE * cell.n_ij::DOUBLE) /
+        |        (bt.n_i::DOUBLE * bh.n_j::DOUBLE)))::DECIMAL(28,10)),
+        |      6)::DOUBLE AS mi_nats
+        |  FROM cell JOIN bt USING (event_type) JOIN bh USING (hr)
+        |  CROSS JOIN t),
+        |ht AS (SELECT round(sum((-(bt.n_i::DOUBLE / t.n::DOUBLE) *
+        |      ln(bt.n_i::DOUBLE / t.n::DOUBLE))::DECIMAL(28,10)), 6)
+        |    ::DOUBLE AS h_type_nats
+        |  FROM bt CROSS JOIN t),
+        |hh AS (SELECT round(sum((-(bh.n_j::DOUBLE / t.n::DOUBLE) *
+        |      ln(bh.n_j::DOUBLE / t.n::DOUBLE))::DECIMAL(28,10)), 6)
+        |    ::DOUBLE AS h_hour_nats
+        |  FROM bh CROSS JOIN t)
+        |SELECT mi.n, mi.mi_nats, ht.h_type_nats, hh.h_hour_nats
+        |FROM mi CROSS JOIN ht CROSS JOIN hh""".stripMargin,
+    // Mirrors q191Burstiness: epoch_us // 1000000 floored gaps,
+    // identical integer registers, identical double divide chain and
+    // IEEE sqrt, DuckDB raises on the same int64 overflow Spark's
+    // guards assert.
+    "q191_burstiness" ->
+      """WITH g AS (SELECT event_type,
+        |    (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY
+        |      event_type ORDER BY ts, event_id))) // 1000000 AS g
+        |  FROM events QUALIFY g IS NOT NULL),
+        |s AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |    sum(g)::BIGINT AS sum_g, sum(g * g)::BIGINT AS sum_g2
+        |  FROM g GROUP BY 1)
+        |SELECT event_type, n_gaps, sum_g,
+        |  round((sum_g::DOUBLE / n_gaps::DOUBLE)::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS mean_gap_s,
+        |  round(((sqrt((n_gaps * sum_g2 - sum_g * sum_g)::DOUBLE /
+        |        (n_gaps * n_gaps)::DOUBLE) -
+        |      sum_g::DOUBLE / n_gaps::DOUBLE) /
+        |    (sqrt((n_gaps * sum_g2 - sum_g * sum_g)::DOUBLE /
+        |        (n_gaps * n_gaps)::DOUBLE) +
+        |      sum_g::DOUBLE / n_gaps::DOUBLE))::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS burstiness
+        |FROM s ORDER BY event_type""".stripMargin,
     // Mirrors q184MarkovTransitions: identical (ts, event_id) lag
     // order, ::BIGINT on the windowed sum (DuckDB promotes windowed
     // sum(BIGINT) to HUGEINT), identical round-in-decimal divide.

@@ -160,6 +160,29 @@ object PipelineQueries {
     minhashPairs(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Malformed-record quarantine audit
+    * ([[graft.sources.Quarantine.auditReport]]): the documents table
+    * serialized to JSON lines with every doc_id ≡ 13 (mod 97) row
+    * corrupted in flight, parsed back under the explicit schema —
+    * clean/quarantined counts plus the clean side's character proof.
+    * The oracle computes both verdicts straight from the original
+    * table via the same corruption rule, so a parser that drops, dies
+    * on, or null-fills any row cannot hash-match (the q163/q164
+    * executable-witness pattern, pointed at dirty input instead of a
+    * format roundtrip). */
+  def q192Quarantine(spark: SparkSession, dir: String): DataFrame = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("source", "string").add("text", "string")
+    val lines = docs(spark, dir).select(
+      when(col("doc_id") % 97 === 13,
+        concat(lit("{corrupt "),
+          to_json(struct(col("doc_id"), col("source"), col("text")))))
+        .otherwise(to_json(struct(col("doc_id"), col("source"),
+          col("text")))).as("line"))
+    graft.sources.Quarantine.auditReport(lines, "line", schema, "text")
+      .orderBy(col("status"))
+  }
+
   /** Sorted-neighborhood blocking ([[Dedup.sortedNeighborhood]]): the
     * skew-proof O(n·window) candidate strategy beside LSH's hash
     * buckets — canonical-key sort through the bucketed global-rank
@@ -1967,6 +1990,7 @@ object PipelineQueries {
     "q186_matryoshka_recall" -> q186MatryoshkaRecall,
     "q188_mmr_select" -> q188MmrSelect,
     "q189_sorted_neighborhood" -> q189SortedNeighborhood,
+    "q192_quarantine" -> q192Quarantine,
     "q103_quality_signals" -> q103QualitySignals,
     "q104_gopher_rules" -> q104GopherRules,
     "q105_sq8_error" -> q105Sq8Error,
@@ -2988,6 +3012,18 @@ object PipelineQueries {
       """SELECT DISTINCT ea.doc_id AS doc_a, eb.doc_id AS doc_b
         |  FROM ex ea JOIN ex eb
         |    ON ea.s = eb.s AND ea.doc_id < eb.doc_id""".stripMargin),
+    // Executable witness for the quarantine parse: both verdicts
+    // recomputed straight from the original table via the same
+    // doc_id % 97 = 13 corruption rule — the JSON round trip never
+    // reaches the oracle.
+    "q192_quarantine" ->
+      """SELECT 'clean' AS status, count(*)::BIGINT AS n,
+        |  sum(length(text))::BIGINT AS sum_chars
+        |FROM documents WHERE doc_id % 97 <> 13
+        |UNION ALL
+        |SELECT 'quarantined', count(*)::BIGINT, 0::BIGINT
+        |FROM documents WHERE doc_id % 97 = 13
+        |ORDER BY status""".stripMargin,
     // Mirrors sortedNeighborhood: a plain (canonical key, doc_id)
     // row_number stands in for the bucketed rank device (rank-exact by
     // the device's contract; both engines' string order is binary over
