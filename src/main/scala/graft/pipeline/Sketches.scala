@@ -78,6 +78,53 @@ object Sketches {
       .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"),
         lit(1L).as("w"))
 
+  /** Join-cardinality estimation by CMS inner product (the AGMS/sketch
+    * device query planners use when neither side's key histogram fits
+    * anywhere): |A ⋈ B| = Σ_k a(k)·b(k), estimated per sketch row as
+    * the bucket-wise counter dot product and reported as the MIN over
+    * rows — collisions only INFLATE a dot product, so like the point
+    * estimate this is a one-sided overestimate, and emitting the exact
+    * size beside it makes the error auditable in the output itself.
+    *
+    * Exact side: key-histogram join (groupBy each side, join on key,
+    * Σ product) — the join's size without materializing the join.
+    * Sketch side: two d×w counter matrices ([[cmsCounters]], the
+    * engine-portable salted-md5 rows), joined on (row, bucket) —
+    * absent buckets contribute 0, so inner join is exact. Both sides'
+    * registers are int64 behind loud overflow guards. One row out:
+    * (exact_pairs, cms_estimate, over_ratio). */
+  def cmsJoinCardinality(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1,
+      "cmsJoinCardinality: depth and width must be >= 1")
+    val la = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("ca"))
+      .localCheckpoint(true) // feeds the exact join AND the sketch
+    val rb = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true)
+    def guardedMul(a: Column, b: Column, what: String): Column =
+      when(assert_true(a <= lit(3037000498L) && b <= lit(3037000498L),
+        lit(s"cmsJoinCardinality: $what product exceeds int64 — " +
+          "sample or pre-aggregate before estimating")).isNull, a * b)
+    val exact = la.join(rb, Seq("k"))
+      .select(guardedMul(col("ca"), col("cb"), "key-count").as("p"))
+      .agg(coalesce(sum(col("p")), lit(0L)).as("exact_pairs"))
+    val cl = cmsCounters(la, "k", "ca", depth, width)
+    val cr = cmsCounters(rb, "k", "cb", depth, width)
+      .withColumnRenamed("counter", "counter_b")
+    val est = cl.join(cr, Seq("r", "bucket"))
+      .select(col("r"),
+        guardedMul(col("counter"), col("counter_b"), "counter").as("p"))
+      .groupBy(col("r")).agg(sum(col("p")).as("dot"))
+      .agg(min(col("dot")).as("cms_estimate"))
+    exact.crossJoin(est)
+      .select(col("exact_pairs"), col("cms_estimate"),
+        when(col("exact_pairs") === 0L, lit(null).cast("double"))
+          .otherwise(round((col("cms_estimate").cast("double") /
+              col("exact_pairs").cast("double")).cast("decimal(28,10)"), 6)
+            .cast("double")).as("over_ratio"))
+  }
+
   def cmsTopK(docs: DataFrame, textCol: String, k: Int = 20,
       depth: Int = 4, width: Int = 64): DataFrame = {
     require(k >= 1 && depth >= 1 && width >= 1,

@@ -2864,6 +2864,54 @@ object TextMetrics {
           .otherwise(0L)).as("alloc"))
   }
 
+  /** Per-group Gini coefficient of the token-count distribution — the
+    * concentration audit behind "is this source one giant document plus
+    * crumbs?" (a source whose tokens concentrate in few docs behaves
+    * like a much smaller source under doc-level sampling, and one
+    * boilerplate blob can dominate its mixture share). Rank-based
+    * closed form over the ascending-sorted counts:
+    * `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` — exact int64 registers, one
+    * rounded IEEE divide. Ties order by doc id (deterministic both
+    * engines; the tie-order-dependent variant, documented — the
+    * trapezoid tie correction would need a second pass for no
+    * diagnostic gain).
+    *
+    * Scale shape: one scan-speed token count, then the per-group
+    * corpus-cardinality rank rides [[Ranks.bucketedGroupRank]] (groups
+    * are a dimension, per-group cardinality is the corpus — exactly
+    * that device's contract); registers carry the assortativity-style
+    * loud int64 guards (Spark's non-ANSI `*` wraps silently). */
+  def giniConcentration(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val x = docs.select(col(groupCol), col(idCol).as("_id"),
+      size(TextFunctions.tokenize(col(textCol))).cast("long").as("x"))
+    val ranked = Ranks.bucketedGroupRank(x, "x", "_id", groupCol,
+      rankCol = "i")
+    val term = when(assert_true(
+      col("i") <= lit(3037000498L) && col("x") <= lit(3037000498L),
+      lit("giniConcentration: rank*count exceeds int64 — rescale " +
+        "counts before the registers")).isNull,
+      col("i") * col("x"))
+    val sums = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("x")).as("sum_tokens"),
+      sum(term).as("s1"),
+      max(term).as("_maxterm"))
+    val checked = when(assert_true(
+      col("_maxterm") <= lit(Long.MaxValue) / greatest(col("n_docs"), lit(1L)) &&
+        col("s1") <= lit(Long.MaxValue) / 2L &&
+        col("sum_tokens") <= lit(Long.MaxValue) / (col("n_docs") + 1L),
+      lit("giniConcentration: register product exceeds int64 — " +
+        "rescale counts before the registers")).isNull,
+      lit(2L) * col("s1") - (col("n_docs") + 1L) * col("sum_tokens"))
+    sums.select(col(groupCol), col("n_docs"), col("sum_tokens"),
+      when(col("sum_tokens") === 0L, lit(null).cast("double"))
+        .otherwise(round((checked.cast("double") /
+            (col("n_docs") * col("sum_tokens")).cast("double"))
+            .cast("decimal(28,10)"), 6)
+          .cast("double")).as("gini"))
+  }
+
   /** Waterfilling token-budget allocation — the MAX-MIN-FAIR
     * counterpart to [[apportionBudget]]'s proportional split: raise one
     * common level t until Σ min(inventory_i, t) meets the budget, so

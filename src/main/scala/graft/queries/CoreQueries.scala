@@ -580,6 +580,17 @@ object CoreQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** CMS join-cardinality estimate for orders ⋈ lineitem on orderkey
+    * ([[graft.pipeline.Sketches.cmsJoinCardinality]]): the exact join
+    * size from the key-histogram inner product (never materializing
+    * the join) beside the 4×1024 sketch dot-product estimate and its
+    * overestimate ratio — the planner-style cardinality device, with
+    * its one-sided error auditable in the row itself. */
+  def q194JoinCardinality(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sketches.cmsJoinCardinality(
+      t(spark, dir, "orders"), "o_orderkey",
+      t(spark, dir, "lineitem"), "l_orderkey")
+
   /** Cohort retention — the classic product-analytics matrix over the
     * event stream: users grouped by first-seen day, per (cohort,
     * day-offset) the distinct users still active. Two aggregates plus
@@ -625,9 +636,39 @@ object CoreQueries {
     "q168_skew_report" -> q168SkewReport,
     "q184_markov_transitions" -> q184MarkovTransitions,
     "q190_type_hour_mi" -> q190TypeHourMi,
-    "q191_burstiness" -> q191Burstiness)
+    "q191_burstiness" -> q191Burstiness,
+    "q194_join_cardinality" -> q194JoinCardinality)
 
   val oracles: Map[String, String] = Map(
+    // Mirrors cmsJoinCardinality: key-histogram inner product for the
+    // exact size; the q143 salted-md5 CMS rows at width 1024 for the
+    // sketch; per-row dot products, min over rows, rounded ratio.
+    "q194_join_cardinality" ->
+      """WITH la AS (SELECT o_orderkey AS k, count(*)::BIGINT AS ca
+        |  FROM orders GROUP BY 1),
+        |rb AS (SELECT l_orderkey AS k, count(*)::BIGINT AS cb
+        |  FROM lineitem GROUP BY 1),
+        |ex AS (SELECT coalesce(sum(ca * cb), 0)::BIGINT AS exact_pairs
+        |  FROM la JOIN rb USING (k)),
+        |cl AS (SELECT r, ('0x' || substr(md5('cms' || r::VARCHAR || ':'
+        |      || k::VARCHAR), 1, 15))::BIGINT % 1024 AS bucket,
+        |    sum(ca)::BIGINT AS counter
+        |  FROM la CROSS JOIN (SELECT unnest([0, 1, 2, 3])::BIGINT AS r)
+        |  GROUP BY 1, 2),
+        |cr AS (SELECT r, ('0x' || substr(md5('cms' || r::VARCHAR || ':'
+        |      || k::VARCHAR), 1, 15))::BIGINT % 1024 AS bucket,
+        |    sum(cb)::BIGINT AS counter_b
+        |  FROM rb CROSS JOIN (SELECT unnest([0, 1, 2, 3])::BIGINT AS r)
+        |  GROUP BY 1, 2),
+        |es AS (SELECT min(dot)::BIGINT AS cms_estimate FROM (
+        |  SELECT cl.r, sum(cl.counter * cr.counter_b)::BIGINT AS dot
+        |  FROM cl JOIN cr ON cr.r = cl.r AND cr.bucket = cl.bucket
+        |  GROUP BY 1))
+        |SELECT ex.exact_pairs, es.cms_estimate,
+        |  (CASE WHEN ex.exact_pairs = 0 THEN NULL
+        |    ELSE round((es.cms_estimate::DOUBLE / ex.exact_pairs::DOUBLE)
+        |      ::DECIMAL(28,10), 6)::DOUBLE END) AS over_ratio
+        |FROM ex CROSS JOIN es""".stripMargin,
     // Mirrors q190TypeHourMi: identical ln-argument float expression
     // trees from exact BIGINT counts, per-term DECIMAL(28,10) sums.
     "q190_type_hour_mi" ->

@@ -160,6 +160,17 @@ object PipelineQueries {
     minhashPairs(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Per-source token-concentration Gini
+    * ([[TextMetrics.giniConcentration]]): rank-based closed form over
+    * ascending token counts through the grouped bucketed-rank device,
+    * exact int64 registers, one rounded divide — the "one giant doc
+    * plus crumbs" audit beside q119's shard skew and q168's key
+    * skew. */
+  def q193GiniConcentration(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.giniConcentration(docs(spark, dir), "doc_id", "text",
+        "source")
+      .orderBy(col("source"))
+
   /** Malformed-record quarantine audit
     * ([[graft.sources.Quarantine.auditReport]]): the documents table
     * serialized to JSON lines with every doc_id ≡ 13 (mod 97) row
@@ -1991,6 +2002,7 @@ object PipelineQueries {
     "q188_mmr_select" -> q188MmrSelect,
     "q189_sorted_neighborhood" -> q189SortedNeighborhood,
     "q192_quarantine" -> q192Quarantine,
+    "q193_gini" -> q193GiniConcentration,
     "q103_quality_signals" -> q103QualitySignals,
     "q104_gopher_rules" -> q104GopherRules,
     "q105_sq8_error" -> q105Sq8Error,
@@ -3012,6 +3024,26 @@ object PipelineQueries {
       """SELECT DISTINCT ea.doc_id AS doc_a, eb.doc_id AS doc_b
         |  FROM ex ea JOIN ex eb
         |    ON ea.s = eb.s AND ea.doc_id < eb.doc_id""".stripMargin),
+    // Mirrors giniConcentration: identical (x, doc_id) per-source rank
+    // (plain row_number stands in for the grouped rank device), exact
+    // integer registers (sum(i*x) cast back from HUGEINT), identical
+    // closed form and rounded divide.
+    "q193_gini" ->
+      """WITH x AS (SELECT source, doc_id,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
+        |      ::BIGINT AS x
+        |  FROM documents),
+        |r AS (SELECT source, x, row_number() OVER (PARTITION BY source
+        |    ORDER BY x, doc_id)::BIGINT AS i FROM x),
+        |s AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(x)::BIGINT AS sum_tokens, sum(i * x)::BIGINT AS s1
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_docs, sum_tokens,
+        |  (CASE WHEN sum_tokens = 0 THEN NULL
+        |    ELSE round(((2 * s1 - (n_docs + 1) * sum_tokens)::DOUBLE /
+        |      (n_docs * sum_tokens)::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+        |    END) AS gini
+        |FROM s ORDER BY source""".stripMargin,
     // Executable witness for the quarantine parse: both verdicts
     // recomputed straight from the original table via the same
     // doc_id % 97 = 13 corruption rule — the JSON round trip never

@@ -1180,6 +1180,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(inflated === Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("giniConcentration: uniform is 0, concentrated matches hand math") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) =
+      (id, src, Seq.fill(n)("w").mkString(" "))
+    // uniform source: G = 0 exactly; concentrated: x = (1,1,1,97) →
+    // S1 = 1+2+3+4·97 = 394, G = (788 − 5·100)/(4·100) = 0.72
+    val docsDf = Seq(doc(1, "u", 5), doc(2, "u", 5), doc(3, "u", 5),
+      doc(4, "c", 1), doc(5, "c", 1), doc(6, "c", 1), doc(7, "c", 97))
+      .toDF("doc_id", "source", "text").repartition(3)
+    val got = TextMetrics.giniConcentration(docsDf, "doc_id", "text", "source")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map("u" -> ((3L, 15L, 0.0)), "c" -> ((4L, 100L, 0.72))))
+  }
+
+  test("cmsJoinCardinality: exact at wide sketch, one-sided overestimate when squeezed") {
+    import spark.implicits._
+    // keys: 1 appears 2×3 across sides, 2 appears 1×1, 3 left-only,
+    // 4 right-only → exact = 2·3 + 1 = 7
+    val l = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val r = Seq(1L, 1L, 1L, 2L, 4L).toDF("k")
+    val wide = graft.pipeline.Sketches
+      .cmsJoinCardinality(l, "k", r, "k", depth = 4, width = 4096)
+      .collect().head
+    assert((wide.getLong(0), wide.getLong(1)) == ((7L, 7L)))
+    assert(wide.getDouble(2) == 1.0)
+    // width 1: every key shares the one bucket → dot = 4·5 = 20
+    val squeezed = graft.pipeline.Sketches
+      .cmsJoinCardinality(l, "k", r, "k", depth = 4, width = 1)
+      .collect().head
+    assert((squeezed.getLong(0), squeezed.getLong(1)) == ((7L, 20L)))
+    // empty intersection: exact 0, ratio NULL
+    val disjoint = graft.pipeline.Sketches
+      .cmsJoinCardinality(Seq(10L).toDF("k"), "k",
+        Seq(11L).toDF("k"), "k", depth = 2, width = 4096)
+      .collect().head
+    assert(disjoint.getLong(0) == 0L && disjoint.isNullAt(2))
+  }
+
   test("waterfillBudget: closed form equals brute level search at every budget regime") {
     import spark.implicits._
     def mkDocs(inv: Map[String, Long]) = inv.toSeq.flatMap { case (s, n) =>
