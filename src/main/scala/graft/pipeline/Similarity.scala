@@ -318,6 +318,60 @@ object Similarity {
           .cast("decimal(28,10)"), 6).cast("double").as("mean_q"),
         col("min_q"), col("max_q"), col("n_zero"))
 
+  /** Filtered vector search: pre-filter vs post-filter recall — THE
+    * operational trade of every metadata-constrained ANN query ("top-k
+    * nearest WHERE label = x"). Pre-filtering searches only the
+    * predicate-matching subset (exact answer, but an index per
+    * predicate value); post-filtering overfetches `overfetch` global
+    * neighbors and keeps the matches (one index, loses whatever the
+    * overfetch window didn't reach). This report measures that loss
+    * per query: ground truth = exact top-k over the filtered corpus,
+    * candidate = the filtered global top-`overfetch` re-cut to k by
+    * global rank.
+    *
+    * Output (query_id, n_truth, n_post, n_hit, recall): n_truth ≤ k
+    * when the predicate subset is small, n_post ≤ k is what
+    * post-filtering actually returned, recall = n_hit/n_truth (NULL
+    * when the subset is empty). Integer dot ranking throughout; one
+    * rounded divide. At scale both arms are the brute pass's cost —
+    * swap in [[ivfTopK]] arms for the indexed form; the report's
+    * contract is unchanged. */
+  def filteredAnnReport(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, labelValue: Int,
+      k: Int, overfetch: Int): DataFrame = {
+    require(k >= 1 && overfetch >= k,
+      "filteredAnnReport: need 1 <= k <= overfetch")
+    val truth = bruteForceTopK(corpus.filter(col(labelCol) === labelValue),
+        queries, idCol, vecCol, k)
+      .select(col("query_id"), col("corpus_id"))
+    val post = bruteForceTopK(corpus, queries, idCol, vecCol, overfetch)
+      .join(broadcast(corpus.select(col(idCol).as("corpus_id"),
+        col(labelCol).as("_lbl"))
+        .filter(col("_lbl") === labelValue)), Seq("corpus_id"), "left_semi")
+      .withColumn("_fr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rank"))))
+      .filter(col("_fr") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = truth.join(post.withColumn("_hit", lit(1L)),
+        Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+    val nPost = post.groupBy(col("query_id")).agg(count(lit(1)).as("n_post"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .join(nPost, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_truth"), lit(0L)) === 0L,
+          lit(null).cast("double"))
+          .otherwise(round((coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_truth").cast("double")).cast("decimal(28,10)"), 6)
+            .cast("double")).as("recall"))
+  }
+
   /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
     * pick `k` items balancing relevance to a probe against redundancy
     * with what's already picked — argmax of

@@ -119,7 +119,8 @@ object PipelineQueries {
         "q124_embeddings_contract", "q146_embedding_gram", "q147_pca_report",
         "q150_walk_centrality", "q159_ndcg", "q167_rrf_fusion",
         "q173_kendall_tau", "q179_hybrid_retrieval", "q182_mrr",
-        "q186_matryoshka_recall", "q188_mmr_select"),
+        "q186_matryoshka_recall", "q188_mmr_select",
+        "q195_filtered_ann"),
       () => releaseEmbCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -611,6 +612,19 @@ object PipelineQueries {
   def q102TruncationEnergy(spark: SparkSession, dir: String): DataFrame =
     Similarity.truncationEnergy(emb(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
+
+  /** Filtered vector search report ([[Similarity.filteredAnnReport]]):
+    * pre-filter exact top-10 among label-0 vectors vs post-filter
+    * overfetch-50 re-cut — per-query recall loss of the
+    * one-index-post-filter strategy, the operational vector-DB
+    * trade. */
+  def q195FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.filteredAnnReport(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", "label", labelValue = 0,
+        k = 10, overfetch = 50)
+      .orderBy(col("query_id"))
+  }
 
   /** MMR diversity selection ([[Similarity.mmrSelect]]): top-16 of the
     * 64-candidate relevance window around probe vec 0, λ = 0.7 in the
@@ -2003,6 +2017,7 @@ object PipelineQueries {
     "q189_sorted_neighborhood" -> q189SortedNeighborhood,
     "q192_quarantine" -> q192Quarantine,
     "q193_gini" -> q193GiniConcentration,
+    "q195_filtered_ann" -> q195FilteredAnn,
     "q103_quality_signals" -> q103QualitySignals,
     "q104_gopher_rules" -> q104GopherRules,
     "q105_sq8_error" -> q105Sq8Error,
@@ -3206,6 +3221,57 @@ object PipelineQueries {
         |      ORDER BY dot_pq DESC, corpus_id) AS rank
         |  FROM adc)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Mirrors filteredAnnReport: the q23 int64 dot ranking on the
+    // label-filtered subset (ground truth) and on the full corpus
+    // (post-filter arm, overfetch 50 re-cut to 10 by global rank),
+    // hit-join per query, rounded recall with the empty-subset NULL.
+    "q195_filtered_ann" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+        |  FROM embeddings),
+        |te AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
+        |  FROM v q JOIN v c ON c.label = 0
+        |  WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id),
+        |td AS (SELECT query_id, corpus_id, sum(qx * cx)::BIGINT AS d
+        |  FROM te GROUP BY 1, 2),
+        |truth AS (SELECT query_id, corpus_id FROM (
+        |    SELECT query_id, corpus_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY d DESC, corpus_id) AS rnk
+        |    FROM td) WHERE rnk <= 10),
+        |ge AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    unnest(q.qv) AS qx, unnest(c.qv) AS cx
+        |  FROM v q CROSS JOIN v c
+        |  WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id),
+        |gd AS (SELECT query_id, corpus_id, sum(qx * cx)::BIGINT AS d
+        |  FROM ge GROUP BY 1, 2),
+        |gr AS (SELECT query_id, corpus_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY d DESC, corpus_id) AS rnk
+        |  FROM gd),
+        |post AS (SELECT query_id, corpus_id FROM (
+        |    SELECT g.query_id, g.corpus_id, row_number() OVER (
+        |      PARTITION BY g.query_id ORDER BY g.rnk) AS fr
+        |    FROM gr g JOIN v ON v.vec_id = g.corpus_id AND v.label = 0
+        |    WHERE g.rnk <= 50) WHERE fr <= 10),
+        |np AS (SELECT query_id, count(*)::BIGINT AS n_post FROM post
+        |  GROUP BY 1),
+        |h AS (SELECT t.query_id, count(*)::BIGINT AS n_truth,
+        |    sum(CASE WHEN p.corpus_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+        |      AS n_hit
+        |  FROM truth t LEFT JOIN post p ON p.query_id = t.query_id
+        |    AND p.corpus_id = t.corpus_id
+        |  GROUP BY 1),
+        |qq AS (SELECT vec_id AS query_id FROM v WHERE vec_id < 16)
+        |SELECT qq.query_id, coalesce(h.n_truth, 0)::BIGINT AS n_truth,
+        |  coalesce(np.n_post, 0)::BIGINT AS n_post,
+        |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+        |  (CASE WHEN coalesce(h.n_truth, 0) = 0 THEN NULL
+        |    ELSE round((coalesce(h.n_hit, 0)::DOUBLE /
+        |      h.n_truth::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE END)
+        |    AS recall
+        |FROM qq LEFT JOIN h USING (query_id) LEFT JOIN np USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     // Mirrors matryoshkaRecall: one dims list cross-joined through the
     // prefix slice (slice-then-quantize ≡ quantize-then-slice,
     // elementwise), the same int64 dot ranking as q23 per arm, hit

@@ -1180,6 +1180,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(inflated === Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("filteredAnnReport: overfetch window bounds post-filter recall") {
+    import spark.implicits._
+    // query [1,0]; label-1 truth is id 1 (dot 0.5e12); two label-2
+    // noise vectors outscore it globally, so overfetch 2 never reaches
+    // the truth — overfetch 3 does
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f), 9),
+      (1L, Array(0.5f, 0.0f), 1),
+      (2L, Array(-1.0f, 0.0f), 1),
+      (3L, Array(2.0f, 0.0f), 2),
+      (4L, Array(1.9f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") === 0L)
+    def report(labelValue: Int, overfetch: Int) =
+      Similarity.filteredAnnReport(corpus, q, "vec_id", "embedding",
+          "label", labelValue, k = 1, overfetch = overfetch)
+        .collect().head
+    val starved = report(1, 2)
+    assert((starved.getLong(1), starved.getLong(2), starved.getLong(3),
+      starved.getDouble(4)) == ((1L, 0L, 0L, 0.0)))
+    val reached = report(1, 3)
+    assert((reached.getLong(1), reached.getLong(3),
+      reached.getDouble(4)) == ((1L, 1L, 1.0)))
+    // empty predicate subset: zero truth, NULL recall
+    val empty = report(5, 3)
+    assert(empty.getLong(1) == 0L && empty.isNullAt(4))
+  }
+
   test("giniConcentration: uniform is 0, concentrated matches hand math") {
     import spark.implicits._
     def doc(id: Long, src: String, n: Int) =
