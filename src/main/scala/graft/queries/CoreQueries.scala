@@ -62,7 +62,7 @@ object CoreQueries {
         "q109_rate_anomaly", "q139_cohort_retention", "q152_interval_join",
         "q161_pivot_activity", "q162_unpivot_activity",
         "q184_markov_transitions", "q190_type_hour_mi",
-        "q191_burstiness"),
+        "q191_burstiness", "q196_incremental_agg"),
       () => releaseEventsScanCache()))
 
   /** Timestamp output discipline: every emitted timestamp column is
@@ -580,6 +580,52 @@ object CoreQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Incremental aggregate maintenance — the algebraic-merge pattern
+    * behind every incremental ETL: yesterday's per-user activity state
+    * plus today's delta combine WITHOUT touching yesterday's rows,
+    * because every register is a commutative monoid (count: +, sum:
+    * exact DECIMAL +, first/last: least/greatest, seen-types: bit OR —
+    * the distinct-set folded to a 5-bit mask precisely because raw
+    * DISTINCT is the one aggregate that does NOT merge). The split is
+    * event_id % 7 (≈1/7 delta); the oracle recomputes from ALL events
+    * in one pass, so the merge is hash-checked against the recompute —
+    * any register that fails the monoid laws (e.g. summing as rounded
+    * double instead of decimal) cannot match. Merge cost is
+    * |users|-keyed full-outer join of two agg relations — never a
+    * re-scan of the base data. */
+  def q196IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def mask = when(col("event_type") === "click", 1L)
+      .when(col("event_type") === "error", 2L)
+      .when(col("event_type") === "purchase", 4L)
+      .when(col("event_type") === "signup", 8L)
+      .when(col("event_type") === "view", 16L).otherwise(0L)
+    def part(df: DataFrame): DataFrame = df.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(28,10)")).as("sv"), // exact: merges
+      min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+      bit_or(mask).as("type_mask"))
+    val ev = eventsScan(spark, dir)
+    val base = part(ev.filter(col("event_id") % 7 =!= 0))
+    val delta = part(ev.filter(col("event_id") % 7 === 0))
+      .select(col("user_id"), col("n").as("n2"), col("sv").as("sv2"),
+        col("first_ts").as("f2"), col("last_ts").as("l2"),
+        col("type_mask").as("m2"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+          .as("n_events"),
+        round(coalesce(col("sv"), lit(0).cast("decimal(28,10)")) +
+            coalesce(col("sv2"), lit(0).cast("decimal(28,10)")), 4)
+          .cast("double").as("sum_value"),
+        tsStrMicros(least(coalesce(col("first_ts"), col("f2")),
+          coalesce(col("f2"), col("first_ts")))).as("first_ts"),
+        tsStrMicros(greatest(coalesce(col("last_ts"), col("l2")),
+          coalesce(col("l2"), col("last_ts")))).as("last_ts"),
+        (coalesce(col("type_mask"), lit(0L))
+          .bitwiseOR(coalesce(col("m2"), lit(0L)))).as("type_mask"))
+      .orderBy(col("user_id"))
+  }
+
   /** CMS join-cardinality estimate for orders ⋈ lineitem on orderkey
     * ([[graft.pipeline.Sketches.cmsJoinCardinality]]): the exact join
     * size from the key-histogram inner product (never materializing
@@ -637,9 +683,21 @@ object CoreQueries {
     "q184_markov_transitions" -> q184MarkovTransitions,
     "q190_type_hour_mi" -> q190TypeHourMi,
     "q191_burstiness" -> q191Burstiness,
-    "q194_join_cardinality" -> q194JoinCardinality)
+    "q194_join_cardinality" -> q194JoinCardinality,
+    "q196_incremental_agg" -> q196IncrementalAgg)
 
   val oracles: Map[String, String] = Map(
+    // The q196 oracle RECOMPUTES from all events in one pass — the
+    // merge on the Spark side must satisfy the monoid laws to match.
+    "q196_incremental_agg" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |  round(sum(value::DECIMAL(28,10)), 4)::DOUBLE AS sum_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+        |  bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |    WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+        |    WHEN 'view' THEN 16 ELSE 0 END)::BIGINT AS type_mask
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Mirrors cmsJoinCardinality: key-histogram inner product for the
     // exact size; the q143 salted-md5 CMS rows at width 1024 for the
     // sketch; per-row dot products, min over rows, rounded ratio.
