@@ -161,6 +161,23 @@ object PipelineQueries {
     minhashPairs(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** 2-D skyline over (n_tokens, n_distinct_tokens)
+    * ([[graft.pipeline.Skyline.frontier2d]]): documents no other
+    * document beats on BOTH length and vocabulary — the multi-criteria
+    * Pareto selection operator. The oracle verifies dominance by a
+    * quadratic NOT EXISTS, a completely different mechanism from the
+    * sort-scan device. */
+  def q197Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = docs(spark, dir).select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokenize(col("text"))).cast("long")
+        .as("n_tokens"),
+      size(array_distinct(graft.functions.TextFunctions.tokenize(col("text"))))
+        .cast("long").as("n_distinct"))
+    graft.pipeline.Skyline.frontier2d(pts, "doc_id", "n_tokens",
+        "n_distinct")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source token-concentration Gini
     * ([[TextMetrics.giniConcentration]]): rank-based closed form over
     * ascending token counts through the grouped bucketed-rank device,
@@ -2018,6 +2035,7 @@ object PipelineQueries {
     "q192_quarantine" -> q192Quarantine,
     "q193_gini" -> q193GiniConcentration,
     "q195_filtered_ann" -> q195FilteredAnn,
+    "q197_skyline" -> q197Skyline,
     "q103_quality_signals" -> q103QualitySignals,
     "q104_gopher_rules" -> q104GopherRules,
     "q105_sq8_error" -> q105Sq8Error,
@@ -3039,6 +3057,20 @@ object PipelineQueries {
       """SELECT DISTINCT ea.doc_id AS doc_a, eb.doc_id AS doc_b
         |  FROM ex ea JOIN ex eb
         |    ON ea.s = eb.s AND ea.doc_id < eb.doc_id""".stripMargin),
+    // The q197 oracle checks Pareto dominance by quadratic NOT EXISTS —
+    // a different mechanism from the Spark side's sort-scan device.
+    "q197_skyline" ->
+      """WITH p AS (SELECT doc_id,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
+        |      ::BIGINT AS n_tokens,
+        |    len(list_distinct(regexp_split_to_array(lower(text),
+        |      '[ \t\n\f\r]+')))::BIGINT AS n_distinct
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_distinct FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.n_tokens >= a.n_tokens AND b.n_distinct >= a.n_distinct
+        |    AND (b.n_tokens > a.n_tokens OR b.n_distinct > a.n_distinct))
+        |ORDER BY doc_id""".stripMargin,
     // Mirrors giniConcentration: identical (x, doc_id) per-source rank
     // (plain row_number stands in for the grouped rank device), exact
     // integer registers (sum(i*x) cast back from HUGEINT), identical

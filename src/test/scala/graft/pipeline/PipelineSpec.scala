@@ -1180,6 +1180,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(inflated === Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("skyline frontier2d: hand fixture, coincident duplicates survive, brute parity") {
+    import spark.implicits._
+    // frontier: (5,1), (3,3)+dup, (1,5); dominated: (2,2) by (3,3),
+    // (3,1) by (3,3) same-x, (1,4) by (1,5) same-x... and (4,1) by (5,1)
+    val pts = Seq(
+      (1L, 5L, 1L), (2L, 3L, 3L), (3L, 3L, 3L), (4L, 1L, 5L),
+      (5L, 2L, 2L), (6L, 3L, 1L), (7L, 1L, 4L), (8L, 4L, 1L))
+      .toDF("id", "x", "y").repartition(3)
+    val got = graft.pipeline.Skyline.frontier2d(pts, "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L))
+    // random parity vs brute quadratic dominance
+    val rnd = new scala.util.Random(71)
+    val rp = (1 to 60).map(i =>
+      (i.toLong, (rnd.nextInt(10) + 1).toLong, (rnd.nextInt(10) + 1).toLong))
+    val want = rp.filter { case (_, x, y) =>
+      !rp.exists { case (_, bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y) }
+    }.map(_._1).toSet
+    val got2 = graft.pipeline.Skyline
+      .frontier2d(rp.toDF("id", "x", "y").repartition(7), "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == want)
+  }
+
   test("filteredAnnReport: overfetch window bounds post-filter recall") {
     import spark.implicits._
     // query [1,0]; label-1 truth is id 1 (dot 0.5e12); two label-2
