@@ -408,6 +408,10 @@ object Similarity {
       "mmrSelect: need 0 <= lambdaNum <= lambdaDen")
     val p = probe.select(col(idCol).as("pid"),
       quantize(col(vecCol)).as("pq"))
+    // a multi-row probe would enroll every candidate once PER probe and
+    // the greedy loop could then pick the same id twice — fail loudly
+    require(p.limit(2).count() == 1L,
+      "mmrSelect: probe must be exactly one row")
     val cands = corpus
       .select(col(idCol).as("cid"), quantize(col(vecCol)).as("qv"))
       .crossJoin(broadcast(p))

@@ -106,16 +106,31 @@ object Sketches {
       when(assert_true(a <= lit(3037000498L) && b <= lit(3037000498L),
         lit(s"cmsJoinCardinality: $what product exceeds int64 — " +
           "sample or pre-aggregate before estimating")).isNull, a * b)
+    // post-sum guard (the giniConcentration maxterm×n device): each
+    // product fits int64, but Σ over n of them can still wrap silently
+    // under Spark's non-ANSI sum where DuckDB's HUGEINT raises
+    def guardedSum(p: Column, what: String): Column = {
+      val s = struct(sum(p).as("s"), max(p).as("mx"),
+        count(p).as("n"))
+      val checked = when(assert_true(
+        s.getField("mx").isNull ||
+          s.getField("mx") <= lit(Long.MaxValue) /
+            greatest(s.getField("n"), lit(1L)),
+        lit(s"cmsJoinCardinality: $what sum exceeds int64 — sample or " +
+          "pre-aggregate before estimating")).isNull,
+        coalesce(s.getField("s"), lit(0L)))
+      checked
+    }
     val exact = la.join(rb, Seq("k"))
       .select(guardedMul(col("ca"), col("cb"), "key-count").as("p"))
-      .agg(coalesce(sum(col("p")), lit(0L)).as("exact_pairs"))
+      .agg(guardedSum(col("p"), "pair").as("exact_pairs"))
     val cl = cmsCounters(la, "k", "ca", depth, width)
     val cr = cmsCounters(rb, "k", "cb", depth, width)
       .withColumnRenamed("counter", "counter_b")
     val est = cl.join(cr, Seq("r", "bucket"))
       .select(col("r"),
         guardedMul(col("counter"), col("counter_b"), "counter").as("p"))
-      .groupBy(col("r")).agg(sum(col("p")).as("dot"))
+      .groupBy(col("r")).agg(guardedSum(col("p"), "dot").as("dot"))
       .agg(min(col("dot")).as("cms_estimate"))
     exact.crossJoin(est)
       .select(col("exact_pairs"), col("cms_estimate"),

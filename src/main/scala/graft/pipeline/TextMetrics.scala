@@ -1186,7 +1186,15 @@ object TextMetrics {
           lit(0.0)).as("avg_logscore"))
       .localCheckpoint(true)
     val sizes = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    Ranks.bucketedGroupRank(perDoc, "avg_logscore", "doc_id", "lang",
+    // UNSCORABLE docs (no trigram position, or no reference LM for the
+    // language) carry avg_logscore 0.0 — ABOVE every real (negative)
+    // ln score, which would promote exactly the documents the triage
+    // cannot evaluate into "head". Rank them by a sentinel BELOW any
+    // real score instead: unscorable → tail, the CCNet drop verdict.
+    // The emitted avg_logscore stays 0.0; only the rank input shifts.
+    val rankable = perDoc.withColumn("_rankv",
+      when(col("n_scored") === 0L, lit(-1e18)).otherwise(col("avg_logscore")))
+    Ranks.bucketedGroupRank(rankable, "_rankv", "doc_id", "lang",
         rankCol = "rn")
       .join(broadcast(sizes), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_scored"),

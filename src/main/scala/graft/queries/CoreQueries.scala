@@ -486,8 +486,12 @@ object CoreQueries {
       (col("n_gaps") * col("n_gaps")).cast("double"))
     sums.select(col("event_type"), col("n_gaps"), col("sum_g"),
         round((mu).cast("decimal(28,10)"), 6).cast("double").as("mean_gap_s"),
-        round(((sigma - mu) / (sigma + mu)).cast("decimal(28,10)"), 6)
-          .cast("double").as("burstiness"))
+        // sum_g = 0 ⟺ every gap is 0 ⟺ σ = μ = 0: the ratio is 0/0 —
+        // NULL (Spark's NaN→DECIMAL yields null where DuckDB raises)
+        when(col("sum_g") === 0L, lit(null).cast("double"))
+          .otherwise(round(((sigma - mu) / (sigma + mu))
+              .cast("decimal(28,10)"), 6)
+            .cast("double")).as("burstiness"))
       .orderBy(col("event_type"))
   }
 
@@ -614,9 +618,13 @@ object CoreQueries {
       .select(col("user_id"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("n2"), lit(0L)))
           .as("n_events"),
-        round(coalesce(col("sv"), lit(0).cast("decimal(28,10)")) +
-            coalesce(col("sv2"), lit(0).cast("decimal(28,10)")), 4)
-          .cast("double").as("sum_value"),
+        // the sum monoid's identity is NULL, not 0 (all-NULL values on
+        // both sides must stay NULL — the recompute oracle's sum does)
+        when(col("sv").isNull && col("sv2").isNull,
+          lit(null).cast("double"))
+          .otherwise(round(coalesce(col("sv"), lit(0).cast("decimal(28,10)")) +
+              coalesce(col("sv2"), lit(0).cast("decimal(28,10)")), 4)
+            .cast("double")).as("sum_value"),
         tsStrMicros(least(coalesce(col("first_ts"), col("f2")),
           coalesce(col("f2"), col("first_ts")))).as("first_ts"),
         tsStrMicros(greatest(coalesce(col("last_ts"), col("l2")),
@@ -769,13 +777,14 @@ object CoreQueries {
         |SELECT event_type, n_gaps, sum_g,
         |  round((sum_g::DOUBLE / n_gaps::DOUBLE)::DECIMAL(28,10), 6)
         |    ::DOUBLE AS mean_gap_s,
+        |  CASE WHEN sum_g = 0 THEN NULL ELSE
         |  round(((sqrt((n_gaps * sum_g2 - sum_g * sum_g)::DOUBLE /
         |        (n_gaps * n_gaps)::DOUBLE) -
         |      sum_g::DOUBLE / n_gaps::DOUBLE) /
         |    (sqrt((n_gaps * sum_g2 - sum_g * sum_g)::DOUBLE /
         |        (n_gaps * n_gaps)::DOUBLE) +
         |      sum_g::DOUBLE / n_gaps::DOUBLE))::DECIMAL(28,10), 6)
-        |    ::DOUBLE AS burstiness
+        |    ::DOUBLE END AS burstiness
         |FROM s ORDER BY event_type""".stripMargin,
     // Mirrors q184MarkovTransitions: identical (ts, event_id) lag
     // order, ::BIGINT on the windowed sum (DuckDB promotes windowed

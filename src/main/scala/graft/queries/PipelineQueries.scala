@@ -3913,7 +3913,8 @@ object PipelineQueries {
         |  FROM d LEFT JOIN agg a USING (doc_id)),
         |r AS (SELECT *,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY avg_logscore, doc_id) AS rn,
+        |      ORDER BY (CASE WHEN n_scored = 0 THEN -1e18
+        |        ELSE avg_logscore END), doc_id) AS rn,
         |    count(*) OVER (PARTITION BY lang)::BIGINT AS n FROM pd)
         |SELECT doc_id, lang, n_scored, avg_logscore,
         |  CASE least(2, (3 * (rn - 1)) // n)

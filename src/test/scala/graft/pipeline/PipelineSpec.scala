@@ -1722,12 +1722,14 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0),
         (r.getString(1), r.getLong(2), r.getDouble(3), r.getString(4))))
       .toMap
+    // unscorable docs (n_scored = 0) rank BELOW every real score — the
+    // CCNet drop verdict — so doc 5 lands in tail, never head
     assert(got == Map(
-      1L -> (("en", 4L, r1, "middle")),
+      1L -> (("en", 4L, r1, "head")),
       2L -> (("en", 1L, s1, "middle")),
       3L -> (("en", 1L, s2, "tail")),
-      4L -> (("en", 1L, s2, "tail")),
-      5L -> (("en", 0L, 0.0, "head")),
+      4L -> (("en", 1L, s2, "middle")),
+      5L -> (("en", 0L, 0.0, "tail")),
       6L -> (("fr", 0L, 0.0, "tail"))))
   }
 
