@@ -62,7 +62,8 @@ object CoreQueries {
         "q109_rate_anomaly", "q139_cohort_retention", "q152_interval_join",
         "q161_pivot_activity", "q162_unpivot_activity",
         "q184_markov_transitions", "q190_type_hour_mi",
-        "q191_burstiness", "q196_incremental_agg"),
+        "q191_burstiness", "q196_incremental_agg",
+        "q198_cube_activity"),
       () => releaseEventsScanCache()))
 
   /** Timestamp output discipline: every emitted timestamp column is
@@ -584,6 +585,24 @@ object CoreQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Native CUBE over (event_type, day-of-week): all four grouping
+    * sets — the full matrix, both margins, and the grand total — in ONE
+    * Expand + one aggregate, with grouping() flags disambiguating
+    * subtotal rows from real NULLs; completes the grouping-sets surface
+    * beside q133's ROLLUP. Value sums ride the exact-decimal device. */
+  def q198CubeActivity(spark: SparkSession, dir: String): DataFrame =
+    eventsScan(spark, dir)
+      // Spark dayofweek: Sunday=1..Saturday=7; DuckDB's is 0-based —
+      // the oracle mirrors with dayofweek(ts)+1
+      .withColumn("dow", dayofweek(col("ts")).cast("long"))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value"), 4).as("sum_value"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("dow")).cast("long").as("g_dow"))
+      .orderBy(col("g_type"), col("g_dow"),
+        col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
+
   /** Incremental aggregate maintenance — the algebraic-merge pattern
     * behind every incremental ETL: yesterday's per-user activity state
     * plus today's delta combine WITHOUT touching yesterday's rows,
@@ -692,9 +711,23 @@ object CoreQueries {
     "q190_type_hour_mi" -> q190TypeHourMi,
     "q191_burstiness" -> q191Burstiness,
     "q194_join_cardinality" -> q194JoinCardinality,
-    "q196_incremental_agg" -> q196IncrementalAgg)
+    "q196_incremental_agg" -> q196IncrementalAgg,
+    "q198_cube_activity" -> q198CubeActivity)
 
   val oracles: Map[String, String] = Map(
+    // Mirrors q198CubeActivity: 1-based dow (DuckDB's dayofweek is
+    // 0-based), CUBE with grouping() flags, NULLS FIRST pinned on both
+    // sides (Spark asc defaults nulls-first, DuckDB nulls-last).
+    "q198_cube_activity" ->
+      """WITH e AS (SELECT event_type,
+        |    (dayofweek(ts) + 1)::BIGINT AS dow, value FROM events)
+        |SELECT event_type, dow, count(*)::BIGINT AS n_events,
+        |  round(sum(value::DECIMAL(28,10)), 4)::DOUBLE AS sum_value,
+        |  grouping(event_type)::BIGINT AS g_type,
+        |  grouping(dow)::BIGINT AS g_dow
+        |FROM e GROUP BY CUBE (event_type, dow)
+        |ORDER BY g_type, g_dow, event_type NULLS FIRST,
+        |  dow NULLS FIRST""".stripMargin,
     // The q196 oracle RECOMPUTES from all events in one pass — the
     // merge on the Spark side must satisfy the monoid laws to match.
     "q196_incremental_agg" ->
