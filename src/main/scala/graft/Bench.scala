@@ -12,32 +12,39 @@ import scala.util.control.NonFatal
   *
   * Each query runs SPARK_GRAFT_RUNS times (default 3) and reports the
   * per-query MIN — single-run numbers at local[32] swing 2–4× with cache
-  * pressure and JIT state (r3/r4 both chased phantom regressions), and
+  * pressure and JIT state (single-run numbers here repeatedly produced
+  * phantom regressions before min-of-n landed), and
   * min-of-n is the standard way to strip that noise. The raw per-run
   * times live in bench_detail.json so a reader can see the spread.
   *
   * Stdout hygiene: the consumer keeps only the last ~2000 chars of
   * stdout and must find a parseable JSON line there. So (a) everything
   * the JVM would print during the run is redirected to stderr, (b) the
-  * Spark log level is forced to ERROR (r7's tail carried a WARN from
-  * plan-string truncation), (c) the line is printed to the REAL stdout
+  * Spark log level is forced to ERROR (a WARN from plan-string
+  * truncation once landed in the tail), (c) the line is printed to the REAL stdout
   * only after spark.stop(), so nothing can follow it, and (d) build.sbt
   * sets OutputStrategy.StdoutOutput + showSuccess:=false so sbt neither
   * prefixes the line with "[info] " nor appends "[success] ...".
   * The key set is FIXED — "failed" and "runs" are always present — so
   * the schema never varies between runs.
   *
-  * Self-diagnosis against environment noise (r7: driver numbers 2.73×
-  * local min-of-3 on the same binary): "cal" in the line is a fixed-size
+  * Self-diagnosis against environment noise (external re-runs of the
+  * same binary have measured 2.73× across-the-board slowdowns that were
+  * pure container artifacts): "cal" in the line is a fixed-size
   * in-memory calibration aggregate (min-of-3) timed after warm-up —
   * a degraded/throttled container shows up there, independent of any
-  * query code. "memcal" (r12, the r11 divergence adjudicator) is its
+  * query code. "memcal" is its
   * memory-side sibling: a fixed-size persist+scan through the unified
   * storage pool, sensitive to heap pressure and eviction where cal is
-  * CPU-only. bench_detail.json adds per-run times, calibration runs,
+  * CPU-only. "cal_q" in the per-query detail map is the third leg: a
+  * fixed micro-aggregate timed immediately before EACH query, so a
+  * co-tenant burst that hits mid-sweep is timestamped to the exact
+  * sweep position (whole-sweep cal/memcal run once and cannot see it).
+  * bench_detail.json adds per-run times, calibration runs,
   * total JVM GC millis, peak RSS, and a per-query map of
-  * {rss_kb, gc_ms, cached_kb, resident cache families} so sweep-position
-  * residency effects are attributable from the artifact alone.
+  * {cal_q_ms, rss_kb, gc_ms, cached_kb, resident cache families} so
+  * sweep-position residency AND contention effects are attributable
+  * from the artifact alone.
   *
   * Before timing, every input table is scanned once (count) so the first
   * measured query doesn't absorb one-time costs — parquet footer reads,
@@ -77,7 +84,7 @@ object Bench {
 
   /** The ONE headline template — shared by [[main]] and
     * BenchHeadlineSpec so the spec's asserted tier cutovers can never
-    * drift from the live line (the r12 memcal addition was hand-synced
+    * drift from the live line (an earlier field addition was hand-synced
     * into the spec's private copy; this removes the drift channel). */
   def renderHeadline(total: Double, runs: Int, cal: Double, memcal: Double,
       sf: String)(queries: String, failedList: String): String =
@@ -116,8 +123,9 @@ object Bench {
     calOnce() // codegen warm-up, not measured
     val calRuns = (1 to runs).map(_ => calOnce())
     val cal = calRuns.min
-    // Memory canary: cal is CPU-bound and blind to memory pressure (r11:
-    // driver sweep 25% slower + 3× RSS with cal moving only +9%). This
+    // Memory canary: cal is CPU-bound and blind to memory pressure (one
+    // external sweep ran 25% slower with 3× RSS while cal moved only
+    // +9% — memory-side degradation needs its own instrument). This
     // one persists a fixed ~320 MB relation into the unified storage
     // pool and scans it twice — heap pressure, eviction/recompute, or a
     // host with degraded memory bandwidth shows up HERE while cal stays
@@ -138,10 +146,26 @@ object Bench {
     memCalOnce() // warm-up (codegen + block-manager paths), not measured
     val memCalRuns = (1 to runs).map(_ => memCalOnce())
     val memcal = memCalRuns.min
+    // Per-query contention canary: the whole-sweep cal/memcal pair can
+    // adjudicate a degraded container but cannot TIMESTAMP a co-tenant
+    // burst that hits mid-sweep (both run once, before the sweep). This
+    // is the same fixed in-memory aggregate at 1/10 scale (~15 ms at 32
+    // healthy cores), timed immediately before each query and recorded
+    // per-query in the detail sidecar — a spike in one query's time
+    // with a flat cal_q is code/residency; a spike WITH a cal_q spike
+    // is the environment, self-adjudicating from the artifact alone.
+    def calQOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(50L * 1000 * 1000)
+        .select(sum(col("id") * 2L + 1L)).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calQOnce() // dedicated warm-up (plan differs from calOnce by range size)
     // Per-query telemetry for the sidecar: current RSS (not the
     // monotonic HWM), cumulative JVM GC millis, and Spark storage-pool
-    // occupancy — so a sweep-position residency effect (r11's q14–q19
-    // stretch) is attributable from the artifact alone.
+    // occupancy — so a sweep-position residency effect (a contiguous
+    // stretch of queries running hot under a resident cache) is
+    // attributable from the artifact alone.
     def statusKb(field: String): Long = // closes the fd (called per query)
       try scala.jdk.CollectionConverters.ListHasAsScala(
         java.nio.file.Files.readAllLines(
@@ -159,15 +183,15 @@ object Bench {
         (info.map(_.memSize).sum + info.map(_.diskSize).sum) / 1024
       } catch { case NonFatal(_) => -1L }
     // SPARK_GRAFT_ONLY=q42_repetition,q66_pmi — iterate on a subset
-    // without paying the full sweep; the driver never sets it
+    // without paying the full sweep; the external harness never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
     // Numeric sweep order (q100 after q99): lexicographic order ran the
     // q1xx block FIRST, building family caches at position ~0 whose last
     // consumers sorted at the very end — every family stayed resident
-    // across almost the whole sweep (r9's q15–q22 ran 2–5× their solo
-    // times purely from that residency).
+    // across almost the whole sweep (measured: a q15–q22 stretch ran
+    // 2–5× its solo times purely from that residency).
     val sweep = SparkEntry.benchQueries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy { case (n, _) => SparkEntry.sweepOrder(n) }
@@ -202,6 +226,7 @@ object Bench {
         s"after #$i ${sweepNames(i)}")
     }
     val results = sweep.zipWithIndex.map { case ((name, fn), pos) =>
+      val calQms = calQOnce() * 1000.0 // contention canary at THIS position
       val gc0 = gcNowMs()
       val timed = (1 to runs).map { i =>
         val t0 = System.nanoTime()
@@ -222,7 +247,8 @@ object Bench {
       val best = if (good.nonEmpty) good.min else timed.map(_._1).min
       // Telemetry snapshot BEFORE the release hook: this is the state the
       // query actually ran under (resident families + their bytes).
-      val tele = (rssNowKb(), gcNowMs() - gc0, cachedKb(), residentFams(pos))
+      val tele = (calQms, rssNowKb(), gcNowMs() - gc0, cachedKb(),
+        residentFams(pos))
       // bounded cache story: drop a family's shared caches once the
       // sweep is past its computed last consumer (outside the timed runs)
       releaseAt.getOrElse(pos, Nil).foreach { case (fam, rel) =>
@@ -240,12 +266,12 @@ object Bench {
         if (ok) f"$t%.3f" else "null"
       }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // Per-query residency telemetry (r11 adjudication: WHICH queries ran
+    // Per-query residency telemetry (the adjudication columns: WHICH queries ran
     // with WHAT resident, and what RSS/GC they saw — the three columns
     // that distinguish a cache-release bug from container memory
     // pressure).
-    val perQuery = results.map { case (k, _, _, (rss, gcD, cMb, fams)) =>
-      "\"" + k + "\":" + s"""{"rss_kb":$rss,"gc_ms":$gcD,"cached_kb":$cMb,""" +
+    val perQuery = results.map { case (k, _, _, (calQ, rss, gcD, cMb, fams)) =>
+      "\"" + k + "\":" + f"""{"cal_q_ms":$calQ%.1f,"rss_kb":$rss,"gc_ms":$gcD,"cached_kb":$cMb,""" +
         "\"fams\":" + fams.map("\"" + _ + "\"").mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     val fl = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -258,7 +284,7 @@ object Bench {
     val rssPeakKb = statusKb("VmHWM")
     // The stdout contract is ONE parseable JSON line, and the consumer
     // only keeps the last ~2000 chars of output — with 70+ queries the
-    // per-run detail blew that budget (r3–r6 all arrived truncated), so
+    // per-run detail blew that budget (early sweeps arrived truncated), so
     // the raw runs + telemetry go to a sidecar file and the line stays
     // compact (re-measure its length whenever queries are added).
     val memCalRaw = memCalRuns.map(t => f"$t%.3f").mkString("[", ",", "]")
@@ -271,8 +297,9 @@ object Bench {
     // clips preceding lines, not the JSON — the hard cap is line+\n <= 2000.
     // fitHeadline picks full names → qNN prefixes → no per-query map
     // (bench_detail.json always carries full names + per-run times).
-    // SPARK_GRAFT_HEADLINE_CAP: test-only override (driver never sets it)
-    // to force a lower tier end-to-end — the tier-3 dry-run knob (r12).
+    // SPARK_GRAFT_HEADLINE_CAP: test-only override (the external
+    // harness never sets it)
+    // to force a lower tier end-to-end — the tier-3 dry-run knob.
     val cap = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_CAP", "1990").toInt
     val (line, tier) = fitHeadline(
       renderHeadline(total, runs, cal, memcal, sf),

@@ -35,8 +35,8 @@ object SparkEntry {
 
   /** Bench sweep order: numeric query index, then full name — q100 runs
     * AFTER q99 (lexicographic order ran the q1xx block first, holding
-    * every family cache it touched resident across the whole sweep;
-    * round 9's headline paid ~5 s for it). Shared by Bench and
+    * every family cache it touched resident across the whole sweep —
+    * measured at ~5 s of avoidable residency cost). Shared by Bench and
     * CacheLifecycleSpec so the empirical consumer check observes the
     * exact warm/cold pattern the sweep produces. */
   def sweepOrder(name: String): (Int, String) = {

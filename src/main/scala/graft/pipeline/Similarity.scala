@@ -1152,8 +1152,8 @@ object Similarity {
         // covariance reported in ORIGINAL embedding units (/ scale² =
         // 1e12): the quantized-unit value is ~1e10 and DuckDB's
         // double→DECIMAL(28,10) cast is lossy above ~2^53/1e10 (the
-        // conversion multiplies in double) — r10 found the last-ulp
-        // mismatch; at ~1e-2 magnitude the decimal round is exact
+        // conversion multiplies in double), which produced a measured
+        // last-ulp mismatch; at ~1e-2 magnitude the decimal round is exact
         round((((col("sum_ij").cast("double") / nC) -
           (col("sum_i").cast("double") / nC) *
             (col("sum_j").cast("double") / nC)) / lit(1.0e12))

@@ -152,7 +152,7 @@ object Sketches {
     val counters = cmsCounters(tokCounts, "token", "cnt", depth, width)
     // top-k rank via the bucketed global-rank device (tokCounts is
     // vocab-cardinality — a bare Window.orderBy would single-task it;
-    // the CLAUDE/Ranks invariant)
+    // the Ranks single-task-sort invariant, see Ranks.bucketedGlobalRank)
     val top = Ranks.bucketedGlobalRank(
         tokCounts.withColumn("_negcnt", -col("cnt")),
         "_negcnt", "token", "rank")

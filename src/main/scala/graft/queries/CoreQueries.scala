@@ -506,8 +506,8 @@ object CoreQueries {
   def q168SkewReport(spark: SparkSession, dir: String): DataFrame =
     // deliberately NOT on the evscan cache: q168 sweeps last, and
     // joining the family would pin the events cache from q09 to the end
-    // of the sweep for the sake of ONE single-column scan — the r9
-    // residency pathology in miniature. The scan here prunes to
+    // of the sweep for the sake of ONE single-column scan — the
+    // cache-residency pathology in miniature. The scan here prunes to
     // user_id only (columnar read of one column), cheaper than holding
     // the full-width cache alive.
     graft.plans.Scale.skewReport(

@@ -10,7 +10,7 @@ import graft.pipeline.{Bpe, Contract, Curate, Dedup, Dsir, Multimodal, Pii, Simi
 
 /** Training-data pipeline queries (north-star extensions, BASELINE.json):
   * deduplication, similarity search, text analysis, multimodal plumbing —
-  * each over the driver's `documents`/`embeddings` tables with a DuckDB
+  * each over the synthetic `documents`/`embeddings` tables with a DuckDB
   * oracle twin where SQL-expressible.
   *
   * Hash-portability discipline: all signatures/fingerprints use md5 (both
@@ -126,7 +126,7 @@ object PipelineQueries {
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
         "q78_source_overlap", "q88_incremental_dedup", "q91_lsh_tuning",
         "q121_containment", "q174_edit_verify",
-        "q189_sorted_neighborhood"),
+        "q189_sorted_neighborhood", "q200_snm_multipass"),
       () => releaseMinhashCaches()),
     "tf" -> CacheFamily(
       Set("q52_tfidf", "q53_surprisal", "q79_vocab_coverage",
@@ -221,6 +221,35 @@ object PipelineQueries {
     Dedup.sortedNeighborhood(docs(spark, dir), "doc_id", "text",
         window = 4, shingled = Some(shingledDocs(spark, dir)))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Multi-pass sorted-neighborhood
+    * ([[Dedup.sortedNeighborhoodMultiPass]]): q189's canonical-key pass
+    * UNIONed with a reversed-key pass — the production SNM shape, where
+    * a second independent sort key catches the suffix-share duplicates
+    * the first key's prefix separates beyond the window. Same bucketed
+    * rank device per pass, one shared Jaccard verify over the distinct
+    * candidate union, riding the shared shingle cache. */
+  def q200SnmMultipass(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodMultiPass(docs(spark, dir), "doc_id", "text",
+        window = 4, shingled = Some(shingledDocs(spark, dir)))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Perceptual-hash image near-dup ([[Multimodal.dHashes]] +
+    * [[Multimodal.dhashNearDups]]): REAL PNG decode → 9×8 gradient
+    * dHash inside the pooled partition kernel, 8-band Hamming-bucket
+    * candidate join (the SimHash band device pointed at images — never
+    * all-pairs), exact integer bit_count verify at Hamming ≤ 6. The
+    * fixture plants a 1-pixel-perturbed variant beside every base image
+    * ([[Multimodal.syntheticNearDupPngs]]) — pairs byte-hash dedup can
+    * never see. The oracle recomputes the hash, the bands and the
+    * Hamming verify from the closed-form pixel generator in SQL, so a
+    * stubbed decode or a wrong grid map cannot hash-match. */
+  def q199ImageNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.dHashes(
+      Multimodal.syntheticNearDupPngs(docs(spark, dir), "doc_id")).toDF()
+    Multimodal.dhashNearDups(hashes, maxHamming = 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** Edit-distance verification of the q20 LSH candidates
     * ([[Dedup.editVerify]]): the character-level refinement arm of
@@ -1012,7 +1041,7 @@ object PipelineQueries {
   /** Hybrid sparse+dense retrieval ([[Similarity.rrfFuse]] over a
     * lexical and an embedding arm): the exact-cosine q23 arm fused
     * with a TF-IDF inverted-index arm on the SAME probe ids (vec_id ≡
-    * doc_id by the driver's data model) — the cross-modality fusion
+    * doc_id by the test data model) — the cross-modality fusion
     * every hybrid search stack ships, where q167 fused two dense arms.
     * Rides BOTH the embeddings and tf caches. */
   def q179HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
@@ -1230,7 +1259,8 @@ object PipelineQueries {
     * from the shared per-session shingle/band caches (a band key is the
     * same function of a document on either side, so the cross-side
     * candidate join just filters the shared band relation by source) —
-    * the r6 bench's 4.2 s here was three-quarters signature recompute.
+    * before the caches landed, three-quarters of this query's bench
+    * time was signature recompute.
     * [[Dedup.minhashNearDupsAgainst]] stays the standalone operator for
     * genuinely distinct corpora (DedupSpec pins this query equal to it). */
   def q48FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
@@ -1807,7 +1837,7 @@ object PipelineQueries {
   /** One interchange scratch path per (session, format): Bench re-runs
     * each roundtrip query `runs` times — a fresh createTempDirectory per
     * invocation leaked one full copy of the documents table to /tmp per
-    * run (r11 advice); overwrite mode makes a stable path idempotent.
+    * run; overwrite mode makes a stable path idempotent.
     * The session root is deleted on JVM exit (one hook per root) — the
     * applicationId component isolates concurrent sessions, so without
     * the hook every session would still strand one CSV+ORC copy. */
@@ -2032,6 +2062,8 @@ object PipelineQueries {
     "q186_matryoshka_recall" -> q186MatryoshkaRecall,
     "q188_mmr_select" -> q188MmrSelect,
     "q189_sorted_neighborhood" -> q189SortedNeighborhood,
+    "q199_image_neardups" -> q199ImageNearDups,
+    "q200_snm_multipass" -> q200SnmMultipass,
     "q192_quarantine" -> q192Quarantine,
     "q193_gini" -> q193GiniConcentration,
     "q195_filtered_ann" -> q195FilteredAnn,
@@ -3118,6 +3150,78 @@ object PipelineQueries {
         |    greatest(a.doc_id, b.doc_id) AS doc_b
         |  FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 4"""
         .stripMargin),
+    // Mirrors sortedNeighborhoodMultiPass: the q189 rank device run
+    // twice — once over the canonical key, once over reverse(key) —
+    // neighbor pairs within window 4 from EACH order, DISTINCT union,
+    // then the shared Jaccard tail at 0.5.
+    "q200_snm_multipass" -> jaccardTail(
+      """WITH ck AS (SELECT doc_id,
+        |      trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 \t\n\f\r]', ' ', 'g'),
+        |        '[ \t\n\f\r]+', ' ', 'g')) AS k
+        |    FROM documents),
+        |  rk1 AS (SELECT doc_id,
+        |      row_number() OVER (ORDER BY k, doc_id) AS rn FROM ck),
+        |  rk2 AS (SELECT doc_id,
+        |      row_number() OVER (ORDER BY reverse(k), doc_id) AS rn FROM ck)
+        |  SELECT DISTINCT doc_a, doc_b FROM (
+        |    SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |      greatest(a.doc_id, b.doc_id) AS doc_b
+        |    FROM rk1 a JOIN rk1 b ON b.rn > a.rn AND b.rn <= a.rn + 4
+        |    UNION ALL
+        |    SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+        |    FROM rk2 a JOIN rk2 b ON b.rn > a.rn AND b.rn <= a.rn + 4)"""
+        .stripMargin),
+    // Mirrors q199ImageNearDups from the closed-form pixel generator:
+    // the 9×8 dHash grid at the nearest-neighbor source coordinates
+    // (gx·w)//9, (gy·h)//8, gray = r+g+b with the odd-id (0,0) red
+    // perturbation, bit gy*8+gx from the strict gradient compare, the
+    // two 32-bit halves assembled by shifts (engine-stable), the same
+    // 8-band bucket join and the exact bit_count Hamming verify — the
+    // whole perceptual pipeline recomputed without touching a codec.
+    "q199_image_neardups" ->
+      """WITH dims AS (SELECT doc_id, doc_id // 2 AS gen, doc_id % 2 AS odd,
+        |    8 + (doc_id // 2) % 9 AS w, 8 + (doc_id // 2) % 7 AS h
+        |  FROM documents),
+        |gr AS (SELECT d.doc_id, gx.gx, gy.gy,
+        |    (CASE WHEN d.odd = 1 AND (gx.gx * d.w) // 9 = 0
+        |          AND (gy.gy * d.h) // 8 = 0
+        |      THEN (d.gen * 31 + ((gx.gx * d.w) // 9) * 7
+        |        + ((gy.gy * d.h) // 8) * 13 + 128) % 256
+        |      ELSE (d.gen * 31 + ((gx.gx * d.w) // 9) * 7
+        |        + ((gy.gy * d.h) // 8) * 13) % 256 END)
+        |    + (d.gen * 17 + ((gx.gx * d.w) // 9) * 11
+        |        + ((gy.gy * d.h) // 8) * 3) % 256
+        |    + (d.gen * 5 + ((gx.gx * d.w) // 9) * 23
+        |        + ((gy.gy * d.h) // 8) * 29) % 256 AS gray
+        |  FROM dims d
+        |  CROSS JOIN generate_series(0, 8) gx(gx)
+        |  CROSS JOIN generate_series(0, 7) gy(gy)),
+        |bits AS (SELECT a.doc_id, a.gy * 8 + a.gx AS idx
+        |  FROM gr a JOIN gr b ON b.doc_id = a.doc_id AND b.gy = a.gy
+        |    AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.gray > b.gray),
+        |h AS (SELECT d.doc_id,
+        |    coalesce(sum(CASE WHEN b.idx >= 32
+        |      THEN (1::BIGINT << (b.idx - 32)) END), 0)::BIGINT AS hi,
+        |    coalesce(sum(CASE WHEN b.idx < 32
+        |      THEN (1::BIGINT << b.idx) END), 0)::BIGINT AS lo
+        |  FROM dims d LEFT JOIN bits b ON b.doc_id = d.doc_id
+        |  GROUP BY d.doc_id),
+        |bands AS (SELECT doc_id,
+        |    (CASE WHEN bd.bd < 4 THEN lo >> (bd.bd * 8)
+        |      ELSE hi >> ((bd.bd - 4) * 8) END) & 255 AS bval, bd.bd AS band
+        |  FROM h CROSS JOIN generate_series(0, 7) bd(bd)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON b.band = a.band AND b.bval = a.bval
+        |    AND a.doc_id < b.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |  (bit_count(xor(ha.hi, hb.hi))
+        |    + bit_count(xor(ha.lo, hb.lo)))::BIGINT AS hamming
+        |FROM cand c JOIN h ha ON ha.doc_id = c.doc_a
+        |JOIN h hb ON hb.doc_id = c.doc_b
+        |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q22_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id,

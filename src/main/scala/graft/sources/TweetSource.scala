@@ -121,9 +121,9 @@ object TweetSource {
       col("retweeted_status.user.id_str").as("retweeted_user_id"),
       col("entities.user_mentions.id_str").as("mentioned_user_ids"))
 
-  /** Deterministic adapter turning the driver's `events` table into a
+  /** Deterministic adapter turning the synthetic `events` table into a
     * tweet-shaped JSON stream (TESTDATA.md): lets the full JSON → parse →
-    * topology pipeline run against driver-provided data without
+    * topology pipeline run against the provided test data without
     * synthesizing fixtures. Mapping (mirrored 1:1 in the DuckDB oracles):
     *  - user_id → author; ts → Twitter-format created_at;
     *  - view events with k % 13 == 9 → Twitter DELETE messages (no

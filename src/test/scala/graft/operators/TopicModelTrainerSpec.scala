@@ -57,6 +57,22 @@ class TopicModelTrainerSpec extends AnyFunSuite {
     assert(tiny.topicWord.nonEmpty)
   }
 
+  test("precomputed geoCentroids round-trip bit-identically into trainGeoModel") {
+    // the geography half is deterministic in (corpus, L) and independent
+    // of the topic half — so training with a precomputed centroid matrix
+    // (the q135 session-cache path) must not move a single bit, and the
+    // standalone geoCentroids must equal the in-training k-means.
+    val inline = TopicModel.trainGeoModel(toyCorpus(3), 3, 4, iters = 4,
+      countsVia = "join")
+    val cents = TopicModel.geoCentroids(toyCorpus(5), numLocations = 4)
+    val pre = TopicModel.trainGeoModel(toyCorpus(7), 3, 4, iters = 4,
+      countsVia = "join", centroids = Some(cents))
+    assert(dump(pre) == dump(inline))
+    assert(cents.map(_.toSeq).toSeq ==
+      inline.qm.map(_.map(v => math.round(v * 1e6)).toSeq).toSeq,
+      "standalone geoCentroids must equal the in-training geography")
+  }
+
   test("K*V counts-broadcast guard refuses oversized vocabularies loudly") {
     // toyCorpus: V = 12, so K = 3 needs 3*12*8 = 288 bytes; a cap below
     // that must refuse BEFORE any sweep runs, naming both dimensions

@@ -1368,6 +1368,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sortedNeighborhoodMultiPass: reversed-key pass catches the suffix pair the canonical pass separates") {
+    import spark.implicits._
+    // docs 1 and 7 share everything but the FIRST word (Jaccard 0.6 on
+    // word trigrams); five fillers sort between 'apple…' and 'zebra…'
+    // so the canonical pass at window 4 cannot pair them — but their
+    // REVERSED keys both start "tsil snekot …" and no filler's does,
+    // so the reversed-key pass puts them adjacent.
+    val docsDf = Seq(
+      (1L, "apple shared common tail tokens list"),
+      (2L, "banana one two three"),
+      (3L, "cherry four five six"),
+      (4L, "grape seven eight nine"),
+      (5L, "mango ten eleven twelve"),
+      (6L, "peach also different words"),
+      (7L, "zebra shared common tail tokens list"))
+      .toDF("doc_id", "text").repartition(3)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val single = pairSet(
+      Dedup.sortedNeighborhood(docsDf, "doc_id", "text", window = 4))
+    val multi = pairSet(
+      Dedup.sortedNeighborhoodMultiPass(docsDf, "doc_id", "text", window = 4))
+    assert(!single.contains((1L, 7L)),
+      "the canonical-key pass must miss the suffix-share pair (fixture precondition)")
+    assert(multi.contains((1L, 7L)),
+      "the reversed-key pass must catch the suffix-share pair")
+    assert(single.subsetOf(multi),
+      "multi-pass candidates are a superset: pass 1 pairs all survive")
+  }
+
   test("mmrSelect: equals a naive recompute-everything reimplementation; duplicates demoted") {
     import spark.implicits._
     // probe [1, 1]; a and its exact duplicate both sit at rel 1.0, the
