@@ -220,9 +220,11 @@ object Dedup {
     * `maxBucket` rows, reporting the dropped keys on stderr (count +
     * top occupancies). The report aggregate shuffles the same compact
     * key projection the candidate join shuffles anyway; the eager count
-    * runs only when a cap is actually set. */
-  private def capOccupancy(df: DataFrame, keyCols: Seq[String], maxBucket: Int,
-      who: String): DataFrame = {
+    * runs only when a cap is actually set. (package-visible: the
+    * perceptual-fingerprint bucket join applies the same discipline —
+    * [[Multimodal.dhashNearDups]].) */
+  private[pipeline] def capOccupancy(df: DataFrame, keyCols: Seq[String],
+      maxBucket: Int, who: String): DataFrame = {
     if (maxBucket == Int.MaxValue) df
     else {
       require(maxBucket >= 1, s"$who: maxBucket must be >= 1")

@@ -415,42 +415,40 @@ object Multimodal {
     }
   }
 
-  /** Encode the [[encodePng]] generator raster for `gen` with ONE pixel
-    * perturbed — (0,0)'s red channel shifted by +128 (mod 256) before
-    * the lossless PNG encode. The planted "near-duplicate" fixture for
-    * perceptual-hash dedup: the perturbation moves at most the two
-    * [[dHashes]] grid comparisons that sample pixel (0,0), so the
-    * perturbed image sits within Hamming distance 2 of its base — close
-    * enough that any sane near-dup threshold pairs them, while the
-    * byte-level PNG (and the exact pixel hash) differ. */
-  def encodePngPerturbed(gen: Long): Array[Byte] = {
-    val img = pngImage(gen)
-    val p = img.getRGB(0, 0)
-    val r2 = (((p >> 16) & 0xff) + 128) % 256
-    img.setRGB(0, 0, (r2 << 16) | (p & 0x00ffff))
-    val baos = new java.io.ByteArrayOutputStream(256)
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
-  }
-
   /** Documents → planted-near-dup media: even ids carry the base PNG of
-    * generator `id div 2`, odd ids the [[encodePngPerturbed]] variant of
-    * the SAME generator — so every consecutive (2k, 2k+1) id pair is a
-    * perceptual near-duplicate (Hamming ≤ 2 under [[dHashes]]) that no
-    * byte- or exact-pixel-hash dedup can pair. */
+    * generator `id div 2`; odd ids the SAME raster with ONE pixel
+    * perturbed — (0,0)'s red channel shifted by +128 (mod 256) before
+    * the lossless encode. So every consecutive (2k, 2k+1) id pair is a
+    * perceptual near-duplicate that no byte- or exact-pixel-hash dedup
+    * can pair: the perturbation moves at most the two [[dHashes]] grid
+    * comparisons that sample pixel (0,0), keeping the pair within
+    * Hamming distance 2, while the PNG bytes (and the exact pixel hash)
+    * differ. Pooled per-partition encoder (the [[syntheticPngs]]
+    * contract). */
   def syntheticNearDupPngs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val enc = pooledPngEncoder()
       it.map { id =>
         val gen = id / 2
-        if (id % 2 == 0) MediaRecord(id, "image/png", encodePng(gen))
-        else MediaRecord(id, "image/png", encodePngPerturbed(gen))
+        val img = pngImage(gen)
+        if (id % 2 != 0) {
+          val p = img.getRGB(0, 0)
+          val r2 = (((p >> 16) & 0xff) + 128) % 256
+          img.setRGB(0, 0, (r2 << 16) | (p & 0x00ffff))
+        }
+        MediaRecord(id, "image/png", enc.encode(img))
       }
     }
   }
 
-  case class ImageDHash(media_id: Long, hash_hi: Long, hash_lo: Long)
+  /** A 64-bit perceptual fingerprint as two non-negative 32-bit halves
+    * (no sign-bit hazard in downstream XOR / bit_count on either
+    * engine) — the shared shape [[dhashNearDups]] buckets, whatever
+    * modality produced it ([[dHashes]] images, [[audioEnvelopeHashes]]
+    * audio, [[videoDHashes]] video). */
+  case class MediaFingerprint(media_id: Long, hash_hi: Long, hash_lo: Long)
 
   /** Perceptual difference hash (dHash) over the DECODED raster — the
     * fingerprint production pipelines dedup images with BEFORE any
@@ -466,7 +464,7 @@ object Multimodal {
     * bit_count arithmetic never touches the sign bit on either engine.
     * Batched partition kernel: real ImageIO decode per payload, only
     * the 16-byte fingerprint leaves the partition. */
-  def dHashes(media: Dataset[MediaRecord]): Dataset[ImageDHash] = {
+  def dHashes(media: Dataset[MediaRecord]): Dataset[MediaFingerprint] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
@@ -500,7 +498,7 @@ object Multimodal {
           }
           gy += 1
         }
-        ImageDHash(m.media_id, hi, lo)
+        MediaFingerprint(m.media_id, hi, lo)
       }
     }
   }
@@ -514,25 +512,43 @@ object Multimodal {
     * `maxHamming ≤ 7` the pigeonhole over 8 bands makes recall EXACT,
     * not probabilistic: ≤7 differing bits cannot dirty all 8 bands, so
     * every qualifying pair shares a clean band and is generated. At
-    * 100-TB scale candidate volume is bounded by band-bucket occupancy
-    * (the LSH capOccupancy discipline applies unchanged if a degenerate
-    * corpus concentrates a band value). */
-  def dhashNearDups(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    * 100-TB scale candidate volume is bounded by band-bucket occupancy:
+    * `maxBucket` applies the shared [[Dedup.capOccupancy]] guard — a
+    * degenerate corpus that concentrates a band value (near-black
+    * thumbnails, flat-color frames) gets that key excluded LOUDLY
+    * instead of detonating a quadratic bucket; capped keys trade the
+    * exact-recall guarantee for those docs only. */
+  /** Band projection of a fingerprint relation → (media_id, band,
+    * bval): the 64-bit hash split into 8 bands of 8 bits (bands 0–3
+    * from the low half, 4–7 from the high). Shared by
+    * [[dhashNearDups]]'s batch bucket join and the STREAMING candidate
+    * twin — rendered as the
+    * [[graft.streaming.NearDupStream.BandRow]] shape, the same
+    * RocksDB-backed bucket processor that serves MinHash bands serves
+    * perceptual fingerprints unchanged (FingerprintStreamSpec pins the
+    * batch/stream candidate parity). Works on streaming inputs (pure
+    * projection, no state). */
+  def fingerprintBands(hashes: DataFrame): DataFrame = {
+    val bandStructs = (0 until 8).map { b =>
+      val half = if (b < 4) col("hash_lo") else col("hash_hi")
+      struct(lit(b).as("band"),
+        shiftright(half, (b % 4) * 8).bitwiseAND(lit(255L)).as("bval"))
+    }
+    hashes.select(col("media_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("media_id"), col("bk.band").as("band"),
+        col("bk.bval").as("bval"))
+  }
+
+  def dhashNearDups(hashes: DataFrame, maxHamming: Int = 6,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "dhashNearDups: maxHamming must be in [0, 7] (8-band pigeonhole recall)")
     // three consumers below (band explode + both verify sides) — without
     // this the upstream decode kernel would re-run per branch; the
     // checkpointed relation is 24 bytes/image, never payload-sized
     val h = hashes.localCheckpoint()
-    val bandStructs = (0 until 8).map { b =>
-      val half = if (b < 4) col("hash_lo") else col("hash_hi")
-      struct(lit(b).as("band"),
-        shiftright(half, (b % 4) * 8).bitwiseAND(lit(255L)).as("bval"))
-    }
-    val bands = h.select(col("media_id"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("media_id"), col("bk.band").as("band"),
-        col("bk.bval").as("bval"))
+    val bands = Dedup.capOccupancy(fingerprintBands(h),
+      Seq("band", "bval"), maxBucket, "dhashNearDups")
     val cand = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
@@ -549,6 +565,211 @@ object Multimodal {
           bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Documents → planted-near-dup audio: even ids carry the base WAV of
+    * generator `id div 2`; odd ids the SAME signal with ONE sample
+    * perturbed — sample 0 becomes ((gen·37 + 8192) mod 65536) − 32768
+    * before the encode. The audio twin of [[syntheticNearDupPngs]]:
+    * every (2k, 2k+1) pair is an envelope near-duplicate (the
+    * perturbation lands in one [[audioEnvelopeHashes]] window, moving
+    * at most the one gradient bit that window participates in) while
+    * the container bytes differ. */
+  def syntheticNearDupWavs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      val enc = new WavEncoder
+      it.map { id =>
+        val gen = id / 2
+        val n = wavSamples(gen)
+        // NOT wavPcm's i·101 ramp: that signal is a slow triangle wave
+        // whose |v| envelope is monotone over long runs, so envelope
+        // GRADIENTS correlate across generators with nearby phases and
+        // distinct signals land within small Hamming distances (measured
+        // 4.6% of all pairs ≤ 6 — a degenerate near-dup fixture). The
+        // i·9973 stride decorrelates consecutive samples: envelope bits
+        // land ~Bernoulli(1/2) and distinct generators separate.
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = (((gen * 37 + i.toLong * 9973) % 65536) - 32768).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        if (id % 2 != 0) {
+          val v = (((gen * 37 + 8192) % 65536) - 32768).toInt
+          pcm(0) = (v & 0xff).toByte
+          pcm(1) = ((v >> 8) & 0xff).toByte
+        }
+        MediaRecord(id, "audio/wav", enc.encode(pcm, wavFmt, (pcm.length / 2).toLong))
+      }
+    }
+  }
+
+  /** Acoustic envelope fingerprint — the audio member of the perceptual
+    * near-dup family (the production shape is a spectral fingerprint à
+    * la Chromaprint; the time-domain energy envelope keeps the device
+    * exact-integer and oracle-recomputable while exercising the same
+    * pipeline: decode → fixed-width signature → Hamming buckets). The
+    * decoded int16 stream splits into 65 equal-occupancy windows
+    * (sample i → window ⌊i·65/n⌋ — closed form, no boundary state),
+    * window energy = Σ|v| in exact int64, and bit w (0..63) is set iff
+    * `E_w > E_{w+1}` — the same strict-gradient form as [[dHashes]],
+    * invariant under uniform gain. Real AudioSystem decode per payload
+    * in the batched kernel; only the 16-byte fingerprint leaves. */
+  def audioEnvelopeHashes(media: Dataset[MediaRecord]): Dataset[MediaFingerprint] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian && fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"unexpected WAV format for media_id=${m.media_id}: $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        require(n > 0, s"empty audio payload for media_id=${m.media_id}")
+        val energy = new Array[Long](65)
+        var i = 0
+        while (i < n) {
+          val v: Int =
+            ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          energy(i * 65 / n) += math.abs(v)
+          i += 1
+        }
+        var hi = 0L
+        var lo = 0L
+        var w = 0
+        while (w < 64) {
+          if (energy(w) > energy(w + 1)) {
+            if (w >= 32) hi |= 1L << (w - 32) else lo |= 1L << w
+          }
+          w += 1
+        }
+        MediaFingerprint(m.media_id, hi, lo)
+      }
+    }
+  }
+
+  /** 256-gray closed-form frame raster for the video near-dup fixture:
+    * gray(f, x, y) = (gen·31 + f·7 + x·89 + y·97) mod 256, dims/frames
+    * from [[gifDims]]/[[gifFrames]] — a full-range sibling of the
+    * 4-level [[encodeGif]] pattern (whose mod-4 palette makes distinct
+    * videos collide at period lcm(4,60)). The x stride must be LARGE:
+    * a small one (the first cut used ·3) almost never wraps mod 256
+    * between adjacent grid samples, so every gradient bit reads
+    * "ascending" and EVERY video fingerprints to ~0 (measured: all
+    * C(n,2) pairs within Hamming 6). At ·89 adjacent samples wrap with
+    * probability ~89/256 and the phase gen·31 separates generators. */
+  def videoGray(gen: Long, f: Int, x: Int, y: Int): Int =
+    ((gen * 31 + f * 7 + x * 89 + y * 97) % 256).toInt
+
+  /** Documents → planted-near-dup video: even ids an animated GIF of
+    * the [[videoGray]] raster for generator `id div 2` over an explicit
+    * 256-gray INDEXED palette (non-interlaced — the lossless-roundtrip
+    * GIF discipline); odd ids the same video with frame 0's pixel (0,0)
+    * gray shifted by +128 (mod 256). */
+  def syntheticNearDupGifs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val gen = id / 2
+        val (w, h) = gifDims(gen)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val baos = new java.io.ByteArrayOutputStream(512)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        val grays = Array.tabulate(256)(_.toByte)
+        val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+        var f = 0
+        while (f < gifFrames(gen)) {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g0 = videoGray(gen, f, x, y)
+              val g = if (id % 2 != 0 && f == 0 && x == 0 && y == 0)
+                (g0 + 128) % 256 else g0
+              raster.setSample(x, y, 0, g)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        writer.dispose()
+        MediaRecord(id, "image/gif", baos.toByteArray)
+      }
+    }
+  }
+
+  /** Video perceptual fingerprint: per-frame [[dHashes]]-style 9×8
+    * gradient bits, MAJORITY-pooled across frames (bit set iff set in
+    * strictly more than half the frames — the videohash/TMK-style
+    * temporal pooling that makes the signature robust to single-frame
+    * edits and frame drops, which is exactly what the planted
+    * [[syntheticNearDupGifs]] perturbation exercises). Real multi-frame
+    * GIF decode through a per-partition pooled reader (the
+    * [[decodeVideoFrames]] contract); gray is the palette index
+    * (r=g=b on a gray palette, read as the low RGB byte). */
+  def videoDHashes(media: Dataset[MediaRecord]): Dataset[MediaFingerprint] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.dispose()))
+      it.map { m =>
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        reader.setInput(in)
+        try {
+          val nf = reader.getNumImages(true)
+          require(nf > 0, s"no frames in payload for media_id=${m.media_id}")
+          val votes = new Array[Int](64)
+          var f = 0
+          while (f < nf) {
+            val img = reader.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                val a = img.getRGB(gx * w / 9, gy * h / 8) & 0xff
+                val b = img.getRGB((gx + 1) * w / 9, gy * h / 8) & 0xff
+                if (a > b) votes(gy * 8 + gx) += 1
+                gx += 1
+              }
+              gy += 1
+            }
+            f += 1
+          }
+          var hi = 0L
+          var lo = 0L
+          var i = 0
+          while (i < 64) {
+            if (2 * votes(i) > nf) { // strict majority; ties → 0
+              if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+            }
+            i += 1
+          }
+          MediaFingerprint(m.media_id, hi, lo)
+        } finally in.close()
+      }
+    }
   }
 
   case class MediaFrame(media_id: Long, frame_no: Int, frame: Array[Byte])

@@ -251,6 +251,35 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Acoustic-fingerprint near-dup ([[Multimodal.audioEnvelopeHashes]] →
+    * the shared Hamming-bucket join): REAL WAV decode → 65-window
+    * integer energy envelope → 64 strict-gradient bits, bucketed and
+    * verified exactly like q199's image hash — the audio member of the
+    * cross-modality perceptual dedup family. The fixture plants a
+    * 1-sample-perturbed twin beside every base signal; the oracle
+    * recomputes envelope, bits, bands and verify from the closed-form
+    * PCM generator. */
+  def q201AudioNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.audioEnvelopeHashes(
+      Multimodal.syntheticNearDupWavs(docs(spark, dir), "doc_id")).toDF()
+    Multimodal.dhashNearDups(hashes, maxHamming = 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Video-fingerprint near-dup ([[Multimodal.videoDHashes]] → the
+    * shared Hamming-bucket join): REAL multi-frame GIF decode →
+    * per-frame 9×8 gradient bits → MAJORITY pooling across frames (the
+    * videohash-style temporal signature) → q199's band device. The
+    * planted single-frame pixel edit exercises exactly what the
+    * pooling is for; the oracle recomputes per-frame bits, the
+    * majority vote and the verify from the 256-gray closed form. */
+  def q202VideoNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.videoDHashes(
+      Multimodal.syntheticNearDupGifs(docs(spark, dir), "doc_id")).toDF()
+    Multimodal.dhashNearDups(hashes, maxHamming = 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Edit-distance verification of the q20 LSH candidates
     * ([[Dedup.editVerify]]): the character-level refinement arm of
     * fuzzy dedup — banded Levenshtein over candidate pairs only, the
@@ -2064,6 +2093,8 @@ object PipelineQueries {
     "q189_sorted_neighborhood" -> q189SortedNeighborhood,
     "q199_image_neardups" -> q199ImageNearDups,
     "q200_snm_multipass" -> q200SnmMultipass,
+    "q201_audio_neardups" -> q201AudioNearDups,
+    "q202_video_neardups" -> q202VideoNearDups,
     "q192_quarantine" -> q192Quarantine,
     "q193_gini" -> q193GiniConcentration,
     "q195_filtered_ann" -> q195FilteredAnn,
@@ -2427,6 +2458,34 @@ object PipelineQueries {
       |  FROM toks),
       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
       |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh)""".stripMargin
+
+  /** Shared oracle tail for the perceptual-fingerprint family
+    * (q199/q201/q202): expects upstream CTEs `dims(doc_id, …)` (one row
+    * per media) and `bits(doc_id, idx)` (set bit indices 0..63), and
+    * assembles the two 32-bit halves by shifts (engine-stable), the
+    * 8-band bucket join and the exact bit_count Hamming verify. */
+  private def fingerprintTailSql(maxHamming: Int): String =
+    s"""h AS (SELECT d.doc_id,
+       |    coalesce(sum(CASE WHEN b.idx >= 32
+       |      THEN (1::BIGINT << (b.idx - 32)) END), 0)::BIGINT AS hi,
+       |    coalesce(sum(CASE WHEN b.idx < 32
+       |      THEN (1::BIGINT << b.idx) END), 0)::BIGINT AS lo
+       |  FROM dims d LEFT JOIN bits b ON b.doc_id = d.doc_id
+       |  GROUP BY d.doc_id),
+       |bands AS (SELECT doc_id,
+       |    (CASE WHEN bd.bd < 4 THEN lo >> (bd.bd * 8)
+       |      ELSE hi >> ((bd.bd - 4) * 8) END) & 255 AS bval, bd.bd AS band
+       |  FROM h CROSS JOIN generate_series(0, 7) bd(bd)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON b.band = a.band AND b.bval = a.bval
+       |    AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  (bit_count(xor(ha.hi, hb.hi))
+       |    + bit_count(xor(ha.lo, hb.lo)))::BIGINT AS hamming
+       |FROM cand c JOIN h ha ON ha.doc_id = c.doc_a
+       |JOIN h hb ON hb.doc_id = c.doc_b
+       |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private def jaccardTail(candSql: String): String =
     s"""$shingleCte,
@@ -3175,12 +3234,12 @@ object PipelineQueries {
     // Mirrors q199ImageNearDups from the closed-form pixel generator:
     // the 9×8 dHash grid at the nearest-neighbor source coordinates
     // (gx·w)//9, (gy·h)//8, gray = r+g+b with the odd-id (0,0) red
-    // perturbation, bit gy*8+gx from the strict gradient compare, the
-    // two 32-bit halves assembled by shifts (engine-stable), the same
-    // 8-band bucket join and the exact bit_count Hamming verify — the
-    // whole perceptual pipeline recomputed without touching a codec.
+    // perturbation, bit gy*8+gx from the strict gradient compare, then
+    // the shared fingerprint tail (halves by shifts, 8-band bucket
+    // join, exact bit_count Hamming verify) — the whole perceptual
+    // pipeline recomputed without touching a codec.
     "q199_image_neardups" ->
-      """WITH dims AS (SELECT doc_id, doc_id // 2 AS gen, doc_id % 2 AS odd,
+      ("""WITH dims AS (SELECT doc_id, doc_id // 2 AS gen, doc_id % 2 AS odd,
         |    8 + (doc_id // 2) % 9 AS w, 8 + (doc_id // 2) % 7 AS h
         |  FROM documents),
         |gr AS (SELECT d.doc_id, gx.gx, gy.gy,
@@ -3201,27 +3260,54 @@ object PipelineQueries {
         |  FROM gr a JOIN gr b ON b.doc_id = a.doc_id AND b.gy = a.gy
         |    AND b.gx = a.gx + 1
         |  WHERE a.gx < 8 AND a.gray > b.gray),
-        |h AS (SELECT d.doc_id,
-        |    coalesce(sum(CASE WHEN b.idx >= 32
-        |      THEN (1::BIGINT << (b.idx - 32)) END), 0)::BIGINT AS hi,
-        |    coalesce(sum(CASE WHEN b.idx < 32
-        |      THEN (1::BIGINT << b.idx) END), 0)::BIGINT AS lo
-        |  FROM dims d LEFT JOIN bits b ON b.doc_id = d.doc_id
-        |  GROUP BY d.doc_id),
-        |bands AS (SELECT doc_id,
-        |    (CASE WHEN bd.bd < 4 THEN lo >> (bd.bd * 8)
-        |      ELSE hi >> ((bd.bd - 4) * 8) END) & 255 AS bval, bd.bd AS band
-        |  FROM h CROSS JOIN generate_series(0, 7) bd(bd)),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON b.band = a.band AND b.bval = a.bval
-        |    AND a.doc_id < b.doc_id)
-        |SELECT c.doc_a, c.doc_b,
-        |  (bit_count(xor(ha.hi, hb.hi))
-        |    + bit_count(xor(ha.lo, hb.lo)))::BIGINT AS hamming
-        |FROM cand c JOIN h ha ON ha.doc_id = c.doc_a
-        |JOIN h hb ON hb.doc_id = c.doc_b
-        |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 6
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |""".stripMargin + fingerprintTailSql(6)),
+    // Mirrors q201AudioNearDups: the 65-window |int16| energy envelope
+    // recomputed from the closed-form PCM generator (window of sample i
+    // = (i*65)//n — empty windows carry energy 0 via the window spine),
+    // strict-gradient bits, then the shared fingerprint tail.
+    "q201_audio_neardups" ->
+      ("""WITH dims AS (SELECT doc_id, doc_id // 2 AS gen, doc_id % 2 AS odd,
+        |    64 + (doc_id // 2) % 65 AS n FROM documents),
+        |s AS (SELECT d.doc_id, (i.i * 65) // d.n AS w,
+        |    abs(CASE WHEN d.odd = 1 AND i.i = 0
+        |      THEN ((d.gen * 37 + 8192) % 65536) - 32768
+        |      ELSE ((d.gen * 37 + i.i * 9973) % 65536) - 32768 END) AS av
+        |  FROM dims d JOIN generate_series(0, 128) i(i) ON i.i < d.n),
+        |e AS (SELECT doc_id, w, sum(av)::BIGINT AS ew FROM s GROUP BY 1, 2),
+        |spine AS (SELECT d.doc_id, g.w FROM dims d
+        |  CROSS JOIN generate_series(0, 64) g(w)),
+        |ef AS (SELECT sp.doc_id, sp.w, coalesce(e.ew, 0)::BIGINT AS ew
+        |  FROM spine sp LEFT JOIN e ON e.doc_id = sp.doc_id AND e.w = sp.w),
+        |bits AS (SELECT a.doc_id, a.w AS idx FROM ef a JOIN ef b
+        |  ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 64 AND a.ew > b.ew),
+        |""".stripMargin + fingerprintTailSql(6)),
+    // Mirrors q202VideoNearDups: per-frame 9×8 gradient bits from the
+    // 256-gray closed form (with the odd-id frame-0 (0,0) perturbation
+    // at the sampled coordinates), strict-majority pooling across
+    // frames (2*votes > nf, ties → 0), then the shared tail.
+    "q202_video_neardups" ->
+      ("""WITH dims AS (SELECT doc_id, doc_id // 2 AS gen, doc_id % 2 AS odd,
+        |    4 + (doc_id // 2) % 5 AS w, 4 + (doc_id // 2) % 3 AS h,
+        |    2 + (doc_id // 2) % 4 AS nf FROM documents),
+        |gr AS (SELECT d.doc_id, d.nf, f.f, gx.gx, gy.gy,
+        |    (CASE WHEN d.odd = 1 AND f.f = 0 AND (gx.gx * d.w) // 9 = 0
+        |          AND (gy.gy * d.h) // 8 = 0
+        |      THEN (d.gen * 31 + f.f * 7 + ((gx.gx * d.w) // 9) * 89
+        |        + ((gy.gy * d.h) // 8) * 97 + 128) % 256
+        |      ELSE (d.gen * 31 + f.f * 7 + ((gx.gx * d.w) // 9) * 89
+        |        + ((gy.gy * d.h) // 8) * 97) % 256 END) AS gray
+        |  FROM dims d
+        |  JOIN generate_series(0, 5) f(f) ON f.f < d.nf
+        |  CROSS JOIN generate_series(0, 8) gx(gx)
+        |  CROSS JOIN generate_series(0, 7) gy(gy)),
+        |fbits AS (SELECT a.doc_id, a.nf, a.f, a.gy * 8 + a.gx AS idx
+        |  FROM gr a JOIN gr b ON b.doc_id = a.doc_id AND b.f = a.f
+        |    AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.gray > b.gray),
+        |bits AS (SELECT doc_id, idx FROM fbits
+        |  GROUP BY doc_id, nf, idx HAVING 2 * count(*) > nf),
+        |""".stripMargin + fingerprintTailSql(6)),
     "q22_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -97,4 +97,120 @@ class DHashSpec extends AnyFunSuite {
       Multimodal.dhashNearDups(hashes, maxHamming = 8)
     }
   }
+
+  test("maxBucket excludes a degenerate band key loudly instead of joining it quadratically") {
+    import spark.implicits._
+    // 50 identical fingerprints (every band bucket holds all 50) plus
+    // one distinct pair within Hamming 1 of each other but 16+ bits
+    // from the flat cluster (so no cross pair can pass the verify)
+    val flat = (0L until 50L).map(id => (id, 0L, 0L))
+    val pair = Seq((100L, 255L, 65280L), (101L, 255L, 65281L)) // lo differs by 1 bit
+    val hashes = (flat ++ pair).toDF("media_id", "hash_hi", "hash_lo")
+    val uncapped = Multimodal.dhashNearDups(hashes, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 50 * 49 / 2 + 1, "uncapped: all flat pairs + the planted pair")
+    val capped = Multimodal.dhashNearDups(hashes, maxHamming = 6, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      "capped: the degenerate key's quadratic bucket is excluded, the healthy pair survives")
+  }
+
+  /** Independent closed-form audio envelope hash (never touches the
+    * codec): 65 windows by i*65/n, Σ|v| energies, strict gradient. */
+  private def bruteAudio(gen: Long, perturbed: Boolean): (Long, Long) = {
+    val n = (64 + gen % 65).toInt
+    val energy = new Array[Long](65)
+    for (i <- 0 until n) {
+      val v0 = (((gen * 37 + i.toLong * 9973) % 65536) - 32768).toInt
+      val v = if (perturbed && i == 0) (((gen * 37 + 8192) % 65536) - 32768).toInt
+        else v0
+      energy(i * 65 / n) += math.abs(v)
+    }
+    var hi = 0L
+    var lo = 0L
+    for (w <- 0 until 64 if energy(w) > energy(w + 1)) {
+      if (w >= 32) hi |= 1L << (w - 32) else lo |= 1L << w
+    }
+    (hi, lo)
+  }
+
+  test("audioEnvelopeHashes through the real WAV codec matches the closed form; planted pair within Hamming 1; exact recall") {
+    import spark.implicits._
+    val n = 150L
+    val ids = (0L until n).toDF("doc_id").repartition(6)
+    val hashes = Multimodal.audioEnvelopeHashes(
+      Multimodal.syntheticNearDupWavs(ids, "doc_id"))
+    val got = hashes.collect().map(d => d.media_id -> ((d.hash_hi, d.hash_lo))).toMap
+    (0L until n).foreach { id =>
+      assert(got(id) == bruteAudio(id / 2, id % 2 == 1),
+        s"audio kernel diverges from the closed form at id=$id")
+    }
+    (0L until n / 2).foreach { g =>
+      assert(hamming(bruteAudio(g, false), bruteAudio(g, true)) <= 1,
+        s"1-sample perturbation must stay within Hamming 1 (gen=$g)")
+    }
+    val pairs = Multimodal.dhashNearDups(hashes.toDF(), maxHamming = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    val want = (for {
+      a <- 0L until n; b <- (a + 1) until n
+      d = hamming(got(a), got(b)) if d <= 6
+    } yield (a, b) -> d.toLong).toMap
+    assert(pairs == want, "audio bucket join must equal brute all-pairs at the threshold")
+    (0L until n / 2).foreach(g => assert(pairs.contains((2 * g, 2 * g + 1))))
+  }
+
+  /** Independent closed-form video fingerprint: per-frame 9×8 gradient
+    * bits over the 256-gray generator, strict-majority pooled. */
+  private def bruteVideo(gen: Long, perturbed: Boolean): (Long, Long) = {
+    val w = (4 + gen % 5).toInt
+    val h = (4 + gen % 3).toInt
+    val nf = (2 + gen % 4).toInt
+    def gray(f: Int, sx: Int, sy: Int): Int = {
+      val g0 = ((gen * 31 + f * 7 + sx * 89 + sy * 97) % 256).toInt
+      if (perturbed && f == 0 && sx == 0 && sy == 0) (g0 + 128) % 256 else g0
+    }
+    val votes = new Array[Int](64)
+    for (f <- 0 until nf; gy <- 0 until 8; gx <- 0 until 8) {
+      if (gray(f, gx * w / 9, gy * h / 8) > gray(f, (gx + 1) * w / 9, gy * h / 8))
+        votes(gy * 8 + gx) += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    for (i <- 0 until 64 if 2 * votes(i) > nf) {
+      if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+    }
+    (hi, lo)
+  }
+
+  test("videoDHashes through the real GIF codec matches the closed form; single-frame edit within Hamming 2; exact recall") {
+    import spark.implicits._
+    val n = 100L
+    val ids = (0L until n).toDF("doc_id").repartition(4)
+    val hashes = Multimodal.videoDHashes(
+      Multimodal.syntheticNearDupGifs(ids, "doc_id"))
+    val got = hashes.collect().map(d => d.media_id -> ((d.hash_hi, d.hash_lo))).toMap
+    (0L until n).foreach { id =>
+      assert(got(id) == bruteVideo(id / 2, id % 2 == 1),
+        s"video kernel diverges from the closed form at id=$id")
+    }
+    // majority pooling bounds the single-frame edit's reach: at most
+    // the two grid compares sampling the edited pixel can change vote
+    // counts, so the pooled signature moves by at most 2 bits
+    (0L until n / 2).foreach { g =>
+      assert(hamming(bruteVideo(g, false), bruteVideo(g, true)) <= 2,
+        s"single-frame edit must stay within Hamming 2 (gen=$g)")
+    }
+    val pairs = Multimodal.dhashNearDups(hashes.toDF(), maxHamming = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    val want = (for {
+      a <- 0L until n; b <- (a + 1) until n
+      d = hamming(got(a), got(b)) if d <= 6
+    } yield (a, b) -> d.toLong).toMap
+    assert(pairs == want, "video bucket join must equal brute all-pairs at the threshold")
+    (0L until n / 2).foreach(g => assert(pairs.contains((2 * g, 2 * g + 1))))
+  }
 }
