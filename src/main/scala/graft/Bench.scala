@@ -64,7 +64,7 @@ object Bench {
     *      parser never sees a key appear or vanish).
     * Tier 3's length is bounded by the failed list alone, so the
     * format survives ANY future query count without re-litigating the
-    * cap per round (the round-10 headroom concern, closed by scheme).
+    * cap as queries are added (the headroom concern, closed by scheme).
     * Returns (line, tier) — BenchHeadlineSpec pins the tier cutovers. */
   def fitHeadline(mk: (String, String) => String,
       entries: Seq[(String, Double)], failedSorted: Seq[String],

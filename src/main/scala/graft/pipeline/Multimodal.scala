@@ -30,8 +30,8 @@ object Multimodal {
     * pooled GIF reader in [[decodeVideoFrames]]. `ImageIO.write` scans
     * the service registry and allocates a fresh `ImageWriter` +
     * `ImageOutputStream` per call; at one call per record that
-    * allocation churn dominated the q111/q115 encode path (round-10
-    * regression adjudication). One writer per partition, re-pointed
+    * allocation churn dominated the q111/q115 encode path (a measured
+    * regression, adjudicated to exactly this). One writer per partition, re-pointed
     * per record; output bytes are identical to `ImageIO.write` (same
     * writer class, default write param). Callers register
     * [[PngEncoder#dispose]] on task completion. */
@@ -88,6 +88,54 @@ object Multimodal {
       writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
       baos.toByteArray
     }
+  }
+
+  /** Per-partition pooled animated-GIF encoder — the multi-frame twin
+    * of [[PngEncoder]]: `ImageIO.getImageWritersByFormatName` scans the
+    * service registry per call, and the per-record writer allocation
+    * dominated the encode path exactly as it did for PNG. One writer
+    * per partition; each record runs a full
+    * prepareWriteSequence → writeToSequence* → endWriteSequence cycle
+    * against a fresh in-memory output, so the emitted container bytes
+    * are identical to the per-call form (same writer class, same write
+    * param; GifParitySpec pins byte equality). Frames are written
+    * INDEXED and NON-interlaced (the lossless-roundtrip GIF
+    * discipline). */
+  private final class GifEncoder {
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    private val param = {
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      p
+    }
+    private val baos = new java.io.ByteArrayOutputStream(512)
+    def encode(nFrames: Int,
+        frame: Int => java.awt.image.BufferedImage): Array[Byte] = {
+      baos.reset()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        writer.writeToSequence(new javax.imageio.IIOImage(frame(f), null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      baos.toByteArray
+    }
+    def dispose(): Unit = writer.dispose()
+  }
+
+  /** Pool a [[GifEncoder]] for the current task (the
+    * [[pooledPngEncoder]] contract: dispose on task completion, safe
+    * under early-terminating consumers). */
+  private def pooledGifEncoder(): GifEncoder = {
+    val enc = new GifEncoder
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => enc.dispose()))
+    enc
   }
 
   /** Attach a binary payload column from a string column — opaque raw
@@ -676,20 +724,13 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val enc = pooledGifEncoder()
+      val grays = Array.tabulate(256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
       it.map { id =>
         val gen = id / 2
         val (w, h) = gifDims(gen)
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-        val baos = new java.io.ByteArrayOutputStream(512)
-        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
-        writer.setOutput(ios)
-        writer.prepareWriteSequence(null)
-        val param = writer.getDefaultWriteParam
-        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
-        val grays = Array.tabulate(256)(_.toByte)
-        val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
-        var f = 0
-        while (f < gifFrames(gen)) {
+        def frame(f: Int): java.awt.image.BufferedImage = {
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
           val raster = img.getRaster
@@ -705,13 +746,9 @@ object Multimodal {
             }
             y += 1
           }
-          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
-          f += 1
+          img
         }
-        writer.endWriteSequence()
-        ios.close()
-        writer.dispose()
-        MediaRecord(id, "image/gif", baos.toByteArray)
+        MediaRecord(id, "image/gif", enc.encode(gifFrames(gen), frame))
       }
     }
   }
@@ -938,7 +975,6 @@ object Multimodal {
     * permutes rows on readback otherwise), making the roundtrip
     * pixel-exact and oracle-checkable. */
   def encodeGif(id: Long): Array[Byte] = {
-    val (w, h) = gifDims(id)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val baos = new java.io.ByteArrayOutputStream(512)
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
@@ -946,23 +982,12 @@ object Multimodal {
     writer.prepareWriteSequence(null)
     val param = writer.getDefaultWriteParam
     param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
-    val grays = Array[Byte](0, 85, (170 & 0xff).toByte, (255 & 0xff).toByte)
-    val cm = new java.awt.image.IndexColorModel(8, 4, grays, grays, grays)
+    val cm = new java.awt.image.IndexColorModel(8, 4,
+      gifGrays4, gifGrays4, gifGrays4)
     var f = 0
     while (f < gifFrames(id)) {
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-      val raster = img.getRaster
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          raster.setSample(x, y, 0, ((id + f * 7L + x * 3L + y * 5L) % 4).toInt)
-          x += 1
-        }
-        y += 1
-      }
-      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(gifFrame4(id, f, cm), null, null), param)
       f += 1
     }
     writer.endWriteSequence()
@@ -971,12 +996,40 @@ object Multimodal {
     baos.toByteArray
   }
 
-  /** Documents → one animated-GIF payload per doc. */
+  /** The [[encodeGif]] frame raster for (id, f) — shared by the
+    * per-call encoder and the pooled partition kernel. */
+  private val gifGrays4 =
+    Array[Byte](0, 85, (170 & 0xff).toByte, (255 & 0xff).toByte)
+  private def gifFrame4(id: Long, f: Int,
+      cm: java.awt.image.IndexColorModel): java.awt.image.BufferedImage = {
+    val (w, h) = gifDims(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id + f * 7L + x * 3L + y * 5L) % 4).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Documents → one animated-GIF payload per doc (pooled per-partition
+    * writer — the [[syntheticPngs]] contract; bytes identical to the
+    * per-call [[encodeGif]], GifParitySpec pins it). */
   def syntheticGifs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
-      it.map(id => MediaRecord(id, "image/gif", encodeGif(id)))
+      val enc = pooledGifEncoder()
+      val cm = new java.awt.image.IndexColorModel(8, 4,
+        gifGrays4, gifGrays4, gifGrays4)
+      it.map(id => MediaRecord(id, "image/gif",
+        enc.encode(gifFrames(id), f => gifFrame4(id, f, cm))))
     }
   }
 

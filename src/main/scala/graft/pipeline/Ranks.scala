@@ -61,7 +61,7 @@ object Ranks {
     // bucket) — so the rank stays bit-identical to the single-task
     // Window.orderBy(asc) even on nullable or NaN-bearing metrics (a
     // null value used to fall through least(), land in the LAST bucket
-    // and rank at the end; round-9 callers were all non-null so the gate
+    // and rank at the end; the early callers were all non-null so the gate
     // never saw it). Degeneracy, not a bug: an all-null/all-NaN column
     // collapses to hi <= lo and ranks serially in one bucket.
     val bucketed = df
@@ -126,10 +126,9 @@ object Ranks {
     // (whose histogram window would be unpartitioned — hence its
     // broadcast self-join), the grouped histogram admits a PARTITIONED
     // window: the relation is dimension-bounded (groups × nBuckets
-    // rows, corpus-independent), so a per-group running sum is both
-    // scale-safe and three plan stages cheaper than the join form
-    // (measured ~0.2 s of fixed stage-scheduling latency per query at
-    // any SF).
+    // rows, corpus-independent), so a per-group running sum is
+    // scale-safe and strictly fewer plan nodes than the join form
+    // (the broadcast self-join + re-aggregate it replaces).
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = hist

@@ -1006,7 +1006,7 @@ object TextMetrics {
     *
     * Scale shape: the rank rides [[Ranks.bucketedGroupRank]] — each
     * group's sort splits across ~nBuckets tasks instead of funneling
-    * one task per group (the pre-round-12 form was a bare per-group
+    * one task per group (an earlier form was a bare per-group
     * row_number window: ONE task sorts an entire source at corpus
     * scale), and the group sizes broadcast back. Value-at-rank is
     * tie-order-independent (equal values share every candidate rank),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Structural guard for the round-4 regression class: the driver's value
+/** Structural guard for a known regression class: the external value
   * hasher renders Spark-vs-DuckDB DECIMAL cells through different paths,
   * so hash-checked queries must round in the decimal domain but EMIT
   * doubles. This spec walks every SparkEntry query's resolved schema

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** Hand-computed fixtures for the round-9 corpus-statistics operators:
+/** Hand-computed fixtures for the corpus-statistics operators:
   * bigram-LM surprisal, boilerplate line removal, Misra-Gries heavy
   * hitters, and the Zipf-law OLS fit. */
 class CorpusStatsSpec extends AnyFunSuite {

@@ -568,7 +568,7 @@ class ScaleSpec extends AnyFunSuite {
     // exchange and no per-key cross product; a CartesianProduct or
     // BroadcastNestedLoopJoin means Catalyst fell back to the naive
     // range predicate, and TWO Window nodes mean the swept relation
-    // was silently computed twice (round-11 fix: probes pivot out of
+    // was silently computed twice (the fix: probes pivot out of
     // one pass)
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())
@@ -677,5 +677,19 @@ class ScaleSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("dhashNearDups candidates come from an EQUI-join on (band, value) — no nested-loop or cartesian anywhere") {
+    // the fingerprint bucket join must never degrade to an all-pairs
+    // plan (the whole point of the band device); a non-equi condition
+    // or a lost equality would surface as BNL/cartesian here
+    val hashes = (0L until 200L)
+      .map(i => (i, (i * 2654435761L) & 0xffffffffL, (i * 40503L) & 0xffffffffL))
+      .toDF("media_id", "hash_hi", "hash_lo")
+    val got = graft.pipeline.Multimodal.dhashNearDups(hashes)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 }

@@ -23,8 +23,8 @@ class FormatsSpec extends AnyFunSuite {
     val df = nasty.toDF("id", "v")
     val path = java.nio.file.Files.createTempDirectory("fmt_csv").toString
     // no multiLine here on purpose: the helper's own pinned defaults
-    // must survive the embedded-newline row (r11 advice: the claim held
-    // only when the CALLER remembered the option)
+    // must survive the embedded-newline row (a review found the claim
+    // held only when the CALLER remembered the option)
     val back = Formats.roundtrip(df, "csv", path, Map("header" -> "true"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(back == nasty.toMap)

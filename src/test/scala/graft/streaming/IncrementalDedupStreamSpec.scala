@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.Dedup
 
 /** The q88 daily-batch incremental dedup run as a CONTINUOUS ingest
-  * (round-9 judge's suggested surface growth): the existing corpus
+  * (a reviewer-suggested surface growth): the existing corpus
   * arrives as micro-batch 1, the new daily slice as micro-batch 2, and
   * the streaming verdicts must equal the batch q88 verdicts —
   *  - exact arm: [[IncrementalDedupStream.exactDups]] (RocksDB hash →
