@@ -680,17 +680,29 @@ object Similarity {
     * 1/q ≫ 2^-53·|p/q| for every feasible cell size, so trunc agrees
     * bit-exactly across engines. Same argument class as the q61
     * integer-rank percentile device. */
-  def kmeansReport(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
-    val trained = trainCentroids(corpus, idCol, vecCol, k, iters)
-    val idBits = bitsFor(k - 1L)
-    val cells = corpus
+  /** Cell assignment against a trained centroid table (the
+    * [[trainCentroids]] `(cent_id, cv)` shape): argmin exact-quantized
+    * squared L2 through the packed-long min (HashAggregate — the IVF
+    * assignment kernel), ties to the lowest cent_id. Returns
+    * `(vid, cent_id)` — the relation [[kmeansReport]] sizes and the
+    * cluster-balanced allocation joins on. */
+  def assignCells(corpus: DataFrame, trained: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val idBits = bitsFor(math.max(trained.count() - 1, 0L))
+    corpus
       .select(col(idCol).as("vid"), quantize(col(vecCol)).as("qv"))
       .crossJoin(broadcast(trained))
       .groupBy(col("vid"), col("qv"))
       .agg(unpackId(min(packDistId(sqDistExact(col("qv"), col("cv")),
         col("cent_id"), idBits)), idBits).as("cent_id"))
-    val sizes = cells.groupBy(col("cent_id"))
+      .select(col("vid"), col("cent_id"))
+  }
+
+  def kmeansReport(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val trained = trainCentroids(corpus, idCol, vecCol, k, iters)
+    val sizes = assignCells(corpus, trained, idCol, vecCol)
+      .groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n_assigned"))
     trained.join(sizes, Seq("cent_id"), "left")
       .select(col("cent_id"),

@@ -120,7 +120,7 @@ object PipelineQueries {
         "q150_walk_centrality", "q159_ndcg", "q167_rrf_fusion",
         "q173_kendall_tau", "q179_hybrid_retrieval", "q182_mrr",
         "q186_matryoshka_recall", "q188_mmr_select",
-        "q195_filtered_ann"),
+        "q195_filtered_ann", "q204_cluster_budget"),
       () => releaseEmbCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -282,6 +282,29 @@ object PipelineQueries {
     Dedup.nearDupClusters(docs(spark, dir),
         imagePairs(spark, dir).select(col("doc_a"), col("doc_b")), "doc_id")
       .orderBy(col("doc_id"))
+
+  /** Cluster-balanced token-budget allocation: assign every embedding
+    * to its trained k-means cell (q89's trainer + the IVF assignment
+    * kernel, [[Similarity.assignCells]]), measure per-CLUSTER token
+    * inventory over the joined documents, and waterfill a global
+    * budget max-min fairly across clusters
+    * ([[TextMetrics.waterfillBudget]]) — the semantic-diversity
+    * counterpart of q187's per-source allocation (balance by TOPIC
+    * cluster instead of provenance: small clusters keep everything,
+    * large clusters equalize — the cluster-balanced sampling step of a
+    * diversity-first data mix). Rides the embeddings cache; the oracle
+    * recomputes both unrolled Lloyd rounds, the assignment, the joined
+    * inventories and the closed-form waterfill entirely in SQL. */
+  def q204ClusterBudget(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val trained = Similarity.trainCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val cells = Similarity.assignCells(e, trained, "vec_id", "embedding")
+    val joined = docs(spark, dir)
+      .join(cells.withColumnRenamed("vid", "doc_id"), "doc_id")
+    TextMetrics.waterfillBudget(joined, "cent_id", "text", budget = 16000L)
+      .orderBy(col("cent_id"))
+  }
 
   /** Acoustic-fingerprint near-dup ([[Multimodal.audioEnvelopeHashes]] →
     * the shared Hamming-bucket join): REAL WAV decode → 65-window
@@ -2128,6 +2151,7 @@ object PipelineQueries {
     "q201_audio_neardups" -> q201AudioNearDups,
     "q202_video_neardups" -> q202VideoNearDups,
     "q203_image_clusters" -> q203ImageClusters,
+    "q204_cluster_budget" -> q204ClusterBudget,
     "q192_quarantine" -> q192Quarantine,
     "q193_gini" -> q193GiniConcentration,
     "q195_filtered_ann" -> q195FilteredAnn,
@@ -2238,6 +2262,29 @@ object PipelineQueries {
   // the IEEE double quotient of exact operands — bit-identical to
   // Spark's (sum/count).cast(long); see Similarity.kmeansReport), empty
   // cells keep the previous centroid.
+  /** The shared Lloyd-training + final-assignment CTE prefix (quantized
+    * vectors, deterministic first-8 seed, two unrolled rounds, final
+    * argmin `af(vec_id, cent_id)` against `c2`) — q89 reports it, q204
+    * joins it onto documents for cluster-balanced allocation. */
+  private def kmeansAssignCtes: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+       |  FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+       |    qv AS cv
+       |  FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 8)),
+       |${kmeansIterCtes(1)},
+       |${kmeansIterCtes(2)},
+       |ef AS (SELECT v.vec_id, c.cent_id, unnest(v.qv) AS ax, unnest(c.cv) AS bx
+       |  FROM v CROSS JOIN c2 c),
+       |df AS (SELECT vec_id, cent_id, sum((ax - bx) * (ax - bx))::BIGINT AS d
+       |  FROM ef GROUP BY 1, 2),
+       |af AS (SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+       |    FROM df) WHERE rn = 1)""".stripMargin
+
   private def kmeansIterCtes(i: Int): String = {
     val prev = if (i == 1) "c0" else s"c${i - 1}"
     s"""e$i AS (SELECT v.vec_id, c.cent_id, unnest(v.qv) AS ax, unnest(c.cv) AS bx
@@ -3435,28 +3482,52 @@ object PipelineQueries {
     // vectors, two unrolled Lloyd rounds (kmeansIterCtes), one final
     // assignment against c2, centroid pinned by md5 over its components.
     "q89_kmeans_train" ->
-      (s"""WITH v AS (
-          |  SELECT vec_id,
-          |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
-          |  FROM embeddings),
-          |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
-          |    qv AS cv
-          |  FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 8)),
-          |${kmeansIterCtes(1)},
-          |${kmeansIterCtes(2)},
-          |ef AS (SELECT v.vec_id, c.cent_id, unnest(v.qv) AS ax, unnest(c.cv) AS bx
-          |  FROM v CROSS JOIN c2 c),
-          |df AS (SELECT vec_id, cent_id, sum((ax - bx) * (ax - bx))::BIGINT AS d
-          |  FROM ef GROUP BY 1, 2),
-          |af AS (SELECT vec_id, cent_id FROM (
-          |    SELECT vec_id, cent_id,
-          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
-          |    FROM df) WHERE rn = 1),
+      (kmeansAssignCtes +
+        """,
           |sz AS (SELECT cent_id, count(*)::BIGINT AS n_assigned FROM af GROUP BY 1)
           |SELECT c2.cent_id::BIGINT AS cent_id,
           |  coalesce(sz.n_assigned, 0)::BIGINT AS n_assigned,
           |  md5(array_to_string(c2.cv, ',')) AS centroid_md5
           |FROM c2 LEFT JOIN sz USING (cent_id) ORDER BY cent_id""".stripMargin),
+    // q89's trained assignment (the shared Lloyd CTEs) joined onto the
+    // documents table for per-CLUSTER token inventories, then the q187
+    // waterfill closed form with cent_id as the group — budget 16000.
+    "q204_cluster_budget" ->
+      (kmeansAssignCtes +
+        """,
+          |s AS (SELECT af.cent_id::BIGINT AS cent_id,
+          |    sum(len(regexp_split_to_array(lower(d.text),
+          |      '[ \t\n\f\r]+')))::BIGINT AS inventory
+          |  FROM af JOIN documents d ON d.doc_id = af.vec_id
+          |  GROUP BY 1),
+          |r AS (SELECT cent_id, inventory,
+          |    row_number() OVER (ORDER BY inventory ASC, cent_id ASC)
+          |      AS k,
+          |    coalesce(sum(inventory) OVER (
+          |      ORDER BY inventory ASC, cent_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      ::BIGINT AS prefix,
+          |    count(*) OVER ()::BIGINT AS m
+          |  FROM s),
+          |c AS (SELECT *, (m - k + 1) AS slots,
+          |    (16000 - prefix) // (m - k + 1) AS t
+          |  FROM r),
+          |cut AS (SELECT min(CASE WHEN inventory > t THEN k END) AS kcut,
+          |    max(CASE WHEN inventory > t AND k = (SELECT
+          |        min(CASE WHEN inventory > t THEN k END) FROM c)
+          |      THEN t END) AS tstar,
+          |    max(CASE WHEN inventory > t AND k = (SELECT
+          |        min(CASE WHEN inventory > t THEN k END) FROM c)
+          |      THEN (16000 - prefix) % slots END) AS rstar
+          |  FROM c)
+          |SELECT c.cent_id, c.inventory,
+          |  (CASE WHEN cut.kcut IS NULL OR c.k < cut.kcut THEN c.inventory
+          |    ELSE cut.tstar +
+          |      (CASE WHEN c.k - cut.kcut < cut.rstar THEN 1 ELSE 0 END)
+          |    END)::BIGINT AS allocation,
+          |  (CASE WHEN cut.kcut IS NULL OR c.k < cut.kcut THEN 1 ELSE 0
+          |    END)::BIGINT AS capped
+          |FROM c CROSS JOIN cut ORDER BY c.cent_id""".stripMargin),
     // Mirrors pqTopK: subspace slices of the quantized vectors, codeword
     // assignment by exact integer squared L2 (ties to the lowest
     // renumbered codeword id), ADC scoring via the per-query lookup
