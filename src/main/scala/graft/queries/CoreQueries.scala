@@ -496,6 +496,47 @@ object CoreQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Exponentially-decayed per-user engagement score — the recency
+    * weighting a freshness-aware data mix (or a trending/engagement
+    * rank) applies to an event log: each event contributes
+    * `2^40 >> min(days_ago, 40)` where days_ago is the exact integer
+    * `(t_max − ts) div 1 day` against the stream's own max timestamp.
+    * Step-decay (weight halves per whole half-life elapsed) rather
+    * than continuous `exp(−λΔt)` — the deterministic sibling: shifts
+    * on int64 agree bit-for-bit across engines (the q144 device) where
+    * `pow`/`exp` cannot sit behind a hashed output, and the sum is an
+    * order-independent exact integer register. One map-side-combined
+    * shuffle on user_id; the 1-row anchor broadcasts.
+    *
+    * Deliberately NOT on the evscan cache (the q168 discipline): q205
+    * sweeps last among the event queries, and joining the family would
+    * pin the full-width events cache across the whole sweep for one
+    * two-column scan — the columnar (user_id, ts) read is cheaper than
+    * the residency. */
+  def q205DecayScores(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"))
+    val anchor = ev.agg(max(col("ts_us")).as("t_max"))
+    val scored = ev.crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        // 2^40 >> min(whole days ago, 40): int64-exact on both engines
+        expr("shiftright(1099511627776L, " +
+          "cast(least((t_max - ts_us) div 86400000000, 40) as int))")
+          .as("w"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("score_q"))
+    // 2^22 events × 2^40 max weight = 2^62: the register cannot wrap
+    // below that count; a larger per-user stream must rescale the
+    // weight base first (loud, never silent)
+    val guarded = when(assert_true(col("n_events") <= lit(1L << 22),
+      lit("q205DecayScores: >2^22 events for one user — score_q can " +
+        "overflow int64; lower the weight base")).isNull, col("score_q"))
+    scored.select(col("user_id"), col("n_events"), guarded.as("score_q"),
+        round((col("score_q").cast("double") / lit(1099511627776.0))
+          .cast("decimal(28,10)"), 6).cast("double").as("decayed_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Key-skew diagnostic ([[graft.plans.Scale.skewReport]]) over the
     * event stream's user key — the report that decides between AQE,
     * salting and bucketing: top-10 hottest users with row count, corpus
@@ -710,6 +751,7 @@ object CoreQueries {
     "q184_markov_transitions" -> q184MarkovTransitions,
     "q190_type_hour_mi" -> q190TypeHourMi,
     "q191_burstiness" -> q191Burstiness,
+    "q205_decay_scores" -> q205DecayScores,
     "q194_join_cardinality" -> q194JoinCardinality,
     "q196_incremental_agg" -> q196IncrementalAgg,
     "q198_cube_activity" -> q198CubeActivity)
@@ -799,6 +841,22 @@ object CoreQueries {
     // identical integer registers, identical double divide chain and
     // IEEE sqrt, DuckDB raises on the same int64 overflow Spark's
     // guards assert.
+    // Mirrors q205DecayScores: the same integer step-decay weight
+    // (2^40 >> min(whole days before the stream max, 40) — BIGINT
+    // shifts agree across engines), exact int64 sum, one decimal-
+    // rounded divide by the weight base.
+    "q205_decay_scores" ->
+      """WITH t AS (SELECT max(epoch_us(ts)) AS t_max FROM events),
+        |w AS (SELECT e.user_id,
+        |    (1099511627776::BIGINT >> least(
+        |      (t.t_max - epoch_us(e.ts)) // 86400000000, 40)::INTEGER)
+        |      AS w
+        |  FROM events e CROSS JOIN t)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  sum(w)::BIGINT AS score_q,
+        |  round((sum(w)::DOUBLE / 1099511627776.0)::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS decayed_events
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q191_burstiness" ->
       """WITH g AS (SELECT event_type,
         |    (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY
