@@ -1970,6 +1970,38 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Schema-evolution read (`mergeSchema`) — the production shape of a
+    * long-lived dataset whose schema GREW mid-stream: the documents
+    * table lands as two parquet batches with DIFFERENT schemas (even
+    * ids under the original (doc_id, source, text); odd ids with an
+    * added `lang` column), then reads back as ONE relation under
+    * mergeSchema and reports per-source counts split legacy/evolved
+    * plus the character-sum proof and the max evolved value. The
+    * oracle recomputes every verdict straight from the original table
+    * via the same even/odd rule — a reader that drops old-schema rows,
+    * misaligns merged columns, or null-fills the wrong side cannot
+    * hash-match (the q163/q192 executable-witness pattern pointed at
+    * schema drift). Scratch lands under the session rtPath root
+    * (idempotent overwrite, deleted on JVM exit). */
+  def q206SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("source"),
+      col("text"))
+    val root = rtPath(spark, dir, "evolve")
+    base.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/b1")
+    base.filter(col("doc_id") % 2 =!= 0)
+      .withColumn("lang", concat(lit("l"), (col("doc_id") % 5).cast("string")))
+      .write.mode("overwrite").parquet(s"$root/b2")
+    spark.read.option("mergeSchema", "true").parquet(s"$root/b1", s"$root/b2")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        count(col("lang")).as("n_evolved"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        max(col("lang")).as("max_lang"))
+      .orderBy(col("source"))
+  }
+
   /** Stupid-backoff trigram LM quality scoring
     * ([[TextMetrics.stupidBackoffScore]]): corpus-LM mean
     * log-likelihood per doc with ×0.4 backoff — the KenLM-style
@@ -2152,6 +2184,7 @@ object PipelineQueries {
     "q202_video_neardups" -> q202VideoNearDups,
     "q203_image_clusters" -> q203ImageClusters,
     "q204_cluster_budget" -> q204ClusterBudget,
+    "q206_schema_evolution" -> q206SchemaEvolution,
     "q192_quarantine" -> q192Quarantine,
     "q193_gini" -> q193GiniConcentration,
     "q195_filtered_ann" -> q195FilteredAnn,
@@ -3343,6 +3376,19 @@ object PipelineQueries {
     // The whole perceptual pipeline recomputed without touching a
     // codec (see q199Oracle).
     "q199_image_neardups" -> q199Oracle,
+    // Every verdict recomputed from the ORIGINAL table via the same
+    // even/odd split — the two-batch write + mergeSchema read never
+    // reaches the oracle, so any merge/null-fill defect hash-mismatches.
+    "q206_schema_evolution" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_legacy,
+        |  sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_evolved,
+        |  sum(length(text))::BIGINT AS sum_chars,
+        |  max(CASE WHEN doc_id % 2 <> 0
+        |    THEN 'l' || (doc_id % 5)::VARCHAR END) AS max_lang
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // q199's perceptual pairs + the q37 recursive-reachability cluster
     // mechanism: min-peer labels over the transitive closure, every
     // document its own cluster when untouched by any pair.
