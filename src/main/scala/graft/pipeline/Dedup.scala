@@ -967,4 +967,86 @@ object Dedup {
           .when(col("_n").isNotNull, lit("dup_near"))
           .otherwise(lit("new")).as("verdict"))
   }
+
+  /** Per-stage near-dup clusters for SEVERAL modalities in ONE
+    * label-propagation loop: each (stage, doc) key is packed into a
+    * single long — `stageIdx << 40 | doc_id` — so the union of all
+    * stage pair sets propagates together and the driver pays ONE
+    * convergence loop (rounds = the max component diameter across
+    * stages) instead of one loop per modality. Min-label propagation
+    * respects the packing because stage blocks occupy disjoint id
+    * ranges: the min over a component never crosses a stage boundary,
+    * and unpacking (`& (2^40−1)`) recovers the per-stage min-doc-id
+    * canonical exactly.
+    *
+    * Ids must lie in [0, 2^40) — violations raise loudly inside the
+    * packing expression (never a silent wrong cluster). Output:
+    * (stage, doc_id, cluster_id), one row per (stage, doc). */
+  def crossModalClusters(docs: DataFrame, idCol: String,
+      stagePairs: Seq[(String, DataFrame)], maxIters: Int = 64): DataFrame = {
+    require(stagePairs.nonEmpty && stagePairs.size <= 16,
+      "crossModalClusters: 1..16 stages")
+    val OFF = 1L << 40
+    def packed(c: org.apache.spark.sql.Column, i: Int) =
+      when(c >= 0L && c < OFF, c + lit(i.toLong * OFF))
+        .otherwise(raise_error(format_string(
+          s"crossModalClusters: id out of [0, 2^40): %s", c.cast("string"))))
+    val ids = docs.select(col(idCol).cast("long").as("_id"))
+    val docsPacked = stagePairs.indices.map(i =>
+        ids.select(packed(col("_id"), i).as("k")))
+      .reduce(_ unionByName _)
+    val pairsPacked = stagePairs.zipWithIndex.map { case ((_, p), i) =>
+        p.select(packed(col("doc_a").cast("long"), i).as("doc_a"),
+          packed(col("doc_b").cast("long"), i).as("doc_b"))
+      }.reduce(_ unionByName _)
+    val labels = nearDupClusters(docsPacked, pairsPacked, "k", maxIters)
+    val stageNames = array(stagePairs.map(s => lit(s._1)): _*)
+    labels.select(
+      element_at(stageNames, shiftright(col("doc_id"), 40).cast("int") + 1)
+        .as("stage"),
+      col("doc_id").bitwiseAND(OFF - 1).as("doc_id"),
+      col("cluster_id").bitwiseAND(OFF - 1).as("cluster_id"))
+  }
+
+  /** Cross-modal canonical keep-list — the artifact a production dedup
+    * pipeline actually emits: per document, the canonical elected by
+    * EVERY modality's near-dup clustering (text, semantic, image,
+    * audio, video, …), a single keep verdict (kept only when every
+    * stage elects the document itself), the FIRST stage that dropped
+    * it (pipeline-order attribution, the q67 curate-verdict pattern —
+    * per-stage attrition is a trivial rollup of `reason`), and that
+    * stage's canonical id.
+    *
+    * `tagged` is a (doc_id, stage, cluster_id) relation —
+    * [[crossModalClusters]] output unioned with any independently-
+    * computed stage labelings; `stageOrder` fixes both the column
+    * order and the drop-attribution precedence. A (stage, doc) absent
+    * from `tagged` keeps the document at that stage (its canonical
+    * defaults to itself).
+    *
+    * Scale shape: ONE groupBy(doc_id) pivots all stage labels out of
+    * the union (never a join per stage), then one id-keyed left join
+    * back to the corpus spine. Only ids and small longs shuffle. */
+  def crossModalKeepList(docs: DataFrame, idCol: String,
+      tagged: DataFrame, stageOrder: Seq[String]): DataFrame = {
+    require(stageOrder.nonEmpty, "crossModalKeepList: need stages")
+    val aggs = stageOrder.map(s =>
+      max(when(col("stage") === s, col("cluster_id"))).as(s"c_$s"))
+    val pivoted = tagged.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val spine = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(pivoted, Seq("doc_id"), "left")
+    val filled = stageOrder.foldLeft(spine) { (acc, s) =>
+      acc.withColumn(s"c_$s", coalesce(col(s"c_$s"), col("doc_id")))
+    }
+    val reason = stageOrder.reverse.foldLeft(lit("kept")) { (tail, s) =>
+      when(col(s"c_$s") =!= col("doc_id"), lit(s)).otherwise(tail)
+    }
+    val canonical = stageOrder.reverse.foldLeft(col("doc_id")) { (tail, s) =>
+      when(col(s"c_$s") =!= col("doc_id"), col(s"c_$s")).otherwise(tail)
+    }
+    filled.select(col("doc_id") +: stageOrder.map(s => col(s"c_$s")) :+
+      (reason === "kept").as("keep") :+ reason.as("reason") :+
+      canonical.as("canonical_id"): _*)
+  }
 }

@@ -120,7 +120,8 @@ object PipelineQueries {
         "q150_walk_centrality", "q159_ndcg", "q167_rrf_fusion",
         "q173_kendall_tau", "q179_hybrid_retrieval", "q182_mrr",
         "q186_matryoshka_recall", "q188_mmr_select",
-        "q195_filtered_ann", "q204_cluster_budget"),
+        "q195_filtered_ann", "q204_cluster_budget",
+        "q207_crossmodal_keeplist"),
       () => releaseEmbCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -139,10 +140,13 @@ object PipelineQueries {
       () => releaseKnnCache()),
     "clusters" -> CacheFamily(
       Set("q37_neardup_clusters", "q74_keep_best", "q93_effective_size",
-        "q113_cluster_size_histogram", "q123_cluster_weights"),
+        "q113_cluster_size_histogram", "q123_cluster_weights",
+        "q207_crossmodal_keeplist"),
       () => releaseClusterCache()),
     "dhash" -> CacheFamily(
-      Set("q199_image_neardups", "q203_image_clusters"),
+      Set("q199_image_neardups", "q201_audio_neardups",
+        "q202_video_neardups", "q203_image_clusters",
+        "q207_crossmodal_keeplist"),
       () => releaseDhashCache()))
 
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -254,14 +258,45 @@ object PipelineQueries {
   private val sharedImagePairs =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  /** Drop the image-fingerprint pair cache (q199, q203). */
-  def releaseDhashCache(): Unit = drain(sharedImagePairs)
+  /** Audio/video siblings of [[sharedImagePairs]] — one decode →
+    * fingerprint → bucket → verify chain per modality, shared between
+    * the per-modality report (q201/q202) and the cross-modal keep-list
+    * (q207); all three live under the `dhash` family because they are
+    * the same 24-byte-fingerprint pair relations with the same
+    * lifetime. */
+  private val sharedAudioPairs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val sharedVideoPairs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Drop the perceptual-fingerprint pair caches (q199, q201, q202,
+    * q203, q207). */
+  def releaseDhashCache(): Unit =
+    drain(sharedImagePairs, sharedAudioPairs, sharedVideoPairs)
 
   private def imagePairs(spark: SparkSession, dir: String): DataFrame = {
     CacheRegistry.touch("dhash")
     sharedImagePairs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val hashes = Multimodal.dHashes(
         Multimodal.syntheticNearDupPngs(docs(spark, dir), "doc_id")).toDF()
+      Multimodal.dhashNearDups(hashes, maxHamming = 6).localCheckpoint(true)
+    })
+  }
+
+  private def audioPairs(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("dhash")
+    sharedAudioPairs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val hashes = Multimodal.audioEnvelopeHashes(
+        Multimodal.syntheticNearDupWavs(docs(spark, dir), "doc_id")).toDF()
+      Multimodal.dhashNearDups(hashes, maxHamming = 6).localCheckpoint(true)
+    })
+  }
+
+  private def videoPairs(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("dhash")
+    sharedVideoPairs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val hashes = Multimodal.videoDHashes(
+        Multimodal.syntheticNearDupGifs(docs(spark, dir), "doc_id")).toDF()
       Multimodal.dhashNearDups(hashes, maxHamming = 6).localCheckpoint(true)
     })
   }
@@ -306,6 +341,45 @@ object PipelineQueries {
       .orderBy(col("cent_id"))
   }
 
+  /** Cross-modal canonical keep-list ([[Dedup.crossModalKeepList]]):
+    * the single artifact the dedup family ships — per document, the
+    * canonical elected by EVERY modality's near-dup clustering (text
+    * MinHash q20/q37, semantic embedding q40, image dHash q199, audio
+    * envelope q201, video pooled dHash q202), one keep verdict (a
+    * document is dropped when ANY stage elects a different canonical),
+    * the FIRST stage that dropped it (pipeline-order attribution — the
+    * q67 verdict-ledger pattern, so per-stage attrition is a rollup of
+    * `reason`), and that stage's canonical id.
+    *
+    * Composition shape: text labels ride the shared q37 cluster cache;
+    * the four remaining modalities cluster in ONE packed label-
+    * propagation loop ([[Dedup.crossModalClusters]] — stage index in
+    * the high bits, one driver convergence loop instead of four); the
+    * image/audio/video pair relations ride the shared `dhash` family
+    * and the semantic pairs ride the embeddings cache. The oracle
+    * recomputes all five pair sets (shingle MinHash, quantized-dot
+    * sign-LSH, and the three closed-form perceptual generators), four
+    * recursive transitive closures, and the first-drop CASE entirely
+    * in SQL. */
+  def q207CrossModalKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val semPairs = Dedup.embeddingNearDups(emb(spark, dir), "vec_id",
+        "embedding", minDotQ = 250000000000L, nBits = 8)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val packed = Dedup.crossModalClusters(d.select(col("doc_id")), "doc_id",
+      Seq("semantic" -> semPairs,
+        "image" -> imagePairs(spark, dir).select(col("doc_a"), col("doc_b")),
+        "audio" -> audioPairs(spark, dir).select(col("doc_a"), col("doc_b")),
+        "video" -> videoPairs(spark, dir).select(col("doc_a"), col("doc_b"))))
+    val tagged = docClusters(spark, dir)
+      .select(lit("text").as("stage"), col("doc_id"), col("cluster_id"))
+      .unionByName(packed.select(col("stage"), col("doc_id"),
+        col("cluster_id")))
+    Dedup.crossModalKeepList(d, "doc_id", tagged,
+        Seq("text", "semantic", "image", "audio", "video"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Acoustic-fingerprint near-dup ([[Multimodal.audioEnvelopeHashes]] →
     * the shared Hamming-bucket join): REAL WAV decode → 65-window
     * integer energy envelope → 64 strict-gradient bits, bucketed and
@@ -314,12 +388,9 @@ object PipelineQueries {
     * 1-sample-perturbed twin beside every base signal; the oracle
     * recomputes envelope, bits, bands and verify from the closed-form
     * PCM generator. */
-  def q201AudioNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = Multimodal.audioEnvelopeHashes(
-      Multimodal.syntheticNearDupWavs(docs(spark, dir), "doc_id")).toDF()
-    Multimodal.dhashNearDups(hashes, maxHamming = 6)
+  def q201AudioNearDups(spark: SparkSession, dir: String): DataFrame =
+    audioPairs(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** Video-fingerprint near-dup ([[Multimodal.videoDHashes]] → the
     * shared Hamming-bucket join): REAL multi-frame GIF decode →
@@ -328,12 +399,9 @@ object PipelineQueries {
     * planted single-frame pixel edit exercises exactly what the
     * pooling is for; the oracle recomputes per-frame bits, the
     * majority vote and the verify from the 256-gray closed form. */
-  def q202VideoNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = Multimodal.videoDHashes(
-      Multimodal.syntheticNearDupGifs(docs(spark, dir), "doc_id")).toDF()
-    Multimodal.dhashNearDups(hashes, maxHamming = 6)
+  def q202VideoNearDups(spark: SparkSession, dir: String): DataFrame =
+    videoPairs(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** Edit-distance verification of the q20 LSH candidates
     * ([[Dedup.editVerify]]): the character-level refinement arm of
@@ -2185,6 +2253,7 @@ object PipelineQueries {
     "q203_image_clusters" -> q203ImageClusters,
     "q204_cluster_budget" -> q204ClusterBudget,
     "q206_schema_evolution" -> q206SchemaEvolution,
+    "q207_crossmodal_keeplist" -> q207CrossModalKeepList,
     "q192_quarantine" -> q192Quarantine,
     "q193_gini" -> q193GiniConcentration,
     "q195_filtered_ann" -> q195FilteredAnn,
@@ -2601,11 +2670,133 @@ object PipelineQueries {
       |  WHERE a.gx < 8 AND a.gray > b.gray),
       |""".stripMargin + fingerprintTailSql(6)
 
+  /** The q201 audio-near-dup oracle, whole (also nested as q207's
+    * audio pair CTE): the 65-window |int16| energy envelope recomputed
+    * from the closed-form PCM generator (window of sample i =
+    * (i*65)//n — empty windows carry energy 0 via the window spine),
+    * strict-gradient bits, then the shared fingerprint tail. */
+  private lazy val q201Oracle: String =
+    """WITH dims AS (SELECT doc_id, doc_id // 2 AS gen, doc_id % 2 AS odd,
+      |    64 + (doc_id // 2) % 65 AS n FROM documents),
+      |s AS (SELECT d.doc_id, (i.i * 65) // d.n AS w,
+      |    abs(CASE WHEN d.odd = 1 AND i.i = 0
+      |      THEN ((d.gen * 37 + 8192) % 65536) - 32768
+      |      ELSE ((d.gen * 37 + i.i * 9973) % 65536) - 32768 END) AS av
+      |  FROM dims d JOIN generate_series(0, 128) i(i) ON i.i < d.n),
+      |e AS (SELECT doc_id, w, sum(av)::BIGINT AS ew FROM s GROUP BY 1, 2),
+      |spine AS (SELECT d.doc_id, g.w FROM dims d
+      |  CROSS JOIN generate_series(0, 64) g(w)),
+      |ef AS (SELECT sp.doc_id, sp.w, coalesce(e.ew, 0)::BIGINT AS ew
+      |  FROM spine sp LEFT JOIN e ON e.doc_id = sp.doc_id AND e.w = sp.w),
+      |bits AS (SELECT a.doc_id, a.w AS idx FROM ef a JOIN ef b
+      |  ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      |  WHERE a.w < 64 AND a.ew > b.ew),
+      |""".stripMargin + fingerprintTailSql(6)
+
+  /** The q202 video-near-dup oracle, whole (also nested as q207's
+    * video pair CTE): per-frame 9×8 gradient bits from the 256-gray
+    * closed form (with the odd-id frame-0 (0,0) perturbation at the
+    * sampled coordinates), strict-majority pooling across frames
+    * (2*votes > nf, ties → 0), then the shared tail. */
+  private lazy val q202Oracle: String =
+    """WITH dims AS (SELECT doc_id, doc_id // 2 AS gen, doc_id % 2 AS odd,
+      |    4 + (doc_id // 2) % 5 AS w, 4 + (doc_id // 2) % 3 AS h,
+      |    2 + (doc_id // 2) % 4 AS nf FROM documents),
+      |gr AS (SELECT d.doc_id, d.nf, f.f, gx.gx, gy.gy,
+      |    (CASE WHEN d.odd = 1 AND f.f = 0 AND (gx.gx * d.w) // 9 = 0
+      |          AND (gy.gy * d.h) // 8 = 0
+      |      THEN (d.gen * 31 + f.f * 7 + ((gx.gx * d.w) // 9) * 89
+      |        + ((gy.gy * d.h) // 8) * 97 + 128) % 256
+      |      ELSE (d.gen * 31 + f.f * 7 + ((gx.gx * d.w) // 9) * 89
+      |        + ((gy.gy * d.h) // 8) * 97) % 256 END) AS gray
+      |  FROM dims d
+      |  JOIN generate_series(0, 5) f(f) ON f.f < d.nf
+      |  CROSS JOIN generate_series(0, 8) gx(gx)
+      |  CROSS JOIN generate_series(0, 7) gy(gy)),
+      |fbits AS (SELECT a.doc_id, a.nf, a.f, a.gy * 8 + a.gx AS idx
+      |  FROM gr a JOIN gr b ON b.doc_id = a.doc_id AND b.f = a.f
+      |    AND b.gy = a.gy AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8 AND a.gray > b.gray),
+      |bits AS (SELECT doc_id, idx FROM fbits
+      |  GROUP BY doc_id, nf, idx HAVING 2 * count(*) > nf),
+      |""".stripMargin + fingerprintTailSql(6)
+
+  /** One modality's transitive-closure CTE triple for the q207 oracle:
+    * symmetrized edges over `<tag>pairs`, recursive reachability, and
+    * the per-doc min reachable peer — the q37/q203 cluster mechanism
+    * parameterized by CTE prefix so five closures coexist in one WITH
+    * RECURSIVE. */
+  private def reachCtes(tag: String): String =
+    s"""${tag}edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM ${tag}pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM ${tag}pairs),
+       |${tag}reach AS (
+       |  SELECT src AS doc, dst AS peer FROM ${tag}edges
+       |  UNION
+       |  SELECT r.doc, e.dst FROM ${tag}reach r
+       |  JOIN ${tag}edges e ON e.src = r.peer),
+       |${tag}lbl AS (SELECT doc, min(peer) AS m FROM ${tag}reach
+       |  GROUP BY doc)""".stripMargin
+
+  /** The q207 cross-modal keep-list oracle: all five pair oracles
+    * nested whole (text MinHash, semantic sign-LSH, image/audio/video
+    * perceptual), five independent recursive closures, min-label
+    * canonicals, and the first-drop CASE in pipeline order. */
+  private lazy val q207Oracle: String = {
+    val pairCtes = Seq(
+      "t" -> s"SELECT doc_a, doc_b FROM (\n$q20Oracle\n)",
+      "s" -> s"SELECT vec_a AS doc_a, vec_b AS doc_b FROM (\n$q40Oracle\n)",
+      "i" -> s"SELECT doc_a, doc_b FROM (\n$q199Oracle\n)",
+      "a" -> s"SELECT doc_a, doc_b FROM (\n$q201Oracle\n)",
+      "v" -> s"SELECT doc_a, doc_b FROM (\n$q202Oracle\n)")
+    val stages = Seq("t" -> "text", "s" -> "semantic", "i" -> "image",
+      "a" -> "audio", "v" -> "video")
+    "WITH RECURSIVE " +
+      pairCtes.map { case (tag, sql) => s"${tag}pairs AS (\n$sql\n)" }
+        .mkString(",\n") + ",\n" +
+      stages.map { case (tag, _) => reachCtes(tag) }.mkString(",\n") + ",\n" +
+      "lab AS (SELECT d.doc_id,\n" +
+      stages.map { case (tag, name) =>
+        s"  least(d.doc_id, coalesce(${tag}lbl.m, d.doc_id)) AS c_$name"
+      }.mkString(",\n") + "\n  FROM documents d\n" +
+      stages.map { case (tag, _) =>
+        s"  LEFT JOIN ${tag}lbl ON ${tag}lbl.doc = d.doc_id"
+      }.mkString("\n") + ")\n" +
+      "SELECT doc_id,\n" +
+      stages.map { case (_, name) => s"  c_$name::BIGINT AS c_$name" }
+        .mkString(",\n") + ",\n  (" +
+      stages.map { case (_, name) => s"c_$name = doc_id" }
+        .mkString(" AND ") + ") AS keep,\n  CASE " +
+      stages.map { case (_, name) =>
+        s"WHEN c_$name <> doc_id THEN '$name' "
+      }.mkString + "ELSE 'kept' END AS reason,\n  (CASE " +
+      stages.map { case (_, name) =>
+        s"WHEN c_$name <> doc_id THEN c_$name "
+      }.mkString + "ELSE doc_id END)::BIGINT AS canonical_id\n" +
+      "FROM lab ORDER BY doc_id"
+  }
+
   /** Shared oracle tail for the perceptual-fingerprint family
     * (q199/q201/q202): expects upstream CTEs `dims(doc_id, …)` (one row
     * per media) and `bits(doc_id, idx)` (set bit indices 0..63), and
     * assembles the two 32-bit halves by shifts (engine-stable), the
     * 8-band bucket join and the exact bit_count Hamming verify. */
+  /** The q40 embedding-near-dup oracle, whole (also nested as q207's
+    * semantic pair CTE): sign-bucket self-join + exact quantized dot at
+    * the 0.25·1e12 threshold. */
+  private lazy val q40Oracle: String =
+    embBucketCte + ",\n" +
+      """exp AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    unnest(a.qv) AS ax, unnest(b.qv) AS bx
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT vec_a, vec_b, sum(ax * bx)::BIGINT AS dot_q
+        |  FROM exp GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, dot_q FROM dots
+        |WHERE dot_q >= 250000000000
+        |ORDER BY vec_a, vec_b""".stripMargin
+
   private def fingerprintTailSql(maxHamming: Int): String =
     s"""h AS (SELECT d.doc_id,
        |    coalesce(sum(CASE WHEN b.idx >= 32
@@ -2898,18 +3089,7 @@ object PipelineQueries {
           |FROM nd LEFT JOIN exd ON exd.doc_id = nd.doc_id
           |LEFT JOIN nrd ON nrd.doc_id = nd.doc_id
           |ORDER BY nd.doc_id""".stripMargin),
-    "q40_embedding_neardups" ->
-      (embBucketCte + ",\n" +
-        """exp AS (
-          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          |    unnest(a.qv) AS ax, unnest(b.qv) AS bx
-          |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-          |dots AS (
-          |  SELECT vec_a, vec_b, sum(ax * bx)::BIGINT AS dot_q
-          |  FROM exp GROUP BY 1, 2)
-          |SELECT vec_a, vec_b, dot_q FROM dots
-          |WHERE dot_q >= 250000000000
-          |ORDER BY vec_a, vec_b""".stripMargin),
+    "q40_embedding_neardups" -> q40Oracle,
     // Mirrors q121Containment: the q20 verified-pair body re-projected
     // to one-sided overlap ratios (exact integer operands, IEEE
     // division — the jaccard column's own device).
@@ -3412,49 +3592,15 @@ object PipelineQueries {
     // recomputed from the closed-form PCM generator (window of sample i
     // = (i*65)//n — empty windows carry energy 0 via the window spine),
     // strict-gradient bits, then the shared fingerprint tail.
-    "q201_audio_neardups" ->
-      ("""WITH dims AS (SELECT doc_id, doc_id // 2 AS gen, doc_id % 2 AS odd,
-        |    64 + (doc_id // 2) % 65 AS n FROM documents),
-        |s AS (SELECT d.doc_id, (i.i * 65) // d.n AS w,
-        |    abs(CASE WHEN d.odd = 1 AND i.i = 0
-        |      THEN ((d.gen * 37 + 8192) % 65536) - 32768
-        |      ELSE ((d.gen * 37 + i.i * 9973) % 65536) - 32768 END) AS av
-        |  FROM dims d JOIN generate_series(0, 128) i(i) ON i.i < d.n),
-        |e AS (SELECT doc_id, w, sum(av)::BIGINT AS ew FROM s GROUP BY 1, 2),
-        |spine AS (SELECT d.doc_id, g.w FROM dims d
-        |  CROSS JOIN generate_series(0, 64) g(w)),
-        |ef AS (SELECT sp.doc_id, sp.w, coalesce(e.ew, 0)::BIGINT AS ew
-        |  FROM spine sp LEFT JOIN e ON e.doc_id = sp.doc_id AND e.w = sp.w),
-        |bits AS (SELECT a.doc_id, a.w AS idx FROM ef a JOIN ef b
-        |  ON b.doc_id = a.doc_id AND b.w = a.w + 1
-        |  WHERE a.w < 64 AND a.ew > b.ew),
-        |""".stripMargin + fingerprintTailSql(6)),
+    "q201_audio_neardups" -> q201Oracle,
     // Mirrors q202VideoNearDups: per-frame 9×8 gradient bits from the
     // 256-gray closed form (with the odd-id frame-0 (0,0) perturbation
     // at the sampled coordinates), strict-majority pooling across
     // frames (2*votes > nf, ties → 0), then the shared tail.
-    "q202_video_neardups" ->
-      ("""WITH dims AS (SELECT doc_id, doc_id // 2 AS gen, doc_id % 2 AS odd,
-        |    4 + (doc_id // 2) % 5 AS w, 4 + (doc_id // 2) % 3 AS h,
-        |    2 + (doc_id // 2) % 4 AS nf FROM documents),
-        |gr AS (SELECT d.doc_id, d.nf, f.f, gx.gx, gy.gy,
-        |    (CASE WHEN d.odd = 1 AND f.f = 0 AND (gx.gx * d.w) // 9 = 0
-        |          AND (gy.gy * d.h) // 8 = 0
-        |      THEN (d.gen * 31 + f.f * 7 + ((gx.gx * d.w) // 9) * 89
-        |        + ((gy.gy * d.h) // 8) * 97 + 128) % 256
-        |      ELSE (d.gen * 31 + f.f * 7 + ((gx.gx * d.w) // 9) * 89
-        |        + ((gy.gy * d.h) // 8) * 97) % 256 END) AS gray
-        |  FROM dims d
-        |  JOIN generate_series(0, 5) f(f) ON f.f < d.nf
-        |  CROSS JOIN generate_series(0, 8) gx(gx)
-        |  CROSS JOIN generate_series(0, 7) gy(gy)),
-        |fbits AS (SELECT a.doc_id, a.nf, a.f, a.gy * 8 + a.gx AS idx
-        |  FROM gr a JOIN gr b ON b.doc_id = a.doc_id AND b.f = a.f
-        |    AND b.gy = a.gy AND b.gx = a.gx + 1
-        |  WHERE a.gx < 8 AND a.gray > b.gray),
-        |bits AS (SELECT doc_id, idx FROM fbits
-        |  GROUP BY doc_id, nf, idx HAVING 2 * count(*) > nf),
-        |""".stripMargin + fingerprintTailSql(6)),
+    "q202_video_neardups" -> q202Oracle,
+    // All five pair oracles nested whole + five recursive closures +
+    // the first-drop CASE — see q207Oracle.
+    "q207_crossmodal_keeplist" -> q207Oracle,
     "q22_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id,
