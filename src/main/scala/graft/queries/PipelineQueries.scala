@@ -121,8 +121,11 @@ object PipelineQueries {
         "q173_kendall_tau", "q179_hybrid_retrieval", "q182_mrr",
         "q186_matryoshka_recall", "q188_mmr_select",
         "q195_filtered_ann", "q204_cluster_budget",
-        "q207_crossmodal_keeplist"),
+        "q207_crossmodal_keeplist", "q208_ivf_pq"),
       () => releaseEmbCache()),
+    "kmeans" -> CacheFamily(
+      Set("q89_kmeans_train", "q204_cluster_budget", "q208_ivf_pq"),
+      () => releaseKmeansCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
         "q78_source_overlap", "q88_incremental_dedup", "q91_lsh_tuning",
@@ -332,9 +335,8 @@ object PipelineQueries {
     * inventories and the closed-form waterfill entirely in SQL. */
   def q204ClusterBudget(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val trained = Similarity.trainCentroids(e, "vec_id", "embedding",
-      k = 8, iters = 2)
-    val cells = Similarity.assignCells(e, trained, "vec_id", "embedding")
+    val cells = Similarity.assignCells(e, trainedCentroids(spark, dir),
+      "vec_id", "embedding")
     val joined = docs(spark, dir)
       .join(cells.withColumnRenamed("vid", "doc_id"), "doc_id")
     TextMetrics.waterfillBudget(joined, "cent_id", "text", budget = 16000L)
@@ -754,14 +756,49 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Shared trained k-means centroids (k = 8, 2 Lloyd rounds), cached
+    * per (session, sf dir): q89 reports the training, q204 allocates by
+    * cluster, q208 routes IVF probes by cell — all three consume ONE
+    * training, exactly as a production stack trains offline once and
+    * serves every reader from the stored centroid table. */
+  private val sharedKmeans =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Drop the trained-centroid cache (q89, q204, q208). */
+  def releaseKmeansCache(): Unit = drain(sharedKmeans)
+
+  private def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("kmeans")
+    sharedKmeans.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Similarity.trainCentroids(emb(spark, dir), "vec_id", "embedding",
+        k = 8, iters = 2).localCheckpoint(true))
+  }
+
   /** Oracle-checked k-means training (k = 8, 2 Lloyd rounds): the
     * iterative trainer's centroids and final cell sizes hash-checked
     * against a DuckDB oracle that unrolls the same rounds in SQL —
     * the stronger form of the q36/q71 spec-level pins. */
   def q89KmeansTrain(spark: SparkSession, dir: String): DataFrame =
-    Similarity.kmeansReport(emb(spark, dir), "vec_id", "embedding",
-        k = 8, iters = 2)
+    Similarity.kmeansReportTrained(emb(spark, dir),
+        trainedCentroids(spark, dir), "vec_id", "embedding")
       .orderBy(col("cent_id"))
+
+  /** Composed IVF-PQ ANN ([[Similarity.ivfPqTopK]]): q33's cell routing
+    * and q87's ADC scoring in ONE pass — queries probe their 2 nearest
+    * TRAINED cells (the shared q89 centroids) and ADC-score only those
+    * cells' codes (q87's codebook), with the per-query candidate count
+    * emitted as `rows_scanned` so the scan reduction vs flat PQ is part
+    * of the hash-checked output. The oracle recomputes the two Lloyd
+    * rounds, the assignment, the probes, the PQ codes, the lookup table
+    * and the pruned ADC sum entirely in SQL. */
+  def q208IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 16),
+        trainedCentroids(spark, dir), e.filter(col("vec_id") % 61 === 3),
+        "vec_id", "embedding", numSubspaces = 4, subDim = 16, k = 10,
+        nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Token-budget apportionment (largest-remainder over exact integer
     * token counts; 1M-token budget) — q04 fills the one unused 2-digit
@@ -2254,6 +2291,7 @@ object PipelineQueries {
     "q204_cluster_budget" -> q204ClusterBudget,
     "q206_schema_evolution" -> q206SchemaEvolution,
     "q207_crossmodal_keeplist" -> q207CrossModalKeepList,
+    "q208_ivf_pq" -> q208IvfPq,
     "q192_quarantine" -> q192Quarantine,
     "q193_gini" -> q193GiniConcentration,
     "q195_filtered_ann" -> q195FilteredAnn,
@@ -2386,6 +2424,34 @@ object PipelineQueries {
        |    SELECT vec_id, cent_id,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
        |    FROM df) WHERE rn = 1)""".stripMargin
+
+  /** The q87 PQ machinery as CTEs (expects upstream `v(vec_id, qv)`):
+    * codebook sub-slices, corpus codes `codes(corpus_id, s, code)` and
+    * the per-query ADC lookup `dt(query_id, s, cent_id, dq)` — shared
+    * verbatim by the flat q87 scorer and the q208 IVF-routed one. */
+  private val pqCtes: String =
+    """cb AS (SELECT vec_id, qv,
+      |    row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
+      |  FROM v WHERE vec_id % 61 = 3),
+      |sp AS (SELECT unnest(generate_series(0, 3)) AS s),
+      |cwsub AS (SELECT cent_id, s, list_slice(qv, s * 16 + 1, (s + 1) * 16) AS cw
+      |  FROM cb CROSS JOIN sp),
+      |vsub AS (SELECT vec_id, s, list_slice(qv, s * 16 + 1, (s + 1) * 16) AS sub
+      |  FROM v CROSS JOIN sp),
+      |ee AS (SELECT vs.vec_id, vs.s, cs.cent_id,
+      |    unnest(vs.sub) AS ax, unnest(cs.cw) AS bx
+      |  FROM vsub vs JOIN cwsub cs ON cs.s = vs.s),
+      |ed AS (SELECT vec_id, s, cent_id, sum((ax - bx) * (ax - bx))::BIGINT AS d
+      |  FROM ee GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id AS corpus_id, s, cent_id AS code FROM (
+      |    SELECT vec_id, s, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cent_id) AS rn
+      |    FROM ed) WHERE rn = 1),
+      |qe AS (SELECT vs.vec_id AS query_id, vs.s, cs.cent_id,
+      |    unnest(vs.sub) AS ax, unnest(cs.cw) AS bx
+      |  FROM vsub vs JOIN cwsub cs ON cs.s = vs.s WHERE vs.vec_id < 16),
+      |dt AS (SELECT query_id, s, cent_id, sum(ax * bx)::BIGINT AS dq
+      |  FROM qe GROUP BY 1, 2, 3)""".stripMargin
 
   private def kmeansIterCtes(i: Int): String = {
     val prev = if (i == 1) "c0" else s"c${i - 1}"
@@ -3725,32 +3791,12 @@ object PipelineQueries {
     // renumbered codeword id), ADC scoring via the per-query lookup
     // table — all int64, bit-identical by construction.
     "q87_pq_adc" ->
-      """WITH v AS (
+      ("""WITH v AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
         |  FROM embeddings),
-        |cb AS (SELECT vec_id, qv,
-        |    row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
-        |  FROM v WHERE vec_id % 61 = 3),
-        |sp AS (SELECT unnest(generate_series(0, 3)) AS s),
-        |cwsub AS (SELECT cent_id, s, list_slice(qv, s * 16 + 1, (s + 1) * 16) AS cw
-        |  FROM cb CROSS JOIN sp),
-        |vsub AS (SELECT vec_id, s, list_slice(qv, s * 16 + 1, (s + 1) * 16) AS sub
-        |  FROM v CROSS JOIN sp),
-        |ee AS (SELECT vs.vec_id, vs.s, cs.cent_id,
-        |    unnest(vs.sub) AS ax, unnest(cs.cw) AS bx
-        |  FROM vsub vs JOIN cwsub cs ON cs.s = vs.s),
-        |ed AS (SELECT vec_id, s, cent_id, sum((ax - bx) * (ax - bx))::BIGINT AS d
-        |  FROM ee GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id AS corpus_id, s, cent_id AS code FROM (
-        |    SELECT vec_id, s, cent_id,
-        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cent_id) AS rn
-        |    FROM ed) WHERE rn = 1),
-        |qe AS (SELECT vs.vec_id AS query_id, vs.s, cs.cent_id,
-        |    unnest(vs.sub) AS ax, unnest(cs.cw) AS bx
-        |  FROM vsub vs JOIN cwsub cs ON cs.s = vs.s WHERE vs.vec_id < 16),
-        |dt AS (SELECT query_id, s, cent_id, sum(ax * bx)::BIGINT AS dq
-        |  FROM qe GROUP BY 1, 2, 3),
+        |""".stripMargin + pqCtes +
+        """,
         |adc AS (SELECT dt.query_id, codes.corpus_id, sum(dt.dq)::BIGINT AS dot_pq
         |  FROM codes JOIN dt ON dt.s = codes.s AND dt.cent_id = codes.code
         |  WHERE codes.corpus_id <> dt.query_id GROUP BY 1, 2)
@@ -3759,7 +3805,43 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY dot_pq DESC, corpus_id) AS rank
         |  FROM adc)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // Composed IVF-PQ (mirrors Similarity.ivfPqTopK): the shared Lloyd
+    // CTEs route each query to its 2 nearest trained cells, the shared
+    // PQ CTEs encode/score, and the ADC sum runs only over the probed
+    // cells' members (cand) — rows_scanned counts them per query.
+    "q208_ivf_pq" ->
+      (kmeansAssignCtes + ",\n" + pqCtes +
+        """,
+        |qe2 AS (SELECT q.vec_id AS query_id, c.cent_id,
+        |    unnest(q.qv) AS ax, unnest(c.cv) AS bx
+        |  FROM v q CROSS JOIN c2 c WHERE q.vec_id < 16),
+        |qd2 AS (SELECT query_id, cent_id,
+        |    sum((ax - bx) * (ax - bx))::BIGINT AS d
+        |  FROM qe2 GROUP BY 1, 2),
+        |probes AS (SELECT query_id, cent_id FROM (
+        |    SELECT query_id, cent_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY d, cent_id) AS rn
+        |    FROM qd2) WHERE rn <= 2),
+        |cand AS (SELECT p.query_id, af.vec_id AS corpus_id
+        |  FROM probes p JOIN af ON af.cent_id = p.cent_id
+        |  WHERE af.vec_id <> p.query_id),
+        |adcp AS (SELECT c.query_id, c.corpus_id, sum(dt.dq)::BIGINT AS dot_pq
+        |  FROM cand c
+        |  JOIN codes ON codes.corpus_id = c.corpus_id
+        |  JOIN dt ON dt.query_id = c.query_id AND dt.s = codes.s
+        |    AND dt.cent_id = codes.code
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT query_id, count(*)::BIGINT AS rows_scanned
+        |  FROM cand GROUP BY 1)
+        |SELECT query_id, rank::BIGINT AS rank, corpus_id, dot_pq,
+        |  rows_scanned
+        |FROM (
+        |  SELECT a.query_id, a.corpus_id, a.dot_pq, sc.rows_scanned,
+        |    row_number() OVER (PARTITION BY a.query_id
+        |      ORDER BY a.dot_pq DESC, a.corpus_id) AS rank
+        |  FROM adcp a JOIN sc USING (query_id))
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
     // Mirrors filteredAnnReport: the q23 int64 dot ranking on the
     // label-filtered subset (ground truth) and on the full corpus
     // (post-filter arm, overfetch 50 re-cut to 10 by global rank),

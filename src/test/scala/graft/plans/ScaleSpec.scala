@@ -193,6 +193,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("ivfPqTopK is cell-pruned: only probed cells' codes reach the ADC join") {
+    // two well-separated clusters; query 0 lives in cluster A, so with
+    // nprobe=1 the ADC scan must touch exactly |A|-1 candidates and no
+    // B member can appear in the result at any rank
+    val a = (0L until 25L).map(i =>
+      (i, Array(0.9f + (i % 3) * 0.001f, 0.1f, 0.0f, 0.0f)))
+    val b = (25L until 40L).map(i =>
+      (i, Array(0.1f, 0.9f + (i % 3) * 0.001f, 0.0f, 0.0f)))
+    val vecs = (a ++ b).toDF("vec_id", "embedding")
+    val trained = Seq(
+      (0L, Array(900000L, 100000L, 0L, 0L)),
+      (1L, Array(100000L, 900000L, 0L, 0L))).toDF("cent_id", "cv")
+    val df = graft.pipeline.Similarity.ivfPqTopK(vecs,
+      vecs.filter(col("vec_id") === 0), trained,
+      vecs.filter(col("vec_id") % 10 === 3), "vec_id", "embedding",
+      numSubspaces = 2, subDim = 2, k = 50, nprobe = 1)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // scan bound: 24 candidates (cluster A minus self), NOT 39 — the
+    // pruning happened before scoring, not as a post-filter on ranks
+    assert(rows.map(_.getAs[Long]("rows_scanned")).distinct.toSeq == Seq(24L))
+    assert(rows.length == 24)
+    assert(rows.forall(_.getAs[Long]("corpus_id") < 25L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // (the |Q|×C probe ranking IS a broadcast nested-loop cross on the
+    // centroid table — bounded by construction, the q33 device; the
+    // corpus-side joins must all be hash joins)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("bucketedGlobalRank equals the single-task rank and keeps every Window partitioned") {
     import org.apache.spark.sql.expressions.Window
     // heavy ties (including at min and max), negatives, reversed
