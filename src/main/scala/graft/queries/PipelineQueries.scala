@@ -1897,6 +1897,81 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Trained unigram-LM pieces, cached per (session, sf dir): q209
+    * reports the inventory, q210 encodes with it — the EM training runs
+    * once. Driver-local Seq (≈70 rows), like [[sharedMerges]]. */
+  private val sharedUnigram = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[(String, Long)]]
+
+  private def unigramPieces(spark: SparkSession,
+      dir: String): Seq[(String, Long)] =
+    sharedUnigram.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.pipeline.Unigram.trainPieces(docs(spark, dir), "text"))
+
+  /** Unigram-LM tokenizer training ([[graft.pipeline.Unigram]]): seeded
+    * substring inventory → 2 hard-EM rounds (integer-cost Viterbi
+    * segmentation of the word-frequency relation) → pruned piece table.
+    * Iterative EM — not SQL-expressible → rows-only by the q36/q71
+    * contract; UnigramSpec pins the table against an independent
+    * single-threaded reimplementation and the golden spec pins the
+    * sf0.001 dump. The ENCODE side is oracle-checked through q210. */
+  def q209UnigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    unigramPieces(spark, dir).zipWithIndex
+      .map { case ((p, c), i) => (i + 1L, p, p.length.toLong, c) }
+      .toDF("rank", "piece", "piece_len", "usage")
+      .orderBy(col("rank"))
+  }
+
+  /** Snapshot of the trained tables behind the q210 oracle: set when
+    * q210 constructs (Verify dumps oracle_sql.json AFTER the query
+    * loop, so the snapshot always reflects the dir that actually ran —
+    * the dynamic form of the q15/q31 embedded-stem-map device). */
+  @volatile private var q210Tables
+      : Option[(Seq[(String, Long)], Seq[(String, String)])] = None
+
+  /** Tokenizer fertility A/B — BPE (q71 merges) vs unigram-LM (q209
+    * pieces) over the SAME corpus: per source, exact word/token sums,
+    * both fertilities through the round device, and an integer-compare
+    * winner. The oracle replays both ENCODERS from the embedded trained
+    * tables entirely in SQL: BPE as 10 chained non-overlapping
+    * `replace()` rewrites over double-space symbol strings (the
+    * [[Bpe.referenceEncode]] replay device — equivalent to the greedy
+    * kernel, pinned by BpeEncodeSpec), unigram as the rolling-state
+    * recursive-CTE Viterbi over `128·cost + 1` packed integers — so a
+    * wrong segmentation in EITHER kernel hash-mismatches. Training
+    * itself is pinned by the independent-reimplementation specs (BPE)
+    * and UnigramSpec (q209). */
+  def q210TokenizerAb(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(spark, dir).map { case (_, l, r, _) => (l, r) }
+    val pieces = unigramPieces(spark, dir)
+    val costs = graft.pipeline.Unigram.costsOf(pieces.toMap)
+    q210Tables = Some((costs.toSeq.sortBy(_._1), merges))
+    val d = docs(spark, dir)
+    val bpe = Bpe.encode(d, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_words"), col("n_tokens").as("_bt"))
+    val uni = graft.pipeline.Unigram.encode(d, "doc_id", "text", costs)
+      .select(col("doc_id"), col("n_tokens").as("_ut"))
+    bpe.join(uni, Seq("doc_id"))
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("_bt")).as("bpe_tokens"),
+        sum(col("_ut")).as("uni_tokens"))
+      .select(col("source"), col("n_words"), col("bpe_tokens"),
+        col("uni_tokens"),
+        round((col("bpe_tokens").cast("double") /
+          col("n_words").cast("double")).cast("decimal(28,10)"), 6)
+          .cast("double").as("bpe_fertility"),
+        round((col("uni_tokens").cast("double") /
+          col("n_words").cast("double")).cast("decimal(28,10)"), 6)
+          .cast("double").as("uni_fertility"),
+        when(col("bpe_tokens") < col("uni_tokens"), lit("bpe"))
+          .when(col("uni_tokens") < col("bpe_tokens"), lit("unigram"))
+          .otherwise(lit("tie")).as("winner"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-document 8-gram novelty ([[Dedup.gramNovelty]]) — the
     * duplicate-n-gram quality signal, exhaustive exact-gram form. */
   def q70GramNovelty(spark: SparkSession, dir: String): DataFrame =
@@ -2292,6 +2367,8 @@ object PipelineQueries {
     "q206_schema_evolution" -> q206SchemaEvolution,
     "q207_crossmodal_keeplist" -> q207CrossModalKeepList,
     "q208_ivf_pq" -> q208IvfPq,
+    "q209_unigram_train" -> q209UnigramTrain,
+    "q210_tokenizer_ab" -> q210TokenizerAb,
     "q192_quarantine" -> q192Quarantine,
     "q193_gini" -> q193GiniConcentration,
     "q195_filtered_ann" -> q195FilteredAnn,
@@ -3055,7 +3132,80 @@ object PipelineQueries {
         |    least(d.doc_id, coalesce(l.m, d.doc_id)) AS cluster_id
         |  FROM documents d LEFT JOIN lbl l ON l.doc = d.doc_id)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** The q210 oracle, generated from the trained-table snapshot: BPE
+    * replay via chained literal `replace()` over double-space symbol
+    * strings (left-to-right non-overlapping by replace semantics), and
+    * unigram Viterbi as a rolling-state recursive CTE minimizing the
+    * packed `128·cost + 1` objective with `least()` (NULL candidates —
+    * absent pieces / short prefixes — are skipped by least). Until q210
+    * first constructs, a deliberately row-less placeholder keeps
+    * oracle_sql.json well-formed (the driver always runs the full query
+    * set before the dump). */
+  private def q210OracleNow: String = q210Tables match {
+    case None =>
+      "SELECT NULL AS source WHERE 1 = 0 -- q210 not constructed this session"
+    case Some((costs, merges)) =>
+      def esc(s: String): String = s.replace("'", "''")
+      val up = costs.map { case (p, c) => s"('${esc(p)}', ${c}::BIGINT)" }
+        .mkString(",\n    ")
+      val chain = merges.foldLeft("s") { case (acc, (l, r)) =>
+        s"replace($acc, ' ${esc(l)}  ${esc(r)} ', ' ${esc(l + r)} ')"
+      }
+      s"""WITH RECURSIVE up(piece, cost) AS (VALUES
+         |    $up),
+         |tok AS (SELECT source,
+         |    unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+')) AS w
+         |  FROM documents),
+         |tw AS (SELECT source, w, count(*)::BIGINT AS cnt FROM tok
+         |  WHERE len(w) > 0 GROUP BY 1, 2),
+         |uw AS (SELECT DISTINCT w FROM tw),
+         |rec AS (
+         |  SELECT w, 0 AS pos, 0::BIGINT AS b0, NULL::BIGINT AS b1,
+         |    NULL::BIGINT AS b2, NULL::BIGINT AS b3 FROM uw
+         |  UNION ALL
+         |  SELECT w, pos + 1,
+         |    least(
+         |      b0 + (SELECT 128 * cost + 1 FROM up
+         |            WHERE piece = substr(w, pos + 1, 1)),
+         |      CASE WHEN pos >= 1 THEN b1 + (SELECT 128 * cost + 1 FROM up
+         |            WHERE piece = substr(w, pos, 2)) END,
+         |      CASE WHEN pos >= 2 THEN b2 + (SELECT 128 * cost + 1 FROM up
+         |            WHERE piece = substr(w, pos - 1, 3)) END,
+         |      CASE WHEN pos >= 3 THEN b3 + (SELECT 128 * cost + 1 FROM up
+         |            WHERE piece = substr(w, pos - 2, 4)) END),
+         |    b0, b1, b2
+         |  FROM rec WHERE pos < len(w)),
+         |useg AS (SELECT w, (b0 % 128)::BIGINT AS ntok FROM rec
+         |  WHERE pos = len(w)),
+         |bw AS (SELECT w,
+         |    ' ' || array_to_string(regexp_split_to_array(w, ''), '  ') || ' '
+         |      AS s
+         |  FROM uw),
+         |bseg AS (SELECT w,
+         |    len(string_split(trim($chain), '  '))::BIGINT AS ntok FROM bw),
+         |agg AS (SELECT tw.source,
+         |    sum(tw.cnt)::BIGINT AS n_words,
+         |    sum(tw.cnt * b.ntok)::BIGINT AS bpe_tokens,
+         |    sum(tw.cnt * u.ntok)::BIGINT AS uni_tokens
+         |  FROM tw JOIN bseg b USING (w) JOIN useg u USING (w)
+         |  GROUP BY 1)
+         |SELECT source, n_words, bpe_tokens, uni_tokens,
+         |  round((bpe_tokens::DOUBLE / n_words::DOUBLE)::DECIMAL(28,10), 6)
+         |    ::DOUBLE AS bpe_fertility,
+         |  round((uni_tokens::DOUBLE / n_words::DOUBLE)::DECIMAL(28,10), 6)
+         |    ::DOUBLE AS uni_fertility,
+         |  CASE WHEN bpe_tokens < uni_tokens THEN 'bpe'
+         |    WHEN uni_tokens < bpe_tokens THEN 'unigram'
+         |    ELSE 'tie' END AS winner
+         |FROM agg ORDER BY source""".stripMargin
+  }
+
+  /** Static oracles plus the dynamically-generated q210 twin (rebuilt
+    * on every access so it reflects the tables trained this session). */
+  def oracles: Map[String, String] =
+    staticOracles + ("q210_tokenizer_ab" -> q210OracleNow)
+
+  private val staticOracles: Map[String, String] = Map(
     "q19_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_dups
