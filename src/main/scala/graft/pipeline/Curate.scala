@@ -32,6 +32,26 @@ object Curate {
   def curate(corpus: DataFrame, idCol: String, textCol: String,
       groupCol: String, evalSet: DataFrame, evalIdCol: String,
       evalTextCol: String, rates: Map[String, Int], gramN: Int = 8,
+      salt: String = "curate"): DataFrame =
+    curateStaged(corpus, idCol, textCol, groupCol, evalSet, evalIdCol,
+      evalTextCol, Nil, rates, gramN, salt)
+
+  /** [[curate]] with caller-supplied drop stages spliced between the
+    * duplicate and contamination verdicts — the FULL production ledger
+    * (quality → exact dedup → near-dup cluster → semantic dedup →
+    * decontamination → mix), where the iterative stages (near-dup
+    * label propagation, semantic centroid assignment) arrive as
+    * already-computed dropped-id relations and this operator stays one
+    * declarative plan. `extraStages` is (stage name → single-column
+    * dropped-id relation named `idCol`) in pipeline order; a doc in
+    * stage s gets verdict `dropped_<s>` unless an earlier stage claimed
+    * it. Flags stay independently computed + rank-ordered (the
+    * [[curate]] scale argument: an extra id-keyed join per stage is
+    * cheaper than sequencing text through stage filters). */
+  def curateStaged(corpus: DataFrame, idCol: String, textCol: String,
+      groupCol: String, evalSet: DataFrame, evalIdCol: String,
+      evalTextCol: String, extraStages: Seq[(String, DataFrame)],
+      rates: Map[String, Int], gramN: Int = 8,
       salt: String = "curate"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -59,13 +79,24 @@ object Curate {
       .select(col(idCol), col("contaminated").as("_contam"))
 
     val ratesDf = rates.toSeq.toDF(groupCol, "_rate_pct")
-    base.select(col(idCol), col(groupCol), col("_q"))
-      .join(dupFlag, Seq(idCol), "left")
+    val flagged = extraStages.zipWithIndex.foldLeft(
+      base.select(col(idCol), col(groupCol), col("_q"))
+        .join(dupFlag, Seq(idCol), "left")) {
+      case (acc, ((_, ids), i)) =>
+        acc.join(ids.select(col(idCol)).withColumn(s"_x$i", lit(1L)),
+          Seq(idCol), "left")
+    }
+    val midStages = extraStages.zipWithIndex.foldLeft(
+      when(!col("_q"), "dropped_quality")
+        .when(col("_dup"), "dropped_duplicate")) {
+      case (w, ((name, _), i)) =>
+        w.when(col(s"_x$i").isNotNull, s"dropped_$name")
+    }
+    flagged
       .join(contamFlag, Seq(idCol), "left")
       .join(broadcast(ratesDf), Seq(groupCol), "left")
       .select(col(idCol), col(groupCol),
-        when(!col("_q"), "dropped_quality")
-          .when(col("_dup"), "dropped_duplicate")
+        midStages
           .when(col("_contam"), "dropped_contaminated")
           .when(coalesce(TextMetrics.mixKeeps(col(idCol), col("_rate_pct"), salt),
             lit(false)), "kept")

@@ -121,10 +121,12 @@ object PipelineQueries {
         "q173_kendall_tau", "q179_hybrid_retrieval", "q182_mrr",
         "q186_matryoshka_recall", "q188_mmr_select",
         "q195_filtered_ann", "q204_cluster_budget",
-        "q207_crossmodal_keeplist", "q208_ivf_pq"),
+        "q207_crossmodal_keeplist", "q208_ivf_pq", "q211_ivfpq_recall",
+        "q212_curate_full"),
       () => releaseEmbCache()),
     "kmeans" -> CacheFamily(
-      Set("q89_kmeans_train", "q204_cluster_budget", "q208_ivf_pq"),
+      Set("q89_kmeans_train", "q204_cluster_budget", "q208_ivf_pq",
+        "q211_ivfpq_recall"),
       () => releaseKmeansCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -144,7 +146,7 @@ object PipelineQueries {
     "clusters" -> CacheFamily(
       Set("q37_neardup_clusters", "q74_keep_best", "q93_effective_size",
         "q113_cluster_size_histogram", "q123_cluster_weights",
-        "q207_crossmodal_keeplist"),
+        "q207_crossmodal_keeplist", "q212_curate_full"),
       () => releaseClusterCache()),
     "dhash" -> CacheFamily(
       Set("q199_image_neardups", "q201_audio_neardups",
@@ -1730,6 +1732,40 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** FULL curation ledger ([[Curate.curateStaged]]): the q67 composed
+    * pipeline extended with the two iterative dedup stages a production
+    * curation actually runs between exact dedup and decontamination —
+    * near-dup cluster canonicalization (q37's label propagation over
+    * the shared cluster cache) and semantic dedup (q56's centroid
+    * witness rule over the embeddings cache) — one per-document verdict
+    * ledger: quality → duplicate → neardup → semantic → contaminated →
+    * sampled/kept, first drop wins. The iterative stages arrive as
+    * dropped-id relations; the ledger itself stays ONE declarative
+    * plan where text never crosses a shuffle. Distinct mix salt
+    * (`curate2`) so the keep decisions cannot correlate with q67's.
+    * The oracle recomputes every stage in SQL — the recursive cluster
+    * closure, the centroid-assignment witness join, and q67's CTE
+    * block verbatim. */
+  def q212CurateFull(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nearDrop = docClusters(spark, dir)
+      .filter(col("cluster_id") =!= col("doc_id")).select(col("doc_id"))
+    val e = emb(spark, dir)
+    val semDrop = Dedup.semanticDedup(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 16), "vec_id", "embedding",
+        minDotQ = 400000000000L)
+      .filter(col("kept") === 0L)
+      .select(col("vec_id").as("doc_id"))
+    Curate.curateStaged(d.filter(col("source") =!= "src0"), "doc_id",
+        "text", "source", d.filter(col("source") === "src0"), "doc_id",
+        "text",
+        Seq("neardup" -> nearDrop, "semantic" -> semDrop),
+        rates = Map("src1" -> 100, "src2" -> 75, "src3" -> 50,
+          "src4" -> 25, "src5" -> 10),
+        salt = "curate2")
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic 80/10/10 split assignment
     * ([[TextMetrics.assignSplits]]) — documents keep their split under
     * repartitioning, reruns and corpus growth. */
@@ -1895,6 +1931,38 @@ object PipelineQueries {
           col("n_tokens").cast("double")).cast("decimal(28,10)"), 6)
           .cast("double").as("chars_per_token"))
       .orderBy(col("source"))
+  }
+
+  /** Recall@10 + scan cost of the q208 composed IVF-PQ index against
+    * the q23 exact baseline ([[Similarity.recallReport]]): the
+    * index-health report a retrieval stack reads before shipping an
+    * index config — how much recall the nprobe=2 cell pruning trades
+    * for scanning only `scan_frac` of the corpus. Rides the embeddings
+    * + trained-centroid caches; the oracle nests both full bodies and
+    * re-derives the hit join and the scan fraction. */
+  def q211IvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+      k = 10)
+    // two consumers (hit join + scan extraction) — materialize the
+    // 160-row result once instead of running the index twice
+    val approx = Similarity.ivfPqTopK(e, q, trainedCentroids(spark, dir),
+        e.filter(col("vec_id") % 61 === 3), "vec_id", "embedding",
+        numSubspaces = 4, subDim = 16, k = 10, nprobe = 2)
+      .localCheckpoint(true)
+    val scans = approx.groupBy(col("query_id"))
+      .agg(max(col("rows_scanned")).as("rows_scanned"))
+    val n = e.agg(count(lit(1)).as("_n"))
+    Similarity.recallReport(exact, approx, k = 10)
+      .join(scans, Seq("query_id"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("query_id"), col("n_hit"), col("k"), col("recall"),
+        coalesce(col("rows_scanned"), lit(0L)).as("rows_scanned"),
+        round((coalesce(col("rows_scanned"), lit(0L)).cast("double") /
+          (col("_n") - 1L).cast("double")).cast("decimal(28,10)"), 6)
+          .cast("double").as("scan_frac"))
+      .orderBy(col("query_id"))
   }
 
   /** Trained unigram-LM pieces, cached per (session, sf dir): q209
@@ -2369,6 +2437,8 @@ object PipelineQueries {
     "q208_ivf_pq" -> q208IvfPq,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
+    "q211_ivfpq_recall" -> q211IvfPqRecall,
+    "q212_curate_full" -> q212CurateFull,
     "q192_quarantine" -> q192Quarantine,
     "q193_gini" -> q193GiniConcentration,
     "q195_filtered_ann" -> q195FilteredAnn,
@@ -2529,6 +2599,119 @@ object PipelineQueries {
       |  FROM vsub vs JOIN cwsub cs ON cs.s = vs.s WHERE vs.vec_id < 16),
       |dt AS (SELECT query_id, s, cent_id, sum(ax * bx)::BIGINT AS dq
       |  FROM qe GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The q67 curation CTE block (corpus/quality/exact-dup/gram-
+    * contamination/rates), without the WITH keyword or the final
+    * verdict SELECT — shared verbatim by q67 and the q212 full ledger
+    * so the stage semantics cannot drift. */
+  private lazy val q67Ctes: String =
+    """corpus AS (SELECT doc_id, source, text FROM documents
+      |  WHERE source <> 'src0'),
+      |q AS (SELECT doc_id, source, text,
+      |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t,
+      |    (length(text) >= 50
+      |     AND (length(text) - length(regexp_replace(text,
+      |            '[^a-zA-Z0-9 \t\n\f\r]', '', 'g')))::DOUBLE
+      |         / length(text)::DOUBLE < 0.2
+      |     AND (length(text) - len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
+      |            + 1)::DOUBLE
+      |         / len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::DOUBLE
+      |         BETWEEN 3 AND 12) AS q_ok
+      |  FROM corpus),
+      |pass1 AS (SELECT doc_id, source, text, t FROM q WHERE q_ok),
+      |keep AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 \t\n\f\r]', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g'))) AS ck,
+      |    min(doc_id) AS keep_id
+      |  FROM pass1 GROUP BY 1),
+      |dup AS (SELECT p.doc_id, p.doc_id <> k.keep_id AS is_dup
+      |  FROM pass1 p JOIN keep k
+      |    ON md5(trim(regexp_replace(regexp_replace(lower(p.text),
+      |         '[^a-z0-9 \t\n\f\r]', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g'))) = k.ck),
+      |cg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+      |    [('0x'
+      |      || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+      |     for i in generate_series(1, len(t) - 7)]
+      |  ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM pass1),
+      |eg AS (SELECT DISTINCT gram_fp FROM (
+      |  SELECT unnest(CASE WHEN len(t) >= 8 THEN
+      |      [('0x'
+      |        || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+      |       for i in generate_series(1, len(t) - 7)]
+      |    ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM (
+      |    SELECT regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
+      |    FROM documents WHERE source = 'src0'))),
+      |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram_fp)),
+      |rates AS (SELECT * FROM (VALUES
+      |    ('src1', 100), ('src2', 75), ('src3', 50), ('src4', 25),
+      |    ('src5', 10)) AS r(source, rate_pct))""".stripMargin
+
+  /** The q56 semantic-dedup oracle, whole (also nested as q212's
+    * semantic-drop CTE): centroid assignment by exact int64 squared L2
+    * (ties to the lowest id), lower-id cluster-mate witness at the
+    * 0.4·1e12 quantized dot. */
+  private lazy val q56Oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cent_id, qv AS cv FROM v WHERE vec_id < 16),
+      |ex AS (SELECT a.vec_id, c.cent_id, unnest(a.qv) AS ax, unnest(c.cv) AS cx
+      |       FROM v a CROSS JOIN c),
+      |dist AS (SELECT vec_id, cent_id, sum((ax - cx) * (ax - cx))::BIGINT AS d
+      |         FROM ex GROUP BY 1, 2),
+      |asg AS (SELECT vec_id, cent_id AS cluster_id FROM (
+      |    SELECT vec_id, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |pe AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |         unnest(va.qv) AS ax, unnest(vb.qv) AS bx
+      |       FROM asg a
+      |       JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      |       JOIN v va ON va.vec_id = a.vec_id
+      |       JOIN v vb ON vb.vec_id = b.vec_id),
+      |dups AS (SELECT DISTINCT b_id FROM (
+      |    SELECT a_id, b_id, sum(ax * bx)::BIGINT AS dot_q FROM pe GROUP BY 1, 2)
+      |  WHERE dot_q >= 400000000000)
+      |SELECT g.vec_id, g.cluster_id,
+      |  (CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+      |FROM asg g LEFT JOIN dups d ON d.b_id = g.vec_id
+      |ORDER BY g.vec_id""".stripMargin
+
+  /** The q208 IVF-PQ oracle, whole (also nested as q211's approx arm):
+    * Lloyd CTEs + PQ CTEs + probe routing + the cell-pruned ADC sum
+    * with rows_scanned. */
+  private lazy val q208Oracle: String =
+    kmeansAssignCtes + ",\n" + pqCtes +
+      """,
+      |qe2 AS (SELECT q.vec_id AS query_id, c.cent_id,
+      |    unnest(q.qv) AS ax, unnest(c.cv) AS bx
+      |  FROM v q CROSS JOIN c2 c WHERE q.vec_id < 16),
+      |qd2 AS (SELECT query_id, cent_id,
+      |    sum((ax - bx) * (ax - bx))::BIGINT AS d
+      |  FROM qe2 GROUP BY 1, 2),
+      |probes AS (SELECT query_id, cent_id FROM (
+      |    SELECT query_id, cent_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY d, cent_id) AS rn
+      |    FROM qd2) WHERE rn <= 2),
+      |cand AS (SELECT p.query_id, af.vec_id AS corpus_id
+      |  FROM probes p JOIN af ON af.cent_id = p.cent_id
+      |  WHERE af.vec_id <> p.query_id),
+      |adcp AS (SELECT c.query_id, c.corpus_id, sum(dt.dq)::BIGINT AS dot_pq
+      |  FROM cand c
+      |  JOIN codes ON codes.corpus_id = c.corpus_id
+      |  JOIN dt ON dt.query_id = c.query_id AND dt.s = codes.s
+      |    AND dt.cent_id = codes.code
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT query_id, count(*)::BIGINT AS rows_scanned
+      |  FROM cand GROUP BY 1)
+      |SELECT query_id, rank::BIGINT AS rank, corpus_id, dot_pq,
+      |  rows_scanned
+      |FROM (
+      |  SELECT a.query_id, a.corpus_id, a.dot_pq, sc.rows_scanned,
+      |    row_number() OVER (PARTITION BY a.query_id
+      |      ORDER BY a.dot_pq DESC, a.corpus_id) AS rank
+      |  FROM adcp a JOIN sc USING (query_id))
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   private def kmeansIterCtes(i: Int): String = {
     val prev = if (i == 1) "c0" else s"c${i - 1}"
@@ -3960,38 +4143,30 @@ object PipelineQueries {
     // CTEs route each query to its 2 nearest trained cells, the shared
     // PQ CTEs encode/score, and the ADC sum runs only over the probed
     // cells' members (cand) — rows_scanned counts them per query.
-    "q208_ivf_pq" ->
-      (kmeansAssignCtes + ",\n" + pqCtes +
-        """,
-        |qe2 AS (SELECT q.vec_id AS query_id, c.cent_id,
-        |    unnest(q.qv) AS ax, unnest(c.cv) AS bx
-        |  FROM v q CROSS JOIN c2 c WHERE q.vec_id < 16),
-        |qd2 AS (SELECT query_id, cent_id,
-        |    sum((ax - bx) * (ax - bx))::BIGINT AS d
-        |  FROM qe2 GROUP BY 1, 2),
-        |probes AS (SELECT query_id, cent_id FROM (
-        |    SELECT query_id, cent_id, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY d, cent_id) AS rn
-        |    FROM qd2) WHERE rn <= 2),
-        |cand AS (SELECT p.query_id, af.vec_id AS corpus_id
-        |  FROM probes p JOIN af ON af.cent_id = p.cent_id
-        |  WHERE af.vec_id <> p.query_id),
-        |adcp AS (SELECT c.query_id, c.corpus_id, sum(dt.dq)::BIGINT AS dot_pq
-        |  FROM cand c
-        |  JOIN codes ON codes.corpus_id = c.corpus_id
-        |  JOIN dt ON dt.query_id = c.query_id AND dt.s = codes.s
-        |    AND dt.cent_id = codes.code
-        |  GROUP BY 1, 2),
-        |sc AS (SELECT query_id, count(*)::BIGINT AS rows_scanned
-        |  FROM cand GROUP BY 1)
-        |SELECT query_id, rank::BIGINT AS rank, corpus_id, dot_pq,
-        |  rows_scanned
-        |FROM (
-        |  SELECT a.query_id, a.corpus_id, a.dot_pq, sc.rows_scanned,
-        |    row_number() OVER (PARTITION BY a.query_id
-        |      ORDER BY a.dot_pq DESC, a.corpus_id) AS rank
-        |  FROM adcp a JOIN sc USING (query_id))
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "q208_ivf_pq" -> q208Oracle,
+    // Recall@10 of the q208 cell-pruned index against the q23 exact
+    // baseline, with the scan fraction beside it — both bodies nested
+    // whole, one hit join (the q69 device pointed at IVF-PQ).
+    "q211_ivfpq_recall" ->
+      (s"WITH b AS (\n$q23Body\n),\na AS (SELECT * FROM (\n$q208Oracle\n)),\n" +
+        """n AS (SELECT count(*)::BIGINT AS nc FROM embeddings),
+          |hit AS (SELECT b.query_id,
+          |    sum(CASE WHEN a.corpus_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+          |      AS n_hit
+          |  FROM b LEFT JOIN a
+          |    ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id
+          |  GROUP BY 1),
+          |sc AS (SELECT query_id, max(rows_scanned)::BIGINT AS rows_scanned
+          |  FROM a GROUP BY 1)
+          |SELECT h.query_id, h.n_hit, 10::BIGINT AS k,
+          |  round((h.n_hit::DOUBLE / 10.0)::DECIMAL(28,10), 6)::DOUBLE
+          |    AS recall,
+          |  coalesce(sc.rows_scanned, 0)::BIGINT AS rows_scanned,
+          |  round((coalesce(sc.rows_scanned, 0)::DOUBLE
+          |      / (n.nc - 1)::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+          |    AS scan_frac
+          |FROM hit h LEFT JOIN sc USING (query_id) CROSS JOIN n
+          |ORDER BY h.query_id""".stripMargin),
     // Mirrors filteredAnnReport: the q23 int64 dot ranking on the
     // label-filtered subset (ground truth) and on the full corpus
     // (post-filter arm, overfetch 50 re-cut to 10 by global rank),
@@ -4457,33 +4632,7 @@ object PipelineQueries {
           |FROM f ORDER BY doc_id""".stripMargin),
     // Mirrors Dedup.semanticDedup (centroids = vec_id < 16, argmin with
     // centroid-id tie-break, independent-witness prune at dot_q >= 4e11).
-    "q56_semantic_dedup" ->
-      """WITH v AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
-        |  FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, qv AS cv FROM v WHERE vec_id < 16),
-        |ex AS (SELECT a.vec_id, c.cent_id, unnest(a.qv) AS ax, unnest(c.cv) AS cx
-        |       FROM v a CROSS JOIN c),
-        |dist AS (SELECT vec_id, cent_id, sum((ax - cx) * (ax - cx))::BIGINT AS d
-        |         FROM ex GROUP BY 1, 2),
-        |asg AS (SELECT vec_id, cent_id AS cluster_id FROM (
-        |    SELECT vec_id, cent_id,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
-        |    FROM dist) WHERE rn = 1),
-        |pe AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |         unnest(va.qv) AS ax, unnest(vb.qv) AS bx
-        |       FROM asg a
-        |       JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-        |       JOIN v va ON va.vec_id = a.vec_id
-        |       JOIN v vb ON vb.vec_id = b.vec_id),
-        |dups AS (SELECT DISTINCT b_id FROM (
-        |    SELECT a_id, b_id, sum(ax * bx)::BIGINT AS dot_q FROM pe GROUP BY 1, 2)
-        |  WHERE dot_q >= 400000000000)
-        |SELECT g.vec_id, g.cluster_id,
-        |  (CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
-        |FROM asg g LEFT JOIN dups d ON d.b_id = g.vec_id
-        |ORDER BY g.vec_id""".stripMargin,
+    "q56_semantic_dedup" -> q56Oracle,
     // Mirrors TextMetrics.classifierQuality (1024 buckets, wq = bucket
     // mod 197 - 98; bucket = md5-based 60-bit fingerprint mod 1024).
     "q57_quality_classifier" ->
@@ -6410,46 +6559,8 @@ object PipelineQueries {
     // identical across engines — no rounding needed for a comparison);
     // dedup/gram/mix devices are the q39/q43/q47 fragments.
     "q67_curate" ->
-      """WITH corpus AS (SELECT doc_id, source, text FROM documents
-        |  WHERE source <> 'src0'),
-        |q AS (SELECT doc_id, source, text,
-        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t,
-        |    (length(text) >= 50
-        |     AND (length(text) - length(regexp_replace(text,
-        |            '[^a-zA-Z0-9 \t\n\f\r]', '', 'g')))::DOUBLE
-        |         / length(text)::DOUBLE < 0.2
-        |     AND (length(text) - len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
-        |            + 1)::DOUBLE
-        |         / len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::DOUBLE
-        |         BETWEEN 3 AND 12) AS q_ok
-        |  FROM corpus),
-        |pass1 AS (SELECT doc_id, source, text, t FROM q WHERE q_ok),
-        |keep AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9 \t\n\f\r]', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g'))) AS ck,
-        |    min(doc_id) AS keep_id
-        |  FROM pass1 GROUP BY 1),
-        |dup AS (SELECT p.doc_id, p.doc_id <> k.keep_id AS is_dup
-        |  FROM pass1 p JOIN keep k
-        |    ON md5(trim(regexp_replace(regexp_replace(lower(p.text),
-        |         '[^a-z0-9 \t\n\f\r]', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g'))) = k.ck),
-        |cg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
-        |    [('0x'
-        |      || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
-        |     for i in generate_series(1, len(t) - 7)]
-        |  ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM pass1),
-        |eg AS (SELECT DISTINCT gram_fp FROM (
-        |  SELECT unnest(CASE WHEN len(t) >= 8 THEN
-        |      [('0x'
-        |        || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
-        |       for i in generate_series(1, len(t) - 7)]
-        |    ELSE CAST([] AS BIGINT[]) END) AS gram_fp FROM (
-        |    SELECT regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
-        |    FROM documents WHERE source = 'src0'))),
-        |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram_fp)),
-        |rates AS (SELECT * FROM (VALUES
-        |    ('src1', 100), ('src2', 75), ('src3', 50), ('src4', 25),
-        |    ('src5', 10)) AS r(source, rate_pct))
-        |SELECT q.doc_id, q.source,
+      (s"WITH $q67Ctes\n" +
+        """SELECT q.doc_id, q.source,
         |  -- IS NOT TRUE, not NOT: null text makes q_ok NULL here, while
         |  -- the Spark side's quality expression defaults to 0.0 (a firm
         |  -- false) — 'NOT NULL' would fall through to a later branch
@@ -6464,5 +6575,30 @@ object PipelineQueries {
         |FROM q LEFT JOIN dup d USING (doc_id)
         |       LEFT JOIN contam c USING (doc_id)
         |       LEFT JOIN rates r USING (source)
-        |ORDER BY q.doc_id""".stripMargin)
+        |ORDER BY q.doc_id""".stripMargin),
+    // The full curation ledger: the q37 recursive cluster closure + the
+    // q56 centroid-witness semantic dedup spliced between q67's
+    // duplicate and contamination verdicts, distinct mix salt.
+    "q212_curate_full" ->
+      ("WITH RECURSIVE " + clusterCtes.stripPrefix("WITH RECURSIVE ") +
+        s",\n$q67Ctes,\n" +
+        s"ndrop AS (SELECT doc_id FROM clus WHERE doc_id <> cluster_id),\n" +
+        s"sem AS (SELECT vec_id AS doc_id FROM (\n$q56Oracle\n) WHERE kept = 0)\n" +
+        """SELECT q.doc_id, q.source,
+        |  CASE WHEN q_ok IS NOT TRUE THEN 'dropped_quality'
+        |       WHEN d.is_dup THEN 'dropped_duplicate'
+        |       WHEN nd.doc_id IS NOT NULL THEN 'dropped_neardup'
+        |       WHEN sm.doc_id IS NOT NULL THEN 'dropped_semantic'
+        |       WHEN c.doc_id IS NOT NULL THEN 'dropped_contaminated'
+        |       WHEN r.rate_pct IS NOT NULL AND
+        |            ('0x' || substr(md5('curate2:' || q.doc_id::VARCHAR), 1, 15))
+        |              ::BIGINT % 100 < r.rate_pct
+        |         THEN 'kept'
+        |       ELSE 'dropped_sampled' END AS verdict
+        |FROM q LEFT JOIN dup d USING (doc_id)
+        |       LEFT JOIN ndrop nd USING (doc_id)
+        |       LEFT JOIN sem sm USING (doc_id)
+        |       LEFT JOIN contam c USING (doc_id)
+        |       LEFT JOIN rates r USING (source)
+        |ORDER BY q.doc_id""".stripMargin))
 }
