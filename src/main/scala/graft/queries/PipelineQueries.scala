@@ -1766,6 +1766,33 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Training-epoch data-plan manifest: the relation a dataloader
+    * actually reads — q63's weighted epoch upsampling (src0 250%, src1
+    * 150%, src2 80%) composed with PER-EPOCH deterministic resharding
+    * (the shuffleShards fingerprint device salted by epoch, so every
+    * epoch sees a different shard layout of the same copy set — the
+    * between-epochs reshuffle property, visible in the output as
+    * different per-shard splits across epochs) and exact token
+    * inventories per (epoch, shard). All hash gates are pure
+    * functions of (salt, id); the oracle recomputes copies, shards and
+    * inventories from the same md5 fingerprints. */
+  def q213EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val copies = TextMetrics.upsampleMix(
+      d.select(col("doc_id"), col("source")), "doc_id", "source",
+      Map("src0" -> 250, "src1" -> 150, "src2" -> 80))
+    val toks = d.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokenize(col("text")))
+        .cast("long").as("_nt"))
+    copies.join(toks, Seq("doc_id"))
+      .withColumn("shard", pmod(graft.functions.TextFunctions.fingerprint(
+        concat(lit("epoch:"), col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), lit(8L)))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
   /** Deterministic 80/10/10 split assignment
     * ([[TextMetrics.assignSplits]]) — documents keep their split under
     * repartitioning, reruns and corpus growth. */
@@ -2439,6 +2466,7 @@ object PipelineQueries {
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
     "q212_curate_full" -> q212CurateFull,
+    "q213_epoch_plan" -> q213EpochPlan,
     "q192_quarantine" -> q192Quarantine,
     "q193_gini" -> q193GiniConcentration,
     "q195_filtered_ann" -> q195FilteredAnn,
@@ -6576,6 +6604,31 @@ object PipelineQueries {
         |       LEFT JOIN contam c USING (doc_id)
         |       LEFT JOIN rates r USING (source)
         |ORDER BY q.doc_id""".stripMargin),
+    // Mirrors q213EpochPlan: upsample copies, epoch-salted shard
+    // fingerprints, exact token inventories per (epoch, shard).
+    "q213_epoch_plan" ->
+      """WITH w AS (SELECT * FROM (VALUES
+        |    ('src0', 250), ('src1', 150), ('src2', 80)) t(source, w_pct)),
+        |c AS (SELECT d.doc_id, d.source,
+        |    w.w_pct // 100
+        |      + CASE WHEN ('0x' || substr(md5('upsample:' || d.doc_id::VARCHAR),
+        |            1, 15))::BIGINT % 100 < w.w_pct % 100
+        |        THEN 1 ELSE 0 END AS n
+        |  FROM documents d JOIN w USING (source)),
+        |e AS (SELECT doc_id, unnest(generate_series(1, n)) AS epoch
+        |  FROM c WHERE n >= 1),
+        |t AS (SELECT doc_id,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT
+        |      AS nt
+        |  FROM documents),
+        |s AS (SELECT e.epoch::BIGINT AS epoch,
+        |    ('0x' || substr(md5('epoch:' || e.epoch::VARCHAR || ':'
+        |        || e.doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+        |    t.nt
+        |  FROM e JOIN t USING (doc_id))
+        |SELECT epoch, shard, count(*)::BIGINT AS n_docs,
+        |  sum(nt)::BIGINT AS n_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin,
     // The full curation ledger: the q37 recursive cluster closure + the
     // q56 centroid-witness semantic dedup spliced between q67's
     // duplicate and contamination verdicts, distinct mix salt.
