@@ -122,7 +122,7 @@ object PipelineQueries {
         "q186_matryoshka_recall", "q188_mmr_select",
         "q195_filtered_ann", "q204_cluster_budget",
         "q207_crossmodal_keeplist", "q208_ivf_pq", "q211_ivfpq_recall",
-        "q212_curate_full"),
+        "q212_curate_full", "q214_crossmodal_keepbest"),
       () => releaseEmbCache()),
     "kmeans" -> CacheFamily(
       Set("q89_kmeans_train", "q204_cluster_budget", "q208_ivf_pq",
@@ -132,7 +132,8 @@ object PipelineQueries {
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
         "q78_source_overlap", "q88_incremental_dedup", "q91_lsh_tuning",
         "q121_containment", "q174_edit_verify",
-        "q189_sorted_neighborhood", "q200_snm_multipass"),
+        "q189_sorted_neighborhood", "q200_snm_multipass",
+        "q214_crossmodal_keepbest"),
       () => releaseMinhashCaches()),
     "tf" -> CacheFamily(
       Set("q52_tfidf", "q53_surprisal", "q79_vocab_coverage",
@@ -151,7 +152,7 @@ object PipelineQueries {
     "dhash" -> CacheFamily(
       Set("q199_image_neardups", "q201_audio_neardups",
         "q202_video_neardups", "q203_image_clusters",
-        "q207_crossmodal_keeplist"),
+        "q207_crossmodal_keeplist", "q214_crossmodal_keepbest"),
       () => releaseDhashCache()))
 
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -1992,6 +1993,37 @@ object PipelineQueries {
       .orderBy(col("query_id"))
   }
 
+  /** Joint cross-modal keep-best ([[Dedup.nearDupClusters]] over the
+    * UNION of all five modality pair sets + [[Dedup.keepBestPerCluster]]):
+    * where q207 attributes each drop to its first stage with min-id
+    * canonicals, this is the other shipping form — ONE transitive
+    * closure across every near-dup signal (a text dup of A that is an
+    * image dup of B puts A, B and the doc in one joint cluster) and the
+    * q74 quality rule electing the best-quality member as the survivor.
+    * All five pair relations ride their shared caches (minhash, dhash,
+    * embeddings); the oracle recomputes the union closure recursively
+    * and the quality argmax in SQL. */
+  def q214CrossModalKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val semPairs = Dedup.embeddingNearDups(emb(spark, dir), "vec_id",
+        "embedding", minDotQ = 250000000000L, nBits = 8)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val allPairs = Seq(
+        minhashPairs(spark, dir).select(col("doc_a"), col("doc_b")),
+        semPairs,
+        imagePairs(spark, dir).select(col("doc_a"), col("doc_b")),
+        audioPairs(spark, dir).select(col("doc_a"), col("doc_b")),
+        videoPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+      .reduce(_ unionByName _)
+    val clusters = Dedup.nearDupClusters(d.select(col("doc_id")),
+      allPairs, "doc_id")
+    Dedup.keepBestPerCluster(clusters,
+        TextMetrics.qualityScore(d, "doc_id", "text"), "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("n_chars"), col("keep_best"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Trained unigram-LM pieces, cached per (session, sf dir): q209
     * reports the inventory, q210 encodes with it — the EM training runs
     * once. Driver-local Seq (≈70 rows), like [[sharedMerges]]. */
@@ -2467,6 +2499,7 @@ object PipelineQueries {
     "q211_ivfpq_recall" -> q211IvfPqRecall,
     "q212_curate_full" -> q212CurateFull,
     "q213_epoch_plan" -> q213EpochPlan,
+    "q214_crossmodal_keepbest" -> q214CrossModalKeepBest,
     "q192_quarantine" -> q192Quarantine,
     "q193_gini" -> q193GiniConcentration,
     "q195_filtered_ann" -> q195FilteredAnn,
@@ -3092,22 +3125,44 @@ object PipelineQueries {
        |${tag}lbl AS (SELECT doc, min(peer) AS m FROM ${tag}reach
        |  GROUP BY doc)""".stripMargin
 
-  /** The q207 cross-modal keep-list oracle: all five pair oracles
-    * nested whole (text MinHash, semantic sign-LSH, image/audio/video
-    * perceptual), five independent recursive closures, min-label
-    * canonicals, and the first-drop CASE in pipeline order. */
-  private lazy val q207Oracle: String = {
-    val pairCtes = Seq(
+  /** The q74 quality CTE `q(doc_id, n_chars, quality)` — mirrors
+    * TextMetrics.qualityScore; shared by the q74 and q214 keep-best
+    * oracles. */
+  private lazy val keepBestQualityCte: String =
+    """q AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    CASE WHEN length(text) >= 50
+      |      AND ((length(text) - length(regexp_replace(text,
+      |            '[^a-zA-Z0-9 \t\n\f\r]', '', 'g')))::DOUBLE
+      |          / length(text)::DOUBLE) < 0.2
+      |      AND (((length(text) - len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
+      |            + 1)::DOUBLE
+      |          / len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::DOUBLE)
+      |          BETWEEN 3 AND 12)
+      |    THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS quality
+      |  FROM documents)""".stripMargin
+
+  /** The five modality pair sets as CTEs `tpairs/spairs/ipairs/apairs/
+    * vpairs` — each full pair oracle nested whole; shared by the q207
+    * per-stage keep-list and the q214 joint keep-best. */
+  private lazy val modalPairCtes: String =
+    Seq(
       "t" -> s"SELECT doc_a, doc_b FROM (\n$q20Oracle\n)",
       "s" -> s"SELECT vec_a AS doc_a, vec_b AS doc_b FROM (\n$q40Oracle\n)",
       "i" -> s"SELECT doc_a, doc_b FROM (\n$q199Oracle\n)",
       "a" -> s"SELECT doc_a, doc_b FROM (\n$q201Oracle\n)",
       "v" -> s"SELECT doc_a, doc_b FROM (\n$q202Oracle\n)")
+      .map { case (tag, sql) => s"${tag}pairs AS (\n$sql\n)" }
+      .mkString(",\n")
+
+  /** The q207 cross-modal keep-list oracle: all five pair oracles
+    * nested whole (text MinHash, semantic sign-LSH, image/audio/video
+    * perceptual), five independent recursive closures, min-label
+    * canonicals, and the first-drop CASE in pipeline order. */
+  private lazy val q207Oracle: String = {
     val stages = Seq("t" -> "text", "s" -> "semantic", "i" -> "image",
       "a" -> "audio", "v" -> "video")
-    "WITH RECURSIVE " +
-      pairCtes.map { case (tag, sql) => s"${tag}pairs AS (\n$sql\n)" }
-        .mkString(",\n") + ",\n" +
+    "WITH RECURSIVE " + modalPairCtes + ",\n" +
       stages.map { case (tag, _) => reachCtes(tag) }.mkString(",\n") + ",\n" +
       "lab AS (SELECT d.doc_id,\n" +
       stages.map { case (tag, name) =>
@@ -3874,19 +3929,39 @@ object PipelineQueries {
     // comparison), and the representative is the row_number()=1 argmax
     // under the deterministic (quality DESC, n_chars DESC, doc_id) order.
     "q74_keep_best" ->
-      (clusterCtes + ",\n" +
-        """q AS (
-          |  SELECT doc_id, length(text) AS n_chars,
-          |    CASE WHEN length(text) >= 50
-          |      AND ((length(text) - length(regexp_replace(text,
-          |            '[^a-zA-Z0-9 \t\n\f\r]', '', 'g')))::DOUBLE
-          |          / length(text)::DOUBLE) < 0.2
-          |      AND (((length(text) - len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
-          |            + 1)::DOUBLE
-          |          / len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::DOUBLE)
-          |          BETWEEN 3 AND 12)
-          |    THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS quality
-          |  FROM documents)
+      (clusterCtes + ",\n" + keepBestQualityCte +
+        """
+          |SELECT c.doc_id, c.cluster_id, q.quality, q.n_chars,
+          |  row_number() OVER (PARTITION BY c.cluster_id
+          |    ORDER BY q.quality DESC, q.n_chars DESC, c.doc_id) = 1
+          |    AS keep_best
+          |FROM clus c JOIN q ON q.doc_id = c.doc_id
+          |ORDER BY c.doc_id""".stripMargin),
+    // Joint cross-modal keep-best: ONE transitive closure over the
+    // UNION of all five modality pair sets, then the q74 quality-
+    // representative rule over the joint clusters.
+    "q214_crossmodal_keepbest" ->
+      ("WITH RECURSIVE " + modalPairCtes + ",\n" +
+        """jpairs AS (
+          |  SELECT doc_a, doc_b FROM tpairs
+          |  UNION SELECT doc_a, doc_b FROM spairs
+          |  UNION SELECT doc_a, doc_b FROM ipairs
+          |  UNION SELECT doc_a, doc_b FROM apairs
+          |  UNION SELECT doc_a, doc_b FROM vpairs),
+          |edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+          |  UNION ALL SELECT doc_b, doc_a FROM jpairs),
+          |reach AS (
+          |  SELECT src AS doc, dst AS peer FROM edges
+          |  UNION
+          |  SELECT r.doc, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
+          |lbl AS (SELECT doc, min(peer) AS m FROM reach GROUP BY doc),
+          |clus AS (
+          |  SELECT d.doc_id,
+          |    least(d.doc_id, coalesce(l.m, d.doc_id)) AS cluster_id
+          |  FROM documents d LEFT JOIN lbl l ON l.doc = d.doc_id),
+          |""".stripMargin + keepBestQualityCte +
+        """
           |SELECT c.doc_id, c.cluster_id, q.quality, q.n_chars,
           |  row_number() OVER (PARTITION BY c.cluster_id
           |    ORDER BY q.quality DESC, q.n_chars DESC, c.doc_id) = 1

@@ -85,6 +85,27 @@ class CrossModalSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("joint clusters merge ACROSS modality pair sets; keep-best elects by quality") {
+    // text links 0-1, image links 1-2: the joint closure must put
+    // {0,1,2} in ONE cluster even though no single modality saw all
+    // three (the q214 semantics, vs q207's per-modality closures)
+    val textPairs = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val imgPairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(ids(4),
+      textPairs.unionByName(imgPairs), "doc_id")
+    val lbl = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+    // quality rule: cluster {0,1,2} elects doc 2 (quality 1.0 beats
+    // 0.0; n_chars 9 beats 5), NOT the min id
+    val quality = Seq((0L, 0.0, 10L), (1L, 1.0, 5L), (2L, 1.0, 9L),
+      (3L, 1.0, 3L)).toDF("doc_id", "quality", "n_chars")
+    val kb = Dedup.keepBestPerCluster(clusters, quality, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("keep_best")).toMap
+    assert(kb == Map(0L -> false, 1L -> false, 2L -> true, 3L -> true))
+  }
+
   test("absent (stage, doc) rows keep the document at that stage") {
     // tagged carries only stage 'x' labels for docs 0..1; doc 2 has no
     // row at all -> every stage canonical defaults to itself.
