@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.types.Decimal
 
-import graft.functions.{CountRlike, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, Sq8SqErrLongs, SqDistLongs, StemTokens}
+import graft.functions.{CountRlike, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * apply with `.withExtensions(new GraftExtensions)` (as
@@ -89,6 +89,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"count_rlike pattern must be a string literal, got $other")
         }
         CountRlike(children.head, pat)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sub_longs"),
+      new ExpressionInfo(classOf[SubLongs].getName, "sub_longs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"sub_longs expects exactly 2 arguments, got ${children.length}")
+        SubLongs(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("sqdist_longs"),

@@ -104,6 +104,22 @@ object VectorKernels {
     java.lang.Long.valueOf(acc)
   }
 
+  /** Element-wise aᵢ−bᵢ over long arrays (the IVF residual kernel:
+    * vector − assigned centroid); null on length mismatch, null elements
+    * propagate per position — the zip_with semantics. */
+  def subLongs(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        out(i) = java.lang.Long.valueOf(a.getLong(i) - b.getLong(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Σ (aᵢ−bᵢ)² over long arrays; null semantics as [[dotLongs]]. */
   def sqdistLongs(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
@@ -242,6 +258,43 @@ case class DotLongs(left: Expression, right: Expression) extends LongVectorFold 
       newLeft: Expression, newRight: Expression): DotLongs =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "dot_longs"
+}
+
+/** `sub_longs(a, b)`: element-wise int64 difference (array result) —
+  * the residual computation `x − centroid(cell(x))` of residual IVF-PQ,
+  * kept native so the corpus-wide residual projection stays inside
+  * whole-stage codegen instead of an interpreted `zip_with` lambda. */
+case class SubLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sub_longs requires two array<bigint>, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  // null even for non-null children: a length mismatch
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.subLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+      |  graft.functions.VectorKernels$$.MODULE$$.subLongs($a, $b);
+      |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ${ev.value}_r; }
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubLongs =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sub_longs"
 }
 
 /** `sqdist_longs(a, b)`: exact int64 squared L2 distance. */

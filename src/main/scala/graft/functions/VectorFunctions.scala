@@ -34,6 +34,16 @@ object VectorFunctions {
   def dotExactHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** Element-wise int64 difference of two quantized vectors — native
+    * [[SubLongs]] expression (the residual-IVF-PQ kernel
+    * `x − centroid(cell(x))`). */
+  def subExact(a: Column, b: Column): Column =
+    call_function("sub_longs", a, b)
+
+  /** Higher-order-function twin of [[subExact]] (parity spec only). */
+  def subExactHof(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x - y)
+
   /** Exact int64 squared L2 distance of two quantized vectors — native
     * [[SqDistLongs]] expression (the k-means / IVF assignment kernel). */
   def sqDistExact(a: Column, b: Column): Column =

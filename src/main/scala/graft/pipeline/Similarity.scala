@@ -852,6 +852,121 @@ object Similarity {
         col("rows_scanned"))
   }
 
+  /** Residual IVF-PQ retrieval — the refinement production IVF-PQ
+    * indexes actually ship (Jégou et al. 2011 §IV; the FAISS IndexIVFPQ
+    * default): PQ encodes the RESIDUAL `r(x) = x − centroid(cell(x))`
+    * instead of the raw vector. Residuals concentrate near the origin,
+    * so the same codebook budget spends its codewords on a far smaller
+    * ball — reconstruction error (and therefore ADC ranking error)
+    * drops vs [[ivfPqTopK]] at identical index size.
+    *
+    * Inner-product ADC decomposes exactly:
+    * `dot(q, x) = dot(q, c) + dot(q, r)` — so the score is the exact
+    * int64 `dot(q, centroid)` (computed once per probe, |Q|·nprobe
+    * values) plus the subspace LUT sum `Σ_s dot(q_s, cw_{code_s})`.
+    * The LUT is CELL-INDEPENDENT (it contracts the raw query against
+    * residual codewords), so one |Q|·m·|codebook| table broadcasts, same
+    * as flat PQ — the residual trick costs no extra LUT volume for IP
+    * scoring (an L2 formulation would need per-(query, cell) tables).
+    *
+    * Codebook: residuals of the caller's codebook rows under THEIR
+    * assigned cells (the offline stand-in device of q87 — a trained
+    * residual codebook drops in without touching the plan). Everything
+    * stays in the exact quantized int64 domain; ties break to the
+    * lowest codeword / corpus id.
+    *
+    * Scale shape: the corpus pays the [[assignCells]] pass (broadcast
+    * centroids) and ONE residual projection (native [[graft.functions.SubLongs]],
+    * whole-stage codegen) feeding the subspace argmin HashAggregate —
+    * codes and cell ids come out of the same relation, so unlike
+    * [[ivfPqTopK]] there is no codes⋈cells id join at all. Probes and
+    * the LUT broadcast; only (id, cell, s, code) longs ever shuffle.
+    * `rows_scanned` is emitted per query as in [[ivfPqTopK]] so the
+    * cell-pruning is part of the checked output. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      trained: DataFrame, codebook: DataFrame, idCol: String, vecCol: String,
+      numSubspaces: Int, subDim: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    require(numSubspaces >= 1 && subDim >= 1 && k >= 1 && nprobe >= 1,
+      "ivfPqResidualTopK: numSubspaces, subDim, k, nprobe must be >= 1")
+    // residual codewords can span ±2·scale per component, so size the
+    // packed-argmin id bits from the REAL codebook cardinality instead
+    // of pqCodes' fixed 16 — maximal distance headroom, loud overflow
+    val idBits = bitsFor(math.max(codebook.count() - 1, 0L))
+    def split(df: DataFrame, idOuts: Seq[String], vec: String,
+        subOut: String): DataFrame =
+      df.select(idOuts.map(col) :+
+          explode(sequence(lit(0), lit(numSubspaces - 1))).as("s") :+
+          col(vec) : _*)
+        .select(idOuts.map(col) :+ col("s").cast("long").as("s") :+
+          slice(col(vec), col("s") * lit(subDim) + lit(1), lit(subDim))
+            .as(subOut) : _*)
+    // corpus residuals: one broadcast-join pass carries the cell id AND
+    // the residual out of the same projection
+    val resid = corpus
+      .select(col(idCol).as("vid"), quantize(col(vecCol)).as("_qv"))
+      .join(assignCells(corpus, trained, idCol, vecCol), "vid")
+      .join(broadcast(trained), "cent_id")
+      .select(col("vid"), col("cent_id"),
+        subExact(col("_qv"), col("cv")).as("_rq"))
+    // residual codewords: the codebook rows under their own cells;
+    // codeword ids are the row_number order of the codebook id column
+    // (model-sized relation — the one global window in this plan)
+    val cbr = codebook
+      .select(col(idCol).as("_cbid"), quantize(col(vecCol)).as("_cq"))
+      .join(assignCells(codebook, trained, idCol, vecCol)
+        .withColumnRenamed("vid", "_cbid"), "_cbid")
+      .join(broadcast(trained), "cent_id")
+      .select(col("_cbid"), subExact(col("_cq"), col("cv")).as("_rq"))
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("_cbid"))) - 1).cast("long"))
+    val cwsub = split(cbr, Seq("code"), "_rq", "cw")
+    // encode: nearest residual codeword per subspace (packed argmin —
+    // HashAggregate with map-side partials)
+    val enc = split(resid.select(col("vid").as("corpus_id"), col("cent_id"),
+        col("_rq")), Seq("corpus_id", "cent_id"), "_rq", "sub")
+      .join(broadcast(cwsub), "s")
+      .groupBy(col("corpus_id"), col("cent_id"), col("s"))
+      .agg(unpackId(min(packDistId(sqDistExact(col("sub"), col("cw")),
+        col("code"), idBits)), idBits).as("code"))
+    // probes: nprobe nearest trained cells, carrying the exact
+    // first-order term dot(q, centroid)
+    val qq = queries.select(col(idCol).as("_pqid"),
+      quantize(col(vecCol)).as("_qq"))
+    val qd = qq.crossJoin(broadcast(trained))
+      .withColumn("_d", sqDistExact(col("_qq"), col("cv")))
+      .withColumn("_dot_qc", dotExact(col("_qq"), col("cv")))
+    val pw = Window.partitionBy("_pqid")
+      .orderBy(col("_d").asc, col("cent_id").asc)
+    val probes = qd.withColumn("_pr", row_number().over(pw))
+      .filter(col("_pr") <= nprobe)
+      .select(col("_pqid"), col("cent_id"), col("_dot_qc"))
+    // cell-independent residual LUT: dot(raw query subvector, codeword)
+    val dt = split(qq.select(col("_pqid").as("_qid"), col("_qq")),
+        Seq("_qid"), "_qq", "qsub")
+      .join(broadcast(cwsub), "s")
+      .select(col("_qid"), col("s").as("_s"), col("code").as("_code"),
+        dotExact(col("qsub"), col("cw")).as("dq"))
+    // cell-pruned candidates BEFORE any ADC work, as in ivfPqTopK
+    val cand = enc.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("corpus_id") =!= col("_pqid"))
+    val adc = cand.join(broadcast(dt),
+        col("_pqid") === col("_qid") && col("s") === col("_s") &&
+          col("code") === col("_code"))
+      .groupBy(col("_pqid").as("query_id"), col("corpus_id"))
+      // _dot_qc is constant within the group (a candidate reaches a
+      // query through exactly one cell — its own); min picks it exactly
+      .agg((min(col("_dot_qc")) + sum(col("dq"))).as("dot_rpq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot_rpq").desc, col("corpus_id").asc)
+    adc
+      .withColumn("rows_scanned",
+        count(lit(1)).over(Window.partitionBy(col("query_id"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("dot_rpq"), col("rows_scanned"))
+  }
+
   /** Norm-quantile outlier detection — the embedding-health FILTER that
     * follows [[embeddingStats]]' report: vectors whose exact quantized
     * squared norm falls outside the [p1, p99] percentile band are

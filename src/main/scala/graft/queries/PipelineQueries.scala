@@ -122,11 +122,12 @@ object PipelineQueries {
         "q186_matryoshka_recall", "q188_mmr_select",
         "q195_filtered_ann", "q204_cluster_budget",
         "q207_crossmodal_keeplist", "q208_ivf_pq", "q211_ivfpq_recall",
-        "q212_curate_full", "q214_crossmodal_keepbest"),
+        "q212_curate_full", "q214_crossmodal_keepbest",
+        "q215_ivfpq_residual"),
       () => releaseEmbCache()),
     "kmeans" -> CacheFamily(
       Set("q89_kmeans_train", "q204_cluster_budget", "q208_ivf_pq",
-        "q211_ivfpq_recall"),
+        "q211_ivfpq_recall", "q215_ivfpq_residual"),
       () => releaseKmeansCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -797,6 +798,25 @@ object PipelineQueries {
   def q208IvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 16),
+        trainedCentroids(spark, dir), e.filter(col("vec_id") % 61 === 3),
+        "vec_id", "embedding", numSubspaces = 4, subDim = 16, k = 10,
+        nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Residual IVF-PQ ([[Similarity.ivfPqResidualTopK]]): the FAISS-style
+    * refinement of q208 — PQ codes the residual `x − centroid(cell(x))`
+    * and scores `dot(q, centroid) + Σ_s LUT[s, code_s]` (the exact
+    * inner-product decomposition, so the LUT stays cell-independent).
+    * Same trained cells (the shared q89 centroids), same codebook-row
+    * device, same nprobe — only the quantization target changes, which
+    * is precisely the production index upgrade. The oracle recomputes
+    * the Lloyd rounds, the residual arrays (list comprehension), the
+    * residual codewords, the codes, the first-order probe dots and the
+    * pruned ADC sum entirely in SQL. */
+  def q215IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 16),
         trainedCentroids(spark, dir), e.filter(col("vec_id") % 61 === 3),
         "vec_id", "embedding", numSubspaces = 4, subDim = 16, k = 10,
         nprobe = 2)
@@ -2494,6 +2514,7 @@ object PipelineQueries {
     "q206_schema_evolution" -> q206SchemaEvolution,
     "q207_crossmodal_keeplist" -> q207CrossModalKeepList,
     "q208_ivf_pq" -> q208IvfPq,
+    "q215_ivfpq_residual" -> q215IvfPqResidual,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -2772,6 +2793,77 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY a.query_id
       |      ORDER BY a.dot_pq DESC, a.corpus_id) AS rank
       |  FROM adcp a JOIN sc USING (query_id))
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The q215 residual-IVF-PQ oracle: Lloyd CTEs, residual arrays via
+    * the q67 list-comprehension device, residual codewords, residual
+    * codes, first-order probe dots and the cell-pruned residual ADC.
+    * All integer sums cast ::BIGINT (DuckDB HUGEINT discipline). */
+  private lazy val q215Oracle: String =
+    kmeansAssignCtes +
+      """,
+      |rv AS (SELECT vec_id, cent_id,
+      |    [qv[i] - cv[i] FOR i IN generate_series(1, len(qv))] AS rqv
+      |  FROM (SELECT v.vec_id, af.cent_id, v.qv, c.cv
+      |        FROM v JOIN af USING (vec_id)
+      |        JOIN c2 c ON c.cent_id = af.cent_id)),
+      |cbr AS (SELECT vec_id, rqv,
+      |    row_number() OVER (ORDER BY vec_id) - 1 AS code
+      |  FROM rv WHERE vec_id % 61 = 3),
+      |sp AS (SELECT unnest(generate_series(0, 3)) AS s),
+      |cwr AS (SELECT code, s, list_slice(rqv, s * 16 + 1, (s + 1) * 16) AS cw
+      |  FROM cbr CROSS JOIN sp),
+      |rsub AS (SELECT vec_id, cent_id, s,
+      |    list_slice(rqv, s * 16 + 1, (s + 1) * 16) AS sub
+      |  FROM rv CROSS JOIN sp),
+      |ree AS (SELECT r.vec_id, r.cent_id, r.s, w.code,
+      |    unnest(r.sub) AS ax, unnest(w.cw) AS bx
+      |  FROM rsub r JOIN cwr w ON w.s = r.s),
+      |red AS (SELECT vec_id, cent_id, s, code,
+      |    sum((ax - bx) * (ax - bx))::BIGINT AS d
+      |  FROM ree GROUP BY 1, 2, 3, 4),
+      |rcodes AS (SELECT vec_id AS corpus_id, s, code FROM (
+      |    SELECT vec_id, s, code,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+      |    FROM red) WHERE rn = 1),
+      |qe2 AS (SELECT q.vec_id AS query_id, c.cent_id,
+      |    unnest(q.qv) AS ax, unnest(c.cv) AS bx
+      |  FROM v q CROSS JOIN c2 c WHERE q.vec_id < 16),
+      |qd2 AS (SELECT query_id, cent_id,
+      |    sum((ax - bx) * (ax - bx))::BIGINT AS d,
+      |    sum(ax * bx)::BIGINT AS dot_qc
+      |  FROM qe2 GROUP BY 1, 2),
+      |probes AS (SELECT query_id, cent_id, dot_qc FROM (
+      |    SELECT query_id, cent_id, dot_qc, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY d, cent_id) AS rn
+      |    FROM qd2) WHERE rn <= 2),
+      |qsub AS (SELECT vec_id AS query_id, s,
+      |    list_slice(qv, s * 16 + 1, (s + 1) * 16) AS sub
+      |  FROM v CROSS JOIN sp WHERE vec_id < 16),
+      |qle AS (SELECT q.query_id, q.s, w.code,
+      |    unnest(q.sub) AS ax, unnest(w.cw) AS bx
+      |  FROM qsub q JOIN cwr w ON w.s = q.s),
+      |dtr AS (SELECT query_id, s, code, sum(ax * bx)::BIGINT AS dq
+      |  FROM qle GROUP BY 1, 2, 3),
+      |cand AS (SELECT p.query_id, p.dot_qc, af.vec_id AS corpus_id
+      |  FROM probes p JOIN af ON af.cent_id = p.cent_id
+      |  WHERE af.vec_id <> p.query_id),
+      |adcr AS (SELECT c.query_id, c.corpus_id,
+      |    (min(c.dot_qc) + sum(d.dq))::BIGINT AS dot_rpq
+      |  FROM cand c
+      |  JOIN rcodes rc ON rc.corpus_id = c.corpus_id
+      |  JOIN dtr d ON d.query_id = c.query_id AND d.s = rc.s
+      |    AND d.code = rc.code
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT query_id, count(*)::BIGINT AS rows_scanned
+      |  FROM cand GROUP BY 1)
+      |SELECT query_id, rank::BIGINT AS rank, corpus_id, dot_rpq,
+      |  rows_scanned
+      |FROM (
+      |  SELECT a.query_id, a.corpus_id, a.dot_rpq, sc.rows_scanned,
+      |    row_number() OVER (PARTITION BY a.query_id
+      |      ORDER BY a.dot_rpq DESC, a.corpus_id) AS rank
+      |  FROM adcr a JOIN sc USING (query_id))
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   private def kmeansIterCtes(i: Int): String = {
@@ -4247,6 +4339,7 @@ object PipelineQueries {
     // PQ CTEs encode/score, and the ADC sum runs only over the probed
     // cells' members (cand) — rows_scanned counts them per query.
     "q208_ivf_pq" -> q208Oracle,
+    "q215_ivfpq_residual" -> q215Oracle,
     // Recall@10 of the q208 cell-pruned index against the q23 exact
     // baseline, with the scan fraction beside it — both bodies nested
     // whole, one hit join (the q69 device pointed at IVF-PQ).

@@ -58,6 +58,37 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sub_longs: native equals zip_with on equal lengths; null semantics") {
+    val rnd = new scala.util.Random(17)
+    def vec() = Seq.fill(16)(rnd.nextLong() % 2000000L)
+    val rows = Seq.tabulate(60)(i => (i.toLong, vec(), vec()))
+      .toDF("id", "a", "b").select(
+        VectorFunctions.subExact(col("a"), col("b")).as("nat"),
+        VectorFunctions.subExactHof(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getAs[collection.Seq[Long]]("nat") ==
+        r.getAs[collection.Seq[Long]]("hof"))
+    }
+    // null elements propagate per position; the NATIVE form returns a
+    // null ARRAY on length mismatch (zip_with instead pads — callers
+    // always subtract equal-dimension vectors, so the loud-null is the
+    // safer contract for the residual kernel)
+    val edge = Seq(
+      (1L, Seq[java.lang.Long](1L, null), Seq[java.lang.Long](3L, 4L)),
+      (2L, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L)))
+      .toDF("id", "a", "b")
+      .select(col("id"), VectorFunctions.subExact(col("a"), col("b")).as("s"))
+      .orderBy("id").collect()
+    assert(edge(0).getAs[collection.Seq[java.lang.Long]]("s") ==
+      Seq[java.lang.Long](-2L, null))
+    assert(edge(1).isNullAt(1))
+    // SQL-text availability through GraftExtensions
+    Seq((Seq(5L, 1L), Seq(2L, 3L))).toDF("a", "b")
+      .createOrReplaceTempView("sub_in")
+    assert(spark.sql("SELECT sub_longs(a, b) AS s FROM sub_in")
+      .collect().head.getAs[collection.Seq[Long]]("s") == Seq(3L, -2L))
+  }
+
   test("expressions resolve from SQL text via GraftExtensions") {
     Seq((Seq(1.5f, -2.25f), Seq(2L, 3L), Seq(5L, 1L)))
       .toDF("v", "a", "b").createOrReplaceTempView("vec_in")

@@ -37,6 +37,41 @@ class PqSpec extends AnyFunSuite {
       (4L, 9L, lo + lo)))
   }
 
+  test("ivfPqResidualTopK: residual codes, first-order term, cell pruning") {
+    // 4-dim, 2 subspaces x 2 dims, two given cells. All components are
+    // exact binary fractions so quantization is predictable. Cell-0
+    // members share the centroid prefix (0.875, 0.125) and differ only
+    // in their RESIDUAL tail — exactly the regime residual PQ encodes.
+    val corpus = Seq(
+      (0L, Array(0.875f, 0.125f, 0.5f, 0.0f)),   // codebook row, code 0
+      (1L, Array(0.875f, 0.125f, 0.0f, 0.5f)),   // codebook row, code 1
+      (2L, Array(0.875f, 0.125f, 0.375f, 0.125f)), // residual codes (0,0)
+      (3L, Array(0.875f, 0.125f, 0.125f, 0.375f)), // residual codes (0,1)
+      (9L, Array(0.125f, 0.875f, 0.5f, 0.5f)))     // cell 1 — pruned away
+      .toDF("vec_id", "embedding")
+    val trained = Seq(
+      (0L, Array(875000L, 125000L, 0L, 0L)),
+      (1L, Array(125000L, 875000L, 0L, 0L))).toDF("cent_id", "cv")
+    val query = Seq((100L, Array(0.875f, 0.125f, 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqResidualTopK(corpus, query, trained,
+        corpus.filter($"vec_id" < 2L), "vec_id", "embedding",
+        numSubspaces = 2, subDim = 2, k = 10, nprobe = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // dot(q, c0) = 875000^2 + 125000^2 = 781250000000; subspace-0 LUT is
+    // 0 for both codewords (zero residual prefixes); subspace-1 LUT:
+    // code 0 -> 500000*500000 = 2.5e11, code 1 -> 250000*500000 = 1.25e11.
+    // Scores: codes (0,0) -> 1031250000000 (v0, v2 — tie, lower id
+    // first); codes (0,1) -> 906250000000 (v1, v3). Cell 1's v9 never
+    // reaches scoring: rows_scanned = 4, not 5.
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1031250000000L, 4L),
+      (2L, 2L, 1031250000000L, 4L),
+      (3L, 1L, 906250000000L, 4L),
+      (4L, 3L, 906250000000L, 4L)))
+  }
+
   test("labelPurity: per-label edge counts and same-label fraction") {
     val graph = Seq(
       (1L, 1L, 2L, 10L), (1L, 2L, 3L, 9L),  // src 1: nbrs 2 (same), 3 (diff)

@@ -225,6 +225,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("ivfPqResidualTopK: pruned scan, codegen'd residual, hash joins") {
+    // same two-cluster layout as the ivfPqTopK pin: query 0 lives in
+    // cluster A, so nprobe=1 must bound the ADC scan at |A|-1
+    val a = (0L until 25L).map(i =>
+      (i, Array(0.9f + (i % 3) * 0.001f, 0.1f, 0.0f, 0.0f)))
+    val b = (25L until 40L).map(i =>
+      (i, Array(0.1f, 0.9f + (i % 3) * 0.001f, 0.0f, 0.0f)))
+    val vecs = (a ++ b).toDF("vec_id", "embedding")
+    val trained = Seq(
+      (0L, Array(900000L, 100000L, 0L, 0L)),
+      (1L, Array(100000L, 900000L, 0L, 0L))).toDF("cent_id", "cv")
+    val df = graft.pipeline.Similarity.ivfPqResidualTopK(vecs,
+      vecs.filter(col("vec_id") === 0), trained,
+      vecs.filter(col("vec_id") % 10 === 3), "vec_id", "embedding",
+      numSubspaces = 2, subDim = 2, k = 50, nprobe = 1)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("rows_scanned")).distinct.toSeq == Seq(24L))
+    assert(rows.length == 24)
+    assert(rows.forall(_.getAs[Long]("corpus_id") < 25L))
+    val plan = df.queryExecution.executedPlan.toString
+    // packed argmin stays a HashAggregate; the residual projection is
+    // the native sub_longs (codegen), never an interpreted zip_with
+    assert(!plan.contains("SortAggregate"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("zip_with"), plan.take(3000))
+    assert(plan.contains("sub_longs"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("bucketedGlobalRank equals the single-task rank and keeps every Window partitioned") {
     import org.apache.spark.sql.expressions.Window
     // heavy ties (including at min and max), negatives, reversed
