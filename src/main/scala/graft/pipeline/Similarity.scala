@@ -894,31 +894,14 @@ object Similarity {
     val idBits = bitsFor(math.max(codebook.count() - 1, 0L))
     def split(df: DataFrame, idOuts: Seq[String], vec: String,
         subOut: String): DataFrame =
-      df.select(idOuts.map(col) :+
-          explode(sequence(lit(0), lit(numSubspaces - 1))).as("s") :+
-          col(vec) : _*)
-        .select(idOuts.map(col) :+ col("s").cast("long").as("s") :+
-          slice(col(vec), col("s") * lit(subDim) + lit(1), lit(subDim))
-            .as(subOut) : _*)
+      subspaceSplit(df, idOuts, vec, subOut, numSubspaces, subDim)
     // corpus residuals: one broadcast-join pass carries the cell id AND
     // the residual out of the same projection
-    val resid = corpus
-      .select(col(idCol).as("vid"), quantize(col(vecCol)).as("_qv"))
-      .join(assignCells(corpus, trained, idCol, vecCol), "vid")
-      .join(broadcast(trained), "cent_id")
-      .select(col("vid"), col("cent_id"),
-        subExact(col("_qv"), col("cv")).as("_rq"))
+    val resid = residualArrays(corpus, trained, idCol, vecCol)
     // residual codewords: the codebook rows under their own cells;
     // codeword ids are the row_number order of the codebook id column
     // (model-sized relation — the one global window in this plan)
-    val cbr = codebook
-      .select(col(idCol).as("_cbid"), quantize(col(vecCol)).as("_cq"))
-      .join(assignCells(codebook, trained, idCol, vecCol)
-        .withColumnRenamed("vid", "_cbid"), "_cbid")
-      .join(broadcast(trained), "cent_id")
-      .select(col("_cbid"), subExact(col("_cq"), col("cv")).as("_rq"))
-      .withColumn("code",
-        (row_number().over(Window.orderBy(col("_cbid"))) - 1).cast("long"))
+    val cbr = residualCodewords(codebook, trained, idCol, vecCol)
     val cwsub = split(cbr, Seq("code"), "_rq", "cw")
     // encode: nearest residual codeword per subspace (packed argmin —
     // HashAggregate with map-side partials)
@@ -965,6 +948,114 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"),
         col("dot_rpq"), col("rows_scanned"))
+  }
+
+  /** Subspace split: one row per (id, subspace) with the `subDim`-wide
+    * slice — Generate+Project, fuses in whole-stage codegen (never a
+    * `transform` lambda; the q66/q34 interpreted-HOF trap). */
+  private def subspaceSplit(df: DataFrame, idOuts: Seq[String], vec: String,
+      subOut: String, numSubspaces: Int, subDim: Int): DataFrame =
+    df.select(idOuts.map(col) :+
+        explode(sequence(lit(0), lit(numSubspaces - 1))).as("s") :+
+        col(vec) : _*)
+      .select(idOuts.map(col) :+ col("s").cast("long").as("s") :+
+        slice(col(vec), col("s") * lit(subDim) + lit(1), lit(subDim))
+          .as(subOut) : _*)
+
+  /** Residual projection `(vid, cent_id, _rq = qv − centroid(cell))`
+    * over a corpus: one [[assignCells]] pass plus one broadcast join,
+    * residual computed by the native [[graft.functions.SubLongs]]. */
+  private def residualArrays(corpus: DataFrame, trained: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("vid"), quantize(col(vecCol)).as("_qv"))
+      .join(assignCells(corpus, trained, idCol, vecCol), "vid")
+      .join(broadcast(trained), "cent_id")
+      .select(col("vid"), col("cent_id"),
+        subExact(col("_qv"), col("cv")).as("_rq"))
+
+  /** Residual codewords of a codebook relation under its own cell
+    * assignments; codeword ids are the row_number order of the codebook
+    * id column (model-sized relation — a global window is fine). */
+  private def residualCodewords(codebook: DataFrame, trained: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    codebook
+      .select(col(idCol).as("_cbid"), quantize(col(vecCol)).as("_cq"))
+      .join(assignCells(codebook, trained, idCol, vecCol)
+        .withColumnRenamed("vid", "_cbid"), "_cbid")
+      .join(broadcast(trained), "cent_id")
+      .select(col("_cbid"), subExact(col("_cq"), col("cv")).as("_rq"))
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("_cbid"))) - 1).cast("long"))
+
+  /** Σ over (vector, subspace) of the argmin squared distance to the
+    * codeword set — the total PQ reconstruction error, exactly the
+    * quantity ADC scoring absorbs as ranking noise. One row
+    * `(total_sq_err)`. */
+  private def minEncodeError(vecsQ: DataFrame, cwsub: DataFrame,
+      numSubspaces: Int, subDim: Int): DataFrame =
+    subspaceSplit(vecsQ, Seq("vid"), "_vq", "sub", numSubspaces, subDim)
+      .join(broadcast(cwsub), "s")
+      .groupBy(col("vid"), col("s"))
+      .agg(min(sqDistExact(col("sub"), col("cw"))).as("_d"))
+      .agg(sum(col("_d")).as("total_sq_err"))
+
+  /** Flat-PQ total reconstruction error (the q87/q208 encoding). */
+  def pqEncodeError(corpus: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, numSubspaces: Int, subDim: Int): DataFrame = {
+    val cb = codebook
+      .select(col(idCol).as("_cbid"), quantize(col(vecCol)).as("_rq"))
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("_cbid"))) - 1).cast("long"))
+    val cwsub = subspaceSplit(cb, Seq("code"), "_rq", "cw",
+      numSubspaces, subDim)
+    minEncodeError(
+      corpus.select(col(idCol).as("vid"), quantize(col(vecCol)).as("_vq")),
+      cwsub, numSubspaces, subDim)
+  }
+
+  /** Residual-PQ total reconstruction error (the [[ivfPqResidualTopK]]
+    * encoding): same codebook budget, residual quantization target. */
+  def pqResidualEncodeError(corpus: DataFrame, trained: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String,
+      numSubspaces: Int, subDim: Int): DataFrame = {
+    val cwsub = subspaceSplit(
+      residualCodewords(codebook, trained, idCol, vecCol),
+      Seq("code"), "_rq", "cw", numSubspaces, subDim)
+    minEncodeError(
+      residualArrays(corpus, trained, idCol, vecCol)
+        .select(col("vid"), col("_rq").as("_vq")),
+      cwsub, numSubspaces, subDim)
+  }
+
+  /** Two-stage serving refine: exact quantized-dot re-scoring of an ANN
+    * candidate relation `(query_id, rank, corpus_id, <approxScoreCol>)`
+    * — the standard coarse-retrieve → exact-rerank production path.
+    * The candidate set (|Q|·k_cand rows) BROADCASTS onto the id-keyed
+    * corpus join, so the refine stage touches corpus vectors for
+    * candidates only (at rest, an id-bucketed store makes this a point
+    * lookup, never a scan). Emits both scores plus the stage-1 rank as
+    * `approx_rank`, so rank movement under refinement is part of the
+    * checked output. */
+  def exactRerank(candidates: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      approxScoreCol: String = "dot_rpq"): DataFrame = {
+    require(k >= 1, "exactRerank: k must be >= 1")
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      quantize(col(vecCol)).as("_cq"))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("_qq"))
+    val cand = candidates.select(col("query_id"), col("corpus_id"),
+      col(approxScoreCol), col("rank").as("approx_rank"))
+    val scored = c.join(broadcast(cand), "corpus_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("dot_q", dotExact(col("_qq"), col("_cq")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot_q").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("dot_q"),
+        col(approxScoreCol), col("approx_rank"))
   }
 
   /** Norm-quantile outlier detection — the embedding-health FILTER that

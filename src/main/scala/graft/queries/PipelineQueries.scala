@@ -123,11 +123,12 @@ object PipelineQueries {
         "q195_filtered_ann", "q204_cluster_budget",
         "q207_crossmodal_keeplist", "q208_ivf_pq", "q211_ivfpq_recall",
         "q212_curate_full", "q214_crossmodal_keepbest",
-        "q215_ivfpq_residual"),
+        "q215_ivfpq_residual", "q216_ivfpq_rerank", "q217_pq_quant_ab"),
       () => releaseEmbCache()),
     "kmeans" -> CacheFamily(
       Set("q89_kmeans_train", "q204_cluster_budget", "q208_ivf_pq",
-        "q211_ivfpq_recall", "q215_ivfpq_residual"),
+        "q211_ivfpq_recall", "q215_ivfpq_residual", "q216_ivfpq_rerank",
+        "q217_pq_quant_ab"),
       () => releaseKmeansCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -821,6 +822,65 @@ object PipelineQueries {
         "vec_id", "embedding", numSubspaces = 4, subDim = 16, k = 10,
         nprobe = 2)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Two-stage serving retrieval ([[Similarity.exactRerank]] over
+    * [[Similarity.ivfPqResidualTopK]] candidates): the residual index
+    * retrieves 50 candidates per query (nprobe=2), the refine stage
+    * re-scores exactly those 50 with the exact quantized dot and cuts
+    * to 10 — the coarse→refine path every production ANN service runs.
+    * Both scores and the stage-1 rank are emitted, so rank movement
+    * under refinement is hash-checked. The oracle nests the k=50
+    * residual-index body whole and re-derives the exact rerank. */
+  def q216IvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 16)
+    val cand = Similarity.ivfPqResidualTopK(e, q,
+      trainedCentroids(spark, dir), e.filter(col("vec_id") % 61 === 3),
+      "vec_id", "embedding", numSubspaces = 4, subDim = 16, k = 50,
+      nprobe = 2)
+    Similarity.exactRerank(cand, e, q, "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Flat-vs-residual PQ quantization A/B
+    * ([[Similarity.pqEncodeError]] / [[Similarity.pqResidualEncodeError]]):
+    * one row per arm with the total exact reconstruction error and
+    * recall@10 against the exact baseline AT THE SAME nprobe — pruning
+    * held constant, so the recall delta isolates the quantization
+    * target (the number that justifies shipping q215 over q208). The
+    * oracle recomputes both encodings' argmin distances, both pruned
+    * ADC top-10s and the exact top-10 in one SQL body. */
+  def q217PqQuantAb(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 16)
+    val cb = e.filter(col("vec_id") % 61 === 3)
+    val tr = trainedCentroids(spark, dir)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 10)
+      .select(col("query_id"), col("corpus_id"))
+      .localCheckpoint(true) // two hit joins + the denominator
+    val denom = exact.agg(count(lit(1)).as("_ne"))
+    def armRow(name: String, topk: DataFrame, err: DataFrame): DataFrame = {
+      val hits = topk.select(col("query_id"), col("corpus_id"))
+        .join(exact, Seq("query_id", "corpus_id"))
+        .agg(count(lit(1)).as("hits10"))
+      err.crossJoin(broadcast(hits)).crossJoin(broadcast(denom))
+        .select(lit(name).as("arm"), col("total_sq_err"), col("hits10"),
+          round((col("hits10").cast("double") / col("_ne").cast("double"))
+            .cast("decimal(28,10)"), 6).cast("double").as("recall10"))
+    }
+    val flat = armRow("ivfpq_flat",
+      Similarity.ivfPqTopK(e, q, tr, cb, "vec_id", "embedding",
+        numSubspaces = 4, subDim = 16, k = 10, nprobe = 2),
+      Similarity.pqEncodeError(e, cb, "vec_id", "embedding",
+        numSubspaces = 4, subDim = 16))
+    val resid = armRow("ivfpq_residual",
+      Similarity.ivfPqResidualTopK(e, q, tr, cb, "vec_id", "embedding",
+        numSubspaces = 4, subDim = 16, k = 10, nprobe = 2),
+      Similarity.pqResidualEncodeError(e, tr, cb, "vec_id", "embedding",
+        numSubspaces = 4, subDim = 16))
+    flat.unionByName(resid).orderBy(col("arm"))
   }
 
   /** Token-budget apportionment (largest-remainder over exact integer
@@ -2515,6 +2575,8 @@ object PipelineQueries {
     "q207_crossmodal_keeplist" -> q207CrossModalKeepList,
     "q208_ivf_pq" -> q208IvfPq,
     "q215_ivfpq_residual" -> q215IvfPqResidual,
+    "q216_ivfpq_rerank" -> q216IvfPqRerank,
+    "q217_pq_quant_ab" -> q217PqQuantAb,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -2795,14 +2857,14 @@ object PipelineQueries {
       |  FROM adcp a JOIN sc USING (query_id))
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-  /** The q215 residual-IVF-PQ oracle: Lloyd CTEs, residual arrays via
-    * the q67 list-comprehension device, residual codewords, residual
-    * codes, first-order probe dots and the cell-pruned residual ADC.
-    * All integer sums cast ::BIGINT (DuckDB HUGEINT discipline). */
-  private lazy val q215Oracle: String =
-    kmeansAssignCtes +
-      """,
-      |rv AS (SELECT vec_id, cent_id,
+  /** Residual-PQ ENCODE block (expects `v`, `af`, `c2` from
+    * [[kmeansAssignCtes]] and a subspace relation `sp(s)` already in
+    * scope): residual arrays via the q67 list-comprehension device,
+    * residual codewords, per-(vec, subspace, codeword) distances `red`
+    * and the argmin codes `rcodes` — shared by the q215 oracle and the
+    * q217 quantization A/B so the encoding semantics cannot drift. */
+  private val residualPqCtes: String =
+    """rv AS (SELECT vec_id, cent_id,
       |    [qv[i] - cv[i] FOR i IN generate_series(1, len(qv))] AS rqv
       |  FROM (SELECT v.vec_id, af.cent_id, v.qv, c.cv
       |        FROM v JOIN af USING (vec_id)
@@ -2810,7 +2872,6 @@ object PipelineQueries {
       |cbr AS (SELECT vec_id, rqv,
       |    row_number() OVER (ORDER BY vec_id) - 1 AS code
       |  FROM rv WHERE vec_id % 61 = 3),
-      |sp AS (SELECT unnest(generate_series(0, 3)) AS s),
       |cwr AS (SELECT code, s, list_slice(rqv, s * 16 + 1, (s + 1) * 16) AS cw
       |  FROM cbr CROSS JOIN sp),
       |rsub AS (SELECT vec_id, cent_id, s,
@@ -2825,7 +2886,18 @@ object PipelineQueries {
       |rcodes AS (SELECT vec_id AS corpus_id, s, code FROM (
       |    SELECT vec_id, s, code,
       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
-      |    FROM red) WHERE rn = 1),
+      |    FROM red) WHERE rn = 1)""".stripMargin
+
+  /** The q215 residual-IVF-PQ oracle with a parameterized cut `k`:
+    * Lloyd CTEs, the residual encode block, first-order probe dots and
+    * the cell-pruned residual ADC. All integer sums cast ::BIGINT
+    * (DuckDB HUGEINT discipline). k=10 is the q215 entry; k=50 is the
+    * candidate stage nested inside the q216 rerank oracle. */
+  private def q215OracleK(k: Int): String =
+    kmeansAssignCtes +
+      ",\nsp AS (SELECT unnest(generate_series(0, 3)) AS s),\n" +
+      residualPqCtes +
+      """,
       |qe2 AS (SELECT q.vec_id AS query_id, c.cent_id,
       |    unnest(q.qv) AS ax, unnest(c.cv) AS bx
       |  FROM v q CROSS JOIN c2 c WHERE q.vec_id < 16),
@@ -2864,7 +2936,118 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY a.query_id
       |      ORDER BY a.dot_rpq DESC, a.corpus_id) AS rank
       |  FROM adcr a JOIN sc USING (query_id))
-      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      |WHERE rank <= """.stripMargin + k +
+      " ORDER BY query_id, rank"
+
+  private lazy val q215Oracle: String = q215OracleK(10)
+
+  /** The q216 two-stage rerank oracle: the k=50 residual-index body
+    * nested whole as stage 1, then the exact quantized-dot rerank over
+    * exactly those candidates. */
+  private lazy val q216Oracle: String =
+    s"""WITH s1 AS (SELECT * FROM (
+       |${q215OracleK(50)}
+       |)),
+       |v2 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+       |  FROM embeddings),
+       |pe AS (SELECT s1.query_id, s1.corpus_id, s1.dot_rpq,
+       |    s1.rank AS approx_rank, unnest(a.qv) AS ax, unnest(b.qv) AS bx
+       |  FROM s1 JOIN v2 a ON a.vec_id = s1.query_id
+       |  JOIN v2 b ON b.vec_id = s1.corpus_id),
+       |ex AS (SELECT query_id, corpus_id, approx_rank, dot_rpq,
+       |    sum(ax * bx)::BIGINT AS dot_q
+       |  FROM pe GROUP BY 1, 2, 3, 4)
+       |SELECT query_id, rank::BIGINT AS rank, corpus_id, dot_q, dot_rpq,
+       |  approx_rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dot_q DESC, corpus_id) AS rank FROM ex)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The q217 quantization-A/B oracle: ONE flat WITH assembling the
+    * Lloyd CTEs, the flat-PQ block ([[pqCtes]] — its `ed` distances
+    * feed the flat error), the residual block ([[residualPqCtes]] —
+    * `red` feeds the residual error; it reuses pqCtes' `sp`), both
+    * pruned ADC top-10s at the same nprobe, the exact top-10 and the
+    * hit counts. */
+  private lazy val q217Oracle: String =
+    kmeansAssignCtes + ",\n" + pqCtes + ",\n" + residualPqCtes +
+      """,
+      |qe2 AS (SELECT q.vec_id AS query_id, c.cent_id,
+      |    unnest(q.qv) AS ax, unnest(c.cv) AS bx
+      |  FROM v q CROSS JOIN c2 c WHERE q.vec_id < 16),
+      |qd2 AS (SELECT query_id, cent_id,
+      |    sum((ax - bx) * (ax - bx))::BIGINT AS d,
+      |    sum(ax * bx)::BIGINT AS dot_qc
+      |  FROM qe2 GROUP BY 1, 2),
+      |probes AS (SELECT query_id, cent_id, dot_qc FROM (
+      |    SELECT query_id, cent_id, dot_qc, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY d, cent_id) AS rn
+      |    FROM qd2) WHERE rn <= 2),
+      |candp AS (SELECT p.query_id, p.dot_qc, af.vec_id AS corpus_id
+      |  FROM probes p JOIN af ON af.cent_id = p.cent_id
+      |  WHERE af.vec_id <> p.query_id),
+      |adcf AS (SELECT c.query_id, c.corpus_id, sum(dt.dq)::BIGINT AS sc
+      |  FROM candp c
+      |  JOIN codes ON codes.corpus_id = c.corpus_id
+      |  JOIN dt ON dt.query_id = c.query_id AND dt.s = codes.s
+      |    AND dt.cent_id = codes.code
+      |  GROUP BY 1, 2),
+      |topf AS (SELECT query_id, corpus_id FROM (
+      |    SELECT query_id, corpus_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY sc DESC, corpus_id) AS rn
+      |    FROM adcf) WHERE rn <= 10),
+      |qler AS (SELECT q.query_id, q.s, w.code,
+      |    unnest(q.sub) AS ax, unnest(w.cw) AS bx
+      |  FROM (SELECT vec_id AS query_id, s,
+      |        list_slice(qv, s * 16 + 1, (s + 1) * 16) AS sub
+      |        FROM v CROSS JOIN sp WHERE vec_id < 16) q
+      |  JOIN cwr w ON w.s = q.s),
+      |dtr AS (SELECT query_id, s, code, sum(ax * bx)::BIGINT AS dq
+      |  FROM qler GROUP BY 1, 2, 3),
+      |adcr AS (SELECT c.query_id, c.corpus_id,
+      |    (min(c.dot_qc) + sum(d.dq))::BIGINT AS sc
+      |  FROM candp c
+      |  JOIN rcodes rc ON rc.corpus_id = c.corpus_id
+      |  JOIN dtr d ON d.query_id = c.query_id AND d.s = rc.s
+      |    AND d.code = rc.code
+      |  GROUP BY 1, 2),
+      |topr AS (SELECT query_id, corpus_id FROM (
+      |    SELECT query_id, corpus_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY sc DESC, corpus_id) AS rn
+      |    FROM adcr) WHERE rn <= 10),
+      |bxp AS (SELECT q.vec_id AS query_id, t.vec_id AS corpus_id,
+      |    unnest(q.qv) AS ax, unnest(t.qv) AS bx
+      |  FROM v q CROSS JOIN v t
+      |  WHERE q.vec_id < 16 AND t.vec_id <> q.vec_id),
+      |bd AS (SELECT query_id, corpus_id, sum(ax * bx)::BIGINT AS dq
+      |  FROM bxp GROUP BY 1, 2),
+      |topx AS (SELECT query_id, corpus_id FROM (
+      |    SELECT query_id, corpus_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY dq DESC, corpus_id) AS rn
+      |    FROM bd) WHERE rn <= 10),
+      |ne AS (SELECT count(*) AS n FROM topx),
+      |errf AS (SELECT sum(d)::BIGINT AS e FROM (
+      |    SELECT vec_id, s, min(d) AS d FROM ed GROUP BY 1, 2)),
+      |errr AS (SELECT sum(d)::BIGINT AS e FROM (
+      |    SELECT vec_id, s, min(d) AS d FROM red GROUP BY 1, 2)),
+      |hf AS (SELECT count(*) AS h FROM topf
+      |  JOIN topx USING (query_id, corpus_id)),
+      |hr AS (SELECT count(*) AS h FROM topr
+      |  JOIN topx USING (query_id, corpus_id))
+      |SELECT arm, total_sq_err, hits10, recall10 FROM (
+      |  SELECT 'ivfpq_flat' AS arm, errf.e AS total_sq_err,
+      |    hf.h::BIGINT AS hits10,
+      |    round((hf.h::DOUBLE / ne.n::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+      |      AS recall10
+      |  FROM errf, hf, ne
+      |  UNION ALL
+      |  SELECT 'ivfpq_residual' AS arm, errr.e AS total_sq_err,
+      |    hr.h::BIGINT AS hits10,
+      |    round((hr.h::DOUBLE / ne.n::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+      |      AS recall10
+      |  FROM errr, hr, ne)
+      |ORDER BY arm""".stripMargin
 
   private def kmeansIterCtes(i: Int): String = {
     val prev = if (i == 1) "c0" else s"c${i - 1}"
@@ -4340,6 +4523,8 @@ object PipelineQueries {
     // cells' members (cand) — rows_scanned counts them per query.
     "q208_ivf_pq" -> q208Oracle,
     "q215_ivfpq_residual" -> q215Oracle,
+    "q216_ivfpq_rerank" -> q216Oracle,
+    "q217_pq_quant_ab" -> q217Oracle,
     // Recall@10 of the q208 cell-pruned index against the q23 exact
     // baseline, with the scan fraction beside it — both bodies nested
     // whole, one hit join (the q69 device pointed at IVF-PQ).

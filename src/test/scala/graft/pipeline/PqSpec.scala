@@ -72,6 +72,55 @@ class PqSpec extends AnyFunSuite {
       (4L, 3L, 906250000000L, 4L)))
   }
 
+  test("exactRerank: exact dots reorder stage-1 candidates, both ranks kept") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.5f, 0.5f, 0f, 0f)),
+      (2L, Array(0.25f, 0.75f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val query = Seq((100L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    // stage-1 ranking is deliberately wrong (approx scores inverted);
+    // exact dots are 0, 5e11, 7.5e11 — rerank must flip the order
+    val cand = Seq(
+      (100L, 1L, 0L, 900L), (100L, 2L, 1L, 800L), (100L, 3L, 2L, 700L))
+      .toDF("query_id", "rank", "corpus_id", "dot_rpq")
+    val out = Similarity.exactRerank(cand, corpus, query,
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 750000000000L, 700L, 3L),
+      (2L, 1L, 500000000000L, 800L, 2L),
+      (3L, 0L, 0L, 900L, 1L)))
+  }
+
+  test("pq encode errors: flat vs residual closed forms; residual wins") {
+    // the ivfPqResidualTopK fixture corpus — residuals concentrate, so
+    // the same 2-codeword budget reconstructs residuals far better
+    val corpus = Seq(
+      (0L, Array(0.875f, 0.125f, 0.5f, 0.0f)),
+      (1L, Array(0.875f, 0.125f, 0.0f, 0.5f)),
+      (2L, Array(0.875f, 0.125f, 0.375f, 0.125f)),
+      (3L, Array(0.875f, 0.125f, 0.125f, 0.375f)),
+      (9L, Array(0.125f, 0.875f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val trained = Seq(
+      (0L, Array(875000L, 125000L, 0L, 0L)),
+      (1L, Array(125000L, 875000L, 0L, 0L))).toDF("cent_id", "cv")
+    val cb = corpus.filter($"vec_id" < 2L)
+    val flat = Similarity.pqEncodeError(corpus, cb, "vec_id", "embedding",
+      numSubspaces = 2, subDim = 2).collect().head.getLong(0)
+    val resid = Similarity.pqResidualEncodeError(corpus, trained, cb,
+      "vec_id", "embedding", numSubspaces = 2, subDim = 2)
+      .collect().head.getLong(0)
+    // flat: v0/v1 exact (they ARE the codebook), v2/v3 3.125e10 each,
+    // v9 pays the full cross-cluster prefix 1.125e12 + 2.5e11
+    assert(flat == 2L * 31250000000L + 1375000000000L)
+    // residual: v2/v3 3.125e10 each, v9's residual tail 2.5e11
+    assert(resid == 2L * 31250000000L + 250000000000L)
+    assert(resid < flat)
+  }
+
   test("labelPurity: per-label edge counts and same-label fraction") {
     val graph = Seq(
       (1L, 1L, 2L, 10L), (1L, 2L, 3L, 9L),  // src 1: nbrs 2 (same), 3 (diff)
