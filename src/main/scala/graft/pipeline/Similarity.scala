@@ -885,52 +885,84 @@ object Similarity {
     * cell-pruning is part of the checked output. */
   def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
       trained: DataFrame, codebook: DataFrame, idCol: String, vecCol: String,
-      numSubspaces: Int, subDim: Int, k: Int, nprobe: Int = 2): DataFrame = {
-    require(numSubspaces >= 1 && subDim >= 1 && k >= 1 && nprobe >= 1,
-      "ivfPqResidualTopK: numSubspaces, subDim, k, nprobe must be >= 1")
+      numSubspaces: Int, subDim: Int, k: Int, nprobe: Int = 2): DataFrame =
+    ivfPqResidualServe(
+      ivfPqResidualIndex(corpus, trained, codebook, idCol, vecCol,
+        numSubspaces, subDim),
+      ivfProbes(queries, trained, idCol, vecCol, nprobe),
+      queries, trained, codebook, idCol, vecCol, numSubspaces, subDim, k)
+
+  /** The persistable residual index relation `(corpus_id, cent_id, s,
+    * code)` — at rest this is a parquet layout PARTITIONED BY cent_id,
+    * so probing nprobe cells is partition pruning, never a corpus scan
+    * (q218 serves from exactly that artifact). Encode: nearest residual
+    * codeword per subspace, packed argmin (HashAggregate with map-side
+    * partials); codes and cell ids come out of ONE residual projection,
+    * so there is no codes⋈cells id join at all. */
+  def ivfPqResidualIndex(corpus: DataFrame, trained: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String,
+      numSubspaces: Int, subDim: Int): DataFrame = {
+    require(numSubspaces >= 1 && subDim >= 1,
+      "ivfPqResidualIndex: numSubspaces and subDim must be >= 1")
     // residual codewords can span ±2·scale per component, so size the
     // packed-argmin id bits from the REAL codebook cardinality instead
     // of pqCodes' fixed 16 — maximal distance headroom, loud overflow
     val idBits = bitsFor(math.max(codebook.count() - 1, 0L))
-    def split(df: DataFrame, idOuts: Seq[String], vec: String,
-        subOut: String): DataFrame =
-      subspaceSplit(df, idOuts, vec, subOut, numSubspaces, subDim)
     // corpus residuals: one broadcast-join pass carries the cell id AND
     // the residual out of the same projection
     val resid = residualArrays(corpus, trained, idCol, vecCol)
-    // residual codewords: the codebook rows under their own cells;
-    // codeword ids are the row_number order of the codebook id column
-    // (model-sized relation — the one global window in this plan)
-    val cbr = residualCodewords(codebook, trained, idCol, vecCol)
-    val cwsub = split(cbr, Seq("code"), "_rq", "cw")
-    // encode: nearest residual codeword per subspace (packed argmin —
-    // HashAggregate with map-side partials)
-    val enc = split(resid.select(col("vid").as("corpus_id"), col("cent_id"),
-        col("_rq")), Seq("corpus_id", "cent_id"), "_rq", "sub")
+    val cwsub = subspaceSplit(
+      residualCodewords(codebook, trained, idCol, vecCol),
+      Seq("code"), "_rq", "cw", numSubspaces, subDim)
+    subspaceSplit(resid.select(col("vid").as("corpus_id"), col("cent_id"),
+        col("_rq")), Seq("corpus_id", "cent_id"), "_rq", "sub",
+        numSubspaces, subDim)
       .join(broadcast(cwsub), "s")
       .groupBy(col("corpus_id"), col("cent_id"), col("s"))
       .agg(unpackId(min(packDistId(sqDistExact(col("sub"), col("cw")),
         col("code"), idBits)), idBits).as("code"))
-    // probes: nprobe nearest trained cells, carrying the exact
-    // first-order term dot(q, centroid)
-    val qq = queries.select(col(idCol).as("_pqid"),
-      quantize(col(vecCol)).as("_qq"))
-    val qd = qq.crossJoin(broadcast(trained))
+  }
+
+  /** Query→cell routing: the nprobe nearest trained cells per query,
+    * carrying the exact first-order term `dot(q, centroid)` the
+    * residual ADC score adds back. `(_pqid, cent_id, _dot_qc)`. */
+  def ivfProbes(queries: DataFrame, trained: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "ivfProbes: nprobe must be >= 1")
+    val qd = queries
+      .select(col(idCol).as("_pqid"), quantize(col(vecCol)).as("_qq"))
+      .crossJoin(broadcast(trained))
       .withColumn("_d", sqDistExact(col("_qq"), col("cv")))
       .withColumn("_dot_qc", dotExact(col("_qq"), col("cv")))
     val pw = Window.partitionBy("_pqid")
       .orderBy(col("_d").asc, col("cent_id").asc)
-    val probes = qd.withColumn("_pr", row_number().over(pw))
+    qd.withColumn("_pr", row_number().over(pw))
       .filter(col("_pr") <= nprobe)
       .select(col("_pqid"), col("cent_id"), col("_dot_qc"))
+  }
+
+  /** Serve top-k from a residual index relation (freshly built or read
+    * back from its cent_id-partitioned store) and a probe relation:
+    * the cell-independent LUT broadcasts, probes broadcast onto the
+    * index BEFORE any ADC work, `rows_scanned` is emitted per query.
+    * [[ivfPqResidualTopK]] is exactly index→probes→this. */
+  def ivfPqResidualServe(index: DataFrame, probes: DataFrame,
+      queries: DataFrame, trained: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, numSubspaces: Int, subDim: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, "ivfPqResidualServe: k must be >= 1")
+    val cwsub = subspaceSplit(
+      residualCodewords(codebook, trained, idCol, vecCol),
+      Seq("code"), "_rq", "cw", numSubspaces, subDim)
     // cell-independent residual LUT: dot(raw query subvector, codeword)
-    val dt = split(qq.select(col("_pqid").as("_qid"), col("_qq")),
-        Seq("_qid"), "_qq", "qsub")
+    val dt = subspaceSplit(queries.select(col(idCol).as("_qid"),
+        quantize(col(vecCol)).as("_qq")), Seq("_qid"), "_qq", "qsub",
+        numSubspaces, subDim)
       .join(broadcast(cwsub), "s")
       .select(col("_qid"), col("s").as("_s"), col("code").as("_code"),
         dotExact(col("qsub"), col("cw")).as("dq"))
     // cell-pruned candidates BEFORE any ADC work, as in ivfPqTopK
-    val cand = enc.join(broadcast(probes), Seq("cent_id"))
+    val cand = index.join(broadcast(probes), Seq("cent_id"))
       .filter(col("corpus_id") =!= col("_pqid"))
     val adc = cand.join(broadcast(dt),
         col("_pqid") === col("_qid") && col("s") === col("_s") &&

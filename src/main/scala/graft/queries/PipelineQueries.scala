@@ -123,12 +123,13 @@ object PipelineQueries {
         "q195_filtered_ann", "q204_cluster_budget",
         "q207_crossmodal_keeplist", "q208_ivf_pq", "q211_ivfpq_recall",
         "q212_curate_full", "q214_crossmodal_keepbest",
-        "q215_ivfpq_residual", "q216_ivfpq_rerank", "q217_pq_quant_ab"),
+        "q215_ivfpq_residual", "q216_ivfpq_rerank", "q217_pq_quant_ab",
+        "q218_ivf_index_serve"),
       () => releaseEmbCache()),
     "kmeans" -> CacheFamily(
       Set("q89_kmeans_train", "q204_cluster_budget", "q208_ivf_pq",
         "q211_ivfpq_recall", "q215_ivfpq_residual", "q216_ivfpq_rerank",
-        "q217_pq_quant_ab"),
+        "q217_pq_quant_ab", "q218_ivf_index_serve"),
       () => releaseKmeansCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -2389,6 +2390,39 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** IVF index AT REST ([[Similarity.ivfPqResidualIndex]] persisted
+    * PARTITIONED BY cent_id, then served back through
+    * [[Similarity.ivfPqResidualServe]]): the 100-TB serving shape —
+    * probing nprobe cells is STATIC PARTITION PRUNING on the store
+    * (the probed cells' directories are listed; the rest of the corpus
+    * is never opened — ScaleSpec pins inputFiles ⊆ probed dirs), and
+    * the result must hash-equal the in-memory q215 path, so the oracle
+    * is the q215 body verbatim: persistence provably preserves serving
+    * semantics. The probed-cell collect is nprobe·|Q| bounded (the
+    * probe relation is model-sized by construction). */
+  def q218IvfIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 16)
+    val cb = e.filter(col("vec_id") % 61 === 3)
+    val tr = trainedCentroids(spark, dir)
+    val root = rtPath(spark, dir, "ivfidx")
+    Similarity.ivfPqResidualIndex(e, tr, cb, "vec_id", "embedding",
+        numSubspaces = 4, subDim = 16)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(root)
+    val probes = Similarity.ivfProbes(q, tr, "vec_id", "embedding",
+        nprobe = 2)
+      .localCheckpoint(true) // collected for pruning + joined for serving
+    val cells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    val index = spark.read.parquet(root)
+      .filter(col("cent_id").isin(cells: _*))
+      .select(col("corpus_id"), col("cent_id").cast("long").as("cent_id"),
+        col("s"), col("code"))
+    Similarity.ivfPqResidualServe(index, probes, q, tr, cb,
+        "vec_id", "embedding", numSubspaces = 4, subDim = 16, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Stupid-backoff trigram LM quality scoring
     * ([[TextMetrics.stupidBackoffScore]]): corpus-LM mean
     * log-likelihood per doc with ×0.4 backoff — the KenLM-style
@@ -2577,6 +2611,7 @@ object PipelineQueries {
     "q215_ivfpq_residual" -> q215IvfPqResidual,
     "q216_ivfpq_rerank" -> q216IvfPqRerank,
     "q217_pq_quant_ab" -> q217PqQuantAb,
+    "q218_ivf_index_serve" -> q218IvfIndexServe,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -4525,6 +4560,9 @@ object PipelineQueries {
     "q215_ivfpq_residual" -> q215Oracle,
     "q216_ivfpq_rerank" -> q216Oracle,
     "q217_pq_quant_ab" -> q217Oracle,
+    // the at-rest index must serve the SAME result as the in-memory
+    // path — the q215 body verbatim IS the persistence witness
+    "q218_ivf_index_serve" -> q215Oracle,
     // Recall@10 of the q208 cell-pruned index against the q23 exact
     // baseline, with the scan fraction beside it — both bodies nested
     // whole, one hit join (the q69 device pointed at IVF-PQ).

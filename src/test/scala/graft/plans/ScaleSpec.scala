@@ -254,6 +254,57 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("ivf index at rest: probe filter prunes partitions, serve matches in-memory") {
+    import java.nio.file.Files
+    val a = (0L until 25L).map(i =>
+      (i, Array(0.9f + (i % 3) * 0.001f, 0.1f, 0.0f, 0.0f)))
+    val b = (25L until 40L).map(i =>
+      (i, Array(0.1f, 0.9f + (i % 3) * 0.001f, 0.0f, 0.0f)))
+    val vecs = (a ++ b).toDF("vec_id", "embedding")
+    val trained = Seq(
+      (0L, Array(900000L, 100000L, 0L, 0L)),
+      (1L, Array(100000L, 900000L, 0L, 0L))).toDF("cent_id", "cv")
+    val queries = vecs.filter(col("vec_id") === 0)
+    val cb = vecs.filter(col("vec_id") % 10 === 3)
+    val root = Files.createTempDirectory("ivfidx").toString
+    graft.pipeline.Similarity.ivfPqResidualIndex(vecs, trained, cb,
+        "vec_id", "embedding", numSubspaces = 2, subDim = 2)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(root)
+    val probes = graft.pipeline.Similarity.ivfProbes(queries, trained,
+      "vec_id", "embedding", nprobe = 1)
+    val cells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    assert(cells.toSeq == Seq(0L))
+    val index = spark.read.parquet(root)
+      .filter(col("cent_id").isin(cells: _*))
+      .select(col("corpus_id"), col("cent_id").cast("long").as("cent_id"),
+        col("s"), col("code"))
+    // static partition pruning: the UNPROBED cell's directory is never
+    // opened. inputFiles lists the pre-pruning FileIndex, so read the
+    // EXECUTED scan's metrics: exactly cell 0's file, and only cell
+    // 0's rows (25 vectors × 2 subspaces)
+    assert(index.collect().length == 50)
+    val scan = index.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.metadata("PartitionFilters").contains("cent_id"),
+      scan.metadata.toString)
+    assert(scan.metrics("numFiles").value == 1L,
+      s"numFiles=${scan.metrics("numFiles").value}")
+    // the at-rest artifact serves the SAME result as the in-memory path
+    val served = graft.pipeline.Similarity.ivfPqResidualServe(index,
+      probes, queries, trained, cb, "vec_id", "embedding",
+      numSubspaces = 2, subDim = 2, k = 50)
+    val direct = graft.pipeline.Similarity.ivfPqResidualTopK(vecs,
+      queries, trained, cb, "vec_id", "embedding",
+      numSubspaces = 2, subDim = 2, k = 50, nprobe = 1)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(rows(served) == rows(direct))
+  }
+
   test("bucketedGlobalRank equals the single-task rank and keeps every Window partitioned") {
     import org.apache.spark.sql.expressions.Window
     // heavy ties (including at min and max), negatives, reversed
