@@ -1090,6 +1090,53 @@ object Similarity {
         col(approxScoreCol), col("approx_rank"))
   }
 
+  /** Late-interaction (ColBERT-style) MaxSim re-scoring of an ANN
+    * candidate relation: document and query vectors are treated as
+    * bags of `numVectors` sub-vectors (the multi-vector layout; here
+    * the deterministic subspace split of the single embedding stands
+    * in for per-token vectors exactly as the codebook subsample stands
+    * in for trained PQ centroids), and
+    * `score(q, d) = Σ_{qs} max_{ds} dot(q_qs, d_ds)` — the scorer that
+    * credits cross-positioned matches a single pooled dot misses.
+    *
+    * Scale shape: candidates (|Q|·k_cand) BROADCAST onto the id-keyed
+    * corpus join, so sub-vector scoring touches candidate rows only —
+    * the two-stage serving shape of [[exactRerank]] with the
+    * late-interaction scorer; the max-then-sum runs as two
+    * HashAggregates over |Q|·k_cand·m² fixed-width rows. Exact int64
+    * dots, ties to the lower corpus id; both the MaxSim rank and the
+    * stage-1 rank are emitted. */
+  def maxSimRerank(candidates: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, numVectors: Int,
+      subDim: Int, k: Int): DataFrame = {
+    require(numVectors >= 1 && subDim >= 1 && k >= 1,
+      "maxSimRerank: numVectors, subDim, k must be >= 1")
+    val cand = candidates.select(col("query_id"), col("corpus_id"),
+      col("rank").as("approx_rank"))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        quantize(col(vecCol)).as("_vq"))
+      .join(broadcast(cand), "corpus_id")
+    val dsub = subspaceSplit(c, Seq("corpus_id", "query_id", "approx_rank"),
+        "_vq", "dsub", numVectors, subDim)
+      .withColumnRenamed("s", "_ds")
+    val qsub = subspaceSplit(queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("_qq")), Seq("query_id"), "_qq", "qsub",
+        numVectors, subDim)
+      .withColumnRenamed("s", "_qs")
+    val scored = dsub.join(broadcast(qsub), "query_id")
+      .groupBy(col("query_id"), col("corpus_id"), col("approx_rank"),
+        col("_qs"))
+      .agg(max(dotExact(col("qsub"), col("dsub"))).as("_m"))
+      .groupBy(col("query_id"), col("corpus_id"), col("approx_rank"))
+      .agg(sum(col("_m")).as("maxsim_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("maxsim_q").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("maxsim_q"), col("approx_rank"))
+  }
+
   /** Norm-quantile outlier detection — the embedding-health FILTER that
     * follows [[embeddingStats]]' report: vectors whose exact quantized
     * squared norm falls outside the [p1, p99] percentile band are

@@ -124,12 +124,12 @@ object PipelineQueries {
         "q207_crossmodal_keeplist", "q208_ivf_pq", "q211_ivfpq_recall",
         "q212_curate_full", "q214_crossmodal_keepbest",
         "q215_ivfpq_residual", "q216_ivfpq_rerank", "q217_pq_quant_ab",
-        "q218_ivf_index_serve"),
+        "q218_ivf_index_serve", "q219_maxsim_rerank"),
       () => releaseEmbCache()),
     "kmeans" -> CacheFamily(
       Set("q89_kmeans_train", "q204_cluster_budget", "q208_ivf_pq",
         "q211_ivfpq_recall", "q215_ivfpq_residual", "q216_ivfpq_rerank",
-        "q217_pq_quant_ab", "q218_ivf_index_serve"),
+        "q217_pq_quant_ab", "q218_ivf_index_serve", "q219_maxsim_rerank"),
       () => releaseKmeansCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -2423,6 +2423,25 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Late-interaction MaxSim rerank ([[Similarity.maxSimRerank]] over
+    * [[Similarity.ivfPqResidualTopK]] candidates): stage 1 retrieves
+    * 50 per query from the residual index, stage 2 re-scores them with
+    * the multi-vector `Σ max` late-interaction scorer (4 sub-vectors ×
+    * 16 dims) and cuts to 10 — the ColBERT serving shape beside q216's
+    * single-vector exact refine. The oracle nests the k=50 body whole
+    * and replays the max-then-sum in SQL. */
+  def q219MaxsimRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 16)
+    val cand = Similarity.ivfPqResidualTopK(e, q,
+      trainedCentroids(spark, dir), e.filter(col("vec_id") % 61 === 3),
+      "vec_id", "embedding", numSubspaces = 4, subDim = 16, k = 50,
+      nprobe = 2)
+    Similarity.maxSimRerank(cand, e, q, "vec_id", "embedding",
+        numVectors = 4, subDim = 16, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Stupid-backoff trigram LM quality scoring
     * ([[TextMetrics.stupidBackoffScore]]): corpus-LM mean
     * log-likelihood per doc with ×0.4 backoff — the KenLM-style
@@ -2612,6 +2631,7 @@ object PipelineQueries {
     "q216_ivfpq_rerank" -> q216IvfPqRerank,
     "q217_pq_quant_ab" -> q217PqQuantAb,
     "q218_ivf_index_serve" -> q218IvfIndexServe,
+    "q219_maxsim_rerank" -> q219MaxsimRerank,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -2997,6 +3017,41 @@ object PipelineQueries {
        |  approx_rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY dot_q DESC, corpus_id) AS rank FROM ex)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The q219 MaxSim-rerank oracle: the k=50 residual-index body nested
+    * whole as stage 1, then the late-interaction `Σ_qs max_ds dot`
+    * replayed in SQL over exactly those candidates. */
+  private lazy val q219Oracle: String =
+    s"""WITH s1 AS (SELECT * FROM (
+       |${q215OracleK(50)}
+       |)),
+       |v2 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+       |  FROM embeddings),
+       |sp2 AS (SELECT unnest(generate_series(0, 3)) AS s),
+       |dsx AS (SELECT s1.query_id, s1.corpus_id, s1.rank AS approx_rank,
+       |    sp2.s AS dsv,
+       |    list_slice(b.qv, sp2.s * 16 + 1, (sp2.s + 1) * 16) AS sub
+       |  FROM s1 JOIN v2 b ON b.vec_id = s1.corpus_id CROSS JOIN sp2),
+       |qsx AS (SELECT vec_id AS query_id, s AS qsv,
+       |    list_slice(qv, s * 16 + 1, (s + 1) * 16) AS sub
+       |  FROM v2 CROSS JOIN sp2 WHERE vec_id < 16),
+       |pe AS (SELECT d.query_id, d.corpus_id, d.approx_rank, q.qsv, d.dsv,
+       |    unnest(q.sub) AS ax, unnest(d.sub) AS bx
+       |  FROM dsx d JOIN qsx q ON q.query_id = d.query_id),
+       |pd AS (SELECT query_id, corpus_id, approx_rank, qsv, dsv,
+       |    sum(ax * bx)::BIGINT AS dq
+       |  FROM pe GROUP BY 1, 2, 3, 4, 5),
+       |mx AS (SELECT query_id, corpus_id, approx_rank, qsv, max(dq) AS m
+       |  FROM pd GROUP BY 1, 2, 3, 4),
+       |ms AS (SELECT query_id, corpus_id, approx_rank,
+       |    sum(m)::BIGINT AS maxsim_q
+       |  FROM mx GROUP BY 1, 2, 3)
+       |SELECT query_id, rank::BIGINT AS rank, corpus_id, maxsim_q,
+       |  approx_rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY maxsim_q DESC, corpus_id) AS rank FROM ms)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** The q217 quantization-A/B oracle: ONE flat WITH assembling the
@@ -4563,6 +4618,7 @@ object PipelineQueries {
     // the at-rest index must serve the SAME result as the in-memory
     // path — the q215 body verbatim IS the persistence witness
     "q218_ivf_index_serve" -> q215Oracle,
+    "q219_maxsim_rerank" -> q219Oracle,
     // Recall@10 of the q208 cell-pruned index against the q23 exact
     // baseline, with the scan fraction beside it — both bodies nested
     // whole, one hit join (the q69 device pointed at IVF-PQ).

@@ -121,6 +121,37 @@ class PqSpec extends AnyFunSuite {
     assert(resid < flat)
   }
 
+  test("maxSimRerank: cross-positioned sub-vector match outranks pooled dot") {
+    // 4-dim = 2 sub-vectors x 2 dims. d3 swaps the query's sub-vectors:
+    // the pooled dot is 0, but every query sub-vector finds its match
+    // under MaxSim — the late-interaction scorer must rank it FIRST.
+    val corpus = Seq(
+      (1L, Array(0.5f, 0f, 0f, 0.5f)),  // aligned, maxsim 1e12
+      (2L, Array(1f, 0f, 1f, 0f)),      // sub 0 matches twice, maxsim 1e12
+      (3L, Array(0f, 1f, 1f, 0f)))      // swapped: pooled dot 0, maxsim 2e12
+      .toDF("vec_id", "embedding")
+    val query = Seq((100L, Array(1f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val cand = Seq((100L, 1L, 1L), (100L, 2L, 2L), (100L, 3L, 3L))
+      .toDF("query_id", "rank", "corpus_id")
+    val out = Similarity.maxSimRerank(cand, corpus, query,
+        "vec_id", "embedding", numVectors = 2, subDim = 2, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2000000000000L, 3L),
+      (2L, 1L, 1000000000000L, 1L),
+      (3L, 2L, 1000000000000L, 2L)))
+    // pooled exact dot on the same candidates ranks d3 LAST — the two
+    // scorers disagree exactly where late interaction should win
+    import org.apache.spark.sql.functions.lit
+    val pooled = Similarity.exactRerank(
+        cand.withColumn("dot_rpq", lit(0L)), corpus, query,
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(pooled.map(_._2) == Seq(1L, 2L, 3L) ||
+      pooled.map(_._2) == Seq(2L, 1L, 3L))
+  }
+
   test("labelPurity: per-label edge counts and same-label fraction") {
     val graph = Seq(
       (1L, 1L, 2L, 10L), (1L, 2L, 3L, 9L),  // src 1: nbrs 2 (same), 3 (diff)
