@@ -124,12 +124,13 @@ object PipelineQueries {
         "q207_crossmodal_keeplist", "q208_ivf_pq", "q211_ivfpq_recall",
         "q212_curate_full", "q214_crossmodal_keepbest",
         "q215_ivfpq_residual", "q216_ivfpq_rerank", "q217_pq_quant_ab",
-        "q218_ivf_index_serve", "q219_maxsim_rerank"),
+        "q218_ivf_index_serve", "q219_maxsim_rerank", "q220_index_delta"),
       () => releaseEmbCache()),
     "kmeans" -> CacheFamily(
       Set("q89_kmeans_train", "q204_cluster_budget", "q208_ivf_pq",
         "q211_ivfpq_recall", "q215_ivfpq_residual", "q216_ivfpq_rerank",
-        "q217_pq_quant_ab", "q218_ivf_index_serve", "q219_maxsim_rerank"),
+        "q217_pq_quant_ab", "q218_ivf_index_serve", "q219_maxsim_rerank",
+        "q220_index_delta"),
       () => releaseKmeansCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
@@ -2442,6 +2443,37 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental index maintenance (q218's at-rest index under data
+    * churn): the initial build covers `vec_id % 17 != 1`; the % 17 == 1
+    * slice arrives later and is encoded AS A DELTA against the frozen
+    * model artifacts (same trained centroids, same codebook — the
+    * production invariant: models retrain offline, data moves daily);
+    * `vec_id % 23 == 2` are tombstoned with an anti-join. Serving the
+    * merged base∪delta∖deletes index must equal a FULL REBUILD over
+    * the final membership — residual codes depend only on (vector,
+    * model), so delta encode ≡ rebuild encode, and the oracle is the
+    * q215 body with the membership predicate on candidates (models
+    * still trained on the full corpus). PqSpec pins merged ≡ rebuilt
+    * on a fixture as well. */
+  def q220IndexDelta(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 16)
+    val cb = e.filter(col("vec_id") % 61 === 3)
+    val tr = trainedCentroids(spark, dir)
+    def idx(part: DataFrame) = Similarity.ivfPqResidualIndex(part, tr, cb,
+      "vec_id", "embedding", numSubspaces = 4, subDim = 16)
+    val merged = idx(e.filter(col("vec_id") % 17 =!= 1))
+      .unionByName(idx(e.filter(col("vec_id") % 17 === 1)))
+      .join(e.filter(col("vec_id") % 23 === 2)
+          .select(col("vec_id").as("corpus_id")),
+        Seq("corpus_id"), "left_anti")
+    Similarity.ivfPqResidualServe(merged,
+        Similarity.ivfProbes(q, tr, "vec_id", "embedding", nprobe = 2),
+        q, tr, cb, "vec_id", "embedding", numSubspaces = 4, subDim = 16,
+        k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Stupid-backoff trigram LM quality scoring
     * ([[TextMetrics.stupidBackoffScore]]): corpus-LM mean
     * log-likelihood per doc with ×0.4 backoff — the KenLM-style
@@ -2632,6 +2664,7 @@ object PipelineQueries {
     "q217_pq_quant_ab" -> q217PqQuantAb,
     "q218_ivf_index_serve" -> q218IvfIndexServe,
     "q219_maxsim_rerank" -> q219MaxsimRerank,
+    "q220_index_delta" -> q220IndexDelta,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -2948,7 +2981,13 @@ object PipelineQueries {
     * the cell-pruned residual ADC. All integer sums cast ::BIGINT
     * (DuckDB HUGEINT discipline). k=10 is the q215 entry; k=50 is the
     * candidate stage nested inside the q216 rerank oracle. */
-  private def q215OracleK(k: Int): String =
+  private def q215OracleK(k: Int): String = q215OracleKFiltered(k, "")
+
+  /** [[q215OracleK]] with an extra candidate-membership predicate —
+    * q220 restricts candidates to the post-delete corpus while the
+    * model artifacts (centroids, codebook) stay frozen on the full
+    * training corpus, exactly like the Spark side. */
+  private def q215OracleKFiltered(k: Int, candExtra: String): String =
     kmeansAssignCtes +
       ",\nsp AS (SELECT unnest(generate_series(0, 3)) AS s),\n" +
       residualPqCtes +
@@ -2974,7 +3013,8 @@ object PipelineQueries {
       |  FROM qle GROUP BY 1, 2, 3),
       |cand AS (SELECT p.query_id, p.dot_qc, af.vec_id AS corpus_id
       |  FROM probes p JOIN af ON af.cent_id = p.cent_id
-      |  WHERE af.vec_id <> p.query_id),
+      |  WHERE af.vec_id <> p.query_id""".stripMargin + candExtra +
+      """),
       |adcr AS (SELECT c.query_id, c.corpus_id,
       |    (min(c.dot_qc) + sum(d.dq))::BIGINT AS dot_rpq
       |  FROM cand c
@@ -4619,6 +4659,10 @@ object PipelineQueries {
     // path — the q215 body verbatim IS the persistence witness
     "q218_ivf_index_serve" -> q215Oracle,
     "q219_maxsim_rerank" -> q219Oracle,
+    // incremental ≡ rebuild: the q215 body over the post-delete
+    // membership (frozen model artifacts, filtered candidates)
+    "q220_index_delta" ->
+      q215OracleKFiltered(10, " AND af.vec_id % 23 <> 2"),
     // Recall@10 of the q208 cell-pruned index against the q23 exact
     // baseline, with the scan fraction beside it — both bodies nested
     // whole, one hit join (the q69 device pointed at IVF-PQ).

@@ -152,6 +152,42 @@ class PqSpec extends AnyFunSuite {
       pooled.map(_._2) == Seq(2L, 1L, 3L))
   }
 
+  test("index delta: base∪delta∖deletes serves identically to a full rebuild") {
+    val corpus = Seq(
+      (0L, Array(0.875f, 0.125f, 0.5f, 0.0f)),
+      (1L, Array(0.875f, 0.125f, 0.0f, 0.5f)),
+      (2L, Array(0.875f, 0.125f, 0.375f, 0.125f)),
+      (3L, Array(0.875f, 0.125f, 0.125f, 0.375f)),
+      (9L, Array(0.125f, 0.875f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val trained = Seq(
+      (0L, Array(875000L, 125000L, 0L, 0L)),
+      (1L, Array(125000L, 875000L, 0L, 0L))).toDF("cent_id", "cv")
+    val cb = corpus.filter($"vec_id" < 2L)
+    val query = Seq((100L, Array(0.875f, 0.125f, 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    def idx(part: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqResidualIndex(part, trained, cb, "vec_id",
+        "embedding", numSubspaces = 2, subDim = 2)
+    // v3 arrives as a delta; v2 gets tombstoned
+    val merged = idx(corpus.filter($"vec_id" =!= 3L))
+      .unionByName(idx(corpus.filter($"vec_id" === 3L)))
+      .join(Seq(2L).toDF("corpus_id"), Seq("corpus_id"), "left_anti")
+    val probes = Similarity.ivfProbes(query, trained, "vec_id",
+      "embedding", nprobe = 1)
+    def serve(index: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqResidualServe(index, probes, query, trained, cb,
+          "vec_id", "embedding", numSubspaces = 2, subDim = 2, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val rebuilt = serve(idx(corpus.filter($"vec_id" =!= 2L)))
+    val incremental = serve(merged)
+    assert(incremental == rebuilt)
+    // the tombstoned vector is really gone, the delta vector is present
+    assert(!incremental.exists(_._3 == 2L))
+    assert(incremental.exists(_._3 == 3L))
+  }
+
   test("labelPurity: per-label edge counts and same-label fraction") {
     val graph = Seq(
       (1L, 1L, 2L, 10L), (1L, 2L, 3L, 9L),  // src 1: nbrs 2 (same), 3 (diff)
