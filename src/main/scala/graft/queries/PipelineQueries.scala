@@ -132,6 +132,10 @@ object PipelineQueries {
         "q217_pq_quant_ab", "q218_ivf_index_serve", "q219_maxsim_rerank",
         "q220_index_delta"),
       () => releaseKmeansCache()),
+    "residx" -> CacheFamily(
+      Set("q215_ivfpq_residual", "q216_ivfpq_rerank", "q217_pq_quant_ab",
+        "q218_ivf_index_serve", "q219_maxsim_rerank"),
+      () => releaseResidxCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
         "q78_source_overlap", "q88_incremental_dedup", "q91_lsh_tuning",
@@ -781,6 +785,28 @@ object PipelineQueries {
         k = 8, iters = 2).localCheckpoint(true))
   }
 
+  /** Shared residual-PQ index relation (corpus_id, cent_id, s, code),
+    * cached per (session, sf dir): built ONCE and served by every
+    * residual-index consumer (q215 serve, q216/q219 candidate stages,
+    * q217's residual arm, q218's persisted store) — the production
+    * encode-once/serve-many shape. q220 deliberately does NOT ride it:
+    * its point is the independent delta encode. */
+  private val sharedResidx =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Drop the shared residual index (q215–q219). */
+  def releaseResidxCache(): Unit = drain(sharedResidx)
+
+  private def residualIndex(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("residx")
+    sharedResidx.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Similarity.ivfPqResidualIndex(emb(spark, dir),
+        trainedCentroids(spark, dir),
+        emb(spark, dir).filter(col("vec_id") % 61 === 3),
+        "vec_id", "embedding", numSubspaces = 4, subDim = 16)
+        .localCheckpoint(true))
+  }
+
   /** Oracle-checked k-means training (k = 8, 2 Lloyd rounds): the
     * iterative trainer's centroids and final cell sizes hash-checked
     * against a DuckDB oracle that unrolls the same rounds in SQL —
@@ -817,13 +843,21 @@ object PipelineQueries {
     * the Lloyd rounds, the residual arrays (list comprehension), the
     * residual codewords, the codes, the first-order probe dots and the
     * pruned ADC sum entirely in SQL. */
-  def q215IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 16),
-        trainedCentroids(spark, dir), e.filter(col("vec_id") % 61 === 3),
-        "vec_id", "embedding", numSubspaces = 4, subDim = 16, k = 10,
-        nprobe = 2)
+  def q215IvfPqResidual(spark: SparkSession, dir: String): DataFrame =
+    residualServe(spark, dir, k = 10)
       .orderBy(col("query_id"), col("rank"))
+
+  /** Serve top-k for the 16 standing queries from the SHARED residual
+    * index — the common stage-1 of q215/q216/q217/q219. */
+  private def residualServe(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 16)
+    val tr = trainedCentroids(spark, dir)
+    Similarity.ivfPqResidualServe(residualIndex(spark, dir),
+      Similarity.ivfProbes(q, tr, "vec_id", "embedding", nprobe = 2),
+      q, tr, e.filter(col("vec_id") % 61 === 3),
+      "vec_id", "embedding", numSubspaces = 4, subDim = 16, k = k)
   }
 
   /** Two-stage serving retrieval ([[Similarity.exactRerank]] over
@@ -836,12 +870,8 @@ object PipelineQueries {
     * residual-index body whole and re-derives the exact rerank. */
   def q216IvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val q = e.filter(col("vec_id") < 16)
-    val cand = Similarity.ivfPqResidualTopK(e, q,
-      trainedCentroids(spark, dir), e.filter(col("vec_id") % 61 === 3),
-      "vec_id", "embedding", numSubspaces = 4, subDim = 16, k = 50,
-      nprobe = 2)
-    Similarity.exactRerank(cand, e, q, "vec_id", "embedding", k = 10)
+    Similarity.exactRerank(residualServe(spark, dir, k = 50), e,
+        e.filter(col("vec_id") < 16), "vec_id", "embedding", k = 10)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -878,8 +908,7 @@ object PipelineQueries {
       Similarity.pqEncodeError(e, cb, "vec_id", "embedding",
         numSubspaces = 4, subDim = 16))
     val resid = armRow("ivfpq_residual",
-      Similarity.ivfPqResidualTopK(e, q, tr, cb, "vec_id", "embedding",
-        numSubspaces = 4, subDim = 16, k = 10, nprobe = 2),
+      residualServe(spark, dir, k = 10),
       Similarity.pqResidualEncodeError(e, tr, cb, "vec_id", "embedding",
         numSubspaces = 4, subDim = 16))
     flat.unionByName(resid).orderBy(col("arm"))
@@ -2407,8 +2436,7 @@ object PipelineQueries {
     val cb = e.filter(col("vec_id") % 61 === 3)
     val tr = trainedCentroids(spark, dir)
     val root = rtPath(spark, dir, "ivfidx")
-    Similarity.ivfPqResidualIndex(e, tr, cb, "vec_id", "embedding",
-        numSubspaces = 4, subDim = 16)
+    residualIndex(spark, dir)
       .write.mode("overwrite").partitionBy("cent_id").parquet(root)
     val probes = Similarity.ivfProbes(q, tr, "vec_id", "embedding",
         nprobe = 2)
@@ -2433,12 +2461,8 @@ object PipelineQueries {
     * and replays the max-then-sum in SQL. */
   def q219MaxsimRerank(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val q = e.filter(col("vec_id") < 16)
-    val cand = Similarity.ivfPqResidualTopK(e, q,
-      trainedCentroids(spark, dir), e.filter(col("vec_id") % 61 === 3),
-      "vec_id", "embedding", numSubspaces = 4, subDim = 16, k = 50,
-      nprobe = 2)
-    Similarity.maxSimRerank(cand, e, q, "vec_id", "embedding",
+    Similarity.maxSimRerank(residualServe(spark, dir, k = 50), e,
+        e.filter(col("vec_id") < 16), "vec_id", "embedding",
         numVectors = 4, subDim = 16, k = 10)
       .orderBy(col("query_id"), col("rank"))
   }
