@@ -895,7 +895,7 @@ object PipelineQueries {
     val denom = exact.agg(count(lit(1)).as("_ne"))
     def armRow(name: String, topk: DataFrame, err: DataFrame): DataFrame = {
       val hits = topk.select(col("query_id"), col("corpus_id"))
-        .join(exact, Seq("query_id", "corpus_id"))
+        .join(broadcast(exact), Seq("query_id", "corpus_id"))
         .agg(count(lit(1)).as("hits10"))
       err.crossJoin(broadcast(hits)).crossJoin(broadcast(denom))
         .select(lit(name).as("arm"), col("total_sq_err"), col("hits10"),
