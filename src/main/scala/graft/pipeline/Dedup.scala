@@ -414,10 +414,14 @@ object Dedup {
     * (`keep = doc_id == cluster_id`) survives per cluster — what a
     * production dedup actually ships, one step past pair detection.
     *
-    * Min-label propagation with pointer-doubling-style convergence: each
-    * round joins the current labels across the (symmetrized) edge set
-    * and keeps the minimum; rounds = O(component diameter), each one
-    * shuffle keyed by doc. Every iteration localCheckpoints (the same
+    * Min-label propagation with a pointer-jump per round: each round
+    * joins the current labels across the (symmetrized) edge set, keeps
+    * the minimum, then resolves label := label[label] — the jump
+    * composes resolved depth, so rounds = O(log component diameter)
+    * (a plain propagation loop pays O(diameter); q207's packed
+    * cross-modal graph measured 50+ rounds / 22.5 s before the jump).
+    * Each round is two doc-keyed shuffles. Every iteration
+    * localCheckpoints (the same
     * lineage-truncation discipline as DiscussionTree.withRoots — an
     * uncheckpointed loop's plan tree grows exponentially). Throws if
     * `maxIters` rounds don't converge rather than emitting wrong
@@ -427,6 +431,23 @@ object Dedup {
     * [[graft.operators.DiscussionTree.withRoots]]): an accumulator counts
     * label changes while the round materializes — one job per round, no
     * separate probe join/count over the labels. */
+  /** Materialize a loop round AND truncate its plan-level statistics:
+    * `localCheckpoint` alone keeps the source plan's SizeInBytes
+    * estimate (LogicalRDD.fromDataset copies stats), and the stats
+    * visitor MULTIPLIES child sizes at every join — so an iterative
+    * loop's estimate bit-length compounds per round, and with the
+    * pointer-jump's self-join it DOUBLES per round: by round ~20 the
+    * driver hangs multiplying million-bit BigIntegers inside
+    * checkpoint planning (observed live on q207 at sf0.1). Re-wrapping
+    * the checkpointed RDD through createDataFrame gives the new leaf
+    * the CONSTANT default size estimate — stats stay bounded for any
+    * round count. The Row conversion layer costs per-row CPU on a
+    * 2-long relation, nothing at any scale. */
+  private def ckptRound(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
       maxIters: Int = 30): DataFrame = {
     val sc = docs.sparkSession.sparkContext
@@ -448,19 +469,36 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(viaEdges, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          tick(coalesce(col("nbr_label") < col("label"), lit(false))).as("chg"))
-        .localCheckpoint() // one job: materialize round + count changes
-        .drop("chg")
+      val stepped = ckptRound(
+        labels.join(viaEdges, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+            tick(coalesce(col("nbr_label") < col("label"), lit(false))).as("chg")))
+        .drop("chg") // job 1: edge step + change count
       converged = changed.value == 0
-      labels = next
+      // Pointer jump (label := label[label]): composes the resolved
+      // depth each round, so rounds are O(log diameter) instead of
+      // O(diameter) — a 50-hop near-dup chain converges in ~7 rounds,
+      // not 50 (q207's packed cross-modal graph ran the plain loop at
+      // 22.5 s/sweep on exactly this). Labels only decrease and
+      // label[x] <= x, so the jump is a pure accelerator: the edge-step
+      // fixed point is already the component min (labels equal across
+      // every edge => constant per component => the min id), which is
+      // why ticking ONLY the edge step stays a sound convergence test —
+      // and at convergence the jump is the identity, so it is skipped.
+      labels =
+        if (converged) stepped
+        else ckptRound(stepped.join(
+            stepped.select(col("doc_id").as("_jk"), col("label").as("_jv")),
+            col("label") === col("_jk"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_jv"), col("label")).as("label"))) // job 2: jump
       i += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"nearDupClusters did not converge after $maxIters rounds")
+    System.err.println(s"[graft] nearDupClusters converged after $i rounds")
     labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("keep"))
   }

@@ -136,6 +136,9 @@ object PipelineQueries {
       Set("q215_ivfpq_residual", "q216_ivfpq_rerank", "q217_pq_quant_ab",
         "q218_ivf_index_serve", "q219_maxsim_rerank"),
       () => releaseResidxCache()),
+    "xmodal" -> CacheFamily(
+      Set("q207_crossmodal_keeplist"),
+      () => releaseXModalCache()),
     "minhash" -> CacheFamily(
       Set("q20_minhash_neardups", "q37_neardup_clusters", "q48_fuzzy_decontaminate",
         "q78_source_overlap", "q88_incremental_dedup", "q91_lsh_tuning",
@@ -376,14 +379,7 @@ object PipelineQueries {
     * in SQL. */
   def q207CrossModalKeepList(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val semPairs = Dedup.embeddingNearDups(emb(spark, dir), "vec_id",
-        "embedding", minDotQ = 250000000000L, nBits = 8)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val packed = Dedup.crossModalClusters(d.select(col("doc_id")), "doc_id",
-      Seq("semantic" -> semPairs,
-        "image" -> imagePairs(spark, dir).select(col("doc_a"), col("doc_b")),
-        "audio" -> audioPairs(spark, dir).select(col("doc_a"), col("doc_b")),
-        "video" -> videoPairs(spark, dir).select(col("doc_a"), col("doc_b"))))
+    val packed = crossModalPacked(spark, dir)
     val tagged = docClusters(spark, dir)
       .select(lit("text").as("stage"), col("doc_id"), col("cluster_id"))
       .unionByName(packed.select(col("stage"), col("doc_id"),
@@ -1158,6 +1154,35 @@ object PipelineQueries {
       Dedup.nearDupClusters(docs(spark, dir).select(col("doc_id")),
         minhashPairs(spark, dir).select("doc_a", "doc_b"), "doc_id")
         .localCheckpoint(true))
+  }
+
+  /** Packed cross-modal stage labels, cached per (session, sf dir) —
+    * the [[Dedup.crossModalClusters]] label propagation over the four
+    * non-text modality pair sets runs ONCE per session (the label loop
+    * is the q207 family's expensive member: the semantic stage's
+    * near-dup chains give the packed graph a ~50-hop diameter, 26
+    * jumped rounds ≈ 18 s at sf0.1 — the same amortization policy as
+    * [[docClusters]] and [[minhashPairs]]). */
+  private val sharedXModal =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Drop the packed cross-modal stage-label cache (q207). */
+  def releaseXModalCache(): Unit = drain(sharedXModal)
+
+  private def crossModalPacked(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("xmodal")
+    sharedXModal.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val semPairs = Dedup.embeddingNearDups(emb(spark, dir), "vec_id",
+          "embedding", minDotQ = 250000000000L, nBits = 8)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.crossModalClusters(
+        docs(spark, dir).select(col("doc_id")), "doc_id",
+        Seq("semantic" -> semPairs,
+          "image" -> imagePairs(spark, dir).select(col("doc_a"), col("doc_b")),
+          "audio" -> audioPairs(spark, dir).select(col("doc_a"), col("doc_b")),
+          "video" -> videoPairs(spark, dir).select(col("doc_a"), col("doc_b"))))
+        .localCheckpoint(true)
+    })
   }
 
   /** Near-dup clusters: MinHash+LSH verified pairs → connected
