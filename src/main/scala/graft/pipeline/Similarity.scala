@@ -1060,6 +1060,29 @@ object Similarity {
       cwsub, numSubspaces, subDim)
   }
 
+  /** Per-cell residual quantization error — the index-health breakdown
+    * behind [[pqResidualEncodeError]]'s total: cells whose per-vector
+    * error balloons need more codewords (or a retrain); empty/ skewed
+    * cells show up in `n_vec`. One row per non-empty cell:
+    * `(cent_id, n_vec, cell_sq_err)`. Same two map-side passes as the
+    * encoder; the final aggregate is |cells|-bounded. */
+  def pqResidualCellError(corpus: DataFrame, trained: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String,
+      numSubspaces: Int, subDim: Int): DataFrame = {
+    val cwsub = subspaceSplit(
+      residualCodewords(codebook, trained, idCol, vecCol),
+      Seq("code"), "_rq", "cw", numSubspaces, subDim)
+    subspaceSplit(residualArrays(corpus, trained, idCol, vecCol)
+        .select(col("vid"), col("cent_id"), col("_rq").as("_vq")),
+        Seq("vid", "cent_id"), "_vq", "sub", numSubspaces, subDim)
+      .join(broadcast(cwsub), "s")
+      .groupBy(col("vid"), col("cent_id"), col("s"))
+      .agg(min(sqDistExact(col("sub"), col("cw"))).as("_d"))
+      .groupBy(col("cent_id"))
+      .agg(countDistinct(col("vid")).as("n_vec"),
+        sum(col("_d")).as("cell_sq_err"))
+  }
+
   /** Two-stage serving refine: exact quantized-dot re-scoring of an ANN
     * candidate relation `(query_id, rank, corpus_id, <approxScoreCol>)`
     * — the standard coarse-retrieve → exact-rerank production path.

@@ -124,17 +124,18 @@ object PipelineQueries {
         "q207_crossmodal_keeplist", "q208_ivf_pq", "q211_ivfpq_recall",
         "q212_curate_full", "q214_crossmodal_keepbest",
         "q215_ivfpq_residual", "q216_ivfpq_rerank", "q217_pq_quant_ab",
-        "q218_ivf_index_serve", "q219_maxsim_rerank", "q220_index_delta"),
+        "q218_ivf_index_serve", "q219_maxsim_rerank", "q220_index_delta",
+        "q221_cell_health", "q222_nprobe_sweep"),
       () => releaseEmbCache()),
     "kmeans" -> CacheFamily(
       Set("q89_kmeans_train", "q204_cluster_budget", "q208_ivf_pq",
         "q211_ivfpq_recall", "q215_ivfpq_residual", "q216_ivfpq_rerank",
         "q217_pq_quant_ab", "q218_ivf_index_serve", "q219_maxsim_rerank",
-        "q220_index_delta"),
+        "q220_index_delta", "q221_cell_health", "q222_nprobe_sweep"),
       () => releaseKmeansCache()),
     "residx" -> CacheFamily(
       Set("q215_ivfpq_residual", "q216_ivfpq_rerank", "q217_pq_quant_ab",
-        "q218_ivf_index_serve", "q219_maxsim_rerank"),
+        "q218_ivf_index_serve", "q219_maxsim_rerank", "q222_nprobe_sweep"),
       () => releaseResidxCache()),
     "xmodal" -> CacheFamily(
       Set("q207_crossmodal_keeplist"),
@@ -844,14 +845,14 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
 
   /** Serve top-k for the 16 standing queries from the SHARED residual
-    * index — the common stage-1 of q215/q216/q217/q219. */
+    * index — the common stage-1 of q215/q216/q217/q219/q222. */
   private def residualServe(spark: SparkSession, dir: String,
-      k: Int): DataFrame = {
+      k: Int, nprobe: Int = 2): DataFrame = {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < 16)
     val tr = trainedCentroids(spark, dir)
     Similarity.ivfPqResidualServe(residualIndex(spark, dir),
-      Similarity.ivfProbes(q, tr, "vec_id", "embedding", nprobe = 2),
+      Similarity.ivfProbes(q, tr, "vec_id", "embedding", nprobe = nprobe),
       q, tr, e.filter(col("vec_id") % 61 === 3),
       "vec_id", "embedding", numSubspaces = 4, subDim = 16, k = k)
   }
@@ -2523,6 +2524,53 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-cell index health ([[Similarity.pqResidualCellError]]): for
+    * every non-empty IVF cell, its population and its total residual
+    * quantization error — the dashboard an index operator reads to
+    * decide which cells need more codewords or a retrain (q89 reports
+    * sizes + centroid hashes; this adds the error dimension). Rides
+    * the embeddings + kmeans caches. */
+  def q221CellHealth(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.pqResidualCellError(e, trainedCentroids(spark, dir),
+        e.filter(col("vec_id") % 61 === 3), "vec_id", "embedding",
+        numSubspaces = 4, subDim = 16)
+      .orderBy(col("cent_id"))
+  }
+
+  /** Recall-vs-nprobe tuning curve (the q91 LSH-tuning pattern on the
+    * residual index): one row per nprobe ∈ {1, 2, 4} with recall@10
+    * against the exact baseline and the total candidate rows scanned —
+    * the recall/cost frontier an operator picks a serving config from.
+    * All three arms serve from the SHARED index cache; the oracle
+    * nests the full residual body three times at the three probe
+    * widths. */
+  def q222NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 10)
+      .select(col("query_id"), col("corpus_id"))
+      .localCheckpoint(true) // three hit joins + the denominator
+    val denom = exact.agg(count(lit(1)).as("_ne"))
+    val arms = Seq(1, 2, 4).map { np =>
+      val served = residualServe(spark, dir, k = 10, nprobe = np)
+        .localCheckpoint(true) // hit join + scan rollup
+      val hits = served.select(col("query_id"), col("corpus_id"))
+        .join(broadcast(exact), Seq("query_id", "corpus_id"))
+        .agg(count(lit(1)).as("hits10"))
+      val scanned = served.groupBy(col("query_id"))
+        .agg(max(col("rows_scanned")).as("_m"))
+        .agg(sum(col("_m")).as("total_scanned"))
+      scanned.crossJoin(broadcast(hits)).crossJoin(broadcast(denom))
+        .select(lit(np.toLong).as("nprobe"), col("hits10"),
+          round((col("hits10").cast("double") / col("_ne").cast("double"))
+            .cast("decimal(28,10)"), 6).cast("double").as("recall10"),
+          col("total_scanned"))
+    }
+    arms.reduce(_ unionByName _).orderBy(col("nprobe"))
+  }
+
   /** Stupid-backoff trigram LM quality scoring
     * ([[TextMetrics.stupidBackoffScore]]): corpus-LM mean
     * log-likelihood per doc with ×0.4 backoff — the KenLM-style
@@ -2714,6 +2762,8 @@ object PipelineQueries {
     "q218_ivf_index_serve" -> q218IvfIndexServe,
     "q219_maxsim_rerank" -> q219MaxsimRerank,
     "q220_index_delta" -> q220IndexDelta,
+    "q221_cell_health" -> q221CellHealth,
+    "q222_nprobe_sweep" -> q222NprobeSweep,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -3036,7 +3086,8 @@ object PipelineQueries {
     * q220 restricts candidates to the post-delete corpus while the
     * model artifacts (centroids, codebook) stay frozen on the full
     * training corpus, exactly like the Spark side. */
-  private def q215OracleKFiltered(k: Int, candExtra: String): String =
+  private def q215OracleKFiltered(k: Int, candExtra: String,
+      nprobe: Int = 2): String =
     kmeansAssignCtes +
       ",\nsp AS (SELECT unnest(generate_series(0, 3)) AS s),\n" +
       residualPqCtes +
@@ -3051,8 +3102,8 @@ object PipelineQueries {
       |probes AS (SELECT query_id, cent_id, dot_qc FROM (
       |    SELECT query_id, cent_id, dot_qc, row_number() OVER (
       |      PARTITION BY query_id ORDER BY d, cent_id) AS rn
-      |    FROM qd2) WHERE rn <= 2),
-      |qsub AS (SELECT vec_id AS query_id, s,
+      |    FROM qd2) WHERE rn <= """.stripMargin + nprobe + "),\n" +
+      """|qsub AS (SELECT vec_id AS query_id, s,
       |    list_slice(qv, s * 16 + 1, (s + 1) * 16) AS sub
       |  FROM v CROSS JOIN sp WHERE vec_id < 16),
       |qle AS (SELECT q.query_id, q.s, w.code,
@@ -3142,6 +3193,59 @@ object PipelineQueries {
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY maxsim_q DESC, corpus_id) AS rank FROM ms)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The q221 per-cell index-health oracle: the residual encode block's
+    * `red` distances, argmin per (vec, subspace), rolled up per cell. */
+  private lazy val q221Oracle: String =
+    kmeansAssignCtes +
+      ",\nsp AS (SELECT unnest(generate_series(0, 3)) AS s),\n" +
+      residualPqCtes +
+      """,
+      |pv AS (SELECT vec_id, cent_id, s, min(d) AS d
+      |  FROM red GROUP BY 1, 2, 3)
+      |SELECT cent_id, count(DISTINCT vec_id)::BIGINT AS n_vec,
+      |  sum(d)::BIGINT AS cell_sq_err
+      |FROM pv GROUP BY 1 ORDER BY cent_id""".stripMargin
+
+  /** The q222 recall-vs-nprobe oracle: the exact baseline plus the full
+    * residual body nested at each probe width. */
+  private lazy val q222Oracle: String = {
+    val arms = Seq(1, 2, 4).map { np =>
+      s"""a$np AS (SELECT * FROM (
+         |${q215OracleKFiltered(10, "", np)}
+         |)),
+         |h$np AS (SELECT count(*) AS h FROM a$np
+         |  JOIN topx USING (query_id, corpus_id)),
+         |s$np AS (SELECT sum(m)::BIGINT AS s FROM (
+         |  SELECT query_id, max(rows_scanned) AS m FROM a$np GROUP BY 1))"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = Seq(1, 2, 4).map { np =>
+      s"""SELECT ${np}::BIGINT AS nprobe, h$np.h::BIGINT AS hits10,
+         |  round((h$np.h::DOUBLE / ne.n::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+         |    AS recall10,
+         |  s$np.s AS total_scanned
+         |FROM h$np, s$np, ne""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v2 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+       |  FROM embeddings),
+       |bxp AS (SELECT q.vec_id AS query_id, t.vec_id AS corpus_id,
+       |    unnest(q.qv) AS ax, unnest(t.qv) AS bx
+       |  FROM v2 q CROSS JOIN v2 t
+       |  WHERE q.vec_id < 16 AND t.vec_id <> q.vec_id),
+       |bd AS (SELECT query_id, corpus_id, sum(ax * bx)::BIGINT AS dq
+       |  FROM bxp GROUP BY 1, 2),
+       |topx AS (SELECT query_id, corpus_id FROM (
+       |    SELECT query_id, corpus_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY dq DESC, corpus_id) AS rn
+       |    FROM bd) WHERE rn <= 10),
+       |ne AS (SELECT count(*) AS n FROM topx),
+       |$arms
+       |SELECT nprobe, hits10, recall10, total_scanned FROM (
+       |$rows
+       |) ORDER BY nprobe""".stripMargin
+  }
 
   /** The q217 quantization-A/B oracle: ONE flat WITH assembling the
     * Lloyd CTEs, the flat-PQ block ([[pqCtes]] — its `ed` distances
@@ -4712,6 +4816,8 @@ object PipelineQueries {
     // membership (frozen model artifacts, filtered candidates)
     "q220_index_delta" ->
       q215OracleKFiltered(10, " AND af.vec_id % 23 <> 2"),
+    "q221_cell_health" -> q221Oracle,
+    "q222_nprobe_sweep" -> q222Oracle,
     // Recall@10 of the q208 cell-pruned index against the q23 exact
     // baseline, with the scan fraction beside it — both bodies nested
     // whole, one hit join (the q69 device pointed at IVF-PQ).
