@@ -113,6 +113,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5L) == (5L, true) && out(8L) == (8L, true))
   }
 
+  test("nearDupClusters: pointer jump converges a long chain in O(log d) rounds") {
+    // 256-hop path with the min id at one end: plain min-label
+    // propagation needs ~255 rounds; the per-round pointer jump
+    // (label := label[label]) composes resolved depth, so 12 rounds
+    // must suffice — if the jump is ever removed, this call THROWS at
+    // maxIters and the q207-class sweep regression is caught here.
+    val n = 256L
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(docs, pairs, "doc_id", maxIters = 12)
+      .collect()
+    assert(out.length == n)
+    assert(out.forall(_.getLong(1) == 0L))
+    assert(out.count(_.getBoolean(2)) == 1)
+  }
+
   test("multimodal: resize emits fixed-size payloads, frame sampling fans out rows") {
     val docs = Seq((1L, "x" * 64), (2L, "y" * 100), (3L, ""))
       .toDF("doc_id", "text")
