@@ -32,6 +32,20 @@ object TextFunctions {
     * jar:ckling.text.Text.getTerms). */
   def tokenize(text: Column): Column = split(lower(text), "[ \\t\\n\\f\\r]+")
 
+  /** Kernel twin of [[tokenize]] for mapPartitions kernels that cannot
+    * evaluate a Column ([[graft.pipeline.Bpe.encode]],
+    * [[graft.pipeline.Unigram.encode]]): ONE word-extraction definition
+    * shared by training (Column form) and encode (this), so the trained
+    * piece/merge inventories and encode-time words can never drift —
+    * a drifted word could contain a character absent from the trained
+    * singles and fail segmentation at runtime. Empties are dropped here;
+    * Column-form callers drop them with `length(w) > 0`.
+    * TextFunctionsSpec pins the two forms equal. */
+  def tokenizeScala(t: String): Array[String] =
+    if (t == null) Array.empty[String]
+    else t.toLowerCase(java.util.Locale.ROOT)
+      .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
+
   /** T4 — drop 1-char tokens. */
   def dropShortTokens(tokens: Column): Column =
     filter(tokens, t => length(t) > 1)

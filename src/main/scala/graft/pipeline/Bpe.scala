@@ -230,9 +230,7 @@ object Bpe {
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val t = if (r.isNullAt(1)) "" else r.getString(1)
-        // mirrors TextFunctions.tokenize (lower-case, split on \s+)
-        val words = t.toLowerCase(java.util.Locale.ROOT)
-          .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
+        val words = TextFunctions.tokenizeScala(t)
         var nCh = 0L
         var nTok = 0L
         val sb = new java.lang.StringBuilder

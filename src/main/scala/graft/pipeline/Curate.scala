@@ -83,8 +83,11 @@ object Curate {
       base.select(col(idCol), col(groupCol), col("_q"))
         .join(dupFlag, Seq(idCol), "left")) {
       case (acc, ((_, ids), i)) =>
-        acc.join(ids.select(col(idCol)).withColumn(s"_x$i", lit(1L)),
-          Seq(idCol), "left")
+        // distinct: a caller-supplied drop relation with repeated ids
+        // must not fan out ledger rows (one row per document is the
+        // contract); id-cardinality relation, cheap to dedup
+        acc.join(ids.select(col(idCol)).distinct()
+          .withColumn(s"_x$i", lit(1L)), Seq(idCol), "left")
     }
     val midStages = extraStages.zipWithIndex.foldLeft(
       when(!col("_q"), "dropped_quality")

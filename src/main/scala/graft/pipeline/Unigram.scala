@@ -47,7 +47,18 @@ object Unigram {
     * (count DESC, piece ASC) order — singles always survive pruning so
     * every corpus word stays segmentable. */
   def trainPieces(docs: DataFrame, textCol: String, seedMulti: Int = 60,
-      targetMulti: Int = 40, emIters: Int = 2): Seq[(String, Long)] = {
+      targetMulti: Int = 40, emIters: Int = 2): Seq[(String, Long)] =
+    trainFull(docs, textCol, seedMulti, targetMulti, emIters)._1
+
+  /** [[trainPieces]] plus the cost table the FINAL E-step segmented
+    * under (costsOf the penultimate piece table) — the extra artifact
+    * the q209 oracle needs: replaying the last E-step's Viterbi under
+    * these costs and adding the +1 smoothing reproduces the trained
+    * table's usage column exactly, which turns the training OUTPUT into
+    * a SQL-checkable relation even though training itself is iterative. */
+  def trainFull(docs: DataFrame, textCol: String, seedMulti: Int = 60,
+      targetMulti: Int = 40, emIters: Int = 2)
+      : (Seq[(String, Long)], Map[String, Long]) = {
     require(seedMulti >= targetMulti && targetMulti >= 1 && emIters >= 1,
       "trainPieces: need seedMulti >= targetMulti >= 1, emIters >= 1")
     val spark = docs.sparkSession
@@ -75,12 +86,14 @@ object Unigram {
       .limit(seedMulti)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var table: Map[String, Long] = (singles ++ multis).toMap
+    var lastCosts: Map[String, Long] = Map.empty
 
     var r = 0
     while (r < emIters) {
       // E-step: Viterbi-segment every word against the broadcast costs,
       // aggregate piece usage weighted by word count (map-side combine)
-      val bc = spark.sparkContext.broadcast(costsOf(table))
+      lastCosts = costsOf(table)
+      val bc = spark.sparkContext.broadcast(lastCosts)
       val usageSchema = StructType(Seq(
         StructField("piece", org.apache.spark.sql.types.StringType, false),
         StructField("u", LongType, false)))
@@ -101,7 +114,7 @@ object Unigram {
       table = (smoothed.iterator.filter(_._1.length == 1) ++ keptMultis).toMap
       r += 1
     }
-    table.toSeq.sortBy { case (p, c) => (-c, p) }
+    (table.toSeq.sortBy { case (p, c) => (-c, p) }, lastCosts)
   }
 
   /** Integer Viterbi costs from a (piece → count) table:
@@ -168,8 +181,7 @@ object Unigram {
       val cs = bc.value
       rows.map { r =>
         val t = if (r.isNullAt(1)) "" else r.getString(1)
-        val words = t.toLowerCase(java.util.Locale.ROOT)
-          .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
+        val words = TextFunctions.tokenizeScala(t)
         var nCh = 0L
         var nTok = 0L
         words.foreach { w =>

@@ -2033,10 +2033,12 @@ object PipelineQueries {
   }
 
   /** BPE merge training ([[Bpe.trainMerges]]): learn 10 merges from the
-    * corpus word frequencies. Iterative greedy argmax — not
-    * SQL-expressible, so no oracle (rows-only driver check, the q36
-    * contract); BpeSpec pins the merge sequence against an independent
-    * reimplementation. */
+    * corpus word frequencies. Iterative greedy argmax — training itself
+    * has no closed SQL form, but since round 15 the OUTPUT is
+    * oracle-checked by the snapshot device ([[q71OracleNow]]): the
+    * oracle replays each rank's pre-merge state with chained replaces
+    * and recounts its pair_count; argmax selection stays pinned by
+    * BpeSpec's independent reimplementation. */
   def q71BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     bpeMerges(spark, dir).toDF("merge_rank", "left", "right", "pair_count")
@@ -2050,20 +2052,39 @@ object PipelineQueries {
   private val sharedMerges = scala.collection.concurrent.TrieMap
     .empty[(String, String), Seq[(Long, String, String, Long)]]
 
+  /** Trained tables behind the dynamic tokenizer oracles
+    * (q71/q76/q160/q209/q210), set by the cache getters themselves so
+    * the oracle is well-defined in ANY session that ran a query
+    * touching the trained tables — including SPARK_GRAFT_ONLY subsets
+    * that never construct q210 (the round-14 ADVICE hole: a
+    * construct-time snapshot left the twin row-less in such sessions).
+    * Verify dumps oracle_sql.json AFTER the query loop, so these always
+    * reflect the dir that actually ran (the dynamic form of the
+    * q15/q31 embedded-stem-map device). */
+  @volatile private var latestMerges
+      : Option[Seq[(Long, String, String, Long)]] = None
+  @volatile private var latestUnigram
+      : Option[(Seq[(String, Long)], Seq[(String, Long)])] = None
+
   private def bpeMerges(spark: SparkSession,
-      dir: String): Seq[(Long, String, String, Long)] =
-    sharedMerges.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      dir: String): Seq[(Long, String, String, Long)] = {
+    val m = sharedMerges.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
       Bpe.trainMerges(docs(spark, dir), "text", numMerges = 10)
         .orderBy(col("merge_rank")).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSeq)
+    latestMerges = Some(m)
+    m
+  }
 
   /** BPE tokenizer application: encode the corpus with q71's learned
     * merges (trained once per session, broadcast into the encode
-    * kernel). Iterative greedy merging — not SQL-expressible → no
-    * oracle (rows-only, the q36/q71 contract); BpeEncodeSpec pins the
-    * kernel against an independent replay encoder, and the golden spec
-    * pins the full sf0.001 output hash. */
+    * kernel). Oracle-checked since round 15 via the snapshot device
+    * ([[q76OracleNow]]): per-doc counts AND the md5 token-stream hash
+    * are replayed in SQL from the trained merge table; BpeEncodeSpec
+    * additionally pins the kernel against an independent replay
+    * encoder. */
   def q76BpeEncode(spark: SparkSession, dir: String): DataFrame =
     Bpe.encode(docs(spark, dir), "doc_id", "text",
         bpeMerges(spark, dir).map { case (_, l, r, _) => (l, r) })
@@ -2075,8 +2096,9 @@ object PipelineQueries {
     * sequence length; the multilingual-tokenizer evaluation standard).
     * Counts ride the q71 merges + q76 kernel (trained once per
     * session); ratios through the round device, single IEEE divides of
-    * exact integer sums. Rows-only by the q71/q76 contract (iterative
-    * greedy merges have no SQL twin); BpeGoldenSpec pins the sf0.001
+    * exact integer sums. Oracle-checked since round 15 via the
+    * snapshot device ([[q160OracleNow]] — the q210 SQL replay
+    * restricted to the BPE arm); BpeGoldenSpec still pins the sf0.001
     * dump. */
   def q160TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
     val enc = Bpe.encode(docs(spark, dir), "doc_id", "text",
@@ -2161,24 +2183,36 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Trained unigram-LM pieces, cached per (session, sf dir): q209
-    * reports the inventory, q210 encodes with it — the EM training runs
-    * once. Driver-local Seq (≈70 rows), like [[sharedMerges]]. */
+  /** Trained unigram-LM pieces + the final E-step's cost table, cached
+    * per (session, sf dir): q209 reports the inventory (its oracle
+    * replays the final E-step under the penultimate costs), q210
+    * encodes with it — the EM training runs once. Driver-local Seq
+    * (≈70 rows), like [[sharedMerges]]. */
   private val sharedUnigram = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Seq[(String, Long)]]
+    .empty[(String, String), (Seq[(String, Long)], Map[String, Long])]
+
+  private def unigramFull(spark: SparkSession,
+      dir: String): (Seq[(String, Long)], Map[String, Long]) = {
+    val t = sharedUnigram.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      graft.pipeline.Unigram.trainFull(docs(spark, dir), "text"))
+    latestUnigram = Some((t._1, t._2.toSeq.sortBy(_._1)))
+    t
+  }
 
   private def unigramPieces(spark: SparkSession,
-      dir: String): Seq[(String, Long)] =
-    sharedUnigram.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      graft.pipeline.Unigram.trainPieces(docs(spark, dir), "text"))
+      dir: String): Seq[(String, Long)] = unigramFull(spark, dir)._1
 
   /** Unigram-LM tokenizer training ([[graft.pipeline.Unigram]]): seeded
     * substring inventory → 2 hard-EM rounds (integer-cost Viterbi
     * segmentation of the word-frequency relation) → pruned piece table.
-    * Iterative EM — not SQL-expressible → rows-only by the q36/q71
-    * contract; UnigramSpec pins the table against an independent
-    * single-threaded reimplementation and the golden spec pins the
-    * sf0.001 dump. The ENCODE side is oracle-checked through q210. */
+    * Training is iterative EM, but since round 15 the OUTPUT is
+    * oracle-checked via the snapshot device ([[q209OracleNow]]): the
+    * final E-step replays in SQL under the penultimate cost table
+    * ([[graft.pipeline.Unigram.trainFull]]) with a backtraced Viterbi,
+    * reproducing every usage count and the (usage DESC, piece) rank.
+    * UnigramSpec still pins training against an independent
+    * single-threaded reimplementation. */
   def q209UnigramTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     unigramPieces(spark, dir).zipWithIndex
@@ -2186,13 +2220,6 @@ object PipelineQueries {
       .toDF("rank", "piece", "piece_len", "usage")
       .orderBy(col("rank"))
   }
-
-  /** Snapshot of the trained tables behind the q210 oracle: set when
-    * q210 constructs (Verify dumps oracle_sql.json AFTER the query
-    * loop, so the snapshot always reflects the dir that actually ran —
-    * the dynamic form of the q15/q31 embedded-stem-map device). */
-  @volatile private var q210Tables
-      : Option[(Seq[(String, Long)], Seq[(String, String)])] = None
 
   /** Tokenizer fertility A/B — BPE (q71 merges) vs unigram-LM (q209
     * pieces) over the SAME corpus: per source, exact word/token sums,
@@ -2210,7 +2237,6 @@ object PipelineQueries {
     val merges = bpeMerges(spark, dir).map { case (_, l, r, _) => (l, r) }
     val pieces = unigramPieces(spark, dir)
     val costs = graft.pipeline.Unigram.costsOf(pieces.toMap)
-    q210Tables = Some((costs.toSeq.sortBy(_._1), merges))
     val d = docs(spark, dir)
     val bpe = Bpe.encode(d, "doc_id", "text", merges)
       .select(col("doc_id"), col("n_words"), col("n_tokens").as("_bt"))
@@ -3965,16 +3991,32 @@ object PipelineQueries {
     * first constructs, a deliberately row-less placeholder keeps
     * oracle_sql.json well-formed (the driver always runs the full query
     * set before the dump). */
-  private def q210OracleNow: String = q210Tables match {
-    case None =>
-      "SELECT NULL AS source WHERE 1 = 0 -- q210 not constructed this session"
-    case Some((costs, merges)) =>
-      def esc(s: String): String = s.replace("'", "''")
-      val up = costs.map { case (p, c) => s"('${esc(p)}', ${c}::BIGINT)" }
-        .mkString(",\n    ")
-      val chain = merges.foldLeft("s") { case (acc, (l, r)) =>
-        s"replace($acc, ' ${esc(l)}  ${esc(r)} ', ' ${esc(l + r)} ')"
-      }
+  private def escSql(s: String): String = s.replace("'", "''")
+
+  /** Chained non-overlapping BPE `replace()` over a double-space symbol
+    * string — the [[Bpe.referenceEncode]] replay device shared by every
+    * merge-table oracle (left-to-right non-overlapping by replace
+    * semantics, equivalent to the greedy kernel, pinned by
+    * BpeEncodeSpec). `over` names the SQL expression holding the
+    * ` c  h  a  r ` form; `k` limits the chain to the first k merges
+    * (the q71 per-rank state replay). */
+  private def bpeChainSql(merges: Seq[(String, String)], over: String,
+      k: Int = Int.MaxValue): String =
+    merges.take(k).foldLeft(over) { case (acc, (l, r)) =>
+      s"replace($acc, ' ${escSql(l)}  ${escSql(r)} ', ' ${escSql(l + r)} ')"
+    }
+
+  private val tokenizerOraclePlaceholder =
+    "SELECT NULL AS source WHERE 1 = 0 -- trained tables absent this session"
+
+  private def q210OracleNow: String = (latestUnigram, latestMerges) match {
+    case (Some((pieces, _)), Some(m)) =>
+      val costs = graft.pipeline.Unigram.costsOf(pieces.toMap)
+        .toSeq.sortBy(_._1)
+      val merges = m.map { case (_, l, r, _) => (l, r) }
+      val up = costs.map { case (p, c) =>
+        s"('${escSql(p)}', ${c}::BIGINT)" }.mkString(",\n    ")
+      val chain = bpeChainSql(merges, "s")
       s"""WITH RECURSIVE up(piece, cost) AS (VALUES
          |    $up),
          |tok AS (SELECT source,
@@ -4022,12 +4064,196 @@ object PipelineQueries {
          |    WHEN uni_tokens < bpe_tokens THEN 'unigram'
          |    ELSE 'tie' END AS winner
          |FROM agg ORDER BY source""".stripMargin
+    case _ => tokenizerOraclePlaceholder
   }
 
-  /** Static oracles plus the dynamically-generated q210 twin (rebuilt
-    * on every access so it reflects the tables trained this session). */
+  /** The q71 oracle: embed the learned merge list and RECOUNT each
+    * rank's pair_count from the replayed pre-merge state — for merge k,
+    * apply the first k−1 chained replaces, split back to symbols, and
+    * count adjacent (l,r) positions (OVERLAPPING, as the trainer's
+    * explode-adjacent aggregate counts) weighted by word frequency.
+    * Argmax selection itself is pinned by BpeSpec's independent
+    * reimplementation; this checks the distributed rewrite + counting
+    * against SQL at every rank. */
+  private def q71OracleNow: String = latestMerges match {
+    case None => tokenizerOraclePlaceholder
+    case Some(m) =>
+      val merges = m.map { case (_, l, r, _) => (l, r) }
+      val perRank = m.map { case (rank, l, r, _) =>
+        val st = s"string_split(trim(${bpeChainSql(merges, "s", (rank - 1).toInt)}), '  ')"
+        s"""  SELECT ${rank}::BIGINT AS merge_rank,
+           |    '${escSql(l)}' AS "left", '${escSql(r)}' AS "right",
+           |    sum(cnt * len(list_filter(generate_series(1, len(t) - 1),
+           |      i -> t[i] = '${escSql(l)}' AND t[i + 1] = '${escSql(r)}')))
+           |      ::BIGINT AS pair_count
+           |  FROM (SELECT cnt, $st AS t FROM bws)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH tok AS (SELECT
+         |    unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+')) AS w
+         |  FROM documents),
+         |tw AS (SELECT w, count(*)::BIGINT AS cnt FROM tok
+         |  WHERE len(w) > 0 GROUP BY 1),
+         |bws AS (SELECT cnt,
+         |    ' ' || array_to_string(regexp_split_to_array(w, ''), '  ') || ' '
+         |      AS s
+         |  FROM tw)
+         |SELECT * FROM (
+         |$perRank
+         |) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** The q76 oracle: per-document replay of the BPE encode — unique
+    * words through the chained-replace device, joined back to the
+    * doc's word positions; `tokens_hash` re-derives the kernel's md5
+    * over the full token stream (tokens space-joined within a word,
+    * words '|'-joined in document order). */
+  private def q76OracleNow: String = latestMerges match {
+    case None => tokenizerOraclePlaceholder
+    case Some(m) =>
+      val chain = bpeChainSql(m.map { case (_, l, r, _) => (l, r) }, "s")
+      s"""WITH tok AS (SELECT doc_id,
+         |    regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+') AS arr
+         |  FROM documents),
+         |wp0 AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS i,
+         |    arr FROM tok),
+         |wpos AS (SELECT doc_id, i, arr[i] AS w FROM wp0
+         |  WHERE len(arr[i]) > 0),
+         |uw AS (SELECT DISTINCT w FROM wpos),
+         |bw AS (SELECT w,
+         |    ' ' || array_to_string(regexp_split_to_array(w, ''), '  ') || ' '
+         |      AS s
+         |  FROM uw),
+         |bseg AS (SELECT w,
+         |    replace(trim($chain), '  ', ' ') AS toks,
+         |    len(string_split(trim($chain), '  '))::BIGINT AS ntok
+         |  FROM bw),
+         |perdoc AS (SELECT wpos.doc_id,
+         |    count(*)::BIGINT AS n_words,
+         |    sum(len(wpos.w))::BIGINT AS n_chars,
+         |    sum(b.ntok)::BIGINT AS n_tokens,
+         |    md5(string_agg(b.toks, '|' ORDER BY wpos.i)) AS tokens_hash
+         |  FROM wpos JOIN bseg b USING (w) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_words, 0)::BIGINT AS n_words,
+         |  coalesce(p.n_chars, 0)::BIGINT AS n_chars,
+         |  coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+         |  p.tokens_hash
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The q160 oracle: the q210 device restricted to the BPE arm, plus
+    * the chars-per-token ratio (per-source exact integer sums through
+    * the chained-replace replay, ratios via the round device). */
+  private def q160OracleNow: String = latestMerges match {
+    case None => tokenizerOraclePlaceholder
+    case Some(m) =>
+      val chain = bpeChainSql(m.map { case (_, l, r, _) => (l, r) }, "s")
+      s"""WITH tok AS (SELECT source,
+         |    unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+')) AS w
+         |  FROM documents),
+         |tw AS (SELECT source, w, count(*)::BIGINT AS cnt FROM tok
+         |  WHERE len(w) > 0 GROUP BY 1, 2),
+         |uw AS (SELECT DISTINCT w FROM tw),
+         |bw AS (SELECT w,
+         |    ' ' || array_to_string(regexp_split_to_array(w, ''), '  ') || ' '
+         |      AS s
+         |  FROM uw),
+         |bseg AS (SELECT w,
+         |    len(string_split(trim($chain), '  '))::BIGINT AS ntok FROM bw),
+         |agg AS (SELECT tw.source,
+         |    sum(tw.cnt)::BIGINT AS n_words,
+         |    sum(tw.cnt * len(tw.w))::BIGINT AS n_chars,
+         |    sum(tw.cnt * b.ntok)::BIGINT AS n_tokens
+         |  FROM tw JOIN bseg b USING (w) GROUP BY 1)
+         |SELECT source, n_words, n_chars, n_tokens,
+         |  round((n_tokens::DOUBLE / n_words::DOUBLE)::DECIMAL(28,10), 6)
+         |    ::DOUBLE AS fertility,
+         |  round((n_chars::DOUBLE / n_tokens::DOUBLE)::DECIMAL(28,10), 6)
+         |    ::DOUBLE AS chars_per_token
+         |FROM agg ORDER BY source""".stripMargin
+  }
+
+  /** The q209 oracle: embed the FINAL piece inventory (names only) and
+    * the PENULTIMATE cost table, replay the last E-step in SQL — the
+    * q210 rolling-state recursive-CTE Viterbi extended with an argmin
+    * backtrace (segmentation strings s0–s3 ride beside the costs; the
+    * CASE picks the first/shortest candidate achieving the min, the
+    * kernel's exact tie rule) — then recompute each piece's usage as
+    * Viterbi occurrences weighted by word count, +1 smoothing, ranked
+    * (usage DESC, piece ASC). A wrong segmentation, usage count, or
+    * sort anywhere hash-mismatches; pruning/selection stays pinned by
+    * UnigramSpec's independent reimplementation. */
+  private def q209OracleNow: String = latestUnigram match {
+    case None => tokenizerOraclePlaceholder
+    case Some((pieces, penult)) =>
+      val up = penult.map { case (p, c) =>
+        s"('${escSql(p)}', ${c}::BIGINT)" }.mkString(",\n    ")
+      val fin = pieces.map { case (p, _) => s"('${escSql(p)}')" }
+        .mkString(",\n    ")
+      s"""WITH RECURSIVE up(piece, cost) AS (VALUES
+         |    $up),
+         |fin(piece) AS (VALUES
+         |    $fin),
+         |tok AS (SELECT
+         |    unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+')) AS w
+         |  FROM documents),
+         |tw AS (SELECT w, count(*)::BIGINT AS cnt FROM tok
+         |  WHERE len(w) > 0 GROUP BY 1),
+         |uw AS (SELECT DISTINCT w FROM tw),
+         |rec AS (
+         |  SELECT w, 0 AS pos, 0::BIGINT AS b0, NULL::BIGINT AS b1,
+         |    NULL::BIGINT AS b2, NULL::BIGINT AS b3,
+         |    ''::VARCHAR AS s0, NULL::VARCHAR AS s1,
+         |    NULL::VARCHAR AS s2, NULL::VARCHAR AS s3
+         |  FROM uw
+         |  UNION ALL
+         |  SELECT w, pos + 1,
+         |    least(c1, c2, c3, c4),
+         |    b0, b1, b2,
+         |    CASE WHEN c1 = least(c1, c2, c3, c4)
+         |        THEN s0 || ' ' || substr(w, pos + 1, 1)
+         |      WHEN c2 = least(c1, c2, c3, c4)
+         |        THEN s1 || ' ' || substr(w, pos, 2)
+         |      WHEN c3 = least(c1, c2, c3, c4)
+         |        THEN s2 || ' ' || substr(w, pos - 1, 3)
+         |      ELSE s3 || ' ' || substr(w, pos - 2, 4) END,
+         |    s0, s1, s2
+         |  FROM (
+         |    SELECT w, pos, b0, b1, b2, s0, s1, s2, s3,
+         |      b0 + (SELECT 128 * cost + 1 FROM up
+         |            WHERE piece = substr(w, pos + 1, 1)) AS c1,
+         |      CASE WHEN pos >= 1 THEN b1 + (SELECT 128 * cost + 1 FROM up
+         |            WHERE piece = substr(w, pos, 2)) END AS c2,
+         |      CASE WHEN pos >= 2 THEN b2 + (SELECT 128 * cost + 1 FROM up
+         |            WHERE piece = substr(w, pos - 1, 3)) END AS c3,
+         |      CASE WHEN pos >= 3 THEN b3 + (SELECT 128 * cost + 1 FROM up
+         |            WHERE piece = substr(w, pos - 2, 4)) END AS c4
+         |    FROM rec WHERE pos < len(w)) q),
+         |useg AS (SELECT w, string_split(ltrim(s0, ' '), ' ') AS ps
+         |  FROM rec WHERE pos = len(w)),
+         |occ AS (SELECT tw.cnt, unnest(u.ps) AS piece
+         |  FROM tw JOIN useg u USING (w)),
+         |pu AS (SELECT piece, sum(cnt)::BIGINT AS used FROM occ GROUP BY 1),
+         |tbl AS (SELECT f.piece,
+         |    (coalesce(pu.used, 0) + 1)::BIGINT AS usage
+         |  FROM fin f LEFT JOIN pu ON pu.piece = f.piece)
+         |SELECT row_number() OVER (ORDER BY usage DESC, piece)::BIGINT
+         |    AS rank,
+         |  piece, len(piece)::BIGINT AS piece_len, usage
+         |FROM tbl ORDER BY rank""".stripMargin
+  }
+
+  /** Static oracles plus the dynamically-generated tokenizer twins
+    * (rebuilt on every access so they reflect the tables trained this
+    * session — see [[latestMerges]]/[[latestUnigram]]). */
   def oracles: Map[String, String] =
-    staticOracles + ("q210_tokenizer_ab" -> q210OracleNow)
+    staticOracles ++ Map(
+      "q71_bpe_merges" -> q71OracleNow,
+      "q76_bpe_encode" -> q76OracleNow,
+      "q160_tokenizer_fertility" -> q160OracleNow,
+      "q209_unigram_train" -> q209OracleNow,
+      "q210_tokenizer_ab" -> q210OracleNow)
 
   private val staticOracles: Map[String, String] = Map(
     "q19_dedup_exact" ->

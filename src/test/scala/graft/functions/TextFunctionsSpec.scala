@@ -66,6 +66,25 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(s0 != s1)
   }
 
+  test("tokenizeScala is the exact kernel twin of the Column tokenize") {
+    // the one word-extraction definition shared by training (Column
+    // form, empties dropped by length > 0) and the mapPartitions encode
+    // kernels (Bpe.encode / Unigram.encode) — drift here would let an
+    // encode-time word contain a character absent from the trained
+    // singles and fail segmentation at runtime (round-14 ADVICE)
+    val cases = Seq("Hello  World", " lead\ttab\nnewline\fff\rcr trail ",
+      "UPPER MiXeD", "", "   ", "a", "punct,stays! together",
+      "Éléphant Über")
+    cases.foreach { s =>
+      val viaColumn = Seq(s).toDF("t")
+        .select(filter(TextFunctions.tokenize(col("t")),
+          w => length(w) > 0).as("r"))
+        .collect()(0).getSeq[String](0)
+      assert(TextFunctions.tokenizeScala(s).toSeq == viaColumn, s"input '$s'")
+    }
+    assert(TextFunctions.tokenizeScala(null).isEmpty)
+  }
+
   test("fingerprint: first 15 md5 hex chars as a long, non-negative") {
     val f = one[Long](TextFunctions.fingerprint(lit("hello")))
     val md5hex = java.security.MessageDigest.getInstance("MD5")

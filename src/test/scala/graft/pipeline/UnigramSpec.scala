@@ -6,13 +6,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** q209 (unigram-LM training) is iterative hard-EM and not
-  * SQL-expressible → rows-only at the driver; this spec closes the value
-  * surface the BpeSpec/BpeGoldenSpec way: the distributed trainer must
-  * equal an independent single-threaded reimplementation on real data,
-  * the two segmenters must agree word-for-word, and the sf0.001 output
-  * is pinned to a golden hash. (The ENCODE side is additionally
-  * oracle-checked end-to-end through q210's recursive-CTE SQL twin.) */
+/** q209 (unigram-LM training) is iterative hard-EM; since round 15 its
+  * OUTPUT is oracle-checked by replaying the final E-step in SQL under
+  * the penultimate cost table (PipelineQueries.q209OracleNow). This spec
+  * closes the rest of the value surface the BpeSpec/BpeGoldenSpec way:
+  * the distributed trainer must equal an independent single-threaded
+  * reimplementation on real data, the two segmenters must agree
+  * word-for-word, trainFull's penultimate costs must reproduce the
+  * final usages (the contract the SQL oracle relies on), and the
+  * sf0.001 output is pinned to a golden hash. (The ENCODE side is
+  * additionally oracle-checked end-to-end through q210's recursive-CTE
+  * SQL twin.) */
 class UnigramSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -71,6 +75,32 @@ class UnigramSpec extends AnyFunSuite {
     words.foreach { w =>
       assert(Unigram.viterbiSegment(w, costs).toSeq ==
         Unigram.referenceSegment(w, costs), s"word '$w'")
+    }
+  }
+
+  test("trainFull's penultimate costs replay the final E-step exactly") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (pieces, penult) = Unigram.trainFull(docs, "text")
+    val wordCounts = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // segment every word under the PENULTIMATE costs, accumulate usage
+    // weighted by word count, +1 smoothing — must equal the trained
+    // table's usage column for every final piece (the q209 oracle's
+    // exact derivation, here as a Scala-side pin)
+    val usage = collection.mutable.Map.empty[String, Long]
+    wordCounts.foreach { case (w, c) =>
+      Unigram.viterbiSegment(w, penult).foreach { p =>
+        usage(p) = usage.getOrElse(p, 0L) + c
+      }
+    }
+    pieces.foreach { case (p, u) =>
+      assert(u == usage.getOrElse(p, 0L) + 1L, s"piece '$p'")
     }
   }
 
