@@ -2597,6 +2597,47 @@ object PipelineQueries {
     arms.reduce(_ unionByName _).orderBy(col("nprobe"))
   }
 
+  /** Deterministic HTML planting for q223 (the q51/q75 planted-structure
+    * device): each document's text is wrapped in a full synthetic page —
+    * title/style/script/comment/CDATA head, entity-bearing heading, the
+    * text as a paragraph, then br/list/table blocks — built from pure
+    * string concatenation over (doc_id, text) so the oracle constructs
+    * the IDENTICAL page in SQL. The pieces exercise every extraction
+    * step: comment + CDATA removal, script-with-`<`-content removal,
+    * case/attribute-insensitive tags, block→line segmentation, entity
+    * decode order (`&amp;&#39;` must yield `&'`), and whitespace
+    * normalization. No single quotes in any piece — the same literals
+    * embed in the SQL unescaped. */
+  private val htmlPlant: Seq[String] = Seq(
+    "<html><head><title>Doc ", // + doc_id
+    "</title><style type=\"text/css\">p { margin: 0; }</style>" +
+      "<script src=\"x.js\"></script><script>var i = ", // + doc_id
+    "; if (i < 9) { i++; }</script></head><body><!-- note ", // + doc_id
+    " --><![CDATA[ raw < bytes ]]><h1 class=\"t\">Title &amp;&#39;", // + doc_id
+    "&#39;</h1><p>", // + text
+    "</p><div>block &lt;b&gt;   tail<br>after&nbsp;break</div>" +
+      "<ul><li> first</li><li>second &quot;q&quot; </li></ul>" +
+      "<table><tr><td>cell a</td><td>cell b</td></tr></table>" +
+      "</body></html>")
+
+  /** HTML → text extraction ([[graft.pipeline.Html.extractText]]) over
+    * the planted synthetic pages: the ingestion front door of every real
+    * corpus pipeline (reference tooling analog:
+    * `util/HTMLMapFilterer.java:46-63`), emitting the line-segmented
+    * text the q75/q83 line cleaners consume. Map-side regexp chain, no
+    * shuffle; the oracle replays the identical RE2-compatible chain in
+    * DuckDB (flag 'g', chr(10) line joins). */
+  def q223HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val html = concat(lit(htmlPlant(0)), id, lit(htmlPlant(1)), id,
+      lit(htmlPlant(2)), id, lit(htmlPlant(3)), id, lit(htmlPlant(4)),
+      col("text"), lit(htmlPlant(5)))
+    graft.pipeline.Html.extractText(
+        docs(spark, dir).select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+      .orderBy(col("doc_id"))
+  }
+
   /** Stupid-backoff trigram LM quality scoring
     * ([[TextMetrics.stupidBackoffScore]]): corpus-LM mean
     * log-likelihood per doc with ×0.4 backoff — the KenLM-style
@@ -2790,6 +2831,7 @@ object PipelineQueries {
     "q220_index_delta" -> q220IndexDelta,
     "q221_cell_health" -> q221CellHealth,
     "q222_nprobe_sweep" -> q222NprobeSweep,
+    "q223_html_extract" -> q223HtmlExtract,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -5044,6 +5086,46 @@ object PipelineQueries {
       q215OracleKFiltered(10, " AND af.vec_id % 23 <> 2"),
     "q221_cell_health" -> q221Oracle,
     "q222_nprobe_sweep" -> q222Oracle,
+    // HTML → text: the plant concatenates the SAME literals as
+    // htmlPlant (interpolated below, so they cannot drift), then the
+    // oracle replays Html.extractExpr's regexp chain step for step —
+    // DuckDB regexp_replace needs the explicit 'g' flag (Spark's
+    // replaces all matches by default) and chr(10) as the line joiner.
+    "q223_html_extract" ->
+      (s"""WITH h AS (SELECT doc_id,
+         |    '${htmlPlant(0)}' || doc_id::VARCHAR ||
+         |    '${htmlPlant(1)}' || doc_id::VARCHAR ||
+         |    '${htmlPlant(2)}' || doc_id::VARCHAR ||
+         |    '${htmlPlant(3)}' || doc_id::VARCHAR ||
+         |    '${htmlPlant(4)}' || text || '${htmlPlant(5)}' AS s
+         |  FROM documents),
+         |""" +
+        """e1 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+          |    '(?s)<!--.*?-->', '', 'g'),
+          |    '(?s)<!\[CDATA\[.*?\]\]>', '', 'g') AS s FROM h),
+          |e2 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+          |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
+          |    '(?is)<style[^>]*>.*?</style>', '', 'g') AS s FROM e1),
+          |e3 AS (SELECT doc_id, regexp_replace(s,
+          |    '(?i)<(/p|/div|/li|/tr|/td|/th|/h[1-6]|/title|br[^>]*)>',
+          |    chr(10), 'g') AS s FROM e2),
+          |e4 AS (SELECT doc_id, regexp_replace(s, '<[^>]*>', '', 'g')
+          |    AS s FROM e3),
+          |e5 AS (SELECT doc_id,
+          |    replace(replace(replace(replace(replace(replace(s,
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS s
+          |  FROM e4),
+          |e6 AS (SELECT doc_id,
+          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |      s, '[ \t\f\r]+', ' ', 'g'), '(?m)^ +| +$', '', 'g'),
+          |      '\n{2,}', chr(10), 'g'), '^\n+|\n+$', '', 'g') AS s
+          |  FROM e5)
+          |SELECT doc_id, s AS text,
+          |  (CASE WHEN s = '' THEN 0
+          |    ELSE len(string_split(s, chr(10))) END)::BIGINT AS n_lines,
+          |  len(s)::BIGINT AS n_chars
+          |FROM e6 ORDER BY doc_id""").stripMargin,
     // Recall@10 of the q208 cell-pruned index against the q23 exact
     // baseline, with the scan fraction beside it — both bodies nested
     // whole, one hit join (the q69 device pointed at IVF-PQ).

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-written HTML fixtures for [[Html.extractText]]: nested tags,
+  * entity decode order, CDATA, script/style content removal, br
+  * variants, case-insensitive tags, whitespace normalization, and the
+  * documented pass-through bounds (unknown entities, unclosed `<`). */
+class HtmlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def extract(html: String): (String, Long, Long) = {
+    val r = Html.extractText(Seq((1L, html)).toDF("id", "html"),
+      "id", "html").collect()(0)
+    (r.getString(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("nested tags flatten; block closes become lines") {
+    val (t, nl, nc) = extract(
+      "<div><p>outer <b>bold <i>deep</i></b> end</p><p>two</p></div>")
+    assert(t == "outer bold deep end\ntwo")
+    assert(nl == 2L)
+    assert(nc == t.length.toLong)
+  }
+
+  test("entity decode order: &amp;lt; yields literal &lt;, &amp; last") {
+    // decoding &amp; first would turn &amp;lt; into < (double decode)
+    val (t, _, _) = extract("<p>&amp;lt; and &lt;tag&gt; and &amp;&#39;q&#39;</p>")
+    assert(t == "&lt; and <tag> and &'q'")
+  }
+
+  test("decoded &lt;script&gt; text is NOT re-parsed as markup") {
+    val (t, _, _) = extract("<p>&lt;script&gt;alert(1)&lt;/script&gt;</p>")
+    assert(t == "<script>alert(1)</script>")
+  }
+
+  test("script/style/comment/CDATA content is dropped, even with < inside") {
+    val (t, _, _) = extract(
+      "<head><style>p > a { color: red; }</style>" +
+        "<SCRIPT type=\"x\">if (a < b && c > d) { f(); }</SCRIPT>" +
+        "<!-- a <p>commented</p> tag --><![CDATA[ raw < bytes ]]></head>" +
+        "<p>kept</p>")
+    assert(t == "kept")
+  }
+
+  test("br variants and case-insensitive block tags segment lines") {
+    val (t, nl, _) = extract(
+      "<P>one<br>two<BR/>three<br />four</P><H2>head</H2>")
+    assert(t == "one\ntwo\nthree\nfour\nhead")
+    assert(nl == 5L)
+  }
+
+  test("table cells, list items and headings each get their own line") {
+    val (t, _, _) = extract(
+      "<ul><li>a</li><li>b</li></ul><table><tr><td>c</td><th>d</th></tr></table>")
+    assert(t == "a\nb\nc\nd")
+  }
+
+  test("whitespace collapses within lines; empty lines drop; edges trim") {
+    val (t, nl, _) = extract(
+      "<p>  spaced \t out  </p><p></p><p>\r\n</p><div>  x  </div>")
+    assert(t == "spaced out\nx")
+    assert(nl == 2L)
+  }
+
+  test("documented bounds: unknown entities and unclosed < pass through") {
+    val (t1, _, _) = extract("<p>&copy; &#169; stay</p>")
+    assert(t1 == "&copy; &#169; stay")
+    // an unclosed < has no closing >: left in place, not guessed at
+    val (t2, _, _) = extract("<p>a < b stays</p>")
+    assert(t2 == "a < b stays")
+  }
+
+  test("empty input and tag-only input yield empty text with 0 lines") {
+    val (t, nl, nc) = extract("<html><body><div></div></body></html>")
+    assert(t == "" && nl == 0L && nc == 0L)
+  }
+}
