@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** URL/domain-level curation — the FineWeb/CCNet stage that runs BEFORE
+  * any text-level dedup: registrable-domain extraction against a
+  * bounded public-suffix table, blocklist verdicts, and per-domain
+  * document caps in deterministic hash order. The reference corpus
+  * tooling filters crawled pages by source the same way
+  * (`util/HTMLMapFilterer.java` consumes per-site crawls); at corpus
+  * scale this is the first and cheapest drop stage, so it must shuffle
+  * only (id, domain) pairs — never text.
+  *
+  * Scale shapes:
+  *  - the public-suffix table is bounded (the real PSL is ~9k rows) →
+  *    always a broadcast; suffix matching is a map-side explode of at
+  *    most `maxSuffixLabels` candidates per host joined against it.
+  *  - the blocklist is domain-cardinality → broadcast left join.
+  *  - per-domain caps are ONE domain-keyed rank window over an
+  *    (id, domain, hash-key) relation — the q128 stratified-sample
+  *    device keyed by domain; text never enters the exchange.
+  */
+object Domains {
+
+  /** Longest public suffix considered, in labels (the real PSL tops out
+    * at 4; the SQL oracle mirrors candidates per this constant). */
+  val MaxSuffixLabels = 3
+
+  /** Host extraction from a URL: the authority between `://` and the
+    * first `/ ? #`, lower-cased (hosts are case-insensitive); ports and
+    * userinfo are NOT stripped here — pass pre-cleaned URLs or extend
+    * the suffix table deliberately. */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1))
+
+  /** Registrable domain (eTLD+1) per row: explode the host's last
+    * 1..[[MaxSuffixLabels]] label suffixes, broadcast-join the
+    * public-suffix table, keep the LONGEST match (max-struct aggregate
+    * — no window), registrable = one label + the matched suffix.
+    * Unmatched hosts fall back to the PSL convention: the last label
+    * is the suffix, the last two labels are registrable.
+    *
+    * @param suffixes single-column `suffix` relation (bounded; broadcast)
+    * @return input columns + `suffix`, `domain` */
+  def registrableDomain(df: DataFrame, idCol: String, hostCol: String,
+      suffixes: DataFrame): DataFrame = {
+    val base = df.withColumn("_lab", split(col(hostCol), "\\."))
+    val cand = base
+      .select(col(idCol), col("_lab"),
+        explode(when(size(col("_lab")) >= 2,
+          sequence(lit(1), least(lit(MaxSuffixLabels),
+            size(col("_lab")) - 1)))
+          .otherwise(array().cast("array<int>"))).as("_j"))
+      .select(col(idCol), col("_j"),
+        array_join(slice(col("_lab"), -col("_j"), col("_j")), ".")
+          .as("_suf"),
+        array_join(slice(col("_lab"), -(col("_j") + lit(1)),
+          col("_j") + lit(1)), ".").as("_reg"))
+      .join(broadcast(suffixes.select(col("suffix").as("_suf"))), Seq("_suf"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("_j"), col("_suf"), col("_reg"))).as("_m"))
+      .select(col(idCol), col("_m._suf").as("_msuf"),
+        col("_m._reg").as("_mreg"))
+    base.join(cand, Seq(idCol), "left")
+      .withColumn("suffix", coalesce(col("_msuf"),
+        element_at(col("_lab"), -1)))
+      .withColumn("domain", coalesce(col("_mreg"),
+        when(size(col("_lab")) >= 2,
+          array_join(slice(col("_lab"), -2, 2), "."))
+          .otherwise(col(hostCol))))
+      .drop("_lab", "_msuf", "_mreg")
+  }
+
+  /** Blocklist filter: input + `verdict` ('blocked' iff the domain is
+    * listed). @param blocklist single-column `domain` relation. */
+  def withBlocklist(df: DataFrame, domainCol: String,
+      blocklist: DataFrame): DataFrame =
+    df.join(broadcast(blocklist.select(col("domain").as(domainCol),
+        lit(1L).as("_bl"))), Seq(domainCol), "left")
+      .withColumn("verdict",
+        when(col("_bl").isNotNull, "blocked").otherwise("kept"))
+      .drop("_bl")
+
+  /** Per-domain document cap in deterministic hash order (the q128
+    * stratified-sample device keyed by domain): `pick_order` =
+    * row_number by (fingerprint(salt:id), id) within the domain,
+    * `kept` ⇔ pick_order ≤ cap. Emits the full ledger (kept AND
+    * dropped) — what a curation audit reads. */
+  def capPerDomain(df: DataFrame, idCol: String, domainCol: String,
+      cap: Int, salt: String = "domcap"): DataFrame = {
+    require(cap >= 1, "capPerDomain: cap must be >= 1")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("_k").asc, col(idCol).asc)
+    df.select(col(idCol), col(domainCol),
+        TextFunctions.fingerprint(
+          concat(lit(salt), lit(":"), col(idCol).cast("string"))).as("_k"))
+      .withColumn("pick_order", row_number().over(w).cast("long"))
+      .select(col(idCol), col(domainCol), col("pick_order"),
+        (col("pick_order") <= cap).as("kept"))
+  }
+}

@@ -2638,6 +2638,65 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic URL planting for q224/q225 (the q223 device for the
+    * domain stage): subdomain, site name, and public suffix are picked
+    * by doc_id residues — 42 distinct registrable domains, multi-label
+    * suffixes (co.uk/ac.uk vs the bare uk in the suffix table exercise
+    * LONGEST-match), an upper-case 'WWW.' exercises host lowering. The
+    * oracle rebuilds the identical URLs from the same residue tables. */
+  private val urlSubs = Seq("", "WWW.", "cdn.media.")
+  private val urlNames = Seq("alpha", "beta", "gamma", "delta",
+    "epsilon", "zeta", "eta")
+  private val urlTlds = Seq("com", "org", "co.uk", "ac.uk", "io", "net")
+  /** Bounded public-suffix table (broadcast): includes bare `uk` so
+    * co.uk/ac.uk must win by length, not by luck. */
+  private val urlPsl = Seq("com", "org", "net", "io", "uk", "co.uk", "ac.uk")
+  private val urlBlocklist = Seq("gamma.co.uk", "delta.com", "epsilon.io")
+
+  private def pick(xs: Seq[String], residue: Column): Column =
+    element_at(array(xs.map(lit): _*), (residue + 1).cast("int"))
+
+  private def plantedUrls(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      concat(lit("https://"), pick(urlSubs, col("doc_id") % 3),
+        pick(urlNames, col("doc_id") % 7), lit("."),
+        pick(urlTlds, col("doc_id") % 6), lit("/p/"),
+        col("doc_id").cast("string")).as("url"))
+
+  /** Registrable-domain extraction + blocklist verdict
+    * ([[graft.pipeline.Domains.registrableDomain]] /
+    * [[Domains.withBlocklist]]) over the planted URLs: the
+    * FineWeb/CCNet domain-curation stage before any text-level dedup.
+    * Suffix table and blocklist broadcast; only (id, host-candidate)
+    * rows move. */
+  def q224DomainExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = plantedUrls(spark, dir)
+      .withColumn("host", graft.pipeline.Domains.hostOf(col("url")))
+    graft.pipeline.Domains.withBlocklist(
+        graft.pipeline.Domains.registrableDomain(u, "doc_id", "host",
+          urlPsl.toDF("suffix")),
+        "domain", urlBlocklist.toDF("domain"))
+      .select(col("doc_id"), col("host"), col("suffix"), col("domain"),
+        col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-domain document caps ([[graft.pipeline.Domains.capPerDomain]]):
+    * at most 8 documents per registrable domain in deterministic hash
+    * order — the q128 stratified-sample device keyed by domain, emitted
+    * as a full kept/dropped ledger. */
+  def q225DomainCaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = plantedUrls(spark, dir)
+      .withColumn("host", graft.pipeline.Domains.hostOf(col("url")))
+    graft.pipeline.Domains.capPerDomain(
+        graft.pipeline.Domains.registrableDomain(u, "doc_id", "host",
+          urlPsl.toDF("suffix")),
+        "doc_id", "domain", cap = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** Stupid-backoff trigram LM quality scoring
     * ([[TextMetrics.stupidBackoffScore]]): corpus-LM mean
     * log-likelihood per doc with ×0.4 backoff — the KenLM-style
@@ -2832,6 +2891,8 @@ object PipelineQueries {
     "q221_cell_health" -> q221CellHealth,
     "q222_nprobe_sweep" -> q222NprobeSweep,
     "q223_html_extract" -> q223HtmlExtract,
+    "q224_domain_extract" -> q224DomainExtract,
+    "q225_domain_caps" -> q225DomainCaps,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -4286,6 +4347,48 @@ object PipelineQueries {
          |FROM tbl ORDER BY rank""".stripMargin
   }
 
+  /** Residue-table CASE expression — the SQL twin of [[pick]], built
+    * from the same Scala Seq so plant tables cannot drift. */
+  private def residueCaseSql(expr: String, xs: Seq[String]): String =
+    s"CASE $expr " + xs.init.zipWithIndex.map { case (v, i) =>
+      s"WHEN $i THEN '$v'" }.mkString(" ") + s" ELSE '${xs.last}' END"
+
+  /** Shared q224/q225 oracle body: URL plant → host → suffix-candidate
+    * explode → longest public-suffix match (QUALIFY max-j, the SQL
+    * twin of the max-struct aggregate) → registrable domain with the
+    * PSL fallback. Ends at CTE `r(doc_id, host, suffix, domain)`. */
+  private def domainBodySql: String = {
+    val sub = residueCaseSql("doc_id % 3", urlSubs)
+    val nm = residueCaseSql("doc_id % 7", urlNames)
+    val tld = residueCaseSql("doc_id % 6", urlTlds)
+    val sx = urlPsl.map(s => s"('$s')").mkString(",")
+    s"""u AS (SELECT doc_id,
+       |    'https://' || $sub || $nm || '.' || $tld ||
+       |    '/p/' || doc_id::VARCHAR AS url
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |    lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1))
+       |      AS host
+       |  FROM u),
+       |lab AS (SELECT doc_id, host, string_split(host, '.') AS t FROM h),
+       |cj AS (SELECT doc_id, t,
+       |    unnest(generate_series(1, least(3, len(t) - 1))) AS j FROM lab),
+       |sx(suffix) AS (VALUES $sx),
+       |m AS (SELECT doc_id, j,
+       |    array_to_string(t[len(t)-j+1:len(t)], '.') AS suf,
+       |    array_to_string(t[len(t)-j:len(t)], '.') AS reg
+       |  FROM cj JOIN sx ON sx.suffix =
+       |    array_to_string(t[len(t)-j+1:len(t)], '.')
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY j DESC)
+       |    = 1),
+       |r AS (SELECT lab.doc_id, lab.host,
+       |    coalesce(m.suf, lab.t[len(lab.t)]) AS suffix,
+       |    coalesce(m.reg, CASE WHEN len(lab.t) >= 2
+       |      THEN array_to_string(lab.t[len(lab.t)-1:len(lab.t)], '.')
+       |      ELSE lab.host END) AS domain
+       |  FROM lab LEFT JOIN m ON m.doc_id = lab.doc_id)""".stripMargin
+  }
+
   /** Static oracles plus the dynamically-generated tokenizer twins
     * (rebuilt on every access so they reflect the tables trained this
     * session — see [[latestMerges]]/[[latestUnigram]]). */
@@ -5126,6 +5229,32 @@ object PipelineQueries {
           |    ELSE len(string_split(s, chr(10))) END)::BIGINT AS n_lines,
           |  len(s)::BIGINT AS n_chars
           |FROM e6 ORDER BY doc_id""").stripMargin,
+    // Registrable-domain extraction: the plant + suffix candidates +
+    // longest-match + fallback CTEs are generated from the SAME Scala
+    // tables as the Spark plant (residue CASEs, VALUES suffix list);
+    // QUALIFY keeps the longest (max-j) match, mirroring the
+    // max-struct aggregate.
+    "q224_domain_extract" ->
+      (s"WITH $domainBodySql,\n" +
+        s"""bl(domain) AS (VALUES ${
+          urlBlocklist.map(d => s"('$d')").mkString(",")})
+          |SELECT r.doc_id, r.host, r.suffix, r.domain,
+          |  CASE WHEN bl.domain IS NULL THEN 'kept' ELSE 'blocked' END
+          |    AS verdict
+          |FROM r LEFT JOIN bl ON bl.domain = r.domain
+          |ORDER BY r.doc_id""".stripMargin),
+    // Per-domain caps: the q128 fingerprint rank device keyed by the
+    // registrable domain, full kept/dropped ledger.
+    "q225_domain_caps" ->
+      (s"WITH $domainBodySql,\n" +
+        """k AS (SELECT doc_id, domain,
+          |    ('0x' || substr(md5('domcap:' || doc_id::VARCHAR), 1, 15))
+          |      ::BIGINT AS kk FROM r),
+          |p AS (SELECT doc_id, domain,
+          |    row_number() OVER (PARTITION BY domain ORDER BY kk, doc_id)
+          |      ::BIGINT AS pick_order FROM k)
+          |SELECT doc_id, domain, pick_order, pick_order <= 8 AS kept
+          |FROM p ORDER BY doc_id""".stripMargin),
     // Recall@10 of the q208 cell-pruned index against the q23 exact
     // baseline, with the scan fraction beside it — both bodies nested
     // whole, one hit join (the q69 device pointed at IVF-PQ).

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand fixtures for [[Domains]]: host extraction, longest-suffix wins,
+  * PSL fallback for unknown TLDs, blocklist verdicts, and the
+  * deterministic per-domain cap ledger. */
+class DomainsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val psl = Seq("com", "uk", "co.uk", "ac.uk").toDF("suffix")
+
+  private def reg(host: String): (String, String) = {
+    val df = Seq((1L, host)).toDF("id", "host")
+    val r = Domains.registrableDomain(df, "id", "host", psl).collect()(0)
+    (r.getAs[String]("suffix"), r.getAs[String]("domain"))
+  }
+
+  test("hostOf extracts and lowers the authority") {
+    val got = Seq("https://WWW.Example.COM/p/1?q=2#f", "ftp://a.b/x")
+      .toDF("url").select(Domains.hostOf(col("url")).as("h"))
+      .as[String].collect().toSeq
+    assert(got == Seq("www.example.com", "a.b"))
+  }
+
+  test("longest public suffix wins: co.uk beats uk") {
+    assert(reg("www.example.co.uk") == ("co.uk", "example.co.uk"))
+    assert(reg("deep.sub.example.ac.uk") == ("ac.uk", "example.ac.uk"))
+    // bare uk when no multi-label suffix matches
+    assert(reg("example.uk") == ("uk", "example.uk"))
+    assert(reg("a.example.com") == ("com", "example.com"))
+  }
+
+  test("unknown TLD falls back to last label + last two labels") {
+    assert(reg("www.example.dev") == ("dev", "example.dev"))
+    assert(reg("localhost") == ("localhost", "localhost"))
+  }
+
+  test("blocklist verdicts") {
+    val df = Seq((1L, "bad.com"), (2L, "good.com")).toDF("id", "domain")
+    val got = Domains.withBlocklist(df, "domain",
+        Seq("bad.com").toDF("domain"))
+      .orderBy("id").select("verdict").as[String].collect().toSeq
+    assert(got == Seq("blocked", "kept"))
+  }
+
+  test("capPerDomain: full ledger, exactly cap kept per domain, stable order") {
+    val df = (1L to 20L).map(i => (i, if (i % 2 == 0) "a.com" else "b.com"))
+      .toDF("id", "domain")
+    val out = Domains.capPerDomain(df, "id", "domain", cap = 3).collect()
+    assert(out.length == 20)
+    val kept = out.filter(_.getAs[Boolean]("kept"))
+    assert(kept.count(_.getAs[String]("domain") == "a.com") == 3)
+    assert(kept.count(_.getAs[String]("domain") == "b.com") == 3)
+    // pick_order is a permutation of 1..10 within each domain
+    val orders = out.filter(_.getAs[String]("domain") == "a.com")
+      .map(_.getAs[Long]("pick_order")).sorted.toSeq
+    assert(orders == (1L to 10L))
+    // deterministic across reruns
+    val again = Domains.capPerDomain(df, "id", "domain", cap = 3).collect()
+    assert(out.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+}
