@@ -125,7 +125,7 @@ object PipelineQueries {
         "q212_curate_full", "q214_crossmodal_keepbest",
         "q215_ivfpq_residual", "q216_ivfpq_rerank", "q217_pq_quant_ab",
         "q218_ivf_index_serve", "q219_maxsim_rerank", "q220_index_delta",
-        "q221_cell_health", "q222_nprobe_sweep"),
+        "q221_cell_health", "q222_nprobe_sweep", "q226_data_manifest"),
       () => releaseEmbCache()),
     "kmeans" -> CacheFamily(
       Set("q89_kmeans_train", "q204_cluster_budget", "q208_ivf_pq",
@@ -159,7 +159,8 @@ object PipelineQueries {
     "clusters" -> CacheFamily(
       Set("q37_neardup_clusters", "q74_keep_best", "q93_effective_size",
         "q113_cluster_size_histogram", "q123_cluster_weights",
-        "q207_crossmodal_keeplist", "q212_curate_full"),
+        "q207_crossmodal_keeplist", "q212_curate_full",
+        "q226_data_manifest"),
       () => releaseClusterCache()),
     "dhash" -> CacheFamily(
       Set("q199_image_neardups", "q201_audio_neardups",
@@ -1931,6 +1932,87 @@ object PipelineQueries {
       .orderBy(col("epoch"), col("shard"))
   }
 
+  /** End-to-end data-build conservation manifest — the artifact a
+    * training run actually consumes, and the proof the stage families
+    * COMPOSE: q212's full curation ledger → token inventories → q49's
+    * next-fit packing of the kept set → q62's deterministic sharding →
+    * q213's epoch upsampling, rolled into ONE per-source row with an
+    * exact integer conservation check. `conserved` asserts
+    * tokens_in = tokens_kept + Σ tokens_dropped(stage) AND
+    * tokens_packed = tokens_sharded = tokens_kept — the packed and
+    * sharded totals come from INDEPENDENT downstream plans (the pack
+    * fold, the shard window), so a document lost or duplicated anywhere
+    * in the composition flips the flag. Token unit: whitespace tokens
+    * (the q04/q213 inventory unit; swapping in BPE counts is a one-line
+    * join against the q76 encode). Rides the q212 caches; everything
+    * downstream of the ledger shuffles only (id, source, count). Epoch
+    * scheduling uses its own salt ("manifest") — composed hash gates
+    * with shared salts correlate (the q47/q63 lesson). */
+  def q226DataManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val verdicts = q212CurateFull(spark, dir)
+    val toks = d.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokenize(col("text")))
+        .cast("long").as("_nt"))
+    val vt = verdicts.join(toks, Seq("doc_id"))
+      .localCheckpoint(true) // ledger rollup + kept set both read it
+    def stageTok(v: String) =
+      sum(when(col("verdict") === v, col("_nt")).otherwise(0L))
+    val led = vt.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs_in"),
+      sum(col("_nt")).as("tokens_in"),
+      stageTok("dropped_quality").as("tok_quality"),
+      stageTok("dropped_duplicate").as("tok_duplicate"),
+      stageTok("dropped_neardup").as("tok_neardup"),
+      stageTok("dropped_semantic").as("tok_semantic"),
+      stageTok("dropped_contaminated").as("tok_contaminated"),
+      stageTok("dropped_sampled").as("tok_sampled"),
+      stageTok("kept").as("tokens_kept"),
+      sum(when(col("verdict") === "kept", 1L).otherwise(0L))
+        .as("n_docs_kept"))
+    val kept = vt.filter(col("verdict") === "kept")
+      .select(col("doc_id"), col("source"), col("_nt"))
+    // pack the kept set (independent plan: the next-fit fold re-counts
+    // tokens from text)
+    val packed = TextMetrics.packDocs(
+      d.join(kept.select(col("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("text")),
+      "doc_id", "source", "text", capacity = 128L)
+    val packLed = packed.groupBy(col("source")).agg(
+      (max(col("bin_id")) + 1L).as("n_bins"),
+      sum(col("n_tokens")).as("tokens_packed"))
+    // shard the kept set (independent plan: the fingerprint window)
+    val shardLed = TextMetrics.shuffleShards(kept, "doc_id", nShards = 8)
+      .groupBy(col("source")).agg(
+        count_distinct(col("shard")).as("n_shards"),
+        sum(col("_nt")).as("tokens_sharded"))
+    // epoch schedule over the kept set (distinct salt)
+    val epochLed = TextMetrics.upsampleMix(kept, "doc_id", "source",
+        Map("src1" -> 250, "src2" -> 150, "src3" -> 100, "src4" -> 80,
+          "src5" -> 50), salt = "manifest")
+      .groupBy(col("source")).agg(sum(col("_nt")).as("tokens_scheduled"))
+    val dropsTotal = col("tok_quality") + col("tok_duplicate") +
+      col("tok_neardup") + col("tok_semantic") +
+      col("tok_contaminated") + col("tok_sampled")
+    led.join(packLed, Seq("source"), "left")
+      .join(shardLed, Seq("source"), "left")
+      .join(epochLed, Seq("source"), "left")
+      .select(col("source"), col("n_docs_in"), col("tokens_in"),
+        col("tok_quality"), col("tok_duplicate"), col("tok_neardup"),
+        col("tok_semantic"), col("tok_contaminated"), col("tok_sampled"),
+        col("n_docs_kept"), col("tokens_kept"),
+        coalesce(col("n_bins"), lit(0L)).as("n_bins"),
+        coalesce(col("tokens_packed"), lit(0L)).as("tokens_packed"),
+        coalesce(col("n_shards"), lit(0L)).as("n_shards"),
+        coalesce(col("tokens_sharded"), lit(0L)).as("tokens_sharded"),
+        coalesce(col("tokens_scheduled"), lit(0L)).as("tokens_scheduled"),
+        (col("tokens_in") === col("tokens_kept") + dropsTotal &&
+          coalesce(col("tokens_packed"), lit(0L)) === col("tokens_kept") &&
+          coalesce(col("tokens_sharded"), lit(0L)) === col("tokens_kept"))
+          .as("conserved"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic 80/10/10 split assignment
     * ([[TextMetrics.assignSplits]]) — documents keep their split under
     * repartitioning, reruns and corpus growth. */
@@ -2893,6 +2975,7 @@ object PipelineQueries {
     "q223_html_extract" -> q223HtmlExtract,
     "q224_domain_extract" -> q224DomainExtract,
     "q225_domain_caps" -> q225DomainCaps,
+    "q226_data_manifest" -> q226DataManifest,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -7736,5 +7819,103 @@ object PipelineQueries {
         |       LEFT JOIN sem sm USING (doc_id)
         |       LEFT JOIN contam c USING (doc_id)
         |       LEFT JOIN rates r USING (source)
-        |ORDER BY q.doc_id""".stripMargin))
+        |ORDER BY q.doc_id""".stripMargin),
+    // The conservation manifest: the q212 verdict CTE block verbatim,
+    // then token inventories, the q49 recursive pack over the KEPT set,
+    // the q62 shard device, and the q213 upsample arithmetic (salt
+    // 'manifest') — all rolled to one per-source ledger row whose
+    // `conserved` flag recomputes the exact integer identities.
+    "q226_data_manifest" ->
+      ("WITH RECURSIVE " + clusterCtes.stripPrefix("WITH RECURSIVE ") +
+        s",\n$q67Ctes,\n" +
+        "ndrop AS (SELECT doc_id FROM clus WHERE doc_id <> cluster_id),\n" +
+        s"sem AS (SELECT vec_id AS doc_id FROM (\n$q56Oracle\n) WHERE kept = 0),\n" +
+        """verd AS (SELECT q.doc_id, q.source,
+        |  CASE WHEN q_ok IS NOT TRUE THEN 'dropped_quality'
+        |       WHEN d.is_dup THEN 'dropped_duplicate'
+        |       WHEN nd.doc_id IS NOT NULL THEN 'dropped_neardup'
+        |       WHEN sm.doc_id IS NOT NULL THEN 'dropped_semantic'
+        |       WHEN c.doc_id IS NOT NULL THEN 'dropped_contaminated'
+        |       WHEN r.rate_pct IS NOT NULL AND
+        |            ('0x' || substr(md5('curate2:' || q.doc_id::VARCHAR), 1, 15))
+        |              ::BIGINT % 100 < r.rate_pct
+        |         THEN 'kept'
+        |       ELSE 'dropped_sampled' END AS verdict
+        |  FROM q LEFT JOIN dup d USING (doc_id)
+        |       LEFT JOIN ndrop nd USING (doc_id)
+        |       LEFT JOIN sem sm USING (doc_id)
+        |       LEFT JOIN contam c USING (doc_id)
+        |       LEFT JOIN rates r USING (source)),
+        |tk AS (SELECT doc_id,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT
+        |      AS nt
+        |  FROM documents),
+        |vt AS (SELECT v.doc_id, v.source, v.verdict, tk.nt
+        |  FROM verd v JOIN tk USING (doc_id)),
+        |led AS (SELECT source,
+        |    count(*)::BIGINT AS n_docs_in,
+        |    sum(nt)::BIGINT AS tokens_in,
+        |    sum(CASE WHEN verdict = 'dropped_quality' THEN nt ELSE 0 END)
+        |      ::BIGINT AS tok_quality,
+        |    sum(CASE WHEN verdict = 'dropped_duplicate' THEN nt ELSE 0 END)
+        |      ::BIGINT AS tok_duplicate,
+        |    sum(CASE WHEN verdict = 'dropped_neardup' THEN nt ELSE 0 END)
+        |      ::BIGINT AS tok_neardup,
+        |    sum(CASE WHEN verdict = 'dropped_semantic' THEN nt ELSE 0 END)
+        |      ::BIGINT AS tok_semantic,
+        |    sum(CASE WHEN verdict = 'dropped_contaminated' THEN nt ELSE 0
+        |      END)::BIGINT AS tok_contaminated,
+        |    sum(CASE WHEN verdict = 'dropped_sampled' THEN nt ELSE 0 END)
+        |      ::BIGINT AS tok_sampled,
+        |    sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_docs_kept,
+        |    sum(CASE WHEN verdict = 'kept' THEN nt ELSE 0 END)::BIGINT
+        |      AS tokens_kept
+        |  FROM vt GROUP BY 1),
+        |kept AS (SELECT doc_id, source, nt FROM vt WHERE verdict = 'kept'),
+        |ordk AS (SELECT doc_id, source, nt,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM kept),
+        |pck AS (
+        |  SELECT doc_id, source, nt, rn, 0::BIGINT AS bin_id, nt AS fill
+        |  FROM ordk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.source, o.nt, o.rn,
+        |    CASE WHEN p.fill > 0 AND p.fill + o.nt > 128
+        |         THEN p.bin_id + 1 ELSE p.bin_id END,
+        |    CASE WHEN p.fill > 0 AND p.fill + o.nt > 128
+        |         THEN o.nt ELSE p.fill + o.nt END
+        |  FROM ordk o JOIN pck p ON o.source = p.source AND o.rn = p.rn + 1),
+        |packled AS (SELECT source, (max(bin_id) + 1)::BIGINT AS n_bins,
+        |    sum(nt)::BIGINT AS tokens_packed FROM pck GROUP BY 1),
+        |shardled AS (SELECT source,
+        |    count(DISTINCT ('0x' || substr(md5('shuffle:' ||
+        |      doc_id::VARCHAR), 1, 15))::BIGINT % 8)::BIGINT AS n_shards,
+        |    sum(nt)::BIGINT AS tokens_sharded
+        |  FROM kept GROUP BY 1),
+        |wts AS (SELECT * FROM (VALUES ('src1', 250), ('src2', 150),
+        |    ('src3', 100), ('src4', 80), ('src5', 50)) t(source, w_pct)),
+        |epochled AS (SELECT k.source,
+        |    sum(k.nt * (w.w_pct // 100
+        |      + CASE WHEN ('0x' || substr(md5('manifest:' ||
+        |            k.doc_id::VARCHAR), 1, 15))::BIGINT % 100 < w.w_pct % 100
+        |        THEN 1 ELSE 0 END))::BIGINT AS tokens_scheduled
+        |  FROM kept k JOIN wts w USING (source) GROUP BY 1)
+        |SELECT l.source, l.n_docs_in, l.tokens_in,
+        |  l.tok_quality, l.tok_duplicate, l.tok_neardup, l.tok_semantic,
+        |  l.tok_contaminated, l.tok_sampled, l.n_docs_kept, l.tokens_kept,
+        |  coalesce(p.n_bins, 0)::BIGINT AS n_bins,
+        |  coalesce(p.tokens_packed, 0)::BIGINT AS tokens_packed,
+        |  coalesce(s.n_shards, 0)::BIGINT AS n_shards,
+        |  coalesce(s.tokens_sharded, 0)::BIGINT AS tokens_sharded,
+        |  coalesce(e.tokens_scheduled, 0)::BIGINT AS tokens_scheduled,
+        |  (l.tokens_in = l.tokens_kept + l.tok_quality + l.tok_duplicate
+        |     + l.tok_neardup + l.tok_semantic + l.tok_contaminated
+        |     + l.tok_sampled
+        |   AND coalesce(p.tokens_packed, 0) = l.tokens_kept
+        |   AND coalesce(s.tokens_sharded, 0) = l.tokens_kept) AS conserved
+        |FROM led l LEFT JOIN packled p USING (source)
+        |  LEFT JOIN shardled s USING (source)
+        |  LEFT JOIN epochled e USING (source)
+        |ORDER BY l.source""".stripMargin))
 }
