@@ -2325,6 +2325,120 @@ object TextMetrics {
           .cast("double").as("dup_frac"))
   }
 
+  /** Duplicate-substring REMOVAL at arbitrary boundaries — the rewrite
+    * half of Lee et al. 2022's ExactSubstr dedup, completing
+    * [[dupSpanCoverage]] (which only reports coverage) and
+    * [[chunkDedupRewrite]] (whose removal boundaries are fixed chunk
+    * edges): every token position covered by ANY k-token window whose
+    * content recurs in ≥ minDocs distinct documents is deleted, and
+    * the surviving segments are spliced back in canonical token space
+    * (lower-cased, single-spaced), pinned by md5. Unlike the chunk
+    * form, removal boundaries fall exactly where duplication starts
+    * and ends. Within-document repeats alone do NOT trigger removal
+    * (cross-document form; minDocs counts distinct docs — the
+    * [[dupSpanCoverage]] rule).
+    *
+    * Scale shape — the q80 rewrite discipline end to end: the window
+    * relation is one row per corpus token, read ONCE through the
+    * dense_rank distinct-count device (never materialized, never
+    * self-joined); duplicated window STARTS then merge to covered
+    * INTERVALS relationally (lag-gap flag + running interval id — the
+    * q151 union device), so the per-doc splice list is
+    * duplicate-region-bounded like q80's chunk-drop list, never
+    * per-token; the interval list joins back id-keyed and ONE
+    * map-side kernel deletes the ranges in-row. Document text never
+    * crosses an exchange. */
+  def dupSpanRewrite(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 2 && minDocs >= 2,
+      "dupSpanRewrite: k and minDocs must be >= 2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenize(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"),
+        size(col("t")).cast("long").as("n_tokens"))
+    val wins = toks.filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("n_tokens") - (k - 1))).as("s"),
+        col("t"))
+      .select(col("doc_id"), col("s"),
+        md5(array_join(slice(col("t"), col("s").cast("int"), lit(k)), " "))
+          .as("fp"))
+    val byFp = Window.partitionBy(col("fp"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    // duplicated window starts → merged covered intervals [lo, hi]
+    // (1-based, inclusive): a start within k of its predecessor extends
+    // the current interval, else opens a new one
+    val iv = wins
+      .withColumn("_dr", dense_rank().over(byFp.orderBy(col("doc_id"))))
+      .withColumn("_nd", max(col("_dr")).over(byFp))
+      .filter(col("_nd") >= minDocs)
+      .select(col("doc_id"), col("s"))
+      .withColumn("_new",
+        when(lag(col("s"), 1).over(w).isNull ||
+          col("s") - lag(col("s"), 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("_iid", sum(col("_new")).over(w))
+      .groupBy(col("doc_id"), col("_iid"))
+      .agg(min(col("s")).as("lo"), (max(col("s")) + (k - 1)).as("hi"))
+    val ivs = iv.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("lo"), col("hi"))))
+        .as("_iv"))
+    val in = docs.select(col(idCol), col(textCol))
+      .join(ivs.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_removed", LongType, nullable = false),
+      StructField("n_after", LongType, nullable = false),
+      StructField("n_segments", LongType, nullable = false),
+      StructField("clean_md5", StringType, nullable = true)))
+    in.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        // split limit -1: keep trailing empties — the Column tokenize's
+        // exact kernel twin (the chunkDedupRewrite note)
+        val toksArr: Array[String] =
+          if (r.isNullAt(1)) Array("")
+          else r.getString(1).toLowerCase(java.util.Locale.ROOT)
+            .split("[ \\t\\n\\f\\r]+", -1)
+        val n = toksArr.length
+        val ivSeq: Seq[(Long, Long)] =
+          if (r.isNullAt(2)) Seq.empty
+          else r.getSeq[Row](2).map(x => (x.getLong(0), x.getLong(1)))
+        val covered = new Array[Boolean](n)
+        var removed = 0L
+        ivSeq.foreach { case (lo, hi) =>
+          var p = (lo - 1).toInt // 1-based → 0-based
+          val end = math.min(hi.toInt, n)
+          while (p < end) {
+            if (!covered(p)) { covered(p) = true; removed += 1 }
+            p += 1
+          }
+        }
+        val sb = new java.lang.StringBuilder
+        var kept = 0L
+        var segs = 0L
+        var inSeg = false
+        var i = 0
+        while (i < n) {
+          if (!covered(i)) {
+            if (!inSeg) { segs += 1; inSeg = true }
+            if (kept > 0) sb.append(' ')
+            sb.append(toksArr(i))
+            kept += 1
+          } else inSeg = false
+          i += 1
+        }
+        val hash = if (kept == 0) null else {
+          md.reset()
+          md.digest(sb.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }
+        Row(r.get(0), n.toLong, removed, kept, segs, hash)
+      }
+    }(Encoders.row(outSchema))
+      .toDF(idCol, "n_tokens", "n_removed", "n_after", "n_segments",
+        "clean_md5")
+  }
+
   /** Cross-document duplicated-substring detection (the Lee et al. 2022
     * "Deduplicating Training Data" signal at fingerprint granularity):
     * a document's winnowing fingerprints ([[winnowFingerprints]])

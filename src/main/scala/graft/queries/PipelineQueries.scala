@@ -2013,6 +2013,19 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Duplicate-substring removal at arbitrary boundaries
+    * ([[TextMetrics.dupSpanRewrite]]) — the Lee et al. 2022 ExactSubstr
+    * REWRITE completing q151's coverage report and q80's chunk-boundary
+    * removal: tokens covered by any 5-gram recurring in ≥ 2 distinct
+    * documents are deleted, surviving segments spliced in canonical
+    * token space, pinned by md5. The oracle recomputes the covered
+    * position set, the segment count, and the spliced md5 from the
+    * same window fingerprints. */
+  def q227DupSpanRewrite(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.dupSpanRewrite(docs(spark, dir), "doc_id", "text",
+        k = 5, minDocs = 2)
+      .orderBy(col("doc_id"))
+
   /** Deterministic 80/10/10 split assignment
     * ([[TextMetrics.assignSplits]]) — documents keep their split under
     * repartitioning, reruns and corpus growth. */
@@ -2976,6 +2989,7 @@ object PipelineQueries {
     "q224_domain_extract" -> q224DomainExtract,
     "q225_domain_caps" -> q225DomainCaps,
     "q226_data_manifest" -> q226DataManifest,
+    "q227_dupspan_rewrite" -> q227DupSpanRewrite,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -5326,6 +5340,57 @@ object PipelineQueries {
           |    AS verdict
           |FROM r LEFT JOIN bl ON bl.domain = r.domain
           |ORDER BY r.doc_id""".stripMargin),
+    // Mirrors dupSpanRewrite: the q151 window CTEs, covered POSITIONS
+    // from duplicated starts (distinct after the series unnest), kept
+    // positions by anti-join, segments via the lag-gap flag, spliced
+    // md5 via ordered string_agg.
+    "q227_dupspan_rewrite" ->
+      """WITH tn AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
+        |      ::BIGINT AS n_tokens
+        |  FROM documents),
+        |st AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t) - 4)) AS s
+        |  FROM tn WHERE n_tokens >= 5),
+        |wins AS (SELECT doc_id, s::BIGINT AS s,
+        |    md5(array_to_string(t[s:s+4], ' ')) AS fp
+        |  FROM st),
+        |dup AS (SELECT fp FROM wins GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |cov0 AS (SELECT w.doc_id, unnest(generate_series(w.s, w.s + 4))
+        |    AS p
+        |  FROM wins w JOIN dup USING (fp)),
+        |cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+        |tokp AS (SELECT doc_id, p, t[p] AS tok FROM (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+        |  FROM tn)),
+        |kept AS (SELECT tokp.doc_id, tokp.p, tokp.tok
+        |  FROM tokp LEFT JOIN cov USING (doc_id, p)
+        |  WHERE cov.p IS NULL),
+        |seg AS (SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+        |        IS NULL
+        |      OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 1
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM kept),
+        |perk AS (SELECT doc_id, count(*)::BIGINT AS n_after,
+        |    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+        |  FROM kept GROUP BY 1),
+        |persg AS (SELECT doc_id, sum(st)::BIGINT AS n_segments
+        |  FROM seg GROUP BY 1),
+        |perc AS (SELECT doc_id, count(*)::BIGINT AS n_removed
+        |  FROM cov GROUP BY 1)
+        |SELECT tn.doc_id, tn.n_tokens,
+        |  coalesce(perc.n_removed, 0)::BIGINT AS n_removed,
+        |  coalesce(perk.n_after, 0)::BIGINT AS n_after,
+        |  coalesce(persg.n_segments, 0)::BIGINT AS n_segments,
+        |  perk.clean_md5
+        |FROM tn LEFT JOIN perc USING (doc_id)
+        |  LEFT JOIN perk USING (doc_id)
+        |  LEFT JOIN persg USING (doc_id)
+        |ORDER BY tn.doc_id""".stripMargin,
     // Per-domain caps: the q128 fingerprint rank device keyed by the
     // registrable domain, full kept/dropped ledger.
     "q225_domain_caps" ->
