@@ -125,8 +125,11 @@ object PipelineQueries {
         "q212_curate_full", "q214_crossmodal_keepbest",
         "q215_ivfpq_residual", "q216_ivfpq_rerank", "q217_pq_quant_ab",
         "q218_ivf_index_serve", "q219_maxsim_rerank", "q220_index_delta",
-        "q221_cell_health", "q222_nprobe_sweep", "q226_data_manifest"),
+        "q221_cell_health", "q222_nprobe_sweep"),
       () => releaseEmbCache()),
+    "verdicts" -> CacheFamily(
+      Set("q212_curate_full", "q226_data_manifest"),
+      () => releaseVerdictsCache()),
     "kmeans" -> CacheFamily(
       Set("q89_kmeans_train", "q204_cluster_budget", "q208_ivf_pq",
         "q211_ivfpq_recall", "q215_ivfpq_residual", "q216_ivfpq_rerank",
@@ -159,8 +162,7 @@ object PipelineQueries {
     "clusters" -> CacheFamily(
       Set("q37_neardup_clusters", "q74_keep_best", "q93_effective_size",
         "q113_cluster_size_histogram", "q123_cluster_weights",
-        "q207_crossmodal_keeplist", "q212_curate_full",
-        "q226_data_manifest"),
+        "q207_crossmodal_keeplist", "q212_curate_full"),
       () => releaseClusterCache()),
     "dhash" -> CacheFamily(
       Set("q199_image_neardups", "q201_audio_neardups",
@@ -1885,25 +1887,42 @@ object PipelineQueries {
     * The oracle recomputes every stage in SQL — the recursive cluster
     * closure, the centroid-assignment witness join, and q67's CTE
     * block verbatim. */
-  def q212CurateFull(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val nearDrop = docClusters(spark, dir)
-      .filter(col("cluster_id") =!= col("doc_id")).select(col("doc_id"))
-    val e = emb(spark, dir)
-    val semDrop = Dedup.semanticDedup(e, "vec_id", "embedding",
-        e.filter(col("vec_id") < 16), "vec_id", "embedding",
-        minDotQ = 400000000000L)
-      .filter(col("kept") === 0L)
-      .select(col("vec_id").as("doc_id"))
-    Curate.curateStaged(d.filter(col("source") =!= "src0"), "doc_id",
-        "text", "source", d.filter(col("source") === "src0"), "doc_id",
-        "text",
-        Seq("neardup" -> nearDrop, "semantic" -> semDrop),
-        rates = Map("src1" -> 100, "src2" -> 75, "src3" -> 50,
-          "src4" -> 25, "src5" -> 10),
-        salt = "curate2")
-      .orderBy(col("doc_id"))
+  def q212CurateFull(spark: SparkSession, dir: String): DataFrame =
+    curateVerdicts(spark, dir).orderBy(col("doc_id"))
+
+  /** The full-curation verdict relation, cached per (session, sf dir):
+    * q212 reports it, q226 composes the whole data build on top of it
+    * — the ledger (two iterative dedup stages + gram decontamination)
+    * is the expensive half of both. (id, source, verdict) only —
+    * document-cardinality, text-free. */
+  private val sharedVerdicts =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def curateVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    CacheRegistry.touch("verdicts")
+    sharedVerdicts.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val d = docs(spark, dir)
+      val nearDrop = docClusters(spark, dir)
+        .filter(col("cluster_id") =!= col("doc_id")).select(col("doc_id"))
+      val e = emb(spark, dir)
+      val semDrop = Dedup.semanticDedup(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 16), "vec_id", "embedding",
+          minDotQ = 400000000000L)
+        .filter(col("kept") === 0L)
+        .select(col("vec_id").as("doc_id"))
+      Curate.curateStaged(d.filter(col("source") =!= "src0"), "doc_id",
+          "text", "source", d.filter(col("source") === "src0"), "doc_id",
+          "text",
+          Seq("neardup" -> nearDrop, "semantic" -> semDrop),
+          rates = Map("src1" -> 100, "src2" -> 75, "src3" -> 50,
+            "src4" -> 25, "src5" -> 10),
+          salt = "curate2")
+        .localCheckpoint(true)
+    })
   }
+
+  /** Drop the shared curation-verdict cache (q212, q226). */
+  def releaseVerdictsCache(): Unit = drain(sharedVerdicts)
 
   /** Training-epoch data-plan manifest: the relation a dataloader
     * actually reads — q63's weighted epoch upsampling (src0 250%, src1
@@ -1950,7 +1969,7 @@ object PipelineQueries {
     * with shared salts correlate (the q47/q63 lesson). */
   def q226DataManifest(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val verdicts = q212CurateFull(spark, dir)
+    val verdicts = curateVerdicts(spark, dir)
     val toks = d.select(col("doc_id"),
       size(graft.functions.TextFunctions.tokenize(col("text")))
         .cast("long").as("_nt"))
