@@ -85,6 +85,42 @@ object Domains {
         when(col("_bl").isNotNull, "blocked").otherwise("kept"))
       .drop("_bl")
 
+  /** Tracking query parameters stripped by [[canonicalizeUrl]] (the
+    * CCNet/FineWeb URL-dedup normalization set). */
+  val TrackingParamPattern = "^(utm_[a-z0-9_]*|fbclid|gclid)="
+
+  /** URL canonicalization — the normalization before any URL-keyed
+    * dedup (the same crawled page arrives as `https://Example.COM:443/
+    * p/?b=2&utm_source=x&a=1#f` and `https://example.com/p?a=1&b=2`):
+    *  1. drop the fragment
+    *  2. lower-case scheme + authority (path case is significant)
+    *  3. strip default ports (`:443` on https, `:80` on http)
+    *  4. strip one trailing slash off the path
+    *  5. drop tracking params ([[TrackingParamPattern]]), sort the
+    *     remainder, re-join (and drop the bare `?`)
+    * One Column expression chain — RE2-compatible patterns (the
+    * replacement backreference SYNTAX differs per engine: Java `$1`
+    * here, RE2 `\1` in the oracle — semantics identical); the
+    * param-list lambda runs interpreted but on a per-URL handful of
+    * elements, never a corpus-token relation (the q66 trap does not
+    * apply at this cardinality). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val auth = lower(regexp_extract(base, "(?i)^([a-z0-9+.-]+://[^/]*)", 0))
+    val path = regexp_replace(base, "(?i)^[a-z0-9+.-]+://[^/]*", "")
+    val auth2 = regexp_replace(
+      regexp_replace(auth, "^(https://[^/:]+):443$", "$1"),
+      "^(http://[^/:]+):80$", "$1")
+    val path2 = regexp_replace(path, "/$", "")
+    val params = sort_array(filter(split(query, "&"),
+      p => length(p) > 0 && !p.rlike(TrackingParamPattern)))
+    concat(auth2, path2,
+      when(size(params) > 0,
+        concat(lit("?"), array_join(params, "&"))).otherwise(lit("")))
+  }
+
   /** Per-domain document cap in deterministic hash order (the q128
     * stratified-sample device keyed by domain): `pick_order` =
     * row_number by (fingerprint(salt:id), id) within the domain,

@@ -2325,6 +2325,38 @@ object TextMetrics {
           .cast("double").as("dup_frac"))
   }
 
+  /** WITHIN-document duplicate-line removal — the Gopher/C4-adjacent
+    * cleaner [[boilerplateRemove]] does not cover (that one deletes
+    * lines recurring ACROSS ≥ minDocs documents; this one deletes a
+    * line's repeats inside its own document, first occurrence kept):
+    * repeated navigation/footer lines inside one crawled page are the
+    * classic case. Emits per doc the line counts and the md5 of the
+    * kept lines re-joined in order.
+    *
+    * Scale shape: one (doc, line)-keyed rank window — the occurrence
+    * relation is line-cardinality, text moves once into the window and
+    * once out through the doc-keyed re-aggregate; the collect_list
+    * reassembly is per-document (bounded by a document's line count),
+    * never corpus-wide. */
+  def dupLineRemove(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val occ = Window.partitionBy(col(idCol), col("line"))
+      .orderBy(col("pos"))
+    lines.withColumn("_occ", row_number().over(occ))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_occ") > 1, 1L).otherwise(0L)).as("n_dup_lines"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("_occ") === 1,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n")).as("clean_md5"))
+      .select(col(idCol), col("n_lines"), col("n_dup_lines"),
+        (col("n_lines") - col("n_dup_lines")).as("n_lines_after"),
+        col("clean_md5"))
+  }
+
   /** Duplicate-substring REMOVAL at arbitrary boundaries — the rewrite
     * half of Lee et al. 2022's ExactSubstr dedup, completing
     * [[dupSpanCoverage]] (which only reports coverage) and

@@ -128,7 +128,8 @@ object PipelineQueries {
         "q221_cell_health", "q222_nprobe_sweep"),
       () => releaseEmbCache()),
     "verdicts" -> CacheFamily(
-      Set("q212_curate_full", "q226_data_manifest"),
+      Set("q212_curate_full", "q226_data_manifest",
+        "q230_domain_quality"),
       () => releaseVerdictsCache()),
     "kmeans" -> CacheFamily(
       Set("q89_kmeans_train", "q204_cluster_budget", "q208_ivf_pq",
@@ -2045,6 +2046,94 @@ object PipelineQueries {
         k = 5, minDocs = 2)
       .orderBy(col("doc_id"))
 
+  /** URL canonicalization + snapshot dedup
+    * ([[graft.pipeline.Domains.canonicalizeUrl]]): planted messy
+    * variants of the same page — mixed-case host, default port,
+    * tracking params, reordered query, trailing slash, fragment —
+    * must collapse to ONE canonical URL; `is_latest` keeps the newest
+    * snapshot per canonical key (id order stands in for crawl time).
+    * The CCNet/FineWeb URL-dedup stage before any content dedup. */
+  def q228UrlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id div 4").cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://Example.COM:443/path/p"), g,
+          lit("/?b=2&utm_source=x&a=1#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://example.com/path/p"), g, lit("?a=1&b=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://example.com/path/p"), g,
+          lit("/?utm_campaign=z&b=2&a=1")))
+      .otherwise(concat(lit("http://other.org:80/q"), g,
+        lit("?z=9&fbclid=abc")))
+    docs(spark, dir).select(col("doc_id"), url.as("url"))
+      .withColumn("canon_url",
+        graft.pipeline.Domains.canonicalizeUrl(col("url")))
+      .withColumn("is_latest", col("doc_id") ===
+        max(col("doc_id")).over(Window.partitionBy(col("canon_url"))))
+      .select(col("doc_id"), col("url"), col("canon_url"),
+        col("is_latest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Within-document duplicate-line removal
+    * ([[TextMetrics.dupLineRemove]]) over planted line structure with
+    * guaranteed in-doc repeats (line 1 replanted at position 3; docs
+    * ≡ 0 mod 3 also repeat line 2) — the page-internal nav/footer
+    * cleaner beside q83's cross-document boilerplate rule. */
+  def q229DupLineRemove(spark: SparkSession, dir: String): DataFrame = {
+    val l1 = substring(col("text"), 1, 40)
+    val l2 = substring(col("text"), 41, 40)
+    val planted = concat(l1, lit("\n"), l2, lit("\n"), l1, lit("\n"),
+      lit("tail "), col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0, concat(lit("\n"), l2))
+        .otherwise(lit("")))
+    TextMetrics.dupLineRemove(
+        docs(spark, dir).select(col("doc_id"), planted.as("text")),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Domain-level quality rollup — the FineWeb-style aggregate that
+    * decides whether a DOMAIN (not a document) enters the corpus:
+    * per registrable domain, document/token counts, quality-pass and
+    * curation-kept counts, and a keep/drop verdict from an exact
+    * integer cross-multiply (pass fraction ≥ 3/5 — no rounded-ratio
+    * compare in the decision, the q110/q114 device). Rides the planted
+    * q224 domains and the shared verdicts cache. */
+  def q230DomainQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val dom = graft.pipeline.Domains.registrableDomain(
+        plantedUrls(spark, dir)
+          .withColumn("host", graft.pipeline.Domains.hostOf(col("url"))),
+        "doc_id", "host", urlPsl.toDF("suffix"))
+      .select(col("doc_id"), col("domain"))
+    val q = TextMetrics.qualityScore(d, "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    val toks = d.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokenize(col("text")))
+        .cast("long").as("_nt"))
+    val v = curateVerdicts(spark, dir)
+      .select(col("doc_id"), col("verdict"))
+    dom.join(q, Seq("doc_id")).join(toks, Seq("doc_id"))
+      .join(v, Seq("doc_id"), "left")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        sum(when(col("quality") === 1.0, 1L).otherwise(0L))
+          .as("n_quality"),
+        sum(when(col("verdict") === "kept", 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        col("n_quality"), col("n_kept"),
+        round((col("n_quality").cast("double") /
+          col("n_docs").cast("double")).cast("decimal(28,10)"), 6)
+          .cast("double").as("quality_frac"),
+        when(col("n_quality") * 5 >= col("n_docs") * 3, lit("keep"))
+          .otherwise(lit("drop")).as("domain_verdict"))
+      .orderBy(col("domain"))
+  }
+
   /** Deterministic 80/10/10 split assignment
     * ([[TextMetrics.assignSplits]]) — documents keep their split under
     * repartitioning, reruns and corpus growth. */
@@ -3009,6 +3098,9 @@ object PipelineQueries {
     "q225_domain_caps" -> q225DomainCaps,
     "q226_data_manifest" -> q226DataManifest,
     "q227_dupspan_rewrite" -> q227DupSpanRewrite,
+    "q228_url_canonical" -> q228UrlCanonical,
+    "q229_dupline_remove" -> q229DupLineRemove,
+    "q230_domain_quality" -> q230DomainQuality,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -5410,6 +5502,73 @@ object PipelineQueries {
         |  LEFT JOIN perk USING (doc_id)
         |  LEFT JOIN persg USING (doc_id)
         |ORDER BY tn.doc_id""".stripMargin,
+    // Mirrors canonicalizeUrl step for step over the hand-mirrored
+    // plant (RE2 replacement backrefs are \1 where Java's are $1 —
+    // same semantics); newest snapshot per canonical key by window max.
+    "q228_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://Example.COM:443/path/p'
+        |        || (doc_id // 4)::VARCHAR || '/?b=2&utm_source=x&a=1#frag'
+        |      WHEN 1 THEN 'https://example.com/path/p'
+        |        || (doc_id // 4)::VARCHAR || '?a=1&b=2'
+        |      WHEN 2 THEN 'https://example.com/path/p'
+        |        || (doc_id // 4)::VARCHAR || '/?utm_campaign=z&b=2&a=1'
+        |      ELSE 'http://other.org:80/q'
+        |        || (doc_id // 4)::VARCHAR || '?z=9&fbclid=abc' END AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, url,
+        |    regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |c2 AS (SELECT doc_id, url,
+        |    regexp_extract(nf, '\?(.*)$', 1) AS q,
+        |    regexp_replace(nf, '\?.*$', '') AS base FROM c1),
+        |c3 AS (SELECT doc_id, url, q,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(base, '(?i)^([a-z0-9+.-]+://[^/]*)', 0)),
+        |      '^(https://[^/:]+):443$', '\1'),
+        |      '^(http://[^/:]+):80$', '\1') AS auth,
+        |    regexp_replace(regexp_replace(base,
+        |      '(?i)^[a-z0-9+.-]+://[^/]*', ''), '/$', '') AS pth
+        |  FROM c2),
+        |c4 AS (SELECT doc_id, url, auth, pth,
+        |    list_sort(list_filter(string_split(q, '&'),
+        |      p -> len(p) > 0 AND NOT regexp_matches(p,
+        |        '^(utm_[a-z0-9_]*|fbclid|gclid)='))) AS ps
+        |  FROM c3),
+        |c AS (SELECT doc_id, url,
+        |    auth || pth || CASE WHEN len(ps) > 0
+        |      THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url
+        |  FROM c4)
+        |SELECT doc_id, url, canon_url,
+        |  doc_id = max(doc_id) OVER (PARTITION BY canon_url) AS is_latest
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // Mirrors dupLineRemove over the planted in-doc repeats: occurrence
+    // rank per (doc, line), kept-line md5 via ordered FILTERed agg.
+    "q229_dupline_remove" ->
+      """WITH p AS (SELECT doc_id,
+        |    substr(text, 1, 40) AS l1, substr(text, 41, 40) AS l2
+        |  FROM documents),
+        |pt AS (SELECT doc_id,
+        |    l1 || chr(10) || l2 || chr(10) || l1 || chr(10)
+        |      || 'tail ' || doc_id::VARCHAR
+        |      || CASE WHEN doc_id % 3 = 0 THEN chr(10) || l2 ELSE '' END
+        |      AS text
+        |  FROM p),
+        |ln0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pt),
+        |ln AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos,
+        |    ls FROM ln0),
+        |li AS (SELECT doc_id, pos, ls[pos] AS line FROM ln),
+        |oc AS (SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY doc_id, line ORDER BY pos)
+        |      AS occ
+        |  FROM li)
+        |SELECT doc_id, count(*)::BIGINT AS n_lines,
+        |  sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_lines,
+        |  (count(*) - sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END))::BIGINT
+        |    AS n_lines_after,
+        |  md5(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE occ = 1))
+        |    AS clean_md5
+        |FROM oc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Per-domain caps: the q128 fingerprint rank device keyed by the
     // registrable domain, full kept/dropped ledger.
     "q225_domain_caps" ->
@@ -8001,5 +8160,62 @@ object PipelineQueries {
         |FROM led l LEFT JOIN packled p USING (source)
         |  LEFT JOIN shardled s USING (source)
         |  LEFT JOIN epochled e USING (source)
-        |ORDER BY l.source""".stripMargin))
+        |ORDER BY l.source""".stripMargin),
+    // Domain-level quality rollup: the q212 verdict block + the q26
+    // quality expression over ALL documents + the q224 domain CTEs,
+    // rolled to one row per registrable domain; the keep/drop verdict
+    // recomputes the exact integer cross-multiply.
+    "q230_domain_quality" ->
+      ("WITH RECURSIVE " + clusterCtes.stripPrefix("WITH RECURSIVE ") +
+        s",\n$q67Ctes,\n" +
+        "ndrop AS (SELECT doc_id FROM clus WHERE doc_id <> cluster_id),\n" +
+        s"sem AS (SELECT vec_id AS doc_id FROM (\n$q56Oracle\n) WHERE kept = 0),\n" +
+        """verd AS (SELECT q.doc_id, q.source,
+        |  CASE WHEN q_ok IS NOT TRUE THEN 'dropped_quality'
+        |       WHEN d.is_dup THEN 'dropped_duplicate'
+        |       WHEN nd.doc_id IS NOT NULL THEN 'dropped_neardup'
+        |       WHEN sm.doc_id IS NOT NULL THEN 'dropped_semantic'
+        |       WHEN c.doc_id IS NOT NULL THEN 'dropped_contaminated'
+        |       WHEN r.rate_pct IS NOT NULL AND
+        |            ('0x' || substr(md5('curate2:' || q.doc_id::VARCHAR), 1, 15))
+        |              ::BIGINT % 100 < r.rate_pct
+        |         THEN 'kept'
+        |       ELSE 'dropped_sampled' END AS verdict
+        |  FROM q LEFT JOIN dup d USING (doc_id)
+        |       LEFT JOIN ndrop nd USING (doc_id)
+        |       LEFT JOIN sem sm USING (doc_id)
+        |       LEFT JOIN contam c USING (doc_id)
+        |       LEFT JOIN rates r USING (source)),
+        |qall AS (SELECT doc_id,
+        |    (length(text) >= 50
+        |     AND (length(text) - length(regexp_replace(text,
+        |            '[^a-zA-Z0-9 \t\n\f\r]', '', 'g')))::DOUBLE
+        |         / length(text)::DOUBLE < 0.2
+        |     AND (length(text) - len(regexp_split_to_array(lower(text),
+        |            '[ \t\n\f\r]+')) + 1)::DOUBLE
+        |         / len(regexp_split_to_array(lower(text),
+        |            '[ \t\n\f\r]+'))::DOUBLE
+        |         BETWEEN 3 AND 12) AS q_ok
+        |  FROM documents),
+        |tk AS (SELECT doc_id,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))::BIGINT
+        |      AS nt
+        |  FROM documents),
+        |""".stripMargin + domainBodySql + ",\n" +
+        """rolled AS (SELECT r.domain,
+        |    count(*)::BIGINT AS n_docs,
+        |    sum(tk.nt)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN qall.q_ok THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_quality,
+        |    sum(CASE WHEN verd.verdict = 'kept' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_kept
+        |  FROM r JOIN qall USING (doc_id) JOIN tk USING (doc_id)
+        |    LEFT JOIN verd USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT domain, n_docs, n_tokens, n_quality, n_kept,
+        |  round((n_quality::DOUBLE / n_docs::DOUBLE)::DECIMAL(28,10), 6)
+        |    ::DOUBLE AS quality_frac,
+        |  CASE WHEN n_quality * 5 >= n_docs * 3 THEN 'keep'
+        |    ELSE 'drop' END AS domain_verdict
+        |FROM rolled ORDER BY domain""".stripMargin))
 }

@@ -48,6 +48,24 @@ class DomainsSpec extends AnyFunSuite {
     assert(got == Seq("blocked", "kept"))
   }
 
+  test("canonicalizeUrl: ports, case, fragments, tracking params, ordering, slash") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(Domains.canonicalizeUrl(col("u")).as("c"))
+        .as[String].collect()(0)
+    // all variants of the same page collapse
+    val want = "https://example.com/path/p7?a=1&b=2"
+    assert(canon("https://Example.COM:443/path/p7/?b=2&utm_source=x&a=1#frag") == want)
+    assert(canon("https://example.com/path/p7?a=1&b=2") == want)
+    assert(canon("https://example.com/path/p7/?utm_campaign=z&b=2&a=1") == want)
+    // http default port; all params tracking → bare path, no '?'
+    assert(canon("http://Other.ORG:80/q?utm_x=1&fbclid=z") == "http://other.org/q")
+    // NON-default port survives; path case survives
+    assert(canon("https://a.com:8443/CaseSensitive/") ==
+      "https://a.com:8443/CaseSensitive")
+    // no query, no fragment: identity modulo lowering
+    assert(canon("https://A.com/x") == "https://a.com/x")
+  }
+
   test("capPerDomain: full ledger, exactly cap kept per domain, stable order") {
     val df = (1L to 20L).map(i => (i, if (i % 2 == 0) "a.com" else "b.com"))
       .toDF("id", "domain")
