@@ -83,13 +83,56 @@ object Html {
     * the extracted text, its line count and char count (the shape the
     * q75/q83 line cleaners consume). */
   def extractText(docs: DataFrame, idCol: String,
-      htmlCol: String): DataFrame = {
-    val text = extractExpr(col(htmlCol))
+      htmlCol: String): DataFrame =
+    withLineStats(docs, idCol, extractExpr(col(htmlCol)))
+
+  /** Markdown → plain text — the OTHER markup front door (GitHub/docs
+    * corpora arrive as .md): same regexp_replace-chain discipline as
+    * [[extractExpr]], RE2-compatible throughout. Steps, in order:
+    *  1. drop fenced code blocks (``` … ```) INCLUDING content — code
+    *     goes to a code pipeline, not the text one — and inline code
+    *     spans (`…` keeps the span text, backticks stripped)
+    *  2. images `![alt](url)` → alt text; links `[text](url)` → text
+    *  3. strip heading markers (#…), blockquote markers (>), list
+    *     bullets (-, *, +, 1.) at line starts; setext underlines
+    *     (=== / --- lines) and horizontal rules dropped
+    *  4. strip emphasis runs (*, _, ~) around words
+    *  5. whitespace normalization as in [[extractExpr]]
+    * Deliberate bounds: HTML embedded in markdown passes through (run
+    * [[extractExpr]] after if needed); reference-style links and
+    * tables keep their cell text with pipes stripped. */
+  def markdownExpr(md: Column): Column = {
+    val noFence = regexp_replace(md, "(?s)```.*?```", "")
+    val noInline = regexp_replace(noFence, "`([^`\n]*)`", "$1")
+    val noImg = regexp_replace(noInline,
+      "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg,
+      "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noRule = regexp_replace(noLink,
+      "(?m)^[ \\t]*(={3,}|-{3,}|\\*{3,})[ \\t]*$", "")
+    val noMark = regexp_replace(noRule,
+      "(?m)^[ \\t]*(#{1,6}[ \\t]+|>[ \\t]*|[-*+][ \\t]+|[0-9]+\\.[ \\t]+)",
+      "")
+    val noEmph = regexp_replace(noMark, "[*_~]{1,3}([^*_~\n]+)[*_~]{1,3}",
+      "$1")
+    val noPipe = regexp_replace(noEmph, "[ \\t]*\\|[ \\t]*", " ")
+    val squeezed = regexp_replace(noPipe, "[ \\t\\f\\r]+", " ")
+    val trimmed = regexp_replace(squeezed, "(?m)^ +| +$", "")
+    val joined = regexp_replace(trimmed, "\n{2,}", "\n")
+    regexp_replace(joined, "^\n+|\n+$", "")
+  }
+
+  /** Markdown → line-segmented plain text (the [[extractText]] shape). */
+  def markdownText(docs: DataFrame, idCol: String,
+      mdCol: String): DataFrame =
+    withLineStats(docs, idCol, markdownExpr(col(mdCol)))
+
+  private def withLineStats(docs: DataFrame, idCol: String,
+      text: Column): DataFrame =
     docs.select(col(idCol), text.as("text"))
       .select(col(idCol), col("text"),
         when(col("text") === "", 0)
           .otherwise(size(split(col("text"), "\n"))).cast("long")
           .as("n_lines"),
         length(col("text")).cast("long").as("n_chars"))
-  }
 }

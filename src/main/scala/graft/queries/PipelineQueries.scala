@@ -2134,6 +2134,27 @@ object PipelineQueries {
       .orderBy(col("domain"))
   }
 
+  /** Markdown → text extraction ([[graft.pipeline.Html.markdownText]])
+    * over planted synthetic pages exercising every rule: fenced code
+    * (content DROPPED), inline code spans, images/links → their text,
+    * heading/quote/bullet/numbered markers, emphasis runs, horizontal
+    * rules, table pipes. The q223 device pointed at the other markup
+    * front door. */
+  def q231MarkdownExtract(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val md = concat(
+      lit("# Title "), id, lit("\n> quote **bold** _ital_ `code span`\n"),
+      lit("- item one\n- item "), id, lit("\n1. numbered\n"),
+      lit("```\ncode "), id, lit("\nmore code\n```\n"),
+      lit("para with [link text](http://x/"), id,
+      lit(") and ![img alt](y.png)\n---\n"),
+      col("text"))
+    graft.pipeline.Html.markdownText(
+        docs(spark, dir).select(col("doc_id"), md.as("md")),
+        "doc_id", "md")
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic 80/10/10 split assignment
     * ([[TextMetrics.assignSplits]]) — documents keep their split under
     * repartitioning, reruns and corpus growth. */
@@ -3101,6 +3122,7 @@ object PipelineQueries {
     "q228_url_canonical" -> q228UrlCanonical,
     "q229_dupline_remove" -> q229DupLineRemove,
     "q230_domain_quality" -> q230DomainQuality,
+    "q231_markdown_extract" -> q231MarkdownExtract,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -5542,6 +5564,43 @@ object PipelineQueries {
         |SELECT doc_id, url, canon_url,
         |  doc_id = max(doc_id) OVER (PARTITION BY canon_url) AS is_latest
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Mirrors Html.markdownExpr step for step over the same plant
+    // (chr(10) newlines, \1 backrefs, 'g' flags).
+    "q231_markdown_extract" ->
+      """WITH m0 AS (SELECT doc_id,
+        |    '# Title ' || doc_id::VARCHAR || chr(10)
+        |    || '> quote **bold** _ital_ `code span`' || chr(10)
+        |    || '- item one' || chr(10) || '- item ' || doc_id::VARCHAR
+        |    || chr(10) || '1. numbered' || chr(10)
+        |    || '```' || chr(10) || 'code ' || doc_id::VARCHAR || chr(10)
+        |    || 'more code' || chr(10) || '```' || chr(10)
+        |    || 'para with [link text](http://x/' || doc_id::VARCHAR
+        |    || ') and ![img alt](y.png)' || chr(10) || '---' || chr(10)
+        |    || text AS s
+        |  FROM documents),
+        |m1 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+        |    '(?s)```.*?```', '', 'g'), '`([^`\n]*)`', '\1', 'g') AS s
+        |  FROM m0),
+        |m2 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+        |    '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+        |    '\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS s FROM m1),
+        |m3 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+        |    '(?m)^[ \t]*(={3,}|-{3,}|\*{3,})[ \t]*$', '', 'g'),
+        |    '(?m)^[ \t]*(#{1,6}[ \t]+|>[ \t]*|[-*+][ \t]+|[0-9]+\.[ \t]+)',
+        |    '', 'g') AS s FROM m2),
+        |m4 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+        |    '[*_~]{1,3}([^*_~\n]+)[*_~]{1,3}', '\1', 'g'),
+        |    '[ \t]*\|[ \t]*', ' ', 'g') AS s FROM m3),
+        |m5 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      s, '[ \t\f\r]+', ' ', 'g'), '(?m)^ +| +$', '', 'g'),
+        |      '\n{2,}', chr(10), 'g'), '^\n+|\n+$', '', 'g') AS s
+        |  FROM m4)
+        |SELECT doc_id, s AS text,
+        |  (CASE WHEN s = '' THEN 0
+        |    ELSE len(string_split(s, chr(10))) END)::BIGINT AS n_lines,
+        |  len(s)::BIGINT AS n_chars
+        |FROM m5 ORDER BY doc_id""".stripMargin,
     // Mirrors dupLineRemove over the planted in-doc repeats: occurrence
     // rank per (doc, line), kept-line md5 via ordered FILTERed agg.
     "q229_dupline_remove" ->

@@ -79,4 +79,26 @@ class HtmlSpec extends AnyFunSuite {
     val (t, nl, nc) = extract("<html><body><div></div></body></html>")
     assert(t == "" && nl == 0L && nc == 0L)
   }
+
+  private def md(s: String): String =
+    Html.markdownText(Seq((1L, s)).toDF("id", "md"), "id", "md")
+      .collect()(0).getString(1)
+
+  test("markdown: fenced code dropped, inline code text kept") {
+    assert(md("before\n```\nval x = 1\n```\nafter `span` end") ==
+      "before\nafter span end")
+  }
+
+  test("markdown: links/images keep their text, markers stripped") {
+    assert(md("# Head\n> quote **bold**\n- a [b](http://c) d\n1. ![e](f.png) g\n---\ntail") ==
+      "Head\nquote bold\na b d\ne g\ntail")
+  }
+
+  test("markdown: table pipes collapse to spaces, rules dropped") {
+    assert(md("| a | b |\n| --- | --- |\n| c | d |") == "a b\n--- ---\nc d")
+    // note: pipe-delimited separator rows are kept as text (documented
+    // bound: full GFM table parsing is out of scope) — only BARE
+    // horizontal-rule lines drop
+    assert(md("x\n***\ny") == "x\ny")
+  }
 }
