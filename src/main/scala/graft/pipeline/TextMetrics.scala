@@ -2384,27 +2384,66 @@ object TextMetrics {
       k: Int = 5, minDocs: Int = 2): DataFrame = {
     require(k >= 2 && minDocs >= 2,
       "dupSpanRewrite: k and minDocs must be >= 2")
-    val toks = docs.select(col(idCol).as("doc_id"),
+    val wins = spanWindows(docs, idCol, textCol, k)
+    val byFp = Window.partitionBy(col("fp"))
+    val starts = wins
+      .withColumn("_dr", dense_rank().over(byFp.orderBy(col("doc_id"))))
+      .withColumn("_nd", max(col("_dr")).over(byFp))
+      .filter(col("_nd") >= minDocs)
+      .select(col("doc_id"), col("s"))
+    spliceFromStarts(docs, idCol, textCol, k, starts)
+  }
+
+  /** Decontamination REWRITE — the removal form of [[Dedup
+    * .decontaminate]] (which only FLAGS): every corpus token position
+    * covered by a k-gram that appears ANYWHERE in the eval set is
+    * deleted and the survivors spliced (the GPT-3 appendix-C /
+    * Lee et al. surgical option: keep the document, excise the leaked
+    * span, instead of dropping whole contaminated documents). Same
+    * splice kernel and guarantees as [[dupSpanRewrite]].
+    *
+    * Scale shape: eval-side fingerprints are an eval-sized relation
+    * (bounded — eval sets are small by definition); the corpus window
+    * relation joins it on fp with map-side semi-join semantics, then
+    * everything follows the dupSpanRewrite interval path. Corpus text
+    * never shuffles. */
+  def decontaminateRewrite(corpus: DataFrame, idCol: String,
+      textCol: String, evalSet: DataFrame, evalIdCol: String,
+      evalTextCol: String, k: Int = 5): DataFrame = {
+    require(k >= 2, "decontaminateRewrite: k must be >= 2")
+    val evalFps = spanWindows(evalSet, evalIdCol, evalTextCol, k)
+      .select(col("fp")).distinct()
+    val starts = spanWindows(corpus, idCol, textCol, k)
+      .join(evalFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("s"))
+    spliceFromStarts(corpus, idCol, textCol, k, starts)
+  }
+
+  /** One row per k-token window start: (doc_id, s 1-based, fp = md5 of
+    * the space-joined window) — shared by the span-removal family. */
+  private def spanWindows(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokenize(col(textCol)).as("t"))
       .select(col("doc_id"), col("t"),
         size(col("t")).cast("long").as("n_tokens"))
-    val wins = toks.filter(col("n_tokens") >= k)
+      .filter(col("n_tokens") >= k)
       .select(col("doc_id"),
         explode(sequence(lit(1L), col("n_tokens") - (k - 1))).as("s"),
         col("t"))
       .select(col("doc_id"), col("s"),
         md5(array_join(slice(col("t"), col("s").cast("int"), lit(k)), " "))
           .as("fp"))
-    val byFp = Window.partitionBy(col("fp"))
+
+  /** Covered-window starts → merged intervals → map-side splice (the
+    * [[dupSpanRewrite]] body from the starts relation down). */
+  private def spliceFromStarts(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, starts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-    // duplicated window starts → merged covered intervals [lo, hi]
+    // covered starts → merged covered intervals [lo, hi]
     // (1-based, inclusive): a start within k of its predecessor extends
     // the current interval, else opens a new one
-    val iv = wins
-      .withColumn("_dr", dense_rank().over(byFp.orderBy(col("doc_id"))))
-      .withColumn("_nd", max(col("_dr")).over(byFp))
-      .filter(col("_nd") >= minDocs)
-      .select(col("doc_id"), col("s"))
+    val iv = starts
       .withColumn("_new",
         when(lag(col("s"), 1).over(w).isNull ||
           col("s") - lag(col("s"), 1).over(w) > k, 1L).otherwise(0L))

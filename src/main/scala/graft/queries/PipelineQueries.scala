@@ -2155,6 +2155,20 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination REWRITE ([[TextMetrics.decontaminateRewrite]]):
+    * where q43 FLAGS documents sharing an 8-gram with the eval set
+    * (src0), this EXCISES exactly the leaked spans and keeps the rest
+    * — the surgical decontamination option for documents too valuable
+    * to drop whole. Same splice kernel and oracle devices as q227,
+    * with the covered set defined by eval-side fingerprints. */
+  def q232DecontamRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextMetrics.decontaminateRewrite(
+        d.filter(col("source") =!= "src0"), "doc_id", "text",
+        d.filter(col("source") === "src0"), "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic 80/10/10 split assignment
     * ([[TextMetrics.assignSplits]]) — documents keep their split under
     * repartitioning, reruns and corpus growth. */
@@ -3123,6 +3137,7 @@ object PipelineQueries {
     "q229_dupline_remove" -> q229DupLineRemove,
     "q230_domain_quality" -> q230DomainQuality,
     "q231_markdown_extract" -> q231MarkdownExtract,
+    "q232_decontam_rewrite" -> q232DecontamRewrite,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -5601,6 +5616,57 @@ object PipelineQueries {
         |    ELSE len(string_split(s, chr(10))) END)::BIGINT AS n_lines,
         |  len(s)::BIGINT AS n_chars
         |FROM m5 ORDER BY doc_id""".stripMargin,
+    // Mirrors decontaminateRewrite: eval-side 8-gram fingerprints,
+    // covered corpus positions by fp join, then the q227 splice tail.
+    "q232_decontam_rewrite" ->
+      """WITH tn AS (SELECT doc_id, source,
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t,
+        |    len(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'))
+        |      ::BIGINT AS n_tokens
+        |  FROM documents),
+        |est AS (SELECT t, unnest(generate_series(1, len(t) - 7)) AS s
+        |  FROM tn WHERE source = 'src0' AND n_tokens >= 8),
+        |ev AS (SELECT DISTINCT md5(array_to_string(t[s:s+7], ' ')) AS fp
+        |  FROM est),
+        |cst AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t) - 7)) AS s
+        |  FROM tn WHERE source <> 'src0' AND n_tokens >= 8),
+        |wins AS (SELECT doc_id, s::BIGINT AS s,
+        |    md5(array_to_string(t[s:s+7], ' ')) AS fp FROM cst),
+        |hits AS (SELECT w.doc_id, w.s FROM wins w JOIN ev USING (fp)),
+        |cov0 AS (SELECT doc_id, unnest(generate_series(s, s + 7)) AS p
+        |  FROM hits),
+        |cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+        |corp AS (SELECT doc_id, t, n_tokens FROM tn
+        |  WHERE source <> 'src0'),
+        |tokp AS (SELECT doc_id, p, t[p] AS tok FROM (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+        |  FROM corp)),
+        |kept AS (SELECT tokp.doc_id, tokp.p, tokp.tok
+        |  FROM tokp LEFT JOIN cov USING (doc_id, p)
+        |  WHERE cov.p IS NULL),
+        |seg AS (SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+        |        IS NULL
+        |      OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 1
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM kept),
+        |perk AS (SELECT doc_id, count(*)::BIGINT AS n_after,
+        |    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+        |  FROM kept GROUP BY 1),
+        |persg AS (SELECT doc_id, sum(st)::BIGINT AS n_segments
+        |  FROM seg GROUP BY 1),
+        |perc AS (SELECT doc_id, count(*)::BIGINT AS n_removed
+        |  FROM cov GROUP BY 1)
+        |SELECT corp.doc_id, corp.n_tokens,
+        |  coalesce(perc.n_removed, 0)::BIGINT AS n_removed,
+        |  coalesce(perk.n_after, 0)::BIGINT AS n_after,
+        |  coalesce(persg.n_segments, 0)::BIGINT AS n_segments,
+        |  perk.clean_md5
+        |FROM corp LEFT JOIN perc USING (doc_id)
+        |  LEFT JOIN perk USING (doc_id)
+        |  LEFT JOIN persg USING (doc_id)
+        |ORDER BY corp.doc_id""".stripMargin,
     // Mirrors dupLineRemove over the planted in-doc repeats: occurrence
     // rank per (doc, line), kept-line md5 via ordered FILTERed agg.
     "q229_dupline_remove" ->

@@ -102,6 +102,26 @@ class DupSpanRewriteSpec extends AnyFunSuite {
     check(Seq(1L -> phrase, 2L -> phrase), k = 5, minDocs = 2)
   }
 
+  test("decontaminateRewrite excises exactly the eval-covered spans") {
+    val eval = Seq(100L -> "e1 e2 e3 e4 e5 other words here")
+    val corpus = Seq(
+      1L -> "pre e1 e2 e3 e4 e5 post tail words",
+      2L -> "nothing shared with the eval set at all")
+    val got = TextMetrics.decontaminateRewrite(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        eval.toDF("doc_id", "text"), "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getString(5))).toMap
+    // doc 1: the 5-gram e1..e5 matches; positions 2..6 removed (two
+    // kept segments: "pre", "post tail words")
+    assert(got(1L) == (9L, 5L, 4L, 2L, md5("pre post tail words")))
+    assert(got(2L) == (8L, 0L, 8L, 1L,
+      md5("nothing shared with the eval set at all")))
+    // within-eval overlap does NOT remove eval-only grams from corpus
+    // docs that never contained them — doc 2 untouched (checked above)
+  }
+
   test("distributed rewrite equals the reference on the sf0.001 corpus") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/documents.parquet").exists())
