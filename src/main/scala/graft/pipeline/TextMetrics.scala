@@ -2325,6 +2325,44 @@ object TextMetrics {
           .cast("double").as("dup_frac"))
   }
 
+  /** Term/phrase blocklist filter — the C4 "bad words" stage (drop any
+    * document containing a blocklisted term or phrase): occurrence
+    * counts per document for a broadcast unigram term list and a
+    * broadcast space-joined phrase list (bigrams via the shared
+    * [[TextFunctions.shingles]] device), plus the drop verdict. The
+    * full audit ledger (counts, not just the flag) — what a filter-rate
+    * report reads.
+    *
+    * Scale shape: both lists are bounded → broadcast; hits are
+    * map-side explode+join with map-side-combined per-doc counts; only
+    * (id, count) pairs shuffle. */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], phrases: Seq[String]): DataFrame = {
+    require(terms.nonEmpty || phrases.nonEmpty,
+      "blocklistFilter: need at least one term or phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol), TextFunctions.tokenize(col(textCol)).as("t"))
+    val uniHits = toks
+      .select(col(idCol),
+        explode(filter(col("t"), w => length(w) > 0)).as("w"))
+      .join(broadcast(terms.toDF("w")), Seq("w"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_uh"))
+    val phraseHits = toks
+      .select(col(idCol),
+        explode(TextFunctions.shingles(col("t"), 2)).as("p"))
+      .join(broadcast(phrases.toDF("p")), Seq("p"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_ph"))
+    docs.select(col(idCol))
+      .join(uniHits, Seq(idCol), "left")
+      .join(phraseHits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_uh"), lit(0L)).as("n_term_hits"),
+        coalesce(col("_ph"), lit(0L)).as("n_phrase_hits"),
+        (coalesce(col("_uh"), lit(0L)) +
+          coalesce(col("_ph"), lit(0L)) > 0).as("blocked"))
+  }
+
   /** WITHIN-document duplicate-line removal — the Gopher/C4-adjacent
     * cleaner [[boilerplateRemove]] does not cover (that one deletes
     * lines recurring ACROSS ≥ minDocs documents; this one deletes a

@@ -2169,6 +2169,16 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Term/phrase blocklist filter ([[TextMetrics.blocklistFilter]]) —
+    * the C4 bad-words stage over a neutral planted blocklist (two
+    * corpus-pool terms + one bigram phrase, so hits genuinely occur):
+    * per-doc occurrence counts + drop verdict. Broadcast lists,
+    * map-side hits, only (id, count) shuffles. */
+  def q233BlocklistFilter(spark: SparkSession, dir: String): DataFrame =
+    TextMetrics.blocklistFilter(docs(spark, dir), "doc_id", "text",
+        terms = Seq("merge", "scan"), phrases = Seq("sort order"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic 80/10/10 split assignment
     * ([[TextMetrics.assignSplits]]) — documents keep their split under
     * repartitioning, reruns and corpus growth. */
@@ -3138,6 +3148,7 @@ object PipelineQueries {
     "q230_domain_quality" -> q230DomainQuality,
     "q231_markdown_extract" -> q231MarkdownExtract,
     "q232_decontam_rewrite" -> q232DecontamRewrite,
+    "q233_blocklist_filter" -> q233BlocklistFilter,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -5616,6 +5627,29 @@ object PipelineQueries {
         |    ELSE len(string_split(s, chr(10))) END)::BIGINT AS n_lines,
         |  len(s)::BIGINT AS n_chars
         |FROM m5 ORDER BY doc_id""".stripMargin,
+    // Mirrors blocklistFilter: unigram and bigram-shingle hit counts
+    // against the embedded lists, the q20 shingle fallback device.
+    "q233_blocklist_filter" ->
+      """WITH tt AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
+        |  FROM documents),
+        |bl(w) AS (VALUES ('merge'), ('scan')),
+        |pl(p) AS (VALUES ('sort order')),
+        |uni AS (SELECT doc_id, count(*)::BIGINT AS c FROM (
+        |    SELECT doc_id, unnest(t) AS w FROM tt) u
+        |  JOIN bl USING (w) WHERE len(w) > 0 GROUP BY 1),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) > 1
+        |    THEN list_transform(generate_series(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+1], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS p FROM tt),
+        |ph AS (SELECT doc_id, count(*)::BIGINT AS c
+        |  FROM sh JOIN pl USING (p) GROUP BY 1)
+        |SELECT tt.doc_id,
+        |  coalesce(uni.c, 0)::BIGINT AS n_term_hits,
+        |  coalesce(ph.c, 0)::BIGINT AS n_phrase_hits,
+        |  (coalesce(uni.c, 0) + coalesce(ph.c, 0)) > 0 AS blocked
+        |FROM tt LEFT JOIN uni USING (doc_id) LEFT JOIN ph USING (doc_id)
+        |ORDER BY tt.doc_id""".stripMargin,
     // Mirrors decontaminateRewrite: eval-side 8-gram fingerprints,
     // covered corpus positions by fp join, then the q227 splice tail.
     "q232_decontam_rewrite" ->
