@@ -2179,6 +2179,65 @@ object PipelineQueries {
         terms = Seq("merge", "scan"), phrases = Seq("sort order"))
       .orderBy(col("doc_id"))
 
+  /** Composed web front door — the ingestion-side counterpart of
+    * q212/q226's curation-side compositions: planted crawl pages
+    * (q223's HTML + q228's messy URLs) flow through HTML→text
+    * extraction → canonical-URL newest-snapshot dedup → term blocklist
+    * → quality gate, emitting ONE per-document verdict ledger (first
+    * drop wins: url_dup → blocklist → quality → kept). Everything is
+    * the already-verified single-stage operators composed; the oracle
+    * composes their CTE blocks verbatim. Text shuffles once (the
+    * extracted relation feeding the blocklist explode); URL and
+    * verdict arms move only ids and small strings. */
+  def q234WebPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    // doc_id ≡ 7 mod 10: punctuation-heavy paragraph — the extracted
+    // text then trips the quality gate's punct-ratio ceiling,
+    // exercising the dropped_quality arm
+    val para = when(col("doc_id") % 10 === 7,
+        lit("!!! ??? *** !!! ??? *** !!! ??? *** !!! ??? ***"))
+      .otherwise(col("text"))
+    val html = concat(lit(htmlPlant(0)), id, lit(htmlPlant(1)), id,
+      lit(htmlPlant(2)), id, lit(htmlPlant(3)), id, lit(htmlPlant(4)),
+      para, lit(htmlPlant(5)))
+    val g = expr("doc_id div 4").cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://Example.COM:443/path/p"), g,
+          lit("/?b=2&utm_source=x&a=1#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://example.com/path/p"), g, lit("?a=1&b=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://example.com/path/p"), g,
+          lit("/?utm_campaign=z&b=2&a=1")))
+      .otherwise(concat(lit("http://other.org:80/q"), g,
+        lit("?z=9&fbclid=abc")))
+    val src = docs(spark, dir).select(col("doc_id"), html.as("html"),
+      url.as("url"))
+    val extracted = graft.pipeline.Html.extractText(src, "doc_id", "html")
+      .localCheckpoint(true) // blocklist + quality + output all read it
+    val latest = src
+      .withColumn("canon_url",
+        graft.pipeline.Domains.canonicalizeUrl(col("url")))
+      .withColumn("is_latest", col("doc_id") ===
+        max(col("doc_id")).over(Window.partitionBy(col("canon_url"))))
+      .select(col("doc_id"), col("canon_url"), col("is_latest"))
+    val blocked = TextMetrics.blocklistFilter(extracted, "doc_id",
+        "text", terms = Seq("merge", "scan"), phrases = Seq("sort order"))
+      .select(col("doc_id"), col("blocked"))
+    val quality = TextMetrics.qualityScore(extracted, "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    extracted.select(col("doc_id"), col("n_lines"))
+      .join(latest, Seq("doc_id"))
+      .join(blocked, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .select(col("doc_id"), col("canon_url"), col("n_lines"),
+        when(!col("is_latest"), lit("dropped_url_dup"))
+          .when(col("blocked"), lit("dropped_blocklist"))
+          .when(col("quality") =!= 1.0, lit("dropped_quality"))
+          .otherwise(lit("kept")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic 80/10/10 split assignment
     * ([[TextMetrics.assignSplits]]) — documents keep their split under
     * repartitioning, reruns and corpus growth. */
@@ -3149,6 +3208,7 @@ object PipelineQueries {
     "q231_markdown_extract" -> q231MarkdownExtract,
     "q232_decontam_rewrite" -> q232DecontamRewrite,
     "q233_blocklist_filter" -> q233BlocklistFilter,
+    "q234_web_pipeline" -> q234WebPipeline,
     "q209_unigram_train" -> q209UnigramTrain,
     "q210_tokenizer_ab" -> q210TokenizerAb,
     "q211_ivfpq_recall" -> q211IvfPqRecall,
@@ -4645,6 +4705,81 @@ object PipelineQueries {
        |  FROM lab LEFT JOIN m ON m.doc_id = lab.doc_id)""".stripMargin
   }
 
+  /** The q223 HTML plant + extraction chain (CTEs hp, e1..e6 — ends at
+    * `e6(doc_id, s)` with s the extracted text), shared with the q234
+    * composed front door. Plant literals interpolate from [[htmlPlant]]
+    * so the Spark/SQL plants cannot drift; `paragraph` is the SQL
+    * expression planted as the page's text paragraph (q234 blanks it
+    * for doc_id ≡ 7 mod 10 so scaffolding-only pages exercise the
+    * quality drop). */
+  private def htmlExtractCtes(paragraph: String = "text"): String =
+    s"""hp AS (SELECT doc_id,
+       |    '${htmlPlant(0)}' || doc_id::VARCHAR ||
+       |    '${htmlPlant(1)}' || doc_id::VARCHAR ||
+       |    '${htmlPlant(2)}' || doc_id::VARCHAR ||
+       |    '${htmlPlant(3)}' || doc_id::VARCHAR ||
+       |    '${htmlPlant(4)}' || ($paragraph) || '${htmlPlant(5)}' AS s
+       |  FROM documents),
+       |""".stripMargin +
+      """e1 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+        |    '(?s)<!--.*?-->', '', 'g'),
+        |    '(?s)<!\[CDATA\[.*?\]\]>', '', 'g') AS s FROM hp),
+        |e2 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+        |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', '', 'g') AS s FROM e1),
+        |e3 AS (SELECT doc_id, regexp_replace(s,
+        |    '(?i)<(/p|/div|/li|/tr|/td|/th|/h[1-6]|/title|br[^>]*)>',
+        |    chr(10), 'g') AS s FROM e2),
+        |e4 AS (SELECT doc_id, regexp_replace(s, '<[^>]*>', '', 'g')
+        |    AS s FROM e3),
+        |e5 AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(s,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS s
+        |  FROM e4),
+        |e6 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      s, '[ \t\f\r]+', ' ', 'g'), '(?m)^ +| +$', '', 'g'),
+        |      '\n{2,}', chr(10), 'g'), '^\n+|\n+$', '', 'g') AS s
+        |  FROM e5)""".stripMargin
+
+  /** The q228 URL plant + canonicalization chain (CTEs u, c1..c4, c —
+    * ends at `c(doc_id, url, canon_url)`), shared with q234. */
+  private val urlCanonCtes: String =
+    """u AS (SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'https://Example.COM:443/path/p'
+      |        || (doc_id // 4)::VARCHAR || '/?b=2&utm_source=x&a=1#frag'
+      |      WHEN 1 THEN 'https://example.com/path/p'
+      |        || (doc_id // 4)::VARCHAR || '?a=1&b=2'
+      |      WHEN 2 THEN 'https://example.com/path/p'
+      |        || (doc_id // 4)::VARCHAR || '/?utm_campaign=z&b=2&a=1'
+      |      ELSE 'http://other.org:80/q'
+      |        || (doc_id // 4)::VARCHAR || '?z=9&fbclid=abc' END AS url
+      |  FROM documents),
+      |c1 AS (SELECT doc_id, url,
+      |    regexp_replace(url, '#.*$', '') AS nf FROM u),
+      |c2 AS (SELECT doc_id, url,
+      |    regexp_extract(nf, '\?(.*)$', 1) AS q,
+      |    regexp_replace(nf, '\?.*$', '') AS base FROM c1),
+      |c3 AS (SELECT doc_id, url, q,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(base, '(?i)^([a-z0-9+.-]+://[^/]*)', 0)),
+      |      '^(https://[^/:]+):443$', '\1'),
+      |      '^(http://[^/:]+):80$', '\1') AS auth,
+      |    regexp_replace(regexp_replace(base,
+      |      '(?i)^[a-z0-9+.-]+://[^/]*', ''), '/$', '') AS pth
+      |  FROM c2),
+      |c4 AS (SELECT doc_id, url, auth, pth,
+      |    list_sort(list_filter(string_split(q, '&'),
+      |      p -> len(p) > 0 AND NOT regexp_matches(p,
+      |        '^(utm_[a-z0-9_]*|fbclid|gclid)='))) AS ps
+      |  FROM c3),
+      |c AS (SELECT doc_id, url,
+      |    auth || pth || CASE WHEN len(ps) > 0
+      |      THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url
+      |  FROM c4)""".stripMargin
+
   /** Static oracles plus the dynamically-generated tokenizer twins
     * (rebuilt on every access so they reflect the tables trained this
     * session — see [[latestMerges]]/[[latestUnigram]]). */
@@ -5451,40 +5586,12 @@ object PipelineQueries {
     // DuckDB regexp_replace needs the explicit 'g' flag (Spark's
     // replaces all matches by default) and chr(10) as the line joiner.
     "q223_html_extract" ->
-      (s"""WITH h AS (SELECT doc_id,
-         |    '${htmlPlant(0)}' || doc_id::VARCHAR ||
-         |    '${htmlPlant(1)}' || doc_id::VARCHAR ||
-         |    '${htmlPlant(2)}' || doc_id::VARCHAR ||
-         |    '${htmlPlant(3)}' || doc_id::VARCHAR ||
-         |    '${htmlPlant(4)}' || text || '${htmlPlant(5)}' AS s
-         |  FROM documents),
-         |""" +
-        """e1 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
-          |    '(?s)<!--.*?-->', '', 'g'),
-          |    '(?s)<!\[CDATA\[.*?\]\]>', '', 'g') AS s FROM h),
-          |e2 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
-          |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
-          |    '(?is)<style[^>]*>.*?</style>', '', 'g') AS s FROM e1),
-          |e3 AS (SELECT doc_id, regexp_replace(s,
-          |    '(?i)<(/p|/div|/li|/tr|/td|/th|/h[1-6]|/title|br[^>]*)>',
-          |    chr(10), 'g') AS s FROM e2),
-          |e4 AS (SELECT doc_id, regexp_replace(s, '<[^>]*>', '', 'g')
-          |    AS s FROM e3),
-          |e5 AS (SELECT doc_id,
-          |    replace(replace(replace(replace(replace(replace(s,
-          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-          |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS s
-          |  FROM e4),
-          |e6 AS (SELECT doc_id,
-          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          |      s, '[ \t\f\r]+', ' ', 'g'), '(?m)^ +| +$', '', 'g'),
-          |      '\n{2,}', chr(10), 'g'), '^\n+|\n+$', '', 'g') AS s
-          |  FROM e5)
-          |SELECT doc_id, s AS text,
+      (s"WITH ${htmlExtractCtes()}\n" +
+        """SELECT doc_id, s AS text,
           |  (CASE WHEN s = '' THEN 0
           |    ELSE len(string_split(s, chr(10))) END)::BIGINT AS n_lines,
           |  len(s)::BIGINT AS n_chars
-          |FROM e6 ORDER BY doc_id""").stripMargin,
+          |FROM e6 ORDER BY doc_id""".stripMargin),
     // Registrable-domain extraction: the plant + suffix candidates +
     // longest-match + fallback CTEs are generated from the SAME Scala
     // tables as the Spark plant (residue CASEs, VALUES suffix list);
@@ -5554,42 +5661,10 @@ object PipelineQueries {
     // plant (RE2 replacement backrefs are \1 where Java's are $1 —
     // same semantics); newest snapshot per canonical key by window max.
     "q228_url_canonical" ->
-      """WITH u AS (SELECT doc_id,
-        |    CASE doc_id % 4
-        |      WHEN 0 THEN 'https://Example.COM:443/path/p'
-        |        || (doc_id // 4)::VARCHAR || '/?b=2&utm_source=x&a=1#frag'
-        |      WHEN 1 THEN 'https://example.com/path/p'
-        |        || (doc_id // 4)::VARCHAR || '?a=1&b=2'
-        |      WHEN 2 THEN 'https://example.com/path/p'
-        |        || (doc_id // 4)::VARCHAR || '/?utm_campaign=z&b=2&a=1'
-        |      ELSE 'http://other.org:80/q'
-        |        || (doc_id // 4)::VARCHAR || '?z=9&fbclid=abc' END AS url
-        |  FROM documents),
-        |c1 AS (SELECT doc_id, url,
-        |    regexp_replace(url, '#.*$', '') AS nf FROM u),
-        |c2 AS (SELECT doc_id, url,
-        |    regexp_extract(nf, '\?(.*)$', 1) AS q,
-        |    regexp_replace(nf, '\?.*$', '') AS base FROM c1),
-        |c3 AS (SELECT doc_id, url, q,
-        |    regexp_replace(regexp_replace(
-        |      lower(regexp_extract(base, '(?i)^([a-z0-9+.-]+://[^/]*)', 0)),
-        |      '^(https://[^/:]+):443$', '\1'),
-        |      '^(http://[^/:]+):80$', '\1') AS auth,
-        |    regexp_replace(regexp_replace(base,
-        |      '(?i)^[a-z0-9+.-]+://[^/]*', ''), '/$', '') AS pth
-        |  FROM c2),
-        |c4 AS (SELECT doc_id, url, auth, pth,
-        |    list_sort(list_filter(string_split(q, '&'),
-        |      p -> len(p) > 0 AND NOT regexp_matches(p,
-        |        '^(utm_[a-z0-9_]*|fbclid|gclid)='))) AS ps
-        |  FROM c3),
-        |c AS (SELECT doc_id, url,
-        |    auth || pth || CASE WHEN len(ps) > 0
-        |      THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url
-        |  FROM c4)
-        |SELECT doc_id, url, canon_url,
-        |  doc_id = max(doc_id) OVER (PARTITION BY canon_url) AS is_latest
-        |FROM c ORDER BY doc_id""".stripMargin,
+      (s"WITH $urlCanonCtes\n" +
+        """SELECT doc_id, url, canon_url,
+          |  doc_id = max(doc_id) OVER (PARTITION BY canon_url) AS is_latest
+          |FROM c ORDER BY doc_id""".stripMargin),
     // Mirrors Html.markdownExpr step for step over the same plant
     // (chr(10) newlines, \1 backrefs, 'g' flags).
     "q231_markdown_extract" ->
@@ -5627,6 +5702,58 @@ object PipelineQueries {
         |    ELSE len(string_split(s, chr(10))) END)::BIGINT AS n_lines,
         |  len(s)::BIGINT AS n_chars
         |FROM m5 ORDER BY doc_id""".stripMargin,
+    // The composed web front door: the q223 extraction chain + the
+    // q228 canonicalization chain verbatim, the q233 hit counts and
+    // the q26 quality expression over the EXTRACTED text, one verdict.
+    "q234_web_pipeline" ->
+      (s"WITH ${htmlExtractCtes(
+          "CASE WHEN doc_id % 10 = 7 THEN " +
+            "'!!! ??? *** !!! ??? *** !!! ??? *** !!! ??? ***' " +
+            "ELSE text END")},\n" +
+        s"$urlCanonCtes,\n" +
+        """ext AS (SELECT doc_id, s AS text,
+          |    (CASE WHEN s = '' THEN 0
+          |      ELSE len(string_split(s, chr(10))) END)::BIGINT AS n_lines
+          |  FROM e6),
+          |lat AS (SELECT doc_id, canon_url,
+          |    doc_id = max(doc_id) OVER (PARTITION BY canon_url)
+          |      AS is_latest
+          |  FROM c),
+          |bt AS (SELECT doc_id,
+          |    regexp_split_to_array(lower(text), '[ \t\n\f\r]+') AS t
+          |  FROM ext),
+          |bl(w) AS (VALUES ('merge'), ('scan')),
+          |pl(p) AS (VALUES ('sort order')),
+          |uni AS (SELECT doc_id, count(*)::BIGINT AS cc FROM (
+          |    SELECT doc_id, unnest(t) AS w FROM bt) uu
+          |  JOIN bl USING (w) WHERE len(w) > 0 GROUP BY 1),
+          |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) > 1
+          |    THEN list_transform(generate_series(1, len(t) - 1),
+          |      i -> array_to_string(t[i:i+1], ' '))
+          |    ELSE [array_to_string(t, ' ')] END) AS p FROM bt),
+          |ph AS (SELECT doc_id, count(*)::BIGINT AS cc
+          |  FROM sh JOIN pl USING (p) GROUP BY 1),
+          |qx AS (SELECT doc_id,
+          |    (length(text) >= 50
+          |     AND (length(text) - length(regexp_replace(text,
+          |            '[^a-zA-Z0-9 \t\n\f\r]', '', 'g')))::DOUBLE
+          |         / length(text)::DOUBLE < 0.2
+          |     AND (length(text) - len(regexp_split_to_array(lower(text),
+          |            '[ \t\n\f\r]+')) + 1)::DOUBLE
+          |         / len(regexp_split_to_array(lower(text),
+          |            '[ \t\n\f\r]+'))::DOUBLE
+          |         BETWEEN 3 AND 12) AS q_ok
+          |  FROM ext)
+          |SELECT ext.doc_id, lat.canon_url, ext.n_lines,
+          |  CASE WHEN NOT lat.is_latest THEN 'dropped_url_dup'
+          |    WHEN coalesce(uni.cc, 0) + coalesce(ph.cc, 0) > 0
+          |      THEN 'dropped_blocklist'
+          |    WHEN q_ok IS NOT TRUE THEN 'dropped_quality'
+          |    ELSE 'kept' END AS verdict
+          |FROM ext JOIN lat USING (doc_id)
+          |  LEFT JOIN uni USING (doc_id) LEFT JOIN ph USING (doc_id)
+          |  JOIN qx USING (doc_id)
+          |ORDER BY ext.doc_id""".stripMargin),
     // Mirrors blocklistFilter: unigram and bigram-shingle hit counts
     // against the embedded lists, the q20 shingle fallback device.
     "q233_blocklist_filter" ->
