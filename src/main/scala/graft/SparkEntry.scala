@@ -33,6 +33,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ OperatorQueries.oracles ++ PipelineQueries.oracles
 
+  /** The EXPLICIT rows-only set — queries whose outputs are genuinely
+    * not SQL-replayable (seeded Gibbs sampling q36/q135, the driver-side
+    * Jacobi eigensolve q147, the seeded span-sampler RNG kernel q149,
+    * iterative greedy MMR selection q188), each pinned instead by
+    * independent-reimplementation + golden-hash specs. A query missing
+    * from BOTH `oracleSql` and this set is a registry bug — the driver
+    * would silently downgrade it to a rows-only check
+    * (RegistryConsistencySpec fails it loudly instead; the round-14
+    * lesson: q76/q160/q209 sat unverified for rounds after their
+    * outputs had become replayable). */
+  val rowsOnlyByContract: Set[String] = Set(
+    "q36_topic_model_gibbs", "q135_topic_model_train", "q147_pca_report",
+    "q149_span_sampled", "q188_mmr_select")
+
   /** Bench sweep order: numeric query index, then full name — q100 runs
     * AFTER q99 (lexicographic order ran the q1xx block first, holding
     * every family cache it touched resident across the whole sweep —
