@@ -2062,20 +2062,20 @@ object TextMetrics {
     * order, so the kept copy is always the earliest.
     *
     * Shape: one shuffle keyed by chunk hash for the occurrence ranking
-    * (key cardinality = distinct chunks — grows with the corpus, never
-    * skewed beyond true duplicate multiplicity), one shuffle back on doc
-    * for the per-document rollup. The chunk text never shuffles — only
-    * (doc, chunk_id, md5). */
+    * (true duplicate multiplicity CAN skew it — a boilerplate chunk
+    * across half the corpus — so the ranking is [[firstOccDup]]'s
+    * hot/cold split: window partitions are ≤ `hotCap` rows by
+    * construction), one shuffle back on doc for the per-document
+    * rollup. The chunk text never shuffles — only (doc, chunk_id,
+    * md5). */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
-      maxTokens: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val occ = Window.partitionBy(col("chunk_md5"))
-      .orderBy(col(idCol).asc, col("chunk_id").asc)
-    chunk(docs, idCol, textCol, maxTokens)
-      .withColumn("_occ", row_number().over(occ))
+      maxTokens: Int = 32,
+      hotCap: Int = DefaultHotOccupancy): DataFrame = {
+    firstOccDup(chunk(docs, idCol, textCol, maxTokens), idCol, hotCap,
+        "chunkDedup")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        sum(when(col("_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
       .select(col(idCol), col("n_chunks"), col("n_dup_chunks"),
         dec6(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
           .as("dup_frac"))
@@ -2097,13 +2097,12 @@ object TextMetrics {
     * explode→filter→regroup form would shuffle every surviving chunk's
     * text twice. */
   def chunkDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
-      maxTokens: Int = 32): DataFrame = {
+      maxTokens: Int = 32,
+      hotCap: Int = DefaultHotOccupancy): DataFrame = {
     require(maxTokens >= 1, "chunkDedupRewrite: maxTokens must be >= 1")
-    val occ = Window.partitionBy(col("chunk_md5"))
-      .orderBy(col(idCol).asc, col("chunk_id").asc)
-    val dropped = chunk(docs, idCol, textCol, maxTokens)
-      .withColumn("_occ", row_number().over(occ))
-      .filter(col("_occ") > 1)
+    val dropped = firstOccDup(chunk(docs, idCol, textCol, maxTokens),
+        idCol, hotCap, "chunkDedupRewrite")
+      .filter(col("_dup"))
       .groupBy(col(idCol))
       .agg(collect_list(col("chunk_id")).as("_drop"))
     val in = docs.select(col(idCol), col(textCol))
@@ -2261,6 +2260,147 @@ object TextMetrics {
           .as("weight"))
   }
 
+  /** Default per-fingerprint occupancy cap for the hot/cold window
+    * split ([[duplicatedStarts]], [[firstOccDup]]): a cold window
+    * partition is at most this many ~60-byte rows (a few MB — sorts in
+    * milliseconds), while the pre-count pass that funds the split is
+    * one combiner-friendly aggregate. On by default because the split
+    * NEVER changes results (unlike [[Dedup.lshCandidates]]'s exclusion
+    * cap, which is off by default): hot keys are short-circuited with
+    * their exact pre-counted verdicts, not dropped. */
+  val DefaultHotOccupancy: Int = 1 << 16
+
+  /** Fingerprints over the occupancy cap, with exact distinct-doc and
+    * occurrence counts — the degenerate-key report behind the span
+    * family's skew guard (the [[Dedup.lshOverloadedKeys]] contract:
+    * callers get the same relation the guard prints). Compact: two
+    * combiner-friendly aggregates, output bounded by total/cap. */
+  def spanHotFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, hotCap: Int): DataFrame =
+    hotFpStats(spanWindows(docs, idCol, textCol, k), hotCap)
+
+  private def hotFpStats(wins: DataFrame, hotCap: Int): DataFrame =
+    wins.groupBy(col("fp"), col("doc_id"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_c")).as("occupancy"))
+      .filter(col("occupancy") > hotCap)
+
+  /** Starts of k-token windows whose fingerprint recurs in ≥ `minDocs`
+    * DISTINCT documents — the shared duplicated-window device of
+    * [[dupSpanCoverage]] / [[dupSpanRewrite]], skew-proofed.
+    *
+    * The plain form is the dense_rank distinct-count window device
+    * (max(dense_rank by doc) over the fp partition = the fp's
+    * distinct-doc count — ONE fp-keyed shuffle filters the
+    * corpus-cardinality relation in the pass that built it). But
+    * `Window.partitionBy(fp)` puts ALL occurrences of one fingerprint
+    * in a single task, k-gram frequencies are Zipfian, and a window
+    * gets no map-side partial combine and no AQE skew split: at 100×
+    * a stop-phrase k-gram is a single-task billion-row sort. So:
+    * pre-count fps with a two-stage map-side-combined aggregate
+    * ((fp, doc) then fp — both stages combine before shuffling, so the
+    * pre-count itself cannot skew), short-circuit fps over `hotCap`
+    * occupancy with their pre-counted exact distinct-doc verdict
+    * (broadcast semi-join — no window ever forms), and run the window
+    * device only on the cold tail, whose partitions are ≤ `hotCap`
+    * rows BY CONSTRUCTION. Results are identical for any cap — the
+    * guard reports loudly (stderr + [[spanHotFingerprints]]) but drops
+    * nothing. The pre-count always runs (whether a hot key exists is
+    * unknowable without it), costing one compact aggregate over the
+    * window relation; when no key exceeds the cap the plain
+    * single-pass device is returned unchanged. */
+  private[pipeline] def duplicatedStarts(wins: DataFrame, minDocs: Int,
+      hotCap: Int, who: String): DataFrame = {
+    val byFp = Window.partitionBy(col("fp"))
+    def denseRankStarts(src: DataFrame): DataFrame = src
+      .withColumn("_dr", dense_rank().over(byFp.orderBy(col("doc_id"))))
+      .withColumn("_nd", max(col("_dr")).over(byFp))
+      .filter(col("_nd") >= minDocs)
+      .select(col("doc_id"), col("s"))
+    if (hotCap == Int.MaxValue) denseRankStarts(wins)
+    else {
+      require(hotCap >= 1, s"$who: hotCap must be >= 1")
+      val hot = hotFpStats(wins, hotCap).localCheckpoint(true)
+      val nHot = hot.count()
+      if (nHot == 0) denseRankStarts(wins)
+      else {
+        val worst = hot.orderBy(col("occupancy").desc).limit(3)
+          .collect().map(_.getLong(2)).mkString(", ")
+        System.err.println(s"[graft] $who: $nHot hot fingerprint(s) " +
+          s"over occupancy $hotCap (worst: $worst) short-circuited " +
+          "via pre-counted distinct-doc verdicts — results unchanged, " +
+          "the skewed window partitions never form")
+        val hotDup = hot.filter(col("n_docs") >= minDocs.toLong)
+          .select(col("fp"))
+        val hotStarts = wins.join(broadcast(hotDup), Seq("fp"), "left_semi")
+          .select(col("doc_id"), col("s"))
+        val cold = wins.join(broadcast(hot.select(col("fp"))),
+          Seq("fp"), "left_anti")
+        denseRankStarts(cold).unionByName(hotStarts)
+      }
+    }
+  }
+
+  /** Chunk hashes over the occupancy cap — the [[firstOccDup]] guard's
+    * report relation ([[Dedup.lshOverloadedKeys]] contract). */
+  def chunkHotHashes(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, hotCap: Int): DataFrame =
+    chunk(docs, idCol, textCol, maxTokens)
+      .groupBy(col("chunk_md5")).agg(count(lit(1)).as("occupancy"))
+      .filter(col("occupancy") > hotCap)
+
+  /** Per-occurrence duplicate flag over a [[chunk]] relation: `_dup` is
+    * true for every occurrence of a `chunk_md5` EXCEPT the first in the
+    * deterministic (`idCol`, chunk_id) total order — the shared ranking
+    * of [[chunkDedup]] / [[chunkDedupRewrite]], skew-proofed the same
+    * way as [[duplicatedStarts]]: a boilerplate chunk recurring across
+    * half the corpus would land its whole `Window.partitionBy(chunk_md5)`
+    * partition on one task, so hashes over `hotCap` occupancy are
+    * pre-counted (ONE combiner-friendly aggregate — count plus
+    * min(struct(doc, chunk)), both with map-side partial combine),
+    * broadcast, and flagged by comparing against the pre-computed
+    * first occurrence; the row_number window runs only on the cold
+    * tail (partitions ≤ `hotCap` rows by construction). Results
+    * identical for any cap; loud stderr + [[chunkHotHashes]] report. */
+  private[pipeline] def firstOccDup(chunks: DataFrame, idCol: String,
+      hotCap: Int, who: String): DataFrame = {
+    val occ = Window.partitionBy(col("chunk_md5"))
+      .orderBy(col(idCol).asc, col("chunk_id").asc)
+    def windowed(src: DataFrame): DataFrame =
+      src.withColumn("_dup", row_number().over(occ) > 1)
+    if (hotCap == Int.MaxValue) windowed(chunks)
+    else {
+      require(hotCap >= 1, s"$who: hotCap must be >= 1")
+      val hot = chunks.groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("occupancy"),
+          min(struct(col(idCol).as("_i"), col("chunk_id").as("_ci")))
+            .as("_first"))
+        .filter(col("occupancy") > hotCap)
+        .localCheckpoint(true)
+      val nHot = hot.count()
+      if (nHot == 0) windowed(chunks)
+      else {
+        val worst = hot.orderBy(col("occupancy").desc).limit(3)
+          .collect().map(_.getLong(1)).mkString(", ")
+        System.err.println(s"[graft] $who: $nHot hot chunk hash(es) " +
+          s"over occupancy $hotCap (worst: $worst) short-circuited " +
+          "via pre-computed first occurrences — results unchanged, " +
+          "the skewed window partitions never form")
+        val hotFlagged = chunks
+          .join(broadcast(hot.select(col("chunk_md5"), col("_first"))),
+            Seq("chunk_md5"))
+          .withColumn("_dup", !(col(idCol) === col("_first._i") &&
+            col("chunk_id") === col("_first._ci")))
+          .drop("_first")
+        val cold = chunks.join(broadcast(hot.select(col("chunk_md5"))),
+          Seq("chunk_md5"), "left_anti")
+        windowed(cold).unionByName(
+          hotFlagged.select(cold.columns.map(col) :+ col("_dup"): _*))
+      }
+    }
+  }
+
   /** Duplicate-SPAN coverage (the Lee et al. 2022 "Deduplicating
     * Training Data" substring metric): the fraction of each document's
     * tokens covered by at least one k-token window that also appears
@@ -2277,39 +2417,24 @@ object TextMetrics {
     * only. Integer-exact, so both engines hash identically; the
     * window is partitioned by doc (the [[graft.pipeline.Ranks]]
     * discipline — never a bare global orderBy). The fingerprint
-    * relation shuffles (fp, doc_id, s) triples, never text. */
+    * relation shuffles (fp, doc_id, s) triples, never text — one
+    * ~60-byte row per corpus token, never materialized (a checkpoint
+    * here is petabytes at 100 TB); the duplicated-window filter is
+    * [[duplicatedStarts]] (the hot/cold-split dense_rank device —
+    * `hotCap` bounds every window partition). */
   def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minDocs: Int = 2): DataFrame = {
+      k: Int = 8, minDocs: Int = 2,
+      hotCap: Int = DefaultHotOccupancy): DataFrame = {
     require(k >= 2 && minDocs >= 2,
       "dupSpanCoverage: k and minDocs must be >= 2")
     val toks = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokenize(col(textCol)).as("t"))
       .select(col("doc_id"), col("t"),
         size(col("t")).cast("long").as("n_tokens"))
-    // one row per window start (1-based, slice semantics), fingerprint
-    // = md5 of the space-joined window (both engines emit identical
-    // lowercase hex). The relation is one ~60-byte row per corpus
-    // token, so it must be read ONCE and never materialized (a
-    // checkpoint here is petabytes at 100 TB): the duplicated-window
-    // filter uses the dense_rank distinct-count window device —
-    // max(dense_rank by doc) over the fp partition = the fp's
-    // distinct-doc count — so ONE fp-keyed shuffle replaces the
-    // aggregate-plus-self-join (which would execute the window build
-    // twice)
-    val wins = toks.filter(col("n_tokens") >= k)
-      .select(col("doc_id"),
-        explode(sequence(lit(1L), col("n_tokens") - (k - 1))).as("s"),
-        col("t"))
-      .select(col("doc_id"), col("s"),
-        md5(array_join(slice(col("t"), col("s").cast("int"), lit(k)), " "))
-          .as("fp"))
-    val byFp = Window.partitionBy(col("fp"))
+    val wins = spanWindows(docs, idCol, textCol, k)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-    val covered = wins
-      .withColumn("_dr", dense_rank().over(byFp.orderBy(col("doc_id"))))
-      .withColumn("_nd", max(col("_dr")).over(byFp))
-      .filter(col("_nd") >= minDocs)
-      .select(col("doc_id"), col("s"))
+    val covered =
+      duplicatedStarts(wins, minDocs, hotCap, "dupSpanCoverage")
       .withColumn("prev_s", lag(col("s"), 1).over(w))
       .select(col("doc_id"),
         when(col("prev_s").isNull, lit(k.toLong))
@@ -2419,16 +2544,12 @@ object TextMetrics {
     * map-side kernel deletes the ranges in-row. Document text never
     * crosses an exchange. */
   def dupSpanRewrite(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, minDocs: Int = 2): DataFrame = {
+      k: Int = 5, minDocs: Int = 2,
+      hotCap: Int = DefaultHotOccupancy): DataFrame = {
     require(k >= 2 && minDocs >= 2,
       "dupSpanRewrite: k and minDocs must be >= 2")
     val wins = spanWindows(docs, idCol, textCol, k)
-    val byFp = Window.partitionBy(col("fp"))
-    val starts = wins
-      .withColumn("_dr", dense_rank().over(byFp.orderBy(col("doc_id"))))
-      .withColumn("_nd", max(col("_dr")).over(byFp))
-      .filter(col("_nd") >= minDocs)
-      .select(col("doc_id"), col("s"))
+    val starts = duplicatedStarts(wins, minDocs, hotCap, "dupSpanRewrite")
     spliceFromStarts(docs, idCol, textCol, k, starts)
   }
 

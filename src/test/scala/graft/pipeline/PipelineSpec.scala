@@ -1920,4 +1920,55 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out2(1L) == 10L && out2(2L) == 5L)
   }
+
+  test("span/chunk hot-key split: results identical at every hotCap, " +
+      "within-doc-only hot fps stay uncovered") {
+    // "h h h" is HOT by occupancy but lives in doc 1 ONLY — the split
+    // must NOT count it as duplicated (minDocs counts DISTINCT docs:
+    // the short-circuit verdict is the pre-counted n_docs, never the
+    // raw occupancy). "c c c" is hot AND cross-doc; "x y z" cold
+    // cross-doc; doc 4 unique.
+    val docs = Seq(
+      (1L, Seq.fill(30)("h").mkString(" ") + " x y z q"),
+      (2L, "c c c c c c c c c c c c x y z"),
+      (3L, "c c c c c c c c c c c c w"),
+      (4L, "u v t j k l m n"))
+      .toDF("doc_id", "text").repartition(7)
+    def covKey(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    val caps = Seq(1, 3, 64, Int.MaxValue)
+    val covs = caps.map(c => covKey(TextMetrics.dupSpanCoverage(
+      docs, "doc_id", "text", k = 3, minDocs = 2, hotCap = c)))
+    assert(covs.distinct.size == 1, s"dupSpanCoverage diverged: $covs")
+    // doc 1's h-run is uncovered; only its "x y z" tail is (3 tokens)
+    val byDoc = covs.head.map(r => r._1 -> r._3).toMap
+    assert(byDoc(1L) == 3L, s"within-doc hot fp leaked into coverage: $byDoc")
+    assert(byDoc(4L) == 0L)
+    val rews = caps.map(c => TextMetrics.dupSpanRewrite(
+        docs, "doc_id", "text", k = 3, minDocs = 2, hotCap = c)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(5)))
+      .sortBy(_._1).toSeq)
+    assert(rews.distinct.size == 1, "dupSpanRewrite diverged across caps")
+    // chunk family: chunk "c c" recurs hot across docs AND within docs;
+    // first occurrence in (doc_id, chunk_id) order is (doc 1, chunk 1) —
+    // the only non-dup copy of "c c"
+    val cdocs = Seq(
+      (1L, "a b c c c c e f"),
+      (2L, "c c c c c c c c"),
+      (3L, "c c g h"))
+      .toDF("doc_id", "text").repartition(5)
+    val deds = caps.map(c => TextMetrics.chunkDedup(
+        cdocs, "doc_id", "text", maxTokens = 2, hotCap = c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq)
+    assert(deds.distinct.size == 1, s"chunkDedup diverged: $deds")
+    assert(deds.head.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> 1L, 2L -> 4L, 3L -> 1L))
+    val rws = caps.map(c => TextMetrics.chunkDedupRewrite(
+        cdocs, "doc_id", "text", maxTokens = 2, hotCap = c)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+      .sortBy(_._1).toSeq)
+    assert(rws.distinct.size == 1, "chunkDedupRewrite diverged across caps")
+  }
 }

@@ -135,6 +135,32 @@ class ScaleProbeSpec extends AnyFunSuite {
     ratioGuard("residualIndexBuild", base, big, bound = 30.0)
   }
 
+  test("dup-span coverage stays ~linear under 10x corpus with a " +
+      "corpus-wide boilerplate 8-gram (hot-fp short-circuit)") {
+    assume(haveData)
+    // every document carries the same boilerplate footer, so ONE
+    // 8-gram fingerprint occurs corpus-wide: without the hot/cold
+    // split this is a single-task window partition that grows 10×
+    // per scale step (the Zipfian stop-phrase shape); with it, the
+    // hot fp short-circuits via the pre-counted distinct-doc verdict
+    // and only ≤ hotCap partitions ever form. hotCap = 64 forces the
+    // hot path at BOTH scales — the probe times the mechanism that
+    // production relies on, not the cold fallback.
+    val footer = " the quick brown fox jumps over the lazy dog"
+    def run(k: Int): Double = {
+      val d = explodeDocs(k)
+        .select(col("doc_id"), concat(col("text"), lit(footer)).as("text"))
+      timeOf {
+        graft.pipeline.TextMetrics.dupSpanCoverage(d, "doc_id", "text",
+          k = 8, minDocs = 2, hotCap = 64).count()
+      }
+    }
+    run(1) // warmup
+    val base = run(1)
+    val big = run(10)
+    ratioGuard("dupSpanCoverageHotFp", base, big, bound = 30.0)
+  }
+
   test("connected components stay ~linear under 10x edges") {
     // chains + residue chords: components of growing diameter, so the
     // star rounds (O(log n)) dominate any compounding defect signal
