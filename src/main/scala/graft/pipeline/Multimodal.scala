@@ -138,6 +138,58 @@ object Multimodal {
     enc
   }
 
+  /** Per-partition pooled JPEG encoder — [[PngEncoder]]'s lossy
+    * sibling (real crawled corpora are JPEG-dominant; the codec class
+    * the dedup/dHash kernels must survive is lossy re-encoding, not
+    * just container swaps). Fixed explicit quality so the emitted
+    * bytes — and therefore every decoded-pixel golden hash — are
+    * deterministic; JPEG has no partial-progress mode concerns but
+    * DOES subsample chroma, so decoded pixels only approximate the
+    * source raster: never wire a JPEG payload to an exact-pixel
+    * oracle, only to tolerance verdicts ([[decodeErrors]]) or
+    * perceptual fingerprints ([[dHashes]]). */
+  private final class JpegEncoder(quality: Float) {
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    private val param = {
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      p
+    }
+    private val baos = new java.io.ByteArrayOutputStream(1024)
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      baos.reset()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close()
+      baos.toByteArray
+    }
+    def dispose(): Unit = writer.dispose()
+  }
+
+  /** Pool a [[JpegEncoder]] for the current task (the
+    * [[pooledPngEncoder]] contract). */
+  private def pooledJpegEncoder(quality: Float): JpegEncoder = {
+    val enc = new JpegEncoder(quality)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => enc.dispose()))
+    enc
+  }
+
+  /** The pinned JPEG quality for every synthetic lossy fixture (encode
+    * determinism: one quality, one writer class, one byte stream). */
+  val JpegQuality: Float = 0.85f
+
+  /** Encode one deterministic JPEG of the [[smoothImage]] lossy-class
+    * generator raster for `gen` (real ImageIO encode at
+    * [[JpegQuality]]). */
+  def encodeJpeg(gen: Long): Array[Byte] = {
+    val enc = new JpegEncoder(JpegQuality)
+    try enc.encode(smoothImage(gen)) finally enc.dispose()
+  }
+
   /** Attach a binary payload column from a string column — opaque raw
     * bytes, typed as such ([[extractFeatures]] routes this type to the
     * raw-byte featureizer, not a codec). */
@@ -416,6 +468,123 @@ object Multimodal {
         val gen = id / 2
         if (id % 2 == 0) MediaRecord(id, "image/png", encodePng(gen))
         else MediaRecord(id, "image/bmp", encodeBmp(gen))
+      }
+    }
+  }
+
+  /** Smooth closed-form raster for the LOSSY fixtures — the
+    * [[pngImage]] generator is mod-256 gradients whose wrap edges are
+    * pathological under JPEG quantization + chroma subsampling
+    * (measured max channel error 207 at quality 0.85, dHash hamming up
+    * to 18 — unusable for tolerance verdicts or near-dup recall). The
+    * lossy-class generator is instead a GRAYSCALE low-frequency
+    * sinusoid (r=g=b kills the chroma-subsampling error; no wraps,
+    * no sharp edges), with id-dependent frequency/phase/amplitude so
+    * fingerprints stay id-distinct. Only dims are needed SQL-side
+    * (same [[pngDims]] formula) — JPEG oracles never recompute pixels,
+    * only dims + tolerance verdicts, so the raster may use transcendental
+    * math freely. */
+  private def smoothImage(id: Long): java.awt.image.BufferedImage = {
+    val (w, h) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val fx = 1 + (id % 2).toInt
+    val fy = 1 + ((id / 2) % 2).toInt
+    val ph = (id % 16).toDouble / 16.0 * 2.0 * math.Pi
+    val amp = 50.0 + (id % 40).toDouble
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val s = math.sin(2.0 * math.Pi *
+          (fx * x.toDouble / w + fy * y.toDouble / h) + ph)
+        val v = math.max(0, math.min(255, 128 + math.round(amp * s).toInt))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Documents → one encoded JPEG payload per doc (partition-local
+    * batched encode at [[JpegQuality]] over the [[smoothImage]]
+    * generator — the [[syntheticPngs]] contract in the lossy codec
+    * class). */
+  def syntheticJpegs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val enc = pooledJpegEncoder(JpegQuality)
+      it.map(id => MediaRecord(id, "image/jpeg", enc.encode(smoothImage(id))))
+    }
+  }
+
+  case class DecodeError(media_id: Long, width: Long, height: Long,
+    max_abs_err: Long)
+
+  /** REAL lossy decode fidelity: ImageIO decode inside the batched
+    * partition kernel, then the MAX absolute per-channel error against
+    * the closed-form generator raster for the record's id. This is the
+    * oracle device for codecs whose decoded pixels are NOT the source
+    * raster (JPEG: quantization + chroma subsampling): an exact pixel
+    * hash can never match, but `max_abs_err <= bound` is a deterministic
+    * verdict both engines can emit when the bound is embedded on both
+    * sides — and a stubbed/broken decode cannot fake it (errors jump to
+    * ~255 the moment pixels are wrong, dims mismatch on a wrong
+    * container parse). Payloads never shuffle; one 32-byte row leaves
+    * per record. */
+  def decodeErrors(media: Dataset[MediaRecord]): Dataset[DecodeError] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"undecodable payload for media_id=${m.media_id}")
+        val ref = smoothImage(m.media_id)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var err = 0L
+        if (w == ref.getWidth && h == ref.getHeight) {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y); val q = ref.getRGB(x, y)
+              var c = 0
+              while (c < 3) {
+                val d = math.abs(((p >> (8 * c)) & 0xff) - ((q >> (8 * c)) & 0xff)).toLong
+                if (d > err) err = d
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+        } else err = 255L // dimension mismatch: maximal error, never silent
+        DecodeError(m.media_id, w.toLong, h.toLong, err)
+      }
+    }
+  }
+
+  /** Documents → LOSSY re-encoded duplicate pairs: even ids carry the
+    * lossless PNG of generator `id div 2`, odd ids a JPEG of the SAME
+    * raster at [[JpegQuality]] — the [[syntheticMixedFormat]] fixture
+    * moved from container swaps to the codec class real crawls are
+    * dominated by. Byte-hash dedup finds nothing AND exact-pixel-hash
+    * dedup ([[pixelHashes]]) finds nothing (JPEG pixels differ from the
+    * raster); only a perceptual fingerprint ([[dHashes]]) pairs
+    * 2k with 2k+1. */
+  def syntheticLossyDups(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val png = pooledPngEncoder()
+      val jpg = pooledJpegEncoder(JpegQuality)
+      it.map { id =>
+        val gen = id / 2
+        if (id % 2 == 0) MediaRecord(id, "image/png", png.encode(smoothImage(gen)))
+        else MediaRecord(id, "image/jpeg", jpg.encode(smoothImage(gen)))
       }
     }
   }

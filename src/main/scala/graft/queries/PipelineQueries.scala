@@ -3127,8 +3127,63 @@ object PipelineQueries {
       .withColumnRenamed("media_id", "doc_id")
       .orderBy(col("doc_id"), col("frame_no"))
 
+  /** REAL lossy (JPEG) decode fidelity ([[Multimodal.decodeErrors]]):
+    * one deterministic grayscale-sinusoid JPEG per doc at quality 0.85
+    * through the JDK's real JPEG codec, decoded back in the batched
+    * kernel and reduced to the MAX absolute channel error against the
+    * closed-form generator raster. JPEG is lossy, so an exact-pixel
+    * oracle is impossible by design; the oracle device is the
+    * TOLERANCE VERDICT with the bound embedded on both sides —
+    * measured max error is 22 across the generator's full parameter
+    * period, bound 32. A broken decode cannot hash-match (wrong
+    * pixels land errors near 255; a wrong container parse mismatches
+    * the closed-form dims), while codec noise cannot flake the
+    * verdict; JpegSpec pins the exact per-id errors. Completes the
+    * codec battery (PNG/BMP/GIF lossless, WAV/AIFF audio) with the
+    * class real crawled corpora are dominated by. */
+  def q235JpegDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeErrors(
+        Multimodal.syntheticJpegs(docs(spark, dir), "doc_id"))
+      .toDF()
+      .select(col("media_id").as("doc_id"), col("width"), col("height"),
+        lit(32L).as("err_bound"),
+        (col("max_abs_err") <= 32L).as("within_bound"))
+      .orderBy(col("doc_id"))
+
+  /** Lossy re-encoded duplicate detection — the q199 perceptual-dedup
+    * story pointed at the codec class that actually dominates crawled
+    * corpora: even ids carry the lossless PNG of a generator raster,
+    * odd ids a REAL JPEG of the SAME raster
+    * ([[Multimodal.syntheticLossyDups]]). Byte-hash dedup finds
+    * nothing AND exact-pixel-hash dedup (q131's device) finds nothing
+    * — only the perceptual fingerprint pairs 2k with 2k+1. The
+    * planted pair's Hamming distance under JPEG noise is
+    * codec-dependent (not SQL-recomputable), so the oracle is the
+    * q235 tolerance-verdict device on the fingerprint distance
+    * (measured max 10 across the generator period, bound 16);
+    * JpegSpec pins the banded q199 candidate device on this lossy
+    * arm. */
+  def q236LossyNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val h = Multimodal.dHashes(
+      Multimodal.syntheticLossyDups(docs(spark, dir), "doc_id")).toDF()
+    val a = h.filter(col("media_id") % 2 === 0)
+      .select(shiftright(col("media_id"), 1).as("gen_id"),
+        col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"))
+    val b = h.filter(col("media_id") % 2 === 1)
+      .select(shiftright(col("media_id"), 1).as("gen_id"),
+        col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b"))
+    a.join(b, "gen_id")
+      .select(col("gen_id"), lit(16L).as("hamming_bound"),
+        ((bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
+          <= 16L).as("within_bound"))
+      .orderBy(col("gen_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_multimodal_decode" -> q73MultimodalDecode,
+    "q235_jpeg_decode" -> q235JpegDecode,
+    "q236_lossy_neardup" -> q236LossyNearDup,
     "q94_audio_decode" -> q94AudioDecode,
     "q95_video_decode" -> q95VideoDecode,
     "q19_dedup_exact" -> q19DedupExact,
@@ -6873,6 +6928,28 @@ object PipelineQueries {
         |  sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum,
         |  sum(b)::BIGINT AS b_sum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // Mirrors q235JpegDecode: JPEG is lossy, so only the closed-form
+    // dims and the tolerance VERDICT are SQL-recomputable — the bound
+    // (32, vs measured max error 22 over the generator's full
+    // parameter period) is embedded on both sides; the Spark side must
+    // decode the real codec bytes to emit TRUE, and JpegSpec pins the
+    // exact errors.
+    "q235_jpeg_decode" ->
+      """SELECT doc_id, (8 + doc_id % 9)::BIGINT AS width,
+        |  (8 + doc_id % 7)::BIGINT AS height, 32::BIGINT AS err_bound,
+        |  TRUE AS within_bound
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors q236LossyNearDup: the planted (PNG 2k, JPEG 2k+1) pair
+    // exists for every even/odd id pair present in documents; the
+    // fingerprint Hamming distance under JPEG noise is codec-dependent,
+    // so the oracle is the tolerance verdict (bound 16 vs measured max
+    // 10 over the generator period).
+    "q236_lossy_neardup" ->
+      """SELECT a.doc_id // 2 AS gen_id, 16::BIGINT AS hamming_bound,
+        |  TRUE AS within_bound
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0
+        |ORDER BY gen_id""".stripMargin,
     // Mirrors q111ImageResize: the q73 pixel generator sampled at the
     // nearest-neighbor source coordinates (dst·srcDim)//dstDim of the
     // half-size image — the whole decode→resize→encode→decode chain must

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** REAL JPEG codec battery (q235/q236): the lossy-class generator and
+  * tolerance-verdict devices pinned against a spec-local
+  * reimplementation that never touches the kernels under test.
+  *
+  * JPEG is the one codec in the battery whose decode does NOT
+  * reproduce the source raster (quantization + chroma subsampling), so
+  * the pins are tolerance bounds measured over the generator's FULL
+  * parameter period (the raster parameters cycle in id with period
+  * lcm(9,7,2,4,16,40) = 5040): max abs channel error 22 (query bound
+  * 32), max planted-pair dHash Hamming 10 (query bound 16). A JDK
+  * codec change that moves either past its measured value fails here
+  * LOUDLY before it can flake the oracle gate. */
+class JpegSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Spec-local twin of the lossy-class generator raster (grayscale
+    * low-frequency sinusoid, id-dependent frequency/phase/amplitude). */
+  private def raster(id: Long): java.awt.image.BufferedImage = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val fx = 1 + (id % 2).toInt
+    val fy = 1 + ((id / 2) % 2).toInt
+    val ph = (id % 16).toDouble / 16.0 * 2.0 * math.Pi
+    val amp = 50.0 + (id % 40).toDouble
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = math.sin(2.0 * math.Pi *
+        (fx * x.toDouble / w + fy * y.toDouble / h) + ph)
+      val v = math.max(0, math.min(255, 128 + math.round(amp * s).toInt))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def maxErr(id: Long): Long = {
+    val ref = raster(id)
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodeJpeg(id)))
+    assert(dec != null && dec.getWidth == ref.getWidth &&
+      dec.getHeight == ref.getHeight, s"container parse broke at id=$id")
+    (for {
+      y <- 0 until ref.getHeight; x <- 0 until ref.getWidth
+      c <- 0 until 3
+    } yield math.abs(((dec.getRGB(x, y) >> (8 * c)) & 0xff) -
+        ((ref.getRGB(x, y) >> (8 * c)) & 0xff)).toLong).max
+  }
+
+  test("JPEG decode error stays within the measured bound over the FULL " +
+      "generator period, and the codec is genuinely lossy") {
+    javax.imageio.ImageIO.setUseCache(false)
+    val errs = (0L until 5040L).map(maxErr)
+    assert(errs.max <= 22L,
+      s"measured max error moved: ${errs.max} > 22 — the q235 bound 32 " +
+        "may be at risk; re-measure and re-pin")
+    assert(errs.count(_ > 0) > 4000,
+      "errors are ~all positive for a real lossy codec — a lossless or " +
+        "stubbed path would zero them")
+  }
+
+  test("decodeErrors kernel through Spark equals the spec-local error " +
+      "computation") {
+    import spark.implicits._
+    val ids = (0L until 160L).toDF("doc_id").repartition(7)
+    val got = Multimodal.decodeErrors(
+        Multimodal.syntheticJpegs(ids, "doc_id"))
+      .collect().map(d => d.media_id -> ((d.width, d.height, d.max_abs_err)))
+      .toMap
+    assert(got.size == 160)
+    (0L until 160L).foreach { id =>
+      val ref = raster(id)
+      assert(got(id) == ((ref.getWidth.toLong, ref.getHeight.toLong, maxErr(id))),
+        s"kernel error diverges from the spec computation at id=$id")
+    }
+  }
+
+  test("planted lossy pairs: dHash Hamming within the measured bound; " +
+      "exact-pixel hashes pair NOTHING (lossy blindness)") {
+    import spark.implicits._
+    val n = 240L
+    val ids = (0L until n).toDF("doc_id").repartition(6)
+    val media = Multimodal.syntheticLossyDups(ids, "doc_id")
+    val hashes = Multimodal.dHashes(media)
+      .collect().map(d => d.media_id -> ((d.hash_hi, d.hash_lo))).toMap
+    val hams = (0L until n / 2).map { g =>
+      val (h1, l1) = hashes(2 * g); val (h2, l2) = hashes(2 * g + 1)
+      java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+    }
+    assert(hams.max <= 10,
+      s"planted-pair Hamming moved: ${hams.max} > 10 — the q236 bound " +
+        "16 may be at risk; re-measure and re-pin")
+    assert(hams.count(_ == 0) > (n / 8).toInt,
+      "many planted pairs should fingerprint identically despite the " +
+        "lossy roundtrip")
+    // exact-pixel dedup is BLIND to the lossy arm: no (2k, 2k+1) pair
+    // shares a pixel hash (this is the gap q236 exists to close)
+    val px = Multimodal.pixelHashes(media)
+      .collect().map(p => p.media_id -> p.pixel_md5).toMap
+    (0L until n / 2).foreach { g =>
+      assert(px(2 * g) != px(2 * g + 1),
+        s"JPEG decode reproduced the raster exactly at gen=$g — the " +
+          "fixture no longer exercises the lossy class")
+    }
+  }
+
+  test("banded dhashNearDups on the lossy arm == brute all-pairs at the " +
+      "threshold (pigeonhole exactness holds for codec-noised hashes)") {
+    import spark.implicits._
+    val n = 200L
+    val ids = (0L until n).toDF("doc_id").repartition(5)
+    val hashes = Multimodal.dHashes(
+      Multimodal.syntheticLossyDups(ids, "doc_id")).toDF()
+    val all = hashes.collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Long]("hash_hi"), r.getAs[Long]("hash_lo")))).toMap
+    val got = Multimodal.dhashNearDups(hashes, maxHamming = 7)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    val want = (for {
+      a <- 0L until n; b <- (a + 1) until n
+      d = java.lang.Long.bitCount(all(a)._1 ^ all(b)._1) +
+        java.lang.Long.bitCount(all(a)._2 ^ all(b)._2) if d <= 7
+    } yield (a, b) -> d.toLong).toMap
+    assert(got == want,
+      "band-bucket candidates + integer verify must equal brute " +
+        "all-pairs at the threshold on the lossy fixture")
+    // the pairs the banded device catches at <= 7 include the bulk of
+    // the planted lossy dups (the tail past 7 is the measured 0.3%)
+    val caught = (0L until n / 2).count(g => got.contains((2 * g, 2 * g + 1)))
+    assert(caught >= (n / 2 * 9 / 10).toInt,
+      s"banded device caught only $caught of ${n / 2} planted lossy pairs")
+  }
+}
