@@ -42,6 +42,70 @@ object TextKernels {
     else org.apache.spark.unsafe.types.UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /** Single-pass HTML character-reference decode — numeric refs
+    * (`&#nnn;` decimal ≤ 7 digits, `&#xhh;`/`&#Xhh;` hex ≤ 6 digits,
+    * leading zeros allowed within the cap) plus the five named
+    * entities the front door has always decoded (`&lt; &gt; &quot;
+    * &nbsp; &amp;`, case-sensitive). One left-to-right scan, no rescan
+    * of replacements — the real parser semantics (`&#38;lt;` yields
+    * the literal `&lt;`, matching the old chain's amp-last rule, and
+    * `&#38;amp;` yields `&amp;`, which a sequential replace chain
+    * cannot get right). A regex-chain alternative would need one
+    * `regexp_replace` pass per codepoint (~200 full-text scans per
+    * document); this kernel is one scan whatever the range.
+    *
+    * Decode rules: a ref decodes iff it parses completely (digits then
+    * `;`) AND the codepoint is tab/LF/CR or ≥ 32, ≤ U+10FFFF, and not
+    * a surrogate; anything else — malformed, truncated, out of range,
+    * control — passes through VERBATIM (the front door's documented
+    * leave-don't-guess rule; a cleaning filter catches stragglers).
+    * One canonicalization quirk kept deliberately: NBSP (named or
+    * numeric 160) decodes to a PLAIN space, because the downstream
+    * whitespace squeeze uses the explicit `[ \t\f\r]` class and a
+    * literal   would silently survive it. */
+  def decodeHtmlRefs(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (str.indexOf('&') < 0) return s
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val ch = str.charAt(i)
+      if (ch != '&') { sb.append(ch); i += 1 }
+      else if (str.startsWith("&lt;", i)) { sb.append('<'); i += 4 }
+      else if (str.startsWith("&gt;", i)) { sb.append('>'); i += 4 }
+      else if (str.startsWith("&quot;", i)) { sb.append('"'); i += 6 }
+      else if (str.startsWith("&nbsp;", i)) { sb.append(' '); i += 6 }
+      else if (str.startsWith("&amp;", i)) { sb.append('&'); i += 5 }
+      else if (i + 2 < n && str.charAt(i + 1) == '#') {
+        val hex = str.charAt(i + 2) == 'x' || str.charAt(i + 2) == 'X'
+        val d0 = if (hex) i + 3 else i + 2
+        val maxDigits = if (hex) 6 else 7
+        var d = d0
+        var cp = 0
+        var ok = true
+        while (ok && d < n && d - d0 < maxDigits + 1 && {
+          val c = str.charAt(d)
+          if (hex) {
+            val v = Character.digit(c, 16)
+            if (v >= 0) { cp = (cp << 4) | v; true } else false
+          } else if (c >= '0' && c <= '9') { cp = cp * 10 + (c - '0'); true }
+          else false
+        }) d += 1
+        val nd = d - d0
+        ok = nd >= 1 && nd <= maxDigits && d < n && str.charAt(d) == ';' &&
+          (cp == 9 || cp == 10 || cp == 13 ||
+            (cp >= 32 && cp <= 0x10FFFF && (cp < 0xD800 || cp > 0xDFFF)))
+        if (ok) {
+          if (cp == 160) sb.append(' ') else sb.appendCodePoint(cp)
+          i = d + 1
+        } else { sb.append('&'); i += 1 }
+      }
+      else { sb.append('&'); i += 1 }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
 }
 
 /** `nfc_normalize(str)`: Unicode NFC normalization via
@@ -72,6 +136,34 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "nfc_normalize"
+}
+
+/** `decode_html_refs(str)`: single-pass HTML character-reference
+  * decode (see [[TextKernels.decodeHtmlRefs]]) — the front door's
+  * entity stage as ONE codegen'd scan instead of a per-codepoint
+  * regexp_replace chain. */
+case class DecodeHtmlRefs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"decode_html_refs requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.decodeHtmlRefs(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.decodeHtmlRefs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeHtmlRefs =
+    copy(child = newChild)
+
+  override def prettyName: String = "decode_html_refs"
 }
 
 /** `count_rlike(arr, 'pattern')`: # array elements matching the regex

@@ -11,27 +11,36 @@ import org.apache.spark.sql.functions._
   * Emits line-segmented plain text ready for the line-level cleaners
   * (C4 rules q75, boilerplate q83).
   *
-  * Entirely relational: one chain of `regexp_replace`/`replace`
-  * Column expressions — no UDF, no lambda (Catalyst codegen keeps the
-  * whole chain in one WholeStageCodegen projection; a `transform`
-  * lambda here would drop the stage to interpreted evaluation, the
-  * q34/q66 20× trap). Every regex uses RE2-compatible syntax (inline
-  * `(?is)` flags, non-greedy `.*?`, explicit whitespace classes — never
-  * `\s`, whose Java form includes \x0B while RE2's does not), so a
-  * DuckDB oracle replays the identical chain.
+  * Relational except one native expression: a chain of
+  * `regexp_replace` Column expressions — no UDF, no lambda (Catalyst
+  * codegen keeps the whole chain in one WholeStageCodegen projection;
+  * a `transform` lambda here would drop the stage to interpreted
+  * evaluation, the q34/q66 20× trap) — plus the codegen'd
+  * [[graft.functions.DecodeHtmlRefs]] single-pass entity stage (a
+  * regex alternative would cost one full-text pass per decodable
+  * codepoint). Every regex uses RE2-compatible syntax (inline `(?is)`
+  * flags, non-greedy `.*?`, explicit whitespace classes — never `\s`,
+  * whose Java form includes \x0B while RE2's does not), so a DuckDB
+  * oracle replays the chain; the entity stage is mirrored on the
+  * planted fixture literals (the q15/q31 stem-map device: DuckDB has
+  * no HTML decoder, the oracle decodes the refs the fixture plants).
   *
   * Extraction pipeline, in order (order is semantic — comments can
   * contain markup, scripts can contain `<` comparisons, entity decode
   * must run after tag stripping so planted `&lt;tag&gt;` text never
-  * re-parses as markup, and `&amp;` decodes LAST so `&amp;lt;` yields
-  * the literal `&lt;`):
+  * re-parses as markup):
   *   1. drop `<!-- … -->` comments and `<![CDATA[ … ]]>` sections
   *   2. drop `<script>`/`<style>` elements INCLUDING content
   *   3. newline at block boundaries (`</p> </div> </li> </tr> </td>
-  *      </th> </h1-6> </title> <br>`) so blocks become lines
+  *      </th> </h1-6> </title> <br>` — the br branch is word-anchored,
+  *      `br(/?|[ \t]…)`, so `<brand>` is NOT a line break)
   *   4. strip every remaining tag
-  *   5. decode the named entities `&lt; &gt; &quot; &#39; &nbsp;`,
-  *      then `&amp;`
+  *   5. decode character references in ONE left-to-right pass, no
+  *      rescan of replacements (real parser semantics: `&amp;lt;` and
+  *      `&#38;lt;` both yield the literal `&lt;`): numeric `&#nnn;` /
+  *      `&#xhh;` for any valid codepoint (tab/LF/CR or ≥32, ≤U+10FFFF,
+  *      non-surrogate; NBSP→plain space) plus the named five
+  *      `&lt; &gt; &quot; &nbsp; &amp;`
   *   6. normalize: collapse intra-line whitespace, trim line edges,
   *      drop empty lines
   *
@@ -40,10 +49,10 @@ import org.apache.spark.sql.functions._
   * throughput. 100 TB of HTML is exactly as partitionable as its scan.
   *
   * Deliberate bounds (documented, spec-pinned): named entities beyond
-  * the five above and numeric character references pass through
-  * verbatim; malformed markup (an unclosed `<`) is left in place
-  * rather than guessed at — a cleaning-stage filter catches the
-  * stragglers, which beats silently eating document text.
+  * the five above pass through verbatim, as do malformed / truncated /
+  * out-of-range numeric refs; malformed markup (an unclosed `<`) is
+  * left in place rather than guessed at — a cleaning-stage filter
+  * catches the stragglers, which beats silently eating document text.
   */
 object Html {
 
@@ -63,13 +72,12 @@ object Html {
     // 3. block boundaries → newline (before generic stripping, so the
     // block structure survives as line structure)
     val blocks = regexp_replace(noStyle,
-      "(?i)<(/p|/div|/li|/tr|/td|/th|/h[1-6]|/title|br[^>]*)>", "\n")
+      "(?i)<(/p|/div|/li|/tr|/td|/th|/h[1-6]|/title|br(/?|[ \\t][^>]*))>",
+      "\n")
     // 4. strip every remaining tag
     val noTags = regexp_replace(blocks, "<[^>]*>", "")
-    // 5. named entities; &amp; LAST
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    // 5. character references, one native single-pass decode
+    val decoded = call_function("decode_html_refs", noTags)
     // 6. whitespace normalization: collapse runs (explicit class, no
     // \s), trim line edges ((?m) anchors are engine-identical), drop
     // empty lines, trim outer newlines

@@ -2923,6 +2923,13 @@ object PipelineQueries {
     " --><![CDATA[ raw < bytes ]]><h1 class=\"t\">Title &amp;&#39;", // + doc_id
     "&#39;</h1><p>", // + text
     "</p><div>block &lt;b&gt;   tail<br>after&nbsp;break</div>" +
+      // numeric character references (decimal, hex, leading zeros,
+      // numeric nbsp) decode; a surrogate, an out-of-range value, a
+      // digitless ref and a truncated ref pass through VERBATIM; the
+      // word-anchored br branch must NOT newline <brand ...>
+      "<div>caf&#233; en&#x2013;dash A&#0065; nb&#160;sp" +
+      " <brand a>brand text</brand>" +
+      " bad&#xD800; big&#1114112; raw&#z; trunc&#39</div>" +
       "<ul><li> first</li><li>second &quot;q&quot; </li></ul>" +
       "<table><tr><td>cell a</td><td>cell b</td></tr></table>" +
       "</body></html>")
@@ -4783,14 +4790,17 @@ object PipelineQueries {
         |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
         |    '(?is)<style[^>]*>.*?</style>', '', 'g') AS s FROM e1),
         |e3 AS (SELECT doc_id, regexp_replace(s,
-        |    '(?i)<(/p|/div|/li|/tr|/td|/th|/h[1-6]|/title|br[^>]*)>',
+        |    '(?i)<(/p|/div|/li|/tr|/td|/th|/h[1-6]|/title|br(/?|[ \t][^>]*))>',
         |    chr(10), 'g') AS s FROM e2),
         |e4 AS (SELECT doc_id, regexp_replace(s, '<[^>]*>', '', 'g')
         |    AS s FROM e3),
         |e5 AS (SELECT doc_id,
-        |    replace(replace(replace(replace(replace(replace(s,
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |      replace(replace(replace(s,
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS s
+        |      '&#39;', ''''), '&nbsp;', ' '),
+        |      '&#233;', 'é'), '&#x2013;', '–'), '&#0065;', 'A'),
+        |      '&#160;', ' '), '&amp;', '&') AS s
         |  FROM e4),
         |e6 AS (SELECT doc_id,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(

@@ -67,12 +67,48 @@ class HtmlSpec extends AnyFunSuite {
     assert(nl == 2L)
   }
 
-  test("documented bounds: unknown entities and unclosed < pass through") {
-    val (t1, _, _) = extract("<p>&copy; &#169; stay</p>")
-    assert(t1 == "&copy; &#169; stay")
+  test("documented bounds: unknown NAMED entities and unclosed < pass through") {
+    val (t1, _, _) = extract("<p>&copy; stays, &#169; decodes</p>")
+    assert(t1 == "&copy; stays, © decodes")
     // an unclosed < has no closing >: left in place, not guessed at
     val (t2, _, _) = extract("<p>a < b stays</p>")
     assert(t2 == "a < b stays")
+  }
+
+  test("numeric refs: decimal, hex (either case), leading zeros, " +
+      "supplementary plane; NBSP forms become plain space") {
+    val (t, _, _) = extract(
+      "<p>caf&#233; &#x2019;q&#X2019; A&#0065; emo&#128512; grin&#x1F600;</p>")
+    assert(t == "café ’q’ AA emo😀 grin😀")
+    // numeric 160 and hex a0 take the same plain-space canonicalization
+    // as &nbsp; (the whitespace squeeze must see them)
+    val (t2, _, _) = extract("<p>a&#160;b&#xa0;c&nbsp; d</p>")
+    assert(t2 == "a b c d")
+  }
+
+  test("numeric refs: malformed, truncated, out-of-range, surrogate and " +
+      "control refs pass through VERBATIM") {
+    val (t, _, _) = extract(
+      "<p>&#; &#z; &#xD800; &#1114112; &#x110000; &#7; trunc&#39 tail&#</p>")
+    assert(t == "&#; &#z; &#xD800; &#1114112; &#x110000; &#7; trunc&#39 tail&#")
+    // digit-count caps: 8 decimal digits / 7 hex digits are malformed
+    // even when the value would be small
+    val (t2, _, _) = extract("<p>&#00000065; &#x0000041;</p>")
+    assert(t2 == "&#00000065; &#x0000041;")
+  }
+
+  test("single-pass decode: &#38;lt; and &#38;amp; do not re-decode") {
+    // a sequential replace chain would turn &#38;lt; into < (double
+    // decode); the one-pass kernel yields the literals a real parser does
+    val (t, _, _) = extract("<p>&#38;lt; and &#38;amp; and &#38;#39;</p>")
+    assert(t == "&lt; and &amp; and &#39;")
+  }
+
+  test("br branch is word-anchored: <brand> strips without a line break") {
+    val (t, nl, _) = extract(
+      "<p>a<brand x>mid</brand>b<br>c<br/>d<br />e<br clear=all>f</p>")
+    assert(t == "amidb\nc\nd\ne\nf")
+    assert(nl == 5L)
   }
 
   test("empty input and tag-only input yield empty text with 0 lines") {
