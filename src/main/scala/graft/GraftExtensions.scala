@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.types.Decimal
 
-import graft.functions.{CountRlike, DecodeHtmlRefs, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs}
+import graft.functions.{CountRlike, DecodeBytes, DecodeHtmlRefs, DetectCharset, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * apply with `.withExtensions(new GraftExtensions)` (as
@@ -74,6 +74,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"nfc_normalize expects exactly 1 argument, got ${children.length}")
         NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("detect_charset"),
+      new ExpressionInfo(classOf[DetectCharset].getName, "detect_charset"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"detect_charset expects exactly 1 argument, got ${children.length}")
+        DetectCharset(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("decode_bytes"),
+      new ExpressionInfo(classOf[DecodeBytes].getName, "decode_bytes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"decode_bytes expects exactly 1 argument, got ${children.length}")
+        DecodeBytes(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("decode_html_refs"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 
 /** Native token-array predicate counting — the codegen replacement for
   * the `size(filter(tokens, x => x.rlike(pat)))` HOF pattern
@@ -136,6 +136,139 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "nfc_normalize"
+}
+
+/** Charset front-door kernels: BOM detection, strict UTF-8 validation,
+  * Latin-1 fallback — shared by [[DetectCharset]] / [[DecodeBytes]].
+  * The reference's deserializer hardcodes UTF-8
+  * (`roleAnalysisTopology/.../util/JacksonScheme.java:30-38`); a real
+  * crawl carries BOM'd and Windows-1252/Latin-1 content that would
+  * otherwise mojibake silently through the extract stage. */
+object CharsetKernels {
+  import java.nio.charset.StandardCharsets
+
+  /** Strict UTF-8 validity: rejects continuation-byte errors, overlong
+    * encodings, surrogates and codepoints past U+10FFFF — a hand loop
+    * (a per-row CharsetDecoder try/catch would pay exception cost on
+    * every Latin-1 document). */
+  def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xC2) return false // bare continuation / overlong C0-C1
+      else if (c < 0xE0) {
+        if (i + 1 >= n || (b(i + 1) & 0xC0) != 0x80) return false
+        i += 2
+      } else if (c < 0xF0) {
+        if (i + 2 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        if ((c1 & 0xC0) != 0x80 || (b(i + 2) & 0xC0) != 0x80) return false
+        if (c == 0xE0 && c1 < 0xA0) return false // overlong
+        if (c == 0xED && c1 >= 0xA0) return false // surrogate range
+        i += 3
+      } else if (c < 0xF5) {
+        if (i + 3 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        if ((c1 & 0xC0) != 0x80 || (b(i + 2) & 0xC0) != 0x80 ||
+          (b(i + 3) & 0xC0) != 0x80) return false
+        if (c == 0xF0 && c1 < 0x90) return false // overlong
+        if (c == 0xF4 && c1 >= 0x90) return false // past U+10FFFF
+        i += 4
+      } else return false
+    }
+    true
+  }
+
+  /** Detection policy, in order: UTF-8 BOM → UTF-16LE/BE BOM → strict
+    * UTF-8 validation → Latin-1 fallback (every byte decodes, so the
+    * front door never drops a document). Documented bounds: UTF-32
+    * BOMs read as their UTF-16 prefixes; unBOM'd UTF-16 is not sniffed
+    * (NUL-heavy bytes fail UTF-8 validation and fall back to Latin-1). */
+  def charsetOf(b: Array[Byte]): String =
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+      b(2) == 0xBF.toByte) "utf-8-bom"
+    else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte)
+      "utf-16le"
+    else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
+      "utf-16be"
+    else if (isValidUtf8(b)) "utf-8"
+    else "latin-1"
+
+  def detect(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(charsetOf(b))
+
+  /** Decode under the detected charset, BOM stripped. The BOM'd and
+    * UTF-16 arms use the JDK's replacement-char decode (a BOM is
+    * trusted; a malformed tail yields U+FFFD rather than dropping the
+    * document); the valid-UTF-8 arm is zero-copy. */
+  def decode(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    import org.apache.spark.unsafe.types.UTF8String
+    charsetOf(b) match {
+      case "utf-8-bom" => UTF8String.fromString(
+        new String(b, 3, b.length - 3, StandardCharsets.UTF_8))
+      case "utf-16le" => UTF8String.fromString(
+        new String(b, 2, b.length - 2, StandardCharsets.UTF_16LE))
+      case "utf-16be" => UTF8String.fromString(
+        new String(b, 2, b.length - 2, StandardCharsets.UTF_16BE))
+      case "utf-8" => UTF8String.fromBytes(b)
+      case _ => UTF8String.fromString(
+        new String(b, StandardCharsets.ISO_8859_1))
+    }
+  }
+}
+
+/** `detect_charset(bin)`: the charset front door's detection label —
+  * one of utf-8-bom / utf-16le / utf-16be / utf-8 / latin-1 (the
+  * audit-ledger column beside [[DecodeBytes]]' text). */
+case class DetectCharset(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"detect_charset requires binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    CharsetKernels.detect(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharsetKernels$$.MODULE$$.detect($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DetectCharset =
+    copy(child = newChild)
+
+  override def prettyName: String = "detect_charset"
+}
+
+/** `decode_bytes(bin)`: raw fetched bytes → text under the
+  * [[DetectCharset]] policy (BOM stripped, strict-validated UTF-8
+  * zero-copy, Latin-1 fallback so nothing mojibakes or drops). */
+case class DecodeBytes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"decode_bytes requires binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    CharsetKernels.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharsetKernels$$.MODULE$$.decode($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeBytes =
+    copy(child = newChild)
+
+  override def prettyName: String = "decode_bytes"
 }
 
 /** `decode_html_refs(str)`: single-pass HTML character-reference

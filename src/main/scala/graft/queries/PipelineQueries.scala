@@ -2181,25 +2181,46 @@ object PipelineQueries {
 
   /** Composed web front door — the ingestion-side counterpart of
     * q212/q226's curation-side compositions: planted crawl pages
-    * (q223's HTML + q228's messy URLs) flow through HTML→text
-    * extraction → canonical-URL newest-snapshot dedup → term blocklist
-    * → quality gate, emitting ONE per-document verdict ledger (first
-    * drop wins: url_dup → blocklist → quality → kept). Everything is
-    * the already-verified single-stage operators composed; the oracle
-    * composes their CTE blocks verbatim. Text shuffles once (the
-    * extracted relation feeding the blocklist explode); URL and
-    * verdict arms move only ids and small strings. */
+    * (q223's HTML as raw BYTES in four crawl encodings + q228's messy
+    * URLs) flow through charset detect/decode (q237's front door) →
+    * HTML→text extraction → canonical-URL newest-snapshot dedup →
+    * term blocklist → quality gate, emitting ONE per-document verdict
+    * ledger (first drop wins: url_dup → blocklist → quality → kept)
+    * with the charset label beside the verdict. Everything is the
+    * already-verified single-stage operators composed; the oracle
+    * composes their CTE blocks verbatim (the charset stage needs only
+    * the residue label CASE — the normalizer makes every encoding arm
+    * converge to the same text). Text shuffles once (the extracted
+    * relation feeding the blocklist explode); URL and verdict arms
+    * move only ids and small strings. */
   def q234WebPipeline(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
     // doc_id ≡ 7 mod 10: punctuation-heavy paragraph — the extracted
     // text then trips the quality gate's punct-ratio ceiling,
-    // exercising the dropped_quality arm
+    // exercising the dropped_quality arm; ≡ 3 mod 10 gains a non-ASCII
+    // word so its Latin-1 page genuinely fails UTF-8 validation below
     val para = when(col("doc_id") % 10 === 7,
         lit("!!! ??? *** !!! ??? *** !!! ??? *** !!! ??? ***"))
+      .when(col("doc_id") % 10 === 3,
+        concat(col("text"), lit(" café")))
       .otherwise(col("text"))
     val html = concat(lit(htmlPlant(0)), id, lit(htmlPlant(1)), id,
       lit(htmlPlant(2)), id, lit(htmlPlant(3)), id, lit(htmlPlant(4)),
       para, lit(htmlPlant(5)))
+    // charset front door AHEAD of extraction: pages arrive as raw
+    // BYTES in four real-crawl encodings (plain / BOM'd UTF-8,
+    // Latin-1, BOM'd UTF-16LE — the reference's deserializer hardcodes
+    // UTF-8, JacksonScheme.java:30-38); decode_bytes normalizes all
+    // four to the SAME text, so every downstream stage and the oracle
+    // are encoding-blind while the ledger keeps the detection label
+    val bom8 = lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+    val bom16 = lit(Array(0xFF.toByte, 0xFE.toByte))
+    val raw = when(col("doc_id") % 10 === 1,
+        concat(bom8, encode(html, "UTF-8")))
+      .when(col("doc_id") % 10 === 3, encode(html, "ISO-8859-1"))
+      .when(col("doc_id") % 10 === 9,
+        concat(bom16, encode(html, "UTF-16LE")))
+      .otherwise(encode(html, "UTF-8"))
     val g = expr("doc_id div 4").cast("string")
     val url = when(col("doc_id") % 4 === 0,
         concat(lit("https://Example.COM:443/path/p"), g,
@@ -2211,8 +2232,12 @@ object PipelineQueries {
           lit("/?utm_campaign=z&b=2&a=1")))
       .otherwise(concat(lit("http://other.org:80/q"), g,
         lit("?z=9&fbclid=abc")))
-    val src = docs(spark, dir).select(col("doc_id"), html.as("html"),
-      url.as("url"))
+    val src = docs(spark, dir).select(col("doc_id"), raw.as("raw"),
+        url.as("url"))
+      .select(col("doc_id"),
+        call_function("detect_charset", col("raw")).as("charset"),
+        call_function("decode_bytes", col("raw")).as("html"),
+        col("url"))
     val extracted = graft.pipeline.Html.extractText(src, "doc_id", "html")
       .localCheckpoint(true) // blocklist + quality + output all read it
     val latest = src
@@ -2227,10 +2252,12 @@ object PipelineQueries {
     val quality = TextMetrics.qualityScore(extracted, "doc_id", "text")
       .select(col("doc_id"), col("quality"))
     extracted.select(col("doc_id"), col("n_lines"))
+      .join(src.select(col("doc_id"), col("charset")), Seq("doc_id"))
       .join(latest, Seq("doc_id"))
       .join(blocked, Seq("doc_id"))
       .join(quality, Seq("doc_id"))
-      .select(col("doc_id"), col("canon_url"), col("n_lines"),
+      .select(col("doc_id"), col("charset"), col("canon_url"),
+        col("n_lines"),
         when(!col("is_latest"), lit("dropped_url_dup"))
           .when(col("blocked"), lit("dropped_blocklist"))
           .when(col("quality") =!= 1.0, lit("dropped_quality"))
@@ -2952,6 +2979,33 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Charset front door ([[graft.functions.DetectCharset]] /
+    * [[graft.functions.DecodeBytes]]): raw fetched BYTES normalize to
+    * text before any extraction — BOM sniff, strict UTF-8 validation,
+    * Latin-1 fallback (the reference's deserializer hardcodes UTF-8,
+    * `JacksonScheme.java:30-38`; a real crawl would mojibake through
+    * it). The plant encodes `text || ' café ±'` per doc residue as
+    * plain UTF-8 / BOM'd UTF-8 / Latin-1 / BOM'd UTF-16LE; the
+    * normalizer makes all four converge to the SAME text, so the
+    * oracle recomputes the canonical text and the label from the
+    * residue alone — a wrong decode (mojibake Ã©, a surviving BOM, a
+    * dropped tail) cannot hash-match. */
+  def q237CharsetDecode(spark: SparkSession, dir: String): DataFrame = {
+    val s = concat(col("text"), lit(" café ±"))
+    val bom8 = lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+    val bom16 = lit(Array(0xFF.toByte, 0xFE.toByte))
+    val raw = when(col("doc_id") % 4 === 0, encode(s, "UTF-8"))
+      .when(col("doc_id") % 4 === 1, concat(bom8, encode(s, "UTF-8")))
+      .when(col("doc_id") % 4 === 2, encode(s, "ISO-8859-1"))
+      .otherwise(concat(bom16, encode(s, "UTF-16LE")))
+    docs(spark, dir).select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        call_function("detect_charset", col("raw")).as("charset"),
+        call_function("decode_bytes", col("raw")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic URL planting for q224/q225 (the q223 device for the
     * domain stage): subdomain, site name, and public suffix are picked
     * by doc_id residues — 42 distinct registrable domains, multi-label
@@ -3260,6 +3314,7 @@ object PipelineQueries {
     "q221_cell_health" -> q221CellHealth,
     "q222_nprobe_sweep" -> q222NprobeSweep,
     "q223_html_extract" -> q223HtmlExtract,
+    "q237_charset_decode" -> q237CharsetDecode,
     "q224_domain_extract" -> q224DomainExtract,
     "q225_domain_caps" -> q225DomainCaps,
     "q226_data_manifest" -> q226DataManifest,
@@ -5770,10 +5825,21 @@ object PipelineQueries {
     // The composed web front door: the q223 extraction chain + the
     // q228 canonicalization chain verbatim, the q233 hit counts and
     // the q26 quality expression over the EXTRACTED text, one verdict.
+    // Mirrors q237CharsetDecode: the normalizer makes every encoding
+    // arm converge to the same canonical text, so the oracle needs only
+    // the residue label CASE and the suffixed text.
+    "q237_charset_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+        |    WHEN 2 THEN 'latin-1' ELSE 'utf-16le' END AS charset,
+        |  text || ' café ±' AS text,
+        |  len(text || ' café ±')::BIGINT AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q234_web_pipeline" ->
       (s"WITH ${htmlExtractCtes(
           "CASE WHEN doc_id % 10 = 7 THEN " +
             "'!!! ??? *** !!! ??? *** !!! ??? *** !!! ??? ***' " +
+            "WHEN doc_id % 10 = 3 THEN text || ' café' " +
             "ELSE text END")},\n" +
         s"$urlCanonCtes,\n" +
         """ext AS (SELECT doc_id, s AS text,
@@ -5809,7 +5875,11 @@ object PipelineQueries {
           |            '[ \t\n\f\r]+'))::DOUBLE
           |         BETWEEN 3 AND 12) AS q_ok
           |  FROM ext)
-          |SELECT ext.doc_id, lat.canon_url, ext.n_lines,
+          |SELECT ext.doc_id,
+          |  CASE ext.doc_id % 10 WHEN 1 THEN 'utf-8-bom'
+          |    WHEN 3 THEN 'latin-1' WHEN 9 THEN 'utf-16le'
+          |    ELSE 'utf-8' END AS charset,
+          |  lat.canon_url, ext.n_lines,
           |  CASE WHEN NOT lat.is_latest THEN 'dropped_url_dup'
           |    WHEN coalesce(uni.cc, 0) + coalesce(ph.cc, 0) > 0
           |      THEN 'dropped_blocklist'
