@@ -35,17 +35,19 @@ object SparkEntry {
 
   /** The EXPLICIT rows-only set — queries whose outputs are genuinely
     * not SQL-replayable (seeded Gibbs sampling q36/q135, the driver-side
-    * Jacobi eigensolve q147, the seeded span-sampler RNG kernel q149,
-    * iterative greedy MMR selection q188), each pinned instead by
-    * independent-reimplementation + golden-hash specs. A query missing
-    * from BOTH `oracleSql` and this set is a registry bug — the driver
-    * would silently downgrade it to a rows-only check
-    * (RegistryConsistencySpec fails it loudly instead; the round-14
-    * lesson: q76/q160/q209 sat unverified for rounds after their
-    * outputs had become replayable). */
+    * Jacobi eigensolve q147, the seeded span-sampler RNG kernel q149),
+    * each pinned instead by independent-reimplementation + golden-hash
+    * specs. A query missing from BOTH `oracleSql` and this set is a
+    * registry bug — the driver would silently downgrade it to a
+    * rows-only check (RegistryConsistencySpec fails it loudly instead;
+    * the round-14 lesson: q76/q160/q209 sat unverified for rounds after
+    * their outputs had become replayable; the round-16 lesson: q188's
+    * greedy argmax WAS replayable all along as a rolling-state
+    * recursive CTE — its k-bounded selection state fits the q209
+    * Viterbi device). */
   val rowsOnlyByContract: Set[String] = Set(
     "q36_topic_model_gibbs", "q135_topic_model_train", "q147_pca_report",
-    "q149_span_sampled", "q188_mmr_select")
+    "q149_span_sampled")
 
   /** Bench sweep order: numeric query index, then full name — q100 runs
     * AFTER q99 (lexicographic order ran the q1xx block first, holding

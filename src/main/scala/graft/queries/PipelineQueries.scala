@@ -978,10 +978,15 @@ object PipelineQueries {
 
   /** MMR diversity selection ([[Similarity.mmrSelect]]): top-16 of the
     * 64-candidate relevance window around probe vec 0, λ = 0.7 in the
-    * exact-integer λ-scaled argmax. NO ORACLE by contract — greedy
-    * sequential argmax is not SQL-expressible; MmrSpec pins the
-    * independent naive reimplementation and the planted-duplicate
-    * demotion. */
+    * exact-integer λ-scaled argmax. The greedy selection IS
+    * SQL-replayable despite being sequential: the selection state is
+    * k-bounded, so a rolling-state recursive CTE (the q209
+    * backtraced-Viterbi device) carries the remaining candidates'
+    * running max-sim forward one pick per iteration — each step's
+    * argmax via a window row_number, the picked id extracted through
+    * a window max so the recursive table is referenced once. MmrSpec
+    * additionally pins the independent naive reimplementation and the
+    * planted-duplicate demotion. */
   def q188MmrSelect(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     Similarity.mmrSelect(e, e.filter(col("vec_id") === 0L),
@@ -6124,6 +6129,54 @@ object PipelineQueries {
         |FROM hit ORDER BY dims, query_id""".stripMargin,
     "q23_similarity_brute" ->
       (q23Body + "\nORDER BY query_id, rank"),
+    // Mirrors mmrSelect: quantized relevance top-64 window around probe
+    // vec 0, precomputed candidate-pair sims, then the greedy λ-scaled
+    // argmax replayed as a rolling-state recursive CTE — each iteration
+    // updates the remaining candidates' running max-sim against the
+    // previous pick (extracted via a window max: the recursive table
+    // may be referenced once) and marks the next argmax by window
+    // row_number with ties on cid. lamS=7, lamD=10−7=3.
+    "q188_mmr_select" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+        |  FROM embeddings),
+        |pexp AS (
+        |  SELECT c.vec_id AS cid, sum(cx * px)::BIGINT AS rel
+        |  FROM (SELECT c.vec_id, unnest(c.qv) AS cx, unnest(p.qv) AS px
+        |        FROM v c, (SELECT qv FROM v WHERE vec_id = 0) p
+        |        WHERE c.vec_id <> 0) c
+        |  GROUP BY 1),
+        |cand AS (
+        |  SELECT cid, rel FROM pexp ORDER BY rel DESC, cid LIMIT 64),
+        |sims AS (
+        |  SELECT a_id AS ca, b_id AS cb, sum(ax * bx)::BIGINT AS sim
+        |  FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |          unnest(a.qv) AS ax, unnest(b.qv) AS bx
+        |        FROM v a JOIN cand ca2 ON ca2.cid = a.vec_id
+        |        JOIN v b JOIN cand cb2 ON cb2.cid = b.vec_id
+        |          ON a.vec_id <> b.vec_id)
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT 1::BIGINT AS rank, cid, rel, 0::BIGINT AS ms,
+        |    row_number() OVER (ORDER BY 7 * rel DESC, cid) = 1 AS picked
+        |  FROM cand
+        |  UNION ALL
+        |  SELECT rank + 1, cid, rel, ms2,
+        |    row_number() OVER (ORDER BY (7 * rel - 3 * ms2) DESC, cid) = 1
+        |      AS picked
+        |  FROM (
+        |    SELECT u.rank, u.cid, u.rel,
+        |      greatest(u.ms, coalesce(s.sim, 0::BIGINT)) AS ms2
+        |    FROM (
+        |      SELECT rank, cid, rel, ms, picked,
+        |        max(CASE WHEN picked THEN cid END) OVER () AS pcid
+        |      FROM t) u
+        |    LEFT JOIN sims s ON s.ca = u.cid AND s.cb = u.pcid
+        |    WHERE NOT u.picked AND u.rank < 16))
+        |SELECT rank, cid AS vec_id, rel AS rel_dot, ms AS max_sim_dot,
+        |  (7 * rel - 3 * ms)::BIGINT AS score
+        |FROM t WHERE picked ORDER BY rank""".stripMargin,
     "q24_similarity_lsh" ->
       (q24Body + "\nORDER BY query_id, rank"),
     // Recall@10 of the q24 LSH result against the q23 exact result:
