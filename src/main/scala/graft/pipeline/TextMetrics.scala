@@ -2450,6 +2450,49 @@ object TextMetrics {
           .cast("double").as("dup_frac"))
   }
 
+  /** Per-document deflate compression ratio — the Dolma/Gopher
+    * companion quality signal the heuristic battery lacked: machine-
+    * generated or boilerplate-looping documents compress far below
+    * natural text, while near-random/encoded blobs barely compress at
+    * all, so `deflate_bytes / raw_bytes` separates both tails with one
+    * number no token heuristic sees. JDK `Deflater` at a PINNED level
+    * with the raw (nowrap) stream — one deflater per partition, reset
+    * per row, `end()` on task completion (the pooled-codec contract) —
+    * so the byte counts are deterministic for a fixed JDK; the ratio
+    * itself is emitted relationally via the decimal-round device.
+    * Scale shape: batched map-side kernel, text never shuffles, one
+    * fixed-width row leaves per document. */
+  def compressionRatio(docs: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    require(level >= 0 && level <= 9,
+      "compressionRatio: level must be in [0, 9]")
+    val in = docs.select(col(idCol), col(textCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("n_raw_bytes", LongType, nullable = false),
+      StructField("n_deflate_bytes", LongType, nullable = false)))
+    in.mapPartitions { rows =>
+      val d = new java.util.zip.Deflater(level, true)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => d.end()))
+      val buf = new Array[Byte](8192)
+      rows.map { r =>
+        val bytes =
+          if (r.isNullAt(1)) Array.empty[Byte]
+          else r.getString(1).getBytes("UTF-8")
+        d.reset()
+        d.setInput(bytes)
+        d.finish()
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        Row(r.get(0), bytes.length.toLong, total)
+      }
+    }(Encoders.row(outSchema))
+      .select(col(idCol), col("n_raw_bytes"), col("n_deflate_bytes"),
+        when(col("n_raw_bytes") === 0L, lit(null).cast("double"))
+          .otherwise(dec6(col("n_deflate_bytes").cast("double") /
+            col("n_raw_bytes").cast("double"))).as("ratio"))
+  }
+
   /** Term/phrase blocklist filter — the C4 "bad words" stage (drop any
     * document containing a blocklisted term or phrase): occurrence
     * counts per document for a broadcast unigram term list and a

@@ -3011,6 +3011,51 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic redundancy-sweep planting for q238: 16 distinct
+    * texts keyed by doc_id % 16, each a highly repetitive head
+    * (32 copies of one token) plus a growing low-redundancy tail — so
+    * the deflate ratios sweep from boilerplate-loop territory toward
+    * natural-text territory. Derived from the residue ALONE (never
+    * table text), which is what makes the oracle possible: DuckDB has
+    * no zlib, so the oracle embeds the 16 expected deflate byte counts
+    * computed driver-side at SQL-build time (the dynamic-oracle device
+    * of the tokenizer family, static here) — the Spark side must run
+    * the real distributed kernel to reproduce them. */
+  private val deflatePlant: IndexedSeq[String] = (0 until 16).map { r =>
+    val rep = s"tok$r " * 32
+    val tail = (0 to 6 * r).map(i => s"u${(r * 31 + i * 7) % 997}")
+      .mkString(" ")
+    rep + tail
+  }
+
+  /** Driver-side deflate byte count (JDK Deflater, level 6, raw/nowrap
+    * stream — the [[TextMetrics.compressionRatio]] parameters). */
+  private def deflateLen(s: String): Long = {
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      val bytes = s.getBytes("UTF-8")
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  /** Compression-ratio quality signal
+    * ([[TextMetrics.compressionRatio]]): per-document deflate ratio
+    * over the 16-text redundancy-sweep plant — the Dolma/Gopher
+    * companion signal that flags boilerplate-looping docs (ratio near
+    * 0) and encoded blobs (ratio near 1) with one number. */
+  def q238CompressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"),
+      element_at(array(deflatePlant.map(lit): _*),
+        (pmod(col("doc_id"), lit(16L)) + 1).cast("int")).as("text"))
+    TextMetrics.compressionRatio(planted, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic URL planting for q224/q225 (the q223 device for the
     * domain stage): subdomain, site name, and public suffix are picked
     * by doc_id residues — 42 distinct registrable domains, multi-label
@@ -3320,6 +3365,7 @@ object PipelineQueries {
     "q222_nprobe_sweep" -> q222NprobeSweep,
     "q223_html_extract" -> q223HtmlExtract,
     "q237_charset_decode" -> q237CharsetDecode,
+    "q238_compression_ratio" -> q238CompressionRatio,
     "q224_domain_extract" -> q224DomainExtract,
     "q225_domain_caps" -> q225DomainCaps,
     "q226_data_manifest" -> q226DataManifest,
@@ -5830,6 +5876,26 @@ object PipelineQueries {
     // The composed web front door: the q223 extraction chain + the
     // q228 canonicalization chain verbatim, the q233 hit counts and
     // the q26 quality expression over the EXTRACTED text, one verdict.
+    // Mirrors q238CompressionRatio: the 16 plant texts are residue-only,
+    // so the oracle embeds their raw/deflate byte counts (computed
+    // driver-side at SQL-build time — DuckDB has no zlib) and replays
+    // the decimal-round ratio from the embedded integers.
+    "q238_compression_ratio" -> {
+      val rawCase = deflatePlant.zipWithIndex
+        .map { case (s, r) =>
+          s"WHEN $r THEN ${s.getBytes("UTF-8").length}" }
+        .mkString(" ")
+      val defCase = deflatePlant.zipWithIndex
+        .map { case (s, r) => s"WHEN $r THEN ${deflateLen(s)}" }
+        .mkString(" ")
+      s"""SELECT doc_id,
+         |  (CASE doc_id % 16 $rawCase END)::BIGINT AS n_raw_bytes,
+         |  (CASE doc_id % 16 $defCase END)::BIGINT AS n_deflate_bytes,
+         |  round(((CASE doc_id % 16 $defCase END)::DOUBLE
+         |    / (CASE doc_id % 16 $rawCase END)::DOUBLE)::DECIMAL(28,10), 6)
+         |    ::DOUBLE AS ratio
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // Mirrors q237CharsetDecode: the normalizer makes every encoding
     // arm converge to the same canonical text, so the oracle needs only
     // the residue label CASE and the suffixed text.
