@@ -44,6 +44,15 @@ object Domains {
     * Unmatched hosts fall back to the PSL convention: the last label
     * is the suffix, the last two labels are registrable.
     *
+    * Documented bound — suffix-only hosts: candidates span 1..size−1
+    * labels, so a host that IS a public suffix (host `co.uk` with
+    * `co.uk` listed) never matches itself; it falls back to
+    * "registrable = the whole host" instead of real PSL semantics
+    * (no registrable domain). Deliberate: the cap/blocklist consumers
+    * need a non-null grouping key for every document, and a bare
+    * public suffix serving content is itself the aggregation unit you
+    * want (same bound as the port/userinfo note on [[hostOf]]).
+    *
     * @param suffixes single-column `suffix` relation (bounded; broadcast)
     * @return input columns + `suffix`, `domain` */
   def registrableDomain(df: DataFrame, idCol: String, hostCol: String,
@@ -75,6 +84,26 @@ object Domains {
       .drop("_lab", "_msuf", "_mreg")
   }
 
+  /** Stateless Column form of [[registrableDomain]] — the STREAMING
+    * face (an ingest gate cannot aggregate-and-join per micro-batch):
+    * the bounded suffix table embeds as a literal array, the longest
+    * of the 1..[[MaxSuffixLabels]] candidate suffixes wins by an
+    * explicit descending when-chain, and the fallback mirrors the
+    * batch form (last-2-labels registrable, bare host for single
+    * labels). Value-identical to [[registrableDomain]] for any host
+    * and the same suffix set (the batch/stream parity pin in
+    * TopologiesSpec), including the suffix-only-host bound. */
+  def registrableDomainExpr(host: Column, suffixes: Seq[String]): Column = {
+    val lab = split(host, "\\.")
+    val sufArr = array(suffixes.map(lit): _*)
+    def suf(j: Int) = array_join(slice(lab, -j, j), ".")
+    def reg(j: Int) = array_join(slice(lab, -(j + 1), j + 1), ".")
+    val fallback = when(size(lab) >= 2, reg(1)).otherwise(host)
+    (MaxSuffixLabels to 1 by -1)
+      .map(j => (size(lab) >= j + 1 && array_contains(sufArr, suf(j)), reg(j)))
+      .foldRight(fallback) { case ((c, v), els) => when(c, v).otherwise(els) }
+  }
+
   /** Blocklist filter: input + `verdict` ('blocked' iff the domain is
     * listed). @param blocklist single-column `domain` relation. */
   def withBlocklist(df: DataFrame, domainCol: String,
@@ -86,8 +115,12 @@ object Domains {
       .drop("_bl")
 
   /** Tracking query parameters stripped by [[canonicalizeUrl]] (the
-    * CCNet/FineWeb URL-dedup normalization set). */
-  val TrackingParamPattern = "^(utm_[a-z0-9_]*|fbclid|gclid)="
+    * CCNet/FineWeb URL-dedup normalization set): case-insensitive
+    * (`UTM_SOURCE=x` collapses like `utm_source=x`) and matched with
+    * or without a value (`(=|$)` — a bare `fbclid` is still a
+    * tracker). Java and RE2 agree on `(?i)` and end-anchor semantics,
+    * so the oracle mirrors verbatim. */
+  val TrackingParamPattern = "(?i)^(utm_[a-z0-9_]*|fbclid|gclid)(=|$)"
 
   /** URL canonicalization — the normalization before any URL-keyed
     * dedup (the same crawled page arrives as `https://Example.COM:443/

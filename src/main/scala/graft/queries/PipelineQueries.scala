@@ -4944,7 +4944,7 @@ object PipelineQueries {
       |c4 AS (SELECT doc_id, url, auth, pth,
       |    list_sort(list_filter(string_split(q, '&'),
       |      p -> len(p) > 0 AND NOT regexp_matches(p,
-      |        '^(utm_[a-z0-9_]*|fbclid|gclid)='))) AS ps
+      |        '(?i)^(utm_[a-z0-9_]*|fbclid|gclid)(=|$)'))) AS ps
       |  FROM c3),
       |c AS (SELECT doc_id, url,
       |    auth || pth || CASE WHEN len(ps) > 0

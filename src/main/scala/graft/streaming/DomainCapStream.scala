@@ -19,8 +19,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * both: exact admissions on a fixed batch sequence, count parity vs
   * the batch operator on any sequence).
   * PRECONDITION — doc-distinct stream (the [[NearDupStream]] note):
-  * at-least-once redelivery of an already-counted doc would consume
-  * quota; feed exactly-once or dedup upstream.
+  * the within-batch `.distinct` covers same-batch duplicates ONLY. A
+  * CROSS-batch redelivery of an already-counted doc_id consumes quota
+  * again AND emits a SECOND Admission row for the same doc with a
+  * different pick_order — the ledger's one-row-per-document shape
+  * corrupts silently rather than failing. Feed exactly-once or dedup
+  * upstream (`dropDuplicatesWithinWatermark` on doc_id, or the
+  * [[IncrementalDedupStream]] gate); tracking admitted ids in state
+  * was considered and rejected — it turns O(|domains|) state into
+  * O(|docs|), which is the cost the cap gate exists to avoid.
   *
   * State per domain: ONE counter (`ValueState[Long]`) — O(|domains|)
   * total, the smallest state any cap gate can hold; RocksDB-backed via

@@ -1,0 +1,158 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+import graft.functions.TextFunctions
+import graft.pipeline.{Domains, Html, TextMetrics}
+
+/** The web front door as a CONTINUOUS-INGEST topology — the streaming
+  * face of the composed batch pipeline (q234): pages arrive as raw
+  * bytes from a crawl frontier and flow through charset detect/decode →
+  * HTML→text extraction → canonical-URL first-arrival dedup → term
+  * blocklist → quality gate → per-domain cap, emitting one admission
+  * verdict per arrival (the audit-ledger discipline throughout). The
+  * reference ships its pipelines as continuous Storm topologies; this
+  * is the same always-on shape for the ingest brief.
+  *
+  * Stage semantics vs the batch composition:
+  *  - charset/extract/blocklist/quality are STATELESS column
+  *    expressions (shared verbatim with the batch operators — the
+  *    [[enrich]] projection runs identically on a batch frame, which is
+  *    what the TopologiesSpec parity pin exploits);
+  *  - canonical-URL dedup is FIRST-ARRIVAL (the [[DomainCapStream]]
+  *    rule: an ingest gate cannot buffer the corpus to pick the
+  *    newest snapshot the way batch q228/q234 do) — arrival order
+  *    across micro-batches, doc_id order within one;
+  *  - the domain cap charges quota ONLY for pages that passed every
+  *    earlier gate (a url-dup or blocked page never consumes it).
+  *
+  * Verdict precedence matches batch q234 exactly:
+  * dropped_url_dup → dropped_blocklist → dropped_quality →
+  * dropped_domain_cap → kept.
+  *
+  * State: one boolean per canonical URL + one counter per domain, both
+  * RocksDB-backed `transformWithState` (two keyed stateful stages
+  * CHAINED — never branched-and-unioned, which would instantiate the
+  * upstream state store once per branch).
+  * PRECONDITION — doc-distinct stream (the [[DomainCapStream]] note):
+  * at-least-once redelivery consumes quota and duplicates ledger rows. */
+object WebIngestStream {
+
+  case class PageArrival(doc_id: Long, raw: Array[Byte], url: String)
+  case class EnrichedPage(doc_id: Long, charset: String, canon_url: String,
+    domain: String, n_lines: Long, blocked: Boolean, q_ok: Boolean)
+  case class FlaggedPage(doc_id: Long, charset: String, canon_url: String,
+    domain: String, n_lines: Long, verdict0: String)
+  case class PageVerdict(doc_id: Long, charset: String, canon_url: String,
+    domain: String, n_lines: Long, verdict: String)
+
+  /** The stateless stage: raw bytes + url → charset label, extracted
+    * line stats, canonical URL, registrable domain, blocklist and
+    * quality verdict inputs. Pure column expressions (works unchanged
+    * on batch frames); text never leaves the projection. */
+  def enrich(pages: DataFrame, terms: Seq[String], phrases: Seq[String],
+      suffixes: Seq[String]): DataFrame = {
+    require(terms.nonEmpty || phrases.nonEmpty,
+      "enrich: need at least one blocklist term or phrase")
+    require(suffixes.nonEmpty, "enrich: need a public-suffix list")
+    val p1 = pages.select(col("doc_id"),
+      call_function("detect_charset", col("raw")).as("charset"),
+      Html.extractExpr(call_function("decode_bytes", col("raw")))
+        .as("text"),
+      Domains.canonicalizeUrl(col("url")).as("canon_url"))
+    val toks = TextFunctions.tokenize(col("text"))
+    val blocked =
+      arrays_overlap(filter(toks, w => length(w) > 0),
+        array(terms.map(lit): _*)) ||
+        arrays_overlap(TextFunctions.shingles(toks, 2),
+          array(phrases.map(lit): _*))
+    val quality = TextMetrics.qualityColumns("text").toMap.apply("quality")
+    p1.select(col("doc_id"), col("charset"), col("canon_url"),
+      Domains.registrableDomainExpr(Domains.hostOf(col("canon_url")),
+        suffixes).as("domain"),
+      when(col("text") === "", 0)
+        .otherwise(size(split(col("text"), "\n"))).cast("long")
+        .as("n_lines"),
+      blocked.as("blocked"),
+      (quality === 1.0).as("q_ok"))
+  }
+
+  /** First-arrival canonical-URL gate: the first page per canonical URL
+    * proceeds to the stateless verdicts, every later arrival is
+    * dropped_url_dup (even when the first was itself dropped — the
+    * batch rule: one winner per canonical URL, everyone else is a
+    * dup). One boolean per URL. */
+  class UrlFirstProcessor
+      extends StatefulProcessor[String, EnrichedPage, FlaggedPage] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[EnrichedPage],
+        timers: TimerValues): Iterator[FlaggedPage] = {
+      val had = seen.exists()
+      val sorted = rows.toVector.sortBy(_.doc_id)
+      seen.update(true)
+      sorted.iterator.zipWithIndex.map { case (p, i) =>
+        val v0 =
+          if (had || i > 0) "dropped_url_dup"
+          else if (p.blocked) "dropped_blocklist"
+          else if (!p.q_ok) "dropped_quality"
+          else "pass"
+        FlaggedPage(p.doc_id, p.charset, p.canon_url, p.domain,
+          p.n_lines, v0)
+      }
+    }
+  }
+
+  /** Per-domain cap over SURVIVORS: quota is charged only for pages
+    * whose verdict0 is "pass" — earlier-gate drops ride through with
+    * their verdicts unchanged (one ledger row per arrival either way).
+    * One counter per domain (the [[DomainCapStream.CapProcessor]]
+    * state shape). */
+  class DomainGateProcessor(cap: Int)
+      extends StatefulProcessor[String, FlaggedPage, PageVerdict] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("admitted",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[FlaggedPage],
+        timers: TimerValues): Iterator[PageVerdict] = {
+      var n = if (count.exists()) count.get() else 0L
+      val out = rows.toVector.sortBy(_.doc_id).map { p =>
+        val v =
+          if (p.verdict0 != "pass") p.verdict0
+          else {
+            n += 1
+            if (n <= cap) "kept" else "dropped_domain_cap"
+          }
+        PageVerdict(p.doc_id, p.charset, p.canon_url, p.domain,
+          p.n_lines, v)
+      }
+      count.update(n)
+      out.iterator
+    }
+  }
+
+  /** Arrivals → per-page admission ledger, append mode. Requires the
+    * RocksDB state store provider (`transformWithState`). */
+  def gate(pages: Dataset[PageArrival], terms: Seq[String],
+      phrases: Seq[String], suffixes: Seq[String],
+      cap: Int): Dataset[PageVerdict] = {
+    require(cap >= 1, "gate: cap must be >= 1")
+    import pages.sparkSession.implicits._
+    enrich(pages.toDF(), terms, phrases, suffixes).as[EnrichedPage]
+      .groupByKey(_.canon_url)
+      .transformWithState(new UrlFirstProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .groupByKey(_.domain)
+      .transformWithState(new DomainGateProcessor(cap),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -59,6 +59,11 @@ class DomainsSpec extends AnyFunSuite {
     assert(canon("https://example.com/path/p7/?utm_campaign=z&b=2&a=1") == want)
     // http default port; all params tracking → bare path, no '?'
     assert(canon("http://Other.ORG:80/q?utm_x=1&fbclid=z") == "http://other.org/q")
+    // trackers strip case-insensitively and value-less (bare fbclid);
+    // a merely tracker-PREFIXED name is NOT a tracker
+    assert(canon("https://a.com/p?UTM_SOURCE=x&b=2") == "https://a.com/p?b=2")
+    assert(canon("https://a.com/p?fbclid&b=2") == "https://a.com/p?b=2")
+    assert(canon("https://a.com/p?fbclidxyz=1") == "https://a.com/p?fbclidxyz=1")
     // NON-default port survives; path case survives
     assert(canon("https://a.com:8443/CaseSensitive/") ==
       "https://a.com:8443/CaseSensitive")

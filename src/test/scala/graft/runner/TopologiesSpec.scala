@@ -334,4 +334,123 @@ class TopologiesSpec extends AnyFunSuite {
     assert(spark.table("lod_stream").collect().map(_.toString).sorted.toSeq ==
       out.map(_.toString).sorted.toSeq)
   }
+
+  test("web front door streamed == batch verdicts across mid-stream " +
+      "batch splits (charset → extract → url dedup → blocklist → " +
+      "quality → domain cap)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8, UTF_16LE}
+    import graft.streaming.WebIngestStream
+    import graft.streaming.WebIngestStream.PageArrival
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val good = "the quick brown fox jumps over the lazy dog and keeps " +
+      "going strong today now"
+    def page(id: Long, url: String, para: String,
+        enc: String): PageArrival = {
+      val html =
+        s"<html><head><title>T</title></head><body><p>$para</p></body></html>"
+      val raw = enc match {
+        case "utf-8" => html.getBytes(UTF_8)
+        case "bom" => Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+          html.getBytes(UTF_8)
+        case "latin1" => html.getBytes(ISO_8859_1)
+        case "utf16" => Array(0xFF, 0xFE).map(_.toByte) ++
+          html.getBytes(UTF_16LE)
+      }
+      PageArrival(id, raw, url)
+    }
+    val pages = Seq(
+      // 1 and 2 and 12 canonicalize identically: first arrival wins
+      page(1L, "https://Example.COM:443/p1/?b=2&utm_source=x&a=1#f",
+        good, "utf-8"),
+      page(2L, "https://example.com/p1?a=1&b=2", good, "bom"),
+      page(3L, "https://example.com/p2",
+        "we merge tables daily for fun and profit and length", "utf-8"),
+      page(4L, "https://example.com/p3",
+        "keep the sort order stable across runs for the win", "utf16"),
+      page(5L, "https://example.com/p4", "!!! ??? ***", "utf-8"),
+      page(6L, "https://example.com/p5",
+        "the quick brown fox visits the café and stays for hours " +
+          "drinking coffee", "latin1"),
+      page(7L, "https://example.com/p6", good, "utf-8"),
+      page(8L, "http://other.org:80/q1?z=9&fbclid=a", good, "utf-8"),
+      page(9L, "https://shop.co.uk/x", good, "bom"),
+      page(10L, "https://a.b.shop.co.uk/y", good, "utf-8"),
+      page(11L, "https://c.shop.co.uk/z", good, "utf16"),
+      page(12L, "https://example.com/p1/?utm_campaign=q&b=2&a=1",
+        good, "utf-8"))
+    val terms = Seq("merge")
+    val phrases = Seq("sort order")
+    val suffixes = Seq("com", "org", "net", "uk", "co.uk")
+    val cap = 2
+
+    // batch reference: the SAME stateless enrich projection, with the
+    // stateful stages replayed as windows — first arrival per canonical
+    // url = min doc_id, domain quota = running count of pass rows in
+    // doc_id order (arrivals are fed in doc_id order below, so
+    // stream first-arrival must equal these windows for ANY split)
+    val enr = WebIngestStream.enrich(
+      pages.toDF().toDF("doc_id", "raw", "url"), terms, phrases, suffixes)
+    val flagged = enr.withColumn("first",
+        col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("canon_url"))))
+      .withColumn("v0",
+        when(!col("first"), "dropped_url_dup")
+          .when(col("blocked"), "dropped_blocklist")
+          .when(!col("q_ok"), "dropped_quality")
+          .otherwise("pass"))
+    val want = flagged.withColumn("rk",
+        sum(when(col("v0") === "pass", 1L).otherwise(0L))
+          .over(Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("charset"), col("canon_url"),
+        col("domain"), col("n_lines"),
+        when(col("v0") =!= "pass", col("v0"))
+          .when(col("rk") <= cap, "kept")
+          .otherwise("dropped_domain_cap").as("verdict"))
+      .collect().map(_.toString).sorted.toSeq
+
+    // sanity on the fixture itself: every verdict arm occurs, all four
+    // charsets detected
+    val wantVerdicts = want.map(_.split(",").last.stripSuffix("]"))
+    Seq("kept", "dropped_url_dup", "dropped_blocklist",
+      "dropped_quality", "dropped_domain_cap").foreach(v =>
+      assert(wantVerdicts.contains(v), s"fixture never exercises $v"))
+    Seq("utf-8", "utf-8-bom", "latin-1", "utf-16le").foreach(c =>
+      assert(want.exists(_.contains(c)), s"fixture never detects $c"))
+
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two different mid-stream splits (doc_id-ordered arrivals) must
+      // both reproduce the batch verdicts exactly
+      Seq(
+        ("webgate2", Seq(pages.take(6), pages.drop(6))),
+        ("webgate3", Seq(pages.take(4), pages.slice(4, 8), pages.drop(8)))
+      ).foreach { case (name, batches) =>
+        val in = MemoryStream[PageArrival]
+        val q = WebIngestStream.gate(in.toDS(), terms, phrases, suffixes,
+            cap)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(name).toString)
+          .start()
+        try {
+          batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        } finally q.stop()
+        val got = spark.table(name).collect().map(_.toString).sorted.toSeq
+        assert(got == want, s"$name diverged from the batch reference")
+      }
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
