@@ -3275,8 +3275,12 @@ object PipelineQueries {
     * JpegSpec pins the banded q199 candidate device on this lossy
     * arm. */
   def q236LossyNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // both join sides read the fingerprints: checkpoint the 24-byte
+    // relation (the dhashNearDups discipline) or the encode+decode
+    // kernel chain runs once per branch
     val h = Multimodal.dHashes(
       Multimodal.syntheticLossyDups(docs(spark, dir), "doc_id")).toDF()
+      .localCheckpoint(true)
     val a = h.filter(col("media_id") % 2 === 0)
       .select(shiftright(col("media_id"), 1).as("gen_id"),
         col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"))
