@@ -61,6 +61,48 @@ object Pii {
       .withColumn("redacted", redactedColumn(textCol))
   }
 
+  /** Credit-card detection with Luhn verification — the PII class a
+    * bare regex cannot decide: any 13–19 digit run is only a CANDIDATE;
+    * a card number must also hold the mod-10 (Luhn) checksum, and
+    * redacting unverified runs shreds order ids and ISBNs. Candidates
+    * are MAXIMAL digit runs filtered to card lengths — exact boundary
+    * semantics without lookaround (a 20+-digit run is NOT a card and
+    * never half-matches; `(?<![0-9])` devices are not RE2-safe, maximal
+    * runs are). Verification is pure exact-integer relational math:
+    * per-candidate digit explode (≤19 rows), double-every-second from
+    * the right with the >9 ⇒ −9 fold, sum mod 10 — so a DuckDB oracle
+    * replays it term for term. Emits per document the candidate count,
+    * the Luhn-verified count and the verified flag.
+    *
+    * Scale shape: the candidate relation is hit-cardinality (vanishing
+    * next to the corpus — only docs with 13+-digit runs contribute);
+    * two map-side-combined aggregates; document text never shuffles.
+    * Documented bound: contiguous runs only — separator-grouped forms
+    * (4-4-4-4) normalize upstream if needed. */
+  def cardReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = docs.select(col(idCol),
+        posexplode(filter(
+          regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0)),
+          x => length(x) >= 13 && length(x) <= 19)).as(Seq("cpos", "cand")))
+    val dg = col("cand").substr(col("i"), lit(1)).cast("int")
+    val term = when(((length(col("cand")) - col("i") + 1) % 2) === 0,
+      when(dg * 2 > 9, dg * 2 - 9).otherwise(dg * 2)).otherwise(dg)
+    val perCand = cands
+      .select(col(idCol), col("cpos"), col("cand"),
+        explode(sequence(lit(1), length(col("cand")))).as("i"))
+      .groupBy(col(idCol), col("cpos"), col("cand"))
+      .agg((sum(term) % 10 === 0).as("_ok"))
+    val perDoc = perCand.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nc"),
+        sum(when(col("_ok"), 1L).otherwise(0L)).as("_nv"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("_nv"), lit(0L)).as("n_valid_cards"),
+        (coalesce(col("_nv"), lit(0L)) > 0).as("has_valid_card"))
+  }
+
   /** Per-group PII density report — the triage read that decides where
     * scrubbing effort (or source exclusion) goes: per group, documents
     * affected, per-kind hit totals, and hits per 1000 documents. One

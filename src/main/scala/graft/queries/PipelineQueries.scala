@@ -3011,6 +3011,38 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Luhn-verified card detection ([[Pii.cardReport]]) over a
+    * computed-check-digit plant (the q51 device with arithmetic): 15
+    * base digits dᵢ = (doc_id·7 + i·3) mod 10 and the Luhn check digit
+    * closed over them — residue 0 plants the VALID 16-digit card,
+    * residue 1 the same digits with the check digit shifted +5 mod 10
+    * (guaranteed invalid: candidate counted, never verified), residue
+    * 2 buries the valid card in a 21-digit run (NOT a candidate — the
+    * maximal-run boundary rule), residue 3 plants nothing. The oracle
+    * recomputes the plant, the candidate extraction and every Luhn
+    * term in SQL. */
+  def q239CardLuhn(spark: SparkSession, dir: String): DataFrame = {
+    val ds = (1 to 15).map(i => pmod(col("doc_id") * 7 + i * 3, lit(10)))
+    val d15 = concat(ds.map(_.cast("string")): _*)
+    // check digit rightmost ⇒ doubled positions are odd LEFT indexes
+    val s15 = (1 to 15).map { i =>
+      val d = ds(i - 1)
+      if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
+    }.reduce(_ + _)
+    val c = pmod(lit(10) - pmod(s15, lit(10)), lit(10))
+    val planted = concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" card "), d15, c.cast("string")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit(" card "), d15, pmod(c + 5, lit(10)).cast("string")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" ref "), d15, c.cast("string"), lit("12345")))
+        .otherwise(lit("")))
+    Pii.cardReport(docs(spark, dir).select(col("doc_id"),
+        planted.as("text")), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic redundancy-sweep planting for q238: 16 distinct
     * texts keyed by doc_id % 16, each a highly repetitive head
     * (32 copies of one token) plus a growing low-redundancy tail — so
@@ -3370,6 +3402,7 @@ object PipelineQueries {
     "q223_html_extract" -> q223HtmlExtract,
     "q237_charset_decode" -> q237CharsetDecode,
     "q238_compression_ratio" -> q238CompressionRatio,
+    "q239_card_luhn" -> q239CardLuhn,
     "q224_domain_extract" -> q224DomainExtract,
     "q225_domain_caps" -> q225DomainCaps,
     "q226_data_manifest" -> q226DataManifest,
@@ -5880,6 +5913,54 @@ object PipelineQueries {
     // The composed web front door: the q223 extraction chain + the
     // q228 canonicalization chain verbatim, the q233 hit counts and
     // the q26 quality expression over the EXTRACTED text, one verdict.
+    // Mirrors q239CardLuhn end to end: the digit/check-digit plant, the
+    // maximal-run candidate extraction with the 13..19 length filter,
+    // and every Luhn term (right-position parity, double, >9 ⇒ −9 fold,
+    // mod 10) replayed in SQL.
+    "q239_card_luhn" ->
+      """WITH pd AS (SELECT doc_id, g.i,
+        |    ((doc_id * 7 + g.i * 3) % 10)::INT AS dg
+        |  FROM documents CROSS JOIN generate_series(1, 15) g(i)),
+        |ps AS (SELECT doc_id,
+        |    sum(CASE WHEN i % 2 = 1 THEN
+        |      CASE WHEN dg * 2 > 9 THEN dg * 2 - 9 ELSE dg * 2 END
+        |      ELSE dg END) AS s15,
+        |    string_agg(dg::VARCHAR, '' ORDER BY i) AS d15
+        |  FROM pd GROUP BY 1),
+        |pc AS (SELECT doc_id, d15, ((10 - s15 % 10) % 10)::INT AS c
+        |  FROM ps),
+        |pl AS (SELECT d.doc_id, d.text ||
+        |    CASE d.doc_id % 4
+        |      WHEN 0 THEN ' card ' || pc.d15 || pc.c::VARCHAR
+        |      WHEN 1 THEN ' card ' || pc.d15 || ((pc.c + 5) % 10)::VARCHAR
+        |      WHEN 2 THEN ' ref ' || pc.d15 || pc.c::VARCHAR || '12345'
+        |      ELSE '' END AS t
+        |  FROM documents d JOIN pc USING (doc_id)),
+        |fl AS (SELECT doc_id,
+        |    list_filter(regexp_extract_all(t, '[0-9]+'),
+        |      x -> len(x) BETWEEN 13 AND 19) AS cs
+        |  FROM pl),
+        |cx AS (SELECT doc_id, unnest(generate_series(1, len(cs))) AS cp,
+        |    cs FROM fl WHERE len(cs) > 0),
+        |cd AS (SELECT doc_id, cp, cs[cp] AS cand FROM cx),
+        |dgt AS (SELECT doc_id, cp, cand,
+        |    unnest(generate_series(1, len(cand))) AS i FROM cd),
+        |vc AS (SELECT doc_id, cp,
+        |    (sum(CASE WHEN (len(cand) - i + 1) % 2 = 0 THEN
+        |      CASE WHEN substr(cand, i::INT, 1)::INT * 2 > 9
+        |        THEN substr(cand, i::INT, 1)::INT * 2 - 9
+        |        ELSE substr(cand, i::INT, 1)::INT * 2 END
+        |      ELSE substr(cand, i::INT, 1)::INT END) % 10 = 0) AS ok
+        |  FROM dgt GROUP BY doc_id, cp, cand),
+        |per AS (SELECT doc_id, count(*)::BIGINT AS nc,
+        |    sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS nv
+        |  FROM vc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(per.nc, 0)::BIGINT AS n_candidates,
+        |  coalesce(per.nv, 0)::BIGINT AS n_valid_cards,
+        |  coalesce(per.nv, 0) > 0 AS has_valid_card
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // Mirrors q238CompressionRatio: the 16 plant texts are residue-only,
     // so the oracle embeds their raw/deflate byte counts (computed
     // driver-side at SQL-build time — DuckDB has no zlib) and replays

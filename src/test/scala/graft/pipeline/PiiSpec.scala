@@ -54,4 +54,46 @@ class PiiSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     assert(s == a)
   }
+
+  test("cardReport: Luhn verification by hand — known-valid/invalid " +
+      "numbers, length boundaries, maximal-run exclusion, multiples") {
+    import spark.implicits._
+    val docs = Seq(
+      // the canonical test PAN (valid) and its off-by-one (invalid)
+      (1L, "pay 4111111111111111 now"),
+      (2L, "pay 4111111111111112 now"),
+      // 13-digit (valid Visa-style test number) and 19-digit boundary
+      // (constructed: 18 base digits + computed check digit)
+      (3L, "v13 4222222222222 ok"),
+      (4L, "v19 6221261111111111113 ok"),
+      // 12 and 20 digit runs are not candidates at all
+      (5L, "n12 411111111111 and n20 41111111111111111111"),
+      // a valid card buried in a longer run is NOT a candidate
+      (6L, "ref 411111111111111112345"),
+      // two candidates, one valid one not
+      (7L, "a 4111111111111111 b 4111111111111113"),
+      (8L, "no digits here"))
+      .toDF("doc_id", "text").repartition(5)
+    val got = Pii.cardReport(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((1L, 1L, true)))
+    assert(got(2L) == ((1L, 0L, false)))
+    assert(got(3L) == ((1L, 1L, true)))
+    assert(got(4L) == ((1L, 1L, true)))
+    assert(got(5L) == ((0L, 0L, false)))
+    assert(got(6L) == ((0L, 0L, false)))
+    assert(got(7L) == ((2L, 1L, true)))
+    assert(got(8L) == ((0L, 0L, false)))
+    // independent Luhn reimplementation over the planted candidates
+    def luhn(s: String): Boolean = {
+      val ds = s.map(_ - '0')
+      ds.reverse.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      }.sum % 10 == 0
+    }
+    assert(luhn("4111111111111111") && !luhn("4111111111111112") &&
+      luhn("4222222222222") && luhn("6221261111111111113") &&
+      !luhn("4111111111111113"))
+  }
 }

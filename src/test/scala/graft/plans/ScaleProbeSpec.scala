@@ -161,6 +161,30 @@ class ScaleProbeSpec extends AnyFunSuite {
     ratioGuard("dupSpanCoverageHotFp", base, big, bound = 30.0)
   }
 
+  test("chunk dedup stays ~linear under 10x corpus with a corpus-wide " +
+      "boilerplate chunk (hot-hash first-occurrence short-circuit)") {
+    assume(haveData)
+    // the chunk twin of the dup-span probe: every doc leads with the
+    // same 32-token boilerplate block, so ONE chunk_md5 recurs
+    // corpus-wide — without the split its Window.partitionBy(chunk_md5)
+    // partition grows 10× per scale step on a single task; with it the
+    // hot hash short-circuits via the pre-computed first occurrence.
+    // hotCap = 64 engages the hot path at BOTH scales.
+    val boiler = (1 to 32).map(i => s"b$i").mkString(" ") + " "
+    def run(k: Int): Double = {
+      val d = explodeDocs(k)
+        .select(col("doc_id"), concat(lit(boiler), col("text")).as("text"))
+      timeOf {
+        graft.pipeline.TextMetrics.chunkDedup(d, "doc_id", "text",
+          maxTokens = 32, hotCap = 64).count()
+      }
+    }
+    run(1) // warmup
+    val base = run(1)
+    val big = run(10)
+    ratioGuard("chunkDedupHotHash", base, big, bound = 30.0)
+  }
+
   test("connected components stay ~linear under 10x edges") {
     // chains + residue chords: components of growing diameter, so the
     // star rounds (O(log n)) dominate any compounding defect signal
