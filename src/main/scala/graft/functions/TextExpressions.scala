@@ -139,7 +139,7 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 }
 
 /** Charset front-door kernels: BOM detection, strict UTF-8 validation,
-  * Latin-1 fallback — shared by [[DetectCharset]] / [[DecodeBytes]].
+  * WHATWG windows-1252 fallback — shared by [[DetectCharset]] / [[DecodeBytes]].
   * The reference's deserializer hardcodes UTF-8
   * (`roleAnalysisTopology/.../util/JacksonScheme.java:30-38`); a real
   * crawl carries BOM'd and Windows-1252/Latin-1 content that would
@@ -182,10 +182,15 @@ object CharsetKernels {
   }
 
   /** Detection policy, in order: UTF-8 BOM → UTF-16LE/BE BOM → strict
-    * UTF-8 validation → Latin-1 fallback (every byte decodes, so the
-    * front door never drops a document). Documented bounds: UTF-32
-    * BOMs read as their UTF-16 prefixes; unBOM'd UTF-16 is not sniffed
-    * (NUL-heavy bytes fail UTF-8 validation and fall back to Latin-1). */
+    * UTF-8 validation → Windows-1252 fallback (every byte decodes, so
+    * the front door never drops a document). The fallback is CP1252
+    * rather than Latin-1 because that is what the bytes MEAN on the
+    * real web: the WHATWG encoding standard (and every browser)
+    * decodes latin-1/iso-8859-1-labeled content as windows-1252 —
+    * 0x80–0x9F are smart quotes/dashes/ellipsis, not C1 controls.
+    * Documented bounds: UTF-32 BOMs read as their UTF-16 prefixes;
+    * unBOM'd UTF-16 is not sniffed (NUL-heavy bytes fail UTF-8
+    * validation and fall back to CP1252). */
   def charsetOf(b: Array[Byte]): String =
     if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
       b(2) == 0xBF.toByte) "utf-8-bom"
@@ -194,15 +199,29 @@ object CharsetKernels {
     else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
       "utf-16be"
     else if (isValidUtf8(b)) "utf-8"
-    else "latin-1"
+    else "cp1252"
 
   def detect(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(charsetOf(b))
 
+  /** The WHATWG windows-1252 mapping for 0x80–0x9F (index = byte −
+    * 0x80). The JDK's own windows-1252 charset leaves its five
+    * unassigned bytes (0x81 0x8D 0x8F 0x90 0x9D) as U+FFFD — lossy;
+    * WHATWG maps them to the corresponding C1 controls, keeping the
+    * fallback TOTAL and byte-reversible. */
+  private val Cp1252Hi: Array[Char] = Array(
+    0x20AC, 0x0081, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+    0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0x008D, 0x017D, 0x008F,
+    0x0090, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+    0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x009D, 0x017E, 0x0178)
+    .map(_.toChar)
+
   /** Decode under the detected charset, BOM stripped. The BOM'd and
     * UTF-16 arms use the JDK's replacement-char decode (a BOM is
     * trusted; a malformed tail yields U+FFFD rather than dropping the
-    * document); the valid-UTF-8 arm is zero-copy. */
+    * document); the valid-UTF-8 arm is zero-copy; the CP1252 fallback
+    * is a direct byte→char table (WHATWG-total, injective, so the
+    * original bytes are always recoverable). */
   def decode(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
     import org.apache.spark.unsafe.types.UTF8String
     charsetOf(b) match {
@@ -213,14 +232,22 @@ object CharsetKernels {
       case "utf-16be" => UTF8String.fromString(
         new String(b, 2, b.length - 2, StandardCharsets.UTF_16BE))
       case "utf-8" => UTF8String.fromBytes(b)
-      case _ => UTF8String.fromString(
-        new String(b, StandardCharsets.ISO_8859_1))
+      case _ =>
+        val out = new Array[Char](b.length)
+        var i = 0
+        while (i < b.length) {
+          val v = b(i) & 0xff
+          out(i) =
+            if (v >= 0x80 && v <= 0x9F) Cp1252Hi(v - 0x80) else v.toChar
+          i += 1
+        }
+        UTF8String.fromString(new String(out))
     }
   }
 }
 
 /** `detect_charset(bin)`: the charset front door's detection label —
-  * one of utf-8-bom / utf-16le / utf-16be / utf-8 / latin-1 (the
+  * one of utf-8-bom / utf-16le / utf-16be / utf-8 / cp1252 (the
   * audit-ledger column beside [[DecodeBytes]]' text). */
 case class DetectCharset(child: Expression) extends UnaryExpression {
 
@@ -247,7 +274,7 @@ case class DetectCharset(child: Expression) extends UnaryExpression {
 
 /** `decode_bytes(bin)`: raw fetched bytes → text under the
   * [[DetectCharset]] policy (BOM stripped, strict-validated UTF-8
-  * zero-copy, Latin-1 fallback so nothing mojibakes or drops). */
+  * zero-copy, WHATWG-CP1252 fallback so nothing mojibakes or drops). */
 case class DecodeBytes(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -2203,7 +2203,8 @@ object PipelineQueries {
     // doc_id ≡ 7 mod 10: punctuation-heavy paragraph — the extracted
     // text then trips the quality gate's punct-ratio ceiling,
     // exercising the dropped_quality arm; ≡ 3 mod 10 gains a non-ASCII
-    // word so its Latin-1 page genuinely fails UTF-8 validation below
+    // word so its Latin-1-byte page genuinely fails UTF-8 validation
+    // below (detected as cp1252 — the WHATWG web rule)
     val para = when(col("doc_id") % 10 === 7,
         lit("!!! ??? *** !!! ??? *** !!! ??? *** !!! ??? ***"))
       .when(col("doc_id") % 10 === 3,
@@ -2214,7 +2215,7 @@ object PipelineQueries {
       para, lit(htmlPlant(5)))
     // charset front door AHEAD of extraction: pages arrive as raw
     // BYTES in four real-crawl encodings (plain / BOM'd UTF-8,
-    // Latin-1, BOM'd UTF-16LE — the reference's deserializer hardcodes
+    // Latin-1/cp1252, BOM'd UTF-16LE — the reference's deserializer hardcodes
     // UTF-8, JacksonScheme.java:30-38); decode_bytes normalizes all
     // four to the SAME text, so every downstream stage and the oracle
     // are encoding-blind while the ledger keeps the detection label
@@ -2987,10 +2988,12 @@ object PipelineQueries {
   /** Charset front door ([[graft.functions.DetectCharset]] /
     * [[graft.functions.DecodeBytes]]): raw fetched BYTES normalize to
     * text before any extraction — BOM sniff, strict UTF-8 validation,
-    * Latin-1 fallback (the reference's deserializer hardcodes UTF-8,
-    * `JacksonScheme.java:30-38`; a real crawl would mojibake through
-    * it). The plant encodes `text || ' café ±'` per doc residue as
-    * plain UTF-8 / BOM'd UTF-8 / Latin-1 / BOM'd UTF-16LE; the
+    * WHATWG windows-1252 fallback (the reference's deserializer
+    * hardcodes UTF-8, `JacksonScheme.java:30-38`; a real crawl would
+    * mojibake through it). The plant encodes `text || ' café ±'` per
+    * doc residue as plain UTF-8 / BOM'd UTF-8 / Latin-1 bytes
+    * (detected cp1252 — the encodings agree on é/±) / BOM'd UTF-16LE;
+    * the
     * normalizer makes all four converge to the SAME text, so the
     * oracle recomputes the canonical text and the label from the
     * residue alone — a wrong decode (mojibake Ã©, a surviving BOM, a
@@ -5987,7 +5990,7 @@ object PipelineQueries {
     "q237_charset_decode" ->
       """SELECT doc_id,
         |  CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
-        |    WHEN 2 THEN 'latin-1' ELSE 'utf-16le' END AS charset,
+        |    WHEN 2 THEN 'cp1252' ELSE 'utf-16le' END AS charset,
         |  text || ' café ±' AS text,
         |  len(text || ' café ±')::BIGINT AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -6033,7 +6036,7 @@ object PipelineQueries {
           |  FROM ext)
           |SELECT ext.doc_id,
           |  CASE ext.doc_id % 10 WHEN 1 THEN 'utf-8-bom'
-          |    WHEN 3 THEN 'latin-1' WHEN 9 THEN 'utf-16le'
+          |    WHEN 3 THEN 'cp1252' WHEN 9 THEN 'utf-16le'
           |    ELSE 'utf-8' END AS charset,
           |  lat.canon_url, ext.n_lines,
           |  CASE WHEN NOT lat.is_latest THEN 'dropped_url_dup'

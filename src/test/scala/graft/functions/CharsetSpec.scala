@@ -10,7 +10,8 @@ import graft.TestSpark
 /** Charset front door ([[CharsetKernels]], `detect_charset` /
   * `decode_bytes`): BOM sniffing, the strict UTF-8 validator against
   * hand-built byte sequences (overlongs, surrogates, truncations), and
-  * the Latin-1 fallback's byte-exact roundtrip. */
+  * the WHATWG windows-1252 fallback — total, injective, smart-quote
+  * range mapped per the encoding standard. */
 class CharsetSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -39,8 +40,16 @@ class CharsetSpec extends AnyFunSuite {
   }
 
   test("detection + decode: BOMs strip, UTF-16 endians decode, invalid " +
-      "UTF-8 falls back to byte-exact Latin-1") {
+      "UTF-8 falls back to WHATWG windows-1252") {
     val text = "héllo wörld ±"
+    // the WHATWG cp1252 expectation for 0x80..0x9F: smart punctuation
+    // where assigned, the C1 control itself for the five unassigned
+    // bytes (the JDK's own cp1252 charset would emit U+FFFD there —
+    // lossy; the kernel must not)
+    val hi = "\u20AC\u0081\u201A\u0192\u201E\u2026\u2020\u2021" +
+      "\u02C6\u2030\u0160\u2039\u0152\u008D\u017D\u008F" +
+      "\u0090\u2018\u2019\u201C\u201D\u2022\u2013\u2014" +
+      "\u02DC\u2122\u0161\u203A\u0153\u009D\u017E\u0178"
     val cases = Seq(
       ("utf-8", utf8(text), text),
       ("utf-8-bom", Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ utf8(text), text),
@@ -48,17 +57,26 @@ class CharsetSpec extends AnyFunSuite {
         text.getBytes(StandardCharsets.UTF_16LE), text),
       ("utf-16be", Array(0xFE, 0xFF).map(_.toByte) ++
         text.getBytes(StandardCharsets.UTF_16BE), text),
-      ("latin-1", text.getBytes(StandardCharsets.ISO_8859_1), text),
-      // Latin-1 roundtrip is BYTE-exact: every 0x80..0xFF byte maps to
-      // its codepoint, nothing is dropped or replaced
-      ("latin-1", (0x80 to 0xFF).map(_.toByte).toArray,
-        new String((0x80 to 0xFF).map(_.toByte).toArray,
+      // Latin-1-encodable text decodes identically under cp1252 (the
+      // two encodings agree outside 0x80..0x9F)
+      ("cp1252", text.getBytes(StandardCharsets.ISO_8859_1), text),
+      // the full high range: WHATWG table for 0x80..0x9F, identity for
+      // 0xA0..0xFF — total and injective, nothing dropped or replaced
+      ("cp1252", (0x80 to 0xFF).map(_.toByte).toArray,
+        hi + new String((0xA0 to 0xFF).map(_.toByte).toArray,
           StandardCharsets.ISO_8859_1)),
       ("utf-8", Array.empty[Byte], ""))
     cases.zipWithIndex.foreach { case ((want, bytes, wantText), i) =>
       assert(CharsetKernels.charsetOf(bytes) == want, s"case $i label")
       assert(CharsetKernels.decode(bytes).toString == wantText, s"case $i text")
     }
+    // a CP1252 smart-quote page: 0x93/0x94 are curly quotes, 0x97 an
+    // em dash — the mojibake class the WHATWG fallback exists to fix
+    val smart = Array[Byte]('h', 'i', 0x93.toByte, 'q', 0x94.toByte,
+      0x97.toByte, 'z')
+    assert(CharsetKernels.charsetOf(smart) == "cp1252")
+    assert(CharsetKernels.decode(smart).toString ==
+      "hi“q”—z")
   }
 
   test("the expressions run inside a plan (codegen path) and agree with " +
@@ -76,7 +94,7 @@ class CharsetSpec extends AnyFunSuite {
       .toMap
     assert(out(1L) == (("utf-8", "plain")))
     assert(out(2L) == (("utf-8-bom", "bom'd")))
-    assert(out(3L) == (("latin-1", "café")))
+    assert(out(3L) == (("cp1252", "café")))
     assert(out(4L) == (("utf-16le", "wide")))
   }
 }

@@ -418,7 +418,7 @@ class TopologiesSpec extends AnyFunSuite {
     Seq("kept", "dropped_url_dup", "dropped_blocklist",
       "dropped_quality", "dropped_domain_cap").foreach(v =>
       assert(wantVerdicts.contains(v), s"fixture never exercises $v"))
-    Seq("utf-8", "utf-8-bom", "latin-1", "utf-16le").foreach(c =>
+    Seq("utf-8", "utf-8-bom", "cp1252", "utf-16le").foreach(c =>
       assert(want.exists(_.contains(c)), s"fixture never detects $c"))
 
     val prev = spark.conf.getOption(
