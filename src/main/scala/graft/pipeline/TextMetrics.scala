@@ -2450,6 +2450,106 @@ object TextMetrics {
           .cast("double").as("dup_frac"))
   }
 
+  /** HELD-OUT Stupid Backoff trigram LM scoring — the cross-corpus
+    * form of [[stupidBackoffScore]] (q158's self-trained scorer) and
+    * the shape CCNet actually runs: the LM trains on a CLEAN reference
+    * corpus and scores a DIFFERENT corpus (crawl text under a
+    * Wikipedia-grade model), so unseen grams genuinely back off
+    * (self-scoring can never miss its own trigrams) and true
+    * out-of-vocabulary tokens exist. Score S(w|ctx) = count ratio at
+    * the longest matched order, backing off with a fixed 0.4 factor
+    * per order skipped: S = c3/c2(ctx) if c3>0, else
+    * 0.4*c2/c1(prev) if c2>0, else 0.4^2*c1/N. Conventions
+    * (documented): tokens at positions 1 and 2 start the chain at
+    * their available order WITHOUT penalty (q158's twin skips them
+    * instead); OOV tokens (c1 = 0 under the trained model) are
+    * counted (`n_oov`) and EXCLUDED from the ln-score sum rather than
+    * scored -inf or smoothed — the filter reads both columns.
+    *
+    * Cross-engine hash stability (the q53/q17 devices): each token's
+    * score is literal*(a/b) — correctly-rounded IEEE ops over exact
+    * integers with the IDENTICAL expression tree on both engines —
+    * `ln` agrees bit-for-bit on identical input, and the per-doc sum
+    * runs in DECIMAL(28,10) (double addition is order-dependent under
+    * partitioning). Division is always defined: c3>0 implies
+    * c2(ctx)>0, c2>0 implies c1(prev)>0, and the unigram branch
+    * requires c1>0 (OOV is excluded above).
+    *
+    * Scale shape: position relations carry (doc, pos, 3 words) — never
+    * text; context words come from per-doc lag windows (bounded
+    * partitions); the three count tables are train-vocabulary-scale
+    * aggregates joined back gram-keyed (shuffled joins, AQE-splittable
+    * — a stop-trigram spreads across tasks in a join, unlike a
+    * window); N is a 1-row broadcast. This is the Brants et al.
+    * argument in plan form: counts + one pass beat a tuned KN at
+    * corpus scale. */
+  def heldOutBackoffScore(train: DataFrame, trainIdCol: String,
+      trainTextCol: String, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def positions(d: DataFrame, id: String, text: String): DataFrame = {
+      val byDoc = Window.partitionBy(col("_sb_id")).orderBy(col("pos"))
+      d.select(col(id).as("_sb_id"),
+          posexplode(filter(TextFunctions.tokenize(col(text)),
+            w => length(w) > 0)).as(Seq("pos", "w")))
+        .withColumn("w1", lag(col("w"), 1).over(byDoc))
+        .withColumn("w2", lag(col("w"), 2).over(byDoc))
+    }
+    val tp = positions(train, trainIdCol, trainTextCol)
+    val uni = tp.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = tp.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w")).agg(count(lit(1)).as("c2"))
+    val tri = tp.filter(col("w2").isNotNull)
+      .groupBy(col("w2"), col("w1"), col("w")).agg(count(lit(1)).as("c3"))
+    val nTotal = uni.agg(sum(col("c1")).as("n_corpus"))
+    // one join per gram order, each keyed by the exact gram it needs
+    val withCounts = positions(docs, idCol, textCol)
+      .crossJoin(broadcast(nTotal))
+      .join(uni, Seq("w"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1_prev")),
+        Seq("w1"), "left")
+      .join(bi.select(col("w1"), col("w"), col("c2")),
+        Seq("w1", "w"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w").as("w1"),
+        col("c2").as("c2_ctx")), Seq("w2", "w1"), "left")
+      .join(tri, Seq("w2", "w1", "w"), "left")
+    val c1 = col("c1").cast("double")
+    val n = col("n_corpus").cast("double")
+    val score =
+      when(col("w1").isNull, c1 / n) // position 1: unigram, no penalty
+        .when(col("w2").isNull, // position 2: bigram-rooted chain
+          when(col("c2").isNotNull,
+            col("c2").cast("double") / col("c1_prev").cast("double"))
+            .otherwise(lit(0.4) * (c1 / n)))
+        .when(col("c3").isNotNull,
+          col("c3").cast("double") / col("c2_ctx").cast("double"))
+        .when(col("c2").isNotNull,
+          lit(0.4) * (col("c2").cast("double") / col("c1_prev").cast("double")))
+        .otherwise(lit(0.16) * (c1 / n))
+    val order = when(col("c1").isNull, lit(-1L)) // OOV: never scored
+      .when(col("w1").isNull || col("w2").isNull, lit(0L))
+      .when(col("c3").isNotNull, lit(3L))
+      .when(col("c2").isNotNull, lit(2L)).otherwise(lit(1L))
+    withCounts
+      .select(col("_sb_id"), order.as("_ord"),
+        when(order =!= -1L, log(score).cast("decimal(28,10)")).as("_ln"))
+      .groupBy(col("_sb_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_ord") === -1L, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("_ord") === 3L, 1L).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("_ord") === 2L, 1L).otherwise(0L)).as("n_bi_backoffs"),
+        sum(when(col("_ord") === 1L, 1L).otherwise(0L)).as("n_uni_backoffs"),
+        sum(col("_ln")).as("_sum"))
+      .select(col("_sb_id").as(idCol), col("n_tokens"), col("n_oov"),
+        col("n_tri_hits"), col("n_bi_backoffs"), col("n_uni_backoffs"),
+        round(coalesce(col("_sum"), lit(0).cast("decimal(28,10)")), 6)
+          .cast("double").as("sum_logscore"),
+        when(col("n_tokens") - col("n_oov") > 0,
+          dec6(coalesce(col("_sum"), lit(0).cast("decimal(28,10)"))
+            .cast("double") /
+            (col("n_tokens") - col("n_oov")).cast("double")))
+          .as("avg_logscore"))
+  }
+
   /** Per-document deflate compression ratio — the Dolma/Gopher
     * companion quality signal the heuristic battery lacked: machine-
     * generated or boilerplate-looping documents compress far below

@@ -3046,6 +3046,28 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Held-out Stupid Backoff LM filter
+    * ([[TextMetrics.heldOutBackoffScore]]) — the CCNet shape q158's
+    * self-trained scorer cannot take: the LM trains on the non-src0
+    * corpus and scores src0 (the q232 held-out-split device), so
+    * trigram/bigram backoffs fire on genuinely unseen grams; docs ≡ 0
+    * mod 5 additionally carry a planted out-of-vocabulary token so the
+    * OOV ledger is exercised. The oracle replays the training counts,
+    * the lag-window contexts, the identical float expression tree per
+    * branch (one divide, one 0.4 literal multiply — the q17/q53
+    * ln-parity device) and the decimal-domain sums. */
+  def q240HeldoutLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val train = d.filter(col("source") =!= "src0")
+    val sc = d.filter(col("source") === "src0")
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" zzqx"), pmod(col("doc_id"), lit(7)).cast("string")))
+          .otherwise(lit(""))).as("text"))
+    TextMetrics.heldOutBackoffScore(train, "doc_id", "text", sc, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic redundancy-sweep planting for q238: 16 distinct
     * texts keyed by doc_id % 16, each a highly repetitive head
     * (32 copies of one token) plus a growing low-redundancy tail — so
@@ -3406,6 +3428,7 @@ object PipelineQueries {
     "q237_charset_decode" -> q237CharsetDecode,
     "q238_compression_ratio" -> q238CompressionRatio,
     "q239_card_luhn" -> q239CardLuhn,
+    "q240_heldout_lm" -> q240HeldoutLm,
     "q224_domain_extract" -> q224DomainExtract,
     "q225_domain_caps" -> q225DomainCaps,
     "q226_data_manifest" -> q226DataManifest,
@@ -5916,6 +5939,88 @@ object PipelineQueries {
     // The composed web front door: the q223 extraction chain + the
     // q228 canonicalization chain verbatim, the q233 hit counts and
     // the q26 quality expression over the EXTRACTED text, one verdict.
+    // Mirrors heldOutBackoffScore: training counts from the non-src0
+    // slice (len>0 filtered tokens, lag contexts), the scored src0
+    // plant with its OOV word, the identical float expression tree per
+    // backoff branch, ln terms cast DECIMAL(28,10) before the sum.
+    "q240_heldout_lm" ->
+      """WITH tr0 AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text),
+        |      '[ \t\n\f\r]+'), x -> len(x) > 0) AS a
+        |  FROM documents WHERE source <> 'src0'),
+        |ttk AS (SELECT doc_id, i AS pos, a[i] AS w
+        |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)))
+        |      AS i FROM tr0)),
+        |tg AS (SELECT doc_id, pos, w,
+        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM ttk),
+        |c1 AS (SELECT w, count(*)::BIGINT AS c1 FROM tg GROUP BY 1),
+        |c2 AS (SELECT w1, w, count(*)::BIGINT AS c2 FROM tg
+        |  WHERE w1 IS NOT NULL GROUP BY 1, 2),
+        |c3 AS (SELECT w2, w1, w, count(*)::BIGINT AS c3 FROM tg
+        |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+        |nt AS (SELECT sum(c1)::BIGINT AS n_corpus FROM c1),
+        |sc0 AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0
+        |    THEN ' zzqx' || (doc_id % 7)::VARCHAR ELSE '' END AS text
+        |  FROM documents WHERE source = 'src0'),
+        |sa AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text),
+        |      '[ \t\n\f\r]+'), x -> len(x) > 0) AS a FROM sc0),
+        |stk AS (SELECT doc_id, i AS pos, a[i] AS w
+        |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)))
+        |      AS i FROM sa)),
+        |sg AS (SELECT doc_id, pos, w,
+        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM stk),
+        |j AS (SELECT sg.doc_id, sg.w, sg.w1, sg.w2,
+        |    u.c1, up.c1 AS c1_prev, b.c2, bc.c2 AS c2_ctx, t.c3,
+        |    nt.n_corpus
+        |  FROM sg
+        |  LEFT JOIN c1 u ON u.w = sg.w
+        |  LEFT JOIN c1 up ON up.w = sg.w1
+        |  LEFT JOIN c2 b ON b.w1 = sg.w1 AND b.w = sg.w
+        |  LEFT JOIN c2 bc ON bc.w1 = sg.w2 AND bc.w = sg.w1
+        |  LEFT JOIN c3 t ON t.w2 = sg.w2 AND t.w1 = sg.w1
+        |    AND t.w = sg.w
+        |  CROSS JOIN nt),
+        |scj AS (SELECT doc_id,
+        |    CASE WHEN c1 IS NULL THEN -1
+        |      WHEN w1 IS NULL OR w2 IS NULL THEN 0
+        |      WHEN c3 IS NOT NULL THEN 3
+        |      WHEN c2 IS NOT NULL THEN 2 ELSE 1 END AS ord,
+        |    (CASE WHEN c1 IS NULL THEN NULL
+        |      WHEN w1 IS NULL THEN ln(c1::DOUBLE / n_corpus::DOUBLE)
+        |      WHEN w2 IS NULL THEN CASE WHEN c2 IS NOT NULL
+        |          THEN ln(c2::DOUBLE / c1_prev::DOUBLE)
+        |          ELSE ln(0.4::DOUBLE * (c1::DOUBLE / n_corpus::DOUBLE))
+        |          END
+        |      WHEN c3 IS NOT NULL THEN ln(c3::DOUBLE / c2_ctx::DOUBLE)
+        |      WHEN c2 IS NOT NULL
+        |        THEN ln(0.4::DOUBLE * (c2::DOUBLE / c1_prev::DOUBLE))
+        |      ELSE ln(0.16::DOUBLE * (c1::DOUBLE / n_corpus::DOUBLE))
+        |      END)::DECIMAL(28,10) AS s
+        |  FROM j),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN ord = -1 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |    sum(CASE WHEN ord = 3 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_tri_hits,
+        |    sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_bi_backoffs,
+        |    sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_uni_backoffs,
+        |    sum(s) AS ssum
+        |  FROM scj GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov, n_tri_hits, n_bi_backoffs,
+        |  n_uni_backoffs,
+        |  round(coalesce(ssum, 0::DECIMAL(28,10)), 6)::DOUBLE
+        |    AS sum_logscore,
+        |  CASE WHEN n_tokens - n_oov > 0
+        |    THEN round((ssum::DOUBLE / (n_tokens - n_oov)::DOUBLE)
+        |      ::DECIMAL(28,10), 6)::DOUBLE
+        |    END AS avg_logscore
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // Mirrors q239CardLuhn end to end: the digit/check-digit plant, the
     // maximal-run candidate extraction with the 13..19 length filter,
     // and every Luhn term (right-position parity, double, >9 ⇒ −9 fold,

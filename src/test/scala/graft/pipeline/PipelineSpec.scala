@@ -1842,6 +1842,68 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("heldOutBackoffScore matches a direct reimplementation: OOV " +
+      "excluded and counted, positions 1-2 chains, all backoff orders") {
+    val train = Seq((1L, "a b c a b d"), (2L, "b c d"))
+    val score = Seq((10L, "a b c"), (11L, "a b z b c"), (12L, "q"),
+      (13L, "c a d"))
+    val got = TextMetrics.heldOutBackoffScore(
+        train.toDF("doc_id", "text").repartition(3), "doc_id", "text",
+        score.toDF("doc_id", "text").repartition(2), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6),
+          if (r.isNullAt(7)) null else r.getDouble(7)))).toMap
+    val ttoks = train.map(_._2.split(" ").toSeq)
+    val all = ttoks.flatten
+    val n = all.length.toDouble
+    val c1 = all.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val c2 = ttoks.flatMap(_.sliding(2).filter(_.length == 2))
+      .groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val c3 = ttoks.flatMap(_.sliding(3).filter(_.length == 3))
+      .groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    score.foreach { case (id, t) =>
+      val ts = t.split(" ").toSeq
+      var (oov, tri, bi, uni) = (0L, 0L, 0L, 0L)
+      val terms = ts.indices.flatMap { i =>
+        val w = ts(i)
+        if (!c1.contains(w)) { oov += 1; None }
+        else {
+          val s =
+            if (i == 0) math.log(c1(w) / n)
+            else if (i == 1) {
+              if (c2.contains(Seq(ts(0), w)))
+                math.log(c2(Seq(ts(0), w)) / c1(ts(0)))
+              else math.log(0.4 * (c1(w) / n))
+            } else if (c3.contains(Seq(ts(i - 2), ts(i - 1), w))) {
+              tri += 1
+              math.log(c3(Seq(ts(i - 2), ts(i - 1), w)) /
+                c2(Seq(ts(i - 2), ts(i - 1))))
+            } else if (c2.contains(Seq(ts(i - 1), w))) {
+              bi += 1
+              math.log(0.4 * (c2(Seq(ts(i - 1), w)) / c1(ts(i - 1))))
+            } else { uni += 1; math.log(0.16 * (c1(w) / n)) }
+          Some(BigDecimal(s).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        }
+      }
+      def r6(b: BigDecimal): Double =
+        b.setScale(10, BigDecimal.RoundingMode.HALF_UP)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val sumD = if (terms.isEmpty) 0.0 else r6(terms.sum)
+      val avg: Any =
+        if (terms.isEmpty) null
+        else r6(BigDecimal(terms.sum.doubleValue / terms.length))
+      assert(got(id) == ((ts.length.toLong, oov, tri, bi, uni, sumD, avg)),
+        s"doc $id: ${got(id)}")
+    }
+    // the fixture must actually exercise every ledger column somewhere
+    assert(got.values.exists(_._2 > 0), "no OOV exercised")
+    assert(got.values.exists(_._3 > 0), "no trigram hit exercised")
+    assert(got.values.exists(_._4 > 0) || got.values.exists(_._5 > 0),
+      "no backoff exercised")
+    assert(got(12L)._7 == null, "all-OOV doc must carry a null mean")
+  }
+
   test("walkCentrality: hand-computed counts on a cycle+star; isolated scores 0") {
     // cycle 1->2->3->1 plus star spokes 4->2, 5->2; 6 isolated
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L), (5L, 2L))
