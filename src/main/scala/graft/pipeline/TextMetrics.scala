@@ -2450,6 +2450,71 @@ object TextMetrics {
           .cast("double").as("dup_frac"))
   }
 
+  /** Unicode-script DOMINANCE — the routing VERDICT built over the
+    * [[scriptProfile]] signal class (that one reports four script
+    * FRACTIONS; multilingual FineWeb-2/mC4-class pipelines route on a
+    * single dominant-script decision before any language model sees
+    * the text, and need the wider block coverage): exact character
+    * counts in seven major script blocks, the dominant script by
+    * count with FIXED precedence on ties, and the
+    * dominant-over-letters confidence ratio.
+    *
+    * Cross-engine discipline: every class is an EXPLICIT codepoint
+    * range (U+0400–U+04FF etc.), never a named Unicode property —
+    * `\p{Cyrillic}` depends on each engine's Unicode table version,
+    * explicit ranges cannot drift. Counting is the strip-diff device
+    * (length minus length after removing the class), identical
+    * semantics in Java regex and RE2; both engines' `length` counts
+    * codepoints. Pure per-row column math — scan speed, no shuffle,
+    * streaming-safe. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    // Latin-1/Extended letters, with the two non-letters inside the
+    // block (× U+00D7, ÷ U+00F7) carved out
+    "latin" -> "a-zA-Z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u024F",
+    "cyrillic" -> "\\u0400-\\u04FF",
+    "greek" -> "\\u0370-\\u03FF",
+    "arabic" -> "\\u0600-\\u06FF",
+    "devanagari" -> "\\u0900-\\u097F",
+    "hangul" -> "\\uAC00-\\uD7AF",
+    "cjk" -> "\\u4E00-\\u9FFF\\u3040-\\u30FF")
+
+  def scriptDominance(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    def strip(ranges: String): Column =
+      nChars - length(regexp_replace(t, s"[$ranges]", ""))
+    val counts = ScriptRanges.map { case (name, r) =>
+      name -> strip(r).cast("long")
+    }
+    val withCounts = docs.select(
+      col(idCol) +: nChars.cast("long").as("n_chars") +:
+        counts.map { case (n, c) => c.as(s"n_$n") }: _*)
+    val letterTotal = ScriptRanges.map { case (n, _) => col(s"n_$n") }
+      .reduce(_ + _)
+    // argmax with fixed precedence: the FIRST listed script holding
+    // the (weak) maximum wins — deterministic, mirrored in SQL as the
+    // same ordered comparison chain
+    val dominant = ScriptRanges.map(_._1).foldRight(lit("none")) {
+      case (name, els) =>
+        when(col(s"n_$name") > 0 && ScriptRanges.map(_._1)
+          .filter(_ != name)
+          .map(o => col(s"n_$name") >= col(s"n_$o"))
+          .reduce(_ && _), lit(name)).otherwise(els)
+    }
+    withCounts
+      .withColumn("n_letters", letterTotal)
+      .withColumn("dominant_script", dominant)
+      .withColumn("script_confidence",
+        when(col("n_letters") > 0,
+          round((ScriptRanges.map { case (n, _) =>
+            when(col("dominant_script") === n, col(s"n_$n"))
+              .otherwise(lit(0L))
+          }.reduce(_ + _).cast("double") /
+            col("n_letters").cast("double")).cast("decimal(28,10)"), 6)
+            .cast("double")))
+  }
+
   /** HELD-OUT Stupid Backoff trigram LM scoring — the cross-corpus
     * form of [[stupidBackoffScore]] (q158's self-trained scorer) and
     * the shape CCNet actually runs: the LM trains on a CLEAN reference

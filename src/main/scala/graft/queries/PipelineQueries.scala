@@ -3046,6 +3046,35 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-residue script suffixes for q241 (repeated 40× so the
+    * planted script can outweigh the Latin base text where the doc is
+    * short enough — dominance itself is replayed, never assumed). */
+  private val scriptPlant: Seq[String] = Seq(
+    "", "привет мир", "你好世界", "مرحبا بالعالم", "γειά σου κόσμε",
+    "안녕하세요 세계", "नमस्ते दुनिया")
+
+  /** Unicode-script dominance ([[TextMetrics.scriptDominance]]): the
+    * multilingual routing VERDICT ahead of language ID — per-script
+    * character counts over EXPLICIT codepoint ranges (never named
+    * Unicode properties, whose tables drift per engine), dominant
+    * script with fixed tie precedence, dominant-over-letters
+    * confidence. The oracle's RE2 classes are DERIVED from the same
+    * [[TextMetrics.ScriptRanges]] table (`\uXXXX` mechanically
+    * rewritten to `\x{XXXX}`), so the two engines cannot disagree on
+    * a range without failing the gate. */
+  def q241ScriptDominance(spark: SparkSession, dir: String): DataFrame = {
+    val suf = element_at(array(scriptPlant.map(lit): _*),
+      (pmod(col("doc_id"), lit(7L)) + 1).cast("int"))
+    val planted = concat(col("text"),
+      when(length(suf) > 0,
+        concat(lit(" "), repeat(concat(suf, lit(" ")), 40)))
+        .otherwise(lit("")))
+    TextMetrics.scriptDominance(
+        docs(spark, dir).select(col("doc_id"), planted.as("text")),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Held-out Stupid Backoff LM filter
     * ([[TextMetrics.heldOutBackoffScore]]) — the CCNet shape q158's
     * self-trained scorer cannot take: the LM trains on the non-src0
@@ -3429,6 +3458,7 @@ object PipelineQueries {
     "q238_compression_ratio" -> q238CompressionRatio,
     "q239_card_luhn" -> q239CardLuhn,
     "q240_heldout_lm" -> q240HeldoutLm,
+    "q241_script_dominance" -> q241ScriptDominance,
     "q224_domain_extract" -> q224DomainExtract,
     "q225_domain_caps" -> q225DomainCaps,
     "q226_data_manifest" -> q226DataManifest,
@@ -5939,6 +5969,49 @@ object PipelineQueries {
     // The composed web front door: the q223 extraction chain + the
     // q228 canonicalization chain verbatim, the q233 hit counts and
     // the q26 quality expression over the EXTRACTED text, one verdict.
+    // Mirrors q241ScriptDominance: the same plant, the strip-diff count
+    // device per script class (RE2 classes derived mechanically from
+    // TextMetrics.ScriptRanges), the ordered dominant CASE chain, the
+    // decimal-round confidence.
+    "q241_script_dominance" -> {
+      // \uXXXX -> \x{XXXX}, mechanical (no hand-copied ranges)
+      def toRe2(c: String): String =
+        "\\\\u([0-9A-Fa-f]{4})".r.replaceAllIn(c,
+          m => s"\\\\x{${m.group(1)}}")
+      val plantCase = scriptPlant.zipWithIndex.map { case (s, i) =>
+        if (s.isEmpty) s"WHEN $i THEN ''"
+        else s"WHEN $i THEN ' ' || repeat('$s ', 40)"
+      }.mkString(" ")
+      val countCols = TextMetrics.ScriptRanges.map { case (n, c) =>
+        s"""    (length(t) - length(regexp_replace(t,
+           |      '[${toRe2(c)}]', '', 'g')))::BIGINT AS n_$n""".stripMargin
+      }.mkString(",\n")
+      val names = TextMetrics.ScriptRanges.map(_._1)
+      val letterSum = names.map(n => s"n_$n").mkString(" + ")
+      val domCase = names.map { n =>
+        val conds = (s"n_$n > 0" +:
+          names.filter(_ != n).map(o => s"n_$n >= n_$o")).mkString(" AND ")
+        s"WHEN $conds THEN '$n'"
+      }.mkString("\n    ")
+      val domPick = names.map(n =>
+        s"WHEN dominant_script = '$n' THEN n_$n").mkString(" ")
+      s"""WITH pl AS (SELECT doc_id, text ||
+         |    CASE doc_id % 7 $plantCase END AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id, length(t)::BIGINT AS n_chars,
+         |$countCols
+         |  FROM pl),
+         |d AS (SELECT *, (${letterSum})::BIGINT AS n_letters,
+         |    CASE $domCase ELSE 'none' END AS dominant_script
+         |  FROM c)
+         |SELECT doc_id, n_chars, ${names.map(n => s"n_$n").mkString(", ")},
+         |  n_letters, dominant_script,
+         |  CASE WHEN n_letters > 0 THEN
+         |    round(((CASE $domPick ELSE 0 END)::DOUBLE
+         |      / n_letters::DOUBLE)::DECIMAL(28,10), 6)::DOUBLE
+         |    END AS script_confidence
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     // Mirrors heldOutBackoffScore: training counts from the non-src0
     // slice (len>0 filtered tokens, lag contexts), the scored src0
     // plant with its OOV word, the identical float expression tree per
