@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.types.Decimal
 
-import graft.functions.{CountRlike, DecodeBytes, DecodeHtmlRefs, DetectCharset, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs}
+import graft.functions.{CountRlike, DecodeBytes, DecodeHtmlRefs, DecodePage, DetectCharset, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * apply with `.withExtensions(new GraftExtensions)` (as
@@ -90,6 +90,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"decode_bytes expects exactly 1 argument, got ${children.length}")
         DecodeBytes(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("decode_page"),
+      new ExpressionInfo(classOf[DecodePage].getName, "decode_page"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"decode_page expects exactly 1 argument, got ${children.length}")
+        DecodePage(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("decode_html_refs"),

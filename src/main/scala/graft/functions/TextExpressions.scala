@@ -216,15 +216,29 @@ object CharsetKernels {
     0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x009D, 0x017E, 0x0178)
     .map(_.toChar)
 
+  /** One-scan combined form for [[graft.functions.DecodePage]]: the
+    * detection runs once and both the label and the decoded text come
+    * back in a struct row. */
+  def decodePage(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val cs = charsetOf(b)
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(cs),
+      decodeAs(b, cs))
+  }
+
   /** Decode under the detected charset, BOM stripped. The BOM'd and
     * UTF-16 arms use the JDK's replacement-char decode (a BOM is
     * trusted; a malformed tail yields U+FFFD rather than dropping the
     * document); the valid-UTF-8 arm is zero-copy; the CP1252 fallback
     * is a direct byte→char table (WHATWG-total, injective, so the
     * original bytes are always recoverable). */
-  def decode(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+  def decode(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    decodeAs(b, charsetOf(b))
+
+  private def decodeAs(b: Array[Byte],
+      cs: String): org.apache.spark.unsafe.types.UTF8String = {
     import org.apache.spark.unsafe.types.UTF8String
-    charsetOf(b) match {
+    cs match {
       case "utf-8-bom" => UTF8String.fromString(
         new String(b, 3, b.length - 3, StandardCharsets.UTF_8))
       case "utf-16le" => UTF8String.fromString(
@@ -296,6 +310,40 @@ case class DecodeBytes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "decode_bytes"
+}
+
+/** `decode_page(bin)`: the charset front door as ONE scan —
+  * struct(charset, text). [[DetectCharset]] + [[DecodeBytes]] each run
+  * the detection (a full strict-UTF-8 validation pass over the
+  * payload), so a query projecting BOTH validates every document's
+  * bytes twice; the ingest hot path uses this combined form and reads
+  * the two fields out of the struct. */
+case class DecodePage(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"decode_page requires binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("charset", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("text", StringType,
+        nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    CharsetKernels.decodePage(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharsetKernels$$.MODULE$$.decodePage($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DecodePage =
+    copy(child = newChild)
+
+  override def prettyName: String = "decode_page"
 }
 
 /** `decode_html_refs(str)`: single-pass HTML character-reference

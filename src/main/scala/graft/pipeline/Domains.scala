@@ -117,10 +117,14 @@ object Domains {
   /** Tracking query parameters stripped by [[canonicalizeUrl]] (the
     * CCNet/FineWeb URL-dedup normalization set): case-insensitive
     * (`UTM_SOURCE=x` collapses like `utm_source=x`) and matched with
-    * or without a value (`(=|$)` — a bare `fbclid` is still a
-    * tracker). Java and RE2 agree on `(?i)` and end-anchor semantics,
-    * so the oracle mirrors verbatim. */
-  val TrackingParamPattern = "(?i)^(utm_[a-z0-9_]*|fbclid|gclid)(=|$)"
+    * or without a value (a bare `fbclid` is still a tracker). The
+    * value-less anchor is `\z` (absolute end), NOT `$`: Java's `$`
+    * matches before a trailing line terminator while RE2's does not,
+    * so a dirty crawl param like `fbclid\n` would strip on one engine
+    * and survive on the other (the q104 `\s`-vs-`\x0B` divergence
+    * class); both engines agree on `\z`, under which such a param is
+    * consistently NOT a tracker. */
+  val TrackingParamPattern = "(?i)^(utm_[a-z0-9_]*|fbclid|gclid)(=|\\z)"
 
   /** URL canonicalization — the normalization before any URL-keyed
     * dedup (the same crawled page arrives as `https://Example.COM:443/
@@ -136,17 +140,22 @@ object Domains {
     * here, RE2 `\1` in the oracle — semantics identical); the
     * param-list lambda runs interpreted but on a per-URL handful of
     * elements, never a corpus-token relation (the q66 trap does not
-    * apply at this cardinality). */
+    * apply at this cardinality). End anchors are `\z` / `(?s)`-greedy,
+    * never `$`: Java's `$` matches before a trailing line terminator
+    * and RE2's does not, so a dirty crawl URL carrying a literal
+    * newline would canonicalize differently per engine (the q104
+    * divergence class — a real crawl frontier WILL deliver such
+    * URLs). */
   def canonicalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
-    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
-    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val noFrag = regexp_replace(url, "(?s)#.*", "")
+    val query = regexp_extract(noFrag, "(?s)\\?(.*)", 1)
+    val base = regexp_replace(noFrag, "(?s)\\?.*", "")
     val auth = lower(regexp_extract(base, "(?i)^([a-z0-9+.-]+://[^/]*)", 0))
     val path = regexp_replace(base, "(?i)^[a-z0-9+.-]+://[^/]*", "")
     val auth2 = regexp_replace(
-      regexp_replace(auth, "^(https://[^/:]+):443$", "$1"),
-      "^(http://[^/:]+):80$", "$1")
-    val path2 = regexp_replace(path, "/$", "")
+      regexp_replace(auth, "^(https://[^/:]+):443\\z", "$1"),
+      "^(http://[^/:]+):80\\z", "$1")
+    val path2 = regexp_replace(path, "/\\z", "")
     val params = sort_array(filter(split(query, "&"),
       p => length(p) > 0 && !p.rlike(TrackingParamPattern)))
     concat(auth2, path2,

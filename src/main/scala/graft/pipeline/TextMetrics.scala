@@ -2559,13 +2559,23 @@ object TextMetrics {
         .withColumn("w1", lag(col("w"), 1).over(byDoc))
         .withColumn("w2", lag(col("w"), 2).over(byDoc))
     }
-    val tp = positions(train, trainIdCol, trainTextCol)
-    val uni = tp.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val bi = tp.filter(col("w1").isNotNull)
-      .groupBy(col("w1"), col("w")).agg(count(lit(1)).as("c2"))
-    val tri = tp.filter(col("w2").isNotNull)
-      .groupBy(col("w2"), col("w1"), col("w")).agg(count(lit(1)).as("c3"))
-    val nTotal = uni.agg(sum(col("c1")).as("n_corpus"))
+    // ONE pass over the training corpus: the (w2, w1, w) gram table
+    // WITH null contexts kept partitions every token occurrence, so
+    // every lower order is a cheap re-aggregate of the checkpointed
+    // vocabulary-scale table — without the reuse point, each count
+    // table (plus nTotal and both unigram join sides) would
+    // re-tokenize and re-window the whole training corpus as its own
+    // plan subtree (six subtrees in the joined plan).
+    val grams = positions(train, trainIdCol, trainTextCol)
+      .groupBy(col("w2"), col("w1"), col("w"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    val uni = grams.groupBy(col("w")).agg(sum(col("_c")).as("c1"))
+    val bi = grams.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w")).agg(sum(col("_c")).as("c2"))
+    val tri = grams.filter(col("w2").isNotNull)
+      .select(col("w2"), col("w1"), col("w"), col("_c").as("c3"))
+    val nTotal = grams.agg(sum(col("_c")).as("n_corpus"))
     // one join per gram order, each keyed by the exact gram it needs
     val withCounts = positions(docs, idCol, textCol)
       .crossJoin(broadcast(nTotal))

@@ -2208,7 +2208,11 @@ object PipelineQueries {
     val para = when(col("doc_id") % 10 === 7,
         lit("!!! ??? *** !!! ??? *** !!! ??? *** !!! ??? ***"))
       .when(col("doc_id") % 10 === 3,
-        concat(col("text"), lit(" café")))
+        // the Latin-1-encoded arm: table text ASCII-stripped so the
+        // ISO-8859-1 encode below stays total (the q237 rule); the
+        // planted café carries the arm's non-ASCII content
+        concat(regexp_replace(col("text"), "[^\\x00-\\x7f]", ""),
+          lit(" café")))
       .otherwise(col("text"))
     val html = concat(lit(htmlPlant(0)), id, lit(htmlPlant(1)), id,
       lit(htmlPlant(2)), id, lit(htmlPlant(3)), id, lit(htmlPlant(4)),
@@ -2238,12 +2242,10 @@ object PipelineQueries {
           lit("/?utm_campaign=z&b=2&a=1")))
       .otherwise(concat(lit("http://other.org:80/q"), g,
         lit("?z=9&fbclid=abc")))
-    val src = docs(spark, dir).select(col("doc_id"), raw.as("raw"),
-        url.as("url"))
-      .select(col("doc_id"),
-        call_function("detect_charset", col("raw")).as("charset"),
-        call_function("decode_bytes", col("raw")).as("html"),
-        col("url"))
+    val src = docs(spark, dir).select(col("doc_id"),
+        call_function("decode_page", raw).as("_p"), url.as("url"))
+      .select(col("doc_id"), col("_p.charset").as("charset"),
+        col("_p.text").as("html"), col("url"))
     val extracted = graft.pipeline.Html.extractText(src, "doc_id", "html")
       .localCheckpoint(true) // blocklist + quality + output all read it
     val latest = src
@@ -3000,16 +3002,25 @@ object PipelineQueries {
     * dropped tail) cannot hash-match. */
   def q237CharsetDecode(spark: SparkSession, dir: String): DataFrame = {
     val s = concat(col("text"), lit(" café ±"))
+    // the ISO-8859-1 arm must stay byte-representable whatever the
+    // driver regenerates into documents.text (encode() raises on
+    // unmappable codepoints, and 0x80–0x9F would round-trip through
+    // the WHATWG table into different chars): the TABLE text is
+    // ASCII-stripped for that arm only — the planted suffix carries
+    // the non-ASCII content the arm exists to exercise. The other
+    // arms are lossless for any text.
+    val sAscii = concat(
+      regexp_replace(col("text"), "[^\\x00-\\x7f]", ""), lit(" café ±"))
     val bom8 = lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
     val bom16 = lit(Array(0xFF.toByte, 0xFE.toByte))
     val raw = when(col("doc_id") % 4 === 0, encode(s, "UTF-8"))
       .when(col("doc_id") % 4 === 1, concat(bom8, encode(s, "UTF-8")))
-      .when(col("doc_id") % 4 === 2, encode(s, "ISO-8859-1"))
+      .when(col("doc_id") % 4 === 2, encode(sAscii, "ISO-8859-1"))
       .otherwise(concat(bom16, encode(s, "UTF-16LE")))
-    docs(spark, dir).select(col("doc_id"), raw.as("raw"))
-      .select(col("doc_id"),
-        call_function("detect_charset", col("raw")).as("charset"),
-        call_function("decode_bytes", col("raw")).as("text"))
+    docs(spark, dir).select(col("doc_id"),
+        call_function("decode_page", raw).as("_p"))
+      .select(col("doc_id"), col("_p.charset").as("charset"),
+        col("_p.text").as("text"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .orderBy(col("doc_id"))
   }
@@ -5022,22 +5033,22 @@ object PipelineQueries {
       |        || (doc_id // 4)::VARCHAR || '?z=9&fbclid=abc' END AS url
       |  FROM documents),
       |c1 AS (SELECT doc_id, url,
-      |    regexp_replace(url, '#.*$', '') AS nf FROM u),
+      |    regexp_replace(url, '(?s)#.*', '') AS nf FROM u),
       |c2 AS (SELECT doc_id, url,
-      |    regexp_extract(nf, '\?(.*)$', 1) AS q,
-      |    regexp_replace(nf, '\?.*$', '') AS base FROM c1),
+      |    regexp_extract(nf, '(?s)\?(.*)', 1) AS q,
+      |    regexp_replace(nf, '(?s)\?.*', '') AS base FROM c1),
       |c3 AS (SELECT doc_id, url, q,
       |    regexp_replace(regexp_replace(
       |      lower(regexp_extract(base, '(?i)^([a-z0-9+.-]+://[^/]*)', 0)),
-      |      '^(https://[^/:]+):443$', '\1'),
-      |      '^(http://[^/:]+):80$', '\1') AS auth,
+      |      '^(https://[^/:]+):443\z', '\1'),
+      |      '^(http://[^/:]+):80\z', '\1') AS auth,
       |    regexp_replace(regexp_replace(base,
-      |      '(?i)^[a-z0-9+.-]+://[^/]*', ''), '/$', '') AS pth
+      |      '(?i)^[a-z0-9+.-]+://[^/]*', ''), '/\z', '') AS pth
       |  FROM c2),
       |c4 AS (SELECT doc_id, url, auth, pth,
       |    list_sort(list_filter(string_split(q, '&'),
       |      p -> len(p) > 0 AND NOT regexp_matches(p,
-      |        '(?i)^(utm_[a-z0-9_]*|fbclid|gclid)(=|$)'))) AS ps
+      |        '(?i)^(utm_[a-z0-9_]*|fbclid|gclid)(=|\z)'))) AS ps
       |  FROM c3),
       |c AS (SELECT doc_id, url,
       |    auth || pth || CASE WHEN len(ps) > 0
@@ -6166,17 +6177,23 @@ object PipelineQueries {
     // arm converge to the same canonical text, so the oracle needs only
     // the residue label CASE and the suffixed text.
     "q237_charset_decode" ->
-      """SELECT doc_id,
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 2
+        |      THEN regexp_replace(text, '[^\x00-\x7f]', '', 'g')
+        |      ELSE text END || ' café ±' AS txt
+        |  FROM documents)
+        |SELECT doc_id,
         |  CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
         |    WHEN 2 THEN 'cp1252' ELSE 'utf-16le' END AS charset,
-        |  text || ' café ±' AS text,
-        |  len(text || ' café ±')::BIGINT AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  txt AS text,
+        |  len(txt)::BIGINT AS n_chars
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q234_web_pipeline" ->
       (s"WITH ${htmlExtractCtes(
           "CASE WHEN doc_id % 10 = 7 THEN " +
             "'!!! ??? *** !!! ??? *** !!! ??? *** !!! ??? ***' " +
-            "WHEN doc_id % 10 = 3 THEN text || ' café' " +
+            "WHEN doc_id % 10 = 3 THEN " +
+            "regexp_replace(text, '[^\\x00-\\x7f]', '', 'g') || ' café' " +
             "ELSE text END")},\n" +
         s"$urlCanonCtes,\n" +
         """ext AS (SELECT doc_id, s AS text,

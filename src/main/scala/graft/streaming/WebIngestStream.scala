@@ -58,10 +58,10 @@ object WebIngestStream {
       "enrich: need at least one blocklist term or phrase")
     require(suffixes.nonEmpty, "enrich: need a public-suffix list")
     val p1 = pages.select(col("doc_id"),
-      call_function("detect_charset", col("raw")).as("charset"),
-      Html.extractExpr(call_function("decode_bytes", col("raw")))
-        .as("text"),
-      Domains.canonicalizeUrl(col("url")).as("canon_url"))
+        call_function("decode_page", col("raw")).as("_p"),
+        Domains.canonicalizeUrl(col("url")).as("canon_url"))
+      .select(col("doc_id"), col("_p.charset").as("charset"),
+        Html.extractExpr(col("_p.text")).as("text"), col("canon_url"))
     val toks = TextFunctions.tokenize(col("text"))
     val blocked =
       arrays_overlap(filter(toks, w => length(w) > 0),

@@ -64,6 +64,16 @@ class DomainsSpec extends AnyFunSuite {
     assert(canon("https://a.com/p?UTM_SOURCE=x&b=2") == "https://a.com/p?b=2")
     assert(canon("https://a.com/p?fbclid&b=2") == "https://a.com/p?b=2")
     assert(canon("https://a.com/p?fbclidxyz=1") == "https://a.com/p?fbclidxyz=1")
+    // a param with a TRAILING NEWLINE is consistently NOT a tracker on
+    // either engine: the anchor is \z, because Java's $ matches before
+    // a final line terminator while RE2's does not — anchoring on $
+    // would strip on Spark and keep on DuckDB
+    assert(canon("https://a.com/p?fbclid\n&b=2") == "https://a.com/p?b=2&fbclid\n")
+    // newline-bearing fragments/queries parse under (?s) — a bare-$
+    // chain would leave the whole tail in the path on both engines
+    // (and a $-anchored fragment strip would DIVERGE between them)
+    assert(canon("https://a.com/p#frag\nmore") == "https://a.com/p")
+    assert(canon("https://A.com/p?b=2\n&a=1#f\nx") == "https://a.com/p?a=1&b=2\n")
     // NON-default port survives; path case survives
     assert(canon("https://a.com:8443/CaseSensitive/") ==
       "https://a.com:8443/CaseSensitive")

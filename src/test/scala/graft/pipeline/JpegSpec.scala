@@ -80,6 +80,44 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  /** Spec-local dHash (the DHashSpec discipline: never the kernel
+    * under test): 9×8 nearest-neighbor grid, gray = r+g+b, strict
+    * gradient compare. */
+  private def dhashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    def gray(gx: Int, gy: Int): Int = {
+      val p = img.getRGB(gx * w / 9, gy * h / 8)
+      ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+    }
+    var hi = 0L; var lo = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8)
+      if (gray(gx, gy) > gray(gx + 1, gy)) {
+        val idx = gy * 8 + gx
+        if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+      }
+    (hi, lo)
+  }
+
+  test("planted-pair dHash Hamming bound holds over the FULL generator " +
+      "period (the q236 oracle asserts within_bound=TRUE for EVERY gen)") {
+    javax.imageio.ImageIO.setUseCache(false)
+    // q236's oracle hardcodes within_bound=TRUE per pair, and larger
+    // data scales reach gens far past the 240-doc kernel test below —
+    // so the bound must be pinned over the whole 5040-gen parameter
+    // period, exactly like the q235 error sweep: PNG side = dHash of
+    // the lossless raster, JPEG side = dHash of the real decode.
+    val hams = (0L until 5040L).map { g =>
+      val (h1, l1) = dhashOf(raster(g))
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodeJpeg(g)))
+      val (h2, l2) = dhashOf(dec)
+      java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+    }
+    assert(hams.max <= 10,
+      s"planted-pair Hamming moved: ${hams.max} > 10 over the full " +
+        "period — the q236 bound 16 may be at risk; re-measure and re-pin")
+  }
+
   test("planted lossy pairs: dHash Hamming within the measured bound; " +
       "exact-pixel hashes pair NOTHING (lossy blindness)") {
     import spark.implicits._
