@@ -2242,13 +2242,22 @@ object PipelineQueries {
           lit("/?utm_campaign=z&b=2&a=1")))
       .otherwise(concat(lit("http://other.org:80/q"), g,
         lit("?z=9&fbclid=abc")))
-    val src = docs(spark, dir).select(col("doc_id"),
-        call_function("decode_page", raw).as("_p"), url.as("url"))
+    // ONE decode→extract pass, checkpointed once: the URL, blocklist,
+    // quality and output arms all read this relation (re-deriving it
+    // per consumer would re-run the charset scan + the whole regexp
+    // extraction chain once per arm — three extra corpus passes)
+    val extracted = docs(spark, dir)
+      .select(col("doc_id"), call_function("decode_page", raw).as("_p"),
+        url.as("url"))
       .select(col("doc_id"), col("_p.charset").as("charset"),
-        col("_p.text").as("html"), col("url"))
-    val extracted = graft.pipeline.Html.extractText(src, "doc_id", "html")
-      .localCheckpoint(true) // blocklist + quality + output all read it
-    val latest = src
+        graft.pipeline.Html.extractExpr(col("_p.text")).as("text"),
+        col("url"))
+      .select(col("doc_id"), col("charset"), col("url"), col("text"),
+        when(col("text") === "", 0)
+          .otherwise(size(split(col("text"), "\n"))).cast("long")
+          .as("n_lines"))
+      .localCheckpoint(true)
+    val latest = extracted
       .withColumn("canon_url",
         graft.pipeline.Domains.canonicalizeUrl(col("url")))
       .withColumn("is_latest", col("doc_id") ===
@@ -2259,8 +2268,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("blocked"))
     val quality = TextMetrics.qualityScore(extracted, "doc_id", "text")
       .select(col("doc_id"), col("quality"))
-    extracted.select(col("doc_id"), col("n_lines"))
-      .join(src.select(col("doc_id"), col("charset")), Seq("doc_id"))
+    extracted.select(col("doc_id"), col("charset"), col("n_lines"))
       .join(latest, Seq("doc_id"))
       .join(blocked, Seq("doc_id"))
       .join(quality, Seq("doc_id"))
