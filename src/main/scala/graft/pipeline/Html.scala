@@ -135,12 +135,18 @@ object Html {
       mdCol: String): DataFrame =
     withLineStats(docs, idCol, markdownExpr(col(mdCol)))
 
+  /** The extraction family's canonical line count over an extracted
+    * text column (empty text = 0 lines) — ONE definition, shared by
+    * [[extractText]]/[[markdownText]] and the composed front door
+    * (q234), so the empty-text convention can never silently diverge
+    * between them. */
+  def lineCount(text: Column): Column =
+    when(text === "", 0).otherwise(size(split(text, "\n"))).cast("long")
+
   private def withLineStats(docs: DataFrame, idCol: String,
       text: Column): DataFrame =
     docs.select(col(idCol), text.as("text"))
       .select(col(idCol), col("text"),
-        when(col("text") === "", 0)
-          .otherwise(size(split(col("text"), "\n"))).cast("long")
-          .as("n_lines"),
+        lineCount(col("text")).as("n_lines"),
         length(col("text")).cast("long").as("n_chars"))
 }

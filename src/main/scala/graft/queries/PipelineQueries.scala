@@ -2253,9 +2253,7 @@ object PipelineQueries {
         graft.pipeline.Html.extractExpr(col("_p.text")).as("text"),
         col("url"))
       .select(col("doc_id"), col("charset"), col("url"), col("text"),
-        when(col("text") === "", 0)
-          .otherwise(size(split(col("text"), "\n"))).cast("long")
-          .as("n_lines"))
+        graft.pipeline.Html.lineCount(col("text")).as("n_lines"))
       .localCheckpoint(true)
     val latest = extracted
       .withColumn("canon_url",

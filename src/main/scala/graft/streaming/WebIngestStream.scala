@@ -72,9 +72,7 @@ object WebIngestStream {
     p1.select(col("doc_id"), col("charset"), col("canon_url"),
       Domains.registrableDomainExpr(Domains.hostOf(col("canon_url")),
         suffixes).as("domain"),
-      when(col("text") === "", 0)
-        .otherwise(size(split(col("text"), "\n"))).cast("long")
-        .as("n_lines"),
+      Html.lineCount(col("text")).as("n_lines"),
       blocked.as("blocked"),
       (quality === 1.0).as("q_ok"))
   }

@@ -97,4 +97,31 @@ class CharsetSpec extends AnyFunSuite {
     assert(out(3L) == (("cp1252", "café")))
     assert(out(4L) == (("utf-16le", "wide")))
   }
+
+  test("decode_page resolves from SQL text via GraftExtensions; struct " +
+      "fields agree with the single-purpose expressions") {
+    // the combined one-scan form: a field reorder or registration
+    // regression must fail HERE, not as an oracle-red q237/q234
+    val rows = Seq(
+      (1L, utf8("plain")),
+      (2L, Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ utf8("bom'd")),
+      (3L, "café".getBytes(StandardCharsets.ISO_8859_1)),
+      (4L, Array(0xFE, 0xFF).map(_.toByte) ++
+        "wide".getBytes(StandardCharsets.UTF_16BE)))
+    rows.toDF("id", "raw").createOrReplaceTempView("decode_page_fixture")
+    val out = spark.sql(
+      """SELECT id, decode_page(raw).charset AS cs,
+        |  decode_page(raw).text AS t,
+        |  detect_charset(raw) AS cs2, decode_bytes(raw) AS t2
+        |FROM decode_page_fixture""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
+      .toMap
+    spark.catalog.dropTempView("decode_page_fixture")
+    out.foreach { case (id, (cs, t, cs2, t2)) =>
+      assert(cs == cs2 && t == t2, s"struct fields diverged at id=$id")
+    }
+    assert(out(2L)._1 == "utf-8-bom" && out(2L)._2 == "bom'd")
+    assert(out(4L)._1 == "utf-16be" && out(4L)._2 == "wide")
+  }
 }

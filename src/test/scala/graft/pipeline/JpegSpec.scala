@@ -52,16 +52,47 @@ class JpegSpec extends AnyFunSuite {
         ((ref.getRGB(x, y) >> (8 * c)) & 0xff)).toLong).max
   }
 
-  test("JPEG decode error stays within the measured bound over the FULL " +
-      "generator period, and the codec is genuinely lossy") {
+  test("FULL generator period, one shared sweep: decode error within " +
+      "the measured bound, codec genuinely lossy, planted-pair dHash " +
+      "Hamming within bound (the q236 oracle asserts TRUE per pair)") {
     javax.imageio.ImageIO.setUseCache(false)
-    val errs = (0L until 5040L).map(maxErr)
-    assert(errs.max <= 22L,
-      s"measured max error moved: ${errs.max} > 22 — the q235 bound 32 " +
+    // one encode+decode per gen funds BOTH pins — the error bound for
+    // q235 and the PNG-vs-JPEG fingerprint distance for q236 (whose
+    // oracle hardcodes within_bound=TRUE, and real data sizes reach
+    // gens far past the 240-doc kernel test below)
+    var maxE = 0L
+    var nPos = 0
+    var maxHam = 0
+    (0L until 5040L).foreach { g =>
+      val ref = raster(g)
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodeJpeg(g)))
+      assert(dec != null && dec.getWidth == ref.getWidth &&
+        dec.getHeight == ref.getHeight, s"container parse broke at $g")
+      var e = 0L
+      for (y <- 0 until ref.getHeight; x <- 0 until ref.getWidth;
+           c <- 0 until 3) {
+        val d = math.abs(((dec.getRGB(x, y) >> (8 * c)) & 0xff) -
+          ((ref.getRGB(x, y) >> (8 * c)) & 0xff)).toLong
+        if (d > e) e = d
+      }
+      if (e > maxE) maxE = e
+      if (e > 0) nPos += 1
+      val (h1, l1) = dhashOf(ref)
+      val (h2, l2) = dhashOf(dec)
+      val ham = java.lang.Long.bitCount(h1 ^ h2) +
+        java.lang.Long.bitCount(l1 ^ l2)
+      if (ham > maxHam) maxHam = ham
+    }
+    assert(maxE <= 22L,
+      s"measured max error moved: $maxE > 22 — the q235 bound 32 " +
         "may be at risk; re-measure and re-pin")
-    assert(errs.count(_ > 0) > 4000,
+    assert(nPos > 4000,
       "errors are ~all positive for a real lossy codec — a lossless or " +
         "stubbed path would zero them")
+    assert(maxHam <= 10,
+      s"planted-pair Hamming moved: $maxHam > 10 over the full " +
+        "period — the q236 bound 16 may be at risk; re-measure and re-pin")
   }
 
   test("decodeErrors kernel through Spark equals the spec-local error " +
@@ -96,26 +127,6 @@ class JpegSpec extends AnyFunSuite {
         if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
       }
     (hi, lo)
-  }
-
-  test("planted-pair dHash Hamming bound holds over the FULL generator " +
-      "period (the q236 oracle asserts within_bound=TRUE for EVERY gen)") {
-    javax.imageio.ImageIO.setUseCache(false)
-    // q236's oracle hardcodes within_bound=TRUE per pair, and larger
-    // data scales reach gens far past the 240-doc kernel test below —
-    // so the bound must be pinned over the whole 5040-gen parameter
-    // period, exactly like the q235 error sweep: PNG side = dHash of
-    // the lossless raster, JPEG side = dHash of the real decode.
-    val hams = (0L until 5040L).map { g =>
-      val (h1, l1) = dhashOf(raster(g))
-      val dec = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(Multimodal.encodeJpeg(g)))
-      val (h2, l2) = dhashOf(dec)
-      java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
-    }
-    assert(hams.max <= 10,
-      s"planted-pair Hamming moved: ${hams.max} > 10 over the full " +
-        "period — the q236 bound 16 may be at risk; re-measure and re-pin")
   }
 
   test("planted lossy pairs: dHash Hamming within the measured bound; " +
