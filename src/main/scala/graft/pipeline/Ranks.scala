@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,62 +29,187 @@ import org.apache.spark.sql.functions._
   * partitioning (ranks are a pure function of the (value, tie)
   * ordering), so oracle-hashed outputs are unaffected. Skew caveat: a
   * value that dominates the distribution concentrates its ties in one
-  * bucket (ties cannot be split across tasks without breaking exact
-  * rank); for measure-like values (surprisal, norms) occupancy stays
-  * ~uniform.
+  * bucket; for measure-like values (surprisal, norms) occupancy stays
+  * ~uniform, but COUNT-like values are Zipf (count=1 alone is ~60% of
+  * a web vocabulary — Lotka's law), so tie-heavy callers pass a
+  * `tieProxyCol`: a bucket whose rows all share ONE value is ordered
+  * purely by the tie column, so it can be subdivided by any weakly
+  * monotone numeric proxy of the tie (for strings,
+  * [[stringPrefixProxy]]) without moving a single rank — the
+  * sub-bucket boundary falls exactly where the tie order falls.
+  * Multi-valued buckets are never split (a proxy split there would
+  * interleave different values).
   */
 object Ranks {
+
+  /** Weakly monotone numeric proxy of a STRING column under Spark's
+    * binary (unsigned UTF-8 byte) string order — which DuckDB shares —
+    * for [[bucketedGlobalRank]]'s `tieProxyCol`: the first 6 bytes of
+    * the UTF-8 encoding, zero right-padded, read as an unsigned 48-bit
+    * integer. Six bytes, not eight: the device's bucket arithmetic is
+    * double, and 2^48 sits inside the 53-bit mantissa so the cast is
+    * exact (8 bytes would round and break monotonicity). Truncation
+    * only COARSENS (strings sharing a 6-byte prefix tie in the proxy
+    * and stay in one sub-bucket, ordered in-bucket by the string
+    * itself); zero-padding keeps prefixes ordered before their
+    * extensions, matching binary string order. */
+  def stringPrefixProxy(c: Column): Column =
+    conv(hex(rpad(encode(c, "UTF-8"), 6, Array[Byte](0))), 16, 10)
+      .cast("long")
+
+  /** Skew-aware bucket map for ranking INTEGER COUNTS DESCENDING (the
+    * caller ranks by valueCol = −count): Zipf/Lotka count distributions
+    * put ~60% of a vocabulary at count=1 and a long tie-heavy tail at
+    * small counts, so a LINEAR bucket map mixes counts 1..maxCount/nB
+    * into one multi-valued bucket that [[bucketedGlobalRank]]'s
+    * tie-proxy may never split (splitting is only exact for
+    * single-valued buckets). Here the tail gets EXACT per-count buckets
+    * — count c ≤ exactTail maps to its own bucket (single-valued by
+    * construction, so the proxy always splits it) — and the sparse head
+    * (c > exactTail, at most ~V/exactTail types by Zipf) spreads over
+    * nBuckets linear buckets. Monotone w.r.t. −count ascending:
+    * descending counts map to weakly increasing bucket ids in
+    * [0, nBuckets + exactTail). */
+  def zipfCountBuckets(countCol: Column, maxCount: Long,
+      nBuckets: Int = 1024, exactTail: Long = 1024L): Column = {
+    require(nBuckets >= 1 && exactTail >= 1,
+      "zipfCountBuckets: nBuckets and exactTail must be >= 1")
+    val headSpan = math.max(1L, maxCount - exactTail).toDouble
+    when(countCol <= exactTail,
+        lit(nBuckets.toLong) + (lit(exactTail) - countCol))
+      .otherwise(least(lit(nBuckets - 1L),
+        floor((lit(maxCount.toDouble) - countCol.cast("double")) /
+          lit(headSpan) * nBuckets)))
+      .cast("int")
+  }
 
   /** Appends `rankCol` = the 1-based global `row_number` ordered by
     * (`valueCol` asc, `tieCol` asc), without a corpus-cardinality
     * single-task sort. `valueCol` may be any numeric type (bucketing
     * casts to double — weakly monotone, ties preserved; the within-
     * bucket sort orders by the ORIGINAL column so no precision is
-    * lost). Internal columns are dropped before returning. */
+    * lost). Internal columns are dropped before returning.
+    *
+    * `tieProxyCol` (optional, for tie-heavy value distributions): the
+    * name of a NUMERIC column that is weakly monotone w.r.t. `tieCol`'s
+    * ascending order (nulls, if any, lowest) — see [[stringPrefixProxy]]
+    * for strings. When set, any bucket whose rows all carry ONE
+    * non-null, non-NaN value is subdivided into up to `nSubBuckets`
+    * sub-buckets by the proxy (exact: such a bucket is ordered purely
+    * by the tie, and a monotone proxy split respects that order), at
+    * the cost of one extra bounded aggregate pass. Buckets holding more
+    * than one value — or any null/NaN value — are never split.
+    *
+    * `bucketCol` (optional): the name of a caller-computed INT bucket
+    * column replacing the device's linear value map — required weakly
+    * monotone w.r.t. `valueCol` ascending (nulls first, NaN last,
+    * encoded by the caller; all callers today are non-null) with
+    * bounded cardinality. Use when the value distribution defeats a
+    * linear map — e.g. Zipf counts, where the linear last bucket mixes
+    * counts 1..maxCount/nBuckets and so is never single-valued; see
+    * [[zipfCountBuckets]]. */
   def bucketedGlobalRank(df: DataFrame, valueCol: String, tieCol: String,
-      rankCol: String = "_rn", nBuckets: Int = 1024): DataFrame = {
+      rankCol: String = "_rn", nBuckets: Int = 1024,
+      tieProxyCol: Option[String] = None,
+      nSubBuckets: Int = 256,
+      bucketCol: Option[String] = None): DataFrame = {
     require(nBuckets >= 1, s"bucketedGlobalRank: nBuckets must be >= 1")
+    require(nSubBuckets >= 1, s"bucketedGlobalRank: nSubBuckets must be >= 1")
     val v = col(valueCol).cast("double")
-    // 1-row side-input action (the BPE/Lod bounded-collect class): lo/hi
-    // become literals, so the bucket map is pure map-side and the stats
-    // subtree isn't recomputed under both the histogram and rank branches.
-    // min/max exclude NaN explicitly (Spark's max treats NaN as greatest,
-    // which would poison the bucket arithmetic for every row).
     val vFinite = when(v.isNotNull && !isnan(v), v)
-    val statsRow = df.agg(min(vFinite).as("_lo"), max(vFinite).as("_hi")).head()
-    val empty = statsRow.isNullAt(0)
-    val (lo, hi) =
-      if (empty) (0.0, 0.0) else (statsRow.getDouble(0), statsRow.getDouble(1))
-    // Null/NaN rows get explicit buckets matching Spark's total order for
-    // an ascending sort — nulls FIRST (bucket 0, asc_nulls_first inside
-    // the bucket), NaN LAST (> +Infinity in Spark's ordering → last
-    // bucket) — so the rank stays bit-identical to the single-task
-    // Window.orderBy(asc) even on nullable or NaN-bearing metrics (a
-    // null value used to fall through least(), land in the LAST bucket
-    // and rank at the end; the early callers were all non-null so the gate
-    // never saw it). Degeneracy, not a bug: an all-null/all-NaN column
-    // collapses to hi <= lo and ranks serially in one bucket.
-    val bucketed = df
-      .withColumn("_b",
-        if (hi <= lo) lit(0)
-        else when(v.isNull, lit(0))
-          .when(isnan(v), lit(nBuckets - 1))
-          .otherwise(least(lit(nBuckets - 1L),
-            floor((v - lit(lo)) / lit(hi - lo) * nBuckets)).cast("int")))
-    val hist = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_bcnt"))
-    // Exclusive prefix sum over the nBuckets-bounded histogram — a
-    // broadcast non-equi self-join instead of a global window, so the
-    // device's plan carries no unpartitioned Window at all.
-    val prior = hist.select(col("_b").as("_pb"), col("_bcnt").as("_pcnt"))
-    val offsets = hist.join(broadcast(prior), col("_pb") < col("_b"), "left")
-      .groupBy(col("_b"))
-      .agg(sum(coalesce(col("_pcnt"), lit(0L))).as("_cum"))
-    val wIn = Window.partitionBy(col("_b"))
-      .orderBy(col(valueCol).asc_nulls_first, col(tieCol).asc)
-    bucketed.join(broadcast(offsets), Seq("_b"))
-      .withColumn(rankCol,
-        col("_cum") + row_number().over(wIn).cast("long"))
-      .drop("_b", "_cum")
+    val coarse = bucketCol match {
+      case Some(bc) =>
+        df.withColumn("_b", col(bc).cast("int"))
+      case None =>
+        // 1-row side-input action (the BPE/Lod bounded-collect class): lo/hi
+        // become literals, so the bucket map is pure map-side and the stats
+        // subtree isn't recomputed under both the histogram and rank branches.
+        // min/max exclude NaN explicitly (Spark's max treats NaN as greatest,
+        // which would poison the bucket arithmetic for every row).
+        val statsRow =
+          df.agg(min(vFinite).as("_lo"), max(vFinite).as("_hi")).head()
+        val empty = statsRow.isNullAt(0)
+        val (lo, hi) =
+          if (empty) (0.0, 0.0)
+          else (statsRow.getDouble(0), statsRow.getDouble(1))
+        // Null/NaN rows get explicit buckets matching Spark's total order for
+        // an ascending sort — nulls FIRST (bucket 0, asc_nulls_first inside
+        // the bucket), NaN LAST (> +Infinity in Spark's ordering → last
+        // bucket) — so the rank stays bit-identical to the single-task
+        // Window.orderBy(asc) even on nullable or NaN-bearing metrics (a
+        // null value used to fall through least(), land in the LAST bucket
+        // and rank at the end; the early callers were all non-null so the gate
+        // never saw it). Degeneracy, not a bug: an all-null/all-NaN column
+        // collapses to hi <= lo and ranks serially in one bucket.
+        df.withColumn("_b",
+          if (hi <= lo) lit(0)
+          else when(v.isNull, lit(0))
+            .when(isnan(v), lit(nBuckets - 1))
+            .otherwise(least(lit(nBuckets - 1L),
+              floor((v - lit(lo)) / lit(hi - lo) * nBuckets)).cast("int")))
+    }
+    tieProxyCol match {
+      case None =>
+        val bucketed = coarse
+        val hist = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_bcnt"))
+        // Exclusive prefix sum over the nBuckets-bounded histogram — a
+        // broadcast non-equi self-join instead of a global window, so the
+        // device's plan carries no unpartitioned Window at all.
+        val prior = hist.select(col("_b").as("_pb"), col("_bcnt").as("_pcnt"))
+        val offsets = hist.join(broadcast(prior), col("_pb") < col("_b"), "left")
+          .groupBy(col("_b"))
+          .agg(sum(coalesce(col("_pcnt"), lit(0L))).as("_cum"))
+        val wIn = Window.partitionBy(col("_b"))
+          .orderBy(col(valueCol).asc_nulls_first, col(tieCol).asc)
+        bucketed.join(broadcast(offsets), Seq("_b"))
+          .withColumn(rankCol,
+            col("_cum") + row_number().over(wIn).cast("long"))
+          .drop("_b", "_cum")
+      case Some(proxyName) =>
+        val p = col(proxyName).cast("double")
+        // One bounded pass: per-coarse-bucket value min/max, bad-row
+        // (null/NaN value) count, and proxy min/max — nBuckets rows,
+        // broadcast back. A bucket is SPLITTABLE iff it holds exactly
+        // one finite value (vlo == vhi, zero bad rows): its rows are
+        // then ordered purely by the tie, so a monotone-proxy cut
+        // never separates rows the (value, tie) order keeps adjacent.
+        val bstats = coarse.groupBy(col("_b")).agg(
+          min(vFinite).as("_vlo"), max(vFinite).as("_vhi"),
+          sum(when(v.isNull || isnan(v), 1L).otherwise(0L)).as("_nbad"),
+          min(p).as("_plo"), max(p).as("_phi"))
+        val splittable = col("_nbad") === 0L && col("_vlo").isNotNull &&
+          col("_vlo") === col("_vhi") && col("_phi") > col("_plo")
+        val bucketed = coarse.join(broadcast(bstats), Seq("_b"))
+          .withColumn("_sb",
+            when(!splittable || p.isNull, lit(0))
+              .otherwise(least(lit(nSubBuckets - 1L),
+                floor((p - col("_plo")) / (col("_phi") - col("_plo")) *
+                  nSubBuckets)).cast("int")))
+          .drop("_vlo", "_vhi", "_nbad", "_plo", "_phi")
+        val hist = bucketed.groupBy(col("_b"), col("_sb"))
+          .agg(count(lit(1)).as("_bcnt"))
+        // Offsets in two bounded levels (an O((nBuckets·nSub)²) flat
+        // non-equi self-join would blow up): the coarse level keeps the
+        // broadcast-join prefix sum; the sub level is a PARTITIONED
+        // running sum over the bounded histogram.
+        val perB = hist.groupBy(col("_b")).agg(sum(col("_bcnt")).as("_tot"))
+        val prior = perB.select(col("_b").as("_pb"), col("_tot").as("_pcnt"))
+        val bOff = perB.join(broadcast(prior), col("_pb") < col("_b"), "left")
+          .groupBy(col("_b"))
+          .agg(sum(coalesce(col("_pcnt"), lit(0L))).as("_bcum"))
+        val wSub = Window.partitionBy(col("_b")).orderBy(col("_sb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = hist
+          .withColumn("_scum", coalesce(sum(col("_bcnt")).over(wSub), lit(0L)))
+          .join(broadcast(bOff), Seq("_b"))
+          .select(col("_b"), col("_sb"), (col("_bcum") + col("_scum")).as("_cum"))
+        val wIn = Window.partitionBy(col("_b"), col("_sb"))
+          .orderBy(col(valueCol).asc_nulls_first, col(tieCol).asc)
+        bucketed.join(broadcast(offsets), Seq("_b", "_sb"))
+          .withColumn(rankCol,
+            col("_cum") + row_number().over(wIn).cast("long"))
+          .drop("_b", "_sb", "_cum")
+    }
   }
 
   /** Per-group exact rank without a per-group single-task sort — the

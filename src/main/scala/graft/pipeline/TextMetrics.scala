@@ -3041,24 +3041,44 @@ object TextMetrics {
     *
     * Scale shape: consumes the (doc, token, tf) relation
     * ([[termFrequencies]] — the shared materialized form), re-aggregated
-    * to TOKEN granularity, so the ranked running sum runs on the
-    * vocabulary-sized relation, never the corpus; the global
-    * single-partition window is bounded by |vocab|, and the grand total
-    * is a 1-row broadcast. Coverage is one IEEE divide of exact integer
+    * to TOKEN granularity and ranked by [[Ranks.bucketedGlobalRank]]
+    * with the string-prefix tie proxy — "vocabulary ≪ corpus" stops
+    * being a single-task-sort excuse at the 100-TB north star (Heaps'
+    * law puts a web corpus at 10⁸–10⁹ types), and token counts are
+    * Zipf (count=1 alone is ~60% of types — Lotka), which is exactly
+    * the tie-heavy case the proxy subdivides. The running sum at each
+    * cut point is re-expressed as sum(c) over rank ≤ cut — a broadcast
+    * non-equi join against the |cutPoints|-bounded cut relation +
+    * a grouped aggregate; exact long arithmetic, order-independent,
+    * identical to the prefix sum at the cut. Cut points past the
+    * vocabulary end stay absent (the cut relation is probed from
+    * ranks that exist, preserving the filter-at-rank form's
+    * behavior). Coverage is one IEEE divide of exact integer
     * operands — bit-stable across engines. */
   def vocabCoverageFromTf(tf: DataFrame, cutPoints: Seq[Int]): DataFrame = {
     require(cutPoints.nonEmpty, "vocabCoverage: need at least one cut point")
+    // vocabulary-sized; checkpointed because the rank device makes
+    // multiple passes (sub-bucket stats, histogram, rank join)
     val tok = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
-    val w = Window.orderBy(col("c").desc, col("token"))
-    val ranked = tok
-      .withColumn("k", row_number().over(w).cast("long"))
-      .withColumn("covered",
-        sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
-    val total = tok.agg(sum(col("c")).as("total"))
-    ranked.filter(col("k").isin(cutPoints.map(_.toLong): _*))
+      .withColumn("_neg", -col("c"))
+      .withColumn("_tp", Ranks.stringPrefixProxy(col("token")))
+      .localCheckpoint(true)
+    val maxRow = tok.agg(max(col("c"))).head()
+    val maxC = if (maxRow.isNullAt(0)) 1L else maxRow.getLong(0)
+    val ranked = Ranks.bucketedGlobalRank(
+        tok.withColumn("_zb", Ranks.zipfCountBuckets(col("c"), maxC)),
+        "_neg", "token", "k",
+        tieProxyCol = Some("_tp"), bucketCol = Some("_zb"))
+      .drop("_neg", "_tp", "_zb")
+      .localCheckpoint(true) // consumed by the total, the cut probe, and the covered sums
+    val total = ranked.agg(sum(col("c")).as("total"))
+    val atCuts = ranked.filter(col("k").isin(cutPoints.map(_.toLong): _*))
+      .select(col("k").as("_cut"))
+    ranked.join(broadcast(atCuts), col("k") <= col("_cut"))
+      .groupBy(col("_cut"))
+      .agg(sum(col("c")).as("covered"))
       .crossJoin(broadcast(total))
-      .select(col("k"), col("covered").cast("long").as("covered"),
+      .select(col("_cut").as("k"), col("covered").cast("long").as("covered"),
         col("total").cast("long").as("total"),
         (col("covered").cast("double") / col("total").cast("double"))
           .as("coverage"))
@@ -3668,14 +3688,24 @@ object TextMetrics {
     * decimal domain per the house rule.
     *
     * Scale shape: counts aggregate from the caller's term-frequency
-    * relation (vocabulary-sized); the rank window is a single-partition
-    * sort of that relation only (the q79 device — fine because
-    * vocabulary ≪ corpus); the six sums reduce with map-side partials
-    * to one row. */
+    * relation (vocabulary-sized); ranks come from
+    * [[Ranks.bucketedGlobalRank]] with the string-prefix tie proxy
+    * (Heaps' law makes "vocabulary ≪ corpus" a 10⁸–10⁹-type relation
+    * at 100 TB — a single-task sort — and Zipf counts are the
+    * tie-heavy case the proxy subdivides); the six sums reduce with
+    * map-side partials to one row. */
   def zipfFitFromTf(tf: DataFrame): DataFrame = {
     val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("token").asc)
-    val ranked = counts.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("_neg", -col("cnt"))
+      .withColumn("_tp", Ranks.stringPrefixProxy(col("token")))
+      .localCheckpoint(true) // the rank device makes multiple passes
+    val maxRow = counts.agg(max(col("cnt"))).head()
+    val maxC = if (maxRow.isNullAt(0)) 1L else maxRow.getLong(0)
+    val ranked = Ranks.bucketedGlobalRank(
+        counts.withColumn("_zb", Ranks.zipfCountBuckets(col("cnt"), maxC)),
+        "_neg", "token", "rank",
+        tieProxyCol = Some("_tp"), bucketCol = Some("_zb"))
+      .drop("_neg", "_tp", "_zb")
     val x = log(col("rank").cast("double"))
     val y = log(col("cnt").cast("double"))
     val sums = ranked.agg(

@@ -451,6 +451,83 @@ class ScaleSpec extends AnyFunSuite {
         Window.orderBy(col("v").asc, col("id").asc)).cast("long"))))
   }
 
+  test("tie-proxy bucketedGlobalRank: Zipf-tied counts stay rank-exact and the tie mass splits across sub-buckets") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.pipeline.Ranks
+    // Zipf-count regime: most tokens tie at count 1 (Lotka), a few heads
+    // are huge — without the proxy the count=1 tie mass lands in ONE
+    // bucket; with it, sub-buckets split the ties by token prefix
+    val rnd = new scala.util.Random(41)
+    val toks = (0 until 800).map { i =>
+      val t = f"${('a' + rnd.nextInt(26)).toChar}%c${rnd.nextInt(1000)}%03dtok$i"
+      val c = if (i < 8) 1000L + i else if (i < 60) 2L + rnd.nextInt(20) else 1L
+      (t, c)
+    }
+    val df = toks.toDF("token", "c").repartition(7)
+      .withColumn("_neg", -col("c"))
+      .withColumn("_tp", Ranks.stringPrefixProxy(col("token")))
+      .withColumn("_zb", Ranks.zipfCountBuckets(col("c"), 1007L,
+        nBuckets = 16, exactTail = 24L))
+    val got = Ranks.bucketedGlobalRank(df, "_neg", "token", "_rn",
+      nBuckets = 16, tieProxyCol = Some("_tp"), nSubBuckets = 8,
+      bucketCol = Some("_zb"))
+    val want = df.withColumn("_rn", row_number().over(
+      Window.orderBy(col("_neg").asc, col("token").asc)).cast("long"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("token", "_rn").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows(got) == rows(want))
+    // plan shape: every Window is partitioned; SinglePartition exchanges
+    // gather only partial-aggregate rows
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val windowLines = lines.filter(_.contains("Window "))
+    assert(windowLines.nonEmpty, plan.take(3000))
+    windowLines.foreach(l =>
+      assert(l.contains("_b#") || l.contains("_sb#"),
+        s"unpartitioned Window:\n$l"))
+    lines.zip(lines.drop(1)).foreach { case (l, child) =>
+      if (l.contains("Exchange SinglePartition"))
+        assert(child.contains("partial_"),
+          s"SinglePartition exchange over non-partial rows:\n$l\n$child")
+    }
+    // sub-bucketing is ACTIVE: a Window partitioned on (_b, _sb) is in
+    // the plan, and the count=1 tie group genuinely spreads over >1
+    // sub-bucket (driver-side replay of the device's sub-bucket map
+    // over the fixture's proxies — the single-valued count=1 bucket
+    // splits by proxy range)
+    assert(windowLines.exists(_.contains("_sb#")),
+      s"no sub-bucketed Window in plan:\n${plan.take(3000)}")
+    val tieProxies = df.filter(col("c") === 1L).select(col("_tp"))
+      .collect().map(_.getLong(0))
+    val (plo, phi) = (tieProxies.min.toDouble, tieProxies.max.toDouble)
+    val subs = tieProxies
+      .map(p => math.min(7L, math.floor((p - plo) / (phi - plo) * 8).toLong))
+      .toSet
+    assert(subs.size >= 4, s"tie mass in too few sub-buckets: $subs")
+    // exactness of the tie run: count=1 ranks are one contiguous block
+    val ones = got.filter(col("c") === 1L).select(col("_rn"))
+      .collect().map(_.getLong(0)).sorted
+    assert(ones.length == 740)
+    assert(ones.last - ones.head == 739L, "count=1 ranks must be contiguous")
+  }
+
+  test("q79/q85 executed plans: every Window partitioned (no single-task vocabulary sort)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    for (q <- Seq("q79_vocab_coverage", "q85_zipf")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      plan.linesIterator.filter(_.contains("windowspecdefinition")).foreach {
+        l => assert(!l.contains("windowspecdefinition()"),
+          s"unpartitioned Window in $q:\n$l")
+      }
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2500)}")
+    }
+  }
+
   test("bucketedGlobalRank property: random values and bucket counts stay rank-exact") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(17)
