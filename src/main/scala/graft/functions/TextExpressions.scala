@@ -43,27 +43,127 @@ object TextKernels {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** The full HTML4/XHTML named character entity set — 252 entries
+    * across the three public DTD files (Latin-1 96 + symbols 124 +
+    * special 32), name → codepoint, CASE-SENSITIVE (`Eacute` and
+    * `eacute` are distinct entries; `RSQUO` is not a name). The
+    * `&rsquo; &mdash; &hellip; &eacute;`-class refs appear on
+    * practically every real page — leaving them verbatim poisons
+    * downstream line rules. Names are 2–8 ASCII alphanumerics. */
+  val htmlEntityTable: Map[String, Int] = Map(
+    "AElig" -> 198, "Aacute" -> 193, "Acirc" -> 194,
+    "Agrave" -> 192, "Alpha" -> 913, "Aring" -> 197,
+    "Atilde" -> 195, "Auml" -> 196, "Beta" -> 914,
+    "Ccedil" -> 199, "Chi" -> 935, "Dagger" -> 8225,
+    "Delta" -> 916, "ETH" -> 208, "Eacute" -> 201,
+    "Ecirc" -> 202, "Egrave" -> 200, "Epsilon" -> 917,
+    "Eta" -> 919, "Euml" -> 203, "Gamma" -> 915, "Iacute" -> 205,
+    "Icirc" -> 206, "Igrave" -> 204, "Iota" -> 921,
+    "Iuml" -> 207, "Kappa" -> 922, "Lambda" -> 923, "Mu" -> 924,
+    "Ntilde" -> 209, "Nu" -> 925, "OElig" -> 338,
+    "Oacute" -> 211, "Ocirc" -> 212, "Ograve" -> 210,
+    "Omega" -> 937, "Omicron" -> 927, "Oslash" -> 216,
+    "Otilde" -> 213, "Ouml" -> 214, "Phi" -> 934, "Pi" -> 928,
+    "Prime" -> 8243, "Psi" -> 936, "Rho" -> 929, "Scaron" -> 352,
+    "Sigma" -> 931, "THORN" -> 222, "Tau" -> 932, "Theta" -> 920,
+    "Uacute" -> 218, "Ucirc" -> 219, "Ugrave" -> 217,
+    "Upsilon" -> 933, "Uuml" -> 220, "Xi" -> 926,
+    "Yacute" -> 221, "Yuml" -> 376, "Zeta" -> 918,
+    "aacute" -> 225, "acirc" -> 226, "acute" -> 180,
+    "aelig" -> 230, "agrave" -> 224, "alefsym" -> 8501,
+    "alpha" -> 945, "amp" -> 38, "and" -> 8743, "ang" -> 8736,
+    "aring" -> 229, "asymp" -> 8776, "atilde" -> 227,
+    "auml" -> 228, "bdquo" -> 8222, "beta" -> 946,
+    "brvbar" -> 166, "bull" -> 8226, "cap" -> 8745,
+    "ccedil" -> 231, "cedil" -> 184, "cent" -> 162, "chi" -> 967,
+    "circ" -> 710, "clubs" -> 9827, "cong" -> 8773,
+    "copy" -> 169, "crarr" -> 8629, "cup" -> 8746,
+    "curren" -> 164, "dArr" -> 8659, "dagger" -> 8224,
+    "darr" -> 8595, "deg" -> 176, "delta" -> 948,
+    "diams" -> 9830, "divide" -> 247, "eacute" -> 233,
+    "ecirc" -> 234, "egrave" -> 232, "empty" -> 8709,
+    "emsp" -> 8195, "ensp" -> 8194, "epsilon" -> 949,
+    "equiv" -> 8801, "eta" -> 951, "eth" -> 240, "euml" -> 235,
+    "euro" -> 8364, "exist" -> 8707, "fnof" -> 402,
+    "forall" -> 8704, "frac12" -> 189, "frac14" -> 188,
+    "frac34" -> 190, "frasl" -> 8260, "gamma" -> 947,
+    "ge" -> 8805, "gt" -> 62, "hArr" -> 8660, "harr" -> 8596,
+    "hearts" -> 9829, "hellip" -> 8230, "iacute" -> 237,
+    "icirc" -> 238, "iexcl" -> 161, "igrave" -> 236,
+    "image" -> 8465, "infin" -> 8734, "int" -> 8747,
+    "iota" -> 953, "iquest" -> 191, "isin" -> 8712,
+    "iuml" -> 239, "kappa" -> 954, "lArr" -> 8656,
+    "lambda" -> 955, "lang" -> 9001, "laquo" -> 171,
+    "larr" -> 8592, "lceil" -> 8968, "ldquo" -> 8220,
+    "le" -> 8804, "lfloor" -> 8970, "lowast" -> 8727,
+    "loz" -> 9674, "lrm" -> 8206, "lsaquo" -> 8249,
+    "lsquo" -> 8216, "lt" -> 60, "macr" -> 175, "mdash" -> 8212,
+    "micro" -> 181, "middot" -> 183, "minus" -> 8722,
+    "mu" -> 956, "nabla" -> 8711, "nbsp" -> 160, "ndash" -> 8211,
+    "ne" -> 8800, "ni" -> 8715, "not" -> 172, "notin" -> 8713,
+    "nsub" -> 8836, "ntilde" -> 241, "nu" -> 957,
+    "oacute" -> 243, "ocirc" -> 244, "oelig" -> 339,
+    "ograve" -> 242, "oline" -> 8254, "omega" -> 969,
+    "omicron" -> 959, "oplus" -> 8853, "or" -> 8744,
+    "ordf" -> 170, "ordm" -> 186, "oslash" -> 248,
+    "otilde" -> 245, "otimes" -> 8855, "ouml" -> 246,
+    "para" -> 182, "part" -> 8706, "permil" -> 8240,
+    "perp" -> 8869, "phi" -> 966, "pi" -> 960, "piv" -> 982,
+    "plusmn" -> 177, "pound" -> 163, "prime" -> 8242,
+    "prod" -> 8719, "prop" -> 8733, "psi" -> 968, "quot" -> 34,
+    "rArr" -> 8658, "radic" -> 8730, "rang" -> 9002,
+    "raquo" -> 187, "rarr" -> 8594, "rceil" -> 8969,
+    "rdquo" -> 8221, "real" -> 8476, "reg" -> 174,
+    "rfloor" -> 8971, "rho" -> 961, "rlm" -> 8207,
+    "rsaquo" -> 8250, "rsquo" -> 8217, "sbquo" -> 8218,
+    "scaron" -> 353, "sdot" -> 8901, "sect" -> 167, "shy" -> 173,
+    "sigma" -> 963, "sigmaf" -> 962, "sim" -> 8764,
+    "spades" -> 9824, "sub" -> 8834, "sube" -> 8838,
+    "sum" -> 8721, "sup" -> 8835, "sup1" -> 185, "sup2" -> 178,
+    "sup3" -> 179, "supe" -> 8839, "szlig" -> 223, "tau" -> 964,
+    "there4" -> 8756, "theta" -> 952, "thetasym" -> 977,
+    "thinsp" -> 8201, "thorn" -> 254, "tilde" -> 732,
+    "times" -> 215, "trade" -> 8482, "uArr" -> 8657,
+    "uacute" -> 250, "uarr" -> 8593, "ucirc" -> 251,
+    "ugrave" -> 249, "uml" -> 168, "upsih" -> 978,
+    "upsilon" -> 965, "uuml" -> 252, "weierp" -> 8472,
+    "xi" -> 958, "yacute" -> 253, "yen" -> 165, "yuml" -> 255,
+    "zeta" -> 950, "zwj" -> 8205, "zwnj" -> 8204)
+
+  // hot-path lookup form (HashMap.get, no Option boxing per ref)
+  private val htmlEntities: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](512)
+    htmlEntityTable.foreach { case (k, v) => m.put(k, Integer.valueOf(v)) }
+    m
+  }
+
   /** Single-pass HTML character-reference decode — numeric refs
     * (`&#nnn;` decimal ≤ 7 digits, `&#xhh;`/`&#Xhh;` hex ≤ 6 digits,
-    * leading zeros allowed within the cap) plus the five named
-    * entities the front door has always decoded (`&lt; &gt; &quot;
-    * &nbsp; &amp;`, case-sensitive). One left-to-right scan, no rescan
+    * leading zeros allowed within the cap) plus the full
+    * HTML4 252-entity named table ([[htmlEntityTable]],
+    * case-sensitive, semicolon required). One left-to-right scan, no rescan
     * of replacements — the real parser semantics (`&#38;lt;` yields
     * the literal `&lt;`, matching the old chain's amp-last rule, and
-    * `&#38;amp;` yields `&amp;`, which a sequential replace chain
-    * cannot get right). A regex-chain alternative would need one
-    * `regexp_replace` pass per codepoint (~200 full-text scans per
-    * document); this kernel is one scan whatever the range.
+    * `&amp;mdash;` yields the literal `&mdash;`, which a sequential
+    * replace chain cannot get right). A regex-chain alternative would
+    * need one `regexp_replace` pass per codepoint (~450 full-text
+    * scans per document); this kernel is one scan whatever the range.
     *
-    * Decode rules: a ref decodes iff it parses completely (digits then
-    * `;`) AND the codepoint is tab/LF/CR or ≥ 32, ≤ U+10FFFF, and not
-    * a surrogate; anything else — malformed, truncated, out of range,
-    * control — passes through VERBATIM (the front door's documented
+    * Decode rules: a NUMERIC ref decodes iff it parses completely
+    * (ASCII digits then `;`) AND the codepoint is tab/LF/CR or ≥ 32,
+    * ≤ U+10FFFF, and not a surrogate; a NAMED ref decodes iff the
+    * maximal ASCII-alphanumeric run after `&` (capped at 8, the
+    * longest HTML4 name) is immediately followed by `;` and matches a
+    * table entry exactly — `&ampx` stays verbatim while `&amp;x`
+    * decodes to `&x`, and `&RSQUO;` stays verbatim (case matters).
+    * Anything else — malformed, truncated, out of range, control,
+    * unknown name — passes through VERBATIM (the front door's documented
     * leave-don't-guess rule; a cleaning filter catches stragglers).
     * One canonicalization quirk kept deliberately: NBSP (named or
     * numeric 160) decodes to a PLAIN space, because the downstream
     * whitespace squeeze uses the explicit `[ \t\f\r]` class and a
-    * literal   would silently survive it. */
+    * literal   would silently survive it. The quirk is NBSP-only:
+    * ensp/emsp/thinsp decode to their real codepoints. */
   def decodeHtmlRefs(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
     val str = s.toString
     if (str.indexOf('&') < 0) return s
@@ -73,11 +173,6 @@ object TextKernels {
     while (i < n) {
       val ch = str.charAt(i)
       if (ch != '&') { sb.append(ch); i += 1 }
-      else if (str.startsWith("&lt;", i)) { sb.append('<'); i += 4 }
-      else if (str.startsWith("&gt;", i)) { sb.append('>'); i += 4 }
-      else if (str.startsWith("&quot;", i)) { sb.append('"'); i += 6 }
-      else if (str.startsWith("&nbsp;", i)) { sb.append(' '); i += 6 }
-      else if (str.startsWith("&amp;", i)) { sb.append('&'); i += 5 }
       else if (i + 2 < n && str.charAt(i + 1) == '#') {
         val hex = str.charAt(i + 2) == 'x' || str.charAt(i + 2) == 'X'
         val d0 = if (hex) i + 3 else i + 2
@@ -88,7 +183,14 @@ object TextKernels {
         while (ok && d < n && d - d0 < maxDigits + 1 && {
           val c = str.charAt(d)
           if (hex) {
-            val v = Character.digit(c, 16)
+            // explicit ASCII hex classes — Character.digit accepts
+            // non-ASCII Unicode digits (U+0663 counts as 3), diverging
+            // from the HTML ASCII-hex rule
+            val v =
+              if (c >= '0' && c <= '9') c - '0'
+              else if (c >= 'a' && c <= 'f') c - 'a' + 10
+              else if (c >= 'A' && c <= 'F') c - 'A' + 10
+              else -1
             if (v >= 0) { cp = (cp << 4) | v; true } else false
           } else if (c >= '0' && c <= '9') { cp = cp * 10 + (c - '0'); true }
           else false
@@ -102,7 +204,30 @@ object TextKernels {
           i = d + 1
         } else { sb.append('&'); i += 1 }
       }
-      else { sb.append('&'); i += 1 }
+      else {
+        // named entity: maximal [A-Za-z0-9] run (≤ 8 chars — the
+        // longest HTML4 name, "thetasym"), then ';', then an exact
+        // case-sensitive table hit; `&ampx` stays verbatim while
+        // `&amp;x` decodes to `&x`
+        var d = i + 1
+        val dMax = math.min(n, i + 9)
+        while (d < dMax && {
+          val c = str.charAt(d)
+          (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9')
+        }) d += 1
+        var decoded = false
+        if (d - i >= 3 && d < n && str.charAt(d) == ';') {
+          val cp = htmlEntities.get(str.substring(i + 1, d))
+          if (cp != null) {
+            if (cp.intValue == 160) sb.append(' ')
+            else sb.appendCodePoint(cp.intValue)
+            i = d + 1
+            decoded = true
+          }
+        }
+        if (!decoded) { sb.append('&'); i += 1 }
+      }
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
@@ -190,7 +315,13 @@ object CharsetKernels {
     * 0x80–0x9F are smart quotes/dashes/ellipsis, not C1 controls.
     * Documented bounds: UTF-32 BOMs read as their UTF-16 prefixes;
     * unBOM'd UTF-16 is not sniffed (NUL-heavy bytes fail UTF-8
-    * validation and fall back to CP1252). */
+    * validation and fall back to CP1252); and the converse of the BOM
+    * rule is absolute — ANY payload whose first two bytes are FF FE /
+    * FE FF classifies as UTF-16, so a cp1252/binary document that
+    * happens to START with 'ÿþ' or 'þÿ' is misread (the WHATWG sniff
+    * has the same property; real-text collisions require those exact
+    * leading bytes and are vanishingly rare vs unBOM'd UTF-16,
+    * which is common). */
   def charsetOf(b: Array[Byte]): String =
     if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
       b(2) == 0xBF.toByte) "utf-8-bom"

@@ -39,8 +39,9 @@ import org.apache.spark.sql.functions._
   *      rescan of replacements (real parser semantics: `&amp;lt;` and
   *      `&#38;lt;` both yield the literal `&lt;`): numeric `&#nnn;` /
   *      `&#xhh;` for any valid codepoint (tab/LF/CR or ≥32, ≤U+10FFFF,
-  *      non-surrogate; NBSP→plain space) plus the named five
-  *      `&lt; &gt; &quot; &nbsp; &amp;`
+  *      non-surrogate; NBSP→plain space) plus the FULL HTML4
+  *      252-entity named table (case-sensitive, semicolon required —
+  *      [[graft.functions.TextKernels.htmlEntityTable]])
   *   6. normalize: collapse intra-line whitespace, trim line edges,
   *      drop empty lines
   *
@@ -48,11 +49,12 @@ import org.apache.spark.sql.functions._
   * chain fuses into the scan projection and runs at parquet-read
   * throughput. 100 TB of HTML is exactly as partitionable as its scan.
   *
-  * Deliberate bounds (documented, spec-pinned): named entities beyond
-  * the five above pass through verbatim, as do malformed / truncated /
-  * out-of-range numeric refs; malformed markup (an unclosed `<`) is
-  * left in place rather than guessed at — a cleaning-stage filter
-  * catches the stragglers, which beats silently eating document text.
+  * Deliberate bounds (documented, spec-pinned): named entities outside
+  * the HTML4 table (unknown names, wrong case, missing semicolon) pass
+  * through verbatim, as do malformed / truncated / out-of-range
+  * numeric refs; malformed markup (an unclosed `<`) is left in place
+  * rather than guessed at — a cleaning-stage filter catches the
+  * stragglers, which beats silently eating document text.
   */
 object Html {
 

@@ -2205,15 +2205,20 @@ object PipelineQueries {
     // exercising the dropped_quality arm; ≡ 3 mod 10 gains a non-ASCII
     // word so its Latin-1-byte page genuinely fails UTF-8 validation
     // below (detected as cp1252 — the WHATWG web rule)
+    // table text is '&'-stripped in every arm (the q223 rule: the
+    // kernel decodes any '&#NN;'/'&name;'-shaped substring the driver
+    // might regenerate into documents.text; the oracle replays only
+    // planted refs)
+    val noAmp = replace(col("text"), lit("&"), lit(""))
     val para = when(col("doc_id") % 10 === 7,
         lit("!!! ??? *** !!! ??? *** !!! ??? *** !!! ??? ***"))
       .when(col("doc_id") % 10 === 3,
         // the Latin-1-encoded arm: table text ASCII-stripped so the
         // ISO-8859-1 encode below stays total (the q237 rule); the
         // planted café carries the arm's non-ASCII content
-        concat(regexp_replace(col("text"), "[^\\x00-\\x7f]", ""),
+        concat(regexp_replace(noAmp, "[^\\x00-\\x7f]", ""),
           lit(" café")))
-      .otherwise(col("text"))
+      .otherwise(noAmp)
     val html = concat(lit(htmlPlant(0)), id, lit(htmlPlant(1)), id,
       lit(htmlPlant(2)), id, lit(htmlPlant(3)), id, lit(htmlPlant(4)),
       para, lit(htmlPlant(5)))
@@ -2971,6 +2976,14 @@ object PipelineQueries {
       "<div>caf&#233; en&#x2013;dash A&#0065; nb&#160;sp" +
       " <brand a>brand text</brand>" +
       " bad&#xD800; big&#1114112; raw&#z; trunc&#39</div>" +
+      // named entities from the full HTML4 table (rsquo/mdash/hellip/
+      // eacute — the refs real pages carry constantly) decode; an
+      // unknown name, a missing semicolon (&ampx vs &amp;x) and a
+      // wrong-case name pass through VERBATIM (the table is
+      // case-sensitive); &amp;mdash; must yield the literal &mdash;
+      // (no rescan of replacements)
+      "<div>q&rsquo;s em&mdash;dash more&hellip; caf&eacute;" +
+      " unknown&foo; amp&ampx case&RSQUO; semi&amp;x lit&amp;mdash;</div>" +
       "<ul><li> first</li><li>second &quot;q&quot; </li></ul>" +
       "<table><tr><td>cell a</td><td>cell b</td></tr></table>" +
       "</body></html>")
@@ -2984,9 +2997,14 @@ object PipelineQueries {
     * DuckDB (flag 'g', chr(10) line joins). */
   def q223HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
+    // the paragraph's TABLE text is '&'-stripped on BOTH sides: the
+    // kernel decodes every '&#NN;'/'&name;'-shaped substring while the
+    // oracle replays only the PLANTED refs, so a driver-regenerated
+    // documents.text containing one would silently diverge (the q237
+    // ASCII-strip discipline, applied to the ampersand)
     val html = concat(lit(htmlPlant(0)), id, lit(htmlPlant(1)), id,
       lit(htmlPlant(2)), id, lit(htmlPlant(3)), id, lit(htmlPlant(4)),
-      col("text"), lit(htmlPlant(5)))
+      replace(col("text"), lit("&"), lit("")), lit(htmlPlant(5)))
     graft.pipeline.Html.extractText(
         docs(spark, dir).select(col("doc_id"), html.as("html")),
         "doc_id", "html")
@@ -4990,7 +5008,8 @@ object PipelineQueries {
     * expression planted as the page's text paragraph (q234 blanks it
     * for doc_id ≡ 7 mod 10 so scaffolding-only pages exercise the
     * quality drop). */
-  private def htmlExtractCtes(paragraph: String = "text"): String =
+  private def htmlExtractCtes(
+      paragraph: String = "replace(text, '&', '')"): String =
     s"""hp AS (SELECT doc_id,
        |    '${htmlPlant(0)}' || doc_id::VARCHAR ||
        |    '${htmlPlant(1)}' || doc_id::VARCHAR ||
@@ -5012,11 +5031,12 @@ object PipelineQueries {
         |    AS s FROM e3),
         |e5 AS (SELECT doc_id,
         |    replace(replace(replace(replace(replace(replace(replace(
-        |      replace(replace(replace(s,
+        |      replace(replace(replace(replace(replace(replace(replace(s,
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |      '&#39;', ''''), '&nbsp;', ' '),
         |      '&#233;', 'é'), '&#x2013;', '–'), '&#0065;', 'A'),
-        |      '&#160;', ' '), '&amp;', '&') AS s
+        |      '&#160;', ' '), '&rsquo;', '’'), '&mdash;', '—'),
+        |      '&hellip;', '…'), '&eacute;', 'é'), '&amp;', '&') AS s
         |  FROM e4),
         |e6 AS (SELECT doc_id,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -6199,8 +6219,9 @@ object PipelineQueries {
           "CASE WHEN doc_id % 10 = 7 THEN " +
             "'!!! ??? *** !!! ??? *** !!! ??? *** !!! ??? ***' " +
             "WHEN doc_id % 10 = 3 THEN " +
-            "regexp_replace(text, '[^\\x00-\\x7f]', '', 'g') || ' café' " +
-            "ELSE text END")},\n" +
+            "regexp_replace(replace(text, '&', ''), " +
+            "'[^\\x00-\\x7f]', '', 'g') || ' café' " +
+            "ELSE replace(text, '&', '') END")},\n" +
         s"$urlCanonCtes,\n" +
         """ext AS (SELECT doc_id, s AS text,
           |    (CASE WHEN s = '' THEN 0

@@ -68,11 +68,53 @@ class HtmlSpec extends AnyFunSuite {
   }
 
   test("documented bounds: unknown NAMED entities and unclosed < pass through") {
-    val (t1, _, _) = extract("<p>&copy; stays, &#169; decodes</p>")
-    assert(t1 == "&copy; stays, © decodes")
+    // &copy; is in the HTML4 table (decodes); &copyz; / &foo; are not
+    val (t1, _, _) = extract("<p>&copy; and &#169; decode, &copyz; &foo; stay</p>")
+    assert(t1 == "© and © decode, &copyz; &foo; stay")
     // an unclosed < has no closing >: left in place, not guessed at
     val (t2, _, _) = extract("<p>a < b stays</p>")
     assert(t2 == "a < b stays")
+  }
+
+  test("full HTML4 named table: 252 case-sensitive entries, crawl-common refs decode") {
+    import graft.functions.TextKernels
+    assert(TextKernels.htmlEntityTable.size == 252)
+    // the three DTD groups land intact: Latin-1 96 (160..255), the
+    // rest split symbol/special
+    assert(TextKernels.htmlEntityTable.values.count(
+      cp => cp >= 160 && cp <= 255) == 96)
+    val (t, _, _) = extract(
+      "<p>it&rsquo;s &mdash; wait&hellip; caf&eacute; &ndash; &ldquo;q&rdquo;" +
+        " &copy;&reg;&trade; &euro;100 &Eacute;tat &alpha;&beta; x&ne;y</p>")
+    assert(t == "it’s — wait… café – “q” ©®™ €100 État αβ x≠y")
+    // nbsp canonicalizes to plain space; ensp/emsp/thinsp decode to
+    // their REAL codepoints (the quirk is NBSP-only)
+    val (t2, _, _) = extract("<p>a&nbsp;b&ensp;c&emsp;d&thinsp;e</p>")
+    assert(t2 == "a b c d e")
+  }
+
+  test("named refs: case sensitivity, missing semicolon, and no rescan") {
+    // &ampx (no semicolon) stays verbatim; &amp;x decodes to &x
+    val (t1, _, _) = extract("<p>&ampx vs &amp;x</p>")
+    assert(t1 == "&ampx vs &x")
+    // wrong case is not a name (the table is case-sensitive; Eacute
+    // and eacute are DISTINCT valid entries)
+    val (t2, _, _) = extract("<p>&RSQUO; stays, &Eacute; decodes</p>")
+    assert(t2 == "&RSQUO; stays, É decodes")
+    // no rescan: &amp;mdash; yields the literal &mdash; (a sequential
+    // replace chain would double-decode)
+    val (t3, _, _) = extract("<p>&amp;mdash; and &#38;hellip;</p>")
+    assert(t3 == "&mdash; and &hellip;")
+    // 8 is the longest name: a 9-alnum run never matches
+    val (t4, _, _) = extract("<p>&thetasym; ok, &thetasymX; no</p>")
+    assert(t4 == "ϑ ok, &thetasymX; no")
+  }
+
+  test("hex refs accept ASCII hex digits only (no Unicode digit classes)") {
+    // U+0663 ARABIC-INDIC THREE: Character.digit calls it 3, the HTML
+    // ASCII-hex rule does not — the ref must stay verbatim
+    val (t, _, _) = extract("<p>bad&#x٣٦; good&#x41;</p>")
+    assert(t == "bad&#x٣٦; goodA")
   }
 
   test("numeric refs: decimal, hex (either case), leading zeros, " +
