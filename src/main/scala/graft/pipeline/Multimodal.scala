@@ -520,6 +520,69 @@ object Multimodal {
     }
   }
 
+  /** COLOR sibling of [[smoothImage]] — the YCbCr 4:2:0 fixture class
+    * (real crawl JPEGs are color, and the JDK writer emits genuine
+    * 2×2-luma/1×1-chroma sampling — verified in the SOF0 marker — so
+    * the chroma-subsampling error envelope is exercised for real, not
+    * just luma quantization). Luma is the same id-parameterized
+    * sinusoid; chroma rides one GENTLE low-frequency wave split
+    * antisymmetrically across r/b (g carries pure luma): amplitudes
+    * are sized so no channel ever clips (max 89 + 19 = 108 < 127),
+    * keeping the raster smooth end-to-end — sharp edges under 4:2:0
+    * are the pathology the grayscale scaladoc documents. Chroma
+    * parameters cycle with id % 8 and id % 9, both divisors of the
+    * raster's existing lcm(9,7,2,4,16,40) = 5040 parameter period, so
+    * the full-period JpegSpec sweep covers every distinct raster.
+    * Measured over that full period at quality 0.85: max abs channel
+    * error 30 (vs 22 grayscale — the subsampling surcharge), planted
+    * dHash Hamming ≤ 10. */
+  private def smoothColorImage(id: Long): java.awt.image.BufferedImage = {
+    val (w, h) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val fx = 1 + (id % 2).toInt
+    val fy = 1 + ((id / 2) % 2).toInt
+    val ph = (id % 16).toDouble / 16.0 * 2.0 * math.Pi
+    val amp = 50.0 + (id % 40).toDouble
+    val ca = 12.0 + (id % 8).toDouble
+    val phc = (id % 9).toDouble / 9.0 * 2.0 * math.Pi
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val s = math.sin(2.0 * math.Pi *
+          (fx * x.toDouble / w + fy * y.toDouble / h) + ph)
+        val t = math.sin(2.0 * math.Pi * x.toDouble / w + phc)
+        val v = math.max(0, math.min(255, 128 + math.round(amp * s).toInt))
+        val r = math.max(0, math.min(255, v + math.round(ca * t).toInt))
+        val b = math.max(0, math.min(255, v - math.round(ca * t).toInt))
+        img.setRGB(x, y, (r << 16) | (v << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode one deterministic COLOR JPEG of [[smoothColorImage]] for
+    * `gen` (the [[encodeJpeg]] contract, chroma-bearing). */
+  def encodeColorJpeg(gen: Long): Array[Byte] = {
+    val enc = new JpegEncoder(JpegQuality)
+    try enc.encode(smoothColorImage(gen)) finally enc.dispose()
+  }
+
+  /** Documents → one COLOR JPEG payload per doc (the [[syntheticJpegs]]
+    * contract over the chroma-bearing generator). */
+  def syntheticColorJpegs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val enc = pooledJpegEncoder(JpegQuality)
+      it.map(id =>
+        MediaRecord(id, "image/jpeg", enc.encode(smoothColorImage(id))))
+    }
+  }
+
   case class DecodeError(media_id: Long, width: Long, height: Long,
     max_abs_err: Long)
 
@@ -534,7 +597,19 @@ object Multimodal {
     * ~255 the moment pixels are wrong, dims mismatch on a wrong
     * container parse). Payloads never shuffle; one 32-byte row leaves
     * per record. */
-  def decodeErrors(media: Dataset[MediaRecord]): Dataset[DecodeError] = {
+  def decodeErrors(media: Dataset[MediaRecord]): Dataset[DecodeError] =
+    decodeErrorsAgainst(media, smoothImage)
+
+  /** COLOR decode fidelity — [[decodeErrors]] against
+    * [[smoothColorImage]] (the q242 arm). */
+  def colorDecodeErrors(media: Dataset[MediaRecord]): Dataset[DecodeError] =
+    decodeErrorsAgainst(media, smoothColorImage)
+
+  /** [[decodeErrors]] with an explicit reference generator — the color
+    * arm compares against [[smoothColorImage]]; the function must be a
+    * pure id→raster closure (it ships to executors). */
+  def decodeErrorsAgainst(media: Dataset[MediaRecord],
+      refOf: Long => java.awt.image.BufferedImage): Dataset[DecodeError] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
@@ -542,7 +617,7 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(m.payload))
         require(img != null, s"undecodable payload for media_id=${m.media_id}")
-        val ref = smoothImage(m.media_id)
+        val ref = refOf(m.media_id)
         val (w, h) = (img.getWidth, img.getHeight)
         var err = 0L
         if (w == ref.getWidth && h == ref.getHeight) {
@@ -585,6 +660,28 @@ object Multimodal {
         val gen = id / 2
         if (id % 2 == 0) MediaRecord(id, "image/png", png.encode(smoothImage(gen)))
         else MediaRecord(id, "image/jpeg", jpg.encode(smoothImage(gen)))
+      }
+    }
+  }
+
+  /** COLOR twin of [[syntheticLossyDups]]: PNG 2k / JPEG 2k+1 of the
+    * SAME [[smoothColorImage]] raster — the lossy pair whose JPEG side
+    * went through genuine 4:2:0 chroma subsampling, so the perceptual
+    * fingerprint must absorb chroma error, not just luma
+    * quantization. */
+  def syntheticColorLossyDups(docs: DataFrame,
+      idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val png = pooledPngEncoder()
+      val jpg = pooledJpegEncoder(JpegQuality)
+      it.map { id =>
+        val gen = id / 2
+        if (id % 2 == 0)
+          MediaRecord(id, "image/png", png.encode(smoothColorImage(gen)))
+        else
+          MediaRecord(id, "image/jpeg", jpg.encode(smoothColorImage(gen)))
       }
     }
   }

@@ -3416,10 +3416,57 @@ object PipelineQueries {
       .orderBy(col("gen_id"))
   }
 
+  /** COLOR (YCbCr 4:2:0) JPEG decode fidelity — q235's missing color
+    * arm: the grayscale fixture kills chroma error by construction
+    * (r=g=b), so the subsampling envelope real crawls live in was
+    * unpinned. [[Multimodal.syntheticColorJpegs]] renders a
+    * gentle-chroma color raster (the JDK writer genuinely emits
+    * 2×2/1×1/1×1 sampling — SOF0-verified), decoded back against the
+    * closed-form generator. Measured max channel error over the full
+    * 5040-id parameter period: 30 (vs 22 grayscale — the subsampling
+    * surcharge); bound 48 embedded on both sides, JpegSpec pins the
+    * full-period sweep. */
+  def q242ColorJpegDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.colorDecodeErrors(
+        Multimodal.syntheticColorJpegs(docs(spark, dir), "doc_id"))
+      .toDF()
+      .select(col("media_id").as("doc_id"), col("width"), col("height"),
+        lit(48L).as("err_bound"),
+        (col("max_abs_err") <= 48L).as("within_bound"))
+      .orderBy(col("doc_id"))
+
+  /** Color lossy near-dup pair — q236 over the 4:2:0 fixture: the
+    * perceptual fingerprint must absorb CHROMA error (the dHash grays
+    * r+g+b, so subsampled chroma shifts the gradient compare), not
+    * just luma quantization. Measured planted-pair Hamming ≤ 10 over
+    * the full generator period; bound 16 (the q236 bound holds for
+    * color too — pinned in JpegSpec's color sweep). */
+  def q243ColorNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // the q236 checkpoint discipline: both join sides read the 24-byte
+    // fingerprint relation, so the codec chain runs once
+    val h = Multimodal.dHashes(
+      Multimodal.syntheticColorLossyDups(docs(spark, dir), "doc_id")).toDF()
+      .localCheckpoint(true)
+    val a = h.filter(col("media_id") % 2 === 0)
+      .select(shiftright(col("media_id"), 1).as("gen_id"),
+        col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"))
+    val b = h.filter(col("media_id") % 2 === 1)
+      .select(shiftright(col("media_id"), 1).as("gen_id"),
+        col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b"))
+    a.join(b, "gen_id")
+      .select(col("gen_id"), lit(16L).as("hamming_bound"),
+        ((bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
+          <= 16L).as("within_bound"))
+      .orderBy(col("gen_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_multimodal_decode" -> q73MultimodalDecode,
     "q235_jpeg_decode" -> q235JpegDecode,
     "q236_lossy_neardup" -> q236LossyNearDup,
+    "q242_color_jpeg" -> q242ColorJpegDecode,
+    "q243_color_neardup" -> q243ColorNearDup,
     "q94_audio_decode" -> q94AudioDecode,
     "q95_video_decode" -> q95VideoDecode,
     "q19_dedup_exact" -> q19DedupExact,
@@ -7454,6 +7501,25 @@ object PipelineQueries {
     // so the oracle is the tolerance verdict (bound 16 vs measured max
     // 10 over the generator period).
     "q236_lossy_neardup" ->
+      """SELECT a.doc_id // 2 AS gen_id, 16::BIGINT AS hamming_bound,
+        |  TRUE AS within_bound
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0
+        |ORDER BY gen_id""".stripMargin,
+    // Mirrors q242ColorJpegDecode — the q235 device over the COLOR
+    // (YCbCr 4:2:0) generator: bound 48 vs measured max channel error
+    // 30 over the full 5040-id parameter period (chroma subsampling
+    // adds ~8 over the grayscale arm's 22); JpegSpec's color sweep
+    // pins the measurement.
+    "q242_color_jpeg" ->
+      """SELECT doc_id, (8 + doc_id % 9)::BIGINT AS width,
+        |  (8 + doc_id % 7)::BIGINT AS height, 48::BIGINT AS err_bound,
+        |  TRUE AS within_bound
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors q243ColorNearDup — the q236 device over the color lossy
+    // pairs (bound 16 vs measured max Hamming 10 over the full
+    // period).
+    "q243_color_neardup" ->
       """SELECT a.doc_id // 2 AS gen_id, 16::BIGINT AS hamming_bound,
         |  TRUE AS within_bound
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
