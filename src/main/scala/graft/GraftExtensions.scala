@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.types.Decimal
 
-import graft.functions.{CountRlike, DecodeBytes, DecodeHtmlRefs, DecodePage, DetectCharset, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs}
+import graft.functions.{CountRlike, DecodeBytes, DecodeHtmlRefs, DecodePage, DetectCharset, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, RedactCards, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * apply with `.withExtensions(new GraftExtensions)` (as
@@ -106,6 +106,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"decode_html_refs expects exactly 1 argument, got ${children.length}")
         DecodeHtmlRefs(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("redact_cards"),
+      new ExpressionInfo(classOf[RedactCards].getName, "redact_cards"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"redact_cards expects exactly 1 argument, got ${children.length}")
+        RedactCards(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("count_rlike"),

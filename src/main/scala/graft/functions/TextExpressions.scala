@@ -231,6 +231,61 @@ object TextKernels {
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
+
+  /** Single-pass Luhn-verified card excision — the [[redactCards]]
+    * kernel behind `redact_cards`. Semantics are EXACTLY
+    * [[graft.pipeline.Pii.cardReport]]'s verification over the same
+    * candidates: maximal ASCII digit runs, length 13–19, doubling
+    * every second digit from the RIGHT with the >9 ⇒ −9 fold, sum
+    * mod 10 — a verified run is replaced by `<CARD>`, everything else
+    * (shorter/longer runs, failed checksums) is copied verbatim. The
+    * no-13-digit-run common case returns the input object without
+    * allocating. Documented bound (cardReport's): contiguous runs
+    * only — separator-grouped forms (4-4-4-4) normalize upstream. */
+  def redactCards(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    val n = str.length
+    // cheap scan-reject: no run of >= 13 digits, no allocation
+    var i = 0
+    var run = 0
+    var has = false
+    while (i < n && !has) {
+      val c = str.charAt(i)
+      if (c >= '0' && c <= '9') { run += 1; if (run >= 13) has = true }
+      else run = 0
+      i += 1
+    }
+    if (!has) return s
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c < '0' || c > '9') { sb.append(c); i += 1 }
+      else {
+        var j = i
+        while (j < n && str.charAt(j) >= '0' && str.charAt(j) <= '9') j += 1
+        if (j - i >= 13 && j - i <= 19 && luhnOk(str, i, j))
+          sb.append("<CARD>")
+        else sb.append(str, i, j)
+        i = j
+      }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  private def luhnOk(str: String, from: Int, until: Int): Boolean = {
+    var sum = 0
+    var k = until - 1
+    var dbl = false
+    while (k >= from) {
+      var d = str.charAt(k) - '0'
+      if (dbl) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      dbl = !dbl
+      k -= 1
+    }
+    sum % 10 == 0
+  }
 }
 
 /** `nfc_normalize(str)`: Unicode NFC normalization via
@@ -503,6 +558,37 @@ case class DecodeHtmlRefs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "decode_html_refs"
+}
+
+/** `redact_cards(str)`: Luhn-verified card-number EXCISION — the
+  * other half of the q239 detection story (see
+  * [[TextKernels.redactCards]]): every maximal 13–19-digit run whose
+  * mod-10 checksum holds is replaced by `<CARD>` in one scan; invalid
+  * runs (order ids, ISBNs) and runs outside card lengths pass through
+  * untouched. A regex cannot decide this (the checksum is not
+  * regular), so the scrub path needs the native expression. */
+case class RedactCards(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"redact_cards requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.redactCards(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.redactCards($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RedactCards =
+    copy(child = newChild)
+
+  override def prettyName: String = "redact_cards"
 }
 
 /** `count_rlike(arr, 'pattern')`: # array elements matching the regex

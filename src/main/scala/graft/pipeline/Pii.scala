@@ -33,22 +33,42 @@ object Pii {
       s"n_${kind}s" -> regexp_count(col(textCol), lit(pat)).cast("long")
     }
 
-  /** The scrubbed text: every pattern's matches replaced by its
-    * placeholder, in declaration order. */
-  def redactedColumn(textCol: String): Column =
-    patterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
-      regexp_replace(c, pat, repl)
-    }
+  /** The card placeholder [[graft.functions.TextKernels.redactCards]]
+    * splices in for Luhn-verified runs. */
+  val cardPlaceholder: String = "<CARD>"
 
-  /** Detection + redaction in one select: id, per-kind counts, total
-    * hit count, and the scrubbed text. */
+  /** The scrubbed text: every pattern's matches replaced by its
+    * placeholder in declaration order, then Luhn-verified card runs
+    * excised LAST via the native `redact_cards` expression (a regex
+    * cannot decide the checksum — detection without excision was only
+    * half the scrubbing story). Order is safe by construction: the
+    * regex placeholders contain no digit runs, and `<CARD>` contains
+    * nothing the regex patterns match. */
+  def redactedColumn(textCol: String): Column =
+    call_function("redact_cards",
+      patterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+        regexp_replace(c, pat, repl)
+      })
+
+  /** Detection + redaction in one select: id, per-kind counts (cards
+    * counted as the placeholders the excision spliced in — exact, and
+    * trivially oracle-replayable; documented bound: raw text carrying
+    * a literal `<CARD>` inflates the count), total hit count, and the
+    * scrubbed text. */
   def scrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = countColumns(textCol)
+    val nCards = regexp_count(col("redacted"), lit(cardPlaceholder))
+      .cast("long")
     docs.select(
       col(idCol) +:
         counts.map { case (n, c) => c.as(n) } :+
-        counts.map(_._2).reduce(_ + _).as("n_pii") :+
         redactedColumn(textCol).as("redacted"): _*)
+      .select(col(idCol) +:
+        counts.map { case (n, _) => col(n) } :+
+        nCards.as("n_cards") :+
+        (counts.map { case (n, _) => col(n) }.reduce(_ + _) + nCards)
+          .as("n_pii") :+
+        col("redacted"): _*)
   }
 
   /** [[scrub]] appended to the input rows — the streaming/annotation
@@ -57,8 +77,11 @@ object Pii {
     val counts = countColumns(textCol)
     val withCounts = counts.foldLeft(docs) { case (d, (n, c)) => d.withColumn(n, c) }
     withCounts
-      .withColumn("n_pii", counts.map(_._2).reduce(_ + _))
       .withColumn("redacted", redactedColumn(textCol))
+      .withColumn("n_cards",
+        regexp_count(col("redacted"), lit(cardPlaceholder)).cast("long"))
+      .withColumn("n_pii",
+        counts.map(_._2).reduce(_ + _) + col("n_cards"))
   }
 
   /** Credit-card detection with Luhn verification — the PII class a

@@ -1672,8 +1672,13 @@ object PipelineQueries {
     * derivation runs on both engines), then [[Pii.scrub]] detects and
     * redacts; the md5 of the redacted text pins the scrub byte-exactly. */
   def q51PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    // the scrub path now excises Luhn-valid 13–19-digit runs; the q51
+    // oracle replays only the regex chain, so the TABLE text is
+    // neutralized of 13+-digit runs on both sides (the q223 '&'-strip
+    // discipline) — shorter runs can never be candidates
+    val base = regexp_replace(col("text"), "[0-9]{13,}", "")
     val dirty = docs(spark, dir).withColumn("dirty", concat(
-      col("text"),
+      base,
       when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
         col("doc_id").cast("string"), lit("@mail.example.com"))).otherwise(lit("")),
       when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
@@ -3081,6 +3086,40 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Card REDACTION through the composed scrub path — q239 detected,
+    * this excises: the q239 computed-check-digit plant flows through
+    * the full [[Pii.scrub]] (regex placeholders, then the native
+    * `redact_cards` Luhn excision), and the md5 of the scrubbed text
+    * pins the splice byte-exactly. The table text is neutralized of
+    * 13+-digit runs on both sides (the q51 discipline), so the only
+    * card-length run is the planted one and the oracle replays the
+    * excision closed-form per residue: the valid card (residue 0)
+    * becomes `<CARD>`, the checksum-broken twin (1) and the 21-digit
+    * burial (2) survive verbatim. */
+  def q244CardRedact(spark: SparkSession, dir: String): DataFrame = {
+    val ds = (1 to 15).map(i => pmod(col("doc_id") * 7 + i * 3, lit(10)))
+    val d15 = concat(ds.map(_.cast("string")): _*)
+    val s15 = (1 to 15).map { i =>
+      val d = ds(i - 1)
+      if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
+    }.reduce(_ + _)
+    val c = pmod(lit(10) - pmod(s15, lit(10)), lit(10))
+    val base = regexp_replace(col("text"), "[0-9]{13,}", "")
+    val planted = concat(base,
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" card "), d15, c.cast("string")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit(" card "), d15, pmod(c + 5, lit(10)).cast("string")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" ref "), d15, c.cast("string"), lit("12345")))
+        .otherwise(lit("")))
+    Pii.scrub(docs(spark, dir).select(col("doc_id"),
+        planted.as("text")), "doc_id", "text")
+      .select(col("doc_id"), col("n_cards"), col("n_pii"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-residue script suffixes for q241 (repeated 40× so the
     * planted script can outweigh the Latin base text where the doc is
     * short enough — dominance itself is replayed, never assumed). */
@@ -3539,6 +3578,7 @@ object PipelineQueries {
     "q237_charset_decode" -> q237CharsetDecode,
     "q238_compression_ratio" -> q238CompressionRatio,
     "q239_card_luhn" -> q239CardLuhn,
+    "q244_card_redact" -> q244CardRedact,
     "q240_heldout_lm" -> q240HeldoutLm,
     "q241_script_dominance" -> q241ScriptDominance,
     "q224_domain_extract" -> q224DomainExtract,
@@ -6226,6 +6266,54 @@ object PipelineQueries {
         |  coalesce(per.nv, 0) > 0 AS has_valid_card
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // Mirrors q244CardRedact: the q239 digit/check-digit plant over the
+    // 13+-digit-neutralized table text, the q51 regex-placeholder chain
+    // replayed over the planted text, then the card excision replayed
+    // CLOSED-FORM per residue (neutralization makes the planted run the
+    // only card-length candidate; residue 0 is the Luhn-valid card →
+    // <CARD>, 1 fails the checksum, 2 is a 21-digit non-candidate).
+    "q244_card_redact" ->
+      """WITH pd AS (SELECT doc_id, g.i,
+        |    ((doc_id * 7 + g.i * 3) % 10)::INT AS dg
+        |  FROM documents CROSS JOIN generate_series(1, 15) g(i)),
+        |ps AS (SELECT doc_id,
+        |    sum(CASE WHEN i % 2 = 1 THEN
+        |      CASE WHEN dg * 2 > 9 THEN dg * 2 - 9 ELSE dg * 2 END
+        |      ELSE dg END) AS s15,
+        |    string_agg(dg::VARCHAR, '' ORDER BY i) AS d15
+        |  FROM pd GROUP BY 1),
+        |pc AS (SELECT doc_id, d15, ((10 - s15 % 10) % 10)::INT AS c
+        |  FROM ps),
+        |pl AS (SELECT d.doc_id, pc.d15, pc.c,
+        |    regexp_replace(d.text, '[0-9]{13,}', '', 'g') ||
+        |    CASE d.doc_id % 4
+        |      WHEN 0 THEN ' card ' || pc.d15 || pc.c::VARCHAR
+        |      WHEN 1 THEN ' card ' || pc.d15 || ((pc.c + 5) % 10)::VARCHAR
+        |      WHEN 2 THEN ' ref ' || pc.d15 || pc.c::VARCHAR || '12345'
+        |      ELSE '' END AS t
+        |  FROM documents d JOIN pc USING (doc_id)),
+        |rg AS (SELECT doc_id, d15, c, t,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+        |      AS r0
+        |  FROM pl),
+        |red AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN replace(r0, ' card ' || d15 || c::VARCHAR, ' card <CARD>')
+        |      ELSE r0 END AS r,
+        |    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END::BIGINT AS n_cards,
+        |    (len(regexp_extract_all(t,
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |     len(regexp_extract_all(t, '\+1-[0-9]{3}-[0-9]{4}')) +
+        |     len(regexp_extract_all(t,
+        |       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')))::BIGINT
+        |      AS n_rx
+        |  FROM rg)
+        |SELECT doc_id, n_cards, (n_rx + n_cards)::BIGINT AS n_pii,
+        |  md5(r) AS redacted_md5
+        |FROM red ORDER BY doc_id""".stripMargin,
     // Mirrors q238CompressionRatio: the 16 plant texts are residue-only,
     // so the oracle embeds their raw/deflate byte counts (computed
     // driver-side at SQL-build time — DuckDB has no zlib) and replays
@@ -7661,7 +7749,7 @@ object PipelineQueries {
     // independently of redaction.
     "q51_pii_scrub" ->
       """WITH dirty AS (
-        |  SELECT doc_id, text ||
+        |  SELECT doc_id, regexp_replace(text, '[0-9]{13,}', '', 'g') ||
         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
         |      doc_id::VARCHAR || '@mail.example.com' ELSE '' END ||
         |    CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||

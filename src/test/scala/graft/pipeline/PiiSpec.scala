@@ -19,12 +19,38 @@ class PiiSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val out = Pii.scrub(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
-    assert(out(1L) == ((1L, 0L, 0L, 1L, "mail me at <EMAIL> thanks")))
-    assert(out(2L) == ((0L, 2L, 0L, 2L, "call <PHONE> or <PHONE> tomorrow")))
-    assert(out(3L) == ((0L, 0L, 2L, 2L, "server <IP> and <IP> are up")))
-    assert(out(4L) == ((1L, 1L, 1L, 3L, "<EMAIL> pinged <IP> at <PHONE>")))
-    assert(out(5L) == ((0L, 0L, 0L, 0L, "no pii in this one at all")))
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6)))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, 0L, 1L, "mail me at <EMAIL> thanks")))
+    assert(out(2L) == ((0L, 2L, 0L, 0L, 2L, "call <PHONE> or <PHONE> tomorrow")))
+    assert(out(3L) == ((0L, 0L, 2L, 0L, 2L, "server <IP> and <IP> are up")))
+    assert(out(4L) == ((1L, 1L, 1L, 0L, 3L, "<EMAIL> pinged <IP> at <PHONE>")))
+    assert(out(5L) == ((0L, 0L, 0L, 0L, 0L, "no pii in this one at all")))
+  }
+
+  test("card excision: Luhn-valid runs spliced, invalid and non-card runs kept") {
+    // 4539578763621486 is Luhn-valid; 4539578763621487 is not;
+    // 79927398713 (11 digits) is valid Luhn but below card length;
+    // a 21-digit run is never a candidate (maximal-run rule)
+    val docs = Seq(
+      (1L, "pay 4539578763621486 now"),
+      (2L, "ref 4539578763621487 kept"),
+      (3L, "short 79927398713 kept"),
+      (4L, "burial 453957876362148612345 kept"),
+      (5L, "two 4539578763621486 and 4539578763621486 gone"),
+      (6L, "mixed a@b.co 4539578763621486 1.2.3.4"))
+      .toDF("doc_id", "text")
+    val out = Pii.scrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    assert(out(1L) == ((1L, 1L, "pay <CARD> now")))
+    assert(out(2L) == ((0L, 0L, "ref 4539578763621487 kept")))
+    assert(out(3L) == ((0L, 0L, "short 79927398713 kept")))
+    assert(out(4L) == ((0L, 0L, "burial 453957876362148612345 kept")))
+    assert(out(5L) == ((2L, 2L, "two <CARD> and <CARD> gone")))
+    // composed: regex placeholders first, card excision last, n_pii
+    // totals all four kinds
+    assert(out(6L) == ((1L, 3L, "mixed <EMAIL> <CARD> <IP>")))
   }
 
   test("ip pattern needs word boundaries and four octets") {

@@ -145,13 +145,16 @@ class TopologiesSpec extends AnyFunSuite {
       query.processAllAvailable()
       stream.addData(Seq((3L, ts(3), good), // replay of 1 — dedup drops it
         (4L, ts(4), "der tisch und der stuhl und die lampe sind gut und schnell da"),
-        (5L, ts(5), good + " mail bob@mail.com"))) // PII survives quality
+        (5L, ts(5), good + " mail bob@mail.com"), // PII survives quality
+        // a Luhn-VALID card and its checksum-broken twin: the sink
+        // scrub must excise the card and keep the order-id-like twin
+        (6L, ts(6), good + " pay 4539578763621486 ref 4539578763621487")))
       query.processAllAvailable()
     } finally query.stop()
     val rows = spark.read.parquet(outDir)
-      .select("doc_id", "detected_lang", "n_pii", "text").collect()
+      .select("doc_id", "detected_lang", "n_pii", "n_cards", "text").collect()
     val out = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out.keySet == Set(1L, 4L, 5L)) // 2 filtered on quality, 3 deduped
+    assert(out.keySet == Set(1L, 4L, 5L, 6L)) // 2 filtered on quality, 3 deduped
     assert(out(1L) == "en")
     assert(out(4L) == "de")
     // the sink never sees unscrubbed text: the address is redacted in
@@ -160,6 +163,14 @@ class TopologiesSpec extends AnyFunSuite {
     assert(r5.getAs[Long]("n_pii") == 1L)
     assert(r5.getAs[String]("text") == good + " mail <EMAIL>")
     assert(rows.forall(r => !r.getAs[String]("text").contains("@")))
+    // card boundary: nothing Luhn-valid crosses the sink; unverified
+    // digit runs (order ids, ISBNs) are NOT shredded
+    val r6 = rows.find(_.getLong(0) == 6L).get
+    assert(r6.getAs[Long]("n_cards") == 1L)
+    assert(r6.getAs[Long]("n_pii") == 1L)
+    assert(r6.getAs[String]("text") ==
+      good + " pay <CARD> ref 4539578763621487")
+    assert(rows.forall(r => !r.getAs[String]("text").contains("4539578763621486")))
   }
 
   test("roleAnalysisStream matches the batch topology across micro-batches") {
