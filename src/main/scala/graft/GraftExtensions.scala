@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.types.Decimal
 
-import graft.functions.{CountRlike, DecodeBytes, DecodeHtmlRefs, DecodePage, DetectCharset, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, RedactCards, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs}
+import graft.functions.{CountRanges, CountRlike, DecodeBytes, DecodeHtmlRefs, DecodePage, DetectCharset, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, RedactCards, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * apply with `.withExtensions(new GraftExtensions)` (as
@@ -106,6 +106,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"decode_html_refs expects exactly 1 argument, got ${children.length}")
         DecodeHtmlRefs(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("count_ranges"),
+      new ExpressionInfo(classOf[CountRanges].getName, "count_ranges"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"count_ranges expects (str, spec), got ${children.length} arguments")
+        require(children(1).foldable, "count_ranges spec must be a literal")
+        val spec = children(1).eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"count_ranges spec must be a string literal, got $other")
+        }
+        CountRanges(children.head, spec)
       }))
     ext.injectFunction((
       FunctionIdentifier("redact_cards"),

@@ -286,6 +286,72 @@ object TextKernels {
     }
     sum % 10 == 0
   }
+
+  /** Parse a [[CountRanges]] class spec — classes separated by `;`,
+    * each a run of codepoint items (`\uXXXX` escapes or literal
+    * characters) optionally joined into ranges by `-` — into per-class
+    * flattened [lo, hi, lo, hi, …] arrays. Plan-time only. */
+  def parseRangeSpec(spec: String): Array[Array[Int]] =
+    spec.split(";", -1).map { cls =>
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      def readPoint(): Int =
+        if (i + 5 < cls.length && cls.charAt(i) == '\\' &&
+            cls.charAt(i + 1) == 'u') {
+          val v = Integer.parseInt(cls.substring(i + 2, i + 6), 16)
+          i += 6
+          v
+        } else {
+          val v = cls.codePointAt(i)
+          i += Character.charCount(v)
+          v
+        }
+      while (i < cls.length) {
+        val lo = readPoint()
+        val hi =
+          if (i < cls.length && cls.charAt(i) == '-' && i + 1 <= cls.length - 1) {
+            i += 1
+            readPoint()
+          } else lo
+        require(hi >= lo, s"count_ranges: descending range in '$cls'")
+        out += lo
+        out += hi
+      }
+      out.toArray
+    }
+
+  /** Single-pass multi-class codepoint counting — the [[CountRanges]]
+    * kernel: ONE walk over the string's codepoints increments every
+    * class whose ranges contain the point, replacing one strip-diff
+    * `length(x) - length(regexp_replace(x, class, ''))` full-text
+    * regex pass (plus its rebuilt string) PER CLASS. Count semantics
+    * are identical to the strip-diff device: both count CODEPOINTS
+    * (Spark `length` is UTF8String.numChars), and a codepoint in k
+    * classes increments all k. */
+  def countRanges(s: org.apache.spark.unsafe.types.UTF8String,
+      classes: Array[Array[Int]]): ArrayData = {
+    val str = s.toString
+    val counts = new Array[Long](classes.length)
+    val n = str.length
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      var k = 0
+      while (k < classes.length) {
+        val r = classes(k)
+        var j = 0
+        var hit = false
+        while (!hit && j < r.length) {
+          if (cp >= r(j) && cp <= r(j + 1)) hit = true
+          j += 2
+        }
+        if (hit) counts(k) += 1
+        k += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
 }
 
 /** `nfc_normalize(str)`: Unicode NFC normalization via
@@ -589,6 +655,46 @@ case class RedactCards(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "redact_cards"
+}
+
+/** `count_ranges(str, 'spec')`: per-class codepoint counts over
+  * explicit ranges in ONE scan (see [[TextKernels.countRanges]]) —
+  * the codegen replacement for a strip-diff regex pass per class
+  * (q241 ran seven `regexp_replace` full-text passes per row; this is
+  * one walk whatever the class count). The spec is a plan-time string
+  * literal: classes separated by `;`, each a run of `\uXXXX` escapes
+  * or literal characters with `-` ranges — the same text the regex
+  * classes used, so the ranges cannot drift. Returns
+  * `array<bigint>`, one count per class, in spec order. */
+case class CountRanges(child: Expression, spec: String)
+    extends UnaryExpression {
+
+  @transient private lazy val classes: Array[Array[Int]] =
+    TextKernels.parseRangeSpec(spec)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"count_ranges requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.countRanges(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], classes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clsRef = ctx.addReferenceObj("countRangesClasses", classes,
+      "int[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.countRanges($c, $clsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountRanges =
+    copy(child = newChild)
+
+  override def prettyName: String = "count_ranges"
 }
 
 /** `count_rlike(arr, 'pattern')`: # array elements matching the regex

@@ -785,19 +785,21 @@ object TextMetrics {
     * scan, codegen'd regexp_replace counting, ratios dec6'd. */
   def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nChars = length(col(textCol))
-    def frac(keepInverse: String): Column =
-      when(nChars > 0,
-        dec6(length(regexp_replace(col(textCol), keepInverse, ""))
-          .cast("double") / nChars.cast("double"))).otherwise(lit(0.0))
-    // LITERAL range-endpoint characters (Scala \uXXXX lexing), not
-    // regex \u escapes: Java accepts \uXXXX inside classes but RE2
-    // wants \x{...} — literal endpoints read identically in both
+    // LITERAL range-endpoint characters (Scala \uXXXX lexing) — the
+    // classes the oracle's RE2 side spells as [^…] inverse strips;
+    // counts here come from ONE count_ranges codepoint walk instead
+    // of five strip-diff regexp_replace passes (identical counts)
+    val spec = Seq("A-Za-z", "Ѐ-ӿ", "一-鿿", "؀-ۿ", "0-9").mkString(";")
+    val names = Seq("latin_frac", "cyrillic_frac", "cjk_frac",
+      "arabic_frac", "digit_frac")
+    def frac(i: Int): Column =
+      when(col("n_chars") > 0,
+        dec6(element_at(col("_sc"), i + 1).cast("double") /
+          col("n_chars").cast("double"))).otherwise(lit(0.0))
     docs.select(col(idCol), nChars.cast("long").as("n_chars"),
-      frac("[^A-Za-z]").as("latin_frac"),
-      frac("[^Ѐ-ӿ]").as("cyrillic_frac"),
-      frac("[^一-鿿]").as("cjk_frac"),
-      frac("[^؀-ۿ]").as("arabic_frac"),
-      frac("[^0-9]").as("digit_frac"))
+        call_function("count_ranges", col(textCol), lit(spec)).as("_sc"))
+      .select(col(idCol) +: col("n_chars") +:
+        names.zipWithIndex.map { case (n, i) => frac(i).as(n) }: _*)
   }
 
   /** Cross-source quantile normalization — the score-calibration step
@@ -2482,14 +2484,19 @@ object TextMetrics {
       textCol: String): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)
-    def strip(ranges: String): Column =
-      nChars - length(regexp_replace(t, s"[$ranges]", ""))
-    val counts = ScriptRanges.map { case (name, r) =>
-      name -> strip(r).cast("long")
-    }
-    val withCounts = docs.select(
-      col(idCol) +: nChars.cast("long").as("n_chars") +:
-        counts.map { case (n, c) => c.as(s"n_$n") }: _*)
+    // ONE codepoint walk for all seven classes (the native
+    // count_ranges expression; the strip-diff form ran seven
+    // regexp_replace full-text passes per row — identical counts, the
+    // spec string is the same range text so endpoints cannot drift)
+    val spec = ScriptRanges.map(_._2).mkString(";")
+    val withArr = docs.select(col(idCol),
+      nChars.cast("long").as("n_chars"),
+      call_function("count_ranges", t, lit(spec)).as("_sc"))
+    val withCounts = withArr.select(
+      col(idCol) +: col("n_chars") +:
+        ScriptRanges.zipWithIndex.map { case ((n, _), i) =>
+          element_at(col("_sc"), i + 1).as(s"n_$n")
+        }: _*)
     val letterTotal = ScriptRanges.map { case (n, _) => col(s"n_$n") }
       .reduce(_ + _)
     // argmax with fixed precedence: the FIRST listed script holding
