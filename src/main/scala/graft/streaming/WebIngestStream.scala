@@ -81,14 +81,25 @@ object WebIngestStream {
     * proceeds to the stateless verdicts, every later arrival is
     * dropped_url_dup (even when the first was itself dropped — the
     * batch rule: one winner per canonical URL, everyone else is a
-    * dup). One boolean per URL. */
-  class UrlFirstProcessor
+    * dup). One boolean per URL.
+    *
+    * `ttl` (default NONE = dedup-forever, the batch-parity contract):
+    * with a TTL the state is BOUNDED — RocksDB holds one entry per
+    * canonical URL seen within the horizon (arrival rate × TTL), not
+    * per URL ever seen, which is the mode a months-running ingest
+    * needs. DOCUMENTED SEMANTICS DEVIATION (the idiomatic-window-mode
+    * discipline): a URL re-arriving after its entry expired is treated
+    * as a first arrival again (re-crawl admission — often the desired
+    * refresh behavior); within the horizon, verdicts are IDENTICAL to
+    * the unbounded gate (TopologiesSpec pins both the parity and the
+    * post-expiry re-admission). */
+  class UrlFirstProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, EnrichedPage, FlaggedPage] {
     @transient private var seen: ValueState[Boolean] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       seen = getHandle.getValueState[Boolean]("seen",
-        Encoders.scalaBoolean, TTLConfig.NONE)
+        Encoders.scalaBoolean, ttl)
 
     override def handleInputRows(key: String, rows: Iterator[EnrichedPage],
         timers: TimerValues): Iterator[FlaggedPage] = {
@@ -139,16 +150,34 @@ object WebIngestStream {
   }
 
   /** Arrivals → per-page admission ledger, append mode. Requires the
-    * RocksDB state store provider (`transformWithState`). */
+    * RocksDB state store provider (`transformWithState`).
+    *
+    * `urlTtl`: None (default) = dedup-forever URL state (batch
+    * parity); Some(d) = the BOUNDED-STATE mode — URL entries expire d
+    * after their last update (processing time), so a long-running
+    * ingest's store size tracks the arrival rate × horizon instead of
+    * growing forever; see [[UrlFirstProcessor]] for the documented
+    * re-admission deviation. The domain-cap counter is |domains|-
+    * bounded by construction and never expires. Operational note: TTL
+    * requires TimeMode.ProcessingTime, under which the micro-batch
+    * engine triggers CONTINUOUSLY (timer/TTL sweeps) — correct for a
+    * long-running ingest, but `processAllAvailable()` never observes
+    * an idle query; tests/tools should await sink row counts (the
+    * TopologiesSpec pattern) or use an explicit trigger. */
   def gate(pages: Dataset[PageArrival], terms: Seq[String],
       phrases: Seq[String], suffixes: Seq[String],
-      cap: Int): Dataset[PageVerdict] = {
+      cap: Int,
+      urlTtl: Option[java.time.Duration] = None): Dataset[PageVerdict] = {
     require(cap >= 1, "gate: cap must be >= 1")
     import pages.sparkSession.implicits._
+    val (ttlConf, urlTimeMode) = urlTtl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None => (TTLConfig.NONE, TimeMode.None())
+    }
     enrich(pages.toDF(), terms, phrases, suffixes).as[EnrichedPage]
       .groupByKey(_.canon_url)
-      .transformWithState(new UrlFirstProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new UrlFirstProcessor(ttlConf),
+        urlTimeMode, OutputMode.Append())
       .groupByKey(_.domain)
       .transformWithState(new DomainGateProcessor(cap),
         TimeMode.None(), OutputMode.Append())

@@ -457,6 +457,71 @@ class TopologiesSpec extends AnyFunSuite {
         val got = spark.table(name).collect().map(_.toString).sorted.toSeq
         assert(got == want, s"$name diverged from the batch reference")
       }
+
+      // BOUNDED-STATE (TTL) mode. TimeMode.ProcessingTime makes the
+      // micro-batch engine trigger continuously (timer/TTL sweeps), so
+      // processAllAvailable never sees an idle query — the TTL
+      // sub-tests poll the sink for the expected row count instead.
+      def awaitRows(tbl: String, n: Long): Unit = {
+        val deadline = System.currentTimeMillis + 120000L
+        while (spark.table(tbl).count() < n &&
+            System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+        assert(spark.table(tbl).count() >= n, s"$tbl stuck below $n rows")
+      }
+
+      // within the TTL horizon the gate's verdicts are IDENTICAL to
+      // the unbounded gate across a mid-stream split (the documented
+      // deviation only begins past expiry)
+      {
+        val in = MemoryStream[PageArrival]
+        val q = WebIngestStream.gate(in.toDS(), terms, phrases, suffixes,
+            cap, urlTtl = Some(java.time.Duration.ofHours(1)))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("webgate_ttl")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("webgate_ttl").toString)
+          .start()
+        try {
+          in.addData(pages.take(6)); awaitRows("webgate_ttl", 6L)
+          in.addData(pages.drop(6)); awaitRows("webgate_ttl", 12L)
+        } finally q.stop()
+        assert(spark.table("webgate_ttl").collect()
+          .map(_.toString).sorted.toSeq == want,
+          "TTL gate diverged from the unbounded gate within the horizon")
+      }
+
+      // past the horizon, a re-arriving URL is a FIRST arrival again
+      // (the documented re-crawl re-admission deviation) — the same
+      // URL resent after expiry must NOT be dropped_url_dup
+      {
+        val in = MemoryStream[PageArrival]
+        val q = WebIngestStream.gate(in.toDS(), terms, phrases, suffixes,
+            cap = 10, urlTtl = Some(java.time.Duration.ofSeconds(8)))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("webgate_expire")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("webgate_exp").toString)
+          .start()
+        try {
+          // docs 1+2 land in ONE addData block → one micro-batch, so
+          // the within-horizon dup verdict is clock-independent
+          in.addData(Seq(
+            page(1L, "https://example.com/r1", good, "utf-8"),
+            page(2L, "https://example.com/r1", good, "utf-8")))
+          awaitRows("webgate_expire", 2L)
+          Thread.sleep(20000) // let the URL entry expire (8 s TTL)
+          in.addData(page(3L, "https://example.com/r1", good, "utf-8"))
+          awaitRows("webgate_expire", 3L)
+        } finally q.stop()
+        val verdicts = spark.table("webgate_expire").collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+          .toMap
+        assert(verdicts(1L) == "kept")
+        assert(verdicts(2L) == "dropped_url_dup")
+        assert(verdicts(3L) == "kept",
+          "post-expiry re-arrival must be re-admitted (bounded-state mode)")
+      }
     } finally prev match {
       case Some(p) => spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", p)
