@@ -233,26 +233,43 @@ object TextKernels {
   }
 
   /** Single-pass Luhn-verified card excision — the [[redactCards]]
-    * kernel behind `redact_cards`. Semantics are EXACTLY
-    * [[graft.pipeline.Pii.cardReport]]'s verification over the same
-    * candidates: maximal ASCII digit runs, length 13–19, doubling
-    * every second digit from the RIGHT with the >9 ⇒ −9 fold, sum
-    * mod 10 — a verified run is replaced by `<CARD>`, everything else
-    * (shorter/longer runs, failed checksums) is copied verbatim. The
-    * no-13-digit-run common case returns the input object without
-    * allocating. Documented bound (cardReport's): contiguous runs
-    * only — separator-grouped forms (4-4-4-4) normalize upstream. */
+    * kernel behind `redact_cards`. Candidate spans are maximal runs of
+    * digits and single separators each followed by a digit (so the
+    * span's shape is decided once, never re-examined piecewise):
+    *
+    *  - a CONTIGUOUS span (no separators) is a candidate iff its
+    *    length is 13–19 — exactly
+    *    [[graft.pipeline.Pii.cardReport]]'s maximal-run rule;
+    *  - a GROUPED span is a candidate iff every separator is the SAME
+    *    character from {space, hyphen}, every group is 3–6 digits
+    *    (the shapes cards are actually printed in — 4-4-4-4,
+    *    4-6-5, 4-4-4-4-3 — while "1 000 000"-style number formatting
+    *    fails the group-size rule), and total digits are 13–19.
+    *
+    * A candidate whose digits hold the Luhn mod-10 checksum (doubling
+    * every second digit from the RIGHT with the >9 ⇒ −9 fold) is
+    * replaced — separators and all — by `<CARD>`; every other span is
+    * copied verbatim. The no-13-digit common case returns the input
+    * object without allocating. Documented bounds: a Luhn-valid
+    * 13–19-digit grouped number that is NOT a card (1-in-10 of random
+    * formatted numbers passing the checksum) is excised — the
+    * standard scrubber recall-over-precision trade; and
+    * [[graft.pipeline.Pii.cardReport]]'s detection COUNTS stay
+    * contiguous-only (the grouped arm is pinned by its own query). */
   def redactCards(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
     val str = s.toString
     val n = str.length
-    // cheap scan-reject: no run of >= 13 digits, no allocation
+    // cheap scan-reject: no 13 digits within a potential span (digits
+    // possibly separated singly), no allocation. Counting ALL digits
+    // without resetting at separators over-approximates — fine for a
+    // reject filter.
     var i = 0
     var run = 0
     var has = false
     while (i < n && !has) {
       val c = str.charAt(i)
       if (c >= '0' && c <= '9') { run += 1; if (run >= 13) has = true }
-      else run = 0
+      else if (c != ' ' && c != '-') run = 0
       i += 1
     }
     if (!has) return s
@@ -262,26 +279,58 @@ object TextKernels {
       val c = str.charAt(i)
       if (c < '0' || c > '9') { sb.append(c); i += 1 }
       else {
+        // parse the maximal span: digit groups joined by one-char
+        // separators each followed by a digit
+        val spanStart = i
+        var digits = 0
+        var groups = 0
+        var minGroup = Int.MaxValue
+        var maxGroup = 0
+        var sep = '\u0000'
+        var uniform = true
         var j = i
-        while (j < n && str.charAt(j) >= '0' && str.charAt(j) <= '9') j += 1
-        if (j - i >= 13 && j - i <= 19 && luhnOk(str, i, j))
+        var done = false
+        while (!done) {
+          val g0 = j
+          while (j < n && str.charAt(j) >= '0' && str.charAt(j) <= '9') j += 1
+          val gl = j - g0
+          digits += gl
+          groups += 1
+          if (gl < minGroup) minGroup = gl
+          if (gl > maxGroup) maxGroup = gl
+          if (j < n && (str.charAt(j) == ' ' || str.charAt(j) == '-') &&
+              j + 1 < n && str.charAt(j + 1) >= '0' && str.charAt(j + 1) <= '9') {
+            if (sep == '\u0000') sep = str.charAt(j)
+            else if (str.charAt(j) != sep) uniform = false
+            j += 1
+          } else done = true
+        }
+        val spanEnd = j
+        val cand =
+          if (groups == 1) digits >= 13 && digits <= 19
+          else uniform && minGroup >= 3 && maxGroup <= 6 &&
+            digits >= 13 && digits <= 19
+        if (cand && luhnOkSpan(str, spanStart, spanEnd))
           sb.append("<CARD>")
-        else sb.append(str, i, j)
-        i = j
+        else sb.append(str, spanStart, spanEnd)
+        i = spanEnd
       }
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
 
-  private def luhnOk(str: String, from: Int, until: Int): Boolean = {
+  private def luhnOkSpan(str: String, from: Int, until: Int): Boolean = {
     var sum = 0
     var k = until - 1
     var dbl = false
     while (k >= from) {
-      var d = str.charAt(k) - '0'
-      if (dbl) { d *= 2; if (d > 9) d -= 9 }
-      sum += d
-      dbl = !dbl
+      val c = str.charAt(k)
+      if (c >= '0' && c <= '9') {
+        var d = c - '0'
+        if (dbl) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        dbl = !dbl
+      }
       k -= 1
     }
     sum % 10 == 0

@@ -1672,11 +1672,13 @@ object PipelineQueries {
     * derivation runs on both engines), then [[Pii.scrub]] detects and
     * redacts; the md5 of the redacted text pins the scrub byte-exactly. */
   def q51PiiScrub(spark: SparkSession, dir: String): DataFrame = {
-    // the scrub path now excises Luhn-valid 13–19-digit runs; the q51
-    // oracle replays only the regex chain, so the TABLE text is
-    // neutralized of 13+-digit runs on both sides (the q223 '&'-strip
-    // discipline) — shorter runs can never be candidates
-    val base = regexp_replace(col("text"), "[0-9]{13,}", "")
+    // the scrub path now excises Luhn-valid 13–19-digit spans, plain
+    // or separator-grouped; the q51 oracle replays only the regex
+    // chain, so the TABLE text is neutralized of any 13+-digit span
+    // (single space/hyphen separators allowed) on both sides (the
+    // q223 '&'-strip discipline) — what remains can never be a
+    // candidate
+    val base = regexp_replace(col("text"), "[0-9]([ -]?[0-9]){12,}", "")
     val dirty = docs(spark, dir).withColumn("dirty", concat(
       base,
       when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
@@ -3104,7 +3106,7 @@ object PipelineQueries {
       if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
     }.reduce(_ + _)
     val c = pmod(lit(10) - pmod(s15, lit(10)), lit(10))
-    val base = regexp_replace(col("text"), "[0-9]{13,}", "")
+    val base = regexp_replace(col("text"), "[0-9]([ -]?[0-9]){12,}", "")
     val planted = concat(base,
       when(col("doc_id") % 4 === 0,
         concat(lit(" card "), d15, c.cast("string")))
@@ -3116,6 +3118,45 @@ object PipelineQueries {
     Pii.scrub(docs(spark, dir).select(col("doc_id"),
         planted.as("text")), "doc_id", "text")
       .select(col("doc_id"), col("n_cards"), col("n_pii"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** GROUPED card redaction — the shape real text actually prints
+    * cards in (4-4-4-4 with spaces or hyphens): the q244 plant emitted
+    * contiguous digits; here the same computed-check-digit number is
+    * planted grouped, and the kernel's grouped-candidate rules are
+    * exercised arm by arm — uniform space groups (excised), uniform
+    * hyphen groups (excised), MIXED separators (kept verbatim), a
+    * checksum-broken grouped twin (kept), and a group-shape violation
+    * (4-4-8 — kept; "1 000 000"-style number formatting fails the
+    * same 3–6 rule). The oracle replays each arm closed-form. */
+  def q245GroupedCardRedact(spark: SparkSession, dir: String): DataFrame = {
+    val ds = (1 to 15).map(i => pmod(col("doc_id") * 7 + i * 3, lit(10)))
+    val d15 = concat(ds.map(_.cast("string")): _*)
+    val s15 = (1 to 15).map { i =>
+      val d = ds(i - 1)
+      if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
+    }.reduce(_ + _)
+    val c = pmod(lit(10) - pmod(s15, lit(10)), lit(10))
+    val d16 = concat(d15, c.cast("string"))
+    val d16bad = concat(d15, pmod(c + 5, lit(10)).cast("string"))
+    def grp(src: Column, sep1: String, sep2: String, sep3: String,
+        g3: Int = 4, g4: Int = 4): Column =
+      concat(substring(src, 1, 4), lit(sep1), substring(src, 5, 4),
+        lit(sep2), substring(src, 9, g3), lit(sep3),
+        substring(src, 9 + g3, g4))
+    val base = regexp_replace(col("text"), "[0-9]([ -]?[0-9]){12,}", "")
+    val planted = concat(base, lit(" card "),
+      when(col("doc_id") % 5 === 0, grp(d16, " ", " ", " "))
+        .when(col("doc_id") % 5 === 1, grp(d16, "-", "-", "-"))
+        .when(col("doc_id") % 5 === 2, grp(d16, "-", " ", " "))
+        .when(col("doc_id") % 5 === 3, grp(d16bad, " ", " ", " "))
+        .otherwise(concat(substring(d16, 1, 4), lit(" "),
+          substring(d16, 5, 4), lit(" "), substring(d16, 9, 8))))
+    Pii.scrub(docs(spark, dir).select(col("doc_id"),
+        planted.as("text")), "doc_id", "text")
+      .select(col("doc_id"), col("n_cards"),
         md5(col("redacted")).as("redacted_md5"))
       .orderBy(col("doc_id"))
   }
@@ -3579,6 +3620,7 @@ object PipelineQueries {
     "q238_compression_ratio" -> q238CompressionRatio,
     "q239_card_luhn" -> q239CardLuhn,
     "q244_card_redact" -> q244CardRedact,
+    "q245_grouped_card" -> q245GroupedCardRedact,
     "q240_heldout_lm" -> q240HeldoutLm,
     "q241_script_dominance" -> q241ScriptDominance,
     "q224_domain_extract" -> q224DomainExtract,
@@ -6285,7 +6327,7 @@ object PipelineQueries {
         |pc AS (SELECT doc_id, d15, ((10 - s15 % 10) % 10)::INT AS c
         |  FROM ps),
         |pl AS (SELECT d.doc_id, pc.d15, pc.c,
-        |    regexp_replace(d.text, '[0-9]{13,}', '', 'g') ||
+        |    regexp_replace(d.text, '[0-9]([ -]?[0-9]){12,}', '', 'g') ||
         |    CASE d.doc_id % 4
         |      WHEN 0 THEN ' card ' || pc.d15 || pc.c::VARCHAR
         |      WHEN 1 THEN ' card ' || pc.d15 || ((pc.c + 5) % 10)::VARCHAR
@@ -6313,6 +6355,61 @@ object PipelineQueries {
         |  FROM rg)
         |SELECT doc_id, n_cards, (n_rx + n_cards)::BIGINT AS n_pii,
         |  md5(r) AS redacted_md5
+        |FROM red ORDER BY doc_id""".stripMargin,
+    // Mirrors q245GroupedCardRedact: the q239 digit machinery grouped
+    // 4-4-4-4, each arm's excision replayed closed-form (uniform
+    // space/hyphen groups of the Luhn-valid number → <CARD>; mixed
+    // separators, broken checksum and a 4-4-8 shape violation →
+    // verbatim). The neutralized base plus digit-free placeholders
+    // leave the planted span as the only candidate.
+    "q245_grouped_card" ->
+      """WITH pd AS (SELECT doc_id, g.i,
+        |    ((doc_id * 7 + g.i * 3) % 10)::INT AS dg
+        |  FROM documents CROSS JOIN generate_series(1, 15) g(i)),
+        |ps AS (SELECT doc_id,
+        |    sum(CASE WHEN i % 2 = 1 THEN
+        |      CASE WHEN dg * 2 > 9 THEN dg * 2 - 9 ELSE dg * 2 END
+        |      ELSE dg END) AS s15,
+        |    string_agg(dg::VARCHAR, '' ORDER BY i) AS d15
+        |  FROM pd GROUP BY 1),
+        |pc AS (SELECT doc_id, d15 || ((10 - s15 % 10) % 10)::VARCHAR AS d16,
+        |    d15 || (((10 - s15 % 10) % 10 + 5) % 10)::VARCHAR AS d16b
+        |  FROM ps),
+        |gp AS (SELECT doc_id, d16, d16b,
+        |    substr(d16, 1, 4) || ' ' || substr(d16, 5, 4) || ' ' ||
+        |      substr(d16, 9, 4) || ' ' || substr(d16, 13, 4) AS gsp,
+        |    substr(d16, 1, 4) || '-' || substr(d16, 5, 4) || '-' ||
+        |      substr(d16, 9, 4) || '-' || substr(d16, 13, 4) AS ghy,
+        |    substr(d16, 1, 4) || '-' || substr(d16, 5, 4) || ' ' ||
+        |      substr(d16, 9, 4) || ' ' || substr(d16, 13, 4) AS gmx,
+        |    substr(d16b, 1, 4) || ' ' || substr(d16b, 5, 4) || ' ' ||
+        |      substr(d16b, 9, 4) || ' ' || substr(d16b, 13, 4) AS gbd,
+        |    substr(d16, 1, 4) || ' ' || substr(d16, 5, 4) || ' ' ||
+        |      substr(d16, 9, 8) AS gsh
+        |  FROM pc),
+        |pl AS (SELECT d.doc_id,
+        |    regexp_replace(d.text, '[0-9]([ -]?[0-9]){12,}', '', 'g') ||
+        |      ' card ' ||
+        |    CASE d.doc_id % 5 WHEN 0 THEN gp.gsp WHEN 1 THEN gp.ghy
+        |      WHEN 2 THEN gp.gmx WHEN 3 THEN gp.gbd ELSE gp.gsh END AS t,
+        |    CASE d.doc_id % 5 WHEN 0 THEN gp.gsp WHEN 1 THEN gp.ghy
+        |      ELSE NULL END AS hit
+        |  FROM documents d JOIN gp USING (doc_id)),
+        |red AS (SELECT doc_id,
+        |    CASE WHEN hit IS NULL THEN
+        |      regexp_replace(regexp_replace(regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+        |    ELSE replace(
+        |      regexp_replace(regexp_replace(regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      ' card ' || hit, ' card <CARD>') END AS r,
+        |    CASE WHEN hit IS NULL THEN 0 ELSE 1 END::BIGINT AS n_cards
+        |  FROM pl)
+        |SELECT doc_id, n_cards, md5(r) AS redacted_md5
         |FROM red ORDER BY doc_id""".stripMargin,
     // Mirrors q238CompressionRatio: the 16 plant texts are residue-only,
     // so the oracle embeds their raw/deflate byte counts (computed
@@ -7749,7 +7846,7 @@ object PipelineQueries {
     // independently of redaction.
     "q51_pii_scrub" ->
       """WITH dirty AS (
-        |  SELECT doc_id, regexp_replace(text, '[0-9]{13,}', '', 'g') ||
+        |  SELECT doc_id, regexp_replace(text, '[0-9]([ -]?[0-9]){12,}', '', 'g') ||
         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
         |      doc_id::VARCHAR || '@mail.example.com' ELSE '' END ||
         |    CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||

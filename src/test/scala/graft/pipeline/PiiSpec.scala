@@ -53,6 +53,30 @@ class PiiSpec extends AnyFunSuite {
     assert(out(6L) == ((1L, 3L, "mixed <EMAIL> <CARD> <IP>")))
   }
 
+  test("grouped card excision: uniform separators excised, mixed/misshapen kept") {
+    val docs = Seq(
+      (1L, "pay 4539 5787 6362 1486 now"),          // 4-4-4-4 spaces, valid
+      (2L, "pay 4539-5787-6362-1486 now"),          // hyphens, valid
+      (3L, "amex 3782 822463 10005 ok"),            // 4-6-5, valid
+      (4L, "mixed 4539-5787 6362 1486 kept"),       // separators differ
+      (5L, "bad 4539 5787 6362 1487 kept"),         // checksum fails
+      (6L, "fmt 1 000 000 000 000 00 kept"),        // group sizes 1,3,…
+      (7L, "shape 4539 5787 63621486 kept"),        // 4-4-8: group > 6
+      (8L, "tel 555-1234 short 12-34 kept"))        // far below 13 digits
+      .toDF("doc_id", "text")
+    val out = Pii.scrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getString(6)))).toMap
+    assert(out(1L) == ((1L, "pay <CARD> now")))
+    assert(out(2L) == ((1L, "pay <CARD> now")))
+    assert(out(3L) == ((1L, "amex <CARD> ok")))
+    assert(out(4L) == ((0L, "mixed 4539-5787 6362 1486 kept")))
+    assert(out(5L) == ((0L, "bad 4539 5787 6362 1487 kept")))
+    assert(out(6L) == ((0L, "fmt 1 000 000 000 000 00 kept")))
+    assert(out(7L) == ((0L, "shape 4539 5787 63621486 kept")))
+    assert(out(8L) == ((0L, "tel 555-1234 short 12-34 kept")))
+  }
+
   test("ip pattern needs word boundaries and four octets") {
     val docs = Seq(
       (1L, "version 1.2.3 shipped"),        // three groups — no match
