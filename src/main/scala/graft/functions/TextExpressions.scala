@@ -248,12 +248,18 @@ object TextKernels {
     *
     * A candidate whose digits hold the Luhn mod-10 checksum (doubling
     * every second digit from the RIGHT with the >9 ⇒ −9 fold) is
-    * replaced — separators and all — by `<CARD>`; every other span is
-    * copied verbatim. The no-13-digit common case returns the input
-    * object without allocating. Documented bounds: a Luhn-valid
-    * 13–19-digit grouped number that is NOT a card (1-in-10 of random
-    * formatted numbers passing the checksum) is excised — the
-    * standard scrubber recall-over-precision trade; and
+    * replaced — separators and all — by `<CARD>`. A span that is NOT
+    * excised as a whole falls back to the PER-GROUP contiguous rule:
+    * each of its digit groups is a maximal contiguous run, so a
+    * 13–19-digit Luhn-valid group is excised individually
+    * ("pay 4539578763621486 42 dollars" — the trailing amount makes
+    * the grouped shape fail, but the card inside must still go; the
+    * contiguous contract cannot be weakened by adjacent numbers).
+    * Everything else is copied verbatim. The no-13-digit common case
+    * returns the input object without allocating. Documented bounds:
+    * a Luhn-valid 13–19-digit grouped number that is NOT a card
+    * (1-in-10 of random formatted numbers passing the checksum) is
+    * excised — the standard scrubber recall-over-precision trade; and
     * [[graft.pipeline.Pii.cardReport]]'s detection COUNTS stay
     * contiguous-only (the grouped arm is pinned by its own query). */
   def redactCards(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
@@ -312,6 +318,26 @@ object TextKernels {
             digits >= 13 && digits <= 19
         if (cand && luhnOkSpan(str, spanStart, spanEnd))
           sb.append("<CARD>")
+        else if (groups > 1 && maxGroup >= 13) {
+          // per-group contiguous fallback: re-walk the span, excising
+          // any 13–19-digit Luhn-valid GROUP (a maximal contiguous
+          // run) and copying everything else — an adjacent short
+          // number must not shield a card
+          var k = spanStart
+          while (k < spanEnd) {
+            val ck = str.charAt(k)
+            if (ck < '0' || ck > '9') { sb.append(ck); k += 1 }
+            else {
+              var g = k
+              while (g < spanEnd && str.charAt(g) >= '0' &&
+                str.charAt(g) <= '9') g += 1
+              if (g - k >= 13 && g - k <= 19 && luhnOkSpan(str, k, g))
+                sb.append("<CARD>")
+              else sb.append(str, k, g)
+              k = g
+            }
+          }
+        }
         else sb.append(str, spanStart, spanEnd)
         i = spanEnd
       }

@@ -173,8 +173,14 @@ object Ranks {
         // one finite value (vlo == vhi, zero bad rows): its rows are
         // then ordered purely by the tie, so a monotone-proxy cut
         // never separates rows the (value, tie) order keeps adjacent.
+        // The single-valuedness test runs on the ORIGINAL column, not
+        // the double cast: two distinct longs past 2^53 (or wide
+        // decimals) collide after the cast, and declaring such a
+        // bucket splittable would interleave their ranks — the one
+        // place a cast collision would become a correctness bug (the
+        // bucket map itself only coarsens).
         val bstats = coarse.groupBy(col("_b")).agg(
-          min(vFinite).as("_vlo"), max(vFinite).as("_vhi"),
+          min(col(valueCol)).as("_vlo"), max(col(valueCol)).as("_vhi"),
           sum(when(v.isNull || isnan(v), 1L).otherwise(0L)).as("_nbad"),
           min(p).as("_plo"), max(p).as("_phi"))
         val splittable = col("_nbad") === 0L && col("_vlo").isNotNull &&

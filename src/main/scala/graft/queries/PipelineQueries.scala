@@ -1678,7 +1678,7 @@ object PipelineQueries {
     // (single space/hyphen separators allowed) on both sides (the
     // q223 '&'-strip discipline) — what remains can never be a
     // candidate
-    val base = regexp_replace(col("text"), "[0-9]([ -]?[0-9]){12,}", "")
+    val base = regexp_replace(col("text"), cardSpanNeutralizer, "")
     val dirty = docs(spark, dir).withColumn("dirty", concat(
       base,
       when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
@@ -3056,6 +3056,30 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The q239/q244/q245 computed-check-digit plant, shared so the
+    * digit arithmetic cannot drift between the detection and redaction
+    * queries: 15 base digits d(i) = (doc_id*7 + i*3) mod 10 and the
+    * Luhn check digit closed over them (check digit rightmost, so
+    * doubled positions are odd LEFT indexes). Returns (d15, c). */
+  private def luhnPlantDigits: (Column, Column) = {
+    val ds = (1 to 15).map(i => pmod(col("doc_id") * 7 + i * 3, lit(10)))
+    val d15 = concat(ds.map(_.cast("string")): _*)
+    val s15 = (1 to 15).map { i =>
+      val d = ds(i - 1)
+      if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
+    }.reduce(_ + _)
+    (d15, pmod(lit(10) - pmod(s15, lit(10)), lit(10)))
+  }
+
+  /** Table-text neutralizer for the card-redaction plants (q51/q244/
+    * q245 — the Spark sides use THIS constant and the oracle sides
+    * interpolate it, so the pattern cannot drift): strips any
+    * 13+-digit span with optional single space/hyphen separators, the
+    * superset of every redact_cards candidate shape, so regenerated
+    * documents.text can never introduce a span the closed-form
+    * oracles don't replay. */
+  private val cardSpanNeutralizer: String = "[0-9]([ -]?[0-9]){12,}"
+
   /** Luhn-verified card detection ([[Pii.cardReport]]) over a
     * computed-check-digit plant (the q51 device with arithmetic): 15
     * base digits dᵢ = (doc_id·7 + i·3) mod 10 and the Luhn check digit
@@ -3067,14 +3091,7 @@ object PipelineQueries {
     * recomputes the plant, the candidate extraction and every Luhn
     * term in SQL. */
   def q239CardLuhn(spark: SparkSession, dir: String): DataFrame = {
-    val ds = (1 to 15).map(i => pmod(col("doc_id") * 7 + i * 3, lit(10)))
-    val d15 = concat(ds.map(_.cast("string")): _*)
-    // check digit rightmost ⇒ doubled positions are odd LEFT indexes
-    val s15 = (1 to 15).map { i =>
-      val d = ds(i - 1)
-      if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
-    }.reduce(_ + _)
-    val c = pmod(lit(10) - pmod(s15, lit(10)), lit(10))
+    val (d15, c) = luhnPlantDigits
     val planted = concat(col("text"),
       when(col("doc_id") % 4 === 0,
         concat(lit(" card "), d15, c.cast("string")))
@@ -3099,14 +3116,8 @@ object PipelineQueries {
     * becomes `<CARD>`, the checksum-broken twin (1) and the 21-digit
     * burial (2) survive verbatim. */
   def q244CardRedact(spark: SparkSession, dir: String): DataFrame = {
-    val ds = (1 to 15).map(i => pmod(col("doc_id") * 7 + i * 3, lit(10)))
-    val d15 = concat(ds.map(_.cast("string")): _*)
-    val s15 = (1 to 15).map { i =>
-      val d = ds(i - 1)
-      if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
-    }.reduce(_ + _)
-    val c = pmod(lit(10) - pmod(s15, lit(10)), lit(10))
-    val base = regexp_replace(col("text"), "[0-9]([ -]?[0-9]){12,}", "")
+    val (d15, c) = luhnPlantDigits
+    val base = regexp_replace(col("text"), cardSpanNeutralizer, "")
     val planted = concat(base,
       when(col("doc_id") % 4 === 0,
         concat(lit(" card "), d15, c.cast("string")))
@@ -3132,21 +3143,15 @@ object PipelineQueries {
     * (4-4-8 — kept; "1 000 000"-style number formatting fails the
     * same 3–6 rule). The oracle replays each arm closed-form. */
   def q245GroupedCardRedact(spark: SparkSession, dir: String): DataFrame = {
-    val ds = (1 to 15).map(i => pmod(col("doc_id") * 7 + i * 3, lit(10)))
-    val d15 = concat(ds.map(_.cast("string")): _*)
-    val s15 = (1 to 15).map { i =>
-      val d = ds(i - 1)
-      if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
-    }.reduce(_ + _)
-    val c = pmod(lit(10) - pmod(s15, lit(10)), lit(10))
+    val (d15, c) = luhnPlantDigits
     val d16 = concat(d15, c.cast("string"))
     val d16bad = concat(d15, pmod(c + 5, lit(10)).cast("string"))
-    def grp(src: Column, sep1: String, sep2: String, sep3: String,
-        g3: Int = 4, g4: Int = 4): Column =
+    // 4-4-4-4 split (the amex 4-6-5 shape is kernel-covered in PiiSpec)
+    def grp(src: Column, sep1: String, sep2: String, sep3: String): Column =
       concat(substring(src, 1, 4), lit(sep1), substring(src, 5, 4),
-        lit(sep2), substring(src, 9, g3), lit(sep3),
-        substring(src, 9 + g3, g4))
-    val base = regexp_replace(col("text"), "[0-9]([ -]?[0-9]){12,}", "")
+        lit(sep2), substring(src, 9, 4), lit(sep3),
+        substring(src, 13, 4))
+    val base = regexp_replace(col("text"), cardSpanNeutralizer, "")
     val planted = concat(base, lit(" card "),
       when(col("doc_id") % 5 === 0, grp(d16, " ", " ", " "))
         .when(col("doc_id") % 5 === 1, grp(d16, "-", "-", "-"))
@@ -6315,7 +6320,7 @@ object PipelineQueries {
     // only card-length candidate; residue 0 is the Luhn-valid card →
     // <CARD>, 1 fails the checksum, 2 is a 21-digit non-candidate).
     "q244_card_redact" ->
-      """WITH pd AS (SELECT doc_id, g.i,
+      raw"""WITH pd AS (SELECT doc_id, g.i,
         |    ((doc_id * 7 + g.i * 3) % 10)::INT AS dg
         |  FROM documents CROSS JOIN generate_series(1, 15) g(i)),
         |ps AS (SELECT doc_id,
@@ -6327,7 +6332,7 @@ object PipelineQueries {
         |pc AS (SELECT doc_id, d15, ((10 - s15 % 10) % 10)::INT AS c
         |  FROM ps),
         |pl AS (SELECT d.doc_id, pc.d15, pc.c,
-        |    regexp_replace(d.text, '[0-9]([ -]?[0-9]){12,}', '', 'g') ||
+        |    regexp_replace(d.text, '$cardSpanNeutralizer', '', 'g') ||
         |    CASE d.doc_id % 4
         |      WHEN 0 THEN ' card ' || pc.d15 || pc.c::VARCHAR
         |      WHEN 1 THEN ' card ' || pc.d15 || ((pc.c + 5) % 10)::VARCHAR
@@ -6363,7 +6368,7 @@ object PipelineQueries {
     // verbatim). The neutralized base plus digit-free placeholders
     // leave the planted span as the only candidate.
     "q245_grouped_card" ->
-      """WITH pd AS (SELECT doc_id, g.i,
+      raw"""WITH pd AS (SELECT doc_id, g.i,
         |    ((doc_id * 7 + g.i * 3) % 10)::INT AS dg
         |  FROM documents CROSS JOIN generate_series(1, 15) g(i)),
         |ps AS (SELECT doc_id,
@@ -6388,7 +6393,7 @@ object PipelineQueries {
         |      substr(d16, 9, 8) AS gsh
         |  FROM pc),
         |pl AS (SELECT d.doc_id,
-        |    regexp_replace(d.text, '[0-9]([ -]?[0-9]){12,}', '', 'g') ||
+        |    regexp_replace(d.text, '$cardSpanNeutralizer', '', 'g') ||
         |      ' card ' ||
         |    CASE d.doc_id % 5 WHEN 0 THEN gp.gsp WHEN 1 THEN gp.ghy
         |      WHEN 2 THEN gp.gmx WHEN 3 THEN gp.gbd ELSE gp.gsh END AS t,
@@ -7845,8 +7850,8 @@ object PipelineQueries {
     // replaced in the same order. Counts run on the dirty text
     // independently of redaction.
     "q51_pii_scrub" ->
-      """WITH dirty AS (
-        |  SELECT doc_id, regexp_replace(text, '[0-9]([ -]?[0-9]){12,}', '', 'g') ||
+      raw"""WITH dirty AS (
+        |  SELECT doc_id, regexp_replace(text, '$cardSpanNeutralizer', '', 'g') ||
         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
         |      doc_id::VARCHAR || '@mail.example.com' ELSE '' END ||
         |    CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||

@@ -77,6 +77,26 @@ class PiiSpec extends AnyFunSuite {
     assert(out(8L) == ((0L, "tel 555-1234 short 12-34 kept")))
   }
 
+  test("an adjacent short number cannot shield a contiguous card " +
+      "(per-group fallback inside a failed grouped span)") {
+    val docs = Seq(
+      // trailing amount / leading quantity absorb the card into a
+      // grouped span whose shape fails — the card group must still go
+      (1L, "pay 4539578763621486 42 dollars"),
+      (2L, "order 12 4539578763621486 now"),
+      (3L, "a 4539578763621486-7 b"),
+      // non-card group beside a failing span stays verbatim
+      (4L, "ids 4539578763621487 42 kept"))
+      .toDF("doc_id", "text")
+    val out = Pii.scrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getString(6)))).toMap
+    assert(out(1L) == ((1L, "pay <CARD> 42 dollars")))
+    assert(out(2L) == ((1L, "order 12 <CARD> now")))
+    assert(out(3L) == ((1L, "a <CARD>-7 b")))
+    assert(out(4L) == ((0L, "ids 4539578763621487 42 kept")))
+  }
+
   test("ip pattern needs word boundaries and four octets") {
     val docs = Seq(
       (1L, "version 1.2.3 shipped"),        // three groups — no match
