@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.types.Decimal
 
-import graft.functions.{CountRanges, CountRlike, DecodeBytes, DecodeHtmlRefs, DecodePage, DetectCharset, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, RedactCards, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs}
+import graft.functions.{CountRanges, CountRlike, DecodeBytes, DecodeHtmlRefs, DecodePage, DetectCharset, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, RedactCards, RobotsMatch, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * apply with `.withExtensions(new GraftExtensions)` (as
@@ -128,6 +128,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"redact_cards expects exactly 1 argument, got ${children.length}")
         RedactCards(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("robots_match"),
+      new ExpressionInfo(classOf[RobotsMatch].getName, "robots_match"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"robots_match expects (pattern, path), got ${children.length} arguments")
+        RobotsMatch(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("count_rlike"),

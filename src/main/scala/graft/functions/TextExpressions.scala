@@ -3,7 +3,7 @@ package graft.functions
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
@@ -360,6 +360,45 @@ object TextKernels {
       k -= 1
     }
     sum % 10 == 0
+  }
+
+  /** robots.txt glob match (the [[RobotsMatch]] kernel): `pattern`
+    * matches a PREFIX of `path` anchored at position 0 — the RFC 9309
+    * rule ("/q" matches every path under /q) — with `*` spanning any
+    * run (greedy, backtracking) and a single trailing `$` anchoring
+    * the match to the path's END (full match). Everything else is a
+    * literal octet compare, case-sensitive (URL paths are). Two
+    * pointers, no regex compilation per (url, rule) pair. */
+  def robotsMatch(pattern: org.apache.spark.unsafe.types.UTF8String,
+      path: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val p = pattern.toString
+    val s = path.toString
+    val full = p.nonEmpty && p.charAt(p.length - 1) == '$'
+    val pat = if (full) p.substring(0, p.length - 1) else p
+    if (pat.isEmpty) return !full || s.isEmpty
+    val np = pat.length
+    val ns = s.length
+    var pi = 0
+    var si = 0
+    var starP = -1
+    var starS = -1
+    while (si < ns) {
+      if (pi < np && pat.charAt(pi) == '*') {
+        starP = pi
+        starS = si
+        pi += 1
+      } else if (pi < np && pat.charAt(pi) == s.charAt(si)) {
+        pi += 1
+        si += 1
+      } else if (starP >= 0) {
+        starS += 1
+        si = starS
+        pi = starP + 1
+      } else return false
+      if (pi == np && !full) return true
+    }
+    while (pi < np && pat.charAt(pi) == '*') pi += 1
+    pi == np && (!full || si == ns)
   }
 
   /** Parse a [[CountRanges]] class spec — classes separated by `;`,
@@ -770,6 +809,39 @@ case class CountRanges(child: Expression, spec: String)
     copy(child = newChild)
 
   override def prettyName: String = "count_ranges"
+}
+
+/** `robots_match(pattern, path)`: RFC 9309 rule-pattern glob against
+  * a path+query (see [[TextKernels.robotsMatch]]) — anchored-prefix
+  * semantics, `*` wildcards, trailing `$` end anchor. Codegen'd
+  * two-pointer; patterns arrive per ROW (the rules relation), so a
+  * regex compile per pair is exactly what this avoids. */
+case class RobotsMatch(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"robots_match requires (string, string), got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.robotsMatch(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.robotsMatch($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsMatch =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "robots_match"
 }
 
 /** `count_rlike(arr, 'pattern')`: # array elements matching the regex

@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt (Robots Exclusion Protocol, RFC 9309) evaluation — the
+  * fetch gate ahead of the web front door (q223/q234/WebIngestStream):
+  * a crawl pipeline must decide per URL whether the origin allows
+  * fetching it, and the decision is NOT a regex — it is group
+  * selection (the most specific `User-agent` group wins, `*` is the
+  * fallback), then longest-match over the group's `Allow`/`Disallow`
+  * path patterns (pattern length in octets; `Allow` wins exact-length
+  * ties), with `*` wildcards and a `$` end anchor inside patterns.
+  *
+  * Spark-first shape: robots bodies are a DOMAIN-cardinality relation
+  * (millions of rows at crawl scale, never corpus-scale) parsed by a
+  * per-row kernel into a (domain, allow, pattern) RULES relation; URLs
+  * join rules on domain (AQE broadcasts the rules side when small, a
+  * domain-keyed hash join otherwise — never a corpus shuffle beyond
+  * that one join), each candidate rule is tested by the native
+  * `robots_match` glob expression (two-pointer, codegen'd — compiling
+  * a regex per (url, rule) pair would dominate), and the
+  * longest-match winner is one `max(struct(plen, allow, pattern))`
+  * aggregate over the hit-cardinality matched subset. URLs whose
+  * domain has no robots row, or no matching rule, default to ALLOWED
+  * (the RFC rule).
+  *
+  * Documented bounds: group selection supports exact agent-token and
+  * `*` groups (product tokens with version comparisons are not
+  * modeled); `Crawl-delay`/`Sitemap` and unknown directives are
+  * ignored; an empty `Disallow:` value is the RFC allow-all no-op and
+  * produces no rule; patterns match the URL's path+query (fragments
+  * are never sent to servers). Percent-encoding normalization is the
+  * caller's (canonicalizer's) job.
+  */
+object Robots {
+
+  /** Parse one robots.txt body and select the rules for `agent`
+    * (lowercase token): groups whose `User-agent` lines name the agent
+    * exactly, else groups naming `*`. Multiple `User-agent` lines
+    * STACK onto the group they precede (RFC: a group may serve several
+    * agents); a `User-agent` line after rule lines starts a NEW group.
+    * Returns (allow, pattern) in file order, empty-value rules
+    * dropped. */
+  def parseRules(txt: String, agent: String): Vector[(Boolean, String)] = {
+    val want = agent.toLowerCase(java.util.Locale.ROOT)
+    // (agents, rules) per group, built sequentially
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String],
+        scala.collection.mutable.ArrayBuffer[(Boolean, String)])]
+    var inAgents = false
+    txt.split("\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val name = line.substring(0, colon).trim
+            .toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          name match {
+            case "user-agent" =>
+              if (!inAgents || groups.isEmpty) {
+                groups += ((scala.collection.mutable.ArrayBuffer.empty,
+                  scala.collection.mutable.ArrayBuffer.empty))
+                inAgents = true
+              }
+              groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+            case "allow" | "disallow" =>
+              inAgents = false
+              // rules before any User-agent line are ignored (RFC);
+              // empty Disallow/Allow values are allow-all no-ops
+              if (groups.nonEmpty && value.nonEmpty)
+                groups.last._2 += ((name == "allow", value))
+            case _ => // crawl-delay, sitemap, unknown: ignored
+              inAgents = false
+          }
+        }
+      }
+    }
+    val exact = groups.filter(_._1.contains(want))
+    val chosen = if (exact.nonEmpty) exact else groups.filter(_._1.contains("*"))
+    chosen.flatMap(_._2).toVector
+  }
+
+  /** robots bodies → the RULES relation (domain, allow, pattern,
+    * plen): one kernel pass over the domain-cardinality input. */
+  def rules(robots: DataFrame, domainCol: String, txtCol: String,
+      agent: String): DataFrame = {
+    import robots.sparkSession.implicits._
+    robots.select(col(domainCol).cast("string"), col(txtCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (d, txt) =>
+        parseRules(if (txt == null) "" else txt, agent).map { case (a, p) =>
+          (d, a, p, p.length.toLong)
+        }
+      }
+      .toDF(domainCol, "allow", "pattern", "plen")
+  }
+
+  /** Rules collected to ONE array row per domain — the join shape a
+    * STREAMING consumer needs (an append-mode stream cannot run the
+    * per-URL argmax aggregate [[verdicts]] uses, but it can join one
+    * bounded array per domain and decide per row). */
+  def rulesByDomain(rulesDf: DataFrame,
+      domainCol: String = "domain"): DataFrame =
+    rulesDf.groupBy(col(domainCol))
+      .agg(collect_list(struct(col("plen"), col("allow"),
+        col("pattern"))).as("_rules"))
+
+  /** Per-row allowed/blocked decision over a [[rulesByDomain]] array
+    * column: longest match wins, Allow wins ties, null array (no
+    * robots row) or no matching rule → allowed. The lambda runs
+    * interpreted, but the array is rules-per-domain bounded (tens),
+    * never corpus-scale. */
+  def allowedExpr(rulesArr: Column, pathQuery: Column): Column = {
+    val best = array_max(transform(
+      filter(rulesArr, r =>
+        call_function("robots_match", r.getField("pattern"), pathQuery)),
+      r => struct(r.getField("plen").as("plen"),
+        r.getField("allow").as("allow"))))
+    rulesArr.isNull || best.isNull || best.getField("allow")
+  }
+
+  /** The path+query a robots pattern is matched against: scheme and
+    * authority stripped, fragment dropped (never sent to servers),
+    * empty path normalized to "/". */
+  def pathQueryOf(url: Column): Column = {
+    val noFrag = regexp_replace(url, "(?s)#.*", "")
+    val p = regexp_replace(noFrag, "(?i)^[a-z0-9+.-]+://[^/]*", "")
+    when(p === "", "/").otherwise(p)
+  }
+
+  /** Per-URL robots verdicts: join the rules relation on the URL's
+    * host, keep rules whose glob matches the path+query, take the
+    * longest-match winner (`Allow` wins length ties — the struct max
+    * orders (plen, allow, pattern)), default ALLOWED when nothing
+    * matches or the domain has no robots. Emits (id, domain, verdict,
+    * rule, rule_len) with rule/rule_len null on the default path. */
+  def verdicts(urls: DataFrame, idCol: String, urlCol: String,
+      rulesDf: DataFrame, domainCol: String = "domain"): DataFrame = {
+    val base = urls.select(col(idCol),
+      Domains.hostOf(col(urlCol)).as(domainCol),
+      pathQueryOf(col(urlCol)).as("_pq"))
+    val matched = base.join(rulesDf, Seq(domainCol))
+      .filter(call_function("robots_match", col("pattern"), col("_pq")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("plen"), col("allow"), col("pattern"))).as("_best"))
+      .select(col(idCol), col("_best.allow").as("_allow"),
+        col("_best.pattern").as("_rule"), col("_best.plen").as("_rlen"))
+    base.join(matched, Seq(idCol), "left")
+      .select(col(idCol), col(domainCol),
+        when(col("_allow").isNull || col("_allow"), "allowed")
+          .otherwise("blocked").as("verdict"),
+        col("_rule").as("rule"),
+        col("_rlen").cast("long").as("rule_len"))
+  }
+}

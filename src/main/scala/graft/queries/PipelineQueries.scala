@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.Tables
-import graft.pipeline.{Bpe, Contract, Curate, Dedup, Dsir, Multimodal, Pii, Similarity, Sketches, TextMetrics}
+import graft.pipeline.{Bpe, Contract, Curate, Dedup, Dsir, Multimodal, Pii, Robots, Similarity, Sketches, TextMetrics}
 
 /** Training-data pipeline queries (north-star extensions, BASELINE.json):
   * deduplication, similarity search, text analysis, multimodal plumbing —
@@ -3056,6 +3056,79 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q246 robots.txt rule constants — the robots bodies are BUILT from
+    * these and the oracle interpolates the same vals (the htmlPlant
+    * lockstep device), so a pattern tweak cannot drift the engines. */
+  private val robotsAllowA = "/path/*?a=1*"
+  private val robotsDisA1 = "/path/"
+  private val robotsDisA2 = "/path/*?*utm_*"
+  private val robotsDisB = "/*fbclid=abc$"
+
+  /** a.example.com: a graftbot-specific group ahead of a deny-all `*`
+    * group — group selection itself is hash-gated (taking the `*`
+    * group would block residue 1 and flip the verdict). */
+  private val robotsTxtA: String =
+    s"""# site crawl policy
+       |User-agent: graftbot
+       |Disallow: $robotsDisA1
+       |Allow: $robotsAllowA
+       |Disallow: $robotsDisA2
+       |
+       |User-agent: *
+       |Disallow: /
+       |""".stripMargin
+
+  /** b.other.org: no graftbot group (the `*` fallback), STACKED
+    * user-agent lines, an ignored Crawl-delay, a `$`-anchored rule
+    * that must NOT match mid-path, one that must, and an empty
+    * Disallow (the RFC allow-all no-op, dropped at parse). */
+  private val robotsTxtB: String =
+    s"""User-agent: legacybot
+       |User-agent: *
+       |Crawl-delay: 10
+       |Disallow: /tmp/
+       |Disallow: /q*?z=9$$
+       |Allow: /q
+       |Disallow: $robotsDisB
+       |Disallow:
+       |""".stripMargin
+
+  /** robots.txt fetch gate ([[graft.pipeline.Robots]], RFC 9309) — the
+    * decision a crawl pipeline takes BEFORE the q234 front door ever
+    * sees bytes: per planted URL, group selection (graftbot group vs
+    * the `*` fallback), longest-match over Allow/Disallow glob
+    * patterns (`*` wildcards, `$` end anchor, Allow wins ties), and
+    * the RFC allowed-by-default paths (no matching rule; no robots row
+    * at all). Rules parse from a domain-cardinality side relation and
+    * join URLs on host — no corpus shuffle beyond that join; matching
+    * is the native `robots_match` two-pointer (no per-pair regex
+    * compile). The oracle replays each residue's verdict closed-form
+    * with the rule constants interpolated from the same vals
+    * (RobotsSpec pins the parser and matcher themselves on RFC-style
+    * cases). */
+  def q246RobotsGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = expr("doc_id div 5").cast("string")
+    val url = when(col("doc_id") % 5 === 0,
+        concat(lit("https://a.example.com/path/p"), g,
+          lit("/?b=2&utm_source=x")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("https://a.example.com/path/p"), g, lit("?a=1&b=2")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("https://a.example.com/path/p"), g,
+          lit("/?utm_campaign=z")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("http://b.other.org/q"), g, lit("?z=9&fbclid=abc")))
+      .otherwise(concat(lit("https://c.missing.net/free/f"), g))
+    val robots = Seq(("a.example.com", robotsTxtA),
+      ("b.other.org", robotsTxtB)).toDF("domain", "robots_txt")
+    val rules = Robots.rules(robots, "domain", "robots_txt",
+      agent = "graftbot")
+    Robots.verdicts(docs(spark, dir).select(col("doc_id"), url.as("url")),
+        "doc_id", "url", rules)
+      .orderBy(col("doc_id"))
+  }
+
   /** The q239/q244/q245 computed-check-digit plant, shared so the
     * digit arithmetic cannot drift between the detection and redaction
     * queries: 15 base digits d(i) = (doc_id*7 + i*3) mod 10 and the
@@ -3626,6 +3699,7 @@ object PipelineQueries {
     "q239_card_luhn" -> q239CardLuhn,
     "q244_card_redact" -> q244CardRedact,
     "q245_grouped_card" -> q245GroupedCardRedact,
+    "q246_robots_gate" -> q246RobotsGate,
     "q240_heldout_lm" -> q240HeldoutLm,
     "q241_script_dominance" -> q241ScriptDominance,
     "q224_domain_extract" -> q224DomainExtract,
@@ -6416,6 +6490,25 @@ object PipelineQueries {
         |  FROM pl)
         |SELECT doc_id, n_cards, md5(r) AS redacted_md5
         |FROM red ORDER BY doc_id""".stripMargin,
+    // Mirrors q246RobotsGate closed-form per residue: the robots
+    // bodies are constants built FROM the interpolated rule vals, so
+    // verdict, matched rule and its length replay exactly (residues
+    // 0/2 hit the utm Disallow, 1 the longer Allow, 3 the $-anchored
+    // Disallow via the `*` group, 4 has no robots row at all);
+    // RobotsSpec pins the parser/matcher mechanics.
+    "q246_robots_gate" ->
+      raw"""SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 3 THEN 'b.other.org'
+        |    WHEN 4 THEN 'c.missing.net' ELSE 'a.example.com' END AS domain,
+        |  CASE WHEN doc_id % 5 IN (1, 4) THEN 'allowed'
+        |    ELSE 'blocked' END AS verdict,
+        |  CASE doc_id % 5 WHEN 0 THEN '$robotsDisA2' WHEN 1 THEN '$robotsAllowA'
+        |    WHEN 2 THEN '$robotsDisA2' WHEN 3 THEN '$robotsDisB'
+        |    ELSE NULL END AS rule,
+        |  (CASE doc_id % 5 WHEN 0 THEN ${robotsDisA2.length}
+        |    WHEN 1 THEN ${robotsAllowA.length} WHEN 2 THEN ${robotsDisA2.length}
+        |    WHEN 3 THEN ${robotsDisB.length} ELSE NULL END)::BIGINT AS rule_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Mirrors q238CompressionRatio: the 16 plant texts are residue-only,
     // so the oracle embeds their raw/deflate byte counts (computed
     // driver-side at SQL-build time — DuckDB has no zlib) and replays

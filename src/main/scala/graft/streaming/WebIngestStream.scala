@@ -30,7 +30,12 @@ import graft.pipeline.{Domains, Html, TextMetrics}
   *
   * Verdict precedence matches batch q234 exactly:
   * dropped_url_dup → dropped_blocklist → dropped_quality →
-  * dropped_domain_cap → kept.
+  * dropped_domain_cap → kept. With the OPTIONAL robots fetch gate
+  * (q246's rules, a stream-static broadcast join + per-row
+  * longest-match), dropped_robots precedes everything and a
+  * robots-blocked arrival never claims the canonical-URL
+  * first-arrival slot — a fetch the origin forbids must not shadow a
+  * future allowed snapshot.
   *
   * State: one boolean per canonical URL + one counter per domain, both
   * RocksDB-backed `transformWithState` (two keyed stateful stages
@@ -42,7 +47,8 @@ object WebIngestStream {
 
   case class PageArrival(doc_id: Long, raw: Array[Byte], url: String)
   case class EnrichedPage(doc_id: Long, charset: String, canon_url: String,
-    domain: String, n_lines: Long, blocked: Boolean, q_ok: Boolean)
+    domain: String, n_lines: Long, blocked: Boolean, q_ok: Boolean,
+    robots_ok: Boolean)
   case class FlaggedPage(doc_id: Long, charset: String, canon_url: String,
     domain: String, n_lines: Long, verdict0: String)
   case class PageVerdict(doc_id: Long, charset: String, canon_url: String,
@@ -53,15 +59,32 @@ object WebIngestStream {
     * quality verdict inputs. Pure column expressions (works unchanged
     * on batch frames); text never leaves the projection. */
   def enrich(pages: DataFrame, terms: Seq[String], phrases: Seq[String],
-      suffixes: Seq[String]): DataFrame = {
+      suffixes: Seq[String],
+      robotsRules: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty || phrases.nonEmpty,
       "enrich: need at least one blocklist term or phrase")
     require(suffixes.nonEmpty, "enrich: need a public-suffix list")
-    val p1 = pages.select(col("doc_id"),
+    // robots fetch-gate input (optional): one bounded rules array per
+    // HOST via a stream-static broadcast join + a per-row longest-match
+    // decision (an append-mode stream cannot run the per-URL argmax
+    // aggregate the batch q246 uses)
+    val withRobots = robotsRules match {
+      case Some(rules) =>
+        pages.withColumn("_host", Domains.hostOf(col("url")))
+          .join(broadcast(graft.pipeline.Robots.rulesByDomain(rules)
+            .withColumnRenamed("domain", "_host")), Seq("_host"), "left")
+          .withColumn("_robots_ok", graft.pipeline.Robots.allowedExpr(
+            col("_rules"), graft.pipeline.Robots.pathQueryOf(col("url"))))
+          .drop("_host", "_rules")
+      case None => pages.withColumn("_robots_ok", lit(true))
+    }
+    val p1 = withRobots.select(col("doc_id"),
         call_function("decode_page", col("raw")).as("_p"),
-        Domains.canonicalizeUrl(col("url")).as("canon_url"))
+        Domains.canonicalizeUrl(col("url")).as("canon_url"),
+        col("_robots_ok"))
       .select(col("doc_id"), col("_p.charset").as("charset"),
-        Html.extractExpr(col("_p.text")).as("text"), col("canon_url"))
+        Html.extractExpr(col("_p.text")).as("text"), col("canon_url"),
+        col("_robots_ok"))
     val toks = TextFunctions.tokenize(col("text"))
     val blocked =
       arrays_overlap(filter(toks, w => length(w) > 0),
@@ -74,7 +97,8 @@ object WebIngestStream {
         suffixes).as("domain"),
       Html.lineCount(col("text")).as("n_lines"),
       blocked.as("blocked"),
-      (quality === 1.0).as("q_ok"))
+      (quality === 1.0).as("q_ok"),
+      col("_robots_ok").as("robots_ok"))
   }
 
   /** First-arrival canonical-URL gate: the first page per canonical URL
@@ -103,18 +127,26 @@ object WebIngestStream {
 
     override def handleInputRows(key: String, rows: Iterator[EnrichedPage],
         timers: TimerValues): Iterator[FlaggedPage] = {
-      val had = seen.exists()
+      // robots-blocked arrivals take dropped_robots AHEAD of every
+      // other verdict and never claim the first-arrival slot — a fetch
+      // the origin forbids must not shadow a future allowed snapshot
+      var taken = seen.exists()
       val sorted = rows.toVector.sortBy(_.doc_id)
-      seen.update(true)
-      sorted.iterator.zipWithIndex.map { case (p, i) =>
+      val out = sorted.map { p =>
         val v0 =
-          if (had || i > 0) "dropped_url_dup"
-          else if (p.blocked) "dropped_blocklist"
-          else if (!p.q_ok) "dropped_quality"
-          else "pass"
+          if (!p.robots_ok) "dropped_robots"
+          else if (taken) "dropped_url_dup"
+          else {
+            taken = true
+            if (p.blocked) "dropped_blocklist"
+            else if (!p.q_ok) "dropped_quality"
+            else "pass"
+          }
         FlaggedPage(p.doc_id, p.charset, p.canon_url, p.domain,
           p.n_lines, v0)
       }
+      if (taken) seen.update(true)
+      out.iterator
     }
   }
 
@@ -167,14 +199,16 @@ object WebIngestStream {
   def gate(pages: Dataset[PageArrival], terms: Seq[String],
       phrases: Seq[String], suffixes: Seq[String],
       cap: Int,
-      urlTtl: Option[java.time.Duration] = None): Dataset[PageVerdict] = {
+      urlTtl: Option[java.time.Duration] = None,
+      robotsRules: Option[DataFrame] = None): Dataset[PageVerdict] = {
     require(cap >= 1, "gate: cap must be >= 1")
     import pages.sparkSession.implicits._
     val (ttlConf, urlTimeMode) = urlTtl match {
       case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
       case None => (TTLConfig.NONE, TimeMode.None())
     }
-    enrich(pages.toDF(), terms, phrases, suffixes).as[EnrichedPage]
+    enrich(pages.toDF(), terms, phrases, suffixes, robotsRules)
+      .as[EnrichedPage]
       .groupByKey(_.canon_url)
       .transformWithState(new UrlFirstProcessor(ttlConf),
         urlTimeMode, OutputMode.Append())

@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextKernels
+
+/** robots.txt evaluation ([[Robots]], q246): the parser's group
+  * selection and directive handling, the `robots_match` glob kernel's
+  * RFC 9309 semantics (anchored prefix, `*`, `$`), and the
+  * longest-match / Allow-ties-win decision — each pinned on
+  * RFC-style cases the closed-form q246 oracle does not re-derive. */
+class RobotsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("parser: group selection prefers the exact agent over *") {
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /private/
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    assert(Robots.parseRules(txt, "graftbot") ==
+      Vector((false, "/private/")))
+    assert(Robots.parseRules(txt, "otherbot") == Vector((false, "/")))
+  }
+
+  test("parser: stacked user-agent lines share one group; a UA line " +
+      "after rules starts a NEW group") {
+    val txt =
+      """User-agent: a
+        |User-agent: b
+        |Disallow: /x
+        |User-agent: c
+        |Disallow: /y
+        |""".stripMargin
+    assert(Robots.parseRules(txt, "a") == Vector((false, "/x")))
+    assert(Robots.parseRules(txt, "b") == Vector((false, "/x")))
+    assert(Robots.parseRules(txt, "c") == Vector((false, "/y")))
+  }
+
+  test("parser: comments, blank lines, case-insensitive directives, " +
+      "unknown directives, empty Disallow, headless rules") {
+    val txt =
+      """# policy
+        |DISALLOW: /headless  # ignored: before any User-agent
+        |User-Agent: GraftBot  # agent tokens compare lowercased
+        |Crawl-delay: 10
+        |Sitemap: https://x/s.xml
+        |disallow: /a  # trailing comment
+        |ALLOW: /a/ok
+        |Disallow:
+        |""".stripMargin
+    assert(Robots.parseRules(txt, "graftbot") ==
+      Vector((false, "/a"), (true, "/a/ok")))
+    // no group matches an unknown agent and there is no * group
+    assert(Robots.parseRules(txt, "nobody") == Vector())
+  }
+
+  private def m(pat: String, path: String): Boolean =
+    TextKernels.robotsMatch(
+      org.apache.spark.unsafe.types.UTF8String.fromString(pat),
+      org.apache.spark.unsafe.types.UTF8String.fromString(path))
+
+  test("glob kernel: anchored prefix, * spans, $ anchors the end") {
+    assert(m("/q", "/q"))
+    assert(m("/q", "/q/deep?x=1"))
+    assert(!m("/q", "/p/q")) // anchored at 0, not a substring search
+    assert(m("/fish*.php", "/fishheads/catfish.php?a=1"))
+    assert(m("/*.php", "/index.php"))
+    assert(!m("/*.php$", "/index.php?x=1"))
+    assert(m("/*.php$", "/index.php"))
+    assert(m("/fish$", "/fish"))
+    assert(!m("/fish$", "/fishheads"))
+    // backtracking: the first * landing must be revisitable
+    assert(m("/a*bc", "/axbxbc"))
+    assert(!m("/a*bd", "/axbxbc"))
+    // case-sensitive octets
+    assert(!m("/Fish", "/fish"))
+  }
+
+  test("longest match wins; Allow wins exact-length ties; no match " +
+      "and no robots default to allowed") {
+    val robots = Seq(
+      ("t1.example", "User-agent: *\nDisallow: /p\nAllow: /page\n"),
+      // exact-length tie: Allow and Disallow patterns both length 3
+      ("t2.example", "User-agent: *\nDisallow: /ab\nAllow: /ab\n"),
+      ("t3.example", "User-agent: *\nDisallow: /only\n"))
+      .toDF("domain", "robots_txt")
+    val rules = Robots.rules(robots, "domain", "robots_txt", "graftbot")
+    val urls = Seq(
+      (1L, "https://t1.example/page/1"),  // Allow /page (4) > Disallow /p (2)
+      (2L, "https://t1.example/private"), // only /p matches -> blocked
+      (3L, "https://t2.example/abc"),     // tie -> Allow wins
+      (4L, "https://t3.example/other"),   // rules exist, none match
+      (5L, "https://norobots.example/x")) // no robots row
+      .toDF("doc_id", "url")
+    val out = Robots.verdicts(urls, "doc_id", "url", rules)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), Option(r.getString(3)))))
+      .toMap
+    assert(out(1L) == (("allowed", Some("/page"))))
+    assert(out(2L) == (("blocked", Some("/p"))))
+    assert(out(3L) == (("allowed", Some("/ab"))))
+    assert(out(4L) == (("allowed", None)))
+    assert(out(5L) == (("allowed", None)))
+  }
+
+  test("pathQueryOf: scheme/authority stripped, fragment dropped, " +
+      "empty path is /") {
+    val got = Seq(
+      (1L, "https://h.example:8080/a/b?c=d#frag"),
+      (2L, "http://h.example"),
+      (3L, "https://h.example/#f"))
+      .toDF("id", "u")
+      .select(col("id"), Robots.pathQueryOf(col("u")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "/a/b?c=d")
+    assert(got(2L) == "/")
+    assert(got(3L) == "/")
+  }
+}

@@ -458,6 +458,49 @@ class TopologiesSpec extends AnyFunSuite {
         assert(got == want, s"$name diverged from the batch reference")
       }
 
+      // ROBOTS fetch gate: a disallowed URL takes dropped_robots ahead
+      // of every other verdict and does NOT claim the canonical-URL
+      // first-arrival slot — the allowed duplicate arriving AFTER the
+      // blocked one must be kept, not dropped_url_dup
+      {
+        // the robots rule targets the RAW utm-bearing fetch; the
+        // canonicalizer strips utm_* params, so docs 1 and 2 share one
+        // canonical URL while only doc 1 is robots-blocked
+        val robots = Seq(("example.com",
+          "User-agent: *\nDisallow: /p9*?*utm_*\n")).toDF("domain", "robots_txt")
+        val rules = graft.pipeline.Robots.rules(
+          robots, "domain", "robots_txt", "graftbot")
+        val in = MemoryStream[PageArrival]
+        val q = WebIngestStream.gate(in.toDS(), terms, phrases, suffixes,
+            cap = 10, robotsRules = Some(rules))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("webgate_robots")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("webgate_rob").toString)
+          .start()
+        try {
+          // doc 1: robots-blocked raw form (same canonical URL as 2);
+          // doc 2: allowed form of the SAME canonical URL, later
+          // batch — must be KEPT (the blocked arrival left no state);
+          // doc 3: allowed, unrelated path
+          in.addData(page(1L, "https://example.com/p9/?utm_source=x&b=2",
+            good, "utf-8"))
+          q.processAllAvailable()
+          in.addData(
+            page(2L, "https://example.com/p9/?b=2", good, "utf-8"),
+            page(3L, "https://example.com/p8", good, "utf-8"))
+          q.processAllAvailable()
+        } finally q.stop()
+        val v = spark.table("webgate_robots").collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+          .toMap
+        assert(v(1L) == "dropped_robots")
+        assert(v(2L) == "kept",
+          "a robots-blocked arrival must not shadow a later allowed " +
+            "snapshot of the same canonical URL")
+        assert(v(3L) == "kept")
+      }
+
       // BOUNDED-STATE (TTL) mode. TimeMode.ProcessingTime makes the
       // micro-batch engine trigger continuously (timer/TTL sweeps), so
       // processAllAvailable never sees an idle query — the TTL
