@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PII detection and redaction for training-data pipelines (north-star
@@ -124,6 +125,81 @@ object Pii {
         coalesce(col("_nc"), lit(0L)).as("n_candidates"),
         coalesce(col("_nv"), lit(0L)).as("n_valid_cards"),
         (coalesce(col("_nv"), lit(0L)) > 0).as("has_valid_card"))
+  }
+
+  /** 10^p mod 97 for p in 0..67 — the positional-power table behind
+    * [[ibanReport]]'s mod-97 validation (an IBAN expands to ≤ 68
+    * decimal digits once letters map to two-digit values; each digit's
+    * contribution is digit · 10^position mod 97, so the whole check is
+    * an order-independent SUM of small exact integers — the q239
+    * relational-checksum discipline, where a left-fold running
+    * remainder would not be expressible as an aggregate). Interpolated
+    * into the oracle so the table cannot drift. */
+  val pow10Mod97: IndexedSeq[Int] =
+    Iterator.iterate(1)(x => x * 10 % 97).take(68).toIndexedSeq
+
+  /** IBAN detection with mod-97 verification (ISO 13616) — the OTHER
+    * checksum-verified PII class beside [[cardReport]]'s Luhn:
+    * candidates are maximal alphanumeric runs shaped
+    * `[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}` (15–34 chars — the country/
+    * check/BBAN layout; lowercase or a digit prefix breaks the shape,
+    * and a run burying an IBAN is NOT a candidate, the maximal-run
+    * rule); verification rearranges (first 4 chars to the end), maps
+    * letters A..Z → 10..35, and requires the expanded decimal number
+    * ≡ 1 (mod 97) — computed per candidate as a sum over characters of
+    * value · 10^(digits to the right) mod 97 via [[pow10Mod97]], with
+    * the digits-to-the-right from one candidate-partitioned running
+    * sum (letters occupy TWO digit positions). Everything is exact
+    * integer relational math a DuckDB oracle replays term for term.
+    *
+    * Scale shape: candidate relation is hit-cardinality; the per-char
+    * explode is ≤ 34 rows per candidate with a candidate-keyed window;
+    * document text never shuffles. Documented bound: contiguous runs
+    * only (printed `DE89 3704 …` groups normalize upstream — the
+    * card-family grouped extension is the template when needed). */
+  def ibanReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = docs.select(col(idCol),
+      posexplode(filter(
+        regexp_extract_all(col(textCol), lit("[0-9A-Za-z]+"), lit(0)),
+        x => length(x) >= 15 && length(x) <= 34 &&
+          x.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]+$"))).as(Seq("cpos", "cand")))
+    // rearranged form: BBAN then country+check at the end
+    val rear = concat(expr("substring(cand, 5)"),
+      substring(col("cand"), 1, 4))
+    val ch = substring(col("_r"), col("i"), lit(1))
+    val isDigit = ch >= "0" && ch <= "9"
+    val chVal = when(isDigit, ch.cast("int"))
+      .otherwise(ascii(ch) - 55) // 'A' (65) -> 10
+    val dLen = when(isDigit, 1).otherwise(2)
+    val w = Window.partitionBy(col(idCol), col("cpos"))
+      .orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pows = array(pow10Mod97.map(lit): _*)
+    val perCand = cands
+      .select(col(idCol), col("cpos"), rear.as("_r"))
+      .select(col(idCol), col("cpos"), col("_r"),
+        explode(sequence(lit(1), length(col("_r")))).as("i"))
+      .withColumn("_dlen", dLen)
+      .withColumn("_val", chVal)
+      // digits strictly to the RIGHT of this char in the expanded
+      // number = total expanded length - inclusive running length
+      .withColumn("_cum", sum(col("_dlen")).over(w))
+      .withColumn("_tot",
+        sum(col("_dlen")).over(Window.partitionBy(col(idCol), col("cpos"))))
+      .withColumn("_term",
+        pmod(col("_val") * element_at(pows,
+          (col("_tot") - col("_cum") + 1).cast("int")), lit(97)))
+      .groupBy(col(idCol), col("cpos"))
+      .agg((pmod(sum(col("_term")), lit(97)) === 1).as("_ok"))
+    val perDoc = perCand.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nc"),
+        sum(when(col("_ok"), 1L).otherwise(0L)).as("_nv"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("_nv"), lit(0L)).as("n_valid_ibans"),
+        (coalesce(col("_nv"), lit(0L)) > 0).as("has_valid_iban"))
   }
 
   /** Per-group PII density report — the triage read that decides where

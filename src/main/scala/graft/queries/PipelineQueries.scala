@@ -3056,6 +3056,16 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q247 interpolation helpers: the positional-power list and the
+    * constant DE-with-00 tail term of the plant's check-digit closed
+    * form — both derive from [[Pii.pow10Mod97]]. */
+  private def ibanPows: String =
+    "[" + Pii.pow10Mod97.mkString(", ") + "]"
+  private def ibanDeTerm: Int = {
+    val P = Pii.pow10Mod97
+    1 * P(5) + 3 * P(4) + 1 * P(3) + 4 * P(2)
+  }
+
   /** q246 robots.txt rule constants — the robots bodies are BUILT from
     * these and the oracle interpolates the same vals (the htmlPlant
     * lockstep device), so a pattern tweak cannot drift the engines. */
@@ -3126,6 +3136,39 @@ object PipelineQueries {
       agent = "graftbot")
     Robots.verdicts(docs(spark, dir).select(col("doc_id"), url.as("url")),
         "doc_id", "url", rules)
+      .orderBy(col("doc_id"))
+  }
+
+  /** IBAN detection with mod-97 verification ([[Pii.ibanReport]]) —
+    * the q239 device for the OTHER checksum PII class: 18 BBAN digits
+    * b(i) = (doc_id·3 + i·7) mod 10 under country DE, with the check
+    * digits COMPUTED so the plant validates (check = 98 − mod97 of the
+    * rearranged number with 00 check — closed form over the same
+    * positional-power table the validator uses). Residue 0 plants the
+    * valid IBAN, 1 the same with check+1 (candidate, never valid —
+    * +1 shifts the rearranged number's residue off 1), 2 buries it
+    * behind a digit (shape broken: not a candidate), 3 plants
+    * nothing. The oracle recomputes plant, candidate extraction and
+    * every mod-97 term in SQL. */
+  def q247IbanMod97(spark: SparkSession, dir: String): DataFrame = {
+    val bs = (1 to 18).map(i => pmod(col("doc_id") * 3 + i * 7, lit(10)))
+    val bban = concat(bs.map(_.cast("string")): _*)
+    val P = Pii.pow10Mod97
+    // rearranged-with-00: b1..b18 then 1,3,1,4 (DE) then 0,0 — digit j
+    // of 24 carries power 24−j
+    val modSum = bs.zipWithIndex.map { case (b, idx) =>
+      b * lit(P(24 - (idx + 1))) }.reduce(_ + _) +
+      lit(1 * P(5) + 3 * P(4) + 1 * P(3) + 4 * P(2))
+    val check = lit(98) - pmod(modSum, lit(97))
+    val cc = lpad(check.cast("string"), 2, "0")
+    val ccBad = lpad((check + 1).cast("string"), 2, "0")
+    val planted = concat(col("text"),
+      when(col("doc_id") % 4 === 0, concat(lit(" iban DE"), cc, bban))
+        .when(col("doc_id") % 4 === 1, concat(lit(" iban DE"), ccBad, bban))
+        .when(col("doc_id") % 4 === 2, concat(lit(" ref 7DE"), cc, bban))
+        .otherwise(lit("")))
+    Pii.ibanReport(docs(spark, dir).select(col("doc_id"),
+        planted.as("text")), "doc_id", "text")
       .orderBy(col("doc_id"))
   }
 
@@ -3700,6 +3743,7 @@ object PipelineQueries {
     "q244_card_redact" -> q244CardRedact,
     "q245_grouped_card" -> q245GroupedCardRedact,
     "q246_robots_gate" -> q246RobotsGate,
+    "q247_iban_mod97" -> q247IbanMod97,
     "q240_heldout_lm" -> q240HeldoutLm,
     "q241_script_dominance" -> q241ScriptDominance,
     "q224_domain_extract" -> q224DomainExtract,
@@ -6509,6 +6553,62 @@ object PipelineQueries {
         |    WHEN 1 THEN ${robotsAllowA.length} WHEN 2 THEN ${robotsDisA2.length}
         |    WHEN 3 THEN ${robotsDisB.length} ELSE NULL END)::BIGINT AS rule_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors q247IbanMod97 end to end: the BBAN/check-digit plant,
+    // the shaped-run candidate extraction, and every mod-97 term
+    // (rearrange, letter→two-digit values, positional powers from the
+    // SAME interpolated table) replayed in SQL.
+    "q247_iban_mod97" ->
+      raw"""WITH pd AS (SELECT doc_id, g.i,
+        |    ((doc_id * 3 + g.i * 7) % 10)::INT AS b
+        |  FROM documents CROSS JOIN generate_series(1, 18) g(i)),
+        |pm AS (SELECT doc_id,
+        |    sum(b * ($ibanPows)[25 - i]) AS ms,
+        |    string_agg(b::VARCHAR, '' ORDER BY i) AS bban
+        |  FROM pd GROUP BY 1),
+        |pc AS (SELECT doc_id, bban,
+        |    98 - ((ms + $ibanDeTerm) % 97) AS ck FROM pm),
+        |pl AS (SELECT d.doc_id, d.text ||
+        |    CASE d.doc_id % 4
+        |      WHEN 0 THEN ' iban DE' || lpad(ck::VARCHAR, 2, '0') || bban
+        |      WHEN 1 THEN ' iban DE' || lpad((ck + 1)::VARCHAR, 2, '0') || bban
+        |      WHEN 2 THEN ' ref 7DE' || lpad(ck::VARCHAR, 2, '0') || bban
+        |      ELSE '' END AS t
+        |  FROM documents d JOIN pc USING (doc_id)),
+        |fl AS (SELECT doc_id,
+        |    list_filter(regexp_extract_all(t, '[0-9A-Za-z]+'),
+        |      x -> len(x) BETWEEN 15 AND 34 AND
+        |        regexp_matches(x, '^[A-Z]{2}[0-9]{2}[A-Z0-9]+$$')) AS cs
+        |  FROM pl),
+        |cx AS (SELECT doc_id, unnest(generate_series(1, len(cs))) AS cp,
+        |    cs FROM fl WHERE len(cs) > 0),
+        |cd AS (SELECT doc_id, cp,
+        |    substring(cs[cp], 5) || substring(cs[cp], 1, 4) AS r FROM cx),
+        |dg AS (SELECT doc_id, cp, r,
+        |    unnest(generate_series(1, len(r))) AS i FROM cd),
+        |tv AS (SELECT doc_id, cp, i,
+        |    CASE WHEN substring(r, i::INT, 1) BETWEEN '0' AND '9'
+        |      THEN substring(r, i::INT, 1)::INT
+        |      ELSE ascii(substring(r, i::INT, 1)) - 55 END AS v,
+        |    CASE WHEN substring(r, i::INT, 1) BETWEEN '0' AND '9'
+        |      THEN 1 ELSE 2 END AS dl
+        |  FROM dg),
+        |sfx AS (SELECT doc_id, cp, v,
+        |    sum(dl) OVER (PARTITION BY doc_id, cp)
+        |      - sum(dl) OVER (PARTITION BY doc_id, cp ORDER BY i
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sx
+        |  FROM tv),
+        |vc AS (SELECT doc_id, cp,
+        |    (sum((v * (($ibanPows)[sx::INT + 1])) % 97) % 97 = 1) AS ok
+        |  FROM sfx GROUP BY doc_id, cp),
+        |per AS (SELECT doc_id, count(*)::BIGINT AS nc,
+        |    sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS nv
+        |  FROM vc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(per.nc, 0)::BIGINT AS n_candidates,
+        |  coalesce(per.nv, 0)::BIGINT AS n_valid_ibans,
+        |  coalesce(per.nv, 0) > 0 AS has_valid_iban
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // Mirrors q238CompressionRatio: the 16 plant texts are residue-only,
     // so the oracle embeds their raw/deflate byte counts (computed
     // driver-side at SQL-build time — DuckDB has no zlib) and replays

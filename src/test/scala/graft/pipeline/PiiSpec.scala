@@ -77,6 +77,31 @@ class PiiSpec extends AnyFunSuite {
     assert(out(8L) == ((0L, "tel 555-1234 short 12-34 kept")))
   }
 
+  test("IBAN report: real-world valid IBANs verify, checksum/shape " +
+      "failures do not") {
+    val docs = Seq(
+      (1L, "send to DE89370400440532013000 please"),   // valid (DE example)
+      (2L, "or GB82WEST12345698765432 works"),         // valid, letters in BBAN
+      (3L, "fr FR1420041010050500013M02606 too"),      // valid, mixed alnum
+      (4L, "bad DE89370400440532013001 checksum"),     // last digit off
+      (5L, "shape de89370400440532013000 lower"),      // lowercase: not a candidate
+      (6L, "buried 7DE89370400440532013000 run"),      // digit prefix: shape broken
+      (7L, "short DE8912345 nope"),                    // under 15 chars
+      (8L, "two DE89370400440532013000 and GB82WEST12345698765432"))
+      .toDF("doc_id", "text")
+    val out = Pii.ibanReport(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1L, 1L, true)))
+    assert(out(2L) == ((1L, 1L, true)))
+    assert(out(3L) == ((1L, 1L, true)))
+    assert(out(4L) == ((1L, 0L, false)))
+    assert(out(5L) == ((0L, 0L, false)))
+    assert(out(6L) == ((0L, 0L, false)))
+    assert(out(7L) == ((0L, 0L, false)))
+    assert(out(8L) == ((2L, 2L, true)))
+  }
+
   test("an adjacent short number cannot shield a contiguous card " +
       "(per-group fallback inside a failed grouped span)") {
     val docs = Seq(
