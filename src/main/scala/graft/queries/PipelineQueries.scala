@@ -3056,6 +3056,38 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q248 WordPiece vocabulary — static and planted (the tokenizer
+    * TRAINING queries q71/q209 own the dynamic-vocab machinery; the
+    * ALGORITHM is what q248 pins, so a fixed vocabulary keeps the
+    * oracle static): every lowercase letter as both a word-initial
+    * and a `##` continuation piece (so pure-alpha words never UNK and
+    * the greedy-longest choice is always observable against the
+    * single-char fallback), plus multi-char pieces over the corpus
+    * pool including `##ble` vs `##b` (greedy must take the longer).
+    * Words carrying anything outside a-z (digits, punctuation-glued
+    * tokens) become `[UNK]` whole — the all-or-nothing rule. */
+  private val wordPieceVocab: Seq[String] = {
+    val letters = ('a' to 'z').map(_.toString)
+    letters ++ letters.map("##" + _) ++ Seq(
+      "ta", "##ble", "qu", "##ery", "me", "##rge", "th", "##e",
+      "sc", "##an", "jo", "##in", "da", "##ta", "in", "##dex",
+      "so", "##rt", "va", "##lue", "ke", "##y", "cu", "##stomer")
+  }
+
+  /** WordPiece encoding ([[graft.pipeline.WordPiece]]) — the third
+    * tokenizer algorithm beside BPE merges and Unigram Viterbi:
+    * greedy longest-match-first with `##` continuations and the
+    * all-or-nothing `[UNK]` rule, one row per (doc, word position).
+    * The Spark side is a broadcast-vocab kernel; the oracle replays
+    * the SAME semantics through an independent relational
+    * construction — per-position longest-match argmax over the
+    * interpolated vocabulary, then a recursive pointer walk — so the
+    * engines cannot share a bug. */
+  def q248WordPiece(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.WordPiece.encode(docs(spark, dir), "doc_id", "text",
+        wordPieceVocab)
+      .orderBy(col("doc_id"), col("wpos"))
+
   /** q247 interpolation helpers: the positional-power list and the
     * constant DE-with-00 tail term of the plant's check-digit closed
     * form — both derive from [[Pii.pow10Mod97]]. */
@@ -3744,6 +3776,7 @@ object PipelineQueries {
     "q245_grouped_card" -> q245GroupedCardRedact,
     "q246_robots_gate" -> q246RobotsGate,
     "q247_iban_mod97" -> q247IbanMod97,
+    "q248_wordpiece" -> q248WordPiece,
     "q240_heldout_lm" -> q240HeldoutLm,
     "q241_script_dominance" -> q241ScriptDominance,
     "q224_domain_extract" -> q224DomainExtract,
@@ -6609,6 +6642,59 @@ object PipelineQueries {
         |  coalesce(per.nv, 0) > 0 AS has_valid_iban
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // Mirrors q248WordPiece through an INDEPENDENT construction: the
+    // Spark side is a greedy broadcast-vocab kernel; here the same
+    // semantics replay as a per-position longest-match argmax over the
+    // interpolated vocabulary plus a recursive pointer walk (greedy
+    // longest at every reached position; a position with no match
+    // strands the walk short of the word end -> [UNK] whole).
+    "q248_wordpiece" ->
+      (s"WITH RECURSIVE\nvocab(piece) AS (VALUES ${
+          wordPieceVocab.map(v => s"('$v')").mkString(", ")}),\n" +
+        raw"""toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ 	
+]+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |wp AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS wpos,
+        |    t FROM toks WHERE len(t) > 0),
+        |wx AS (SELECT doc_id, wpos, t[wpos] AS word FROM wp),
+        |dw AS (SELECT DISTINCT word FROM wx),
+        |pos AS (SELECT word, unnest(generate_series(1, len(word))) AS i
+        |  FROM dw),
+        |best AS (
+        |  SELECT p.word, p.i,
+        |    max_by(v.piece, len(CASE WHEN p.i = 1 THEN v.piece
+        |      ELSE substring(v.piece, 3) END)) AS piece,
+        |    max(len(CASE WHEN p.i = 1 THEN v.piece
+        |      ELSE substring(v.piece, 3) END))::INT AS mlen
+        |  FROM pos p JOIN vocab v ON
+        |    CASE WHEN p.i = 1 THEN v.piece NOT LIKE '##%'
+        |        AND substring(p.word, p.i::INT, len(v.piece)) = v.piece
+        |      ELSE v.piece LIKE '##%'
+        |        AND substring(p.word, p.i::INT, len(v.piece) - 2)
+        |          = substring(v.piece, 3) END
+        |  GROUP BY p.word, p.i),
+        |walk(word, i, n, piece, mlen) AS (
+        |  SELECT b.word, b.i, 1, b.piece, b.mlen FROM best b WHERE b.i = 1
+        |  UNION ALL
+        |  SELECT w.word, w.i + w.mlen, w.n + 1, b.piece, b.mlen
+        |  FROM walk w JOIN best b ON b.word = w.word AND b.i = w.i + w.mlen),
+        |cov AS (SELECT word, max(i + mlen) AS reach FROM walk GROUP BY word),
+        |agg AS (SELECT word, string_agg(piece, ' ' ORDER BY n) AS ps,
+        |    count(*)::BIGINT AS np FROM walk GROUP BY word),
+        |tok AS (SELECT d.word,
+        |    CASE WHEN c.reach = len(d.word) + 1 THEN a.ps
+        |      ELSE '[UNK]' END AS pieces,
+        |    CASE WHEN c.reach = len(d.word) + 1 THEN a.np
+        |      ELSE 1 END::BIGINT AS n_pieces,
+        |    NOT coalesce(c.reach = len(d.word) + 1, FALSE) AS is_unk
+        |  FROM dw d LEFT JOIN cov c ON c.word = d.word
+        |    LEFT JOIN agg a ON a.word = d.word)
+        |SELECT wx.doc_id, wx.wpos::BIGINT AS wpos, wx.word,
+        |  tok.pieces, tok.n_pieces, tok.is_unk
+        |FROM wx JOIN tok USING (word)
+        |ORDER BY wx.doc_id, wx.wpos""".stripMargin),
     // Mirrors q238CompressionRatio: the 16 plant texts are residue-only,
     // so the oracle embeds their raw/deflate byte counts (computed
     // driver-side at SQL-build time — DuckDB has no zlib) and replays
