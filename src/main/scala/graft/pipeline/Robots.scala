@@ -75,8 +75,12 @@ object Robots {
               // empty Disallow/Allow values are allow-all no-ops
               if (groups.nonEmpty && value.nonEmpty)
                 groups.last._2 += ((name == "allow", value))
-            case _ => // crawl-delay, sitemap, unknown: ignored
-              inAgents = false
+            case _ =>
+              // crawl-delay, sitemap, unknown: ignored ENTIRELY — RFC
+              // 9309 §2.6 says other records must not interfere with
+              // group parsing, so they also must not terminate
+              // user-agent stacking ("UA: a / Crawl-delay / UA: b /
+              // Disallow: /x" applies /x to BOTH agents)
           }
         }
       }
@@ -87,7 +91,10 @@ object Robots {
   }
 
   /** robots bodies → the RULES relation (domain, allow, pattern,
-    * plen): one kernel pass over the domain-cardinality input. */
+    * plen): one kernel pass over the domain-cardinality input. `plen`
+    * is the pattern's UTF-8 OCTET length (the RFC 9309 longest-match
+    * measure — identical to char count for ASCII patterns, which is
+    * why the q246 oracle's interpolated `.length` constants agree). */
   def rules(robots: DataFrame, domainCol: String, txtCol: String,
       agent: String): DataFrame = {
     import robots.sparkSession.implicits._
@@ -95,7 +102,8 @@ object Robots {
       .as[(String, String)]
       .flatMap { case (d, txt) =>
         parseRules(if (txt == null) "" else txt, agent).map { case (a, p) =>
-          (d, a, p, p.length.toLong)
+          (d, a, p,
+            p.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
         }
       }
       .toDF(domainCol, "allow", "pattern", "plen")

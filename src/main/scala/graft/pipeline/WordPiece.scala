@@ -48,7 +48,13 @@ object WordPiece {
       var hit: String = null
       while (hit == null && l >= 1) {
         val cand = prefix + word.substring(pos, pos + l)
-        if (vocab.contains(cand)) hit = cand else l -= 1
+        // a word that literally STARTS with "##" must not match a
+        // continuation piece at position 0 (word-initial pieces are
+        // the non-## vocabulary entries — the oracle's NOT LIKE '##%'
+        // arm; without this, "##ta"-shaped tokens diverge the engines)
+        if (vocab.contains(cand) &&
+            !(pos == 0 && cand.startsWith("##"))) hit = cand
+        else l -= 1
       }
       if (hit == null) return Seq(Unk)
       out += hit

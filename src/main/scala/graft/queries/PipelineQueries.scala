@@ -3189,8 +3189,7 @@ object PipelineQueries {
     // rearranged-with-00: b1..b18 then 1,3,1,4 (DE) then 0,0 — digit j
     // of 24 carries power 24−j
     val modSum = bs.zipWithIndex.map { case (b, idx) =>
-      b * lit(P(24 - (idx + 1))) }.reduce(_ + _) +
-      lit(1 * P(5) + 3 * P(4) + 1 * P(3) + 4 * P(2))
+      b * lit(P(24 - (idx + 1))) }.reduce(_ + _) + lit(ibanDeTerm)
     val check = lit(98) - pmod(modSum, lit(97))
     val cc = lpad(check.cast("string"), 2, "0")
     val ccBad = lpad((check + 1).cast("string"), 2, "0")

@@ -70,9 +70,13 @@ object WebIngestStream {
     // aggregate the batch q246 uses)
     val withRobots = robotsRules match {
       case Some(rules) =>
+        // cache the collected rules relation: the stream-static join
+        // re-executes its static subtree on EVERY micro-batch, and
+        // without the cache each batch would re-run the parse kernel
+        // and the per-domain collect shuffle
         pages.withColumn("_host", Domains.hostOf(col("url")))
           .join(broadcast(graft.pipeline.Robots.rulesByDomain(rules)
-            .withColumnRenamed("domain", "_host")), Seq("_host"), "left")
+            .withColumnRenamed("domain", "_host").cache()), Seq("_host"), "left")
           .withColumn("_robots_ok", graft.pipeline.Robots.allowedExpr(
             col("_rules"), graft.pipeline.Robots.pathQueryOf(col("url"))))
           .drop("_host", "_rules")

@@ -40,6 +40,18 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.parseRules(txt, "a") == Vector((false, "/x")))
     assert(Robots.parseRules(txt, "b") == Vector((false, "/x")))
     assert(Robots.parseRules(txt, "c") == Vector((false, "/y")))
+    // RFC 9309 §2.6: other records must not interfere with group
+    // parsing — a Crawl-delay BETWEEN stacked UA lines must not split
+    // the group (it used to start a fresh one, stranding agent d
+    // with zero rules and shadowing its * fallback)
+    val interleaved =
+      """User-agent: d
+        |Crawl-delay: 10
+        |User-agent: e
+        |Disallow: /z
+        |""".stripMargin
+    assert(Robots.parseRules(interleaved, "d") == Vector((false, "/z")))
+    assert(Robots.parseRules(interleaved, "e") == Vector((false, "/z")))
   }
 
   test("parser: comments, blank lines, case-insensitive directives, " +

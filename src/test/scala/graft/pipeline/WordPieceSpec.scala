@@ -37,6 +37,16 @@ class WordPieceSpec extends AnyFunSuite {
     assert(enc("") == Seq.empty)
   }
 
+  test("a word literally starting with ## never matches continuation " +
+      "pieces at position 0 (the oracle's word-initial arm)") {
+    // "##un": position 0 may only take word-initial (non-##) pieces;
+    // '#' has no initial piece, so the whole word is UNK — matching
+    // the relational oracle's NOT LIKE '##%' rule (a latent
+    // cross-engine divergence on markdown-style tokens otherwise)
+    assert(enc("##un") == Seq(WordPiece.Unk))
+    assert(enc("#un") == Seq(WordPiece.Unk))
+  }
+
   test("maxPieceLen caps the probe: a piece longer than the cap is " +
       "never taken even when present") {
     // with cap 3, ##able (4 chars after ##) is out of reach at
