@@ -257,6 +257,17 @@ object Bench {
           s"(computed last consumer); persistent RDDs now " +
           s"${spark.sparkContext.getPersistentRDDs.size}")
       }
+      // Periodic driver GC OUTSIDE the timed runs: transient
+      // localCheckpoint RDDs (e.g. Dsir.selectTopK's feature frame) are
+      // reclaimed by the ContextCleaner only when the driver GC collects
+      // their DataFrame references, so their storage lifetime was
+      // GC-timing-dependent — r16 dropped q100's checkpoint by q101, r17
+      // (half the driver GC) carried it to q125 and held 28-vs-15
+      // persistent RDDs at the q185 release point, which read as a
+      // residency regression when nothing had changed. A GC every 16
+      // positions bounds the linger deterministically and keeps
+      // cached_kb / RDD-count telemetry comparable across rounds.
+      if ((pos & 15) == 15) System.gc()
       (name, best, timed, tele)
     }
     // crashed runs emit null, not their near-zero crash duration — a

@@ -6651,9 +6651,8 @@ object PipelineQueries {
       (s"WITH RECURSIVE\nvocab(piece) AS (VALUES ${
           wordPieceVocab.map(v => s"('$v')").mkString(", ")}),\n" +
         raw"""toks AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '[ 	
-]+'),
-        |      x -> x <> '') AS t
+        |    list_filter(regexp_split_to_array(lower(text),
+        |      '[ \t\n\f\r]+'), x -> x <> '') AS t
         |  FROM documents),
         |wp AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS wpos,
         |    t FROM toks WHERE len(t) > 0),

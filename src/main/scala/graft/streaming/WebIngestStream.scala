@@ -70,13 +70,20 @@ object WebIngestStream {
     // aggregate the batch q246 uses)
     val withRobots = robotsRules match {
       case Some(rules) =>
-        // cache the collected rules relation: the stream-static join
-        // re-executes its static subtree on EVERY micro-batch, and
-        // without the cache each batch would re-run the parse kernel
-        // and the per-domain collect shuffle
+        // materialize the collected rules relation ONCE as a local
+        // frame: the stream-static join re-executes its static subtree
+        // on EVERY micro-batch, and a .cache() here would leak one
+        // block-manager entry per stream construction (nothing can
+        // unpersist it). The relation is bounded by design (one rules
+        // array per domain, the same thing broadcast ships), so a
+        // driver-side localization costs what the broadcast costs.
+        val spark = pages.sparkSession
+        val rbd = graft.pipeline.Robots.rulesByDomain(rules)
+          .withColumnRenamed("domain", "_host")
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rbd.collect(): _*), rbd.schema)
         pages.withColumn("_host", Domains.hostOf(col("url")))
-          .join(broadcast(graft.pipeline.Robots.rulesByDomain(rules)
-            .withColumnRenamed("domain", "_host").cache()), Seq("_host"), "left")
+          .join(broadcast(local), Seq("_host"), "left")
           .withColumn("_robots_ok", graft.pipeline.Robots.allowedExpr(
             col("_rules"), graft.pipeline.Robots.pathQueryOf(col("url"))))
           .drop("_host", "_rules")
@@ -135,13 +142,18 @@ object WebIngestStream {
       // other verdict and never claim the first-arrival slot — a fetch
       // the origin forbids must not shadow a future allowed snapshot
       var taken = seen.exists()
+      // only a NON-robots arrival may write state: a robots-blocked
+      // arrival must neither claim the slot nor refresh an existing
+      // entry's TTL (a batch of only-blocked arrivals leaves the
+      // dedup horizon untouched)
+      var wrote = false
       val sorted = rows.toVector.sortBy(_.doc_id)
       val out = sorted.map { p =>
         val v0 =
           if (!p.robots_ok) "dropped_robots"
-          else if (taken) "dropped_url_dup"
+          else if (taken) { wrote = true; "dropped_url_dup" }
           else {
-            taken = true
+            taken = true; wrote = true
             if (p.blocked) "dropped_blocklist"
             else if (!p.q_ok) "dropped_quality"
             else "pass"
@@ -149,7 +161,7 @@ object WebIngestStream {
         FlaggedPage(p.doc_id, p.charset, p.canon_url, p.domain,
           p.n_lines, v0)
       }
-      if (taken) seen.update(true)
+      if (wrote) seen.update(true)
       out.iterator
     }
   }
