@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.types.Decimal
 
-import graft.functions.{CountRanges, CountRlike, DecodeBytes, DecodeHtmlRefs, DecodePage, DetectCharset, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, RedactCards, RobotsMatch, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs}
+import graft.functions.{CountRanges, CountRlike, DecodeBytes, DecodeHtmlRefs, DecodePage, DetectCharset, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, RedactCards, RobotsMatch, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs, TokenizeMixed}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * apply with `.withExtensions(new GraftExtensions)` (as
@@ -128,6 +128,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"redact_cards expects exactly 1 argument, got ${children.length}")
         RedactCards(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("tokenize_mixed"),
+      new ExpressionInfo(classOf[TokenizeMixed].getName, "tokenize_mixed"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"tokenize_mixed expects exactly 1 argument, got ${children.length}")
+        TokenizeMixed(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("robots_match"),

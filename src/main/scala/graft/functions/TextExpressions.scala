@@ -466,6 +466,121 @@ object TextKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
   }
+
+  /** No-space-script codepoint ranges — scripts written WITHOUT word
+    * separators, where a whitespace tokenizer degenerates into one
+    * giant "token" per document and every downstream token statistic
+    * (counts, vocab, percentiles, LM grams, fertility) silently
+    * corrupts. Flat [lo, hi, lo, hi, …], ascending, BMP-ONLY by
+    * design: a supplementary codepoint is two surrogate chars in Java,
+    * so keeping the set inside the BMP makes char-indexed bigram
+    * slicing exactly codepoint slicing — and both engines' substring
+    * then agree without surrogate bookkeeping (supplementary CJK
+    * Ext-B+ text rides through as ordinary word characters). Hangul is
+    * deliberately ABSENT (Korean uses spaces).
+    *
+    * [[noSpaceClassRegex]] is the SAME set as a regex class body in
+    * the `\x{XXXX}` form both Java regex and RE2 accept — oracles
+    * must build their replay from it so the two sides cannot drift. */
+  val noSpaceRanges: Array[Int] = Array(
+    0x0E01, 0x0E5B, // Thai (letters, vowels, tone marks, digits)
+    0x0E81, 0x0EDF, // Lao
+    0x1000, 0x109F, // Myanmar
+    0x1780, 0x17FF, // Khmer
+    0x3040, 0x30FF, // Hiragana + Katakana
+    0x3400, 0x4DBF, // CJK Extension A
+    0x4E00, 0x9FFF, // CJK Unified Ideographs
+    0xF900, 0xFAFF) // CJK Compatibility Ideographs
+
+  /** [[noSpaceRanges]] as a regex character-class BODY (no brackets),
+    * `\x{XXXX}` escapes — valid in Java regex and RE2 alike. */
+  val noSpaceClassRegex: String =
+    noSpaceRanges.grouped(2).map { case Array(lo, hi) =>
+      f"\\x{$lo%04X}-\\x{$hi%04X}"
+    }.mkString
+
+  private def isNoSpaceChar(c: Char): Boolean = {
+    val r = noSpaceRanges
+    var j = 0
+    while (j < r.length) {
+      if (c >= r(j) && c <= r(j + 1)) return true
+      j += 2
+    }
+    false
+  }
+
+  private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  /** Expand one whitespace-delimited token: maximal same-class runs —
+    * no-space-script runs become overlapping character BIGRAMS (the
+    * classic CJK indexing unit; a length-1 run stays a unigram), every
+    * other run is emitted whole. A token with no no-space character
+    * passes through untouched (the ASCII fast path — on a separator-
+    * scripted corpus this tokenizer is bit-identical to the plain
+    * whitespace split). */
+  private def expandToken(tok: String,
+      out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    val n = tok.length
+    var any = false
+    var i = 0
+    while (!any && i < n) {
+      if (isNoSpaceChar(tok.charAt(i))) any = true
+      i += 1
+    }
+    if (!any) { out += tok; return }
+    i = 0
+    while (i < n) {
+      val ns = isNoSpaceChar(tok.charAt(i))
+      var j = i + 1
+      while (j < n && isNoSpaceChar(tok.charAt(j)) == ns) j += 1
+      if (!ns || j - i == 1) out += tok.substring(i, j)
+      else {
+        var k = i
+        while (k < j - 1) { out += tok.substring(k, k + 2); k += 1 }
+      }
+      i = j
+    }
+  }
+
+  /** Script-aware tokenizer core — whitespace split with the EXACT
+    * empty-segment semantics of `split(str, '[ \t\n\f\r]+')` (Java
+    * Pattern.split limit -1: leading/trailing separators yield empty
+    * tokens), then [[expandToken]] per non-empty segment. The
+    * empty-token parity is what makes the Column form a DROP-IN for
+    * the old `split(lower(text), ws)` — `size()` consumers see
+    * identical arrays on separator-scripted text. */
+  def tokenizeMixedCore(s: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    val n = s.length
+    var i = 0
+    var segStart = 0
+    while (i < n) {
+      if (isWsChar(s.charAt(i))) {
+        if (i == segStart) out += ""
+        else expandToken(s.substring(segStart, i), out)
+        var j = i + 1
+        while (j < n && isWsChar(s.charAt(j))) j += 1
+        i = j
+        segStart = j
+      } else i += 1
+    }
+    if (n == segStart) out += ""
+    else expandToken(s.substring(segStart, n), out)
+    out
+  }
+
+  /** [[TokenizeMixed]] kernel: UTF8String in, string array out. */
+  def tokenizeMixed(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = tokenizeMixedCore(s.toString)
+    val arr = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(toks(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
 }
 
 /** `nfc_normalize(str)`: Unicode NFC normalization via
@@ -842,6 +957,40 @@ case class RobotsMatch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "robots_match"
+}
+
+/** `tokenize_mixed(str)`: script-aware whitespace tokenizer (see
+  * [[TextKernels.tokenizeMixedCore]]) — the shared word-extraction
+  * path behind [[graft.functions.TextFunctions.tokenize]]. Splits on
+  * `[ \t\n\f\r]+` with split()'s exact empty-token semantics, then
+  * routes no-space-script runs (CJK Han/kana, Thai, Lao, Myanmar,
+  * Khmer — [[TextKernels.noSpaceRanges]]) to overlapping character
+  * bigrams so token statistics stop degenerating on zh/ja/th text.
+  * Bit-identical to `split(lower, ws)` on text without those
+  * codepoints — the lowercase is composed OUTSIDE (the caller wraps
+  * `lower()`), keeping Spark's own casing semantics. */
+case class TokenizeMixed(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tokenize_mixed requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenizeMixed(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.tokenizeMixed($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeMixed =
+    copy(child = newChild)
+
+  override def prettyName: String = "tokenize_mixed"
 }
 
 /** `count_rlike(arr, 'pattern')`: # array elements matching the regex

@@ -28,9 +28,32 @@ object TextFunctions {
   def formatTwitterTime(c: Column): Column =
     date_format(c, "EEE MMM dd HH:mm:ss Z yyyy")
 
-  /** Whitespace tokenizer (the reference lower-cases then splits; see
-    * jar:ckling.text.Text.getTerms). */
-  def tokenize(text: Column): Column = split(lower(text), "[ \\t\\n\\f\\r]+")
+  /** Script-aware whitespace tokenizer (the reference lower-cases then
+    * splits; see jar:ckling.text.Text.getTerms — monolingual-EN there,
+    * TweetIndexBolt.java:154-169 drops non-English upstream). The
+    * shared word-extraction path for EVERY token-level operator: lower,
+    * split on `[ \t\n\f\r]+`, then route no-space-script runs
+    * (CJK Han/kana, Thai, Lao, Myanmar, Khmer —
+    * [[TextKernels.noSpaceRanges]]) to overlapping character BIGRAMS
+    * via the native [[TokenizeMixed]] expression, so zh/ja/th text
+    * stops degenerating into one giant "token" per document. The
+    * routing is per-RUN (self-routing by codepoint class), so mixed
+    * EN+CJK text segments both halves correctly — no per-document
+    * script verdict needed. Bit-identical to the old
+    * `split(lower(text), ws)` on text with no such codepoints,
+    * INCLUDING empty leading/trailing tokens (`size()` consumers).
+    * Requires [[graft.GraftExtensions]] (every [[graft.Tables.session]]
+    * registers it).
+    *
+    * ORACLE NOTE: DuckDB replays the expansion with
+    * `regexp_extract_all(tok, '[NS]+|[^NS]+')` runs + a
+    * generate_series bigram cut over [[TextKernels.noSpaceClassRegex]]
+    * (q249 is the reference construction). Token-level oracles that
+    * replay the plain whitespace split are exact as long as their
+    * inputs carry no no-space-script codepoints (true of the driver
+    * corpus and every plant; the gate catches any future drift). */
+  def tokenize(text: Column): Column =
+    call_function("tokenize_mixed", lower(text))
 
   /** Kernel twin of [[tokenize]] for mapPartitions kernels that cannot
     * evaluate a Column ([[graft.pipeline.Bpe.encode]],
@@ -40,11 +63,11 @@ object TextFunctions {
     * a drifted word could contain a character absent from the trained
     * singles and fail segmentation at runtime. Empties are dropped here;
     * Column-form callers drop them with `length(w) > 0`.
-    * TextFunctionsSpec pins the two forms equal. */
+    * TextFunctionsSpec pins the two forms equal (incl. CJK/Thai). */
   def tokenizeScala(t: String): Array[String] =
     if (t == null) Array.empty[String]
-    else t.toLowerCase(java.util.Locale.ROOT)
-      .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
+    else TextKernels.tokenizeMixedCore(
+      t.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty).toArray
 
   /** T4 — drop 1-char tokens. */
   def dropShortTokens(tokens: Column): Column =

@@ -28,12 +28,25 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   /** Rows of `df` on the maximizing Pareto frontier of (xCol, yCol).
-    * Output: (idCol, xCol, yCol) for every surviving row. */
+    * Output: (idCol, xCol, yCol) for every surviving row.
+    *
+    * `maxDistinctX` enforces the precondition LOUDLY (the
+    * isotonicCalibration maxBins pattern): the per-x maxima relation is
+    * both broadcast and run through an unpartitioned running-max
+    * window, so a value-continuous x (e.g. a raw score) must be
+    * quantized BEFORE calling — a silent high-cardinality x would
+    * single-task the window and blow the broadcast. */
   def frontier2d(df: DataFrame, idCol: String, xCol: String,
-      yCol: String): DataFrame = {
+      yCol: String, maxDistinctX: Long = 1000000L): DataFrame = {
     val pts = df.select(col(idCol), col(xCol).cast("long").as("_x"),
       col(yCol).cast("long").as("_y"))
     val perX = pts.groupBy(col("_x")).agg(max(col("_y")).as("_maxy"))
+      .localCheckpoint()
+    val nx = perX.count()
+    require(nx <= maxDistinctX,
+      s"frontier2d: $nx distinct $xCol values exceed maxDistinctX=" +
+        s"$maxDistinctX — the per-x maxima relation must stay " +
+        s"broadcast/window-small; quantize or bucket $xCol first")
     // strict-prefix running max over x DESC on the value-cardinality
     // per-x relation (bounded by precondition — same contract as the
     // rank device's histogram)

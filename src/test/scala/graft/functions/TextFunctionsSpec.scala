@@ -74,7 +74,11 @@ class TextFunctionsSpec extends AnyFunSuite {
     // singles and fail segmentation at runtime (round-14 ADVICE)
     val cases = Seq("Hello  World", " lead\ttab\nnewline\fff\rcr trail ",
       "UPPER MiXeD", "", "   ", "a", "punct,stays! together",
-      "Éléphant Über")
+      "Éléphant Über",
+      // no-space scripts (Scala literals — never Spark chr())
+      "漢字テスト", "abc中文def",
+      "ภาษาไทย mixed",
+      "一", "一二", "en 中 en 文")
     cases.foreach { s =>
       val viaColumn = Seq(s).toDF("t")
         .select(filter(TextFunctions.tokenize(col("t")),
@@ -83,6 +87,39 @@ class TextFunctionsSpec extends AnyFunSuite {
       assert(TextFunctions.tokenizeScala(s).toSeq == viaColumn, s"input '$s'")
     }
     assert(TextFunctions.tokenizeScala(null).isEmpty)
+  }
+
+  test("tokenize: no-space-script runs become char bigrams; ASCII is " +
+      "bit-identical to the plain whitespace split") {
+    // closed-form bigram semantics: run of length L -> L-1 bigrams
+    // (L=1 -> unigram); OTHER runs split out whole; per-run routing
+    // handles mixed tokens without a per-document script verdict
+    assert(TextFunctions.tokenizeScala("漢字試験").toSeq ==
+      Seq("漢字", "字試", "試験"))
+    assert(TextFunctions.tokenizeScala("一").toSeq == Seq("一"))
+    assert(TextFunctions.tokenizeScala("abc中文def").toSeq ==
+      Seq("abc", "中文", "def"))
+    // Thai routes; Hangul does NOT (Korean uses spaces)
+    assert(TextFunctions.tokenizeScala("ไทย").toSeq == Seq("ไท", "ทย"))
+    assert(TextFunctions.tokenizeScala("한국어").toSeq == Seq("한국어"))
+    // supplementary (Ext-B) ideographs stay OUTSIDE the no-space set —
+    // BMP-only by design, surrogate pairs ride through whole
+    val extB = new String(Character.toChars(0x20000))
+    assert(TextFunctions.tokenizeScala(s"a${extB}b").toSeq ==
+      Seq(s"a${extB}b"))
+    // ASCII / separator-scripted text: the Column form equals the OLD
+    // split(lower, ws) byte-for-byte INCLUDING empty tokens (size()
+    // consumers depend on the empty-token parity)
+    val asciiCases = Seq("Hello  World", " lead trail ", "", "   ", "a b ")
+    asciiCases.foreach { s =>
+      val got = Seq(s).toDF("t")
+        .select(TextFunctions.tokenize(col("t")).as("r"))
+        .collect()(0).getSeq[String](0)
+      val old = Seq(s).toDF("t")
+        .select(split(lower(col("t")), "[ \\t\\n\\f\\r]+").as("r"))
+        .collect()(0).getSeq[String](0)
+      assert(got == old, s"input '$s': $got vs $old")
+    }
   }
 
   test("fingerprint: first 15 md5 hex chars as a long, non-negative") {

@@ -1219,6 +1219,15 @@ class PipelineSpec extends AnyFunSuite {
       .frontier2d(rp.toDF("id", "x", "y").repartition(7), "id", "x", "y")
       .collect().map(_.getLong(0)).toSet
     assert(got2 == want)
+    // the precondition guard is LOUD: a high-cardinality x refuses
+    // instead of single-tasking the running-max window
+    val wide = (1 to 50).map(i => (i.toLong, i.toLong, 1L))
+      .toDF("id", "x", "y")
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipeline.Skyline.frontier2d(wide, "id", "x", "y",
+        maxDistinctX = 10L).collect()
+    }
+    assert(ex.getMessage.contains("maxDistinctX"))
   }
 
   test("filteredAnnReport: overfetch window bounds post-filter recall") {
