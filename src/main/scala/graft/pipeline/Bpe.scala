@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -47,18 +47,60 @@ object Bpe {
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges >= 1, "trainMerges: numMerges must be >= 1")
     val spark = docs.sparkSession
-    import spark.implicits._
+    // symbol state: word → current symbol sequence (starts as characters)
+    mergeLoop(wordCountsOf(docs, textCol)
+        .select(split(col("w"), "").as("syms"), col("cnt"))
+        .localCheckpoint(),
+      numMerges)(spark)
+  }
 
-    // the one corpus-scale pass: word frequencies
-    val words = docs
-      .select(explode(TextFunctions.tokenize(col(textCol))).as("w"))
+  /** Byte-level BPE training — [[trainMerges]] with the UTF-8 BYTES of
+    * each word as the base alphabet (symbols are lowercase hex pairs,
+    * merged symbols their concatenation): the GPT-2-style variant that
+    * makes the tokenizer TOTAL over arbitrary Unicode — an unseen
+    * codepoint is just unseen bytes, each already a symbol, so nothing
+    * can ever be out-of-alphabet (char BPE passes unseen CHARS through,
+    * but its learned merges never fire on them; WordPiece UNKs the
+    * whole word). Merge loop, determinism contract and scale shape are
+    * [[trainMerges]]'s verbatim — only the initial symbolization
+    * differs. */
+  def trainMergesBytes(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "trainMergesBytes: numMerges must be >= 1")
+    val spark = docs.sparkSession
+    mergeLoop(wordCountsOf(docs, textCol)
+        .select(hexSymsCol(col("w")).as("syms"), col("cnt"))
+        .localCheckpoint(),
+      numMerges)(spark)
+  }
+
+  /** The one corpus-scale pass shared by both trainers: word
+    * frequencies via the script-aware shared tokenizer. */
+  private def wordCountsOf(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokenize(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    // symbol state: word → current symbol sequence (starts as characters)
-    var state = words
-      .select(split(col("w"), "").as("syms"), col("cnt"))
-      .localCheckpoint()
 
+  /** A word's UTF-8 bytes as lowercase-hex pair symbols, Column form
+    * (vocabulary-sized relation — the regex is one pass per WORD, not
+    * per corpus row). */
+  private def hexSymsCol(w: Column): Column =
+    regexp_extract_all(
+      lower(hex(org.apache.spark.sql.functions.encode(w, "UTF-8"))),
+      lit("[0-9a-f]{2}"), lit(0))
+
+  /** Kernel twin of [[hexSymsCol]] (the tokenizeScala discipline). */
+  private[pipeline] def hexSyms(w: String): Array[String] = {
+    val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Array.tabulate(b.length)(i => f"${b(i) & 0xff}%02x")
+  }
+
+  /** The sequential greedy merge loop over a (syms, cnt) relation —
+    * the [[trainMerges]] body, shared with [[trainMergesBytes]]. */
+  private def mergeLoop(init: DataFrame, numMerges: Int)(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    var state = init
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var rank = 1L
     var exhausted = false
@@ -257,10 +299,73 @@ object Bpe {
       .toDF(idCol, "n_words", "n_chars", "n_tokens", "tokens_hash")
   }
 
+  /** Byte-level BPE encode — [[encode]] over [[trainMergesBytes]]
+    * output: per word the UTF-8 bytes become hex-pair symbols, the same
+    * greedy lowest-rank-first merging applies, and the emitted pieces
+    * are hex strings (a piece need not decode alone — splitting a
+    * multi-byte codepoint across pieces is legal byte-level behavior;
+    * concatenating a word's pieces always reproduces its bytes, the
+    * TOTALITY guarantee ByteBpeSpec pins). Emits per doc
+    * (n_words, n_bytes, n_tokens, tokens_hash) — the byte-domain twin
+    * of [[encode]]'s char-domain counters; same broadcast + one
+    * map-side pass, nothing but counters and a hash leaves the scan. */
+  def encodeBytes(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val rankOf: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    require(rankOf.size == merges.size, "encodeBytes: duplicate merge pair")
+    val bc = spark.sparkContext.broadcast(rankOf)
+    val in = docs.select(col(idCol), col(textCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("tokens_hash", StringType, nullable = true)))
+    in.mapPartitions { rows =>
+      val ranks = bc.value
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val t = if (r.isNullAt(1)) "" else r.getString(1)
+        val words = TextFunctions.tokenizeScala(t)
+        var nBy = 0L
+        var nTok = 0L
+        val sb = new java.lang.StringBuilder
+        words.foreach { w =>
+          val syms = hexSyms(w)
+          nBy += syms.length
+          val toks = mergeGreedy(syms, ranks)
+          nTok += toks.length
+          if (sb.length > 0) sb.append('|')
+          var i = 0
+          while (i < toks.length) {
+            if (i > 0) sb.append(' ')
+            sb.append(toks(i))
+            i += 1
+          }
+        }
+        val hash = if (words.isEmpty) null else {
+          md.reset()
+          md.digest(sb.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }
+        Row(r.get(0), words.length.toLong, nBy, nTok, hash)
+      }
+    }(Encoders.row(outSchema))
+      .toDF(idCol, "n_words", "n_bytes", "n_tokens", "tokens_hash")
+  }
+
   /** One word under greedy lowest-rank-first merging. */
   private[pipeline] def encodeWord(w: String,
+      ranks: Map[(String, String), Int]): Array[String] =
+    mergeGreedy(Array.tabulate(w.length)(i => w.substring(i, i + 1)), ranks)
+
+  /** Greedy lowest-rank-first merging over an initial symbol sequence
+    * (char symbols for [[encodeWord]], hex byte symbols for
+    * [[encodeBytes]]). */
+  private[pipeline] def mergeGreedy(syms0: Array[String],
       ranks: Map[(String, String), Int]): Array[String] = {
-    var syms = Array.tabulate(w.length)(i => w.substring(i, i + 1))
+    var syms = syms0
     var go = syms.length >= 2
     while (go) {
       var best = Int.MaxValue
@@ -302,8 +407,12 @@ object Bpe {
     * can appear once its rank has been passed — but implemented with a
     * genuinely different control flow. */
   private[pipeline] def referenceEncode(w: String,
+      merges: Seq[(String, String)]): Vector[String] =
+    referenceEncodeSyms(w.toCharArray.map(_.toString).toVector, merges)
+
+  private[pipeline] def referenceEncodeSyms(syms0: Vector[String],
       merges: Seq[(String, String)]): Vector[String] = {
-    var syms = w.toCharArray.map(_.toString).toVector
+    var syms = syms0
     merges.foreach { case (l, r) =>
       val nb = Vector.newBuilder[String]
       var i = 0
@@ -320,9 +429,16 @@ object Bpe {
   /** Independent reference implementation for the spec: single-threaded
     * BPE over collected (word, count) pairs, same tie order. */
   private[pipeline] def referenceMerges(wordCounts: Map[String, Long],
+      numMerges: Int): Seq[(Long, String, String, Long)] =
+    referenceMergesSyms(wordCounts.toSeq.map { case (w, c) =>
+      (w.toCharArray.map(_.toString).toVector, c) }, numMerges)
+
+  /** [[referenceMerges]] over pre-symbolized sequences — the byte-level
+    * spec passes [[hexSyms]] output here. */
+  private[pipeline] def referenceMergesSyms(
+      state0: Seq[(Vector[String], Long)],
       numMerges: Int): Seq[(Long, String, String, Long)] = {
-    var state = wordCounts.toSeq.map { case (w, c) =>
-      (w.toCharArray.map(_.toString).toVector, c) }
+    var state = state0
     val out = Seq.newBuilder[(Long, String, String, Long)]
     var rank = 1L
     var done = false

@@ -2425,6 +2425,8 @@ object PipelineQueries {
       : Option[Seq[(Long, String, String, Long)]] = None
   @volatile private var latestUnigram
       : Option[(Seq[(String, Long)], Seq[(String, Long)])] = None
+  @volatile private var latestByteMerges
+      : Option[Seq[(Long, String, String, Long)]] = None
 
   private def bpeMerges(spark: SparkSession,
       dir: String): Seq[(Long, String, String, Long)] = {
@@ -2435,6 +2437,26 @@ object PipelineQueries {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSeq)
     latestMerges = Some(m)
+    m
+  }
+
+  /** Learned byte-level merges (the [[bpeMerges]] device over
+    * [[Bpe.trainMergesBytes]]): q251 encodes with them, q210's A/B
+    * carries their fertility arm. Driver-local Seq cache; the snapshot
+    * setter lives HERE (getter, not query construct time — the r14
+    * ADVICE rule). */
+  private val sharedByteMerges = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[(Long, String, String, Long)]]
+
+  private def byteMerges(spark: SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] = {
+    val m = sharedByteMerges.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      Bpe.trainMergesBytes(docs(spark, dir), "text", numMerges = 10)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq)
+    latestByteMerges = Some(m)
     m
   }
 
@@ -2595,6 +2617,7 @@ object PipelineQueries {
     * and UnigramSpec (q209). */
   def q210TokenizerAb(spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeMerges(spark, dir).map { case (_, l, r, _) => (l, r) }
+    val bmerges = byteMerges(spark, dir).map { case (_, l, r, _) => (l, r) }
     val pieces = unigramPieces(spark, dir)
     val costs = graft.pipeline.Unigram.costsOf(pieces.toMap)
     val d = docs(spark, dir)
@@ -2602,23 +2625,33 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_words"), col("n_tokens").as("_bt"))
     val uni = graft.pipeline.Unigram.encode(d, "doc_id", "text", costs)
       .select(col("doc_id"), col("n_tokens").as("_ut"))
-    bpe.join(uni, Seq("doc_id"))
+    val byt = Bpe.encodeBytes(d, "doc_id", "text", bmerges)
+      .select(col("doc_id"), col("n_tokens").as("_yt"))
+    // 3-way winner: strictly fewest tokens or 'tie' — mirrored CASE on
+    // both engines
+    val winner = when(col("bpe_tokens") < col("uni_tokens") &&
+        col("bpe_tokens") < col("byte_tokens"), lit("bpe"))
+      .when(col("uni_tokens") < col("bpe_tokens") &&
+        col("uni_tokens") < col("byte_tokens"), lit("unigram"))
+      .when(col("byte_tokens") < col("bpe_tokens") &&
+        col("byte_tokens") < col("uni_tokens"), lit("bytebpe"))
+      .otherwise(lit("tie"))
+    def fert(c: Column): Column =
+      round((c.cast("double") / col("n_words").cast("double"))
+        .cast("decimal(28,10)"), 6).cast("double")
+    bpe.join(uni, Seq("doc_id")).join(byt, Seq("doc_id"))
       .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(sum(col("n_words")).as("n_words"),
         sum(col("_bt")).as("bpe_tokens"),
-        sum(col("_ut")).as("uni_tokens"))
+        sum(col("_ut")).as("uni_tokens"),
+        sum(col("_yt")).as("byte_tokens"))
       .select(col("source"), col("n_words"), col("bpe_tokens"),
-        col("uni_tokens"),
-        round((col("bpe_tokens").cast("double") /
-          col("n_words").cast("double")).cast("decimal(28,10)"), 6)
-          .cast("double").as("bpe_fertility"),
-        round((col("uni_tokens").cast("double") /
-          col("n_words").cast("double")).cast("decimal(28,10)"), 6)
-          .cast("double").as("uni_fertility"),
-        when(col("bpe_tokens") < col("uni_tokens"), lit("bpe"))
-          .when(col("uni_tokens") < col("bpe_tokens"), lit("unigram"))
-          .otherwise(lit("tie")).as("winner"))
+        col("uni_tokens"), col("byte_tokens"),
+        fert(col("bpe_tokens")).as("bpe_fertility"),
+        fert(col("uni_tokens")).as("uni_fertility"),
+        fert(col("byte_tokens")).as("byte_fertility"),
+        winner.as("winner"))
       .orderBy(col("source"))
   }
 
@@ -3018,6 +3051,80 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Static warcinfo record bytes prepended to every q250 container —
+    * the record a parser must ROUTE PAST (no target URI, not a
+    * response) without losing framing. */
+  private val warcInfoRec: Array[Byte] = {
+    val body = "software: graft\r\nformat: WARC File Format 1.0\r\n"
+    val n = body.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Length: $n\r\n\r\n" + body + "\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** WARC container ingestion ([[graft.sources.Warc]]) — the web front
+    * door running on the actual crawl container format: documents pack
+    * FOUR-per-container into record-framed WARC bytes (version line +
+    * named fields + Content-Length-framed HTTP response payload, a
+    * warcinfo record leading each container), then the pipeline runs
+    * container → record split → HTTP status/header split → charset
+    * detect/decode (q237's front door) → per-page ledger. Bodies
+    * arrive in three real-crawl encodings (plain UTF-8 / BOM'd UTF-8 /
+    * Latin-1-bytes-read-as-cp1252) and ≡0 mod 7 pages are 404s — the
+    * status survives beside the decode. The oracle replays every
+    * column from doc_id residue arithmetic alone (rec_idx via
+    * row_number within the container group, charset/status/text by
+    * residue) — a parser that mis-frames one record, eats the
+    * warcinfo, or mis-slices a payload cannot hash-match. Payload
+    * bytes move map-side only; the single shuffle is the 4-per-group
+    * container packing (fixture construction, not the operator). */
+  def q250WarcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val txt = concat(
+      when(col("doc_id") % 3 === 2,
+        regexp_replace(col("text"), "[^\\x00-\\x7f]", ""))
+        .otherwise(col("text")),
+      lit(" café ±"))
+    val bom8 = lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+    val body = when(col("doc_id") % 3 === 0, encode(txt, "UTF-8"))
+      .when(col("doc_id") % 3 === 1, concat(bom8, encode(txt, "UTF-8")))
+      .otherwise(encode(txt, "ISO-8859-1"))
+    val status = when(col("doc_id") % 7 === 0, lit("404 Not Found"))
+      .otherwise(lit("200 OK"))
+    val httpHead = concat(lit("HTTP/1.1 "), status,
+      lit("\r\nContent-Type: text/plain\r\n\r\n"))
+    val payload = concat(encode(httpHead, "UTF-8"), body)
+    val warcHead = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+        "https://example.com/doc/"),
+      col("doc_id").cast("string"),
+      lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+      length(payload).cast("string"), lit("\r\n\r\n"))
+    val rec = concat(encode(warcHead, "UTF-8"), payload,
+      encode(lit("\r\n\r\n"), "UTF-8"))
+    val perDoc = docs(spark, dir).select(col("doc_id"), rec.as("rec"))
+    val containers = perDoc
+      .groupBy(expr("doc_id div 4").as("container_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+        lit(warcInfoRec),
+        (acc, x) => concat(acc, x.getField("rec"))).as("warc"))
+    val resp = graft.sources.Warc.httpResponses(
+      graft.sources.Warc.records(containers, "container_id", "warc"))
+    resp.select(
+        regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("rec_idx").cast("long").as("rec_idx"),
+        col("http_status").cast("long").as("http_status"),
+        col("content_type"),
+        call_function("decode_page", col("body")).as("_p"))
+      .select(col("doc_id"), col("rec_idx"), col("http_status"),
+        col("content_type"), col("_p.charset").as("charset"),
+        length(col("_p.text")).cast("long").as("n_chars"),
+        md5(col("_p.text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Charset front door ([[graft.functions.DetectCharset]] /
     * [[graft.functions.DecodeBytes]]): raw fetched BYTES normalize to
     * text before any extraction — BOM sniff, strict UTF-8 validation,
@@ -3087,6 +3194,87 @@ object PipelineQueries {
     graft.pipeline.WordPiece.encode(docs(spark, dir), "doc_id", "text",
         wordPieceVocab)
       .orderBy(col("doc_id"), col("wpos"))
+
+  /** No-space-script plant for q249 — Scala literals (never Spark
+    * `chr()`, the byte-vs-codepoint footgun): Chinese, Japanese
+    * kana+kanji, Thai, Lao, a single ideograph, mixed Latin+CJK+Thai,
+    * and a Hangul control arm that must NOT route (Korean uses
+    * spaces). doc_ids start above any driver-generated id. */
+  private val cjkPlant: Seq[(Long, String)] = Seq(
+    (9000001L, "漢字テストです 今日は良い天気"),
+    (9000002L, "中文分词测试 没有空格的文字"),
+    (9000003L, "ภาษาไทยไม่มีช่องว่าง ระหว่างคำ"),
+    (9000004L, "mixed latin 和中文 together ในประโยค one"),
+    (9000005L, "一"),
+    (9000006L, "カタカナとひらがな混在のテキスト"),
+    (9000007L, "ຂໍ້ຄວາມພາສາລາວ"),
+    (9000008L, "한국어는 공백을 사용합니다"))
+
+  /** No-space-script token statistics — the routing proof for the
+    * script-aware shared tokenizer ([[TextFunctions.tokenize]] /
+    * [[graft.functions.TokenizeMixed]]): per-document token count,
+    * distinct count, no-space-token count, and summed token length
+    * over the real corpus UNIONED with [[cjkPlant]]. Before the
+    * fallback, a CJK/Thai document was ONE giant "token"
+    * (n_tokens == words-by-whitespace), silently corrupting every
+    * token statistic; with per-run bigram routing the counts reflect
+    * character bigrams. The oracle replays the EXACT expansion in SQL
+    * (run split via regexp_extract_all over the SAME
+    * [[TextKernels.noSpaceClassRegex]] class, generate_series bigram
+    * cut) — the reference construction for token-level oracles over
+    * no-space text. One scan, map-side expansion, one groupBy
+    * shuffle — scale-shape identical to every other token statistic. */
+  def q249CjkTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val all = base.unionByName(cjkPlant.toDF("doc_id", "text"))
+    val nsTok = s"^[${graft.functions.TextKernels.noSpaceClassRegex}]+$$"
+    all.select(col("doc_id"),
+        explode(filter(graft.functions.TextFunctions.tokenize(col("text")),
+          w => length(w) > 0)).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        sum(when(col("tok").rlike(nsTok), 1L).otherwise(0L))
+          .as("n_ns_tokens"),
+        sum(length(col("tok")).cast("long")).as("sum_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Totality plant for q251 — words char-level BPE can only pass
+    * through untokenized and WordPiece would UNK: supplementary-plane
+    * emoji (4-byte UTF-8), CJK (3-byte, bigram-routed by the shared
+    * tokenizer), accented Latin, and a pure-ASCII control arm. */
+  private val byteTotalityPlant: Seq[(Long, String)] = Seq(
+    (9100001L, "rocket 👍🚀 launch"),
+    (9100002L, "中文字节测试 data"),
+    (9100003L, "naïve café résumé"),
+    (9100004L, "plain ascii control row"),
+    (9100005L, "ไทย混合 mixed"))
+
+  /** Byte-level (byte-fallback) BPE encode ([[Bpe.encodeBytes]] over
+    * [[Bpe.trainMergesBytes]] merges — GPT-2-style): the tokenizer
+    * that is TOTAL over arbitrary Unicode, because the base alphabet
+    * is the word's UTF-8 BYTES (hex-pair symbols) — an unseen
+    * codepoint is just unseen bytes, each already a symbol. Encodes
+    * the corpus plus [[byteTotalityPlant]] with merges trained on the
+    * PLAIN corpus, so the plant's emoji/CJK bytes genuinely never
+    * appeared in training and still tokenize (as byte singles — the
+    * totality guarantee, vs char-BPE's inert pass-through and
+    * WordPiece's [UNK]). The oracle replays the hex symbolization +
+    * chained-replace merge device per unique word AND re-derives the
+    * per-doc md5 token-stream hash through the ordered script-aware
+    * tokenization CTEs (the q249 run-expansion device with positions
+    * kept). Same scale shape as q76: broadcast merges, one map-side
+    * corpus pass. */
+  def q251ByteBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = byteMerges(spark, dir).map { case (_, l, r, _) => (l, r) }
+    val all = docs(spark, dir).select(col("doc_id"), col("text"))
+      .unionByName(byteTotalityPlant.toDF("doc_id", "text"))
+    Bpe.encodeBytes(all, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
 
   /** q247 interpolation helpers: the positional-power list and the
     * constant DE-with-00 tail term of the plant's check-digit closed
@@ -3776,6 +3964,9 @@ object PipelineQueries {
     "q246_robots_gate" -> q246RobotsGate,
     "q247_iban_mod97" -> q247IbanMod97,
     "q248_wordpiece" -> q248WordPiece,
+    "q249_cjk_tokens" -> q249CjkTokenStats,
+    "q250_warc_ingest" -> q250WarcIngest,
+    "q251_bytebpe_encode" -> q251ByteBpeEncode,
     "q240_heldout_lm" -> q240HeldoutLm,
     "q241_script_dominance" -> q241ScriptDominance,
     "q224_domain_extract" -> q224DomainExtract,
@@ -5008,14 +5199,16 @@ object PipelineQueries {
   private val tokenizerOraclePlaceholder =
     "SELECT NULL AS source WHERE 1 = 0 -- trained tables absent this session"
 
-  private def q210OracleNow: String = (latestUnigram, latestMerges) match {
-    case (Some((pieces, _)), Some(m)) =>
+  private def q210OracleNow: String =
+      (latestUnigram, latestMerges, latestByteMerges) match {
+    case (Some((pieces, _)), Some(m), Some(bm)) =>
       val costs = graft.pipeline.Unigram.costsOf(pieces.toMap)
         .toSeq.sortBy(_._1)
       val merges = m.map { case (_, l, r, _) => (l, r) }
       val up = costs.map { case (p, c) =>
         s"('${escSql(p)}', ${c}::BIGINT)" }.mkString(",\n    ")
       val chain = bpeChainSql(merges, "s")
+      val bchain = bpeChainSql(bm.map { case (_, l, r, _) => (l, r) }, "s")
       s"""WITH RECURSIVE up(piece, cost) AS (VALUES
          |    $up),
          |tok AS (SELECT source,
@@ -5048,22 +5241,103 @@ object PipelineQueries {
          |  FROM uw),
          |bseg AS (SELECT w,
          |    len(string_split(trim($chain), '  '))::BIGINT AS ntok FROM bw),
+         |hw AS (SELECT w,
+         |    ' ' || array_to_string(
+         |      regexp_extract_all(lower(hex(encode(w))), '..'), '  ') || ' '
+         |      AS s
+         |  FROM uw),
+         |hseg AS (SELECT w,
+         |    len(string_split(trim($bchain), '  '))::BIGINT AS ntok FROM hw),
          |agg AS (SELECT tw.source,
          |    sum(tw.cnt)::BIGINT AS n_words,
          |    sum(tw.cnt * b.ntok)::BIGINT AS bpe_tokens,
-         |    sum(tw.cnt * u.ntok)::BIGINT AS uni_tokens
+         |    sum(tw.cnt * u.ntok)::BIGINT AS uni_tokens,
+         |    sum(tw.cnt * h.ntok)::BIGINT AS byte_tokens
          |  FROM tw JOIN bseg b USING (w) JOIN useg u USING (w)
+         |    JOIN hseg h USING (w)
          |  GROUP BY 1)
-         |SELECT source, n_words, bpe_tokens, uni_tokens,
+         |SELECT source, n_words, bpe_tokens, uni_tokens, byte_tokens,
          |  round((bpe_tokens::DOUBLE / n_words::DOUBLE)::DECIMAL(28,10), 6)
          |    ::DOUBLE AS bpe_fertility,
          |  round((uni_tokens::DOUBLE / n_words::DOUBLE)::DECIMAL(28,10), 6)
          |    ::DOUBLE AS uni_fertility,
-         |  CASE WHEN bpe_tokens < uni_tokens THEN 'bpe'
-         |    WHEN uni_tokens < bpe_tokens THEN 'unigram'
+         |  round((byte_tokens::DOUBLE / n_words::DOUBLE)::DECIMAL(28,10), 6)
+         |    ::DOUBLE AS byte_fertility,
+         |  CASE WHEN bpe_tokens < uni_tokens AND bpe_tokens < byte_tokens
+         |      THEN 'bpe'
+         |    WHEN uni_tokens < bpe_tokens AND uni_tokens < byte_tokens
+         |      THEN 'unigram'
+         |    WHEN byte_tokens < bpe_tokens AND byte_tokens < uni_tokens
+         |      THEN 'bytebpe'
          |    ELSE 'tie' END AS winner
          |FROM agg ORDER BY source""".stripMargin
     case _ => tokenizerOraclePlaceholder
+  }
+
+  /** The q251 oracle: hex byte symbolization + the chained-replace
+    * merge device per unique word, with the unique-word relation built
+    * through the ORDERED script-aware tokenization CTEs (the q249
+    * run-expansion device keeping (token, run, bigram) positions), so
+    * the per-doc md5 token-stream hash replays the kernel's exact
+    * word order. */
+  private def q251OracleNow: String = latestByteMerges match {
+    case None => tokenizerOraclePlaceholder
+    case Some(m) =>
+      val chain = bpeChainSql(m.map { case (_, l, r, _) => (l, r) }, "s")
+      val ns = graft.functions.TextKernels.noSpaceClassRegex
+      val plantVals = byteTotalityPlant.map { case (id, t) =>
+        s"($id, '${escSql(t)}')" }.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+         |  FROM (VALUES $plantVals) v(doc_id, text)),
+         |toks AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text),
+         |      '[ \\t\\n\\f\\r]+'), x -> x <> '') AS t
+         |  FROM base),
+         |tp AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+         |  FROM toks WHERE len(t) > 0),
+         |tw0 AS (SELECT doc_id, i, t[i] AS tok FROM tp),
+         |rn AS (SELECT doc_id, i,
+         |    regexp_extract_all(tok, '[$ns]+|[^$ns]+') AS runs FROM tw0),
+         |rp AS (SELECT doc_id, i,
+         |    unnest(generate_series(1, len(runs))) AS j, runs FROM rn),
+         |rw AS (SELECT doc_id, i, j, runs[j] AS run FROM rp),
+         |ex AS (SELECT doc_id, i, j, k, substring(run, k::INT, 2) AS w
+         |  FROM (SELECT doc_id, i, j, run,
+         |      unnest(generate_series(1, greatest(len(run) - 1, 1))) AS k
+         |    FROM rw WHERE regexp_matches(run, '^[$ns]'))),
+         |sg AS (SELECT doc_id, i, j, 1::BIGINT AS k, run AS w FROM rw
+         |  WHERE NOT regexp_matches(run, '^[$ns]')
+         |  UNION ALL SELECT doc_id, i, j, k, w FROM ex),
+         |uw AS (SELECT DISTINCT w FROM sg),
+         |hw AS (SELECT w,
+         |    ' ' || array_to_string(
+         |      regexp_extract_all(lower(hex(encode(w))), '..'), '  ') || ' '
+         |      AS s,
+         |    len(regexp_extract_all(lower(hex(encode(w))), '..'))::BIGINT
+         |      AS nby
+         |  FROM uw),
+         |hseg AS (SELECT w, nby,
+         |    replace(trim($chain), '  ', ' ') AS toks,
+         |    len(string_split(trim($chain), '  '))::BIGINT AS ntok
+         |  FROM hw),
+         |perdoc AS (SELECT sg.doc_id,
+         |    count(*)::BIGINT AS n_words,
+         |    sum(h.nby)::BIGINT AS n_bytes,
+         |    sum(h.ntok)::BIGINT AS n_tokens,
+         |    md5(string_agg(h.toks, '|' ORDER BY sg.i, sg.j, sg.k))
+         |      AS tokens_hash
+         |  FROM sg JOIN hseg h USING (w) GROUP BY 1)
+         |SELECT b.doc_id,
+         |  coalesce(p.n_words, 0)::BIGINT AS n_words,
+         |  coalesce(p.n_bytes, 0)::BIGINT AS n_bytes,
+         |  coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+         |  p.tokens_hash
+         |FROM (SELECT DISTINCT doc_id FROM base) b
+         |LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin
   }
 
   /** The q71 oracle: embed the learned merge list and RECOUNT each
@@ -5374,7 +5648,8 @@ object PipelineQueries {
       "q76_bpe_encode" -> q76OracleNow,
       "q160_tokenizer_fertility" -> q160OracleNow,
       "q209_unigram_train" -> q209OracleNow,
-      "q210_tokenizer_ab" -> q210OracleNow)
+      "q210_tokenizer_ab" -> q210OracleNow,
+      "q251_bytebpe_encode" -> q251OracleNow)
 
   private val staticOracles: Map[String, String] = Map(
     "q19_dedup_exact" ->
@@ -6641,6 +6916,44 @@ object PipelineQueries {
         |  coalesce(per.nv, 0) > 0 AS has_valid_iban
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // Mirrors q249CjkTokenStats: the EXACT script-aware expansion in
+    // SQL — whitespace split, same-class runs via regexp_extract_all
+    // over the SAME noSpaceClassRegex class body (\x{XXXX} escapes,
+    // valid in Java regex and RE2 alike), bigram cut via
+    // generate_series (L-1 bigrams, L=1 unigram), whole OTHER runs.
+    // This is the reference construction for token-level oracles over
+    // no-space-script text.
+    "q249_cjk_tokens" -> {
+      val ns = graft.functions.TextKernels.noSpaceClassRegex
+      val plantVals = cjkPlant.map { case (id, t) => s"($id, '$t')" }
+        .mkString(", ")
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+        |  FROM (VALUES $plantVals) v(doc_id, text)),
+        |toks0 AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text),
+        |      '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS tok
+        |  FROM base),
+        |runs AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(tok, '[$ns]+|[^$ns]+')) AS run
+        |  FROM toks0),
+        |whole AS (SELECT doc_id, run AS tok FROM runs
+        |  WHERE NOT regexp_matches(run, '^[$ns]')),
+        |bi AS (SELECT doc_id, run,
+        |    unnest(generate_series(1, greatest(len(run) - 1, 1))) AS i
+        |  FROM runs WHERE regexp_matches(run, '^[$ns]')),
+        |segs AS (SELECT doc_id, tok FROM whole
+        |  UNION ALL
+        |  SELECT doc_id, substring(run, i::INT, 2) AS tok FROM bi)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  count(DISTINCT tok)::BIGINT AS n_distinct,
+        |  sum(CASE WHEN regexp_matches(tok, '^[$ns]+$$') THEN 1
+        |    ELSE 0 END)::BIGINT AS n_ns_tokens,
+        |  sum(len(tok))::BIGINT AS sum_len
+        |FROM segs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // Mirrors q248WordPiece through an INDEPENDENT construction: the
     // Spark side is a greedy broadcast-vocab kernel; here the same
     // semantics replay as a per-position longest-match argmax over the
@@ -6716,6 +7029,29 @@ object PipelineQueries {
     // Mirrors q237CharsetDecode: the normalizer makes every encoding
     // arm converge to the same canonical text, so the oracle needs only
     // the residue label CASE and the suffixed text.
+    // Mirrors q250WarcIngest from doc_id residue arithmetic alone —
+    // the Spark side must actually run the record-framed parser
+    // (container split, warcinfo routing, Content-Length payload
+    // slice, HTTP header split, charset decode) to reproduce these
+    // rows: rec_idx is the 1-based container position after the
+    // warcinfo record, everything else is the q237 residue device.
+    "q250_warc_ingest" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 2
+        |      THEN regexp_replace(text, '[^\x00-\x7f]', '', 'g')
+        |      ELSE text END || ' café ±' AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id // 4 ORDER BY doc_id)
+        |    ::BIGINT AS rec_idx,
+        |  (CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END)::BIGINT
+        |    AS http_status,
+        |  'text/plain' AS content_type,
+        |  CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+        |    ELSE 'cp1252' END AS charset,
+        |  len(txt)::BIGINT AS n_chars,
+        |  md5(txt) AS text_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q237_charset_decode" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN doc_id % 4 = 2
