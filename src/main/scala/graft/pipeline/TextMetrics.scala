@@ -2632,6 +2632,83 @@ object TextMetrics {
           .as("avg_logscore"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM, held out — the smoothing
+    * KenLM/CCNet actually ship (q240's Stupid Backoff is the cheap
+    * approximation; KN replaces the ad-hoc 0.4 penalty with an
+    * absolute discount D redistributed over CONTINUATION counts:
+    * P(w|v) = (c(v,w) − D)₊/c(v) + D·N1+(v·)/c(v) · N1+(·w)/N1+(··),
+    * and P_cont(w) = N1+(·w)/N1+(··) when the context is unseen).
+    * D = 3/4 exactly, so every term is a ratio of exact int64s:
+    * (c(vw) − 3/4)/c(v) = (4·c(vw) − 3)/(4·c(v)) — the float tree per
+    * branch is IDENTICAL on both engines (three correctly-rounded
+    * divides, one multiply, one add), then ONE ln (bit-identical on
+    * identical input — the q17/q53 device) summed in DECIMAL(28,10).
+    *
+    * Vocabulary = the continuation vocabulary {w : N1+(·w) ≥ 1}; a
+    * token outside it lands in the OOV ledger, never scored
+    * (documented: a word seen ONLY document-initially in training has
+    * no continuation count and is OOV here). Training is one gram
+    * pass into a bigram-TYPE-cardinality relation; every model table
+    * (context totals, fan-outs, continuation counts, the N1+(··)
+    * scalar) re-aggregates from that checkpoint; scoring is three
+    * hash joins keyed by the exact gram each needs. */
+  def kneserNeyScore(train: DataFrame, trainIdCol: String,
+      trainTextCol: String, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def positions(d: DataFrame, id: String, text: String): DataFrame = {
+      val byDoc = Window.partitionBy(col("_sb_id")).orderBy(col("pos"))
+      d.select(col(id).as("_sb_id"),
+          posexplode(filter(TextFunctions.tokenize(col(text)),
+            w => length(w) > 0)).as(Seq("pos", "w")))
+        .withColumn("w1", lag(col("w"), 1).over(byDoc))
+    }
+    // ONE training pass → the bigram type/count table; checkpointed so
+    // the four model relations below re-aggregate it instead of each
+    // re-tokenizing the corpus as its own plan subtree
+    val bi = positions(train, trainIdCol, trainTextCol)
+      .filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("cctx"), count(lit(1)).as("n1fwd"))
+    val contw = bi.groupBy(col("w")).agg(count(lit(1)).as("contw"))
+    val nbt = bi.agg(count(lit(1)).as("nbt"))
+    val sp = positions(docs, idCol, textCol)
+      .crossJoin(broadcast(nbt))
+      .join(contw, Seq("w"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(bi, Seq("w1", "w"), "left")
+    val pcont = col("contw").cast("double") / col("nbt").cast("double")
+    val term1 = when(col("c2").isNotNull,
+      (lit(4L) * col("c2") - lit(3L)).cast("double") /
+        (lit(4L) * col("cctx")).cast("double")).otherwise(lit(0.0))
+    val term2 = (lit(3L) * col("n1fwd")).cast("double") /
+      (lit(4L) * col("cctx")).cast("double") * pcont
+    val score = when(col("w1").isNull || col("cctx").isNull, pcont)
+      .otherwise(term1 + term2)
+    val order = when(col("contw").isNull, lit(-1L)) // OOV: never scored
+      .when(col("w1").isNull || col("cctx").isNull, lit(0L))
+      .when(col("c2").isNotNull, lit(2L)).otherwise(lit(1L))
+    sp.select(col("_sb_id"), order.as("_ord"),
+        when(order =!= -1L, log(score).cast("decimal(28,10)")).as("_ln"))
+      .groupBy(col("_sb_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_ord") === -1L, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("_ord") === 2L, 1L).otherwise(0L)).as("n_bi_hits"),
+        sum(when(col("_ord") === 1L, 1L).otherwise(0L)).as("n_interp"),
+        sum(when(col("_ord") === 0L, 1L).otherwise(0L)).as("n_cont_only"),
+        sum(col("_ln")).as("_sum"))
+      .select(col("_sb_id").as(idCol), col("n_tokens"), col("n_oov"),
+        col("n_bi_hits"), col("n_interp"), col("n_cont_only"),
+        round(coalesce(col("_sum"), lit(0).cast("decimal(28,10)")), 6)
+          .cast("double").as("sum_logscore"),
+        when(col("n_tokens") - col("n_oov") > 0,
+          dec6(coalesce(col("_sum"), lit(0).cast("decimal(28,10)"))
+            .cast("double") /
+            (col("n_tokens") - col("n_oov")).cast("double")))
+          .as("avg_logscore"))
+  }
+
   /** Per-document deflate compression ratio — the Dolma/Gopher
     * companion quality signal the heuristic battery lacked: machine-
     * generated or boilerplate-looping documents compress far below

@@ -3552,6 +3552,28 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser-Ney held-out LM
+    * ([[TextMetrics.kneserNeyScore]]) — the q240 shape (train on
+    * non-src0, score src0, ≡0 mod 5 docs carry a planted OOV token for
+    * the ledger) with KenLM/CCNet's actual smoothing instead of Stupid
+    * Backoff: absolute discount D = 3/4 redistributed over
+    * CONTINUATION counts, every probability a ratio of exact int64s
+    * through an identical float tree per branch, ln summed in the
+    * decimal domain. The oracle replays the continuation/discount
+    * aggregates and the exact CASE tree relationally. */
+  def q252KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val train = d.filter(col("source") =!= "src0")
+    val sc = d.filter(col("source") === "src0")
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" zzqx"), pmod(col("doc_id"), lit(7)).cast("string")))
+          .otherwise(lit(""))).as("text"))
+    TextMetrics.kneserNeyScore(train, "doc_id", "text", sc, "doc_id",
+        "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic redundancy-sweep planting for q238: 16 distinct
     * texts keyed by doc_id % 16, each a highly repetitive head
     * (32 copies of one token) plus a growing low-redundancy tail — so
@@ -3967,6 +3989,7 @@ object PipelineQueries {
     "q249_cjk_tokens" -> q249CjkTokenStats,
     "q250_warc_ingest" -> q250WarcIngest,
     "q251_bytebpe_encode" -> q251ByteBpeEncode,
+    "q252_kneser_ney" -> q252KneserNey,
     "q240_heldout_lm" -> q240HeldoutLm,
     "q241_script_dominance" -> q241ScriptDominance,
     "q224_domain_extract" -> q224DomainExtract,
@@ -6612,6 +6635,80 @@ object PipelineQueries {
     // slice (len>0 filtered tokens, lag contexts), the scored src0
     // plant with its OOV word, the identical float expression tree per
     // backoff branch, ln terms cast DECIMAL(28,10) before the sum.
+    // Mirrors q252KneserNey: continuation/fan-out/discount aggregates
+    // from the same bigram type table, the IDENTICAL per-branch float
+    // tree ((4c-3)/(4cctx) + (3*n1fwd)/(4cctx) * (contw/nbt), three
+    // divides, one multiply, one add), one ln, decimal-domain sums.
+    "q252_kneser_ney" ->
+      """WITH tr0 AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text),
+        |      '[ \t\n\f\r]+'), x -> len(x) > 0) AS a
+        |  FROM documents WHERE source <> 'src0'),
+        |ttk AS (SELECT doc_id, i AS pos, a[i] AS w
+        |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)))
+        |      AS i FROM tr0)),
+        |tg AS (SELECT doc_id, pos, w,
+        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |  FROM ttk),
+        |c2 AS (SELECT w1, w, count(*)::BIGINT AS c2 FROM tg
+        |  WHERE w1 IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c2)::BIGINT AS cctx,
+        |    count(*)::BIGINT AS n1fwd FROM c2 GROUP BY 1),
+        |cw AS (SELECT w, count(*)::BIGINT AS contw FROM c2 GROUP BY 1),
+        |nbt AS (SELECT count(*)::BIGINT AS nbt FROM c2),
+        |sc0 AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0
+        |    THEN ' zzqx' || (doc_id % 7)::VARCHAR ELSE '' END AS text
+        |  FROM documents WHERE source = 'src0'),
+        |sa AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text),
+        |      '[ \t\n\f\r]+'), x -> len(x) > 0) AS a FROM sc0),
+        |stk AS (SELECT doc_id, i AS pos, a[i] AS w
+        |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)))
+        |      AS i FROM sa)),
+        |sg AS (SELECT doc_id, pos, w,
+        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |  FROM stk),
+        |j AS (SELECT sg.doc_id, sg.w, sg.w1,
+        |    cw.contw, x.cctx, x.n1fwd, b.c2, nbt.nbt
+        |  FROM sg
+        |  LEFT JOIN cw ON cw.w = sg.w
+        |  LEFT JOIN ctx x ON x.w1 = sg.w1
+        |  LEFT JOIN c2 b ON b.w1 = sg.w1 AND b.w = sg.w
+        |  CROSS JOIN nbt),
+        |scj AS (SELECT doc_id,
+        |    CASE WHEN contw IS NULL THEN -1
+        |      WHEN w1 IS NULL OR cctx IS NULL THEN 0
+        |      WHEN c2 IS NOT NULL THEN 2 ELSE 1 END AS ord,
+        |    (CASE WHEN contw IS NULL THEN NULL
+        |      WHEN w1 IS NULL OR cctx IS NULL
+        |        THEN ln(contw::DOUBLE / nbt::DOUBLE)
+        |      ELSE ln(
+        |        (CASE WHEN c2 IS NOT NULL
+        |          THEN (4 * c2 - 3)::DOUBLE / (4 * cctx)::DOUBLE
+        |          ELSE 0.0::DOUBLE END)
+        |        + ((3 * n1fwd)::DOUBLE / (4 * cctx)::DOUBLE)
+        |          * (contw::DOUBLE / nbt::DOUBLE))
+        |      END)::DECIMAL(28,10) AS s
+        |  FROM j),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN ord = -1 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |    sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_bi_hits,
+        |    sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_interp,
+        |    sum(CASE WHEN ord = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_cont_only,
+        |    sum(s) AS ssum
+        |  FROM scj GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov, n_bi_hits, n_interp,
+        |  n_cont_only,
+        |  round(coalesce(ssum, 0::DECIMAL(28,10)), 6)::DOUBLE
+        |    AS sum_logscore,
+        |  CASE WHEN n_tokens - n_oov > 0
+        |    THEN round((ssum::DOUBLE / (n_tokens - n_oov)::DOUBLE)
+        |      ::DECIMAL(28,10), 6)::DOUBLE
+        |    END AS avg_logscore
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q240_heldout_lm" ->
       """WITH tr0 AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text),
