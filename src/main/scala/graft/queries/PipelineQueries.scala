@@ -3063,6 +3063,26 @@ object PipelineQueries {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** The shared q250/q253 ledger oracle (see the comment at its map
+    * entries): every column from doc_id residue arithmetic alone. */
+  private val warcLedgerOracle: String =
+    """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 2
+        |      THEN regexp_replace(text, '[^\x00-\x7f]', '', 'g')
+        |      ELSE text END || ' café ±' AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id // 4 ORDER BY doc_id)
+        |    ::BIGINT AS rec_idx,
+        |  (CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END)::BIGINT
+        |    AS http_status,
+        |  'text/plain' AS content_type,
+        |  CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+        |    ELSE 'cp1252' END AS charset,
+        |  len(txt)::BIGINT AS n_chars,
+        |  md5(txt) AS text_md5
+        |FROM t ORDER BY doc_id""".stripMargin
+
   /** WARC container ingestion ([[graft.sources.Warc]]) — the web front
     * door running on the actual crawl container format: documents pack
     * FOUR-per-container into record-framed WARC bytes (version line +
@@ -3079,7 +3099,10 @@ object PipelineQueries {
     * warcinfo, or mis-slices a payload cannot hash-match. Payload
     * bytes move map-side only; the single shuffle is the 4-per-group
     * container packing (fixture construction, not the operator). */
-  def q250WarcIngest(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document WARC response-record bytes — the q250/q253 shared
+    * fixture (q237's three encoding arms inside an HTTP response
+    * inside a Content-Length-framed record). */
+  private def warcPerDocRecs(d: DataFrame): DataFrame = {
     val txt = concat(
       when(col("doc_id") % 3 === 2,
         regexp_replace(col("text"), "[^\\x00-\\x7f]", ""))
@@ -3100,17 +3123,24 @@ object PipelineQueries {
       col("doc_id").cast("string"),
       lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
       length(payload).cast("string"), lit("\r\n\r\n"))
-    val rec = concat(encode(warcHead, "UTF-8"), payload,
-      encode(lit("\r\n\r\n"), "UTF-8"))
-    val perDoc = docs(spark, dir).select(col("doc_id"), rec.as("rec"))
-    val containers = perDoc
-      .groupBy(expr("doc_id div 4").as("container_id"))
+    d.select(col("doc_id"),
+      concat(encode(warcHead, "UTF-8"), payload,
+        encode(lit("\r\n\r\n"), "UTF-8")).as("rec"))
+  }
+
+  /** 4-records-per-container packing with a leading warcinfo member
+    * (q250/q253 shared). */
+  private def warcPack(perDoc: DataFrame,
+      info: Array[Byte]): DataFrame =
+    perDoc.groupBy(expr("doc_id div 4").as("container_id"))
       .agg(aggregate(
         array_sort(collect_list(struct(col("doc_id"), col("rec")))),
-        lit(warcInfoRec),
+        lit(info),
         (acc, x) => concat(acc, x.getField("rec"))).as("warc"))
-    val resp = graft.sources.Warc.httpResponses(
-      graft.sources.Warc.records(containers, "container_id", "warc"))
+
+  /** Parsed responses → the per-page admission ledger (q250/q253
+    * shared output projection). */
+  private def warcLedger(resp: DataFrame): DataFrame =
     resp.select(
         regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
           .cast("long").as("doc_id"),
@@ -3123,6 +3153,39 @@ object PipelineQueries {
         length(col("_p.text")).cast("long").as("n_chars"),
         md5(col("_p.text")).as("text_md5"))
       .orderBy(col("doc_id"))
+
+  def q250WarcIngest(spark: SparkSession, dir: String): DataFrame =
+    warcLedger(graft.sources.Warc.httpResponses(
+      graft.sources.Warc.records(
+        warcPack(warcPerDocRecs(docs(spark, dir)), warcInfoRec),
+        "container_id", "warc")))
+
+  /** The q250 pipeline on the PRODUCTION container layout — `.warc.gz`
+    * with each record gzipped as its OWN member (Common Crawl's
+    * seekable-boundary discipline): every per-doc record and the
+    * warcinfo lead compress to separate gzip members, concatenate into
+    * the container, and [[graft.sources.Warc.gunzipMembers]] must
+    * inflate ACROSS member boundaries before framing — a single-member
+    * reader silently stops after record one and emits a 1/4-sized
+    * ledger, which the identical q250 oracle immediately fails. Same
+    * output rows as q250 by construction (the compression layer must
+    * be invisible). */
+  def q253WarcGzIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(b.length)
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    val gzRecs = warcPerDocRecs(docs(spark, dir))
+      .select(col("doc_id"), col("rec")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, rec) => (id, gzip(rec)) })
+      .toDF("doc_id", "rec")
+    warcLedger(graft.sources.Warc.httpResponses(
+      graft.sources.Warc.records(
+        warcPack(gzRecs, gzip(warcInfoRec)),
+        "container_id", "warc", gzipped = true)))
   }
 
   /** Charset front door ([[graft.functions.DetectCharset]] /
@@ -3990,6 +4053,7 @@ object PipelineQueries {
     "q250_warc_ingest" -> q250WarcIngest,
     "q251_bytebpe_encode" -> q251ByteBpeEncode,
     "q252_kneser_ney" -> q252KneserNey,
+    "q253_warc_gz" -> q253WarcGzIngest,
     "q240_heldout_lm" -> q240HeldoutLm,
     "q241_script_dominance" -> q241ScriptDominance,
     "q224_domain_extract" -> q224DomainExtract,
@@ -7132,23 +7196,11 @@ object PipelineQueries {
     // slice, HTTP header split, charset decode) to reproduce these
     // rows: rec_idx is the 1-based container position after the
     // warcinfo record, everything else is the q237 residue device.
-    "q250_warc_ingest" ->
-      """WITH t AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 2
-        |      THEN regexp_replace(text, '[^\x00-\x7f]', '', 'g')
-        |      ELSE text END || ' café ±' AS txt
-        |  FROM documents)
-        |SELECT doc_id,
-        |  row_number() OVER (PARTITION BY doc_id // 4 ORDER BY doc_id)
-        |    ::BIGINT AS rec_idx,
-        |  (CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END)::BIGINT
-        |    AS http_status,
-        |  'text/plain' AS content_type,
-        |  CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
-        |    ELSE 'cp1252' END AS charset,
-        |  len(txt)::BIGINT AS n_chars,
-        |  md5(txt) AS text_md5
-        |FROM t ORDER BY doc_id""".stripMargin,
+    // q253 (the .warc.gz member-gzipped layout) must produce the
+    // IDENTICAL ledger — the compression layer is invisible by
+    // construction, so both queries share this oracle verbatim.
+    "q250_warc_ingest" -> warcLedgerOracle,
+    "q253_warc_gz" -> warcLedgerOracle,
     "q237_charset_decode" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN doc_id % 4 = 2

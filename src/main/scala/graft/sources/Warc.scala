@@ -140,17 +140,40 @@ object Warc {
       java.util.Arrays.copyOfRange(payload, p, payload.length)))
   }
 
+  /** Inflate a MULTI-MEMBER gzip stream — the production WARC layout
+    * (Common Crawl gzips each record as its own member, so a reader
+    * can seek to a member boundary and start there; a single-member
+    * reader silently stops after record one, which is exactly the
+    * data-loss mode this helper exists to not have). `GZIPInputStream`
+    * handles member concatenation natively; the output is the plain
+    * container [[parseContainer]] consumes. */
+  def gunzipMembers(gz: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz), 8192)
+    val out = new java.io.ByteArrayOutputStream(gz.length * 4)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    in.close()
+    out.toByteArray
+  }
+
   /** Containers → exploded records: one input row per WARC container
     * (id, bytes), one output row per record. mapPartitions kernel (the
     * [[graft.pipeline.Multimodal]] discipline) — payload bytes move
-    * map-side only; nothing shuffles here. */
+    * map-side only; nothing shuffles here. `gzipped = true` inflates
+    * each container's member-concatenated gzip stream first (the
+    * Common Crawl `.warc.gz` layout). */
   def records(containers: DataFrame, idCol: String,
-      bytesCol: String): Dataset[WarcRecord] = {
+      bytesCol: String, gzipped: Boolean = false): Dataset[WarcRecord] = {
     import containers.sparkSession.implicits._
     containers.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        parseContainer(id, bytes)
+        parseContainer(id, if (gzipped) gunzipMembers(bytes) else bytes)
       })
   }
 

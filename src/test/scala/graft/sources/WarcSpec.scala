@@ -74,6 +74,25 @@ class WarcSpec extends AnyFunSuite {
       e2.getMessage.contains("past container end"))
   }
 
+  test("gunzipMembers inflates ACROSS member boundaries (the .warc.gz " +
+      "layout: one gzip member per record)") {
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    val r0 = rec("warcinfo", "", "software: graft\r\n".getBytes(UTF_8))
+    val r1 = rec("response", "https://x.test/m",
+      http("200 OK", "text/plain", "member two".getBytes(UTF_8)))
+    // two INDEPENDENT members concatenated — a single-member reader
+    // stops after r0 and silently loses r1
+    val container = gzip(r0) ++ gzip(r1)
+    assert(Warc.gunzipMembers(container).toSeq == (r0 ++ r1).toSeq)
+    val rs = Warc.parseContainer(0L, Warc.gunzipMembers(container))
+    assert(rs.map(_.warc_type) == Seq("warcinfo", "response"))
+  }
+
   test("records/httpResponses: distributed explode keeps container ids " +
       "and per-container indexes") {
     val c0 =
