@@ -89,10 +89,18 @@ object Bpe {
       lower(hex(org.apache.spark.sql.functions.encode(w, "UTF-8"))),
       lit("[0-9a-f]{2}"), lit(0))
 
+  /** All 256 byte symbols, interned once — a per-byte format call in
+    * the encode kernel was the whole-sweep slowest query (String.format
+    * is locale-aware and allocation-heavy; millions of calls per
+    * partition), and the table also makes every emitted symbol a
+    * SHARED reference. */
+  private val hexTable: Array[String] =
+    Array.tabulate(256)(i => f"$i%02x")
+
   /** Kernel twin of [[hexSymsCol]] (the tokenizeScala discipline). */
   private[pipeline] def hexSyms(w: String): Array[String] = {
     val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    Array.tabulate(b.length)(i => f"${b(i) & 0xff}%02x")
+    Array.tabulate(b.length)(i => hexTable(b(i) & 0xff))
   }
 
   /** The sequential greedy merge loop over a (syms, cnt) relation —
