@@ -2480,6 +2480,74 @@ object TextMetrics {
     "hangul" -> "\\uAC00-\\uD7AF",
     "cjk" -> "\\u4E00-\\u9FFF\\u3040-\\u30FF")
 
+  /** Class table for [[scriptRoutedLangId]] — [[ScriptRanges]] with
+    * CJK split finer (han+kana merged for DOMINANCE, kana counted
+    * separately for the ja/zh sub-route) and Thai added. Same
+    * explicit-range discipline; precedence = list order. */
+  val RouteRanges: Seq[(String, String)] = Seq(
+    "latin" -> "a-zA-Z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u024F",
+    "cyrillic" -> "\\u0400-\\u04FF",
+    "greek" -> "\\u0370-\\u03FF",
+    "arabic" -> "\\u0600-\\u06FF",
+    "devanagari" -> "\\u0900-\\u097F",
+    "hangul" -> "\\uAC00-\\uD7AF",
+    "cjk" -> "\\u4E00-\\u9FFF\\u3400-\\u4DBF\\u3040-\\u30FF",
+    "thai" -> "\\u0E01-\\u0E5B")
+
+  /** The kana-only class behind the ja/zh sub-route (a SUBSET of the
+    * merged cjk class — count_ranges counts overlapping classes
+    * independently). */
+  val KanaRange: String = "\\u3040-\\u30FF"
+
+  /** Script-routed multilingual language ID — the complete front-door
+    * router (q241's [[scriptDominance]] names the SCRIPT; this names
+    * the LANGUAGE): one `count_ranges` walk over the nine explicit
+    * classes, dominance with fixed precedence (the q241 ordered-chain
+    * device), then per-script routing — single-script languages map
+    * directly (hangul→ko, thai→th, cyrillic→ru, greek→el, arabic→ar,
+    * devanagari→hi — script-level labels; a per-language profile set
+    * for a multi-language script slots into the same `profiles`
+    * relation), the merged CJK class sub-routes on kana presence
+    * (any kana → ja, else zh — kana is uniquely Japanese while han is
+    * shared), and the Latin arm runs the [[langIdNgram]] trigram
+    * classifier, because script alone cannot name a European
+    * language. 'und' when no letters land in any class.
+    *
+    * Scale shape: the count walk and the trigram scan are both
+    * map-side scan-speed passes (the trigram profile broadcasts); one
+    * doc-keyed join merges the Latin arm's verdict back. */
+  def scriptRoutedLangId(docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame): DataFrame = {
+    val spec = (RouteRanges.map(_._2) :+ KanaRange).mkString(";")
+    val withCounts = docs.select(col(idCol), col(textCol),
+        call_function("count_ranges", col(textCol), lit(spec)).as("_sc"))
+      .select(col(idCol) +: col(textCol) +:
+        (RouteRanges.map(_._1) :+ "kana").zipWithIndex.map {
+          case (n, i) => element_at(col("_sc"), i + 1).as(s"n_$n")
+        }: _*)
+    val names = RouteRanges.map(_._1)
+    val dominant = names.foldRight(lit("none")) { case (name, els) =>
+      when(col(s"n_$name") > 0 && names.filter(_ != name)
+        .map(o => col(s"n_$name") >= col(s"n_$o"))
+        .reduce(_ && _), lit(name)).otherwise(els)
+    }
+    val tri = langIdNgram(docs, idCol, textCol, profiles)
+      .select(col(idCol), col("detected_lang").as("_tri"))
+    val lang = when(col("script") === "cjk",
+        when(col("n_kana") > 0, lit("ja")).otherwise(lit("zh")))
+      .when(col("script") === "hangul", lit("ko"))
+      .when(col("script") === "thai", lit("th"))
+      .when(col("script") === "cyrillic", lit("ru"))
+      .when(col("script") === "greek", lit("el"))
+      .when(col("script") === "arabic", lit("ar"))
+      .when(col("script") === "devanagari", lit("hi"))
+      .when(col("script") === "latin", col("_tri"))
+      .otherwise(lit("und"))
+    withCounts.withColumn("script", dominant)
+      .join(tri, Seq(idCol))
+      .select(col(idCol), col("script"), lang.as("lang"))
+  }
+
   def scriptDominance(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val t = col(textCol)

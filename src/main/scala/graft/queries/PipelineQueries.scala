@@ -3571,6 +3571,42 @@ object PipelineQueries {
     "", "привет мир", "你好世界", "مرحبا بالعالم", "γειά σου κόσμε",
     "안녕하세요 세계", "नमस्ते दुनिया")
 
+  /** Per-residue language-arm suffixes for q254 (the q241 repeat-40×
+    * device; Scala literals, never Spark `chr()`): a Latin control,
+    * single-script arms for ru/ar/el/hi/ko/th, zh (han only),
+    * ja (kana present), and an es-leaning Latin arm for the trigram
+    * router. */
+  private val langPlant: Seq[String] = Seq(
+    "", "привет мир", "你好世界", "こんにちは世界です", "ภาษาไทยสวัสดี",
+    "안녕하세요 세계", "مرحبا بالعالم", "γειά σου κόσμε", "नमस्ते दुनिया",
+    "datos la señora que ingeniería")
+
+  /** Script-routed multilingual language ID
+    * ([[TextMetrics.scriptRoutedLangId]]): the complete front-door
+    * router — q241 names the script, this names the LANGUAGE (direct
+    * labels for single-script families, kana-presence ja/zh split
+    * inside CJK, the q34 trigram classifier on the Latin arm). The
+    * oracle's class regexes, dominance chain and language CASE are all
+    * GENERATED from the same Scala tables the kernel reads
+    * ([[TextMetrics.RouteRanges]]/[[TextMetrics.KanaRange]]/
+    * [[TextMetrics.trigramProfiles]]), so a range or precedence edit
+    * cannot drift one-sided. */
+  def q254ScriptLangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val suf = element_at(array(langPlant.map(lit): _*),
+      (pmod(col("doc_id"), lit(10L)) + 1).cast("int"))
+    val planted = concat(col("text"),
+      when(length(suf) > 0,
+        concat(lit(" "), repeat(concat(suf, lit(" ")), 40)))
+        .otherwise(lit("")))
+    val profiles =
+      TextMetrics.trigramProfiles.toDF("lang", "ngram", "weight")
+    TextMetrics.scriptRoutedLangId(
+        docs(spark, dir).select(col("doc_id"), planted.as("text")),
+        "doc_id", "text", profiles)
+      .orderBy(col("doc_id"))
+  }
+
   /** Unicode-script dominance ([[TextMetrics.scriptDominance]]): the
     * multilingual routing VERDICT ahead of language ID — per-script
     * character counts over EXPLICIT codepoint ranges (never named
@@ -4054,6 +4090,7 @@ object PipelineQueries {
     "q251_bytebpe_encode" -> q251ByteBpeEncode,
     "q252_kneser_ney" -> q252KneserNey,
     "q253_warc_gz" -> q253WarcGzIngest,
+    "q254_script_langid" -> q254ScriptLangId,
     "q240_heldout_lm" -> q240HeldoutLm,
     "q241_script_dominance" -> q241ScriptDominance,
     "q224_domain_extract" -> q224DomainExtract,
@@ -7878,6 +7915,77 @@ object PipelineQueries {
         |    WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
         |    ELSE 'es' END AS detected_lang
         |FROM hits ORDER BY doc_id""".stripMargin,
+    // Mirrors q254ScriptLangId — every moving part GENERATED from the
+    // kernel's own tables: class bodies from RouteRanges/KanaRange
+    // (\uXXXX mechanically rewritten to RE2 \x{XXXX}), the dominance
+    // chain from the same precedence list, trigram profiles and the
+    // language CASE verbatim. Counting is the strip-diff device
+    // (count_ranges' oracle twin, q137/q241 class).
+    "q254_script_langid" -> {
+      def re2(cls: String): String =
+        raw"\\u([0-9A-Fa-f]{4})".r.replaceAllIn(cls,
+          m => java.util.regex.Matcher.quoteReplacement(
+            "\\x{" + m.group(1) + "}"))
+      val names = TextMetrics.RouteRanges.map(_._1)
+      val plantCase = langPlant.zipWithIndex.map { case (s, i) =>
+        if (s.isEmpty) s"WHEN $i THEN ''"
+        else s"WHEN $i THEN ' ' || repeat('${escSql(s)} ', 40)"
+      }.mkString("\n        |      ")
+      val cntCols =
+        (TextMetrics.RouteRanges :+ ("kana" -> TextMetrics.KanaRange))
+          .map { case (n, cls) =>
+            s"length(t) - length(regexp_replace(t, '[${re2(cls)}]', " +
+              s"'', 'g')) AS n_$n"
+          }.mkString(",\n        |    ")
+      val domCase = names.map { n =>
+        val ge = names.filter(_ != n).map(o => s"n_$n >= n_$o")
+          .mkString(" AND ")
+        s"WHEN n_$n > 0 AND $ge THEN '$n'"
+      }.mkString("\n        |      ")
+      val profileValues = TextMetrics.trigramProfiles
+        .map { case (l, g, w) => s"('$l', '$g', $w)" }.mkString(", ")
+      s"""WITH profiles(lang, ngram, weight) AS (VALUES $profileValues),
+        |planted AS (SELECT doc_id, text || CASE doc_id % 10
+        |      $plantCase
+        |    END AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, t,
+        |    $cntCols
+        |  FROM planted),
+        |dom AS (SELECT doc_id, n_kana, CASE
+        |      $domCase
+        |      ELSE 'none' END AS script
+        |  FROM cnt),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN length(lower(t)) >= 3
+        |    THEN list_transform(generate_series(1, length(lower(t)) - 2),
+        |         i -> substr(lower(t), i, 3))
+        |    ELSE []::VARCHAR[] END) AS ngram
+        |  FROM planted),
+        |by_lang AS (
+        |  SELECT doc_id, lang, sum(weight)::BIGINT AS score
+        |  FROM g JOIN profiles USING (ngram) GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, lang FROM (
+        |    SELECT doc_id, lang,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, lang) AS rn
+        |    FROM by_lang) WHERE rn = 1)
+        |SELECT d.doc_id, d.script,
+        |  CASE d.script
+        |    WHEN 'cjk' THEN
+        |      (CASE WHEN d.n_kana > 0 THEN 'ja' ELSE 'zh' END)
+        |    WHEN 'hangul' THEN 'ko'
+        |    WHEN 'thai' THEN 'th'
+        |    WHEN 'cyrillic' THEN 'ru'
+        |    WHEN 'greek' THEN 'el'
+        |    WHEN 'arabic' THEN 'ar'
+        |    WHEN 'devanagari' THEN 'hi'
+        |    WHEN 'latin' THEN coalesce(tp.lang, 'und')
+        |    ELSE 'und' END AS lang
+        |FROM dom d LEFT JOIN top tp USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    },
     "q34_langid_ngram" -> {
       val profileValues = TextMetrics.trigramProfiles
         .map { case (l, g, w) => s"('$l', '$g', $w)" }.mkString(", ")
