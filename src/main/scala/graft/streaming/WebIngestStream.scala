@@ -197,6 +197,34 @@ object WebIngestStream {
     }
   }
 
+  /** WARC containers → [[PageArrival]]s: the adapter that makes the
+    * continuous gate run on the actual crawl container format — a
+    * stream of (container id, WARC bytes) rows (file source over
+    * `.warc`/`.warc.gz` shards, one row per container) explodes
+    * through [[graft.sources.Warc.records]]/httpResponses map-side,
+    * keeps the 2xx fetches (a non-200 body is an error page, not a
+    * document — the drop is the standard crawl-ingest rule, counted
+    * upstream by the fetcher, so it is a filter here rather than a
+    * ledger verdict), and derives the doc id deterministically from
+    * (uri, container, record index) via xxhash64 — a streaming source
+    * cannot mint monotonic ids, and the hash keeps redelivered
+    * containers mapping to the SAME ids (the gate's doc-distinct
+    * precondition then holds per delivery; collisions are 2⁻⁶⁴-class
+    * and documented). Compose as
+    * `gate(fromWarc(stream), …)` for the end-to-end crawl topology. */
+  def fromWarc(containers: DataFrame, idCol: String, bytesCol: String,
+      gzipped: Boolean = false): Dataset[PageArrival] = {
+    import containers.sparkSession.implicits._
+    graft.sources.Warc.httpResponses(
+        graft.sources.Warc.records(containers, idCol, bytesCol, gzipped))
+      .filter(col("http_status") >= 200 && col("http_status") < 300)
+      .select(
+        xxhash64(col("target_uri"), col("container_id"), col("rec_idx"))
+          .as("doc_id"),
+        col("body").as("raw"), col("target_uri").as("url"))
+      .as[PageArrival]
+  }
+
   /** Arrivals → per-page admission ledger, append mode. Requires the
     * RocksDB state store provider (`transformWithState`).
     *

@@ -572,4 +572,82 @@ class TopologiesSpec extends AnyFunSuite {
         "spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("fromWarc: the continuous gate runs end-to-end on streamed WARC " +
+      "containers (record explode, 2xx filter, cross-container url dedup)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.WebIngestStream
+    import java.nio.charset.StandardCharsets.UTF_8
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def rec(url: String, status: String, para: String): Array[Byte] = {
+      val html =
+        s"<html><head><title>T</title></head><body><p>$para</p></body></html>"
+      val payload = (s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n\r\n")
+        .getBytes(UTF_8) ++ html.getBytes(UTF_8)
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8) ++
+        payload ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    def info: Array[Byte] = {
+      val b = "software: graft\r\n".getBytes(UTF_8)
+      (s"WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        s"Content-Length: ${b.length}\r\n\r\n").getBytes(UTF_8) ++
+        b ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    val good = "the quick brown fox jumps over the lazy dog and keeps " +
+      "the table fast and the data small and the query good"
+    val c0 = info ++
+      rec("https://example.com/pa", "200 OK", good) ++
+      rec("https://example.com/pb", "200 OK",
+        "we merge tables daily for fun and profit and length") ++
+      rec("https://example.com/gone", "404 Not Found", good)
+    val c1 = info ++
+      rec("https://Example.COM:443/pa?utm_source=x", "200 OK", good) ++
+      rec("https://example.com/pc", "200 OK", good)
+
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Array[Byte])]
+      val q = WebIngestStream.gate(
+          WebIngestStream.fromWarc(in.toDF()
+            .toDF("container_id", "warc"), "container_id", "warc"),
+          terms = Seq("merge"), phrases = Seq("sort order"),
+          suffixes = Seq("com", "org"), cap = 10)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("warcgate")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("warcgate").toString)
+        .start()
+      try {
+        in.addData((0L, c0))
+        q.processAllAvailable()
+        in.addData((1L, c1))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("warcgate").collect()
+        .map(r => r.getAs[String]("canon_url") -> r.getAs[String]("verdict"))
+      // the 404 record never enters the gate; pa's second (canonical-
+      // equal) arrival in container 1 is a url dup
+      assert(got.length == 4)
+      val byUrl = got.groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).sorted.toSeq }
+      assert(byUrl("https://example.com/pa") ==
+        Seq("dropped_url_dup", "kept"))
+      assert(byUrl("https://example.com/pb") == Seq("dropped_blocklist"))
+      assert(byUrl("https://example.com/pc") == Seq("kept"))
+      assert(!byUrl.keySet.exists(_.contains("gone")))
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
