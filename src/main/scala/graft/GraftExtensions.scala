@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.types.Decimal
 
-import graft.functions.{CountRanges, CountRlike, DecodeBytes, DecodeHtmlRefs, DecodePage, DetectCharset, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, RedactCards, RobotsMatch, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs, TokenizeMixed}
+import graft.functions.{CountRanges, CountRlike, CountSubstrs, DecodeBytes, DecodeHtmlRefs, DecodePage, DetectCharset, DotLongs, MaxAbsLongs, NfcNormalize, QuantizeVec, RedactCards, RobotsMatch, Sq8SqErrLongs, SqDistLongs, StemTokens, SubLongs, TokenizeMixed}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * apply with `.withExtensions(new GraftExtensions)` (as
@@ -128,6 +128,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"redact_cards expects exactly 1 argument, got ${children.length}")
         RedactCards(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("count_substrs"),
+      new ExpressionInfo(classOf[CountSubstrs].getName, "count_substrs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"count_substrs expects (str, grams), got ${children.length} arguments")
+        // the gram table is a plan-time constant array
+        require(children(1).foldable, "count_substrs grams must be a literal")
+        val arr = children(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            (0 until a.numElements()).map { i =>
+              require(!a.isNullAt(i), "count_substrs grams must be non-null")
+              a.getUTF8String(i).toString
+            }.toArray
+          case other => throw new IllegalArgumentException(
+            s"count_substrs grams must be a string array literal, got $other")
+        }
+        CountSubstrs(children.head, arr)
       }))
     ext.injectFunction((
       FunctionIdentifier("tokenize_mixed"),

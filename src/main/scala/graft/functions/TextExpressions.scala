@@ -570,6 +570,28 @@ object TextKernels {
     out
   }
 
+  /** [[CountSubstrs]] kernel: overlapping occurrence counts of each
+    * gram in the string, one forward indexOf walk per gram (grams are
+    * plan-time constants, typically tens — the whole profile matching
+    * stage collapses into one scan projection). Empty grams count 0. */
+  def countSubstrs(s: org.apache.spark.unsafe.types.UTF8String,
+      grams: Array[String]): ArrayData = {
+    val str = s.toString
+    val out = new Array[Long](grams.length)
+    var k = 0
+    while (k < grams.length) {
+      val g = grams(k)
+      if (g.nonEmpty) {
+        var i = str.indexOf(g)
+        var c = 0L
+        while (i >= 0) { c += 1; i = str.indexOf(g, i + 1) }
+        out(k) = c
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** [[TokenizeMixed]] kernel: UTF8String in, string array out. */
   def tokenizeMixed(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val toks = tokenizeMixedCore(s.toString)
@@ -957,6 +979,44 @@ case class RobotsMatch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "robots_match"
+}
+
+/** `count_substrs(str, array('g1', 'g2', …))`: per-gram OVERLAPPING
+  * occurrence counts in ONE scan (see [[TextKernels.countSubstrs]]) —
+  * the codegen replacement for the explode-every-position → InSet →
+  * broadcast-join → double-aggregate n-gram profile-matching pipeline
+  * (langIdNgram's original shape): when the gram table is a plan-time
+  * constant, profile matching is a per-row kernel, zero shuffles.
+  * Matching is char-substring based; counts equal the
+  * position-window form for grams whose char length equals their
+  * codepoint length (callers with window semantics must require BMP
+  * grams — langIdNgram does). Returns `array<bigint>` in gram order. */
+case class CountSubstrs(child: Expression, grams: Array[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"count_substrs requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.countSubstrs(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], grams)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gref = ctx.addReferenceObj("countSubstrsGrams", grams,
+      "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.countSubstrs($c, $gref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountSubstrs =
+    copy(child = newChild)
+
+  override def prettyName: String = "count_substrs"
 }
 
 /** `tokenize_mixed(str)`: script-aware whitespace tokenizer (see

@@ -274,38 +274,104 @@ object TextMetrics {
     * aggregation keyed by doc — scan-speed at any corpus size. */
   def langIdNgram(docs: DataFrame, idCol: String, textCol: String,
       profiles: DataFrame): DataFrame = {
+    // The profile relation is a bounded side input (collected at
+    // plan-build time, the same prepare()-time contract as
+    // nbRelevancePerRow), so profile matching is a PER-ROW KERNEL: one
+    // `count_substrs` scan counts every profile gram's overlapping
+    // occurrences (char-substring matching equals the 3-codepoint
+    // position-window semantics exactly when each gram's char length
+    // is its codepoint length — enforced below), per-language scores
+    // are dot products over that fixed-width count array, and the
+    // argmax folds into the same projection. ZERO shuffles — the
+    // original explode-every-position → InSet → broadcast-join →
+    // double-aggregate pipeline ([[langIdNgramExploded]], kept as the
+    // parity twin) paid one row per CHARACTER plus two aggregates for
+    // the identical function (measured 2.5 s → this form at sf0.1;
+    // LangIdKernelSpec pins the two equal).
+    val profileRows = collectProfiles(profiles)
+    docs.select(col(idCol),
+        langIdCounts(lower(col(textCol)), profileRows).as("_cnt"))
+      .select(col(idCol), langIdBestFromCounts(col("_cnt"), profileRows)
+        .as("_b"))
+      .select(col(idCol),
+        when(-col("_b.negScore") > 0, col("_b.lang"))
+          .otherwise(lit("und")).as("detected_lang"),
+        greatest(-col("_b.negScore"), lit(0L)).as("score"))
+  }
+
+  /** Collect + validate a profile relation (a bounded side input, the
+    * prepare()-time contract). */
+  private def collectProfiles(
+      profiles: DataFrame): Seq[(String, String, Long)] = {
+    val rows = profiles.select("lang", "ngram", "weight")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    rows.foreach { case (_, g, _) =>
+      require(g.codePointCount(0, g.length) == g.length,
+        s"langIdNgram: profile gram '$g' contains supplementary " +
+          "codepoints — char matching would diverge from the " +
+          "3-codepoint window semantics")
+      // the TRIGRAM contract: the window form only ever compares
+      // 3-codepoint windows, so a non-3-gram would silently never
+      // match there while substring counting would count it
+      require(g.length == 3,
+        s"langIdNgram: profile gram '$g' must be exactly 3 characters")
+    }
+    rows
+  }
+
+  /** The `count_substrs` kernel call over the profile's distinct gram
+    * table — bind the result as a NAMED COLUMN in one projection and
+    * feed [[langIdBestFromCounts]] in the next, so the kernel runs
+    * once per row (referencing it inline would re-run it per
+    * (lang, gram) term; a transform-lambda let-binding would drop the
+    * whole argmax out of codegen — the documented interpreted-HOF
+    * trap). */
+  private def langIdCounts(loweredText: Column,
+      profileRows: Seq[(String, String, Long)]): Column =
+    call_function("count_substrs", loweredText,
+      lit(profileRows.map(_._2).distinct.sorted.toArray))
+
+  /** The per-row language argmax over a bound [[langIdCounts]] column:
+    * struct(negScore, lang) of the winning language (highest score,
+    * ties to the smaller lang; a zero top score means no profile gram
+    * matched). Plain column expressions — composes into a caller's
+    * existing projection, which is how [[scriptRoutedLangId]] routes
+    * only Latin-dominant rows through the kernel. */
+  private def langIdBestFromCounts(cnt: Column,
+      profileRows: Seq[(String, String, Long)]): Column = {
+    val gramIdx = profileRows.map(_._2).distinct.sorted.zipWithIndex.toMap
+    val langs = profileRows.map(_._1).distinct.sorted
+    def scoreOf(l: String): Column =
+      profileRows.filter(_._1 == l).map { case (_, g, w) =>
+        element_at(cnt, gramIdx(g) + 1) * lit(w)
+      }.reduce(_ + _)
+    array_min(array(langs.map(l =>
+      struct((-scoreOf(l)).as("negScore"), lit(l).as("lang"))): _*))
+  }
+
+  /** The original relational form of [[langIdNgram]] — explode one row
+    * per character position, InSet pre-filter, broadcast profile join,
+    * per-(doc, lang) sum, argmax aggregate. Kept as the INDEPENDENT
+    * parity twin for the kernel form (LangIdKernelSpec pins them
+    * equal); also the shape to fall back to if a profile relation ever
+    * stops being a plan-time-bounded side input. */
+  private[pipeline] def langIdNgramExploded(docs: DataFrame, idCol: String,
+      textCol: String, profiles: DataFrame): DataFrame = {
     val lowered = lower(col(textCol))
-    // Gram generation stays in whole-stage codegen: explode a POSITION
-    // sequence and substr in the next projection — Generate + Project
-    // fuse, so the text is never copied per gram row. The earlier
-    // transform-lambda formulation ran the array builder interpreted and
-    // cost 20x on this stage (measured at sf0.1: 3.6 s vs 0.18 s for the
-    // gram scan; ~1 s off the full query). sequence(1, n) with n < 1
-    // DESCENDS in Spark — guard short texts explicitly.
+    // sequence(1, n) with n < 1 DESCENDS in Spark — guard short texts
     val grams = docs
       .select(col(idCol), lowered.as("_t"))
       .select(col(idCol), col("_t"),
         explode(when(length(col("_t")) >= 3, sequence(lit(1), length(col("_t")) - 2))
           .otherwise(array().cast("array<int>"))).as("_p"))
       .select(col(idCol), col("_t").substr(col("_p"), lit(3)).as("ngram"))
-    // InSet pre-filter before the join: the profile relation is a
-    // bounded side input (collected at plan-build time, the same
-    // prepare()-time contract as nbRelevancePerRow), and only ~7% of
-    // grams match any profile — a codegen'd static-set probe drops the
-    // other 93% before the broadcast-join machinery touches them
-    // (measured 3.6 s -> 2.0 s on this stage at sf0.1).
     val profileGrams = profiles.select("ngram").distinct()
       .collect().map(_.getString(0)).toSeq
     val byLang = grams.filter(col("ngram").isInCollection(profileGrams))
       .join(broadcast(profiles), "ngram")
       .groupBy(col(idCol), col("lang"))
       .agg(sum(col("weight")).as("score"))
-    // argmax as an aggregation, not a Window: min(struct(-score, lang))
-    // picks the highest score with ties to the smaller lang — same result
-    // as row_number over (score desc, lang asc) without the per-doc
-    // shuffle + sort a partitioned Window pays (the second-level agg rows
-    // are one per (doc, lang), ≤ |langs| per doc, partially combined
-    // map-side).
     val top = byLang.groupBy(col(idCol))
       .agg(min(struct((-col("score")).as("negScore"), col("lang"))).as("m"))
       .select(col(idCol), col("m.lang").as("lang"), (-col("m.negScore")).as("score"))
@@ -2531,8 +2597,22 @@ object TextMetrics {
         .map(o => col(s"n_$name") >= col(s"n_$o"))
         .reduce(_ && _), lit(name)).otherwise(els)
     }
-    val tri = langIdNgram(docs, idCol, textCol, profiles)
-      .select(col(idCol), col("detected_lang").as("_tri"))
+    // ONE chained projection, ONE scan, ZERO joins: the trigram
+    // kernel is plain column expressions since the count_substrs
+    // rewrite, so the Latin arm's classifier sits INSIDE a `when`
+    // branch of the same projection — only Latin-dominant rows ever
+    // run the gram kernel (CaseWhen executes the matched branch
+    // value only), and a CJK-heavy corpus pays nothing for it. The
+    // first cut of this query joined a separate langIdNgram relation
+    // back: three scans re-evaluating the plant each, 3.0 s vs
+    // q241's 0.6 at sf0.1 on the identical verdict.
+    val profileRows = collectProfiles(profiles)
+    val withTri = withCounts.withColumn("script", dominant)
+      .withColumn("_cnt", when(col("script") === "latin",
+        langIdCounts(lower(col(textCol)), profileRows)))
+    val triBest = langIdBestFromCounts(col("_cnt"), profileRows)
+    val triLang = when(-triBest.getField("negScore") > 0,
+      triBest.getField("lang")).otherwise(lit("und"))
     val lang = when(col("script") === "cjk",
         when(col("n_kana") > 0, lit("ja")).otherwise(lit("zh")))
       .when(col("script") === "hangul", lit("ko"))
@@ -2541,11 +2621,9 @@ object TextMetrics {
       .when(col("script") === "greek", lit("el"))
       .when(col("script") === "arabic", lit("ar"))
       .when(col("script") === "devanagari", lit("hi"))
-      .when(col("script") === "latin", col("_tri"))
+      .when(col("script") === "latin", triLang)
       .otherwise(lit("und"))
-    withCounts.withColumn("script", dominant)
-      .join(tri, Seq(idCol))
-      .select(col(idCol), col("script"), lang.as("lang"))
+    withTri.select(col(idCol), col("script"), lang.as("lang"))
   }
 
   def scriptDominance(docs: DataFrame, idCol: String,

@@ -7123,8 +7123,8 @@ object PipelineQueries {
     // no-space-script text.
     "q249_cjk_tokens" -> {
       val ns = graft.functions.TextKernels.noSpaceClassRegex
-      val plantVals = cjkPlant.map { case (id, t) => s"($id, '$t')" }
-        .mkString(", ")
+      val plantVals = cjkPlant.map { case (id, t) =>
+        s"($id, '${escSql(t)}')" }.mkString(", ")
       s"""WITH base AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL

@@ -111,29 +111,51 @@ object Warc {
     out.toSeq
   }
 
-  /** Split an HTTP response payload (status line + headers + CRLF CRLF
-    * + body) — the `application/http; msgtype=response` payload every
-    * crawl response record carries. None when the payload is not an
-    * HTTP response (callers keep the record and route it elsewhere —
-    * never a silent drop). */
+  /** Tolerant HTTP line reader: accepts CRLF or bare LF terminators
+    * (origin servers emit both, and the WARC payload preserves the
+    * bytes verbatim — only the WARC FRAMING layer is spec-strict
+    * CRLF); None when no terminator exists before end-of-payload. */
+  private def readHttpLine(b: Array[Byte], pos: Int): Option[(String, Int)] = {
+    var i = pos
+    while (i < b.length && b(i) != '\n') i += 1
+    if (i >= b.length) None
+    else {
+      val end = if (i > pos && b(i - 1) == '\r') i - 1 else i
+      Some((new String(b, pos, end - pos, Ascii), i + 1))
+    }
+  }
+
+  /** Split an HTTP response payload (status line + headers + blank
+    * line + body) — the `application/http; msgtype=response` payload
+    * every crawl response record carries. None when the payload is
+    * not parseable HTTP (missing/empty/oversized status token,
+    * unterminated header block) — callers keep the record and route
+    * it; never a silent drop, never an exception on crawl garbage. */
   def parseHttp(payload: Array[Byte]): Option[HttpPayload] = {
     if (payload.length < 12 ||
       !new String(payload, 0, 5, Ascii).equals("HTTP/")) return None
-    val (statusLine, p1) = readLine(payload, 0)
-    val parts = statusLine.split(" ", 3)
-    if (parts.length < 2 || !parts(1).forall(_.isDigit)) return None
-    var p = p1
+    val first = readHttpLine(payload, 0).getOrElse(return None)
+    val parts = first._1.split(" ", 3)
+    // a doubled space yields an EMPTY token (forall on "" is vacuously
+    // true) and >9 digits would overflow toInt — both are not-HTTP here
+    if (parts.length < 2 || parts(1).isEmpty || parts(1).length > 9 ||
+      !parts(1).forall(_.isDigit)) return None
+    var p = first._2
     var ctype = ""
     var done = false
     while (!done) {
-      val (line, np) = readLine(payload, p)
-      p = np
-      if (line.isEmpty) done = true
-      else {
-        val c = line.indexOf(':')
-        if (c > 0 && line.substring(0, c).trim
-            .equalsIgnoreCase("content-type"))
-          ctype = line.substring(c + 1).trim.toLowerCase(java.util.Locale.ROOT)
+      readHttpLine(payload, p) match {
+        case None => return None // header block never terminates
+        case Some((line, np)) =>
+          p = np
+          if (line.isEmpty) done = true
+          else {
+            val c = line.indexOf(':')
+            if (c > 0 && line.substring(0, c).trim
+                .equalsIgnoreCase("content-type"))
+              ctype = line.substring(c + 1).trim
+                .toLowerCase(java.util.Locale.ROOT)
+          }
       }
     }
     Some(HttpPayload(parts(1).toInt, ctype,
@@ -150,7 +172,10 @@ object Warc {
   def gunzipMembers(gz: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(gz), 8192)
-    val out = new java.io.ByteArrayOutputStream(gz.length * 4)
+    // long math: `gz.length * 4` wraps negative for >= 512 MB inputs —
+    // exactly the ~1 GB production containers this path advertises
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(Int.MaxValue - 8L, gz.length.toLong * 4).toInt)
     val buf = new Array[Byte](8192)
     var n = in.read(buf)
     while (n >= 0) {
@@ -179,18 +204,22 @@ object Warc {
 
   /** Response-record projection: records of warc_type `response` with
     * their HTTP payload split out — (container_id, rec_idx, target_uri,
-    * http_status, content_type, body). Non-HTTP response payloads fail
-    * loudly (a crawl response record always carries HTTP). */
+    * http_status, content_type, body). A response record whose payload
+    * is NOT parseable HTTP (crawl garbage happens) emits a ledger row
+    * with `http_status = -1` and the raw payload as body — the
+    * audit-ledger discipline: never a silent drop, and never one
+    * malformed page killing a months-running ingest (a 2xx filter
+    * downstream excludes these; a corruption report counts them). */
   def httpResponses(recs: Dataset[WarcRecord]): DataFrame = {
     import recs.sparkSession.implicits._
     recs.filter(_.warc_type == "response")
       .map { r =>
-        val h = parseHttp(r.payload).getOrElse(
-          throw new IllegalArgumentException(
-            s"warc: response record ${r.container_id}/${r.rec_idx} " +
-              s"payload is not an HTTP response"))
-        (r.container_id, r.rec_idx, r.target_uri, h.status,
-          h.content_type, h.body)
+        parseHttp(r.payload) match {
+          case Some(h) => (r.container_id, r.rec_idx, r.target_uri,
+            h.status, h.content_type, h.body)
+          case None => (r.container_id, r.rec_idx, r.target_uri,
+            -1, "", r.payload)
+        }
       }
       .toDF("container_id", "rec_idx", "target_uri", "http_status",
         "content_type", "body")

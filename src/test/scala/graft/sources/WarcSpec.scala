@@ -74,6 +74,36 @@ class WarcSpec extends AnyFunSuite {
       e2.getMessage.contains("past container end"))
   }
 
+  test("parseHttp is total over crawl garbage: doubled-space status, " +
+      "overlong status token, LF-only headers, unterminated blocks") {
+    // doubled space -> empty status token: None, never NumberFormat
+    assert(Warc.parseHttp(
+      "HTTP/1.1  200 OK\r\n\r\nbody".getBytes(UTF_8)).isEmpty)
+    // >9-digit status token would overflow toInt: None
+    assert(Warc.parseHttp(
+      "HTTP/1.1 99999999999 X\r\n\r\nbody".getBytes(UTF_8)).isEmpty)
+    // header block that never terminates: None, never an exception
+    assert(Warc.parseHttp(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain".getBytes(UTF_8)).isEmpty)
+    // bare-LF headers (real origin servers emit them; the WARC payload
+    // preserves bytes verbatim) parse fine
+    val lf = Warc.parseHttp(
+      "HTTP/1.1 200 OK\nContent-Type: text/html\n\nhello".getBytes(UTF_8)).get
+    assert(lf.status == 200 && lf.content_type == "text/html" &&
+      new String(lf.body, UTF_8) == "hello")
+    // a response record with unparseable HTTP becomes a status -1
+    // ledger row (audit discipline), not a job-killing exception
+    import spark.implicits._
+    val bad = rec("response", "https://x.test/garbage",
+      "NOT HTTP AT ALL".getBytes(UTF_8))
+    val out = Warc.httpResponses(
+        Warc.records(Seq((5L, bad)).toDF("container_id", "warc"),
+          "container_id", "warc"))
+      .collect()
+    assert(out.length == 1 && out(0).getInt(3) == -1 &&
+      new String(out(0).getAs[Array[Byte]](5), UTF_8) == "NOT HTTP AT ALL")
+  }
+
   test("gunzipMembers inflates ACROSS member boundaries (the .warc.gz " +
       "layout: one gzip member per record)") {
     def gzip(b: Array[Byte]): Array[Byte] = {
