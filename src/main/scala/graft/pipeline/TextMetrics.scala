@@ -2867,6 +2867,61 @@ object TextMetrics {
     * itself is emitted relationally via the decimal-round device.
     * Scale shape: batched map-side kernel, text never shuffles, one
     * fixed-width row leaves per document. */
+  /** Invisible-character tables for [[sanitizeUnicode]] — explicit
+    * enumerations (the ScriptRanges discipline: never named Unicode
+    * properties). DELETED: zero-width space/non-joiner/joiner, word
+    * joiner, stray BOM, soft hyphen — invisible JOINERS whose removal
+    * re-fuses the word ("a​b" is one word to a human and must be
+    * one token). SPACED: C0 controls except tab/LF/CR (NUL excluded —
+    * left untouched and countable, SQL literals cannot carry it) plus
+    * DEL, and the Unicode space family (NBSP, en/em/thin/… U+2000–
+    * U+200A, narrow NBSP, math space, ideographic space) — layout
+    * characters that separate words and must keep separating them
+    * after normalization. */
+  val ZeroWidthDeleteChars: String =
+    "\u200B\u200C\u200D\u2060\uFEFF\u00AD"
+  val ControlToSpaceChars: String =
+    ((0x01 to 0x08) ++ Seq(0x0B, 0x0C) ++ (0x0E to 0x1F) ++ Seq(0x7F))
+      .map(_.toChar).mkString
+  val UnicodeSpaceChars: String =
+    "\u00A0" + (0x2000 to 0x200A).map(_.toChar).mkString +
+      "\u202F\u205F\u3000"
+
+  /** Unicode sanitization — the web-text normalization stage ahead of
+    * tokenization/dedup: ONE `translate` pass maps every control and
+    * Unicode-space character to a plain ASCII space and DELETES the
+    * zero-width/soft-hyphen set (translate drops characters beyond the
+    * replacement string's length — identical Postgres-lineage
+    * semantics in Spark and DuckDB, which is what makes the oracle a
+    * verbatim replay), plus one `count_ranges` walk for the per-class
+    * ledger. Invisible characters are a classic dedup/exact-match
+    * poison (two visually identical documents hashing apart on a
+    * ZWSP) and a token-statistics poison (NBSP glueing words); the
+    * ledger quantifies both before the rewrite discards the evidence.
+    * Pure scan projection — no shuffle, nothing but counts and one
+    * md5 leave the scan. */
+  def sanitizeUnicode(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val from = ControlToSpaceChars + UnicodeSpaceChars + ZeroWidthDeleteChars
+    val to = " " * (ControlToSpaceChars.length + UnicodeSpaceChars.length)
+    def cls(chars: String): String =
+      chars.map(c => f"\\u${c.toInt}%04X").mkString
+    val spec = Seq(ZeroWidthDeleteChars, ControlToSpaceChars,
+      UnicodeSpaceChars).map(cls).mkString(";")
+    val clean = translate(col(textCol), from, to)
+    docs.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_before"),
+        call_function("count_ranges", col(textCol), lit(spec)).as("_sc"),
+        clean.as("_clean"))
+      .select(col(idCol),
+        element_at(col("_sc"), 1).as("n_zero_width"),
+        element_at(col("_sc"), 2).as("n_controls"),
+        element_at(col("_sc"), 3).as("n_uni_spaces"),
+        col("n_before"),
+        length(col("_clean")).cast("long").as("n_after"),
+        md5(col("_clean")).as("clean_md5"))
+  }
+
   def compressionRatio(docs: DataFrame, idCol: String, textCol: String,
       level: Int = 6): DataFrame = {
     require(level >= 0 && level <= 9,

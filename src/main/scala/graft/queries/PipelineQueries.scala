@@ -3607,6 +3607,37 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Invisible-character plant for q255 (Scala ESCAPES, never raw
+    * invisible bytes in source — the q248-oracle lesson): zero-width
+    * joiners that must DELETE (fusing the word), layout characters
+    * that must become plain spaces, and C0 controls. */
+  private val sanitizePlant: Seq[String] = Seq(
+    "",
+    " a\u200Bb\u00ADc",
+    " x\u00A0y\u2009z",
+    " p\u0007q\u000Br",
+    " \uFEFFlead\u2060w",
+    "\u3000wide\u200C\u200Djoin")
+
+  /** Unicode sanitization ([[TextMetrics.sanitizeUnicode]]): the
+    * normalization stage ahead of tokenization/dedup — one `translate`
+    * pass (identical Postgres-lineage semantics in Spark and DuckDB:
+    * characters beyond the replacement's length are DELETED) plus a
+    * per-class invisible-character ledger. The oracle is a verbatim
+    * replay with every literal GENERATED from the same Scala tables —
+    * plant strings and the translate FROM argument render as
+    * `chr(n)`-concatenation (control bytes never sit raw in SQL),
+    * classes as `\x{XXXX}` strip-diffs. */
+  def q255SanitizeUnicode(spark: SparkSession, dir: String): DataFrame = {
+    val suf = element_at(array(sanitizePlant.map(lit): _*),
+      (pmod(col("doc_id"), lit(6L)) + 1).cast("int"))
+    TextMetrics.sanitizeUnicode(
+        docs(spark, dir).select(col("doc_id"),
+          concat(col("text"), suf).as("text")),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Unicode-script dominance ([[TextMetrics.scriptDominance]]): the
     * multilingual routing VERDICT ahead of language ID — per-script
     * character counts over EXPLICIT codepoint ranges (never named
@@ -4091,6 +4122,7 @@ object PipelineQueries {
     "q252_kneser_ney" -> q252KneserNey,
     "q253_warc_gz" -> q253WarcGzIngest,
     "q254_script_langid" -> q254ScriptLangId,
+    "q255_sanitize_unicode" -> q255SanitizeUnicode,
     "q240_heldout_lm" -> q240HeldoutLm,
     "q241_script_dominance" -> q241ScriptDominance,
     "q224_domain_extract" -> q224DomainExtract,
@@ -7915,6 +7947,53 @@ object PipelineQueries {
         |    WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
         |    ELSE 'es' END AS detected_lang
         |FROM hits ORDER BY doc_id""".stripMargin,
+    // Mirrors q255SanitizeUnicode — a VERBATIM replay whose every
+    // literal is generated from the kernel's own tables: plant strings
+    // and the translate FROM argument as chr(n) concatenations
+    // (control bytes never sit raw in SQL text), strip-diff classes
+    // as \x{XXXX}. translate's beyond-replacement DELETE rule is
+    // identical Postgres lineage on both engines.
+    "q255_sanitize_unicode" -> {
+      import graft.pipeline.TextMetrics.{ControlToSpaceChars => CTL,
+        UnicodeSpaceChars => USP, ZeroWidthDeleteChars => ZW}
+      def sqlLit(str: String): String =
+        if (str.isEmpty) "''"
+        else {
+          val parts = scala.collection.mutable.ArrayBuffer[String]()
+          val run = new StringBuilder
+          def flush(): Unit =
+            if (run.nonEmpty) { parts += s"'${run.toString}'"; run.clear() }
+          str.foreach { c =>
+            if (c >= ' ' && c <= '~' && c != '\'') run += c
+            else { flush(); parts += s"chr(${c.toInt})" }
+          }
+          flush()
+          parts.mkString(" || ")
+        }
+      def cls(chars: String): String =
+        chars.map(c => f"\\x{${c.toInt}%04X}").mkString
+      val from = CTL + USP + ZW
+      val to = " " * (CTL.length + USP.length)
+      val plantCase = sanitizePlant.zipWithIndex.map { case (p, i) =>
+        s"WHEN $i THEN ${sqlLit(p)}" }.mkString("\n        |      ")
+      s"""WITH planted AS (SELECT doc_id, text || CASE doc_id % 6
+        |      $plantCase
+        |    END AS t FROM documents),
+        |c AS (SELECT doc_id, t,
+        |    translate(t, ${sqlLit(from)}, '$to') AS clean
+        |  FROM planted)
+        |SELECT doc_id,
+        |  (length(t) - length(regexp_replace(t, '[${cls(ZW)}]', '',
+        |    'g')))::BIGINT AS n_zero_width,
+        |  (length(t) - length(regexp_replace(t, '[${cls(CTL)}]', '',
+        |    'g')))::BIGINT AS n_controls,
+        |  (length(t) - length(regexp_replace(t, '[${cls(USP)}]', '',
+        |    'g')))::BIGINT AS n_uni_spaces,
+        |  length(t)::BIGINT AS n_before,
+        |  length(clean)::BIGINT AS n_after,
+        |  md5(clean) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin
+    },
     // Mirrors q254ScriptLangId — every moving part GENERATED from the
     // kernel's own tables: class bodies from RouteRanges/KanaRange
     // (\uXXXX mechanically rewritten to RE2 \x{XXXX}), the dominance
