@@ -42,12 +42,17 @@ object Robots {
     * agents); a `User-agent` line after rule lines starts a NEW group.
     * Returns (allow, pattern) in file order, empty-value rules
     * dropped. */
-  def parseRules(txt: String, agent: String): Vector[(Boolean, String)] = {
-    val want = agent.toLowerCase(java.util.Locale.ROOT)
-    // (agents, rules) per group, built sequentially
+  def parseRules(txt: String, agent: String): Vector[(Boolean, String)] =
+    selectGroups(txt, agent).flatMap(_._2).toVector
+
+  /** One group per element: (agents, rules, crawl-delay) — the shared
+    * group walk behind [[parseRules]] and [[parseCrawlDelay]]. */
+  private def parseGroups(txt: String): Vector[
+      (Vector[String], Vector[(Boolean, String)], Option[Double])] = {
     val groups = scala.collection.mutable.ArrayBuffer
       .empty[(scala.collection.mutable.ArrayBuffer[String],
-        scala.collection.mutable.ArrayBuffer[(Boolean, String)])]
+        scala.collection.mutable.ArrayBuffer[(Boolean, String)],
+        Array[Option[Double]])]
     var inAgents = false
     txt.split("\n", -1).foreach { raw =>
       val noComment = {
@@ -65,7 +70,8 @@ object Robots {
             case "user-agent" =>
               if (!inAgents || groups.isEmpty) {
                 groups += ((scala.collection.mutable.ArrayBuffer.empty,
-                  scala.collection.mutable.ArrayBuffer.empty))
+                  scala.collection.mutable.ArrayBuffer.empty,
+                  Array[Option[Double]](None)))
                 inAgents = true
               }
               groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
@@ -75,20 +81,41 @@ object Robots {
               // empty Disallow/Allow values are allow-all no-ops
               if (groups.nonEmpty && value.nonEmpty)
                 groups.last._2 += ((name == "allow", value))
+            case "crawl-delay" =>
+              // the de-facto politeness directive (outside RFC 9309):
+              // value attaches to the CURRENT group, first value wins,
+              // non-numeric/negative values ignored — and like every
+              // non-rule record it must NOT terminate user-agent
+              // stacking (§2.6: other records do not interfere with
+              // group parsing), so inAgents is left untouched
+              if (groups.nonEmpty && groups.last._3(0).isEmpty)
+                value.toDoubleOption
+                  .filter(d => d >= 0 && !d.isInfinite && !d.isNaN)
+                  .foreach(d => groups.last._3(0) = Some(d))
             case _ =>
-              // crawl-delay, sitemap, unknown: ignored ENTIRELY — RFC
-              // 9309 §2.6 says other records must not interfere with
-              // group parsing, so they also must not terminate
-              // user-agent stacking ("UA: a / Crawl-delay / UA: b /
-              // Disallow: /x" applies /x to BOTH agents)
+              // sitemap, unknown: ignored ENTIRELY (see crawl-delay
+              // note on stacking)
           }
         }
       }
     }
-    val exact = groups.filter(_._1.contains(want))
-    val chosen = if (exact.nonEmpty) exact else groups.filter(_._1.contains("*"))
-    chosen.flatMap(_._2).toVector
+    groups.map { case (a, r, d) => (a.toVector, r.toVector, d(0)) }.toVector
   }
+
+  /** RFC group selection shared by rules and crawl-delay: groups
+    * naming the agent exactly, else the `*` groups. */
+  private def selectGroups(txt: String, agent: String): Vector[
+      (Vector[String], Vector[(Boolean, String)], Option[Double])] = {
+    val want = agent.toLowerCase(java.util.Locale.ROOT)
+    val groups = parseGroups(txt)
+    val exact = groups.filter(_._1.contains(want))
+    if (exact.nonEmpty) exact else groups.filter(_._1.contains("*"))
+  }
+
+  /** The selected groups' `Crawl-delay`, seconds — first defined value
+    * in file order; None when the body never sets one for this agent. */
+  def parseCrawlDelay(txt: String, agent: String): Option[Double] =
+    selectGroups(txt, agent).flatMap(_._3).headOption
 
   /** robots bodies → the RULES relation (domain, allow, pattern,
     * plen): one kernel pass over the domain-cardinality input. `plen`
@@ -113,6 +140,52 @@ object Robots {
     * STREAMING consumer needs (an append-mode stream cannot run the
     * per-URL argmax aggregate [[verdicts]] uses, but it can join one
     * bounded array per domain and decide per row). */
+  /** robots bodies → per-domain `Crawl-delay` relation
+    * (domain, crawl_delay DOUBLE, null when the body never sets one
+    * for this agent) — one kernel pass over the domain-cardinality
+    * input, the [[rules]] shape. */
+  def crawlDelays(robots: DataFrame, domainCol: String, txtCol: String,
+      agent: String): DataFrame = {
+    import robots.sparkSession.implicits._
+    robots.select(col(domainCol).cast("string"), col(txtCol).cast("string"))
+      .as[(String, String)]
+      .map { case (d, txt) =>
+        (d, parseCrawlDelay(if (txt == null) "" else txt, agent))
+      }
+      .toDF(domainCol, "crawl_delay")
+  }
+
+  /** Per-domain politeness fetch budget — the crawl PLANNING operator
+    * behind the fetch gate: a polite crawler fetches one URL per
+    * `Crawl-delay` seconds per domain, so a domain's frontier drains
+    * in `n_urls × delay` seconds SEQUENTIALLY no matter how many
+    * workers the cluster has — the one quantity that decides whether a
+    * crawl plan fits its deadline, and it is invisible to any
+    * URL-count-only view. Emits one row per domain: URL count, the
+    * parsed delay (null → `defaultDelay` applies), the sequential
+    * drain time (one IEEE multiply over an exact count — bit-stable),
+    * and the deadline verdict. One aggregate over the URL relation +
+    * a domain-keyed left join against the domain-cardinality delay
+    * relation; AQE broadcasts the small side. */
+  def politenessBudget(urls: DataFrame, urlCol: String,
+      robots: DataFrame, domainCol: String, txtCol: String, agent: String,
+      defaultDelay: Double = 1.0,
+      budgetSeconds: Double = 86400.0): DataFrame = {
+    require(defaultDelay >= 0, "politenessBudget: defaultDelay must be >= 0")
+    require(budgetSeconds > 0, "politenessBudget: budgetSeconds must be > 0")
+    val perHost = urls
+      .select(Domains.hostOf(col(urlCol)).as("domain"))
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_urls"))
+    val fetchSeconds = col("n_urls").cast("double") *
+      coalesce(col("crawl_delay"), lit(defaultDelay))
+    perHost
+      .join(crawlDelays(robots, domainCol, txtCol, agent)
+        .withColumnRenamed(domainCol, "domain"), Seq("domain"), "left")
+      .select(col("domain"), col("n_urls"), col("crawl_delay"),
+        fetchSeconds.as("fetch_seconds"),
+        (fetchSeconds > lit(budgetSeconds)).as("over_budget"))
+  }
+
   def rulesByDomain(rulesDf: DataFrame,
       domainCol: String = "domain"): DataFrame =
     rulesDf.groupBy(col(domainCol))

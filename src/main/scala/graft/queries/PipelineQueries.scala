@@ -3422,6 +3422,39 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-domain politeness fetch budget
+    * ([[Robots.politenessBudget]]): 25-URL domain groups with planted
+    * robots bodies — `Crawl-delay: 2` under `*` (over the 40 s
+    * budget), an exact-agent 0.5 that must win over the `*` group's
+    * 10 (under), a garbage `Crawl-delay: fast` (ignored → default
+    * 1.0), and a missing robots row (default). The oracle derives
+    * every column from group-index residues alone — the Spark side
+    * must run the group-selection parser to reproduce the delays. */
+  def q256PolitenessBudget(spark: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id div 25")
+    val urls = docs(spark, dir).select(
+      concat(lit("https://d"), g.cast("string"), lit(".example.com/p"),
+        col("doc_id").cast("string")).as("url"))
+    val body = when(pmod(col("_g"), lit(4)) === 0,
+        lit("User-agent: *\nCrawl-delay: 2\nDisallow: /private\n"))
+      .when(pmod(col("_g"), lit(4)) === 1,
+        // rules between the groups genuinely separate them — without
+        // the Disallow the UA lines would STACK into one group (the
+        // pinned non-terminating model) and * would inherit 0.5
+        lit("User-agent: graftbot\nCrawl-delay: 0.5\n" +
+          "Disallow: /private\n" +
+          "User-agent: *\nCrawl-delay: 10\nDisallow: /tmp\n"))
+      .otherwise(
+        lit("User-agent: *\nCrawl-delay: fast\nDisallow:\n"))
+    val robots = docs(spark, dir).select(g.as("_g")).distinct()
+      .filter(pmod(col("_g"), lit(4)) =!= 3)
+      .select(concat(lit("d"), col("_g").cast("string"),
+        lit(".example.com")).as("domain"), body.as("robots_txt"))
+    Robots.politenessBudget(urls, "url", robots, "domain", "robots_txt",
+        agent = "graftbot", defaultDelay = 1.0, budgetSeconds = 40.0)
+      .orderBy(col("domain"))
+  }
+
   /** IBAN detection with mod-97 verification ([[Pii.ibanReport]]) —
     * the q239 device for the OTHER checksum PII class: 18 BBAN digits
     * b(i) = (doc_id·3 + i·7) mod 10 under country DE, with the check
@@ -4123,6 +4156,7 @@ object PipelineQueries {
     "q253_warc_gz" -> q253WarcGzIngest,
     "q254_script_langid" -> q254ScriptLangId,
     "q255_sanitize_unicode" -> q255SanitizeUnicode,
+    "q256_politeness_budget" -> q256PolitenessBudget,
     "q240_heldout_lm" -> q240HeldoutLm,
     "q241_script_dominance" -> q241ScriptDominance,
     "q224_domain_extract" -> q224DomainExtract,
@@ -7947,6 +7981,25 @@ object PipelineQueries {
         |    WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
         |    ELSE 'es' END AS detected_lang
         |FROM hits ORDER BY doc_id""".stripMargin,
+    // Mirrors q256PolitenessBudget from group-index residues alone:
+    // the Spark side must run the robots group-selection parser
+    // (exact-agent group over *, first delay wins, garbage values
+    // ignored) to reproduce these delays; the single multiply over an
+    // exact count is bit-stable on both engines.
+    "q256_politeness_budget" ->
+      """WITH u AS (SELECT doc_id, doc_id // 25 AS g FROM documents),
+        |per AS (SELECT g, count(*)::BIGINT AS n_urls FROM u GROUP BY 1),
+        |d AS (SELECT 'd' || g::VARCHAR || '.example.com' AS domain,
+        |    n_urls,
+        |    CASE g % 4 WHEN 0 THEN 2.0::DOUBLE WHEN 1 THEN 0.5::DOUBLE
+        |      ELSE NULL END AS crawl_delay
+        |  FROM per)
+        |SELECT domain, n_urls, crawl_delay,
+        |  n_urls::DOUBLE * coalesce(crawl_delay, 1.0::DOUBLE)
+        |    AS fetch_seconds,
+        |  (n_urls::DOUBLE * coalesce(crawl_delay, 1.0::DOUBLE))
+        |    > 40.0::DOUBLE AS over_budget
+        |FROM d ORDER BY domain""".stripMargin,
     // Mirrors q255SanitizeUnicode — a VERBATIM replay whose every
     // literal is generated from the kernel's own tables: plant strings
     // and the translate FROM argument as chr(n) concatenations

@@ -121,6 +121,42 @@ class RobotsSpec extends AnyFunSuite {
     assert(out(5L) == (("allowed", None)))
   }
 
+  test("parseCrawlDelay: exact group beats *, first value wins, " +
+      "garbage ignored, stacking untouched") {
+    // exact-agent group wins over the * group's value (rules between
+    // the groups genuinely separate them)
+    val twoGroups = "User-agent: graftbot\nCrawl-delay: 0.5\n" +
+      "Disallow: /private\n" +
+      "User-agent: *\nCrawl-delay: 10\nDisallow: /tmp\n"
+    assert(Robots.parseCrawlDelay(twoGroups, "graftbot") == Some(0.5))
+    assert(Robots.parseCrawlDelay(twoGroups, "otherbot") == Some(10.0))
+    // WITHOUT rules between them the two User-agent lines STACK into
+    // one group (a crawl-delay does not terminate stacking — the
+    // pinned group model), so both agents share the first delay
+    assert(Robots.parseCrawlDelay(
+      "User-agent: graftbot\nCrawl-delay: 0.5\n" +
+        "User-agent: *\nCrawl-delay: 10\n", "otherbot") == Some(0.5))
+    // first value in the group wins; later lines ignored
+    assert(Robots.parseCrawlDelay(
+      "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 9\n", "x") == Some(2.0))
+    // garbage / negative values ignored entirely
+    assert(Robots.parseCrawlDelay(
+      "User-agent: *\nCrawl-delay: fast\n", "x").isEmpty)
+    assert(Robots.parseCrawlDelay(
+      "User-agent: *\nCrawl-delay: -1\n", "x").isEmpty)
+    // no robots / no group / delay before any group
+    assert(Robots.parseCrawlDelay("", "x").isEmpty)
+    assert(Robots.parseCrawlDelay("Crawl-delay: 3\n", "x").isEmpty)
+    // a crawl-delay between User-agent lines must NOT terminate
+    // stacking: the rule AND the delay apply to both agents (the
+    // pinned parseRules behavior, now shared through one group walk)
+    val stacked = "User-agent: a\nCrawl-delay: 4\nUser-agent: b\n" +
+      "Disallow: /x\n"
+    assert(Robots.parseRules(stacked, "b") == Vector((false, "/x")))
+    assert(Robots.parseCrawlDelay(stacked, "a") == Some(4.0))
+    assert(Robots.parseCrawlDelay(stacked, "b") == Some(4.0))
+  }
+
   test("pathQueryOf: scheme/authority stripped, fragment dropped, " +
       "empty path is /") {
     val got = Seq(
