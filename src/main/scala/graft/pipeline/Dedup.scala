@@ -420,17 +420,36 @@ object Dedup {
     * composes resolved depth, so rounds = O(log component diameter)
     * (a plain propagation loop pays O(diameter); q207's packed
     * cross-modal graph measured 50+ rounds / 22.5 s before the jump).
-    * Each round is two doc-keyed shuffles. Every iteration
-    * localCheckpoints (the same
-    * lineage-truncation discipline as DiscussionTree.withRoots — an
-    * uncheckpointed loop's plan tree grows exponentially). Throws if
-    * `maxIters` rounds don't converge rather than emitting wrong
-    * clusters.
+    * Every iteration localCheckpoints (the same lineage-truncation
+    * discipline as DiscussionTree.withRoots — an uncheckpointed loop's
+    * plan tree grows exponentially). Throws if `maxIters` rounds don't
+    * converge rather than emitting wrong clusters.
+    *
+    * Round-19 loop shape (before: two materialized jobs per round over
+    * a corpus-cardinality label table):
+    *  - the loop runs over edge-INCIDENT vertices only — a singleton
+    *    document's label can never change (no neighbor) and never
+    *    influences anyone (no edge points at it), so the overwhelming
+    *    majority of a real corpus sits out of every round and is
+    *    re-attached by one final left join (guide §2.3: shuffle
+    *    dup-graph-cardinality bytes per round, not corpus-cardinality);
+    *  - the symmetrized edge relation is semi-joined to the doc-id
+    *    universe (an edge endpoint outside `docs` contributed nothing
+    *    in the unrestricted formulation either — it had no label row)
+    *    and pre-partitioned by `dst` ONCE, so the loop-invariant
+    *    edge-side exchange is hoisted out of every round (guide §2.4);
+    *  - the edge step and the pointer jump materialize as ONE
+    *    checkpointed job per round instead of two — the jump self-join
+    *    rides the same materialization, and the step's shuffles are
+    *    shared between the self-join's two sides by exchange reuse.
     *
     * Convergence detection rides the checkpoint job (see
     * [[graft.operators.DiscussionTree.withRoots]]): an accumulator counts
     * label changes while the round materializes — one job per round, no
-    * separate probe join/count over the labels. */
+    * separate probe join/count over the labels. Ticking only the edge
+    * step stays sound with the fused jump: if the step moved no label,
+    * the labels were already the component-min fixpoint and the jump is
+    * the identity. */
   /** Materialize a loop round AND truncate its plan-level statistics:
     * `localCheckpoint` alone keeps the source plan's SizeInBytes
     * estimate (LogicalRDD.fromDataset copies stats), and the stats
@@ -451,11 +470,29 @@ object Dedup {
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
       maxIters: Int = 30): DataFrame = {
     val sc = docs.sparkSession.sparkContext
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val docIds = docs.select(col(idCol).as("doc_id"))
+    // Loop-invariant edge relation: symmetrized, restricted to endpoints
+    // in the doc-id universe, hash-partitioned by dst once — every
+    // round's edge-side exchange is pre-paid here (localCheckpoint
+    // preserves the physical partitioning, so EnsureRequirements only
+    // shuffles the label side of the per-round join).
+    // Endpoints cast to the doc-id type so the loop's label column (and
+    // the output schema) match the pre-r19 docs-derived formulation
+    // exactly, whatever the pair relation's physical id type.
+    val idType = docs.schema(docs.schema.fieldIndex(idCol)).dataType
+    val edges = pairs.select(col("doc_a").cast(idType).as("src"),
+        col("doc_b").cast(idType).as("dst"))
+      .unionByName(pairs.select(col("doc_b").cast(idType).as("src"),
+        col("doc_a").cast(idType).as("dst")))
+      .join(docIds.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+      .join(docIds.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
+      .repartition(col("dst"))
       .localCheckpoint()
-    var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("label"))
-      .localCheckpoint()
+    // Labels over edge-incident vertices only (src covers both endpoint
+    // roles — the edge set is symmetrized above). Singletons rejoin at
+    // the end; their labels are constitutively their own ids.
+    var labels = ckptRound(edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -465,42 +502,59 @@ object Dedup {
       // anywhere) always reads exactly 0.
       val changed = sc.longAccumulator(s"ccChanged$i")
       val tick = udf((c: Boolean) => { if (c) changed.add(1L); c })
-      val viaEdges = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("label")).as("nbr_label"))
-      val stepped = ckptRound(
-        labels.join(viaEdges, Seq("doc_id"), "left")
+      // One min-label edge step. `tick` fires only on the FIRST step of
+      // a round: if that step moved no label the labels were already
+      // the component-min fixpoint, so every later step/jump in the
+      // same plan is the identity — the convergence test stays sound.
+      // Later steps carry the first step's `chg` column through.
+      def step(l: DataFrame, first: Boolean): DataFrame = {
+        val via = edges.join(l.withColumnRenamed("doc_id", "dst"), "dst")
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("label")).as("nbr_label"))
+        val lbl = least(col("label"),
+          coalesce(col("nbr_label"), col("label"))).as("label")
+        val base = l.join(via, Seq("doc_id"), "left")
+        if (first) base.select(col("doc_id"), lbl,
+          tick(coalesce(col("nbr_label") < col("label"), lit(false))).as("chg"))
+        else base.select(col("doc_id"), lbl, col("chg"))
+      }
+      // Pointer jump (label := label[label]): resolves one level of the
+      // label TREE per application. Labels only decrease and
+      // label[x] <= x, so the jump is a pure accelerator — at the
+      // fixpoint it is the identity. Its right side prunes `chg` (the
+      // tick UDF evaluates exactly once per row, on the left spine) and
+      // the step's shuffles are shared between both copies by exchange
+      // reuse.
+      def jump(l: DataFrame, k: String): DataFrame =
+        l.join(l.select(col("doc_id").as(k), col("label").as(s"${k}v")),
+            col("label") === col(k), "left")
           .select(col("doc_id"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-            tick(coalesce(col("nbr_label") < col("label"), lit(false))).as("chg")))
-        .drop("chg") // job 1: edge step + change count
+            coalesce(col(s"${k}v"), col("label")).as("label"), col("chg"))
+      // TWO step+jump applications per materialized round: convergence
+      // is bounded by min-label travel along graph edges (measured: a
+      // second jump alone left the packed cross-modal graph at 26
+      // rounds — pointer depth was never the binding constraint), so
+      // batching two graph hops into one checkpointed job halves the
+      // round count for long-chain graphs at the same total join work —
+      // one driver barrier per TWO hops instead of per hop. `chg` must
+      // survive into the checkpoint (drop it only AFTER), or column
+      // pruning would erase the tick and fake instant convergence.
+      labels = ckptRound(jump(step(jump(step(labels, first = true), "_j1"),
+          first = false), "_j2"))
+        .drop("chg")
       converged = changed.value == 0
-      // Pointer jump (label := label[label]): composes the resolved
-      // depth each round, so rounds are O(log diameter) instead of
-      // O(diameter) — a 50-hop near-dup chain converges in ~7 rounds,
-      // not 50 (q207's packed cross-modal graph ran the plain loop at
-      // 22.5 s/sweep on exactly this). Labels only decrease and
-      // label[x] <= x, so the jump is a pure accelerator: the edge-step
-      // fixed point is already the component min (labels equal across
-      // every edge => constant per component => the min id), which is
-      // why ticking ONLY the edge step stays a sound convergence test —
-      // and at convergence the jump is the identity, so it is skipped.
-      labels =
-        if (converged) stepped
-        else ckptRound(stepped.join(
-            stepped.select(col("doc_id").as("_jk"), col("label").as("_jv")),
-            col("label") === col("_jk"), "left")
-          .select(col("doc_id"),
-            coalesce(col("_jv"), col("label")).as("label"))) // job 2: jump
       i += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"nearDupClusters did not converge after $maxIters rounds")
     System.err.println(s"[graft] nearDupClusters converged after $i rounds")
-    labels.select(col("doc_id"), col("label").as("cluster_id"),
-      (col("doc_id") === col("label")).as("keep"))
+    // Reattach the singletons: docs outside the edge set keep themselves.
+    docIds
+      .join(labels.withColumnRenamed("label", "_lbl"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_lbl"), col("doc_id")).as("cluster_id"),
+        (col("doc_id") === coalesce(col("_lbl"), col("doc_id"))).as("keep"))
   }
 
   /** Cluster-representative selection ("keep best", the RefinedWeb /
