@@ -530,17 +530,20 @@ object Dedup {
             col("label") === col(k), "left")
           .select(col("doc_id"),
             coalesce(col(s"${k}v"), col("label")).as("label"), col("chg"))
-      // TWO step+jump applications per materialized round: convergence
-      // is bounded by min-label travel along graph edges (measured: a
-      // second jump alone left the packed cross-modal graph at 26
-      // rounds — pointer depth was never the binding constraint), so
-      // batching two graph hops into one checkpointed job halves the
-      // round count for long-chain graphs at the same total join work —
-      // one driver barrier per TWO hops instead of per hop. `chg` must
-      // survive into the checkpoint (drop it only AFTER), or column
-      // pruning would erase the tick and fake instant convergence.
-      labels = ckptRound(jump(step(jump(step(labels, first = true), "_j1"),
-          first = false), "_j2"))
+      // ONE step+jump per materialized round. Measured alternatives
+      // (r19): a second jump in the same job left round counts
+      // unchanged (convergence is bounded by min-label travel along
+      // graph EDGES, not pointer depth — the packed cross-modal graph
+      // stayed at 26 rounds), and a second edge STEP per job halved
+      // long-chain round counts (26→14, 7→4) but doubled the per-round
+      // edge-join work, which made the big-union graphs (q214's five
+      // modality pair sets, 4→3 rounds only) measurably SLOWER — the
+      // e-join count is E·hops either way, and shallow graphs don't
+      // amortize the extra hop. One hop per job is the balanced point.
+      // `chg` must survive into the checkpoint (drop it only AFTER),
+      // or column pruning would erase the tick and fake instant
+      // convergence.
+      labels = ckptRound(jump(step(labels, first = true), "_j1"))
         .drop("chg")
       converged = changed.value == 0
       i += 1

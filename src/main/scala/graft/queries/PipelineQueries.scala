@@ -2973,15 +2973,21 @@ object PipelineQueries {
       .localCheckpoint(true) // three hit joins + the denominator
     val denom = exact.agg(count(lit(1)).as("_ne"))
     val arms = Seq(1, 2, 4).map { np =>
-      val served = residualServe(spark, dir, k = 10, nprobe = np)
-        .localCheckpoint(true) // hit join + scan rollup
-      val hits = served.select(col("query_id"), col("corpus_id"))
-        .join(broadcast(exact), Seq("query_id", "corpus_id"))
-        .agg(count(lit(1)).as("hits10"))
-      val scanned = served.groupBy(col("query_id"))
-        .agg(max(col("rows_scanned")).as("_m"))
-        .agg(sum(col("_m")).as("total_scanned"))
-      scanned.crossJoin(broadcast(hits)).crossJoin(broadcast(denom))
+      // Hit count and scan rollup in ONE aggregation pass over the
+      // served relation (left join against the broadcast exact set
+      // marks hits; per-query max(rows_scanned) and hit count share
+      // the same groupBy) — the serve plan executes once as a single
+      // consumer, so the former per-arm eager localCheckpoint job and
+      // its second read are gone (r19; guide §1.2 "don't compute
+      // things twice", §2.4 fewer materializations).
+      val perQ = residualServe(spark, dir, k = 10, nprobe = np)
+        .select(col("query_id"), col("corpus_id"), col("rows_scanned"))
+        .join(broadcast(exact.withColumn("_hit", lit(1))),
+          Seq("query_id", "corpus_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(max(col("rows_scanned")).as("_m"), count(col("_hit")).as("_h"))
+        .agg(sum(col("_m")).as("total_scanned"), sum(col("_h")).as("hits10"))
+      perQ.crossJoin(broadcast(denom))
         .select(lit(np.toLong).as("nprobe"), col("hits10"),
           round((col("hits10").cast("double") / col("_ne").cast("double"))
             .cast("decimal(28,10)"), 6).cast("double").as("recall10"),
