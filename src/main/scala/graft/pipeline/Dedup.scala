@@ -267,15 +267,26 @@ object Dedup {
     * cross the shuffle; scales linearly in total shingle count). */
   def jaccardAcross(pairs: DataFrame, shingledA: DataFrame,
       shingledB: DataFrame): DataFrame = {
-    val toksA = shingledA.select(col("doc_id").as("doc_a"), explode(col("shingles")).as("sh_a"))
-    val toksB = shingledB.select(col("doc_id").as("doc_b"), explode(col("shingles")).as("sh_b"))
-    val shared = pairs
-      .join(toksA, Seq("doc_a"))
-      .join(toksB, Seq("doc_b"))
-      .filter(col("sh_a") === col("sh_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    // `pairs` is consumed ONCE (r19): the old shape joined pairs into
+    // the shared-count aggregate AND left-joined pairs against it,
+    // planting the whole candidate subtree twice in the plan. Two LEFT
+    // explode-joins + one groupBy keep every pair (zero-overlap pairs
+    // count 0 matches) at a single consumption. Precondition (held by
+    // every caller — LSH candidates are distinct, SNM ranks are unique
+    // per doc): pair rows are distinct, so the groupBy preserves
+    // cardinality; shingle arrays are array_distinct upstream, so each
+    // a-shingle matches at most one b-row.
+    val toksA = shingledA.select(col("doc_id").as("doc_a"),
+      explode(col("shingles")).as("sh_a"))
+    val toksB = shingledB.select(col("doc_id").as("doc_b"),
+        explode(col("shingles")).as("sh_a"))
+      .withColumn("_m", lit(1))
+    val keyCols = pairs.columns.toSeq
     pairs
-      .join(shared, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("shared"))
+      .join(toksA, Seq("doc_a"), "left")
+      .join(toksB, Seq("doc_b", "sh_a"), "left")
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(col("_m")).as("shared"))
       .join(shingledA.select(col("doc_id").as("doc_a"), size(col("shingles")).as("size_a")), Seq("doc_a"))
       .join(shingledB.select(col("doc_id").as("doc_b"), size(col("shingles")).as("size_b")), Seq("doc_b"))
       .withColumn("jaccard",
