@@ -2374,10 +2374,25 @@ object TextMetrics {
     * device only on the cold tail, whose partitions are ≤ `hotCap`
     * rows BY CONSTRUCTION. Results are identical for any cap — the
     * guard reports loudly (stderr + [[spanHotFingerprints]]) but drops
-    * nothing. The pre-count always runs (whether a hot key exists is
-    * unknowable without it), costing one compact aggregate over the
-    * window relation; when no key exceeds the cap the plain
-    * single-pass device is returned unchanged. */
+    * nothing.
+    *
+    * Hot-candidate derivation is SAMPLED since r19 (the carried
+    * ADVICE watch: the unconditional corpus-scale (fp, doc) pre-count
+    * was the family's dominant aggregate even when nothing was hot).
+    * A deterministic 1-in-m row sample (xxhash64 of the row identity —
+    * never rand(), which breaks under task retry; guide §2.5) feeds a
+    * key-count whose shuffle is m× smaller; keys whose ESTIMATED
+    * occupancy exceeds cap/4 become candidates and get their EXACT
+    * (n_docs, occupancy) from one aggregate restricted to candidate
+    * keys (broadcast semi-join — scan + tiny agg). m scales with the
+    * cap (m = hotCap/64, so a genuinely hot key expects ≥ 64 sampled
+    * rows and the 4× threshold margin puts the miss probability below
+    * ~1e-12); caps under 128 keep the exact pre-count (m = 1 — the
+    * spec-pinned tiny-cap paths are byte-identical to pre-r19). A
+    * missed hot key degrades to the windowed path — slower, never
+    * wrong; an over-caught cold key is discarded by the exact verify.
+    * When the candidate sample is empty the corpus-scale pre-count
+    * never runs at all. */
   private[pipeline] def duplicatedStarts(wins: DataFrame, minDocs: Int,
       hotCap: Int, who: String): DataFrame = {
     val byFp = Window.partitionBy(col("fp"))
@@ -2389,7 +2404,25 @@ object TextMetrics {
     if (hotCap == Int.MaxValue) denseRankStarts(wins)
     else {
       require(hotCap >= 1, s"$who: hotCap must be >= 1")
-      val hot = hotFpStats(wins, hotCap).localCheckpoint(true)
+      val m = math.max(1L, hotCap.toLong / 64L)
+      val hot =
+        if (m == 1L) hotFpStats(wins, hotCap).localCheckpoint(true)
+        else {
+          val cands = wins
+            .filter(pmod(xxhash64(col("fp"), col("doc_id"), col("s")),
+              lit(m)) === 0L)
+            .groupBy(col("fp")).agg(count(lit(1)).as("_sc"))
+            .filter(col("_sc") * m * 4L > hotCap.toLong)
+            .select(col("fp"))
+            .localCheckpoint(true)
+          if (cands.isEmpty) cands.sparkSession.createDataFrame(
+            cands.sparkSession.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+            hotFpStats(wins.limit(0), hotCap).schema)
+          else hotFpStats(
+              wins.join(broadcast(cands), Seq("fp"), "left_semi"), hotCap)
+            .localCheckpoint(true)
+        }
       val nHot = hot.count()
       if (nHot == 0) denseRankStarts(wins)
       else {
@@ -2430,22 +2463,45 @@ object TextMetrics {
     * broadcast, and flagged by comparing against the pre-computed
     * first occurrence; the row_number window runs only on the cold
     * tail (partitions ≤ `hotCap` rows by construction). Results
-    * identical for any cap; loud stderr + [[chunkHotHashes]] report. */
+    * identical for any cap; loud stderr + [[chunkHotHashes]] report.
+    * Hot candidates are SAMPLE-derived with an exact verify since r19
+    * — same device, margins and m = hotCap/64 scaling as
+    * [[duplicatedStarts]] (see there); caps under 128 keep the exact
+    * pre-count. */
   private[pipeline] def firstOccDup(chunks: DataFrame, idCol: String,
       hotCap: Int, who: String): DataFrame = {
     val occ = Window.partitionBy(col("chunk_md5"))
       .orderBy(col(idCol).asc, col("chunk_id").asc)
     def windowed(src: DataFrame): DataFrame =
       src.withColumn("_dup", row_number().over(occ) > 1)
+    def exactHot(src: DataFrame): DataFrame = src
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("occupancy"),
+        min(struct(col(idCol).as("_i"), col("chunk_id").as("_ci")))
+          .as("_first"))
+      .filter(col("occupancy") > hotCap)
     if (hotCap == Int.MaxValue) windowed(chunks)
     else {
       require(hotCap >= 1, s"$who: hotCap must be >= 1")
-      val hot = chunks.groupBy(col("chunk_md5"))
-        .agg(count(lit(1)).as("occupancy"),
-          min(struct(col(idCol).as("_i"), col("chunk_id").as("_ci")))
-            .as("_first"))
-        .filter(col("occupancy") > hotCap)
-        .localCheckpoint(true)
+      val m = math.max(1L, hotCap.toLong / 64L)
+      val hot =
+        if (m == 1L) exactHot(chunks).localCheckpoint(true)
+        else {
+          val cands = chunks
+            .filter(pmod(xxhash64(col("chunk_md5"), col(idCol),
+              col("chunk_id")), lit(m)) === 0L)
+            .groupBy(col("chunk_md5")).agg(count(lit(1)).as("_sc"))
+            .filter(col("_sc") * m * 4L > hotCap.toLong)
+            .select(col("chunk_md5"))
+            .localCheckpoint(true)
+          if (cands.isEmpty) cands.sparkSession.createDataFrame(
+            cands.sparkSession.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+            exactHot(chunks.limit(0)).schema)
+          else exactHot(
+              chunks.join(broadcast(cands), Seq("chunk_md5"), "left_semi"))
+            .localCheckpoint(true)
+        }
       val nHot = hot.count()
       if (nHot == 0) windowed(chunks)
       else {

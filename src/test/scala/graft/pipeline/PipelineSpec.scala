@@ -2042,4 +2042,44 @@ class PipelineSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq)
     assert(rws.distinct.size == 1, "chunkDedupRewrite diverged across caps")
   }
+
+  test("sampled hot-candidate path (hotCap >= 128, m > 1): results " +
+      "identical to exact pre-count and to the uncapped device") {
+    // hotCap = 640 → sampling modulus m = 10: the hot-candidate set is
+    // derived from a deterministic 1-in-10 xxhash64 row sample + an
+    // exact verify (the r19 device), NOT the corpus-scale pre-count.
+    // The fixture plants a cross-doc fingerprint with occupancy ~1400
+    // (far over cap·4 in expectation at m = 10 — and the sample is a
+    // pure hash of the fixture, so this test is deterministic, not
+    // probabilistic). Cold docs check the no-candidate arm.
+    val hotText = Seq.fill(700)("c").mkString(" ")
+    val docs = Seq(
+      (1L, hotText + " x y z q"),
+      (2L, hotText + " x y z w"),
+      (3L, "u v t j k l m n"))
+      .toDF("doc_id", "text").repartition(7)
+    val caps = Seq(640, 1, Int.MaxValue)
+    val covs = caps.map(c => TextMetrics.dupSpanCoverage(
+        docs, "doc_id", "text", k = 3, minDocs = 2, hotCap = c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq)
+    assert(covs.distinct.size == 1,
+      s"dupSpanCoverage diverged between sampled/exact/uncapped: $covs")
+    val deds = caps.map(c => TextMetrics.chunkDedup(
+        docs, "doc_id", "text", maxTokens = 2, hotCap = c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq)
+    assert(deds.distinct.size == 1,
+      s"chunkDedup diverged between sampled/exact/uncapped: $deds")
+    // no-hot-key corpus through the sampled arm: candidate set must be
+    // empty (the corpus-scale pre-count never runs) and results match
+    // the uncapped device
+    val cold = Seq((1L, "a b c d e f g h"), (2L, "a b c d x y z w"))
+      .toDF("doc_id", "text")
+    val a = TextMetrics.dupSpanCoverage(cold, "doc_id", "text", k = 3,
+      minDocs = 2, hotCap = 640).collect().map(_.toSeq).toSeq
+    val b = TextMetrics.dupSpanCoverage(cold, "doc_id", "text", k = 3,
+      minDocs = 2, hotCap = Int.MaxValue).collect().map(_.toSeq).toSeq
+    assert(a == b, s"cold corpus diverged under the sampled arm: $a vs $b")
+  }
 }
