@@ -41,20 +41,27 @@ object Skyline {
     val pts = df.select(col(idCol), col(xCol).cast("long").as("_x"),
       col(yCol).cast("long").as("_y"))
     val perX = pts.groupBy(col("_x")).agg(max(col("_y")).as("_maxy"))
-      .localCheckpoint()
-    val nx = perX.count()
-    require(nx <= maxDistinctX,
-      s"frontier2d: $nx distinct $xCol values exceed maxDistinctX=" +
-        s"$maxDistinctX — the per-x maxima relation must stay " +
-        s"broadcast/window-small; quantize or bucket $xCol first")
     // strict-prefix running max over x DESC on the value-cardinality
     // per-x relation (bounded by precondition — same contract as the
-    // rank device's histogram)
+    // rank device's histogram). The cardinality guard is LAZY since
+    // r19 (ADVICE r18: the eager localCheckpoint + count paid a Spark
+    // job and leaked a persistent RDD on EVERY plan construction —
+    // Explain audits, CacheLifecycleSpec, each bench run): `_nx` rides
+    // the same bounded window pass and `assert_true` raises at
+    // execution, so construction is pure plan-building and the loud
+    // refusal is preserved.
     val w = Window.orderBy(col("_x").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_x").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val pref = perX.withColumn("_prefmax", max(col("_maxy")).over(w))
+      .withColumn("_nx", count(lit(1)).over(wAll))
+    val guard = assert_true(col("_nx") <= maxDistinctX,
+      lit(s"frontier2d: distinct $xCol values exceed maxDistinctX=" +
+        s"$maxDistinctX — the per-x maxima relation must stay " +
+        s"broadcast/window-small; quantize or bucket $xCol first"))
     pts.join(broadcast(pref), Seq("_x"))
-      .filter(col("_y") === col("_maxy") &&
+      .filter(guard.isNull && col("_y") === col("_maxy") &&
         (col("_prefmax").isNull || col("_prefmax") < col("_y")))
       .select(col(idCol), col("_x").as(xCol), col("_y").as(yCol))
   }

@@ -1220,14 +1220,20 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got2 == want)
     // the precondition guard is LOUD: a high-cardinality x refuses
-    // instead of single-tasking the running-max window
+    // instead of single-tasking the running-max window. Since r19 the
+    // guard is lazy (assert_true riding the window pass — construction
+    // pays no Spark job), so it surfaces at execution, wrapped by the
+    // task runner.
     val wide = (1 to 50).map(i => (i.toLong, i.toLong, 1L))
       .toDF("id", "x", "y")
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[Exception] {
       graft.pipeline.Skyline.frontier2d(wide, "id", "x", "y",
         maxDistinctX = 10L).collect()
     }
-    assert(ex.getMessage.contains("maxDistinctX"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxDistinctX")))
   }
 
   test("filteredAnnReport: overfetch window bounds post-filter recall") {
