@@ -142,7 +142,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             (0 until a.numElements()).map { i =>
               require(!a.isNullAt(i), "count_substrs grams must be non-null")
               a.getUTF8String(i).toString
-            }.toArray
+            }.toSeq
           case other => throw new IllegalArgumentException(
             s"count_substrs grams must be a string array literal, got $other")
         }

@@ -991,8 +991,14 @@ case class RobotsMatch(left: Expression, right: Expression)
   * position-window form for grams whose char length equals their
   * codepoint length (callers with window semantics must require BMP
   * grams — langIdNgram does). Returns `array<bigint>` in gram order. */
-case class CountSubstrs(child: Expression, grams: Array[String])
+case class CountSubstrs(child: Expression, grams: Seq[String])
     extends UnaryExpression {
+
+  // Seq, not Array (ADVICE r18): Array's reference equals/hashCode made
+  // two structurally identical kernels never compare equal, defeating
+  // semantic-equality checks and common-subexpression elimination when
+  // the kernel appears twice in a plan. The kernel call converts once.
+  private lazy val gramsArr: Array[String] = grams.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -1004,10 +1010,10 @@ case class CountSubstrs(child: Expression, grams: Array[String])
 
   override def nullSafeEval(input: Any): Any =
     TextKernels.countSubstrs(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], grams)
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], gramsArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val gref = ctx.addReferenceObj("countSubstrsGrams", grams,
+    val gref = ctx.addReferenceObj("countSubstrsGrams", gramsArr,
       "java.lang.String[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.countSubstrs($c, $gref);")

@@ -44,17 +44,25 @@ object Warc {
   case class HttpPayload(status: Int, content_type: String,
     body: Array[Byte])
 
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+  // HTTP/1.1 header lines stay ASCII-decoded (token charset per spec;
+  // non-ASCII HTTP header bytes are crawl garbage, not URIs)
   private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
 
-  /** Read one CRLF-terminated ASCII line starting at `pos`; returns
-    * (line-without-CRLF, position after CRLF). WARC named fields are
-    * ASCII by spec. */
+  /** Read one CRLF-terminated header line starting at `pos`; returns
+    * (line-without-CRLF, position after CRLF). Header NAMES are ASCII
+    * by spec, but WARC 1.0 permits UTF-8 in field VALUES (notably
+    * WARC-Target-URI), so lines decode as UTF-8 (ADVICE r18: the old
+    * US-ASCII decode silently turned non-ASCII URI bytes into U+FFFD,
+    * corrupting the xxhash64-derived doc_ids instead of failing
+    * loudly; UTF-8 decodes them faithfully — and ASCII headers decode
+    * identically under either charset, so framing is unchanged). */
   private def readLine(b: Array[Byte], pos: Int): (String, Int) = {
     var i = pos
     while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
     require(i + 1 < b.length,
       s"warc: unterminated header line at byte $pos")
-    (new String(b, pos, i - pos, Ascii), i + 2)
+    (new String(b, pos, i - pos, Utf8), i + 2)
   }
 
   /** Parse one uncompressed WARC container into its records — a single

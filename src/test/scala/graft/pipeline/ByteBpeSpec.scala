@@ -43,11 +43,19 @@ class ByteBpeSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
+    // reference word counts via the SHARED tokenizer (ADVICE r18: a
+    // private split(lower, "\\s+") could silently drift from
+    // trainMergesBytes — Java \s includes \x0B, and it skips the
+    // no-space-script bigram routing — if regenerated testdata ever
+    // carries such characters; one tokenization, both sides)
     val wordCounts = docs
-      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .select(col("text")).collect().iterator
+      .flatMap(r => graft.functions.TextFunctions.tokenizeScala(
+        r.getString(0)))
+      .filter(_.nonEmpty)
+      .foldLeft(Map.empty[String, Long]) { (m, w) =>
+        m.updated(w, m.getOrElse(w, 0L) + 1L)
+      }
     val want = Bpe.referenceMergesSyms(
       wordCounts.toSeq.map { case (w, c) => (Bpe.hexSyms(w).toVector, c) },
       12)
