@@ -18,7 +18,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Memoized LOGICAL PLANS per (session, dir, table) — plan-level
+    * reuse, never result caching: `spark.read.parquet` pays a file
+    * listing + a footer schema read at every call, and a 250-query
+    * bench sweep constructs each table relation thousands of times
+    * (r19; guide §6 "listing/planning time on the driver"). The
+    * DataFrame is immutable and unresolved-file-free once built, so
+    * reuse is safe; a regenerated testdata dir arrives with a fresh
+    * session (new applicationId) and misses this map. */
+  private val loaded = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    loaded.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sfDir, name),
+      loadUncached(spark, sfDir, name))
+
+  private def loadUncached(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       // The generator has shipped `ts` two ways across versions; normalize
