@@ -141,23 +141,35 @@ object InteractionGraph {
     *    plus u itself re-attach to min(N).
     * Fixpoint of the composition = disjoint stars whose centers are
     * component minima (their Theorem 1) — labels read directly off the
-    * final edge relation. Convergence is detected exactly (count +
-    * one-sided except on the bounded edge set), not by round budget;
-    * `maxRounds` is a loud guard only. Per-vertex output:
+    * final edge relation. Convergence is detected exactly by an
+    * accumulator riding each round's materialization (the
+    * nearDupClusters tick device, r19 — before, every round paid a
+    * count() job plus, near the end, a full exceptAll set-difference
+    * job): a re-attachment tick fires whenever large-star moves an edge
+    * (m ≠ a) or small-star emits a within-neighborhood edge (every
+    * fromN row is new). Zero ticks ⟺ next ≡ edges exactly — each
+    * phase re-emits every edge from one endpoint's view, and any
+    * re-attachment strictly decreases the multiset sum of
+    * smaller-endpoint ranks, so a changed round can never reproduce
+    * the input set. Over-ticking under task retry is safe (the test is
+    * == 0); the tick UDF is a passthrough of the emitted endpoint, so
+    * column pruning can never erase it. `maxRounds` is a loud guard
+    * only. Per-vertex output:
     * (user_id, component = min id in the component). */
   def connectedComponents(inter: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val sc = inter.sparkSession.sparkContext
     var edges = undirectedEdges(inter) // (u, v), u < v, distinct, materialized
-    var nEdges = edges.count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nNext = next.count()
-      // both phases preserve connectivity and never add parallel edges;
-      // set equality on the bounded relation = same count + nothing new
-      converged = nNext == nEdges && next.exceptAll(edges).isEmpty
+      val changed = sc.longAccumulator(s"ccStar$round")
+      val tickThrough = udf { (m: String, c: Boolean) =>
+        if (c) changed.add(1L); m
+      }
+      val next = smallStar(largeStar(edges, tickThrough), tickThrough)
+        .localCheckpoint()
+      converged = changed.value == 0
       edges = next
-      nEdges = nNext
       round += 1
     }
     if (!converged)
@@ -176,26 +188,33 @@ object InteractionGraph {
     * u's closed neighborhood. Every input edge is re-emitted exactly
     * once (from its smaller endpoint's view), so connectivity is
     * preserved and the output stays normalized u < v. */
-  private def largeStar(edges: DataFrame): DataFrame = {
+  private def largeStar(edges: DataFrame,
+      tickThrough: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
     val adj = edges.select(col("u").as("a"), col("v").as("b"))
       .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
     val m = adj.groupBy(col("a")).agg(min(col("b")).as("mn"))
       .select(col("a"), least(col("mn"), col("a")).as("m"))
     adj.filter(col("b") > col("a"))
       .join(m, "a")
-      .select(col("m").as("u"), col("b").as("v")) // m <= a < b
+      // tick iff the edge re-attached (m ≠ a); passthrough of m so the
+      // convergence signal can never be projection-pruned
+      .select(tickThrough(col("m"), col("m") =!= col("a")).as("u"),
+        col("b").as("v")) // m <= a < b
       .distinct()
   }
 
   /** Small-star phase: the smaller neighborhood N(u) = {v < u} plus u
     * itself attach to min(N(u)). Every edge is covered from its LARGER
     * endpoint's view; output stays normalized u < v. */
-  private def smallStar(edges: DataFrame): DataFrame = {
+  private def smallStar(edges: DataFrame,
+      tickThrough: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
     val sm = edges.select(col("v").as("a"), col("u").as("b")) // b < a
     val m = sm.groupBy(col("a")).agg(min(col("b")).as("m"))
     val fromN = sm.join(m, "a")
       .filter(col("b") =!= col("m"))
-      .select(col("m").as("u"), col("b").as("v")) // m = min(N) < b
+      // every fromN row is a within-neighborhood re-attachment → tick
+      .select(tickThrough(col("m"), lit(true)).as("u"),
+        col("b").as("v")) // m = min(N) < b
     val fromU = m.select(col("m").as("u"), col("a").as("v")) // m < a
     fromN.unionByName(fromU).distinct()
   }
