@@ -82,6 +82,54 @@ object Bench {
     tiers.find(_._1.length <= cap).getOrElse(tiers.last)
   }
 
+  /** The ONE detail-sidecar template — shared by [[main]] and
+    * BenchDetailSchemaSpec, which pins the key set (r20, VERDICT item
+    * 7: bench_detail.json is the per-query artifact the tier-3
+    * headline defers to, so its schema is now spec-pinned instead of
+    * implied). `raw` is the all_runs map JSON, `perQuery` the
+    * telemetry map JSON, `fl` the failed list JSON. */
+  def renderDetail(total: Double, runs: Int, cal: Double, calRaw: String,
+      memcal: Double, memCalRaw: String, gcMs: Long, rssPeakKb: Long,
+      raw: String, perQuery: String, fl: String, sf: String): String =
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"cal":$cal%.3f,"cal_runs":$calRaw,"memcal":$memcal%.3f,"memcal_runs":$memCalRaw,"gc_ms":$gcMs,"rss_peak_kb":$rssPeakKb,"all_runs":$raw,"per_query":$perQuery,"failed":$fl,"sf":"$sf"}"""
+
+  /** Per-query min-of-runs extracted from a detail-sidecar JSON text —
+    * the minimal parser behind the stderr top-movers block (crashed
+    * runs are `null` and skipped; a query whose runs all crashed is
+    * absent). Regex-scoped to the `all_runs` map: its values are the
+    * only `"qNN...":[numbers]` arrays in the document. */
+  def parseDetailBest(txt: String): Map[String, Double] = {
+    val i = txt.indexOf("\"all_runs\"")
+    if (i < 0) Map.empty
+    else {
+      val m = java.util.regex.Pattern
+        .compile("\"(q[^\"]+)\":\\[([0-9.,nul ]*)\\]")
+        .matcher(txt.substring(i))
+      val b = Map.newBuilder[String, Double]
+      while (m.find()) {
+        val ts = m.group(2).split(",").flatMap(s => s.trim.toDoubleOption)
+        if (ts.nonEmpty) b += (m.group(1) -> ts.min)
+      }
+      b.result()
+    }
+  }
+
+  /** The capped top-movers block (r20, VERDICT item 7): per-query
+    * deltas of this sweep vs the previous sidecar, largest first, at
+    * most `cap` lines, only moves that clear BOTH 0.3 s and 25% —
+    * purely observational stderr (the stdout contract and the timing
+    * methodology are untouched). Returns the lines so the spec can pin
+    * the format and the caps. */
+  def topMovers(prev: Map[String, Double], now: Map[String, Double],
+      cap: Int = 10): Seq[String] =
+    now.toSeq.flatMap { case (k, t) =>
+      prev.get(k).collect {
+        case p if (t - p).abs >= 0.3 && (t - p).abs >= 0.25 * math.max(p, 0.001) =>
+          (k, p, t)
+      }
+    }.sortBy { case (_, p, t) => -(t - p).abs }.take(cap)
+      .map { case (k, p, t) => f"[bench] mover $k: $p%.2f -> $t%.2f s" }
+
   /** The ONE headline template — shared by [[main]] and
     * BenchHeadlineSpec so the spec's asserted tier cutovers can never
     * drift from the live line (an earlier field addition was hand-synced
@@ -299,8 +347,20 @@ object Bench {
     // the raw runs + telemetry go to a sidecar file and the line stays
     // compact (re-measure its length whenever queries are added).
     val memCalRaw = memCalRuns.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"cal":$cal%.3f,"cal_runs":$calRaw,"memcal":$memcal%.3f,"memcal_runs":$memCalRaw,"gc_ms":$gcMs,"rss_peak_kb":$rssPeakKb,"all_runs":$raw,"per_query":$perQuery,"failed":$fl,"sf":"$sf"}"""
+    val detail = renderDetail(total, runs, cal, calRaw, memcal, memCalRaw,
+      gcMs, rssPeakKb, raw, perQuery, fl, sf)
+    // Top movers vs the PREVIOUS sidecar (read before overwrite):
+    // bounded stderr observability for per-query regressions that the
+    // tier-3 headline cannot carry. Never touches stdout or timing.
+    try {
+      val prev = parseDetailBest(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_detail.json")), "UTF-8"))
+      val now = results.map { case (k, v, _, _) => (k, v) }.toMap
+      val movers = topMovers(prev, now)
+      if (movers.nonEmpty) movers.foreach(System.err.println)
+      else if (prev.nonEmpty)
+        System.err.println("[bench] movers vs prev detail: none over 0.3s+25%")
+    } catch { case NonFatal(_) => () } // first run / unreadable prev: silent
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
     catch { case NonFatal(e) => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }

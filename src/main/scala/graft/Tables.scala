@@ -29,10 +29,17 @@ object Tables {
   private val loaded = scala.collection.concurrent.TrieMap
     .empty[(String, String, String), DataFrame]
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    loaded.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sfDir, name),
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    // Evict entries keyed by OTHER applicationIds (ADVICE r19): a JVM
+    // that creates many sessions over time (sbt test, long-lived
+    // drivers) would otherwise pin each dead session's DataFrames —
+    // and through them the SparkSessions — for the process lifetime.
+    // The map is tables × dirs small, so the scan is trivial.
+    loaded.keys.foreach { k => if (k._1 != appId) loaded.remove(k) }
+    loaded.getOrElseUpdate((appId, sfDir, name),
       loadUncached(spark, sfDir, name))
+  }
 
   private def loadUncached(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {

@@ -156,6 +156,12 @@ object InteractionGraph {
     * column pruning can never erase it. `maxRounds` is a loud guard
     * only. Per-vertex output:
     * (user_id, component = min id in the component). */
+  /** Convergence round count of the most recent [[connectedComponents]]
+    * call in this JVM — deterministic observability for ScaleProbeSpec
+    * (round growth, not wall-clock, is the superlinear-compounding
+    * signal). Test-only readback. */
+  val lastConvergenceRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def connectedComponents(inter: DataFrame, maxRounds: Int = 30): DataFrame = {
     val sc = inter.sparkSession.sparkContext
     var edges = undirectedEdges(inter) // (u, v), u < v, distinct, materialized
@@ -163,10 +169,18 @@ object InteractionGraph {
     var round = 0
     while (!converged && round < maxRounds) {
       val changed = sc.longAccumulator(s"ccStar$round")
-      val tickThrough = udf { (m: String, c: Boolean) =>
-        if (c) changed.add(1L); m
-      }
-      val next = smallStar(largeStar(edges, tickThrough), tickThrough)
+      // Tick via an always-true BOOLEAN filter, not a passthrough of the
+      // emitted endpoint: the old (String, Boolean) passthrough UDF made
+      // Spark CAST a numeric id column to string, silently re-typing the
+      // loop to lexicographic ordering from round 2 for any numeric-id
+      // caller (ADVICE r19; q171's ids are strings, so production never
+      // saw it — ScaleProbeSpec's numeric probe did). The filter keeps
+      // every row (returns true) and `asNondeterministic` stops the
+      // optimizer from folding, reordering or pruning it.
+      val tick = udf { (c: Boolean) =>
+        if (c) changed.add(1L); true
+      }.asNondeterministic()
+      val next = smallStar(largeStar(edges, tick), tick)
         .localCheckpoint()
       converged = changed.value == 0
       edges = next
@@ -175,6 +189,7 @@ object InteractionGraph {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxRounds rounds")
+    lastConvergenceRounds.set(round)
     // star fixpoint: every edge is (component-min, member). The min-agg
     // is an identity safety net (and one cheap shuffle on star edges).
     val children = edges.groupBy(col("v").as("user_id"))
@@ -196,10 +211,11 @@ object InteractionGraph {
       .select(col("a"), least(col("mn"), col("a")).as("m"))
     adj.filter(col("b") > col("a"))
       .join(m, "a")
-      // tick iff the edge re-attached (m ≠ a); passthrough of m so the
-      // convergence signal can never be projection-pruned
-      .select(tickThrough(col("m"), col("m") =!= col("a")).as("u"),
-        col("b").as("v")) // m <= a < b
+      // tick iff the edge re-attached (m ≠ a); the always-true
+      // nondeterministic filter can't be pruned or folded, and m keeps
+      // its input type (no UDF cast)
+      .filter(tickThrough(col("m") =!= col("a")))
+      .select(col("m").as("u"), col("b").as("v")) // m <= a < b
       .distinct()
   }
 
@@ -213,8 +229,8 @@ object InteractionGraph {
     val fromN = sm.join(m, "a")
       .filter(col("b") =!= col("m"))
       // every fromN row is a within-neighborhood re-attachment → tick
-      .select(tickThrough(col("m"), lit(true)).as("u"),
-        col("b").as("v")) // m = min(N) < b
+      .filter(tickThrough(lit(true)))
+      .select(col("m").as("u"), col("b").as("v")) // m = min(N) < b
     val fromU = m.select(col("m").as("u"), col("a").as("v")) // m < a
     fromN.unionByName(fromU).distinct()
   }

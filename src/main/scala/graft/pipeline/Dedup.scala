@@ -94,35 +94,66 @@ object Dedup {
   def sortedNeighborhood(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, threshold: Double = 0.5, shingleN: Int = 3,
       shingled: Option[DataFrame] = None): DataFrame =
-    jaccard(snmPairs(docs, idCol, canonicalText(col(textCol)), window),
+    jaccard(snmPairs(docs, idCol, Seq(canonicalText(col(textCol))), window),
         shingled.getOrElse(shingleSets(docs, idCol, textCol, shingleN)))
       .filter(col("jaccard") >= threshold)
 
-  /** One sorted-neighborhood pass: sort by `keyExpr` (any pure-ASCII
-    * string expression of the document) via the bucketed global-rank
-    * device, emit the unordered id pairs within `window` positions.
-    * Shared by [[sortedNeighborhood]] (single canonical-key pass) and
-    * [[sortedNeighborhoodMultiPass]]. */
+  /** N sorted-neighborhood passes in ONE rank job: each pass sorts by
+    * its `keyExprs(p)` (any pure-ASCII string expression of the
+    * document) and emits the unordered id pairs within `window`
+    * positions of that pass's order. Shared by [[sortedNeighborhood]]
+    * (single canonical-key pass) and [[sortedNeighborhoodMultiPass]].
+    *
+    * The passes UNION into one keyed relation and rank through ONE
+    * [[Ranks.bucketedGlobalRank]] call (r20; guide §1.2/§2.4 — the
+    * per-pass form paid a rank stats job + a ranked localCheckpoint
+    * PER pass): the combined sort value `_kp = pass·2^56 + _kn` is
+    * exact in a long (`_kn < 128^8 = 2^56`), so the union rank orders
+    * (pass, key-prefix, key, id) — contiguous within a pass — and the
+    * neighbor join keys on (pass, rank+delta), which reproduces each
+    * pass's rank-distance pairs exactly (cross-pass rank adjacency
+    * never joins: the pass tag is in the key). The bucket map is the
+    * STATIC `pass·1024 + (_kn >> 46)` (= first char · 8 + second
+    * char / 16 — weakly monotone in `_kp` by construction, ≤ 1024·N
+    * values), so the rank device's 1-row min/max stats action
+    * disappears entirely: constructing an SNM query launches exactly
+    * one Spark job (the shared ranked checkpoint), whatever the pass
+    * count. Within a pass a pair can only arise at one rank distance
+    * (ranks are unique per doc), so the output is duplicate-free per
+    * pass; the same pair found by TWO passes appears once per pass —
+    * multi-pass callers dedupe before the Jaccard verify, exactly as
+    * the old union-of-passes form did. */
   private def snmPairs(docs: DataFrame, idCol: String,
-      keyExpr: org.apache.spark.sql.Column, window: Int): DataFrame = {
+      keyExprs: Seq[org.apache.spark.sql.Column], window: Int): DataFrame = {
     require(window >= 1 && window <= 64,
       "sortedNeighborhood: window must be in [1, 64]")
+    require(keyExprs.nonEmpty && keyExprs.size <= 8,
+      "sortedNeighborhood: 1 to 8 passes")
     val prefix = (1 to 8).map(i =>
         ascii(substring(col("_key"), i, 1)).cast("long") *
           lit(1L << (7 * (8 - i))))
       .reduce(_ + _)
-    val keyed = docs.select(col(idCol).as("doc_id"), keyExpr.as("_key"))
+    val passes = keyExprs.zipWithIndex.map { case (ke, p) =>
+      docs.select(col(idCol).as("doc_id"), ke.as("_key"),
+        lit(p).as("_pass"))
+    }.reduce(_ unionByName _)
+    val keyed = passes
       .withColumn("_kn", prefix)
+      .withColumn("_kp",
+        col("_pass").cast("long") * lit(1L << 56) + col("_kn"))
       .withColumn("_kt", struct(col("_key"), col("doc_id")))
-    val ranked = Ranks.bucketedGlobalRank(keyed, "_kn", "_kt",
-        rankCol = "rn")
-      .select(col("doc_id"), col("rn"))
+      .withColumn("_pb",
+        (col("_pass").cast("long") * 1024L +
+          shiftright(col("_kn"), 46)).cast("int"))
+    val ranked = Ranks.bucketedGlobalRank(keyed, "_kp", "_kt",
+        rankCol = "rn", bucketCol = Some("_pb"))
+      .select(col("_pass"), col("doc_id"), col("rn"))
       .localCheckpoint() // both sides of the neighbor join read it
-    ranked.select(col("doc_id").as("id_a"), col("rn"),
+    ranked.select(col("_pass"), col("doc_id").as("id_a"), col("rn"),
         explode(sequence(lit(1), lit(window))).as("_d"))
       .withColumn("rn_b", col("rn") + col("_d"))
-      .join(ranked.select(col("doc_id").as("id_b"),
-        col("rn").as("rn_b")), Seq("rn_b"))
+      .join(ranked.select(col("_pass"), col("doc_id").as("id_b"),
+        col("rn").as("rn_b")), Seq("_pass", "rn_b"))
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"))
   }
@@ -140,13 +171,12 @@ object Dedup {
     * property is preserved, the miss set shrinks multiplicatively. */
   def sortedNeighborhoodMultiPass(docs: DataFrame, idCol: String,
       textCol: String, window: Int = 4, threshold: Double = 0.5,
-      shingleN: Int = 3, shingled: Option[DataFrame] = None): DataFrame = {
-    val p1 = snmPairs(docs, idCol, canonicalText(col(textCol)), window)
-    val p2 = snmPairs(docs, idCol, reverse(canonicalText(col(textCol))), window)
-    jaccard(p1.union(p2).distinct(),
+      shingleN: Int = 3, shingled: Option[DataFrame] = None): DataFrame =
+    jaccard(
+        snmPairs(docs, idCol, Seq(canonicalText(col(textCol)),
+          reverse(canonicalText(col(textCol)))), window).distinct(),
         shingled.getOrElse(shingleSets(docs, idCol, textCol, shingleN)))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Distinct word n-gram shingle set per document. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -264,7 +294,18 @@ object Dedup {
     * frames (doc_a ids resolve only against `shingledA`, doc_b only
     * against `shingledB` — overlapping id namespaces stay separate) —
     * shared / (|A| + |B| - shared), via an explode + join (no arrays
-    * cross the shuffle; scales linearly in total shingle count). */
+    * cross the shuffle; scales linearly in total shingle count).
+    *
+    * PRECONDITION (r19 single-consumption shape; ADVICE r19): `pairs`
+    * rows must be DISTINCT. The groupBy collapses duplicate pair rows
+    * while the explode-join match count still sees every copy, so a
+    * duplicated input pair yields ONE output row with `shared` (and
+    * jaccard) inflated by the duplication factor — not merely deduped.
+    * Every in-repo caller satisfies this by construction (LSH
+    * candidates end in `.distinct()`, SNM ranks are unique per doc,
+    * n-gram all-pairs aggregates to unique pairs); external callers
+    * must `.distinct()` first. DedupSpec pins the duplicate-input
+    * behavior so this contract stays visible. */
   def jaccardAcross(pairs: DataFrame, shingledA: DataFrame,
       shingledB: DataFrame): DataFrame = {
     // `pairs` is consumed ONCE (r19): the old shape joined pairs into
@@ -478,6 +519,14 @@ object Dedup {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** Convergence round count of the most recent [[nearDupClusters]]
+    * call in this JVM — a DETERMINISTIC observability signal for the
+    * scale probes (ScaleProbeSpec asserts round growth stays ~flat
+    * under 10× data instead of relying on wall-clock ratios alone,
+    * which flake in a ±40%-noise container). Test-only readback; the
+    * operator's behavior does not depend on it. */
+  val lastConvergenceRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
       maxIters: Int = 30): DataFrame = {
     val sc = docs.sparkSession.sparkContext
@@ -562,6 +611,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"nearDupClusters did not converge after $maxIters rounds")
+    lastConvergenceRounds.set(i)
     System.err.println(s"[graft] nearDupClusters converged after $i rounds")
     // Reattach the singletons: docs outside the edge set keep themselves.
     docIds

@@ -104,10 +104,18 @@ object Pii {
     * Documented bound: contiguous runs only — separator-grouped forms
     * (4-4-4-4) normalize upstream if needed. */
   def cardReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Explode ALL digit runs, filter lengths relationally (r20): the
+    // array-lambda `filter(...)` HOF is CodegenFallback — it broke the
+    // scan projection's whole-stage-codegen span and boxed every
+    // element (guide §4.1/"expressions and codegen"). Generate+Filter
+    // fuse in codegen; `cpos` stays a per-doc-unique discriminator
+    // (position among all runs instead of among card-length runs —
+    // only its uniqueness is consumed, the groupBy output is
+    // unchanged).
     val cands = docs.select(col(idCol),
-        posexplode(filter(
-          regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0)),
-          x => length(x) >= 13 && length(x) <= 19)).as(Seq("cpos", "cand")))
+        posexplode(regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0)))
+          .as(Seq("cpos", "cand")))
+      .filter(length(col("cand")) >= 13 && length(col("cand")) <= 19)
     val dg = col("cand").substr(col("i"), lit(1)).cast("int")
     val term = when(((length(col("cand")) - col("i") + 1) % 2) === 0,
       when(dg * 2 > 9, dg * 2 - 9).otherwise(dg * 2)).otherwise(dg)
@@ -158,11 +166,15 @@ object Pii {
     * only (printed `DE89 3704 …` groups normalize upstream — the
     * card-family grouped extension is the template when needed). */
   def ibanReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // same explode-then-filter form as cardReport (r20): the HOF lambda
+    // ran interpreted per element; the relational filter fuses with the
+    // Generate in whole-stage codegen, cpos stays per-doc unique
     val cands = docs.select(col(idCol),
-      posexplode(filter(
-        regexp_extract_all(col(textCol), lit("[0-9A-Za-z]+"), lit(0)),
-        x => length(x) >= 15 && length(x) <= 34 &&
-          x.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]+$"))).as(Seq("cpos", "cand")))
+        posexplode(
+          regexp_extract_all(col(textCol), lit("[0-9A-Za-z]+"), lit(0)))
+          .as(Seq("cpos", "cand")))
+      .filter(length(col("cand")) >= 15 && length(col("cand")) <= 34 &&
+        col("cand").rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]+$"))
     // rearranged form: BBAN then country+check at the end
     val rear = concat(expr("substring(cand, 5)"),
       substring(col("cand"), 1, 4))

@@ -54,14 +54,22 @@ object Skyline {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.orderBy(col("_x").desc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val pref = perX.withColumn("_prefmax", max(col("_maxy")).over(w))
-      .withColumn("_nx", count(lit(1)).over(wAll))
     val guard = assert_true(col("_nx") <= maxDistinctX,
       lit(s"frontier2d: distinct $xCol values exceed maxDistinctX=" +
         s"$maxDistinctX — the per-x maxima relation must stay " +
         s"broadcast/window-small; quantize or bucket $xCol first"))
+    // The guard filters `pref` ITSELF, below the broadcast (ADVICE r19):
+    // `_nx` is the unbounded-frame count, so the FIRST row out of the
+    // window already carries the full distinct-x cardinality and the
+    // assert raises inside the broadcast-build job — the refusal is
+    // guaranteed to precede the driver-side broadcast collect (before,
+    // the guard rode the probe side and a grossly high-cardinality x
+    // could surface as a broadcast-size/driver-OOM error instead).
+    val pref = perX.withColumn("_prefmax", max(col("_maxy")).over(w))
+      .withColumn("_nx", count(lit(1)).over(wAll))
+      .filter(guard.isNull)
     pts.join(broadcast(pref), Seq("_x"))
-      .filter(guard.isNull && col("_y") === col("_maxy") &&
+      .filter(col("_y") === col("_maxy") &&
         (col("_prefmax").isNull || col("_prefmax") < col("_y")))
       .select(col(idCol), col("_x").as(xCol), col("_y").as(yCol))
   }

@@ -2011,8 +2011,23 @@ object TextMetrics {
     * top-k window partitions by query. */
   def lexicalTopKFromTf(tf: DataFrame, nDocs: DataFrame, queryIds: DataFrame,
       idCol: String, k: Int = 5, maxDfPct: Int = 80,
-      maxPosting: Int = Int.MaxValue): DataFrame = {
-    require(k >= 1, "lexicalTopK: k must be >= 1")
+      maxPosting: Int = Int.MaxValue): DataFrame =
+    lexicalTopKFromPostings(
+      lexicalPostings(tf, nDocs, idCol, maxDfPct, maxPosting)
+        .localCheckpoint(true), // postings feed norms, query side, corpus side
+      queryIds, idCol, k)
+
+  /** The df-pruned TF-IDF weighted postings relation
+    * (`idCol`, token, w) behind [[lexicalTopKFromTf]] — split out (r20)
+    * so queries sharing one corpus index (q127's lexical top-k and
+    * q179's hybrid sparse arm build the IDENTICAL postings: same tf,
+    * same df cap) can materialize it ONCE behind a declared shared
+    * cache instead of paying the df aggregate + weight projection +
+    * eager checkpoint per query. Callers materialize the result
+    * (localCheckpoint) before fanning it into
+    * [[lexicalTopKFromPostings]]. */
+  def lexicalPostings(tf: DataFrame, nDocs: DataFrame, idCol: String,
+      maxDfPct: Int = 80, maxPosting: Int = Int.MaxValue): DataFrame = {
     require(maxDfPct >= 1 && maxDfPct <= 100,
       "lexicalTopK: maxDfPct must be in [1, 100]")
     require(maxPosting >= 1, "lexicalTopK: maxPosting must be >= 1")
@@ -2041,13 +2056,19 @@ object TextMetrics {
       }
       pctPruned.filter(col("df") <= maxPosting)
     }
-    val w = tf.join(broadcast(dfRel), "token")
+    tf.join(broadcast(dfRel), "token")
       .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("token"),
         (col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double")))
           .as("w"))
-      .localCheckpoint(true) // postings feed norms, query side, corpus side
+  }
+
+  /** Score + rank arm of [[lexicalTopKFromTf]] over a caller-
+    * materialized [[lexicalPostings]] relation. */
+  def lexicalTopKFromPostings(w: DataFrame, queryIds: DataFrame,
+      idCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, "lexicalTopK: k must be >= 1")
     val norms = w.groupBy(col(idCol))
       .agg(round(sum((col("w") * col("w")).cast("decimal(28,10)")), 6)
         .cast("double").as("_sq"))

@@ -280,8 +280,11 @@ object OperatorQueries {
   def q18PunctuationWindow(spark: SparkSession, dir: String): DataFrame = {
     val ev = PunctuationWindow.fromColumns(
       events(spark, dir), "user_id", "ts", "event_id")
-    PunctuationWindow.toDataFrame(
-        PunctuationWindow.batch(ev, lengthMicros = 600000000L))
+    // count-only fold (r20): this query never reads `payloads`, so the
+    // full fold built and dropped a per-window event list — identical
+    // window boundaries by construction (the flush rule reads only
+    // timestamps; PunctuationWindowSpec pins counts ≡ full fold)
+    PunctuationWindow.batchCounts(ev, lengthMicros = 600000000L)
       .select(col("key"),
         tsStrMicros(col("window_start")).as("window_start"),
         tsStrMicros(col("window_end")).as("window_end"),

@@ -109,6 +109,57 @@ object PunctuationWindow {
       }
   }
 
+  /** COUNT-ONLY batch fold (r20): identical window boundaries and
+    * counts to [[batch]] — the fold's flush decision reads only
+    * timestamps, never the buffer — but the state is (start, n)
+    * instead of the accumulated event list, so a consumer that drops
+    * `payloads` (q18 emits key/start/end/n_events only) never builds
+    * and discards per-window payload lists. Returns the
+    * [[toDataFrame]] column shape minus `payloads`. The sort STILL
+    * orders by (key, ts, payload): processing order — and therefore
+    * which event closes a window — must match [[batch]] exactly. */
+  def batchCounts(events: Dataset[Event], lengthMicros: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("tsMicros"), col("payload"))
+      .mapPartitions { it =>
+        new Iterator[(String, Long, Long, Long)] {
+          private var pending: List[(String, Long, Long, Long)] = Nil
+          private var startMicros = -1L
+          private var n = 0L
+          private var open = false
+          private var curKey: String = null
+          private def advance(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val e = it.next()
+              if (e.key != curKey) {
+                curKey = e.key
+                open = false // trailing partial buffer of the previous key drops
+              }
+              if (!open) { startMicros = e.tsMicros; n = 1L; open = true }
+              else if (e.tsMicros >= startMicros + lengthMicros) {
+                pending ::= ((e.key, startMicros, e.tsMicros, n + 1L))
+                open = false
+              } else n += 1L
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending.nonEmpty }
+          override def next(): (String, Long, Long, Long) = {
+            advance()
+            val f = pending.head
+            pending = pending.tail
+            f
+          }
+        }
+      }
+      .toDF("key", "startMicros", "endMicros", "n_events")
+      .select(col("key"),
+        timestamp_micros(col("startMicros")).as("window_start"),
+        timestamp_micros(col("endMicros")).as("window_end"),
+        col("n_events"))
+  }
+
   /** Streaming variant: event-driven emission via flatMapGroupsWithState
     * (NoTimeout — flush only on punctuation, exactly W2). */
   def streaming(events: Dataset[Event], lengthMicros: Long): Dataset[Flush] = {

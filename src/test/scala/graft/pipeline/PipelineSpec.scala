@@ -1429,6 +1429,32 @@ class PipelineSpec extends AnyFunSuite {
       "multi-pass candidates are a superset: pass 1 pairs all survive")
   }
 
+  test("jaccardAcross: distinct-pairs precondition — duplicate input pairs collapse with inflated shared (contract pin)") {
+    import spark.implicits._
+    // ADVICE r19: the single-consumption shape REQUIRES distinct pair
+    // rows (every in-repo caller holds it by construction). This pins
+    // the documented failure mode so the contract stays visible: a
+    // duplicated pair collapses to ONE row whose `shared` counts every
+    // copy's matches — NOT a per-copy duplicate of the correct row.
+    val shingled = Seq(
+      (1L, Seq("a b c", "b c d")),
+      (2L, Seq("b c d", "c d e")))
+      .toDF("doc_id", "shingles")
+    val distinctPairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val dupPairs = Seq((1L, 2L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val clean = Dedup.jaccard(distinctPairs, shingled).collect()
+    assert(clean.length == 1)
+    val c = clean.head
+    assert(c.getAs[Long]("shared") == 1L &&
+      c.getAs[Double]("jaccard") == 1.0 / 3.0)
+    // duplicate input: one output row, shared doubled — garbage by
+    // contract, loud in this pin (dedupe pairs BEFORE calling)
+    val dup = Dedup.jaccard(dupPairs, shingled).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("shared") == 2L,
+      "duplicate-pair collapse behavior changed — update the " +
+        "jaccardAcross scaladoc precondition if this is intentional")
+  }
+
   test("mmrSelect: equals a naive recompute-everything reimplementation; duplicates demoted") {
     import spark.implicits._
     // probe [1, 1]; a and its exact duplicate both sit at rel 1.0, the

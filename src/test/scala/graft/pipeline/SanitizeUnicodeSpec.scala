@@ -47,6 +47,10 @@ class SanitizeUnicodeSpec extends AnyFunSuite {
       TextMetrics.ControlToSpaceChars + TextMetrics.UnicodeSpaceChars
     assert(all.distinct.length == all.length)
     assert(!all.contains('\u0000'))
+    // plain ASCII space must never land in any table either (ADVICE
+    // r19: in ZeroWidthDeleteChars the translate pass would silently
+    // DELETE spaces corpus-wide) — both pins, NUL and space
+    assert(!all.contains(' '))
     assert(!all.contains('\t') && !all.contains('\n') && !all.contains('\r'))
   }
 }

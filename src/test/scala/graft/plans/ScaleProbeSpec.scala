@@ -8,26 +8,40 @@ import graft.TestSpark
 import graft.operators.InteractionGraph
 import graft.pipeline.{Curate, Dedup, Similarity}
 
-/** Empirical 10× scale probes for the heaviest operator families: run
-  * each on deterministic data at base size and at 10× and assert
-  * wall-time grows ≲ linearly, with a LOUD factor guard. This is not a
-  * benchmark — the bounds are deliberately loose (timing noise, JIT) —
-  * it exists to catch superlinear compounding defects of the q207
-  * class (O(diameter) iterative rounds, Catalyst stats products
-  * doubling per checkpointed round, quadratic candidate blowups):
-  * those fail at 50×+, far outside any noise band. Model artifacts
-  * (centroids, codebooks) are FROZEN across scales, as in production —
-  * data scales, the model does not. */
+/** Empirical 10× scale probes for the heaviest operator families —
+  * redesigned in r20 (VERDICT r19 item 1) around DETERMINISTIC primary
+  * signals, because the single-shot wall-clock ratios this spec used to
+  * assert flake in a container whose identical-binary runs swing ±40%
+  * (the r19 driver run failed exactly one such probe on a tree where
+  * the same suite passes green — adjudicated as co-tenant contention).
+  *
+  *  - The ITERATIVE operators (nearDupClusters, connectedComponents)
+  *    assert their CONVERGENCE ROUND COUNTS at base and 10× data: the
+  *    q207-class compounding defect this spec exists to catch is
+  *    O(diameter)/superlinear round growth, and round counts are exact
+  *    integers independent of machine noise. Wall-time stays as a
+  *    LOOSE secondary guard, min-of-3 per leg.
+  *  - The one-shot operators keep the wall-clock ratio guard but each
+  *    leg is now MIN-OF-3 (a single co-tenant burst can no longer fail
+  *    a leg), with the same deliberately loose bounds: a real
+  *    compounding defect fails at 50×+, far outside any noise band.
+  *
+  * Model artifacts (centroids, codebooks) are FROZEN across scales, as
+  * in production — data scales, the model does not. */
 class ScaleProbeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def timeOf(f: => Unit): Double = {
-    val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
-  }
+  /** Min-of-3 wall time: each call re-executes the full job (nothing
+    * here caches results), and the min strips one-off bursts the way
+    * Bench's min-of-n does. */
+  private def timeOf3(f: => Unit): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
+    }.min
 
-  /** Guard with a base-time floor: sub-floor bases are all overhead and
-    * would inflate the ratio meaninglessly. */
+  /** Loose wall-clock guard with a base-time floor: sub-floor bases are
+    * all overhead and would inflate the ratio meaninglessly. */
   private def ratioGuard(name: String, base: Double, big: Double,
       bound: Double): Unit = {
     val r = big / math.max(base, 0.2)
@@ -36,6 +50,21 @@ class ScaleProbeSpec extends AnyFunSuite {
       f"$name: 10x data cost ${big}%.2f s vs base ${base}%.2f s — " +
         f"ratio ${r}%.1f exceeds $bound: superlinear compounding " +
         "(check iterative round counts and checkpoint stats)")
+  }
+
+  /** The deterministic guard for iterative loops: star/pointer-jump
+    * contraction converges in O(log n) rounds, and these probes hold
+    * component DIAMETER constant as data scales, so round counts must
+    * stay ~flat — any compounding defect shows as round growth long
+    * before it shows in (noisy) seconds. */
+  private def roundsGuard(name: String, base: Int, big: Int,
+      slack: Int): Unit = {
+    info(s"$name: convergence rounds base $base -> 10x $big (slack +$slack)")
+    assert(base > 0 && big > 0, s"$name: round counter not set")
+    assert(big <= base + slack,
+      s"$name: 10x data took $big rounds vs $base — round growth beyond " +
+        s"+$slack on constant-diameter components: superlinear " +
+        "compounding (the q207 class)")
   }
 
   private val sfDir = "/root/testdata/sf0.001"
@@ -52,21 +81,24 @@ class ScaleProbeSpec extends AnyFunSuite {
           .as("text"),
         col("source"))
 
-  test("cluster closure (nearDupClusters) stays ~linear under 10x chains") {
-    // worst shape for label propagation: one long chain (diameter = n)
-    // plus isolated tails — the pointer jump must keep rounds O(log n)
-    def run(n: Int): Double = {
+  test("cluster closure (nearDupClusters) holds round count and ~linear time under 10x chains") {
+    // worst shape for label propagation: chain segments (constant
+    // diameter — breaks every ~7 links) so the round count is a pure
+    // function of the contraction mechanism, not of n
+    def run(n: Int): (Double, Int) = {
       val docs = spark.range(n.toLong).select(col("id").as("doc_id"))
       val pairs = spark.range(n.toLong - 1)
         .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-        .filter(col("doc_a") % 7 =!= 3) // break into diameter ~n/…, several components
-      timeOf {
+        .filter(col("doc_a") % 7 =!= 3) // break into several components
+      val t = timeOf3 {
         Dedup.nearDupClusters(docs, pairs, "doc_id").count()
       }
+      (t, Dedup.lastConvergenceRounds.get())
     }
     run(300) // warmup (JIT, codegen caches)
-    val base = run(3000)
-    val big = run(30000)
+    val (base, baseRounds) = run(3000)
+    val (big, bigRounds) = run(30000)
+    roundsGuard("nearDupClusters", baseRounds, bigRounds, slack = 2)
     ratioGuard("nearDupClusters", base, big, bound = 25.0)
   }
 
@@ -74,7 +106,7 @@ class ScaleProbeSpec extends AnyFunSuite {
     assume(haveData)
     def run(k: Int): Double = {
       val d = explodeDocs(k)
-      timeOf {
+      timeOf3 {
         Dedup.sortedNeighborhoodMultiPass(d, "doc_id", "text",
           window = 4).count()
       }
@@ -95,7 +127,7 @@ class ScaleProbeSpec extends AnyFunSuite {
         .select(col("doc_id"))
       val drop2 = corpus.filter(col("doc_id") % 23 === 5)
         .select(col("doc_id"))
-      timeOf {
+      timeOf3 {
         Curate.curateStaged(corpus, "doc_id", "text", "source",
           eval, "doc_id", "text",
           Seq("neardup" -> drop1, "semantic" -> drop2),
@@ -124,7 +156,7 @@ class ScaleProbeSpec extends AnyFunSuite {
       .localCheckpoint()
     def run(n: Int): Double = {
       val c = vecs(n)
-      timeOf {
+      timeOf3 {
         Similarity.ivfPqResidualIndex(c, trained, codebook, "vec_id",
           "embedding", numSubspaces = 4, subDim = 8).count()
       }
@@ -150,7 +182,7 @@ class ScaleProbeSpec extends AnyFunSuite {
     def run(k: Int): Double = {
       val d = explodeDocs(k)
         .select(col("doc_id"), concat(col("text"), lit(footer)).as("text"))
-      timeOf {
+      timeOf3 {
         graft.pipeline.TextMetrics.dupSpanCoverage(d, "doc_id", "text",
           k = 8, minDocs = 2, hotCap = 64).count()
       }
@@ -174,7 +206,7 @@ class ScaleProbeSpec extends AnyFunSuite {
     def run(k: Int): Double = {
       val d = explodeDocs(k)
         .select(col("doc_id"), concat(lit(boiler), col("text")).as("text"))
-      timeOf {
+      timeOf3 {
         graft.pipeline.TextMetrics.chunkDedup(d, "doc_id", "text",
           maxTokens = 32, hotCap = 64).count()
       }
@@ -185,10 +217,10 @@ class ScaleProbeSpec extends AnyFunSuite {
     ratioGuard("chunkDedupHotHash", base, big, bound = 30.0)
   }
 
-  test("connected components stay ~linear under 10x edges") {
-    // chains + residue chords: components of growing diameter, so the
-    // star rounds (O(log n)) dominate any compounding defect signal
-    def run(n: Int): Double = {
+  test("connected components hold round count and ~linear time under 10x edges") {
+    // chain segments + residue chords: constant component diameter, so
+    // the star-contraction round count must stay ~flat as edges scale
+    def run(n: Int): (Double, Int) = {
       val inter = spark.range(n.toLong - 1)
         .select(col("id").as("author_id"),
           (col("id") + 1).as("target_user_id"))
@@ -196,13 +228,34 @@ class ScaleProbeSpec extends AnyFunSuite {
         .unionByName(spark.range(n.toLong / 10)
           .select((col("id") * 10).as("author_id"),
             (col("id") * 10 + 5).as("target_user_id")))
-      timeOf {
+      val t = timeOf3 {
         InteractionGraph.connectedComponents(inter).count()
       }
+      (t, InteractionGraph.lastConvergenceRounds.get())
     }
     run(300) // warmup
-    val base = run(3000)
-    val big = run(30000)
+    val (base, baseRounds) = run(3000)
+    val (big, bigRounds) = run(30000)
+    roundsGuard("connectedComponents", baseRounds, bigRounds, slack = 2)
     ratioGuard("connectedComponents", base, big, bound = 25.0)
+  }
+
+  test("connected components keep the input id type (numeric ids stay numeric)") {
+    // the r19 ADVICE trap: the old (String, Boolean) tick UDF made
+    // Spark cast numeric ids to string mid-loop (lexicographic order
+    // from round 2, string-typed output). The boolean-filter tick must
+    // preserve the input type end to end.
+    val inter = spark.range(9L)
+      .select(col("id").as("author_id"), (col("id") + 1).as("target_user_id"))
+    val out = InteractionGraph.connectedComponents(inter)
+    assert(out.schema("user_id").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"user_id re-typed to ${out.schema("user_id").dataType}")
+    assert(out.schema("component").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"component re-typed to ${out.schema("component").dataType}")
+    // one 10-node chain: every vertex labels to min id 0
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
   }
 }

@@ -73,4 +73,22 @@ class PunctuationWindowSpec extends AnyFunSuite {
     }.map(f => (f.key, f.startMicros, f.endMicros, f.n_events)).toSet
     assert(got == want)
   }
+
+  test("batchCounts() equals batch() minus payloads (r20 count-only fold)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val evs = for {
+      k <- Seq("a", "b", "c")
+      i <- 1 to 60
+    } yield Event(k, rnd.nextInt(2500).toLong, s"$k$i")
+    val full = PunctuationWindow.toDataFrame(
+        PunctuationWindow.batch(evs.toDS().repartition(5), L))
+      .select("key", "window_start", "window_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val counts = PunctuationWindow.batchCounts(evs.toDS().repartition(5), L)
+      .collect().map(_.toSeq).toSet
+    assert(counts == full,
+      "count-only fold diverged from the full fold's window boundaries/counts")
+  }
 }
