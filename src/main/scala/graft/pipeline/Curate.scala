@@ -64,11 +64,16 @@ object Curate {
     val pass1 = base.filter(col("_q"))
 
     // dedup flag: keep the min id per canonical-text hash; only the
-    // 16-byte hash + id shuffle, never the text
-    val keyed = pass1.select(col(idCol),
-      md5(Dedup.canonicalText(col(textCol))).as("_ck"))
-    val keep = keyed.groupBy(col("_ck")).agg(min(col(idCol)).as("_keep_id"))
-    val dupFlag = keyed.join(keep, "_ck")
+    // 16-byte hash + id shuffle, never the text. A min-over-window on _ck
+    // instead of groupBy+self-join (r20): the self-join shape planted TWO
+    // copies of the keyed subtree and its inferred isnotnull(_ck) pushdown
+    // re-inlined md5(canonicalText(text)) into a pre-join Filter — four
+    // full-text regex+md5 passes per row where the window pass runs one
+    // (per-key groups are buffered per _ck, duplicate-cluster-bounded).
+    val dupFlag = pass1.select(col(idCol),
+        md5(Dedup.canonicalText(col(textCol))).as("_ck"))
+      .withColumn("_keep_id", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_ck"))))
       .select(col(idCol), (col(idCol) =!= col("_keep_id")).as("_dup"))
 
     // contamination flag over the quality-pass set (see scale note above)

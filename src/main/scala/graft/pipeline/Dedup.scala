@@ -113,12 +113,16 @@ object Dedup {
     * neighbor join keys on (pass, rank+delta), which reproduces each
     * pass's rank-distance pairs exactly (cross-pass rank adjacency
     * never joins: the pass tag is in the key). The bucket map is the
-    * STATIC `pass·1024 + (_kn >> 46)` (= first char · 8 + second
-    * char / 16 — weakly monotone in `_kp` by construction, ≤ 1024·N
-    * values), so the rank device's 1-row min/max stats action
-    * disappears entirely: constructing an SNM query launches exactly
-    * one Spark job (the shared ranked checkpoint), whatever the pass
-    * count. Within a pass a pair can only arise at one rank distance
+    * STATIC `pass·16384 + (_kn >> 42)` (= first char · 128 + second
+    * char — weakly monotone in `_kp` by construction since
+    * `_kn >> 42 ≤ 16383`, ≤ 16384·N values; the first cut shifted by
+    * 46, i.e. ~52 effective first-letter buckets per pass, and the
+    * within-bucket window sort of a letter-frequency-skewed corpus
+    * measured q200 4.8 → 13.0 s — two chars give ~26² effective
+    * buckets and restore the parallelism), so the rank device's 1-row
+    * min/max stats action disappears entirely: constructing an SNM
+    * query launches exactly one Spark job (the shared ranked
+    * checkpoint), whatever the pass count. Within a pass a pair can only arise at one rank distance
     * (ranks are unique per doc), so the output is duplicate-free per
     * pass; the same pair found by TWO passes appears once per pass —
     * multi-pass callers dedupe before the Jaccard verify, exactly as
@@ -137,14 +141,18 @@ object Dedup {
       docs.select(col(idCol).as("doc_id"), ke.as("_key"),
         lit(p).as("_pass"))
     }.reduce(_ unionByName _)
+    // Two explicit selects, NOT a withColumn chain (r20, measured 9.3 vs
+    // 2.5 s at sf0.1): chained withColumns re-reference the `_kn`/`_key`
+    // aliases and project collapse inlines the expensive canonical-key
+    // expression once per reference; here `_kn` is named once and every
+    // derived column reads the named attribute.
     val keyed = passes
-      .withColumn("_kn", prefix)
-      .withColumn("_kp",
-        col("_pass").cast("long") * lit(1L << 56) + col("_kn"))
-      .withColumn("_kt", struct(col("_key"), col("doc_id")))
-      .withColumn("_pb",
-        (col("_pass").cast("long") * 1024L +
-          shiftright(col("_kn"), 46)).cast("int"))
+      .select(col("doc_id"), col("_pass"), col("_key"), prefix.as("_kn"))
+      .select(col("doc_id"), col("_pass"),
+        (col("_pass").cast("long") * lit(1L << 56) + col("_kn")).as("_kp"),
+        struct(col("_key"), col("doc_id")).as("_kt"),
+        (col("_pass").cast("long") * 16384L +
+          shiftright(col("_kn"), 42)).cast("int").as("_pb"))
     val ranked = Ranks.bucketedGlobalRank(keyed, "_kp", "_kt",
         rankCol = "rn", bucketCol = Some("_pb"))
       .select(col("_pass"), col("doc_id"), col("rn"))

@@ -121,32 +121,37 @@ object Ranks {
       case Some(bc) =>
         df.withColumn("_b", col(bc).cast("int"))
       case None =>
-        // 1-row side-input action (the BPE/Lod bounded-collect class): lo/hi
-        // become literals, so the bucket map is pure map-side and the stats
-        // subtree isn't recomputed under both the histogram and rank branches.
-        // min/max exclude NaN explicitly (Spark's max treats NaN as greatest,
-        // which would poison the bucket arithmetic for every row).
-        val statsRow =
-          df.agg(min(vFinite).as("_lo"), max(vFinite).as("_hi")).head()
-        val empty = statsRow.isNullAt(0)
-        val (lo, hi) =
-          if (empty) (0.0, 0.0)
-          else (statsRow.getDouble(0), statsRow.getDouble(1))
+        // Lazy 1-row stats (r20, the former eager head() was a Spark job at
+        // every PLAN CONSTRUCTION — Explain, tests, bench setup): lo/hi ride
+        // a broadcast 1-row aggregate joined below, i.e. exactly
+        // [[bucketedGroupRank]]'s stats device with a constant group. The
+        // bucket arithmetic is unchanged — the same IEEE doubles arrive as
+        // column values instead of driver literals, so assignments (and the
+        // rank, which is exact for ANY monotone bucketing) stay
+        // bit-identical. Total subtree work is unchanged too: before, the
+        // stats subtree ran once in its own job and the histogram/rank
+        // branches re-ran df anyway; now all of it sits in ONE job and the
+        // broadcast is reused across branches. min/max exclude NaN
+        // explicitly (Spark's max treats NaN as greatest, which would poison
+        // the bucket arithmetic for every row).
+        //
         // Null/NaN rows get explicit buckets matching Spark's total order for
         // an ascending sort — nulls FIRST (bucket 0, asc_nulls_first inside
         // the bucket), NaN LAST (> +Infinity in Spark's ordering → last
         // bucket) — so the rank stays bit-identical to the single-task
-        // Window.orderBy(asc) even on nullable or NaN-bearing metrics (a
-        // null value used to fall through least(), land in the LAST bucket
-        // and rank at the end; the early callers were all non-null so the gate
-        // never saw it). Degeneracy, not a bug: an all-null/all-NaN column
-        // collapses to hi <= lo and ranks serially in one bucket.
-        df.withColumn("_b",
-          if (hi <= lo) lit(0)
-          else when(v.isNull, lit(0))
-            .when(isnan(v), lit(nBuckets - 1))
-            .otherwise(least(lit(nBuckets - 1L),
-              floor((v - lit(lo)) / lit(hi - lo) * nBuckets)).cast("int")))
+        // Window.orderBy(asc) even on nullable or NaN-bearing metrics.
+        // Degeneracy, not a bug: an empty/all-null/all-NaN column collapses
+        // to _rhi null or _rhi <= _rlo and ranks serially in one bucket.
+        val stats = df.agg(min(vFinite).as("_rlo"), max(vFinite).as("_rhi"))
+        df.join(broadcast(stats))
+          .withColumn("_b",
+            when(col("_rhi").isNull || col("_rhi") <= col("_rlo"), lit(0))
+              .when(v.isNull, lit(0))
+              .when(isnan(v), lit(nBuckets - 1))
+              .otherwise(least(lit(nBuckets - 1L),
+                floor((v - col("_rlo")) / (col("_rhi") - col("_rlo")) *
+                  nBuckets)).cast("int")))
+          .drop("_rlo", "_rhi")
     }
     tieProxyCol match {
       case None =>
@@ -156,15 +161,31 @@ object Ranks {
         // broadcast non-equi self-join instead of a global window, so the
         // device's plan carries no unpartitioned Window at all.
         val prior = hist.select(col("_b").as("_pb"), col("_bcnt").as("_pcnt"))
-        val offsets = hist.join(broadcast(prior), col("_pb") < col("_b"), "left")
+        // coalesce on the probe key so the non-equi condition admits NO
+        // isnotnull inference either (same pushdown-inlining hazard as the
+        // join below; _pb is a groupBy key over non-null _b, so the wrap is
+        // an identity).
+        val offsets = hist.join(broadcast(prior),
+            coalesce(col("_pb"), lit(Int.MaxValue)) < col("_b"), "left")
           .groupBy(col("_b"))
           .agg(sum(coalesce(col("_pcnt"), lit(0L))).as("_cum"))
         val wIn = Window.partitionBy(col("_b"))
           .orderBy(col(valueCol).asc_nulls_first, col(tieCol).asc)
-        bucketed.join(broadcast(offsets), Seq("_b"))
+        // LEFT join on NULL-SAFE equality, not an inner join on Seq (r20):
+        // offsets is built FROM bucketed, so every _b matches and the result
+        // is row-identical — but an inner join (and even a left join's plain
+        // `=`) lets InferFiltersFromConstraints plant `isnotnull(_b)` on one
+        // side, and predicate pushdown re-inlines the caller's bucket
+        // expression below its projection into a Filter in every subtree
+        // copy. With SNM's 8-term canonical-key prefix that meant 8 extra
+        // full-text regex pairs per row per subtree (q200 4.8 → 13.0 s).
+        // `<=>` admits no isnotnull inference on either side; keys are
+        // non-null by construction so it plans the same hash join.
+        bucketed.join(broadcast(offsets.withColumnRenamed("_b", "_ob")),
+            col("_b") <=> col("_ob"), "left")
           .withColumn(rankCol,
             col("_cum") + row_number().over(wIn).cast("long"))
-          .drop("_b", "_cum")
+          .drop("_b", "_ob", "_cum")
       case Some(proxyName) =>
         val p = col(proxyName).cast("double")
         // One bounded pass: per-coarse-bucket value min/max, bad-row
@@ -185,7 +206,14 @@ object Ranks {
           min(p).as("_plo"), max(p).as("_phi"))
         val splittable = col("_nbad") === 0L && col("_vlo").isNotNull &&
           col("_vlo") === col("_vhi") && col("_phi") > col("_plo")
-        val bucketed = coarse.join(broadcast(bstats), Seq("_b"))
+        // LEFT + null-safe keys here and below for the same
+        // no-isnotnull-pushdown reason as the no-proxy arm (bstats/offsets
+        // are complete over coarse's _b domain by construction, so the
+        // result is row-identical to the inner join).
+        val bucketed = coarse.join(
+            broadcast(bstats.withColumnRenamed("_b", "_sbb")),
+            col("_b") <=> col("_sbb"), "left")
+          .drop("_sbb")
           .withColumn("_sb",
             when(!splittable || p.isNull, lit(0))
               .otherwise(least(lit(nSubBuckets - 1L),
@@ -200,21 +228,26 @@ object Ranks {
         // running sum over the bounded histogram.
         val perB = hist.groupBy(col("_b")).agg(sum(col("_bcnt")).as("_tot"))
         val prior = perB.select(col("_b").as("_pb"), col("_tot").as("_pcnt"))
-        val bOff = perB.join(broadcast(prior), col("_pb") < col("_b"), "left")
+        val bOff = perB.join(broadcast(prior),
+            coalesce(col("_pb"), lit(Int.MaxValue)) < col("_b"), "left")
           .groupBy(col("_b"))
           .agg(sum(coalesce(col("_pcnt"), lit(0L))).as("_bcum"))
         val wSub = Window.partitionBy(col("_b")).orderBy(col("_sb"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val offsets = hist
           .withColumn("_scum", coalesce(sum(col("_bcnt")).over(wSub), lit(0L)))
-          .join(broadcast(bOff), Seq("_b"))
+          .join(broadcast(bOff.withColumnRenamed("_b", "_bb")),
+            col("_b") <=> col("_bb"), "left")
           .select(col("_b"), col("_sb"), (col("_bcum") + col("_scum")).as("_cum"))
         val wIn = Window.partitionBy(col("_b"), col("_sb"))
           .orderBy(col(valueCol).asc_nulls_first, col(tieCol).asc)
-        bucketed.join(broadcast(offsets), Seq("_b", "_sb"))
+        bucketed.join(
+            broadcast(offsets.withColumnRenamed("_b", "_ob")
+              .withColumnRenamed("_sb", "_osb")),
+            col("_b") <=> col("_ob") && col("_sb") <=> col("_osb"), "left")
           .withColumn(rankCol,
             col("_cum") + row_number().over(wIn).cast("long"))
-          .drop("_b", "_sb", "_cum")
+          .drop("_b", "_sb", "_ob", "_osb", "_cum")
     }
   }
 

